@@ -1,0 +1,233 @@
+package graft.ops
+
+import graft.Tables._
+import graft.functions.WeightedMean
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregations (SURVEY.md §2.4 A1–A12).
+  *
+  * Scale notes: every groupBy here is a HashAggregate with map-side partial
+  * aggregation — the shuffle carries pre-combined (key, buffer) pairs, not
+  * raw rows, so network volume is O(distinct keys), not O(rows). collect_list
+  * (A8) is the one exception (ObjectHashAggregate, buffers grow with group
+  * size) — keep group cardinality bounded there.
+  */
+object Aggregates {
+
+  /** A1 — flagship: TPC-H-Q1-shape pricing summary over lineitem.
+    * scan → pushed filter → partial agg → 1 shuffle on a 6-value key →
+    * final agg. The canonical "would survive 100 TB" plan. */
+  def a1_pricing_summary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: global (no-group) aggregate — corpus totals. */
+  def a2_global_agg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("total_qty"),
+      round(sum(col("l_extendedprice")), 2).as("total_price"),
+      round(avg(col("l_discount")), 6).as("avg_disc"),
+      min(col("l_shipdate")).cast("date").as("first_ship"),
+      max(col("l_shipdate")).cast("date").as("last_ship"))
+
+  /** A3: exact distinct — distinct users per event type. */
+  def a3_count_distinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** A3b: dropDuplicates-style exact dedup on a projection. */
+  def a3_distinct_rows(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("lang"), col("source")).distinct()
+      .orderBy("lang", "source")
+
+  /** A4: approximate distinct (HLL++) — the 100 TB path where exact
+    * countDistinct's shuffle is unaffordable. No oracle: DuckDB's sketch
+    * differs; rows-only check + ScalaTest bounds the relative error. */
+  def a4_approx_distinct(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy("event_type")
+
+  /** A5: ROLLUP — subtotals + grand total, the PDF's own M+I / P+P row
+    * semantics (reference PDF p.9 Tables 1-2/1-3). */
+  def a5_rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** A6: CUBE — full subtotal lattice over lang × source. */
+  def a6_cube(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+
+  /** A7: custom UDAF — quantity-weighted mean discount per return flag
+    * (same arithmetic as the PDF's tonnage-weighted grades). */
+  def a7_weighted_mean(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(WeightedMean(col("l_discount"), col("l_quantity")), 6).as("wavg_disc"),
+        round(sum(col("l_quantity")), 2).as("sum_w"))
+      .orderBy("l_returnflag")
+
+  /** A8: collect_list → nested array per group (the §1.2 resources/reserves
+    * assembly shape); sort_array for cross-engine determinism. */
+  def a8_collect_list(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("quantities"),
+        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .orderBy("l_orderkey")
+
+  /** A9: pivot — lang categories to columns per source (fixed value list
+    * so the output schema is static at any scale). */
+  def a9_pivot(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("de", "en", "es", "fr", "zh")) // absent combo = 0, like COUNT FILTER
+      .orderBy("source")
+
+  /** A10: exact percentiles / median of order totals per status. */
+  def a10_percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("median(o_totalprice)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .orderBy("o_orderstatus")
+
+  /** A11: argmax-style selection — max_by/min_by per brand (keyed on the
+    * unique partkey so ties cannot make the result nondeterministic). */
+  def a11_min_max_by(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .groupBy(col("p_brand"))
+      .agg(max_by(col("p_name"), col("p_partkey")).as("latest_part"),
+        min_by(col("p_name"), col("p_partkey")).as("first_part"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+
+  /** A12: conditional aggregation — per-event-type error/purchase shares. */
+  def a12_conditional_agg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)).as("purchase_value_raw"),
+        count(lit(1)).as("n_events"))
+      .withColumn("error_rate", round(col("n_errors").cast("double") / col("n_events"), 6))
+      .withColumn("purchase_value", round(col("purchase_value_raw"), 2))
+      .drop("purchase_value_raw")
+      .orderBy("user_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a1_pricing_summary" -> (a1_pricing_summary _),
+    "a2_global_agg" -> (a2_global_agg _),
+    "a3_count_distinct" -> (a3_count_distinct _),
+    "a3_distinct_rows" -> (a3_distinct_rows _),
+    "a4_approx_distinct" -> (a4_approx_distinct _),
+    "a5_rollup" -> (a5_rollup _),
+    "a6_cube" -> (a6_cube _),
+    "a7_weighted_mean" -> (a7_weighted_mean _),
+    "a8_collect_list" -> (a8_collect_list _),
+    "a9_pivot" -> (a9_pivot _),
+    "a10_percentiles" -> (a10_percentiles _),
+    "a11_min_max_by" -> (a11_min_max_by _),
+    "a12_conditional_agg" -> (a12_conditional_agg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "a2_global_agg" ->
+      """SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS total_qty,
+         round(sum(l_extendedprice), 2) AS total_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         CAST(min(l_shipdate) AS DATE) AS first_ship,
+         CAST(max(l_shipdate) AS DATE) AS last_ship
+         FROM lineitem""",
+    "a3_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "a3_distinct_rows" ->
+      """SELECT DISTINCT lang, source FROM documents ORDER BY lang, source""",
+    "a5_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+         count(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a6_cube" ->
+      """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+         FROM documents GROUP BY CUBE (lang, source)
+         ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
+    "a7_weighted_mean" ->
+      """SELECT l_returnflag,
+         round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc,
+         round(sum(l_quantity), 2) AS sum_w
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "a8_collect_list" ->
+      """SELECT l_orderkey,
+         list_sort(list(l_quantity)) AS quantities,
+         list_sort(list(DISTINCT l_returnflag)) AS flags
+         FROM lineitem WHERE l_orderkey <= 100
+         GROUP BY l_orderkey ORDER BY l_orderkey""",
+    "a9_pivot" ->
+      """SELECT source,
+         count(*) FILTER (lang = 'de') AS de,
+         count(*) FILTER (lang = 'en') AS en,
+         count(*) FILTER (lang = 'es') AS es,
+         count(*) FILTER (lang = 'fr') AS fr,
+         count(*) FILTER (lang = 'zh') AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    "a10_percentiles" ->
+      """SELECT o_orderstatus,
+         round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "a11_min_max_by" ->
+      """SELECT p_brand, max_by(p_name, p_partkey) AS latest_part,
+         min_by(p_name, p_partkey) AS first_part, count(*) AS n_parts
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "a12_conditional_agg" ->
+      """SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         count(*) AS n_events,
+         round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS error_rate,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+  )
+}

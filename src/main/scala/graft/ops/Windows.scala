@@ -1,0 +1,126 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY.md §2.5 W1–W5).
+  *
+  * Scale notes: each window partitions by a real key (nation, user, customer)
+  * so the single shuffle it costs distributes evenly; no window here is
+  * unpartitioned (a global ORDER BY window would serialize on one task at
+  * 100 TB — deliberately avoided).
+  */
+object Windows {
+
+  /** W1: ranking — top-3 customers by account balance per nation.
+    * Tiebreak on the unique custkey keeps ranks deterministic. */
+  def w1_rank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select("c_nationkey", "rn", "rnk", "drnk", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "rn")
+  }
+
+  /** W2: lag/lead — seconds between consecutive events per user. */
+  def w2_lag_lead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("gap_sec", unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+      .select("user_id", "event_id", "event_type", "gap_sec", "next_type")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W3: frame aggregates — running total + 3-row moving average of order
+    * totals per customer. */
+  def w3_running_total(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("ma3",
+        round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 4))
+      .select("o_custkey", "o_orderkey", "running_spend", "ma3")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W4: distribution — quartile + percent_rank of supplier balances. */
+  def w4_distribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    supplier(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select("s_nationkey", "s_suppkey", "quartile", "pct_rank", "cume")
+      .orderBy("s_nationkey", "s_suppkey")
+  }
+
+  /** W5: dedup-keep-latest — canonical latest event per user
+    * (row_number()=1 over ts DESC; the idempotent-upsert idiom). */
+  def w5_dedup_latest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event"),
+        col("event_type").as("latest_type"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_rank" -> (w1_rank _),
+    "w2_lag_lead" -> (w2_lag_lead _),
+    "w3_running_total" -> (w3_running_total _),
+    "w4_distribution" -> (w4_distribution _),
+    "w5_dedup_latest" -> (w5_dedup_latest _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_rank" ->
+      """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC))
+         WHERE rn <= 3 ORDER BY c_nationkey, rn""",
+    "w2_lag_lead" ->
+      """SELECT user_id, event_id, event_type,
+           date_diff('second', lag(ts, 1) OVER w, ts) AS gap_sec,
+           lead(event_type, 1) OVER w AS next_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         ORDER BY user_id, event_id""",
+    "w3_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "w4_distribution" ->
+      """SELECT s_nationkey, s_suppkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+         ORDER BY s_nationkey, s_suppkey""",
+    "w5_dedup_latest" ->
+      """SELECT user_id, event_id AS latest_event, event_type AS latest_type FROM (
+           SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+  )
+}
