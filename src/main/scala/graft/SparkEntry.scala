@@ -15,11 +15,15 @@ object SparkEntry {
     ops.Relational.queries,
     ops.Aggregates.queries,
     ops.Windows.queries,
+    ops.Scalars.queries,
+    ops.TextVector.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
     ops.Aggregates.oracle,
     ops.Windows.oracle,
+    ops.Scalars.oracle,
+    ops.TextVector.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,473 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text / vector / LLM-pipeline operators (SURVEY.md §2.9 T1–T8 and the
+  * north-star training-data ops: MinHash LSH dedup, SimHash, n-gram
+  * Jaccard, embedding near-dup, language-ID, quality scoring, token
+  * counting, fingerprinting).
+  *
+  * Design for 100 TB:
+  *  - dedup never compares all pairs: LSH bands (T4) / SimHash buckets
+  *    (T10) turn O(n²) into a bucket-local self-join on hash keys;
+  *  - similarity search brute-force path (T5/T6) broadcasts the small
+  *    query side so the corpus side streams without a shuffle;
+  *  - all hashing is deterministic (md5 on content + literal seeds) so
+  *    even the sketchy ops get a DuckDB oracle.
+  */
+object TextVector {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** T1: tokenize + term frequency — top-20 corpus vocabulary. */
+  def t1_term_freq(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** T2: n-grams — top-20 bigrams (shingling primitive for T4). */
+  def t2_ngrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(20)
+
+  /** T3: exact dedup by content hash — the corpus has no natural dups, so
+    * union the corpus with itself: 2N rows in, N distinct hashes out
+    * proves the collapse actually happened. */
+  def t3_exact_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs)
+      .select(md5(lower(trim(col("text")))).as("h"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("h")).as("n_distinct"))
+  }
+
+  /** Corpus ∪ near-duplicate copies (last token dropped, ids offset by
+    * 1,000,000) — the deterministic collision generator for T4/T11/T12. */
+  private def withNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+  }
+
+  /** T4: MinHash + LSH near-dup detection. 8 deterministic min-hashes
+    * (md5 with literal seed suffixes) → 4 bands of 2 → band-bucket
+    * self-join → Jaccard verification ≥ 0.5 on the candidates only.
+    * At scale: the only shuffle is groupBy(band key); candidate pairs are
+    * bucket-local, never all-pairs. */
+  def t4_minhash_lsh(s: SparkSession, d: String): DataFrame = {
+    val base = withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"))
+    val sig = base.withColumn("mh", expr(
+      "transform(sequence(0, 7), k -> array_min(transform(sh, s -> md5(concat(s, '#', k)))))"))
+    val bands = sig.select(col("doc_id"), col("sh"), posexplode(expr(
+      "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), element_at(mh, 2*b+2)))"))
+      .as(Seq("band", "key")))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("a_id", "b_id")
+  }
+
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** T5: pairwise cosine similarity on 64-dim embeddings — the 20 query
+    * vectors are broadcast against the streamed corpus side: no shuffle
+    * of the big side at any scale. */
+  def t5_cosine(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    q.join(c, col("q_id") < col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 4).as("cos_sim"))
+      .filter(col("cos_sim") > 0.2)
+      .orderBy("q_id", "c_id")
+  }
+
+  /** T6: brute-force top-k nearest neighbors (k=5) for 10 query vectors —
+    * the exact baseline an IVF/LSH path is judged against (T10b is the
+    * bucketed scale path). */
+  def t6_topk_nn(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val sims = q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("qv"), col("cv")) /
+          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** T7: language/source profiling + length-bounds quality gate. */
+  def t7_profile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(when(col("n_chars").between(100, 400), 1).otherwise(0)).as("n_in_bounds"))
+      .orderBy("lang", "source")
+
+  /** T8: TF-IDF — tf × ln((N+1)/(df+1)), top-50 weighted terms. */
+  def t8_tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val nDocs = docs.count() // tiny scalar; at scale: a broadcast subquery
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6))
+      .orderBy(col("tfidf").desc, col("doc_id").asc, col("term").asc)
+      .limit(50)
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
+  /** T10: SimHash — 32-bit signature from per-token md5-derived bits;
+    * near-dup candidates = pairs at hamming distance ≤ 3. No DuckDB
+    * oracle (hex→int parsing); covered by ScalaTest invariants. */
+  def t10_simhash(s: SparkSession, d: String): DataFrame = {
+    val base = withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      // per-token 32-bit hash from the first 8 hex chars of md5
+      .withColumn("hs", expr("transform(t, x -> cast(conv(substring(md5(x),1,8),16,10) as bigint))"))
+      // bit-vote: v[b] += (bit set ? 1 : -1); sig bit b = v[b] > 0
+      .withColumn("votes", expr(
+        """aggregate(hs, array_repeat(0L, 32),
+           (acc, h) -> zip_with(acc, sequence(0, 31),
+             (a, b) -> a + (2 * ((h >> cast(b as int)) & 1) - 1)))"""))
+      .withColumn("sig", expr(
+        "aggregate(zip_with(votes, sequence(0, 31), (v, b) -> IF(v > 0, shiftleft(1L, cast(b as int)), 0L)), 0L, (acc, x) -> acc + x)"))
+      .select(col("doc_id"), col("sig"))
+    val a = base.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = base.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    // bucket by the high 16 bits to avoid all-pairs (near-dups share them
+    // unless a flipped bit lands there: standard multi-probe tradeoff)
+    a.withColumn("bucket", expr("a_sig >> 16"))
+      .join(b.withColumn("bucket", expr("b_sig >> 16")), Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("bit_count(a_sig ^ b_sig)"))
+      .filter(col("hamming") <= 3)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** T11: embedding-cosine near-dup — corpus ∪ slightly-perturbed copy;
+    * pairs above 0.999 cosine are the planted duplicates. */
+  def t11_embed_neardup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val pert = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), x => x * 1.001).as("v"))
+    val all = e.unionByName(pert)
+    val a = all.select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"))
+    a.filter(col("a_id") < 1000000L)
+      .join(b.filter(col("b_id") >= 1000000L), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) /
+          (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.9999)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** T12: n-gram Jaccard near-dup — 3-gram shingle sets, exact Jaccard on
+    * id-adjacent candidate pairs (planted dups from withNearDups). */
+  def t12_jaccard(s: SparkSession, d: String): DataFrame = {
+    val base = withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"))
+    val a = base.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = base.select((col("doc_id") - 1000000L).as("join_id"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") === col("join_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard"))
+      .orderBy("a_id")
+  }
+
+  private val langWords: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "ist"),
+    "en" -> Seq("the", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "fr" -> Seq("le", "la", "et", "un"),
+    "zh" -> Seq("de", "shi", "le", "he"))
+
+  /** T13: language-ID heuristic — stopword-overlap score per language,
+    * argmax with alphabetical tiebreak. (The synthetic corpus is
+    * engine-vocab word salad, so scores — not accuracy — are the
+    * deterministic thing being checked.) */
+  def t13_langid(s: SparkSession, d: String): DataFrame = {
+    val td = array_distinct(toks(col("text")))
+    val scoreCols = Seq(col("doc_id"), col("lang").as("labeled")) ++
+      langWords.toSeq.sortBy(_._1).map { case (l, ws) =>
+        size(array_intersect(td, array(ws.map(lit): _*))).as(s"s_$l")
+      }
+    val scored = documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(scoreCols: _*)
+    scored.withColumn("predicted",
+      when(col("s_de") >= col("s_en") && col("s_de") >= col("s_es")
+        && col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+        .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr")
+          && col("s_en") >= col("s_zh"), "en")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= col("s_zh"), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** T14: quality scoring — length / token-length / stopword-ratio blend
+    * (the 47≤n_chars≤558 band is the corpus' observed range). */
+  def t14_quality(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val stop = array(Seq("the", "and", "of", "to", "a", "in").map(lit): _*)
+    documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"),
+        col("n_chars"),
+        size(t).as("n_toks"),
+        round(col("n_chars").cast("double") / size(t), 4).as("avg_tok_len"),
+        round(size(array_intersect(array_distinct(t), stop)).cast("double") /
+          size(array_distinct(t)), 4).as("stopword_ratio"))
+      .withColumn("quality_score", round(
+        when(col("n_chars").between(100, 500), 0.5).otherwise(0.0)
+          + when(col("avg_tok_len").between(3.0, 8.0), 0.3).otherwise(0.0)
+          + when(col("stopword_ratio") > 0.01, 0.2).otherwise(0.0), 2))
+      .orderBy("doc_id")
+  }
+
+  /** T15: token counting — whitespace tokens + a BPE-ish regex segmenter
+    * (letters | digits | single punctuation). */
+  def t15_token_count(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+          .as("bpe_ish_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))+ 1)
+          .as("space_plus_one"))
+      .orderBy("doc_id")
+
+  /** T16: document fingerprint — positional rolling hash folded over
+    * per-token codes (seeded by the first token's code, mod 1e9+7 each
+    * step so both engines stay in exact integer range). */
+  def t16_fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("codes", expr("transform(t, x -> cast(length(x) * 31 + ascii(substring(x,1,1)) as bigint))"))
+      .withColumn("fingerprint", expr(
+        "aggregate(slice(codes, 2, size(codes)-1), element_at(codes, 1), (acc, x) -> (acc * 31 + x) % 1000000007)"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_term_freq" -> (t1_term_freq _),
+    "t2_ngrams" -> (t2_ngrams _),
+    "t3_exact_dedup" -> (t3_exact_dedup _),
+    "t4_minhash_lsh" -> (t4_minhash_lsh _),
+    "t5_cosine" -> (t5_cosine _),
+    "t6_topk_nn" -> (t6_topk_nn _),
+    "t7_profile" -> (t7_profile _),
+    "t8_tfidf" -> (t8_tfidf _),
+    "t10_simhash" -> (t10_simhash _),
+    "t11_embed_neardup" -> (t11_embed_neardup _),
+    "t12_jaccard" -> (t12_jaccard _),
+    "t13_langid" -> (t13_langid _),
+    "t14_quality" -> (t14_quality _),
+    "t15_token_count" -> (t15_token_count _),
+    "t16_fingerprint" -> (t16_fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t1_term_freq" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+    "t2_ngrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+           SELECT unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS bigram
+           FROM (SELECT string_split(text, ' ') AS t FROM documents)
+           WHERE len(t) >= 2)
+         GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""",
+    "t3_exact_dedup" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT h) AS n_distinct FROM (
+           SELECT md5(lower(trim(text))) AS h FROM
+             (SELECT text FROM documents UNION ALL SELECT text FROM documents))""",
+    "t4_minhash_lsh" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3),
+         sig AS (
+           SELECT doc_id, sh, list_transform(range(0, 8),
+             k -> list_min(list_transform(sh, s -> md5(s || '#' || k)))) AS mh
+           FROM sh),
+         bands AS (
+           SELECT doc_id, sh, unnest(list_transform(range(0, 4),
+             b -> {band: b, key: mh[2*b+1] || mh[2*b+2]}), recursive := true)
+           FROM sig)
+         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+           AND a.doc_id < b.doc_id
+         WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
+         ORDER BY a_id, b_id""",
+    "t5_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           round(list_inner_product(q.v, c.v) /
+             (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) AS cos_sim
+         FROM e q JOIN e c ON q.vec_id < c.vec_id
+         WHERE q.vec_id < 20
+           AND round(list_inner_product(q.v, c.v) /
+             (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 4) > 0.2
+         ORDER BY q_id, c_id""",
+    "t6_topk_nn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_inner_product(q.v, c.v) /
+               (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+           FROM e q JOIN e c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+           FROM sims)
+         SELECT q_id, rnk, c_id, round(sim, 4) AS cos_sim
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "t7_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         CAST(sum(CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bounds
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "t8_tfidf" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+           GROUP BY doc_id, term),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+         FROM tf JOIN df USING (term) CROSS JOIN n
+         ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 50""",
+    "t11_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM e),
+         pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(list_inner_product(a.v, b.v) /
+               (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
+           FROM e a JOIN p b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, cos_sim FROM pairs
+         WHERE cos_sim >= 0.9999 ORDER BY a_id, b_id""",
+    "t12_jaccard" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM sh a JOIN sh b ON a.doc_id = b.doc_id - 1000000
+         ORDER BY a_id""",
+    "t13_langid" ->
+      """WITH t AS (SELECT doc_id, lang AS labeled,
+             list_distinct(string_split(text, ' ')) AS td
+           FROM documents WHERE doc_id <= 300),
+         s AS (SELECT doc_id, labeled,
+           CAST(len(list_intersect(td, ['der','die','und','ist'])) AS INTEGER) AS s_de,
+           CAST(len(list_intersect(td, ['the','and','of','to'])) AS INTEGER) AS s_en,
+           CAST(len(list_intersect(td, ['el','la','de','y'])) AS INTEGER) AS s_es,
+           CAST(len(list_intersect(td, ['le','la','et','un'])) AS INTEGER) AS s_fr,
+           CAST(len(list_intersect(td, ['de','shi','le','he'])) AS INTEGER) AS s_zh
+           FROM t)
+         SELECT doc_id, labeled, s_de, s_en, s_es, s_fr, s_zh,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+         FROM s ORDER BY doc_id""",
+    "t14_quality" ->
+      """WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t
+           FROM documents WHERE doc_id <= 300),
+         m AS (SELECT doc_id, n_chars,
+           CAST(len(t) AS INTEGER) AS n_toks,
+           round(CAST(n_chars AS DOUBLE) / len(t), 4) AS avg_tok_len,
+           round(CAST(len(list_intersect(list_distinct(t),
+             ['the','and','of','to','a','in'])) AS DOUBLE) /
+             len(list_distinct(t)), 4) AS stopword_ratio
+           FROM t)
+         SELECT doc_id, n_chars, n_toks, avg_tok_len, stopword_ratio,
+           round((CASE WHEN n_chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+         FROM m ORDER BY doc_id""",
+    "t15_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS bpe_ish_tokens,
+         CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1 AS INTEGER) AS space_plus_one
+         FROM documents WHERE doc_id <= 300 ORDER BY doc_id""",
+    "t16_fingerprint" ->
+      """WITH c AS (SELECT doc_id,
+           list_transform(string_split(text, ' '),
+             x -> CAST(length(x) * 31 + ascii(substr(x,1,1)) AS BIGINT)) AS codes
+           FROM documents WHERE doc_id <= 300)
+         SELECT doc_id,
+           list_reduce(codes, (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+         FROM c ORDER BY doc_id""",
+  )
+}
