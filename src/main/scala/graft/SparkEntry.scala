@@ -17,6 +17,8 @@ object SparkEntry {
     ops.Windows.queries,
     ops.Scalars.queries,
     ops.TextVector.queries,
+    ops.Streaming.queries,
+    sources.Sources.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -24,6 +26,8 @@ object SparkEntry {
     ops.Windows.oracle,
     ops.Scalars.oracle,
     ops.TextVector.oracle,
+    ops.Streaming.oracle,
+    sources.Sources.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

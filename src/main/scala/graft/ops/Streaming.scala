@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators in their batch-equivalent form (SURVEY.md §2.10
+  * X1–X3, X6, X7) — the same expressions run unchanged under readStream
+  * (see graft.streaming.Streams for the streaming wiring + watermarks).
+  * Batch form keeps them DuckDB-oracle-able; the streaming-only semantics
+  * (X4 late data, X5 watermark dedup, X8 incremental ingest) are covered
+  * by MemoryStream ScalaTests instead.
+  */
+object Streaming {
+
+  /** X1: tumbling window — events per type per hour. window() is the same
+    * expression streaming uses; start is emitted as a string for
+    * cross-engine timestamp parity. */
+  def x1_tumbling_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").cast("string").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** X2: sliding window — 1-hour window sliding every 15 minutes (each
+    * event lands in 4 overlapping windows). */
+  def x2_sliding_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("string").as("win_start"), col("n"))
+      .orderBy("win_start")
+
+  /** X3: session window — per-user sessions with a 30-minute inactivity
+    * gap. session_window end = last event + gap, which the oracle
+    * reproduces with the lag-gap-cumsum idiom. */
+  def x3_session_window(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"), col("w.start").cast("string").as("session_start"),
+        col("w.end").cast("string").as("session_end"), col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
+  /** X6 (batch form): funnel — users progressing signup → view → purchase
+    * in timestamp order. The stateful streaming twin is
+    * graft.streaming.Streams.funnelStateful. */
+  def x6_funnel(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .agg(
+        count(col("first_signup")).as("n_signed_up"),
+        count(when(col("first_view") > col("first_signup"), lit(1))).as("n_viewed_after"),
+        count(when(col("first_purchase") > col("first_view")
+          && col("first_view") > col("first_signup"), lit(1))).as("n_full_funnel"))
+
+  /** X7: stream-static join (batch form) — enrich events with the static
+    * customer dim; in streaming the dim side is broadcast per micro-batch. */
+  def x7_stream_static_join(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .join(broadcast(customer(s, d)), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_tumbling_window" -> (x1_tumbling_window _),
+    "x2_sliding_window" -> (x2_sliding_window _),
+    "x3_session_window" -> (x3_session_window _),
+    "x6_funnel" -> (x6_funnel _),
+    "x7_stream_static_join" -> (x7_stream_static_join _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x1_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "x2_sliding_window" ->
+      """SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts) - o * INTERVAL 15 MINUTE AS VARCHAR) AS win_start,
+         count(*) AS n
+         FROM events CROSS JOIN (SELECT unnest(range(4)) AS o)
+         GROUP BY 1 ORDER BY win_start""",
+    "x3_session_window" ->
+      """WITH g AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sid AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM g)
+         SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS session_value
+         FROM sid GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+    "x6_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+           FROM events GROUP BY user_id)
+         SELECT count(first_signup) AS n_signed_up,
+           count(CASE WHEN first_view > first_signup THEN 1 END) AS n_viewed_after,
+           count(CASE WHEN first_purchase > first_view AND first_view > first_signup THEN 1 END) AS n_full_funnel
+         FROM f""",
+    "x7_stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+  )
+}

@@ -1,0 +1,142 @@
+package graft.sources
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Sources & sinks (SURVEY.md §2.1 S2–S9). Roundtrip queries prove both
+  * directions of each format: write a deterministic projection to a temp
+  * dir, read it back, aggregate order-insensitively, and the oracle
+  * computes the same aggregate straight from the parquet corpus — if the
+  * sink or source mangled anything, the hashes diverge.
+  */
+object Sources {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** S2: binary-file scan — ingest the reference's PDF corpus directory
+    * as (path, length, content) rows; content fingerprinted with md5.
+    * Oracle: DuckDB read_blob over the same glob. */
+  def s2_binary_scan(s: SparkSession, d: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load("/root/reference/data")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        col("length"))
+      .orderBy("filename")
+
+  /** S3: text source/sink roundtrip — document texts → line files → back;
+    * order-insensitive aggregate must survive the trip. */
+  def s3_text_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s3_")
+    documents(s, d).select(col("text")).write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("total_chars"))
+  }
+
+  /** S4: JSON sink + schema-ful JSON source roundtrip (TEST:59 output
+    * format; re-ingestion path). */
+  def s4_json_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s4_")
+    events(s, d).select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    s.read.schema(schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
+  /** S5: CSV sink + source roundtrip with header (TEST:59/135 delivery
+    * format), explicit read schema so types survive. */
+  def s5_csv_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s5_")
+    customer(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_acctbal", DoubleType), StructField("c_mktsegment", StringType)))
+    s.read.option("header", "true").schema(schema).csv(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"),
+        sum(col("c_custkey")).as("key_checksum"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** S8: partitioned sink — production layout partitioned by a dimension
+    * column (TEST:65/158 10k+ docs layout); partition pruning on read-back
+    * (the `lang=es` filter reads exactly one directory). */
+  def s8_partitioned_sink(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s8_")
+    documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val back = s.read.parquet(dir)
+    back.filter(col("lang") === "es")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** S9: corrupt-record quarantine — malformed payloads split into an
+    * error channel instead of failing the job (TEST:151-152, TEST:161).
+    * Corruption is planted deterministically (every 10th event's JSON is
+    * truncated); from_json → null routes rows to the bad channel. */
+  def s9_quarantine(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val raw = events(s, d)
+      .withColumn("payload",
+        when(col("event_id") % 10 === 0, substring(col("props"), 1, 8))
+          .otherwise(col("props")))
+    raw.withColumn("parsed", from_json(col("payload"), schema))
+      .withColumn("ok", col("parsed").isNotNull && col("parsed.k").isNotNull)
+      .agg(
+        sum(when(col("ok"), 1).otherwise(0)).cast("long").as("n_good"),
+        sum(when(!col("ok"), 1).otherwise(0)).cast("long").as("n_quarantined"),
+        sum(when(col("ok"), col("parsed.k")).otherwise(0L)).as("k_checksum"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s2_binary_scan" -> (s2_binary_scan _),
+    "s3_text_roundtrip" -> (s3_text_roundtrip _),
+    "s4_json_roundtrip" -> (s4_json_roundtrip _),
+    "s5_csv_roundtrip" -> (s5_csv_roundtrip _),
+    "s8_partitioned_sink" -> (s8_partitioned_sink _),
+    "s9_quarantine" -> (s9_quarantine _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s2_binary_scan" ->
+      """SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
+         size AS length
+         FROM read_blob('/root/reference/data/*.pdf') ORDER BY filename""",
+    "s3_text_roundtrip" ->
+      """SELECT count(*) AS n_lines, sum(length(text)) AS total_chars FROM documents""",
+    "s4_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+         sum(event_id) AS id_checksum
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "s5_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal,
+         sum(c_custkey) AS key_checksum
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "s8_partitioned_sink" ->
+      """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+         FROM documents WHERE lang = 'es'
+         GROUP BY lang, source ORDER BY lang, source""",
+    "s9_quarantine" ->
+      """WITH c AS (SELECT props,
+           (event_id % 10 = 0 AND length(props) > 8) AS corrupt FROM events)
+         SELECT CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+         CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+         CAST(sum(CASE WHEN corrupt THEN 0
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_checksum
+         FROM c""",
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** One event row (events.parquet schema, TESTDATA.md / FIXTURES.md §1). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user funnel state for X6 (highest stage reached so far). */
+case class FunnelState(stage: Int)
+
+/** A user's funnel advancement emitted by funnelStateful. */
+case class FunnelAdvance(user_id: Long, from_stage: Int, to_stage: Int)
+
+/** Structured Streaming operators (SURVEY.md §2.10 X1–X8). Each takes an
+  * input DataFrame/Dataset so the same code runs against a MemoryStream in
+  * tests, a readStream in production, or a batch frame where legal.
+  *
+  * Scale notes: all stateful ops are keyed on user/event ids, so state is
+  * hash-partitioned across executors; watermarks bound state size —
+  * without them session/dedup state would grow forever at 100 TB/day.
+  */
+object Streams {
+
+  /** X1+X4: watermarked tumbling-window counts. Late events (> 10 min
+    * behind the max seen ts) are dropped once their window is finalized. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** X2+X4: watermarked sliding-window aggregate (1 h window / 15 min slide). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** X3+X4: watermarked session windows (30-minute inactivity gap). */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** X5: streaming dedup — duplicate event_ids arriving within the
+    * watermark horizon are dropped exactly once. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  private val stageOf = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+
+  /** X6: custom stateful funnel via mapGroupsWithState — tracks the
+    * highest stage (signup=1 → view=2 → purchase=3) per user and emits a
+    * row each time a user advances. State is one Int per user. */
+  def funnelStateful(events: Dataset[Event]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelAdvance](GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(0)).stage
+          val best = batch.foldLeft(prev) { (acc, e) =>
+            math.max(acc, stageOf.getOrElse(e.event_type, 0))
+          }
+          state.update(FunnelState(best))
+          FunnelAdvance(userId, prev, best)
+      }
+      .filter(a => a.to_stage > a.from_stage)
+  }
+
+  /** X7: stream-static join — enrich a stream with a static dimension
+    * (the static side is (re)broadcast per micro-batch). */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers), col("user_id") === col("c_custkey"))
+
+  /** X8: incremental exactly-once file ingestion — new JSON files landing
+    * in `landingDir` are processed once per AvailableNow trigger tick;
+    * the checkpoint WAL makes re-runs idempotent (the Spark-native answer
+    * to the spec's orchestration/retry questions, TEST:158-161). */
+  def fileIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
+                 outDir: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val q = spark.readStream.schema(schema).json(landingDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+    q.awaitTermination()
+  }
+}
