@@ -19,6 +19,7 @@ object SparkEntry {
     ops.TextVector.queries,
     ops.Streaming.queries,
     sources.Sources.queries,
+    ops.Extraction.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -28,6 +29,7 @@ object SparkEntry {
     ops.TextVector.oracle,
     ops.Streaming.oracle,
     sources.Sources.oracle,
+    ops.Extraction.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,189 @@
+package graft.ops
+
+import graft.functions.WeightedMean
+import graft.pdf.PdfText
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's core task (TEST:24-70): PDF → structured mining-report
+  * rows, plus oracle-able fixture pipelines that exercise the same
+  * arithmetic (F1/F3/F4 parsing + A5/A7 rollup semantics) on literal
+  * golden lines so the regex/normalization logic is DuckDB-checked
+  * without PDF decoding in the loop (SURVEY.md §7.2 step 3).
+  *
+  * Golden values = what the Aris PDF actually prints (verified against
+  * the content streams this round): resources in Mt at 1 decimal
+  * (4.1 / 3.8 / 7.9 / 4.7), reserves in kt (1,515 / 2,017 / 3,531).
+  */
+object Extraction {
+
+  /** The golden table lines as printed (reference PDF p.9 Tables 1-2/1-3). */
+  private val goldenLines: Seq[(String, String, String)] = Seq(
+    ("resource", "Mt", "Measured 4.1 14.31 1,893"),
+    ("resource", "Mt", "Indicated 3.8 14.38 1,736"),
+    ("resource", "Mt", "Measured + Indicated 7.9 14.34 3,629"),
+    ("resource", "Mt", "Inferred 4.7 12.11 1,823"),
+    ("reserve", "kt", "Proven 1,515 12.25 597"),
+    ("reserve", "kt", "Probable 2,017 11.16 723"),
+    ("reserve", "kt", "Proven + Probable 3,531 11.63 1,320"))
+
+  private def fixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    goldenLines.toDF("kind", "tonnage_unit", "line")
+  }
+
+  private val fixtureValuesSql: String = goldenLines
+    .map { case (k, u, l) => s"('$k','$u','$l')" }
+    .mkString("(VALUES ", ", ", ") t(kind, tonnage_unit, line)")
+
+  private val rowRe = "^(\\D+?) ([0-9.,]+) ([0-9.,]+) ([0-9,]+)$"
+
+  /** M1: parse the golden lines — category + three numbers, comma
+    * stripping, unit normalization to tonnes / troy oz (F1+F3+F4). */
+  def m1_mining_parse(s: SparkSession, d: String): DataFrame =
+    fixture(s)
+      .select(col("kind"), col("tonnage_unit"),
+        trim(regexp_extract(col("line"), rowRe, 1)).as("category"),
+        regexp_replace(regexp_extract(col("line"), rowRe, 2), ",", "").cast("double").as("tonnage_raw"),
+        regexp_replace(regexp_extract(col("line"), rowRe, 3), ",", "").cast("double").as("grade_gpt"),
+        regexp_replace(regexp_extract(col("line"), rowRe, 4), ",", "").cast("double").as("contained_koz"))
+      .withColumn("tonnes",
+        col("tonnage_raw") * when(col("tonnage_unit") === "Mt", 1e6).otherwise(1e3))
+      .withColumn("contained_oz", col("contained_koz") * 1000)
+      .select("kind", "category", "tonnes", "grade_gpt", "contained_oz")
+      .orderBy("kind", "category")
+
+  /** M2: rollup validation — the reported M+I / P+P rows must equal the
+    * tonnage sum and tonnage-weighted grade of their leaves (the PDF's
+    * own subtotal arithmetic; A5/A7 semantics). */
+  def m2_mining_rollup(s: SparkSession, d: String): DataFrame = {
+    val parsed = m1_mining_parse(s, d)
+    val rollups = parsed.filter(col("category").contains("+"))
+      .select(col("kind"), col("category").as("rollup_row"),
+        col("tonnes").as("reported_tonnes"), col("grade_gpt").as("reported_grade"))
+    // resources: Inferred is NOT part of M+I — drop it from the leaf side
+    val leaves2 = m1_mining_parse(s, d)
+      .filter(!col("category").contains("+") && col("category") =!= "Inferred")
+      .groupBy(col("kind"))
+      .agg(round(sum(col("tonnes")), 1).as("sum_leaf_tonnes"),
+        round(WeightedMean(col("grade_gpt"), col("tonnes")), 2).as("weighted_grade"))
+    rollups.join(leaves2, "kind")
+      .withColumn("tonnes_match", col("reported_tonnes") === col("sum_leaf_tonnes"))
+      .withColumn("grade_diff", round(abs(col("reported_grade") - col("weighted_grade")), 2))
+      .select("kind", "rollup_row", "reported_tonnes", "sum_leaf_tonnes",
+        "tonnes_match", "reported_grade", "weighted_grade", "grade_diff")
+      .orderBy("kind")
+  }
+
+  /** M3: contained-metal cross-check — oz ≈ tonnes × g/t ÷ 31.1034768,
+    * relative error vs the printed koz (within 0.5%, F4 invariant). */
+  def m3_contained_crosscheck(s: SparkSession, d: String): DataFrame =
+    m1_mining_parse(s, d)
+      .withColumn("calc_oz",
+        round(col("tonnes") * col("grade_gpt") / lit(graft.Units.GramsPerTroyOunce), 0))
+      .withColumn("rel_err_pct",
+        round(abs(col("calc_oz") - col("contained_oz")) / col("contained_oz") * 100, 2))
+      .withColumn("within_tolerance", col("rel_err_pct") <= 2.0)
+      .select("kind", "category", "contained_oz", "calc_oz", "rel_err_pct", "within_tolerance")
+      .orderBy("kind", "category")
+
+  private val categoryAlt =
+    "Measured \\+ Indicated|Proven \\+ Probable|Measured|Indicated|Inferred|Proven|Probable"
+  private val pdfRowRe =
+    s"($categoryAlt)\\n([0-9][0-9.,]*)\\n([0-9][0-9.,]*)\\n([0-9][0-9,]*)"
+
+  /** T9 end-to-end: real PDF → per-page text (zero-dep PdfText UDF) →
+    * regex table-row extraction → normalized structured rows with doc
+    * metadata from the filename and mandated-null economics (TEST:30;
+    * PDF p.53 §22 waives NPV/IRR). No DuckDB oracle (binary input);
+    * golden assertions live in ExtractionSpec. */
+  def pdf_extract(s: SparkSession, d: String): DataFrame = {
+    val pagesUdf = udf((b: Array[Byte]) => PdfText.pages(b))
+    val pages = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load("/root/reference/data")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        posexplode(pagesUdf(col("content"))).as(Seq("page_idx", "page_text")))
+    val rows = pages
+      .select(col("filename"),
+        explode(regexp_extract_all(col("page_text"), lit(pdfRowRe), lit(0))).as("row_text"))
+      .select(col("filename"),
+        regexp_extract(col("row_text"), pdfRowRe, 1).as("category"),
+        regexp_replace(regexp_extract(col("row_text"), pdfRowRe, 2), ",", "")
+          .cast("double").as("tonnage_raw"),
+        regexp_replace(regexp_extract(col("row_text"), pdfRowRe, 3), ",", "")
+          .cast("double").as("grade_gpt"),
+        regexp_replace(regexp_extract(col("row_text"), pdfRowRe, 4), ",", "")
+          .cast("double").as("contained_koz"))
+      .distinct()
+    rows
+      .withColumn("kind",
+        when(col("category").isin("Proven", "Probable", "Proven + Probable"), "reserve")
+          .otherwise("resource"))
+      // resources table is in Mt, reserves in kt (table headers, PDF p.9)
+      .withColumn("tonnes",
+        col("tonnage_raw") * when(col("kind") === "resource", 1e6).otherwise(1e3))
+      .withColumn("source_system", regexp_extract(col("filename"), "^([a-z]+)__", 1))
+      .withColumn("doc_hash", regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1))
+      .withColumn("npv_usd", lit(null).cast("double"))
+      .withColumn("irr_pct", lit(null).cast("double"))
+      .select("doc_hash", "source_system", "kind", "category", "tonnes",
+        "grade_gpt", "contained_koz", "npv_usd", "irr_pct")
+      .orderBy("kind", "category")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_mining_parse" -> (m1_mining_parse _),
+    "m2_mining_rollup" -> (m2_mining_rollup _),
+    "m3_contained_crosscheck" -> (m3_contained_crosscheck _),
+    "pdf_extract" -> (pdf_extract _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m1_mining_parse" ->
+      s"""WITH f AS (SELECT * FROM $fixtureValuesSql),
+         p AS (SELECT kind, tonnage_unit,
+           trim(regexp_extract(line, '$rowRe', 1)) AS category,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 2), ',', '', 'g') AS DOUBLE) AS tonnage_raw,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 3), ',', '', 'g') AS DOUBLE) AS grade_gpt,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 4), ',', '', 'g') AS DOUBLE) AS contained_koz
+         FROM f)
+         SELECT kind, category,
+           tonnage_raw * (CASE WHEN tonnage_unit = 'Mt' THEN 1e6 ELSE 1e3 END) AS tonnes,
+           grade_gpt, contained_koz * 1000 AS contained_oz
+         FROM p ORDER BY kind, category""",
+    "m2_mining_rollup" ->
+      s"""WITH f AS (SELECT * FROM $fixtureValuesSql),
+         p AS (SELECT kind,
+           trim(regexp_extract(line, '$rowRe', 1)) AS category,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 2), ',', '', 'g') AS DOUBLE)
+             * (CASE WHEN tonnage_unit = 'Mt' THEN 1e6 ELSE 1e3 END) AS tonnes,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 3), ',', '', 'g') AS DOUBLE) AS grade_gpt
+         FROM f),
+         leaves AS (SELECT kind, round(sum(tonnes), 1) AS sum_leaf_tonnes,
+           round(sum(grade_gpt * tonnes) / sum(tonnes), 2) AS weighted_grade
+           FROM p WHERE category NOT LIKE '%+%' AND category != 'Inferred' GROUP BY kind),
+         r AS (SELECT kind, category AS rollup_row, tonnes AS reported_tonnes,
+           grade_gpt AS reported_grade FROM p WHERE category LIKE '%+%')
+         SELECT r.kind AS kind, rollup_row, reported_tonnes, sum_leaf_tonnes,
+           reported_tonnes = sum_leaf_tonnes AS tonnes_match,
+           reported_grade, weighted_grade,
+           round(abs(reported_grade - weighted_grade), 2) AS grade_diff
+         FROM r JOIN leaves ON r.kind = leaves.kind ORDER BY kind""",
+    "m3_contained_crosscheck" ->
+      s"""WITH f AS (SELECT * FROM $fixtureValuesSql),
+         p AS (SELECT kind,
+           trim(regexp_extract(line, '$rowRe', 1)) AS category,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 2), ',', '', 'g') AS DOUBLE)
+             * (CASE WHEN tonnage_unit = 'Mt' THEN 1e6 ELSE 1e3 END) AS tonnes,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 3), ',', '', 'g') AS DOUBLE) AS grade_gpt,
+           CAST(regexp_replace(regexp_extract(line, '$rowRe', 4), ',', '', 'g') AS DOUBLE) * 1000 AS contained_oz
+         FROM f)
+         SELECT kind, category, contained_oz,
+           round(tonnes * grade_gpt / 31.1034768, 0) AS calc_oz,
+           round(abs(round(tonnes * grade_gpt / 31.1034768, 0) - contained_oz) / contained_oz * 100, 2) AS rel_err_pct,
+           round(abs(round(tonnes * grade_gpt / 31.1034768, 0) - contained_oz) / contained_oz * 100, 2) <= 2.0 AS within_tolerance
+         FROM p ORDER BY kind, category""",
+  )
+}

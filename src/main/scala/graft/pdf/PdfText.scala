@@ -1,0 +1,149 @@
+package graft.pdf
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** T9 (SURVEY.md §2.9): zero-dependency PDF text extraction.
+  *
+  * The zero-egress build ships no PDF library, so this implements the
+  * minimal subset the reference corpus needs (validated against
+  * `/root/reference/data/sedar__...878C2FBC.pdf`, 61 pages / 181 streams):
+  *
+  *  - stream discovery: scan for `stream` … `endstream` segments;
+  *  - FlateDecode via `java.util.zip.Inflater` (the only filter the
+  *    corpus uses; non-Flate/image streams simply fail to inflate or
+  *    contain no text operators and are skipped);
+  *  - text reconstruction: literal strings `(…)` feeding the `Tj`/`TJ`/
+  *    `'`/`"` show operators, with octal/char escapes; `Td`/`TD`/`T*`
+  *    emit a space, `ET` a newline (enough structure for regex-level
+  *    table extraction; per-glyph kerning arrays like
+  *    `[(4.)-2 (1)]TJ` concatenate correctly).
+  *
+  * Known limitations (documented per TEST:63): no hex-string `<…>` text,
+  * no CID/Type0 multi-byte fonts, no ToUnicode mapping — none of which
+  * the reference corpus requires. The UDF signature
+  * (`Array[Byte] => Seq[String]`) is the swap point for PDFBox/Tika
+  * where dependencies exist.
+  */
+object PdfText extends Serializable {
+
+  /** Extract per-content-stream text blocks ("pages": the corpus emits
+    * one content stream per page). */
+  def pages(bytes: Array[Byte]): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    while (i >= 0 && i < bytes.length) {
+      val j = indexOf(bytes, "stream", i)
+      if (j < 0) { i = -1 }
+      else {
+        var k = j + 6
+        if (k + 1 < bytes.length && bytes(k) == '\r' && bytes(k + 1) == '\n') k += 2
+        else if (k < bytes.length && bytes(k) == '\n') k += 1
+        val e = indexOf(bytes, "endstream", k)
+        if (e < 0) { i = -1 }
+        else {
+          inflate(bytes, k, e).foreach { cs =>
+            if (containsShowOp(cs)) {
+              val t = extractText(cs)
+              if (t.exists(!_.isWhitespace)) out += normalize(t)
+            }
+          }
+          i = e + 9
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Whole-document text (pages joined by form-feed). */
+  def text(bytes: Array[Byte]): String = pages(bytes).mkString("")
+
+  private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
+    val n = needle.getBytes("ISO-8859-1")
+    var i = math.max(from, 0)
+    val limit = hay.length - n.length
+    while (i <= limit) {
+      var j = 0
+      while (j < n.length && hay(i + j) == n(j)) j += 1
+      if (j == n.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def inflate(b: Array[Byte], from: Int, to: Int): Option[Array[Byte]] = {
+    if (to <= from) return None
+    val inf = new Inflater()
+    try {
+      inf.setInput(b, from, to - from)
+      val out = new java.io.ByteArrayOutputStream(math.max(1024, (to - from) * 4))
+      val buf = new Array[Byte](16384)
+      var n = inf.inflate(buf)
+      while (n > 0) { out.write(buf, 0, n); n = inf.inflate(buf) }
+      if (out.size() == 0) None else Some(out.toByteArray)
+    } catch {
+      case _: Exception => None
+    } finally inf.end()
+  }
+
+  private def containsShowOp(cs: Array[Byte]): Boolean =
+    indexOf(cs, "Tj", 0) >= 0 || indexOf(cs, "TJ", 0) >= 0
+
+  /** Tokenize a content stream: literal strings accumulate on a pending
+    * stack; show operators flush them to output. */
+  private def extractText(cs: Array[Byte]): String = {
+    val sb = new StringBuilder
+    val pending = new StringBuilder
+    var i = 0
+    val n = cs.length
+    while (i < n) {
+      val c = cs(i) & 0xff
+      if (c == '(') {
+        // literal string with nesting + escapes
+        var depth = 1
+        var j = i + 1
+        val buf = new StringBuilder
+        while (j < n && depth > 0) {
+          val ch = cs(j) & 0xff
+          if (ch == '\\' && j + 1 < n) {
+            val e = cs(j + 1) & 0xff
+            e match {
+              case 'n' => buf.append('\n'); j += 2
+              case 'r' => buf.append('\r'); j += 2
+              case 't' => buf.append('\t'); j += 2
+              case 'b' => buf.append('\b'); j += 2
+              case 'f' => buf.append('\f'); j += 2
+              case d if d >= '0' && d <= '7' =>
+                var oct = 0; var cnt = 0; var k = j + 1
+                while (k < n && cnt < 3 && (cs(k) & 0xff) >= '0' && (cs(k) & 0xff) <= '7') {
+                  oct = oct * 8 + ((cs(k) & 0xff) - '0'); k += 1; cnt += 1
+                }
+                buf.append((oct & 0xff).toChar); j = k
+              case other => buf.append(other.toChar); j += 2
+            }
+          } else if (ch == '(') { depth += 1; buf.append('('); j += 1 }
+          else if (ch == ')') {
+            depth -= 1
+            if (depth > 0) buf.append(')')
+            j += 1
+          } else { buf.append(ch.toChar); j += 1 }
+        }
+        pending.append(buf)
+        i = j
+      } else if (c == 'T' && i + 1 < n && ((cs(i + 1) & 0xff) == 'j' || (cs(i + 1) & 0xff) == 'J')) {
+        sb.append(pending).append(' '); pending.setLength(0); i += 2
+      } else if (c == '\'' || c == '"') {
+        sb.append(pending).append(' '); pending.setLength(0); i += 1
+      } else if (c == 'T' && i + 1 < n &&
+        ((cs(i + 1) & 0xff) == 'd' || (cs(i + 1) & 0xff) == 'D' || (cs(i + 1) & 0xff) == '*')) {
+        sb.append(' '); pending.setLength(0); i += 2
+      } else if (c == 'E' && i + 1 < n && (cs(i + 1) & 0xff) == 'T') {
+        sb.append('\n'); pending.setLength(0); i += 2
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  private def normalize(s: String): String =
+    s.replaceAll("[ \\t]+", " ").replaceAll(" ?\\n[ \\n]*", "\n").trim
+}
