@@ -25,10 +25,14 @@ object Tables {
     * downstream operator sees a normal UTC timestamp. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events") // integer `div` truncates like DuckDB's ns→µs read; a
-      // double division here would round and drift timestamps by 1µs
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
+    val df = t(s, d, "events")
+    // Only the NANOS-encoded driver corpus arrives as long; integer `div`
+    // truncates like DuckDB's ns→µs read (double division would round and
+    // drift timestamps by 1µs). Micros-encoded sources pass through.
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))
+    else df
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

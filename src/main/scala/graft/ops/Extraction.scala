@@ -121,9 +121,10 @@ object Extraction {
       .withColumn("kind",
         when(col("category").isin("Proven", "Probable", "Proven + Probable"), "reserve")
           .otherwise("resource"))
-      // resources table is in Mt, reserves in kt (table headers, PDF p.9)
+      // resources table is in Mt, reserves in kt (table headers, PDF p.9);
+      // round away double multiply artifacts (4.1*1e6 = 4099999.9999…)
       .withColumn("tonnes",
-        col("tonnage_raw") * when(col("kind") === "resource", 1e6).otherwise(1e3))
+        round(col("tonnage_raw") * when(col("kind") === "resource", 1e6).otherwise(1e3), 1))
       .withColumn("source_system", regexp_extract(col("filename"), "^([a-z]+)__", 1))
       .withColumn("doc_hash", regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1))
       .withColumn("npv_usd", lit(null).cast("double"))

@@ -1,0 +1,79 @@
+package graft
+
+import graft.pdf.PdfText
+import java.nio.file.{Files, Paths}
+
+/** Golden extraction fixture (SURVEY.md §5.2; FIXTURES.md §3): the one
+  * real reference PDF must yield the printed resource/reserve tables and
+  * mandated-null economics. This is the reference's own pass criterion
+  * ("¿Extrae datos correctamente?", TEST:117-119). */
+class ExtractionSpec extends SparkTestBase {
+
+  private val pdfPath =
+    "/root/reference/data/sedar__000003116_Aris_Mining_Corporation__technical-report__878C2FBC.pdf"
+
+  private lazy val bytes = Files.readAllBytes(Paths.get(pdfPath))
+
+  test("PdfText inflates the corpus and reconstructs page text") {
+    val pages = PdfText.pages(bytes)
+    assert(pages.length >= 60, s"got ${pages.length} text streams")
+    val full = pages.mkString("\n")
+    assert(full.contains("Segovia"))
+    assert(full.contains("Technical Report"))
+    assert(full.contains("Measured"))
+    assert(full.contains("1,893"))
+  }
+
+  test("pdf_extract yields exactly the 7 golden table rows") {
+    val got = ops.Extraction.pdf_extract(spark, sf).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toSet
+    val want = Set(
+      ("resource", "Measured", 4100000.0, 14.31, 1893.0),
+      ("resource", "Indicated", 3800000.0, 14.38, 1736.0),
+      ("resource", "Measured + Indicated", 7900000.0, 14.34, 3629.0),
+      ("resource", "Inferred", 4700000.0, 12.11, 1823.0),
+      ("reserve", "Proven", 1515000.0, 12.25, 597.0),
+      ("reserve", "Probable", 2017000.0, 11.16, 723.0),
+      ("reserve", "Proven + Probable", 3531000.0, 11.63, 1320.0))
+    assert(got == want, s"got $got")
+  }
+
+  test("economics fields are mandated-null (PDF p.53 §22 + TEST:30)") {
+    val rows = ops.Extraction.pdf_extract(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("npv_usd"))))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("irr_pct"))))
+  }
+
+  test("doc metadata parsed from the sedar filename scheme") {
+    val r = ops.Extraction.pdf_extract(spark, sf).head
+    assert(r.getString(r.fieldIndex("doc_hash")) == "878C2FBC")
+    assert(r.getString(r.fieldIndex("source_system")) == "sedar")
+  }
+
+  test("rollup invariants hold on the extracted rows (M+I = M + I)") {
+    val rows = ops.Extraction.pdf_extract(spark, sf).collect()
+      .map(r => r.getString(3) -> (r.getDouble(4), r.getDouble(6)))
+      .toMap
+    // tolerance = the document's own print rounding: the PDF prints
+    // Proven 1,515 + Probable 2,017 kt but P+P as 3,531 kt (off by 1 kt)
+    val (mT, mK) = rows("Measured"); val (iT, iK) = rows("Indicated")
+    val (miT, miK) = rows("Measured + Indicated")
+    assert(math.abs(mT + iT - miT) <= 100000.0) // 0.1 Mt print precision
+    assert(math.abs(mK + iK - miK) <= 1.0)
+    val (pT, pK) = rows("Proven"); val (bT, bK) = rows("Probable")
+    val (ppT, ppK) = rows("Proven + Probable")
+    assert(math.abs(pT + bT - ppT) <= 1000.0) // 1 kt print precision
+    assert(math.abs(pK + bK - ppK) <= 1.0)
+  }
+
+  test("contained oz cross-checks against tonnes × grade (≤2%)") {
+    ops.Extraction.pdf_extract(spark, sf).collect().foreach { r =>
+      val calc = r.getDouble(4) * r.getDouble(5) / Units.GramsPerTroyOunce / 1000.0
+      val rep = r.getDouble(6)
+      assert(math.abs(calc - rep) / rep <= 0.02,
+        s"${r.getString(3)}: calc $calc vs reported $rep koz")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for §2.2–2.7 operators on literal frames + smoke on the
+  * sf0.001 corpus (the DuckDB differential at sf0.01 is the main gate;
+  * these pin the semantics that differential can't see, e.g. plans). */
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("entry flagship returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs non-empty on sf0.001") {
+    // j5/u-ops may legitimately be empty at tiny scale; assert no throw
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("oracleSql covers every query except the documented exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("a4_approx_distinct", "t10_simhash", "pdf_extract"),
+      s"unexpected oracle gaps: $noOracle")
+  }
+
+  test("semi/anti joins partition a table against any predicate") {
+    val part = Tables.part(spark, sf)
+    val li = Tables.lineitem(spark, sf).filter($"l_quantity" >= 48)
+    val semi = part.join(li, $"p_partkey" === $"l_partkey", "left_semi").count()
+    val anti = part.join(li, $"p_partkey" === $"l_partkey", "left_anti").count()
+    assert(semi + anti == part.count())
+  }
+
+  test("broadcast join plan actually broadcasts the dim side") {
+    val plan = ops.Relational.j1_broadcast_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("sort-merge join hint pins SMJ for the fact-fact join") {
+    val plan = ops.Relational.j2_sortmerge_join(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (O(k) memory)") {
+    val plan = ops.Relational.o2_topk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("filter is pushed down to the parquet scan") {
+    val plan = ops.Relational.p2_filter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThan(l_quantity,24.0)"),
+      plan.take(3000))
+  }
+
+  test("union-all count additivity") {
+    val a = Seq(1, 2, 3).toDF("x")
+    val b = Seq(4, 5).toDF("x")
+    assert(a.unionByName(b).count() == a.count() + b.count())
+  }
+
+  test("except/intersect partition the left side") {
+    val a = Seq(1, 2, 3, 4).toDF("x")
+    val b = Seq(3, 4, 5).toDF("x")
+    val inter = a.intersect(b).count()
+    val exc = a.except(b).count()
+    assert(inter == 2 && exc == 2 && inter + exc == a.distinct.count())
+  }
+
+  test("as-of join picks the latest click at-or-before each purchase") {
+    // tiny literal fixture: clicks at t=1,5,9; purchases at t=5,7
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:0$m:00")
+    val ev = Seq(
+      (1L, ts(1), 7L, "click", 0.0), (2L, ts(5), 7L, "click", 0.0),
+      (3L, ts(9), 7L, "click", 0.0), (4L, ts(5), 7L, "purchase", 1.0),
+      (5L, ts(7), 7L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_").toString
+    // route through parquet so the query's events() loader sees NANOS-free data
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.Scalars.j8_asof_join(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // purchase 4 at t=5: click 2 (same ts counts); purchase 5 at t=7: click 2
+    assert(got.toSet == Set((4L, 2L), (5L, 2L)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.{Event, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming-only semantics under MemoryStream (SURVEY.md §2.10 X4/X5/X6/
+  * X8): watermark late-drop, within-watermark dedup, stateful funnel,
+  * exactly-once incremental file ingestion. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+  private def ev(id: Long, t: String, user: Long, typ: String) =
+    Event(id, ts(t), user, typ, 1.0)
+
+  test("X4: watermark finalizes windows and drops too-late events") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.tumblingCounts(in.toDF())
+      .writeStream.format("memory").queryName("x4").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "10:05", 1, "click"), ev(2, "10:20", 1, "click"))
+      q.processAllAvailable()
+      // advance event time far past 10:00-11:00 + 10min watermark
+      in.addData(ev(3, "13:00", 1, "click"))
+      q.processAllAvailable()
+      // this event is > 10 min behind the watermark → dropped
+      in.addData(ev(4, "10:30", 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(5, "15:00", 1, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("x4")
+        .selectExpr("cast(window.start as string) s", "n").as[(String, Long)].collect().toMap
+      assert(rows("2024-01-01 10:00:00") == 2, s"late event not dropped: $rows")
+    } finally q.stop()
+  }
+
+  test("X5: duplicate event_ids within the watermark are dropped") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("x5").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "10:00", 1, "click"), ev(1, "10:00", 1, "click"),
+        ev(2, "10:01", 1, "view"))
+      q.processAllAvailable()
+      in.addData(ev(1, "10:02", 1, "click"), ev(3, "10:03", 1, "click"))
+      q.processAllAvailable()
+      val ids = spark.table("x5").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("X6: stateful funnel emits one row per stage advancement") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.funnelStateful(in.toDS())
+      .writeStream.format("memory").queryName("x6").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(ev(1, "10:00", 7, "signup"))
+      q.processAllAvailable()
+      in.addData(ev(2, "10:05", 7, "view"), ev(3, "10:06", 8, "view"))
+      q.processAllAvailable()
+      in.addData(ev(4, "10:10", 7, "purchase"), ev(5, "10:11", 8, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("x6")
+        .select("user_id", "from_stage", "to_stage").as[(Long, Int, Int)].collect().toSet
+      assert(rows == Set((7L, 0, 1), (7L, 1, 2), (7L, 2, 3), (8L, 0, 2)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("X8: AvailableNow file ingestion is exactly-once across restarts") {
+    val base = java.nio.file.Files.createTempDirectory("graft_x8_")
+    val landing = base.resolve("landing"); val chk = base.resolve("chk")
+    val out = base.resolve("out")
+    java.nio.file.Files.createDirectories(landing)
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(landing.resolve(name),
+        String.join("\n", lines: _*).getBytes)
+    drop("a.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T10:00:00.000Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T10:01:00.000Z","user_id":1,"event_type":"view","value":2.0}"""))
+    Streams.fileIngest(spark, landing.toString, chk.toString, out.toString)
+    assert(spark.read.parquet(out.toString).count() == 2)
+    // second tick: only the new file is processed (checkpoint WAL)
+    drop("b.json", Seq(
+      """{"event_id":3,"ts":"2024-01-01T10:02:00.000Z","user_id":2,"event_type":"click","value":3.0}"""))
+    Streams.fileIngest(spark, landing.toString, chk.toString, out.toString)
+    val ids = spark.read.parquet(out.toString)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Text/vector invariants: cosine symmetry + self-similarity, planted
+  * near-dup recall for MinHash/SimHash/Jaccard, fingerprint determinism. */
+class TextVectorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+    val df = Seq((a, b)).toDF("a", "b")
+    df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (s0, x) => s0 + x)
+        .divide(sqrt(aggregate(zip_with($"a", $"a", (x, y) => x * y), lit(0.0), (s0, x) => s0 + x)) *
+          sqrt(aggregate(zip_with($"b", $"b", (x, y) => x * y), lit(0.0), (s0, x) => s0 + x))))
+      .head.getDouble(0)
+  }
+
+  test("cosine: self-similarity = 1, symmetry, scale invariance") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val v = Seq.fill(16)(rnd.nextDouble() - 0.5)
+      val w = Seq.fill(16)(rnd.nextDouble() - 0.5)
+      assert(math.abs(cos(v, v) - 1.0) < 1e-9)
+      assert(math.abs(cos(v, w) - cos(w, v)) < 1e-12)
+      assert(math.abs(cos(v, w) - cos(v.map(_ * 3.0), w)) < 1e-9)
+    }
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val nDocs = Tables.documents(spark, sf).count()
+    // every doc's perturbed twin (id+1e6) must be recalled
+    val planted = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    val recalled = planted.intersect(pairs)
+    assert(recalled.size >= (nDocs * 0.95).toInt,
+      s"recall ${recalled.size}/$nDocs too low")
+  }
+
+  test("simhash: planted near-dups sit at small hamming distance") {
+    val got = ops.TextVector.t10_simhash(spark, sf)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 <= 3))
+    // a healthy fraction of planted twins should appear — simhash is a
+    // candidate generator, not exact recall (dropped token can flip >3
+    // bits, and the 16-bit bucket probe misses some)
+    val twins = got.count { case (a, b, _) => b == a + 1000000L }
+    assert(twins > Tables.documents(spark, sf).count() * 0.4)
+  }
+
+  test("jaccard of planted near-dups is high, of self is 1") {
+    val j = ops.TextVector.t12_jaccard(spark, sf)
+      .select($"jaccard").as[Double].collect()
+    assert(j.nonEmpty && j.forall(x => x > 0.5 && x <= 1.0))
+  }
+
+  test("rolling-hash fingerprint is deterministic across runs") {
+    val a = ops.TextVector.t16_fingerprint(spark, sf).collect().toSeq
+    val b = ops.TextVector.t16_fingerprint(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("top-k NN: k rows per query, self excluded, sims descending") {
+    val rows = ops.TextVector.t6_topk_nn(spark, sf)
+      .select($"q_id", $"rnk", $"c_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.forall(_._2.length == 5))
+    assert(rows.forall { case (q, _, c, _) => q != c })
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_._2).map(_._4)
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
