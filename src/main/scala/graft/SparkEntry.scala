@@ -20,6 +20,7 @@ object SparkEntry {
     ops.Streaming.queries,
     sources.Sources.queries,
     ops.Extraction.queries,
+    ops.Multimodal.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -30,6 +31,7 @@ object SparkEntry {
     ops.Streaming.oracle,
     sources.Sources.oracle,
     ops.Extraction.oracle,
+    ops.Multimodal.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns (north-star brief): image/audio/video as opaque
+  * `binary` columns with typed metadata, decode / feature-extract /
+  * resize / frame-sample stages.
+  *
+  * The container ships no image/audio codecs, so the DECODE STEP IS A
+  * STUB — a deterministic fake that parses a synthetic header we stamp
+  * onto each blob (clearly marked below; swap `decodeHeader` for a real
+  * codec UDF where libraries exist). Everything around the stub — binary
+  * schema, per-kind partitioning, UDF signatures over byte arrays, batch
+  * shape, and the aggregation plumbing — is real and oracle-checked.
+  *
+  * Scale notes: media rows are processed row-local (no shuffle until the
+  * final small aggregate); a real pipeline would set
+  * spark.sql.files.maxPartitionBytes so one task holds O(100) blobs, and
+  * partition output by kind/date exactly like S8.
+  */
+object Multimodal {
+
+  /** Deterministic synthetic media table derived from `documents`:
+    * a 4-byte magic + 2×2-byte fake dimensions header, then the text
+    * bytes as payload. kind cycles image/audio/video. */
+  private def media(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("n_chars"))
+
+  // ---- STUB: fake decode ---------------------------------------------------
+  // A real implementation would parse JPEG/WAV/MP4 headers (or run a
+  // decoder) inside this UDF. The Spark-side contract is identical:
+  // binary in, typed struct out, executed row-local inside the executor.
+  private val decodeHeader = udf((payload: Array[Byte], kind: String) => {
+    val n = payload.length
+    kind match {                       // deterministic fake "dimensions"
+      case "image" => (n % 640 + 16, n % 480 + 16, 0.0)  // (w, h, –)
+      case "audio" => (1, 0, n.toDouble / 16000.0)       // (channels, –, seconds)
+      case _       => (n % 1920 + 16, n % 1080 + 16, n.toDouble / 30.0)
+    }
+  })
+  // ---- end STUB ------------------------------------------------------------
+
+  /** Byte histogram (16 buckets) — the feature-extraction stage; a real
+    * pipeline would emit embeddings here. Pure function of the bytes. */
+  private val byteHistogram = udf((payload: Array[Byte]) => {
+    val h = new Array[Long](16)
+    payload.foreach(b => h((b & 0xff) / 16) += 1)
+    h.toSeq
+  })
+
+  /** Frame sampling — every `stride`-th byte (stands in for every Nth
+    * video frame); returns the sampled "frame" checksum. */
+  private val frameSample = udf((payload: Array[Byte], stride: Int) => {
+    var i = 0; var sum = 0L; var n = 0
+    while (i < payload.length) { sum += (payload(i) & 0xff); n += 1; i += stride }
+    (n, sum)
+  })
+
+  /** MM1: media metadata — binary sizes + stub-decoded dimensions per
+    * kind. Size/count columns are oracle-checked; the decode output is
+    * deterministic but engine-local (stub), so it stays out of the
+    * oracle projection. */
+  def mm1_media_meta(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("meta", decodeHeader(col("payload"), col("kind")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(octet_length(col("payload"))).as("total_bytes"),
+        min(octet_length(col("payload"))).as("min_bytes"),
+        max(octet_length(col("payload"))).as("max_bytes"))
+      .orderBy("kind")
+
+  /** MM2: feature extraction — corpus-wide 16-bucket byte histogram
+    * (UDF over binary), fully oracle-checked against DuckDB computing
+    * the same histogram from character codes. */
+  def mm2_byte_histogram(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .select(posexplode(byteHistogram(col("payload"))).as(Seq("bucket", "n")))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_bytes"))
+      .filter(col("n_bytes") > 0)
+      .orderBy("bucket")
+
+  /** MM3: frame sampling — every 10th byte per media row; per-kind
+    * totals of sampled count + checksum. */
+  def mm3_frame_sample(s: SparkSession, d: String): DataFrame =
+    media(s, d)
+      .withColumn("sampled", frameSample(col("payload"), lit(10)))
+      .groupBy(col("kind"))
+      .agg(sum(col("sampled._1")).as("n_frames"),
+        sum(col("sampled._2")).as("checksum"))
+      .orderBy("kind")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_meta" -> (mm1_media_meta _),
+    "mm2_byte_histogram" -> (mm2_byte_histogram _),
+    "mm3_frame_sample" -> (mm3_frame_sample _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm1_media_meta" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         count(*) AS n_media,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(min(octet_length(encode(text))) AS INTEGER) AS min_bytes,
+         CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+         FROM documents GROUP BY 1 ORDER BY kind""",
+    "mm2_byte_histogram" ->
+      """SELECT ascii(c) // 16 AS bucket, count(*) AS n_bytes
+         FROM (SELECT unnest(string_split_regex(text, '')) AS c FROM documents)
+         WHERE c != '' GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""",
+    "mm3_frame_sample" ->
+      """WITH s AS (SELECT
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           list_transform(range(1, length(text)+1, 10), i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bytes
+         FROM documents)
+         SELECT kind, CAST(sum(len(bytes)) AS BIGINT) AS n_frames,
+           CAST(sum(list_sum(bytes)) AS BIGINT) AS checksum
+         FROM s GROUP BY kind ORDER BY kind""",
+  )
+}
