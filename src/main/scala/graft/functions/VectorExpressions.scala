@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Codegen'd dot product over two ARRAY<DOUBLE> columns (SURVEY.md §4.3's
+  * optional perf pass for T5/T6): a tight primitive double loop in
+  * generated code instead of a chain of higher-order-function lambdas
+  * (zip_with → aggregate) that allocates an intermediate array per row.
+  * Left-to-right accumulation order matches the HOF fold exactly, so
+  * results are bit-identical and the DuckDB oracles keep hash-matching.
+  *
+  * Returns null for null/length-mismatched inputs (same as zip_with's
+  * null propagation).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $s += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.Column
+
+  /** Column form: dot_product(a, b) over ARRAY<DOUBLE> columns. */
+  def dot_product(a: Column, b: Column): Column = {
+    val u = org.apache.spark.sql.GraftShims
+    u.column(DotProduct(u.expression(a), u.expression(b)))
+  }
+
+  /** Idempotently register `graft_dot` in the session's function registry
+    * so SQL-text queries can also call it. */
+  def register(s: SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+}

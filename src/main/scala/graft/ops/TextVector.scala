@@ -89,8 +89,11 @@ object TextVector {
   }
 
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+  // codegen'd Catalyst expression (graft.functions.DotProduct): identical
+  // left-to-right accumulation as the zip_with/aggregate HOF fold it
+  // replaced, so oracle hashes are unchanged — just no per-row array alloc
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   /** T5: pairwise cosine similarity on 64-dim embeddings — the 20 query
     * vectors are broadcast against the streamed corpus side: no shuffle

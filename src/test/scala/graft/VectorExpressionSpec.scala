@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The custom Catalyst DotProduct expression: interpreted vs codegen
+  * parity, HOF-fold equivalence (bit-exact), null propagation. */
+class VectorExpressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val hofDot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (s0, x) => s0 + x)
+
+  test("DotProduct equals the HOF fold bit-exactly on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextDouble() - 0.5),
+      Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("cg"),
+      hofDot("a", "b").as("hof")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
+  test("DotProduct runs inside whole-stage codegen") {
+    // range base (a codegen'd leaf — a local Seq relation is not)
+    val df = spark.range(4)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select(VectorFunctions.dot_product(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(8.0, 11.0, 14.0, 17.0))
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_dot"), plan)
+  }
+
+  test("DotProduct propagates nulls") {
+    val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("graft_dot is callable from SQL text after registration") {
+    VectorFunctions.register(spark)
+    val d = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(d == 11.0)
+  }
+}
