@@ -17,6 +17,11 @@ object Sources {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** S1: vectorized parquet scan — the base access path every query uses,
+    * exposed explicitly: full-fidelity passthrough of a dimension table. */
+  def s1_parquet_scan(s: SparkSession, d: String): DataFrame =
+    nation(s, d).orderBy("n_nationkey")
+
   /** S2: binary-file scan — ingest the reference's PDF corpus directory
     * as (path, length, content) rows; content fingerprinted with md5.
     * Oracle: DuckDB read_blob over the same glob. */
@@ -76,7 +81,10 @@ object Sources {
     * (the `lang=es` filter reads exactly one directory). */
   def s8_partitioned_sink(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("graft_s8_")
-    documents(s, d).write.mode("overwrite").partitionBy("lang").parquet(dir)
+    // cluster rows by the partition column first: one file per partition
+    // directory instead of (shuffle.partitions × partitions) small files
+    documents(s, d).repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
     val back = s.read.parquet(dir)
     back.filter(col("lang") === "es")
       .groupBy(col("lang"), col("source"))
@@ -103,6 +111,7 @@ object Sources {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
     "s3_text_roundtrip" -> (s3_text_roundtrip _),
     "s4_json_roundtrip" -> (s4_json_roundtrip _),
@@ -112,6 +121,8 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s1_parquet_scan" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "s2_binary_scan" ->
       """SELECT regexp_extract(filename, '([^/]+)$', 1) AS filename,
          size AS length

@@ -59,6 +59,20 @@ class RelationalSpec extends SparkTestBase {
       plan.take(3000))
   }
 
+  test("O4: sortWithinPartitions sorts locally without a global shuffle") {
+    val df = Tables.lineitem(spark, sf).repartition(4, $"l_suppkey")
+      .sortWithinPartitions($"l_shipdate")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort [l_shipdate") && plan.contains("false, 0"),
+      plan.take(1500)) // global=false marks the partition-local sort
+    val ok = df.mapPartitions { it =>
+      // parquet NTZ timestamps surface as LocalDateTime
+      val ts = it.map(_.getAs[java.time.LocalDateTime]("l_shipdate")).toSeq
+      Iterator.single(ts.zip(ts.drop(1)).forall { case (a, b) => !a.isAfter(b) })
+    }(org.apache.spark.sql.Encoders.scalaBoolean).collect()
+    assert(ok.forall(identity))
+  }
+
   test("union-all count additivity") {
     val a = Seq(1, 2, 3).toDF("x")
     val b = Seq(4, 5).toDF("x")
