@@ -134,6 +134,41 @@ object Extraction {
       .orderBy("kind", "category")
   }
 
+  /** §1.2 nested target schema, typed (Dataset[MiningReport]): one row
+    * per source document with resources/reserves arrays and nullable
+    * economics. */
+  case class ResourceRow(category: String, tonnes: Double, grade: Double,
+    grade_unit: String, metal: String, contained_metal: Double, contained_unit: String)
+  case class Economics(capex_usd: Option[Double], opex_usd: Option[Double],
+    npv_usd: Option[Double], irr_pct: Option[Double])
+  case class MiningReport(doc_hash: String, source_system: String,
+    resources: Seq[ResourceRow], reserves: Seq[ResourceRow], economics: Economics)
+
+  /** Assemble the flat pdf_extract rows into the §1.2 nested document
+    * model (collect_list(struct(...)) per doc — the A8 shape). */
+  def assembleReports(s: SparkSession, d: String): org.apache.spark.sql.Dataset[MiningReport] = {
+    import s.implicits._
+    val flat = pdf_extract(s, d)
+    val rowStruct = struct(
+      col("category"),
+      col("tonnes"),
+      col("grade_gpt").as("grade"),
+      lit("g/t").as("grade_unit"),
+      lit("Au").as("metal"),
+      (col("contained_koz") * 1000).as("contained_metal"),
+      lit("oz").as("contained_unit"))
+    flat.groupBy(col("doc_hash"), col("source_system"))
+      .agg(
+        sort_array(collect_list(when(col("kind") === "resource", rowStruct))).as("resources"),
+        sort_array(collect_list(when(col("kind") === "reserve", rowStruct))).as("reserves"))
+      .withColumn("economics", struct(
+        lit(null).cast("double").as("capex_usd"),
+        lit(null).cast("double").as("opex_usd"),
+        lit(null).cast("double").as("npv_usd"),
+        lit(null).cast("double").as("irr_pct")))
+      .as[MiningReport]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_mining_parse" -> (m1_mining_parse _),
     "m2_mining_rollup" -> (m2_mining_rollup _),

@@ -137,6 +137,40 @@ object TextVector {
       .orderBy("q_id", "rnk")
   }
 
+  /** T6b: IVF-style approximate nearest neighbors — the scale path next
+    * to T6's exact baseline. Vectors are assigned to their best of 8
+    * deterministic centroids (the first 8 corpus vectors — a stand-in
+    * for k-means, which would add nondeterminism); queries probe ONLY
+    * their own centroid's inverted list. At 100 TB the probe side is a
+    * partition-pruned fraction of the corpus instead of all of it; the
+    * price is recall, measured against t6 in TextVectorSpec. */
+  def t6_topk_nn_ivf(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // assign: argmax cosine over the 8 broadcast centroids
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", dot(col("v"), col("cv")) /
+        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"))
+    val c = assigned.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cent_id"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    q.join(c, Seq("cent_id"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", dot(col("qv"), col("cv2")) /
+        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv2"), col("cv2")))))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cos_sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** T7: language/source profiling + length-bounds quality gate. */
   def t7_profile(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -166,20 +200,26 @@ object TextVector {
   /** T10: SimHash — 32-bit signature from per-token md5-derived bits;
     * near-dup candidates = pairs at hamming distance ≤ 3. No DuckDB
     * oracle (hex→int parsing); covered by ScalaTest invariants. */
+  /** Compiled 32-bit SimHash over a token array. A UDF rather than HOF
+    * expressions on purpose: Spark's higher-order functions run
+    * interpreted (no codegen), and the 32-lane bit-vote inner loop is
+    * ~10× faster as plain JVM code. MurmurHash3 is a pure deterministic
+    * function, so results are stable across runs/executors. */
+  private val simhash32 = udf((ts: Seq[String]) => {
+    val votes = new Array[Int](32)
+    ts.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+      var b = 0
+      while (b < 32) { votes(b) += 2 * ((h >> b) & 1) - 1; b += 1 }
+    }
+    var sig = 0L; var b = 0
+    while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  })
+
   def t10_simhash(s: SparkSession, d: String): DataFrame = {
     val base = withNearDups(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      // per-token hash: xxhash64 is codegen'd (no oracle constrains t10,
-      // so no need for the much slower md5-hex route); low 32 bits vote
-      .withColumn("hs", expr("transform(t, x -> xxhash64(x) & 4294967295L)"))
-      // bit-vote: v[b] += (bit set ? 1 : -1); sig bit b = v[b] > 0
-      .withColumn("votes", expr(
-        """aggregate(hs, array_repeat(0L, 32),
-           (acc, h) -> zip_with(acc, sequence(0, 31),
-             (a, b) -> a + (2 * ((h >> cast(b as int)) & 1) - 1)))"""))
-      .withColumn("sig", expr(
-        "aggregate(zip_with(votes, sequence(0, 31), (v, b) -> IF(v > 0, shiftleft(1L, cast(b as int)), 0L)), 0L, (acc, x) -> acc + x)"))
-      .select(col("doc_id"), col("sig"))
+      .select(col("doc_id"), simhash32(toks(col("text"))).as("sig"))
     val a = base.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = base.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))
     // bucket by the high 16 bits to avoid all-pairs (near-dups share them
@@ -324,6 +364,7 @@ object TextVector {
     "t4_minhash_lsh" -> (t4_minhash_lsh _),
     "t5_cosine" -> (t5_cosine _),
     "t6_topk_nn" -> (t6_topk_nn _),
+    "t6_topk_nn_ivf" -> (t6_topk_nn_ivf _),
     "t7_profile" -> (t7_profile _),
     "t8_tfidf" -> (t8_tfidf _),
     "t10_simhash" -> (t10_simhash _),
@@ -401,6 +442,27 @@ object TextVector {
            FROM sims)
          SELECT q_id, rnk, c_id, round(sim, 4) AS cos_sim
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "t6_topk_nn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         asg AS (
+           SELECT vec_id, v, cent_id FROM (
+             SELECT e.vec_id, e.v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_inner_product(e.v, c.cv) /
+                   (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(c.cv, c.cv))) DESC,
+                 c.cent_id ASC) AS rn
+             FROM e CROSS JOIN cents c) WHERE rn = 1),
+         sims AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_inner_product(q.v, c.v) /
+               (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+           FROM asg q JOIN asg c ON q.cent_id = c.cent_id AND q.vec_id != c.vec_id
+           WHERE q.vec_id < 10),
+         r AS (SELECT q_id, c_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk FROM sims)
+         SELECT q_id, rnk, c_id, round(sim, 4) AS cos_sim
+         FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "t7_profile" ->
       """SELECT lang, source, count(*) AS n_docs,
          round(avg(n_chars), 4) AS avg_chars,

@@ -62,6 +62,21 @@ class TextVectorSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("IVF ANN: well-formed top-k and measurable recall vs exact") {
+    val exact = ops.TextVector.t6_topk_nn(spark, sf)
+      .select($"q_id", $"c_id").as[(Long, Long)].collect().toSet
+    val ivf = ops.TextVector.t6_topk_nn_ivf(spark, sf)
+      .select($"q_id", $"rnk", $"c_id").as[(Long, Int, Long)].collect()
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.nonEmpty && byQ.forall(_._2.length <= 5))
+    val recall = ivf.count(r => exact.contains((r._1, r._3))).toDouble /
+      math.max(exact.size, 1)
+    info(f"IVF recall@5 vs exact: $recall%.2f")
+    assert(recall > 0.0) // random-uniform corpus: buckets are weak, but
+    // the planted structure guarantees some overlap; exact value is
+    // informational (the tradeoff IS the operator)
+  }
+
   test("top-k NN: k rows per query, self excluded, sims descending") {
     val rows = ops.TextVector.t6_topk_nn(spark, sf)
       .select($"q_id", $"rnk", $"c_id", $"cos_sim")
