@@ -10,9 +10,19 @@ class ScaleDesignSpec extends SparkTestBase {
 
   test("bucketed tables join without a shuffle exchange") {
     // default warehouse (spark-warehouse/ in cwd, gitignored) — the
-    // warehouse dir is a static conf and can't move per-test
+    // warehouse dir is a static conf and can't move per-test; a fresh
+    // in-memory catalog doesn't know about dirs left by a previous JVM,
+    // so remove the physical locations too
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val p = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Tables.orders(spark, sf)
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("b_orders")
