@@ -61,6 +61,26 @@ object TextVector {
       regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
   }
 
+  /** 4 LSH band keys from a shingle set: md5 per shingle (hex, lowercase
+    * — identical to SQL md5()), lane k = min over shingles of the 12-hex
+    * slice at offset 3k of the doubled digest, band b = lane(2b)+lane(2b+1).
+    * Lexicographic String.min on hex == SQL min: same band keys as the
+    * oracle's pure-SQL formulation, at compiled-loop speed. */
+  private val minhashBandKeys = udf((sh: Seq[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ms = sh.map { s =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      md.reset()
+      val hex = new StringBuilder(32)
+      d.foreach(b => hex.append("%02x".format(b & 0xff)))
+      hex.toString
+    }
+    val lanes = (0 until 8).map { k =>
+      ms.iterator.map(m => (m + m).substring(k * 3, k * 3 + 12)).min
+    }
+    (0 until 4).map(b => lanes(2 * b) + lanes(2 * b + 1))
+  })
+
   /** T4: MinHash + LSH near-dup detection. 8 deterministic min-hashes
     * (md5 with literal seed suffixes) → 4 bands of 2 → band-bucket
     * self-join → Jaccard verification ≥ 0.5 on the candidates only.
@@ -75,15 +95,13 @@ object TextVector {
     // one md5 per shingle; the 8 hash lanes are 12-hex slices of the
     // doubled digest (lanes are correlated, which weakens the classic
     // independence guarantee slightly, but candidate recall on near-dups
-    // is driven by shared shingles and stays ≥95% — and it is 8× fewer
-    // digest computations, the dominant cost at corpus scale)
-    val sig = base
-      .withColumn("ms", expr("transform(sh, s -> md5(s))"))
-      .withColumn("mh", expr(
-        "transform(sequence(0, 7), k -> array_min(transform(ms, m -> substring(concat(m, m), k*3+1, 12))))"))
-    val bands = sig.select(col("doc_id"), col("sh"), posexplode(expr(
-      "transform(sequence(0, 3), b -> concat(element_at(mh, 2*b+1), element_at(mh, 2*b+2)))"))
-      .as(Seq("band", "key")))
+    // is driven by shared shingles and stays ≥95%). Computed in a
+    // compiled UDF: Spark's higher-order functions run interpreted, and
+    // this inner loop dominated the whole bench. Output is byte-identical
+    // to the md5/substr/min SQL the DuckDB oracle runs.
+    val bands = base
+      .select(col("doc_id"), col("sh"), posexplode(minhashBandKeys(col("sh")))
+        .as(Seq("band", "key")))
     val a = bands.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = bands.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
