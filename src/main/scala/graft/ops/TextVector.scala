@@ -66,14 +66,20 @@ object TextVector {
     * slice at offset 3k of the doubled digest, band b = lane(2b)+lane(2b+1).
     * Lexicographic String.min on hex == SQL min: same band keys as the
     * oracle's pure-SQL formulation, at compiled-loop speed. */
+  private val hexChars = "0123456789abcdef".toCharArray
   private val minhashBandKeys = udf((sh: Seq[String]) => {
     val md = java.security.MessageDigest.getInstance("MD5")
     val ms = sh.map { s =>
       val d = md.digest(s.getBytes("UTF-8"))
       md.reset()
-      val hex = new StringBuilder(32)
-      d.foreach(b => hex.append("%02x".format(b & 0xff)))
-      hex.toString
+      val hex = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexChars((d(i) >> 4) & 0xf)
+        hex(2 * i + 1) = hexChars(d(i) & 0xf)
+        i += 1
+      }
+      new String(hex)
     }
     val lanes = (0 until 8).map { k =>
       ms.iterator.map(m => (m + m).substring(k * 3, k * 3 + 12)).min
