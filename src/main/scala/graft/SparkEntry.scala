@@ -21,6 +21,7 @@ object SparkEntry {
     sources.Sources.queries,
     ops.Extraction.queries,
     ops.Multimodal.queries,
+    ops.Composite.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -32,6 +33,7 @@ object SparkEntry {
     sources.Sources.oracle,
     ops.Extraction.oracle,
     ops.Multimodal.oracle,
+    ops.Composite.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,104 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite analytical queries (TPC-H Q3/Q5/Q10 shapes over the harness
+  * star schema) — multi-join pipelines that exercise the relational
+  * operators together the way a real workload does: selective dim
+  * filters, broadcast + shuffle joins mixed, aggregation on top, top-k
+  * output. These are the queries whose plans must stay sane at 100 TB:
+  * dims broadcast, facts shuffle once on their join key, aggregates
+  * combine map-side.
+  */
+object Composite {
+
+  /** Q3 shape — shipping priority: revenue of urgent un-shipped orders. */
+  def q3_shipping_priority(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_shipdate") > lit("1996-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(20)
+
+  /** Q5 shape — local-supplier volume per nation: 6-table join where
+    * region/nation/supplier broadcast and the fact chain shuffles on its
+    * natural keys. */
+  def q5_local_supplier(s: SparkSession, d: String): DataFrame = {
+    val n = broadcast(nation(s, d))
+    val r = broadcast(region(s, d).filter(col("r_name").isin("ASIA", "EUROPE")))
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+  }
+
+  /** Q10 shape — returned-items report: customers ranked by lost revenue
+    * from returned lineitems in a date window. */
+  def q10_returned_items(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderdate").between(lit("1996-01-01"), lit("1997-01-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("lost_revenue"),
+        count(lit(1)).as("n_returned"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (q3_shipping_priority _),
+    "q5_local_supplier" -> (q5_local_supplier _),
+    "q10_returned_items" -> (q10_returned_items _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1996-01-01'
+         GROUP BY l_orderkey, 2
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 20""",
+    "q5_local_supplier" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_lines
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name IN ('ASIA', 'EUROPE')
+         GROUP BY r_name, n_name
+         ORDER BY r_name, revenue DESC, n_name""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+         count(*) AS n_returned
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""",
+  )
+}
