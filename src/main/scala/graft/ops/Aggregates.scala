@@ -81,6 +81,20 @@ object Aggregates {
       .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
 
+  /** A6b: GROUPING SETS with grouping_id — the explicit lattice form
+    * (rollup/cube are sugar over this) plus the disambiguation bit that
+    * separates "null because subtotal" from "null in the data". */
+  def a6_grouping_sets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+         CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  }
+
   /** A7: custom UDAF — quantity-weighted mean discount per return flag
     * (same arithmetic as the PDF's tonnage-weighted grades). */
   def a7_weighted_mean(s: SparkSession, d: String): DataFrame =
@@ -150,6 +164,7 @@ object Aggregates {
     "a4_approx_distinct" -> (a4_approx_distinct _),
     "a5_rollup" -> (a5_rollup _),
     "a6_cube" -> (a6_cube _),
+    "a6_grouping_sets" -> (a6_grouping_sets _),
     "a7_weighted_mean" -> (a7_weighted_mean _),
     "a8_collect_list" -> (a8_collect_list _),
     "a9_pivot" -> (a9_pivot _),
@@ -193,6 +208,13 @@ object Aggregates {
       """SELECT lang, source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
          FROM documents GROUP BY CUBE (lang, source)
          ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""",
+    "a6_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "a7_weighted_mean" ->
       """SELECT l_returnflag,
          round(sum(l_discount * l_quantity) / sum(l_quantity), 6) AS wavg_disc,

@@ -163,6 +163,23 @@ object Scalars {
       .orderBy("doc_id")
   }
 
+  /** F10b: generators — explode_outer (null-preserving unnest), inline
+    * (struct-array to columns), stack (columns to rows): the UDTF surface
+    * without a custom Generator (SURVEY §2.11 E3). */
+  def f10_generators(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .filter(col("doc_id") <= 100)
+      // empty array for every 10th doc: explode_outer must keep the row
+      .withColumn("tags", when(col("doc_id") % 10 === 0, array().cast("array<string>"))
+        .otherwise(array(col("lang"), col("source"))))
+    base.select(col("doc_id"), explode_outer(col("tags")).as("tag"))
+      .unionByName(
+        base.select(col("doc_id"),
+          expr("stack(2, 'lang', lang, 'source', source)").as(Seq("k", "v")))
+          .select(col("doc_id"), concat_ws("=", col("k"), col("v")).as("tag")))
+      .orderBy(col("doc_id").asc, col("tag").asc_nulls_first)
+  }
+
   /** F11: map functions — build a map, explode to key/value rows. */
   def f11_maps(s: SparkSession, d: String): DataFrame =
     events(s, d)
@@ -239,6 +256,7 @@ object Scalars {
     "f8_math" -> (f8_math _),
     "f9_case" -> (f9_case _),
     "f10_arrays" -> (f10_arrays _),
+    "f10_generators" -> (f10_generators _),
     "f11_maps" -> (f11_maps _),
     "f12_json" -> (f12_json _),
     "f13_hash" -> (f13_hash _),
@@ -330,6 +348,22 @@ object Scalars {
            CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS total_chars,
            list_filter(toks, x -> length(x) > 4) AS long_toks
          FROM t ORDER BY doc_id""",
+    "f10_generators" ->
+      """WITH base AS (
+           SELECT doc_id, lang, source,
+             CASE WHEN doc_id % 10 = 0 THEN [] ELSE [lang, source] END AS tags
+           FROM documents WHERE doc_id <= 100),
+         ex AS (
+           SELECT doc_id, CASE WHEN len(tags) = 0 THEN NULL ELSE unnest(tags) END AS tag
+           FROM base WHERE len(tags) > 0
+           UNION ALL
+           SELECT doc_id, NULL AS tag FROM base WHERE len(tags) = 0),
+         st AS (
+           SELECT doc_id, 'lang=' || lang AS tag FROM base
+           UNION ALL
+           SELECT doc_id, 'source=' || source AS tag FROM base)
+         SELECT doc_id, tag FROM (SELECT * FROM ex UNION ALL SELECT * FROM st)
+         ORDER BY doc_id ASC, tag ASC NULLS FIRST""",
     "f11_maps" ->
       """SELECT event_id, k, v FROM (
            SELECT event_id, 'type' AS k, event_type AS v FROM events WHERE event_id <= 100

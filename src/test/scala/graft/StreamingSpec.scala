@@ -37,6 +37,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("X2: sliding windows emit one row per overlapping window") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.slidingCounts(in.toDF())
+      .writeStream.format("memory").queryName("x2").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(ev(1, "10:20", 1, "click"))
+      q.processAllAvailable()
+      in.addData(ev(2, "14:00", 1, "click")) // advance watermark, finalize
+      q.processAllAvailable()
+      in.addData(ev(3, "18:00", 1, "click"))
+      q.processAllAvailable()
+      val starts = spark.table("x2")
+        .selectExpr("cast(window.start as string) s", "n").as[(String, Long)]
+        .collect().filter(_._1.startsWith("2024-01-01 09")) ++
+        spark.table("x2").selectExpr("cast(window.start as string) s", "n")
+          .as[(String, Long)].collect().filter(_._1.startsWith("2024-01-01 10"))
+      // event at 10:20 belongs to windows starting 09:30, 09:45, 10:00, 10:15
+      assert(starts.map(_._1).sorted.toSeq == Seq(
+        "2024-01-01 09:30:00", "2024-01-01 09:45:00",
+        "2024-01-01 10:00:00", "2024-01-01 10:15:00"), starts.mkString(","))
+      assert(starts.forall(_._2 == 1))
+    } finally q.stop()
+  }
+
   test("X5: duplicate event_ids within the watermark are dropped") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
