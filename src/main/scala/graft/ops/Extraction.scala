@@ -134,6 +134,60 @@ object Extraction {
       .orderBy("kind", "category")
   }
 
+  /** Whole-document text, whitespace-flattened, one row per PDF. */
+  private def pdfFullText(s: SparkSession): DataFrame = {
+    val pagesUdf = udf((b: Array[Byte]) => PdfText.pages(b))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load("/root/reference/data")
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        regexp_replace(concat_ws(" ", pagesUdf(col("content"))), "\\s+", " ").as("txt"))
+  }
+
+  /** T9b: project-metadata extraction (TEST:32-36 category 1) — name,
+    * region, country from the running header, company from the sedar
+    * filename, report date parsed from "Effective <prose date>", page
+    * count from the printed "Page N of M" footers. */
+  def pdf_project_meta(s: SparkSession, d: String): DataFrame = {
+    val headerRe = "Technical Report for the (.+?) Operations, ([A-Za-z ]+?), ([A-Za-z ]+?) Effective"
+    pdfFullText(s)
+      .select(
+        regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1).as("doc_hash"),
+        concat(regexp_extract(col("txt"), headerRe, 1), lit(" Operations")).as("project_name"),
+        translate(regexp_extract(col("filename"), "^[a-z]+__\\d+_(.+?)__", 1), "_", " ").as("company"),
+        regexp_extract(col("txt"), headerRe, 3).as("country"),
+        regexp_extract(col("txt"), headerRe, 2).as("region"),
+        try_to_date(regexp_extract(col("txt"), "Effective ([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1),
+          "MMMM d, yyyy").as("report_date"),
+        regexp_extract(col("txt"), "Page \\d+ of (\\d+)", 1).cast("int").as("page_count"))
+      .orderBy("doc_hash")
+  }
+
+  /** T9c: economics extraction (TEST:50-54 category 4) — the five OPEX
+    * actuals the report states in prose (PDF p.11-12 §1.11 / p.51-52
+    * Tables 21-1..21-3), plus NPV/IRR which the report does NOT contain
+    * (p.53 §22 waives economic analysis) and therefore surface as the
+    * spec-mandated nulls (TEST:30). */
+  def pdf_economics(s: SparkSession, d: String): DataFrame = {
+    def money(pat: String) = // nullif guards the no-match '' (ANSI cast)
+      nullif(regexp_replace(regexp_extract(col("txt"), pat, 1), ",", ""), lit(""))
+        .cast("double")
+    pdfFullText(s)
+      .select(
+        regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1).as("doc_hash"),
+        money("US\\$(\\d[\\d,]*) per tonne for owner mining").as("opex_mining_owner"),
+        money("US\\$(\\d[\\d,]*) per ounce of gold for contractor").as("opex_mining_contractor"),
+        money("US\\$(\\d[\\d,]*) per ounce of gold for artisanal").as("opex_mining_artisanal"),
+        money("averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_processing"),
+        money("administration costs averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_ga"),
+        // absent in this report → regex yields '' → null (mandated)
+        money("NPV[^0-9]{0,20}US\\$(\\d[\\d,]*)").as("npv_usd"),
+        money("IRR[^0-9]{0,20}(\\d[\\d,.]*) ?%").as("irr_pct"))
+      .withColumn("units", lit("owner/processing/ga in USD/t; contractor/artisanal in USD/oz"))
+      .orderBy("doc_hash")
+  }
+
   /** §1.2 nested target schema, typed (Dataset[MiningReport]): one row
     * per source document with resources/reserves arrays and nullable
     * economics. */
@@ -174,6 +228,8 @@ object Extraction {
     "m2_mining_rollup" -> (m2_mining_rollup _),
     "m3_contained_crosscheck" -> (m3_contained_crosscheck _),
     "pdf_extract" -> (pdf_extract _),
+    "pdf_project_meta" -> (pdf_project_meta _),
+    "pdf_economics" -> (pdf_economics _),
   )
 
   val oracle: Map[String, String] = Map(

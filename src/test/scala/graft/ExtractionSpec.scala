@@ -52,6 +52,28 @@ class ExtractionSpec extends SparkTestBase {
     assert(r.getString(r.fieldIndex("source_system")) == "sedar")
   }
 
+  test("project metadata extraction matches the golden fixture") {
+    val r = ops.Extraction.pdf_project_meta(spark, sf).head
+    assert(r.getAs[String]("project_name") == "Segovia Operations")
+    assert(r.getAs[String]("company") == "Aris Mining Corporation")
+    assert(r.getAs[String]("country") == "Colombia")
+    assert(r.getAs[String]("region") == "Antioquia")
+    assert(r.getAs[java.sql.Date]("report_date").toString == "2023-09-30")
+    assert(r.getAs[Int]("page_count") == 61)
+    assert(r.getAs[String]("doc_hash") == "878C2FBC")
+  }
+
+  test("economics extraction: five OPEX actuals, NPV/IRR mandated-null") {
+    val r = ops.Extraction.pdf_economics(spark, sf).head
+    assert(r.getAs[Double]("opex_mining_owner") == 143.0)
+    assert(r.getAs[Double]("opex_mining_contractor") == 823.0)
+    assert(r.getAs[Double]("opex_mining_artisanal") == 1291.0)
+    assert(r.getAs[Double]("opex_processing") == 35.0)
+    assert(r.getAs[Double]("opex_ga") == 26.0)
+    assert(r.isNullAt(r.fieldIndex("npv_usd")))
+    assert(r.isNullAt(r.fieldIndex("irr_pct")))
+  }
+
   test("rollup invariants hold on the extracted rows (M+I = M + I)") {
     val rows = ops.Extraction.pdf_extract(spark, sf).collect()
       .map(r => r.getString(3) -> (r.getDouble(4), r.getDouble(6)))

@@ -22,7 +22,8 @@ class RelationalSpec extends SparkTestBase {
 
   test("oracleSql covers every query except the documented exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("a4_approx_distinct", "t10_simhash", "pdf_extract"),
+    assert(noOracle == Set("a4_approx_distinct", "t10_simhash",
+      "pdf_extract", "pdf_project_meta", "pdf_economics"),
       s"unexpected oracle gaps: $noOracle")
   }
 
