@@ -74,6 +74,36 @@ object Streams {
       .filter(a => a.to_stage > a.from_stage)
   }
 
+  /** X6b: the same per-user running state on Spark 4's transformWithState
+    * API (the successor to mapGroupsWithState: typed ValueState handles,
+    * RocksDB-backed, timer support). Emits cumulative spend per user on
+    * every update. Requires the RocksDB state store provider — see
+    * StreamingSpec for session wiring. */
+  class SpendProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, (Long, Double)] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Double]("total",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Double)] = {
+      val prev = if (total.exists()) total.get() else 0.0
+      val now = prev + rows.map(_.value).sum
+      total.update(now)
+      Iterator.single((user, now))
+    }
+  }
+
+  /** X6b wiring: running spend per user via transformWithState. */
+  def runningSpend(events: Dataset[Event]): Dataset[(Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** X7: stream-static join — enrich a stream with a static dimension
     * (the static side is (re)broadcast per micro-batch). */
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =

@@ -96,6 +96,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("X6b: transformWithState running spend (RocksDB state store)") {
+    implicit val ctx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = Streams.runningSpend(in.toDS())
+      .writeStream.format("memory").queryName("x6b").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Event(1, ts("10:00"), 7, "purchase", 10.0),
+        Event(2, ts("10:01"), 7, "purchase", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(3, ts("10:02"), 7, "purchase", 2.5),
+        Event(4, ts("10:03"), 8, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("x6b").as[(Long, Double)].collect().toSet
+      assert(rows.contains((7L, 15.0)) && rows.contains((7L, 17.5))
+        && rows.contains((8L, 1.0)), s"got $rows")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("X8: AvailableNow file ingestion is exactly-once across restarts") {
     val base = java.nio.file.Files.createTempDirectory("graft_x8_")
     val landing = base.resolve("landing"); val chk = base.resolve("chk")
