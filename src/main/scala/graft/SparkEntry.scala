@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Extraction.queries,
     ops.Multimodal.queries,
     ops.Composite.queries,
+    ops.Quality.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -34,6 +35,7 @@ object SparkEntry {
     ops.Extraction.oracle,
     ops.Multimodal.oracle,
     ops.Composite.oracle,
+    ops.Quality.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality / pipeline-monitoring operators — the reference's
+  * production-architecture asks (TEST:161-163: error handling, data
+  * validation, monitoring metrics) expressed as first-class queries.
+  * At 100 TB these run as cheap side-car aggregations (each is one
+  * scan + partial agg); in streaming the same expressions attach via
+  * `df.observe` (see ScaleDesignSpec).
+  */
+object Quality {
+
+  /** DQ1: referential integrity — orphan foreign keys across the star
+    * schema. All zeros on the healthy corpus; non-zero = broken load. */
+  def dq1_referential_integrity(s: SparkSession, d: String): DataFrame = {
+    def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String, label: String) =
+      fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans")).select(lit(label).as("relation"), col("n_orphans"))
+    orphans(lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey", "lineitem->orders")
+      .unionByName(orphans(orders(s, d), "o_custkey", customer(s, d), "c_custkey", "orders->customer"))
+      .unionByName(orphans(customer(s, d), "c_nationkey", nation(s, d), "n_nationkey", "customer->nation"))
+      .unionByName(orphans(lineitem(s, d), "l_partkey", part(s, d), "p_partkey", "lineitem->part"))
+      .unionByName(orphans(lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey", "lineitem->supplier"))
+      .orderBy("relation")
+  }
+
+  /** DQ2: domain/range assertions — rows violating the documented value
+    * ranges (FIXTURES.md §1) per rule; all zero on healthy data. */
+  def dq2_value_ranges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val ev = events(s, d)
+    li.agg(
+      sum(when(!col("l_discount").between(0.0, 0.10), 1).otherwise(0)).cast("long").as("bad_discount"),
+      sum(when(!col("l_quantity").between(1.0, 50.0), 1).otherwise(0)).cast("long").as("bad_quantity"),
+      sum(when(col("l_extendedprice") <= 0.0, 1).otherwise(0)).cast("long").as("bad_price"))
+      .crossJoin(ev.agg(
+        sum(when(!col("event_type").isin("signup", "click", "view", "purchase", "error"), 1)
+          .otherwise(0)).cast("long").as("bad_event_type"),
+        sum(when(col("value") < 0.0, 1).otherwise(0)).cast("long").as("bad_value")))
+  }
+
+  /** DQ3: completeness / null-rate profile per column of the extraction-
+    * style nullable surface (spec mandates nulls be tolerated AND
+    * visible, TEST:30 + TEST:162 monitoring). */
+  def dq3_null_rates(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val total = count(lit(1))
+    c.withColumn("seg_nullable", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .agg(
+        total.as("n_rows"),
+        sum(when(col("c_name").isNull, 1).otherwise(0)).cast("long").as("null_name"),
+        sum(when(col("c_acctbal").isNull, 1).otherwise(0)).cast("long").as("null_acctbal"),
+        sum(when(col("seg_nullable").isNull, 1).otherwise(0)).cast("long").as("null_seg_planted"),
+        round(avg(when(col("seg_nullable").isNull, 1.0).otherwise(0.0)), 6).as("planted_null_rate"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_referential_integrity" -> (dq1_referential_integrity _),
+    "dq2_value_ranges" -> (dq2_value_ranges _),
+    "dq3_null_rates" -> (dq3_null_rates _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq1_referential_integrity" ->
+      """SELECT relation, n_orphans FROM (
+           SELECT 'lineitem->orders' AS relation, count(*) FILTER (
+             o_orderkey IS NULL) AS n_orphans
+           FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+           UNION ALL
+           SELECT 'orders->customer', count(*) FILTER (c_custkey IS NULL)
+           FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+           UNION ALL
+           SELECT 'customer->nation', count(*) FILTER (n_nationkey IS NULL)
+           FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+           UNION ALL
+           SELECT 'lineitem->part', count(*) FILTER (p_partkey IS NULL)
+           FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+           UNION ALL
+           SELECT 'lineitem->supplier', count(*) FILTER (s_suppkey IS NULL)
+           FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey)
+         ORDER BY relation""",
+    "dq2_value_ranges" ->
+      """SELECT
+         CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+         CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         (SELECT CAST(sum(CASE WHEN event_type NOT IN ('signup','click','view','purchase','error') THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_event_type,
+         (SELECT CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_value
+         FROM lineitem""",
+    "dq3_null_rates" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_name,
+         CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_acctbal,
+         CAST(sum(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_seg_planted,
+         round(avg(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1.0 ELSE 0.0 END), 6) AS planted_null_rate
+         FROM customer""",
+  )
+}

@@ -119,6 +119,26 @@ object TextVector {
       .orderBy("a_id", "b_id")
   }
 
+  /** T4b: canonical dedup — the step after candidate detection: every
+    * doc appearing as the greater id of a confirmed near-dup pair is
+    * dropped; the smaller id is the cluster canonical (ids are
+    * ingestion-ordered, so this keeps the earliest copy — W5's
+    * keep-latest is the timestamp-keyed variant). Output is the
+    * survivor-set summary, checksummed so the oracle catches any
+    * membership difference. */
+  def t4_dedup_canonical(s: SparkSession, d: String): DataFrame = {
+    val corpus = withNearDups(s, d).select(col("doc_id"))
+    val dupIds = t4_minhash_lsh(s, d).select(col("b_id").as("doc_id")).distinct()
+    val survivors = corpus.join(dupIds, Seq("doc_id"), "left_anti")
+    survivors.agg(
+      count(lit(1)).as("n_survivors"),
+      sum(col("doc_id")).as("survivor_checksum"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_total")))
+      .select(col("n_total"), col("n_survivors"),
+        (col("n_total") - col("n_survivors")).as("n_dropped"),
+        col("survivor_checksum"))
+  }
+
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
   // codegen'd Catalyst expression (graft.functions.DotProduct): identical
   // left-to-right accumulation as the zip_with/aggregate HOF fold it
@@ -386,6 +406,7 @@ object TextVector {
     "t2_ngrams" -> (t2_ngrams _),
     "t3_exact_dedup" -> (t3_exact_dedup _),
     "t4_minhash_lsh" -> (t4_minhash_lsh _),
+    "t4_dedup_canonical" -> (t4_dedup_canonical _),
     "t5_cosine" -> (t5_cosine _),
     "t6_topk_nn" -> (t6_topk_nn _),
     "t6_topk_nn_ivf" -> (t6_topk_nn_ivf _),
@@ -442,6 +463,37 @@ object TextVector {
          WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5
          ORDER BY a_id, b_id""",
+    "t4_dedup_canonical" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3),
+         sig AS (
+           SELECT doc_id, sh, list_transform(range(0, 8),
+             k -> list_min(list_transform(ms, m -> substr(m || m, CAST(k*3+1 AS INTEGER), 12)))) AS mh
+           FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS ms FROM sh)),
+         bands AS (
+           SELECT doc_id, sh, unnest(list_transform(range(0, 4),
+             b -> {band: b, key: mh[2*b+1] || mh[2*b+2]}), recursive := true)
+           FROM sig),
+         dups AS (
+           SELECT DISTINCT b.doc_id AS doc_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5),
+         survivors AS (
+           SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dups))
+         SELECT (SELECT count(*) FROM corpus) AS n_total,
+           count(*) AS n_survivors,
+           (SELECT count(*) FROM corpus) - count(*) AS n_dropped,
+           sum(doc_id) AS survivor_checksum
+         FROM survivors""",
     "t5_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT q.vec_id AS q_id, c.vec_id AS c_id,

@@ -67,6 +67,18 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("observe() attaches monitoring metrics to a batch query") {
+    // TEST:162's monitoring ask, Spark-native: metrics ride the action
+    val df = Tables.lineitem(spark, sf)
+      .observe("dq", count(lit(1)).as("rows"),
+        sum(col("l_quantity")).as("qty"))
+      .filter(col("l_quantity") > 0)
+    df.collect()
+    val m = df.queryExecution.observedMetrics("dq")
+    assert(m.getAs[Long]("rows") == Tables.lineitem(spark, sf).count())
+    assert(m.getAs[Double]("qty") > 0)
+  }
+
   test("typed MiningReport assembly: 1 doc, 4 resources, 3 reserves, null economics") {
     val reports = ops.Extraction.assembleReports(spark, sf).collect()
     assert(reports.length == 1)
