@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point — production sessions opt in with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.GraftExtensions`) to get graft's custom
+  * expressions in SQL. Harness sessions instead call
+  * `VectorFunctions.register` at runtime (extensions only apply to
+  * newly-built sessions).
+  *
+  * Only the function injection is needed today: SURVEY §4.3's verdict —
+  * every operator compiles to built-ins + a handful of UDF/UDAF objects —
+  * means no custom Rule[LogicalPlan] or SparkStrategy is warranted. This
+  * class is where they would be injected if that changes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -40,6 +40,13 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("GraftExtensions registers graft_dot into a SessionExtensions instance") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(exts) // must not throw; builder wiring is
+    // exercised for real only in a fresh session (extensions don't apply
+    // retroactively), which the SQL-registry test below stands in for
+  }
+
   test("graft_dot is callable from SQL text after registration") {
     VectorFunctions.register(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
