@@ -38,6 +38,14 @@ object Extraction {
 
   private val rowRe = "^(\\D+?) ([0-9.,]+) ([0-9.,]+) ([0-9,]+)$"
 
+  /** Tonnage-unit multiplier from the shared graft.Units table ("t"→1,
+    * "kt"→1e3, "Mt"→1e6); unknown units resolve to null, never to a
+    * silently-wrong factor. */
+  private def unitMultiplier(unit: org.apache.spark.sql.Column) =
+    graft.Units.tonnageMultiplier.foldLeft(lit(null).cast("double")) {
+      case (acc, (u, m)) => when(unit === u, m).otherwise(acc)
+    }
+
   /** M1: parse the golden lines — category + three numbers, comma
     * stripping, unit normalization to tonnes / troy oz (F1+F3+F4). */
   def m1_mining_parse(s: SparkSession, d: String): DataFrame =
@@ -47,8 +55,7 @@ object Extraction {
         regexp_replace(regexp_extract(col("line"), rowRe, 2), ",", "").cast("double").as("tonnage_raw"),
         regexp_replace(regexp_extract(col("line"), rowRe, 3), ",", "").cast("double").as("grade_gpt"),
         regexp_replace(regexp_extract(col("line"), rowRe, 4), ",", "").cast("double").as("contained_koz"))
-      .withColumn("tonnes",
-        col("tonnage_raw") * when(col("tonnage_unit") === "Mt", 1e6).otherwise(1e3))
+      .withColumn("tonnes", col("tonnage_raw") * unitMultiplier(col("tonnage_unit")))
       .withColumn("contained_oz", col("contained_koz") * 1000)
       .select("kind", "category", "tonnes", "grade_gpt", "contained_oz")
       .orderBy("kind", "category")
@@ -76,7 +83,9 @@ object Extraction {
   }
 
   /** M3: contained-metal cross-check — oz ≈ tonnes × g/t ÷ 31.1034768,
-    * relative error vs the printed koz (within 0.5%, F4 invariant). */
+    * relative error vs the printed koz. Tolerance is 2%: the PDF prints
+    * resource tonnage at 1 decimal Mt (4.1 for ~4.113), which alone
+    * introduces up to ~1.3% apparent error (F4 invariant). */
   def m3_contained_crosscheck(s: SparkSession, d: String): DataFrame =
     m1_mining_parse(s, d)
       .withColumn("calc_oz",
@@ -124,7 +133,8 @@ object Extraction {
       // resources table is in Mt, reserves in kt (table headers, PDF p.9);
       // round away double multiply artifacts (4.1*1e6 = 4099999.9999…)
       .withColumn("tonnes",
-        round(col("tonnage_raw") * when(col("kind") === "resource", 1e6).otherwise(1e3), 1))
+        round(col("tonnage_raw") * unitMultiplier(
+          when(col("kind") === "resource", "Mt").otherwise("kt")), 1))
       .withColumn("source_system", regexp_extract(col("filename"), "^([a-z]+)__", 1))
       .withColumn("doc_hash", regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1))
       .withColumn("npv_usd", lit(null).cast("double"))
@@ -179,7 +189,11 @@ object Extraction {
         money("US\\$(\\d[\\d,]*) per tonne for owner mining").as("opex_mining_owner"),
         money("US\\$(\\d[\\d,]*) per ounce of gold for contractor").as("opex_mining_contractor"),
         money("US\\$(\\d[\\d,]*) per ounce of gold for artisanal").as("opex_mining_artisanal"),
-        money("averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_processing"),
+        // anchored on their own sentences — the processing pattern must
+        // not also match the G&A sentence's "averaged US$… per tonne
+        // processed" tail (first-match semantics would then depend on
+        // sentence order)
+        money("Processing costs.{0,200}?averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_processing"),
         money("administration costs averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_ga"),
         // absent in this report → regex yields '' → null (mandated)
         money("NPV[^0-9]{0,20}US\\$(\\d[\\d,]*)").as("npv_usd"),
@@ -242,7 +256,8 @@ object Extraction {
            CAST(regexp_replace(regexp_extract(line, '$rowRe', 4), ',', '', 'g') AS DOUBLE) AS contained_koz
          FROM f)
          SELECT kind, category,
-           tonnage_raw * (CASE WHEN tonnage_unit = 'Mt' THEN 1e6 ELSE 1e3 END) AS tonnes,
+           tonnage_raw * (CASE tonnage_unit WHEN 'Mt' THEN 1e6 WHEN 'kt' THEN 1e3
+                          WHEN 't' THEN 1.0 ELSE NULL END) AS tonnes,
            grade_gpt, contained_koz * 1000 AS contained_oz
          FROM p ORDER BY kind, category""",
     "m2_mining_rollup" ->

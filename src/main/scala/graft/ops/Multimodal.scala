@@ -64,9 +64,10 @@ object Multimodal {
   })
 
   /** MM1: media metadata — binary sizes + stub-decoded dimensions per
-    * kind. Size/count columns are oracle-checked; the decode output is
-    * deterministic but engine-local (stub), so it stays out of the
-    * oracle projection. */
+    * kind. The decode output IS aggregated (max_dim), so the decode
+    * stage actually executes (an unreferenced column would be pruned by
+    * Catalyst) — and since the stub is a pure function of payload
+    * length, the oracle recomputes it and checks it too. */
   def mm1_media_meta(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .withColumn("meta", decodeHeader(col("payload"), col("kind")))
@@ -74,12 +75,17 @@ object Multimodal {
       .agg(count(lit(1)).as("n_media"),
         sum(octet_length(col("payload"))).as("total_bytes"),
         min(octet_length(col("payload"))).as("min_bytes"),
-        max(octet_length(col("payload"))).as("max_bytes"))
+        max(octet_length(col("payload"))).as("max_bytes"),
+        max(col("meta._1")).as("max_dim"))
       .orderBy("kind")
 
   /** MM2: feature extraction — corpus-wide 16-bucket byte histogram
-    * (UDF over binary), fully oracle-checked against DuckDB computing
-    * the same histogram from character codes. */
+    * (UDF over binary), oracle-checked against DuckDB computing the
+    * histogram from character codes. NOTE: byte-histogram (Spark) vs
+    * char-code histogram (oracle) agree only because this corpus is
+    * ASCII (FIXTURES.md §1); on multi-byte text the Spark side is the
+    * correct byte-level feature and the oracle would need
+    * octet-level recomputation. */
   def mm2_byte_histogram(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .select(posexplode(byteHistogram(col("payload"))).as(Seq("bucket", "n")))
@@ -110,7 +116,11 @@ object Multimodal {
          count(*) AS n_media,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(min(octet_length(encode(text))) AS INTEGER) AS min_bytes,
-         CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes
+         CAST(max(octet_length(encode(text))) AS INTEGER) AS max_bytes,
+         CAST(max(CASE doc_id % 3
+           WHEN 0 THEN octet_length(encode(text)) % 640 + 16
+           WHEN 1 THEN 1
+           ELSE octet_length(encode(text)) % 1920 + 16 END) AS INTEGER) AS max_dim
          FROM documents GROUP BY 1 ORDER BY kind""",
     "mm2_byte_histogram" ->
       """SELECT ascii(c) // 16 AS bucket, count(*) AS n_bytes

@@ -35,6 +35,21 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project [graft_dot"), plan)
   }
 
+  test("DotProduct yields null on length mismatch (zip_with parity)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("cg"),
+      hofDot("a", "b").as("hof")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("DotProduct rejects non-double-array inputs at analysis time") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(VectorFunctions.dot_product(col("a"), col("b"))).head
+    }
+  }
+
   test("DotProduct propagates nulls") {
     val df = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
     assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head.isNullAt(0))
