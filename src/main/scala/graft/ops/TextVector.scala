@@ -401,6 +401,23 @@ object TextVector {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
+  /** T17: deterministic sampling — the training-data staples. Seeded
+    * `sample`/`sampleBy` are reproducible for a fixed input partitioning
+    * but not cross-engine, so the oracle-able form used here is hash-mod
+    * sampling (xxhash64(key) % 100 < rate): exactly reproducible anywhere,
+    * stable under repartitioning, and the idiom that actually survives
+    * re-runs at 100 TB. DuckDB has no xxhash64, so the oracle checks the
+    * md5-keyed variant emitted alongside. */
+  def t17_sampling(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .withColumn("bucket_md5",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+    doc.filter(col("bucket_md5") < 10) // 10% deterministic sample
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -419,6 +436,7 @@ object TextVector {
     "t14_quality" -> (t14_quality _),
     "t15_token_count" -> (t15_token_count _),
     "t16_fingerprint" -> (t16_fingerprint _),
+    "t17_sampling" -> (t17_sampling _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -635,5 +653,12 @@ object TextVector {
          SELECT doc_id,
            list_reduce(codes, (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          FROM c ORDER BY doc_id""",
+    "t17_sampling" ->
+      """WITH s AS (
+           SELECT lang, doc_id,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT lang, count(*) AS n_sampled, sum(doc_id) AS id_checksum
+         FROM s WHERE bucket < 10 GROUP BY lang ORDER BY lang""",
   )
 }
