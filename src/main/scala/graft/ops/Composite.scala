@@ -59,10 +59,57 @@ object Composite {
       .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  private def reg(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => graft.Tables.t(s, d, n).createOrReplaceTempView(n))
+
+  /** SQ1: correlated scalar subquery — orders priced above their
+    * customer's average; Catalyst decorrelates to an aggregate + join
+    * (RewriteCorrelatedScalarSubquery, SURVEY §4.1). */
+  def sq1_scalar_subquery(s: SparkSession, d: String): DataFrame = {
+    reg(s, d, "orders")
+    s.sql(
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders o
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                   WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""")
+  }
+
+  /** SQ2: EXISTS / NOT EXISTS in SQL text — RewritePredicateSubquery
+    * turns these into the semi/anti joins J4/J5 build directly. */
+  def sq2_exists_subquery(s: SparkSession, d: String): DataFrame = {
+    reg(s, d, "customer", "orders")
+    s.sql(
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_totalprice > 4500)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '5-LOW')
+         ORDER BY c_custkey""")
+  }
+
+  /** SQ3: null-aware NOT IN — the planner must use a null-aware anti
+    * join: one NULL in the subquery column makes NOT IN yield no rows
+    * (the classic SQL trap, here exercised deliberately with a planted
+    * null alongside a clean branch). */
+  def sq3_not_in_null_aware(s: SparkSession, d: String): DataFrame = {
+    reg(s, d, "customer", "orders")
+    s.sql(
+      """SELECT
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 4000)) AS n_clean,
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_totalprice > 4990 THEN NULL ELSE o_custkey END
+              FROM orders WHERE o_totalprice > 4000)) AS n_with_null""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3_shipping_priority _),
     "q5_local_supplier" -> (q5_local_supplier _),
     "q10_returned_items" -> (q10_returned_items _),
+    "sq1_scalar_subquery" -> (sq1_scalar_subquery _),
+    "sq2_exists_subquery" -> (sq2_exists_subquery _),
+    "sq3_not_in_null_aware" -> (sq3_not_in_null_aware _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -100,5 +147,25 @@ object Composite {
            AND l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""",
+    "sq1_scalar_subquery" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+         FROM orders o
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+                                   WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+    "sq2_exists_subquery" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_totalprice > 4500)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND o_orderpriority = '5-LOW')
+         ORDER BY c_custkey""",
+    "sq3_not_in_null_aware" ->
+      """SELECT
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 4000)) AS n_clean,
+           (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_totalprice > 4990 THEN NULL ELSE o_custkey END
+              FROM orders WHERE o_totalprice > 4000)) AS n_with_null""",
   )
 }
