@@ -401,13 +401,13 @@ object TextVector {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
-  /** T17: deterministic sampling — the training-data staples. Seeded
-    * `sample`/`sampleBy` are reproducible for a fixed input partitioning
-    * but not cross-engine, so the oracle-able form used here is hash-mod
-    * sampling (xxhash64(key) % 100 < rate): exactly reproducible anywhere,
-    * stable under repartitioning, and the idiom that actually survives
-    * re-runs at 100 TB. DuckDB has no xxhash64, so the oracle checks the
-    * md5-keyed variant emitted alongside. */
+  /** T17: deterministic sampling — the training-data staple. Seeded
+    * `sample`/`sampleBy` are reproducible only for a fixed input
+    * partitioning and never cross-engine; hash-mod sampling
+    * (hash(key) % 100 < rate) is exactly reproducible anywhere and
+    * stable under repartitioning — the idiom that survives re-runs at
+    * 100 TB. md5 is the hash here so DuckDB recomputes the identical
+    * bucket (xxhash64 would be faster but has no DuckDB counterpart). */
   def t17_sampling(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
       .withColumn("bucket_md5",

@@ -95,25 +95,25 @@ class ScaleDesignSpec extends SparkTestBase {
   }
 
   test("dynamic partition pruning reads only the selected partitions") {
-    // at KB-scale DPP's stats heuristic declines (benefit < broadcast
-    // cost); force the fallback ratio so the tiny corpus exercises the
-    // same pruning path that pays off at TB partitions
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50000")
-    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_").toString
-    Tables.lineitem(spark, sf).write.mode("overwrite")
-      .partitionBy("l_returnflag").parquet(dir)
-    val fact = spark.read.parquet(dir)
-    // the dim filter must hit a NON-join column: a filter on the join key
-    // itself gets propagated statically by InferFiltersFromConstraints
-    // (also correct, but then there is nothing dynamic left to prune)
-    val dim = Tables.lineitem(spark, sf)
-      .select(col("l_returnflag").as("flag")).distinct()
-      .withColumn("category", concat(lit("cat_"), col("flag")))
-    val j = fact.join(dim, fact("l_returnflag") === dim("flag"))
-      .filter(col("category") === "cat_A")
-      .groupBy().count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp_")
     try {
+      // at KB-scale DPP's stats heuristic declines (benefit < broadcast
+      // cost); force the fallback ratio so the tiny corpus exercises the
+      // same pruning path that pays off at TB partitions
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "50000")
+      Tables.lineitem(spark, sf).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(dir.toString)
+      val fact = spark.read.parquet(dir.toString)
+      // the dim filter must hit a NON-join column: a filter on the join key
+      // itself gets propagated statically by InferFiltersFromConstraints
+      // (also correct, but then there is nothing dynamic left to prune)
+      val dim = Tables.lineitem(spark, sf)
+        .select(col("l_returnflag").as("flag")).distinct()
+        .withColumn("category", concat(lit("cat_"), col("flag")))
+      val j = fact.join(dim, fact("l_returnflag") === dim("flag"))
+        .filter(col("category") === "cat_A")
+        .groupBy().count()
       // inspect the pre-execution plan: DPP shows as a dynamicpruning
       // subquery expression on the scan
       val plan = j.queryExecution.executedPlan.toString
@@ -124,6 +124,9 @@ class ScaleDesignSpec extends SparkTestBase {
     } finally {
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
       spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
