@@ -11,6 +11,13 @@ case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 /** Per-user funnel state for X6 (highest stage reached so far). */
 case class FunnelState(stage: Int)
 
+/** Open-session state for the flatMapGroupsWithState sessionizer. */
+case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+/** A completed session emitted once its inactivity gap expires. */
+case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                      n_events: Int, total_value: Double)
+
 /** A user's funnel advancement emitted by funnelStateful. */
 case class FunnelAdvance(user_id: Long, from_stage: Int, to_stage: Int)
 
@@ -72,6 +79,48 @@ object Streams {
           FunnelAdvance(userId, prev, best)
       }
       .filter(a => a.to_stage > a.from_stage)
+  }
+
+  private val SessionGapMs = 30L * 60 * 1000
+
+  /** X6 (full form): arbitrary-state sessionization via
+    * flatMapGroupsWithState + event-time timeout — the shape
+    * session_window (X3) cannot express when per-session state is more
+    * than an aggregate (here it is, minimally: first/last/count/sum kept
+    * independently). A session closes and is EMITTED only when the
+    * watermark passes last-event + 30 min; in-batch gaps close sessions
+    * immediately. State per user is one 4-field record. */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += SessionOut(userId, s.start, s.last + SessionGapMs, s.n, s.total)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(t, t, 1, e.value)
+              else if (t - cur.last > SessionGapMs) {
+                out += SessionOut(userId, cur.start, cur.last + SessionGapMs, cur.n, cur.total)
+                cur = SessionState(t, t, 1, e.value)
+              } else cur = SessionState(cur.start, math.max(cur.last, t),
+                cur.n + 1, cur.total + e.value)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + SessionGapMs)
+            }
+          }
+          out.iterator
+      }
   }
 
   /** X6b: the same per-user running state on Spark 4's transformWithState

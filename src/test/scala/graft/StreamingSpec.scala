@@ -96,6 +96,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("X6 full form: flatMapGroupsWithState sessionizer emits on gap and timeout") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionizeStateful(in.toDS())
+      .writeStream.format("memory").queryName("x6s").outputMode(OutputMode.Append).start()
+    try {
+      // session 1: two events 5 min apart; then an in-batch 40-min gap
+      // opens session 2 immediately
+      in.addData(
+        Event(1, ts("10:00"), 7, "click", 1.0),
+        Event(2, ts("10:05"), 7, "view", 2.0),
+        Event(3, ts("10:45"), 7, "click", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past session 2's 30-min gap → timeout fires
+      in.addData(Event(4, ts("23:00"), 99, "click", 0.5))
+      q.processAllAvailable()
+      in.addData(Event(5, ts("23:30"), 99, "click", 0.5)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("x6s")
+        .selectExpr("user_id", "n_events", "total_value")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(rows.contains((7L, 2, 3.0)), s"gap-closed session missing: $rows")
+      assert(rows.contains((7L, 1, 4.0)), s"timeout-closed session missing: $rows")
+    } finally q.stop()
+  }
+
   test("X6b: transformWithState running spend (RocksDB state store)") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
