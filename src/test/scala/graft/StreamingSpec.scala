@@ -145,6 +145,39 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("X8b: incremental PDF ingestion via streaming binaryFile source") {
+    // the production loop for the reference's core task: PDFs landing in
+    // a directory are picked up exactly once and page counts extracted
+    val base = java.nio.file.Files.createTempDirectory("graft_x8b_")
+    val landing = base.resolve("landing"); val chk = base.resolve("chk")
+    java.nio.file.Files.createDirectories(landing)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/reference/data/sedar__000003116_Aris_Mining_Corporation__technical-report__878C2FBC.pdf"),
+      landing.resolve("doc1.pdf"))
+    val pagesUdf = org.apache.spark.sql.functions.udf(
+      (b: Array[Byte]) => graft.pdf.PdfText.pages(b).length)
+    // streaming sources need an explicit schema; binaryFile's is fixed
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val q = spark.readStream.format("binaryFile").schema(binarySchema)
+      .option("pathGlobFilter", "*.pdf").load(landing.toString)
+      .select(
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.col("path"), "([^/]+)$", 1).as("f"),
+        pagesUdf(org.apache.spark.sql.functions.col("content")).as("n_pages"))
+      .writeStream.format("memory").queryName("x8b")
+      .option("checkpointLocation", chk.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("x8b").as[(String, Int)].collect()
+    assert(rows.length == 1 && rows.head._1 == "doc1.pdf" && rows.head._2 >= 60,
+      rows.mkString(","))
+  }
+
   test("X8: AvailableNow file ingestion is exactly-once across restarts") {
     val base = java.nio.file.Files.createTempDirectory("graft_x8_")
     val landing = base.resolve("landing"); val chk = base.resolve("chk")
