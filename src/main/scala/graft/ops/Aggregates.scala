@@ -105,13 +105,18 @@ object Aggregates {
       .orderBy("l_returnflag")
 
   /** A8: collect_list → nested array per group (the §1.2 resources/reserves
-    * assembly shape); sort_array for cross-engine determinism. */
+    * assembly shape); sort_array for cross-engine determinism. The arrays
+    * are serialized with concat_ws in the final projection (quantities are
+    * whole numbers, so the BIGINT cast is lossless): the driver's pandas
+    * compare cannot sort/hash raw ndarray cells. */
   def a8_collect_list(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .filter(col("l_orderkey") <= 100)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_quantity"))).as("quantities"),
-        sort_array(collect_set(col("l_returnflag"))).as("flags"))
+      .agg(
+        concat_ws(",", sort_array(collect_list(col("l_quantity").cast("long"))))
+          .as("quantities"),
+        concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("flags"))
       .orderBy("l_orderkey")
 
   /** A9: pivot — lang categories to columns per source (fixed value list
@@ -222,8 +227,8 @@ object Aggregates {
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a8_collect_list" ->
       """SELECT l_orderkey,
-         list_sort(list(l_quantity)) AS quantities,
-         list_sort(list(DISTINCT l_returnflag)) AS flags
+         array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS quantities,
+         array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
          FROM lineitem WHERE l_orderkey <= 100
          GROUP BY l_orderkey ORDER BY l_orderkey""",
     "a9_pivot" ->

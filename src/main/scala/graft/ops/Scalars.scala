@@ -147,7 +147,10 @@ object Scalars {
       .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
       .orderBy("urgency")
 
-  /** F10: array higher-order functions over tokenized text. */
+  /** F10: array higher-order functions over tokenized text. Array-typed
+    * results are serialized with concat_ws in the final projection — the
+    * driver's pandas compare cannot sort/hash raw ndarray cells; the HOFs
+    * themselves still run on real arrays. */
   def f10_arrays(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
     documents(s, d)
@@ -155,11 +158,11 @@ object Scalars {
       .select(col("doc_id"),
         size(toks).as("n_toks"),
         array_contains(toks, "the").as("has_the"),
-        slice(array_sort(toks), 1, 3).as("first3_sorted"),
-        transform(slice(toks, 1, 3), x => upper(x)).as("head_uc"),
+        concat_ws(",", slice(array_sort(toks), 1, 3)).as("first3_sorted"),
+        concat_ws(",", transform(slice(toks, 1, 3), x => upper(x))).as("head_uc"),
         aggregate(transform(toks, x => length(x)), lit(0),
           (acc, x) => acc + x).as("total_chars"),
-        filter(toks, x => length(x) > 4).as("long_toks"))
+        concat_ws(",", filter(toks, x => length(x) > 4)).as("long_toks"))
       .orderBy("doc_id")
   }
 
@@ -343,10 +346,10 @@ object Scalars {
          SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_toks,
            list_contains(toks, 'the') AS has_the,
-           list_sort(toks)[1:3] AS first3_sorted,
-           list_transform(toks[1:3], x -> upper(x)) AS head_uc,
+           array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
+           array_to_string(list_transform(toks[1:3], x -> upper(x)), ',') AS head_uc,
            CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS total_chars,
-           list_filter(toks, x -> length(x) > 4) AS long_toks
+           array_to_string(list_filter(toks, x -> length(x) > 4), ',') AS long_toks
          FROM t ORDER BY doc_id""",
     "f10_generators" ->
       """WITH base AS (

@@ -128,17 +128,17 @@ object Sources {
          size AS length
          FROM read_blob('/root/reference/data/*.pdf') ORDER BY filename""",
     "s3_text_roundtrip" ->
-      """SELECT count(*) AS n_lines, sum(length(text)) AS total_chars FROM documents""",
+      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents""",
     "s4_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
-         sum(event_id) AS id_checksum
+         CAST(sum(event_id) AS BIGINT) AS id_checksum
          FROM events GROUP BY event_type ORDER BY event_type""",
     "s5_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal,
-         sum(c_custkey) AS key_checksum
+         CAST(sum(c_custkey) AS BIGINT) AS key_checksum
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "s8_partitioned_sink" ->
-      """SELECT lang, source, count(*) AS n, sum(n_chars) AS chars
+      """SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents WHERE lang = 'es'
          GROUP BY lang, source ORDER BY lang, source""",
     "s9_quarantine" ->
