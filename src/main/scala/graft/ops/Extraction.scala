@@ -176,9 +176,11 @@ object Extraction {
 
   /** T9c: economics extraction (TEST:50-54 category 4) — the five OPEX
     * actuals the report states in prose (PDF p.11-12 §1.11 / p.51-52
-    * Tables 21-1..21-3), plus NPV/IRR which the report does NOT contain
-    * (p.53 §22 waives economic analysis) and therefore surface as the
-    * spec-mandated nulls (TEST:30). */
+    * Tables 21-1..21-3), the sustaining / non-sustaining capital totals
+    * (PDF p.52 Table 21-4: US$16,467k / US$16,849k), plus upfront
+    * CAPEX and NPV/IRR which the report does NOT contain (p.53 §22
+    * waives economic analysis for a producing issuer) — those patterns
+    * fall back to the spec-mandated nulls (TEST:30) when absent. */
   def pdf_economics(s: SparkSession, d: String): DataFrame = {
     def money(pat: String) = // nullif guards the no-match '' (ANSI cast)
       nullif(regexp_replace(regexp_extract(col("txt"), pat, 1), ",", ""), lit(""))
@@ -195,10 +197,18 @@ object Extraction {
         // sentence order)
         money("Processing costs.{0,200}?averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_processing"),
         money("administration costs averaged US\\$(\\d[\\d,]*) per tonne processed").as("opex_ga"),
+        // Table 21-4 totals; "non - sustaining" is the PDF's own hyphen
+        // spacing after whitespace flattening. The sustaining pattern
+        // cannot also hit the non-sustaining row (its line reads
+        // "Total non - sustaining costs").
+        money("Total sustaining (\\d[\\d,]*)").as("capex_sustaining_kusd"),
+        money("Total non - sustaining costs (\\d[\\d,]*)").as("capex_non_sustaining_kusd"),
         // absent in this report → regex yields '' → null (mandated)
+        money("initial capital[^0-9]{0,30}US\\$(\\d[\\d,]*)").as("capex_usd"),
         money("NPV[^0-9]{0,20}US\\$(\\d[\\d,]*)").as("npv_usd"),
         money("IRR[^0-9]{0,20}(\\d[\\d,.]*) ?%").as("irr_pct"))
-      .withColumn("units", lit("owner/processing/ga in USD/t; contractor/artisanal in USD/oz"))
+      .withColumn("units",
+        lit("owner/processing/ga in USD/t; contractor/artisanal in USD/oz; capital in kUSD"))
       .orderBy("doc_hash")
   }
 
@@ -225,15 +235,25 @@ object Extraction {
       lit("Au").as("metal"),
       (col("contained_koz") * 1000).as("contained_metal"),
       lit("oz").as("contained_unit"))
+    // economics come from the pdf_economics extraction (broadcast: one
+    // row per doc), not hardcoded — capex/NPV/IRR are
+    // extracted-with-null-fallback, so a report that does state them
+    // would populate the nested model with no code change. opex_usd
+    // stays null: the report states five disaggregated unit-cost
+    // actuals (per-tonne / per-ounce), not one total OPEX figure.
+    val econ = pdf_economics(s, d).select(
+      col("doc_hash"), col("capex_usd"), col("npv_usd"), col("irr_pct"))
     flat.groupBy(col("doc_hash"), col("source_system"))
       .agg(
         sort_array(collect_list(when(col("kind") === "resource", rowStruct))).as("resources"),
         sort_array(collect_list(when(col("kind") === "reserve", rowStruct))).as("reserves"))
+      .join(broadcast(econ), Seq("doc_hash"), "left")
       .withColumn("economics", struct(
-        lit(null).cast("double").as("capex_usd"),
+        col("capex_usd"),
         lit(null).cast("double").as("opex_usd"),
-        lit(null).cast("double").as("npv_usd"),
-        lit(null).cast("double").as("irr_pct")))
+        col("npv_usd"),
+        col("irr_pct")))
+      .drop("capex_usd", "npv_usd", "irr_pct")
       .as[MiningReport]
   }
 

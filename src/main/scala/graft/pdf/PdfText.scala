@@ -13,17 +13,19 @@ import scala.collection.mutable.ArrayBuffer
   *  - FlateDecode via `java.util.zip.Inflater` (the only filter the
   *    corpus uses; non-Flate/image streams simply fail to inflate or
   *    contain no text operators and are skipped);
-  *  - text reconstruction: literal strings `(…)` feeding the `Tj`/`TJ`/
-  *    `'`/`"` show operators, with octal/char escapes; `Td`/`TD`/`T*`
-  *    emit a space, `ET` a newline (enough structure for regex-level
-  *    table extraction; per-glyph kerning arrays like
-  *    `[(4.)-2 (1)]TJ` concatenate correctly).
+  *  - text reconstruction: literal strings `(…)` and hex strings `<…>`
+  *    (PDF 32000-1 §7.3.4.3: digit pairs, embedded whitespace legal,
+  *    odd trailing digit implies 0) feeding the `Tj`/`TJ`/`'`/`"` show
+  *    operators, with octal/char escapes; `Td`/`TD`/`T*` emit a space,
+  *    `ET` a newline (enough structure for regex-level table
+  *    extraction; per-glyph kerning arrays like `[(4.)-2 (1)]TJ`
+  *    concatenate correctly).
   *
-  * Known limitations (documented per TEST:63): no hex-string `<…>` text,
-  * no CID/Type0 multi-byte fonts, no ToUnicode mapping — none of which
-  * the reference corpus requires. The UDF signature
-  * (`Array[Byte] => Seq[String]`) is the swap point for PDFBox/Tika
-  * where dependencies exist.
+  * Known limitations (documented per TEST:63): hex strings decode as
+  * single-byte (Latin-1) codes — no CID/Type0 multi-byte fonts, no
+  * ToUnicode mapping — which the reference corpus doesn't require. The
+  * UDF signature (`Array[Byte] => Seq[String]`) is the swap point for
+  * PDFBox/Tika where dependencies exist.
   */
 object PdfText extends Serializable {
 
@@ -130,6 +132,31 @@ object PdfText extends Serializable {
         }
         pending.append(buf)
         i = j
+      } else if (c == '<' && i + 1 < n && (cs(i + 1) & 0xff) != '<') {
+        // hex string <48656c6c6f>: digit pairs → bytes, whitespace
+        // skipped, odd trailing digit implies 0. `<<` (dictionary
+        // start, e.g. BDC property lists) is excluded by the guard;
+        // a '<' followed by non-hex garbage is left unconsumed.
+        var j = i + 1
+        var hi = -1
+        var ok = true
+        val buf = new StringBuilder
+        while (ok && j < n && (cs(j) & 0xff) != '>') {
+          val ch = cs(j) & 0xff
+          val v = Character.digit(ch, 16)
+          if (v >= 0) {
+            if (hi < 0) hi = v
+            else { buf.append(((hi << 4) | v).toChar); hi = -1 }
+            j += 1
+          } else if (ch == ' ' || ch == '\n' || ch == '\r' || ch == '\t' || ch == '\f' || ch == 0) {
+            j += 1
+          } else ok = false
+        }
+        if (ok && j < n) {
+          if (hi >= 0) buf.append((hi << 4).toChar)
+          pending.append(buf)
+          i = j + 1
+        } else i += 1
       } else if (c == 'T' && i + 1 < n && ((cs(i + 1) & 0xff) == 'j' || (cs(i + 1) & 0xff) == 'J')) {
         sb.append(pending).append(' '); pending.setLength(0); i += 2
       } else if (c == '\'' || c == '"') {

@@ -74,6 +74,16 @@ class ExtractionSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("irr_pct")))
   }
 
+  test("economics extraction: Table 21-4 capital totals, upfront CAPEX null") {
+    val r = ops.Extraction.pdf_economics(spark, sf).head
+    // PDF p.52 Table 21-4, US$ 000s
+    assert(r.getAs[Double]("capex_sustaining_kusd") == 16467.0)
+    assert(r.getAs[Double]("capex_non_sustaining_kusd") == 16849.0)
+    // the report waives upfront capital (producing issuer, p.53 §22):
+    // the pattern must fall back to null, not match something else
+    assert(r.isNullAt(r.fieldIndex("capex_usd")))
+  }
+
   test("rollup invariants hold on the extracted rows (M+I = M + I)") {
     val rows = ops.Extraction.pdf_extract(spark, sf).collect()
       .map(r => r.getString(3) -> (r.getDouble(4), r.getDouble(6)))
@@ -97,5 +107,37 @@ class ExtractionSpec extends SparkTestBase {
       assert(math.abs(calc - rep) / rep <= 0.02,
         s"${r.getString(3)}: calc $calc vs reported $rep koz")
     }
+  }
+
+  /** Deflate a content stream and wrap it in stream…endstream so
+    * PdfText.pages picks it up — a minimal single-stream PDF body. */
+  private def miniPdf(content: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+    val deflated = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) deflated.write(buf, 0, d.deflate(buf))
+    d.end()
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("stream\n".getBytes("ISO-8859-1"))
+    bos.write(deflated.toByteArray)
+    bos.write("endstream".getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("hex-string <…> show operators decode (PDF 32000-1 §7.3.4.3)") {
+    // digit pairs with legal embedded whitespace; odd trailing digit
+    // <4> implies 0 → 0x40 '@'
+    val cs = "BT (Total ) Tj <73757374 61696E696E67> Tj ( 16,467) Tj <4> Tj ET"
+    val pages = PdfText.pages(miniPdf(cs))
+    assert(pages.nonEmpty, "hex-string stream produced no text")
+    assert(pages.head.contains("Total sustaining 16,467"), pages.head)
+    assert(pages.head.contains("@"), pages.head)
+  }
+
+  test("dictionaries <<…>> are not mistaken for hex strings") {
+    val cs = "/P <</MCID 0>> BDC BT (ok) Tj ET"
+    val pages = PdfText.pages(miniPdf(cs))
+    assert(pages.nonEmpty && pages.head.trim == "ok", pages.mkString("|"))
   }
 }
