@@ -87,6 +87,23 @@ object TextVector {
     (0 until 4).map(b => lanes(2 * b) + lanes(2 * b + 1))
   })
 
+  /** Compiled 3-gram shingle set — byte-identical output (distinct,
+    * first-occurrence order) to the
+    * `array_distinct(transform(sequence(...), concat_ws(' ', ...)))`
+    * HOF chain it replaces, but as plain JVM code: Spark higher-order
+    * functions run interpreted, and shingling is the t4/t12 hot loop. */
+  private val shingle3 = udf((ts: Seq[String]) => {
+    val seen = new java.util.LinkedHashSet[String]
+    var i = 0
+    while (i + 2 < ts.length) {
+      seen.add(ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
+      i += 1
+    }
+    val out = new Array[String](seen.size)
+    seen.toArray(out)
+    out.toSeq
+  })
+
   /** Confirmed near-dup candidate pairs (Jaccard ≥ 0.5), the stage shared
     * by t4_minhash_lsh and t4_dedup_canonical. Memoized + persisted per
     * (session, dir) so the corpus minhash pass runs ONCE when both t4
@@ -100,8 +117,7 @@ object TextVector {
       val base = withNearDups(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
-        .withColumn("sh", expr(
-          "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"))
+        .withColumn("sh", shingle3(col("t")))
       // one md5 per shingle; the 8 hash lanes are 12-hex slices of the
       // doubled digest (lanes are correlated, which weakens the classic
       // independence guarantee slightly, but candidate recall on near-dups
@@ -327,8 +343,7 @@ object TextVector {
     val base = withNearDups(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2))))"))
+      .withColumn("sh", shingle3(col("t")))
     val a = base.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = base.select((col("doc_id") - 1000000L).as("join_id"),
       col("doc_id").as("b_id"), col("sh").as("b_sh"))
