@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decode / feature-extract /
   * resize / frame-sample stages.
   *
-  * The container ships no image/audio codecs, so the DECODE STEP IS A
-  * STUB — a deterministic fake that parses a synthetic header we stamp
-  * onto each blob (clearly marked below; swap `decodeHeader` for a real
-  * codec UDF where libraries exist). Everything around the stub — binary
-  * schema, per-kind partitioning, UDF signatures over byte arrays, batch
-  * shape, and the aggregation plumbing — is real and oracle-checked.
+  * The decode stage parses REAL container headers (pure-JVM JPEG/PNG/
+  * GIF/BMP/WAV, `graft.media.MediaHeaders`) and only falls back to a
+  * deterministic fake for blobs with no recognizable magic — which is
+  * every row of the synthetic corpus, keeping the oracle checkable.
+  * Full pixel/sample decode stays stubbed (the container ships no
+  * codecs); binary schema, per-kind partitioning, UDF signatures over
+  * byte arrays, batch shape, and aggregation plumbing are all real.
   *
   * Scale notes: media rows are processed row-local (no shuffle until the
   * final small aggregate); a real pipeline would set
@@ -33,19 +34,27 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("payload"),
         col("n_chars"))
 
-  // ---- STUB: fake decode ---------------------------------------------------
-  // A real implementation would parse JPEG/WAV/MP4 headers (or run a
-  // decoder) inside this UDF. The Spark-side contract is identical:
-  // binary in, typed struct out, executed row-local inside the executor.
+  // Decode stage: REAL container-header parsing first (pure-JVM JPEG/
+  // PNG/GIF/BMP/WAV via graft.media.MediaHeaders — a real blob yields
+  // its true dimensions / channels / duration), then a deterministic
+  // fake for payloads with no recognizable magic — which is every row
+  // of the synthetic text-payload corpus, so the oracle can recompute
+  // the fallback from payload length. Full pixel/sample decode remains
+  // out of scope (no codecs in the container); the swap point is this
+  // same UDF.
   private val decodeHeader = udf((payload: Array[Byte], kind: String) => {
-    val n = payload.length
-    kind match {                       // deterministic fake "dimensions"
-      case "image" => (n % 640 + 16, n % 480 + 16, 0.0)  // (w, h, –)
-      case "audio" => (1, 0, n.toDouble / 16000.0)       // (channels, –, seconds)
-      case _       => (n % 1920 + 16, n % 1080 + 16, n.toDouble / 30.0)
+    graft.media.MediaHeaders.parse(payload) match {
+      case Some(m) if m.format == "wav" => (m.channels, m.sampleRate, m.durationSec)
+      case Some(m)                      => (m.width, m.height, 0.0)
+      case None =>
+        val n = payload.length
+        kind match {                     // deterministic fake "dimensions"
+          case "image" => (n % 640 + 16, n % 480 + 16, 0.0)  // (w, h, –)
+          case "audio" => (1, 0, n.toDouble / 16000.0)       // (channels, –, seconds)
+          case _       => (n % 1920 + 16, n % 1080 + 16, n.toDouble / 30.0)
+        }
     }
   })
-  // ---- end STUB ------------------------------------------------------------
 
   /** Byte histogram (16 buckets) — the feature-extraction stage; a real
     * pipeline would emit embeddings here. Pure function of the bytes. */
