@@ -273,19 +273,25 @@ object TextVector {
   }
 
   /** T10: SimHash — 32-bit signature from per-token md5-derived bits;
-    * near-dup candidates = pairs at hamming distance ≤ 3. No DuckDB
-    * oracle (hex→int parsing); covered by ScalaTest invariants. */
+    * near-dup candidates = pairs at hamming distance ≤ 3. */
   /** Compiled 32-bit SimHash over a token array. A UDF rather than HOF
     * expressions on purpose: Spark's higher-order functions run
     * interpreted (no codegen), and the 32-lane bit-vote inner loop is
-    * ~10× faster as plain JVM code. MurmurHash3 is a pure deterministic
-    * function, so results are stable across runs/executors. */
+    * ~10× faster as plain JVM code. The per-token hash is the first 8
+    * hex chars of md5 (big-endian) — exactly what the DuckDB oracle
+    * recomputes as CAST('0x' || substr(md5(t),1,8) AS BIGINT), which is
+    * what makes t10 oracle-checkable (MurmurHash3 wouldn't be). Token
+    * multiplicity counts: repeated tokens vote repeatedly, both sides. */
   private val simhash32 = udf((ts: Seq[String]) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](32)
     ts.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t, 42)
+      val dg = md.digest(t.getBytes("UTF-8"))
+      md.reset()
+      val h = ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+        ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
       var b = 0
-      while (b < 32) { votes(b) += 2 * ((h >> b) & 1) - 1; b += 1 }
+      while (b < 32) { votes(b) += (2 * ((h >> b) & 1) - 1).toInt; b += 1 }
     }
     var sig = 0L; var b = 0
     while (b < 32) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
@@ -604,6 +610,27 @@ object TextVector {
            round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
          FROM tf JOIN df USING (term) CROSS JOIN n
          ORDER BY tfidf DESC, doc_id ASC, term ASC LIMIT 50""",
+    "t10_simhash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS hv FROM tok),
+         votes AS (
+           SELECT doc_id, b.range AS bit,
+             sum(CASE WHEN (hv >> CAST(b.range AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h CROSS JOIN range(32) b GROUP BY doc_id, b.range),
+         sig AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(bit AS INTEGER)
+                           ELSE 0 END) AS BIGINT) AS sig
+           FROM votes GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         FROM sig a JOIN sig b ON (a.sig >> 16) = (b.sig >> 16) AND a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         ORDER BY a_id, b_id""",
     "t11_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          p AS (SELECT vec_id + 1000000 AS vec_id,
