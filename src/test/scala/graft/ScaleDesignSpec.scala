@@ -154,4 +154,21 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(r.economics.npv_usd.isEmpty && r.economics.irr_pct.isEmpty)
     assert(r.resources.forall(x => x.grade_unit == "g/t" && x.metal == "Au"))
   }
+
+  test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {
+    val plan = ops.TextVector.t8_tfidf(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the N side arrives as a broadcast cross join of a 1-row aggregate;
+    // a driver-side count() would leave no join and run a separate job
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("t4 pair stage is shared: second t4 query reuses the persisted cache") {
+    // first call builds + persists; the other t4 entry must read the
+    // in-memory relation instead of re-running the minhash pipeline
+    ops.TextVector.t4_minhash_lsh(spark, sf).count()
+    val plan = ops.TextVector.t4_dedup_canonical(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+  }
 }
