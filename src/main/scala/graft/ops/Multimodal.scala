@@ -89,12 +89,10 @@ object Multimodal {
       .orderBy("kind")
 
   /** MM2: feature extraction — corpus-wide 16-bucket byte histogram
-    * (UDF over binary), oracle-checked against DuckDB computing the
-    * histogram from character codes. NOTE: byte-histogram (Spark) vs
-    * char-code histogram (oracle) agree only because this corpus is
-    * ASCII (FIXTURES.md §1); on multi-byte text the Spark side is the
-    * correct byte-level feature and the oracle would need
-    * octet-level recomputation. */
+    * (UDF over binary), oracle-checked against DuckDB recomputing it at
+    * the OCTET level (hex(encode(text)) split into digit pairs), so the
+    * comparison holds for multi-byte UTF-8 text too, not just the ASCII
+    * corpus. */
   def mm2_byte_histogram(s: SparkSession, d: String): DataFrame =
     media(s, d)
       .select(posexplode(byteHistogram(col("payload"))).as(Seq("bucket", "n")))
@@ -132,9 +130,10 @@ object Multimodal {
            ELSE octet_length(encode(text)) % 1920 + 16 END) AS INTEGER) AS max_dim
          FROM documents GROUP BY 1 ORDER BY kind""",
     "mm2_byte_histogram" ->
-      """SELECT ascii(c) // 16 AS bucket, count(*) AS n_bytes
-         FROM (SELECT unnest(string_split_regex(text, '')) AS c FROM documents)
-         WHERE c != '' GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""",
+      """SELECT CAST('0x' || b AS INTEGER) // 16 AS bucket, count(*) AS n_bytes
+         FROM (SELECT unnest(regexp_extract_all(hex(encode(text)), '..')) AS b
+               FROM documents)
+         GROUP BY 1 HAVING count(*) > 0 ORDER BY bucket""",
     "mm3_frame_sample" ->
       """WITH s AS (SELECT
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
