@@ -13,7 +13,7 @@ object Bench {
     // untimed warmup: JVM/codegen/shuffle machinery + parquet footers, so
     // the first timed query measures steady-state, not session startup
     try {
-      graft.Tables.all.foreach(t => graft.Tables.t(spark, sfDir, t).count())
+      graft.Tables.all.foreach(t => graft.Tables.load(spark, sfDir, t).count())
       spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
         .groupBy("k").count().count()
     } catch { case _: Throwable => () }

@@ -39,4 +39,9 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Name-keyed loader that routes `events` through its NANOS-aware
+    * reader — a bare `t(s, d, "events")` throws PARQUET_TYPE_ILLEGAL. */
+  def load(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else t(s, d, name)
 }

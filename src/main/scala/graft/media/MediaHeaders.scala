@@ -112,8 +112,13 @@ object MediaHeaders extends Serializable {
       } else if (id == "data") {
         dataBytes = sz
       }
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
-      if (sz <= 0 && id != "data") return None // malformed: avoid an infinite walk
+      // Advance in Long: sz is an unsigned 32-bit field, so the Int cast
+      // previously let a declared sz near 0xFFFFFFFF wrap to a zero or
+      // negative step (infinite loop / negative index) instead of the
+      // documented None fallback. Chunks are word-aligned.
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      if (next <= i) return None // malformed size: refuse to stall
+      i = if (next > b.length) b.length else next.toInt
     }
     if (channels == 0 || rate <= 0) None
     else Some(MediaMeta("wav", 0, 0, channels, rate,

@@ -43,10 +43,18 @@ object Multimodal {
   // out of scope (no codecs in the container); the swap point is this
   // same UDF.
   private val decodeHeader = udf((payload: Array[Byte], kind: String) => {
-    graft.media.MediaHeaders.parse(payload) match {
-      case Some(m) if m.format == "wav" => (m.channels, m.sampleRate, m.durationSec)
-      case Some(m)                      => (m.width, m.height, 0.0)
-      case None =>
+    // The real-parse path is gated on the sniffed container matching the
+    // row's declared kind: the tuple slots change meaning per kind
+    // ((w,h,–) vs (channels,rate,seconds)), so e.g. a WAV blob filed
+    // under 'image' must NOT leak channels into max_dim — it falls back
+    // to the deterministic fake like any other kind-mismatched blob.
+    val parsed = graft.media.MediaHeaders.parse(payload)
+    parsed match {
+      case Some(m) if m.format == "wav" && kind == "audio" =>
+        (m.channels, m.sampleRate, m.durationSec)
+      case Some(m) if m.format != "wav" && kind == "image" =>
+        (m.width, m.height, 0.0)
+      case _ =>
         val n = payload.length
         kind match {                     // deterministic fake "dimensions"
           case "image" => (n % 640 + 16, n % 480 + 16, 0.0)  // (w, h, –)

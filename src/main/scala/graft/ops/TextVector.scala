@@ -108,12 +108,43 @@ object TextVector {
     * by t4_minhash_lsh and t4_dedup_canonical. Memoized + persisted per
     * (session, dir) so the corpus minhash pass runs ONCE when both t4
     * queries execute in the same session (Verify/Bench do) — the cached
-    * set is only the confirmed pairs, tiny relative to the corpus. */
+    * set is only the confirmed pairs, tiny relative to the corpus.
+    *
+    * Staleness/lifetime: entries carry a fingerprint of the
+    * documents.parquet file listing (name, length, mtime). If the data
+    * under `dir` changes within a session the fingerprint differs, the
+    * stale entry is unpersisted and the pairs recomputed — no
+    * immutable-dir assumption. Entries whose session has stopped are
+    * swept on the next lookup so cached blocks aren't pinned past the
+    * owning session's lifetime. */
   private val t4PairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
 
-  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
-    t4PairCache.getOrElseUpdate((s, d), {
+  /** Digest of the documents.parquet listing under `d` — cheap driver-side
+    * FS metadata only, no data read. */
+  private def dirFingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).sortBy(_.getPath.getName)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .mkString("|")
+  }
+
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = synchronized {
+    t4PairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    val fp = dirFingerprint(s, d)
+    t4PairCache.get((s, d)) match {
+      case Some((`fp`, cached)) => cached
+      case stale =>
+        stale.foreach(_._2.unpersist(blocking = false))
+        val fresh = computeMinhashCandidatePairs(s, d)
+        t4PairCache.put((s, d), (fp, fresh))
+        fresh
+    }
+  }
+
+  private def computeMinhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
       val base = withNearDups(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
@@ -137,7 +168,7 @@ object TextVector {
         .distinct()
         .filter(col("jaccard") >= 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  }
 
   /** T4: MinHash + LSH near-dup detection. 8 deterministic min-hashes
     * (md5 with literal seed suffixes) → 4 bands of 2 → band-bucket
