@@ -118,7 +118,14 @@ object TextVector {
     * swept on the next lookup so cached blocks aren't pinned past the
     * owning session's lifetime. */
   private val t4PairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]
+  // per-(session, dir) lock objects so two sessions (or two dirs) never
+  // serialize each other's minhash pass — only concurrent callers on the
+  // SAME cache entry coordinate. A stale entry is unpersisted while a
+  // racing reader may still hold its DataFrame; Spark recomputes evicted
+  // blocks, so that reader stays correct (slower), never wrong.
+  private val t4Locks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
 
   /** Digest of the documents.parquet listing under `d` — cheap driver-side
     * FS metadata only, no data read. */
@@ -131,16 +138,20 @@ object TextVector {
       .mkString("|")
   }
 
-  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = synchronized {
-    t4PairCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    val fp = dirFingerprint(s, d)
-    t4PairCache.get((s, d)) match {
-      case Some((`fp`, cached)) => cached
-      case stale =>
-        stale.foreach(_._2.unpersist(blocking = false))
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    t4PairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    t4Locks.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (s, d)
+    t4Locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val fp = dirFingerprint(s, d)
+      val cur = t4PairCache.get(key)
+      if (cur != null && cur._1 == fp) cur._2
+      else {
+        if (cur != null) cur._2.unpersist(blocking = false)
         val fresh = computeMinhashCandidatePairs(s, d)
-        t4PairCache.put((s, d), (fp, fresh))
+        t4PairCache.put(key, (fp, fresh))
         fresh
+      }
     }
   }
 
@@ -156,16 +167,28 @@ object TextVector {
       // compiled UDF: Spark's higher-order functions run interpreted, and
       // this inner loop dominated the whole bench. Output is byte-identical
       // to the md5/substr/min SQL the DuckDB oracle runs.
+      //
+      // Shuffle discipline (the 100 TB lever): the exploded band join
+      // carries ONLY (band, key, doc_id) — never the shingle arrays. A
+      // doc's shingle set would otherwise cross the shuffle 8× (4 bands ×
+      // 2 join sides); instead candidate (a_id, b_id) pairs are distinct'd
+      // as bare ids and the shingle sets joined back once per side, so
+      // shuffle volume is O(ids) + 2×O(corpus shingles), not 8×.
       val bands = base
-        .select(col("doc_id"), col("sh"), posexplode(minhashBandKeys(col("sh")))
+        .select(col("doc_id"), posexplode(minhashBandKeys(col("sh")))
           .as(Seq("band", "key")))
-      val a = bands.select(col("band"), col("key"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-      val b = bands.select(col("band"), col("key"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      val a = bands.select(col("band"), col("key"), col("doc_id").as("a_id"))
+      val b = bands.select(col("band"), col("key"), col("doc_id").as("b_id"))
+      val pairs = a.join(b, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .distinct()
+      val sets = base.select(col("doc_id"), col("sh"))
+      pairs
+        .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+        .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
         .select(col("a_id"), col("b_id"),
           round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
             size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard"))
-        .distinct()
         .filter(col("jaccard") >= 0.5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
