@@ -12,7 +12,10 @@ package graft.media
   *  - GIF   (87a/89a): logical screen descriptor → width/height (LE);
   *  - BMP   (BITMAPINFOHEADER): width/height at fixed offsets (LE);
   *  - WAV   (RIFF): `fmt ` chunk → channels/sample-rate, `data` chunk
-  *    size → duration seconds.
+  *    size → duration seconds;
+  *  - MP4   (ISO/IEC 14496-12 ISO-BMFF): box walk to `moov/mvhd` →
+  *    duration/timescale, `moov/trak/tkhd` → width/height (16.16
+  *    fixed point, max over tracks — audio tracks carry 0×0).
   *
   * Used by `graft.ops.Multimodal.decodeHeader` ahead of its synthetic
   * fallback: real blobs parse for real; the synthetic text-payload
@@ -36,6 +39,8 @@ object MediaHeaders extends Serializable {
     else if (b(0) == 'B' && b(1) == 'M') bmp(b)
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b.length >= 12 && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') wav(b)
+    else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p' &&
+      (be32(b, 0) >= 8 || be32(b, 0) == 1)) mp4(b)
     else None
   }
 
@@ -105,23 +110,106 @@ object MediaHeaders extends Serializable {
     while (i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
       val id = new String(b, i, 4, "ISO-8859-1")
       val sz = le32(b, i + 4).toLong & 0xffffffffL
-      if (id == "fmt " && i + 8 + 16 <= b.length) {
+      // sz >= 16: a truncated fmt chunk must not read channels/rate out
+      // of the NEXT chunk's bytes — undersized fmt falls through and the
+      // final channels==0 check rejects the file.
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
         channels = le16(b, i + 10)
         rate = le32(b, i + 12)
         byteRate = le32(b, i + 16)
       } else if (id == "data") {
         dataBytes = sz
       }
-      // Advance in Long: sz is an unsigned 32-bit field, so the Int cast
-      // previously let a declared sz near 0xFFFFFFFF wrap to a zero or
-      // negative step (infinite loop / negative index) instead of the
-      // documented None fallback. Chunks are word-aligned.
+      // Advance in Long: sz is an unsigned 32-bit field, so an Int cast
+      // would let a declared sz near 0xFFFFFFFF wrap to a zero or
+      // negative step (infinite loop / negative index). next is always
+      // > i here; a declared size past the buffer end clamps to b.length
+      // and terminates the walk (streaming WAVs legally declare a data
+      // size larger than what was captured). Chunks are word-aligned.
       val next = i.toLong + 8L + sz + (sz & 1L)
-      if (next <= i) return None // malformed size: refuse to stall
       i = if (next > b.length) b.length else next.toInt
     }
     if (channels == 0 || rate <= 0) None
     else Some(MediaMeta("wav", 0, 0, channels, rate,
       if (dataBytes > 0 && byteRate > 0) dataBytes.toDouble / byteRate else 0.0))
+  }
+
+  private def be64(b: Array[Byte], i: Int): Long =
+    ((be32(b, i).toLong & 0xffffffffL) << 32) | (be32(b, i + 4).toLong & 0xffffffffL)
+
+  /** ISO-BMFF box walk (ISO/IEC 14496-12 §4.2): each box is a big-endian
+    * 32-bit size + 4-char type; size==1 → 64-bit largesize follows;
+    * size==0 → box extends to the end of its parent. `moov/mvhd` carries
+    * movie duration in `timescale` units (version 1 widens the fields to
+    * 64-bit); each `moov/trak/tkhd` carries presentation width/height as
+    * 16.16 fixed point — zero for audio tracks, so the max over tracks
+    * is the video dimensions. */
+  private def mp4(b: Array[Byte]): Option[MediaMeta] = {
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+
+    // visit direct children of [start, end); returns false on a malformed
+    // box header (zero-progress or overrun), which aborts the whole parse
+    def boxes(start: Long, end: Long)(visit: (String, Long, Long) => Boolean): Boolean = {
+      var i = start
+      while (i + 8 <= end) {
+        val sz32 = be32(b, i.toInt).toLong & 0xffffffffL
+        val typ = new String(b, i.toInt + 4, 4, "ISO-8859-1")
+        val (payload, boxEnd) =
+          if (sz32 == 0L) (i + 8, end) // "to end of enclosing box"
+          else if (sz32 == 1L) {
+            if (i + 16 > end) return false
+            (i + 16, i + be64(b, i.toInt + 8))
+          } else (i + 8, i + sz32)
+        if (boxEnd < payload || boxEnd > end) return false
+        if (!visit(typ, payload, boxEnd)) return false
+        i = boxEnd
+      }
+      true
+    }
+
+    def mvhd(p: Long): Boolean = {
+      val v = u8(b, p.toInt)
+      if (v == 1) {
+        if (p + 32 > b.length) return false
+        timescale = be32(b, p.toInt + 20).toLong & 0xffffffffL
+        duration = be64(b, p.toInt + 24)
+      } else {
+        if (p + 20 > b.length) return false
+        timescale = be32(b, p.toInt + 12).toLong & 0xffffffffL
+        duration = be32(b, p.toInt + 16).toLong & 0xffffffffL
+      }
+      true
+    }
+
+    // width/height sit after version+flags, creation/modification/id/
+    // duration (widened in v1), 8 reserved, layer/alt-group/volume/
+    // reserved (8), and the 36-byte transform matrix
+    def tkhd(p: Long): Boolean = {
+      val off = if (u8(b, p.toInt) == 1) 88 else 76
+      if (p + off + 8 > b.length) return false
+      width = math.max(width, be32(b, (p + off).toInt) >>> 16)
+      height = math.max(height, be32(b, (p + off + 4).toInt) >>> 16)
+      true
+    }
+
+    val ok = boxes(0L, b.length.toLong) {
+      case ("moov", mp, mEnd) =>
+        boxes(mp, mEnd) {
+          case ("mvhd", p, _) => mvhd(p)
+          case ("trak", tp, tEnd) =>
+            boxes(tp, tEnd) {
+              case ("tkhd", p, _) => tkhd(p)
+              case _ => true
+            }
+          case _ => true
+        }
+      case _ => true
+    }
+    if (!ok || timescale <= 0L) None
+    else Some(MediaMeta("mp4", width, height, 0, 0,
+      duration.toDouble / timescale))
   }
 }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample stages.
   *
   * The decode stage parses REAL container headers (pure-JVM JPEG/PNG/
-  * GIF/BMP/WAV, `graft.media.MediaHeaders`) and only falls back to a
-  * deterministic fake for blobs with no recognizable magic — which is
+  * GIF/BMP/WAV/MP4, `graft.media.MediaHeaders`) and only falls back to
+  * a deterministic fake for blobs with no recognizable magic — which is
   * every row of the synthetic corpus, keeping the oracle checkable.
   * Full pixel/sample decode stays stubbed (the container ships no
   * codecs); binary schema, per-kind partitioning, UDF signatures over
@@ -35,8 +35,8 @@ object Multimodal {
         col("n_chars"))
 
   // Decode stage: REAL container-header parsing first (pure-JVM JPEG/
-  // PNG/GIF/BMP/WAV via graft.media.MediaHeaders — a real blob yields
-  // its true dimensions / channels / duration), then a deterministic
+  // PNG/GIF/BMP/WAV/MP4 via graft.media.MediaHeaders — a real blob
+  // yields its true dimensions / channels / duration), then a deterministic
   // fake for payloads with no recognizable magic — which is every row
   // of the synthetic text-payload corpus, so the oracle can recompute
   // the fallback from payload length. Full pixel/sample decode remains
@@ -52,7 +52,9 @@ object Multimodal {
     parsed match {
       case Some(m) if m.format == "wav" && kind == "audio" =>
         (m.channels, m.sampleRate, m.durationSec)
-      case Some(m) if m.format != "wav" && kind == "image" =>
+      case Some(m) if m.format == "mp4" && kind == "video" =>
+        (m.width, m.height, m.durationSec)
+      case Some(m) if m.format != "wav" && m.format != "mp4" && kind == "image" =>
         (m.width, m.height, 0.0)
       case _ =>
         val n = payload.length

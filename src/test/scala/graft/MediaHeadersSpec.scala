@@ -77,6 +77,74 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(math.abs(m.durationSec - 3.0) < 1e-9)
   }
 
+  test("WAV: truncated fmt chunk (sz < 16) rejected, not read past") {
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    // fmt declares only 2 payload bytes; the following data chunk's bytes
+    // must NOT be parsed as channels/rate
+    val fmt = Seq[Int]('f', 'm', 't', ' ') ++ le32(2) ++ le16(1)
+    val data = Seq[Int]('d', 'a', 't', 'a') ++ le32(4) ++ Seq(1, 2, 3, 4)
+    val riff = Seq[Int]('R', 'I', 'F', 'F') ++ le32(30) ++ Seq[Int]('W', 'A', 'V', 'E') ++
+      fmt ++ data
+    assert(MediaHeaders.parse(bytes(riff: _*)).isEmpty)
+  }
+
+  private def be16s(v: Int) = Seq((v >> 8) & 0xff, v & 0xff)
+  private def be32s(v: Int) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+
+  /** An ISO-BMFF box: 32-bit big-endian size (8 + payload) + type. */
+  private def box(typ: String, payload: Seq[Int]): Seq[Int] =
+    be32s(8 + payload.size) ++ typ.map(_.toInt) ++ payload
+
+  test("MP4: ftyp + moov/mvhd + trak/tkhd yields dims and duration (v0 boxes)") {
+    val mvhd = box("mvhd", Seq(0, 0, 0, 0) ++   // version 0 + flags
+      be32s(0) ++ be32s(0) ++                   // creation, modification
+      be32s(600) ++ be32s(3000) ++              // timescale 600, duration 3000 → 5 s
+      be32s(0x00010000) ++ be16s(0x0100) ++ Seq.fill(10)(0) ++ // rate, volume, reserved
+      Seq.fill(36)(0) ++ Seq.fill(24)(0) ++ be32s(2))
+    val tkhdVideo = box("tkhd", Seq(0, 0, 0, 7) ++
+      be32s(0) ++ be32s(0) ++ be32s(1) ++ be32s(0) ++ be32s(3000) ++ // c/m/id/res/dur
+      Seq.fill(8)(0) ++ Seq.fill(8)(0) ++ Seq.fill(36)(0) ++
+      be32s(640 << 16) ++ be32s(360 << 16))     // 16.16 fixed 640x360
+    val tkhdAudio = box("tkhd", Seq(0, 0, 0, 7) ++
+      be32s(0) ++ be32s(0) ++ be32s(2) ++ be32s(0) ++ be32s(3000) ++
+      Seq.fill(8)(0) ++ Seq.fill(8)(0) ++ Seq.fill(36)(0) ++
+      be32s(0) ++ be32s(0))                     // audio track: 0x0
+    val moov = box("moov", mvhd ++ box("trak", tkhdVideo) ++ box("trak", tkhdAudio))
+    val ftyp = box("ftyp", "isom".map(_.toInt) ++ be32s(0x200) ++ "isomiso2".map(_.toInt))
+    val m = MediaHeaders.parse(bytes((ftyp ++ moov): _*)).get
+    assert(m.format == "mp4" && m.width == 640 && m.height == 360)
+    assert(math.abs(m.durationSec - 5.0) < 1e-9)
+  }
+
+  test("MP4: version-1 mvhd/tkhd (64-bit fields) parse at their widened offsets") {
+    def be64s(v: Long) = be32s((v >> 32).toInt) ++ be32s(v.toInt)
+    val mvhd = box("mvhd", Seq(1, 0, 0, 0) ++
+      be64s(0L) ++ be64s(0L) ++                 // creation, modification (64-bit)
+      be32s(90000) ++ be64s(450000L) ++         // timescale 90000, duration 450000 → 5 s
+      be32s(0x00010000) ++ be16s(0x0100) ++ Seq.fill(10)(0) ++ Seq.fill(36)(0) ++
+      Seq.fill(24)(0) ++ be32s(2))
+    val tkhd = box("tkhd", Seq(1, 0, 0, 7) ++
+      be64s(0L) ++ be64s(0L) ++ be32s(1) ++ be32s(0) ++ be64s(450000L) ++
+      Seq.fill(8)(0) ++ Seq.fill(8)(0) ++ Seq.fill(36)(0) ++
+      be32s(1920 << 16) ++ be32s(1080 << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val ftyp = box("ftyp", "isom".map(_.toInt) ++ be32s(0x200))
+    val m = MediaHeaders.parse(bytes((ftyp ++ moov): _*)).get
+    assert(m.width == 1920 && m.height == 1080)
+    assert(math.abs(m.durationSec - 5.0) < 1e-9)
+  }
+
+  test("MP4: malformed box size (overruns buffer) and missing mvhd → None") {
+    val ftyp = box("ftyp", "isom".map(_.toInt) ++ be32s(0x200))
+    // moov declares a size far past the end of the buffer
+    val badMoov = be32s(9999) ++ "moov".map(_.toInt) ++ Seq.fill(8)(0)
+    assert(MediaHeaders.parse(bytes((ftyp ++ badMoov): _*)).isEmpty)
+    // well-formed boxes but no mvhd anywhere → no timescale → None
+    val noMvhd = box("moov", box("trak", Seq.fill(12)(0)))
+    assert(MediaHeaders.parse(bytes((ftyp ++ noMvhd): _*)).isEmpty)
+  }
+
   test("unrecognized payloads (the synthetic corpus) parse as None") {
     assert(MediaHeaders.parse("plain text payload, no magic".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)
