@@ -217,8 +217,10 @@ object Extraction {
     * economics. */
   case class ResourceRow(category: String, tonnes: Double, grade: Double,
     grade_unit: String, metal: String, contained_metal: Double, contained_unit: String)
-  case class Economics(capex_usd: Option[Double], opex_usd: Option[Double],
-    npv_usd: Option[Double], irr_pct: Option[Double])
+  /** One stated unit-cost actual, e.g. (mining_owner, 143.0, USD/t). */
+  case class OpexItem(basis: String, usd: Double, unit: String)
+  case class Economics(capex_usd: Option[Double], opex: Seq[OpexItem],
+    opex_usd: Option[Double], npv_usd: Option[Double], irr_pct: Option[Double])
   case class MiningReport(doc_hash: String, source_system: String,
     resources: Seq[ResourceRow], reserves: Seq[ResourceRow], economics: Economics)
 
@@ -238,11 +240,23 @@ object Extraction {
     // economics come from the pdf_economics extraction (broadcast: one
     // row per doc), not hardcoded — capex/NPV/IRR are
     // extracted-with-null-fallback, so a report that does state them
-    // would populate the nested model with no code change. opex_usd
-    // stays null: the report states five disaggregated unit-cost
-    // actuals (per-tonne / per-ounce), not one total OPEX figure.
+    // would populate the nested model with no code change. The five
+    // disaggregated unit-cost actuals ride in `opex` (basis/usd/unit
+    // structs, absent ones filtered out); opex_usd stays null because
+    // the report never states one total OPEX figure — per-tonne and
+    // per-ounce bases don't sum.
+    def opexItem(basis: String, c: String, unit: String) =
+      struct(lit(basis).as("basis"), col(c).as("usd"), lit(unit).as("unit"))
     val econ = pdf_economics(s, d).select(
-      col("doc_hash"), col("capex_usd"), col("npv_usd"), col("irr_pct"))
+      col("doc_hash"), col("capex_usd"),
+      filter(array(
+        opexItem("mining_owner", "opex_mining_owner", "USD/t"),
+        opexItem("mining_contractor", "opex_mining_contractor", "USD/oz"),
+        opexItem("mining_artisanal", "opex_mining_artisanal", "USD/oz"),
+        opexItem("processing", "opex_processing", "USD/t"),
+        opexItem("ga", "opex_ga", "USD/t")),
+        x => x.getField("usd").isNotNull).as("opex"),
+      col("npv_usd"), col("irr_pct"))
     flat.groupBy(col("doc_hash"), col("source_system"))
       .agg(
         sort_array(collect_list(when(col("kind") === "resource", rowStruct))).as("resources"),
@@ -250,10 +264,11 @@ object Extraction {
       .join(broadcast(econ), Seq("doc_hash"), "left")
       .withColumn("economics", struct(
         col("capex_usd"),
+        col("opex"),
         lit(null).cast("double").as("opex_usd"),
         col("npv_usd"),
         col("irr_pct")))
-      .drop("capex_usd", "npv_usd", "irr_pct")
+      .drop("capex_usd", "opex", "npv_usd", "irr_pct")
       .as[MiningReport]
   }
 

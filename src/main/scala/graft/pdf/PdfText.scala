@@ -21,18 +21,42 @@ import scala.collection.mutable.ArrayBuffer
   *    extraction; per-glyph kerning arrays like `[(4.)-2 (1)]TJ`
   *    concatenate correctly).
   *
-  * Known limitations (documented per TEST:63): hex strings decode as
-  * single-byte (Latin-1) codes — no CID/Type0 multi-byte fonts, no
-  * ToUnicode mapping — which the reference corpus doesn't require. The
-  * UDF signature (`Array[Byte] => Seq[String]`) is the swap point for
-  * PDFBox/Tika where dependencies exist.
+  * CID/Type0 multi-byte fonts: every ToUnicode CMap stream in the
+  * document (`beginbfchar`/`beginbfrange` sections, PDF 32000-1 §9.10.3)
+  * is parsed into one merged 2-byte-code → UTF-16 map. A hex show
+  * string whose byte count is even and whose 2-byte codes ALL have CMap
+  * entries decodes through the map (the CID path); anything else keeps
+  * the single-byte Latin-1 reading, so documents without CID fonts —
+  * the reference corpus included — are byte-for-byte unchanged.
+  *
+  * Known limitations (documented per TEST:63): CID codes inside literal
+  * `(…)` strings are not mapped (CID generators emit hex strings), and
+  * fonts are not resolved per show-op — the merged document-level map
+  * stands in for per-font CMaps, which collide only if two fonts assign
+  * the same 2-byte code. The UDF signature
+  * (`Array[Byte] => Seq[String]`) is the swap point for PDFBox/Tika
+  * where dependencies exist.
   */
 object PdfText extends Serializable {
 
   /** Extract per-content-stream text blocks ("pages": the corpus emits
     * one content stream per page). */
   def pages(bytes: Array[Byte]): Seq[String] = {
+    val streams = inflatedStreams(bytes)
+    val cmap = toUnicodeMap(streams)
     val out = ArrayBuffer.empty[String]
+    streams.foreach { cs =>
+      if (containsShowOp(cs)) {
+        val t = extractText(cs, cmap)
+        if (t.exists(!_.isWhitespace)) out += normalize(t)
+      }
+    }
+    out.toSeq
+  }
+
+  /** All FlateDecode-able stream bodies, in document order. */
+  private def inflatedStreams(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = ArrayBuffer.empty[Array[Byte]]
     var i = 0
     while (i >= 0 && i < bytes.length) {
       val j = indexOf(bytes, "stream", i)
@@ -44,12 +68,7 @@ object PdfText extends Serializable {
         val e = indexOf(bytes, "endstream", k)
         if (e < 0) { i = -1 }
         else {
-          inflate(bytes, k, e).foreach { cs =>
-            if (containsShowOp(cs)) {
-              val t = extractText(cs)
-              if (t.exists(!_.isWhitespace)) out += normalize(t)
-            }
-          }
+          inflate(bytes, k, e).foreach(out += _)
           i = e + 9
         }
       }
@@ -91,9 +110,82 @@ object PdfText extends Serializable {
   private def containsShowOp(cs: Array[Byte]): Boolean =
     indexOf(cs, "Tj", 0) >= 0 || indexOf(cs, "TJ", 0) >= 0
 
+  private val bfCharBlock = "(?s)beginbfchar(.*?)endbfchar".r
+  private val bfRangeBlock = "(?s)beginbfrange(.*?)endbfrange".r
+  private val bfCharPair = "<([0-9A-Fa-f]{4})>\\s*<([0-9A-Fa-f]+)>".r
+  private val bfRangeLine =
+    "(?s)<([0-9A-Fa-f]{4})>\\s*<([0-9A-Fa-f]{4})>\\s*(?:<([0-9A-Fa-f]+)>|\\[(.*?)\\])".r
+  private val hexToken = "<([0-9A-Fa-f]+)>".r
+
+  /** dst hex (UTF-16BE code units) → string; generators that emit a
+    * short dst (e.g. `<6C>`) get zero-padded to a full code unit. */
+  private def utf16Dst(hex: String): String = {
+    val h = "0" * ((4 - hex.length % 4) % 4) + hex
+    new String(h.grouped(4).map(Integer.parseInt(_, 16).toChar).toArray)
+  }
+
+  /** Merged 2-byte-code → unicode map from every ToUnicode CMap stream
+    * (identified by its bfchar/bfrange sections). Only 4-hex-digit
+    * source codes participate: 1-byte simple-font CMaps must not
+    * reinterpret ordinary Latin-1 hex strings. */
+  private def toUnicodeMap(streams: Seq[Array[Byte]]): Map[Int, String] = {
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    streams.foreach { cs =>
+      if (indexOf(cs, "beginbfchar", 0) >= 0 || indexOf(cs, "beginbfrange", 0) >= 0) {
+        val txt = new String(cs, "ISO-8859-1")
+        bfCharBlock.findAllMatchIn(txt).foreach { blk =>
+          bfCharPair.findAllMatchIn(blk.group(1)).foreach { p =>
+            m.getOrElseUpdate(Integer.parseInt(p.group(1), 16), utf16Dst(p.group(2)))
+          }
+        }
+        bfRangeBlock.findAllMatchIn(txt).foreach { blk =>
+          bfRangeLine.findAllMatchIn(blk.group(1)).foreach { r =>
+            val lo = Integer.parseInt(r.group(1), 16)
+            val hi = Integer.parseInt(r.group(2), 16)
+            if (r.group(3) != null) {
+              // <lo> <hi> <dstStart>: the LAST UTF-16 code unit increments
+              val base = utf16Dst(r.group(3)).toCharArray
+              var c = lo
+              while (c <= hi) {
+                val d = base.clone()
+                d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
+                m.getOrElseUpdate(c, new String(d))
+                c += 1
+              }
+            } else {
+              // <lo> <hi> [<d1> <d2> …]: one explicit dst per code
+              val dsts = hexToken.findAllMatchIn(r.group(4)).map(_.group(1)).toSeq
+              dsts.zipWithIndex.foreach { case (d, k) =>
+                if (lo + k <= hi) m.getOrElseUpdate(lo + k, utf16Dst(d))
+              }
+            }
+          }
+        }
+      }
+    }
+    m.toMap
+  }
+
+  /** CID path: an even-byte hex string whose 2-byte codes ALL map
+    * decodes through the CMap; any miss keeps the Latin-1 reading. */
+  private def decodeCid(raw: String, cmap: Map[Int, String]): String = {
+    if (cmap.isEmpty || raw.isEmpty || raw.length % 2 != 0) return raw
+    val sb = new StringBuilder
+    var i = 0
+    while (i < raw.length) {
+      val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+      cmap.get(code) match {
+        case Some(u) => sb.append(u)
+        case None => return raw
+      }
+      i += 2
+    }
+    sb.toString
+  }
+
   /** Tokenize a content stream: literal strings accumulate on a pending
     * stack; show operators flush them to output. */
-  private def extractText(cs: Array[Byte]): String = {
+  private def extractText(cs: Array[Byte], cmap: Map[Int, String]): String = {
     val sb = new StringBuilder
     val pending = new StringBuilder
     var i = 0
@@ -154,7 +246,7 @@ object PdfText extends Serializable {
         }
         if (ok && j < n) {
           if (hi >= 0) buf.append((hi << 4).toChar)
-          pending.append(buf)
+          pending.append(decodeCid(buf.toString, cmap))
           i = j + 1
         } else i += 1
       } else if (c == 'T' && i + 1 < n && ((cs(i + 1) & 0xff) == 'j' || (cs(i + 1) & 0xff) == 'J')) {

@@ -140,4 +140,37 @@ class ExtractionSpec extends SparkTestBase {
     val pages = PdfText.pages(miniPdf(cs))
     assert(pages.nonEmpty && pages.head.trim == "ok", pages.mkString("|"))
   }
+
+  /** A ToUnicode CMap as other PDF generators emit it (PDF 32000-1
+    * §9.10.3): bfchar singles, an incrementing bfrange, and an
+    * array-form bfrange. Codes are 2-byte (Identity-H style). */
+  private val cidCmap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin begincmap
+      |/CMapName /Adobe-Identity-UCS def
+      |1 begincodespacerange <0000> <FFFF> endcodespacerange
+      |2 beginbfchar
+      |<0041> <0048>
+      |<0042> <0065>
+      |endbfchar
+      |2 beginbfrange
+      |<0100> <0104> <006C>
+      |<0200> <0201> [<0057> <0021>]
+      |endbfrange
+      |endcmap end end""".stripMargin
+
+  test("CID/Type0: 2-byte hex codes decode through the ToUnicode CMap") {
+    // 0041→H 0042→e, range 0100..0104→l.. so 0100 0100 0103 → l l o
+    val content = "BT <00410042010001000103> Tj <02000201> Tj ET"
+    val pages = PdfText.pages(miniPdf(cidCmap) ++ miniPdf(content))
+    assert(pages == Seq("Hello W!"), pages.mkString("|"))
+  }
+
+  test("CID fallback: hex strings with unmapped or odd-length codes stay Latin-1") {
+    // <4F4B> pairs to code 0x4F4B — not in the CMap → single-byte "OK";
+    // <48656C6C6F> is 5 bytes (odd) → can never be 2-byte codes → "Hello"
+    val content = "BT <4F4B> Tj <48656C6C6F> Tj ET"
+    val pages = PdfText.pages(miniPdf(cidCmap) ++ miniPdf(content))
+    assert(pages == Seq("OK Hello"), pages.mkString("|"))
+  }
 }

@@ -153,6 +153,15 @@ class ScaleDesignSpec extends SparkTestBase {
       Set("Proven", "Probable", "Proven + Probable"))
     assert(r.economics.npv_usd.isEmpty && r.economics.irr_pct.isEmpty)
     assert(r.resources.forall(x => x.grade_unit == "g/t" && x.metal == "Au"))
+    // the five stated OPEX actuals ride in the nested model (PDF p.11-12
+    // §1.11 / Tables 21-1..21-3); the single-figure opex_usd stays null
+    assert(r.economics.opex.map(o => (o.basis, o.usd, o.unit)).toSet == Set(
+      ("mining_owner", 143.0, "USD/t"),
+      ("mining_contractor", 823.0, "USD/oz"),
+      ("mining_artisanal", 1291.0, "USD/oz"),
+      ("processing", 35.0, "USD/t"),
+      ("ga", 26.0, "USD/t")))
+    assert(r.economics.opex_usd.isEmpty)
   }
 
   test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {
