@@ -155,7 +155,9 @@ object TextVector {
     }
   }
 
-  private def computeMinhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  // private[graft] so ScaleDesignSpec can pin the shuffle shape of a
+  // FRESH (un-memoized) candidate plan
+  private[graft] def computeMinhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
       val base = withNearDups(s, d)
         .select(col("doc_id"), toks(col("text")).as("t"))
         .filter(size(col("t")) >= 3)
