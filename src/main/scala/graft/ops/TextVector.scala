@@ -510,6 +510,104 @@ object TextVector {
       .orderBy("lang")
   }
 
+  /** T18: benchmark decontamination — the training-data hygiene step:
+    * flag training docs sharing ≥ 5 distinct 3-gram shingles with any
+    * benchmark doc. Benchmark = docs 0–20; "training set" = everything
+    * else including the planted near-dup copies (ids +1,000,000), which
+    * are guaranteed contamination. Scale shape: inverted-index equi-join
+    * on the shingle — the benchmark side is tiny and broadcast, the
+    * corpus side streams; never all-pairs, never a corpus shuffle. */
+  def t18_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", shingle3(col("t")))
+    val bench = base.filter(col("doc_id") <= 20)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+    val train = base.filter(col("doc_id") > 20)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("train_id", "bench_id")
+  }
+
+  private val emailRe = "[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\\.[A-Za-z]+"
+  private val phoneRe = "555-[0-9]{4}"
+
+  /** T19: PII detection + redaction — regex scrub with an audit trail.
+    * The synthetic corpus carries no PII, so deterministic addresses /
+    * numbers are planted first (doc_id-keyed, so the oracle replants
+    * identically); output = per-doc match counts, chars removed, and
+    * the md5 of the redacted text so the oracle verifies the actual
+    * scrubbed bytes, not just the counts. Per-row expressions only —
+    * embarrassingly parallel at any scale. */
+  def t19_pii_redact(s: SparkSession, d: String): DataFrame = {
+    val planted = documents(s, d)
+      .filter(col("doc_id") <= 300)
+      .select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0, lit(" call 555-0199 now")).otherwise(""))
+        .as("text"))
+    val redacted = regexp_replace(regexp_replace(col("text"), emailRe, "[EMAIL]"),
+      phoneRe, "[PHONE]")
+    planted.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).as("n_phones"),
+      (length(col("text")) - length(redacted)).as("chars_redacted"),
+      md5(redacted).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** T20: near-dup clusters — connected components over the confirmed
+    * pair graph (shared persisted stage with t4). Pairwise drop (T4b)
+    * is correct only for star-shaped duplicates; chains A~B~C need the
+    * transitive closure to pick ONE canonical per component. Hash-Min
+    * label propagation: every node adopts the min doc_id reachable;
+    * O(component diameter) supersteps, each one shuffle of (id, label)
+    * pairs only — the standard MapReduce-CC shape that holds at 100 TB
+    * (near-dup components are shallow: diameter is small even when the
+    * corpus isn't). Output is the per-cluster summary, checksummed so
+    * the oracle catches any membership difference. */
+  def t20_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashCandidatePairs(s, d).select(col("a_id"), col("b_id"))
+    val sym = pairs.unionByName(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var labels = sym.select(col("a_id").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    // per-node labels are monotonically non-increasing (new = min(own,
+    // neighbors')), so the fixpoint test is one cheap aggregate: the
+    // global label sum is unchanged iff NO node changed — no
+    // prev-vs-next join needed.
+    var labelSum = labels.agg(sum("label")).first().getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      // one superstep: a node's new label = min(own, neighbors' labels).
+      // At real scale each superstep would checkpoint to cut lineage;
+      // here persist+unpersist per step keeps the loop re-runnable.
+      val viaNbr = sym.join(labels, sym("b_id") === labels("id"))
+        .select(sym("a_id").as("id"), col("label"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("label").as("label")).persist(lvl)
+      val nextSum = next.agg(sum("label")).first().getLong(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = nextSum == labelSum
+      labelSum = nextSum
+      iters += 1
+    }
+    labels.groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"), sum(col("id")).as("member_checksum"))
+      .orderBy("canonical_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -529,6 +627,9 @@ object TextVector {
     "t15_token_count" -> (t15_token_count _),
     "t16_fingerprint" -> (t16_fingerprint _),
     "t17_sampling" -> (t17_sampling _),
+    "t18_decontaminate" -> (t18_decontaminate _),
+    "t19_pii_redact" -> (t19_pii_redact _),
+    "t20_dedup_clusters" -> (t20_dedup_clusters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -773,5 +874,79 @@ object TextVector {
            FROM documents)
          SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM s WHERE bucket < 10 GROUP BY lang ORDER BY lang""",
+    "t18_decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3),
+         bench AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh WHERE doc_id <= 20),
+         train AS (SELECT doc_id AS train_id, unnest(sh) AS shingle FROM sh WHERE doc_id > 20)
+         SELECT train_id, bench_id, count(*) AS n_shared
+         FROM train JOIN bench USING (shingle)
+         GROUP BY train_id, bench_id
+         HAVING count(*) >= 5
+         ORDER BY train_id, bench_id""",
+    "t19_pii_redact" ->
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             (CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE '' END) ||
+             (CASE WHEN doc_id % 11 = 0 THEN ' call 555-0199 now' ELSE '' END) AS text
+           FROM documents WHERE doc_id <= 300),
+         r AS (
+           SELECT doc_id, text,
+             regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]+', '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+           FROM planted)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%-]+@[A-Za-z0-9.-]+\.[A-Za-z]+')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS INTEGER) AS n_phones,
+           CAST(length(text) - length(redacted) AS INTEGER) AS chars_redacted,
+           md5(redacted) AS redacted_md5
+         FROM r ORDER BY doc_id""",
+    "t20_dedup_clusters" ->
+      """WITH RECURSIVE corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3),
+         sig AS (
+           SELECT doc_id, sh, list_transform(range(0, 8),
+             k -> list_min(list_transform(ms, m -> substr(m || m, CAST(k*3+1 AS INTEGER), 12)))) AS mh
+           FROM (SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS ms FROM sh)),
+         bands AS (
+           SELECT doc_id, sh, unnest(list_transform(range(0, 4),
+             b -> {band: b, key: mh[2*b+1] || mh[2*b+2]}), recursive := true)
+           FROM sig),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+             AND a.doc_id < b.doc_id
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.5),
+         sym AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION
+           SELECT b_id, a_id FROM pairs),
+         reach AS (
+           SELECT src, dst FROM sym
+           UNION
+           SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         SELECT canonical_id, count(*) AS cluster_size,
+           CAST(sum(id) AS BIGINT) AS member_checksum
+         FROM (SELECT src AS id, least(src, min(dst)) AS canonical_id
+               FROM reach GROUP BY src)
+         GROUP BY canonical_id ORDER BY canonical_id""",
   )
 }

@@ -89,4 +89,50 @@ class TextVectorSpec extends SparkTestBase {
       assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("decontamination flags every benchmark doc's planted copy") {
+    val hits = ops.TextVector.t18_decontaminate(spark, sf)
+      .select($"train_id", $"bench_id").as[(Long, Long)].collect().toSet
+    // the near-dup copy of bench doc b (id b+1,000,000) shares all but
+    // ~2 of its 3-gram shingles with b — must always be flagged
+    (0L to 20L).foreach { b =>
+      assert(hits.contains((b + 1000000L, b)), s"copy of bench doc $b not flagged")
+    }
+    // no doc is flagged against itself
+    assert(hits.forall { case (t, b) => t != b })
+  }
+
+  test("PII redaction: planted PII found and scrubbed, clean docs untouched") {
+    val rows = ops.TextVector.t19_pii_redact(spark, sf)
+      .select($"doc_id", $"n_emails", $"n_phones", $"chars_redacted")
+      .as[(Long, Int, Int, Int)].collect()
+    rows.foreach { case (id, em, ph, saved) =>
+      assert(em == (if (id % 7 == 0) 1 else 0), s"doc $id emails=$em")
+      assert(ph == (if (id % 11 == 0) 1 else 0), s"doc $id phones=$ph")
+      // redaction shortens iff something matched
+      assert((saved > 0) == (em + ph > 0), s"doc $id saved=$saved")
+    }
+  }
+
+  test("near-dup clusters: canonical is the component min, members partition the nodes") {
+    val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val clusters = ops.TextVector.t20_dedup_clusters(spark, sf)
+      .select($"canonical_id", $"cluster_size", $"member_checksum")
+      .as[(Long, Long, Long)].collect()
+    // every clustered node count sums to the distinct pair endpoints
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(clusters.map(_._2).sum == nodes.size)
+    assert(clusters.forall(_._2 >= 2), "singleton cluster from a pair graph")
+    // reference CC via union-find on the driver — same components
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = nodes.groupBy(find).map { case (_, ms) =>
+      (ms.min, ms.size.toLong, ms.sum) }.toSet
+    assert(clusters.toSet == expect)
+  }
 }
