@@ -608,6 +608,47 @@ object TextVector {
       .orderBy("canonical_id")
   }
 
+  /** T21: domain-mix quota sampling — per-source target rates (the
+    * "mixture weights" step of training-data assembly: upsample rare
+    * high-quality domains, downsample bulk ones). Same md5 hash-mod
+    * bucket as T17 so selection is exactly reproducible anywhere and
+    * stable under repartitioning; the quota is a pure function of the
+    * source id, so the whole op is one scan + one small aggregate. */
+  def t21_quota_sample(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val quota = when(srcNum % 4 === 0, 40)
+      .when(srcNum % 4 === 1, 20)
+      .when(srcNum % 4 === 2, 10)
+      .otherwise(5)
+    documents(s, d)
+      .withColumn("quota_pct", quota)
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+      .groupBy("source", "quota_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("quota_pct"), 1).otherwise(0)).as("n_sampled"),
+        coalesce(sum(when(col("bucket") < col("quota_pct"), col("doc_id"))), lit(0L))
+          .as("id_checksum"))
+      .orderBy("source")
+  }
+
+  /** T22: int8 embedding quantization — the vector-store prep step:
+    * symmetric per-vector scale (127 / max|x|), quantized lanes emitted
+    * serialized so the oracle checks every lane, not just stats.
+    * Per-row expressions only; at scale this is a map-only pass. */
+  def t22_embed_quantize(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
+      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0d / max_abs) as int))"))
+      .select(col("vec_id"),
+        round(col("max_abs"), 6).as("scale_max_abs"),
+        expr("array_min(q)").as("q_min"),
+        expr("array_max(q)").as("q_max"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+        concat_ws(",", col("q")).as("q_vec"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -630,6 +671,8 @@ object TextVector {
     "t18_decontaminate" -> (t18_decontaminate _),
     "t19_pii_redact" -> (t19_pii_redact _),
     "t20_dedup_clusters" -> (t20_dedup_clusters _),
+    "t21_quota_sample" -> (t21_quota_sample _),
+    "t22_embed_quantize" -> (t22_embed_quantize _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -948,5 +991,31 @@ object TextVector {
          FROM (SELECT src AS id, least(src, min(dst)) AS canonical_id
                FROM reach GROUP BY src)
          GROUP BY canonical_id ORDER BY canonical_id""",
+    "t21_quota_sample" ->
+      """WITH q AS (
+           SELECT source, doc_id,
+             (CASE CAST(regexp_extract(source, '(\d+)', 1) AS INTEGER) % 4
+                WHEN 0 THEN 40 WHEN 1 THEN 20 WHEN 2 THEN 10 ELSE 5 END) AS quota_pct,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT source, quota_pct,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < quota_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(CASE WHEN bucket < quota_pct THEN doc_id END), 0) AS BIGINT) AS id_checksum
+         FROM q GROUP BY source, quota_pct ORDER BY source""",
+    "t22_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
+         qv AS (SELECT vec_id, max_abs,
+                 list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER)) AS q
+                FROM m)
+         SELECT vec_id,
+           round(max_abs, 6) AS scale_max_abs,
+           CAST(list_min(q) AS INTEGER) AS q_min,
+           CAST(list_max(q) AS INTEGER) AS q_max,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS q_vec
+         FROM qv ORDER BY vec_id""",
   )
 }

@@ -114,6 +114,37 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("quota sampling: rates follow the domain-mix table, sample within bounds") {
+    val rows = ops.TextVector.t21_quota_sample(spark, sf)
+      .select($"source", $"quota_pct", $"n_docs", $"n_sampled")
+      .as[(String, Int, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, quota, nDocs, nSampled) =>
+      val expect = "(\\d+)".r.findFirstIn(src).get.toInt % 4 match {
+        case 0 => 40; case 1 => 20; case 2 => 10; case _ => 5
+      }
+      assert(quota == expect, s"$src quota=$quota")
+      assert(nSampled <= nDocs)
+    }
+    // deterministic: a second run selects the identical sample
+    val again = ops.TextVector.t21_quota_sample(spark, sf)
+      .select($"source", $"n_sampled").as[(String, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._4).toMap == again)
+  }
+
+  test("int8 quantization: 64 lanes, |q| <= 127, extreme lane hits full scale") {
+    val rows = ops.TextVector.t22_embed_quantize(spark, sf)
+      .select($"vec_id", $"q_min", $"q_max", $"q_vec")
+      .as[(Long, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, qMin, qMax, qVec) =>
+      assert(qVec.split(",").length == 64, s"vec $id lane count")
+      assert(qMin >= -127 && qMax <= 127, s"vec $id out of int8 range")
+      // the lane holding max|x| quantizes to exactly ±127 by construction
+      assert(qMax == 127 || qMin == -127, s"vec $id full-scale lane missing")
+    }
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
