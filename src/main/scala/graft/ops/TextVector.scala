@@ -649,6 +649,72 @@ object TextVector {
         concat_ws(",", col("q")).as("q_vec"))
       .orderBy("vec_id")
 
+  /** T23: sequence packing — the training-data assembly step that
+    * concatenates documents and chunks the token stream at a fixed
+    * sequence length (GPT-style packing: docs spanning a boundary are
+    * split across sequences). Docs pack independently per shard
+    * (doc_id % 8), so at 100 TB the window cumsum runs per shard
+    * partition — thousands of shards, no global-sort bottleneck — and
+    * the layout is a pure function of (doc_id, n_tokens): reproducible
+    * on any engine, stable under repartitioning. */
+  def t23_seq_pack(s: SparkSession, d: String): DataFrame = {
+    val seqLen = 256
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(toks(col("text"))).as("n_toks"))
+      .withColumn("end_off", sum(col("n_toks")).over(w))
+      .withColumn("first_seq", floor((col("end_off") - col("n_toks")) / seqLen))
+      .withColumn("last_seq", floor((col("end_off") - 1) / seqLen))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        (max(col("last_seq")) + 1).as("n_seqs"),
+        sum(when(col("last_seq") > col("first_seq"), 1).otherwise(0))
+          .as("n_boundary_spanning"),
+        sum(col("first_seq")).as("seq_checksum"))
+      .orderBy("shard")
+  }
+
+  /** T24: within-document repetition filter (Gopher-style quality
+    * rules): duplicate-token fraction and most-frequent-bigram fraction
+    * per doc; docs exceeding either threshold are flagged. Thresholds
+    * sit above the real corpus envelope (p95 dup 0.69 / top-bigram
+    * 0.09, max 0.72 / 0.17 at sf0.01), so the planted degenerate docs
+    * ("a b a b …", ids +2,000,000 for doc_id % 13 == 0) are guaranteed
+    * catches. Per-doc bigram counting is a (doc_id, bigram)-keyed agg —
+    * embarrassingly parallel, no cross-doc shuffle at any scale. */
+  def t24_repetition_filter(s: SparkSession, d: String): DataFrame = {
+    val real = documents(s, d).select(col("doc_id"), col("text"))
+    val planted = real
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", expr(
+          "array_repeat(concat_ws(' ', element_at(split(text, ' '), 1), element_at(split(text, ' '), 2)), 20)"))
+          .as("text"))
+    val docs = real.unionByName(planted)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n_toks", size(col("t")))
+      .withColumn("n_distinct", size(array_distinct(col("t"))))
+    val bigramStats = docs
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+    docs.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        round(lit(1.0) - col("n_distinct") / col("n_toks"), 6).as("dup_token_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        round(coalesce(col("top_bigram_n") / col("n_bigrams"), lit(0.0)), 6)
+          .as("top_bigram_frac"))
+      .withColumn("flagged",
+        col("dup_token_frac") > 0.75 || col("top_bigram_frac") > 0.20)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -673,6 +739,8 @@ object TextVector {
     "t20_dedup_clusters" -> (t20_dedup_clusters _),
     "t21_quota_sample" -> (t21_quota_sample _),
     "t22_embed_quantize" -> (t22_embed_quantize _),
+    "t23_seq_pack" -> (t23_seq_pack _),
+    "t24_repetition_filter" -> (t24_repetition_filter _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1017,5 +1085,59 @@ object TextVector {
            CAST(list_sum(q) AS BIGINT) AS q_sum,
            list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS q_vec
          FROM qv ORDER BY vec_id""",
+    "t23_seq_pack" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents),
+         o AS (
+           SELECT shard, n_toks,
+                  sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_off
+           FROM t),
+         p AS (
+           SELECT shard, n_toks,
+                  CAST(floor((end_off - n_toks) / 256.0) AS BIGINT) AS first_seq,
+                  CAST(floor((end_off - 1) / 256.0) AS BIGINT) AS last_seq
+           FROM o)
+         SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+           CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boundary_spanning,
+           CAST(sum(first_seq) AS BIGINT) AS seq_checksum
+         FROM p GROUP BY shard ORDER BY shard""",
+    "t24_repetition_filter" ->
+      """WITH real_docs AS (SELECT doc_id, text FROM documents),
+         planted AS (
+           SELECT doc_id + 2000000 AS doc_id,
+                  trim(repeat(string_split(text, ' ')[1] || ' ' ||
+                              string_split(text, ' ')[2] || ' ', 20)) AS text
+           FROM real_docs WHERE doc_id % 13 = 0),
+         docs AS (
+           SELECT doc_id, string_split(text, ' ') AS tk
+           FROM (SELECT * FROM real_docs UNION ALL SELECT * FROM planted)),
+         d AS (
+           SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n_toks,
+                  len(list_distinct(tk)) AS n_distinct
+           FROM docs),
+         b AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(tk)),
+                    i -> tk[CAST(i AS INTEGER)] || ' ' || tk[CAST(i AS INTEGER) + 1])) AS bigram
+           FROM d WHERE len(tk) >= 2),
+         bc AS (SELECT doc_id, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+         bt AS (
+           SELECT doc_id, CAST(max(n) AS BIGINT) AS top_bigram_n,
+                  CAST(sum(n) AS BIGINT) AS n_bigrams
+           FROM bc GROUP BY 1)
+         SELECT d.doc_id, n_toks,
+           round(1.0 - n_distinct * 1.0 / n_toks, 6) AS dup_token_frac,
+           coalesce(top_bigram_n, 0) AS top_bigram_n,
+           round(coalesce(top_bigram_n * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_frac,
+           (round(1.0 - n_distinct * 1.0 / n_toks, 6) > 0.75 OR
+            round(coalesce(top_bigram_n * 1.0 / n_bigrams, 0.0), 6) > 0.20) AS flagged
+         FROM d LEFT JOIN bt USING (doc_id) ORDER BY d.doc_id""",
   )
 }

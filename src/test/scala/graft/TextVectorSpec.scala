@@ -145,6 +145,37 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing: dense per shard, boundary-spanning docs bounded") {
+    val rows = ops.TextVector.t23_seq_pack(spark, sf)
+      .select($"shard", $"n_docs", $"total_tokens", $"n_seqs", $"n_boundary_spanning")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0L to 7L))
+    val corpusN = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == corpusN)
+    rows.foreach { case (shard, nDocs, totTok, nSeqs, nSpan) =>
+      // packing is dense: the token stream fills sequences 0..ceil(T/256)-1
+      assert(nSeqs == (totTok + 255) / 256, s"shard $shard not dense")
+      // a doc can span a boundary only if there is one; never more docs than exist
+      assert(nSpan <= nDocs && nSpan <= nSeqs, s"shard $shard spanning count")
+    }
+  }
+
+  test("repetition filter: planted degenerate docs flagged, fractions in range") {
+    val rows = ops.TextVector.t24_repetition_filter(spark, sf)
+      .select($"doc_id", $"dup_token_frac", $"top_bigram_frac", $"flagged")
+      .as[(Long, Double, Double, Boolean)].collect()
+    val (planted, real) = rows.partition(_._1 >= 2000000L)
+    assert(planted.nonEmpty && real.nonEmpty)
+    planted.foreach { case (id, dup, top, flag) =>
+      assert(flag, s"planted $id not flagged (dup=$dup top=$top)")
+      assert(dup > 0.75 || top > 0.20)
+    }
+    rows.foreach { case (id, dup, top, flag) =>
+      assert(dup >= 0.0 && dup < 1.0 && top >= 0.0 && top <= 1.0, s"doc $id range")
+      assert(flag == (dup > 0.75 || top > 0.20), s"doc $id flag inconsistent")
+    }
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
