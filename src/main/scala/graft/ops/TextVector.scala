@@ -155,6 +155,17 @@ object TextVector {
     }
   }
 
+  /** Test hook: drop + unpersist the memoized pair entry for (s, d) so a
+    * test can assert the rebuild path regardless of what ran before it.
+    * Needed because Spark's CacheManager dedups by logical plan — any
+    * plan-identical DataFrame's unpersist() also deregisters the shared
+    * entry's cached blocks, so a test cannot assume an earlier suite's
+    * memoized entry is still registered. */
+  private[graft] def resetT4PairCache(s: SparkSession, d: String): Unit = {
+    val cur = t4PairCache.remove((s, d))
+    if (cur != null) cur._2.unpersist(blocking = false)
+  }
+
   // private[graft] so ScaleDesignSpec can pin the shuffle shape of a
   // FRESH (un-memoized) candidate plan
   private[graft] def computeMinhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
@@ -715,6 +726,44 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** T25: k-means curation clustering (the SemDeDup / cluster-balanced
+    * sampling step): two Lloyd iterations over the 64-dim embeddings,
+    * deterministically seeded (centroids 0..7 = vecs 0..7) so the
+    * result is a pure function of the data. Updated centroid lanes are
+    * quantized to 6 decimals before re-assignment — that makes the
+    * argmin decisions bit-identical across engines, which is what lets
+    * an iterative float algorithm carry an exact DuckDB oracle at all.
+    * Scale shape: centroids are k rows (broadcast); assignment is a
+    * map-side crossJoin + per-vec argmin; the update is a
+    * (cent_id, lane)-keyed avg — no all-pairs stage anywhere. */
+  def t25_kmeans_curate(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val dist2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0d, (a, x) -> a + x)")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("d2", dist2)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cent_id"), col("d2"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("lane", "x")))
+        .groupBy("cent_id", "lane").agg(round(avg(col("x")), 6).as("m"))
+        .groupBy("cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(lane, m))), p -> p.m)").as("cv"))
+    val c0 = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val fin = assign(update(assign(c0)))
+    fin.groupBy(col("cent_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("vec_id")).as("member_checksum"),
+        round(avg(col("d2")), 4).as("avg_dist2"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -741,6 +790,7 @@ object TextVector {
     "t22_embed_quantize" -> (t22_embed_quantize _),
     "t23_seq_pack" -> (t23_seq_pack _),
     "t24_repetition_filter" -> (t24_repetition_filter _),
+    "t25_kmeans_curate" -> (t25_kmeans_curate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1139,5 +1189,31 @@ object TextVector {
            (round(1.0 - n_distinct * 1.0 / n_toks, 6) > 0.75 OR
             round(coalesce(top_bigram_n * 1.0 / n_bigrams, 0.0), 6) > 0.20) AS flagged
          FROM d LEFT JOIN bt USING (doc_id) ORDER BY d.doc_id""",
+    "t25_kmeans_curate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         d1 AS (SELECT e.vec_id, e.v, c.cent_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) ^ 2)) AS d2
+                FROM e CROSS JOIN c0 c),
+         a1 AS (SELECT vec_id, v, cent_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cent_id ASC) AS rn FROM d1) WHERE rn = 1),
+         l1 AS (SELECT cent_id, r.range AS lane,
+                  round(avg(v[CAST(r.range AS INTEGER)]), 6) AS m
+                FROM a1 CROSS JOIN range(1, 65) r GROUP BY 1, 2),
+         c1 AS (SELECT cent_id, list(m ORDER BY lane) AS cv FROM l1 GROUP BY 1),
+         dd AS (SELECT e.vec_id, c.cent_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) ^ 2)) AS d2
+                FROM e CROSS JOIN c1 c),
+         a2 AS (SELECT vec_id, cent_id, d2 FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY d2 ASC, cent_id ASC) AS rn FROM dd) WHERE rn = 1)
+         SELECT cent_id AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(vec_id) AS BIGINT) AS member_checksum,
+           round(avg(d2), 4) AS avg_dist2
+         FROM a2 GROUP BY 1 ORDER BY 1""",
   )
 }

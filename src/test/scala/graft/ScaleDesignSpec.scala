@@ -197,6 +197,29 @@ class ScaleDesignSpec extends SparkTestBase {
     } finally df.unpersist(blocking = false)
   }
 
+  test("t23 packing window is per-shard — no single-partition global sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val plan = ops.TextVector.t23_seq_pack(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LogicalWindow => w }
+    assert(windows.nonEmpty, plan.toString.take(2000))
+    // an empty partitionBy would funnel the whole corpus through ONE
+    // task at 100 TB; the cumsum must partition on the shard key
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "global (unpartitioned) window in t23")
+      assert(w.partitionSpec.exists(_.references.exists(_.name == "shard")),
+        w.partitionSpec.map(_.sql).mkString(","))
+    }
+  }
+
+  test("t25 centroid sides are broadcast — assignment never shuffles the corpus") {
+    val plan = ops.TextVector.t25_kmeans_curate(spark, sf)
+      .queryExecution.executedPlan.toString
+    // both Lloyd assignments cross-join k centroid rows against the
+    // corpus; those must arrive as broadcasts, not shuffled exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {
     val plan = ops.TextVector.t8_tfidf(spark, sf)
       .queryExecution.executedPlan.toString
@@ -206,6 +229,10 @@ class ScaleDesignSpec extends SparkTestBase {
   }
 
   test("t4 pair stage is shared: second t4 query reuses the persisted cache") {
+    // reset first: an earlier test's unpersist() of a plan-identical DF
+    // (CacheManager dedups by logical plan) may have deregistered a
+    // previously-memoized entry's blocks — start from a clean rebuild
+    ops.TextVector.resetT4PairCache(spark, sf)
     // first call builds + persists; the other t4 entry must read the
     // in-memory relation instead of re-running the minhash pipeline
     ops.TextVector.t4_minhash_lsh(spark, sf).count()

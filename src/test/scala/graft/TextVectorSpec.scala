@@ -176,6 +176,21 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("k-means curation: clusters partition the corpus, deterministic across runs") {
+    val rows = ops.TextVector.t25_kmeans_curate(spark, sf)
+      .select($"cluster_id", $"n_members", $"member_checksum", $"avg_dist2")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    val corpusN = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == corpusN, "clusters must partition the corpus")
+    rows.foreach { case (id, n, _, d2) =>
+      assert(n > 0 && d2 >= 0.0, s"cluster $id degenerate")
+    }
+    val again = ops.TextVector.t25_kmeans_curate(spark, sf)
+      .select($"cluster_id", $"member_checksum").as[(Long, Long)].collect().toMap
+    assert(rows.map(r => r._1 -> r._3).toMap == again, "not deterministic")
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
