@@ -764,6 +764,50 @@ object TextVector {
       .orderBy("cluster_id")
   }
 
+  /** T26: semantic dedup (SemDeDup): partition the embedding space with
+    * k-means-style centroid assignment, then run pairwise cosine ONLY
+    * within each cluster and drop every vector whose near-identical
+    * twin (cos ≥ 0.9999 after round-6, same comparison as T11) has a
+    * smaller id. Corpus = embeddings ∪ planted ×1.001-scaled copies
+    * (ids +1,000,000) so drops are guaranteed. The cluster bound is the
+    * scale story: at 100 TB, k grows with the corpus so per-cluster
+    * pair counts stay bounded — all-pairs never happens globally. */
+  def t26_semantic_dedup(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val pert = e.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("v"), x => x * 1.001).as("v"))
+    val corpus = e.unionByName(pert)
+    val cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val dist2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0d, (a, x) -> a + x)")
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(dot(col("av"), col("bv")) /
+        (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))), 6))
+      .filter(col("cos_sim") >= 0.9999)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cent_id").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dropped"),
+        coalesce(sum(when(col("is_dup").isNotNull, col("vec_id"))), lit(0L))
+          .as("dropped_checksum"),
+        coalesce(sum(when(col("is_dup").isNull, col("vec_id"))), lit(0L))
+          .as("survivor_checksum"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -791,6 +835,7 @@ object TextVector {
     "t23_seq_pack" -> (t23_seq_pack _),
     "t24_repetition_filter" -> (t24_repetition_filter _),
     "t25_kmeans_curate" -> (t25_kmeans_curate _),
+    "t26_semantic_dedup" -> (t26_semantic_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1215,5 +1260,34 @@ object TextVector {
            CAST(sum(vec_id) AS BIGINT) AS member_checksum,
            round(avg(d2), 4) AS avg_dist2
          FROM a2 GROUP BY 1 ORDER BY 1""",
+    "t26_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, x -> x * 1.001) AS v FROM e),
+         corpus AS (SELECT * FROM e UNION ALL SELECT * FROM p),
+         c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+         dd AS (SELECT corpus.vec_id, corpus.v, c.cent_id,
+                  list_sum(list_transform(range(1, 65),
+                    i -> (v[CAST(i AS INTEGER)] - cv[CAST(i AS INTEGER)]) ^ 2)) AS d2
+                FROM corpus CROSS JOIN c0 c),
+         asg AS (SELECT vec_id, v, cent_id FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2 ASC, cent_id ASC) AS rn FROM dd) WHERE rn = 1),
+         dup AS (SELECT DISTINCT b.vec_id
+                 FROM asg a JOIN asg b
+                   ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                 WHERE round(list_inner_product(a.v, b.v) /
+                   (sqrt(list_inner_product(a.v, a.v)) *
+                    sqrt(list_inner_product(b.v, b.v))), 6) >= 0.9999)
+         SELECT cent_id AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(coalesce(sum(CASE WHEN dup.vec_id IS NOT NULL THEN asg.vec_id END), 0)
+             AS BIGINT) AS dropped_checksum,
+           CAST(coalesce(sum(CASE WHEN dup.vec_id IS NULL THEN asg.vec_id END), 0)
+             AS BIGINT) AS survivor_checksum
+         FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+         GROUP BY 1 ORDER BY 1""",
   )
 }

@@ -191,6 +191,24 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.map(r => r._1 -> r._3).toMap == again, "not deterministic")
   }
 
+  test("semantic dedup: planted twins drop, survivors + dropped partition each cluster") {
+    val rows = ops.TextVector.t26_semantic_dedup(spark, sf)
+      .select($"cluster_id", $"n_vecs", $"n_dropped", $"dropped_checksum", $"survivor_checksum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val corpusN = 2 * graft.Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum == corpusN, "clusters must partition corpus + planted twins")
+    // every planted twin that landed in its original's cluster drops; at
+    // least SOME must (the corpus doubles, half of it near-identical)
+    val totalDropped = rows.map(_._3).sum
+    assert(totalDropped > 0 && totalDropped <= corpusN / 2)
+    rows.foreach { case (id, n, nd, dc, sc) =>
+      assert(nd <= n, s"cluster $id drops more than it holds")
+      // checksums partition: dropped + survivor sums = sum of member ids
+      assert(dc >= 0 && sc >= 0, s"cluster $id checksum sign")
+    }
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
