@@ -71,6 +71,71 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codegen'd squared-L2 distance over two ARRAY<DOUBLE> columns — the
+  * k-means / semantic-dedup assignment kernel (T25/T26). Same contract
+  * as [[DotProduct]]: left-to-right accumulation matches the
+  * `aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0d, +)` fold
+  * bit-for-bit, so swapping it into a query cannot move a DuckDB oracle
+  * hash; null or length-mismatched inputs yield null.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_l2sq"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_l2sq requires two ARRAY<DOUBLE> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $d = $a.getDouble($i) - $b.getDouble($i);
+            $s += $d * $d;
+          }
+          ${ev.value} = $s;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.Column
 
@@ -80,15 +145,30 @@ object VectorFunctions {
     u.column(DotProduct(u.expression(a), u.expression(b)))
   }
 
+  /** Column form: squared L2 distance over ARRAY<DOUBLE> columns. */
+  def l2_squared(a: Column, b: Column): Column = {
+    val u = org.apache.spark.sql.GraftShims
+    u.column(SquaredL2(u.expression(a), u.expression(b)))
+  }
+
   private[graft] def build(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2,
       s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
     DotProduct(exprs(0), exprs(1))
   }
 
-  /** Idempotently register `graft_dot` in the session's function registry
-    * so SQL-text queries can also call it. */
-  def register(s: SparkSession): Unit =
+  private[graft] def buildL2(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_l2sq expects exactly 2 arguments, got ${exprs.length}")
+    SquaredL2(exprs(0), exprs(1))
+  }
+
+  /** Idempotently register the vector functions in the session's function
+    * registry so SQL-text queries can also call them. */
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", build, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq", buildL2, "built-in")
+  }
 }

@@ -241,6 +241,9 @@ object TextVector {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.dot_product(a, b)
 
+  private def l2sq(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.l2_squared(a, b)
+
   /** T5: pairwise cosine similarity on 64-dim embeddings — the 20 query
     * vectors are broadcast against the streamed corpus side: no shuffle
     * of the big side at any scale. */
@@ -739,7 +742,10 @@ object TextVector {
   def t25_kmeans_curate(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val dist2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0d, (a, x) -> a + x)")
+    // codegen SquaredL2 — bit-identical to the zip_with/aggregate fold
+    // (same left-to-right accumulation), but fused into whole-stage
+    // codegen instead of interpreted per-row lambdas
+    val dist2 = l2sq(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cent_id").asc)
     def assign(cents: DataFrame): DataFrame =
@@ -780,7 +786,7 @@ object TextVector {
     val corpus = e.unionByName(pert)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val dist2 = expr("aggregate(zip_with(v, cv, (x, y) -> (x-y)*(x-y)), 0d, (a, x) -> a + x)")
+    val dist2 = l2sq(col("v"), col("cv"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cent_id").asc)
     val assigned = corpus.crossJoin(broadcast(cents))

@@ -55,6 +55,42 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  private val hofL2 = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)), lit(0.0), (s0, x) => s0 + x)
+
+  test("SquaredL2 equals the HOF fold bit-exactly on random vectors") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextDouble() - 0.5),
+      Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.l2_squared(col("a"), col("b")).as("cg"),
+      hofL2("a", "b").as("hof")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
+  test("SquaredL2 runs inside whole-stage codegen; null on mismatch/null") {
+    val df = spark.range(4)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), lit(4.0)).as("b"))
+      .select(VectorFunctions.l2_squared(col("a"), col("b")).as("d"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(13.0, 8.0, 5.0, 4.0))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_l2sq"), plan)
+    val mm = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(mm.select(VectorFunctions.l2_squared(col("a"), col("b"))).head.isNullAt(0))
+    val nn = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(nn.select(VectorFunctions.l2_squared(col("a"), col("b"))).head.isNullAt(0))
+  }
+
+  test("graft_l2sq is callable from SQL text after registration") {
+    VectorFunctions.register(spark)
+    val d = spark.sql("SELECT graft_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0)
+    assert(d == 8.0)
+  }
+
   test("GraftExtensions registers graft_dot into a SessionExtensions instance") {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw; builder wiring is
