@@ -814,6 +814,57 @@ object TextVector {
       .orderBy("cluster_id")
   }
 
+  /** T27: incremental dedup — the daily-ingest production path: a NEW
+    * batch of documents is checked against the standing corpus index
+    * (shingle → minhash → band keys, same machinery as T4), without
+    * ever re-comparing the corpus to itself. In production the index
+    * side is precomputed and stored bucketed by (band, key); only the
+    * batch is shingled at ingest, so daily cost scales with the batch,
+    * not the corpus. Batch = near-dup copies of doc_id % 3 == 0 (last
+    * token dropped, ids +1,000,000 — guaranteed catches) ∪ novel docs
+    * (doc_id % 3 == 1 token-reversed, ids +2,000,000). Band join moves
+    * ids only (T4 discipline); shingle sets rejoin once per side for
+    * Jaccard ≥ 0.5 verification. */
+  def t27_incremental_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), toks(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .withColumn("sh", shingle3(col("t")))
+    val index = shingled(docs)
+    val copies = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    val novel = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat_ws(" ", reverse(toks(col("text")))).as("text"))
+    val batch = shingled(copies.unionByName(novel))
+    val ib = index.select(col("doc_id").as("i_id"),
+      posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+    val bb = batch.select(col("doc_id").as("b_id"),
+      posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+    val cand = bb.join(ib, Seq("band", "key"))
+      .select(col("b_id"), col("i_id")).distinct()
+    val verified = cand
+      .join(batch.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(index.select(col("doc_id").as("i_id"), col("sh").as("i_sh")), Seq("i_id"))
+      .select(col("b_id"), col("i_id"),
+        round(size(array_intersect(col("b_sh"), col("i_sh"))).cast("double") /
+          size(array_union(col("b_sh"), col("i_sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    val perDoc = verified.groupBy("b_id")
+      .agg(count(lit(1)).as("nm"), max(col("jaccard")).as("mx"),
+        min(col("i_id")).as("best"))
+    batch.select(col("doc_id").as("b_id"))
+      .join(perDoc, Seq("b_id"), "left")
+      .select(col("b_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        coalesce(col("mx"), lit(0.0)).as("max_jaccard"),
+        coalesce(col("best"), lit(-1L)).as("best_match"),
+        (coalesce(col("nm"), lit(0L)) > 0).as("is_dup"))
+      .orderBy("b_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -842,6 +893,7 @@ object TextVector {
     "t24_repetition_filter" -> (t24_repetition_filter _),
     "t25_kmeans_curate" -> (t25_kmeans_curate _),
     "t26_semantic_dedup" -> (t26_semantic_dedup _),
+    "t27_incremental_dedup" -> (t27_incremental_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1295,5 +1347,63 @@ object TextVector {
              AS BIGINT) AS survivor_checksum
          FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          GROUP BY 1 ORDER BY 1""",
+    "t27_incremental_dedup" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+         batch_raw AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  regexp_replace(text, '\s+\S+$', '') AS text
+           FROM docs WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT doc_id + 2000000,
+                  array_to_string(list_reverse(string_split(text, ' ')), ' ')
+           FROM docs WHERE doc_id % 3 = 1),
+         ish AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs)
+           WHERE len(t) >= 3),
+         bsh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM batch_raw)
+           WHERE len(t) >= 3),
+         isig AS (
+           SELECT doc_id, list_transform(range(0, 8),
+             k -> list_min(list_transform(ms, m -> substr(m || m, CAST(k*3+1 AS INTEGER), 12)))) AS mh
+           FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS ms FROM ish)),
+         bsig AS (
+           SELECT doc_id, list_transform(range(0, 8),
+             k -> list_min(list_transform(ms, m -> substr(m || m, CAST(k*3+1 AS INTEGER), 12)))) AS mh
+           FROM (SELECT doc_id, list_transform(sh, s -> md5(s)) AS ms FROM bsh)),
+         ibands AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> {band: b, key: mh[2*b+1] || mh[2*b+2]}), recursive := true)
+           FROM isig),
+         bbands AS (
+           SELECT doc_id, unnest(list_transform(range(0, 4),
+             b -> {band: b, key: mh[2*b+1] || mh[2*b+2]}), recursive := true)
+           FROM bsig),
+         cand AS (
+           SELECT DISTINCT b.doc_id AS b_id, a.doc_id AS i_id
+           FROM bbands b JOIN ibands a ON a.band = b.band AND a.key = b.key),
+         ver AS (
+           SELECT c.b_id, c.i_id,
+             round(CAST(len(list_intersect(bs.sh, isx.sh)) AS DOUBLE) /
+               len(list_distinct(list_concat(bs.sh, isx.sh))), 4) AS jaccard
+           FROM cand c
+           JOIN bsh bs ON bs.doc_id = c.b_id
+           JOIN ish isx ON isx.doc_id = c.i_id),
+         vok AS (SELECT * FROM ver WHERE jaccard >= 0.5),
+         agg AS (
+           SELECT b_id, CAST(count(*) AS BIGINT) AS nm, max(jaccard) AS mx,
+                  min(i_id) AS best
+           FROM vok GROUP BY 1)
+         SELECT b.doc_id AS b_id,
+           coalesce(nm, 0) AS n_matches,
+           coalesce(mx, 0.0) AS max_jaccard,
+           CAST(coalesce(best, -1) AS BIGINT) AS best_match,
+           coalesce(nm, 0) > 0 AS is_dup
+         FROM bsh b LEFT JOIN agg ON b.doc_id = agg.b_id
+         ORDER BY b_id""",
   )
 }

@@ -209,6 +209,25 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("incremental dedup: every planted copy is caught against the index") {
+    val rows = ops.TextVector.t27_incremental_dedup(spark, sf)
+      .select($"b_id", $"n_matches", $"max_jaccard", $"best_match", $"is_dup")
+      .as[(Long, Long, Double, Long, Boolean)].collect()
+    val (copies, novels) = rows.partition(_._1 < 2000000L)
+    assert(copies.nonEmpty && novels.nonEmpty)
+    copies.foreach { case (id, nm, mx, best, dup) =>
+      assert(dup && nm > 0, s"planted copy $id missed by the index")
+      // the copy's own original must be among the verified matches
+      assert(mx >= 0.5, s"copy $id max jaccard $mx")
+      assert(best >= 0, s"copy $id has no best match")
+    }
+    rows.foreach { case (id, nm, mx, best, dup) =>
+      assert(dup == (nm > 0), s"doc $id verdict inconsistent")
+      assert(if (dup) mx >= 0.5 && best >= 0 else mx == 0.0 && best == -1L,
+        s"doc $id fields inconsistent")
+    }
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
