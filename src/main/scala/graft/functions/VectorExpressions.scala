@@ -34,9 +34,10 @@ case class DotProduct(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  // Length mismatch => null, matching zip_with's null padding (x*null=null
-  // poisons the fold). A truncated embedding must surface as null, never
-  // as a plausible partial sum.
+  // Length mismatch OR a null element => null, matching the HOF fold
+  // exactly: zip_with's null padding / null lane makes x*null=null which
+  // poisons the whole aggregate. A truncated or corrupt embedding must
+  // surface as null, never as a plausible partial sum.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,7 +45,11 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -60,9 +65,10 @@ case class DotProduct(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             $s += $a.getDouble($i) * $b.getDouble($i);
           }
-          ${ev.value} = $s;
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
       """
     })
@@ -96,6 +102,8 @@ case class SquaredL2(left: Expression, right: Expression)
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
+  // Same null contract as DotProduct: length mismatch or any null lane
+  // yields null, exactly like the zip_with/aggregate fold.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -104,6 +112,7 @@ case class SquaredL2(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = x.getDouble(i) - y.getDouble(i)
       s += d * d
       i += 1
@@ -124,10 +133,11 @@ case class SquaredL2(left: Expression, right: Expression)
           int $n = $a.numElements();
           double $s = 0.0;
           for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
             double $d = $a.getDouble($i) - $b.getDouble($i);
             $s += $d * $d;
           }
-          ${ev.value} = $s;
+          if (!${ev.isNull}) { ${ev.value} = $s; }
         }
       """
     })

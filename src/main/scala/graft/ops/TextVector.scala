@@ -35,9 +35,7 @@ object TextVector {
     documents(s, d)
       .select(toks(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)))"))
-        .as("bigram"))
+      .select(explode(bigrams("t")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(20)
@@ -56,9 +54,7 @@ object TextVector {
     * 1,000,000) — the deterministic collision generator for T4/T11/T12. */
   private def withNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    docs.unionByName(docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      regexp_replace(col("text"), "\\s+\\S+$", "").as("text")))
+    docs.unionByName(nearDupCopy(docs))
   }
 
   /** 4 LSH band keys from a shingle set: md5 per shingle (hex, lowercase
@@ -162,8 +158,14 @@ object TextVector {
     * entry's cached blocks, so a test cannot assume an earlier suite's
     * memoized entry is still registered. */
   private[graft] def resetT4PairCache(s: SparkSession, d: String): Unit = {
-    val cur = t4PairCache.remove((s, d))
-    if (cur != null) cur._2.unpersist(blocking = false)
+    val key = (s, d)
+    // take the same per-key lock as the builder — an unlocked remove()
+    // could interleave between a concurrent builder's get() and put(),
+    // re-exposing the stale-cache window the reset exists to close
+    t4Locks.computeIfAbsent(key, _ => new Object).synchronized {
+      val cur = t4PairCache.remove(key)
+      if (cur != null) cur._2.unpersist(blocking = false)
+    }
   }
 
   // private[graft] so ScaleDesignSpec can pin the shuffle shape of a
@@ -243,6 +245,38 @@ object TextVector {
 
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.l2_squared(a, b)
+
+  /** Adjacent-token bigrams of a token-array column (T2, T24) — one
+    * expression string so the two operators and their oracles can't
+    * drift. Takes the column name (the lambda needs a stable SQL ref). */
+  private def bigrams(tName: String): Column =
+    expr(s"transform(sequence(1, size($tName)-1), i -> concat_ws(' ', element_at($tName,i), element_at($tName,i+1)))")
+
+  /** The cross-engine sampling bucket (T17, T21): first 6 hex digits of
+    * md5(id) mod 100 — a pure function of the id, reproducible anywhere
+    * and stable under repartitioning. */
+  private def md5Bucket(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("bigint") % 100)
+
+  /** The deterministic near-dup generator recipe (shared by withNearDups
+    * and T27's ingest batch): drop the last token, offset ids by
+    * 1,000,000. T4/T11/T12's oracles restate this exact transform. */
+  private def nearDupCopy(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+
+  /** Centroid assignment kernel (T25, T26): broadcast the k centroid
+    * rows, codegen SquaredL2 distance, argmin with cent_id tiebreak.
+    * Returns (vec_id, v, cent_id, d2). */
+  private def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cent_id").asc)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", l2sq(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"), col("d2"))
+  }
 
   /** T5: pairwise cosine similarity on 64-dim embeddings — the 20 query
     * vectors are broadcast against the streamed corpus side: no shuffle
@@ -517,7 +551,7 @@ object TextVector {
   def t17_sampling(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d)
       .withColumn("bucket_md5",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+        md5Bucket(col("doc_id")))
     doc.filter(col("bucket_md5") < 10) // 10% deterministic sample
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_checksum"))
@@ -637,7 +671,7 @@ object TextVector {
     documents(s, d)
       .withColumn("quota_pct", quota)
       .withColumn("bucket",
-        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10) as bigint) % 100"))
+        md5Bucket(col("doc_id")))
       .groupBy("source", "quota_pct")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("bucket") < col("quota_pct"), 1).otherwise(0)).as("n_sampled"),
@@ -654,7 +688,11 @@ object TextVector {
     embeddings(s, d)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("max_abs", expr("array_max(transform(v, x -> abs(x)))"))
-      .withColumn("q", expr("transform(v, x -> cast(round(x * 127.0d / max_abs) as int))"))
+      // all-zero guard: max_abs = 0 would make x/max_abs NaN, which the
+      // two engines cast differently (Spark int 0, DuckDB error) — a
+      // zero vector quantizes to zeros with scale 0 on both
+      .withColumn("q", expr(
+        "IF(max_abs = 0.0d, transform(v, x -> 0), transform(v, x -> cast(round(x * 127.0d / max_abs) as int)))"))
       .select(col("vec_id"),
         round(col("max_abs"), 6).as("scale_max_abs"),
         expr("array_min(q)").as("q_min"),
@@ -700,8 +738,11 @@ object TextVector {
     * embarrassingly parallel, no cross-doc shuffle at any scale. */
   def t24_repetition_filter(s: SparkSession, d: String): DataFrame = {
     val real = documents(s, d).select(col("doc_id"), col("text"))
+    // size >= 2 guard: a single-token source would make element_at(t, 2)
+    // null, and Spark's concat_ws skips nulls while the oracle's ||
+    // propagates them — the guard keeps both engines off that edge
     val planted = real
-      .filter(col("doc_id") % 13 === 0)
+      .filter(col("doc_id") % 13 === 0 && size(toks(col("text"))) >= 2)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", expr(
           "array_repeat(concat_ws(' ', element_at(split(text, ' '), 1), element_at(split(text, ' '), 2)), 20)"))
@@ -712,9 +753,7 @@ object TextVector {
       .withColumn("n_distinct", size(array_distinct(col("t"))))
     val bigramStats = docs
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)))"))
-        .as("bigram"))
+      .select(col("doc_id"), explode(bigrams("t")).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("n"))
       .groupBy("doc_id")
       .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
@@ -742,18 +781,7 @@ object TextVector {
   def t25_kmeans_curate(s: SparkSession, d: String): DataFrame = {
     val k = 8
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
-    // codegen SquaredL2 — bit-identical to the zip_with/aggregate fold
-    // (same left-to-right accumulation), but fused into whole-stage
-    // codegen instead of interpreted per-row lambdas
-    val dist2 = l2sq(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("d2", dist2)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cent_id"), col("d2"))
+    def assign(cents: DataFrame): DataFrame = assignToCentroids(e, cents)
     def update(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cent_id"), posexplode(col("v")).as(Seq("lane", "x")))
@@ -786,13 +814,7 @@ object TextVector {
     val corpus = e.unionByName(pert)
     val cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val dist2 = l2sq(col("v"), col("cv"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val assigned = assignToCentroids(corpus, cents)
       .select(col("vec_id"), col("v"), col("cent_id"))
     val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("bv"))
@@ -832,9 +854,7 @@ object TextVector {
         .filter(size(col("t")) >= 3)
         .withColumn("sh", shingle3(col("t")))
     val index = shingled(docs)
-    val copies = docs.filter(col("doc_id") % 3 === 0)
-      .select((col("doc_id") + 1000000L).as("doc_id"),
-        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"))
+    val copies = nearDupCopy(docs.filter(col("doc_id") % 3 === 0))
     val novel = docs.filter(col("doc_id") % 3 === 1)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", reverse(toks(col("text")))).as("text"))
@@ -1229,7 +1249,10 @@ object TextVector {
          m AS (SELECT vec_id, v,
                  list_max(list_transform(v, x -> abs(x))) AS max_abs FROM e),
          qv AS (SELECT vec_id, max_abs,
-                 list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER)) AS q
+                 CASE WHEN max_abs = 0
+                   THEN list_transform(v, x -> 0)
+                   ELSE list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INTEGER))
+                 END AS q
                 FROM m)
          SELECT vec_id,
            round(max_abs, 6) AS scale_max_abs,
@@ -1267,7 +1290,8 @@ object TextVector {
            SELECT doc_id + 2000000 AS doc_id,
                   trim(repeat(string_split(text, ' ')[1] || ' ' ||
                               string_split(text, ' ')[2] || ' ', 20)) AS text
-           FROM real_docs WHERE doc_id % 13 = 0),
+           FROM real_docs
+           WHERE doc_id % 13 = 0 AND len(string_split(text, ' ')) >= 2),
          docs AS (
            SELECT doc_id, string_split(text, ' ') AS tk
            FROM (SELECT * FROM real_docs UNION ALL SELECT * FROM planted)),

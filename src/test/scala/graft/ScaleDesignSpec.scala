@@ -215,9 +215,12 @@ class ScaleDesignSpec extends SparkTestBase {
   test("t25 centroid sides are broadcast — assignment never shuffles the corpus") {
     val plan = ops.TextVector.t25_kmeans_curate(spark, sf)
       .queryExecution.executedPlan.toString
-    // both Lloyd assignments cross-join k centroid rows against the
-    // corpus; those must arrive as broadcasts, not shuffled exchanges
-    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    // BOTH Lloyd assignments cross-join k centroid rows against the
+    // corpus; each must arrive as a broadcast — one match could mask the
+    // other assignment degrading to a shuffled CartesianProduct
+    val nBroadcast = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"expected 2 broadcast assignments, got $nBroadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {

@@ -134,14 +134,17 @@ class TextVectorSpec extends SparkTestBase {
 
   test("int8 quantization: 64 lanes, |q| <= 127, extreme lane hits full scale") {
     val rows = ops.TextVector.t22_embed_quantize(spark, sf)
-      .select($"vec_id", $"q_min", $"q_max", $"q_vec")
-      .as[(Long, Int, Int, String)].collect()
+      .select($"vec_id", $"scale_max_abs", $"q_min", $"q_max", $"q_vec")
+      .as[(Long, Double, Int, Int, String)].collect()
     assert(rows.nonEmpty)
-    rows.foreach { case (id, qMin, qMax, qVec) =>
+    rows.foreach { case (id, scale, qMin, qMax, qVec) =>
       assert(qVec.split(",").length == 64, s"vec $id lane count")
       assert(qMin >= -127 && qMax <= 127, s"vec $id out of int8 range")
-      // the lane holding max|x| quantizes to exactly ±127 by construction
-      assert(qMax == 127 || qMin == -127, s"vec $id full-scale lane missing")
+      if (scale > 0.0)
+        // the lane holding max|x| quantizes to exactly ±127 by construction
+        assert(qMax == 127 || qMin == -127, s"vec $id full-scale lane missing")
+      else // all-zero vector: guard path quantizes to zeros, never NaN
+        assert(qMin == 0 && qMax == 0, s"zero vec $id must quantize to zeros")
     }
   }
 

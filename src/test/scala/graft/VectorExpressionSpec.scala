@@ -55,6 +55,18 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(df.select(VectorFunctions.dot_product(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("null array ELEMENTS yield null, matching the HOF fold (both expressions)") {
+    // a corrupt lane must never contribute 0.0 to a plausible finite sum
+    val df = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot_product(col("a"), col("b")).as("dp"),
+      VectorFunctions.l2_squared(col("a"), col("b")).as("l2"),
+      hofDot("a", "b").as("hof_dp"),
+      hofL2("a", "b").as("hof_l2")).head
+    (0 to 3).foreach(i => assert(r.isNullAt(i), s"col $i not null"))
+  }
+
   private val hofL2 = (a: String, b: String) =>
     aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)), lit(0.0), (s0, x) => s0 + x)
 
