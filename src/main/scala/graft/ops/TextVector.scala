@@ -847,20 +847,31 @@ object TextVector {
     * (doc_id % 3 == 1 token-reversed, ids +2,000,000). Band join moves
     * ids only (T4 discipline); shingle sets rejoin once per side for
     * Jaccard ≥ 0.5 verification. */
+  /** Shingle a (doc_id, text) frame: (doc_id, t, sh). Shared by T27's
+    * index and batch sides. */
+  private def shingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", shingle3(col("t")))
+
+  /** T27's standing corpus index: (i_id, band, key) — what production
+    * precomputes and stores bucketed by (band, key). private[graft] so
+    * ScaleDesignSpec can prove the bucketed layout joins the ingest
+    * batch with zero exchange on the corpus side. */
+  private[graft] def minhashIndex(s: SparkSession, d: String): DataFrame =
+    shingled(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("i_id"),
+        posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+
   def t27_incremental_dedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    def shingled(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .withColumn("sh", shingle3(col("t")))
     val index = shingled(docs)
     val copies = nearDupCopy(docs.filter(col("doc_id") % 3 === 0))
     val novel = docs.filter(col("doc_id") % 3 === 1)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", reverse(toks(col("text")))).as("text"))
     val batch = shingled(copies.unionByName(novel))
-    val ib = index.select(col("doc_id").as("i_id"),
-      posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+    val ib = minhashIndex(s, d)
     val bb = batch.select(col("doc_id").as("b_id"),
       posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
     val cand = bb.join(ib, Seq("band", "key"))

@@ -223,6 +223,40 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("t27 index bucketed by (band, key): corpus side joins with zero exchange") {
+    // SCALE.md's claim made mechanical: store the standing minhash index
+    // bucketed on the join keys and the daily batch→index join re-shuffles
+    // ONLY the batch — the corpus side reads straight from its buckets
+    spark.sql("DROP TABLE IF EXISTS b_mh_index")
+    val p = java.nio.file.Paths.get("spark-warehouse", "b_mh_index")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    ops.TextVector.minhashIndex(spark, sf)
+      .write.bucketBy(8, "band", "key").sortBy("band", "key")
+      .mode("overwrite").saveAsTable("b_mh_index")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a stand-in ingest batch with distinct column names so the plan
+      // text identifies which side an Exchange belongs to
+      val batch = ops.TextVector.minhashIndex(spark, sf)
+        .select($"i_id".as("b_id"), $"band".as("b_band"), $"key".as("b_key"))
+      val j = spark.table("b_mh_index")
+        .join(batch, $"band" === $"b_band" && $"key" === $"b_key")
+        .select($"b_id", $"i_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      // the batch side shuffles to meet the buckets; the index side must not
+      assert(plan.contains("Exchange hashpartitioning(b_band"),
+        "expected the batch side to shuffle into the bucketed layout")
+      assert(!plan.contains("Exchange hashpartitioning(band"),
+        "corpus-side index was re-shuffled despite (band, key) bucketing")
+      assert(j.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {
     val plan = ops.TextVector.t8_tfidf(spark, sf)
       .queryExecution.executedPlan.toString
