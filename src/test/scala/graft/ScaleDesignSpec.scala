@@ -257,6 +257,46 @@ class ScaleDesignSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("projection prunes the parquet scan to the selected columns only") {
+    val plan = ops.Relational.p1_projection(spark, sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in plan: ${plan.take(1500)}"))
+    // a 16-column lineitem scan feeding a narrow projection must read
+    // only the projected columns — at 100 TB the difference between
+    // scanning 3 columns and 16 is the whole I/O budget
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
+      readSchema)
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective SMJ") {
+    // AQE runtime filters: a selective build side injects a bloom filter
+    // into the probe-side scan, cutting the 100 TB fact scan before the
+    // shuffle. Thresholds are sized for real clusters — lower them so
+    // the sf0.001 fixture exercises the same mechanism.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val selective = Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      val j = Tables.lineitem(spark, sf)
+        .join(selective, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag").count()
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${plan.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("t8 corpus count is in-plan (broadcast 1-row agg, no eager job)") {
     val plan = ops.TextVector.t8_tfidf(spark, sf)
       .queryExecution.executedPlan.toString
