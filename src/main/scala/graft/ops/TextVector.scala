@@ -5,18 +5,26 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Text / vector / LLM-pipeline operators (SURVEY.md §2.9 T1–T8 and the
-  * north-star training-data ops: MinHash LSH dedup, SimHash, n-gram
-  * Jaccard, embedding near-dup, language-ID, quality scoring, token
-  * counting, fingerprinting).
+/** Text / vector / LLM-pipeline operators (SURVEY.md §2.9, T1–T27):
+  * the analysis ops (term freq, n-grams, TF-IDF, profiling, language-ID,
+  * quality, token counts, fingerprints), the full dedup family (exact,
+  * MinHash LSH, SimHash, n-gram Jaccard, embedding near-dup, semantic/
+  * SemDeDup, connected-component canonicalization, incremental batch-vs-
+  * index), similarity search (brute-force + IVF ANN, k-means), and the
+  * training-data assembly steps (decontamination, PII redaction,
+  * sampling + quota mixing, sequence packing, repetition filtering,
+  * int8 quantization).
   *
   * Design for 100 TB:
-  *  - dedup never compares all pairs: LSH bands (T4) / SimHash buckets
-  *    (T10) turn O(n²) into a bucket-local self-join on hash keys;
+  *  - dedup never compares all pairs: LSH bands (T4/T27) / SimHash
+  *    buckets (T10) / centroid clusters (T25/T26) turn O(n²) into
+  *    bucket-local joins on hash or cluster keys;
   *  - similarity search brute-force path (T5/T6) broadcasts the small
   *    query side so the corpus side streams without a shuffle;
   *  - all hashing is deterministic (md5 on content + literal seeds) so
-  *    even the sketchy ops get a DuckDB oracle.
+  *    even the sketchy ops get a DuckDB oracle, and sampling/packing
+  *    layouts are pure functions of the data — reproducible on any
+  *    engine, any partitioning.
   */
 object TextVector {
 
