@@ -904,6 +904,34 @@ object TextVector {
       .orderBy("b_id")
   }
 
+  /** T28: heavy hitters via count-min sketch — the frequency sketch that
+    * answers "top tokens" at 100 TB in one pass with bounded memory
+    * (~1.6 MB for eps=1e-4, conf=0.999), the companion to A4's HLL.
+    * Deterministic (fixed seed, fixed data ⇒ fixed sketch), so the CMS
+    * guarantees — never underestimates; overestimates by ≤ eps·N with
+    * confidence — fold into an oracle-checkable boolean per token
+    * (same pattern as a4): DuckDB has no CMS, but it can verify the
+    * exact counts and that every bound held. The sketch is queried
+    * in-plan (1-row broadcast crossJoin + UDF), no driver-side state. */
+  def t28_heavy_hitters(s: SparkSession, d: String): DataFrame = {
+    val tokens = documents(s, d).select(explode(toks(col("text"))).as("token"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+    val sk = tokens.agg(
+      count_min_sketch(col("token"), lit(0.0001), lit(0.999), lit(42)).as("sk"),
+      count(lit(1)).as("n_total"))
+    val est = udf((sk: Array[Byte], token: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(sk)).estimateCount(token))
+    exact.crossJoin(broadcast(sk))
+      .withColumn("n_est", est(col("sk"), col("token")))
+      .select(col("token"), col("n_exact"),
+        (col("n_est") >= col("n_exact") &&
+          col("n_est") <= col("n_exact") + ceil(lit(0.0001) * col("n_total")).cast("bigint"))
+          .as("within_bound"))
+      .orderBy(col("n_exact").desc, col("token").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -933,6 +961,7 @@ object TextVector {
     "t25_kmeans_curate" -> (t25_kmeans_curate _),
     "t26_semantic_dedup" -> (t26_semantic_dedup _),
     "t27_incremental_dedup" -> (t27_incremental_dedup _),
+    "t28_heavy_hitters" -> (t28_heavy_hitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1448,5 +1477,11 @@ object TextVector {
            coalesce(nm, 0) > 0 AS is_dup
          FROM bsh b LEFT JOIN agg ON b.doc_id = agg.b_id
          ORDER BY b_id""",
+    "t28_heavy_hitters" ->
+      """SELECT token, n_exact, TRUE AS within_bound FROM (
+           SELECT token, CAST(count(*) AS BIGINT) AS n_exact
+           FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT 20)
+         ORDER BY n_exact DESC, token ASC""",
   )
 }

@@ -231,6 +231,20 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("heavy hitters: CMS bound holds for every top token, ranks match exact t1") {
+    val rows = ops.TextVector.t28_heavy_hitters(spark, sf)
+      .select($"token", $"n_exact", $"within_bound")
+      .as[(String, Long, Boolean)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (tok, n, ok) =>
+      assert(ok, s"CMS bound violated for '$tok' (n=$n)")
+    }
+    // the sketch path must agree with the exact top-20 of t1_term_freq
+    val t1 = ops.TextVector.t1_term_freq(spark, sf)
+      .select($"token", $"n").as[(String, Long)].collect()
+    assert(rows.map(r => r._1 -> r._2).toSeq == t1.toSeq)
+  }
+
   test("near-dup clusters: canonical is the component min, members partition the nodes") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect()
