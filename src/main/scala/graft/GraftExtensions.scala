@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, SquaredL2}
+import graft.functions.{CosineSim, DotProduct, SquaredL2}
 
 /** SparkSessionExtensions entry point — production sessions opt in with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SquaredL2].getName, "graft_l2sq"),
       graft.functions.VectorFunctions.buildL2))
+    e.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      graft.functions.VectorFunctions.buildCosine))
   }
 }

@@ -254,6 +254,9 @@ object TextVector {
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.l2_squared(a, b)
 
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
+
   /** Adjacent-token bigrams of a token-array column (T2, T24) — one
     * expression string so the two operators and their oracles can't
     * drift. Takes the column name (the lambda needs a stable SQL ref). */
@@ -296,8 +299,7 @@ object TextVector {
     val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
     q.join(c, col("q_id") < col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv")))), 4).as("cos_sim"))
+        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
       .filter(col("cos_sim") > 0.2)
       .orderBy("q_id", "c_id")
   }
@@ -312,8 +314,7 @@ object TextVector {
     val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
     val sims = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (dot(col("qv"), col("cv")) /
-          (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv"), col("cv"))))).as("sim"))
+        (cosine(col("qv"), col("cv"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -336,8 +337,7 @@ object TextVector {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cent_id").asc)
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", dot(col("v"), col("cv")) /
-        (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv")))))
+      .withColumn("csim", cosine(col("v"), col("cv")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id"))
@@ -347,8 +347,7 @@ object TextVector {
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     q.join(c, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", dot(col("qv"), col("cv2")) /
-        (sqrt(dot(col("qv"), col("qv"))) * sqrt(dot(col("cv2"), col("cv2")))))
+      .withColumn("sim", cosine(col("qv"), col("cv2")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cos_sim"))
@@ -449,8 +448,7 @@ object TextVector {
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("av"), col("bv")) /
-          (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))), 6).as("cos_sim"))
+        round(cosine(col("av"), col("bv")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.9999)
       .orderBy("a_id", "b_id")
   }
@@ -828,8 +826,7 @@ object TextVector {
     val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("bv"))
     val dropped = a.join(b, Seq("cent_id"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(dot(col("av"), col("bv")) /
-        (sqrt(dot(col("av"), col("av"))) * sqrt(dot(col("bv"), col("bv")))), 6))
+      .withColumn("cos_sim", round(cosine(col("av"), col("bv")), 6))
       .filter(col("cos_sim") >= 0.9999)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1))

@@ -96,6 +96,33 @@ class VectorExpressionSpec extends SparkTestBase {
     assert(nn.select(VectorFunctions.l2_squared(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("CosineSim equals the unfused dot/sqrt form bit-exactly on random vectors") {
+    val rnd = new scala.util.Random(17)
+    val rows = Seq.fill(50)((Seq.fill(64)(rnd.nextDouble() - 0.5),
+      Seq.fill(64)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.cosine_sim(col("a"), col("b")).as("fused"),
+      (VectorFunctions.dot_product(col("a"), col("b")) /
+        (sqrt(VectorFunctions.dot_product(col("a"), col("a"))) *
+          sqrt(VectorFunctions.dot_product(col("b"), col("b"))))).as("unfused")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
+  test("CosineSim: codegen fusion, self-similarity 1, null contract") {
+    val df = spark.range(4)
+      .select(array((col("id") + 1).cast("double"), lit(2.0)).as("a"))
+      .select(VectorFunctions.cosine_sim(col("a"), col("a")).as("c"))
+    df.collect().map(_.getDouble(0)).foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_cosine"), plan)
+    val mm = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    assert(mm.select(VectorFunctions.cosine_sim(col("a"), col("b"))).head.isNullAt(0))
+    val nl = Seq((Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))).toDF("a", "b")
+    assert(nl.select(VectorFunctions.cosine_sim(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("graft_l2sq is callable from SQL text after registration") {
     VectorFunctions.register(spark)
     val d = spark.sql("SELECT graft_l2sq(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
