@@ -248,9 +248,6 @@ object TextVector {
   // codegen'd Catalyst expression (graft.functions.DotProduct): identical
   // left-to-right accumulation as the zip_with/aggregate HOF fold it
   // replaced, so oracle hashes are unchanged — just no per-row array alloc
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.dot_product(a, b)
-
   private def l2sq(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.l2_squared(a, b)
 
@@ -841,17 +838,6 @@ object TextVector {
       .orderBy("cluster_id")
   }
 
-  /** T27: incremental dedup — the daily-ingest production path: a NEW
-    * batch of documents is checked against the standing corpus index
-    * (shingle → minhash → band keys, same machinery as T4), without
-    * ever re-comparing the corpus to itself. In production the index
-    * side is precomputed and stored bucketed by (band, key); only the
-    * batch is shingled at ingest, so daily cost scales with the batch,
-    * not the corpus. Batch = near-dup copies of doc_id % 3 == 0 (last
-    * token dropped, ids +1,000,000 — guaranteed catches) ∪ novel docs
-    * (doc_id % 3 == 1 token-reversed, ids +2,000,000). Band join moves
-    * ids only (T4 discipline); shingle sets rejoin once per side for
-    * Jaccard ≥ 0.5 verification. */
   /** Shingle a (doc_id, text) frame: (doc_id, t, sh). Shared by T27's
     * index and batch sides. */
   private def shingled(df: DataFrame): DataFrame =
@@ -868,6 +854,17 @@ object TextVector {
       .select(col("doc_id").as("i_id"),
         posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
 
+  /** T27: incremental dedup — the daily-ingest production path: a NEW
+    * batch of documents is checked against the standing corpus index
+    * (shingle → minhash → band keys, same machinery as T4), without
+    * ever re-comparing the corpus to itself. In production the index
+    * side is precomputed and stored bucketed by (band, key); only the
+    * batch is shingled at ingest, so daily cost scales with the batch,
+    * not the corpus. Batch = near-dup copies of doc_id % 3 == 0 (last
+    * token dropped, ids +1,000,000 — guaranteed catches) ∪ novel docs
+    * (doc_id % 3 == 1 token-reversed, ids +2,000,000). Band join moves
+    * ids only (T4 discipline); shingle sets rejoin once per side for
+    * Jaccard ≥ 0.5 verification. */
   def t27_incremental_dedup(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val index = shingled(docs)
@@ -912,8 +909,9 @@ object TextVector {
     * in-plan (1-row broadcast crossJoin + UDF), no driver-side state. */
   def t28_heavy_hitters(s: SparkSession, d: String): DataFrame = {
     val tokens = documents(s, d).select(explode(toks(col("text"))).as("token"))
-    val exact = tokens.groupBy("token").agg(count(lit(1)).as("n_exact"))
-      .orderBy(col("n_exact").desc, col("token").asc).limit(20)
+    // the exact side IS t1_term_freq — reuse it so the two ops (and the
+    // rank-agreement test between them) cannot drift
+    val exact = t1_term_freq(s, d).withColumnRenamed("n", "n_exact")
     val sk = tokens.agg(
       count_min_sketch(col("token"), lit(0.0001), lit(0.999), lit(42)).as("sk"),
       count(lit(1)).as("n_total"))

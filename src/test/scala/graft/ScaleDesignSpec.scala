@@ -231,12 +231,15 @@ class ScaleDesignSpec extends SparkTestBase {
     val p = java.nio.file.Paths.get("spark-warehouse", "b_mh_index")
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
     ops.TextVector.minhashIndex(spark, sf)
       .write.bucketBy(8, "band", "key").sortBy("band", "key")
       .mode("overwrite").saveAsTable("b_mh_index")
+    val savedThreshold = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       // a stand-in ingest batch with distinct column names so the plan
@@ -254,7 +257,10 @@ class ScaleDesignSpec extends SparkTestBase {
       assert(!plan.contains("Exchange hashpartitioning(band"),
         "corpus-side index was re-shuffled despite (band, key) bucketing")
       assert(j.count() > 0)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally savedThreshold match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("projection prunes the parquet scan to the selected columns only") {
@@ -262,11 +268,13 @@ class ScaleDesignSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema"))
       .getOrElse(fail(s"no ReadSchema in plan: ${plan.take(1500)}"))
-    // a 16-column lineitem scan feeding a narrow projection must read
-    // only the projected columns — at 100 TB the difference between
-    // scanning 3 columns and 16 is the whole I/O budget
-    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_shipmode"),
-      readSchema)
+    // p1 projects 4 of part's columns; the scan must read exactly those —
+    // at 100 TB the difference between scanning 4 columns and all of
+    // them is the whole I/O budget
+    Seq("p_partkey", "p_name", "p_brand", "p_retailprice").foreach(c =>
+      assert(readSchema.contains(c), s"$c missing from $readSchema"))
+    Seq("p_type", "p_size").foreach(c =>
+      assert(!readSchema.contains(c), s"unreferenced $c read: $readSchema"))
   }
 
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
