@@ -927,6 +927,32 @@ object TextVector {
       .orderBy(col("n_exact").desc, col("token").asc)
   }
 
+  /** T27 at streaming granularity: incremental dedup of a continuously
+    * arriving doc stream against the STATIC standing minhash index —
+    * shingle/band the stream per-row, two stream-static inner joins
+    * (bands → index buckets, then shingle sets for Jaccard verify),
+    * append mode. Completely STATELESS on the stream side: dedup state
+    * lives in the (bucketed) index, not in streaming state, so there is
+    * no watermark to tune and no state store to grow — the streaming
+    * twin of the batch t27 path, covered by an equivalence test in
+    * StreamingSpec. Emits one (b_id, i_id, jaccard) row per verified
+    * candidate collision (band multiplicity preserved — distinct is the
+    * consumer's aggregation concern, kept out of the stream to stay
+    * stateless). */
+  def streamingIncrementalDedup(newDocs: DataFrame, s: SparkSession, d: String): DataFrame = {
+    val bBands = shingled(newDocs)
+      .select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+    val iSets = shingled(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("i_id"), col("sh").as("i_sh"))
+    bBands.join(minhashIndex(s, d), Seq("band", "key"))
+      .join(iSets, Seq("i_id"))
+      .select(col("b_id"), col("i_id"),
+        round(size(array_intersect(col("b_sh"), col("i_sh"))).cast("double") /
+          size(array_union(col("b_sh"), col("i_sh"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),

@@ -199,4 +199,35 @@ class StreamingSpec extends SparkTestBase {
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(ids == Seq(1L, 2L, 3L), s"got $ids")
   }
+
+  test("streaming incremental dedup equals the batch t27 verdicts (stateless stream-static)") {
+    implicit val ctx = spark.sqlContext
+    // rebuild t27's exact ingest batch (near-dup copies + reversed novels)
+    // and feed it through a MemoryStream instead of a batch frame
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val batch = docs.filter(_._1 % 3 == 0).map { case (id, t) =>
+      (id + 1000000L, t.replaceAll("\\s+\\S+$", "")) } ++
+      docs.filter(_._1 % 3 == 1).map { case (id, t) =>
+        (id + 2000000L, t.split(" ").reverse.mkString(" ")) }
+    val in = MemoryStream[(Long, String)]
+    val stream = ops.TextVector.streamingIncrementalDedup(
+      in.toDF().toDF("doc_id", "text"), spark, sf)
+    val q = stream.writeStream.format("memory").queryName("inc_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches — the index join must behave identically per batch
+      val (first, second) = batch.splitAt(batch.length / 2)
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamedDups = spark.table("inc_dedup")
+        .select("b_id").as[Long].collect().toSet
+      val batchDups = ops.TextVector.t27_incremental_dedup(spark, sf)
+        .filter($"is_dup").select($"b_id").as[Long].collect().toSet
+      assert(streamedDups == batchDups,
+        s"stream/batch divergence: only-stream=${streamedDups -- batchDups} " +
+          s"only-batch=${batchDups -- streamedDups}")
+      assert(streamedDups.nonEmpty)
+    } finally q.stop()
+  }
 }
