@@ -16,6 +16,11 @@ run / fork := true
 // Bench's JSON line and breaks that parse (BENCH_r1/r2 "parsed": null).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ...and the forked program's stdout must pass through VERBATIM: the
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which would break a strict json parse of the bench line even after
+// the truncation fix. StdoutOutput pipes child stdout/stderr raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
