@@ -170,14 +170,19 @@ object MediaHeaders extends Serializable {
       true
     }
 
-    def mvhd(p: Long): Boolean = {
+    // All mvhd/tkhd field reads are bounded by the box's OWN end (never
+    // b.length): an empty or truncated box must fail the parse, not read
+    // the next box's bytes as its fields — and the version byte itself
+    // needs a bound before the first u8 (an empty size-8 box has p == end).
+    def mvhd(p: Long, end: Long): Boolean = {
+      if (p + 4 > end) return false
       val v = u8(b, p.toInt)
       if (v == 1) {
-        if (p + 32 > b.length) return false
+        if (p + 32 > end) return false
         timescale = be32(b, p.toInt + 20).toLong & 0xffffffffL
         duration = be64(b, p.toInt + 24)
       } else {
-        if (p + 20 > b.length) return false
+        if (p + 20 > end) return false
         timescale = be32(b, p.toInt + 12).toLong & 0xffffffffL
         duration = be32(b, p.toInt + 16).toLong & 0xffffffffL
       }
@@ -187,9 +192,10 @@ object MediaHeaders extends Serializable {
     // width/height sit after version+flags, creation/modification/id/
     // duration (widened in v1), 8 reserved, layer/alt-group/volume/
     // reserved (8), and the 36-byte transform matrix
-    def tkhd(p: Long): Boolean = {
+    def tkhd(p: Long, end: Long): Boolean = {
+      if (p + 4 > end) return false
       val off = if (u8(b, p.toInt) == 1) 88 else 76
-      if (p + off + 8 > b.length) return false
+      if (p + off + 8 > end) return false
       width = math.max(width, be32(b, (p + off).toInt) >>> 16)
       height = math.max(height, be32(b, (p + off + 4).toInt) >>> 16)
       true
@@ -198,10 +204,10 @@ object MediaHeaders extends Serializable {
     val ok = boxes(0L, b.length.toLong) {
       case ("moov", mp, mEnd) =>
         boxes(mp, mEnd) {
-          case ("mvhd", p, _) => mvhd(p)
+          case ("mvhd", p, e) => mvhd(p, e)
           case ("trak", tp, tEnd) =>
             boxes(tp, tEnd) {
-              case ("tkhd", p, _) => tkhd(p)
+              case ("tkhd", p, e) => tkhd(p, e)
               case _ => true
             }
           case _ => true

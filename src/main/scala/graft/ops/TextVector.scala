@@ -636,7 +636,9 @@ object TextVector {
     // neighbors')), so the fixpoint test is one cheap aggregate: the
     // global label sum is unchanged iff NO node changed — no
     // prev-vs-next join needed.
-    var labelSum = labels.agg(sum("label")).first().getLong(0)
+    // coalesce: sum over an EMPTY labels frame is null (a dir with no
+    // Jaccard-confirmed pairs at all) — without it .getLong NPEs
+    var labelSum = labels.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
     var converged = false
     var iters = 0
     while (!converged && iters < 20) {
@@ -647,7 +649,7 @@ object TextVector {
         .select(sym("a_id").as("id"), col("label"))
       val next = labels.unionByName(viaNbr)
         .groupBy("id").agg(min("label").as("label")).persist(lvl)
-      val nextSum = next.agg(sum("label")).first().getLong(0)
+      val nextSum = next.agg(coalesce(sum("label"), lit(0L))).first().getLong(0)
       labels.unpersist(blocking = false)
       labels = next
       converged = nextSum == labelSum
@@ -940,13 +942,24 @@ object TextVector {
     * consumer's aggregation concern, kept out of the stream to stay
     * stateless). */
   def streamingIncrementalDedup(newDocs: DataFrame, s: SparkSession, d: String): DataFrame = {
-    val bBands = shingled(newDocs)
-      .select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-        posexplode(minhashBandKeys(col("sh"))).as(Seq("band", "key")))
+    // The x4 band explode carries (b_id, text) — NOT the shingle array:
+    // text is ~3x smaller than its 3-gram shingle set, and the set is
+    // recomputed per-row only on the (rare) candidate collisions that
+    // survive the index match. The batch t27 goes further (ids-only
+    // explode, shingles rejoined by b_id), but on a stream that rejoin is
+    // a stream-stream self-join — stateful, with exactly the unbounded
+    // state store this operator exists to avoid — so text is the slimmest
+    // column the stateless verify step cannot re-derive.
+    val bBands = newDocs
+      .select(col("doc_id").as("b_id"), col("text"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("b_id"), col("text"),
+        posexplode(minhashBandKeys(shingle3(col("t")))).as(Seq("band", "key")))
     val iSets = shingled(documents(s, d).select(col("doc_id"), col("text")))
       .select(col("doc_id").as("i_id"), col("sh").as("i_sh"))
     bBands.join(minhashIndex(s, d), Seq("band", "key"))
       .join(iSets, Seq("i_id"))
+      .withColumn("b_sh", shingle3(toks(col("text"))))
       .select(col("b_id"), col("i_id"),
         round(size(array_intersect(col("b_sh"), col("i_sh"))).cast("double") /
           size(array_union(col("b_sh"), col("i_sh"))), 4).as("jaccard"))

@@ -145,6 +145,29 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(bytes((ftyp ++ noMvhd): _*)).isEmpty)
   }
 
+  test("MP4: empty and truncated mvhd/tkhd boxes → None, never AIOOBE") {
+    val ftyp = box("ftyp", "isom".map(_.toInt) ++ be32s(0x200))
+    // an EMPTY mvhd (size 8, zero payload) at the very end of the buffer:
+    // the version-byte read must be bounds-checked, not throw
+    val emptyMvhd = box("moov", box("mvhd", Seq.empty))
+    assert(MediaHeaders.parse(bytes((ftyp ++ emptyMvhd): _*)).isEmpty)
+    // a truncated v0 mvhd (only the version+flags fit) must not read the
+    // NEXT box's bytes as timescale/duration
+    val shortMvhd = box("mvhd", Seq(0, 0, 0, 0))
+    val decoy = box("free", Seq.fill(24)(0x41))
+    assert(MediaHeaders.parse(
+      bytes((ftyp ++ box("moov", shortMvhd ++ decoy)): _*)).isEmpty)
+    // a well-formed mvhd next to an empty tkhd: the tkhd must fail the
+    // parse (totality), not read past its box end
+    val mvhd = box("mvhd", Seq(0, 0, 0, 0) ++
+      be32s(0) ++ be32s(0) ++ be32s(600) ++ be32s(3000) ++
+      be32s(0x00010000) ++ be16s(0x0100) ++ Seq.fill(10)(0) ++
+      Seq.fill(36)(0) ++ Seq.fill(24)(0) ++ be32s(2))
+    val emptyTkhd = box("trak", box("tkhd", Seq.empty))
+    assert(MediaHeaders.parse(
+      bytes((ftyp ++ box("moov", mvhd ++ emptyTkhd)): _*)).isEmpty)
+  }
+
   test("unrecognized payloads (the synthetic corpus) parse as None") {
     assert(MediaHeaders.parse("plain text payload, no magic".getBytes("UTF-8")).isEmpty)
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)

@@ -266,4 +266,18 @@ class TextVectorSpec extends SparkTestBase {
       (ms.min, ms.size.toLong, ms.sum) }.toSet
     assert(clusters.toSet == expect)
   }
+
+  test("near-dup clusters: a corpus with zero candidate pairs yields an empty summary, not an NPE") {
+    // every doc is under the 3-token shingling floor, so the planted
+    // near-dup machinery produces no shingles and hence no pairs — the
+    // label-propagation entry aggregate must coalesce the null sum
+    val dir = java.nio.file.Files.createTempDirectory("graft_t20_empty_").toString
+    spark.createDataFrame(Seq(
+      (1L, "one two", "en", "src_1", 7L),
+      (2L, "three", "en", "src_2", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.TextVector.t20_dedup_clusters(spark, dir)
+    assert(out.count() == 0L)
+  }
 }
