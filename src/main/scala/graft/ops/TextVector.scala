@@ -929,6 +929,70 @@ object TextVector {
       .orderBy(col("n_exact").desc, col("token").asc)
   }
 
+  /** Compiled 8-token gram enumeration (T29): element i (0-based) is the
+    * gram covering tokens [i+1, i+8] 1-based — positions come free from
+    * posexplode. Same compiled-UDF-over-interpreted-HOF call as shingle3:
+    * gram enumeration is the T29 hot loop. */
+  private val grams8 = udf((ts: Seq[String]) => {
+    val n = ts.length - 7
+    if (n <= 0) Seq.empty[String]
+    else (0 until n).map(i => ts.slice(i, i + 8).mkString(" "))
+  })
+
+  /** T29: exact SUBSTRING dedup — document-level dedup (T3) and near-dup
+    * dedup (T4) both miss the real failure mode of web corpora: long
+    * verbatim passages quoted inside otherwise-distinct documents
+    * (licenses, boilerplate, quotations). Flag every maximal token span
+    * whose 8-gram content occurs more than once anywhere in the corpus —
+    * the substring granularity of Lee et al. 2021 ("Deduplicating
+    * Training Data Makes Language Models Better"), re-expressed as
+    * relational ops instead of a suffix array. Corpus = documents ∪
+    * planted quote docs (ids +3,000,000) embedding a 10-token interior
+    * slice of their source between unique sentinel tokens — guaranteed
+    * cross-doc duplicated spans; natural low-entropy repeats are caught
+    * too. Scale shape: gram enumeration is generator-local (never
+    * shuffled); the corpus-wide shuffle carries only (md5, doc_id, pos);
+    * span assembly is a per-doc gaps-and-islands window. */
+  def t29_substring_dedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    val quotes = docs
+      .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 13)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ",
+          concat(lit("uqp"), col("doc_id").cast("string")),
+          concat_ws(" ", slice(col("t"), 3, 10)),
+          concat(lit("uqs"), col("doc_id").cast("string"))).as("text"))
+      .select(col("doc_id"), toks(col("text")).as("t"))
+    val corpus = docs.unionByName(quotes).filter(size(col("t")) >= 8)
+    val grams = corpus
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        posexplode(grams8(col("t"))).as(Seq("pos0", "gram")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("pos0") + 1).as("pos"), md5(col("gram")).as("h"))
+    // duplicated = the gram's hash occurs >1 time corpus-wide (including
+    // within one doc — a self-repeating doc is still duplicated text)
+    val dup = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n_occ") > 1)
+    // gaps-and-islands: a duplicated gram at pos covers [pos, pos+7];
+    // islands merge overlapping or touching covers (pos ≤ prev + 8)
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("prev", lag(col("pos"), 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + 8, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wDoc))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(7)).as("span_end"))
+    spans.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("n_dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_tokens").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   /** T27 at streaming granularity: incremental dedup of a continuously
     * arriving doc stream against the STATIC standing minhash index —
     * shingle/band the stream per-row, two stream-static inner joins
@@ -996,6 +1060,7 @@ object TextVector {
     "t26_semantic_dedup" -> (t26_semantic_dedup _),
     "t27_incremental_dedup" -> (t27_incremental_dedup _),
     "t28_heavy_hitters" -> (t28_heavy_hitters _),
+    "t29_substring_dedup" -> (t29_substring_dedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1517,5 +1582,47 @@ object TextVector {
            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
            GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT 20)
          ORDER BY n_exact DESC, token ASC""",
+    "t29_substring_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         quotes AS (
+           SELECT doc_id + 3000000 AS doc_id,
+             string_split('uqp' || CAST(doc_id AS VARCHAR) || ' ' ||
+               array_to_string(t[3:12], ' ') ||
+               ' uqs' || CAST(doc_id AS VARCHAR), ' ') AS t
+           FROM base WHERE doc_id % 5 = 0 AND len(t) >= 13),
+         corpus AS (
+           SELECT doc_id, t FROM base UNION ALL SELECT doc_id, t FROM quotes),
+         pos AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             unnest(range(1, len(t)-6)) AS pos, t
+           FROM corpus WHERE len(t) >= 8),
+         hashed AS (
+           SELECT doc_id, n_tokens, pos,
+             md5(array_to_string(t[pos:pos+7], ' ')) AS h
+           FROM pos),
+         dup AS (
+           SELECT doc_id, n_tokens, pos,
+             count(*) OVER (PARTITION BY h) AS n_occ
+           FROM hashed),
+         isl AS (
+           SELECT doc_id, n_tokens, pos,
+             CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+               THEN 1 ELSE 0 END AS brk
+           FROM dup WHERE n_occ > 1
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         spans AS (
+           SELECT doc_id, n_tokens, island,
+             min(pos) AS span_start, max(pos) + 7 AS span_end
+           FROM (SELECT doc_id, n_tokens, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                 FROM isl)
+           GROUP BY doc_id, n_tokens, island)
+         SELECT doc_id, n_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_spans,
+           CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_dup_tokens,
+           round(CAST(sum(span_end - span_start + 1) AS DOUBLE) / n_tokens, 4)
+             AS dup_fraction
+         FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""",
   )
 }

@@ -267,6 +267,33 @@ class TextVectorSpec extends SparkTestBase {
     assert(clusters.toSet == expect)
   }
 
+  test("substring dedup: planted quotes are exact spans, sources are covered") {
+    val rows = ops.TextVector.t29_substring_dedup(spark, sf)
+      .select($"doc_id", $"n_tokens", $"n_dup_spans", $"n_dup_tokens", $"dup_fraction")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every quote doc (id ≥ 3e6) is sentinel + 10-token slice + sentinel:
+    // exactly ONE maximal duplicated span covering the slice [2, 11]
+    val quotes = rows.filter(_._1 >= 3000000L)
+    assert(quotes.nonEmpty)
+    quotes.foreach { case (id, n, spans, dupToks, frac) =>
+      assert(n == 12L, s"quote $id token count $n")
+      assert(spans == 1L && dupToks == 10L, s"quote $id spans=$spans dup=$dupToks")
+      assert(math.abs(frac - 0.8333) < 1e-9, s"quote $id frac=$frac")
+    }
+    // every quoted source doc carries a duplicated span of ≥ 10 tokens
+    // (the slice; natural repeats may extend or add spans)
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).as("n"))
+      .as[(Long, Int)].collect()
+    docs.filter(d => d._1 % 5 == 0 && d._2 >= 13).foreach { case (id, _) =>
+      val r = byId.get(id)
+      assert(r.nonEmpty, s"source $id missing from the span summary")
+      assert(r.get._4 >= 10L, s"source $id dup tokens ${r.get._4}")
+    }
+  }
+
   test("near-dup clusters: a corpus with zero candidate pairs yields an empty summary, not an NPE") {
     // every doc is under the 3-token shingling floor, so the planted
     // near-dup machinery produces no shingles and hence no pairs — the
