@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, Encoder, Encoders, functions}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** T33/E2 (SURVEY §2.4, §2.11): Bloom-filter aggregate over a string
+  * column — the membership sketch that completes the one-pass sketch
+  * family (A4 HyperLogLog for cardinality, T28 count-min for frequency,
+  * this for membership). Spark ships `BloomFilterAggregate` but keeps it
+  * internal (runtime join filters only, not SQL-callable), so this is
+  * the public-API typed-Aggregator form over the same
+  * `org.apache.spark.util.sketch.BloomFilter`.
+  *
+  * Buffer: the filter's bit array — merge is bitwise OR, so the
+  * aggregation is associative, commutative AND order/partitioning
+  * independent: the final bit pattern is a pure function of the input
+  * SET, which is what makes sketch-dependent results reproducible
+  * cross-run at any scale. Output: the serialized filter (~1.2 MB for
+  * 1M items at 1% fpp — constant in corpus size, the whole point). */
+class BloomFilterAgg(expectedItems: Long, fpp: Double)
+    extends Aggregator[String, BloomFilter, Array[Byte]] {
+  override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  override def reduce(b: BloomFilter, s: String): BloomFilter = {
+    if (s != null) b.putString(s)
+    b
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+    a.mergeInPlace(b)
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    b.writeTo(out)
+    out.toByteArray
+  }
+  // BloomFilterImpl is java.io.Serializable (custom write/readObject)
+  override def bufferEncoder: Encoder[BloomFilter] =
+    Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object BloomFilterAgg {
+  /** Column form: bloom_agg(item) → serialized filter bytes. */
+  def apply(item: Column, expectedItems: Long, fpp: Double): Column =
+    functions.udaf(new BloomFilterAgg(expectedItems, fpp)).apply(item)
+
+  /** Membership probe against serialized filter bytes: no false
+    * negatives; false positives at ≤ the construction fpp. The probe
+    * runs once per ROW and the join re-materializes the byte array per
+    * row (so reference identity never repeats); deserialization is
+    * memoized per JVM behind a cheap strided content key — length plus
+    * 96 sampled bytes — which distinguishes the handful of distinct
+    * filters a JVM ever sees without rescanning the full array per row.
+    * A key collision would surface instantly as a wrong filter in tests;
+    * with one or two live filters per session it cannot occur. */
+  private val parsed =
+    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]
+  private def strideKey(b: Array[Byte]): Long = {
+    if (b.length == 0) return 0L
+    var h = 1125899906842597L * (b.length + 1)
+    var i = 0
+    while (i < 32) { // 32 samples spread across the array, incl. both ends
+      val p = (b.length - 1).toLong * i / 31
+      h = h * 31 + b(p.toInt)
+      i += 1
+    }
+    h
+  }
+  private def parse(bytes: Array[Byte]): BloomFilter =
+    parsed.computeIfAbsent(strideKey(bytes), _ =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+  val mightContain: (Column, Column) => Column = {
+    val f = functions.udf((bytes: Array[Byte], s: String) =>
+      parse(bytes).mightContainString(s))
+    (bf: Column, s: Column) => f(bf, s)
+  }
+}

@@ -993,6 +993,45 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** T33: Bloom-filter decontamination — T18's hygiene check behind a
+    * membership SKETCH instead of the exact broadcast join. At 100 TB the
+    * exact path ships the full benchmark shingle SET to every executor;
+    * the Bloom filter is a constant-size bitmap (fpp-controlled) built in
+    * ONE aggregation pass and broadcast as a single row — the classic
+    * sketch trade, completing the family: A4 HyperLogLog (cardinality),
+    * T28 count-min (frequency), T33 Bloom (membership). The exact join
+    * stays in-plan here as the verification harness for the sketch's
+    * contract: per training doc, every exactly-contaminated shingle MUST
+    * bloom-hit (no false negatives — `bloom_consistent` folds the
+    * guarantee into an oracle-checkable boolean, the a4/t28 pattern),
+    * while false positives only ever ADD candidate hits (`n_bloom_hits ≥
+    * n_exact_hits`), which a production pipeline re-verifies exactly on
+    * the tiny flagged subset. */
+  def t33_bloom_decontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", shingle3(col("t")))
+    val bench = base.filter(col("doc_id") <= 20)
+      .select(explode(col("sh")).as("shingle"))
+    val bf = bench.agg(
+      graft.functions.BloomFilterAgg(col("shingle"), 100000L, 0.01).as("bf"))
+    val benchSet = bench.distinct().withColumn("exact_hit", lit(true))
+    val train = base.filter(col("doc_id") > 20)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+    train.crossJoin(broadcast(bf))
+      .join(broadcast(benchSet), Seq("shingle"), "left")
+      .withColumn("bloom_hit",
+        graft.functions.BloomFilterAgg.mightContain(col("bf"), col("shingle")))
+      .groupBy("train_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
+        min(when(col("exact_hit").isNull || col("bloom_hit"), true)
+          .otherwise(false)).as("bloom_consistent"))
+      .orderBy("train_id")
+  }
+
   /** T27 at streaming granularity: incremental dedup of a continuously
     * arriving doc stream against the STATIC standing minhash index —
     * shingle/band the stream per-row, two stream-static inner joins
@@ -1061,6 +1100,7 @@ object TextVector {
     "t27_incremental_dedup" -> (t27_incremental_dedup _),
     "t28_heavy_hitters" -> (t28_heavy_hitters _),
     "t29_substring_dedup" -> (t29_substring_dedup _),
+    "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1624,5 +1664,26 @@ object TextVector {
            round(CAST(sum(span_end - span_start + 1) AS DOUBLE) / n_tokens, 4)
              AS dup_fraction
          FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""",
+    "t33_bloom_decontaminate" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, regexp_replace(text, '\s+\S+$', '') FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM corpus)
+           WHERE len(t) >= 3),
+         bench AS (
+           SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id <= 20),
+         train AS (
+           SELECT doc_id AS train_id, unnest(sh) AS shingle FROM sh WHERE doc_id > 20)
+         SELECT train_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits,
+           TRUE AS bloom_consistent
+         FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+         GROUP BY train_id ORDER BY train_id""",
   )
 }

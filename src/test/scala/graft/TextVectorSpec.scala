@@ -294,6 +294,28 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("bloom decontamination: no false negatives anywhere, agrees with the exact t18 join") {
+    val rows = ops.TextVector.t33_bloom_decontaminate(spark, sf)
+      .select($"train_id", $"n_shingles", $"n_exact_hits", $"bloom_consistent")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    // the sketch's contract: every exactly-contaminated shingle bloom-hits
+    rows.foreach { case (id, _, _, ok) => assert(ok, s"false negative in doc $id") }
+    // the planted near-dup copies of bench docs (ids 1000000..1000020) are
+    // near-total contamination: nearly all their shingles are bench shingles
+    val planted = rows.filter(r => r._1 >= 1000000L && r._1 <= 1000020L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, n, hits, _) =>
+      assert(hits >= n - 2, s"planted copy $id only $hits/$n bench shingles") }
+    // cross-check against the exact inverted-index join: every doc t18
+    // flags at >= 5 shared shingles must show >= 5 exact hits here
+    val flagged = ops.TextVector.t18_decontaminate(spark, sf)
+      .select($"train_id").distinct().as[Long].collect().toSet
+    val hitsById = rows.map(r => r._1 -> r._3).toMap
+    flagged.foreach { id =>
+      assert(hitsById.getOrElse(id, 0L) >= 5L, s"t18-flagged $id under 5 hits in t33") }
+  }
+
   test("near-dup clusters: a corpus with zero candidate pairs yields an empty summary, not an NPE") {
     // every doc is under the 3-token shingling floor, so the planted
     // near-dup machinery produces no shingles and hence no pairs — the
