@@ -993,6 +993,40 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** T30: LM-perplexity quality filter — the CCNet recipe: score every
+    * document by a language model trained on a REFERENCE corpus and drop
+    * the high-perplexity tail. The LM here is add-one-smoothed unigram
+    * — trained entirely in-plan (one token-count aggregate over the
+    * clean corpus); the scored corpus is documents ∪ planted gibberish
+    * docs (ids +4,000,000, all-OOV tokens — guaranteed flags, since OOV
+    * scores at the smoothing floor 1/(N+V)). Scale shape: the vocabulary
+    * is tiny relative to any corpus (token types, not instances) and
+    * broadcast; scoring is explode → broadcast-join → per-doc avg, so
+    * the only corpus-wide shuffle is the final doc_id aggregation. */
+  def t30_lm_quality(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    val junkText = (0 until 20).map("zq" + _).mkString(" ")
+    val scored = docs.unionByName(
+      docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          toks(lit(junkText)).as("t")))
+    val vocab = docs.select(explode(col("t")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val stats = vocab.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    scored.select(col("doc_id"), explode(col("t")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("neglogp",
+        -log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n_total") + col("v_size"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("neglogp")), 4).as("avg_neglogp"))
+      .withColumn("is_low_quality", col("avg_neglogp") > 6.0)
+      .orderBy("doc_id")
+  }
+
   /** T33: Bloom-filter decontamination — T18's hygiene check behind a
     * membership SKETCH instead of the exact broadcast join. At 100 TB the
     * exact path ships the full benchmark shingle SET to every executor;
@@ -1100,6 +1134,7 @@ object TextVector {
     "t27_incremental_dedup" -> (t27_incremental_dedup _),
     "t28_heavy_hitters" -> (t28_heavy_hitters _),
     "t29_substring_dedup" -> (t29_substring_dedup _),
+    "t30_lm_quality" -> (t30_lm_quality _),
     "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
   )
 
@@ -1664,6 +1699,31 @@ object TextVector {
            round(CAST(sum(span_end - span_start + 1) AS DOUBLE) / n_tokens, 4)
              AS dup_fraction
          FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""",
+    "t30_lm_quality" ->
+      """WITH docs AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         scored AS (
+           SELECT doc_id, t FROM docs
+           UNION ALL
+           SELECT doc_id + 4000000 AS doc_id,
+             string_split('zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12 zq13 zq14 zq15 zq16 zq17 zq18 zq19', ' ') AS t
+           FROM docs WHERE doc_id % 9 = 0),
+         vocab AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(t) AS token FROM docs) GROUP BY token),
+         stats AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                  CAST(count(*) AS BIGINT) AS v_size FROM vocab),
+         tok AS (SELECT doc_id, unnest(t) AS token FROM scored),
+         perdoc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+               (n_total + v_size))), 4) AS avg_neglogp
+           FROM tok LEFT JOIN vocab USING (token) CROSS JOIN stats
+           GROUP BY doc_id)
+         SELECT doc_id, n_tokens, avg_neglogp,
+           avg_neglogp > 6.0 AS is_low_quality
+         FROM perdoc ORDER BY doc_id""",
     "t33_bloom_decontaminate" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

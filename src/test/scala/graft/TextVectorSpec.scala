@@ -294,6 +294,26 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("LM quality: gibberish plants score at the smoothing floor, real docs stay clear") {
+    val rows = ops.TextVector.t30_lm_quality(spark, sf)
+      .select($"doc_id", $"n_tokens", $"avg_neglogp", $"is_low_quality")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val (planted, real) = rows.partition(_._1 >= 4000000L)
+    assert(planted.nonEmpty && real.nonEmpty)
+    // every planted all-OOV doc sits exactly at the uniform floor ln(N+V)
+    // (all its tokens share the same smoothed probability) and is flagged
+    val floor = planted.head._3
+    planted.foreach { case (id, n, a, flag) =>
+      assert(n == 20L && flag, s"plant $id n=$n flag=$flag")
+      assert(math.abs(a - floor) < 1e-9, s"plant $id off-floor $a vs $floor")
+    }
+    // no clean-corpus doc is flagged, and the floor towers over the real band
+    real.foreach { case (id, _, a, flag) =>
+      assert(!flag, s"real doc $id flagged at $a")
+      assert(a < floor - 2.0, s"real doc $id suspiciously close to the OOV floor")
+    }
+  }
+
   test("bloom decontamination: no false negatives anywhere, agrees with the exact t18 join") {
     val rows = ops.TextVector.t33_bloom_decontaminate(spark, sf)
       .select($"train_id", $"n_shingles", $"n_exact_hits", $"bloom_consistent")
