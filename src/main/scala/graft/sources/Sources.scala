@@ -92,6 +92,29 @@ object Sources {
       .orderBy("lang", "source")
   }
 
+  /** S10: ORC sink + source roundtrip — the third columnar format a
+    * warehouse migration meets (Hive's native layout). Spark's ORC
+    * support is built in (vectorized reader, predicate pushdown, column
+    * pruning — same scan contract as parquet); the roundtrip proves both
+    * directions preserve types and values. The read-back filter is
+    * pushable: `.explain` shows it reaching the OrcScan as a pushed
+    * predicate, so at 100 TB a selective read touches only matching
+    * stripes. */
+  def s10_orc_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s10_")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .filter(col("o_totalprice") > 1000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+  }
+
   /** S9: corrupt-record quarantine — malformed payloads split into an
     * error channel instead of failing the job (TEST:151-152, TEST:161).
     * Corruption is planted deterministically (every 10th event's JSON is
@@ -118,6 +141,7 @@ object Sources {
     "s5_csv_roundtrip" -> (s5_csv_roundtrip _),
     "s8_partitioned_sink" -> (s8_partitioned_sink _),
     "s9_quarantine" -> (s9_quarantine _),
+    "s10_orc_roundtrip" -> (s10_orc_roundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -149,5 +173,11 @@ object Sources {
          CAST(sum(CASE WHEN corrupt THEN 0
                   ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) END) AS BIGINT) AS k_checksum
          FROM c""",
+    "s10_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders WHERE o_totalprice > 1000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }

@@ -263,6 +263,17 @@ class ScaleDesignSpec extends SparkTestBase {
     }
   }
 
+  test("ORC roundtrip pushes the read-back filter into the ORC scan") {
+    val df = sources.Sources.s10_orc_roundtrip(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the selective predicate must reach the OrcScan as a pushed filter —
+    // at 100 TB that's the difference between touching matching stripes
+    // and re-reading the whole sink
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,1000.0)]"),
+      s"o_totalprice filter not pushed to the ORC scan: ${plan.take(2000)}")
+    assert(df.count() > 0)
+  }
+
   test("projection prunes the parquet scan to the selected columns only") {
     val plan = ops.Relational.p1_projection(spark, sf)
       .queryExecution.executedPlan.toString
