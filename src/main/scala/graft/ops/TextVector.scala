@@ -1027,6 +1027,81 @@ object TextVector {
       .orderBy("doc_id")
   }
 
+  /** T31: product-quantization ANN — the vector-store compression path
+    * next to T6b's IVF pruning path: each 64-dim vector becomes m=4
+    * one-byte codes (one per 16-dim subspace, nearest of 8 codewords),
+    * a 64× memory cut, and queries rank candidates by Asymmetric
+    * Distance Computation — the query's partial distance to every
+    * codeword is precomputed (a 4×16 table per query) and candidate
+    * distance is 4 table lookups summed, never touching the original
+    * vectors. Production PQ is two-stage, and so is this: the ADC pass
+    * shortlists 20 candidates per query, then ONLY the shortlist is
+    * reranked with exact distances — the corpus vectors are touched for
+    * 50 rows per query, not N. Codebooks are deterministically seeded
+    * (codeword c of subspace j = vector c's j-th subvector — T6b's
+    * stand-in-for-k-means trick) and refined by ONE Lloyd step with the
+    * updated codeword lanes quantized to 6 decimals — T25's
+    * exact-cross-engine-iteration pattern, per subspace. Scale shape:
+    * encoding is a broadcast-codebook crossJoin with map-side partial
+    * min (the shuffle carries (vec_id, j, code) — never subvectors);
+    * the codebook update is a (j, code, lane)-keyed avg; the ADC table
+    * is broadcast; the rerank joins a tiny id shortlist back to the
+    * corpus. Shortlist recall vs the exact baseline is measured in
+    * TextVectorSpec. */
+  def t31_pq_ann(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val subs = e.select(col("vec_id"), explode(expr(
+      "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(v, j*16+1, 16)))")).as("s"))
+      .select(col("vec_id"), col("s.j").cast("int").as("j"), col("s.sv").as("sv"))
+    val cb0 = subs.filter(col("vec_id") < 16)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw"))
+    // per (vec, subspace): nearest codeword, subvector carried for the
+    // Lloyd update; min_by keeps the shuffle narrow (map-side partials)
+    def assignSub(cb: DataFrame): DataFrame = subs
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", l2sq(col("sv"), col("cw")))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(struct(col("code").as("code"), col("sv").as("sv")),
+        struct(col("d2"), col("code"))).as("a"))
+      .select(col("vec_id"), col("j"), col("a.code").as("code"),
+        col("a.sv").as("sv"))
+    // one Lloyd step: codeword = lane-wise mean of its members, rounded
+    // to 6 decimals so downstream argmin decisions are cross-engine
+    // exact (every seed is its own member at distance 0 — no empty code)
+    val cb1 = assignSub(cb0)
+      .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("lane", "x")))
+      .groupBy("j", "code", "lane").agg(round(avg(col("x")), 6).as("m"))
+      .groupBy("j", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(lane, m))), p -> p.m)").as("cw"))
+    val enc = assignSub(cb1).select(col("vec_id"), col("j"), col("code"))
+    val dt = subs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("j"), col("sv").as("qsv"))
+      .join(broadcast(cb1), Seq("j"))
+      .select(col("q_id"), col("j"), col("code"),
+        l2sq(col("qsv"), col("cw")).as("pd"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("c_id").asc)
+    val shortlist = enc.join(broadcast(dt), Seq("j", "code"))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("pd"))
+      .groupBy("q_id", "c_id")
+      .agg(round(sum(col("pd")), 6).as("adist"))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("srnk", row_number().over(wShort))
+      .filter(col("srnk") <= 50)
+      .select(col("q_id"), col("c_id"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2x").asc, col("c_id").asc)
+    shortlist
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("c_id"), col("v").as("cv")), Seq("c_id"))
+      .withColumn("d2x", round(l2sq(col("qv"), col("cv")), 6))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("d2x"), 4).as("l2_dist"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** T33: Bloom-filter decontamination — T18's hygiene check behind a
     * membership SKETCH instead of the exact broadcast join. At 100 TB the
     * exact path ships the full benchmark shingle SET to every executor;
@@ -1135,6 +1210,7 @@ object TextVector {
     "t28_heavy_hitters" -> (t28_heavy_hitters _),
     "t29_substring_dedup" -> (t29_substring_dedup _),
     "t30_lm_quality" -> (t30_lm_quality _),
+    "t31_pq_ann" -> (t31_pq_ann _),
     "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
   )
 
@@ -1724,6 +1800,69 @@ object TextVector {
          SELECT doc_id, n_tokens, avg_neglogp,
            avg_neglogp > 6.0 AS is_low_quality
          FROM perdoc ORDER BY doc_id""",
+    "t31_pq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         subs AS (
+           SELECT vec_id, CAST(j.range AS INTEGER) AS j,
+             v[CAST(j.range*16+1 AS INTEGER):CAST(j.range*16+16 AS INTEGER)] AS sv
+           FROM e CROSS JOIN range(0, 4) j),
+         cb0 AS (
+           SELECT j, CAST(vec_id AS INTEGER) AS code, sv AS cw
+           FROM subs WHERE vec_id < 16),
+         d0 AS (
+           SELECT s.vec_id, s.j, c.code, s.sv,
+             list_sum(list_transform(range(1, 17),
+               i -> (sv[CAST(i AS INTEGER)] - cw[CAST(i AS INTEGER)]) ^ 2)) AS d2
+           FROM subs s JOIN cb0 c USING (j)),
+         asg0 AS (
+           SELECT vec_id, j, code, sv FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d2 ASC, code ASC) AS rn FROM d0) WHERE rn = 1),
+         cb1 AS (
+           SELECT j, code, list(m ORDER BY lane) AS cw FROM (
+             SELECT j, code, r.range AS lane,
+               round(avg(sv[CAST(r.range AS INTEGER)]), 6) AS m
+             FROM asg0 CROSS JOIN range(1, 17) r GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         dists AS (
+           SELECT s.vec_id, s.j, c.code,
+             list_sum(list_transform(range(1, 17),
+               i -> (sv[CAST(i AS INTEGER)] - cw[CAST(i AS INTEGER)]) ^ 2)) AS d2
+           FROM subs s JOIN cb1 c USING (j)),
+         enc AS (
+           SELECT vec_id, j, code FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY d2 ASC, code ASC) AS rn FROM dists) WHERE rn = 1),
+         dt AS (
+           SELECT s.vec_id AS q_id, s.j, c.code,
+             list_sum(list_transform(range(1, 17),
+               i -> (sv[CAST(i AS INTEGER)] - cw[CAST(i AS INTEGER)]) ^ 2)) AS pd
+           FROM subs s JOIN cb1 c USING (j) WHERE s.vec_id < 10),
+         adc AS (
+           SELECT dt.q_id, enc.vec_id AS c_id, round(sum(pd), 6) AS adist
+           FROM enc JOIN dt ON enc.j = dt.j AND enc.code = dt.code
+           GROUP BY 1, 2),
+         short AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id, adist,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist ASC, c_id ASC) AS srnk
+             FROM adc WHERE c_id <> q_id)
+           WHERE srnk <= 50),
+         rerank AS (
+           SELECT sh.q_id, sh.c_id,
+             round(list_sum(list_transform(range(1, 65),
+               i -> (q.v[CAST(i AS INTEGER)] - c.v[CAST(i AS INTEGER)]) ^ 2)), 6) AS d2x
+           FROM short sh
+           JOIN e q ON q.vec_id = sh.q_id
+           JOIN e c ON c.vec_id = sh.c_id),
+         top AS (
+           SELECT q_id, c_id, d2x,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY d2x ASC, c_id ASC) AS rnk
+           FROM rerank)
+         SELECT q_id, rnk, c_id, round(d2x, 4) AS l2_dist
+         FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "t33_bloom_decontaminate" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

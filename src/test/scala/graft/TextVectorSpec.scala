@@ -294,6 +294,35 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("PQ ANN: 5 ranked rows per query, measured recall against the exact L2 top-5") {
+    val approx = ops.TextVector.t31_pq_ann(spark, sf)
+      .select($"q_id", $"rnk", $"c_id").as[(Long, Int, Long)].collect()
+    val byQ = approx.groupBy(_._1)
+    assert(byQ.size == 10)
+    byQ.values.foreach(rows => assert(rows.map(_._2).sorted.toSeq == (1 to 5)))
+    // exact L2 top-5 baseline, computed on the driver from the raw vectors
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val recalls = byQ.map { case (q, rows) =>
+      val qv = vecs(q)
+      val exact = vecs.keys.filter(_ != q).toSeq
+        .sortBy(c => (l2(qv, vecs(c)), c)).take(5).toSet
+      rows.map(_._3).count(exact.contains).toDouble / 5.0
+    }
+    val avgRecall = recalls.sum / recalls.size
+    info(f"PQ shortlist+rerank recall@5 vs exact L2: $avgRecall%.2f")
+    // ADC shortlists 20 of N candidates, exact rerank picks the final 5 —
+    // a working two-stage PQ recovers most of the true top-5 (chance is
+    // ~ 5/n_vecs < 0.01)
+    assert(avgRecall >= 0.5, f"PQ recall collapsed: $avgRecall%.2f")
+  }
+
   test("LM quality: gibberish plants score at the smoothing floor, real docs stay clear") {
     val rows = ops.TextVector.t30_lm_quality(spark, sf)
       .select($"doc_id", $"n_tokens", $"avg_neglogp", $"is_low_quality")
