@@ -1102,6 +1102,39 @@ object TextVector {
       .orderBy("q_id", "rnk")
   }
 
+  /** T32: URL/domain filtering — the RefinedWeb/C4 front-door step:
+    * parse each document's source URL, extract host / path / query
+    * parts (`parse_url`, codegen'd), and drop every document whose
+    * domain is on a blocklist via a broadcast LEFT ANTI join — the
+    * relational form of "filter by domain" that never shuffles the
+    * corpus (blocklists are thousands of domains; the corpus streams
+    * past a broadcast hash table). The corpus carries no URLs, so they
+    * are synthesized deterministically from (source, doc_id, lang) —
+    * f2's planted-filename pattern — and the oracle re-derives the same
+    * parts by regex. Blocklist = every domain whose source number is
+    * ≡ 0 (mod 5), derived in-plan from the corpus itself. */
+  def t32_url_filter(s: SparkSession, d: String): DataFrame = {
+    val tld = element_at(array(lit("com"), lit("org"), lit("net")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    val docs = documents(s, d)
+      .withColumn("url", concat(lit("https://"), col("source"),
+        lit(".example."), tld, lit("/docs/"), col("doc_id").cast("string"),
+        lit("?ref="), col("lang")))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("path", expr("parse_url(url, 'PATH')"))
+      .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
+    val blocklist = docs.select(col("host")).distinct()
+      .filter(regexp_extract(col("host"), "src(\\d+)", 1).cast("int") % 5 === 0)
+    docs.join(broadcast(blocklist), Seq("host"), "left_anti")
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"),
+        countDistinct(col("ref")).as("n_ref_langs"),
+        sum(when(col("path") === concat(lit("/docs/"),
+          col("doc_id").cast("string")), 1).otherwise(0)).as("n_path_ok"))
+      .orderBy("host")
+  }
+
   /** T33: Bloom-filter decontamination — T18's hygiene check behind a
     * membership SKETCH instead of the exact broadcast join. At 100 TB the
     * exact path ships the full benchmark shingle SET to every executor;
@@ -1211,6 +1244,7 @@ object TextVector {
     "t29_substring_dedup" -> (t29_substring_dedup _),
     "t30_lm_quality" -> (t30_lm_quality _),
     "t31_pq_ann" -> (t31_pq_ann _),
+    "t32_url_filter" -> (t32_url_filter _),
     "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
   )
 
@@ -1863,6 +1897,32 @@ object TextVector {
            FROM rerank)
          SELECT q_id, rnk, c_id, round(d2x, 4) AS l2_dist
          FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "t32_url_filter" ->
+      """WITH docs AS (
+           SELECT doc_id, lang, source,
+             'https://' || source || '.example.' ||
+               (CASE CAST(doc_id % 3 AS INTEGER)
+                  WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+               '/docs/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+             regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, '\?ref=(.*)$', 1) AS ref
+           FROM docs),
+         blocklist AS (
+           SELECT DISTINCT host FROM parts
+           WHERE CAST(regexp_extract(host, 'src(\d+)', 1) AS INTEGER) % 5 = 0)
+         SELECT host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(count(DISTINCT ref) AS BIGINT) AS n_ref_langs,
+           CAST(sum(CASE WHEN path = '/docs/' || CAST(doc_id AS VARCHAR)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_path_ok
+         FROM parts
+         WHERE host NOT IN (SELECT host FROM blocklist)
+         GROUP BY host ORDER BY host""",
     "t33_bloom_decontaminate" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

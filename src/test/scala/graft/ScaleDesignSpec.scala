@@ -274,6 +274,21 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("round-5 ops keep their small sides broadcast (vocab join, blocklist anti join)") {
+    // t30: the vocabulary side of the scoring join must broadcast — at
+    // 100 TB the corpus side streaming past a broadcast hash table is
+    // the whole design; a shuffled-hash or SMJ scoring join would
+    // re-shuffle the corpus by token
+    val t30 = ops.TextVector.t30_lm_quality(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(t30.contains("BroadcastHashJoin"), s"t30 vocab join not broadcast: ${t30.take(1500)}")
+    // t32: domain filtering is a broadcast LEFT ANTI join
+    val t32 = ops.TextVector.t32_url_filter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(t32.contains("BroadcastHashJoin") && t32.contains("LeftAnti"),
+      s"t32 blocklist join not a broadcast anti join: ${t32.take(1500)}")
+  }
+
   test("projection prunes the parquet scan to the selected columns only") {
     val plan = ops.Relational.p1_projection(spark, sf)
       .queryExecution.executedPlan.toString

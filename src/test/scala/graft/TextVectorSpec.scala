@@ -323,6 +323,21 @@ class TextVectorSpec extends SparkTestBase {
     assert(avgRecall >= 0.5, f"PQ recall collapsed: $avgRecall%.2f")
   }
 
+  test("URL filter: blocklisted domains are gone, parsed parts are consistent") {
+    val rows = ops.TextVector.t32_url_filter(spark, sf)
+      .select($"host", $"n_docs", $"n_path_ok").as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (host, n, pathOk) =>
+      val src = "src(\\d+)".r.findFirstMatchIn(host).get.group(1).toInt
+      assert(src % 5 != 0, s"blocklisted domain $host survived the anti join")
+      assert(pathOk == n, s"$host: only $pathOk/$n parsed paths matched")
+    }
+    // every surviving source keeps its 3 TLD variants somewhere in the corpus
+    val srcs = rows.map(r => "src(\\d+)".r.findFirstMatchIn(r._1).get.group(1).toInt)
+    assert(srcs.distinct.size * 3 == rows.length,
+      s"expected 3 TLD domains per surviving source: ${rows.map(_._1).mkString(",")}")
+  }
+
   test("LM quality: gibberish plants score at the smoothing floor, real docs stay clear") {
     val rows = ops.TextVector.t30_lm_quality(spark, sf)
       .select($"doc_id", $"n_tokens", $"avg_neglogp", $"is_low_quality")
