@@ -170,6 +170,47 @@ object Aggregates {
       .drop("purchase_value_raw")
       .orderBy("user_id")
 
+  /** A13: approx percentile sketch — the quantile member of the
+    * bounded-memory sketch family (A4 HyperLogLog cardinality, T28
+    * count-min frequency, T33 Bloom membership): `approx_percentile`
+    * answers per-group quantiles in one pass with memory bounded by the
+    * accuracy parameter, independent of group size — at 100 TB exact
+    * percentile (A10) must buffer whole groups; the sketch never does.
+    * The guarantee (returned value's rank within n/accuracy of the
+    * target rank) is verified IN-PLAN by ranking the sketch's answer
+    * against the group — and folded into an oracle-checkable boolean
+    * (the a4/t28/t33 pattern); the exact quantile is emitted beside it
+    * so the oracle also pins real values. */
+  def a13_approx_percentile(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val qArr = array(lit(0.25), lit(0.5), lit(0.9))
+    val ap = o.groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"))
+      .select(col("o_orderstatus"), posexplode(col("ap")).as(Seq("qi", "v")))
+      .withColumn("q", element_at(qArr, col("qi") + 1))
+    val ex = o.groupBy(col("o_orderstatus"))
+      .agg(expr("array(percentile(o_totalprice, 0.25D), percentile(o_totalprice, 0.5D), percentile(o_totalprice, 0.9D))").as("ep"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"), col("n"),
+        posexplode(col("ep")).as(Seq("qi", "exact_v")))
+    val ranks = o.join(broadcast(ap), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"), col("qi"), col("q"))
+      .agg(sum(when(col("o_totalprice") < col("v"), 1).otherwise(0)).as("n_lt"),
+        sum(when(col("o_totalprice") <= col("v"), 1).otherwise(0)).as("n_le"))
+    // rank guarantee with accuracy=100: some rank of the returned value
+    // lies within n/100 of q·n; duplicates give v the rank interval
+    // (n_lt, n_le], so check interval overlap (+1 slack for the
+    // floor/ceiling conventions at tiny groups)
+    ranks.join(ex, Seq("o_orderstatus", "qi"))
+      .withColumn("qn", col("q") * col("n"))
+      .withColumn("eps", col("n") / 100.0 + 1.0)
+      .select(col("o_orderstatus"), col("q"), col("n"),
+        round(col("exact_v"), 4).as("exact_p"),
+        (col("n_lt") <= col("qn") + col("eps") &&
+          col("n_le") >= col("qn") - col("eps")).as("sketch_within_bound"))
+      .orderBy("o_orderstatus", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> (a1_pricing_summary _),
     "a2_global_agg" -> (a2_global_agg _),
@@ -185,6 +226,7 @@ object Aggregates {
     "a10_percentiles" -> (a10_percentiles _),
     "a11_min_max_by" -> (a11_min_max_by _),
     "a12_conditional_agg" -> (a12_conditional_agg _),
+    "a13_approx_percentile" -> (a13_approx_percentile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -269,5 +311,18 @@ object Aggregates {
          round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS error_rate,
          round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "a13_approx_percentile" ->
+      """WITH per AS (
+           SELECT o_orderstatus, CAST(0.25 AS DOUBLE) AS q, count(*) AS n,
+             quantile_cont(o_totalprice, 0.25) AS p FROM orders GROUP BY 1
+           UNION ALL
+           SELECT o_orderstatus, CAST(0.5 AS DOUBLE), count(*),
+             quantile_cont(o_totalprice, 0.5) FROM orders GROUP BY 1
+           UNION ALL
+           SELECT o_orderstatus, CAST(0.9 AS DOUBLE), count(*),
+             quantile_cont(o_totalprice, 0.9) FROM orders GROUP BY 1)
+         SELECT o_orderstatus, q, CAST(n AS BIGINT) AS n,
+           round(p, 4) AS exact_p, TRUE AS sketch_within_bound
+         FROM per ORDER BY o_orderstatus, q""",
   )
 }

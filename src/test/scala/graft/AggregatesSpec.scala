@@ -55,6 +55,22 @@ class AggregatesSpec extends SparkTestBase {
     }
   }
 
+  test("approx percentile sketch: rank bound holds everywhere, exact values agree with a10") {
+    val rows = ops.Aggregates.a13_approx_percentile(spark, sf)
+      .select($"o_orderstatus", $"q", $"exact_p", $"sketch_within_bound")
+      .as[(String, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.foreach { case (st, q, _, ok) => assert(ok, s"rank bound violated at ($st, $q)") }
+    // the exact side must be the same numbers a10 reports
+    val a10 = ops.Aggregates.a10_percentiles(spark, sf)
+      .select($"o_orderstatus", $"p25", $"p50", $"p90")
+      .as[(String, Double, Double, Double)].collect()
+      .flatMap { case (st, p25, p50, p90) =>
+        Seq((st, 0.25) -> p25, (st, 0.5) -> p50, (st, 0.9) -> p90) }.toMap
+    rows.foreach { case (st, q, p, _) =>
+      assert(math.abs(p - a10((st, q))) < 1e-9, s"($st, $q): $p vs a10 ${a10((st, q))}") }
+  }
+
   test("pivot row-set equals groupBy pairs; language columns sum to total") {
     val piv = ops.Aggregates.a9_pivot(spark, sf)
     val direct = Tables.documents(spark, sf)
