@@ -57,10 +57,38 @@ object Quality {
         round(avg(when(col("seg_nullable").isNull, 1.0).otherwise(0.0)), 6).as("planted_null_rate"))
   }
 
+  /** DQ4: statistical outlier detection — per-segment z-score profile of
+    * account balances. The corpus is uniform (max |z| ≈ √3 — no natural
+    * tail), so anomalies are planted deterministically (×25 + 200k
+    * balance for every 199th custkey, the guaranteed-catch pattern) and
+    * the flag threshold |z| > 3 sits ≥ 1.0 away from every real z at
+    * all three SFs (verified empirically) — cross-engine float drift
+    * (~1e-12 relative) cannot flip a flag. Scale shape: one scan, one
+    * per-group agg, then a broadcast of 5 stat rows back over the scan
+    * — the 100 TB anomaly-report idiom (no self-join on the fact). */
+  def dq4_outliers(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val aug = c.unionByName(
+      c.filter(col("c_custkey") % 199 === 0)
+        .select((col("c_custkey") + 8000000L).as("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") * 25.0 + 200000.0).as("c_acctbal")))
+    val stats = aug.groupBy("c_mktsegment")
+      .agg(avg(col("c_acctbal")).as("m"), stddev_samp(col("c_acctbal")).as("sd"))
+    aug.join(broadcast(stats), Seq("c_mktsegment"))
+      .withColumn("az", abs((col("c_acctbal") - col("m")) / col("sd")))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("az") > 3.0, 1).otherwise(0)).cast("long").as("n_outliers"),
+        round(max(col("az")), 4).as("max_abs_z"),
+        round(avg(col("c_acctbal")), 4).as("mean_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_referential_integrity" -> (dq1_referential_integrity _),
     "dq2_value_ranges" -> (dq2_value_ranges _),
     "dq3_null_rates" -> (dq3_null_rates _),
+    "dq4_outliers" -> (dq4_outliers _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -97,5 +125,21 @@ object Quality {
          CAST(sum(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_seg_planted,
          round(avg(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1.0 ELSE 0.0 END), 6) AS planted_null_rate
          FROM customer""",
+    "dq4_outliers" ->
+      """WITH aug AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+           UNION ALL
+           SELECT c_custkey + 8000000, c_mktsegment, c_acctbal * 25.0 + 200000.0
+           FROM customer WHERE c_custkey % 199 = 0),
+         s AS (
+           SELECT c_mktsegment, avg(c_acctbal) AS m, stddev_samp(c_acctbal) AS sd
+           FROM aug GROUP BY 1)
+         SELECT aug.c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN abs((c_acctbal - m)/sd) > 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs((c_acctbal - m)/sd)), 4) AS max_abs_z,
+           round(avg(c_acctbal), 4) AS mean_bal
+         FROM aug JOIN s USING (c_mktsegment)
+         GROUP BY aug.c_mktsegment ORDER BY aug.c_mktsegment""",
   )
 }

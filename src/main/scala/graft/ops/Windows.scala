@@ -79,12 +79,41 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** W6: SCD Type-2 history build — the warehouse dimension-versioning
+    * idiom: treat each customer's order stream as a change log of a
+    * tracked attribute (o_orderpriority), collapse runs of the same
+    * value (change detection via lag), then assign version numbers and
+    * [effective_from, effective_to) validity ranges via lead; the open
+    * row (effective_to IS NULL) is the current version. Scale shape:
+    * two windows over the SAME (custkey; date, orderkey) partitioning —
+    * Catalyst plans ONE shuffle+sort and runs both Window operators on
+    * it (plan-asserted in RelationalSpec); no self-join, no global sort.
+    * Subset to custkey % 97 = 0 to keep the verify artifact bounded. */
+  def w6_scd2_history(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    orders(s, d)
+      .filter(col("o_custkey") % 97 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority").as("attr"))
+      .withColumn("prev_attr", lag(col("attr"), 1).over(w))
+      .filter(col("prev_attr").isNull || col("prev_attr") =!= col("attr"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_from", col("o_orderdate"))
+      .withColumn("effective_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select("o_custkey", "version", "attr", "effective_from",
+        "effective_to", "is_current")
+      .orderBy("o_custkey", "version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_rank" -> (w1_rank _),
     "w2_lag_lead" -> (w2_lag_lead _),
     "w3_running_total" -> (w3_running_total _),
     "w4_distribution" -> (w4_distribution _),
     "w5_dedup_latest" -> (w5_dedup_latest _),
+    "w6_scd2_history" -> (w6_scd2_history _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -122,5 +151,23 @@ object Windows {
            SELECT user_id, event_id, event_type,
              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "w6_scd2_history" ->
+      """WITH src AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority AS attr,
+             lag(o_orderpriority, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_attr
+           FROM orders WHERE o_custkey % 97 = 0),
+         chg AS (
+           SELECT o_custkey, o_orderkey, o_orderdate, attr FROM src
+           WHERE prev_attr IS NULL OR prev_attr <> attr)
+         SELECT o_custkey,
+           row_number() OVER w AS version,
+           attr,
+           o_orderdate AS effective_from,
+           lead(o_orderdate, 1) OVER w AS effective_to,
+           (lead(o_orderdate, 1) OVER w IS NULL) AS is_current
+         FROM chg
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         ORDER BY o_custkey, version""",
   )
 }

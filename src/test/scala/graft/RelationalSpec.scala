@@ -107,4 +107,47 @@ class RelationalSpec extends SparkTestBase {
     // purchase 4 at t=5: click 2 (same ts counts); purchase 5 at t=7: click 2
     assert(got.toSet == Set((4L, 2L), (5L, 2L)))
   }
+
+  test("w6 SCD2: valid version chains, one current row per key, one shuffle") {
+    val rows = ops.Windows.w6_scd2_history(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (k, vs) =>
+      val sorted = vs.sortBy(_.getInt(1))
+      // versions are contiguous from 1
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to vs.length),
+        s"custkey $k versions not contiguous")
+      // exactly one open (current) row, and it is the last version
+      val current = sorted.filter(_.getBoolean(5))
+      assert(current.length == 1 && current.head.getInt(1) == vs.length,
+        s"custkey $k current-row invariant broken")
+      // ranges chain: effective_to of version v = effective_from of v+1
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.get(4) == b.get(3), s"custkey $k range gap")
+          // change detection collapsed runs: consecutive attrs differ
+          assert(a.getString(2) != b.getString(2), s"custkey $k no-op version")
+        case _ => ()
+      }
+    }
+    // both window operators share one (hash-partition, sort) pass: the
+    // physical plan must contain exactly one exchange over o_custkey
+    val plan = ops.Windows.w6_scd2_history(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 custkey exchange, got $exchanges:\n" +
+      plan.take(2000))
+  }
+
+  test("dq4: every planted anomaly is flagged, nothing else is") {
+    import graft.Tables
+    val planted = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 199 === 0)
+      .groupBy($"c_mktsegment").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ops.Quality.dq4_outliers(spark, sf).collect().foreach { r =>
+      assert(r.getLong(2) == planted.getOrElse(r.getString(0), 0L),
+        s"segment ${r.getString(0)}: outliers != planted")
+    }
+  }
 }
