@@ -1211,6 +1211,77 @@ object TextVector {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** T34: RAG chunking — split every document into overlapping token
+    * windows (window 32, stride 24, overlap 8), the retrieval-corpus
+    * prep step between cleaning and embedding. Chunk layout is a pure
+    * function of (doc_id, n_tokens) — reproducible on any engine and
+    * any partitioning, like T17/T23. Tail windows that would carry only
+    * already-seen overlap tokens (start + overlap ≥ n) are suppressed,
+    * so every emitted chunk contributes new content. Scale shape: one
+    * scan, generator-local explode (sequence → posexplode), zero
+    * shuffle before the final presentation sort; chunk text leaves the
+    * operator as md5 — the wide column stays inside the stage. */
+  def t34_chunk(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("n", size(col("t")))
+    docs
+      .select(col("doc_id"), col("n"), col("t"),
+        explode(sequence(lit(0), col("n") - 1, lit(24))).as("start"))
+      .filter(col("start") === 0 || col("start") + 8 < col("n"))
+      .withColumn("chunk", slice(col("t"), col("start") + 1, lit(32)))
+      .select(col("doc_id"),
+        (col("start") / 24).cast("int").as("chunk_id"),
+        col("start"),
+        size(col("chunk")).as("chunk_len"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** T35: BM25 ranked retrieval — the lexical-search side of the
+    * similarity family (T5/T6/T31 are the vector side): Okapi BM25
+    * (k1=1.2, b=0.75, Lucene's always-positive idf) over an in-plan
+    * query-term set (the 5 rarest tokens by document frequency,
+    * token-tiebroken — deterministic; the synthetic vocab has no
+    * natural query). Scale shape: the corpus explodes to (doc, token)
+    * once, is immediately filtered to query terms by a broadcast semi
+    * join (5 rows), and only then aggregates — the shuffle carries
+    * ~5 tf rows per matching doc, never the token stream; df/N/avgdl
+    * stats ride along as broadcast single-row frames. Scores are
+    * rounded to 6dp BEFORE ranking so cross-engine float drift cannot
+    * reorder ties (t25's quantize-then-compare pattern). */
+  def t35_bm25(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .withColumn("dl", size(col("t")))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tokens = docs.select(col("doc_id"), col("dl"),
+      explode(col("t")).as("token"))
+    val df = tokens.groupBy("token")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qterms = df
+      .orderBy(col("df").asc, col("token").asc).limit(5)
+    val tf = tokens.join(broadcast(qterms), Seq("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"), col("df"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // top-20 via sort+limit (TakeOrderedAndProject — O(k) per partition,
+    // no global window); row_number then ranks the 20-row result only
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    tf.crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("rnk", row_number().over(w))
+      .select(col("doc_id"), col("rnk"), round(col("score"), 4).as("score"))
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -1246,6 +1317,8 @@ object TextVector {
     "t31_pq_ann" -> (t31_pq_ann _),
     "t32_url_filter" -> (t32_url_filter _),
     "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
+    "t34_chunk" -> (t34_chunk _),
+    "t35_bm25" -> (t35_bm25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1944,5 +2017,39 @@ object TextVector {
            TRUE AS bloom_consistent
          FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
          GROUP BY train_id ORDER BY train_id""",
+    "t34_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         s AS (SELECT doc_id, len(t) AS n, t,
+                 unnest(range(0, len(t), 24)) AS start FROM d)
+         SELECT doc_id,
+           CAST(start / 24 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start,
+           CAST(len(t[start+1 : start+32]) AS INT) AS chunk_len,
+           md5(array_to_string(t[start+1 : start+32], ' ')) AS chunk_md5
+         FROM s WHERE start = 0 OR start + 8 < n
+         ORDER BY doc_id, chunk_id""",
+    "t35_bm25" ->
+      """WITH docs AS (
+           SELECT doc_id, len(t) AS dl, t
+           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM docs),
+         tok AS (SELECT doc_id, dl, unnest(t) AS token FROM docs),
+         df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         qterms AS (SELECT token, df FROM df ORDER BY df ASC, token ASC LIMIT 5),
+         tf AS (
+           SELECT doc_id, dl, token, df, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok JOIN qterms USING (token)
+           GROUP BY doc_id, dl, token, df),
+         scored AS (
+           SELECT doc_id, round(sum(
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+             (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+           FROM tf, corpus GROUP BY doc_id),
+         top AS (SELECT doc_id, score FROM scored
+                 ORDER BY score DESC, doc_id ASC LIMIT 20)
+         SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk,
+           round(score, 4) AS score
+         FROM top ORDER BY rnk""",
   )
 }

@@ -393,4 +393,48 @@ class TextVectorSpec extends SparkTestBase {
     val out = ops.TextVector.t20_dedup_clusters(spark, dir)
     assert(out.count() == 0L)
   }
+
+  test("RAG chunking: chunks tile every doc with stride 24 and cover the tail") {
+    val chunks = ops.TextVector.t34_chunk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val nTok = graft.Tables.documents(spark, sf)
+      .select($"doc_id", size(split($"text", " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n = nTok(id)
+      // first chunk anchors at token 0; starts advance by exactly 24
+      assert(sorted.head._3 == 0, s"doc $id first chunk not at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == 24, s"doc $id stride gap")
+        case _ => ()
+      }
+      // the last chunk reaches the last token: full coverage, no lost tail
+      val last = sorted.last
+      assert(last._3 + last._4 == n, s"doc $id tail uncovered")
+      // every non-final chunk is full-width
+      sorted.init.foreach(c => assert(c._4 == 32, s"doc $id short mid chunk"))
+      // suppressed-tail rule: any further start would add no new content
+      assert(last._3 + 24 >= n || last._3 + 24 + 8 >= n,
+        s"doc $id dropped a content-bearing window")
+    }
+  }
+
+  test("BM25: rare-term docs outrank common-term docs, scores non-increasing") {
+    val top = ops.TextVector.t35_bm25(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(top.length == 20)
+    // ranks are 1..20 and scores weakly decrease with rank
+    assert(top.map(_._2).toSeq == (1 to 20))
+    top.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 >= b._3, "scores increase with rank")
+      case _ => ()
+    }
+    // 'dup' is the rarest term (df ~5%) so its idf dominates: the top-1
+    // doc must contain it
+    val topDoc = graft.Tables.documents(spark, sf)
+      .filter($"doc_id" === top.head._1).select($"text").as[String].head()
+    assert(topDoc.split(" ").contains("dup"), "top BM25 doc lacks the rare term")
+  }
 }
