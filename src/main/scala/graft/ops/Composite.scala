@@ -59,6 +59,31 @@ object Composite {
       .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
       .limit(20)
 
+  /** Q18 shape — large-volume customers: orders whose total lineitem
+    * quantity clears a threshold (240 here; the corpus' q99 is ~265),
+    * joined back to customer. The interesting plan property: the HAVING
+    * subquery and the outer query aggregate the SAME fact shuffle —
+    * lineitem shuffles once on l_orderkey, the per-order quantity sum
+    * semi-join-filters the orders side, and the final group-by reuses
+    * the co-partitioned join output. customer joins WITHOUT a broadcast
+    * hint — at TPC-H scale it is fact-sized, so the planner (AQE) keeps
+    * the freedom to pick broadcast only when the build side is small. */
+  def q18_large_volume(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 240.0)
+    orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        round(col("total_qty"), 1).as("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => graft.Tables.t(s, d, n).createOrReplaceTempView(n))
 
@@ -107,6 +132,7 @@ object Composite {
     "q3_shipping_priority" -> (q3_shipping_priority _),
     "q5_local_supplier" -> (q5_local_supplier _),
     "q10_returned_items" -> (q10_returned_items _),
+    "q18_large_volume" -> (q18_large_volume _),
     "sq1_scalar_subquery" -> (sq1_scalar_subquery _),
     "sq2_exists_subquery" -> (sq2_exists_subquery _),
     "sq3_not_in_null_aware" -> (sq3_not_in_null_aware _),
@@ -147,6 +173,18 @@ object Composite {
            AND l_returnflag = 'R'
          GROUP BY c_custkey, c_name, n_name
          ORDER BY lost_revenue DESC, c_custkey ASC LIMIT 20""",
+    "q18_large_volume" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+         CAST(o_orderdate AS DATE) AS orderdate,
+         round(o_totalprice, 2) AS totalprice,
+         round(total_qty, 1) AS total_qty
+         FROM orders
+         JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(l_quantity) > 240.0) big
+           ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""",
     "sq1_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
          FROM orders o

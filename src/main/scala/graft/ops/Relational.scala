@@ -160,6 +160,37 @@ object Relational {
       .orderBy("lang")
   }
 
+  /** J10: skew-salted join — the manual remedy for a hot join key when
+    * AQE's runtime skew split can't help (e.g. the skew is in a single
+    * key, not a single partition, or the engine predates AQE). A skewed
+    * key is synthesized (half of lineitem lands on sk=0); the fix
+    * replicates the dim side N_SALT times and fans the fact side's hot
+    * rows across (sk, salt) sub-keys, so the hot key occupies N_SALT
+    * partitions instead of one straggler. The salt is derived from a
+    * fact column (l_linenumber % 16) — any per-row value works because
+    * the salt joins only against the replicated dim and cancels out of
+    * the aggregate; the oracle is the plain unsalted join. The MERGE
+    * hint pins a shuffle join (a broadcast would hide the skew problem
+    * being demonstrated); RelationalSpec asserts the exchange
+    * partitions on BOTH (sk, salt). */
+  def j10_salted_join(s: SparkSession, d: String): DataFrame = {
+    val nSalt = 16
+    val fact = lineitem(s, d).select(
+      when(col("l_orderkey") % 2 === 0, 0L)
+        .otherwise(col("l_orderkey") % 500).as("sk"),
+      col("l_quantity"), col("l_returnflag"),
+      (col("l_linenumber") % nSalt).cast("int").as("salt"))
+    val dim = s.range(500).select(col("id").as("sk"),
+      (col("id") * 2 + 1).cast("double").as("w"))
+    val saltedDim = dim.select(col("sk"), col("w"),
+      explode(sequence(lit(0), lit(nSalt - 1))).as("salt"))
+    fact.join(saltedDim.hint("merge"), Seq("sk", "salt"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("w") * col("l_quantity")), 2).as("weighted_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- §2.6 sorts / limits -------------------------------------------------
 
   /** O1: global multi-column sort (range-partitioned SortExec). */
@@ -234,6 +265,7 @@ object Relational {
     "j6_cross_join" -> (j6_cross_join _),
     "j7_band_join" -> (j7_band_join _),
     "j9_self_join" -> (j9_self_join _),
+    "j10_salted_join" -> (j10_salted_join _),
     "o1_sort" -> (o1_sort _),
     "o2_topk" -> (o2_topk _),
     "o3_limit_offset" -> (o3_limit_offset _),
@@ -322,6 +354,20 @@ object Relational {
          JOIN (SELECT doc_id, lang, n_chars FROM documents) b
            ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
          GROUP BY 1 ORDER BY lang""",
+    "j10_salted_join" ->
+      """WITH dim AS (
+           SELECT unnest(range(500)) AS sk),
+         dimw AS (
+           SELECT sk, CAST(sk * 2 + 1 AS DOUBLE) AS w FROM dim),
+         fact AS (
+           SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+                       ELSE l_orderkey % 500 END AS sk,
+             l_quantity, l_returnflag
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           round(sum(w * l_quantity), 2) AS weighted_qty
+         FROM fact JOIN dimw USING (sk)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "o1_sort" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
          ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""",

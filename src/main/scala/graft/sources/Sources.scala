@@ -115,6 +115,36 @@ object Sources {
       .orderBy("o_orderstatus")
   }
 
+  /** S11: range-clustered layout — the data-layout optimization that
+    * makes selective reads cheap at 100 TB: orders are range-partitioned
+    * on o_orderdate and sorted within each file, so every parquet file
+    * covers a disjoint (or near-disjoint) date interval and its footer
+    * min/max statistics let a date-filtered read skip whole row groups
+    * (and whole files, in table formats that index footer stats — the
+    * contract Z-order/liquid clustering generalizes to multiple
+    * dimensions). The read-back filters to one year and aggregates per
+    * month; ScaleDesignSpec proves the layout — per-file date ranges
+    * are pairwise disjoint, ≤3 of 8 files overlap any one year, and the
+    * date predicate reaches the scan as a pushed filter. The query
+    * result is layout-independent (same rows pass the filter however
+    * they are arranged), so the oracle reads the corpus directly. */
+  def s11_clustered_layout(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s11_")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderdate") >= "1998-01-01" && col("o_orderdate") < "1999-01-01")
+      .groupBy(month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("m")
+  }
+
   /** S9: corrupt-record quarantine — malformed payloads split into an
     * error channel instead of failing the job (TEST:151-152, TEST:161).
     * Corruption is planted deterministically (every 10th event's JSON is
@@ -142,6 +172,7 @@ object Sources {
     "s8_partitioned_sink" -> (s8_partitioned_sink _),
     "s9_quarantine" -> (s9_quarantine _),
     "s10_orc_roundtrip" -> (s10_orc_roundtrip _),
+    "s11_clustered_layout" -> (s11_clustered_layout _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +210,12 @@ object Sources {
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders WHERE o_totalprice > 1000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s11_clustered_layout" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS m, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
+         GROUP BY 1 ORDER BY m""",
   )
 }

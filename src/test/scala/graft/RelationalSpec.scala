@@ -139,6 +139,27 @@ class RelationalSpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("j10: salted join spreads the hot key and matches the unsalted result") {
+    val salted = ops.Relational.j10_salted_join(spark, sf)
+    // the exchange must partition on BOTH the key and the salt — that is
+    // the whole point: sk=0 fans out over 16 sub-partitions
+    val plan = salted.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(sk#\\d+L?, salt".r.findFirstIn(plan).isDefined,
+      "fact side not partitioned on (sk, salt):\n" + plan.take(3000))
+    assert(plan.contains("SortMergeJoin"), "salt demo requires a shuffle join")
+    // semantics: identical to the plain unsalted join
+    import graft.Tables
+    val fact = Tables.lineitem(spark, sf).select(
+      when($"l_orderkey" % 2 === 0, 0L).otherwise($"l_orderkey" % 500).as("sk"),
+      $"l_quantity", $"l_returnflag")
+    val dim = spark.range(500).select($"id".as("sk"), ($"id" * 2 + 1).cast("double").as("w"))
+    val plain = fact.join(dim, Seq("sk"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum($"w" * $"l_quantity"), 2).as("weighted_qty"))
+      .orderBy("l_returnflag")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("dq4: every planted anomaly is flagged, nothing else is") {
     import graft.Tables
     val planted = Tables.customer(spark, sf)

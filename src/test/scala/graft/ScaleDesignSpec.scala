@@ -351,4 +351,44 @@ class ScaleDesignSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan"), plan.take(2000))
   }
+
+  test("s11: range-clustered files cover disjoint date ranges; the filter is pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s11spec_").toString
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      .repartitionByRange(8, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 6, s"expected ~8 range files, got ${files.length}")
+    // the clustering contract: each file holds a tight date interval and
+    // the intervals are pairwise non-overlapping (ties at the boundary
+    // date allowed — repartitionByRange splits on key values), so any
+    // stats-aware reader (parquet row-group pruning here; file-level
+    // pruning in footer-indexing table formats) skips non-matching data
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("o_orderdate")), max(col("o_orderdate"))).head
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1.toString)
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(!b._1.isBefore(a._2),
+        s"file ranges overlap: ${a._2} > ${b._1}")
+      case _ => ()
+    }
+    // only a minority of files can overlap any one year of the ~6.6y span
+    val y1998 = ranges.count { case (lo, hi) =>
+      !hi.isBefore(java.time.LocalDateTime.parse("1998-01-01T00:00:00")) &&
+        lo.isBefore(java.time.LocalDateTime.parse("1999-01-01T00:00:00"))
+    }
+    assert(y1998 <= 3, s"clustering too loose: $y1998 files cover 1998")
+    // and the date predicate reaches the scan as a pushed filter, so the
+    // reader's row-group stats pruning can actually use it
+    val filtered = spark.read.parquet(dir)
+      .filter(col("o_orderdate") >= "1998-01-01" && col("o_orderdate") < "1999-01-01")
+    val explained = filtered.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      explained.take(2000))
+  }
 }
