@@ -184,16 +184,18 @@ object Aggregates {
   def a13_approx_percentile(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
     val qArr = array(lit(0.25), lit(0.5), lit(0.9))
-    val ap = o.groupBy(col("o_orderstatus"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"))
-      .select(col("o_orderstatus"), posexplode(col("ap")).as(Seq("qi", "v")))
-      .withColumn("q", element_at(qArr, col("qi") + 1))
-    val ex = o.groupBy(col("o_orderstatus"))
-      .agg(expr("array(percentile(o_totalprice, 0.25D), percentile(o_totalprice, 0.5D), percentile(o_totalprice, 0.9D))").as("ep"),
+    // sketch + exact + count in ONE pass over orders (they aggregate the
+    // same key); only the rank-verification pass re-reads the table
+    val stats = o.groupBy(col("o_orderstatus"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"),
+        expr("array(percentile(o_totalprice, 0.25D), percentile(o_totalprice, 0.5D), percentile(o_totalprice, 0.9D))").as("ep"),
         count(lit(1)).as("n"))
-      .select(col("o_orderstatus"), col("n"),
-        posexplode(col("ep")).as(Seq("qi", "exact_v")))
-    val ranks = o.join(broadcast(ap), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n"), col("ep"),
+        posexplode(col("ap")).as(Seq("qi", "v")))
+      .withColumn("q", element_at(qArr, col("qi") + 1))
+      .withColumn("exact_v", element_at(col("ep"), col("qi") + 1))
+    val ranks = o.join(broadcast(stats.select(col("o_orderstatus"), col("qi"),
+        col("q"), col("v"))), Seq("o_orderstatus"))
       .groupBy(col("o_orderstatus"), col("qi"), col("q"))
       .agg(sum(when(col("o_totalprice") < col("v"), 1).otherwise(0)).as("n_lt"),
         sum(when(col("o_totalprice") <= col("v"), 1).otherwise(0)).as("n_le"))
@@ -201,7 +203,8 @@ object Aggregates {
     // lies within n/100 of q·n; duplicates give v the rank interval
     // (n_lt, n_le], so check interval overlap (+1 slack for the
     // floor/ceiling conventions at tiny groups)
-    ranks.join(ex, Seq("o_orderstatus", "qi"))
+    ranks.join(stats.select(col("o_orderstatus"), col("qi"), col("n"),
+        col("exact_v")), Seq("o_orderstatus", "qi"))
       .withColumn("qn", col("q") * col("n"))
       .withColumn("eps", col("n") / 100.0 + 1.0)
       .select(col("o_orderstatus"), col("q"), col("n"),

@@ -1282,6 +1282,62 @@ object TextVector {
       .orderBy("rnk")
   }
 
+  /** T36: leakage-safe dataset split — train/val/test assignment keyed
+    * on the GROUP (source), not the row: every document inherits its
+    * source's md5 bucket (80/10/10), so no source ever spans two splits
+    * — the group-level leakage that row-wise random splits cause in
+    * training pipelines (same site/author in train AND test). The
+    * no-leakage contract is verified in-plan (max distinct splits per
+    * source, folded into a boolean) rather than trusted by
+    * construction. Scale shape: split is a pure function of the source
+    * string (T17/T21's hash-mod idiom) — no lookup table, no shuffle
+    * for assignment; only the audit aggregates shuffle. */
+  def t36_leakage_split(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d).withColumn("split",
+      when(srcBucket(col("source")) < 80, "train")
+        .when(srcBucket(col("source")) < 90, "val").otherwise("test"))
+    val leak = doc.groupBy(col("source"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(max(col("ns")).as("max_splits_per_source"))
+    doc.groupBy(col("split"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_checksum"))
+      .crossJoin(broadcast(leak))
+      .withColumn("leakage_free", col("max_splits_per_source") === 1)
+      .select("split", "n_sources", "n_docs", "id_checksum", "leakage_free")
+      .orderBy("split")
+  }
+
+  private def srcBucket(src: Column): Column =
+    conv(substring(md5(src), 1, 6), 16, 10).cast("bigint") % 100
+
+  /** T37: hard-negative mining — the contrastive-training counterpart
+    * of T6: for each query vector, the top-5 corpus vectors inside a
+    * similarity BAND (0.25 ≤ cos ≤ 0.5 on this corpus) — similar
+    * enough to be informative negatives, far enough to not be
+    * near-duplicates (the band T26 would drop starts at 0.9999).
+    * Identical scale shape to T6 — the small query side broadcasts,
+    * the corpus streams past it unshuffled, and the band filter prunes
+    * before the per-query top-k window; the cosine is the same fused
+    * codegen kernel, whose left-to-right lane order makes the double
+    * bit-identical cross-engine (t6 proves it), so the band boundaries
+    * are safe without quantization. */
+  def t37_hard_negatives(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
+    q.join(c, col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .filter(col("sim") >= 0.25 && col("sim") <= 0.5)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -1319,6 +1375,8 @@ object TextVector {
     "t33_bloom_decontaminate" -> (t33_bloom_decontaminate _),
     "t34_chunk" -> (t34_chunk _),
     "t35_bm25" -> (t35_bm25 _),
+    "t36_leakage_split" -> (t36_leakage_split _),
+    "t37_hard_negatives" -> (t37_hard_negatives _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2051,5 +2109,34 @@ object TextVector {
            CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rnk,
            round(score, 4) AS score
          FROM top ORDER BY rnk""",
+    "t36_leakage_split" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CASE WHEN CAST(CAST('0x' || substr(md5(source), 1, 6) AS INTEGER) AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(CAST('0x' || substr(md5(source), 1, 6) AS INTEGER) AS BIGINT) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         leak AS (
+           SELECT max(ns) AS max_splits_per_source FROM (
+             SELECT source, count(DISTINCT split) AS ns FROM d GROUP BY source))
+         SELECT split, count(DISTINCT source) AS n_sources,
+           count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           (max_splits_per_source = 1) AS leakage_free
+         FROM d, leak
+         GROUP BY split, max_splits_per_source ORDER BY split""",
+    "t37_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             list_inner_product(q.v, c.v) /
+               (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+           FROM e q JOIN e c ON q.vec_id != c.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (
+           SELECT q_id, c_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
+           FROM sims WHERE sim >= 0.25 AND sim <= 0.5)
+         SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, round(sim, 4) AS sim
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
   )
 }

@@ -107,6 +107,30 @@ object Windows {
       .orderBy("o_custkey", "version")
   }
 
+  /** W7: last-touch attribution — every purchase is credited to the
+    * most recent PRIOR non-purchase event of the same user (the
+    * marketing-attribution idiom; purchases with no prior touch credit
+    * 'none'). The conditional last() with ignoreNulls over a
+    * [-∞, -1) frame finds "latest preceding event of another type"
+    * in ONE pass — no self-join of events against events, which is the
+    * naive formulation and shuffles the stream twice. Scale shape: one
+    * shuffle on user_id (the same partitioning w2/w5 use), then a
+    * small channel-keyed aggregate. */
+  def w7_attribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("prior",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel", coalesce(col("prior"), lit("none")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_rank" -> (w1_rank _),
     "w2_lag_lead" -> (w2_lag_lead _),
@@ -114,6 +138,7 @@ object Windows {
     "w4_distribution" -> (w4_distribution _),
     "w5_dedup_latest" -> (w5_dedup_latest _),
     "w6_scd2_history" -> (w6_scd2_history _),
+    "w7_attribution" -> (w7_attribution _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -169,5 +194,18 @@ object Windows {
          FROM chg
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
          ORDER BY o_custkey, version""",
+    "w7_attribution" ->
+      """WITH touched AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER (PARTITION BY user_id
+                 ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+           FROM events)
+         SELECT coalesce(prior, 'none') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+         FROM touched WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY channel""",
   )
 }

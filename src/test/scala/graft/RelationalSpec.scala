@@ -160,6 +160,44 @@ class RelationalSpec extends SparkTestBase {
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("w7: last-touch attribution credits the latest prior touch, 'none' when absent") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:0$m:00")
+    // user 7: view, click, purchase(3), purchase(4) — both purchases credit
+    // the click (the purchase between them is not a touch); user 8:
+    // purchase(5) with no prior event credits 'none'
+    val ev = Seq(
+      (1L, ts(1), 7L, "view", 0.0), (2L, ts(2), 7L, "click", 0.0),
+      (3L, ts(3), 7L, "purchase", 10.0), (4L, ts(4), 7L, "purchase", 5.0),
+      (5L, ts(1), 8L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_w7_").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.Windows.w7_attribution(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("click", 2L, 15.0), ("none", 1L, 2.0)))
+  }
+
+  test("t36: splits partition the corpus by source, leakage-free, near 80/10/10") {
+    val rows = ops.TextVector.t36_leakage_split(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    rows.foreach(r => assert(r.getBoolean(4), "leakage_free must hold"))
+    val total = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == total, "splits must partition the corpus")
+    val train = rows.find(_.getString(0) == "train").get.getLong(2).toDouble / total
+    assert(train > 0.5 && train < 0.95, s"train share $train implausible for 80%")
+  }
+
+  test("t37: hard negatives stay inside the similarity band") {
+    val rows = ops.TextVector.t37_hard_negatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5)
+      val sim = r.getDouble(3)
+      assert(sim >= 0.2499 && sim <= 0.5001, s"sim $sim outside band")
+    }
+  }
+
   test("dq4: every planted anomaly is flagged, nothing else is") {
     import graft.Tables
     val planted = Tables.customer(spark, sf)
