@@ -214,6 +214,28 @@ object Aggregates {
       .orderBy("o_orderstatus", "q")
   }
 
+  /** A14: fixed-width histogram — the profiling staple: bucket the fact
+    * column on data-independent bounds (width 5000 over the documented
+    * price domain), count + share per bucket. Fixed literals (not
+    * min/max-derived) keep the binning stable as data arrives — the
+    * monitoring property (a drifting histogram must mean drifting DATA,
+    * not a drifting scale). One scan, one small agg; the share is a
+    * window over the ~22-row bucket frame, never the fact table. */
+  def a14_histogram(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    lineitem(s, d)
+      .select(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", (col("bucket") * 5000).cast("double"))
+      .withColumn("bucket_hi", ((col("bucket") + 1) * 5000).cast("double"))
+      .withColumn("share", round(col("n") / sum(col("n")).over(w), 6))
+      .select("bucket", "bucket_lo", "bucket_hi", "n", "share")
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_pricing_summary" -> (a1_pricing_summary _),
     "a2_global_agg" -> (a2_global_agg _),
@@ -230,6 +252,7 @@ object Aggregates {
     "a11_min_max_by" -> (a11_min_max_by _),
     "a12_conditional_agg" -> (a12_conditional_agg _),
     "a13_approx_percentile" -> (a13_approx_percentile _),
+    "a14_histogram" -> (a14_histogram _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,5 +350,14 @@ object Aggregates {
          SELECT o_orderstatus, q, CAST(n AS BIGINT) AS n,
            round(p, 4) AS exact_p, TRUE AS sketch_within_bound
          FROM per ORDER BY o_orderstatus, q""",
+    "a14_histogram" ->
+      """WITH b AS (
+           SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket,
+             count(*) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT bucket, CAST(bucket * 5000 AS DOUBLE) AS bucket_lo,
+           CAST((bucket + 1) * 5000 AS DOUBLE) AS bucket_hi,
+           n, round(n / (SELECT sum(n) FROM b), 6) AS share
+         FROM b ORDER BY bucket""",
   )
 }

@@ -70,12 +70,40 @@ object Streaming {
         round(sum(col("value")), 2).as("total_value"))
       .orderBy("c_mktsegment")
 
+  /** X10 (batch form): stream-stream interval join — every purchase
+    * matched to the same user's clicks in the preceding 30 minutes
+    * (the attribution-candidate join). This batch form is the oracle
+    * anchor; the streaming form (`Streams.intervalJoin`) is the SAME
+    * join condition with watermarks on both sides, which is what lets
+    * Spark bound the join state (a click older than the watermark +
+    * 30 min can never match a future purchase and is evicted).
+    * The equi-key (user_id) carries the shuffle; the time bound is a
+    * post-match band predicate, never a blowup. */
+  def x10_interval_join(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    purchases
+      .join(clicks, col("c_user") === col("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .groupBy(col("purchase_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks_before"),
+        min(col("click_id")).as("first_click_id"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_tumbling_window" -> (x1_tumbling_window _),
     "x2_sliding_window" -> (x2_sliding_window _),
     "x3_session_window" -> (x3_session_window _),
     "x6_funnel" -> (x6_funnel _),
     "x7_stream_static_join" -> (x7_stream_static_join _),
+    "x10_interval_join" -> (x10_interval_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -120,5 +148,19 @@ object Streaming {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "x10_interval_join" ->
+      """WITH clicks AS (
+           SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
+           FROM events WHERE event_type = 'click'),
+         purchases AS (
+           SELECT event_id AS purchase_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase')
+         SELECT purchase_id, user_id,
+           count(*) AS n_clicks_before,
+           min(click_id) AS first_click_id
+         FROM purchases JOIN clicks
+           ON c_user = user_id AND c_ts <= p_ts
+           AND c_ts >= p_ts - INTERVAL 30 MINUTE
+         GROUP BY purchase_id, user_id ORDER BY purchase_id""",
   )
 }

@@ -181,6 +181,27 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** X10: stream-stream interval join — purchases matched to the same
+    * user's clicks within the preceding 30 minutes, both sides
+    * watermarked so the join STATE is bounded: a buffered click older
+    * than (watermark − 30 min) can never match any future purchase and
+    * is evicted. Without the time bound (or the watermarks) Spark
+    * rejects/grows the join unbounded — the bound is what makes a
+    * stream⋈stream join runnable at all. Batch-equivalent:
+    * `ops.Streaming.x10_interval_join` (the DuckDB-anchored form). */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    p.join(c, col("c_user") === col("user_id") &&
+      col("c_ts") <= col("p_ts") &&
+      col("c_ts") >= col("p_ts") - expr("interval 30 minutes"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** X9 (merge half): apply one micro-batch to a keyed parquet table as
     * an UPSERT — the batch's latest version per event_id replaces any
     * standing row with that key; unseen keys append. Written to a

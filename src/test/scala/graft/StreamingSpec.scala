@@ -261,4 +261,31 @@ class StreamingSpec extends SparkTestBase {
     Streams.upsertSink(in.toDF(), table, s"$base/ckpt")
     assert(snapshot().keySet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("X10: stream-stream interval join matches clicks within the 30-min window") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.intervalJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("x10")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // click 1 at 10:00 and click 2 at 09:20 for user 7; purchase 10 at
+      // 10:15 → only click 1 is within [09:45, 10:15]; user 8's click 3
+      // must not match user 7's purchase
+      clicks.addData(ev(1, "10:00", 7, "click"), ev(2, "09:20", 7, "click"),
+        ev(3, "10:10", 8, "click"))
+      purchases.addData(ev(10, "10:15", 7, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("x10")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L)), s"wrong matches: $got")
+      // a purchase BEFORE its user's click matches nothing
+      purchases.addData(ev(11, "10:05", 8, "purchase"))
+      q.processAllAvailable()
+      val got2 = spark.table("x10")
+        .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(got2 == Set((10L, 1L)), s"wrong matches after batch 2: $got2")
+    } finally q.stop()
+  }
 }
