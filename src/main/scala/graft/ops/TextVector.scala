@@ -1338,6 +1338,42 @@ object TextVector {
       .orderBy("q_id", "rnk")
   }
 
+  /** T38: kNN label vote — classification by retrieval, the labeled-
+    * data counterpart of T6: the first 50 vectors play "unlabeled"
+    * queries, each classified by majority vote of its 5 nearest
+    * labeled neighbors (cosine; count-desc/label-asc tiebreak makes the
+    * vote deterministic). Auto-labeling corpora from a small seed set
+    * is exactly this operator at 100 TB. Scale shape: T6's broadcast
+    * query side + per-query top-k window, then the vote is a
+    * (q, label)-keyed count over 5 rows per query — the corpus is
+    * touched once, the vote frame is tiny. */
+  def t38_knn_classify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).select(col("vec_id"),
+      vecD(col("embedding")).as("v"), col("label"))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val train = e.filter(col("vec_id") >= 50)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("label"))
+    val wNN = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id").asc)
+    val votes = q.crossJoin(train)
+      .select(col("q_id"), col("true_label"), col("c_id"), col("label"),
+        cosine(col("qv"), col("cv")).as("sim"))
+      .withColumn("rnk", row_number().over(wNN))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"),
+        col("label").as("predicted"), col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -1377,6 +1413,7 @@ object TextVector {
     "t35_bm25" -> (t35_bm25 _),
     "t36_leakage_split" -> (t36_leakage_split _),
     "t37_hard_negatives" -> (t37_hard_negatives _),
+    "t38_knn_classify" -> (t38_knn_classify _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2138,5 +2175,29 @@ object TextVector {
            FROM sims WHERE sim >= 0.25 AND sim <= 0.5)
          SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, round(sim, 4) AS sim
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "t38_knn_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+         q AS (SELECT vec_id AS q_id, v AS qv, label AS true_label FROM e WHERE vec_id < 50),
+         train AS (SELECT vec_id AS c_id, v AS cv, label FROM e WHERE vec_id >= 50),
+         sims AS (
+           SELECT q_id, true_label, c_id, label,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY
+               list_inner_product(qv, cv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) DESC,
+               c_id ASC) AS rnk
+           FROM q CROSS JOIN train),
+         votes AS (
+           SELECT q_id, true_label, label, count(*) AS n_votes
+           FROM sims WHERE rnk <= 5 GROUP BY 1, 2, 3),
+         win AS (
+           SELECT q_id, true_label, label AS predicted, n_votes,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY n_votes DESC, label ASC) AS vr
+           FROM votes)
+         SELECT q_id, true_label, predicted, n_votes,
+           (predicted = true_label) AS correct
+         FROM win WHERE vr = 1 ORDER BY q_id""",
   )
 }

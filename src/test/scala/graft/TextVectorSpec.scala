@@ -421,6 +421,18 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("kNN classify: one verdict per query, vote counts bounded by k") {
+    val rows = ops.TextVector.t38_knn_classify(spark, sf).collect()
+    assert(rows.length == 50, "one row per held-out query")
+    assert(rows.map(_.getLong(0)).distinct.length == 50)
+    rows.foreach { r =>
+      val votes = r.getLong(3)
+      assert(votes >= 1 && votes <= 5, s"votes $votes outside 1..5")
+      assert(r.getBoolean(4) == (r.getInt(1) == r.getInt(2)),
+        "correct flag inconsistent with labels")
+    }
+  }
+
   test("BM25: rare-term docs outrank common-term docs, scores non-increasing") {
     val top = ops.TextVector.t35_bm25(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
