@@ -84,6 +84,21 @@ object Composite {
       .limit(100)
   }
 
+  /** Q6 shape — forecasting revenue change: the purest scan-filter-agg
+    * TPC-H query. Its whole value is the PLAN: every predicate reaches
+    * the parquet scan as a pushed filter, the projection prunes to 4
+    * columns, and the single global aggregate needs one map-side
+    * partial + one 1-row exchange. If this query shuffles anything
+    * else, scan efficiency is broken everywhere. */
+  def q6_forecast_revenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => graft.Tables.t(s, d, n).createOrReplaceTempView(n))
 
@@ -133,6 +148,7 @@ object Composite {
     "q5_local_supplier" -> (q5_local_supplier _),
     "q10_returned_items" -> (q10_returned_items _),
     "q18_large_volume" -> (q18_large_volume _),
+    "q6_forecast_revenue" -> (q6_forecast_revenue _),
     "sq1_scalar_subquery" -> (sq1_scalar_subquery _),
     "sq2_exists_subquery" -> (sq2_exists_subquery _),
     "sq3_not_in_null_aware" -> (sq3_not_in_null_aware _),
@@ -185,6 +201,14 @@ object Composite {
            ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
     "sq1_scalar_subquery" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
          FROM orders o

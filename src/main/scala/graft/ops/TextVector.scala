@@ -1374,6 +1374,36 @@ object TextVector {
       .orderBy("q_id")
   }
 
+  /** T39: inverted index build + AND-query — the retrieval index the
+    * lexical family (T8/T35) implies but never materializes: per-token
+    * sorted posting lists (collect_set → sort_array), document
+    * frequency alongside; the conjunctive query ("both of the two
+    * rarest terms") is answered by intersecting exactly TWO posting
+    * rows — the corpus is not touched at query time, which is the
+    * point of an index. The ranking window runs over the VOCABULARY
+    * (token types — bounded by language, not corpus size; T30's
+    * argument), so the global window is a bounded frame, not a scale
+    * hazard. Posting lists are per-token arrays: at 100 TB the head
+    * token's list is large but each list lives in ONE row of a
+    * token-partitioned table — the classic sharded-postings layout. */
+  def t39_inverted_index(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    val postings = tok.groupBy("token")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
+        count(lit(1)).as("df"))
+    val ranked = postings.withColumn("r",
+      row_number().over(Window.orderBy(col("df").asc, col("token").asc)))
+    val a = ranked.filter(col("r") === 1)
+      .select(col("token").as("term_a"), col("docs").as("docs_a"))
+    val b = ranked.filter(col("r") === 2)
+      .select(col("token").as("term_b"), col("docs").as("docs_b"))
+    a.crossJoin(b)
+      .select(col("term_a"), col("term_b"),
+        explode(array_intersect(col("docs_a"), col("docs_b"))).as("doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_term_freq" -> (t1_term_freq _),
     "t2_ngrams" -> (t2_ngrams _),
@@ -1414,6 +1444,7 @@ object TextVector {
     "t36_leakage_split" -> (t36_leakage_split _),
     "t37_hard_negatives" -> (t37_hard_negatives _),
     "t38_knn_classify" -> (t38_knn_classify _),
+    "t39_inverted_index" -> (t39_inverted_index _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -2199,5 +2230,22 @@ object TextVector {
          SELECT q_id, true_label, predicted, n_votes,
            (predicted = true_label) AS correct
          FROM win WHERE vr = 1 ORDER BY q_id""",
+    "t39_inverted_index" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, token FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             FROM documents)),
+         df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+         terms AS (
+           SELECT token, row_number() OVER (ORDER BY df ASC, token ASC) AS r
+           FROM df)
+         SELECT
+           (SELECT token FROM terms WHERE r = 1) AS term_a,
+           (SELECT token FROM terms WHERE r = 2) AS term_b,
+           t1.doc_id
+         FROM tok t1 JOIN tok t2 USING (doc_id)
+         WHERE t1.token = (SELECT token FROM terms WHERE r = 1)
+           AND t2.token = (SELECT token FROM terms WHERE r = 2)
+         ORDER BY doc_id""",
   )
 }
