@@ -625,8 +625,45 @@ object TextVector {
     * (near-dup components are shallow: diameter is small even when the
     * corpus isn't). Output is the per-cluster summary, checksummed so
     * the oracle catches any membership difference. */
-  def t20_dedup_clusters(s: SparkSession, d: String): DataFrame = {
+  def t20_dedup_clusters(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d, driverLimit = 500000L)
+
+  /** Body of T20 with the hybrid gate exposed so tests can force the
+    * distributed branch (`driverLimit = 0`) and assert both paths agree. */
+  private[graft] def dedupClusters(s: SparkSession, d: String,
+                                   driverLimit: Long): DataFrame = {
     val pairs = minhashCandidatePairs(s, d).select(col("a_id"), col("b_id"))
+    // Size-gated hybrid, the same design call as Spark's own broadcast
+    // join: when the confirmed-pair set fits comfortably on the driver
+    // (it is the NEAR-DUP EDGE set, already shrunk by LSH + Jaccard —
+    // not the corpus), a local union-find computes the identical
+    // fixpoint in microseconds instead of paying one Spark job per
+    // Hash-Min superstep. Above the threshold the distributed loop
+    // below runs unchanged — the gate bounds driver memory by a
+    // constant, never by corpus size. Both paths produce the same
+    // labels (component-min), so the oracle does not care which ran.
+    val nPairs = pairs.count()
+    if (nPairs <= driverLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = parent.keysIterator.toSet ++ parent.valuesIterator
+      val labeled = nodes.toSeq.map(id => (find(id), id))
+      import s.implicits._
+      return labeled.toDF("canonical_id", "id")
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("cluster_size"), sum(col("id")).as("member_checksum"))
+        .orderBy("canonical_id")
+    }
     val sym = pairs.unionByName(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

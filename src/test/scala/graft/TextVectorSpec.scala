@@ -394,6 +394,15 @@ class TextVectorSpec extends SparkTestBase {
     assert(out.count() == 0L)
   }
 
+  test("near-dup clusters: driver union-find and distributed Hash-Min agree") {
+    val fast = ops.TextVector.dedupClusters(spark, sf, driverLimit = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = ops.TextVector.dedupClusters(spark, sf, driverLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast == dist,
+      s"hybrid paths diverge: only-fast=${fast -- dist} only-dist=${dist -- fast}")
+  }
+
   test("RAG chunking: chunks tile every doc with stride 24 and cover the tail") {
     val chunks = ops.TextVector.t34_chunk(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
