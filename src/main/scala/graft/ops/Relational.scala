@@ -166,10 +166,12 @@ object Relational {
     * key is synthesized (half of lineitem lands on sk=0); the fix
     * replicates the dim side N_SALT times and fans the fact side's hot
     * rows across (sk, salt) sub-keys, so the hot key occupies N_SALT
-    * partitions instead of one straggler. The salt is derived from a
-    * fact column (l_linenumber % 16) — any per-row value works because
-    * the salt joins only against the replicated dim and cancels out of
-    * the aggregate; the oracle is the plain unsalted join. The MERGE
+    * partitions instead of one straggler. The salt is a hash of fact
+    * columns taken mod N_SALT — full 0..15 coverage whatever the
+    * column domains (l_linenumber alone only spans 1..7); any per-row
+    * value works semantically because the salt joins only against the
+    * replicated dim and cancels out of the aggregate; the oracle is
+    * the plain unsalted join. The MERGE
     * hint pins a shuffle join (a broadcast would hide the skew problem
     * being demonstrated); RelationalSpec asserts the exchange
     * partitions on BOTH (sk, salt). */
@@ -179,7 +181,7 @@ object Relational {
       when(col("l_orderkey") % 2 === 0, 0L)
         .otherwise(col("l_orderkey") % 500).as("sk"),
       col("l_quantity"), col("l_returnflag"),
-      (col("l_linenumber") % nSalt).cast("int").as("salt"))
+      pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(nSalt)).as("salt"))
     val dim = s.range(500).select(col("id").as("sk"),
       (col("id") * 2 + 1).cast("double").as("w"))
     val saltedDim = dim.select(col("sk"), col("w"),

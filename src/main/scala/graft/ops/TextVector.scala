@@ -1331,8 +1331,8 @@ object TextVector {
     * for assignment; only the audit aggregates shuffle. */
   def t36_leakage_split(s: SparkSession, d: String): DataFrame = {
     val doc = documents(s, d).withColumn("split",
-      when(srcBucket(col("source")) < 80, "train")
-        .when(srcBucket(col("source")) < 90, "val").otherwise("test"))
+      when(md5Bucket(col("source")) < 80, "train")
+        .when(md5Bucket(col("source")) < 90, "val").otherwise("test"))
     val leak = doc.groupBy(col("source"))
       .agg(countDistinct(col("split")).as("ns"))
       .agg(max(col("ns")).as("max_splits_per_source"))
@@ -1345,9 +1345,6 @@ object TextVector {
       .select("split", "n_sources", "n_docs", "id_checksum", "leakage_free")
       .orderBy("split")
   }
-
-  private def srcBucket(src: Column): Column =
-    conv(substring(md5(src), 1, 6), 16, 10).cast("bigint") % 100
 
   /** T37: hard-negative mining — the contrastive-training counterpart
     * of T6: for each query vector, the top-5 corpus vectors inside a

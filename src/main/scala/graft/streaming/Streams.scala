@@ -204,31 +204,47 @@ object Streams {
 
   /** X9 (merge half): apply one micro-batch to a keyed parquet table as
     * an UPSERT — the batch's latest version per event_id replaces any
-    * standing row with that key; unseen keys append. Written to a
-    * staging dir then swapped in, so a reader never sees a half-written
-    * table and a crash mid-apply leaves the old table intact. Applying
-    * the same batch twice is a no-op — at-least-once delivery becomes
-    * effectively-once at the sink (the poor engine's MERGE INTO; a
-    * table format with txn support replaces the dir swap at scale). */
+    * standing row with that key; unseen keys append. The in-batch
+    * dedup orders by EVERY non-key column so ties are deterministic:
+    * re-applying an identical batch always keeps the same row
+    * (at-least-once delivery becomes effectively-once at the sink).
+    * The swap is retire-then-promote, never delete-then-promote: the
+    * old table is renamed aside, the staging dir renamed in, and a
+    * crash between the two renames is healed on the next call by
+    * promoting the retired copy back (the checkpoint then re-delivers
+    * the interrupted batch and the merge re-runs). This is the poor
+    * engine's MERGE INTO — a transactional table format replaces the
+    * directory dance at scale, which is the swap point this method
+    * documents. */
   def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
     val spark = batch.sparkSession
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_id"))
-      .orderBy(col("ts").desc, col("value").desc)
+      .orderBy(col("ts").desc, col("value").desc,
+        col("event_type").desc, col("user_id").desc)
     val latest = batch
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val path = new org.apache.hadoop.fs.Path(tableDir)
+    val staging = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+    val retired = new org.apache.hadoop.fs.Path(tableDir + "__retired")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a crash that happened between the two renames of a previous
+    // apply: the table is missing but its retired copy is intact
+    if (!fs.exists(path) && fs.exists(retired))
+      require(fs.rename(retired, path), s"recovery rename failed: $retired")
     val merged =
       if (fs.exists(path))
         spark.read.parquet(tableDir)
           .join(latest, Seq("event_id"), "left_anti")
           .unionByName(latest)
       else latest
-    val staging = new org.apache.hadoop.fs.Path(tableDir + "__staging")
     merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(path, true)
-    fs.rename(staging, path)
+    if (fs.exists(retired))
+      require(fs.delete(retired, true), s"stale retired dir not deletable: $retired")
+    if (fs.exists(path))
+      require(fs.rename(path, retired), s"retire rename failed: $path")
+    require(fs.rename(staging, path), s"promote rename failed: $staging")
+    fs.delete(retired, true) // best-effort; a leftover is cleaned next call
   }
 
   /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one

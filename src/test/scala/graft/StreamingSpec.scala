@@ -260,6 +260,27 @@ class StreamingSpec extends SparkTestBase {
     in.addData(Event(4L, ts("10:07"), 9L, "signup", 0.0))
     Streams.upsertSink(in.toDF(), table, s"$base/ckpt")
     assert(snapshot().keySet == Set(1L, 2L, 3L, 4L))
+    // ties on (ts, value) must resolve deterministically: the same tied
+    // batch applied twice keeps the same winner both times
+    val tied = Seq(
+      Event(6L, ts("10:08"), 9L, "click", 1.0),
+      Event(6L, ts("10:08"), 9L, "view", 1.0)).toDF()
+    Streams.upsertBatch(tied, table)
+    val winner = snapshot()(6L)
+    assert(winner._1 == "view", "tiebreak must pick the max event_type")
+    Streams.upsertBatch(tied, table)
+    assert(snapshot()(6L) == winner, "tied batch re-apply changed the row")
+    // crash healing: simulate dying between retire and promote (table
+    // gone, retired copy present) — the next apply must recover it
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = snapshot()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
+      new org.apache.hadoop.fs.Path(table + "__retired")))
+    Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table)
+    val healed = snapshot()
+    assert(healed.keySet == before.keySet + 7L,
+      s"recovery lost keys: ${before.keySet -- healed.keySet}")
   }
 
   test("X10: stream-stream interval join matches clicks within the 30-min window") {
