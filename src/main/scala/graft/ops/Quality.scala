@@ -92,16 +92,18 @@ object Quality {
     * one partial-aggregated reduce to a single row; stack is a
     * driver-free per-row generator on that one row. */
   def dq6_column_profile(s: SparkSession, d: String): DataFrame = {
-    val one = lineitem(s, d).agg(
-      min(col("l_quantity")).as("q_min"), max(col("l_quantity")).as("q_max"),
-      round(avg(col("l_quantity")), 4).as("q_avg"),
-      countDistinct(col("l_quantity")).cast("double").as("q_nd"),
-      min(col("l_discount")).as("d_min"), max(col("l_discount")).as("d_max"),
-      round(avg(col("l_discount")), 4).as("d_avg"),
-      countDistinct(col("l_discount")).cast("double").as("d_nd"),
-      min(col("l_extendedprice")).as("p_min"), max(col("l_extendedprice")).as("p_max"),
-      round(avg(col("l_extendedprice")), 4).as("p_avg"),
-      countDistinct(col("l_extendedprice")).cast("double").as("p_nd"))
+    // one 1-row agg PER column, crossJoined (1-row × 1-row — free), not
+    // one agg with three countDistincts: multi-distinct on different
+    // columns makes Catalyst Expand the scan ×(n+1), quadrupling the
+    // rows fed to the aggregate; per-column aggs each scan ONE pruned
+    // column and use the plain two-phase distinct path instead
+    def prof(c: String, p: String) = lineitem(s, d).agg(
+      min(col(c)).as(s"${p}_min"), max(col(c)).as(s"${p}_max"),
+      round(avg(col(c)), 4).as(s"${p}_avg"),
+      countDistinct(col(c)).cast("double").as(s"${p}_nd"))
+    val one = prof("l_quantity", "q")
+      .crossJoin(prof("l_discount", "d"))
+      .crossJoin(prof("l_extendedprice", "p"))
     one.selectExpr(
       """stack(3,
            'l_discount',      d_min, d_max, d_avg, d_nd,
