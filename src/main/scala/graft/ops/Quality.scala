@@ -85,12 +85,13 @@ object Quality {
   }
 
   /** DQ6: column-level profile via UNPIVOT — min/max/avg/distinct-count
-    * per numeric column of the fact table, computed in ONE aggregation
-    * pass and reshaped long with `stack` (the unpivot generator — the
-    * inverse of A9's pivot, completing the reshape pair). The
-    * long/tidy shape is what monitoring stores ingest. Scale: one scan,
-    * one partial-aggregated reduce to a single row; stack is a
-    * driver-free per-row generator on that one row. */
+    * per numeric column of the fact table, reshaped long with `stack`
+    * (the unpivot generator — the inverse of A9's pivot, completing the
+    * reshape pair). The long/tidy shape is what monitoring stores
+    * ingest. Scale: one pruned single-column scan + two-phase distinct
+    * aggregate PER column (see the comment below for why this beats
+    * one multi-distinct pass), crossJoined as 1-row frames; stack is a
+    * driver-free generator on the single joined row. */
   def dq6_column_profile(s: SparkSession, d: String): DataFrame = {
     // one 1-row agg PER column, crossJoined (1-row × 1-row — free), not
     // one agg with three countDistincts: multi-distinct on different

@@ -218,10 +218,15 @@ object Streams {
     * documents. */
   def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
     val spark = batch.sparkSession
+    // ts leads (latest version wins); every remaining column follows,
+    // derived from the schema so the "ties are deterministic whatever
+    // the duplicate set" invariant survives schema evolution
+    val tieCols = col("ts").desc +:
+      batch.columns.filterNot(c => c == "event_id" || c == "ts")
+        .sorted.map(col(_).desc)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_id"))
-      .orderBy(col("ts").desc, col("value").desc,
-        col("event_type").desc, col("user_id").desc)
+      .orderBy(tieCols: _*)
     val latest = batch
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     val path = new org.apache.hadoop.fs.Path(tableDir)

@@ -382,16 +382,20 @@ class TextVectorSpec extends SparkTestBase {
 
   test("near-dup clusters: a corpus with zero candidate pairs yields an empty summary, not an NPE") {
     // every doc is under the 3-token shingling floor, so the planted
-    // near-dup machinery produces no shingles and hence no pairs — the
-    // label-propagation entry aggregate must coalesce the null sum
+    // near-dup machinery produces no shingles and hence no pairs
     val dir = java.nio.file.Files.createTempDirectory("graft_t20_empty_").toString
     spark.createDataFrame(Seq(
       (1L, "one two", "en", "src_1", 7L),
       (2L, "three", "en", "src_2", 5L)))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = ops.TextVector.t20_dedup_clusters(spark, dir)
-    assert(out.count() == 0L)
+    // union-find branch (the production path for zero pairs)
+    assert(ops.TextVector.t20_dedup_clusters(spark, dir).count() == 0L)
+    // distributed branch, forced with driverLimit = -1: the Hash-Min
+    // entry aggregate must coalesce the null sum of an empty labels
+    // frame instead of NPE-ing
+    assert(ops.TextVector.dedupClusters(spark, dir, driverLimit = -1L)
+      .count() == 0L)
   }
 
   test("near-dup clusters: driver union-find and distributed Hash-Min agree") {
