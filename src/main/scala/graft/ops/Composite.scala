@@ -99,6 +99,23 @@ object Composite {
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
         count(lit(1)).as("n_lines"))
 
+  /** Q13 shape — customer order-count distribution: a LEFT join with a
+    * predicate ON THE JOIN (not a post-filter — customers with zero
+    * qualifying orders must survive as c_count=0), aggregated twice:
+    * per-customer counts, then a histogram of those counts. The
+    * double-aggregation shape is the one place a "group by an
+    * aggregate" appears in TPC-H; the second group-by runs on a frame
+    * the size of the customer dimension, already shrunk. */
+  def q13_order_distribution(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
   private def reg(s: SparkSession, d: String, names: String*): Unit =
     names.foreach(n => graft.Tables.t(s, d, n).createOrReplaceTempView(n))
 
@@ -149,6 +166,7 @@ object Composite {
     "q10_returned_items" -> (q10_returned_items _),
     "q18_large_volume" -> (q18_large_volume _),
     "q6_forecast_revenue" -> (q6_forecast_revenue _),
+    "q13_order_distribution" -> (q13_order_distribution _),
     "sq1_scalar_subquery" -> (sq1_scalar_subquery _),
     "sq2_exists_subquery" -> (sq2_exists_subquery _),
     "sq3_not_in_null_aware" -> (sq3_not_in_null_aware _),
@@ -201,6 +219,13 @@ object Composite {
            ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
          count(*) AS n_lines
