@@ -1087,9 +1087,16 @@ object TextVector {
     * TextVectorSpec. */
   def t31_pq_ann(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
+    // subs feeds the seed codebook, BOTH Lloyd assignment passes, and the
+    // query-side ADC table — without materialization the optimizer
+    // re-derives it per consumer (16 scans of the table in one plan).
+    // Persist is the "materialize the encode input" step of a real PQ
+    // build; CacheManager dedups the entry across repeat calls (same
+    // logical plan), so memory stays bounded.
     val subs = e.select(col("vec_id"), explode(expr(
       "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(v, j*16+1, 16)))")).as("s"))
       .select(col("vec_id"), col("s.j").cast("int").as("j"), col("s.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cb0 = subs.filter(col("vec_id") < 16)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw"))
     // per (vec, subspace): nearest codeword, subvector carried for the
