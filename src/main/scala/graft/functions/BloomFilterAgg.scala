@@ -47,27 +47,16 @@ object BloomFilterAgg {
     * negatives; false positives at ≤ the construction fpp. The probe
     * runs once per ROW and the join re-materializes the byte array per
     * row (so reference identity never repeats); deserialization is
-    * memoized per JVM behind a cheap strided content key — length plus
-    * 96 sampled bytes — which distinguishes the handful of distinct
-    * filters a JVM ever sees without rescanning the full array per row.
-    * A key collision would surface instantly as a wrong filter in tests;
-    * with one or two live filters per session it cannot occur. */
-  private val parsed =
-    new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]
-  private def strideKey(b: Array[Byte]): Long = {
-    if (b.length == 0) return 0L
-    var h = 1125899906842597L * (b.length + 1)
-    var i = 0
-    while (i < 32) { // 32 samples spread across the array, incl. both ends
-      val p = (b.length - 1).toLong * i / 31
-      h = h * 31 + b(p.toInt)
-      i += 1
-    }
-    h
-  }
+    * memoized per JVM keyed by the FULL serialized content
+    * (ByteBuffer.wrap gives content equals/hashCode) — the map only
+    * ever holds the handful of distinct filters a JVM sees, so the
+    * full-content key costs one array scan per row while ruling out
+    * any sampled-key collision between same-sized filters. */
+  private val parsed = new java.util.concurrent.ConcurrentHashMap[
+    java.nio.ByteBuffer, BloomFilter]
   private def parse(bytes: Array[Byte]): BloomFilter =
-    parsed.computeIfAbsent(strideKey(bytes), _ =>
-      BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
+    parsed.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes), k =>
+      BloomFilter.readFrom(new java.io.ByteArrayInputStream(k.array())))
   val mightContain: (Column, Column) => Column = {
     val f = functions.udf((bytes: Array[Byte], s: String) =>
       parse(bytes).mightContainString(s))

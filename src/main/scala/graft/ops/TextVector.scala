@@ -629,7 +629,10 @@ object TextVector {
     dedupClusters(s, d, driverLimit = 500000L)
 
   /** Body of T20 with the hybrid gate exposed so tests can force the
-    * distributed branch (`driverLimit = 0`) and assert both paths agree. */
+    * distributed branch (`driverLimit < 0`: the gate is `nPairs <=
+    * driverLimit`, so 0 still routes an EMPTY pair set to the local
+    * branch — only a negative limit excludes every size) and assert
+    * both paths agree. */
   private[graft] def dedupClusters(s: SparkSession, d: String,
                                    driverLimit: Long): DataFrame = {
     val pairs = minhashCandidatePairs(s, d).select(col("a_id"), col("b_id"))
@@ -1072,7 +1075,7 @@ object TextVector {
     * codeword is precomputed (a 4×16 table per query) and candidate
     * distance is 4 table lookups summed, never touching the original
     * vectors. Production PQ is two-stage, and so is this: the ADC pass
-    * shortlists 20 candidates per query, then ONLY the shortlist is
+    * shortlists 50 candidates per query, then ONLY the shortlist is
     * reranked with exact distances — the corpus vectors are touched for
     * 50 rows per query, not N. Codebooks are deterministically seeded
     * (codeword c of subspace j = vector c's j-th subvector — T6b's
@@ -1358,7 +1361,11 @@ object TextVector {
     * similarity BAND (0.25 ≤ cos ≤ 0.5 on this corpus) — similar
     * enough to be informative negatives, far enough to not be
     * near-duplicates (the band T26 would drop starts at 0.9999).
-    * Identical scale shape to T6 — the small query side broadcasts,
+    * Identical scale shape to T6 — the small query side broadcasts
+    * (pinned with an explicit `broadcast(q)`: under
+    * `autoBroadcastJoinThreshold=-1` — a setting j2 documents as
+    * legitimate — JoinSelection would otherwise pick CartesianProduct
+    * with the CORPUS on one side; plan-asserted in TextVectorSpec),
     * the corpus streams past it unshuffled, and the band filter prunes
     * before the per-query top-k window; the cosine is the same fused
     * codegen kernel, whose left-to-right lane order makes the double
@@ -1370,7 +1377,7 @@ object TextVector {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
-    q.join(c, col("q_id") =!= col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("sim"))
       .filter(col("sim") >= 0.25 && col("sim") <= 0.5)
       .withColumn("rnk", row_number().over(w))
@@ -1385,7 +1392,8 @@ object TextVector {
     * labeled neighbors (cosine; count-desc/label-asc tiebreak makes the
     * vote deterministic). Auto-labeling corpora from a small seed set
     * is exactly this operator at 100 TB. Scale shape: T6's broadcast
-    * query side + per-query top-k window, then the vote is a
+    * query side (pinned — see t37's note on why auto-broadcast alone
+    * is not enough) + per-query top-k window, then the vote is a
     * (q, label)-keyed count over 5 rows per query — the corpus is
     * touched once, the vote frame is tiny. */
   def t38_knn_classify(s: SparkSession, d: String): DataFrame = {
@@ -1398,7 +1406,7 @@ object TextVector {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("label"))
     val wNN = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
-    val votes = q.crossJoin(train)
+    val votes = broadcast(q).crossJoin(train)
       .select(col("q_id"), col("true_label"), col("c_id"), col("label"),
         cosine(col("qv"), col("cv")).as("sim"))
       .withColumn("rnk", row_number().over(wNN))

@@ -289,6 +289,31 @@ class ScaleDesignSpec extends SparkTestBase {
       s"t32 blocklist join not a broadcast anti join: ${t32.take(1500)}")
   }
 
+  test("t37/t38 query sides stay broadcast even with auto-broadcast off") {
+    // both ops non-equi-join a ~10-50 row query frame against the whole
+    // embedding corpus; the explicit broadcast(q) pin must hold when
+    // autoBroadcastJoinThreshold=-1 (j2's documented harness setting) —
+    // without the pin JoinSelection degrades to CartesianProduct with
+    // the CORPUS on one side, the exact shape that dies at 100 TB
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(
+        "t37" -> ops.TextVector.t37_hard_negatives(spark, sf),
+        "t38" -> ops.TextVector.t38_knn_classify(spark, sf)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("BroadcastNestedLoopJoin"),
+          s"$name query side not broadcast: ${plan.take(1500)}")
+        assert(!plan.contains("CartesianProduct"),
+          s"$name degraded to CartesianProduct: ${plan.take(1500)}")
+      }
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("projection prunes the parquet scan to the selected columns only") {
     val plan = ops.Relational.p1_projection(spark, sf)
       .queryExecution.executedPlan.toString
