@@ -208,16 +208,44 @@ object Streams {
     * dedup orders by EVERY non-key column so ties are deterministic:
     * re-applying an identical batch always keeps the same row
     * (at-least-once delivery becomes effectively-once at the sink).
-    * The swap is retire-then-promote, never delete-then-promote: the
-    * old table is renamed aside, the staging dir renamed in, and a
-    * crash between the two renames is healed on the next call by
-    * promoting the retired copy back (the checkpoint then re-delivers
-    * the interrupted batch and the merge re-runs). This is the poor
-    * engine's MERGE INTO — a transactional table format replaces the
-    * directory dance at scale, which is the swap point this method
-    * documents. */
-  def upsertBatch(batch: DataFrame, tableDir: String): Unit = {
+    *
+    * Merge cost is bounded by the BATCH, not the table: the standing
+    * table is hash-bucketed by `event_id` into `nBuckets` subdirs
+    * (`b=0..N-1`, a pure murmur3 function of the key, so a key always
+    * lands in the same bucket), the batch's touched-bucket set is
+    * computed first (≤ min(batch keys, N) buckets), and the
+    * anti-join/union/rewrite reads and rewrites ONLY those buckets —
+    * one Spark job writes every touched bucket's replacement via
+    * `partitionBy("b")`, untouched buckets are never opened. At 100 TB
+    * with a daily micro-batch this turns an O(table) rewrite into
+    * O(batch × table/N).
+    *
+    * Each touched bucket's swap is retire-then-promote, never
+    * delete-then-promote: the old bucket dir is renamed aside, the
+    * staged dir renamed in, and a crash between the two renames is
+    * healed on the next call by promoting the retired copy back (the
+    * checkpoint then re-delivers the interrupted batch and the merge
+    * re-runs — idempotent, so a bucket that DID swap before the crash
+    * absorbs the redelivery as a no-op). A `_n_buckets` marker pins the
+    * bucket count at table creation so a later call cannot silently
+    * merge with a different modulus. This is the poor engine's MERGE
+    * INTO over a poor engine's bucketed table — a transactional table
+    * format replaces the directory dance at scale, which is the swap
+    * point this method documents. */
+  def upsertBatch(batch: DataFrame, tableDir: String,
+                  nBuckets: Int = 256): Unit = {
     val spark = batch.sparkSession
+    val hadoopPath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pin the modulus: a table written N-way must always be merged N-way
+    val marker = new org.apache.hadoop.fs.Path(tableDir, "_n_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      require(stored == nBuckets,
+        s"table at $tableDir was bucketed $stored-way, asked to merge $nBuckets-way")
+    }
     // ts leads (latest version wins); every remaining column follows,
     // derived from the schema so the "ties are deterministic whatever
     // the duplicate set" invariant survives schema evolution
@@ -227,39 +255,75 @@ object Streams {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_id"))
       .orderBy(tieCols: _*)
+    val bucketOf = pmod(hash(col("event_id")), lit(nBuckets))
     val latest = batch
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-    val path = new org.apache.hadoop.fs.Path(tableDir)
-    val staging = new org.apache.hadoop.fs.Path(tableDir + "__staging")
-    val retired = new org.apache.hadoop.fs.Path(tableDir + "__retired")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // heal a crash that happened between the two renames of a previous
-    // apply: the table is missing but its retired copy is intact
-    if (!fs.exists(path) && fs.exists(retired))
-      require(fs.rename(retired, path), s"recovery rename failed: $retired")
-    val merged =
-      if (fs.exists(path))
-        spark.read.parquet(tableDir)
-          .join(latest, Seq("event_id"), "left_anti")
-          .unionByName(latest)
-      else latest
-    merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(retired))
-      require(fs.delete(retired, true), s"stale retired dir not deletable: $retired")
-    if (fs.exists(path))
-      require(fs.rename(path, retired), s"retire rename failed: $path")
-    require(fs.rename(staging, path), s"promote rename failed: $staging")
-    fs.delete(retired, true) // best-effort; a leftover is cleaned next call
+      .withColumn("b", bucketOf)
+    val stagingRoot = new org.apache.hadoop.fs.Path(tableDir + "__staging")
+    val retiredRoot = new org.apache.hadoop.fs.Path(tableDir + "__retired")
+    // heal any bucket whose previous swap crashed between retire and
+    // promote (bucket dir missing, retired copy intact); a retired copy
+    // WITH a live bucket dir is a post-promote leftover — drop it
+    if (fs.exists(retiredRoot))
+      fs.listStatus(retiredRoot).foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(tableDir, st.getPath.getName)
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live), s"recovery rename failed: ${st.getPath}")
+        else require(fs.delete(st.getPath, true), s"stale retired bucket: ${st.getPath}")
+      }
+    // a half-written staging dir from a crashed previous apply is garbage
+    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
+    // touched buckets: tiny driver list, bounded by min(batch keys, N)
+    val touched = latest.select("b").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(tableDir, s"b=$b")))
+    // ONE job merges every touched bucket: standing rows from touched
+    // buckets only (b re-derived from the key — bucket files don't store
+    // it), batch keys removed, batch appended, routed back to bucket
+    // dirs by partitionBy. Untouched buckets are never read or written.
+    val standing =
+      if (existing.nonEmpty)
+        spark.read.parquet(existing.map(b => s"$tableDir/b=$b"): _*)
+          .join(latest.select("event_id"), Seq("event_id"), "left_anti")
+          .withColumn("b", bucketOf)
+      else latest.limit(0)
+    standing.unionByName(latest)
+      .write.partitionBy("b").mode("overwrite").parquet(stagingRoot.toString)
+    if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(tableDir, s"b=$b")
+      val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"b=$b")
+      val retired = new org.apache.hadoop.fs.Path(retiredRoot, s"b=$b")
+      if (!fs.exists(retiredRoot)) fs.mkdirs(retiredRoot)
+      if (fs.exists(retired))
+        require(fs.delete(retired, true), s"stale retired bucket not deletable: $retired")
+      if (fs.exists(live))
+        require(fs.rename(live, retired), s"retire rename failed: $live")
+      require(fs.rename(staged, live), s"promote rename failed: $staged")
+      fs.delete(retired, true) // best-effort; a leftover is healed next call
+    }
+    fs.delete(stagingRoot, true) // _SUCCESS etc.
+    if (!fs.exists(marker)) {
+      val out = fs.create(marker)
+      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
+    }
   }
+
+  /** Read-back of an X9 table: partition discovery surfaces the bucket
+    * dirs as an int column `b`; drop it so consumers see the logical
+    * schema. (`_n_buckets` starts with `_`, so discovery ignores it.) */
+  def readUpserted(spark: SparkSession, tableDir: String): DataFrame =
+    spark.read.parquet(tableDir).drop("b")
 
   /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one
     * AvailableNow pass per call; the checkpoint makes re-runs skip
     * already-committed batches, and upsertBatch makes even a re-applied
     * batch harmless. */
   def upsertSink(stream: DataFrame, tableDir: String,
-                 checkpointDir: String): Unit = {
+                 checkpointDir: String, nBuckets: Int = 256): Unit = {
     val q = stream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) => upsertBatch(b, tableDir))
+      .foreachBatch((b: DataFrame, _: Long) => upsertBatch(b, tableDir, nBuckets))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -234,12 +234,21 @@ class StreamingSpec extends SparkTestBase {
   test("X9: foreachBatch upsert — latest version wins, re-applied batch is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_x9_").toString
     val table = s"$base/table"
+    val nB = 8
     def snapshot(): Map[Long, (String, Double)] =
-      spark.read.parquet(table).as[Event].collect()
+      Streams.readUpserted(spark, table).as[Event].collect()
         .map(e => e.event_id -> (e.event_type, e.value)).toMap
+    def bucketFiles(): Map[String, Set[String]] = {
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(table))
+        .filter(_.getPath.getName.startsWith("b="))
+        .map(st => st.getPath.getName ->
+          fs.listStatus(st.getPath).map(_.getPath.getName).toSet).toMap
+    }
     // batch 1: two fresh keys
     val b1 = Seq(ev(1, "10:00", 7, "click"), ev(2, "10:01", 7, "view")).toDF()
-    Streams.upsertBatch(b1, table)
+    Streams.upsertBatch(b1, table, nB)
     assert(snapshot() == Map(1L -> ("click", 1.0), 2L -> ("view", 1.0)))
     // batch 2: key 2 updated (newer ts), key 3 new, key 2 also carries an
     // in-batch duplicate — the latest version must win inside the batch too
@@ -247,37 +256,57 @@ class StreamingSpec extends SparkTestBase {
       Event(2L, ts("10:05"), 7L, "purchase", 5.0),
       Event(2L, ts("10:03"), 7L, "view", 2.0),
       Event(3L, ts("10:06"), 8L, "click", 1.0)).toDF()
-    Streams.upsertBatch(b2, table)
+    Streams.upsertBatch(b2, table, nB)
     val after = snapshot()
     assert(after == Map(1L -> ("click", 1.0), 2L -> ("purchase", 5.0),
       3L -> ("click", 1.0)), s"merge wrong: $after")
     // re-apply batch 2 (at-least-once redelivery): table unchanged
-    Streams.upsertBatch(b2, table)
+    Streams.upsertBatch(b2, table, nB)
     assert(snapshot() == after, "re-applied batch must be a no-op")
     // and the streaming wiring drives the same merge through foreachBatch
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[Event]
     in.addData(Event(4L, ts("10:07"), 9L, "signup", 0.0))
-    Streams.upsertSink(in.toDF(), table, s"$base/ckpt")
+    Streams.upsertSink(in.toDF(), table, s"$base/ckpt", nB)
     assert(snapshot().keySet == Set(1L, 2L, 3L, 4L))
+    // the merge must be bucket-scoped: a 1-key batch rewrites exactly the
+    // one bucket its key hashes to — every other bucket keeps the same
+    // parquet part-files on disk (task filenames are fresh per write, so
+    // an untouched file set proves the bucket was never rewritten). This
+    // is the O(batch) vs O(table) distinction at 100 TB.
+    val filesBefore = bucketFiles()
+    assert(filesBefore.size >= 2, s"fixture spans ${filesBefore.size} bucket(s); need ≥2")
+    Streams.upsertBatch(Seq(Event(5L, ts("10:10"), 9L, "view", 2.0)).toDF(), table, nB)
+    val filesAfter = bucketFiles()
+    val rewritten = filesAfter.filter { case (b, fset) =>
+      filesBefore.get(b).forall(_ != fset) }.keySet
+    assert(rewritten.size == 1,
+      s"1-key batch rewrote ${rewritten.size} buckets: $rewritten")
     // ties on (ts, value) must resolve deterministically: the same tied
     // batch applied twice keeps the same winner both times
     val tied = Seq(
       Event(6L, ts("10:08"), 9L, "click", 1.0),
       Event(6L, ts("10:08"), 9L, "view", 1.0)).toDF()
-    Streams.upsertBatch(tied, table)
+    Streams.upsertBatch(tied, table, nB)
     val winner = snapshot()(6L)
     assert(winner._1 == "view", "tiebreak must pick the max event_type")
-    Streams.upsertBatch(tied, table)
+    Streams.upsertBatch(tied, table, nB)
     assert(snapshot()(6L) == winner, "tied batch re-apply changed the row")
-    // crash healing: simulate dying between retire and promote (table
-    // gone, retired copy present) — the next apply must recover it
+    // a mismatched bucket count must be rejected, not silently mis-merged
+    intercept[IllegalArgumentException] {
+      Streams.upsertBatch(tied, table, nB * 2)
+    }
+    // crash healing: simulate dying between retire and promote (one
+    // bucket dir gone, its retired copy present) — the next apply must
+    // promote the retired bucket back before merging
     val fs = new org.apache.hadoop.fs.Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = snapshot()
-    assert(fs.rename(new org.apache.hadoop.fs.Path(table),
-      new org.apache.hadoop.fs.Path(table + "__retired")))
-    Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table)
+    val victim = bucketFiles().keySet.head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(table + "__retired"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$table/$victim"),
+      new org.apache.hadoop.fs.Path(s"${table}__retired/$victim")))
+    Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table, nB)
     val healed = snapshot()
     assert(healed.keySet == before.keySet + 7L,
       s"recovery lost keys: ${before.keySet -- healed.keySet}")
