@@ -32,16 +32,16 @@ object TextVector {
 
   /** T1: tokenize + term frequency — top-20 corpus vocabulary. */
   def t1_term_freq(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(explode(toks(col("text"))).as("token"))
+    tokDocs(s, d)
+      .select(explode(col("t")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
   /** T2: n-grams — top-20 bigrams (shingling primitive for T4). */
   def t2_ngrams(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(toks(col("text")).as("t"))
+    tokDocs(s, d)
+      .select(col("t"))
       .filter(size(col("t")) >= 2)
       .select(explode(bigrams("t")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
@@ -108,29 +108,6 @@ object TextVector {
     out.toSeq
   })
 
-  /** Confirmed near-dup candidate pairs (Jaccard ≥ 0.5), the stage shared
-    * by t4_minhash_lsh and t4_dedup_canonical. Memoized + persisted per
-    * (session, dir) so the corpus minhash pass runs ONCE when both t4
-    * queries execute in the same session (Verify/Bench do) — the cached
-    * set is only the confirmed pairs, tiny relative to the corpus.
-    *
-    * Staleness/lifetime: entries carry a fingerprint of the
-    * documents.parquet file listing (name, length, mtime). If the data
-    * under `dir` changes within a session the fingerprint differs, the
-    * stale entry is unpersisted and the pairs recomputed — no
-    * immutable-dir assumption. Entries whose session has stopped are
-    * swept on the next lookup so cached blocks aren't pinned past the
-    * owning session's lifetime. */
-  private val t4PairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]
-  // per-(session, dir) lock objects so two sessions (or two dirs) never
-  // serialize each other's minhash pass — only concurrent callers on the
-  // SAME cache entry coordinate. A stale entry is unpersisted while a
-  // racing reader may still hold its DataFrame; Spark recomputes evicted
-  // blocks, so that reader stays correct (slower), never wrong.
-  private val t4Locks =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
-
   /** Digest of the documents.parquet listing under `d` — cheap driver-side
     * FS metadata only, no data read. */
   private def dirFingerprint(s: SparkSession, d: String): String = {
@@ -142,47 +119,110 @@ object TextVector {
       .mkString("|")
   }
 
-  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    t4PairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    t4Locks.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val key = (s, d)
-    t4Locks.computeIfAbsent(key, _ => new Object).synchronized {
-      val fp = dirFingerprint(s, d)
-      val cur = t4PairCache.get(key)
-      if (cur != null && cur._1 == fp) cur._2
-      else {
+  /** Session-scoped memo of a persisted derived frame, keyed by
+    * (session, dir) — the sharing pattern the t4 pair stage introduced,
+    * generalized so the tokenized-corpus frame (and any future shared
+    * stage) reuses it.
+    *
+    * Staleness/lifetime: entries carry a fingerprint of the
+    * documents.parquet file listing (name, length, mtime). If the data
+    * under `dir` changes within a session the fingerprint differs, the
+    * stale entry is unpersisted and the frame recomputed — no
+    * immutable-dir assumption. Entries whose session has stopped are
+    * swept on the next lookup so cached blocks aren't pinned past the
+    * owning session's lifetime. Per-(session, dir) lock objects so two
+    * sessions (or two dirs) never serialize each other's build — only
+    * concurrent callers on the SAME entry coordinate. A stale entry is
+    * unpersisted while a racing reader may still hold its DataFrame;
+    * Spark recomputes evicted blocks, so that reader stays correct
+    * (slower), never wrong. */
+  private final class FrameMemo(build: (SparkSession, String) => DataFrame) {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]
+    private val locks =
+      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
+    def apply(s: SparkSession, d: String): DataFrame = {
+      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      locks.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      val key = (s, d)
+      locks.computeIfAbsent(key, _ => new Object).synchronized {
+        val fp = dirFingerprint(s, d)
+        val cur = cache.get(key)
+        if (cur != null && cur._1 == fp) cur._2
+        else {
+          if (cur != null) cur._2.unpersist(blocking = false)
+          val fresh = build(s, d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cache.put(key, (fp, fresh))
+          fresh
+        }
+      }
+    }
+    /** Test hook: drop + unpersist the memoized entry for (s, d) so a
+      * test can assert the rebuild path regardless of what ran before.
+      * Needed because Spark's CacheManager dedups by logical plan — any
+      * plan-identical DataFrame's unpersist() also deregisters the
+      * shared entry's cached blocks. Takes the same per-key lock as the
+      * builder — an unlocked remove() could interleave between a
+      * concurrent builder's get() and put(). */
+    def reset(s: SparkSession, d: String): Unit = {
+      val key = (s, d)
+      locks.computeIfAbsent(key, _ => new Object).synchronized {
+        val cur = cache.remove(key)
         if (cur != null) cur._2.unpersist(blocking = false)
-        val fresh = computeMinhashCandidatePairs(s, d)
-        t4PairCache.put(key, (fp, fresh))
-        fresh
       }
     }
   }
 
-  /** Test hook: drop + unpersist the memoized pair entry for (s, d) so a
-    * test can assert the rebuild path regardless of what ran before it.
-    * Needed because Spark's CacheManager dedups by logical plan — any
-    * plan-identical DataFrame's unpersist() also deregisters the shared
-    * entry's cached blocks, so a test cannot assume an earlier suite's
-    * memoized entry is still registered. */
-  private[graft] def resetT4PairCache(s: SparkSession, d: String): Unit = {
-    val key = (s, d)
-    // take the same per-key lock as the builder — an unlocked remove()
-    // could interleave between a concurrent builder's get() and put(),
-    // re-exposing the stale-cache window the reset exists to close
-    t4Locks.computeIfAbsent(key, _ => new Object).synchronized {
-      val cur = t4PairCache.remove(key)
-      if (cur != null) cur._2.unpersist(blocking = false)
-    }
-  }
+  /** Confirmed near-dup candidate pairs (Jaccard ≥ 0.5), the stage shared
+    * by t4_minhash_lsh and t4_dedup_canonical — the corpus minhash pass
+    * runs ONCE when both t4 queries execute in the same session
+    * (Verify/Bench do); the cached set is only the confirmed pairs, tiny
+    * relative to the corpus. */
+  private val t4PairMemo = new FrameMemo(computeMinhashCandidatePairs)
+
+  private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
+    t4PairMemo(s, d)
+
+  private[graft] def resetT4PairCache(s: SparkSession, d: String): Unit =
+    t4PairMemo.reset(s, d)
+
+  /** Tokenized corpus: every documents column plus `t` = whitespace
+    * tokens, computed once per (session, dir) and persisted. Nine-plus
+    * text operators consume tokens; without sharing, each re-scans the
+    * parquet and re-splits the corpus — the bench's dominant repeated
+    * cost (the five slowest r5 queries were all tokenizers). At 100 TB
+    * the equivalent move is materializing tokens as a column next to
+    * the text at ingest: one pass, every downstream op reads it — this
+    * memo is that materialization, session-scoped. */
+  private val tokMemo = new FrameMemo((s, d) =>
+    documents(s, d).withColumn("t", toks(col("text"))))
+
+  private[graft] def tokDocs(s: SparkSession, d: String): DataFrame =
+    tokMemo(s, d)
+
+  private[graft] def resetTokCache(s: SparkSession, d: String): Unit =
+    tokMemo.reset(s, d)
+
+  /** Shingled near-dup corpus (documents ∪ planted copies, ≥3 tokens,
+    * 3-gram shingle sets) — the front stage t4's candidate builder,
+    * t12, t18, and t33 all previously recomputed independently; the
+    * shingle UDF over the doubled corpus was the next-largest repeated
+    * cost after tokenization. Same 100 TB story as tokDocs: in
+    * production the shingle sets are materialized once at ingest. */
+  private val ndShingleMemo = new FrameMemo((s, d) =>
+    withNearDups(s, d)
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .withColumn("sh", shingle3(col("t"))))
+
+  private def shingledNearDups(s: SparkSession, d: String): DataFrame =
+    ndShingleMemo(s, d)
 
   // private[graft] so ScaleDesignSpec can pin the shuffle shape of a
   // FRESH (un-memoized) candidate plan
   private[graft] def computeMinhashCandidatePairs(s: SparkSession, d: String): DataFrame = {
-      val base = withNearDups(s, d)
-        .select(col("doc_id"), toks(col("text")).as("t"))
-        .filter(size(col("t")) >= 3)
-        .withColumn("sh", shingle3(col("t")))
+      val base = shingledNearDups(s, d)
       // one md5 per shingle; the 8 hash lanes are 12-hex slices of the
       // doubled digest (lanes are correlated, which weakens the classic
       // independence guarantee slightly, but candidate recall on near-dups
@@ -213,7 +253,7 @@ object TextVector {
           round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
             size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persisted by the FrameMemo that wraps this builder
   }
 
   /** T4: MinHash + LSH near-dup detection. 8 deterministic min-hashes
@@ -351,9 +391,11 @@ object TextVector {
       .orderBy("q_id", "rnk")
   }
 
-  /** T7: language/source profiling + length-bounds quality gate. */
+  /** T7: language/source profiling + length-bounds quality gate.
+    * Reads the shared tokenized frame (no tokens needed, but the cached
+    * scan replaces another pass over the parquet). */
   def t7_profile(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    tokDocs(s, d)
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("n_chars")), 4).as("avg_chars"),
@@ -366,9 +408,9 @@ object TextVector {
     * corpus size N arrives in-plan as a broadcast 1-row aggregate
     * (cross join), not a driver-side count() — no extra eager job. */
   def t8_tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+    val docs = tokDocs(s, d)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = docs.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     tf.join(broadcast(df), "term")
@@ -453,10 +495,7 @@ object TextVector {
   /** T12: n-gram Jaccard near-dup — 3-gram shingle sets, exact Jaccard on
     * id-adjacent candidate pairs (planted dups from withNearDups). */
   def t12_jaccard(s: SparkSession, d: String): DataFrame = {
-    val base = withNearDups(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .withColumn("sh", shingle3(col("t")))
+    val base = shingledNearDups(s, d)
     val a = base.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = base.select((col("doc_id") - 1000000L).as("join_id"),
       col("doc_id").as("b_id"), col("sh").as("b_sh"))
@@ -479,12 +518,12 @@ object TextVector {
     * engine-vocab word salad, so scores — not accuracy — are the
     * deterministic thing being checked.) */
   def t13_langid(s: SparkSession, d: String): DataFrame = {
-    val td = array_distinct(toks(col("text")))
+    val td = array_distinct(col("t"))
     val scoreCols = Seq(col("doc_id"), col("lang").as("labeled")) ++
       langWords.toSeq.sortBy(_._1).map { case (l, ws) =>
         size(array_intersect(td, array(ws.map(lit): _*))).as(s"s_$l")
       }
-    val scored = documents(s, d)
+    val scored = tokDocs(s, d)
       .filter(col("doc_id") <= 300)
       .select(scoreCols: _*)
     scored.withColumn("predicted",
@@ -501,9 +540,9 @@ object TextVector {
   /** T14: quality scoring — length / token-length / stopword-ratio blend
     * (the 47≤n_chars≤558 band is the corpus' observed range). */
   def t14_quality(s: SparkSession, d: String): DataFrame = {
-    val t = toks(col("text"))
+    val t = col("t")
     val stop = array(Seq("the", "and", "of", "to", "a", "in").map(lit): _*)
-    documents(s, d)
+    tokDocs(s, d)
       .filter(col("doc_id") <= 300)
       .select(col("doc_id"),
         col("n_chars"),
@@ -521,10 +560,10 @@ object TextVector {
   /** T15: token counting — whitespace tokens + a BPE-ish regex segmenter
     * (letters | digits | single punctuation). */
   def t15_token_count(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    tokDocs(s, d)
       .filter(col("doc_id") <= 300)
       .select(col("doc_id"),
-        size(toks(col("text"))).as("ws_tokens"),
+        size(col("t")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
           .as("bpe_ish_tokens"),
         (length(col("text")) - length(regexp_replace(col("text"), " ", ""))+ 1)
@@ -535,9 +574,9 @@ object TextVector {
     * per-token codes (seeded by the first token's code, mod 1e9+7 each
     * step so both engines stay in exact integer range). */
   def t16_fingerprint(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    tokDocs(s, d)
       .filter(col("doc_id") <= 300)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), col("t"))
       .withColumn("codes", expr("transform(t, x -> cast(length(x) * 31 + ascii(substring(x,1,1)) as bigint))"))
       .withColumn("fingerprint", expr(
         "aggregate(slice(codes, 2, size(codes)-1), element_at(codes, 1), (acc, x) -> (acc * 31 + x) % 1000000007)"))
@@ -552,7 +591,7 @@ object TextVector {
     * 100 TB. md5 is the hash here so DuckDB recomputes the identical
     * bucket (xxhash64 would be faster but has no DuckDB counterpart). */
   def t17_sampling(s: SparkSession, d: String): DataFrame = {
-    val doc = documents(s, d)
+    val doc = tokDocs(s, d)
       .withColumn("bucket_md5",
         md5Bucket(col("doc_id")))
     doc.filter(col("bucket_md5") < 10) // 10% deterministic sample
@@ -569,10 +608,7 @@ object TextVector {
     * on the shingle — the benchmark side is tiny and broadcast, the
     * corpus side streams; never all-pairs, never a corpus shuffle. */
   def t18_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val base = withNearDups(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .withColumn("sh", shingle3(col("t")))
+    val base = shingledNearDups(s, d)
     val bench = base.filter(col("doc_id") <= 20)
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
     val train = base.filter(col("doc_id") > 20)
@@ -713,7 +749,7 @@ object TextVector {
       .when(srcNum % 4 === 1, 20)
       .when(srcNum % 4 === 2, 10)
       .otherwise(5)
-    documents(s, d)
+    tokDocs(s, d)
       .withColumn("quota_pct", quota)
       .withColumn("bucket",
         md5Bucket(col("doc_id")))
@@ -757,9 +793,9 @@ object TextVector {
   def t23_seq_pack(s: SparkSession, d: String): DataFrame = {
     val seqLen = 256
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    documents(s, d)
+    tokDocs(s, d)
       .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
-        size(toks(col("text"))).as("n_toks"))
+        size(col("t")).as("n_toks"))
       .withColumn("end_off", sum(col("n_toks")).over(w))
       .withColumn("first_seq", floor((col("end_off") - col("n_toks")) / seqLen))
       .withColumn("last_seq", floor((col("end_off") - 1) / seqLen))
@@ -782,18 +818,18 @@ object TextVector {
     * catches. Per-doc bigram counting is a (doc_id, bigram)-keyed agg —
     * embarrassingly parallel, no cross-doc shuffle at any scale. */
   def t24_repetition_filter(s: SparkSession, d: String): DataFrame = {
-    val real = documents(s, d).select(col("doc_id"), col("text"))
+    val real = tokDocs(s, d).select(col("doc_id"), col("text"), col("t"))
     // size >= 2 guard: a single-token source would make element_at(t, 2)
     // null, and Spark's concat_ws skips nulls while the oracle's ||
     // propagates them — the guard keeps both engines off that edge
     val planted = real
-      .filter(col("doc_id") % 13 === 0 && size(toks(col("text"))) >= 2)
+      .filter(col("doc_id") % 13 === 0 && size(col("t")) >= 2)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         concat_ws(" ", expr(
           "array_repeat(concat_ws(' ', element_at(split(text, ' '), 1), element_at(split(text, ' '), 2)), 20)"))
           .as("text"))
-    val docs = real.unionByName(planted)
       .select(col("doc_id"), toks(col("text")).as("t"))
+    val docs = real.select(col("doc_id"), col("t")).unionByName(planted)
       .withColumn("n_toks", size(col("t")))
       .withColumn("n_distinct", size(array_distinct(col("t"))))
     val bigramStats = docs
@@ -950,7 +986,7 @@ object TextVector {
     * exact counts and that every bound held. The sketch is queried
     * in-plan (1-row broadcast crossJoin + UDF), no driver-side state. */
   def t28_heavy_hitters(s: SparkSession, d: String): DataFrame = {
-    val tokens = documents(s, d).select(explode(toks(col("text"))).as("token"))
+    val tokens = tokDocs(s, d).select(explode(col("t")).as("token"))
     // the exact side IS t1_term_freq — reuse it so the two ops (and the
     // rank-agreement test between them) cannot drift
     val exact = t1_term_freq(s, d).withColumnRenamed("n", "n_exact")
@@ -994,7 +1030,7 @@ object TextVector {
     * shuffled); the corpus-wide shuffle carries only (md5, doc_id, pos);
     * span assembly is a per-doc gaps-and-islands window. */
   def t29_substring_dedup(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    val docs = tokDocs(s, d).select(col("doc_id"), col("t"))
     val quotes = docs
       .filter(col("doc_id") % 5 === 0 && size(col("t")) >= 13)
       .select((col("doc_id") + 3000000L).as("doc_id"),
@@ -1044,7 +1080,7 @@ object TextVector {
     * broadcast; scoring is explode → broadcast-join → per-doc avg, so
     * the only corpus-wide shuffle is the final doc_id aggregation. */
   def t30_lm_quality(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+    val docs = tokDocs(s, d).select(col("doc_id"), col("t"))
     val junkText = (0 until 20).map("zq" + _).mkString(" ")
     val scored = docs.unionByName(
       docs.filter(col("doc_id") % 9 === 0)
@@ -1197,10 +1233,7 @@ object TextVector {
     * n_exact_hits`), which a production pipeline re-verifies exactly on
     * the tiny flagged subset. */
   def t33_bloom_decontaminate(s: SparkSession, d: String): DataFrame = {
-    val base = withNearDups(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .withColumn("sh", shingle3(col("t")))
+    val base = shingledNearDups(s, d)
     val bench = base.filter(col("doc_id") <= 20)
       .select(explode(col("sh")).as("shingle"))
     val bf = bench.agg(
@@ -1269,8 +1302,8 @@ object TextVector {
     * shuffle before the final presentation sort; chunk text leaves the
     * operator as md5 — the wide column stays inside the stage. */
   def t34_chunk(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+    val docs = tokDocs(s, d)
+      .select(col("doc_id"), col("t"))
       .withColumn("n", size(col("t")))
     docs
       .select(col("doc_id"), col("n"), col("t"),
@@ -1298,8 +1331,8 @@ object TextVector {
     * rounded to 6dp BEFORE ranking so cross-engine float drift cannot
     * reorder ties (t25's quantize-then-compare pattern). */
   def t35_bm25(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("t"))
+    val docs = tokDocs(s, d)
+      .select(col("doc_id"), col("t"))
       .withColumn("dl", size(col("t")))
     val corpus = docs.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -1340,7 +1373,7 @@ object TextVector {
     * string (T17/T21's hash-mod idiom) — no lookup table, no shuffle
     * for assignment; only the audit aggregates shuffle. */
   def t36_leakage_split(s: SparkSession, d: String): DataFrame = {
-    val doc = documents(s, d).withColumn("split",
+    val doc = tokDocs(s, d).withColumn("split",
       when(md5Bucket(col("source")) < 80, "train")
         .when(md5Bucket(col("source")) < 90, "val").otherwise("test"))
     val leak = doc.groupBy(col("source"))
@@ -1436,8 +1469,8 @@ object TextVector {
     * token's list is large but each list lives in ONE row of a
     * token-partitioned table — the classic sharded-postings layout. */
   def t39_inverted_index(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    val tok = tokDocs(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("t"))).as("token"))
     val postings = tok.groupBy("token")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
         count(lit(1)).as("df"))

@@ -165,36 +165,24 @@ class ScaleDesignSpec extends SparkTestBase {
   }
 
   test("t4 band join carries ids only — shingle arrays stay out of the exploded shuffle") {
-    // a FRESH candidate plan (bypasses the memo cache); optimizedPlan is
-    // enough — nothing executes, we only pin the join inputs' columns
+    // a FRESH candidate plan (bypasses the memo cache, which is also
+    // where the persist() now lives — the builder itself is cache-free);
+    // sparkPlan is the pre-AQE physical plan: nothing executes, we only
+    // pin the join inputs' columns
     val df = ops.TextVector.computeMinhashCandidatePairs(spark, sf)
-    try {
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-      import org.apache.spark.sql.execution.columnar.InMemoryRelation
-      import org.apache.spark.sql.execution.joins.BaseJoinExec
-      // the persist() puts the whole candidate plan behind an
-      // InMemoryRelation leaf; unwrap it (and its AQE shell) to reach
-      // the physical joins
-      val cached = df.queryExecution.optimizedPlan.collect {
-        case r: InMemoryRelation => r.cachedPlan
-      }
-      assert(cached.nonEmpty, df.queryExecution.optimizedPlan.toString.take(1000))
-      val physical = cached.head match {
-        case a: AdaptiveSparkPlanExec => a.inputPlan
-        case p => p
-      }
-      val bandJoins = physical.collect {
-        case j: BaseJoinExec if j.leftKeys.exists(_.references.exists(_.name == "band")) => j
-      }
-      assert(bandJoins.nonEmpty, physical.toString.take(2000))
-      bandJoins.foreach { j =>
-        val names = (j.left.output ++ j.right.output).map(_.name)
-        // the exploded ×4-bands join must move (band, key, id) only;
-        // shingle sets rejoin AFTER the distinct pair stage
-        assert(!names.exists(_.contains("sh")),
-          s"shingle column crossed the band join: ${names.mkString(",")}")
-      }
-    } finally df.unpersist(blocking = false)
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val physical = df.queryExecution.sparkPlan
+    val bandJoins = physical.collect {
+      case j: BaseJoinExec if j.leftKeys.exists(_.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, physical.toString.take(2000))
+    bandJoins.foreach { j =>
+      val names = (j.left.output ++ j.right.output).map(_.name)
+      // the exploded ×4-bands join must move (band, key, id) only;
+      // shingle sets rejoin AFTER the distinct pair stage
+      assert(!names.exists(_.contains("sh")),
+        s"shingle column crossed the band join: ${names.mkString(",")}")
+    }
   }
 
   test("t23 packing window is per-shard — no single-partition global sort") {
