@@ -1111,9 +1111,9 @@ object TextVector {
     * codeword is precomputed (a 4×16 table per query) and candidate
     * distance is 4 table lookups summed, never touching the original
     * vectors. Production PQ is two-stage, and so is this: the ADC pass
-    * shortlists 50 candidates per query, then ONLY the shortlist is
+    * shortlists 100 candidates per query, then ONLY the shortlist is
     * reranked with exact distances — the corpus vectors are touched for
-    * 50 rows per query, not N. Codebooks are deterministically seeded
+    * 100 rows per query, not N. Codebooks are deterministically seeded
     * (codeword c of subspace j = vector c's j-th subvector — T6b's
     * stand-in-for-k-means trick) and refined by ONE Lloyd step with the
     * updated codeword lanes quantized to 6 decimals — T25's
@@ -1170,7 +1170,7 @@ object TextVector {
       .agg(round(sum(col("pd")), 6).as("adist"))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("srnk", row_number().over(wShort))
-      .filter(col("srnk") <= 50)
+      .filter(col("srnk") <= 100)
       .select(col("q_id"), col("c_id"))
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("d2x").asc, col("c_id").asc)
@@ -2163,7 +2163,7 @@ object TextVector {
                row_number() OVER (PARTITION BY q_id
                  ORDER BY adist ASC, c_id ASC) AS srnk
              FROM adc WHERE c_id <> q_id)
-           WHERE srnk <= 50),
+           WHERE srnk <= 100),
          rerank AS (
            SELECT sh.q_id, sh.c_id,
              round(list_sum(list_transform(range(1, 65),

@@ -317,10 +317,10 @@ class TextVectorSpec extends SparkTestBase {
     }
     val avgRecall = recalls.sum / recalls.size
     info(f"PQ shortlist+rerank recall@5 vs exact L2: $avgRecall%.2f")
-    // ADC shortlists 20 of N candidates, exact rerank picks the final 5 —
-    // a working two-stage PQ recovers most of the true top-5 (chance is
-    // ~ 5/n_vecs < 0.01)
-    assert(avgRecall >= 0.5, f"PQ recall collapsed: $avgRecall%.2f")
+    // ADC shortlists 100 of N candidates, exact rerank picks the final 5
+    // — a working two-stage PQ recovers most of the true top-5 (chance
+    // is ~ 5/n_vecs < 0.01); measured 0.90 at the 500-vector fixture
+    assert(avgRecall >= 0.85, f"PQ recall collapsed: $avgRecall%.2f")
   }
 
   test("URL filter: blocklisted domains are gone, parsed parts are consistent") {
