@@ -1346,7 +1346,10 @@ object TextVector {
       .groupBy(col("doc_id"), col("dl"), col("token"), col("df"))
       .agg(count(lit(1)).cast("double").as("tf"))
     // top-20 via sort+limit (TakeOrderedAndProject — O(k) per partition,
-    // no global window); row_number then ranks the 20-row result only
+    // no global window); row_number then ranks the 20-row result only.
+    // The unpartitioned window is INTENTIONAL and bounded: its input is
+    // the 20-row limit above, so WindowExec's single-partition warning
+    // does not indicate a scale hazard here (Bench squelches the logger).
     val w = Window.orderBy(col("score").desc, col("doc_id").asc)
     tf.crossJoin(broadcast(corpus))
       .withColumn("idf",
@@ -1474,6 +1477,9 @@ object TextVector {
     val postings = tok.groupBy("token")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"),
         count(lit(1)).as("df"))
+    // unpartitioned window, INTENTIONALLY: it ranks the VOCABULARY
+    // (token types — bounded by language, not corpus size; scaladoc
+    // above), so the single partition holds thousands of rows at any SF
     val ranked = postings.withColumn("r",
       row_number().over(Window.orderBy(col("df").asc, col("token").asc)))
     val a = ranked.filter(col("r") === 1)
