@@ -71,7 +71,10 @@ object TextVector {
     * Lexicographic String.min on hex == SQL min: same band keys as the
     * oracle's pure-SQL formulation, at compiled-loop speed. */
   private val hexChars = "0123456789abcdef".toCharArray
-  private val minhashBandKeys = udf((sh: Seq[String]) => {
+  /** The 8 minhash lanes of a shingle set (shared kernel of the band-key
+    * and signature UDFs): md5 per shingle, lane k = min over shingles of
+    * the 12-hex slice at offset 3k of the doubled digest. */
+  private def md5Lanes(sh: Seq[String]): Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val ms = sh.map { s =>
       val d = md.digest(s.getBytes("UTF-8"))
@@ -85,11 +88,17 @@ object TextVector {
       }
       new String(hex)
     }
-    val lanes = (0 until 8).map { k =>
+    (0 until 8).map { k =>
       ms.iterator.map(m => (m + m).substring(k * 3, k * 3 + 12)).min
     }
+  }
+  private val minhashBandKeys = udf((sh: Seq[String]) => {
+    val lanes = md5Lanes(sh)
     (0 until 4).map(b => lanes(2 * b) + lanes(2 * b + 1))
   })
+  /** The full 8-lane signature — X11's stream payload (96 hex chars per
+    * doc, vs ~3× for the text and ~10× for the shingle set). */
+  private val minhashLanes = udf((sh: Seq[String]) => md5Lanes(sh))
 
   /** Compiled 3-gram shingle set — byte-identical output (distinct,
     * first-occurrence order) to the
@@ -1257,38 +1266,38 @@ object TextVector {
   /** T27 at streaming granularity: incremental dedup of a continuously
     * arriving doc stream against the STATIC standing minhash index —
     * shingle/band the stream per-row, two stream-static inner joins
-    * (bands → index buckets, then shingle sets for Jaccard verify),
+    * (bands → index buckets, then the index side's 8-lane signatures),
     * append mode. Completely STATELESS on the stream side: dedup state
     * lives in the (bucketed) index, not in streaming state, so there is
     * no watermark to tune and no state store to grow — the streaming
     * twin of the batch t27 path, covered by an equivalence test in
-    * StreamingSpec. Emits one (b_id, i_id, jaccard) row per verified
-    * candidate collision (band multiplicity preserved — distinct is the
-    * consumer's aggregation concern, kept out of the stream to stay
-    * stateless). */
+    * StreamingSpec.
+    *
+    * Payload discipline: the ×4 band explode carries (b_id, b_ln) — the
+    * 8-lane minhash signature (96 hex chars), already computed to build
+    * the band keys; NOT the text (~3× larger) and NOT the shingle set
+    * (~10×). Jaccard is ESTIMATED in-stream as the lane-agreement
+    * fraction (the textbook minhash estimator — each lane agrees with
+    * probability J); the stream emits every band-collision candidate
+    * with its estimate and the EXACT verify is the batch t27 path's job
+    * on the tiny candidate set — the split that keeps the stream both
+    * slim and stateless. Band multiplicity preserved (distinct is the
+    * consumer's aggregation concern). */
   def streamingIncrementalDedup(newDocs: DataFrame, s: SparkSession, d: String): DataFrame = {
-    // The x4 band explode carries (b_id, text) — NOT the shingle array:
-    // text is ~3x smaller than its 3-gram shingle set, and the set is
-    // recomputed per-row only on the (rare) candidate collisions that
-    // survive the index match. The batch t27 goes further (ids-only
-    // explode, shingles rejoined by b_id), but on a stream that rejoin is
-    // a stream-stream self-join — stateful, with exactly the unbounded
-    // state store this operator exists to avoid — so text is the slimmest
-    // column the stateless verify step cannot re-derive.
     val bBands = newDocs
-      .select(col("doc_id").as("b_id"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id").as("b_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("b_id"), col("text"),
-        posexplode(minhashBandKeys(shingle3(col("t")))).as(Seq("band", "key")))
-    val iSets = shingled(documents(s, d).select(col("doc_id"), col("text")))
-      .select(col("doc_id").as("i_id"), col("sh").as("i_sh"))
+      .select(col("b_id"), minhashLanes(shingle3(col("t"))).as("b_ln"))
+      .select(col("b_id"), col("b_ln"), posexplode(expr(
+        "transform(sequence(0, 3), b -> concat(element_at(b_ln, 2*b+1), element_at(b_ln, 2*b+2)))"))
+        .as(Seq("band", "key")))
+    val iLanes = shingled(documents(s, d).select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("i_id"), minhashLanes(col("sh")).as("i_ln"))
     bBands.join(minhashIndex(s, d), Seq("band", "key"))
-      .join(iSets, Seq("i_id"))
-      .withColumn("b_sh", shingle3(toks(col("text"))))
-      .select(col("b_id"), col("i_id"),
-        round(size(array_intersect(col("b_sh"), col("i_sh"))).cast("double") /
-          size(array_union(col("b_sh"), col("i_sh"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .join(iLanes, Seq("i_id"))
+      .select(col("b_id"), col("i_id"), expr(
+        "size(filter(zip_with(b_ln, i_ln, (x, y) -> x = y), z -> z)) / 8.0d")
+        .as("est_jaccard"))
   }
 
   /** T34: RAG chunking — split every document into overlapping token
