@@ -21,37 +21,202 @@ import scala.collection.mutable.ArrayBuffer
   *    extraction; per-glyph kerning arrays like `[(4.)-2 (1)]TJ`
   *    concatenate correctly).
   *
-  * CID/Type0 multi-byte fonts: every ToUnicode CMap stream in the
-  * document (`beginbfchar`/`beginbfrange` sections, PDF 32000-1 §9.10.3)
-  * is parsed into one merged 2-byte-code → UTF-16 map. A hex show
-  * string whose byte count is even and whose 2-byte codes ALL have CMap
-  * entries decodes through the map (the CID path); anything else keeps
-  * the single-byte Latin-1 reading, so documents without CID fonts —
-  * the reference corpus included — are byte-for-byte unchanged.
+  * CID/Type0 multi-byte fonts: ToUnicode CMap streams
+  * (`beginbfchar`/`beginbfrange` sections, PDF 32000-1 §9.10.3) are
+  * parsed into 2-byte-code → UTF-16 maps and resolved PER FONT: the
+  * object graph (`N G obj` … `endobj`) is scanned linearly (no xref
+  * needed), page objects are linked to their `/Contents` streams and
+  * `/Resources` font dicts (inline, indirect, or inherited via the
+  * `/Parent` chain; Form XObjects use their own `/Resources`), and the
+  * content tokenizer tracks `Tf` so each hex show string decodes
+  * through the ACTIVE font's CMap. Resolution order per hex string:
+  * active-font CMap (all 2-byte codes map) → document-merged CMap
+  * (all codes map) → single-byte Latin-1 — so documents without CID
+  * fonts, and documents whose structure this subset cannot link, are
+  * byte-for-byte unchanged; two fonts assigning the same 2-byte code
+  * different glyphs (the old documented collision) now decode
+  * correctly by scope.
   *
   * Known limitations (documented per TEST:63): CID codes inside literal
-  * `(…)` strings are not mapped (CID generators emit hex strings), and
-  * fonts are not resolved per show-op — the merged document-level map
-  * stands in for per-font CMaps, which collide only if two fonts assign
-  * the same 2-byte code. The UDF signature
-  * (`Array[Byte] => Seq[String]`) is the swap point for PDFBox/Tika
-  * where dependencies exist.
+  * `(…)` strings are not mapped (CID generators emit hex strings). The
+  * UDF signature (`Array[Byte] => Seq[String]`) is the swap point for
+  * PDFBox/Tika where dependencies exist.
   */
 object PdfText extends Serializable {
 
   /** Extract per-content-stream text blocks ("pages": the corpus emits
-    * one content stream per page). */
+    * one content stream per page). Streams are enumerated in document
+    * order either way; when the file carries an object structure the
+    * per-stream font context scopes CID decoding, otherwise the
+    * merged-CMap path stands alone (mini fixtures, damaged files). */
   def pages(bytes: Array[Byte]): Seq[String] = {
-    val streams = inflatedStreams(bytes)
-    val cmap = toUnicodeMap(streams)
+    val objs = parseObjects(bytes)
+    val withStreams = objs.values.filter(_.stream.isDefined).toSeq.sortBy(_.offset)
+    val (ordered, fontCtx) =
+      if (withStreams.nonEmpty) {
+        val ctx = fontContexts(objs)
+        (withStreams.map(o => (o.stream.get, ctx.getOrElse(o.num, Map.empty[String, Map[Int, String]]))),
+          true)
+      } else (inflatedStreams(bytes).map(cs => (cs, Map.empty[String, Map[Int, String]])), false)
+    val merged = toUnicodeMap(ordered.map(_._1))
     val out = ArrayBuffer.empty[String]
-    streams.foreach { cs =>
+    ordered.foreach { case (cs, fonts) =>
       if (containsShowOp(cs)) {
-        val t = extractText(cs, cmap)
+        val t = extractText(cs, if (fontCtx) fonts else Map.empty, merged)
         if (t.exists(!_.isWhitespace)) out += normalize(t)
       }
     }
     out.toSeq
+  }
+
+  /** One indirect object: number, dict text (body before any stream
+    * keyword, ISO-8859-1), inflated stream if present, byte offset. */
+  private case class PdfObj(num: Int, dict: String,
+                            stream: Option[Array[Byte]], offset: Int)
+
+  private val objHeader = "(?m)(\\d+)\\s+(\\d+)\\s+obj".r
+
+  /** Linear scan of `N G obj … endobj` segments — works without the
+    * xref table. Stream bodies are skipped before searching `endobj`
+    * so binary data containing the keyword cannot truncate an object. */
+  private def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val doc = new String(bytes, "ISO-8859-1")
+    val out = scala.collection.mutable.HashMap.empty[Int, PdfObj]
+    var from = 0
+    var more = true
+    while (more) {
+      objHeader.findFirstMatchIn(doc.substring(from)) match {
+        case None => more = false
+        case Some(m) =>
+          val start = from + m.end
+          val num = m.group(1).toInt
+          val sIdx = doc.indexOf("stream", start)
+          val eIdx = doc.indexOf("endobj", start)
+          if (eIdx < 0) { more = false }
+          else if (sIdx >= 0 && sIdx < eIdx) {
+            // dict, then a stream: jump over the body via endstream
+            var k = sIdx + 6
+            if (k + 1 < doc.length && doc.charAt(k) == '\r' && doc.charAt(k + 1) == '\n') k += 2
+            else if (k < doc.length && doc.charAt(k) == '\n') k += 1
+            val es = doc.indexOf("endstream", k)
+            if (es < 0) { more = false }
+            else {
+              val inflated = inflate(bytes, k, es)
+              out(num) = PdfObj(num, doc.substring(start, sIdx), inflated, from + m.start)
+              val eo = doc.indexOf("endobj", es)
+              from = if (eo < 0) es + 9 else eo + 6
+            }
+          } else {
+            out(num) = PdfObj(num, doc.substring(start, eIdx), None, from + m.start)
+            from = eIdx + 6
+          }
+      }
+    }
+    out.toMap
+  }
+
+  private val refPat = "(\\d+)\\s+\\d+\\s+R".r
+  private val fontEntry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r
+  private val toUniRef = "/ToUnicode\\s+(\\d+)\\s+\\d+\\s+R".r
+
+  /** The `<<…>>` dict starting at or after `from` in `s`, balanced. */
+  private def balancedDict(s: String, from: Int): Option[String] = {
+    val open = s.indexOf("<<", from)
+    if (open < 0) return None
+    var depth = 0
+    var i = open
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some(s.substring(open, i))
+      } else i += 1
+    }
+    None
+  }
+
+  /** `/key` value as dict text: inline `<<…>>` or an indirect ref's
+    * dict. Returns None when the key is absent. */
+  private def dictValue(dict: String, key: String,
+                        objs: Map[Int, PdfObj]): Option[String] = {
+    val at = dict.indexOf(s"/$key")
+    if (at < 0) return None
+    val after = dict.substring(at + key.length + 1)
+    val trimmed = after.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t')
+    if (trimmed.startsWith("<<")) balancedDict(trimmed, 0)
+    else refPat.findPrefixMatchOf(trimmed)
+      .flatMap(m => objs.get(m.group(1).toInt)).map(_.dict)
+  }
+
+  /** name → CMap for one resources dict (its `/Font` sub-dict). */
+  private def fontsOf(resources: String, objs: Map[Int, PdfObj],
+                      cmaps: Map[Int, Map[Int, String]]): Map[String, Map[Int, String]] =
+    dictValue(resources, "Font", objs).map { fd =>
+      fontEntry.findAllMatchIn(fd).flatMap { e =>
+        objs.get(e.group(2).toInt).flatMap(f =>
+          toUniRef.findFirstMatchIn(f.dict)
+            .flatMap(r => cmaps.get(r.group(1).toInt))
+            .map(cm => e.group(1) -> cm))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Per-content-stream font context: page `/Contents` streams get the
+    * page's resources (inherited through `/Parent` when absent); any
+    * stream object with its own `/Resources` (Form XObjects) gets
+    * those. */
+  private def fontContexts(objs: Map[Int, PdfObj]): Map[Int, Map[String, Map[Int, String]]] = {
+    val cmaps: Map[Int, Map[Int, String]] = objs.collect {
+      case (num, o) if o.stream.exists(cs =>
+        indexOf(cs, "beginbfchar", 0) >= 0 || indexOf(cs, "beginbfrange", 0) >= 0) =>
+        num -> parseCmap(new String(o.stream.get, "ISO-8859-1"))
+    }
+    if (cmaps.isEmpty) return Map.empty
+    val out = scala.collection.mutable.HashMap.empty[Int, Map[String, Map[Int, String]]]
+    // page contents inherit resources up the /Parent chain (PDF 32000-1
+    // §7.7.3.4); cap the walk so a cyclic Parent ref cannot loop
+    objs.values.foreach { o =>
+      if (o.dict.contains("/Type") && "/Type\\s*/Page\\b".r.findFirstIn(o.dict).isDefined
+        && !o.dict.contains("/Type /Pages") && !o.dict.contains("/Type/Pages")) {
+        var cur: Option[PdfObj] = Some(o)
+        var res: Option[String] = None
+        var hops = 0
+        while (res.isEmpty && cur.isDefined && hops < 32) {
+          res = dictValue(cur.get.dict, "Resources", objs)
+          cur = "/Parent\\s+(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(cur.get.dict)
+            .flatMap(m => objs.get(m.group(1).toInt))
+          hops += 1
+        }
+        res.foreach { r =>
+          val fonts = fontsOf(r, objs, cmaps)
+          if (fonts.nonEmpty) {
+            // /Contents: one ref, or an array of refs
+            val contents: Seq[Int] = {
+              val at = o.dict.indexOf("/Contents")
+              if (at < 0) Seq.empty
+              else {
+                val t = o.dict.substring(at + "/Contents".length)
+                  .dropWhile(_.isWhitespace)
+                if (t.startsWith("[")) {
+                  val end = t.indexOf(']')
+                  if (end < 0) Seq.empty
+                  else refPat.findAllMatchIn(t.substring(1, end))
+                    .map(_.group(1).toInt).toSeq
+                } else refPat.findPrefixMatchOf(t).map(_.group(1).toInt).toSeq
+              }
+            }
+            contents.foreach(c => out(c) = fonts)
+          }
+        }
+      }
+      // a stream object carrying its own /Resources (Form XObject)
+      if (o.stream.isDefined && o.dict.contains("/Resources")) {
+        dictValue(o.dict, "Resources", objs).foreach { r =>
+          val fonts = fontsOf(r, objs, cmaps)
+          if (fonts.nonEmpty) out(o.num) = fonts
+        }
+      }
+    }
+    out.toMap
   }
 
   /** All FlateDecode-able stream bodies, in document order. */
@@ -124,41 +289,35 @@ object PdfText extends Serializable {
     new String(h.grouped(4).map(Integer.parseInt(_, 16).toChar).toArray)
   }
 
-  /** Merged 2-byte-code → unicode map from every ToUnicode CMap stream
-    * (identified by its bfchar/bfrange sections). Only 4-hex-digit
-    * source codes participate: 1-byte simple-font CMaps must not
-    * reinterpret ordinary Latin-1 hex strings. */
-  private def toUnicodeMap(streams: Seq[Array[Byte]]): Map[Int, String] = {
+  /** One ToUnicode CMap stream's 2-byte-code → unicode map. Only
+    * 4-hex-digit source codes participate: 1-byte simple-font CMaps
+    * must not reinterpret ordinary Latin-1 hex strings. */
+  private def parseCmap(txt: String): Map[Int, String] = {
     val m = scala.collection.mutable.HashMap.empty[Int, String]
-    streams.foreach { cs =>
-      if (indexOf(cs, "beginbfchar", 0) >= 0 || indexOf(cs, "beginbfrange", 0) >= 0) {
-        val txt = new String(cs, "ISO-8859-1")
-        bfCharBlock.findAllMatchIn(txt).foreach { blk =>
-          bfCharPair.findAllMatchIn(blk.group(1)).foreach { p =>
-            m.getOrElseUpdate(Integer.parseInt(p.group(1), 16), utf16Dst(p.group(2)))
+    bfCharBlock.findAllMatchIn(txt).foreach { blk =>
+      bfCharPair.findAllMatchIn(blk.group(1)).foreach { p =>
+        m.getOrElseUpdate(Integer.parseInt(p.group(1), 16), utf16Dst(p.group(2)))
+      }
+    }
+    bfRangeBlock.findAllMatchIn(txt).foreach { blk =>
+      bfRangeLine.findAllMatchIn(blk.group(1)).foreach { r =>
+        val lo = Integer.parseInt(r.group(1), 16)
+        val hi = Integer.parseInt(r.group(2), 16)
+        if (r.group(3) != null) {
+          // <lo> <hi> <dstStart>: the LAST UTF-16 code unit increments
+          val base = utf16Dst(r.group(3)).toCharArray
+          var c = lo
+          while (c <= hi) {
+            val d = base.clone()
+            d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
+            m.getOrElseUpdate(c, new String(d))
+            c += 1
           }
-        }
-        bfRangeBlock.findAllMatchIn(txt).foreach { blk =>
-          bfRangeLine.findAllMatchIn(blk.group(1)).foreach { r =>
-            val lo = Integer.parseInt(r.group(1), 16)
-            val hi = Integer.parseInt(r.group(2), 16)
-            if (r.group(3) != null) {
-              // <lo> <hi> <dstStart>: the LAST UTF-16 code unit increments
-              val base = utf16Dst(r.group(3)).toCharArray
-              var c = lo
-              while (c <= hi) {
-                val d = base.clone()
-                d(d.length - 1) = (d(d.length - 1) + (c - lo)).toChar
-                m.getOrElseUpdate(c, new String(d))
-                c += 1
-              }
-            } else {
-              // <lo> <hi> [<d1> <d2> …]: one explicit dst per code
-              val dsts = hexToken.findAllMatchIn(r.group(4)).map(_.group(1)).toSeq
-              dsts.zipWithIndex.foreach { case (d, k) =>
-                if (lo + k <= hi) m.getOrElseUpdate(lo + k, utf16Dst(d))
-              }
-            }
+        } else {
+          // <lo> <hi> [<d1> <d2> …]: one explicit dst per code
+          val dsts = hexToken.findAllMatchIn(r.group(4)).map(_.group(1)).toSeq
+          dsts.zipWithIndex.foreach { case (d, k) =>
+            if (lo + k <= hi) m.getOrElseUpdate(lo + k, utf16Dst(d))
           }
         }
       }
@@ -166,28 +325,54 @@ object PdfText extends Serializable {
     m.toMap
   }
 
-  /** CID path: an even-byte hex string whose 2-byte codes ALL map
-    * decodes through the CMap; any miss keeps the Latin-1 reading. */
-  private def decodeCid(raw: String, cmap: Map[Int, String]): String = {
-    if (cmap.isEmpty || raw.isEmpty || raw.length % 2 != 0) return raw
-    val sb = new StringBuilder
-    var i = 0
-    while (i < raw.length) {
-      val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
-      cmap.get(code) match {
-        case Some(u) => sb.append(u)
-        case None => return raw
-      }
-      i += 2
+  /** Merged document-level map over every CMap stream, first entry
+    * winning — the fallback when no per-font scope resolves. */
+  private def toUnicodeMap(streams: Seq[Array[Byte]]): Map[Int, String] = {
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    streams.foreach { cs =>
+      if (indexOf(cs, "beginbfchar", 0) >= 0 || indexOf(cs, "beginbfrange", 0) >= 0)
+        parseCmap(new String(cs, "ISO-8859-1")).foreach { case (k, v) =>
+          m.getOrElseUpdate(k, v)
+        }
     }
-    sb.toString
+    m.toMap
   }
 
+  /** CID path: an even-byte hex string whose 2-byte codes ALL map
+    * decodes through a CMap — the ACTIVE font's first, the merged
+    * document map second; any miss keeps the Latin-1 reading. */
+  private def decodeCid(raw: String, active: Option[Map[Int, String]],
+                        merged: Map[Int, String]): String = {
+    def through(cmap: Map[Int, String]): Option[String] = {
+      if (cmap.isEmpty || raw.isEmpty || raw.length % 2 != 0) return None
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val code = (raw.charAt(i) << 8) | raw.charAt(i + 1)
+        cmap.get(code) match {
+          case Some(u) => sb.append(u)
+          case None => return None
+        }
+        i += 2
+      }
+      Some(sb.toString)
+    }
+    active.flatMap(through).orElse(through(merged)).getOrElse(raw)
+  }
+
+  private def isNameChar(c: Int): Boolean =
+    c > ' ' && c != '(' && c != ')' && c != '<' && c != '>' && c != '[' &&
+      c != ']' && c != '{' && c != '}' && c != '/' && c != '%'
+
   /** Tokenize a content stream: literal strings accumulate on a pending
-    * stack; show operators flush them to output. */
-  private def extractText(cs: Array[Byte], cmap: Map[Int, String]): String = {
+    * stack; show operators flush them to output. `/Name … Tf` switches
+    * the active font, scoping CID decode to that font's CMap. */
+  private def extractText(cs: Array[Byte], fonts: Map[String, Map[Int, String]],
+                          merged: Map[Int, String]): String = {
     val sb = new StringBuilder
     val pending = new StringBuilder
+    var lastName = ""
+    var active: Option[Map[Int, String]] = None
     var i = 0
     val n = cs.length
     while (i < n) {
@@ -246,9 +431,19 @@ object PdfText extends Serializable {
         }
         if (ok && j < n) {
           if (hi >= 0) buf.append((hi << 4).toChar)
-          pending.append(decodeCid(buf.toString, cmap))
+          pending.append(decodeCid(buf.toString, active, merged))
           i = j + 1
         } else i += 1
+      } else if (c == '/') {
+        // name token — remembered so a following Tf can resolve the font
+        var j = i + 1
+        val nb = new StringBuilder
+        while (j < n && isNameChar(cs(j) & 0xff)) { nb.append((cs(j) & 0xff).toChar); j += 1 }
+        lastName = nb.toString
+        i = j
+      } else if (c == 'T' && i + 1 < n && (cs(i + 1) & 0xff) == 'f') {
+        active = fonts.get(lastName)
+        i += 2
       } else if (c == 'T' && i + 1 < n && ((cs(i + 1) & 0xff) == 'j' || (cs(i + 1) & 0xff) == 'J')) {
         sb.append(pending).append(' '); pending.setLength(0); i += 2
       } else if (c == '\'' || c == '"') {

@@ -173,4 +173,61 @@ class ExtractionSpec extends SparkTestBase {
     val pages = PdfText.pages(miniPdf(cidCmap) ++ miniPdf(content))
     assert(pages == Seq("OK Hello"), pages.mkString("|"))
   }
+
+  private def deflate(content: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(content.getBytes("ISO-8859-1")); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+  private def objStream(num: Int, dict: String, content: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"$num 0 obj $dict stream\n".getBytes("ISO-8859-1"))
+    bos.write(deflate(content))
+    bos.write("endstream endobj\n".getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+  private def objPlain(num: Int, dict: String): Array[Byte] =
+    s"$num 0 obj $dict endobj\n".getBytes("ISO-8859-1")
+  private def bfchar(pairs: (String, String)*): String =
+    s"""${pairs.length} beginbfchar
+       |${pairs.map { case (s0, d0) => s"<$s0> <$d0>" }.mkString("\n")}
+       |endbfchar""".stripMargin
+
+  test("per-font CMap scoping: colliding 2-byte codes decode by the active font") {
+    // two fonts assign code 0041 DIFFERENT glyphs — the exact case the
+    // old document-merged map (first font wins) decoded wrong. The page
+    // also inherits its /Resources from the /Parent /Pages node, so the
+    // inheritance walk is exercised on the same fixture.
+    val cmapA = bfchar("0041" -> "0058") // 0041 → 'X' in /F1
+    val cmapB = bfchar("0041" -> "0059") // 0041 → 'Y' in /F2
+    val content = "BT /F1 10 Tf <0041> Tj /F2 10 Tf <0041> Tj ET"
+    val pdf =
+      objPlain(1, "<< /Type /Page /Parent 7 0 R /Contents 2 0 R >>") ++
+        objStream(2, "<< >>", content) ++
+        objPlain(3, "<< /Type /Font /ToUnicode 4 0 R >>") ++
+        objStream(4, "<< >>", cmapA) ++
+        objPlain(5, "<< /Type /Font /ToUnicode 6 0 R >>") ++
+        objStream(6, "<< >>", cmapB) ++
+        objPlain(7, "<< /Type /Pages /Resources << /Font << /F1 3 0 R /F2 5 0 R >> >> >>")
+    val pages = PdfText.pages(pdf)
+    assert(pages == Seq("X Y"), pages.mkString("|"))
+  }
+
+  test("per-font scoping falls back to the merged map when no font is active") {
+    // same structure but the show op never sets a font — the document
+    // path must keep the pre-scoping behavior (merged map, first wins)
+    val cmapA = bfchar("0041" -> "0058")
+    val content = "BT <0041> Tj ET"
+    val pdf =
+      objPlain(1, "<< /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >>") ++
+        objStream(2, "<< >>", content) ++
+        objPlain(3, "<< /Type /Font /ToUnicode 4 0 R >>") ++
+        objStream(4, "<< >>", cmapA)
+    val pages = PdfText.pages(pdf)
+    assert(pages == Seq("X"), pages.mkString("|"))
+  }
 }
