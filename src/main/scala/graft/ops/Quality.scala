@@ -84,6 +84,35 @@ object Quality {
       .orderBy("c_mktsegment")
   }
 
+  /** DQ5: observe()-based monitoring metrics under the oracle gate —
+    * the Spark-native monitoring channel (CollectMetricsExec): metric
+    * aggregates ride the SAME execution as the query, zero extra scans,
+    * and measure the PRE-filter stream while the query's own aggregate
+    * sees only surviving rows. The metrics are read driver-side after
+    * the action (that is what observe IS — a listener-visible side
+    * channel) and folded into the result row, a4-style, so DuckDB
+    * re-derives every value exactly: the observed totals as subqueries
+    * over the unfiltered table, the passed totals over the filtered
+    * one. At 100 TB this is the monitoring idiom: row counts and
+    * control totals for free on every pipeline action. */
+  def dq5_observe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val observed = lineitem(s, d)
+      .select(col("l_quantity"), col("l_extendedprice"))
+      .observe("dq5",
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .filter(col("l_quantity") >= 25)
+    val agg = observed.agg(
+      count(lit(1)).as("n_passed"),
+      round(sum(col("l_extendedprice")), 2).as("price_passed"))
+    val row = agg.collect().head
+    val m = agg.queryExecution.observedMetrics("dq5")
+    Seq((m.getAs[Long]("n_rows"), m.getAs[Double]("sum_qty"),
+      row.getAs[Long]("n_passed"), row.getAs[Double]("price_passed")))
+      .toDF("n_rows_observed", "qty_observed", "n_passed", "price_passed")
+  }
+
   /** DQ6: column-level profile via UNPIVOT — min/max/avg/distinct-count
     * per numeric column of the fact table, reshaped long with `stack`
     * (the unpivot generator — the inverse of A9's pivot, completing the
@@ -120,6 +149,7 @@ object Quality {
     "dq2_value_ranges" -> (dq2_value_ranges _),
     "dq3_null_rates" -> (dq3_null_rates _),
     "dq4_outliers" -> (dq4_outliers _),
+    "dq5_observe" -> (dq5_observe _),
     "dq6_column_profile" -> (dq6_column_profile _),
   )
 
@@ -173,6 +203,12 @@ object Quality {
            round(avg(c_acctbal), 4) AS mean_bal
          FROM aug JOIN s USING (c_mktsegment)
          GROUP BY aug.c_mktsegment ORDER BY aug.c_mktsegment""",
+    "dq5_observe" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_rows_observed,
+           (SELECT round(sum(l_quantity), 2) FROM lineitem) AS qty_observed,
+           count(*) AS n_passed,
+           round(sum(l_extendedprice), 2) AS price_passed
+         FROM lineitem WHERE l_quantity >= 25""",
     "dq6_column_profile" ->
       """SELECT 'l_discount' AS col_name, min(l_discount) AS min_v,
            max(l_discount) AS max_v, round(avg(l_discount), 4) AS avg_v,
