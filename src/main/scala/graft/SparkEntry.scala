@@ -22,6 +22,7 @@ object SparkEntry {
     ops.Extraction.queries,
     ops.Multimodal.queries,
     ops.Composite.queries,
+    ops.Tpch.queries,
     ops.Quality.queries,
   )
   private val oracles = Seq(
@@ -35,6 +36,7 @@ object SparkEntry {
     ops.Extraction.oracle,
     ops.Multimodal.oracle,
     ops.Composite.oracle,
+    ops.Tpch.oracle,
     ops.Quality.oracle,
   )
 

@@ -163,6 +163,39 @@ object Sources {
         sum(when(col("ok"), col("parsed.k")).otherwise(0L)).as("k_checksum"))
   }
 
+  /** S12: bucketed-table co-located join — the layout that removes the
+    * big-fact shuffle entirely at 100 TB. Both join sides are written
+    * `bucketBy(8, <orderkey>)` + `sortBy` as external bucketed tables
+    * (metadata in the session catalog, files in a temp dir), so rows
+    * with the same key land in the same bucket file on both sides and
+    * the sort-merge join reads bucket-for-bucket with ZERO shuffle
+    * exchanges — the only exchange left in the plan is the final
+    * 5-group aggregate (ScaleDesignSpec asserts exactly that). The
+    * `merge` hint pins SMJ so the assert is not at the mercy of the
+    * broadcast threshold at tiny SF. Tables are keyed by a corpus-dir
+    * fingerprint and reused across reps (bench runs each query twice;
+    * the second rep must not re-bucket 100 TB). The query result is
+    * layout-independent, so the oracle reads the corpus directly. */
+  def s12_bucketed_join(s: SparkSession, d: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val (ot, lt) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
+    if (!s.catalog.tableExists(ot)) {
+      orders(s, d).select("o_orderkey", "o_orderpriority")
+        .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp("graft_s12_o_")).saveAsTable(ot)
+      lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("graft_s12_l_")).saveAsTable(lt)
+    }
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -173,6 +206,7 @@ object Sources {
     "s9_quarantine" -> (s9_quarantine _),
     "s10_orc_roundtrip" -> (s10_orc_roundtrip _),
     "s11_clustered_layout" -> (s11_clustered_layout _),
+    "s12_bucketed_join" -> (s12_bucketed_join _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -217,5 +251,10 @@ object Sources {
          FROM orders
          WHERE o_orderdate >= '1998-01-01' AND o_orderdate < '1999-01-01'
          GROUP BY 1 ORDER BY m""",
+    "s12_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
 }

@@ -404,4 +404,18 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(explained.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
       explained.take(2000))
   }
+
+  test("s12: bucketed join reads bucket-for-bucket — zero join-side shuffles") {
+    val df = sources.Sources.s12_bucketed_join(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p.take(3000))
+    // both scans must report the bucket layout...
+    assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(p).size == 2, p.take(3000))
+    // ...and the ONLY shuffle in the whole plan is the final 5-group
+    // aggregate — the join itself moves no rows. At 100 TB this is the
+    // difference between a full-fact exchange and none.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
+  }
 }
