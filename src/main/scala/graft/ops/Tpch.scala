@@ -254,18 +254,20 @@ object Tpch {
 
   /** Q17 shape — small-quantity revenue: lineitems under half their
     * part's average quantity, for one brand + size band. The correlated
-    * per-part average becomes an aggregate-then-rejoin on l_partkey —
-    * the fact shuffles once to build the averages and once to probe
-    * them, never per-row. */
+    * per-part average becomes a window aggregate over l_partkey: ONE
+    * scan of the (broadcast-pruned) fact, one shuffle keyed on
+    * l_partkey, every row compared against its own group's average
+    * in-place — vs the aggregate-then-rejoin form, which scans the
+    * fact twice. The arithmetic is identical (sum/count per part), so
+    * the oracle keeps the textbook correlated-subquery SQL. */
   def q17_small_qty_revenue(s: SparkSession, d: String): DataFrame = {
     val brandParts = broadcast(part(s, d)
       .filter(col("p_brand") === "Brand#5" && col("p_size") < 10)
       .select("p_partkey"))
-    val flt = lineitem(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    lineitem(s, d)
       .join(brandParts, col("l_partkey") === col("p_partkey"))
-    val avgQty = flt.groupBy(col("l_partkey").as("aq_partkey"))
-      .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
-    flt.join(broadcast(avgQty), col("l_partkey") === col("aq_partkey"))
+      .withColumn("half_avg_qty", avg(col("l_quantity")).over(w) * 0.5)
       .filter(col("l_quantity") < col("half_avg_qty"))
       .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
   }

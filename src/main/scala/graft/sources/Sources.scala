@@ -163,6 +163,65 @@ object Sources {
         sum(when(col("ok"), col("parsed.k")).otherwise(0L)).as("k_checksum"))
   }
 
+  /** Morton/Z-value of two bucket ordinals: interleave the low `bits`
+    * bits of x (even positions) and y (odd positions). Built from pure
+    * bit-arithmetic Column functions (shiftright/bitwiseAND/shiftleft/
+    * bitwiseOR) so the whole computation stays inside whole-stage
+    * codegen — no UDF, no serialization boundary. */
+  private[graft] def zValue(x: org.apache.spark.sql.Column,
+                              y: org.apache.spark.sql.Column,
+                              bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }
+
+  /** S13: Z-order (multi-dimensional) clustered layout — S11
+    * generalized to two filter columns. Each dimension is normalized to
+    * an 8-bit ordinal against the table's own min/max (computed in-plan
+    * and broadcast as a 1-row frame, the standard Z-order recipe: fixed-
+    * width ordinals make the interleave balanced at EVERY corpus size),
+    * the ordinals' bits are interleaved into a Morton code, and files
+    * are range-partitioned + sorted on that code. Result: every file's
+    * (date, custkey) min/max box is a small tile of the 2-D space, so a
+    * filter on EITHER dimension — or both — skips whole files on footer
+    * stats, where a single-dimension sort gives file skipping on one
+    * dimension and nothing on the other. ScaleDesignSpec asserts the
+    * tiles: a one-dimension-only predicate overlaps a strict subset of
+    * files on BOTH dimensions. The read-back filters on both dimensions
+    * and aggregates per month; the result is layout-independent, so the
+    * oracle reads the corpus directly. */
+  def s13_zorder_layout(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s13_")
+    val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+    val o = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+      .withColumn("x_raw", days.cast("long"))
+      .withColumn("y_raw", col("o_custkey").cast("long"))
+    val stats = o.agg(
+      min(col("x_raw")).as("x_min"), max(col("x_raw")).as("x_max"),
+      min(col("y_raw")).as("y_min"), max(col("y_raw")).as("y_max"))
+    val scaled = o.join(broadcast(stats))
+      .withColumn("xb", ((col("x_raw") - col("x_min")) * 255L /
+        greatest(col("x_max") - col("x_min"), lit(1L))).cast("int"))
+      .withColumn("yb", ((col("y_raw") - col("y_min")) * 255L /
+        greatest(col("y_max") - col("y_min"), lit(1L))).cast("int"))
+      .withColumn("zv", zValue(col("xb"), col("yb"), 8))
+    scaled.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "zv")
+      .repartitionByRange(8, col("zv"))
+      .sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01" &&
+        col("o_custkey") % 4 === 0)
+      .groupBy(month(col("o_orderdate")).cast("int").as("m"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("m")
+  }
+
   /** S12: bucketed-table co-located join — the layout that removes the
     * big-fact shuffle entirely at 100 TB. Both join sides are written
     * `bucketBy(8, <orderkey>)` + `sortBy` as external bucketed tables
@@ -207,6 +266,7 @@ object Sources {
     "s10_orc_roundtrip" -> (s10_orc_roundtrip _),
     "s11_clustered_layout" -> (s11_clustered_layout _),
     "s12_bucketed_join" -> (s12_bucketed_join _),
+    "s13_zorder_layout" -> (s13_zorder_layout _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -256,5 +316,13 @@ object Sources {
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "s13_zorder_layout" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS m, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+           AND o_custkey % 4 = 0
+         GROUP BY 1 ORDER BY m""",
   )
 }

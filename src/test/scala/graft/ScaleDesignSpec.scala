@@ -418,4 +418,46 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
       !p.contains("Exchange hashpartitioning(o_orderkey"), p.take(3000))
   }
+
+  test("s13: z-order tiles give file skipping on BOTH dimensions") {
+    // rebuild the layout exactly as s13 does, then inspect per-file stats
+    val dir = java.nio.file.Files.createTempDirectory("graft_s13spec_").toString
+    val days = datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .withColumn("x_raw", days.cast("long"))
+      .withColumn("y_raw", col("o_custkey").cast("long"))
+    val stats = o.agg(
+      min(col("x_raw")).as("x_min"), max(col("x_raw")).as("x_max"),
+      min(col("y_raw")).as("y_min"), max(col("y_raw")).as("y_max"))
+    val scaled = o.join(broadcast(stats))
+      .withColumn("xb", ((col("x_raw") - col("x_min")) * 255L /
+        greatest(col("x_max") - col("x_min"), lit(1L))).cast("int"))
+      .withColumn("yb", ((col("y_raw") - col("y_min")) * 255L /
+        greatest(col("y_max") - col("y_min"), lit(1L))).cast("int"))
+      .withColumn("zv", sources.Sources.zValue(col("xb"), col("yb"), 8))
+    scaled.repartitionByRange(8, col("zv")).sortWithinPartitions("zv")
+      .write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length >= 6, s"expected ~8 z-range files, got ${files.length}")
+    val boxes = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("x_raw")), max(col("x_raw")),
+          min(col("y_raw")), max(col("y_raw"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    // the z-order contract: a predicate on EITHER single dimension
+    // overlaps a strict subset of the files. A date-sorted layout (s11)
+    // gives 8/8 on the custkey dim; a custkey-sorted one gives 8/8 on
+    // the date dim. Z-order must beat both on their blind side.
+    val (dLo, dHi) = (boxes.map(_._1).min, boxes.map(_._2).max)
+    val (cLo, cHi) = (boxes.map(_._3).min, boxes.map(_._4).max)
+    val dateBox = (dLo, dLo + (dHi - dLo) / 4) // first quarter of the date span
+    val custBox = (cLo, cLo + (cHi - cLo) / 4) // first quarter of the custkeys
+    val byDate = boxes.count(b => b._1 <= dateBox._2 && b._2 >= dateBox._1)
+    val byCust = boxes.count(b => b._3 <= custBox._2 && b._4 >= custBox._1)
+    assert(byDate < files.length, s"date filter prunes nothing: $byDate/${files.length}")
+    assert(byCust < files.length, s"custkey filter prunes nothing: $byCust/${files.length}")
+  }
 }
