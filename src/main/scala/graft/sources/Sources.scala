@@ -222,6 +222,51 @@ object Sources {
       .orderBy("m")
   }
 
+  /** S14: small-file compaction (the OPTIMIZE maintenance job) — a
+    * streaming sink committing every few minutes fragments a table into
+    * thousands of tiny files, and at 100 TB the resulting
+    * footer-read/task-schedule overhead dominates scans long before
+    * data volume does. This operator simulates that state (64 tiny
+    * files via `repartition(64)`), then compacts: ONE distributed pass
+    * reads the fragmented table, range-partitions + sorts it on
+    * o_orderdate (so compaction also restores S11's stats-clustering,
+    * exactly like production OPTIMIZE ... ZORDER), writes the
+    * replacement to a staging dir, and swaps staging over live
+    * (retire-then-promote, so readers never observe a half-written
+    * table; the cross-call crash HEALING a standing table needs lives
+    * in X9's upsertBatch — here the table is rebuilt per call, so a
+    * crashed swap just abandons a temp dir). The counts are pinned
+    * (64 → 4) so the result is
+    * corpus-independent and oracle-able; in production the target
+    * would be ceil(bytes / 128 MB) — the sizing policy is the only
+    * thing pinned here, not the mechanism. ScaleDesignSpec asserts the
+    * swap really shrinks the file count and preserves every row. */
+  def s14_compaction(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s14_")
+    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .repartition(64)
+      .write.mode("overwrite").parquet(dir)
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val filesBefore = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    val staging = new org.apache.hadoop.fs.Path(dir + "__staging")
+    val retired = new org.apache.hadoop.fs.Path(dir + "__retired")
+    s.read.parquet(dir)
+      .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+      .sortWithinPartitions("o_orderdate")
+      .write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(live, retired), s"retire rename failed: $live")
+    require(fs.rename(staging, live), s"promote rename failed: $staging")
+    fs.delete(retired, true)
+    val filesAfter = fs.listStatus(live).count(_.getPath.getName.endsWith(".parquet"))
+    s.read.parquet(dir)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .withColumn("files_before", lit(filesBefore).cast("long"))
+      .withColumn("files_after", lit(filesAfter).cast("long"))
+  }
+
   /** S12: bucketed-table co-located join — the layout that removes the
     * big-fact shuffle entirely at 100 TB. Both join sides are written
     * `bucketBy(8, <orderkey>)` + `sortBy` as external bucketed tables
@@ -267,6 +312,7 @@ object Sources {
     "s11_clustered_layout" -> (s11_clustered_layout _),
     "s12_bucketed_join" -> (s12_bucketed_join _),
     "s13_zorder_layout" -> (s13_zorder_layout _),
+    "s14_compaction" -> (s14_compaction _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -324,5 +370,10 @@ object Sources {
          WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
            AND o_custkey % 4 = 0
          GROUP BY 1 ORDER BY m""",
+    "s14_compaction" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
+         FROM orders""",
   )
 }
