@@ -379,17 +379,26 @@ object TextVector {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    // assign: argmax cosine over the 8 broadcast centroids
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
-    val q = assigned.filter(col("vec_id") < 10)
+    // assign: argmax cosine over the 8 broadcast centroids. The argmax
+    // runs on a SLIM (vec_id, cent_id, csim) frame via max_by — partial
+    // aggregation combines the ×8 fan-out map-side, so the shuffle
+    // carries one row per vector and never the 64-dim arrays (the
+    // window-over-fanout form sorted all 8×corpus wide rows). Ties
+    // break csim desc, cent_id asc, same as before (max of the
+    // (csim, -cent_id) pair).
+    def assign(vecs: DataFrame): DataFrame = vecs
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
+    // the 10-query assignment derives from a 10-row input, not from a
+    // filter over the corpus-sized assignment (which would recompute it)
+    val q = e.filter(col("vec_id") < 10).join(assign(e.filter(col("vec_id") < 10)), "vec_id")
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"))
-    val c = assigned.select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cent_id"))
+    val c = e.join(assign(e), "vec_id")
+      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cent_id"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     q.join(c, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
