@@ -324,14 +324,20 @@ object TextVector {
 
   /** Centroid assignment kernel (T25, T26): broadcast the k centroid
     * rows, codegen SquaredL2 distance, argmin with cent_id tiebreak.
-    * Returns (vec_id, v, cent_id, d2). */
+    * Returns (vec_id, v, cent_id, d2). The argmin aggregates a SLIM
+    * (vec_id, cent_id, d2) frame with min_by — partial aggregation
+    * combines the ×k fan-out map-side so the shuffle carries one thin
+    * row per vector, and the 64-dim arrays join back once afterwards
+    * (the earlier window-over-fanout form sorted all k×N wide rows). */
   private def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cent_id").asc)
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2", l2sq(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+    val best = vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), l2sq(col("v"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cent_id"), col("d2")),
+        struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cent_id"),
+        col("best.d2").as("d2"))
+    vecs.join(best, "vec_id")
       .select(col("vec_id"), col("v"), col("cent_id"), col("d2"))
   }
 
