@@ -93,9 +93,15 @@ object Tpch {
     * the two direction pairs. Both nation copies broadcast; the fact
     * chain shuffles on l_orderkey only. */
   def q7_volume_shipping(s: SparkSession, d: String): DataFrame = {
-    val n1 = broadcast(nation(s, d)
+    // the OR'd pair filter below implies each side is one of the two
+    // nations — state that single-side consequence explicitly on the
+    // dims so the INNER nation joins prune ~92% of the fact rows at the
+    // join, instead of relying on the optimizer to CNF-decompose the
+    // disjunction (the pair filter still applies afterwards)
+    val trading = nation(s, d).filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val n1 = broadcast(trading
       .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
-    val n2 = broadcast(nation(s, d)
+    val n2 = broadcast(trading
       .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
     lineitem(s, d)
       .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1997-12-31")))
