@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every dimension join (nation/region/supplier/part at
   * their TPC-H cardinalities) is broadcast-pinned; every fact-fact
-  * reduction shuffles once on its natural key (l_orderkey or
-  * l_partkey); the double-EXISTS of Q21 shares one l_orderkey shuffle
-  * across both probes rather than re-scanning per probe.
+  * reduction shuffles on its natural keys (l_orderkey / l_partkey /
+  * o_custkey); in Q21 the two RETURNED-side probes (driving scan and
+  * NOT-EXISTS anti probe) share one filtered-scan shape the engine can
+  * reuse, while the EXISTS probe necessarily reads the unfiltered fact
+  * once more — three l_orderkey-clustered exchanges total, none
+  * broadcast.
   */
 object Tpch {
 
@@ -91,7 +94,10 @@ object Tpch {
   /** Q7 shape — volume shipping between two trading nations: the nation
     * dim joins TWICE (supplier side and customer side) under an OR of
     * the two direction pairs. Both nation copies broadcast; the fact
-    * chain shuffles on l_orderkey only. */
+    * chain shuffles on its two natural keys (l_orderkey for the orders
+    * join, o_custkey for the customer join — customer is fact-sized at
+    * TPC-H scale, so it follows the repo convention of no broadcast
+    * hint and an AQE-decided build side). */
   def q7_volume_shipping(s: SparkSession, d: String): DataFrame = {
     // the OR'd pair filter below implies each side is one of the two
     // nations — state that single-side consequence explicitly on the
@@ -221,15 +227,20 @@ object Tpch {
 
   /** Q15 shape — top supplier: quarterly revenue per supplier, then the
     * supplier(s) matching the scalar max of that same frame. Revenue is
-    * rounded INSIDE the view (as the original's view boundary does) so
-    * the max-equality join compares identical rounded doubles, immune
-    * to partition-order summation drift. */
+    * rounded INSIDE the view (as the original's view boundary does) AND
+    * the view is persisted: the max side and the join side then read
+    * the SAME evaluation, so the equality compares one set of doubles
+    * with itself — two independent evaluations could drift in the last
+    * ulps (shuffle partial-merge order) and round to different cents
+    * exactly at a boundary. The frame is supplier-cardinality
+    * (dim-bounded), so the persist is O(dim) at any scale. */
   def q15_top_supplier(s: SparkSession, d: String): DataFrame = {
     val revenue = lineitem(s, d)
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
         col("l_shipdate") < lit("1996-04-01"))
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(round(sum(rev), 2).as("total_revenue"))
+      .persist()
     val mx = revenue.agg(max(col("total_revenue")).as("max_revenue"))
     supplier(s, d)
       .join(revenue, col("s_suppkey") === col("supplier_no"))
@@ -281,10 +292,18 @@ object Tpch {
   /** Q19 shape — bracketed revenue: three OR'd conjunctive brackets
     * (brand × size band × quantity band). The disjunction must stay ONE
     * post-join filter (no union-of-three-scans); the p_partkey join
-    * stays broadcast. p_container doesn't exist — size bands stand in. */
+    * stays broadcast. As in q7, the single-side consequences of the
+    * disjunction (brand ∈ the three brands, size ≤ 35, quantity 1–30)
+    * are stated explicitly on the build side and the fact scan, so the
+    * join prunes most rows before the bracket filter judges the rest.
+    * p_container doesn't exist — size bands stand in. */
   def q19_bracket_revenue(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(col("l_quantity").between(1, 30))
+      .join(broadcast(part(s, d)
+          .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+            col("p_size").between(1, 35))),
+        col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
           col("l_quantity").between(1, 11)) ||
@@ -308,10 +327,13 @@ object Tpch {
         col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity")).as("qty"))
-    val totals = shipped.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(sum(col("qty")).as("total_qty"))
+    // per-part totals as a window over the SAME (part, supp) aggregate —
+    // never a broadcast: the totals frame has part-table cardinality
+    // (fact-derived, grows with scale), and the window reuses shipped's
+    // l_partkey clustering instead of re-aggregating it
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
     val qualifying = shipped
-      .join(broadcast(totals), col("l_partkey") === col("t_partkey"))
+      .withColumn("total_qty", sum(col("qty")).over(wPart))
       .filter(col("qty") > col("total_qty") * 0.3)
       .select("l_suppkey")
     supplier(s, d).filter(col("s_nationkey") < 10)
