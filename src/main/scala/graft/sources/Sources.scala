@@ -14,8 +14,26 @@ import java.nio.file.Files
   */
 object Sources {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Temp dirs for the roundtrip sinks, deleted on JVM exit: Bench runs
+    * every roundtrip twice per session and the harness runs many
+    * sessions, so untracked dirs would grow /tmp by corpus-sized copies
+    * per round until unrelated queries start failing on a full disk. */
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]
+  private lazy val cleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpDirs.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root.toPath).iterator().asScala.toSeq
+            .reverseIterator.foreach(p => p.toFile.delete())
+        } catch { case _: Throwable => () }
+      }))
+  private def tmp(prefix: String): String = {
+    cleanupHook
+    val p = Files.createTempDirectory(prefix)
+    tmpDirs.add(p.toFile)
+    p.toString
+  }
 
   /** S1: vectorized parquet scan — the base access path every query uses,
     * exposed explicitly: full-fidelity passthrough of a dimension table. */
@@ -23,8 +41,11 @@ object Sources {
     nation(s, d).orderBy("n_nationkey")
 
   /** S2: binary-file scan — ingest the reference's PDF corpus directory
-    * as (path, length, content) rows; content fingerprinted with md5.
-    * Oracle: DuckDB read_blob over the same glob. */
+    * as (filename, length) rows; the oracle (DuckDB read_blob over the
+    * same glob) checks names and byte sizes. Content-level verification
+    * lives in the pdf_* golden tests, which parse these same bytes.
+    * Deliberately pinned to /root/reference/data rather than the sfDir:
+    * the PDF corpus lives outside the scale-factor tree. */
   def s2_binary_scan(s: SparkSession, d: String): DataFrame =
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.pdf")
@@ -35,10 +56,19 @@ object Sources {
       .orderBy("filename")
 
   /** S3: text source/sink roundtrip — document texts → line files → back;
-    * order-insensitive aggregate must survive the trip. */
+    * order-insensitive aggregate must survive the trip. Texts are
+    * newline-normalized (and nulls dropped) BEFORE the line-oriented
+    * sink: `.text()` splits an embedded \n into two physical lines
+    * (and throws on null), which would silently break the
+    * one-row-per-document invariant the oracle counts on if the corpus
+    * ever regenerates with multiline texts. The oracle applies the
+    * same normalization, so both sides count the same thing by
+    * construction, not by corpus accident. */
   def s3_text_roundtrip(s: SparkSession, d: String): DataFrame = {
     val dir = tmp("graft_s3_")
-    documents(s, d).select(col("text")).write.mode("overwrite").text(dir)
+    documents(s, d).filter(col("text").isNotNull)
+      .select(translate(col("text"), "\n\r", "  ").as("text"))
+      .write.mode("overwrite").text(dir)
     s.read.text(dir)
       .agg(count(lit(1)).as("n_lines"),
         sum(length(col("value"))).as("total_chars"))
@@ -148,7 +178,10 @@ object Sources {
   /** S9: corrupt-record quarantine — malformed payloads split into an
     * error channel instead of failing the job (TEST:151-152, TEST:161).
     * Corruption is planted deterministically (every 10th event's JSON is
-    * truncated); from_json → null routes rows to the bad channel. */
+    * truncated); from_json → null routes rows to the bad channel. The
+    * truncation length (8) and the oracle's `length(props) > 8` guard
+    * are a coupled pair: both sides assume the corpus's `{"k": N}`
+    * props shape, where an 8-char prefix is never valid JSON. */
   def s9_quarantine(s: SparkSession, d: String): DataFrame = {
     val schema = StructType(Seq(StructField("k", LongType)))
     val raw = events(s, d)
@@ -231,12 +264,14 @@ object Sources {
     * reads the fragmented table, range-partitions + sorts it on
     * o_orderdate (so compaction also restores S11's stats-clustering,
     * exactly like production OPTIMIZE ... ZORDER), writes the
-    * replacement to a staging dir, and swaps staging over live
-    * (retire-then-promote, so readers never observe a half-written
-    * table; the cross-call crash HEALING a standing table needs lives
-    * in X9's upsertBatch — here the table is rebuilt per call, so a
-    * crashed swap just abandons a temp dir). The counts are pinned
-    * (64 → 4) so the result is
+    * replacement to a staging dir, and swaps staging over live via
+    * retire-then-promote renames. The swap is crash-safe for THIS
+    * harness (single reader, table rebuilt per call — a crashed swap
+    * just abandons temp dirs) but not atomic for concurrent readers:
+    * between the two renames the path briefly has no table. A manifest
+    * pointer or transactional table format closes that window — the
+    * same swap point X9's upsertBatch documents for standing tables.
+    * The counts are pinned (64 → 4) so the result is
     * corpus-independent and oracle-able; in production the target
     * would be ceil(bytes / 128 MB) — the sizing policy is the only
     * thing pinned here, not the mechanism. ScaleDesignSpec asserts the
@@ -276,21 +311,24 @@ object Sources {
     * exchanges — the only exchange left in the plan is the final
     * 5-group aggregate (ScaleDesignSpec asserts exactly that). The
     * `merge` hint pins SMJ so the assert is not at the mercy of the
-    * broadcast threshold at tiny SF. Tables are keyed by a corpus-dir
-    * fingerprint and reused across reps (bench runs each query twice;
-    * the second rep must not re-bucket 100 TB). The query result is
-    * layout-independent, so the oracle reads the corpus directly. */
+    * broadcast threshold at tiny SF. Tables are keyed by an md5-derived
+    * tag of the corpus path and reused across reps (bench runs each
+    * query twice; the second rep must not re-bucket 100 TB); each table
+    * is created under its OWN existence check, so a transient failure
+    * between the two writes heals on the retry instead of leaving the
+    * session with a registered orders table and a missing lineitem one. */
   def s12_bucketed_join(s: SparkSession, d: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(d.hashCode)
+    val tag = java.util.UUID.nameUUIDFromBytes(d.getBytes("UTF-8"))
+      .toString.replace("-", "").take(12)
     val (ot, lt) = (s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
-    if (!s.catalog.tableExists(ot)) {
+    if (!s.catalog.tableExists(ot))
       orders(s, d).select("o_orderkey", "o_orderpriority")
         .write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", tmp("graft_s12_o_")).saveAsTable(ot)
+    if (!s.catalog.tableExists(lt))
       lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
         .write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", tmp("graft_s12_l_")).saveAsTable(lt)
-    }
     s.table(lt).hint("merge")
       .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
@@ -323,7 +361,9 @@ object Sources {
          size AS length
          FROM read_blob('/root/reference/data/*.pdf') ORDER BY filename""",
     "s3_text_roundtrip" ->
-      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars FROM documents""",
+      """SELECT count(*) AS n_lines,
+         CAST(sum(length(replace(replace(text, chr(10), ' '), chr(13), ' '))) AS BIGINT) AS total_chars
+         FROM documents WHERE text IS NOT NULL""",
     "s4_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
          CAST(sum(event_id) AS BIGINT) AS id_checksum
