@@ -196,6 +196,83 @@ object Sources {
         sum(when(col("ok"), col("parsed.k")).otherwise(0L)).as("k_checksum"))
   }
 
+  /** S15: Avro source + sink roundtrip — built directly on avro-core
+    * (which Spark ships for its own shuffle/IPC use; the spark-avro
+    * CONNECTOR is absent in this zero-egress container, so this closes
+    * the third-row-format gap the hard way). Both directions are
+    * distributed:
+    *
+    *   - sink: `foreachPartition` opens one `DataFileWriter` per
+    *     partition and streams its rows into `part-<pid>.avro` — the
+    *     same one-file-per-task layout every Spark sink produces. Files
+    *     land on the local tmp FS here; a cluster deployment would open
+    *     `FileSystem.create` instead of `java.io.File` (the only
+    *     non-portable line).
+    *   - source: `binaryFile` lists the container files as (path,
+    *     content) rows and a `flatMap` decodes each with
+    *     `DataFileReader` over `SeekableByteArrayInput` — each file
+    *     decodes in the task that read it, nothing funnels through the
+    *     driver. Avro containers are block-splittable in principle;
+    *     file-granular parallelism is the honest ceiling without the
+    *     connector's split machinery.
+    *
+    * The roundtrip aggregate is order-insensitive and the oracle reads
+    * the corpus directly, so a value or type mangled by either
+    * direction flips the hash. */
+  def s15_avro_roundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = tmp("graft_s15_")
+    val schemaJson =
+      """{"type":"record","name":"OrderRow","fields":[
+         {"name":"o_orderkey","type":"long"},
+         {"name":"o_orderstatus","type":"string"},
+         {"name":"o_totalprice","type":"double"}]}""".stripMargin
+    orders(s, d).select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .repartition(4)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          w.create(schema, new java.io.File(s"$dir/part-$pid.avro"))
+          try it.foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(schema)
+            rec.put("o_orderkey", r.getLong(0))
+            rec.put("o_orderstatus", r.getString(1))
+            rec.put("o_totalprice", r.getDouble(2))
+            w.append(rec)
+          } finally w.close()
+        }
+      }
+    import s.implicits._
+    val back = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(dir)
+      .select(col("content")).as[Array[Byte]]
+      .flatMap { bytes =>
+        val rdr = new org.apache.avro.file.DataFileReader(
+          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+          while (rdr.hasNext) {
+            val rec = rdr.next()
+            out += ((rec.get("o_orderkey").asInstanceOf[Long],
+              rec.get("o_orderstatus").toString,
+              rec.get("o_totalprice").asInstanceOf[Double]))
+          }
+          out
+        } finally rdr.close()
+      }
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    back.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Morton/Z-value of two bucket ordinals: interleave the low `bits`
     * bits of x (even positions) and y (odd positions). Built from pure
     * bit-arithmetic Column functions (shiftright/bitwiseAND/shiftleft/
@@ -351,6 +428,7 @@ object Sources {
     "s12_bucketed_join" -> (s12_bucketed_join _),
     "s13_zorder_layout" -> (s13_zorder_layout _),
     "s14_compaction" -> (s14_compaction _),
+    "s15_avro_roundtrip" -> (s15_avro_roundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -415,5 +493,10 @@ object Sources {
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
          CAST(64 AS BIGINT) AS files_before, CAST(4 AS BIGINT) AS files_after
          FROM orders""",
+    "s15_avro_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
   )
 }
