@@ -61,6 +61,25 @@ class TpchSpec extends SparkTestBase {
       p.take(3000))
   }
 
+  test("q20: per-part totals are a window over the aggregate — no fact-derived broadcast") {
+    val p = plan("q20_volume_suppliers")
+    // the totals frame has part-table cardinality; broadcasting it was
+    // the scale bug the round-6 review caught. The window reuses the
+    // aggregate's l_partkey clustering; the only remaining broadcast of
+    // derived rows is the qualifying supplier-ID list (dim-bounded).
+    // The old broadcast form's signature — a SECOND aggregation summing
+    // qty per part — must not reappear.
+    assert(p.contains("Window"), p.take(3000))
+    assert(!p.contains("partial_sum(qty"), p.take(3000))
+  }
+
+  test("q15: the revenue view is persisted — max side and join side share one evaluation") {
+    val df = ops.Tpch.q15_top_supplier(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      p.take(3000))
+  }
+
   test("q12: derived delay class counts both priority branches per row") {
     val rows = ops.Tpch.q12_shipping_delay(spark, sf).collect()
     val total = rows.map(r => r.getAs[Long]("high_line_count") +
