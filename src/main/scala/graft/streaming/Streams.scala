@@ -64,7 +64,16 @@ object Streams {
 
   /** X6: custom stateful funnel via mapGroupsWithState — tracks the
     * highest stage (signup=1 → view=2 → purchase=3) per user and emits a
-    * row each time a user advances. State is one Int per user. */
+    * row each time a user advances. Two documented semantics choices:
+    * (1) the row reports NET advancement per micro-batch — a user who
+    * jumps 0→3 inside one batch emits (0, 3), not three single-step
+    * rows; per-stage totals come from the oracle-anchored batch form
+    * (`ops.Streaming.x6_funnel`), this stream reports transitions.
+    * (2) state is one Int per user under NoTimeout — bounded by
+    * |users|, the deliberate exception to the watermark-bounds-state
+    * rule (a dormant user costs 4 bytes; production would add a
+    * timeout to retire abandoned funnels, at the price of re-emitting
+    * an advancement if the user returns). */
   def funnelStateful(events: Dataset[Event]): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     events
@@ -111,8 +120,13 @@ object Streams {
               else if (t - cur.last > SessionGapMs) {
                 out += SessionOut(userId, cur.start, cur.last + SessionGapMs, cur.n, cur.total)
                 cur = SessionState(t, t, 1, e.value)
-              } else cur = SessionState(cur.start, math.max(cur.last, t),
+              } else cur = SessionState(math.min(cur.start, t), math.max(cur.last, t),
                 cur.n + 1, cur.total + e.value)
+              // min(start, t): a late cross-batch event that is older
+              // than the stored session start (but inside the watermark
+              // horizon) must extend the session BACKWARDS — keeping
+              // cur.start as-is would report start_ms wrong by up to
+              // the full watermark delay
             }
             if (cur != null) {
               state.update(cur)
@@ -164,12 +178,9 @@ object Streams {
     * to the spec's orchestration/retry questions, TEST:158-161). */
   def fileIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                  outDir: String): Unit = {
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    // derived from the Event case class so the read schema can never
+    // silently drift from the type the rest of the file processes
+    val schema = org.apache.spark.sql.Encoders.product[Event].schema
     val q = spark.readStream.schema(schema).json(landingDir)
       .writeStream
       .format("parquet")
@@ -227,8 +238,13 @@ object Streams {
     * checkpoint then re-delivers the interrupted batch and the merge
     * re-runs — idempotent, so a bucket that DID swap before the crash
     * absorbs the redelivery as a no-op). A `_n_buckets` marker pins the
-    * bucket count at table creation so a later call cannot silently
-    * merge with a different modulus. This is the poor engine's MERGE
+    * bucket count at table creation — written BEFORE any data movement
+    * — so no call (or crash-interrupted call) can ever merge with a
+    * different modulus. Visibility: the swap is per-bucket, so a
+    * CONCURRENT reader can observe a mix of pre- and post-merge
+    * buckets (or briefly miss one mid-rename); this sink targets the
+    * sequential micro-batch owner, and cross-reader snapshot isolation
+    * is the same table-format swap point documented above. This is the poor engine's MERGE
     * INTO over a poor engine's bucketed table — a transactional table
     * format replaces the directory dance at scale, which is the swap
     * point this method documents. */
@@ -273,41 +289,60 @@ object Streams {
       }
     // a half-written staging dir from a crashed previous apply is garbage
     if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
-    // touched buckets: tiny driver list, bounded by min(batch keys, N)
-    val touched = latest.select("b").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val existing = touched.filter(b =>
-      fs.exists(new org.apache.hadoop.fs.Path(tableDir, s"b=$b")))
-    // ONE job merges every touched bucket: standing rows from touched
-    // buckets only (b re-derived from the key — bucket files don't store
-    // it), batch keys removed, batch appended, routed back to bucket
-    // dirs by partitionBy. Untouched buckets are never read or written.
-    val standing =
-      if (existing.nonEmpty)
-        spark.read.parquet(existing.map(b => s"$tableDir/b=$b"): _*)
-          .join(latest.select("event_id"), Seq("event_id"), "left_anti")
-          .withColumn("b", bucketOf)
-      else latest.limit(0)
-    standing.unionByName(latest)
-      .write.partitionBy("b").mode("overwrite").parquet(stagingRoot.toString)
-    if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
-    touched.foreach { b =>
-      val live = new org.apache.hadoop.fs.Path(tableDir, s"b=$b")
-      val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"b=$b")
-      val retired = new org.apache.hadoop.fs.Path(retiredRoot, s"b=$b")
-      if (!fs.exists(retiredRoot)) fs.mkdirs(retiredRoot)
-      if (fs.exists(retired))
-        require(fs.delete(retired, true), s"stale retired bucket not deletable: $retired")
-      if (fs.exists(live))
-        require(fs.rename(live, retired), s"retire rename failed: $live")
-      require(fs.rename(staged, live), s"promote rename failed: $staged")
-      fs.delete(retired, true) // best-effort; a leftover is healed next call
-    }
-    fs.delete(stagingRoot, true) // _SUCCESS etc.
+    // pin the modulus BEFORE any data movement: if the marker were
+    // written only after a successful merge (as an earlier version did),
+    // a crash after buckets promote but before the marker exists would
+    // let the next call merge with a DIFFERENT default nBuckets —
+    // standing keys would be probed in the wrong bucket and duplicate
+    // rows would survive permanently. Marker-first closes that window
+    // (a marker with no data yet is harmless).
     if (!fs.exists(marker)) {
+      if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
       val out = fs.create(marker)
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
+    // the window-dedup feeds two jobs (touched-bucket collect + staging
+    // write); persist so the batch shuffles once, not twice
+    latest.persist()
+    try {
+      // touched buckets: tiny driver list, bounded by min(batch keys, N)
+      val touched = latest.select("b").distinct()
+        .collect().map(_.getInt(0)).sorted
+      // ONE listStatus instead of one exists() RPC per touched bucket —
+      // on an object store at nBuckets=256 that is 256 HEAD round-trips
+      // of driver latency per micro-batch
+      val liveBuckets: Set[String] =
+        if (fs.exists(hadoopPath))
+          fs.listStatus(hadoopPath).map(_.getPath.getName)
+            .filter(_.startsWith("b=")).toSet
+        else Set.empty
+      val existing = touched.filter(b => liveBuckets.contains(s"b=$b"))
+      // ONE job merges every touched bucket: standing rows from touched
+      // buckets only (b re-derived from the key — bucket files don't store
+      // it), batch keys removed, batch appended, routed back to bucket
+      // dirs by partitionBy. Untouched buckets are never read or written.
+      val standing =
+        if (existing.nonEmpty)
+          spark.read.parquet(existing.map(b => s"$tableDir/b=$b"): _*)
+            .join(latest.select("event_id"), Seq("event_id"), "left_anti")
+            .withColumn("b", bucketOf)
+        else latest.limit(0)
+      standing.unionByName(latest)
+        .write.partitionBy("b").mode("overwrite").parquet(stagingRoot.toString)
+      if (!fs.exists(retiredRoot)) fs.mkdirs(retiredRoot)
+      touched.foreach { b =>
+        val live = new org.apache.hadoop.fs.Path(tableDir, s"b=$b")
+        val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"b=$b")
+        val retired = new org.apache.hadoop.fs.Path(retiredRoot, s"b=$b")
+        if (fs.exists(retired))
+          require(fs.delete(retired, true), s"stale retired bucket not deletable: $retired")
+        if (fs.exists(live))
+          require(fs.rename(live, retired), s"retire rename failed: $live")
+        require(fs.rename(staged, live), s"promote rename failed: $staged")
+        fs.delete(retired, true) // best-effort; a leftover is healed next call
+      }
+      fs.delete(stagingRoot, true) // _SUCCESS etc.
+    } finally latest.unpersist()
   }
 
   /** Read-back of an X9 table: partition discovery surfaces the bucket

@@ -122,6 +122,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("X6 full form: a late event inside the watermark extends the session START backwards") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionizeStateful(in.toDS())
+      .writeStream.format("memory").queryName("x6late").outputMode(OutputMode.Append).start()
+    try {
+      // open the session at 10:00; watermark (10-min delay) stays at 09:50
+      in.addData(Event(1, ts("10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // a LATE event at 09:55 — older than the stored start, but inside
+      // the watermark horizon, and within the 30-min gap of the session
+      in.addData(Event(2, ts("09:55"), 7, "view", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past last + 30 min so the session emits
+      in.addData(Event(3, ts("23:00"), 99, "click", 0.5))
+      q.processAllAvailable()
+      in.addData(Event(4, ts("23:30"), 99, "click", 0.5))
+      q.processAllAvailable()
+      val sess7 = spark.table("x6late").filter("user_id = 7")
+        .selectExpr("start_ms", "n_events", "total_value")
+        .as[(Long, Int, Double)].collect().toSet
+      assert(sess7 == Set((ts("09:55").getTime, 2, 3.0)),
+        s"late event must pull the session start back to 09:55: $sess7")
+    } finally q.stop()
+  }
+
   test("X6b: transformWithState running spend (RocksDB state store)") {
     implicit val ctx = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
