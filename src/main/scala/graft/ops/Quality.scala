@@ -28,18 +28,26 @@ object Quality {
   }
 
   /** DQ2: domain/range assertions — rows violating the documented value
-    * ranges (FIXTURES.md §1) per rule; all zero on healthy data. */
+    * ranges (FIXTURES.md §1) per rule; all zero on healthy data. A NULL
+    * in a checked column counts as BAD: `when(!x.between(...))` alone
+    * evaluates to NULL for null inputs and `otherwise(0)` would count a
+    * fully-nulled column as perfectly healthy — the exact failure mode
+    * a broken load produces. The explicit isNull arm keeps "non-zero =
+    * broken load" true for missing values too (dq3 profiles null RATES
+    * on the nullable surface; here null is a range violation). */
   def dq2_value_ranges(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
     val ev = events(s, d)
+    def bad(c: String, viol: org.apache.spark.sql.Column) =
+      sum(when(col(c).isNull || viol, 1).otherwise(0)).cast("long")
     li.agg(
-      sum(when(!col("l_discount").between(0.0, 0.10), 1).otherwise(0)).cast("long").as("bad_discount"),
-      sum(when(!col("l_quantity").between(1.0, 50.0), 1).otherwise(0)).cast("long").as("bad_quantity"),
-      sum(when(col("l_extendedprice") <= 0.0, 1).otherwise(0)).cast("long").as("bad_price"))
+      bad("l_discount", !col("l_discount").between(0.0, 0.10)).as("bad_discount"),
+      bad("l_quantity", !col("l_quantity").between(1.0, 50.0)).as("bad_quantity"),
+      bad("l_extendedprice", col("l_extendedprice") <= 0.0).as("bad_price"))
       .crossJoin(ev.agg(
-        sum(when(!col("event_type").isin("signup", "click", "view", "purchase", "error"), 1)
-          .otherwise(0)).cast("long").as("bad_event_type"),
-        sum(when(col("value") < 0.0, 1).otherwise(0)).cast("long").as("bad_value")))
+        bad("event_type", !col("event_type").isin(
+          "signup", "click", "view", "purchase", "error")).as("bad_event_type"),
+        bad("value", col("value") < 0.0).as("bad_value")))
   }
 
   /** DQ3: completeness / null-rate profile per column of the extraction-
@@ -63,9 +71,14 @@ object Quality {
     * balance for every 199th custkey, the guaranteed-catch pattern) and
     * the flag threshold |z| > 3 sits ≥ 1.0 away from every real z at
     * all three SFs (verified empirically) — cross-engine float drift
-    * (~1e-12 relative) cannot flip a flag. Scale shape: one scan, one
-    * per-group agg, then a broadcast of 5 stat rows back over the scan
-    * — the 100 TB anomaly-report idiom (no self-join on the fact). */
+    * (~1e-12 relative) cannot flip a flag. Scale shape: TWO passes over
+    * the augmented frame (one builds the 5 stat rows via map-side
+    * partials, one probes them through a broadcast join) and ZERO fact
+    * shuffles — the 100 TB anomaly-report idiom. The alternative
+    * single-pass form (window over c_mktsegment) would shuffle the
+    * whole fact onto 5 keys — a skew trap; re-scanning beats
+    * re-shuffling here. (The union makes each pass two customer scans;
+    * at scale the planted branch is a test fixture, not a cost.) */
   def dq4_outliers(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val aug = c.unionByName(
@@ -94,7 +107,17 @@ object Quality {
     * re-derives every value exactly: the observed totals as subqueries
     * over the unfiltered table, the passed totals over the filtered
     * one. At 100 TB this is the monitoring idiom: row counts and
-    * control totals for free on every pipeline action. */
+    * control totals for free on every pipeline action.
+    *
+    * NOTE this builder is EAGER by necessity: observed metrics exist
+    * only after an action, so the observed query runs inside the
+    * builder and the returned frame is the materialized 1-row result —
+    * a plan-only consumer (graft.Explain) sees a LocalTableScan here,
+    * not the CollectMetrics plan (ScaleDesignSpec asserts that plan
+    * shape on the un-collected form instead). NULL aggregates (empty
+    * table: sum over zero rows) propagate as NULL, exactly as the
+    * oracle's subqueries do — unboxing them to 0.0 would report a
+    * plausible control total instead of surfacing "no data observed". */
   def dq5_observe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val observed = lineitem(s, d)
@@ -108,8 +131,12 @@ object Quality {
       round(sum(col("l_extendedprice")), 2).as("price_passed"))
     val row = agg.collect().head
     val m = agg.queryExecution.observedMetrics("dq5")
-    Seq((m.getAs[Long]("n_rows"), m.getAs[Double]("sum_qty"),
-      row.getAs[Long]("n_passed"), row.getAs[Double]("price_passed")))
+    def optD(r: org.apache.spark.sql.Row, f: String): Option[Double] = {
+      val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    Seq((m.getAs[Long]("n_rows"), optD(m, "sum_qty"),
+      row.getAs[Long]("n_passed"), optD(row, "price_passed")))
       .toDF("n_rows_observed", "qty_observed", "n_passed", "price_passed")
   }
 
@@ -127,10 +154,13 @@ object Quality {
     // columns makes Catalyst Expand the scan ×(n+1), quadrupling the
     // rows fed to the aggregate; per-column aggs each scan ONE pruned
     // column and use the plain two-phase distinct path instead
+    // stack only needs per-position type agreement; the three *_nd
+    // inputs are all BIGINT, so they pass through unconverted (a
+    // double round-trip would also lose precision above 2^53)
     def prof(c: String, p: String) = lineitem(s, d).agg(
       min(col(c)).as(s"${p}_min"), max(col(c)).as(s"${p}_max"),
       round(avg(col(c)), 4).as(s"${p}_avg"),
-      countDistinct(col(c)).cast("double").as(s"${p}_nd"))
+      countDistinct(col(c)).as(s"${p}_nd"))
     val one = prof("l_quantity", "q")
       .crossJoin(prof("l_discount", "d"))
       .crossJoin(prof("l_extendedprice", "p"))
@@ -139,8 +169,7 @@ object Quality {
            'l_discount',      d_min, d_max, d_avg, d_nd,
            'l_extendedprice', p_min, p_max, p_avg, p_nd,
            'l_quantity',      q_min, q_max, q_avg, q_nd
-         ) AS (col_name, min_v, max_v, avg_v, nd)""")
-      .withColumn("n_distinct", col("nd").cast("long")).drop("nd")
+         ) AS (col_name, min_v, max_v, avg_v, n_distinct)""")
       .orderBy("col_name")
   }
 
@@ -174,11 +203,11 @@ object Quality {
          ORDER BY relation""",
     "dq2_value_ranges" ->
       """SELECT
-         CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
-         CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
-         CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
-         (SELECT CAST(sum(CASE WHEN event_type NOT IN ('signup','click','view','purchase','error') THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_event_type,
-         (SELECT CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_value
+         CAST(sum(CASE WHEN l_discount IS NULL OR l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+         CAST(sum(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         (SELECT CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('signup','click','view','purchase','error') THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_event_type,
+         (SELECT CAST(sum(CASE WHEN value IS NULL OR value < 0.0 THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS bad_value
          FROM lineitem""",
     "dq3_null_rates" ->
       """SELECT count(*) AS n_rows,
