@@ -303,6 +303,22 @@ object TextVector {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_sim(a, b)
 
+  /** Precomputed-norm cosine — bit-identical to `cosine(a, b)`: the
+    * fused kernel evaluates dot / (sqrt(na) * sqrt(nb)) and this form
+    * keeps exactly that operand order (sqrt of the self-dot, then
+    * na*nb, then the division), while each side's norm is computed
+    * once per VECTOR in the pre-join select instead of once per PAIR.
+    * At the pair sites (t5's 20×N, t6/t37/t38's query×corpus probes,
+    * t11/t26's bucket/cluster pairs, the IVF ×8 fan-out) this removes
+    * two of the three per-lane accumulators from the hot loop — a
+    * bigger win than the kernel fusion itself at quadratic scale.
+    * Null/NaN edges match the kernel: null input or length mismatch →
+    * null (dot is null), zero norm → 0/0 = NaN. */
+  private def vnorm(v: Column): Column =
+    sqrt(graft.functions.VectorFunctions.dot_product(v, v))
+  private def cosineN(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.VectorFunctions.dot_product(a, b) / (na * nb)
+
   /** Adjacent-token bigrams of a token-array column (T2, T24) — one
     * expression string so the two operators and their oracles can't
     * drift. Takes the column name (the lambda needs a stable SQL ref). */
@@ -347,11 +363,11 @@ object TextVector {
   def t5_cosine(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), vnorm(col("v")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), vnorm(col("v")).as("cn"))
     q.join(c, col("q_id") < col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos_sim"))
+        round(cosineN(col("qv"), col("cv"), col("qn"), col("cn")), 4).as("cos_sim"))
       .filter(col("cos_sim") > 0.2)
       .orderBy("q_id", "c_id")
   }
@@ -362,11 +378,11 @@ object TextVector {
   def t6_topk_nn(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), vnorm(col("v")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), vnorm(col("v")).as("cn"))
     val sims = q.join(c, col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        (cosine(col("qv"), col("cv"))).as("sim"))
+        cosineN(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     sims.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -384,31 +400,36 @@ object TextVector {
   def t6_topk_nn_ivf(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val cents = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        vnorm(col("v")).as("cvn"))
     // assign: argmax cosine over the 8 broadcast centroids. The argmax
     // runs on a SLIM (vec_id, cent_id, csim) frame via max_by — partial
     // aggregation combines the ×8 fan-out map-side, so the shuffle
     // carries one row per vector and never the 64-dim arrays (the
     // window-over-fanout form sorted all 8×corpus wide rows). Ties
     // break csim desc, cent_id asc, same as before (max of the
-    // (csim, -cent_id) pair).
+    // (csim, -cent_id) pair). Norms precompute per side (cosineN):
+    // each vector's norm once, not once per centroid.
     def assign(vecs: DataFrame): DataFrame = vecs
+      .withColumn("vn", vnorm(col("v")))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cent_id"),
-        cosine(col("v"), col("cv")).as("csim"))
+        cosineN(col("v"), col("cv"), col("vn"), col("cvn")).as("csim"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cent_id"),
         struct(col("csim"), (-col("cent_id")).as("nc"))).as("cent_id"))
     // the 10-query assignment derives from a 10-row input, not from a
     // filter over the corpus-sized assignment (which would recompute it)
     val q = e.filter(col("vec_id") < 10).join(assign(e.filter(col("vec_id") < 10)), "vec_id")
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cent_id"),
+        vnorm(col("v")).as("qn"))
     val c = e.join(assign(e), "vec_id")
-      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cent_id"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv2"), col("cent_id"),
+        vnorm(col("v")).as("cn2"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     q.join(c, Seq("cent_id"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv2")))
+      .withColumn("sim", cosineN(col("qv"), col("cv2"), col("qn"), col("cn2")))
       .withColumn("rnk", row_number().over(wTop))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 4).as("cos_sim"))
@@ -505,13 +526,15 @@ object TextVector {
     val bucketExpr = expr(
       "concat_ws('', transform(slice(v, 1, 16), x -> IF(x >= 0.0d, '+', '-')))")
     val a = e.withColumn("bucket", bucketExpr)
-      .select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+      .select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"),
+        vnorm(col("v")).as("an"))
     val b = pert.withColumn("bucket", bucketExpr)
-      .select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
+      .select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"),
+        vnorm(col("v")).as("bn"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("av"), col("bv")), 6).as("cos_sim"))
+        round(cosineN(col("av"), col("bv"), col("an"), col("bn")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.9999)
       .orderBy("a_id", "b_id")
   }
@@ -921,11 +944,13 @@ object TextVector {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val assigned = assignToCentroids(corpus, cents)
       .select(col("vec_id"), col("v"), col("cent_id"))
-    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("av"))
-    val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("av"),
+      vnorm(col("v")).as("an"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("bv"),
+      vnorm(col("v")).as("bn"))
     val dropped = a.join(b, Seq("cent_id"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosine(col("av"), col("bv")), 6))
+      .withColumn("cos_sim", round(cosineN(col("av"), col("bv"), col("an"), col("bn")), 6))
       .filter(col("cos_sim") >= 0.9999)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("is_dup", lit(1))
@@ -1427,18 +1452,19 @@ object TextVector {
     * legitimate — JoinSelection would otherwise pick CartesianProduct
     * with the CORPUS on one side; plan-asserted in TextVectorSpec),
     * the corpus streams past it unshuffled, and the band filter prunes
-    * before the per-query top-k window; the cosine is the same fused
-    * codegen kernel, whose left-to-right lane order makes the double
-    * bit-identical cross-engine (t6 proves it), so the band boundaries
+    * before the per-query top-k window; the cosine is the
+    * precomputed-norm form (cosineN — bit-identical to the fused
+    * kernel, same left-to-right lane order), so the band boundaries
     * are safe without quantization. */
   def t37_hard_negatives(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), vnorm(col("v")).as("qn"))
+    val c = e.select(col("vec_id").as("c_id"), col("v").as("cv"), vnorm(col("v")).as("cn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id").asc)
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), cosine(col("qv"), col("cv")).as("sim"))
+      .select(col("q_id"), col("c_id"),
+        cosineN(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
       .filter(col("sim") >= 0.25 && col("sim") <= 0.5)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
@@ -1461,14 +1487,15 @@ object TextVector {
       vecD(col("embedding")).as("v"), col("label"))
     val q = e.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("label").as("true_label"))
+        col("label").as("true_label"), vnorm(col("v")).as("qn"))
     val train = e.filter(col("vec_id") >= 50)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("label"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("label"),
+        vnorm(col("v")).as("cn"))
     val wNN = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id").asc)
     val votes = broadcast(q).crossJoin(train)
       .select(col("q_id"), col("true_label"), col("c_id"), col("label"),
-        cosine(col("qv"), col("cv")).as("sim"))
+        cosineN(col("qv"), col("cv"), col("qn"), col("cn")).as("sim"))
       .withColumn("rnk", row_number().over(wNN))
       .filter(col("rnk") <= 5)
       .groupBy(col("q_id"), col("true_label"), col("label"))
