@@ -69,13 +69,19 @@ object Extraction {
       .select(col("kind"), col("category").as("rollup_row"),
         col("tonnes").as("reported_tonnes"), col("grade_gpt").as("reported_grade"))
     // resources: Inferred is NOT part of M+I — drop it from the leaf side
-    val leaves2 = m1_mining_parse(s, d)
+    val leaves2 = parsed
       .filter(!col("category").contains("+") && col("category") =!= "Inferred")
       .groupBy(col("kind"))
       .agg(round(sum(col("tonnes")), 1).as("sum_leaf_tonnes"),
         round(WeightedMean(col("grade_gpt"), col("tonnes")), 2).as("weighted_grade"))
     rollups.join(leaves2, "kind")
-      .withColumn("tonnes_match", col("reported_tonnes") === col("sum_leaf_tonnes"))
+      // round the reported side to the same 1 decimal as the leaf sum:
+      // the raw unit multiply is not always exactly representable
+      // (0.3*1e6 = 299999.99999999994), so unrounded === rounded would
+      // spuriously fail for such values even when the PDF arithmetic
+      // is consistent (7.9*1e6 happens to be exact — luck, not design)
+      .withColumn("tonnes_match",
+        round(col("reported_tonnes"), 1) === col("sum_leaf_tonnes"))
       .withColumn("grade_diff", round(abs(col("reported_grade") - col("weighted_grade")), 2))
       .select("kind", "rollup_row", "reported_tonnes", "sum_leaf_tonnes",
         "tonnes_match", "reported_grade", "weighted_grade", "grade_diff")
@@ -107,13 +113,8 @@ object Extraction {
     * PDF p.53 §22 waives NPV/IRR). No DuckDB oracle (binary input);
     * golden assertions live in ExtractionSpec. */
   def pdf_extract(s: SparkSession, d: String): DataFrame = {
-    val pagesUdf = udf((b: Array[Byte]) => PdfText.pages(b))
-    val pages = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pdf")
-      .load("/root/reference/data")
-      .select(
-        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
-        posexplode(pagesUdf(col("content"))).as(Seq("page_idx", "page_text")))
+    val pages = pdfPages(s)
+      .select(col("filename"), explode(col("pages")).as("page_text"))
     val rows = pages
       .select(col("filename"),
         explode(regexp_extract_all(col("page_text"), lit(pdfRowRe), lit(0))).as("row_text"))
@@ -136,7 +137,7 @@ object Extraction {
         round(col("tonnage_raw") * unitMultiplier(
           when(col("kind") === "resource", "Mt").otherwise("kt")), 1))
       .withColumn("source_system", regexp_extract(col("filename"), "^([a-z]+)__", 1))
-      .withColumn("doc_hash", regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1))
+      .withColumn("doc_hash", regexp_extract(col("filename"), docHashRe, 1))
       .withColumn("npv_usd", lit(null).cast("double"))
       .withColumn("irr_pct", lit(null).cast("double"))
       .select("doc_hash", "source_system", "kind", "category", "tonnes",
@@ -144,16 +145,30 @@ object Extraction {
       .orderBy("kind", "category")
   }
 
-  /** Whole-document text, whitespace-flattened, one row per PDF. */
-  private def pdfFullText(s: SparkSession): DataFrame = {
+  /** The one filename→doc_hash pattern, defined once: three extraction
+    * queries join on doc_hash in assembleReports, so a drifted copy
+    * would silently break the join. */
+  private val docHashRe = "__([0-9A-F]{8})\\.pdf$"
+
+  /** The shared PDF source: binaryFile scan → per-page text array via
+    * the zero-dep PdfText UDF. Both the row extraction (pdf_extract)
+    * and the whole-document forms (pdf_project_meta / pdf_economics)
+    * derive from this one definition, so the read options and the UDF
+    * are specified exactly once. */
+  private def pdfPages(s: SparkSession): DataFrame = {
     val pagesUdf = udf((b: Array[Byte]) => PdfText.pages(b))
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.pdf")
       .load("/root/reference/data")
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
-        regexp_replace(concat_ws(" ", pagesUdf(col("content"))), "\\s+", " ").as("txt"))
+        pagesUdf(col("content")).as("pages"))
   }
+
+  /** Whole-document text, whitespace-flattened, one row per PDF. */
+  private def pdfFullText(s: SparkSession): DataFrame =
+    pdfPages(s).select(col("filename"),
+      regexp_replace(concat_ws(" ", col("pages")), "\\s+", " ").as("txt"))
 
   /** T9b: project-metadata extraction (TEST:32-36 category 1) — name,
     * region, country from the running header, company from the sedar
@@ -161,16 +176,24 @@ object Extraction {
     * count from the printed "Page N of M" footers. */
   def pdf_project_meta(s: SparkSession, d: String): DataFrame = {
     val headerRe = "Technical Report for the (.+?) Operations, ([A-Za-z ]+?), ([A-Za-z ]+?) Effective"
+    // every regexp_extract is nullif-guarded: a document that lacks the
+    // header/footer must yield NULL fields, not fabricated values (an
+    // unguarded no-match gives '' — which would make project_name the
+    // invented string " Operations", and would make the page_count cast
+    // THROW under ANSI mode, killing the query for every document; the
+    // money() helper in pdf_economics guards for the same reason)
+    def ext(c: org.apache.spark.sql.Column, pat: String, group: Int) =
+      nullif(regexp_extract(c, pat, group), lit(""))
     pdfFullText(s)
       .select(
-        regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1).as("doc_hash"),
-        concat(regexp_extract(col("txt"), headerRe, 1), lit(" Operations")).as("project_name"),
-        translate(regexp_extract(col("filename"), "^[a-z]+__\\d+_(.+?)__", 1), "_", " ").as("company"),
-        regexp_extract(col("txt"), headerRe, 3).as("country"),
-        regexp_extract(col("txt"), headerRe, 2).as("region"),
-        try_to_date(regexp_extract(col("txt"), "Effective ([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1),
+        ext(col("filename"), docHashRe, 1).as("doc_hash"),
+        concat(ext(col("txt"), headerRe, 1), lit(" Operations")).as("project_name"),
+        translate(ext(col("filename"), "^[a-z]+__\\d+_(.+?)__", 1), "_", " ").as("company"),
+        ext(col("txt"), headerRe, 3).as("country"),
+        ext(col("txt"), headerRe, 2).as("region"),
+        try_to_date(ext(col("txt"), "Effective ([A-Z][a-z]+ \\d{1,2}, \\d{4})", 1),
           "MMMM d, yyyy").as("report_date"),
-        regexp_extract(col("txt"), "Page \\d+ of (\\d+)", 1).cast("int").as("page_count"))
+        ext(col("txt"), "Page \\d+ of (\\d+)", 1).cast("int").as("page_count"))
       .orderBy("doc_hash")
   }
 
@@ -187,7 +210,7 @@ object Extraction {
         .cast("double")
     pdfFullText(s)
       .select(
-        regexp_extract(col("filename"), "__([0-9A-F]{8})\\.pdf$", 1).as("doc_hash"),
+        regexp_extract(col("filename"), docHashRe, 1).as("doc_hash"),
         money("US\\$(\\d[\\d,]*) per tonne for owner mining").as("opex_mining_owner"),
         money("US\\$(\\d[\\d,]*) per ounce of gold for contractor").as("opex_mining_contractor"),
         money("US\\$(\\d[\\d,]*) per ounce of gold for artisanal").as("opex_mining_artisanal"),
@@ -309,7 +332,7 @@ object Extraction {
          r AS (SELECT kind, category AS rollup_row, tonnes AS reported_tonnes,
            grade_gpt AS reported_grade FROM p WHERE category LIKE '%+%')
          SELECT r.kind AS kind, rollup_row, reported_tonnes, sum_leaf_tonnes,
-           reported_tonnes = sum_leaf_tonnes AS tonnes_match,
+           round(reported_tonnes, 1) = sum_leaf_tonnes AS tonnes_match,
            reported_grade, weighted_grade,
            round(abs(reported_grade - weighted_grade), 2) AS grade_diff
          FROM r JOIN leaves ON r.kind = leaves.kind ORDER BY kind""",
