@@ -117,78 +117,16 @@ object TextVector {
     out.toSeq
   })
 
-  /** Digest of the documents.parquet listing under `d` — cheap driver-side
-    * FS metadata only, no data read. */
-  private def dirFingerprint(s: SparkSession, d: String): String = {
-    val p = new org.apache.hadoop.fs.Path(d, "documents.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) "absent"
-    else fs.listStatus(p).sortBy(_.getPath.getName)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .mkString("|")
-  }
-
-  /** Session-scoped memo of a persisted derived frame, keyed by
-    * (session, dir) — the sharing pattern the t4 pair stage introduced,
-    * generalized so the tokenized-corpus frame (and any future shared
-    * stage) reuses it.
-    *
-    * Staleness/lifetime: entries carry a fingerprint of the
-    * documents.parquet file listing (name, length, mtime). If the data
-    * under `dir` changes within a session the fingerprint differs, the
-    * stale entry is unpersisted and the frame recomputed — no
-    * immutable-dir assumption. Entries whose session has stopped are
-    * swept on the next lookup so cached blocks aren't pinned past the
-    * owning session's lifetime. Per-(session, dir) lock objects so two
-    * sessions (or two dirs) never serialize each other's build — only
-    * concurrent callers on the SAME entry coordinate. A stale entry is
-    * unpersisted while a racing reader may still hold its DataFrame;
-    * Spark recomputes evicted blocks, so that reader stays correct
-    * (slower), never wrong. */
-  private final class FrameMemo(build: (SparkSession, String) => DataFrame) {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]
-    private val locks =
-      new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
-    def apply(s: SparkSession, d: String): DataFrame = {
-      cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      locks.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      val key = (s, d)
-      locks.computeIfAbsent(key, _ => new Object).synchronized {
-        val fp = dirFingerprint(s, d)
-        val cur = cache.get(key)
-        if (cur != null && cur._1 == fp) cur._2
-        else {
-          if (cur != null) cur._2.unpersist(blocking = false)
-          val fresh = build(s, d)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          cache.put(key, (fp, fresh))
-          fresh
-        }
-      }
-    }
-    /** Test hook: drop + unpersist the memoized entry for (s, d) so a
-      * test can assert the rebuild path regardless of what ran before.
-      * Needed because Spark's CacheManager dedups by logical plan — any
-      * plan-identical DataFrame's unpersist() also deregisters the
-      * shared entry's cached blocks. Takes the same per-key lock as the
-      * builder — an unlocked remove() could interleave between a
-      * concurrent builder's get() and put(). */
-    def reset(s: SparkSession, d: String): Unit = {
-      val key = (s, d)
-      locks.computeIfAbsent(key, _ => new Object).synchronized {
-        val cur = cache.remove(key)
-        if (cur != null) cur._2.unpersist(blocking = false)
-      }
-    }
-  }
+  // Session-scoped persisted-frame sharing: see FrameMemo.scala (the
+  // pattern started here as the t4 pair stage and is now shared with
+  // the q15 revenue view in Tpch).
 
   /** Confirmed near-dup candidate pairs (Jaccard ≥ 0.5), the stage shared
     * by t4_minhash_lsh and t4_dedup_canonical — the corpus minhash pass
     * runs ONCE when both t4 queries execute in the same session
     * (Verify/Bench do); the cached set is only the confirmed pairs, tiny
     * relative to the corpus. */
-  private val t4PairMemo = new FrameMemo(computeMinhashCandidatePairs)
+  private val t4PairMemo = new FrameMemo("documents.parquet")(computeMinhashCandidatePairs)
 
   private def minhashCandidatePairs(s: SparkSession, d: String): DataFrame =
     t4PairMemo(s, d)
@@ -204,7 +142,7 @@ object TextVector {
     * the equivalent move is materializing tokens as a column next to
     * the text at ingest: one pass, every downstream op reads it — this
     * memo is that materialization, session-scoped. */
-  private val tokMemo = new FrameMemo((s, d) =>
+  private val tokMemo = new FrameMemo("documents.parquet")((s, d) =>
     documents(s, d).withColumn("t", toks(col("text"))))
 
   private[graft] def tokDocs(s: SparkSession, d: String): DataFrame =
@@ -219,7 +157,7 @@ object TextVector {
     * shingle UDF over the doubled corpus was the next-largest repeated
     * cost after tokenization. Same 100 TB story as tokDocs: in
     * production the shingle sets are materialized once at ingest. */
-  private val ndShingleMemo = new FrameMemo((s, d) =>
+  private val ndShingleMemo = new FrameMemo("documents.parquet")((s, d) =>
     withNearDups(s, d)
       .select(col("doc_id"), toks(col("text")).as("t"))
       .filter(size(col("t")) >= 3)

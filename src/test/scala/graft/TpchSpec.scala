@@ -87,8 +87,8 @@ class TpchSpec extends SparkTestBase {
     // every joined line lands in exactly one (class, priority) cell
     val expect = Tables.orders(spark, sf)
       .join(Tables.lineitem(spark, sf)
-          .filter(org.apache.spark.sql.functions.col("l_shipdate")
-            .between("1996-01-01", "1996-12-31 23:59:59")),
+          .filter(org.apache.spark.sql.functions.col("l_shipdate") >= "1996-01-01" &&
+            org.apache.spark.sql.functions.col("l_shipdate") < "1997-01-01"),
         org.apache.spark.sql.functions.col("o_orderkey") ===
           org.apache.spark.sql.functions.col("l_orderkey")).count()
     assert(total == expect, s"$total != $expect")

@@ -8,6 +8,13 @@ oracle SQL in DuckDB (tables registered as views over the same sfDir),
 sort columns by name, sort rows, and compare values exactly (with a
 float tolerance report so rounding gaps are visible before the driver
 sees them).
+
+Also dtype-STRICT: the driver's compare hashes typed values, so a
+DuckDB HUGEINT next to a Spark BIGINT fails there even when every
+value is equal — and pandas equality erases exactly that gap (q12,
+round 6). Each query's DuckDB result types (DESCRIBE <oracle sql>)
+are compared column-for-column against DuckDB's reading of the Spark
+parquet schema; any mismatch is a ✗ even if the values compare equal.
 """
 import duckdb, json, math, sys, os
 
@@ -34,6 +41,10 @@ def close(a, b):
         return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
     return a == b
 
+def duck_types(con, query):
+    """Column-name → DuckDB type string for `query` (planning only)."""
+    return {r[0]: r[1] for r in con.sql(f"DESCRIBE {query}").fetchall()}
+
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -57,6 +68,19 @@ def main(sfdir, outdir):
         scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
         if scols != dcols:
             print(f"✗ {name:28s} COLS spark={scols} duck={dcols}")
+            n_bad += 1
+            continue
+        try:
+            stypes = duck_types(con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            dtypes = duck_types(con, oracle[name])
+            mism = [(c, stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]]
+        except Exception as e:
+            print(f"✗ {name:28s} DTYPE-CHECK ERROR {e}")
+            n_bad += 1
+            continue
+        if mism:
+            detail = ", ".join(f"{c}: spark={st} duck={dt}" for c, st, dt in mism)
+            print(f"✗ {name:28s} DTYPE {detail}")
             n_bad += 1
             continue
         sdf, ddf = sdf[scols], ddf[dcols]
