@@ -1,0 +1,154 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-pointer table commit — the atomic-swap primitive behind the
+  * S14 compaction job and the X9 upsert sink (SURVEY.md §2.1 S14, §2.10
+  * X9; the swap-point both scaladocs previously documented as a known
+  * non-atomic window).
+  *
+  * Layout under a table directory:
+  * {{{
+  *   tableDir/_manifests/m-000000000042   // one file per committed version
+  *   tableDir/c-<uuid>/...                // immutable data dirs, never renamed
+  * }}}
+  * A manifest is a text file listing the RELATIVE data paths that make up
+  * that version of the table, one per line. The live version is simply the
+  * highest-numbered manifest. Committing version N+1 is: write the full
+  * manifest to a temp name, then one `FileSystem.rename` to the final
+  * `m-<N+1>` name — rename-to-a-fresh-name is atomic on HDFS and on local
+  * POSIX filesystems, so a reader listing `_manifests` sees either N or
+  * N+1, each describing a COMPLETE table. Data files are written before
+  * the manifest that references them and are never moved or rewritten
+  * afterwards, so every path a resolved manifest names exists in full.
+  * This is the same pointer-file protocol the transactional table formats
+  * (Iceberg metadata versions, Delta's _delta_log) use, reduced to the
+  * minimum these two operators need.
+  *
+  * Readers racing a commit therefore always see a complete snapshot —
+  * including across X9's many buckets, which previously swapped
+  * per-bucket and could expose a mixed pre/post-merge view. GC keeps the
+  * newest `retainGenerations` manifests AND their data (default 2: the
+  * new version plus its predecessor), so a reader that resolved the
+  * previous manifest just before a commit can still finish its scan; at
+  * a production multi-reader deployment the retention policy would be
+  * time-based (readers bounded by a max scan duration) rather than
+  * generation-based, which is a knob, not a protocol change.
+  *
+  * Writer concurrency: commit retries with the next version number if the
+  * rename finds the slot taken (two racing writers serialize; last
+  * committed pointer wins). Both call sites are single-writer by design —
+  * S14 rebuilds a private temp table per call and X9 is owned by the
+  * sequential micro-batch loop — so the retry is a safety net, not a
+  * merge protocol. A writer that crashes before its commit leaves only an
+  * unreferenced `c-` dir, swept by the next successful commit's GC.
+  */
+object ManifestTable {
+
+  private val ManifestDirName = "_manifests"
+  private val ManifestRe = "^m-([0-9]{12})$".r
+
+  private def fsOf(spark: SparkSession, tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(tableDir: String) = new Path(tableDir, ManifestDirName)
+
+  private def versionOf(name: String): Option[Long] = name match {
+    case ManifestRe(v) => Some(v.toLong)
+    case _             => None
+  }
+
+  private def manifestName(v: Long): String = f"m-$v%012d"
+
+  /** All committed versions at `tableDir`, ascending (empty if none). */
+  def versions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    val dir = manifestDir(tableDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => versionOf(st.getPath.getName)).sorted
+  }
+
+  /** Relative data paths of manifest version `v`. */
+  def pathsOf(fs: FileSystem, tableDir: String, v: Long): Seq[String] = {
+    val in = fs.open(new Path(manifestDir(tableDir), manifestName(v)))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Relative data paths of the LIVE (highest-committed) version; empty if
+    * the table has never been committed. */
+  def livePaths(fs: FileSystem, tableDir: String): Seq[String] =
+    versions(fs, tableDir).lastOption
+      .map(v => pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
+
+  /** Absolute data paths of the live version. */
+  def resolve(spark: SparkSession, tableDir: String): Seq[String] =
+    livePaths(fsOf(spark, tableDir), tableDir).map(p => s"$tableDir/$p")
+
+  /** The live table as a DataFrame (parquet over the resolved paths). The
+    * listed paths are leaf data dirs, so no partition column is inferred
+    * from them even when their names are `b=N`-shaped. */
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val paths = resolve(spark, tableDir)
+    require(paths.nonEmpty, s"no committed manifest at $tableDir")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Commit a new version whose table is exactly `relPaths`, then GC
+    * manifests/data outside the newest `retainGenerations` versions.
+    * Returns the committed version number. Data at `relPaths` must already
+    * be fully written. */
+  def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
+             retainGenerations: Int = 2): Long = {
+    val fs = fsOf(spark, tableDir)
+    val mdir = manifestDir(tableDir)
+    if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    val body = relPaths.mkString("", "\n", "\n").getBytes("UTF-8")
+    var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 100, s"manifest commit contention at $tableDir")
+      val tmp = new Path(mdir, manifestName(v) + s".tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      if (fs.rename(tmp, new Path(mdir, manifestName(v)))) committed = true
+      else { fs.delete(tmp, false); v += 1 } // slot taken by a racing writer
+    }
+    gc(fs, tableDir, retainGenerations)
+    v
+  }
+
+  /** Delete manifests older than the newest `retain` versions and any
+    * top-level data dir none of the retained manifests references.
+    * Runs after a successful commit, under the same single-writer
+    * assumption as the commit itself. */
+  private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
+    val vs = versions(fs, tableDir)
+    val (old, kept) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
+    val referenced: Set[String] =
+      kept.flatMap(v => pathsOf(fs, tableDir, v))
+        .map(_.split("/", 2).head).toSet
+    old.foreach(v => fs.delete(new Path(manifestDir(tableDir), manifestName(v)), false))
+    fs.listStatus(new Path(tableDir)).foreach { st =>
+      val n = st.getPath.getName
+      val protectedEntry = n.startsWith("_") || n.startsWith(".")
+      if (!protectedEntry && !referenced.contains(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Count data files (by suffix) under the live version's paths — used by
+    * S14 to report its before/after file counts through the same snapshot
+    * a reader would see. */
+  def liveFileCount(spark: SparkSession, tableDir: String,
+                    suffix: String = ".parquet"): Int = {
+    val fs = fsOf(spark, tableDir)
+    resolve(spark, tableDir).map { p =>
+      fs.listStatus(new Path(p)).count(_.getPath.getName.endsWith(suffix))
+    }.sum
+  }
+}

@@ -220,34 +220,35 @@ object Streams {
     * re-applying an identical batch always keeps the same row
     * (at-least-once delivery becomes effectively-once at the sink).
     *
-    * Merge cost is bounded by the BATCH, not the table: the standing
-    * table is hash-bucketed by `event_id` into `nBuckets` subdirs
-    * (`b=0..N-1`, a pure murmur3 function of the key, so a key always
-    * lands in the same bucket), the batch's touched-bucket set is
-    * computed first (≤ min(batch keys, N) buckets), and the
-    * anti-join/union/rewrite reads and rewrites ONLY those buckets —
-    * one Spark job writes every touched bucket's replacement via
-    * `partitionBy("b")`, untouched buckets are never opened. At 100 TB
-    * with a daily micro-batch this turns an O(table) rewrite into
-    * O(batch × table/N).
+    * Merge cost is bounded by the BATCH, not the table: rows are
+    * hash-bucketed by `event_id` into `nBuckets` buckets (a pure
+    * murmur3 function of the key, so a key always lands in the same
+    * bucket), the batch's touched-bucket set is computed first
+    * (≤ min(batch keys, N) buckets), and the anti-join/union/rewrite
+    * reads and rewrites ONLY those buckets — one Spark job writes
+    * every touched bucket's replacement via `partitionBy("b")` into a
+    * fresh immutable commit dir, untouched buckets are never opened.
+    * At 100 TB with a daily micro-batch this turns an O(table) rewrite
+    * into O(batch × table/N).
     *
-    * Each touched bucket's swap is retire-then-promote, never
-    * delete-then-promote: the old bucket dir is renamed aside, the
-    * staged dir renamed in, and a crash between the two renames is
-    * healed on the next call by promoting the retired copy back (the
-    * checkpoint then re-delivers the interrupted batch and the merge
-    * re-runs — idempotent, so a bucket that DID swap before the crash
-    * absorbs the redelivery as a no-op). A `_n_buckets` marker pins the
-    * bucket count at table creation — written BEFORE any data movement
-    * — so no call (or crash-interrupted call) can ever merge with a
-    * different modulus. Visibility: the swap is per-bucket, so a
-    * CONCURRENT reader can observe a mix of pre- and post-merge
-    * buckets (or briefly miss one mid-rename); this sink targets the
-    * sequential micro-batch owner, and cross-reader snapshot isolation
-    * is the same table-format swap point documented above. This is the poor engine's MERGE
-    * INTO over a poor engine's bucketed table — a transactional table
-    * format replaces the directory dance at scale, which is the swap
-    * point this method documents. */
+    * Commit is a single manifest-pointer swap ([[graft.sources.ManifestTable]]):
+    * the new manifest lists untouched buckets at their existing dirs
+    * and touched buckets at the just-written commit dir, and one
+    * atomic rename publishes it. A concurrent reader therefore sees
+    * the WHOLE table pre-merge or the whole table post-merge — never
+    * the mixed per-bucket view the previous retire-then-promote swap
+    * could expose, and never a mid-rename missing bucket. A crash
+    * anywhere before the manifest rename leaves only an unreferenced
+    * commit dir (swept by the next commit's GC); the checkpoint then
+    * re-delivers the batch and the merge re-runs — idempotent, so a
+    * batch that DID commit before the crash absorbs the redelivery as
+    * a no-op. A `_n_buckets` marker pins the bucket count at table
+    * creation — written BEFORE any data movement — so no call (or
+    * crash-interrupted call) can ever merge with a different modulus.
+    * Long-lived tables accrete commit dirs that are only partially
+    * live (a dir survives while ANY retained manifest references any
+    * bucket in it); S14's compaction pass is the maintenance answer,
+    * exactly as in the production table formats this mirrors. */
   def upsertBatch(batch: DataFrame, tableDir: String,
                   nBuckets: Int = 256): Unit = {
     val spark = batch.sparkSession
@@ -275,81 +276,59 @@ object Streams {
     val latest = batch
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
       .withColumn("b", bucketOf)
-    val stagingRoot = new org.apache.hadoop.fs.Path(tableDir + "__staging")
-    val retiredRoot = new org.apache.hadoop.fs.Path(tableDir + "__retired")
-    // heal any bucket whose previous swap crashed between retire and
-    // promote (bucket dir missing, retired copy intact); a retired copy
-    // WITH a live bucket dir is a post-promote leftover — drop it
-    if (fs.exists(retiredRoot))
-      fs.listStatus(retiredRoot).foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(tableDir, st.getPath.getName)
-        if (!fs.exists(live))
-          require(fs.rename(st.getPath, live), s"recovery rename failed: ${st.getPath}")
-        else require(fs.delete(st.getPath, true), s"stale retired bucket: ${st.getPath}")
-      }
-    // a half-written staging dir from a crashed previous apply is garbage
-    if (fs.exists(stagingRoot)) fs.delete(stagingRoot, true)
     // pin the modulus BEFORE any data movement: if the marker were
     // written only after a successful merge (as an earlier version did),
-    // a crash after buckets promote but before the marker exists would
-    // let the next call merge with a DIFFERENT default nBuckets —
-    // standing keys would be probed in the wrong bucket and duplicate
-    // rows would survive permanently. Marker-first closes that window
-    // (a marker with no data yet is harmless).
+    // a crash after a commit but before the marker exists would let the
+    // next call merge with a DIFFERENT default nBuckets — standing keys
+    // would be probed in the wrong bucket and duplicate rows would
+    // survive permanently. Marker-first closes that window (a marker
+    // with no data yet is harmless).
     if (!fs.exists(marker)) {
       if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
       val out = fs.create(marker)
       try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
     }
-    // the window-dedup feeds two jobs (touched-bucket collect + staging
+    // the window-dedup feeds two jobs (touched-bucket collect + commit
     // write); persist so the batch shuffles once, not twice
     latest.persist()
     try {
       // touched buckets: tiny driver list, bounded by min(batch keys, N)
       val touched = latest.select("b").distinct()
         .collect().map(_.getInt(0)).sorted
-      // ONE listStatus instead of one exists() RPC per touched bucket —
-      // on an object store at nBuckets=256 that is 256 HEAD round-trips
-      // of driver latency per micro-batch
-      val liveBuckets: Set[String] =
-        if (fs.exists(hadoopPath))
-          fs.listStatus(hadoopPath).map(_.getPath.getName)
-            .filter(_.startsWith("b=")).toSet
-        else Set.empty
-      val existing = touched.filter(b => liveBuckets.contains(s"b=$b"))
+      // live bucket → data dir, from ONE manifest read — no per-bucket
+      // exists() RPCs (on an object store at nBuckets=256 that would be
+      // 256 HEAD round-trips of driver latency per micro-batch)
+      val liveByBucket: Map[Int, String] =
+        graft.sources.ManifestTable.livePaths(fs, tableDir).map { rel =>
+          rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
+        }.toMap
+      val existing = touched.filter(liveByBucket.contains)
       // ONE job merges every touched bucket: standing rows from touched
       // buckets only (b re-derived from the key — bucket files don't store
-      // it), batch keys removed, batch appended, routed back to bucket
-      // dirs by partitionBy. Untouched buckets are never read or written.
+      // it), batch keys removed, batch appended, routed to bucket subdirs
+      // of a fresh commit dir by partitionBy. Untouched buckets are never
+      // read or written.
       val standing =
         if (existing.nonEmpty)
-          spark.read.parquet(existing.map(b => s"$tableDir/b=$b"): _*)
+          spark.read.parquet(existing.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
             .join(latest.select("event_id"), Seq("event_id"), "left_anti")
             .withColumn("b", bucketOf)
         else latest.limit(0)
+      val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
       standing.unionByName(latest)
-        .write.partitionBy("b").mode("overwrite").parquet(stagingRoot.toString)
-      if (!fs.exists(retiredRoot)) fs.mkdirs(retiredRoot)
-      touched.foreach { b =>
-        val live = new org.apache.hadoop.fs.Path(tableDir, s"b=$b")
-        val staged = new org.apache.hadoop.fs.Path(stagingRoot, s"b=$b")
-        val retired = new org.apache.hadoop.fs.Path(retiredRoot, s"b=$b")
-        if (fs.exists(retired))
-          require(fs.delete(retired, true), s"stale retired bucket not deletable: $retired")
-        if (fs.exists(live))
-          require(fs.rename(live, retired), s"retire rename failed: $live")
-        require(fs.rename(staged, live), s"promote rename failed: $staged")
-        fs.delete(retired, true) // best-effort; a leftover is healed next call
-      }
-      fs.delete(stagingRoot, true) // _SUCCESS etc.
+        .write.partitionBy("b").parquet(s"$tableDir/$cid")
+      val untouchedPaths = (liveByBucket -- touched).values.toSeq
+      val touchedPaths = touched.map(b => s"$cid/b=$b").toSeq
+      graft.sources.ManifestTable.commit(spark, tableDir,
+        (untouchedPaths ++ touchedPaths).sorted)
     } finally latest.unpersist()
   }
 
-  /** Read-back of an X9 table: partition discovery surfaces the bucket
-    * dirs as an int column `b`; drop it so consumers see the logical
-    * schema. (`_n_buckets` starts with `_`, so discovery ignores it.) */
+  /** Read-back of an X9 table: the live manifest's snapshot. The manifest
+    * names leaf `b=N` dirs directly, so no partition column is inferred —
+    * consumers see the logical schema. */
   def readUpserted(spark: SparkSession, tableDir: String): DataFrame =
-    spark.read.parquet(tableDir).drop("b")
+    graft.sources.ManifestTable.read(spark, tableDir)
 
   /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one
     * AvailableNow pass per call; the checkpoint makes re-runs skip

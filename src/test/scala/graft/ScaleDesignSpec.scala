@@ -460,4 +460,71 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(byDate < files.length, s"date filter prunes nothing: $byDate/${files.length}")
     assert(byCust < files.length, s"custkey filter prunes nothing: $byCust/${files.length}")
   }
+
+  test("manifest-pointer commit: a reader racing live swaps always sees a complete snapshot") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrace_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every committed version is a complete 500-row table distinguished
+    // by the constant column v: a clean snapshot has count=500 and
+    // sum(v) = 500*tag; a torn one (files from two versions, or a
+    // half-visible version) breaks one of those. Each version is staged
+    // to a FRESH dir before its commit, exactly as the S14/X9 call
+    // sites do — GC treats any pre-staged-but-unreferenced dir as a
+    // crashed writer's leftovers.
+    val nTags = 4
+    def stage(rel: String, tag: Int): Unit =
+      spark.range(500).select(col("id").as("k"), lit(tag.toLong).as("v"))
+        .repartition(3).write.parquet(s"$dir/$rel")
+    stage("c-init", 1)
+    ManifestTable.commit(spark, dir, Seq("c-init"), retainGenerations = 1000)
+    // staged-but-uncommitted data (a crashed writer) is invisible to readers
+    spark.range(99).toDF("k").write.parquet(s"$dir/c-staged-only")
+    assert(ManifestTable.read(spark, dir).count() == 500,
+      "uncommitted staged dir leaked into a read")
+    // race: the writer stages + swaps the pointer continuously while the
+    // reader scans; retention is effectively infinite here so the race
+    // isolates ATOMICITY (GC-vs-reader lifetime is a retention-policy
+    // knob, asserted separately below)
+    @volatile var stop = false
+    @volatile var writerErr: Throwable = null
+    val writer = new Thread(() => {
+      try {
+        var i = 1
+        while (!stop) {
+          val rel = s"c-it$i"
+          stage(rel, (i % nTags) + 1)
+          ManifestTable.commit(spark, dir, Seq(rel), retainGenerations = 1000)
+          i += 1
+        }
+      } catch { case t: Throwable => writerErr = t }
+    })
+    writer.start()
+    try {
+      (1 to 8).foreach { _ =>
+        val r = ManifestTable.read(spark, dir)
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).head
+        val (n, sv) = (r.getLong(0), r.getLong(1))
+        assert(n == 500, s"reader saw a partial snapshot: $n rows")
+        assert(sv % 500 == 0 && sv / 500 >= 1 && sv / 500 <= nTags,
+          s"reader saw a mixed snapshot: sum(v)=$sv")
+      }
+    } finally { stop = true; writer.join() }
+    assert(writerErr == null, s"racing writer failed: $writerErr")
+    // GC: two commits at retain=2 — live + previous generations survive,
+    // everything else (older versions, the crashed writer's staged dir,
+    // old manifests) is swept, and the live table is still complete.
+    stage("c-finA", 1)
+    ManifestTable.commit(spark, dir, Seq("c-finA"), retainGenerations = 2)
+    stage("c-finB", 2)
+    ManifestTable.commit(spark, dir, Seq("c-finB"), retainGenerations = 2)
+    val top = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
+    assert(top == Set("c-finA", "c-finB"), s"GC left/removed the wrong dirs: $top")
+    assert(ManifestTable.versions(fs, dir).length == 2, "old manifests not swept")
+    val fin = ManifestTable.read(spark, dir)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).head
+    assert(fin.getLong(0) == 500 && fin.getLong(1) == 1000L)
+  }
 }

@@ -291,14 +291,12 @@ class StreamingSpec extends SparkTestBase {
     def snapshot(): Map[Long, (String, Double)] =
       Streams.readUpserted(spark, table).as[Event].collect()
         .map(e => e.event_id -> (e.event_type, e.value)).toMap
-    def bucketFiles(): Map[String, Set[String]] = {
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(new org.apache.hadoop.fs.Path(table))
-        .filter(_.getPath.getName.startsWith("b="))
-        .map(st => st.getPath.getName ->
-          fs.listStatus(st.getPath).map(_.getPath.getName).toSet).toMap
-    }
+    def tableFs() = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // live bucket name -> the data dir the manifest points it at
+    def bucketMap(): Map[String, String] =
+      graft.sources.ManifestTable.livePaths(tableFs(), table)
+        .map(rel => rel.substring(rel.lastIndexOf("b=")) -> rel).toMap
     // batch 1: two fresh keys
     val b1 = Seq(ev(1, "10:00", 7, "click"), ev(2, "10:01", 7, "view")).toDF()
     Streams.upsertBatch(b1, table, nB)
@@ -322,19 +320,25 @@ class StreamingSpec extends SparkTestBase {
     in.addData(Event(4L, ts("10:07"), 9L, "signup", 0.0))
     Streams.upsertSink(in.toDF(), table, s"$base/ckpt", nB)
     assert(snapshot().keySet == Set(1L, 2L, 3L, 4L))
-    // the merge must be bucket-scoped: a 1-key batch rewrites exactly the
-    // one bucket its key hashes to — every other bucket keeps the same
-    // parquet part-files on disk (task filenames are fresh per write, so
-    // an untouched file set proves the bucket was never rewritten). This
-    // is the O(batch) vs O(table) distinction at 100 TB.
-    val filesBefore = bucketFiles()
-    assert(filesBefore.size >= 2, s"fixture spans ${filesBefore.size} bucket(s); need ≥2")
+    // the merge must be bucket-scoped: a 1-key batch re-points exactly the
+    // one bucket its key hashes to at a fresh commit dir — every other
+    // bucket's manifest entry (and therefore its immutable data dir on
+    // disk) is carried over unchanged. This is the O(batch) vs O(table)
+    // distinction at 100 TB.
+    val mapBefore = bucketMap()
+    assert(mapBefore.size >= 2, s"fixture spans ${mapBefore.size} bucket(s); need ≥2")
     Streams.upsertBatch(Seq(Event(5L, ts("10:10"), 9L, "view", 2.0)).toDF(), table, nB)
-    val filesAfter = bucketFiles()
-    val rewritten = filesAfter.filter { case (b, fset) =>
-      filesBefore.get(b).forall(_ != fset) }.keySet
+    val mapAfter = bucketMap()
+    val rewritten = mapAfter.filter { case (b, p) =>
+      mapBefore.get(b).forall(_ != p) }.keySet
     assert(rewritten.size == 1,
       s"1-key batch rewrote ${rewritten.size} buckets: $rewritten")
+    // carried-over entries must still point at dirs that exist (GC must
+    // never sweep a dir the live manifest references)
+    mapAfter.values.foreach { rel =>
+      assert(tableFs().exists(new org.apache.hadoop.fs.Path(s"$table/$rel")),
+        s"live manifest references missing dir: $rel")
+    }
     // ties on (ts, value) must resolve deterministically: the same tied
     // batch applied twice keeps the same winner both times
     val tied = Seq(
@@ -349,20 +353,24 @@ class StreamingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Streams.upsertBatch(tied, table, nB * 2)
     }
-    // crash healing: simulate dying between retire and promote (one
-    // bucket dir gone, its retired copy present) — the next apply must
-    // promote the retired bucket back before merging
-    val fs = new org.apache.hadoop.fs.Path(table)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash healing: a writer that died AFTER staging its commit dir but
+    // BEFORE the manifest rename leaves an orphan c- dir. It must be
+    // invisible to readers immediately (they resolve through the
+    // manifest), the table must merge correctly past it, and the next
+    // successful commit's GC must sweep it.
+    val fs = tableFs()
     val before = snapshot()
-    val victim = bucketFiles().keySet.head
-    fs.mkdirs(new org.apache.hadoop.fs.Path(table + "__retired"))
-    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$table/$victim"),
-      new org.apache.hadoop.fs.Path(s"${table}__retired/$victim")))
+    val orphan = new org.apache.hadoop.fs.Path(s"$table/c-orphan/b=0")
+    fs.mkdirs(orphan)
+    val junk = fs.create(new org.apache.hadoop.fs.Path(orphan, "junk.parquet"))
+    try junk.write(Array[Byte](1, 2, 3)) finally junk.close()
+    assert(snapshot() == before, "orphan staged dir leaked into reads")
     Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table, nB)
     val healed = snapshot()
     assert(healed.keySet == before.keySet + 7L,
-      s"recovery lost keys: ${before.keySet -- healed.keySet}")
+      s"merge past orphan lost keys: ${before.keySet -- healed.keySet}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/c-orphan")),
+      "commit GC left the crashed writer's orphan dir behind")
   }
 
   test("X10: stream-stream interval join matches clicks within the 30-min window") {
