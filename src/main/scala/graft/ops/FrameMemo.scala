@@ -13,8 +13,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * FS metadata only, no data read). If the data under `dir` changes
   * within a session the fingerprint differs, the stale entry is
   * unpersisted and the frame recomputed — no immutable-dir assumption.
-  * Entries whose session has stopped are swept on the next lookup so
-  * cached blocks aren't pinned past the owning session's lifetime.
+  * Entries whose session has stopped are swept on the next lookup AND
+  * by an application-end listener (registered the first time a session
+  * touches the memo), so an idle memo can't pin a stopped session's
+  * entries for the JVM lifetime.
   * Per-(session, dir) lock objects so two sessions (or two dirs) never
   * serialize each other's build — only concurrent callers on the SAME
   * entry coordinate. A stale entry is unpersisted while a racing
@@ -25,8 +27,19 @@ private[ops] final class FrameMemo(table: String)(
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, DataFrame)]
+  // lock entries are NEVER removed: sweeping them could strand a builder
+  // that currently holds one while a later caller on the same key mints a
+  // fresh lock and runs concurrently. The map is bounded by the number of
+  // distinct (session, dir) pairs the JVM ever sees — a handful of bare
+  // Objects — so leaving them to die with the map is the correct trade.
   private val locks =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]
+  // sessions whose application-end listener is already registered; the
+  // listener drops this memo's strong refs to the stopped session's
+  // entries (their cached blocks died with the executors), so an idle
+  // memo doesn't pin a stopped SparkSession for the JVM lifetime
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.SparkContext]
 
   /** Digest of the `table` listing under `d` — cheap driver-side FS
     * metadata only, no data read. */
@@ -41,7 +54,12 @@ private[ops] final class FrameMemo(table: String)(
 
   def apply(s: SparkSession, d: String): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    locks.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (registered.add(s.sparkContext))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+      })
     val key = (s, d)
     locks.computeIfAbsent(key, _ => new Object).synchronized {
       val fp = dirFingerprint(s, d)

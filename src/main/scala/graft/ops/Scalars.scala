@@ -300,7 +300,7 @@ object Scalars {
   val oracle: Map[String, String] = Map(
     "f1_regex" ->
       """SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_token,
-         len(regexp_extract_all(text, '(the|an?)\b')) AS n_articles,
+         CAST(len(regexp_extract_all(text, '(the|an?)\b')) AS INT) AS n_articles,
          regexp_replace(text, '\d+', '#', 'g') AS digits_masked
          FROM documents WHERE doc_id <= 200 ORDER BY doc_id""",
     "f2_filename_parse" ->

@@ -1619,7 +1619,7 @@ object TextVector {
            SELECT q_id, c_id, sim,
              row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk
            FROM sims)
-         SELECT q_id, rnk, c_id, round(sim, 4) AS cos_sim
+         SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, round(sim, 4) AS cos_sim
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "t6_topk_nn_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1640,7 +1640,7 @@ object TextVector {
            WHERE q.vec_id < 10),
          r AS (SELECT q_id, c_id, sim,
            row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rnk FROM sims)
-         SELECT q_id, rnk, c_id, round(sim, 4) AS cos_sim
+         SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, round(sim, 4) AS cos_sim
          FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "t7_profile" ->
       """SELECT lang, source, count(*) AS n_docs,
@@ -1743,7 +1743,8 @@ object TextVector {
          SELECT doc_id, n_chars, n_toks, avg_tok_len, stopword_ratio,
            round((CASE WHEN n_chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
              + (CASE WHEN avg_tok_len BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END)
-             + (CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+             + (CASE WHEN stopword_ratio > 0.01 THEN 0.2 ELSE 0.0 END), 2)
+             ::DOUBLE AS quality_score
          FROM m ORDER BY doc_id""",
     "t15_token_count" ->
       """SELECT doc_id,
@@ -2171,7 +2172,7 @@ object TextVector {
              row_number() OVER (PARTITION BY q_id
                ORDER BY d2x ASC, c_id ASC) AS rnk
            FROM rerank)
-         SELECT q_id, rnk, c_id, round(d2x, 4) AS l2_dist
+         SELECT q_id, CAST(rnk AS INT) AS rnk, c_id, round(d2x, 4) AS l2_dist
          FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "t32_url_filter" ->
       """WITH docs AS (

@@ -143,7 +143,8 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "w1_rank" ->
-      """SELECT c_nationkey, rn, rnk, drnk, c_custkey, c_acctbal FROM (
+      """SELECT c_nationkey, CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+           CAST(drnk AS INT) AS drnk, c_custkey, c_acctbal FROM (
            SELECT c_nationkey, c_custkey, c_acctbal,
              row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
            FROM customer
@@ -165,7 +166,7 @@ object Windows {
          FROM orders ORDER BY o_custkey, o_orderkey""",
     "w4_distribution" ->
       """SELECT s_nationkey, s_suppkey,
-           ntile(4) OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
            round(cume_dist() OVER w, 6) AS cume
          FROM supplier
@@ -186,7 +187,7 @@ object Windows {
            SELECT o_custkey, o_orderkey, o_orderdate, attr FROM src
            WHERE prev_attr IS NULL OR prev_attr <> attr)
          SELECT o_custkey,
-           row_number() OVER w AS version,
+           CAST(row_number() OVER w AS INT) AS version,
            attr,
            o_orderdate AS effective_from,
            lead(o_orderdate, 1) OVER w AS effective_to,

@@ -42,7 +42,15 @@ def close(a, b):
     return a == b
 
 def duck_types(con, query):
-    """Column-name → DuckDB type string for `query` (planning only)."""
+    """Column-name → DuckDB type string for `query` (planning only).
+
+    Limitation: the dtype gate compares DESCRIBE of the oracle SQL against
+    DuckDB's reading of the Spark parquet output, so it only catches type
+    gaps DuckDB's parquet reader preserves. Distinctions it erases (e.g.
+    TIMESTAMP_NTZ vs TIMESTAMP, parquet logical-type nuances) could still
+    diverge in the driver's typed hash — a good approximation, not a
+    guarantee. An exact check would compare a Spark-declared schema dump
+    (schema.json next to each result) instead."""
     return {r[0]: r[1] for r in con.sql(f"DESCRIBE {query}").fetchall()}
 
 def main(sfdir, outdir):
