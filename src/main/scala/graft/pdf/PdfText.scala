@@ -37,10 +37,13 @@ import scala.collection.mutable.ArrayBuffer
   * different glyphs (the old documented collision) now decode
   * correctly by scope.
   *
-  * Known limitations (documented per TEST:63): CID codes inside literal
-  * `(…)` strings are not mapped (CID generators emit hex strings). The
-  * UDF signature (`Array[Byte] => Seq[String]`) is the swap point for
-  * PDFBox/Tika where dependencies exist.
+  * Literal `(…)` strings under an active CID font decode through that
+  * font's CMap as well (all-codes-map gated, strictly font-scoped: a
+  * literal outside any `Tf` scope keeps its Latin-1 reading, since
+  * unscoped literals are ordinary text while hex strings remain the
+  * CID generators' native emission and retain the merged fallback).
+  * The UDF signature (`Array[Byte] => Seq[String]`) is the swap point
+  * for PDFBox/Tika where dependencies exist.
   */
 object PdfText extends Serializable {
 
@@ -407,7 +410,15 @@ object PdfText extends Serializable {
             j += 1
           } else { buf.append(ch.toChar); j += 1 }
         }
-        pending.append(buf)
+        // under an active CID font, a literal string's bytes are 2-byte
+        // codes too (some generators emit `(…)` instead of hex) — decode
+        // through THAT font's CMap only, all-codes-map gated. No merged
+        // fallback for literals: unlike hex strings (the CID generators'
+        // native emission), a literal outside any Tf scope is ordinary
+        // text and must stay byte-for-byte Latin-1.
+        pending.append(
+          if (active.isDefined) decodeCid(buf.toString, active, Map.empty)
+          else buf)
         i = j
       } else if (c == '<' && i + 1 < n && (cs(i + 1) & 0xff) != '<') {
         // hex string <48656c6c6f>: digit pairs → bytes, whitespace

@@ -217,6 +217,34 @@ class ExtractionSpec extends SparkTestBase {
     assert(pages == Seq("X Y"), pages.mkString("|"))
   }
 
+  test("CID codes in literal (…) strings decode through the active font's CMap") {
+    // the same 2-byte codes a generator would emit as <00410042>, here as
+    // a literal string with octal-escaped high bytes: (\000A\000B). Under
+    // the active CID font they must decode (0041→H, 0042→i); a plain
+    // ASCII literal under the SAME font has unmapped pairs (OK = 0x4F4B)
+    // and must stay Latin-1; with no font active a two-byte-looking
+    // literal must also stay raw (no merged fallback for literals).
+    val cmap = bfchar("0041" -> "0048", "0042" -> "0069")
+    val content = "BT /F1 10 Tf (\\000A\\000B) Tj (OK) Tj ET"
+    val pdf =
+      objPlain(1, "<< /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >>") ++
+        objStream(2, "<< >>", content) ++
+        objPlain(3, "<< /Type /Font /ToUnicode 4 0 R >>") ++
+        objStream(4, "<< >>", cmap)
+    assert(PdfText.pages(pdf) == Seq("Hi OK"), PdfText.pages(pdf).mkString("|"))
+    val noTf = "BT (\\000A\\000B) Tj ET"
+    val pdf2 =
+      objPlain(1, "<< /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >>") ++
+        objStream(2, "<< >>", noTf) ++
+        objPlain(3, "<< /Type /Font /ToUnicode 4 0 R >>") ++
+        objStream(4, "<< >>", cmap)
+    val raw = PdfText.pages(pdf2)
+    // normalize() trims the leading NUL byte (String.trim strips <= 0x20);
+    // the embedded one survives as \u0000 — the point is only that no
+    // CMap rewrite happened without a Tf scope
+    assert(raw == Seq("A\u0000B"), raw.mkString("|"))
+  }
+
   test("per-font scoping falls back to the merged map when no font is active") {
     // same structure but the show op never sets a font — the document
     // path must keep the pre-scoping behavior (merged map, first wins)
