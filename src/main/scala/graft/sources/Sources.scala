@@ -208,13 +208,11 @@ object Sources {
     *     land on the local tmp FS here; a cluster deployment would open
     *     `FileSystem.create` instead of `java.io.File` (the only
     *     non-portable line).
-    *   - source: `binaryFile` lists the container files as (path,
-    *     content) rows and a `flatMap` decodes each with
-    *     `DataFileReader` over `SeekableByteArrayInput` — each file
-    *     decodes in the task that read it, nothing funnels through the
-    *     driver. Avro containers are block-splittable in principle;
-    *     file-granular parallelism is the honest ceiling without the
-    *     connector's split machinery.
+    *   - source: [[readAvroOrders]] — byte-range splits at Avro sync
+    *     markers, one task per split, so even a single huge container
+    *     fans out across executors (the connector's block-split
+    *     behavior rebuilt on avro-core seek/sync/pastSync; the old
+    *     file-granular ceiling is gone).
     *
     * The roundtrip aggregate is order-insensitive and the oracle reads
     * the corpus directly, so a value or type mangled by either
@@ -245,18 +243,65 @@ object Sources {
           } finally w.close()
         }
       }
+    val back = readAvroOrders(s, dir)
+    back.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** One Avro container split: a Hadoop-style (path, start, end) byte
+    * range. Ownership contract is avro-mapred's: a reader syncs to the
+    * first block boundary at/after `start` and reads while not past the
+    * sync point after `end`, so every block belongs to exactly one
+    * split — no duplication, no loss, whatever the range cuts. */
+  private[graft] case class AvroSplit(path: String, start: Long, end: Long)
+
+  /** Enumerate byte-range splits over the `.avro` files under `dir` —
+    * the driver-side metadata pass every FileInputFormat performs
+    * (file list + lengths only; no data is read on the driver). */
+  private[graft] def avroSplits(s: SparkSession, dir: String,
+                                splitBytes: Long): Seq[AvroSplit] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(_.getPath.getName.endsWith(".avro")).toSeq
+      .sortBy(_.getPath.getName)
+      .flatMap { st =>
+        val len = st.getLen
+        val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+        (0L until n).map(i => AvroSplit(st.getPath.toString,
+          i * splitBytes, math.min(len, (i + 1) * splitBytes)))
+      }
+  }
+
+  /** Distributed Avro read with BLOCK-level parallelism: one task per
+    * byte-range split rather than per file, so a single large container
+    * fans out across the cluster — the spark-avro connector's split
+    * behavior rebuilt on avro-core's own seek/sync/pastSync (the same
+    * triple avro-mapred's AvroRecordReader uses, so the block-ownership
+    * contract is the battle-tested one). Each task opens the file via
+    * FsInput, syncs to its range, and decodes only its blocks; nothing
+    * funnels through the driver. `splitBytes` defaults to the usual
+    * 128 MB HDFS-block target; tests shrink it to prove one file spans
+    * many tasks. */
+  private[graft] def readAvroOrders(s: SparkSession, dir: String,
+                                    splitBytes: Long = 128L << 20): DataFrame = {
     import s.implicits._
-    val back = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.avro").load(dir)
-      .select(col("content")).as[Array[Byte]]
-      .flatMap { bytes =>
-        val rdr = new org.apache.avro.file.DataFileReader(
-          new org.apache.avro.file.SeekableByteArrayInput(bytes),
+    val splits = avroSplits(s, dir, splitBytes)
+    s.createDataset(splits)
+      .repartition(math.max(1, math.min(splits.length, 32)))
+      .flatMap { sp =>
+        val in = new org.apache.avro.mapred.FsInput(
+          new org.apache.hadoop.fs.Path(sp.path),
+          new org.apache.hadoop.conf.Configuration())
+        val rdr = org.apache.avro.file.DataFileReader.openReader(in,
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
         try {
+          rdr.sync(sp.start)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
-          while (rdr.hasNext) {
+          while (rdr.hasNext && !rdr.pastSync(sp.end)) {
             val rec = rdr.next()
             out += ((rec.get("o_orderkey").asInstanceOf[Long],
               rec.get("o_orderstatus").toString,
@@ -266,11 +311,6 @@ object Sources {
         } finally rdr.close()
       }
       .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
-    back.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total_price"),
-        sum(col("o_orderkey")).as("key_checksum"))
-      .orderBy("o_orderstatus")
   }
 
   /** Morton/Z-value of two bucket ordinals: interleave the low `bits`

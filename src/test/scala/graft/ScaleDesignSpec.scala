@@ -461,6 +461,43 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(byCust < files.length, s"custkey filter prunes nothing: $byCust/${files.length}")
   }
 
+  test("s15: avro sync-marker splits — one container fans out to >1 task, no dup/loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avrosplit_").toString
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"OrderRow","fields":[
+         {"name":"o_orderkey","type":"long"},
+         {"name":"o_orderstatus","type":"string"},
+         {"name":"o_totalprice","type":"double"}]}""")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](schema))
+    w.setSyncInterval(512) // tiny blocks → many sync markers in one file
+    w.create(schema, new java.io.File(s"$dir/one.avro"))
+    (1L to 3000L).foreach { k =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("o_orderkey", k)
+      rec.put("o_orderstatus", if (k % 2 == 0) "O" else "F")
+      rec.put("o_totalprice", k * 1.5)
+      w.append(rec)
+    }
+    w.close()
+    // the single file must enumerate to many splits at a small target...
+    val splits = sources.Sources.avroSplits(spark, dir, splitBytes = 4096)
+    assert(splits.length > 4, s"expected >4 splits, got ${splits.length}")
+    // ...and the split read must see every row exactly once — the
+    // sync/pastSync ownership contract across arbitrary range cuts
+    val viaSplits = sources.Sources.readAvroOrders(spark, dir, splitBytes = 4096)
+      .select("o_orderkey").as[Long].collect().sorted
+    assert(viaSplits.length == 3000,
+      s"split read returned ${viaSplits.length} rows (dup or loss)")
+    assert(viaSplits.toSeq == (1L to 3000L),
+      "split read changed the row set")
+    // whole-file read (one split) agrees
+    val whole = sources.Sources.readAvroOrders(spark, dir)
+      .agg(count(lit(1)), sum(col("o_orderkey")), round(sum(col("o_totalprice")), 2)).head
+    assert(whole.getLong(0) == 3000 && whole.getLong(1) == 3000L * 3001 / 2)
+  }
+
   test("manifest-pointer commit: a reader racing live swaps always sees a complete snapshot") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("graft_mrace_").toString
