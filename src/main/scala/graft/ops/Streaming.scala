@@ -65,9 +65,11 @@ object Streaming {
     * function of the row, so both engines derive the identical order).
     * The watermark before each arrival is max(event time) over all
     * strictly-earlier arrivals minus 10 min; a row is late iff its event
-    * time is below that — the same rule `withWatermark("ts", "10
-    * minutes")` applies at finalization (Streams.tumblingCounts,
-    * MemoryStream-tested). The arrival-order running max — inherently a
+    * time is below that — the ROW-level watermark rule, exactly what the
+    * stateful operators enforce when filtering input (StreamingSpec
+    * proves row-for-row parity against a row-at-a-time MemoryStream).
+    * Windowed finalization (Streams.tumblingCounts) compares the same
+    * watermark against the WINDOW end — coarser by at most one window. The arrival-order running max — inherently a
     * sequential definition — is computed scalably in two levels: a
     * partitioned window inside per-hour arrival buckets, plus a
     * cross-bucket prefix on the one-row-per-hour frame (the only
@@ -104,9 +106,12 @@ object Streaming {
     * `dropDuplicatesWithinWatermark("event_id")` with a 10-min watermark
     * keeps a key's state until the watermark passes firstSeen + 10 min,
     * and on an event-time-sorted feed the watermark at a redelivery with
-    * event time t is t − 10 min — so a duplicate is dropped iff it
-    * arrives within 2×10 min of the original's event time: the +5 min
-    * redeliveries die, the +30 min ones survive (state already evicted,
+    * event time t is t − 10 min (the continuous-arrival limit:
+    * micro-batching lags it by at most one inter-arrival gap, seconds
+    * here vs the 10–15 min margins the feed's offsets leave) — so a
+    * duplicate is dropped iff it arrives within 2×10 min of the
+    * original's event time: the +5 min redeliveries die, the +30 min
+    * ones survive (state already evicted,
     * exactly the at-least-once seam the streaming API documents). That
     * closed-form rule is what this batch twin computes, with one
     * partitioned min-window per key — no sequential scan needed. */

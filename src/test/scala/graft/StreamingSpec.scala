@@ -373,6 +373,67 @@ class StreamingSpec extends SparkTestBase {
       "commit GC left the crashed writer's orphan dir behind")
   }
 
+  test("X4 parity: the batch drop rule matches streaming row-for-row (row-at-a-time feed)") {
+    implicit val ctx = spark.sqlContext
+    // jittered arrivals with UNIQUE keys: dropDuplicatesWithinWatermark
+    // never drops a fresh key for dedup reasons, so what it drops is
+    // exactly the rows older than the watermark — the row-level rule
+    // x4_late_data computes. One micro-batch per row makes the streaming
+    // watermark equal the batch form's strictly-previous-arrivals max.
+    val arrivals: Seq[(Long, Int)] = Seq( // (event_id, event-time minute)
+      1L -> 0, 2L -> 2, 3L -> 4, 4L -> 30, 5L -> 6, 6L -> 25, 7L -> 12,
+      8L -> 40, 9L -> 28, 10L -> 45, 11L -> 36, 12L -> 44, 13L -> 33,
+      14L -> 50, 15L -> 39)
+    def minuteTs(m: Int) = new Timestamp(ts("10:00").getTime + m * 60000L)
+    // the batch rule, computed independently: late iff ts < runningMax(prev) - 10
+    var mx = Int.MinValue
+    val expectDropped = arrivals.flatMap { case (id, m) =>
+      val late = mx != Int.MinValue && m < mx - 10
+      mx = math.max(mx, m)
+      if (late) Some(id) else None
+    }.toSet
+    assert(expectDropped.nonEmpty && expectDropped.size < arrivals.size,
+      s"fixture degenerate: $expectDropped")
+    val in = MemoryStream[Event]
+    val q = Streams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("x4par")
+      .outputMode(OutputMode.Append).start()
+    try {
+      arrivals.foreach { case (id, m) =>
+        in.addData(Event(id, minuteTs(m), 1L, "click", 1.0))
+        q.processAllAvailable()
+      }
+      val kept = spark.table("x4par").select($"event_id").as[Long].collect().toSet
+      assert(kept == arrivals.map(_._1).toSet -- expectDropped,
+        s"streaming kept $kept, batch rule expected dropped $expectDropped")
+    } finally q.stop()
+  }
+
+  test("X5 parity: the 2×delay closed form matches dropDuplicatesWithinWatermark on a dense feed") {
+    implicit val ctx = spark.sqlContext
+    // 30 originals one minute apart, plus two redeliveries mirroring the
+    // x5_stream_dedup feed: +5 min (state alive → dropped) and +30 min
+    // (state evicted → kept). Event-time-sorted, one row per micro-batch
+    // — the continuous-arrival limit the closed form models.
+    def minuteTs(m: Int) = new Timestamp(ts("10:00").getTime + m * 60000L)
+    val originals = (0 until 30).map(i => Event(100L + i, minuteTs(i), 1L, "view", 1.0))
+    val dupEarly = Event(100L, minuteTs(5), 1L, "view", 1.0)   // 5 < 0+20 → drop
+    val dupLate = Event(105L, minuteTs(35), 1L, "view", 1.0)   // 35 > 5+20 → keep
+    val feed = (originals :+ dupEarly :+ dupLate).sortBy(_.ts.getTime)
+    val in = MemoryStream[Event]
+    val q = Streams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("x5par")
+      .outputMode(OutputMode.Append).start()
+    try {
+      feed.foreach { e => in.addData(e); q.processAllAvailable() }
+      val counts = spark.table("x5par").groupBy($"event_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(counts(100L) == 1, s"+5min redelivery survived: $counts")
+      assert(counts(105L) == 2, s"+30min redelivery was dropped: $counts")
+      assert(counts.values.sum == 31, s"unexpected total: $counts")
+    } finally q.stop()
+  }
+
   test("X10: stream-stream interval join matches clicks within the 30-min window") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[Event]
