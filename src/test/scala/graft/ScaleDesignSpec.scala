@@ -498,6 +498,38 @@ class ScaleDesignSpec extends SparkTestBase {
     assert(whole.getLong(0) == 3000 && whole.getLong(1) == 3000L * 3001 / 2)
   }
 
+  test("manifest commit: racing writers serialize through the version-slot retry") {
+    import graft.sources.ManifestTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_mwriters_").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // both writers reference the same pre-staged dir so GC never races
+    // the data (single-writer is the documented model; this asserts the
+    // SAFETY NET: two writers colliding on a version slot must both
+    // commit, at distinct versions, with the loser retrying — never a
+    // lost or corrupt manifest)
+    spark.range(10).toDF("k").write.parquet(s"$dir/c-shared")
+    val perThread = 20
+    val versions = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]
+    val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try (1 to perThread).foreach { _ =>
+          versions.add(ManifestTable.commit(spark, dir, Seq("c-shared"),
+            retainGenerations = 1000))
+        } catch { case t: Throwable => errs.compareAndSet(null, t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.get() == null, s"writer failed: ${errs.get()}")
+    assert(versions.size == 2 * perThread,
+      s"expected ${2 * perThread} distinct versions, got ${versions.size}")
+    import scala.jdk.CollectionConverters._
+    assert(ManifestTable.versions(fs, dir).toSet == versions.asScala.toSet,
+      "manifest list diverges from the versions commit() returned")
+    assert(ManifestTable.read(spark, dir).count() == 10)
+  }
+
   test("manifest-pointer commit: a reader racing live swaps always sees a complete snapshot") {
     import graft.sources.ManifestTable
     val dir = java.nio.file.Files.createTempDirectory("graft_mrace_").toString
