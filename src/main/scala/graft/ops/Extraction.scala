@@ -150,19 +150,45 @@ object Extraction {
     * would silently break the join. */
   private val docHashRe = "__([0-9A-F]{8})\\.pdf$"
 
-  /** The shared PDF source: binaryFile scan → per-page text array via
-    * the zero-dep PdfText UDF. Both the row extraction (pdf_extract)
-    * and the whole-document forms (pdf_project_meta / pdf_economics)
-    * derive from this one definition, so the read options and the UDF
-    * are specified exactly once. */
+  /** Per-stream decode work routed through Spark: filename + one
+    * [[PdfText.StreamTask]]'s fields (binary body, nested font maps —
+    * all standard encoders). Not `private`: the encoder's generated
+    * projection code needs public access to the constructor. */
+  case class PdfStreamWork(filename: String, idx: Int,
+    body: Array[Byte], fonts: Map[String, Map[Int, String]],
+    merged: Map[Int, String])
+
+  /** The shared PDF source with WITHIN-document parallelism: binaryFile
+    * scan → stage A per document (object graph, font contexts, merged
+    * CMap — needs the whole file, one task per doc) → repartition the
+    * per-stream tasks → stage B decodes each page's text wherever its
+    * task lands → reassemble per-doc page arrays in document order.
+    * A 500-page report fans its pages across the cluster instead of
+    * serializing one task (the shuffled volume is ≈ the inflated
+    * document size, carried once). Both the row extraction
+    * (pdf_extract) and the whole-document forms (pdf_project_meta /
+    * pdf_economics) derive from this one definition, so the read
+    * options and the decode path are specified exactly once. */
   private def pdfPages(s: SparkSession): DataFrame = {
-    val pagesUdf = udf((b: Array[Byte]) => PdfText.pages(b))
+    import s.implicits._
     s.read.format("binaryFile")
       .option("pathGlobFilter", "*.pdf")
       .load("/root/reference/data")
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
-        pagesUdf(col("content")).as("pages"))
+        col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (fn, bytes) =>
+        PdfText.streamTasks(bytes)
+          .map(t => PdfStreamWork(fn, t.idx, t.body, t.fonts, t.merged)) }
+      .repartition(s.sparkContext.defaultParallelism)
+      .map(w => (w.filename, w.idx,
+        PdfText.streamText(PdfText.StreamTask(w.idx, w.body, w.fonts, w.merged)).orNull))
+      .toDF("filename", "idx", "txt")
+      .filter(col("txt").isNotNull)
+      .groupBy(col("filename"))
+      .agg(expr("transform(array_sort(collect_list(struct(idx, txt))), p -> p.txt)")
+        .as("pages"))
   }
 
   /** Whole-document text, whitespace-flattened, one row per PDF. */

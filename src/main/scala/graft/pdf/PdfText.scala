@@ -47,30 +47,51 @@ import scala.collection.mutable.ArrayBuffer
   */
 object PdfText extends Serializable {
 
-  /** Extract per-content-stream text blocks ("pages": the corpus emits
-    * one content stream per page). Streams are enumerated in document
-    * order either way; when the file carries an object structure the
-    * per-stream font context scopes CID decoding, otherwise the
+  /** One content stream's decode work with everything document-global
+    * already resolved (inflated body, the stream's font→CMap scope, the
+    * document-merged CMap): the unit of WITHIN-document parallelism —
+    * [[streamText]] needs nothing else, so a 500-page document's pages
+    * can decode on different executors instead of serializing one task.
+    * All fields have standard Spark encoders (binary + nested maps), so
+    * a `Dataset[StreamTask]`-shaped row shuffles freely; total shuffled
+    * bytes ≈ the document's inflated size, not size × streams. */
+  case class StreamTask(idx: Int, body: Array[Byte],
+                        fonts: Map[String, Map[Int, String]],
+                        merged: Map[Int, String])
+
+  /** Stage A (document-global, one pass per document): object graph,
+    * per-stream font contexts, merged CMap — everything that needs the
+    * WHOLE file — emitted as independently-decodable [[StreamTask]]s in
+    * document order. When the file carries an object structure the
+    * per-stream font context scopes CID decoding; otherwise the
     * merged-CMap path stands alone (mini fixtures, damaged files). */
-  def pages(bytes: Array[Byte]): Seq[String] = {
+  def streamTasks(bytes: Array[Byte]): Seq[StreamTask] = {
     val objs = parseObjects(bytes)
     val withStreams = objs.values.filter(_.stream.isDefined).toSeq.sortBy(_.offset)
-    val (ordered, fontCtx) =
+    val ordered =
       if (withStreams.nonEmpty) {
         val ctx = fontContexts(objs)
-        (withStreams.map(o => (o.stream.get, ctx.getOrElse(o.num, Map.empty[String, Map[Int, String]]))),
-          true)
-      } else (inflatedStreams(bytes).map(cs => (cs, Map.empty[String, Map[Int, String]])), false)
+        withStreams.map(o =>
+          (o.stream.get, ctx.getOrElse(o.num, Map.empty[String, Map[Int, String]])))
+      } else inflatedStreams(bytes).map(cs => (cs, Map.empty[String, Map[Int, String]]))
     val merged = toUnicodeMap(ordered.map(_._1))
-    val out = ArrayBuffer.empty[String]
-    ordered.foreach { case (cs, fonts) =>
-      if (containsShowOp(cs)) {
-        val t = extractText(cs, if (fontCtx) fonts else Map.empty, merged)
-        if (t.exists(!_.isWhitespace)) out += normalize(t)
-      }
-    }
-    out.toSeq
+    ordered.zipWithIndex.map { case ((cs, fonts), i) => StreamTask(i, cs, fonts, merged) }
   }
+
+  /** Stage B (per stream, location-free): one task's text block, None
+    * for non-text streams (no show operators / whitespace-only). */
+  def streamText(t: StreamTask): Option[String] =
+    if (containsShowOp(t.body)) {
+      val txt = extractText(t.body, t.fonts, t.merged)
+      if (txt.exists(!_.isWhitespace)) Some(normalize(txt)) else None
+    } else None
+
+  /** Extract per-content-stream text blocks ("pages": the corpus emits
+    * one content stream per page) — the single-task composition of
+    * [[streamTasks]] + [[streamText]], so the golden fixtures pin both
+    * halves of the distributed path too. */
+  def pages(bytes: Array[Byte]): Seq[String] =
+    streamTasks(bytes).flatMap(streamText(_))
 
   /** One indirect object: number, dict text (body before any stream
     * keyword, ISO-8859-1), inflated stream if present, byte offset. */
