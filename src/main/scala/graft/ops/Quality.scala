@@ -14,16 +14,37 @@ import org.apache.spark.sql.functions._
 object Quality {
 
   /** DQ1: referential integrity — orphan foreign keys across the star
-    * schema. All zeros on the healthy corpus; non-zero = broken load. */
+    * schema. All zeros on the healthy corpus; non-zero = broken load.
+    * The three lineitem FK checks share ONE fact scan: left-join all
+    * three dims (each key side is unique, so row count is preserved and
+    * a null PK after the join ≡ anti-join membership) and count nulls
+    * per relation in a single aggregate — at 100 TB that is one pass
+    * over the big fact instead of three. orders→customer and
+    * customer→nation are their own (much smaller) single passes. */
   def dq1_referential_integrity(s: SparkSession, d: String): DataFrame = {
     def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String, label: String) =
       fact.select(col(fk)).join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("n_orphans")).select(lit(label).as("relation"), col("n_orphans"))
-    orphans(lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey", "lineitem->orders")
+    def nullCount(pk: String) =
+      coalesce(sum(when(col(pk).isNull, 1L).otherwise(0L)), lit(0L))
+    val liChecks = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(part(s, d).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(supplier(s, d).select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(nullCount("o_orderkey").as("to_orders"),
+        nullCount("p_partkey").as("to_part"),
+        nullCount("s_suppkey").as("to_supplier"))
+      .selectExpr("""stack(3,
+        'lineitem->orders', to_orders,
+        'lineitem->part', to_part,
+        'lineitem->supplier', to_supplier) AS (relation, n_orphans)""")
+    liChecks
       .unionByName(orphans(orders(s, d), "o_custkey", customer(s, d), "c_custkey", "orders->customer"))
       .unionByName(orphans(customer(s, d), "c_nationkey", nation(s, d), "n_nationkey", "customer->nation"))
-      .unionByName(orphans(lineitem(s, d), "l_partkey", part(s, d), "p_partkey", "lineitem->part"))
-      .unionByName(orphans(lineitem(s, d), "l_suppkey", supplier(s, d), "s_suppkey", "lineitem->supplier"))
       .orderBy("relation")
   }
 
