@@ -19,11 +19,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-query Spark-declared schema (col -> Spark SQL type), dumped for
+    // the strict dtype gate in tools/compare.py: comparing the DECLARED
+    // schema closes the blind spot where DuckDB's parquet reader erases a
+    // type distinction the driver's typed hash would still see
+    val schemas = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        schemas(name) = df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -43,6 +51,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val schemaJson = schemas.map { case (k, cols) =>
+      s"${q(k)}: ${cols.map { case (c, t) => s"${q(c)}: ${q(t)}" }.mkString("{", ",", "}")}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/spark_schemas.json"), schemaJson)
     spark.stop()
   }
 }

@@ -12,9 +12,13 @@ sees them).
 Also dtype-STRICT: the driver's compare hashes typed values, so a
 DuckDB HUGEINT next to a Spark BIGINT fails there even when every
 value is equal — and pandas equality erases exactly that gap (q12,
-round 6). Each query's DuckDB result types (DESCRIBE <oracle sql>)
-are compared column-for-column against DuckDB's reading of the Spark
-parquet schema; any mismatch is a ✗ even if the values compare equal.
+round 6). Each query's SPARK-DECLARED schema (spark_schemas.json,
+emitted by graft.Verify — authoritative, immune to what DuckDB's
+parquet reader preserves or erases) is canonicalized to DuckDB type
+names and compared column-for-column against DESCRIBE <oracle sql>;
+any mismatch is a ✗ even if the values compare equal. Falls back to
+DuckDB's reading of the Spark parquet schema when the declared dump
+is absent (older verify outputs).
 """
 import duckdb, json, math, sys, os
 
@@ -42,22 +46,44 @@ def close(a, b):
     return a == b
 
 def duck_types(con, query):
-    """Column-name → DuckDB type string for `query` (planning only).
-
-    Limitation: the dtype gate compares DESCRIBE of the oracle SQL against
-    DuckDB's reading of the Spark parquet output, so it only catches type
-    gaps DuckDB's parquet reader preserves. Distinctions it erases (e.g.
-    TIMESTAMP_NTZ vs TIMESTAMP, parquet logical-type nuances) could still
-    diverge in the driver's typed hash — a good approximation, not a
-    guarantee. An exact check would compare a Spark-declared schema dump
-    (schema.json next to each result) instead."""
+    """Column-name → DuckDB type string for `query` (planning only)."""
     return {r[0]: r[1] for r in con.sql(f"DESCRIBE {query}").fetchall()}
+
+def canon_spark(t):
+    """Spark SQL type string → canonical DuckDB-comparable type name.
+
+    Handles every type the board emits; an unmapped type returns itself
+    uppercased so a new type shows up as a loud mismatch, never a silent
+    pass. TIMESTAMP and TIMESTAMP_NTZ both canonicalize to TIMESTAMP:
+    the session runs in UTC and DuckDB's TIMESTAMP is naive, so the
+    driver's value hash sees identical instants either way."""
+    t = t.strip().upper()
+    if t.startswith("ARRAY<") and t.endswith(">"):
+        return canon_spark(t[6:-1]) + "[]"
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")
+    return {
+        "INT": "INTEGER", "SMALLINT": "SMALLINT", "TINYINT": "TINYINT",
+        "STRING": "VARCHAR", "TIMESTAMP_NTZ": "TIMESTAMP",
+        "FLOAT": "FLOAT", "REAL": "FLOAT",
+    }.get(t, t)
+
+def canon_duck(t):
+    """DuckDB DESCRIBE type string → the same canonical space."""
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return canon_duck(t[:-2]) + "[]"
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")
+    return {"TIMESTAMP WITH TIME ZONE": "TIMESTAMP"}.get(t, t)
 
 def main(sfdir, outdir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    schema_path = os.path.join(outdir, "spark_schemas.json")
+    declared = json.load(open(schema_path)) if os.path.exists(schema_path) else {}
     spark_dirs = sorted(d for d in os.listdir(outdir)
                         if os.path.isdir(os.path.join(outdir, d)))
     n_ok = n_bad = 0
@@ -79,8 +105,12 @@ def main(sfdir, outdir):
             n_bad += 1
             continue
         try:
-            stypes = duck_types(con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
-            dtypes = duck_types(con, oracle[name])
+            if name in declared:
+                stypes = {c: canon_spark(t) for c, t in declared[name].items()}
+            else:  # fallback: DuckDB's reading of the Spark parquet output
+                stypes = {c: canon_duck(t) for c, t in duck_types(
+                    con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").items()}
+            dtypes = {c: canon_duck(t) for c, t in duck_types(con, oracle[name]).items()}
             mism = [(c, stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]]
         except Exception as e:
             print(f"✗ {name:28s} DTYPE-CHECK ERROR {e}")
