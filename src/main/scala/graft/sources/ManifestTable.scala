@@ -96,10 +96,32 @@ object ManifestTable {
     spark.read.parquet(paths: _*)
   }
 
+  /** Atomically create an empty claim file — true iff this caller created
+    * it. `FileSystem.create(overwrite=false)` is namenode-atomic on HDFS
+    * but check-then-act on the local filesystem, where POSIX rename also
+    * silently OVERWRITES an existing target instead of failing — so on
+    * `file://` the claim goes through `java.io.File.createNewFile`, which
+    * the JDK guarantees atomic (O_EXCL). */
+  private def claimSlot(fs: FileSystem, p: Path): Boolean =
+    if (fs.getUri.getScheme == "file")
+      new java.io.File(p.toUri.getPath).createNewFile()
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
   /** Commit a new version whose table is exactly `relPaths`, then GC
     * manifests/data outside the newest `retainGenerations` versions.
     * Returns the committed version number. Data at `relPaths` must already
-    * be fully written. */
+    * be fully written.
+    *
+    * Slot protocol: a writer first CLAIMS version v by atomically
+    * creating `m-<v>.claim`; only the claim holder writes the manifest
+    * body (to a temp name) and renames it to `m-<v>`, so the rename
+    * target never pre-exists and two racing writers can never both land
+    * on one version (local-FS rename would silently overwrite — the
+    * claim closes exactly that hole). A claimant that crashes before its
+    * rename leaves a dead slot: later writers skip it (their claim
+    * fails, they bump v) and readers never see it (no `m-<v>` file). */
   def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
              retainGenerations: Int = 2): Long = {
     val fs = fsOf(spark, tableDir)
@@ -111,12 +133,15 @@ object ManifestTable {
     var attempts = 0
     while (!committed) {
       attempts += 1
-      require(attempts <= 100, s"manifest commit contention at $tableDir")
-      val tmp = new Path(mdir, manifestName(v) + s".tmp-${java.util.UUID.randomUUID}")
-      val out = fs.create(tmp, true)
-      try out.write(body) finally out.close()
-      if (fs.rename(tmp, new Path(mdir, manifestName(v)))) committed = true
-      else { fs.delete(tmp, false); v += 1 } // slot taken by a racing writer
+      require(attempts <= 10000, s"manifest commit contention at $tableDir")
+      if (claimSlot(fs, new Path(mdir, manifestName(v) + ".claim"))) {
+        val tmp = new Path(mdir, manifestName(v) + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        require(fs.rename(tmp, new Path(mdir, manifestName(v))),
+          s"claimed-slot rename failed at $tableDir v$v")
+        committed = true
+      } else v += 1 // slot claimed by a racing (or crashed) writer
     }
     gc(fs, tableDir, retainGenerations)
     v
@@ -132,7 +157,20 @@ object ManifestTable {
     val referenced: Set[String] =
       kept.flatMap(v => pathsOf(fs, tableDir, v))
         .map(_.split("/", 2).head).toSet
-    old.foreach(v => fs.delete(new Path(manifestDir(tableDir), manifestName(v)), false))
+    old.foreach { v =>
+      fs.delete(new Path(manifestDir(tableDir), manifestName(v)), false)
+      fs.delete(new Path(manifestDir(tableDir), manifestName(v) + ".claim"), false)
+    }
+    // claims below the retained window whose slot died unclaimed (writer
+    // crashed before its rename) are dead weight too
+    kept.headOption.foreach { floor =>
+      fs.listStatus(manifestDir(tableDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.endsWith(".claim"))
+          versionOf(n.stripSuffix(".claim"))
+            .filter(_ < floor).foreach(_ => fs.delete(st.getPath, false))
+      }
+    }
     fs.listStatus(new Path(tableDir)).foreach { st =>
       val n = st.getPath.getName
       val protectedEntry = n.startsWith("_") || n.startsWith(".")
