@@ -198,6 +198,33 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("dq1: planted orphans are counted exactly per relation") {
+    // the sf corpus is referentially intact, so the oracle only ever sees
+    // zeros — this fixture BREAKS a copy of it (drop orders with key%7=0
+    // and suppliers with key%5=0) and asserts the single-scan null-count
+    // form counts exactly the planted orphans, relation by relation
+    import graft.Tables
+    val d = java.nio.file.Files.createTempDirectory("graft_dq1_").toString
+    def put(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.parquet(s"$d/$name.parquet")
+    put("lineitem", Tables.lineitem(spark, sf))
+    put("orders", Tables.orders(spark, sf).filter($"o_orderkey" % 7 =!= 0))
+    put("supplier", Tables.supplier(spark, sf).filter($"s_suppkey" % 5 =!= 0))
+    put("customer", Tables.customer(spark, sf))
+    put("nation", Tables.nation(spark, sf))
+    put("part", Tables.part(spark, sf))
+    val got = ops.Quality.dq1_referential_integrity(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, sf)
+    val want = Map(
+      "lineitem->orders" -> li.filter($"l_orderkey" % 7 === 0).count(),
+      "lineitem->supplier" -> li.filter($"l_suppkey" % 5 === 0).count(),
+      "lineitem->part" -> 0L, "orders->customer" -> 0L, "customer->nation" -> 0L)
+    assert(got == want, s"got $got want $want")
+    assert(got("lineitem->orders") > 0 && got("lineitem->supplier") > 0,
+      "fixture degenerate: no orphans planted")
+  }
+
   test("dq4: every planted anomaly is flagged, nothing else is") {
     import graft.Tables
     val planted = Tables.customer(spark, sf)
