@@ -484,14 +484,17 @@ class ScaleDesignSpec extends SparkTestBase {
     // the single file must enumerate to many splits at a small target...
     val splits = sources.Sources.avroSplits(spark, dir, splitBytes = 4096)
     assert(splits.length > 4, s"expected >4 splits, got ${splits.length}")
-    // ...and the split read must see every row exactly once — the
-    // sync/pastSync ownership contract across arbitrary range cuts
-    val viaSplits = sources.Sources.readAvroOrders(spark, dir, splitBytes = 4096)
-      .select("o_orderkey").as[Long].collect().sorted
-    assert(viaSplits.length == 3000,
-      s"split read returned ${viaSplits.length} rows (dup or loss)")
-    assert(viaSplits.toSeq == (1L to 3000L),
-      "split read changed the row set")
+    // ...and the split read must see every row exactly once whatever the
+    // cut geometry — the sync/pastSync ownership contract is exercised
+    // at several target sizes (block-aligned-ish, tiny, prime, huge)
+    Seq(1000L, 4096L, 7919L, 65536L).foreach { sb =>
+      val viaSplits = sources.Sources.readAvroOrders(spark, dir, splitBytes = sb)
+        .select("o_orderkey").as[Long].collect().sorted
+      assert(viaSplits.length == 3000,
+        s"splitBytes=$sb returned ${viaSplits.length} rows (dup or loss)")
+      assert(viaSplits.toSeq == (1L to 3000L),
+        s"splitBytes=$sb changed the row set")
+    }
     // whole-file read (one split) agrees
     val whole = sources.Sources.readAvroOrders(spark, dir)
       .agg(count(lit(1)), sum(col("o_orderkey")), round(sum(col("o_totalprice")), 2)).head
