@@ -247,7 +247,7 @@ object Streams {
     * crash-interrupted call) can ever merge with a different modulus.
     * Long-lived tables accrete commit dirs that are only partially
     * live (a dir survives while ANY retained manifest references any
-    * bucket in it); S14's compaction pass is the maintenance answer,
+    * bucket in it); [[compactUpserted]] is the maintenance answer,
     * exactly as in the production table formats this mirrors. */
   def upsertBatch(batch: DataFrame, tableDir: String,
                   nBuckets: Int = 256): Unit = {
@@ -329,6 +329,32 @@ object Streams {
     * consumers see the logical schema. */
   def readUpserted(spark: SparkSession, tableDir: String): DataFrame =
     graft.sources.ManifestTable.read(spark, tableDir)
+
+  /** X9 maintenance (the OPTIMIZE pass upsertBatch's scaladoc promises):
+    * long-lived tables accrete commit dirs that are only partially live
+    * — a dir survives while ANY retained manifest references any bucket
+    * in it. This rewrites the live snapshot into ONE fresh commit dir
+    * (a single distributed job, re-bucketed by the pinned modulus) and
+    * publishes it with one manifest swap, after which the next commit's
+    * GC drops every old dir. Same reader guarantees as the merge: a
+    * racing reader sees the old complete snapshot or the new one. */
+  def compactUpserted(spark: SparkSession, tableDir: String): Unit = {
+    val hadoopPath = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(tableDir, "_n_buckets")
+    require(fs.exists(marker), s"not an upsert table (no _n_buckets): $tableDir")
+    val in = fs.open(marker)
+    val nBuckets = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
+    val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    graft.sources.ManifestTable.read(spark, tableDir)
+      .withColumn("b", pmod(hash(col("event_id")), lit(nBuckets)))
+      .write.partitionBy("b").parquet(s"$tableDir/$cid")
+    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/$cid"))
+      .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+    graft.sources.ManifestTable.commit(spark, tableDir,
+      buckets.map(b => s"$cid/$b").toSeq)
+  }
 
   /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one
     * AvailableNow pass per call; the checkpoint makes re-runs skip

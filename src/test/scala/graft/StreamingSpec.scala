@@ -371,6 +371,22 @@ class StreamingSpec extends SparkTestBase {
       s"merge past orphan lost keys: ${before.keySet -- healed.keySet}")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$table/c-orphan")),
       "commit GC left the crashed writer's orphan dir behind")
+    // maintenance: the batches above accreted multiple commit dirs; the
+    // compaction pass must fold the live snapshot into ONE dir with the
+    // content unchanged, and the following upsert's GC drops the rest
+    assert(bucketMap().values.map(_.split("/").head).toSet.size > 1,
+      "fixture degenerate: only one commit dir before compaction")
+    val preCompact = snapshot()
+    Streams.compactUpserted(spark, table)
+    assert(snapshot() == preCompact, "compaction changed the table")
+    assert(bucketMap().values.map(_.split("/").head).toSet.size == 1,
+      s"live manifest spans multiple dirs after compaction: ${bucketMap()}")
+    // a 1-key post-compaction merge still works and sweeps old generations
+    Streams.upsertBatch(Seq(Event(8L, ts("10:12"), 9L, "view", 3.0)).toDF(), table, nB)
+    assert(snapshot().keySet == preCompact.keySet + 8L)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(table))
+      .map(_.getPath.getName).filter(_.startsWith("c-")).toSet
+    assert(dirs.size <= 3, s"old generations not swept: $dirs")
   }
 
   test("X4 parity: the batch drop rule matches streaming row-for-row (row-at-a-time feed)") {
