@@ -96,6 +96,60 @@ object ManifestTable {
     spark.read.parquet(paths: _*)
   }
 
+  /** Time travel: snapshot read of a RETAINED committed version (S17).
+    * Any version the GC still holds — the newest `retainGenerations`,
+    * default 2 — resolves exactly as it was committed, because data
+    * dirs are immutable and survive while any retained manifest
+    * references them. Asking for a GC'd version fails loudly rather
+    * than silently reading a partial table. */
+  def readVersion(spark: SparkSession, tableDir: String, v: Long): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    require(versions(fs, tableDir).contains(v),
+      s"version $v is not retained at $tableDir")
+    val paths = pathsOf(fs, tableDir, v).map(p => s"$tableDir/$p")
+    require(paths.nonEmpty, s"version $v at $tableDir lists no data")
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Row-level change feed (CDC) between two retained versions: each
+    * output row is a row of `toV` absent from `fromV` (`change_type =
+    * 'insert'`) or a row of `fromV` absent from `toV` (`'delete'`); an
+    * update surfaces as one delete (old image) plus one insert (new
+    * image). Multiset semantics (`exceptAll`), so duplicate rows diff
+    * by count.
+    *
+    * Cost ∝ CHANGED dirs, not table size: data dirs are immutable, so
+    * a path both manifests list contributes identical rows to both
+    * sides — those cancel in the multiset difference and are never
+    * read. Only dirs one manifest lists and the other doesn't are
+    * scanned, which for a bucket-bounded merge ([[MergeInto]]) means
+    * the touched buckets' old and new dirs. At 100 TB a small merge
+    * diffs in O(touched buckets); a full-table diff only happens when
+    * every bucket actually changed. */
+  def changes(spark: SparkSession, tableDir: String,
+              fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fs = fsOf(spark, tableDir)
+    Seq(fromV, toV).foreach(v =>
+      require(versions(fs, tableDir).contains(v),
+        s"version $v is not retained at $tableDir"))
+    val fromP = pathsOf(fs, tableDir, fromV).toSet
+    val toP = pathsOf(fs, tableDir, toV).toSet
+    val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => s"$tableDir/$p")
+    val onlyTo = (toP diff fromP).toSeq.sorted.map(p => s"$tableDir/$p")
+    if (onlyFrom.isEmpty && onlyTo.isEmpty)
+      // identical manifests — empty feed, but with the table's schema
+      return readVersion(spark, tableDir, toV).limit(0)
+        .withColumn("change_type", lit(""))
+    def readOr(paths: Seq[String], schemaAnchor: Seq[String]): DataFrame =
+      if (paths.nonEmpty) spark.read.parquet(paths: _*)
+      else spark.read.parquet(schemaAnchor: _*).limit(0)
+    val a = readOr(onlyFrom, onlyTo)
+    val b = readOr(onlyTo, onlyFrom)
+    b.exceptAll(a).withColumn("change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
+  }
+
   /** Atomically create an empty claim file — true iff this caller created
     * it. `FileSystem.create(overwrite=false)` is namenode-atomic on HDFS
     * but check-then-act on the local filesystem, where POSIX rename also

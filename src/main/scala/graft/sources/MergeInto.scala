@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE INTO over a manifest-committed, hash-bucketed table —
+  * the generalized core of the X9 upsert sink (SURVEY.md §2.10 X9),
+  * promoted to a first-class batch operator (S16) with DELETE support:
+  * one call applies a source frame's updates (matched key → replace),
+  * inserts (unmatched key → append) and deletes (rows matching
+  * `deleteWhen` → remove if present) to the target, publishing the
+  * result as one atomic [[ManifestTable]] commit.
+  *
+  * Semantics per source KEY (not per clause, so at-least-once
+  * re-delivery stays idempotent): the source is first reduced to one
+  * deterministic winner row per key (`row_number` over `tieCols`);
+  * `deleteWhen` is then evaluated on that winner. Winner says delete →
+  * the key's standing row is removed (a no-op if absent); otherwise the
+  * winner row replaces any standing row or appends. Re-applying the
+  * same source therefore reproduces the same table — the property the
+  * X9 crash-recovery story depends on, kept for the batch form.
+  *
+  * Cost is bounded by the SOURCE, not the table: rows hash-bucket by
+  * key (`pmod(hash(key), nBuckets)` — a pure function, so a key always
+  * lands in the same bucket), only the source's touched buckets are
+  * read/anti-joined/rewritten into a fresh immutable commit dir, and
+  * the new manifest carries every untouched bucket at its existing dir.
+  * At 100 TB a daily changeset touches O(changeset) buckets, not the
+  * whole table. A bucket whose replacement comes out EMPTY (every
+  * standing row deleted, nothing inserted) is dropped from the new
+  * manifest — `partitionBy` writes no dir for it, and listing the
+  * commit dir rather than trusting the touched set is what keeps the
+  * manifest exact.
+  *
+  * Table markers (written BEFORE any data movement, same
+  * crash-ordering argument as X9): `_n_buckets` pins the modulus and
+  * `_merge_key` pins the key column, so no later call — or
+  * crash-interrupted call — can merge with a different geometry and
+  * strand standing keys in unprobed buckets.
+  */
+object MergeInto {
+
+  private val BucketsMarker = "_n_buckets"
+  private val KeyMarker = "_merge_key"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readMarker(spark: SparkSession, dir: String,
+                         name: String): Option[String] = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeMarker(spark: SparkSession, dir: String, name: String,
+                          value: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val out = fs.create(new Path(dir, name))
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Deterministic tie order when the caller has no domain-specific one:
+    * every non-key column, sorted by name, descending. Whatever the
+    * duplicate set, the same winner emerges on every application. */
+  def defaultTies(source: DataFrame, key: String): Seq[Column] =
+    source.columns.filterNot(_ == key).sorted.map(col(_).desc).toSeq
+
+  /** Create a merge table from an initial load: markers + first commit.
+    * Returns the committed version (1 on a fresh dir). The initial load
+    * goes through the same one-winner-per-key reduction as a merge, so
+    * a duplicated extract can't seed a table that violates the
+    * key-uniqueness invariant every later anti-join relies on. */
+  def create(df: DataFrame, tableDir: String, key: String,
+             nBuckets: Int = 256): Long =
+    applyBatch(df, tableDir, key, defaultTies(df, key), lit(false), nBuckets)
+
+  /** MERGE a source frame into an existing table, reading the key and
+    * modulus from the table's markers. `tieCols` defaults to
+    * [[defaultTies]]; pass a domain order (e.g. event-time first) when
+    * "latest" means something specific. */
+  def merge(source: DataFrame, tableDir: String,
+            deleteWhen: Column = lit(false),
+            tieCols: Seq[Column] = Nil): Long = {
+    val spark = source.sparkSession
+    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $KeyMarker): $tableDir"))
+    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
+    applyBatch(source, tableDir, key, ties, deleteWhen, n)
+  }
+
+  /** The live table (highest committed manifest). */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    ManifestTable.read(spark, tableDir)
+
+  /** The shared merge kernel (X9's `upsertBatch` delegates here with
+    * its ts-first tie order and a never-true `deleteWhen`). Returns the
+    * committed manifest version. */
+  def applyBatch(source: DataFrame, tableDir: String, key: String,
+                 tieCols: Seq[Column], deleteWhen: Column,
+                 nBuckets: Int): Long = {
+    val spark = source.sparkSession
+    val fs = fsOf(spark, tableDir)
+    // pin the geometry: a table written (key, N)-way must always be
+    // merged (key, N)-way — marker-first, so a crash between markers and
+    // data leaves only harmless markers, never data probed with the
+    // wrong modulus or key
+    readMarker(spark, tableDir, BucketsMarker) match {
+      case Some(stored) => require(stored.toInt == nBuckets,
+        s"table at $tableDir was bucketed $stored-way, asked to merge $nBuckets-way")
+      case None => writeMarker(spark, tableDir, BucketsMarker, nBuckets.toString)
+    }
+    readMarker(spark, tableDir, KeyMarker) match {
+      case Some(stored) => require(stored == key,
+        s"table at $tableDir is keyed on $stored, asked to merge on $key")
+      case None => writeMarker(spark, tableDir, KeyMarker, key)
+    }
+    val bucketOf = pmod(hash(col(key)), lit(nBuckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(tieCols: _*)
+    val winner = source
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      .withColumn("b", bucketOf)
+    // the winner frame feeds two jobs (touched-bucket collect + commit
+    // write); persist so the source shuffles once, not twice
+    winner.persist()
+    try {
+      // touched buckets: tiny driver list, bounded by min(source keys, N)
+      val touched = winner.select("b").distinct()
+        .collect().map(_.getInt(0)).sorted
+      // live bucket → data dir, from ONE manifest read — no per-bucket
+      // exists() RPCs (256 HEAD round-trips per call on an object store)
+      val liveByBucket: Map[Int, String] =
+        ManifestTable.livePaths(fs, tableDir).map { rel =>
+          rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
+        }.toMap
+      val existing = touched.filter(liveByBucket.contains)
+      // ONE job rewrites every touched bucket: standing rows from touched
+      // buckets minus ALL source keys (update replaces, delete removes —
+      // the anti-join is the same either way), plus the non-delete
+      // winners, routed to bucket subdirs of a fresh commit dir.
+      // Untouched buckets are never read or written.
+      val standing =
+        if (existing.nonEmpty)
+          spark.read.parquet(existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
+            .join(winner.select(key), Seq(key), "left_anti")
+            .withColumn("b", bucketOf)
+        else winner.limit(0)
+      val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
+      val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+      standing.unionByName(inserts)
+        .write.partitionBy("b").parquet(s"$tableDir/$cid")
+      // list what the write ACTUALLY produced: a touched bucket whose
+      // replacement is empty has no b= dir and must leave the manifest
+      val written = fs.listStatus(new Path(s"$tableDir/$cid"))
+        .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+      val untouchedPaths = (liveByBucket -- touched).values.toSeq
+      ManifestTable.commit(spark, tableDir,
+        (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted)
+    } finally winner.unpersist()
+  }
+
+  /** Maintenance (OPTIMIZE): fold the live snapshot — however many
+    * commit dirs it spans — into ONE fresh dir, re-bucketed by the
+    * pinned geometry, published with one manifest swap. A racing reader
+    * sees the old complete snapshot or the new one. */
+  def compact(spark: SparkSession, tableDir: String): Unit = {
+    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not an upsert table (no $BucketsMarker): $tableDir")).toInt
+    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $KeyMarker): $tableDir"))
+    val fs = fsOf(spark, tableDir)
+    val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    ManifestTable.read(spark, tableDir)
+      .withColumn("b", pmod(hash(col(key)), lit(n)))
+      .write.partitionBy("b").parquet(s"$tableDir/$cid")
+    val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
+      .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+    ManifestTable.commit(spark, tableDir, buckets.map(b => s"$cid/$b").toSeq)
+  }
+}

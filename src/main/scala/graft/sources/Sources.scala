@@ -458,6 +458,70 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** Shared fixture for S16/S17: one merge-table lifecycle per
+    * (session, corpus) — create from orders (v1), then one MERGE that
+    * updates keys ≡3 (mod 10) (+1000.00 on the price — an exact double
+    * increment, so both engines see bit-identical updated values),
+    * deletes keys ≡7, and inserts the ≡5 rows under fresh negated keys
+    * (v2). Both queries read this table, so the lifecycle runs once per
+    * session, not once per query per rep (the pdfPages-memo pattern).
+    * The +1000/negate/mod-10 choices are all integer-exact and
+    * disjoint, so the merged table is a pure SQL expression over orders
+    * for the DuckDB oracle. */
+  private val mergeDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Long, Long)]
+  private def mergeDemo(s: SparkSession, d: String): (String, Long, Long) = {
+    mergeDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    mergeDemoCache.computeIfAbsent((s, d), { case (s, d) =>
+      val dir = tmp("graft_s16_")
+      val base = orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val v1 = MergeInto.create(base, dir, "o_orderkey", nBuckets = 16)
+      val k = col("o_orderkey")
+      val upd = base.filter(k % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ins = base.filter(k % 10 === 5).withColumn("o_orderkey", -k)
+      val del = base.filter(k % 10 === 7)
+      val v2 = MergeInto.merge(upd.unionByName(ins).unionByName(del), dir,
+        deleteWhen = k % 10 === 7 && k > 0)
+      (dir, v1, v2)
+    })
+  }
+
+  /** S16: batch MERGE INTO — the [[MergeInto]] operator end to end on
+    * the shared lifecycle above, verified through the live snapshot's
+    * aggregate. The oracle reconstructs the merged table in pure SQL
+    * (base minus updated/deleted keys, plus new-image updates, plus
+    * inserts), so a wrong clause — a delete that didn't remove, an
+    * update that appended instead of replacing, an insert lost to an
+    * emptied bucket — shifts the count/sum/checksum and breaks the
+    * hash. */
+  def s16_merge_upsert(s: SparkSession, d: String): DataFrame = {
+    val (dir, _, _) = mergeDemo(s, d)
+    MergeInto.read(s, dir)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
+  /** S17: time travel + row-level CDC — diff the pre-merge snapshot
+    * (v1, still retained) against the post-merge live version (v2)
+    * through [[ManifestTable.changes]] and aggregate by change type.
+    * The expected feed is exact: every updated key yields one delete
+    * (old image) + one insert (new image), every deleted key one
+    * delete, every insert one insert — so the per-type counts and key
+    * checksums pin both the time-travel read and the diff. The diff
+    * itself reads only dirs the two manifests don't share (immutable
+    * dirs cancel), which the spec asserts via inputFiles. */
+  def s17_snapshot_diff(s: SparkSession, d: String): DataFrame = {
+    val (dir, v1, v2) = mergeDemo(s, d)
+    ManifestTable.changes(s, dir, v1, v2)
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("key_checksum"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -472,6 +536,8 @@ object Sources {
     "s13_zorder_layout" -> (s13_zorder_layout _),
     "s14_compaction" -> (s14_compaction _),
     "s15_avro_roundtrip" -> (s15_avro_roundtrip _),
+    "s16_merge_upsert" -> (s16_merge_upsert _),
+    "s17_snapshot_diff" -> (s17_snapshot_diff _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -541,5 +607,28 @@ object Sources {
          round(sum(o_totalprice), 2) AS total_price,
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "s16_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders),
+         merged AS (
+           SELECT * FROM base WHERE o_orderkey % 10 NOT IN (3, 7)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 1000.0, o_orderdate
+           FROM base WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT -o_orderkey, o_custkey, o_totalprice, o_orderdate
+           FROM base WHERE o_orderkey % 10 = 5)
+         SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum FROM merged""",
+    "s17_snapshot_diff" ->
+      """WITH ch AS (
+           SELECT 'delete' AS change_type, o_orderkey FROM orders
+           WHERE o_orderkey % 10 IN (3, 7)
+           UNION ALL
+           SELECT 'insert', o_orderkey FROM orders WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT 'insert', -o_orderkey FROM orders WHERE o_orderkey % 10 = 5)
+         SELECT change_type, count(*) AS n,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM ch GROUP BY change_type ORDER BY change_type""",
   )
 }

@@ -251,77 +251,18 @@ object Streams {
     * exactly as in the production table formats this mirrors. */
   def upsertBatch(batch: DataFrame, tableDir: String,
                   nBuckets: Int = 256): Unit = {
-    val spark = batch.sparkSession
-    val hadoopPath = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // pin the modulus: a table written N-way must always be merged N-way
-    val marker = new org.apache.hadoop.fs.Path(tableDir, "_n_buckets")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val stored = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-      finally in.close()
-      require(stored == nBuckets,
-        s"table at $tableDir was bucketed $stored-way, asked to merge $nBuckets-way")
-    }
     // ts leads (latest version wins); every remaining column follows,
     // derived from the schema so the "ties are deterministic whatever
-    // the duplicate set" invariant survives schema evolution
+    // the duplicate set" invariant survives schema evolution. The merge
+    // kernel itself — marker pinning, window dedup, touched-bucket
+    // rewrite, manifest commit — is the shared batch MERGE INTO core
+    // ([[graft.sources.MergeInto.applyBatch]]); X9 is that kernel with
+    // an event-time tie order and no delete clause.
     val tieCols = col("ts").desc +:
       batch.columns.filterNot(c => c == "event_id" || c == "ts")
-        .sorted.map(col(_).desc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_id"))
-      .orderBy(tieCols: _*)
-    val bucketOf = pmod(hash(col("event_id")), lit(nBuckets))
-    val latest = batch
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
-      .withColumn("b", bucketOf)
-    // pin the modulus BEFORE any data movement: if the marker were
-    // written only after a successful merge (as an earlier version did),
-    // a crash after a commit but before the marker exists would let the
-    // next call merge with a DIFFERENT default nBuckets — standing keys
-    // would be probed in the wrong bucket and duplicate rows would
-    // survive permanently. Marker-first closes that window (a marker
-    // with no data yet is harmless).
-    if (!fs.exists(marker)) {
-      if (!fs.exists(hadoopPath)) fs.mkdirs(hadoopPath)
-      val out = fs.create(marker)
-      try out.write(nBuckets.toString.getBytes("UTF-8")) finally out.close()
-    }
-    // the window-dedup feeds two jobs (touched-bucket collect + commit
-    // write); persist so the batch shuffles once, not twice
-    latest.persist()
-    try {
-      // touched buckets: tiny driver list, bounded by min(batch keys, N)
-      val touched = latest.select("b").distinct()
-        .collect().map(_.getInt(0)).sorted
-      // live bucket → data dir, from ONE manifest read — no per-bucket
-      // exists() RPCs (on an object store at nBuckets=256 that would be
-      // 256 HEAD round-trips of driver latency per micro-batch)
-      val liveByBucket: Map[Int, String] =
-        graft.sources.ManifestTable.livePaths(fs, tableDir).map { rel =>
-          rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
-        }.toMap
-      val existing = touched.filter(liveByBucket.contains)
-      // ONE job merges every touched bucket: standing rows from touched
-      // buckets only (b re-derived from the key — bucket files don't store
-      // it), batch keys removed, batch appended, routed to bucket subdirs
-      // of a fresh commit dir by partitionBy. Untouched buckets are never
-      // read or written.
-      val standing =
-        if (existing.nonEmpty)
-          spark.read.parquet(existing.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
-            .join(latest.select("event_id"), Seq("event_id"), "left_anti")
-            .withColumn("b", bucketOf)
-        else latest.limit(0)
-      val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-      standing.unionByName(latest)
-        .write.partitionBy("b").parquet(s"$tableDir/$cid")
-      val untouchedPaths = (liveByBucket -- touched).values.toSeq
-      val touchedPaths = touched.map(b => s"$cid/b=$b").toSeq
-      graft.sources.ManifestTable.commit(spark, tableDir,
-        (untouchedPaths ++ touchedPaths).sorted)
-    } finally latest.unpersist()
+        .sorted.map(col(_).desc).toSeq
+    graft.sources.MergeInto.applyBatch(
+      batch, tableDir, "event_id", tieCols, lit(false), nBuckets)
   }
 
   /** Read-back of an X9 table: the live manifest's snapshot. The manifest
@@ -338,23 +279,8 @@ object Streams {
     * publishes it with one manifest swap, after which the next commit's
     * GC drops every old dir. Same reader guarantees as the merge: a
     * racing reader sees the old complete snapshot or the new one. */
-  def compactUpserted(spark: SparkSession, tableDir: String): Unit = {
-    val hadoopPath = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(tableDir, "_n_buckets")
-    require(fs.exists(marker), s"not an upsert table (no _n_buckets): $tableDir")
-    val in = fs.open(marker)
-    val nBuckets = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-    finally in.close()
-    val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-    graft.sources.ManifestTable.read(spark, tableDir)
-      .withColumn("b", pmod(hash(col("event_id")), lit(nBuckets)))
-      .write.partitionBy("b").parquet(s"$tableDir/$cid")
-    val buckets = fs.listStatus(new org.apache.hadoop.fs.Path(s"$tableDir/$cid"))
-      .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
-    graft.sources.ManifestTable.commit(spark, tableDir,
-      buckets.map(b => s"$cid/$b").toSeq)
-  }
+  def compactUpserted(spark: SparkSession, tableDir: String): Unit =
+    graft.sources.MergeInto.compact(spark, tableDir)
 
   /** X9 wiring: stream → foreachBatch upsert into `tableDir`, one
     * AvailableNow pass per call; the checkpoint makes re-runs skip

@@ -1,0 +1,164 @@
+package graft
+
+import graft.sources.{ManifestTable, MergeInto}
+import org.apache.spark.sql.functions._
+
+/** Top-level (Spark encoders can't serialize inner case classes). */
+case class MergeRow(k: Long, v: String, amt: Double)
+
+/** Batch MERGE INTO + time travel + CDC diff (SURVEY §2 S16/S17): the
+  * clause semantics on a pinned fixture, the one-winner-per-key
+  * reduction, idempotent re-application, emptied-bucket manifest
+  * hygiene, retained-version snapshot reads, and the changed-dirs-only
+  * cost bound of the change feed. */
+class MergeIntoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir() =
+    java.nio.file.Files.createTempDirectory("graft_merge_").toString
+
+  private def table(dir: String): Map[Long, (String, Double)] =
+    MergeInto.read(spark, dir).as[MergeRow].collect()
+      .map(r => r.k -> (r.v, r.amt)).toMap
+
+  test("merge applies update, delete and insert clauses per key") {
+    val dir = freshDir()
+    val base = (1L to 10L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, dir, "k", nBuckets = 8)
+    assert(v1 == 1L)
+    assert(table(dir) == (1L to 10L).map(k => k -> (s"v$k", k * 1.0)).toMap)
+    // update k=2, delete k=3 (present) and k=99 (absent → no-op),
+    // insert k=11
+    val src = Seq(
+      MergeRow(2L, "updated", 20.0),
+      MergeRow(3L, "doomed", 0.0),
+      MergeRow(99L, "ghost", 0.0),
+      MergeRow(11L, "fresh", 11.0)).toDF()
+    val v2 = MergeInto.merge(src, dir, deleteWhen = $"v" === "doomed" || $"v" === "ghost")
+    assert(v2 == 2L)
+    val expected = (1L to 10L).filterNot(_ == 3L)
+      .map(k => k -> (s"v$k", k * 1.0)).toMap +
+      (2L -> ("updated", 20.0)) + (11L -> ("fresh", 11.0))
+    assert(table(dir) == expected)
+    // re-applying the same source is a no-op (at-least-once safe):
+    // the delete keys are already gone, the update rewrites the same
+    // image, the insert replaces itself
+    MergeInto.merge(src, dir, deleteWhen = $"v" === "doomed" || $"v" === "ghost")
+    assert(table(dir) == expected, "re-applied merge changed the table")
+  }
+
+  test("duplicate source keys reduce to one deterministic winner before clauses") {
+    val dir = freshDir()
+    MergeInto.create(Seq(MergeRow(1L, "a", 1.0)).toDF(), dir, "k", nBuckets = 4)
+    // two rows for k=1: default ties order non-key columns (amt, v)
+    // descending, so the amt=9.0 row wins both times
+    val dup = Seq(MergeRow(1L, "x", 2.0), MergeRow(1L, "y", 9.0)).toDF()
+    MergeInto.merge(dup, dir)
+    assert(table(dir) == Map(1L -> ("y", 9.0)))
+    MergeInto.merge(dup, dir)
+    assert(table(dir) == Map(1L -> ("y", 9.0)), "tied re-apply flipped the winner")
+  }
+
+  test("a bucket emptied by deletes leaves the manifest; geometry markers are pinned") {
+    val dir = freshDir()
+    val nB = 4
+    val base = (1L to 40L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    MergeInto.create(base, dir, "k", nBuckets = nB)
+    // delete EVERY key of one bucket: the replacement dir for that
+    // bucket is never written, and the committed manifest must not
+    // reference it (a manifest naming a missing dir would fail every
+    // subsequent read)
+    val bucketOfKey = base.withColumn("b", pmod(hash($"k"), lit(nB)))
+      .select("k", "b").as[(Long, Int)].collect().toMap
+    val victim = bucketOfKey(1L)
+    val doomedKeys = bucketOfKey.collect { case (k, b) if b == victim => k }.toSet
+    assert(doomedKeys.size > 1, "fixture degenerate: bucket has one key")
+    val src = base.filter($"k".isin(doomedKeys.toSeq: _*))
+    MergeInto.merge(src, dir, deleteWhen = lit(true))
+    val left = table(dir)
+    assert(left.keySet == (1L to 40L).toSet -- doomedKeys)
+    // every manifest path must exist on disk
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestTable.livePaths(fs, dir).foreach { rel =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
+        s"live manifest references missing dir: $rel")
+    }
+    // geometry is pinned by the markers create() wrote
+    intercept[IllegalArgumentException] {
+      MergeInto.applyBatch(src, dir, "k", MergeInto.defaultTies(src, "k"),
+        lit(false), nB * 2)
+    }
+    intercept[IllegalArgumentException] {
+      MergeInto.applyBatch(src, dir, "v", MergeInto.defaultTies(src, "v"),
+        lit(false), nB)
+    }
+  }
+
+  test("time travel: a retained pre-merge version reads exactly as committed") {
+    val dir = freshDir()
+    val base = (1L to 20L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, dir, "k", nBuckets = 4)
+    val v2 = MergeInto.merge(
+      Seq(MergeRow(2L, "new", 0.0), MergeRow(21L, "ins", 21.0)).toDF(), dir)
+    def snap(v: Long): Map[Long, (String, Double)] =
+      ManifestTable.readVersion(spark, dir, v).as[MergeRow].collect()
+        .map(r => r.k -> (r.v, r.amt)).toMap
+    assert(snap(v1) == (1L to 20L).map(k => k -> (s"v$k", k * 1.0)).toMap,
+      "pre-merge snapshot drifted")
+    assert(snap(v2) == table(dir), "live version ≠ readVersion(live)")
+    // a GC'd version must fail loudly, not read partially: force v1 out
+    val v3 = MergeInto.merge(Seq(MergeRow(22L, "x", 0.0)).toDF(), dir)
+    assert(v3 == 3L)
+    intercept[IllegalArgumentException] {
+      ManifestTable.readVersion(spark, dir, v1)
+    }
+  }
+
+  test("changes(): exact row-level feed, reading only re-pointed dirs") {
+    val dir = freshDir()
+    val nB = 8
+    val base = (1L to 64L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, dir, "k", nBuckets = nB)
+    // touch exactly ONE key: update k=5's amt
+    val v2 = MergeInto.merge(Seq(MergeRow(5L, "v5", 500.0)).toDF(), dir)
+    val feed = ManifestTable.changes(spark, dir, v1, v2)
+    val rows = feed.select($"change_type", $"k", $"amt")
+      .as[(String, Long, Double)].collect().toSet
+    assert(rows == Set(("delete", 5L, 5.0), ("insert", 5L, 500.0)),
+      s"unexpected feed: $rows")
+    // cost bound: the diff must scan only the two dirs the manifests
+    // don't share (old and new images of k=5's bucket) — an untouched
+    // bucket's dir appearing in inputFiles would mean the diff is
+    // O(table), not O(changed)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shared = ManifestTable.pathsOf(fs, dir, v1).toSet
+      .intersect(ManifestTable.pathsOf(fs, dir, v2).toSet)
+    val scanned = feed.inputFiles.toSet
+    shared.foreach { rel =>
+      assert(!scanned.exists(_.contains(rel)),
+        s"diff scanned unchanged dir $rel")
+    }
+    // identical versions diff to an empty feed with the table's schema
+    val empty = ManifestTable.changes(spark, dir, v2, v2)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("k", "v", "amt", "change_type"))
+  }
+
+  test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
+    // the kernel change must not alter X9 semantics — latest ts wins
+    // even when the default (sorted-columns) order would pick otherwise
+    val dir = freshDir()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val b = Seq(
+      (1L, t1, 7L, "aaa", 1.0), // newer ts, alphabetically-smaller type
+      (1L, t0, 7L, "zzz", 9.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    streaming.Streams.upsertBatch(b, dir, nBuckets = 4)
+    val kept = streaming.Streams.readUpserted(spark, dir)
+      .select($"event_type").as[String].collect().toSeq
+    assert(kept == Seq("aaa"), "ts-first tie order lost in delegation")
+  }
+}
