@@ -69,12 +69,42 @@ object ManifestTable {
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
-  /** Relative data paths of manifest version `v`. */
-  def pathsOf(fs: FileSystem, tableDir: String, v: Long): Seq[String] = {
+  private val SchemaHeader = "#schema "
+
+  private def manifestLines(fs: FileSystem, tableDir: String,
+                            v: Long): Seq[String] = {
     val in = fs.open(new Path(manifestDir(tableDir), manifestName(v)))
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .map(_.trim).filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** Relative data paths of manifest version `v` (header lines skipped). */
+  def pathsOf(fs: FileSystem, tableDir: String, v: Long): Seq[String] =
+    manifestLines(fs, tableDir, v).filterNot(_.startsWith("#"))
+
+  /** The schema DDL a version was committed with, if the writer declared
+    * one (a `#schema <ddl>` header line). Tracking the schema in table
+    * METADATA — not in data-file footers — is what the transactional
+    * formats do, and it is the scale answer to both problems a
+    * footer-derived schema has at 100 TB: reading one sampled footer
+    * silently DROPS columns added after that file was written, and
+    * `mergeSchema` reads every footer in the table. A declared schema
+    * costs one metadata line and null-fills older dirs per ordinary
+    * parquet missing-column semantics. */
+  def schemaOf(fs: FileSystem, tableDir: String, v: Long): Option[String] =
+    manifestLines(fs, tableDir, v)
+      .find(_.startsWith(SchemaHeader)).map(_.stripPrefix(SchemaHeader))
+
+  private def readWithDeclared(spark: SparkSession, tableDir: String,
+                               v: Long, paths: Seq[String]): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    schemaOf(fs, tableDir, v) match {
+      case Some(ddl) => spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
   }
 
   /** Relative data paths of the LIVE (highest-committed) version; empty if
@@ -89,11 +119,18 @@ object ManifestTable {
 
   /** The live table as a DataFrame (parquet over the resolved paths). The
     * listed paths are leaf data dirs, so no partition column is inferred
-    * from them even when their names are `b=N`-shaped. */
+    * from them even when their names are `b=N`-shaped. Reads through the
+    * version's declared schema when one was committed ([[schemaOf]]) —
+    * dirs written before a column was added null-fill it, and no footer
+    * is opened for schema discovery. */
   def read(spark: SparkSession, tableDir: String): DataFrame = {
-    val paths = resolve(spark, tableDir)
+    val fs = fsOf(spark, tableDir)
+    val v = versions(fs, tableDir).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest at $tableDir"))
+    val paths = pathsOf(fs, tableDir, v).map(p => s"$tableDir/$p")
     require(paths.nonEmpty, s"no committed manifest at $tableDir")
-    spark.read.parquet(paths: _*)
+    readWithDeclared(spark, tableDir, v, paths)
   }
 
   /** Time travel: snapshot read of a RETAINED committed version (S17).
@@ -108,7 +145,7 @@ object ManifestTable {
       s"version $v is not retained at $tableDir")
     val paths = pathsOf(fs, tableDir, v).map(p => s"$tableDir/$p")
     require(paths.nonEmpty, s"version $v at $tableDir lists no data")
-    spark.read.parquet(paths: _*)
+    readWithDeclared(spark, tableDir, v, paths)
   }
 
   /** Row-level change feed (CDC) between two retained versions: each
@@ -141,9 +178,15 @@ object ManifestTable {
       // identical manifests — empty feed, but with the table's schema
       return readVersion(spark, tableDir, toV).limit(0)
         .withColumn("change_type", lit(""))
+    // both sides read through ONE schema — the newer version's declared
+    // one when present — so a feed across a schema evolution compares
+    // rows on the union shape (a pre-evolution row null-fills the new
+    // column, exactly as readVersion would show it)
+    val anchorV =
+      if (schemaOf(fs, tableDir, toV).isDefined) toV else fromV
     def readOr(paths: Seq[String], schemaAnchor: Seq[String]): DataFrame =
-      if (paths.nonEmpty) spark.read.parquet(paths: _*)
-      else spark.read.parquet(schemaAnchor: _*).limit(0)
+      if (paths.nonEmpty) readWithDeclared(spark, tableDir, anchorV, paths)
+      else readWithDeclared(spark, tableDir, anchorV, schemaAnchor).limit(0)
     val a = readOr(onlyFrom, onlyTo)
     val b = readOr(onlyTo, onlyFrom)
     b.exceptAll(a).withColumn("change_type", lit("insert"))
@@ -177,11 +220,15 @@ object ManifestTable {
     * rename leaves a dead slot: later writers skip it (their claim
     * fails, they bump v) and readers never see it (no `m-<v>` file). */
   def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
-             retainGenerations: Int = 2): Long = {
+             retainGenerations: Int = 2,
+             schemaDdl: Option[String] = None): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = relPaths.mkString("", "\n", "\n").getBytes("UTF-8")
+    schemaDdl.foreach(d => require(!d.contains("\n"),
+      s"schema DDL must be one line, got: $d"))
+    val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
+    val body = (header + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var committed = false
     var attempts = 0

@@ -142,33 +142,67 @@ object MergeInto {
         .collect().map(_.getInt(0)).sorted
       // live bucket → data dir, from ONE manifest read — no per-bucket
       // exists() RPCs (256 HEAD round-trips per call on an object store)
+      val liveV = ManifestTable.versions(fs, tableDir).lastOption
       val liveByBucket: Map[Int, String] =
-        ManifestTable.livePaths(fs, tableDir).map { rel =>
-          rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
-        }.toMap
+        liveV.map(v => ManifestTable.pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
+          .map { rel =>
+            rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
+          }.toMap
       val existing = touched.filter(liveByBucket.contains)
       // ONE job rewrites every touched bucket: standing rows from touched
       // buckets minus ALL source keys (update replaces, delete removes —
       // the anti-join is the same either way), plus the non-delete
       // winners, routed to bucket subdirs of a fresh commit dir.
-      // Untouched buckets are never read or written.
+      // Untouched buckets are never read or written. Standing rows read
+      // through the live version's DECLARED schema when one is tracked,
+      // so dirs written before a prior evolution resolve to the full
+      // table shape (null-filled) instead of whatever one sampled
+      // footer happens to carry.
       val standing =
-        if (existing.nonEmpty)
-          spark.read.parquet(existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
-            .join(winner.select(key), Seq(key), "left_anti")
+        if (existing.nonEmpty) {
+          val paths = existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}")
+          val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
+          val rows = declared match {
+            case Some(ddl) => spark.read
+              .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+              .parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*)
+          }
+          rows.join(winner.select(key), Seq(key), "left_anti")
             .withColumn("b", bucketOf)
-        else winner.limit(0)
+        } else winner.limit(0)
       val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
+      // allowMissingColumns both ways = schema evolution: a source with
+      // a NEW column null-fills it on standing rows; a source missing a
+      // table column null-fills its inserts. The union shape becomes the
+      // committed schema below.
+      val combined = standing.unionByName(inserts, allowMissingColumns = true)
       val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-      standing.unionByName(inserts)
-        .write.partitionBy("b").parquet(s"$tableDir/$cid")
+      combined.write.partitionBy("b").parquet(s"$tableDir/$cid")
       // list what the write ACTUALLY produced: a touched bucket whose
       // replacement is empty has no b= dir and must leave the manifest
       val written = fs.listStatus(new Path(s"$tableDir/$cid"))
         .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
       val untouchedPaths = (liveByBucket -- touched).values.toSeq
+      // the committed schema is the union of the previous declared
+      // schema and this batch's shape — NOT just the batch's: a source
+      // missing an evolved column, merged into a bucket with no
+      // standing rows, would otherwise narrow the declared schema and
+      // hide that column in every untouched dir. Shared fields take the
+      // incoming definition; evolution only ever widens.
+      val newFields = combined.drop("b").schema
+      val tableSchema = liveV
+        .flatMap(v => ManifestTable.schemaOf(fs, tableDir, v)) match {
+        case Some(ddl) =>
+          val prev = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          val extra = newFields.filterNot(f => prev.fieldNames.contains(f.name))
+          org.apache.spark.sql.types.StructType(
+            prev.map(f => newFields.find(_.name == f.name).getOrElse(f)) ++ extra)
+        case None => newFields
+      }
       ManifestTable.commit(spark, tableDir,
-        (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted)
+        (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
+        schemaDdl = Some(tableSchema.toDDL))
     } finally winner.unpersist()
   }
 
@@ -185,11 +219,12 @@ object MergeInto {
         s"not a merge table (no $KeyMarker): $tableDir"))
     val fs = fsOf(spark, tableDir)
     val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-    ManifestTable.read(spark, tableDir)
-      .withColumn("b", pmod(hash(col(key)), lit(n)))
+    val live = ManifestTable.read(spark, tableDir)
+    live.withColumn("b", pmod(hash(col(key)), lit(n)))
       .write.partitionBy("b").parquet(s"$tableDir/$cid")
     val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
       .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
-    ManifestTable.commit(spark, tableDir, buckets.map(b => s"$cid/$b").toSeq)
+    ManifestTable.commit(spark, tableDir, buckets.map(b => s"$cid/$b").toSeq,
+      schemaDdl = Some(live.schema.toDDL))
   }
 }

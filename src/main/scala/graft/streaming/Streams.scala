@@ -250,19 +250,23 @@ object Streams {
     * bucket in it); [[compactUpserted]] is the maintenance answer,
     * exactly as in the production table formats this mirrors. */
   def upsertBatch(batch: DataFrame, tableDir: String,
-                  nBuckets: Int = 256): Unit = {
+                  nBuckets: Int = 256,
+                  deleteWhen: org.apache.spark.sql.Column = lit(false)): Unit = {
     // ts leads (latest version wins); every remaining column follows,
     // derived from the schema so the "ties are deterministic whatever
     // the duplicate set" invariant survives schema evolution. The merge
     // kernel itself — marker pinning, window dedup, touched-bucket
     // rewrite, manifest commit — is the shared batch MERGE INTO core
     // ([[graft.sources.MergeInto.applyBatch]]); X9 is that kernel with
-    // an event-time tie order and no delete clause.
+    // an event-time tie order. `deleteWhen` (default never) lets a CDC
+    // feed carry TOMBSTONES: a key whose latest row matches the
+    // predicate is removed from the table instead of upserted — the
+    // Kafka-compacted-topic / Debezium null-payload consumption shape.
     val tieCols = col("ts").desc +:
       batch.columns.filterNot(c => c == "event_id" || c == "ts")
         .sorted.map(col(_).desc).toSeq
     graft.sources.MergeInto.applyBatch(
-      batch, tableDir, "event_id", tieCols, lit(false), nBuckets)
+      batch, tableDir, "event_id", tieCols, deleteWhen, nBuckets)
   }
 
   /** Read-back of an X9 table: the live manifest's snapshot. The manifest
@@ -287,9 +291,11 @@ object Streams {
     * already-committed batches, and upsertBatch makes even a re-applied
     * batch harmless. */
   def upsertSink(stream: DataFrame, tableDir: String,
-                 checkpointDir: String, nBuckets: Int = 256): Unit = {
+                 checkpointDir: String, nBuckets: Int = 256,
+                 deleteWhen: org.apache.spark.sql.Column = lit(false)): Unit = {
     val q = stream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) => upsertBatch(b, tableDir, nBuckets))
+      .foreachBatch((b: DataFrame, _: Long) =>
+        upsertBatch(b, tableDir, nBuckets, deleteWhen))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

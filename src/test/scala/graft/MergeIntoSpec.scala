@@ -146,6 +146,70 @@ class MergeIntoSpec extends SparkTestBase {
     assert(empty.columns.toSet == Set("k", "v", "amt", "change_type"))
   }
 
+  test("schema evolution: a new source column null-fills standing rows; old snapshots keep their shape") {
+    val dir = freshDir()
+    val base = (1L to 12L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, dir, "k", nBuckets = 4)
+    // merge a source carrying a NEW column `tag` (touches a subset of
+    // buckets — untouched dirs never learn the column physically)
+    val src = Seq((1L, "v1", 1.0, "hot"), (13L, "v13", 13.0, "new"))
+      .toDF("k", "v", "amt", "tag")
+    val v2 = MergeInto.merge(src, dir)
+    val live = MergeInto.read(spark, dir)
+    // the declared schema carries the evolved shape even though only
+    // re-pointed dirs contain the column on disk
+    assert(live.columns.toSet == Set("k", "v", "amt", "tag"))
+    val tags = live.select($"k", $"tag").as[(Long, Option[String])]
+      .collect().toMap
+    assert(tags(1L).contains("hot") && tags(13L).contains("new"))
+    assert(tags(2L).isEmpty, "standing row in an untouched dir must null-fill")
+    assert(live.count() == 13)
+    // time travel is shape-faithful: the pre-evolution snapshot has no tag
+    assert(ManifestTable.readVersion(spark, dir, v1).columns.toSet ==
+      Set("k", "v", "amt"))
+    // the change feed across the evolution compares on the NEW shape:
+    // k=1's update is delete(old image, tag null) + insert(new image)
+    val feed = ManifestTable.changes(spark, dir, v1, v2)
+      .select($"change_type", $"k", $"tag").as[(String, Long, Option[String])]
+      .collect().toSet
+    assert(feed == Set(("delete", 1L, None), ("insert", 1L, Some("hot")),
+      ("insert", 13L, Some("new"))), s"unexpected feed: $feed")
+    // a later source MISSING the evolved column still merges (its
+    // inserts null-fill) and the schema stays evolved
+    MergeInto.merge(Seq(MergeRow(14L, "v14", 14.0)).toDF(), dir)
+    val after = MergeInto.read(spark, dir)
+    assert(after.columns.toSet == Set("k", "v", "amt", "tag"))
+    assert(after.count() == 14)
+    // compaction folds everything into one dir, preserving the shape
+    MergeInto.compact(spark, dir)
+    assert(MergeInto.read(spark, dir).columns.toSet == Set("k", "v", "amt", "tag"))
+    assert(MergeInto.read(spark, dir).count() == 14)
+  }
+
+  test("streaming tombstones: a CDC feed's delete rows remove keys through the sink") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = freshDir()
+    val table = s"$base/table"
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // seed two keys, then stream one update + one tombstone
+    streaming.Streams.upsertBatch(Seq(
+      streaming.Event(1L, t, 7L, "click", 1.0),
+      streaming.Event(2L, t, 7L, "view", 2.0)).toDF(), table, nBuckets = 4)
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[streaming.Event]
+    in.addData(
+      streaming.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"),
+        7L, "purchase", 5.0),
+      streaming.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 10:06:00"),
+        7L, "tombstone", 0.0))
+    streaming.Streams.upsertSink(in.toDF(), table, s"$base/ckpt",
+      nBuckets = 4, deleteWhen = $"event_type" === "tombstone")
+    val rows = streaming.Streams.readUpserted(spark, table)
+      .select($"event_id", $"event_type").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "purchase"),
+      s"tombstone did not delete / update lost: $rows")
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
