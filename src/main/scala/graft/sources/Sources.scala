@@ -522,6 +522,22 @@ object Sources {
       .orderBy("change_type")
   }
 
+  /** S18: point lookup on the merged table — exercises every clause's
+    * outcome through the serving path: key 1 untouched, key 3 updated
+    * (+1000.00), key 7 deleted (absent from the result), key -5
+    * inserted. The lookup opens only the buckets those keys hash to
+    * (inputFiles-asserted in MergeIntoSpec); the oracle reconstructs
+    * the merged table in SQL and filters the same keys. */
+  def s18_point_lookup(s: SparkSession, d: String): DataFrame = {
+    val (dir, _, _) = mergeDemo(s, d)
+    import s.implicits._
+    val keys = Seq(1L, 3L, 7L, -5L).toDF("o_orderkey")
+    MergeInto.lookup(s, dir, keys)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("total_price"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -538,6 +554,7 @@ object Sources {
     "s15_avro_roundtrip" -> (s15_avro_roundtrip _),
     "s16_merge_upsert" -> (s16_merge_upsert _),
     "s17_snapshot_diff" -> (s17_snapshot_diff _),
+    "s18_point_lookup" -> (s18_point_lookup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -630,5 +647,18 @@ object Sources {
          SELECT change_type, count(*) AS n,
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM ch GROUP BY change_type ORDER BY change_type""",
+    "s18_point_lookup" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+         merged AS (
+           SELECT * FROM base WHERE o_orderkey % 10 NOT IN (3, 7)
+           UNION ALL
+           SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+           FROM base WHERE o_orderkey % 10 = 3
+           UNION ALL
+           SELECT -o_orderkey, o_custkey, o_totalprice
+           FROM base WHERE o_orderkey % 10 = 5)
+         SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+         FROM merged WHERE o_orderkey IN (1, 3, 7, -5)
+         ORDER BY o_orderkey""",
   )
 }

@@ -210,6 +210,25 @@ class MergeIntoSpec extends SparkTestBase {
       s"tombstone did not delete / update lost: $rows")
   }
 
+  test("point lookup opens only the buckets its keys hash to") {
+    val dir = freshDir()
+    val nB = 8
+    val base = (1L to 64L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    MergeInto.create(base, dir, "k", nBuckets = nB)
+    val hit = MergeInto.lookup(spark, dir, Seq(5L).toDF("k"))
+    assert(hit.as[MergeRow].collect().toSeq == Seq(MergeRow(5L, "v5", 5.0)))
+    // exactly one bucket dir scanned for a single key
+    val scannedDirs = hit.inputFiles.map(f =>
+      f.substring(0, f.lastIndexOf('/'))).toSet
+    assert(scannedDirs.size == 1,
+      s"1-key lookup scanned ${scannedDirs.size} dirs: $scannedDirs")
+    // an absent key that hashes to an occupied bucket → empty, still
+    // bucket-scoped; a multi-key lookup unions its buckets
+    assert(MergeInto.lookup(spark, dir, Seq(999L).toDF("k")).count() == 0)
+    val multi = MergeInto.lookup(spark, dir, Seq(5L, 17L, 40L).toDF("k"))
+    assert(multi.select($"k").as[Long].collect().toSet == Set(5L, 17L, 40L))
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
