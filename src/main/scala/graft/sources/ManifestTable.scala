@@ -189,8 +189,24 @@ object ManifestTable {
       else readWithDeclared(spark, tableDir, anchorV, schemaAnchor).limit(0)
     val a = readOr(onlyFrom, onlyTo)
     val b = readOr(onlyTo, onlyFrom)
-    b.exceptAll(a).withColumn("change_type", lit("insert"))
-      .unionByName(a.exceptAll(b).withColumn("change_type", lit("delete")))
+    // both diff directions in ONE signed aggregation — the equivalent
+    // `b.exceptAll(a) ∪ a.exceptAll(b)` runs two full-width aggregations
+    // over the same changed rows; tagging sides ±1 and summing computes
+    // the multiset difference (nulls group as equal, matching exceptAll)
+    // with a single shuffle, and `sequence` re-expands surviving
+    // multiplicities
+    import org.apache.spark.sql.functions.
+      {abs, col, explode, sequence, sum, when}
+    val cols = a.columns.map(col(_)).toIndexedSeq
+    val sign = "__graft_diff_sign"
+    a.withColumn(sign, lit(-1L))
+      .unionByName(b.withColumn(sign, lit(1L)))
+      .groupBy(cols: _*).agg(sum(sign).as(sign))
+      .filter(col(sign) =!= 0)
+      .withColumn("change_type",
+        when(col(sign) > 0, "insert").otherwise("delete"))
+      .withColumn(sign, explode(sequence(lit(1L), abs(col(sign)))))
+      .drop(sign)
   }
 
   /** Atomically create an empty claim file — true iff this caller created

@@ -178,7 +178,17 @@ object MergeInto {
       // committed schema below.
       val combined = standing.unionByName(inserts, allowMissingColumns = true)
       val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-      combined.write.partitionBy("b").parquet(s"$tableDir/$cid")
+      // cluster the replacement by bucket and sort by key before the
+      // partitioned write: without this, EVERY upstream task writes its
+      // own file into every touched bucket dir (shuffle.partitions
+      // files per bucket per merge — small-file accretion the next
+      // read pays for), and rows land unordered. One shuffle of the
+      // bounded replacement buys one file per touched bucket per merge
+      // with key-ordered rows, so parquet footer min/max prunes row
+      // groups inside a bucket on the serving path ([[lookup]]).
+      combined.repartition(col("b"))
+        .sortWithinPartitions(col("b"), col(key))
+        .write.partitionBy("b").parquet(s"$tableDir/$cid")
       // list what the write ACTUALLY produced: a touched bucket whose
       // replacement is empty has no b= dir and must leave the manifest
       val written = fs.listStatus(new Path(s"$tableDir/$cid"))
@@ -261,6 +271,8 @@ object MergeInto {
     val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
     val live = ManifestTable.read(spark, tableDir)
     live.withColumn("b", pmod(hash(col(key)), lit(n)))
+      .repartition(col("b"))
+      .sortWithinPartitions(col("b"), col(key))
       .write.partitionBy("b").parquet(s"$tableDir/$cid")
     val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
       .map(_.getPath.getName).filter(_.startsWith("b=")).sorted

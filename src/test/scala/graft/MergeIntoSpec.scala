@@ -215,6 +215,16 @@ class MergeIntoSpec extends SparkTestBase {
     val nB = 8
     val base = (1L to 64L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
     MergeInto.create(base, dir, "k", nBuckets = nB)
+    // the clustered write leaves ONE data file per bucket dir — without
+    // it every upstream task writes a file into every bucket dir and
+    // the serving path pays the accretion
+    val fsRoot = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestTable.livePaths(fsRoot, dir).foreach { rel =>
+      val files = fsRoot.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$rel"))
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"bucket $rel has $files files after one commit")
+    }
     val hit = MergeInto.lookup(spark, dir, Seq(5L).toDF("k"))
     assert(hit.as[MergeRow].collect().toSeq == Seq(MergeRow(5L, "v5", 5.0)))
     // exactly one bucket dir scanned for a single key
