@@ -38,6 +38,18 @@ import org.apache.spark.sql.functions._
   * `_merge_key` pins the key column, so no later call — or
   * crash-interrupted call — can merge with a different geometry and
   * strand standing keys in unprobed buckets.
+  *
+  * Writer concurrency: SINGLE-WRITER per table, like both call sites
+  * (X9's sequential micro-batch loop, the one-off maintenance job).
+  * Two concurrent merges would each commit a manifest derived from the
+  * same base — the later pointer wins and silently drops the earlier
+  * merge's buckets (lost update). [[ManifestTable.commit]]'s slot claim
+  * serializes the POINTERS (no torn manifest), not the merges; a
+  * multi-writer deployment needs optimistic conflict detection on top —
+  * re-validate the observed base version when claiming, rebase the
+  * merge on the new live state and retry on conflict (the
+  * Delta/Iceberg commit protocol). That is a commit-path extension,
+  * not a layout change; readers are unaffected either way.
   */
 object MergeInto {
 
