@@ -239,6 +239,64 @@ class MergeIntoSpec extends SparkTestBase {
     assert(multi.select($"k").as[Long].collect().toSet == Set(5L, 17L, 40L))
   }
 
+  test("fuzz: random merge sequences track an in-memory model, including the change feed") {
+    val rnd = new scala.util.Random(20260813L)
+    val dir = freshDir()
+    val nB = 8
+    var model: Map[Long, (String, Double)] =
+      (1L to 20L).map(k => k -> (s"v$k", k * 1.0)).toMap
+    var prevV = MergeInto.create(
+      model.toSeq.map { case (k, (v, a)) => MergeRow(k, v, a) }.toDF(), dir,
+      "k", nBuckets = nB)
+    assert(table(dir) == model)
+    for (step <- 1 to 8) {
+      // one random op per key over a keyspace wider than the table, so
+      // steps mix updates, value-identical rewrites, inserts, deletes of
+      // present keys and deletes of absent keys
+      val ops: Map[Long, Either[Unit, (String, Double)]] =
+        rnd.shuffle((1L to 40L).toList).take(1 + rnd.nextInt(12)).map { k =>
+          if (rnd.nextBoolean()) k -> Left(())                       // delete
+          else if (rnd.nextInt(4) == 0 && model.contains(k))
+            k -> Right(model(k))                                     // identical rewrite
+          else k -> Right((s"s$step-$k", rnd.nextInt(1000) * 1.0))   // upsert
+        }.toMap
+      val src = ops.toSeq.map {
+        case (k, Left(()))        => MergeRow(k, "__DEL__", 0.0)
+        case (k, Right((v, amt))) => MergeRow(k, v, amt)
+      }.toDF()
+      val newV = MergeInto.merge(src, dir, deleteWhen = $"v" === "__DEL__")
+      val expected = ops.foldLeft(model) {
+        case (m, (k, Left(())))   => m - k
+        case (m, (k, Right(row))) => m + (k -> row)
+      }
+      assert(table(dir) == expected, s"step $step: table diverged from model")
+      // the change feed between the two versions must be exactly the
+      // model delta: old image out + new image in, value-identical
+      // rewrites net to NOTHING (multiset cancellation)
+      val feed = ManifestTable.changes(spark, dir, prevV, newV)
+        .select($"change_type", $"k", $"v", $"amt")
+        .as[(String, Long, String, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).toSet)
+        .toMap.withDefaultValue(Set.empty)
+      val expDeletes = model.toSeq.collect {
+        case (k, (v, a)) if !expected.get(k).contains((v, a)) => (k, v, a) }.toSet
+      val expInserts = expected.toSeq.collect {
+        case (k, (v, a)) if !model.get(k).contains((v, a)) => (k, v, a) }.toSet
+      assert(feed("delete") == expDeletes, s"step $step: delete feed wrong")
+      assert(feed("insert") == expInserts, s"step $step: insert feed wrong")
+      model = expected
+      prevV = newV
+      if (step % 3 == 0) {
+        MergeInto.compact(spark, dir)
+        assert(table(dir) == model, s"step $step: compaction changed the table")
+        // compaction committed a new version; re-anchor the feed base
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        prevV = ManifestTable.versions(fs, dir).last
+      }
+    }
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
