@@ -357,21 +357,28 @@ object Tpch {
     * shuffle on l_orderkey and reuse that one exchange; supplier
     * broadcasts. */
   def q21_waiting_supplier(s: SparkSession, d: String): DataFrame = {
-    val l1 = lineitem(s, d)
+    // ONE pass over the fact table: the EXISTS ("another supplier on
+    // the order") and NOT EXISTS ("no other supplier returned") self-
+    // joins collapse into per-order supplier stats — a returned line
+    // survives iff its order has >1 distinct supplier and exactly one
+    // distinct RETURNED supplier (this row's own supplier is returned,
+    // so n_r_supp = 1 ⇔ nobody else returned). Map-side partial
+    // aggregation replaces two full fact-fact shuffle joins; at 100 TB
+    // that is 1 lineitem scan instead of 3 and the stats side shrinks
+    // to one row per order before it ever joins.
+    val stats = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("k_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_r_supp"))
+      .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
+    lineitem(s, d)
       .filter(col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_suppkey"))
-    val others = lineitem(s, d)
-      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
-    val othersReturned = lineitem(s, d)
-      .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
-    l1.join(orders(s, d).filter(col("o_orderstatus") === "F")
+      .join(stats, col("l_orderkey") === col("k_orderkey"))
+      .join(orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey"),
         col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(others, col("l_orderkey") === col("o2_orderkey") &&
-        col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
-      .join(othersReturned, col("l_orderkey") === col("o3_orderkey") &&
-        col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

@@ -49,9 +49,15 @@ class TpchSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
-  test("q21: EXISTS and NOT EXISTS both plan as joins (semi + anti)") {
+  test("q21: the fact self-joins collapse into per-order stats — no anti join, ≤2 fact scans") {
     val p = plan("q21_waiting_supplier")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p.take(3000))
+    // orders' EXISTS stays a semi probe; the supplier EXISTS / NOT
+    // EXISTS pair must NOT survive as self-joins — they fold into one
+    // per-order countDistinct aggregation (1 extra fact scan, not 2,
+    // and no fact-fact anti shuffle)
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("LeftAnti"), p.take(3000))
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
   test("q22: scalar threshold broadcasts; dormancy is an anti join") {
