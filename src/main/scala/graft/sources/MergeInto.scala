@@ -76,8 +76,13 @@ object MergeInto {
     val fs = fsOf(spark, dir)
     val root = new Path(dir)
     if (!fs.exists(root)) fs.mkdirs(root)
-    val out = fs.create(new Path(dir, name))
+    // write-then-rename: a crash mid-write must not leave a truncated
+    // marker a later call would parse as garbage geometry
+    val tmp = new Path(dir, name + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(dir, name)),
+      s"marker rename failed: $dir/$name")
   }
 
   /** Deterministic tie order when the caller has no domain-specific one:
@@ -125,6 +130,12 @@ object MergeInto {
                  nBuckets: Int): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
+    // "b" (bucket routing, becomes the partitionBy dir) and "rn" (the
+    // window dedup rank) are the kernel's working columns — a source
+    // carrying either name would be silently overwritten, so reject it
+    // loudly instead (the reserved-name rule every table format has)
+    Seq("b", "rn").foreach(r => require(!source.columns.contains(r),
+      s"column name '$r' is reserved by the merge kernel"))
     // pin the geometry: a table written (key, N)-way must always be
     // merged (key, N)-way — marker-first, so a crash between markers and
     // data leaves only harmless markers, never data probed with the

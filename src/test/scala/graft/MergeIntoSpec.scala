@@ -84,6 +84,11 @@ class MergeIntoSpec extends SparkTestBase {
       assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
         s"live manifest references missing dir: $rel")
     }
+    // the kernel's working column names are reserved, not silently
+    // overwritten
+    intercept[IllegalArgumentException] {
+      MergeInto.merge(src.withColumnRenamed("v", "b"), dir)
+    }
     // geometry is pinned by the markers create() wrote
     intercept[IllegalArgumentException] {
       MergeInto.applyBatch(src, dir, "k", MergeInto.defaultTies(src, "k"),
