@@ -264,10 +264,16 @@ object MergeInto {
       ManifestTable.pathsOf(fs, tableDir, liveV).map { rel =>
         rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
       }.toMap
-    val buckets = keys.select(pmod(hash(col(key)), lit(n)).as("b"))
-      .distinct().collect().map(_.getInt(0))
-    val dirs = buckets.toIndexedSeq.flatMap(liveByBucket.get)
-      .map(p => s"$tableDir/$p")
+    // one tiny job yields both the bucket set AND the key values: the
+    // values become an `isin` predicate the parquet scan can PUSH —
+    // merge writes sort each bucket file by key, so footer min/max then
+    // skips every row group outside the probed keys. A semi join alone
+    // would hash-probe AFTER scanning the whole bucket.
+    val probed = keys.select(col(key),
+        pmod(hash(col(key)), lit(n)).as("b"))
+      .distinct().collect()
+    val dirs = probed.map(_.getInt(1)).distinct.sorted.toIndexedSeq
+      .flatMap(liveByBucket.get).map(p => s"$tableDir/$p")
     if (dirs.isEmpty)
       return ManifestTable.read(spark, tableDir).limit(0)
     val rows = ManifestTable.schemaOf(fs, tableDir, liveV) match {
@@ -276,7 +282,7 @@ object MergeInto {
         .parquet(dirs: _*)
       case None => spark.read.parquet(dirs: _*)
     }
-    rows.join(keys.select(key).distinct(), Seq(key), "left_semi")
+    rows.filter(col(key).isin(probed.map(_.get(0)).toIndexedSeq: _*))
   }
 
   /** Maintenance (OPTIMIZE): fold the live snapshot — however many

@@ -237,6 +237,11 @@ class MergeIntoSpec extends SparkTestBase {
       f.substring(0, f.lastIndexOf('/'))).toSet
     assert(scannedDirs.size == 1,
       s"1-key lookup scanned ${scannedDirs.size} dirs: $scannedDirs")
+    // and the key predicate reaches the scan (row-group pruning inside
+    // the key-sorted bucket file), rather than filtering post-scan
+    val plan = hit.queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*(EqualTo|In)\\(k".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
     // an absent key that hashes to an occupied bucket → empty, still
     // bucket-scoped; a multi-key lookup unions its buckets
     assert(MergeInto.lookup(spark, dir, Seq(999L).toDF("k")).count() == 0)
