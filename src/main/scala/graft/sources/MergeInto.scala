@@ -122,12 +122,41 @@ object MergeInto {
   def read(spark: SparkSession, tableDir: String): DataFrame =
     ManifestTable.read(spark, tableDir)
 
+  /** Apply an S17-shaped change feed ([[ManifestTable.changes]]) to a
+    * replica table — the CONSUMER half of the snapshot + CDC-tail
+    * replication pattern: initial sync = [[create]] from
+    * `readVersion(source, v)`, tail = `replicate(changes(source, v,
+    * v'), replicaDir)`, after which the replica equals
+    * `readVersion(source, v')`. An update arrives as delete (old
+    * image) + insert (new image) under the SAME key; the
+    * change_type-first tie order makes the insert the key's winner, so
+    * the pair nets to a replace. The routing column is dropped before
+    * storage — the replica carries the table schema, not the feed
+    * schema. Idempotent like every merge: re-applying a delivered feed
+    * reproduces the same replica. */
+  def replicate(feed: DataFrame, tableDir: String): Long = {
+    require(feed.columns.contains("change_type"),
+      "not a change feed: missing change_type column")
+    val spark = feed.sparkSession
+    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $KeyMarker): $tableDir"))
+    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    applyBatch(feed, tableDir, key,
+      col("change_type").desc +: defaultTies(feed, key),
+      col("change_type") === "delete", n,
+      dropCols = Seq("change_type"))
+  }
+
   /** The shared merge kernel (X9's `upsertBatch` delegates here with
-    * its ts-first tie order and a never-true `deleteWhen`). Returns the
-    * committed manifest version. */
+    * its ts-first tie order and a never-true `deleteWhen`). `dropCols`
+    * names routing-only source columns evaluated for dedup/deletes but
+    * excluded from storage. Returns the committed manifest version. */
   def applyBatch(source: DataFrame, tableDir: String, key: String,
                  tieCols: Seq[Column], deleteWhen: Column,
-                 nBuckets: Int): Long = {
+                 nBuckets: Int, dropCols: Seq[String] = Nil): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
     // "b" (bucket routing, becomes the partitionBy dir) and "rn" (the
@@ -181,6 +210,8 @@ object MergeInto {
       // so dirs written before a prior evolution resolve to the full
       // table shape (null-filled) instead of whatever one sampled
       // footer happens to carry.
+      val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
+        .drop(dropCols: _*)
       val standing =
         if (existing.nonEmpty) {
           val paths = existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}")
@@ -193,8 +224,7 @@ object MergeInto {
           }
           rows.join(winner.select(key), Seq(key), "left_anti")
             .withColumn("b", bucketOf)
-        } else winner.limit(0)
-      val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
+        } else inserts.limit(0) // post-drop shape: dropCols must not leak in
       // allowMissingColumns both ways = schema evolution: a source with
       // a NEW column null-fills it on standing rows; a source missing a
       // table column null-fills its inserts. The union shape becomes the

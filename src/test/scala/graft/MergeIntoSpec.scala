@@ -307,6 +307,31 @@ class MergeIntoSpec extends SparkTestBase {
     }
   }
 
+  test("replication loop: snapshot create + CDC tail reproduces the source table") {
+    val srcDir = freshDir()
+    val repDir = freshDir()
+    val base = (1L to 24L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, srcDir, "k", nBuckets = 4)
+    // replica initial sync from the v1 snapshot (different bucket count
+    // on purpose — replication is logical, not physical)
+    MergeInto.create(ManifestTable.readVersion(spark, srcDir, v1),
+      repDir, "k", nBuckets = 8)
+    // source evolves: update k=2, delete k=3, insert k=25
+    val src = Seq(MergeRow(2L, "upd", 200.0), MergeRow(3L, "del", 0.0),
+      MergeRow(25L, "ins", 25.0)).toDF()
+    val v2 = MergeInto.merge(src, srcDir, deleteWhen = $"v" === "del")
+    // tail: apply the change feed to the replica
+    val feed = ManifestTable.changes(spark, srcDir, v1, v2)
+    MergeInto.replicate(feed, repDir)
+    def snap(dir: String) = table(dir)
+    assert(snap(repDir) == snap(srcDir), "replica diverged from source")
+    // the routing column must not leak into the replica's schema
+    assert(MergeInto.read(spark, repDir).columns.toSet == Set("k", "v", "amt"))
+    // at-least-once delivery: re-applying the feed is a no-op
+    MergeInto.replicate(feed, repDir)
+    assert(snap(repDir) == snap(srcDir), "re-applied feed changed the replica")
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
