@@ -148,6 +148,32 @@ object ManifestTable {
     readWithDeclared(spark, tableDir, v, paths)
   }
 
+  /** RESTORE: make a retained older version the live table again by
+    * committing its path list (and schema) as a NEW version — history
+    * moves forward, nothing is rewritten or deleted, and a reader mid-
+    * scan on the abandoned head finishes cleanly. The data dirs are
+    * immutable and referenced by the new manifest, so GC keeps them. */
+  def restore(spark: SparkSession, tableDir: String, v: Long): Long = {
+    val fs = fsOf(spark, tableDir)
+    require(versions(fs, tableDir).contains(v),
+      s"version $v is not retained at $tableDir")
+    commit(spark, tableDir, pathsOf(fs, tableDir, v),
+      schemaDdl = schemaOf(fs, tableDir, v))
+  }
+
+  /** Version log of the retained history: (version, committed_at epoch
+    * millis from the manifest file's mtime, n_paths). One driver-side
+    * listing — metadata only. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val rows = versions(fs, tableDir).map { v =>
+      val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
+      (v, st.getModificationTime, pathsOf(fs, tableDir, v).length)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "n_paths")
+  }
+
   /** Row-level change feed (CDC) between two retained versions: each
     * output row is a row of `toV` absent from `fromV` (`change_type =
     * 'insert'`) or a row of `fromV` absent from `toV` (`'delete'`); an

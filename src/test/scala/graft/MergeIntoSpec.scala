@@ -307,6 +307,26 @@ class MergeIntoSpec extends SparkTestBase {
     }
   }
 
+  test("restore re-points the live table at an old snapshot without rewriting data") {
+    val dir = freshDir()
+    val base = (1L to 10L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()
+    val v1 = MergeInto.create(base, dir, "k", nBuckets = 4)
+    val preMerge = table(dir)
+    MergeInto.merge(Seq(MergeRow(2L, "bad", -1.0)).toDF(), dir)
+    assert(table(dir) != preMerge)
+    // restore: the bad merge is abandoned by a forward commit
+    val v3 = ManifestTable.restore(spark, dir, v1)
+    assert(v3 == 3L)
+    assert(table(dir) == preMerge, "restore did not reproduce the snapshot")
+    // history is append-only: three versions... minus GC (retain 2)
+    val hist = ManifestTable.history(spark, dir)
+      .select($"version", $"n_paths").as[(Long, Int)].collect().toMap
+    assert(hist.keySet.max == v3 && hist.contains(v3))
+    // the restored table keeps merging normally
+    MergeInto.merge(Seq(MergeRow(11L, "after", 11.0)).toDF(), dir)
+    assert(table(dir) == preMerge + (11L -> ("after", 11.0)))
+  }
+
   test("replication loop: snapshot create + CDC tail reproduces the source table") {
     val srcDir = freshDir()
     val repDir = freshDir()
