@@ -248,62 +248,149 @@ object ManifestTable {
       try { fs.create(p, false).close(); true }
       catch { case _: java.io.IOException => false }
 
+  /** Atomic put-if-absent of a COMPLETE manifest at version `v` — true
+    * iff this caller published it. On `file://` the body is written to
+    * a private temp file and HARD-LINKED to the final name:
+    * `Files.createLink` atomically fails if the target exists, and the
+    * linked name appears with its full content — the manifest IS the
+    * claim, so there is no window where a slot is claimed but bodyless
+    * (the dead-slot state the previous claim-file protocol had to
+    * GC around). On other schemes (HDFS), `create(overwrite=false)` is
+    * namenode-atomic and the claim-file protocol guards the rename. */
+  private def publishAt(fs: FileSystem, mdir: Path, v: Long,
+                        body: Array[Byte]): Boolean = {
+    val target = new Path(mdir, manifestName(v))
+    if (fs.getUri.getScheme == "file") {
+      val tmp = new Path(mdir,
+        manifestName(v) + ".w" + java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, true)
+      try out.write(body) finally out.close()
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally fs.delete(tmp, false)
+    } else {
+      if (!claimSlot(fs, new Path(mdir, manifestName(v) + ".claim"))) false
+      else {
+        val tmp = new Path(mdir, manifestName(v) + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(body) finally out.close()
+        fs.rename(tmp, target)
+      }
+    }
+  }
+
+  private def manifestBody(relPaths: Seq[String],
+                           schemaDdl: Option[String]): Array[Byte] = {
+    schemaDdl.foreach(d => require(!d.contains("\n"),
+      s"schema DDL must be one line, got: $d"))
+    val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
+    (header + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+  }
+
   /** Commit a new version whose table is exactly `relPaths`, then GC
     * manifests/data outside the newest `retainGenerations` versions.
     * Returns the committed version number. Data at `relPaths` must already
-    * be fully written.
-    *
-    * Slot protocol: a writer first CLAIMS version v by atomically
-    * creating `m-<v>.claim`; only the claim holder writes the manifest
-    * body (to a temp name) and renames it to `m-<v>`, so the rename
-    * target never pre-exists and two racing writers can never both land
-    * on one version (local-FS rename would silently overwrite — the
-    * claim closes exactly that hole). A claimant that crashes before its
-    * rename leaves a dead slot: later writers skip it (their claim
-    * fails, they bump v) and readers never see it (no `m-<v>` file). */
+    * be fully written. Racing writers serialize on [[publishAt]]'s
+    * put-if-absent — each bumps past taken versions until its publish
+    * lands; LAST POINTER WINS, so concurrent commits to the same table
+    * need conflict detection on top ([[commitIf]]) unless their
+    * manifests are independently complete. */
   def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
              retainGenerations: Int = 2,
              schemaDdl: Option[String] = None): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    schemaDdl.foreach(d => require(!d.contains("\n"),
-      s"schema DDL must be one line, got: $d"))
-    val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
-    val body = (header + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+    val body = manifestBody(relPaths, schemaDdl)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
-    var committed = false
     var attempts = 0
-    while (!committed) {
+    while (!publishAt(fs, mdir, v, body)) {
       attempts += 1
       require(attempts <= 10000, s"manifest commit contention at $tableDir")
-      if (claimSlot(fs, new Path(mdir, manifestName(v) + ".claim"))) {
-        val tmp = new Path(mdir, manifestName(v) + ".tmp")
-        val out = fs.create(tmp, true)
-        try out.write(body) finally out.close()
-        require(fs.rename(tmp, new Path(mdir, manifestName(v))),
-          s"claimed-slot rename failed at $tableDir v$v")
-        committed = true
-      } else v += 1 // slot claimed by a racing (or crashed) writer
+      v += 1 // version taken by a racing writer
     }
     gc(fs, tableDir, retainGenerations)
     v
   }
 
+  /** CONDITIONAL commit — the optimistic-concurrency primitive: publish
+    * `relPaths` as version `expectedBase + 1` iff no other writer
+    * committed past `expectedBase` in the meantime. Returns the new
+    * version, or None on conflict (the caller re-reads the live state,
+    * rebases its work and retries — the Delta/Iceberg protocol). The
+    * conflict check IS the atomic publish: version expectedBase+1 can
+    * be created exactly once, so two writers with the same base can
+    * never both win. A publish that lands but is no longer the head
+    * (both the next slot AND newer ones appeared, and the next slot was
+    * then GC'd — needs two full GC generations inside the race window)
+    * is detected afterwards and withdrawn as a conflict. */
+  def commitIf(spark: SparkSession, tableDir: String, relPaths: Seq[String],
+               expectedBase: Long,
+               retainGenerations: Int = 2,
+               schemaDdl: Option[String] = None): Option[Long] = {
+    val fs = fsOf(spark, tableDir)
+    val mdir = manifestDir(tableDir)
+    if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    val vs = versions(fs, tableDir)
+    if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
+    val v = expectedBase + 1
+    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl))) None
+    else if (versions(fs, tableDir).last != v) {
+      // lost to writers that got ahead through a GC'd slot; withdraw —
+      // readers resolve the (higher) head, never this manifest
+      fs.delete(new Path(mdir, manifestName(v)), false)
+      None
+    } else {
+      gc(fs, tableDir, retainGenerations)
+      Some(v)
+    }
+  }
+
+  /** How long an orphan dir (referenced by NO manifest) must sit before
+    * the sweep may delete it. A dir in that state is either a crashed
+    * writer's leavings (safe to delete, eventually) or a RACING
+    * writer's in-flight commit dir that no manifest references YET —
+    * deleting that mid-write corrupts the racing merge, so orphans age
+    * out instead of dying instantly (Iceberg's orphan-file age check,
+    * Delta's VACUUM retention — same reasoning). Dirs aged out of
+    * RETENTION (referenced by a manifest this GC is retiring) are a
+    * different case and are swept immediately, as ever. Test hook:
+    * settable so crash-healing specs can age an orphan artificially. */
+  @volatile private[sources] var orphanGraceMs: Long = 10 * 60 * 1000L
+
   /** Delete manifests older than the newest `retain` versions and any
     * top-level data dir none of the retained manifests references.
-    * Runs after a successful commit, under the same single-writer
-    * assumption as the commit itself. */
+    * Safe under racing committers: a concurrent GC may delete a kept
+    * manifest between our listing and our read — then the reference
+    * set is unknowable this round, so the data-dir sweep is SKIPPED
+    * (conservative: a later commit's GC sweeps instead; deleting with
+    * an incomplete reference set could drop live dirs). Concurrent
+    * deletes of the same file are no-ops (`delete` returns false). */
   private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
     val vs = versions(fs, tableDir)
     val (old, kept) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
-    val referenced: Set[String] =
-      kept.flatMap(v => pathsOf(fs, tableDir, v))
-        .map(_.split("/", 2).head).toSet
+    val keptPaths = kept.map { v =>
+      try Some(pathsOf(fs, tableDir, v))
+      catch { case _: java.io.IOException => None }
+    }
+    val referenced: Set[String] = keptPaths.flatten.flatten
+      .map(_.split("/", 2).head).toSet
+    // dirs the retiring manifests referenced: aged out of retention,
+    // swept immediately (unless a kept manifest still references them)
+    val retired: Set[String] = old.flatMap { v =>
+      try pathsOf(fs, tableDir, v)
+      catch { case _: java.io.IOException => Seq.empty }
+    }.map(_.split("/", 2).head).toSet -- referenced
     old.foreach { v =>
       fs.delete(new Path(manifestDir(tableDir), manifestName(v)), false)
       fs.delete(new Path(manifestDir(tableDir), manifestName(v) + ".claim"), false)
     }
+    if (keptPaths.exists(_.isEmpty)) return // racing GC won; sweep later
     // claims below the retained window whose slot died unclaimed (writer
     // crashed before its rename) are dead weight too
     kept.headOption.foreach { floor =>
@@ -314,10 +401,17 @@ object ManifestTable {
             .filter(_ < floor).foreach(_ => fs.delete(st.getPath, false))
       }
     }
+    val now = System.currentTimeMillis()
     fs.listStatus(new Path(tableDir)).foreach { st =>
       val n = st.getPath.getName
       val protectedEntry = n.startsWith("_") || n.startsWith(".")
-      if (!protectedEntry && !referenced.contains(n))
+      // retention sweep (retired by this GC) is immediate; a dir NO
+      // manifest references is an orphan — crashed writer's leavings
+      // or a racing writer's still-unpublished commit dir — and must
+      // age past the grace window before deletion (see orphanGraceMs)
+      val sweepable = retired.contains(n) ||
+        now - st.getModificationTime > orphanGraceMs
+      if (!protectedEntry && !referenced.contains(n) && sweepable)
         fs.delete(st.getPath, true)
     }
   }

@@ -39,17 +39,16 @@ import org.apache.spark.sql.functions._
   * crash-interrupted call — can merge with a different geometry and
   * strand standing keys in unprobed buckets.
   *
-  * Writer concurrency: SINGLE-WRITER per table, like both call sites
-  * (X9's sequential micro-batch loop, the one-off maintenance job).
-  * Two concurrent merges would each commit a manifest derived from the
-  * same base — the later pointer wins and silently drops the earlier
-  * merge's buckets (lost update). [[ManifestTable.commit]]'s slot claim
-  * serializes the POINTERS (no torn manifest), not the merges; a
-  * multi-writer deployment needs optimistic conflict detection on top —
-  * re-validate the observed base version when claiming, rebase the
-  * merge on the new live state and retry on conflict (the
-  * Delta/Iceberg commit protocol). That is a commit-path extension,
-  * not a layout change; readers are unaffected either way.
+  * Writer concurrency: OPTIMISTIC, no lost updates. Each merge
+  * observes the live base version, builds its replacement against it,
+  * and publishes with [[ManifestTable.commitIf]] — an atomic
+  * put-if-absent of version base+1, so two writers with the same base
+  * can never both win; the loser REBASES (re-reads standing rows at
+  * the new head, rewrites, retries) exactly like the Delta/Iceberg
+  * commit protocol. A single-writer table never conflicts and pays
+  * nothing extra. Note the rebase re-applies the same key-level
+  * semantics against the new base — concurrent merges serialize in
+  * commit order, each seeing the previous one's result.
   */
 object MergeInto {
 
@@ -192,6 +191,55 @@ object MergeInto {
       // touched buckets: tiny driver list, bounded by min(source keys, N)
       val touched = winner.select("b").distinct()
         .collect().map(_.getInt(0)).sorted
+      // OPTIMISTIC CONCURRENCY: observe the base version, build the
+      // replacement against it, and publish with commitIf(base) — the
+      // atomic put-if-absent of version base+1 means two writers with
+      // the same base can never both win. On conflict (or a read that
+      // crashed because a racing commit's GC swept the observed base's
+      // dirs) the merge REBASES: re-observe, re-read standing, rewrite,
+      // retry. A single-writer table never conflicts and pays nothing;
+      // racing writers serialize with no lost updates (spec races
+      // disjoint-key merges to prove both land). The abandoned
+      // attempt's commit dir is swept by a later commit's GC.
+      var attempt = 0
+      var result = -1L
+      while (result < 0) {
+        attempt += 1
+        require(attempt <= 50, s"merge contention at $tableDir")
+        try {
+          result = attemptMerge(spark, fs, tableDir, key, deleteWhen,
+            dropCols, winner, touched).getOrElse(-1L)
+        } catch {
+          // the observed snapshot's dirs vanished mid-read: a racing
+          // writer committed ≥2 generations and GC swept them — rebase
+          case e: org.apache.spark.SparkException
+            if rootIsFileNotFound(e) => ()
+        }
+      }
+      result
+    } finally winner.unpersist()
+  }
+
+  private def rootIsFileNotFound(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      c = c.getCause
+    }
+    false
+  }
+
+  /** One optimistic attempt: read standing rows at the CURRENT live
+    * version, write the replacement commit dir, publish conditionally.
+    * None = lost the race; the caller rebases and retries. */
+  private def attemptMerge(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           tableDir: String, key: String,
+                           deleteWhen: Column, dropCols: Seq[String],
+                           winner: DataFrame,
+                           touched: Array[Int]): Option[Long] = {
+      val bucketOf = pmod(hash(col(key)),
+        lit(readMarker(spark, tableDir, BucketsMarker).get.toInt))
       // live bucket → data dir, from ONE manifest read — no per-bucket
       // exists() RPCs (256 HEAD round-trips per call on an object store)
       val liveV = ManifestTable.versions(fs, tableDir).lastOption
@@ -263,10 +311,13 @@ object MergeInto {
             prev.map(f => newFields.find(_.name == f.name).getOrElse(f)) ++ extra)
         case None => newFields
       }
-      ManifestTable.commit(spark, tableDir,
+      val published = ManifestTable.commitIf(spark, tableDir,
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
+        expectedBase = liveV.getOrElse(0L),
         schemaDdl = Some(tableSchema.toDDL))
-    } finally winner.unpersist()
+      // on conflict the freshly-written commit dir is abandoned — a
+      // later successful commit's GC sweeps it, same as a crashed writer
+      published
   }
 
   /** Point lookup — the serving-path read: each key's bucket is

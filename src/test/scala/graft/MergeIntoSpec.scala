@@ -307,6 +307,36 @@ class MergeIntoSpec extends SparkTestBase {
     }
   }
 
+  test("racing merges on disjoint keys both land — optimistic commit, no lost updates") {
+    val dir = freshDir()
+    val base = (1L to 32L).map(k => MergeRow(k, "init", 0.0)).toDF()
+    MergeInto.create(base, dir, "k", nBuckets = 8)
+    // 4 writers × 3 rounds, each updating ITS OWN key range concurrently.
+    // Without conflict detection the last pointer would silently drop
+    // the other writers' buckets; with commitIf every update must land.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val writers = (0 until 4).map { w =>
+        Future {
+          for (round <- 1 to 3) {
+            val src = (1L to 8L).map(i => MergeRow(w * 8L + i, s"w$w-r$round",
+              w * 100.0 + round)).toDF()
+            MergeInto.merge(src, dir)
+          }
+        }
+      }
+      Await.result(Future.sequence(writers), 120.seconds)
+    } finally pool.shutdown()
+    val fin = table(dir)
+    for (w <- 0 until 4; i <- 1L to 8L)
+      assert(fin(w * 8L + i) == (s"w$w-r3", w * 100.0 + 3),
+        s"writer $w key ${w * 8 + i} lost: ${fin(w * 8L + i)}")
+  }
+
   test("restore re-points the live table at an old snapshot without rewriting data") {
     val dir = freshDir()
     val base = (1L to 10L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF()

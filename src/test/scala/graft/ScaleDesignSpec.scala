@@ -585,15 +585,22 @@ class ScaleDesignSpec extends SparkTestBase {
     } finally { stop = true; writer.join() }
     assert(writerErr == null, s"racing writer failed: $writerErr")
     // GC: two commits at retain=2 — live + previous generations survive,
-    // everything else (older versions, the crashed writer's staged dir,
-    // old manifests) is swept, and the live table is still complete.
+    // everything else (older versions, the AGED crashed-writer dir, old
+    // manifests) is swept, and the live table is still complete. A
+    // YOUNG unreferenced dir is indistinguishable from a racing
+    // writer's in-flight commit and must survive the sweep (orphan
+    // grace); an aged one is a crashed writer's leavings and must go.
+    spark.range(9).toDF("k").write.parquet(s"$dir/c-young-inflight")
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/c-staged-only"),
+      System.currentTimeMillis() - 24L * 3600 * 1000, -1)
     stage("c-finA", 1)
     ManifestTable.commit(spark, dir, Seq("c-finA"), retainGenerations = 2)
     stage("c-finB", 2)
     ManifestTable.commit(spark, dir, Seq("c-finB"), retainGenerations = 2)
     val top = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet
-    assert(top == Set("c-finA", "c-finB"), s"GC left/removed the wrong dirs: $top")
+    assert(top == Set("c-finA", "c-finB", "c-young-inflight"),
+      s"GC left/removed the wrong dirs: $top")
     assert(ManifestTable.versions(fs, dir).length == 2, "old manifests not swept")
     val fin = ManifestTable.read(spark, dir)
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).head

@@ -364,6 +364,11 @@ class StreamingSpec extends SparkTestBase {
     fs.mkdirs(orphan)
     val junk = fs.create(new org.apache.hadoop.fs.Path(orphan, "junk.parquet"))
     try junk.write(Array[Byte](1, 2, 3)) finally junk.close()
+    // age the orphan past the GC grace window: a YOUNG unreferenced dir
+    // is indistinguishable from a racing writer's in-flight commit dir
+    // and is deliberately protected; only aged orphans are swept
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$table/c-orphan"),
+      System.currentTimeMillis() - 24L * 3600 * 1000, -1)
     assert(snapshot() == before, "orphan staged dir leaked into reads")
     Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table, nB)
     val healed = snapshot()
