@@ -149,6 +149,87 @@ object MergeInto {
       dropCols = Seq("change_type"))
   }
 
+  private val SyncMarker = "_synced_to"
+
+  /** Replace-variant of [[writeMarker]] for markers that ADVANCE (the
+    * geometry markers are write-once; `FileSystem.rename` won't clobber
+    * an existing target on the local fs). Delete-then-rename leaves a
+    * brief no-marker window on a crash; [[sync]] treats a marker-less
+    * replica that already has commits as "unknown position" and
+    * re-syncs by full diff, so the window degrades cost, not
+    * correctness. */
+  private def writeMarkerReplace(spark: SparkSession, dir: String,
+                                 name: String, value: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val tmp = new Path(dir, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+    fs.delete(new Path(dir, name), false)
+    require(fs.rename(tmp, new Path(dir, name)),
+      s"marker rename failed: $dir/$name")
+  }
+
+  /** Restartable replication driver — the loop a production consumer
+    * would schedule: catch `replicaDir` up to the live head of
+    * `sourceDir`, whatever state the replica is in. First call =
+    * initial snapshot sync ([[create]] from the head version); later
+    * calls apply the CDC tail ([[ManifestTable.changes]] from the
+    * replica's recorded `_synced_to` version). Returns the source
+    * version the replica now reflects.
+    *
+    * Crash-safe by ordering, not by locks: the feed is applied BEFORE
+    * the `_synced_to` marker advances, and applying a feed is
+    * idempotent ([[replicate]]), so a consumer that crashes between
+    * the two just re-applies the same feed on restart. A replica that
+    * fell BEHIND RETENTION (its synced version GC'd at the source —
+    * the consumer equivalent of falling off the end of a log's
+    * retention window) re-syncs by logical diff: replica-vs-head
+    * `exceptAll` both ways, applied as a feed. That path scans both
+    * tables — the price of falling behind — but converges in one call
+    * and the tail path resumes after. The same full-diff path adopts a
+    * replica that has commits but no marker (built manually via
+    * create+replicate, or crashed inside the marker replace). One
+    * source per replica. */
+  def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
+           nBuckets: Int = 256): Long = {
+    val fs = fsOf(spark, sourceDir)
+    val headV = ManifestTable.versions(fs, sourceDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed manifest at $sourceDir"))
+    val repExists =
+      ManifestTable.versions(fsOf(spark, replicaDir), replicaDir).nonEmpty
+    // a replica with commits but NO marker is at an unknown position
+    // (adopted manually, or a crash inside the marker replace) —
+    // converge by full logical diff rather than attempting a create
+    def fullDiffSync(): Unit = {
+      val src = ManifestTable.readVersion(spark, sourceDir, headV)
+      val rep = read(spark, replicaDir)
+        .select(src.columns.map(col(_)).toIndexedSeq: _*)
+      replicate(
+        src.exceptAll(rep).withColumn("change_type", lit("insert"))
+          .unionByName(rep.exceptAll(src).withColumn("change_type", lit("delete"))),
+        replicaDir)
+    }
+    readMarker(spark, replicaDir, SyncMarker) match {
+      case None if !repExists =>
+        val srcKey = readMarker(spark, sourceDir, KeyMarker).getOrElse(
+          throw new IllegalArgumentException(
+            s"not a merge table (no $KeyMarker): $sourceDir"))
+        create(ManifestTable.readVersion(spark, sourceDir, headV),
+          replicaDir, srcKey, nBuckets)
+      case None => fullDiffSync()
+      case Some(s) if s.toLong == headV => return headV // already at head
+      case Some(s) =>
+        val synced = s.toLong
+        if (ManifestTable.versions(fs, sourceDir).contains(synced))
+          replicate(ManifestTable.changes(spark, sourceDir, synced, headV),
+            replicaDir)
+        else fullDiffSync()
+    }
+    writeMarkerReplace(spark, replicaDir, SyncMarker, headV.toString)
+    headV
+  }
+
   /** The shared merge kernel (X9's `upsertBatch` delegates here with
     * its ts-first tie order and a never-true `deleteWhen`). `dropCols`
     * names routing-only source columns evaluated for dedup/deletes but
@@ -369,7 +450,18 @@ object MergeInto {
   /** Maintenance (OPTIMIZE): fold the live snapshot — however many
     * commit dirs it spans — into ONE fresh dir, re-bucketed by the
     * pinned geometry, published with one manifest swap. A racing reader
-    * sees the old complete snapshot or the new one. */
+    * sees the old complete snapshot or the new one.
+    *
+    * Commits CONDITIONALLY on the version it compacted
+    * ([[ManifestTable.commitIf]]): a merge that lands while the rewrite
+    * runs wins, and the compaction rebases — re-reads the new head and
+    * rewrites — rather than publishing a manifest built from the stale
+    * snapshot. The previous unconditional commit would silently ROLL
+    * BACK such a merge (the one lost-update window the optimistic
+    * merge protocol left open); this is Iceberg's rewrite-validation
+    * rule applied to the same race. Compaction changes no logical
+    * rows, so conflict handling is pure retry; an abandoned rewrite
+    * dir is swept by a later commit's GC like any crashed writer's. */
   def compact(spark: SparkSession, tableDir: String): Unit = {
     val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
       throw new IllegalArgumentException(
@@ -378,15 +470,34 @@ object MergeInto {
       throw new IllegalArgumentException(
         s"not a merge table (no $KeyMarker): $tableDir"))
     val fs = fsOf(spark, tableDir)
-    val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
-    val live = ManifestTable.read(spark, tableDir)
-    live.withColumn("b", pmod(hash(col(key)), lit(n)))
-      .repartition(col("b"))
-      .sortWithinPartitions(col("b"), col(key))
-      .write.partitionBy("b").parquet(s"$tableDir/$cid")
-    val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
-      .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
-    ManifestTable.commit(spark, tableDir, buckets.map(b => s"$cid/$b").toSeq,
-      schemaDdl = Some(live.schema.toDDL))
+    require(ManifestTable.versions(fs, tableDir).nonEmpty,
+      s"no committed manifest at $tableDir")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      require(attempt <= 50, s"compaction contention at $tableDir")
+      try {
+        val baseV = ManifestTable.versions(fs, tableDir).last
+        val live = ManifestTable.readVersion(spark, tableDir, baseV)
+        val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+        live.withColumn("b", pmod(hash(col(key)), lit(n)))
+          .repartition(col("b"))
+          .sortWithinPartitions(col("b"), col(key))
+          .write.partitionBy("b").parquet(s"$tableDir/$cid")
+        val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
+          .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+        done = ManifestTable.commitIf(spark, tableDir,
+          buckets.map(b => s"$cid/$b").toSeq,
+          expectedBase = baseV,
+          schemaDdl = Some(live.schema.toDDL)).isDefined
+      } catch {
+        // the observed base's dirs (or its manifest) were GC'd by a
+        // racing writer's commit mid-read — same rebase as a conflict
+        case e: org.apache.spark.SparkException if rootIsFileNotFound(e) => ()
+        case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("not retained") => ()
+      }
+    }
   }
 }

@@ -382,6 +382,76 @@ class MergeIntoSpec extends SparkTestBase {
     assert(snap(repDir) == snap(srcDir), "re-applied feed changed the replica")
   }
 
+  test("compaction racing merges never rolls one back — conditional rewrite commit") {
+    val dir = freshDir()
+    val base = (1L to 32L).map(k => MergeRow(k, "init", 0.0)).toDF()
+    MergeInto.create(base, dir, "k", nBuckets = 8)
+    // One writer lands 6 sequential merges while the main thread
+    // compacts continuously. Each compaction that loses the race must
+    // REBASE (re-read the new head and rewrite) — the old unconditional
+    // commit would publish the pre-merge snapshot and silently roll the
+    // racing merge back, which this asserts can no longer happen.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val merger = Future {
+        for (round <- 1 to 6) {
+          val src = (1L to 4L).map(i =>
+            MergeRow(i, s"r$round", round.toDouble)).toDF()
+          MergeInto.merge(src, dir)
+        }
+      }
+      var spins = 0
+      while (!merger.isCompleted && spins < 40) {
+        MergeInto.compact(spark, dir)
+        spins += 1
+      }
+      Await.result(merger, 180.seconds)
+    } finally pool.shutdown()
+    val fin = table(dir)
+    for (i <- 1L to 4L)
+      assert(fin(i) == ("r6", 6.0), s"merge of key $i rolled back: ${fin(i)}")
+    for (i <- 5L to 32L)
+      assert(fin(i) == ("init", 0.0), s"untouched key $i corrupted: ${fin(i)}")
+  }
+
+  test("sync drives a replica to the source head: snapshot, tail, and fall-behind re-sync") {
+    val srcDir = freshDir()
+    val repDir = freshDir()
+    MergeInto.create((1L to 16L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF(),
+      srcDir, "k", nBuckets = 4)
+    // first call = initial snapshot sync (different geometry on purpose)
+    val v1 = MergeInto.sync(spark, srcDir, repDir, nBuckets = 8)
+    assert(v1 == 1L && table(repDir) == table(srcDir))
+    // at head = no-op
+    assert(MergeInto.sync(spark, srcDir, repDir) == v1)
+    // one merge, then sync: the CDC-tail path (synced version retained)
+    MergeInto.merge(Seq(MergeRow(2L, "upd", 200.0), MergeRow(17L, "ins", 17.0)).toDF(),
+      srcDir)
+    assert(MergeInto.sync(spark, srcDir, repDir) == 2L)
+    assert(table(repDir) == table(srcDir), "CDC tail diverged")
+    // crash between apply and marker advance = re-applying the same
+    // feed; modelled by replaying sync at an unchanged head
+    assert(MergeInto.sync(spark, srcDir, repDir) == 2L)
+    assert(table(repDir) == table(srcDir))
+    // fall off retention: three merges land without a sync, GC'ing the
+    // replica's synced version at the source → full logical re-sync
+    MergeInto.merge(Seq(MergeRow(3L, "del", 0.0)).toDF(), srcDir,
+      deleteWhen = $"v" === "del")
+    for (r <- 1 to 2)
+      MergeInto.merge(Seq(MergeRow(1L, s"r$r", r.toDouble)).toDF(), srcDir)
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!ManifestTable.versions(fs, srcDir).contains(2L),
+      "fixture: the synced version must have been GC'd to exercise the fallback")
+    MergeInto.sync(spark, srcDir, repDir)
+    assert(table(repDir) == table(srcDir), "fall-behind re-sync diverged")
+    assert(!table(repDir).contains(3L), "delete did not replicate")
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
