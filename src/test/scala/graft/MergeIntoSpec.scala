@@ -252,6 +252,7 @@ class MergeIntoSpec extends SparkTestBase {
   test("fuzz: random merge sequences track an in-memory model, including the change feed") {
     val rnd = new scala.util.Random(20260813L)
     val dir = freshDir()
+    val repDir = freshDir()
     val nB = 8
     var model: Map[Long, (String, Double)] =
       (1L to 20L).map(k => k -> (s"v$k", k * 1.0)).toMap
@@ -303,6 +304,15 @@ class MergeIntoSpec extends SparkTestBase {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         prevV = ManifestTable.versions(fs, dir).last
+      }
+      // sync a replica every other step: with retention 2 and merges +
+      // compactions committing between syncs, the replica's recorded
+      // version is sometimes retained (CDC-tail path) and sometimes
+      // GC'd (full-diff fall-behind path) — both must converge on the
+      // model exactly
+      if (step % 2 == 0) {
+        MergeInto.sync(spark, dir, repDir, nBuckets = 4)
+        assert(table(repDir) == model, s"step $step: replica diverged from model")
       }
     }
   }
