@@ -31,10 +31,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * per-bucket and could expose a mixed pre/post-merge view. GC keeps the
   * newest `retainGenerations` manifests AND their data (default 2: the
   * new version plus its predecessor), so a reader that resolved the
-  * previous manifest just before a commit can still finish its scan; at
-  * a production multi-reader deployment the retention policy would be
-  * time-based (readers bounded by a max scan duration) rather than
-  * generation-based, which is a knob, not a protocol change.
+  * previous manifest just before a commit can still finish its scan. A
+  * production multi-reader deployment layers the TIME-based policy on
+  * top ([[minRetainMs]]): any version younger than the window survives
+  * GC regardless of generation count, so a reader bounded by a max scan
+  * duration is safe by construction.
   *
   * Writer concurrency: commit retries with the next version number if the
   * rename finds the slot taken (two racing writers serialize; last
@@ -351,6 +352,17 @@ object ManifestTable {
     }
   }
 
+  /** Time-based retention floor: a committed version younger than this
+    * window is retained by GC regardless of `retainGenerations` — the
+    * production multi-reader policy (readers bounded by a max scan
+    * duration resolve a manifest and are guaranteed its data outlives
+    * the scan), layered on top of the generation count rather than
+    * replacing it. Default 0 = generation-only (the single-reader
+    * harness default); a deployment sets it to its reader SLA. Same
+    * class of knob as Delta's `deletedFileRetentionDuration` /
+    * Iceberg's `max-snapshot-age-ms`. */
+  @volatile var minRetainMs: Long = 0L
+
   /** How long an orphan dir (referenced by NO manifest) must sit before
     * the sweep may delete it. A dir in that state is either a crashed
     * writer's leavings (safe to delete, eventually) or a RACING
@@ -373,7 +385,22 @@ object ManifestTable {
     * deletes of the same file are no-ops (`delete` returns false). */
   private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
     val vs = versions(fs, tableDir)
-    val (old, kept) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
+    val (old0, kept0) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
+    // versions still inside the time window are promoted back into the
+    // kept set (commit-time from the manifest file's mtime — metadata
+    // only, no data read)
+    val (old, kept) =
+      if (minRetainMs <= 0L || old0.isEmpty) (old0, kept0)
+      else {
+        val cutoff = System.currentTimeMillis() - minRetainMs
+        val young = old0.filter { v =>
+          try fs.getFileStatus(
+            new Path(manifestDir(tableDir), manifestName(v)))
+            .getModificationTime > cutoff
+          catch { case _: java.io.IOException => false }
+        }
+        (old0.filterNot(young.contains), young ++ kept0)
+      }
     val keptPaths = kept.map { v =>
       try Some(pathsOf(fs, tableDir, v))
       catch { case _: java.io.IOException => None }

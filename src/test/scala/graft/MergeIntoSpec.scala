@@ -462,6 +462,28 @@ class MergeIntoSpec extends SparkTestBase {
     assert(!table(repDir).contains(3L), "delete did not replicate")
   }
 
+  test("time-based retention keeps young versions past the generation count") {
+    val dir = freshDir()
+    MergeInto.create(Seq(MergeRow(1L, "a", 1.0)).toDF(), dir, "k", nBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ManifestTable.minRetainMs = 60 * 60 * 1000L // reader SLA: 1h
+    try {
+      for (r <- 2 to 4)
+        MergeInto.merge(Seq(MergeRow(1L, s"r$r", r.toDouble)).toDF(), dir)
+      // generation retention alone would keep 2; the 1h window keeps all
+      assert(ManifestTable.versions(fs, dir) == (1L to 4L),
+        "a version inside the time window was GC'd")
+      // every retained version still time-travels exactly
+      assert(ManifestTable.readVersion(spark, dir, 1L)
+        .as[MergeRow].collect().head.v == "a")
+    } finally ManifestTable.minRetainMs = 0L
+    // window off: the next commit's GC prunes back to the generation count
+    MergeInto.merge(Seq(MergeRow(1L, "r5", 5.0)).toDF(), dir)
+    assert(ManifestTable.versions(fs, dir) == Seq(4L, 5L),
+      "generation-only retention did not resume")
+  }
+
   test("X9 upsert is the merge kernel: event-time tie order preserved through delegation") {
     // the kernel change must not alter X9 semantics — latest ts wins
     // even when the default (sorted-columns) order would pick otherwise
