@@ -214,20 +214,26 @@ object ManifestTable {
     def readOr(paths: Seq[String], schemaAnchor: Seq[String]): DataFrame =
       if (paths.nonEmpty) readWithDeclared(spark, tableDir, anchorV, paths)
       else readWithDeclared(spark, tableDir, anchorV, schemaAnchor).limit(0)
-    val a = readOr(onlyFrom, onlyTo)
-    val b = readOr(onlyTo, onlyFrom)
-    // both diff directions in ONE signed aggregation — the equivalent
-    // `b.exceptAll(a) ∪ a.exceptAll(b)` runs two full-width aggregations
-    // over the same changed rows; tagging sides ±1 and summing computes
-    // the multiset difference (nulls group as equal, matching exceptAll)
-    // with a single shuffle, and `sequence` re-expands surviving
-    // multiplicities
+    diffFeed(readOr(onlyFrom, onlyTo), readOr(onlyTo, onlyFrom))
+  }
+
+  /** Multiset diff of two same-schema frames, shaped as a change feed:
+    * rows of `newer` absent from `older` → `change_type = 'insert'`,
+    * rows of `older` absent from `newer` → `'delete'` (`exceptAll`
+    * semantics — duplicates diff by count, nulls compare equal). Both
+    * directions in ONE signed aggregation — the equivalent
+    * `newer.exceptAll(older) ∪ older.exceptAll(newer)` runs two
+    * full-width aggregations over the same rows; tagging sides ±1 and
+    * summing computes the difference with a single shuffle, and
+    * `sequence` re-expands surviving multiplicities. Backs [[changes]]
+    * and [[MergeInto.sync]]'s fall-behind re-sync. */
+  private[sources] def diffFeed(older: DataFrame, newer: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.
-      {abs, col, explode, sequence, sum, when}
-    val cols = a.columns.map(col(_)).toIndexedSeq
+      {abs, col, explode, lit, sequence, sum, when}
+    val cols = older.columns.map(col(_)).toIndexedSeq
     val sign = "__graft_diff_sign"
-    a.withColumn(sign, lit(-1L))
-      .unionByName(b.withColumn(sign, lit(1L)))
+    older.withColumn(sign, lit(-1L))
+      .unionByName(newer.withColumn(sign, lit(1L)))
       .groupBy(cols: _*).agg(sum(sign).as(sign))
       .filter(col(sign) =!= 0)
       .withColumn("change_type",

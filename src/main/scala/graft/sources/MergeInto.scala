@@ -205,10 +205,8 @@ object MergeInto {
       val src = ManifestTable.readVersion(spark, sourceDir, headV)
       val rep = read(spark, replicaDir)
         .select(src.columns.map(col(_)).toIndexedSeq: _*)
-      replicate(
-        src.exceptAll(rep).withColumn("change_type", lit("insert"))
-          .unionByName(rep.exceptAll(src).withColumn("change_type", lit("delete"))),
-        replicaDir)
+      // one signed-aggregation diff, same kernel as the CDC feed
+      replicate(ManifestTable.diffFeed(rep, src), replicaDir)
     }
     readMarker(spark, replicaDir, SyncMarker) match {
       case None if !repExists =>
