@@ -37,13 +37,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * GC regardless of generation count, so a reader bounded by a max scan
   * duration is safe by construction.
   *
-  * Writer concurrency: commit retries with the next version number if the
-  * rename finds the slot taken (two racing writers serialize; last
-  * committed pointer wins). Both call sites are single-writer by design —
-  * S14 rebuilds a private temp table per call and X9 is owned by the
-  * sequential micro-batch loop — so the retry is a safety net, not a
-  * merge protocol. A writer that crashes before its commit leaves only an
-  * unreferenced `c-` dir, swept by the next successful commit's GC.
+  * Writer concurrency: [[commit]] retries with the next version number if
+  * the slot-claim finds it taken (two racing writers serialize; last
+  * committed pointer wins — enough for S14's private temp table and X9's
+  * sequential micro-batch loop). Multi-writer MERGE goes through
+  * [[commitIf]] instead: publish version base+1 as an atomic put-if-absent
+  * and report a conflict rather than taking the next slot, so
+  * [[MergeInto.applyBatch]] can REBASE (re-read the new head, rewrite,
+  * retry) — the Delta/Iceberg optimistic protocol; no update is lost and
+  * single-writer tables pay nothing. A writer that crashes before its
+  * commit leaves only an unreferenced `c-` dir; GC deletes it once it
+  * ages past [[orphanGraceMs]] (never instantly — "unreferenced" is also
+  * what another writer's IN-FLIGHT commit looks like).
   */
 object ManifestTable {
 
