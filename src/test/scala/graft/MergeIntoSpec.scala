@@ -260,6 +260,15 @@ class MergeIntoSpec extends SparkTestBase {
       model.toSeq.map { case (k, (v, a)) => MergeRow(k, v, a) }.toDF(), dir,
       "k", nBuckets = nB)
     assert(table(dir) == model)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // version → model snapshot at that commit; every version on `dir` is
+    // committed by this test, so every RETAINED version must time-travel
+    // back to exactly its snapshot
+    var snaps: Map[Long, Map[Long, (String, Double)]] = Map(prevV -> model)
+    def readSnap(v: Long): Map[Long, (String, Double)] =
+      ManifestTable.readVersion(spark, dir, v).as[MergeRow].collect()
+        .map(r => r.k -> (r.v, r.amt)).toMap
     for (step <- 1 to 8) {
       // one random op per key over a keyspace wider than the table, so
       // steps mix updates, value-identical rewrites, inserts, deletes of
@@ -297,14 +306,42 @@ class MergeIntoSpec extends SparkTestBase {
       assert(feed("insert") == expInserts, s"step $step: insert feed wrong")
       model = expected
       prevV = newV
+      snaps += prevV -> model
       if (step % 3 == 0) {
         MergeInto.compact(spark, dir)
         assert(table(dir) == model, s"step $step: compaction changed the table")
-        // compaction committed a new version; re-anchor the feed base
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // compaction commits a new version only when it rewrote something;
+        // re-anchor the feed base either way
         prevV = ManifestTable.versions(fs, dir).last
+        snaps += prevV -> model
       }
+      // restore occasionally: pick any retained version, make it live
+      // again, and keep merging on top — history moves FORWARD (new head
+      // > old head) and the table is exactly that version's snapshot
+      if (step % 4 == 2) {
+        val retained = ManifestTable.versions(fs, dir)
+        val target = retained(rnd.nextInt(retained.size))
+        val head = retained.last
+        val rv = ManifestTable.restore(spark, dir, target)
+        assert(rv > head, s"step $step: restore must commit forward")
+        model = snaps(target)
+        assert(table(dir) == model,
+          s"step $step: restore of v$target diverged from its snapshot")
+        prevV = rv
+        snaps += rv -> model
+      }
+      // time-travel audit: EVERY retained version still reads as the
+      // exact snapshot it committed (immutable dirs + manifest pinning),
+      // and the history log lists exactly the retained versions
+      val retainedNow = ManifestTable.versions(fs, dir)
+      retainedNow.foreach { v =>
+        assert(snaps.contains(v), s"step $step: untracked retained v$v")
+        assert(readSnap(v) == snaps(v),
+          s"step $step: time travel to v$v diverged from its snapshot")
+      }
+      assert(ManifestTable.history(spark, dir)
+        .select($"version").as[Long].collect().toSeq.sorted == retainedNow,
+        s"step $step: history log out of sync with retained versions")
       // sync a replica every other step: with retention 2 and merges +
       // compactions committing between syncs, the replica's recorded
       // version is sometimes retained (CDC-tail path) and sometimes
