@@ -232,7 +232,7 @@ object ManifestTable {
     * summing computes the difference with a single shuffle, and
     * `sequence` re-expands surviving multiplicities. Backs [[changes]]
     * and [[MergeInto.sync]]'s fall-behind re-sync. */
-  private[sources] def diffFeed(older: DataFrame, newer: DataFrame): DataFrame = {
+  private[graft] def diffFeed(older: DataFrame, newer: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.
       {abs, col, explode, lit, sequence, sum, when}
     val cols = older.columns.map(col(_)).toIndexedSeq

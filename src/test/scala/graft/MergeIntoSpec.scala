@@ -536,4 +536,37 @@ class MergeIntoSpec extends SparkTestBase {
       .select($"event_type").as[String].collect().toSeq
     assert(kept == Seq("aaa"), "ts-first tie order lost in delegation")
   }
+
+  test("diffFeed matches the exceptAll reference on random multisets with nulls") {
+    // diffFeed backs BOTH the CDC feed and the replica re-sync; its
+    // contract is exceptAll equivalence — duplicates diff by COUNT,
+    // nulls compare EQUAL. Randomized frames with heavy duplication and
+    // null keys/values pin that against Spark's own exceptAll.
+    val rnd = new scala.util.Random(424242L)
+    def randFrame() = {
+      val rows = Seq.fill(30 + rnd.nextInt(40)) {
+        // tiny domains force duplicates; ~1 in 5 values null
+        (if (rnd.nextInt(5) == 0) null.asInstanceOf[java.lang.Long]
+         else java.lang.Long.valueOf(rnd.nextInt(4).toLong),
+         if (rnd.nextInt(5) == 0) null else s"v${rnd.nextInt(3)}")
+      }
+      rows.toDF("k", "v")
+    }
+    def bag(df: org.apache.spark.sql.DataFrame): Map[(Any, Any), Int] =
+      df.collect().toSeq.groupBy(r => (r.get(0), r.get(1)))
+        .view.mapValues(_.size).toMap
+    for (trial <- 1 to 10) {
+      val older = randFrame()
+      val newer = randFrame()
+      val feed = ManifestTable.diffFeed(older, newer).cache()
+      try {
+        val ins = feed.filter($"change_type" === "insert").select($"k", $"v")
+        val del = feed.filter($"change_type" === "delete").select($"k", $"v")
+        assert(bag(ins) == bag(newer.exceptAll(older)),
+          s"trial $trial: insert side diverged from exceptAll")
+        assert(bag(del) == bag(older.exceptAll(newer)),
+          s"trial $trial: delete side diverged from exceptAll")
+      } finally feed.unpersist()
+    }
+  }
 }
