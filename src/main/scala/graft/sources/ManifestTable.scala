@@ -158,13 +158,40 @@ object ManifestTable {
     * committing its path list (and schema) as a NEW version — history
     * moves forward, nothing is rewritten or deleted, and a reader mid-
     * scan on the abandoned head finishes cleanly. The data dirs are
-    * immutable and referenced by the new manifest, so GC keeps them. */
-  def restore(spark: SparkSession, tableDir: String, v: Long): Long = {
+    * immutable and referenced by the new manifest, so GC keeps them.
+    *
+    * Race-hardened: publishes with [[commitIf]] on the observed head
+    * (a racing merge's commit forces a clean retry instead of being
+    * silently clobbered by a last-writer-wins pointer), and after
+    * publishing re-checks that the restored dirs survived any GC that
+    * raced the read — if one was swept, the bad manifest is WITHDRAWN
+    * and the retry's retained-check fails loudly, rather than leaving
+    * a live table that references deleted dirs. The residual window
+    * (a racing GC that computed its reference set before this publish
+    * and sweeps after the re-check) is covered the same way readers
+    * are: [[minRetainMs]]. */
+  def restore(spark: SparkSession, tableDir: String, v: Long,
+              retainGenerations: Int = 2): Long = {
     val fs = fsOf(spark, tableDir)
-    require(versions(fs, tableDir).contains(v),
-      s"version $v is not retained at $tableDir")
-    commit(spark, tableDir, pathsOf(fs, tableDir, v),
-      schemaDdl = schemaOf(fs, tableDir, v))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 50, s"restore contention at $tableDir")
+      require(versions(fs, tableDir).contains(v),
+        s"version $v is not retained at $tableDir")
+      val head = versions(fs, tableDir).last
+      val paths = pathsOf(fs, tableDir, v)
+      commitIf(spark, tableDir, paths, expectedBase = head,
+        retainGenerations, schemaDdl = schemaOf(fs, tableDir, v)) match {
+        case Some(nv) =>
+          val missing = paths.map(_.split("/", 2).head).distinct
+            .filterNot(d => fs.exists(new Path(tableDir, d)))
+          if (missing.isEmpty) return nv
+          fs.delete(new Path(manifestDir(tableDir), manifestName(nv)), false)
+        case None => () // lost to a racing commit — re-observe and retry
+      }
+    }
+    -1L // unreachable
   }
 
   /** Version log of the retained history: (version, committed_at epoch
@@ -172,9 +199,13 @@ object ManifestTable {
     * listing — metadata only. */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = fsOf(spark, tableDir)
-    val rows = versions(fs, tableDir).map { v =>
-      val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
-      (v, st.getModificationTime, pathsOf(fs, tableDir, v).length)
+    // a racing commit's GC can delete a listed manifest before the stat
+    // — skip it (it is no longer history) instead of throwing
+    val rows = versions(fs, tableDir).flatMap { v =>
+      try {
+        val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
+        Some((v, st.getModificationTime, pathsOf(fs, tableDir, v).length))
+      } catch { case _: java.io.IOException => None }
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "n_paths")
@@ -286,7 +317,14 @@ object ManifestTable {
         case _: java.nio.file.FileAlreadyExistsException => false
       } finally fs.delete(tmp, false)
     } else {
-      if (!claimSlot(fs, new Path(mdir, manifestName(v) + ".claim"))) false
+      val claim = new Path(mdir, manifestName(v) + ".claim")
+      // a claim with NO manifest body that has aged past the grace
+      // window is a crashed writer's dead slot; without breaking it,
+      // commitIf (which never bumps past its base+1 slot, unlike
+      // commit) would retry against the wedge forever
+      val claimed = claimSlot(fs, claim) ||
+        (breakStaleClaim(fs, claim, target) && claimSlot(fs, claim))
+      if (!claimed) false
       else {
         val tmp = new Path(mdir, manifestName(v) + ".tmp")
         val out = fs.create(tmp, true)
@@ -294,6 +332,21 @@ object ManifestTable {
         fs.rename(tmp, target)
       }
     }
+  }
+
+  /** True iff `claim` was a DEAD slot (no published manifest, older
+    * than [[orphanGraceMs]] — a live racer's claim is always younger)
+    * and this caller deleted it. Scheme-agnostic; exercised directly
+    * by spec since `file://` publishes via hard link and never takes
+    * the claim path. */
+  private[graft] def breakStaleClaim(fs: FileSystem, claim: Path,
+                                     target: Path): Boolean = {
+    val stale =
+      try !fs.exists(target) &&
+        System.currentTimeMillis() -
+          fs.getFileStatus(claim).getModificationTime > orphanGraceMs
+      catch { case _: java.io.IOException => false }
+    stale && fs.delete(claim, false)
   }
 
   private def manifestBody(relPaths: Seq[String],
@@ -371,7 +424,9 @@ object ManifestTable {
     * replacing it. Default 0 = generation-only (the single-reader
     * harness default); a deployment sets it to its reader SLA. Same
     * class of knob as Delta's `deletedFileRetentionDuration` /
-    * Iceberg's `max-snapshot-age-ms`. */
+    * Iceberg's `max-snapshot-age-ms`. NOTE: JVM-global — applies to
+    * every table this process commits (a per-table policy would thread
+    * it through commit/commitIf like `retainGenerations`). */
   @volatile var minRetainMs: Long = 0L
 
   /** How long an orphan dir (referenced by NO manifest) must sit before
@@ -380,11 +435,29 @@ object ManifestTable {
     * writer's in-flight commit dir that no manifest references YET —
     * deleting that mid-write corrupts the racing merge, so orphans age
     * out instead of dying instantly (Iceberg's orphan-file age check,
-    * Delta's VACUUM retention — same reasoning). Dirs aged out of
-    * RETENTION (referenced by a manifest this GC is retiring) are a
-    * different case and are swept immediately, as ever. Test hook:
+    * Delta's VACUUM retention — same reasoning). Age is measured from
+    * the NEWEST mtime found in a shallow walk of the dir (the dir, its
+    * children, their children): a top-level dir's own mtime goes stale
+    * while tasks write under `_temporary/`, so the walk keeps an
+    * in-flight write looking young as task output lands. A single
+    * write that goes longer than the window with no visible activity
+    * can still be swept — size the window to the deployment's slowest
+    * commit (JVM-global knob, like [[minRetainMs]]). Test hook:
     * settable so crash-healing specs can age an orphan artificially. */
-  @volatile private[sources] var orphanGraceMs: Long = 10 * 60 * 1000L
+  @volatile private[sources] var orphanGraceMs: Long = 60 * 60 * 1000L
+
+  /** Newest mtime among `p`, its children and grandchildren — the
+    * orphan-age clock. Driver-side, runs only on unreferenced dirs. */
+  private def newestMtime(fs: FileSystem, p: Path): Long = {
+    def ls(q: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      try fs.listStatus(q).toSeq catch { case _: java.io.IOException => Seq.empty }
+    val l1 = ls(p)
+    val l2 = l1.filter(_.isDirectory).flatMap(st => ls(st.getPath))
+    val l3 = l2.filter(_.isDirectory).flatMap(st => ls(st.getPath))
+    ((try Seq(fs.getFileStatus(p)) catch {
+      case _: java.io.IOException => Seq.empty
+    }) ++ l1 ++ l2 ++ l3).map(_.getModificationTime).maxOption.getOrElse(0L)
+  }
 
   /** Delete manifests older than the newest `retain` versions and any
     * top-level data dir none of the retained manifests references.
@@ -448,7 +521,8 @@ object ManifestTable {
       // or a racing writer's still-unpublished commit dir — and must
       // age past the grace window before deletion (see orphanGraceMs)
       val sweepable = retired.contains(n) ||
-        now - st.getModificationTime > orphanGraceMs
+        (!referenced.contains(n) && !protectedEntry &&
+          now - newestMtime(fs, st.getPath) > orphanGraceMs)
       if (!protectedEntry && !referenced.contains(n) && sweepable)
         fs.delete(st.getPath, true)
     }

@@ -189,9 +189,33 @@ object MergeInto {
     * and the tail path resumes after. The same full-diff path adopts a
     * replica that has commits but no marker (built manually via
     * create+replicate, or crashed inside the marker replace). One
-    * source per replica. */
+    * source per replica.
+    *
+    * Retention races: the retained-check on the synced version (and
+    * the head read itself) is check-then-act against a source that
+    * other writers keep committing to — a version can be GC'd between
+    * the check and the read that uses it. Those throws re-observe and
+    * retry here (the fall-behind path then converges by full diff),
+    * instead of failing a call whose whole contract is "catch up from
+    * whatever state". */
   def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
            nBuckets: Int = 256): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 10, s"sync contention at $sourceDir")
+      try return syncOnce(spark, sourceDir, replicaDir, nBuckets)
+      catch {
+        case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("not retained") => ()
+        case e: Exception if snapshotGone(e) => ()
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def syncOnce(spark: SparkSession, sourceDir: String,
+                       replicaDir: String, nBuckets: Int): Long = {
     val fs = fsOf(spark, sourceDir)
     val headV = ManifestTable.versions(fs, sourceDir).lastOption.getOrElse(
       throw new IllegalArgumentException(
@@ -270,6 +294,11 @@ object MergeInto {
       // touched buckets: tiny driver list, bounded by min(source keys, N)
       val touched = winner.select("b").distinct()
         .collect().map(_.getInt(0)).sorted
+      // attempt-invariant: the non-delete winners (and the validated
+      // bucket router above) don't change across rebases — build once,
+      // not per retry
+      val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
+        .drop(dropCols: _*)
       // OPTIMISTIC CONCURRENCY: observe the base version, build the
       // replacement against it, and publish with commitIf(base) — the
       // atomic put-if-absent of version base+1 means two writers with
@@ -286,23 +315,35 @@ object MergeInto {
         attempt += 1
         require(attempt <= 50, s"merge contention at $tableDir")
         try {
-          result = attemptMerge(spark, fs, tableDir, key, deleteWhen,
-            dropCols, winner, touched).getOrElse(-1L)
+          result = attemptMerge(spark, fs, tableDir, key, bucketOf,
+            winner, inserts, touched).getOrElse(-1L)
         } catch {
           // the observed snapshot's dirs vanished mid-read: a racing
           // writer committed ≥2 generations and GC swept them — rebase
-          case e: org.apache.spark.SparkException
-            if rootIsFileNotFound(e) => ()
+          case e: Exception if snapshotGone(e) => ()
         }
       }
       result
     } finally winner.unpersist()
   }
 
-  private def rootIsFileNotFound(t: Throwable): Boolean = {
+  /** True iff `t` means "the snapshot I observed no longer exists on
+    * disk" — the signature of a racing commit's GC sweeping dirs
+    * between a reader's manifest resolve and its scan. Two shapes:
+    * a task-time `FileNotFoundException` anywhere in the cause chain
+    * (file vanished mid-scan), and Spark's PLANNING-time
+    * `AnalysisException [PATH_NOT_FOUND]` (DataFrameReader eagerly
+    * lists paths at resolution, before any job runs — no FNF cause).
+    * Exercised against a real missing-path read in MergeIntoSpec so a
+    * Spark upgrade changing the failure shape fails the spec, not the
+    * rebase loop. */
+  private[graft] def snapshotGone(t: Throwable): Boolean = {
     var c: Throwable = t
     while (c != null) {
       if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      if (c.isInstanceOf[org.apache.spark.sql.AnalysisException] &&
+          c.getMessage != null &&
+          c.getMessage.contains("PATH_NOT_FOUND")) return true
       c = c.getCause
     }
     false
@@ -314,11 +355,9 @@ object MergeInto {
   private def attemptMerge(spark: SparkSession,
                            fs: org.apache.hadoop.fs.FileSystem,
                            tableDir: String, key: String,
-                           deleteWhen: Column, dropCols: Seq[String],
-                           winner: DataFrame,
+                           bucketOf: Column,
+                           winner: DataFrame, inserts: DataFrame,
                            touched: Array[Int]): Option[Long] = {
-      val bucketOf = pmod(hash(col(key)),
-        lit(readMarker(spark, tableDir, BucketsMarker).get.toInt))
       // live bucket → data dir, from ONE manifest read — no per-bucket
       // exists() RPCs (256 HEAD round-trips per call on an object store)
       val liveV = ManifestTable.versions(fs, tableDir).lastOption
@@ -337,8 +376,6 @@ object MergeInto {
       // so dirs written before a prior evolution resolve to the full
       // table shape (null-filled) instead of whatever one sampled
       // footer happens to carry.
-      val inserts = winner.filter(!coalesce(deleteWhen, lit(false)))
-        .drop(dropCols: _*)
       val standing =
         if (existing.nonEmpty) {
           val paths = existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}")
@@ -492,7 +529,7 @@ object MergeInto {
       } catch {
         // the observed base's dirs (or its manifest) were GC'd by a
         // racing writer's commit mid-read — same rebase as a conflict
-        case e: org.apache.spark.SparkException if rootIsFileNotFound(e) => ()
+        case e: Exception if snapshotGone(e) => ()
         case e: IllegalArgumentException
           if e.getMessage != null && e.getMessage.contains("not retained") => ()
       }

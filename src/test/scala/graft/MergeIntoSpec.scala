@@ -537,6 +537,75 @@ class MergeIntoSpec extends SparkTestBase {
     assert(kept == Seq("aaa"), "ts-first tie order lost in delegation")
   }
 
+  test("snapshot-gone classifier matches Spark's real missing-path failures") {
+    // the rebase loops catch "my observed snapshot was GC'd mid-read";
+    // on Spark 4 a missing path fails at PLANNING time with
+    // AnalysisException [PATH_NOT_FOUND] (no FileNotFoundException
+    // cause), so pin the classifier against the real throw — a Spark
+    // upgrade changing the shape must fail here, not wedge the loop
+    val missing = freshDir() + "/definitely/not/there"
+    val e = intercept[Exception] { spark.read.parquet(missing).collect() }
+    assert(MergeInto.snapshotGone(e),
+      s"classifier missed Spark's missing-path failure: ${e.getClass} ${e.getMessage}")
+    // task-time file loss surfaces as an FNF cause chain
+    val wrapped = new org.apache.spark.SparkException("stage failed",
+      new RuntimeException(new java.io.FileNotFoundException("gone")))
+    assert(MergeInto.snapshotGone(wrapped))
+    // arbitrary failures must NOT be swallowed as rebases
+    assert(!MergeInto.snapshotGone(new IllegalStateException("boom")))
+  }
+
+  test("a dead claim slot is broken after the grace window; live and published slots are not") {
+    // HDFS-path protocol: a writer crashing between claim and rename
+    // leaves m-(head+1).claim forever; commitIf never bumps past its
+    // base+1 slot, so without stale-claim breaking every optimistic
+    // merge at that base would wedge permanently
+    val dir = freshDir()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(dir, "m-000000000002.claim")
+    val target = new org.apache.hadoop.fs.Path(dir, "m-000000000002")
+    fs.create(claim, true).close()
+    // young claim = a live racer mid-publish: must NOT be broken
+    assert(!ManifestTable.breakStaleClaim(fs, claim, target))
+    assert(fs.exists(claim), "live claim was broken")
+    // aged past grace with no published manifest = dead slot: broken
+    ageTree(fs, claim, 24L * 3600 * 1000)
+    assert(ManifestTable.breakStaleClaim(fs, claim, target))
+    assert(!fs.exists(claim), "dead claim not removed")
+    // aged but its manifest DID publish: the slot is simply taken
+    fs.create(claim, true).close()
+    fs.create(target, true).close()
+    ageTree(fs, claim, 24L * 3600 * 1000)
+    assert(!ManifestTable.breakStaleClaim(fs, claim, target))
+  }
+
+  test("an orphan with fresh task output survives GC even when its top dir mtime is stale") {
+    // a long parquet write updates mtimes under _temporary/ but never
+    // the commit dir itself — orphan age must clock from the NEWEST
+    // mtime in the tree or an in-flight write gets swept mid-job
+    val dir = freshDir()
+    MergeInto.create(Seq(MergeRow(1L, "a", 1.0)).toDF(), dir, "k", nBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inflight = new org.apache.hadoop.fs.Path(s"$dir/c-inflight/_temporary/0")
+    fs.mkdirs(inflight)
+    val part = fs.create(new org.apache.hadoop.fs.Path(inflight, "task_0"), true)
+    try part.write(Array[Byte](1)) finally part.close()
+    // stale TOP dir (job started long ago), fresh task file (still writing)
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/c-inflight"), old, -1)
+    MergeInto.merge(Seq(MergeRow(2L, "b", 2.0)).toDF(), dir)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/c-inflight")),
+      "GC swept an in-flight write whose task output was fresh")
+    // once the WHOLE tree is aged it is a crashed writer's leavings
+    ageTree(fs, new org.apache.hadoop.fs.Path(s"$dir/c-inflight"),
+      24L * 3600 * 1000)
+    MergeInto.merge(Seq(MergeRow(3L, "c", 3.0)).toDF(), dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/c-inflight")),
+      "aged crashed-writer dir not swept")
+  }
+
   test("diffFeed matches the exceptAll reference on random multisets with nulls") {
     // diffFeed backs BOTH the CDC feed and the replica re-sync; its
     // contract is exceptAll equivalence — duplicates diff by COUNT,

@@ -591,8 +591,8 @@ class ScaleDesignSpec extends SparkTestBase {
     // writer's in-flight commit and must survive the sweep (orphan
     // grace); an aged one is a crashed writer's leavings and must go.
     spark.range(9).toDF("k").write.parquet(s"$dir/c-young-inflight")
-    fs.setTimes(new org.apache.hadoop.fs.Path(s"$dir/c-staged-only"),
-      System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+    ageTree(fs, new org.apache.hadoop.fs.Path(s"$dir/c-staged-only"),
+      24L * 3600 * 1000)
     stage("c-finA", 1)
     ManifestTable.commit(spark, dir, Seq("c-finA"), retainGenerations = 2)
     stage("c-finB", 2)

@@ -15,4 +15,21 @@ trait SparkTestBase extends AnyFunSuite {
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Backdate a directory tree's mtimes (dir + every descendant) so a
+    * planted orphan ages past the manifest GC's grace window — the GC
+    * clocks orphan age from the NEWEST mtime in the tree, so aging only
+    * the top dir leaves it looking in-flight. */
+  def ageTree(fs: org.apache.hadoop.fs.FileSystem,
+              path: org.apache.hadoop.fs.Path, ageMs: Long): Unit = {
+    val old = System.currentTimeMillis() - ageMs
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        fs.setTimes(st.getPath, old, -1)
+      }
+      fs.setTimes(p, old, -1)
+    }
+    walk(path)
+  }
 }

@@ -367,8 +367,8 @@ class StreamingSpec extends SparkTestBase {
     // age the orphan past the GC grace window: a YOUNG unreferenced dir
     // is indistinguishable from a racing writer's in-flight commit dir
     // and is deliberately protected; only aged orphans are swept
-    fs.setTimes(new org.apache.hadoop.fs.Path(s"$table/c-orphan"),
-      System.currentTimeMillis() - 24L * 3600 * 1000, -1)
+    ageTree(fs, new org.apache.hadoop.fs.Path(s"$table/c-orphan"),
+      24L * 3600 * 1000)
     assert(snapshot() == before, "orphan staged dir leaked into reads")
     Streams.upsertBatch(Seq(Event(7L, ts("10:09"), 9L, "click", 1.0)).toDF(), table, nB)
     val healed = snapshot()
