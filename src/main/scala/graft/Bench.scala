@@ -11,6 +11,27 @@ import java.nio.file.{Files, Paths}
   * capture — rounds 1-3 proved a 105-key inline map gets truncated.
   */
 object Bench {
+  /** 1/5/15-min load averages as a JSON array, or [] if /proc is absent.
+    * Recorded before/after warmup and after the timed run so a
+    * contaminated bench (host CPU contention — the r8 artifact read
+    * 272s while the same HEAD benched 55s exclusive) carries its own
+    * evidence instead of silently reading as a code regression.
+    */
+  private def loadavg(): String =
+    try {
+      val parts = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+        StandardCharsets.UTF_8).trim.split("\\s+")
+      parts.take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
+  /** Count of live PIDs on the host (numeric /proc entries), or -1. A
+    * jump between before/after flags concurrent processes during the run. */
+  private def procCount(): Int =
+    try {
+      val fs = new java.io.File("/proc").listFiles()
+      if (fs == null) -1 else fs.count(f => f.isDirectory && f.getName.forall(_.isDigit))
+    } catch { case _: Throwable => -1 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -35,6 +56,9 @@ object Bench {
     // the first timed query measures steady-state, not session startup.
     // Attributed in the detail file so warm-up drift is separable from
     // per-query regressions.
+    val loadBefore = loadavg()
+    val procsBefore = procCount()
+    val bench0 = System.nanoTime()
     val warm0 = System.nanoTime()
     try {
       graft.Tables.all.foreach(t => graft.Tables.load(spark, sfDir, t).count())
@@ -47,29 +71,43 @@ object Bench {
     // drifting 2-4x on a single-shot bench). A failed query reports -1
     // (never its time-to-crash, which would read as a speedup) and is
     // excluded from the total + listed in "failed" so regressions are loud.
+    val loadAfterWarm = loadavg()
+    // each rep also records its wall-clock offset from bench start ("at"),
+    // so rep-inconsistent inflation (the contention signature: q2 reps
+    // [10.2, 26.3] in the r8 driver run) can be correlated with WHEN the
+    // rep ran, not just that the two reps disagree.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        val at = (t0 - bench0) / 1e9
+        val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+                  catch { case _: Throwable => -1.0 }
+        (sec, at)
       }
       (name, times)
     }
+    val loadAfter = loadavg()
+    val procsAfter = procCount()
     def j(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
     val detail = results.map { case (k, ts) =>
-      val best = if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0
-      s"""    "$k": {"sec":${j(best)},"reps":[${ts.map(j).mkString(",")}]}"""
+      val secs = ts.map(_._1)
+      val best = if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0
+      s"""    "$k": {"sec":${j(best)},"reps":[${secs.map(j).mkString(",")}],"at":[${ts.map(t => j(t._2)).mkString(",")}]}"""
     }.mkString(",\n")
     val best = results.map { case (k, ts) =>
-      (k, if (ts.exists(_ >= 0)) ts.filter(_ >= 0).min else -1.0)
+      val secs = ts.map(_._1)
+      (k, if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0)
     }
     val failed = best.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
+    val env =
+      s"""{"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after_warmup":$loadAfterWarm,"loadavg_after":$loadAfter,"procs_before":$procsBefore,"procs_after":$procsAfter}"""
     val detailJson =
       s"""{
          |  "sf": "$sfDir",
          |  "reps": $reps,
+         |  "env": $env,
          |  "warmup_sec": ${j(warmupSec)},
          |  "total_sec": ${j(total)},
          |  "queries": {
@@ -82,6 +120,6 @@ object Bench {
     spark.stop()
     // final stdout line: compact on purpose — the driver's tail capture
     // must see the whole JSON. Per-query map lives in `detail`.
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${best.size},"failed":$failed,"warmup_sec":${j(warmupSec)},"reps":$reps,"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${best.size},"failed":$failed,"warmup_sec":${j(warmupSec)},"reps":$reps,"env":$env,"detail":"$detailPath","sf":"$sfDir"}""")
   }
 }
