@@ -197,9 +197,16 @@ object Extraction {
       .map(w => (w.filename, w.idx,
         PdfText.streamText(PdfText.StreamTask(w.idx, w.body, w.fonts, w.merged)).orNull))
       .toDF("filename", "idx", "txt")
-      .filter(col("txt").isNotNull)
+      // group from the FULL filename set, not just streams that decoded
+      // to text: a PDF whose streams ALL yield no text must still
+      // surface one row with an empty pages array (the shape the old
+      // whole-doc UDF produced), not silently vanish from the
+      // extraction queries (ADVICE r8). Null texts are dropped INSIDE
+      // the aggregation — a pre-groupBy row filter would drop the
+      // text-free document's only rows, losing the document itself.
       .groupBy(col("filename"))
-      .agg(expr("transform(array_sort(collect_list(struct(idx, txt))), p -> p.txt)")
+      .agg(expr("transform(array_sort(filter(collect_list(struct(idx, txt)), " +
+          "p -> p.txt IS NOT NULL)), p -> p.txt)")
         .as("pages"))
   }
 

@@ -57,8 +57,13 @@ private[ops] final class FrameMemo(table: String)(
     if (registered.add(s.sparkContext))
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
-            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+          // drop the registration set's own strong ref too — without
+          // this the keySet pins every stopped SparkContext's object
+          // graph for the JVM lifetime (ADVICE r8)
+          registered.removeIf(_.isStopped)
+        }
       })
     val key = (s, d)
     locks.computeIfAbsent(key, _ => new Object).synchronized {

@@ -278,60 +278,36 @@ object ManifestTable {
       .drop(sign)
   }
 
-  /** Atomically create an empty claim file — true iff this caller created
-    * it. `FileSystem.create(overwrite=false)` is namenode-atomic on HDFS
-    * but check-then-act on the local filesystem, where POSIX rename also
-    * silently OVERWRITES an existing target instead of failing — so on
-    * `file://` the claim goes through `java.io.File.createNewFile`, which
-    * the JDK guarantees atomic (O_EXCL). */
-  private def claimSlot(fs: FileSystem, p: Path): Boolean =
-    if (fs.getUri.getScheme == "file")
-      new java.io.File(p.toUri.getPath).createNewFile()
-    else
-      try { fs.create(p, false).close(); true }
-      catch { case _: java.io.IOException => false }
+  /** Test hook: force every publish through a specific [[ManifestStore]]
+    * (the suites run the contention + fuzz protocols against
+    * [[ConditionalPutStore]]'s S3-semantics model). None = pick by
+    * scheme. JVM-global, like the retention knobs. */
+  @volatile private[graft] var storeOverride: Option[ManifestStore] = None
+
+  private def storeFor(fs: FileSystem): ManifestStore =
+    storeOverride.getOrElse(
+      if (fs.getUri.getScheme == "file") PosixLinkStore else HdfsClaimStore)
 
   /** Atomic put-if-absent of a COMPLETE manifest at version `v` — true
-    * iff this caller published it. On `file://` the body is written to
-    * a private temp file and HARD-LINKED to the final name:
-    * `Files.createLink` atomically fails if the target exists, and the
-    * linked name appears with its full content — the manifest IS the
-    * claim, so there is no window where a slot is claimed but bodyless
-    * (the dead-slot state the previous claim-file protocol had to
-    * GC around). On other schemes (HDFS), `create(overwrite=false)` is
-    * namenode-atomic and the claim-file protocol guards the rename. */
+    * iff this caller published it. The atomicity primitive lives behind
+    * the [[ManifestStore]] seam: hard-link on `file://`, namenode-atomic
+    * claim + rename on HDFS, a conditional PUT on object stores (see
+    * ManifestStore.scala for the per-backend mapping — this is the one
+    * operation the protocol needs beyond list/read/delete). */
   private def publishAt(fs: FileSystem, mdir: Path, v: Long,
-                        body: Array[Byte]): Boolean = {
-    val target = new Path(mdir, manifestName(v))
-    if (fs.getUri.getScheme == "file") {
-      val tmp = new Path(mdir,
-        manifestName(v) + ".w" + java.util.UUID.randomUUID().toString.take(8))
-      val out = fs.create(tmp, true)
-      try out.write(body) finally out.close()
-      try {
-        java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(target.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      } finally fs.delete(tmp, false)
-    } else {
-      val claim = new Path(mdir, manifestName(v) + ".claim")
-      // a claim with NO manifest body that has aged past the grace
-      // window is a crashed writer's dead slot; without breaking it,
-      // commitIf (which never bumps past its base+1 slot, unlike
-      // commit) would retry against the wedge forever
-      val claimed = claimSlot(fs, claim) ||
-        (breakStaleClaim(fs, claim, target) && claimSlot(fs, claim))
-      if (!claimed) false
-      else {
-        val tmp = new Path(mdir, manifestName(v) + ".tmp")
-        val out = fs.create(tmp, true)
-        try out.write(body) finally out.close()
-        fs.rename(tmp, target)
-      }
-    }
+                        body: Array[Byte]): Boolean =
+    storeFor(fs).putIfAbsent(fs, new Path(mdir, manifestName(v)), body)
+
+  /** Atomic put-if-absent of a small metadata file through the same
+    * [[ManifestStore]] seam as manifest publishes — used by
+    * [[MergeInto]] to pin table geometry markers so two racing initial
+    * writers can never both install different geometries. */
+  private[graft] def putFileIfAbsent(spark: SparkSession, dir: String,
+                                     name: String, value: String): Boolean = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    storeFor(fs).putIfAbsent(fs, new Path(dir, name), value.getBytes("UTF-8"))
   }
 
   /** True iff `claim` was a DEAD slot (no published manifest, older

@@ -70,18 +70,22 @@ object MergeInto {
     }
   }
 
-  private def writeMarker(spark: SparkSession, dir: String, name: String,
-                          value: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val root = new Path(dir)
-    if (!fs.exists(root)) fs.mkdirs(root)
-    // write-then-rename: a crash mid-write must not leave a truncated
-    // marker a later call would parse as garbage geometry
-    val tmp = new Path(dir, name + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(value.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, new Path(dir, name)),
-      s"marker rename failed: $dir/$name")
+  /** Pin a write-once geometry marker: atomic put-if-absent through the
+    * [[ManifestTable]] store seam (hard link / HDFS exclusive create /
+    * conditional PUT), then READ BACK the installed value — which may be
+    * a racing initial writer's — and require it matches. Two racing
+    * creators with different geometries therefore resolve to exactly one
+    * pinned geometry and one loud failure, never two writers proceeding
+    * under different moduli (the standing-keys-in-unprobed-buckets
+    * corruption). The previous write-then-rename silently overwrote on
+    * local filesystems, so both racers could pass a pre-check. */
+  private def pinMarker(spark: SparkSession, dir: String, name: String,
+                        value: String): Unit = {
+    ManifestTable.putFileIfAbsent(spark, dir, name, value)
+    val installed = readMarker(spark, dir, name).getOrElse(
+      throw new IllegalStateException(s"marker vanished after pin: $dir/$name"))
+    require(installed == value,
+      s"table at $dir already pinned $name=$installed, asked for $value")
   }
 
   /** Deterministic tie order when the caller has no domain-specific one:
@@ -270,16 +274,20 @@ object MergeInto {
     // pin the geometry: a table written (key, N)-way must always be
     // merged (key, N)-way — marker-first, so a crash between markers and
     // data leaves only harmless markers, never data probed with the
-    // wrong modulus or key
+    // wrong modulus or key. Markers are write-once via put-if-absent +
+    // read-back ([[pinMarker]]): racing initial writers with different
+    // geometries resolve to one winner and one loud loser, and since a
+    // pinned marker can never change afterwards, the rebase loop below
+    // needs no per-attempt re-validation.
     readMarker(spark, tableDir, BucketsMarker) match {
       case Some(stored) => require(stored.toInt == nBuckets,
         s"table at $tableDir was bucketed $stored-way, asked to merge $nBuckets-way")
-      case None => writeMarker(spark, tableDir, BucketsMarker, nBuckets.toString)
+      case None => pinMarker(spark, tableDir, BucketsMarker, nBuckets.toString)
     }
     readMarker(spark, tableDir, KeyMarker) match {
       case Some(stored) => require(stored == key,
         s"table at $tableDir is keyed on $stored, asked to merge on $key")
-      case None => writeMarker(spark, tableDir, KeyMarker, key)
+      case None => pinMarker(spark, tableDir, KeyMarker, key)
     }
     val bucketOf = pmod(hash(col(key)), lit(nBuckets))
     val w = org.apache.spark.sql.expressions.Window
@@ -349,6 +357,75 @@ object MergeInto {
     false
   }
 
+  /** The committed schema for an attempt: the union of the previous
+    * declared schema and this batch's shape — NOT just the batch's (a
+    * source missing an evolved column, merged into a bucket with no
+    * standing rows, would otherwise narrow the declared schema and hide
+    * that column in every untouched dir). A shared column's type must
+    * be identical or a SANCTIONED WIDENING in one direction: a wider
+    * incoming type evolves the column (int → long), a narrower incoming
+    * type keeps the declared one if it up-casts losslessly
+    * (`Cast.canUpCast` — the attempt casts its rows up before writing),
+    * and anything else — double → string, long → int — fails the merge
+    * loudly. The EVOLUTION direction is deliberately stricter than
+    * `Cast.canUpCast` (which blesses any atomic → string): an evolved
+    * declared type must still read every UNTOUCHED dir's existing
+    * footers, so only widenings the parquet reader applies at scan time
+    * qualify ([[sanctionedWidening]] — the same reader-compatibility
+    * boundary Delta's type-widening feature draws). The previous
+    * take-the-incoming-definition rule let one bad source commit a
+    * declared schema under which every untouched dir's footers no
+    * longer convert, breaking all subsequent reads of the table. */
+  private[graft] def resolveSchema(tableDir: String, prevDdl: Option[String],
+      newFields: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    prevDdl match {
+      case None => newFields
+      case Some(ddl) =>
+        val prev = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val extra = newFields.filterNot(f => prev.fieldNames.contains(f.name))
+        org.apache.spark.sql.types.StructType(prev.map { f =>
+          newFields.find(_.name == f.name) match {
+            case None => f
+            case Some(inc) if inc.dataType == f.dataType => inc
+            case Some(inc) if sanctionedWidening(f.dataType, inc.dataType) => inc
+            case Some(inc) if Cast.canUpCast(inc.dataType, f.dataType) => f
+            case Some(inc) => throw new IllegalArgumentException(
+              s"incompatible type change for column '${f.name}' at $tableDir: " +
+                s"table declares ${f.dataType.sql}, source brings " +
+                s"${inc.dataType.sql}; only identical types or a sanctioned " +
+                "widening (Cast.canUpCast) may evolve a merge table's schema")
+          }
+        } ++ extra)
+    }
+  }
+
+  /** Widenings that may EVOLVE a declared column type: the declared
+    * type governs how every retained dir's existing footers are read,
+    * so an evolution is legal only if the parquet scan converts the old
+    * physical type to the new declared one. Parquet stores byte/short/
+    * int as one physical INT32, so ascents within that family are
+    * footer no-ops; INT32 → long/double and float → double are the
+    * reader-side widening conversions Spark 4's vectorized reader
+    * performs (exercised by spec across a genuinely untouched dir).
+    * Deliberately NOT `Cast.canUpCast`, which blesses atomic → string —
+    * a "widening" no parquet reader can apply to a double footer. */
+  private def sanctionedWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val int32Family = Seq[DataType](ByteType, ShortType, IntegerType)
+    (from, to) match {
+      case (f, t) if int32Family.contains(f) && int32Family.contains(t) =>
+        int32Family.indexOf(f) < int32Family.indexOf(t)
+      case (f, LongType) if int32Family.contains(f) => true
+      case (f, DoubleType) if int32Family.contains(f) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** One optimistic attempt: read standing rows at the CURRENT live
     * version, write the replacement commit dir, publish conditionally.
     * None = lost the race; the caller rebases and retries. */
@@ -395,6 +472,20 @@ object MergeInto {
       // committed schema below.
       val combined = standing.unionByName(inserts, allowMissingColumns = true)
       val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+      // the committed schema (validated against the previous declared
+      // one — see below) is resolved BEFORE the write so the replacement
+      // rows can be aligned to it: a narrower source column (int into a
+      // declared double) is cast up-front, guaranteeing every committed
+      // file converts under the declared schema instead of leaning on
+      // reader-side type widening
+      val newFields = combined.drop("b").schema
+      val tableSchema = resolveSchema(tableDir,
+        liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v)), newFields)
+      val have = combined.columns.toSet
+      val aligned = tableSchema.fields.foldLeft(combined) { (df, f) =>
+        if (!have(f.name) || df.schema(f.name).dataType == f.dataType) df
+        else df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
       // cluster the replacement by bucket and sort by key before the
       // partitioned write: without this, EVERY upstream task writes its
       // own file into every touched bucket dir (shuffle.partitions
@@ -403,7 +494,7 @@ object MergeInto {
       // bounded replacement buys one file per touched bucket per merge
       // with key-ordered rows, so parquet footer min/max prunes row
       // groups inside a bucket on the serving path ([[lookup]]).
-      combined.repartition(col("b"))
+      aligned.repartition(col("b"))
         .sortWithinPartitions(col("b"), col(key))
         .write.partitionBy("b").parquet(s"$tableDir/$cid")
       // list what the write ACTUALLY produced: a touched bucket whose
@@ -411,22 +502,6 @@ object MergeInto {
       val written = fs.listStatus(new Path(s"$tableDir/$cid"))
         .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
       val untouchedPaths = (liveByBucket -- touched).values.toSeq
-      // the committed schema is the union of the previous declared
-      // schema and this batch's shape — NOT just the batch's: a source
-      // missing an evolved column, merged into a bucket with no
-      // standing rows, would otherwise narrow the declared schema and
-      // hide that column in every untouched dir. Shared fields take the
-      // incoming definition; evolution only ever widens.
-      val newFields = combined.drop("b").schema
-      val tableSchema = liveV
-        .flatMap(v => ManifestTable.schemaOf(fs, tableDir, v)) match {
-        case Some(ddl) =>
-          val prev = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-          val extra = newFields.filterNot(f => prev.fieldNames.contains(f.name))
-          org.apache.spark.sql.types.StructType(
-            prev.map(f => newFields.find(_.name == f.name).getOrElse(f)) ++ extra)
-        case None => newFields
-      }
       val published = ManifestTable.commitIf(spark, tableDir,
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
@@ -445,9 +520,15 @@ object MergeInto {
     * ~0.4% of the table, and parquet footer min/max on the key column
     * prunes row groups within the bucket on top. `keys` must be a
     * 1-column frame named as the table's key; intended for SMALL key
-    * sets (the distinct-bucket list is collected to the driver). */
+    * sets — the distinct keys are collected to the driver and become an
+    * `isin` literal list, so `maxKeys` (default 10k) bounds the collect
+    * and a misuse (a million-key "lookup" that should be a join against
+    * [[read]]) fails loudly instead of building a million-literal
+    * predicate or flooding driver memory: the limit+1 is applied BEFORE
+    * the collect, so the driver never materializes more than
+    * `maxKeys + 1` rows no matter how large the keys frame is. */
   def lookup(spark: SparkSession, tableDir: String,
-             keys: DataFrame): DataFrame = {
+             keys: DataFrame, maxKeys: Int = 10000): DataFrame = {
     val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
       throw new IllegalArgumentException(
         s"not a merge table (no $KeyMarker): $tableDir"))
@@ -468,7 +549,11 @@ object MergeInto {
     // would hash-probe AFTER scanning the whole bucket.
     val probed = keys.select(col(key),
         pmod(hash(col(key)), lit(n)).as("b"))
-      .distinct().collect()
+      .distinct().limit(maxKeys + 1).collect()
+    require(probed.length <= maxKeys,
+      s"lookup probed more than $maxKeys distinct keys at $tableDir — " +
+        "point lookup collects keys into a pushed isin predicate; for " +
+        "large key sets join against MergeInto.read instead (or raise maxKeys)")
     val dirs = probed.map(_.getInt(1)).distinct.sorted.toIndexedSeq
       .flatMap(liveByBucket.get).map(p => s"$tableDir/$p")
     if (dirs.isEmpty)

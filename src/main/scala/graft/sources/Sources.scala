@@ -289,12 +289,20 @@ object Sources {
                                     splitBytes: Long = 128L << 20): DataFrame = {
     import s.implicits._
     val splits = avroSplits(s, dir, splitBytes)
+    // executor tasks must open files under the SESSION's Hadoop config,
+    // not a fresh Configuration(): a bare new Configuration() drops any
+    // non-default filesystem settings (object-store credentials,
+    // endpoints), which works on local fs and silently breaks on a real
+    // cluster — broadcast a SerializableConfiguration exactly as the
+    // built-in file sources do (ADVICE r8)
+    val confBc = s.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        s.sparkContext.hadoopConfiguration))
     s.createDataset(splits)
       .repartition(math.max(1, math.min(splits.length, 32)))
       .flatMap { sp =>
         val in = new org.apache.avro.mapred.FsInput(
-          new org.apache.hadoop.fs.Path(sp.path),
-          new org.apache.hadoop.conf.Configuration())
+          new org.apache.hadoop.fs.Path(sp.path), confBc.value.value)
         val rdr = org.apache.avro.file.DataFileReader.openReader(in,
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())

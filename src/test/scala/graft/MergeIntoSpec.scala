@@ -354,13 +354,15 @@ class MergeIntoSpec extends SparkTestBase {
     }
   }
 
-  test("racing merges on disjoint keys both land — optimistic commit, no lost updates") {
+  /** 4 writers × 3 rounds, each updating ITS OWN key range concurrently.
+    * Without conflict detection the last pointer would silently drop the
+    * other writers' buckets; with commitIf every update must land.
+    * Shared by the default-store race test and the conditional-PUT
+    * (S3-semantics) store test. */
+  private def raceDisjointWriters(): Unit = {
     val dir = freshDir()
     val base = (1L to 32L).map(k => MergeRow(k, "init", 0.0)).toDF()
     MergeInto.create(base, dir, "k", nBuckets = 8)
-    // 4 writers × 3 rounds, each updating ITS OWN key range concurrently.
-    // Without conflict detection the last pointer would silently drop
-    // the other writers' buckets; with commitIf every update must land.
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
@@ -382,6 +384,78 @@ class MergeIntoSpec extends SparkTestBase {
     for (w <- 0 until 4; i <- 1L to 8L)
       assert(fin(w * 8L + i) == (s"w$w-r3", w * 100.0 + 3),
         s"writer $w key ${w * 8 + i} lost: ${fin(w * 8L + i)}")
+  }
+
+  test("racing merges on disjoint keys both land — optimistic commit, no lost updates") {
+    raceDisjointWriters()
+  }
+
+  test("the commit protocol holds on conditional-PUT semantics — the object-store seam") {
+    // Same races, but every publish goes through ConditionalPutStore:
+    // the in-process model of S3's If-None-Match / GCS generation-0 /
+    // Azure If-None-Match conditional PUT — no hard links, no O_EXCL,
+    // no atomic-rename assumptions. Proves the protocol (commitIf,
+    // rebase, GC, geometry pinning) needs only the put-if-absent
+    // primitive object stores actually provide.
+    graft.sources.ManifestTable.storeOverride =
+      Some(graft.sources.ConditionalPutStore)
+    try {
+      raceDisjointWriters()
+      // and the sequential life-cycle: create / merge / delete / time
+      // travel / restore all through the conditional-PUT publish path
+      val dir = freshDir()
+      val v1 = MergeInto.create(
+        (1L to 10L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF(),
+        dir, "k", nBuckets = 4)
+      MergeInto.merge(Seq(MergeRow(2L, "upd", 20.0), MergeRow(3L, "del", 0.0),
+        MergeRow(11L, "ins", 11.0)).toDF(), dir, deleteWhen = $"v" === "del")
+      val expected = (1L to 10L).filterNot(_ == 3L)
+        .map(k => k -> (s"v$k", k * 1.0)).toMap +
+        (2L -> ("upd", 20.0)) + (11L -> ("ins", 11.0))
+      assert(table(dir) == expected)
+      assert(ManifestTable.readVersion(spark, dir, v1).count() == 10L)
+      val rv = ManifestTable.restore(spark, dir, v1)
+      assert(rv > v1 && table(dir).size == 10)
+    } finally graft.sources.ManifestTable.storeOverride = None
+  }
+
+  test("racing initial creators with different geometries resolve to one pinned winner") {
+    // Geometry markers are put-if-absent + read-back: two concurrent
+    // create() calls with different nBuckets can never BOTH proceed —
+    // the loser must fail loudly (previously both could pass a
+    // check-then-act and the table's modulus disagreed with its layout,
+    // stranding standing keys in unprobed buckets). Run under both the
+    // default store and the conditional-PUT model.
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    for (store <- Seq(None, Some(graft.sources.ConditionalPutStore))) {
+      graft.sources.ManifestTable.storeOverride = store
+      try {
+        val dir = freshDir()
+        val pool = Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val attempts =
+          try {
+            val fs = Seq(4, 8).map { n =>
+              Future {
+                try Right(MergeInto.create(
+                  (1L to 12L).map(k => MergeRow(k, s"n$n-$k", k * 1.0)).toDF(),
+                  dir, "k", nBuckets = n) -> n)
+                catch { case e: IllegalArgumentException => Left(e) }
+              }
+            }
+            Await.result(Future.sequence(fs), 120.seconds)
+          } finally pool.shutdown()
+        val wins = attempts.collect { case Right((_, n)) => n }
+        assert(wins.size == 1, s"store=$store: expected exactly one winner, got $attempts")
+        val pinned = ManifestTable.read(spark, dir) // readable under winner's geometry
+        assert(pinned.count() == 12L)
+        val winnerRows = table(dir)
+        assert(winnerRows(1L)._1 == s"n${wins.head}-1",
+          s"store=$store: table content is not the winner's")
+      } finally graft.sources.ManifestTable.storeOverride = None
+    }
   }
 
   test("restore re-points the live table at an old snapshot without rewriting data") {
@@ -637,5 +711,127 @@ class MergeIntoSpec extends SparkTestBase {
           s"trial $trial: delete side diverged from exceptAll")
       } finally feed.unpersist()
     }
+  }
+
+  /** The bucket a key routes to under the kernel's own hash expression —
+    * used to steer fixture keys into occupied vs empty buckets. */
+  private def bucketOf(k: Long, n: Int): Int =
+    Seq(k).toDF("k").select(pmod(hash($"k"), lit(n)).as("b")).as[Int].head()
+
+  test("schema evolution guards: widening evolves, narrower casts up, incompatible fails loudly") {
+    // (a) WIDENING: int column merged with long → declared type evolves.
+    // The long key is steered into a DIFFERENT bucket than the int row,
+    // so the old dir keeps its int32 footers and the post-evolution read
+    // exercises Spark's reader-side type widening across untouched dirs
+    // — the exact situation a widening commit creates at scale.
+    val dirW = freshDir()
+    val wKey = (2L to 100L).find(k => bucketOf(k, 8) != bucketOf(1L, 8)).get
+    MergeInto.create(Seq((1L, 5)).toDF("k", "n"), dirW, "k", nBuckets = 8)
+    MergeInto.merge(Seq((wKey, 7L)).toDF("k", "n"), dirW)
+    val fsW = new org.apache.hadoop.fs.Path(dirW)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ddlW = ManifestTable.schemaOf(fsW, dirW,
+      ManifestTable.versions(fsW, dirW).last).get
+    assert(org.apache.spark.sql.types.StructType.fromDDL(ddlW)("n").dataType ==
+      org.apache.spark.sql.types.LongType, s"widening did not evolve: $ddlW")
+    assert(MergeInto.read(spark, dirW).as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L), (wKey, 7L)),
+      "reader-side widening failed across the untouched int32 dir")
+
+    // (b) NARROWER source via the empty-standing-bucket path (the path
+    // with no union coercion to save it): declared type must stay
+    // double and the committed files must carry doubles, not the
+    // source's ints — otherwise untouched dirs' readers break
+    val dir = freshDir()
+    val nB = 64 // sparse: most buckets empty, so a fresh key lands alone
+    MergeInto.create(Seq(MergeRow(1L, "v1", 1.0)).toDF(), dir, "k", nBuckets = nB)
+    val freshKey = (2L to 200L).find(k => bucketOf(k, nB) != bucketOf(1L, nB)).get
+    MergeInto.merge(Seq((freshKey, "narrow", 42)).toDF("k", "v", "amt"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ddl = ManifestTable.schemaOf(fs, dir,
+      ManifestTable.versions(fs, dir).last).get
+    assert(org.apache.spark.sql.types.StructType.fromDDL(ddl)("amt").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      s"narrower source narrowed the declared schema: $ddl")
+    assert(table(dir) == Map(1L -> ("v1", 1.0), freshKey -> ("narrow", 42.0)))
+
+    // (c) INCOMPATIBLE: a source that turns amt into a string must fail
+    // the merge loudly and leave the table untouched — committing that
+    // DDL would break every subsequent read of the untouched dirs.
+    // Through the same empty-bucket path (no union to reject it first).
+    val before = table(dir)
+    val badKey = (freshKey + 1 to 400L).find(k =>
+      bucketOf(k, nB) != bucketOf(1L, nB) && bucketOf(k, nB) != bucketOf(freshKey, nB)).get
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.merge(Seq((badKey, "bad", "not-a-number")).toDF("k", "v", "amt"), dir)
+    }
+    assert(e.getMessage.contains("incompatible type change"),
+      s"wrong failure: ${e.getMessage}")
+    assert(table(dir) == before, "failed merge mutated the table")
+
+    // (d) int → double evolution also reads back across the untouched
+    // int32 dir — the other reader-side widening the policy sanctions
+    val dirD = freshDir()
+    MergeInto.create(Seq((1L, 5)).toDF("k", "n"), dirD, "k", nBuckets = 8)
+    MergeInto.merge(Seq((wKey, 7.5)).toDF("k", "n"), dirD)
+    assert(MergeInto.read(spark, dirD).as[(Long, Double)].collect().toSet ==
+      Set((1L, 5.0), (wKey, 7.5)),
+      "reader-side int32->double widening failed across the untouched dir")
+  }
+
+  test("slow-reader fuzz: a stalled snapshot scan completes exactly or fails with the snapshot-gone signature") {
+    // The GC contract for readers (VERDICT r8 item 5): a reader that
+    // resolves version v, stalls past `retain` commits, then scans,
+    // must EITHER complete with exactly v's rows (its dirs were still
+    // retained/referenced) OR fail with the snapshot-gone signature —
+    // never silently return wrong or partial rows. Dirs are immutable,
+    // so the only failure mode is absence, which surfaces as
+    // FNF/PATH_NOT_FOUND; randomized merge/compact mixes probe both
+    // branches (compaction re-points every bucket, so it is what
+    // actually unreferences the old dirs).
+    val rnd = new scala.util.Random(99173L)
+    var completed, failed = 0
+    for (round <- 1 to 5) {
+      val dir = freshDir()
+      val frozen = (1L to 12L).map(k => k -> (s"v$k", k * 1.0)).toMap
+      val v1 = MergeInto.create(
+        frozen.toSeq.map { case (k, (v, a)) => MergeRow(k, v, a) }.toDF(),
+        dir, "k", nBuckets = 4)
+      val snap = ManifestTable.readVersion(spark, dir, v1) // resolve, then stall
+      val nOps = 1 + rnd.nextInt(4)
+      for (i <- 1 to nOps) {
+        val k = 1L + rnd.nextInt(14)
+        MergeInto.merge(Seq(MergeRow(k, s"r$round-$i", i.toDouble)).toDF(), dir)
+        if (rnd.nextBoolean()) MergeInto.compact(spark, dir)
+      }
+      try {
+        val got = snap.as[MergeRow].collect().map(r => r.k -> (r.v, r.amt)).toMap
+        assert(got == frozen,
+          s"round $round: stalled reader saw WRONG rows — must be exact or loud")
+        completed += 1
+      } catch {
+        case e: Exception =>
+          assert(MergeInto.snapshotGone(e),
+            s"round $round: stalled reader failed without the snapshot-gone signature: $e")
+          failed += 1
+      }
+    }
+    // the seed is chosen so the fuzz exercises BOTH branches
+    assert(completed > 0 && failed > 0,
+      s"fuzz did not cover both branches: completed=$completed failed=$failed")
+  }
+
+  test("lookup bounds its key-set collect and fails loudly past maxKeys") {
+    val dir = freshDir()
+    MergeInto.create((1L to 50L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF(),
+      dir, "k", nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.lookup(spark, dir, (1L to 20L).toDF("k"), maxKeys = 10)
+    }
+    assert(e.getMessage.contains("more than 10"), s"wrong failure: ${e.getMessage}")
+    // within the bound the lookup stays exact
+    assert(MergeInto.lookup(spark, dir, (1L to 10L).toDF("k"), maxKeys = 10)
+      .count() == 10L)
   }
 }
