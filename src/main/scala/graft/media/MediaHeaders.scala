@@ -29,6 +29,14 @@ object MediaHeaders extends Serializable {
   final case class MediaMeta(format: String, width: Int, height: Int,
     channels: Int, sampleRate: Int, durationSec: Double)
 
+  /** Sample-level stats from a TRUE decode of an uncompressed payload:
+    * count, mean, min, max over 8-bit luminance values (BMP pixels) or
+    * PCM sample values (WAV). Compressed formats (JPEG/PNG/GIF/MP4,
+    * RLE BMPs, non-PCM WAVs) return None and stay behind the honest
+    * stub — no codecs ship in this environment; BMP rows and PCM
+    * samples are plain byte arithmetic, so those two decode for real. */
+  final case class SampleStats(n: Long, mean: Double, min: Double, max: Double)
+
   def parse(b: Array[Byte]): Option[MediaMeta] = {
     if (b == null || b.length < 14) None
     else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) jpeg(b)
@@ -132,6 +140,118 @@ object MediaHeaders extends Serializable {
     if (channels == 0 || rate <= 0) None
     else Some(MediaMeta("wav", 0, 0, channels, rate,
       if (dataBytes > 0 && byteRate > 0) dataBytes.toDouble / byteRate else 0.0))
+  }
+
+  /** TRUE pixel decode for uncompressed (BI_RGB) 8/24/32-bit BMPs:
+    * ITU-R BT.601 luminance per pixel ((299 r + 587 g + 114 b) / 1000),
+    * honoring the file's own pixel-array offset (bfOffBits), 4-byte row
+    * padding, bottom-up vs top-down row order (order-insensitive stats,
+    * but bounds differ), and the palette for 8-bit indexed pixels.
+    * Returns None for RLE/bitfields compression or a truncated pixel
+    * array — those fall back to the stub, never a partial decode. */
+  def bmpPixelStats(b: Array[Byte]): Option[SampleStats] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dibSize = le32(b, 14)
+    if (!Set(40, 52, 56, 64, 108, 124).contains(dibSize)) return None
+    val off = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (compression != 0 || w <= 0 || h == 0) return None // BI_RGB only
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    // 8-bit pixels index a palette of BGRA quads between the DIB header
+    // and the pixel array; biClrUsed (offset 46) 0 means "all 256"
+    val palette: Array[Double] =
+      if (bpp != 8) null
+      else {
+        val used = { val u = le32(b, 46); if (u == 0) 256 else u }
+        val pal = new Array[Double](used)
+        val palOff = 14 + dibSize
+        if (palOff + 4L * used > off || off > b.length) return None
+        var i = 0
+        while (i < used) {
+          val bb = u8(b, palOff + 4 * i); val gg = u8(b, palOff + 4 * i + 1)
+          val rr = u8(b, palOff + 4 * i + 2)
+          pal(i) = (299.0 * rr + 587.0 * gg + 114.0 * bb) / 1000.0
+          i += 1
+        }
+        pal
+      }
+    val bytesPerPx = bpp / 8
+    val rowSize = ((bpp.toLong * w + 31) / 32 * 4).toInt
+    if (off.toLong + rowSize.toLong * h > b.length) return None // truncated
+    var n = 0L; var sum = 0.0
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var y = 0
+    while (y < h) {
+      val row = off + y * rowSize
+      var x = 0
+      while (x < w) {
+        val p = row + x * bytesPerPx
+        val lum =
+          if (bpp == 8) {
+            val idx = u8(b, p)
+            if (idx >= palette.length) return None // index past the palette
+            palette(idx)
+          } else {
+            // BGR(A) byte order in the file
+            (299.0 * u8(b, p + 2) + 587.0 * u8(b, p + 1) + 114.0 * u8(b, p)) / 1000.0
+          }
+        n += 1; sum += lum
+        if (lum < mn) mn = lum
+        if (lum > mx) mx = lum
+        x += 1
+      }
+      y += 1
+    }
+    Some(SampleStats(n, sum / n, mn, mx))
+  }
+
+  /** TRUE sample decode for PCM WAVs: 8-bit unsigned and 16-bit signed
+    * little-endian samples (all channels pooled — stats are
+    * channel-agnostic). The decoded range is clamped to the data chunk
+    * the buffer actually holds (streaming WAVs legally declare more),
+    * and non-PCM encodings (audioFormat != 1) return None. */
+  def wavSampleStats(b: Array[Byte]): Option[SampleStats] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var fmt = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0L
+    while (i + 8 <= b.length && (fmt == 0 || dataOff < 0)) {
+      val id = new String(b, i, 4, "ISO-8859-1")
+      val sz = le32(b, i + 4).toLong & 0xffffffffL
+      if (id == "fmt " && sz >= 16 && i + 8 + 16 <= b.length) {
+        fmt = le16(b, i + 8)
+        bits = le16(b, i + 8 + 14)
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = sz
+      }
+      val next = i.toLong + 8L + sz + (sz & 1L)
+      i = if (next > b.length) b.length else next.toInt
+    }
+    if (fmt != 1 || dataOff < 0) return None // PCM only
+    if (bits != 8 && bits != 16) return None
+    val avail = math.min(dataLen, (b.length - dataOff).toLong)
+    val nSamples = avail / (bits / 8)
+    if (nSamples <= 0) return None
+    var n = 0L; var sum = 0.0
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var p = dataOff
+    val end = dataOff + (nSamples * (bits / 8)).toInt
+    while (p < end) {
+      val v: Double =
+        if (bits == 8) u8(b, p) - 128.0 // 8-bit WAV is unsigned, centre it
+        else (le16(b, p) << 16 >> 16).toDouble // sign-extend 16-bit LE
+      n += 1; sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      p += bits / 8
+    }
+    Some(SampleStats(n, sum / n, mn, mx))
   }
 
   private def be64(b: Array[Byte], i: Int): Long =

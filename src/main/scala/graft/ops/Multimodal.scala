@@ -74,13 +74,42 @@ object Multimodal {
     h.toSeq
   })
 
-  /** Frame sampling — every `stride`-th byte (stands in for every Nth
-    * video frame); returns the sampled "frame" checksum. */
-  private val frameSample = udf((payload: Array[Byte], stride: Int) => {
-    var i = 0; var sum = 0L; var n = 0
-    while (i < payload.length) { sum += (payload(i) & 0xff); n += 1; i += stride }
-    (n, sum)
-  })
+  /** One media row's frame/sample measurement: count + checksum (the
+    * stub shape), plus TRUE level stats when the payload decoded for
+    * real — None on the stub path so corpus-wide aggregates stay
+    * null-honest about what was actually decoded. */
+  private[graft] final case class FrameStats(n: Long, checksum: Long,
+    mean: Option[Double], min: Option[Double], max: Option[Double])
+
+  /** Frame sampling with a TRUE decode tier (r9): an uncompressed BMP
+    * under kind=image measures real per-pixel luminance, a PCM WAV
+    * under kind=audio real sample values — count, checksum (rounded
+    * value sum) and mean/min/max all from the actual pixels/samples
+    * (`MediaHeaders.bmpPixelStats` / `wavSampleStats`, zero-dep byte
+    * arithmetic). Compressed formats (JPEG/PNG/GIF/MP4, RLE BMPs,
+    * non-PCM WAVs) still can't decode here — no codecs ship in this
+    * container — so they fall to the byte-walk stub: every `stride`-th
+    * byte stands in for every Nth frame, and the level stats are None.
+    * Exposed as a plain function for direct spec coverage. */
+  private[graft] def frameStatsOf(payload: Array[Byte], kind: String,
+                                  stride: Int): FrameStats = {
+    val real = kind match {
+      case "image" => graft.media.MediaHeaders.bmpPixelStats(payload)
+      case "audio" => graft.media.MediaHeaders.wavSampleStats(payload)
+      case _       => None
+    }
+    real match {
+      case Some(s) =>
+        FrameStats(s.n, math.round(s.mean * s.n),
+          Some(s.mean), Some(s.min), Some(s.max))
+      case None =>
+        var i = 0; var sum = 0L; var n = 0L
+        while (i < payload.length) { sum += (payload(i) & 0xff); n += 1; i += stride }
+        FrameStats(n, sum, None, None, None)
+    }
+  }
+
+  private val frameSample = udf(frameStatsOf _)
 
   /** MM1: media metadata — binary sizes + stub-decoded dimensions per
     * kind. The decode output IS aggregated (max_dim), so the decode
@@ -111,14 +140,24 @@ object Multimodal {
       .filter(col("n_bytes") > 0)
       .orderBy("bucket")
 
-  /** MM3: frame sampling — every 10th byte per media row; per-kind
-    * totals of sampled count + checksum. */
+  /** MM3: frame sampling — every 10th byte per media row (true
+    * pixel/sample measurement where the payload decodes for real);
+    * per-kind totals of sampled count + checksum, plus the decoded
+    * LEVEL stats (mean of row means, global min/max) which are
+    * null-honest: the synthetic text-payload corpus never takes the
+    * true-decode path, so they aggregate to NULL there — the oracle
+    * pins that — while a corpus of real BMP/WAV blobs reports actual
+    * luminance/PCM levels (pinned by MediaHeadersSpec on byte-built
+    * fixtures through this same function). */
   def mm3_frame_sample(s: SparkSession, d: String): DataFrame =
     media(s, d)
-      .withColumn("sampled", frameSample(col("payload"), lit(10)))
+      .withColumn("sampled", frameSample(col("payload"), col("kind"), lit(10)))
       .groupBy(col("kind"))
-      .agg(sum(col("sampled._1")).as("n_frames"),
-        sum(col("sampled._2")).as("checksum"))
+      .agg(sum(col("sampled.n")).as("n_frames"),
+        sum(col("sampled.checksum")).as("checksum"),
+        round(avg(col("sampled.mean")), 2).as("mean_level"),
+        round(min(col("sampled.min")), 2).as("min_level"),
+        round(max(col("sampled.max")), 2).as("max_level"))
       .orderBy("kind")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -150,7 +189,10 @@ object Multimodal {
            list_transform(range(1, length(text)+1, 10), i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bytes
          FROM documents)
          SELECT kind, CAST(sum(len(bytes)) AS BIGINT) AS n_frames,
-           CAST(sum(list_sum(bytes)) AS BIGINT) AS checksum
+           CAST(sum(list_sum(bytes)) AS BIGINT) AS checksum,
+           CAST(NULL AS DOUBLE) AS mean_level,
+           CAST(NULL AS DOUBLE) AS min_level,
+           CAST(NULL AS DOUBLE) AS max_level
          FROM s GROUP BY kind ORDER BY kind""",
   )
 }

@@ -173,4 +173,107 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(MediaHeaders.parse(Array.emptyByteArray).isEmpty)
     assert(MediaHeaders.parse(null).isEmpty)
   }
+
+  private def le32s(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+  private def le16s(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+
+  /** A BITMAPINFOHEADER BMP built byte-by-byte: `rows` are TOP-DOWN
+    * (r,g,b) pixel rows, stored bottom-up with 4-byte row padding as
+    * the format requires. */
+  private def bmp24(rows: Seq[Seq[(Int, Int, Int)]], compression: Int = 0): Array[Byte] = {
+    val w = rows.head.size; val h = rows.size
+    val rowSize = (24 * w + 31) / 32 * 4
+    val px = rows.reverse.flatMap { r =>
+      r.flatMap { case (rr, gg, bb) => Seq(bb, gg, rr) } ++
+        Seq.fill(rowSize - 3 * w)(0)
+    }
+    val hdr = Seq[Int]('B', 'M') ++ le32s(54 + px.size) ++ Seq.fill(4)(0) ++ le32s(54) ++
+      le32s(40) ++ le32s(w) ++ le32s(h) ++ le16s(1) ++ le16s(24) ++ le32s(compression) ++
+      le32s(0) ++ le32s(0) ++ le32s(0) ++ le32s(0) ++ le32s(0)
+    bytes((hdr ++ px): _*)
+  }
+
+  test("BMP pixel decode: 24-bit BI_RGB luminance stats are exact (incl. row padding)") {
+    // top row [red, green], bottom row [blue, white] — BT.601 luminances
+    // 76.245 / 149.685 / 29.07 / 255.0 → mean 127.5, min 29.07, max 255
+    val img = bmp24(Seq(Seq((255, 0, 0), (0, 255, 0)), Seq((0, 0, 255), (255, 255, 255))))
+    val s = MediaHeaders.bmpPixelStats(img).get
+    assert(s.n == 4 && math.abs(s.mean - 127.5) < 1e-9)
+    assert(math.abs(s.min - 29.07) < 1e-9 && s.max == 255.0)
+    // the header parser still types it
+    assert(MediaHeaders.parse(img).get.format == "bmp")
+  }
+
+  test("BMP pixel decode: 8-bit palette pixels resolve through the palette") {
+    // palette: entry 0 = black, entry 1 = white; pixels [0, 1] in one row
+    val hdr = Seq[Int]('B', 'M') ++ le32s(66) ++ Seq.fill(4)(0) ++ le32s(62) ++
+      le32s(40) ++ le32s(2) ++ le32s(1) ++ le16s(1) ++ le16s(8) ++ le32s(0) ++
+      le32s(0) ++ le32s(0) ++ le32s(0) ++ le32s(2) ++ le32s(0) ++
+      Seq(0, 0, 0, 0) ++ Seq(255, 255, 255, 0) ++ // BGRA palette quads
+      Seq(0, 1, 0, 0) // pixel row + pad to 4
+    val s = MediaHeaders.bmpPixelStats(bytes(hdr: _*)).get
+    assert(s.n == 2 && s.min == 0.0 && s.max == 255.0 && math.abs(s.mean - 127.5) < 1e-9)
+  }
+
+  test("BMP pixel decode: RLE compression and truncated pixel arrays fall back to None") {
+    val rle = bmp24(Seq(Seq((1, 2, 3))), compression = 1)
+    assert(MediaHeaders.bmpPixelStats(rle).isEmpty, "RLE must stay stubbed")
+    val ok = bmp24(Seq(Seq((1, 2, 3), (4, 5, 6))))
+    assert(MediaHeaders.bmpPixelStats(ok.take(ok.length - 2)).isEmpty,
+      "truncated pixel array must not partially decode")
+  }
+
+  /** A PCM WAV with the given samples (16-bit signed LE). */
+  private def wav16(samples: Seq[Int]): Array[Byte] = {
+    val data = samples.flatMap(v => le16s(v & 0xffff))
+    val riff = Seq[Int]('R', 'I', 'F', 'F') ++ le32s(36 + data.size) ++
+      Seq[Int]('W', 'A', 'V', 'E') ++
+      Seq[Int]('f', 'm', 't', ' ') ++ le32s(16) ++
+      le16s(1) ++ le16s(1) ++ le32s(8000) ++ le32s(16000) ++ le16s(2) ++ le16s(16) ++
+      Seq[Int]('d', 'a', 't', 'a') ++ le32s(data.size) ++ data
+    bytes(riff: _*)
+  }
+
+  test("WAV sample decode: 16-bit PCM stats are exact, negatives sign-extended") {
+    val s = MediaHeaders.wavSampleStats(wav16(Seq(1000, -2000, 30000, -32768))).get
+    assert(s.n == 4 && s.min == -32768.0 && s.max == 30000.0)
+    assert(math.abs(s.mean - (-942.0)) < 1e-9)
+  }
+
+  test("WAV sample decode: 8-bit PCM is unsigned and centred; non-PCM is None") {
+    val data = Seq(0, 128, 255)
+    val wav8 = bytes((Seq[Int]('R', 'I', 'F', 'F') ++ le32s(36 + 3) ++
+      Seq[Int]('W', 'A', 'V', 'E') ++
+      Seq[Int]('f', 'm', 't', ' ') ++ le32s(16) ++
+      le16s(1) ++ le16s(1) ++ le32s(8000) ++ le32s(8000) ++ le16s(1) ++ le16s(8) ++
+      Seq[Int]('d', 'a', 't', 'a') ++ le32s(3) ++ data ++ Seq(0)): _*)
+    val s = MediaHeaders.wavSampleStats(wav8).get
+    assert(s.n == 3 && s.min == -128.0 && s.max == 127.0)
+    assert(math.abs(s.mean - (-1.0 / 3)) < 1e-9)
+    // IEEE-float WAV (audioFormat 3) has no zero-dep decode: stub path
+    val float = bytes((Seq[Int]('R', 'I', 'F', 'F') ++ le32s(36) ++
+      Seq[Int]('W', 'A', 'V', 'E') ++
+      Seq[Int]('f', 'm', 't', ' ') ++ le32s(16) ++
+      le16s(3) ++ le16s(1) ++ le32s(8000) ++ le32s(32000) ++ le16s(4) ++ le16s(32) ++
+      Seq[Int]('d', 'a', 't', 'a') ++ le32s(0)): _*)
+    assert(MediaHeaders.wavSampleStats(float).isEmpty)
+  }
+
+  test("mm3's frame stats take the true-decode tier for real BMP/WAV, the stub otherwise") {
+    import graft.ops.Multimodal
+    val img = bmp24(Seq(Seq((255, 0, 0), (0, 255, 0)), Seq((0, 0, 255), (255, 255, 255))))
+    val fi = Multimodal.frameStatsOf(img, "image", 10)
+    assert(fi.n == 4 && fi.checksum == 510L) // round(127.5 * 4)
+    assert(fi.mean.contains(127.5) && fi.max.contains(255.0))
+    val fw = Multimodal.frameStatsOf(wav16(Seq(100, -100, 50, -50)), "audio", 10)
+    assert(fw.n == 4 && fw.checksum == 0L && fw.mean.contains(0.0))
+    assert(fw.min.contains(-100.0) && fw.max.contains(100.0))
+    // a kind-mismatched real blob and a text payload both walk bytes
+    val text = "no magic here, synthetic corpus row".getBytes("UTF-8")
+    val ft = Multimodal.frameStatsOf(text, "image", 10)
+    val expectedN = (text.length + 9) / 10
+    assert(ft.mean.isEmpty && ft.n == expectedN)
+    val mismatch = Multimodal.frameStatsOf(img, "video", 10)
+    assert(mismatch.mean.isEmpty, "a BMP filed under video must not pixel-decode")
+  }
 }
