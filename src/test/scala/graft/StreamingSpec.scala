@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.{Event, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{max, round, sum, when}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -94,6 +95,94 @@ class StreamingSpec extends SparkTestBase {
         .select("user_id", "from_stage", "to_stage").as[(Long, Int, Int)].collect().toSet
       assert(rows == Set((7L, 0, 1), (7L, 1, 2), (7L, 2, 3), (8L, 0, 2)), s"got $rows")
     } finally q.stop()
+  }
+
+  test("X6 stateful parity: funnelStateful and runningSpend match the batch fold over a jittered feed") {
+    // The x4/x5 technique applied to the LAST test-only stateful
+    // semantics (VERDICT r8 item 7): a deterministic pseudo-random
+    // event set arrives in jittered order across 5 micro-batches; the
+    // stateful operators' emissions must match, row for row, a plain
+    // batch fold of the same batches — and the final per-user states
+    // must equal a Spark BATCH aggregation over all events, tying the
+    // streaming operators to the oracle-anchored batch world.
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(20260813L)
+    val types = Vector("signup", "view", "purchase", "click")
+    val all = (1 to 200).map { i =>
+      Event(i.toLong, ts(f"${9 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d"),
+        1L + rnd.nextInt(40), types(rnd.nextInt(4)), (rnd.nextInt(500) + 1) / 100.0)
+    }
+    // jittered arrival: Knuth-multiplier spread of event_id, 5 batches
+    val arrival = all.sortBy(e => (e.event_id * 2654435761L) % 997)
+    val batches = arrival.grouped(40).toSeq
+    val stageOf = Map("signup" -> 1, "view" -> 2, "purchase" -> 3)
+
+    // reference model: per-batch fold of both operators' semantics
+    var stage = Map.empty[Long, Int].withDefaultValue(0)
+    var spend = Map.empty[Long, Double].withDefaultValue(0.0)
+    val expAdvance = scala.collection.mutable.ListBuffer.empty[(Long, Int, Int)]
+    val expSpend = scala.collection.mutable.ListBuffer.empty[(Long, Double)]
+    batches.foreach { b =>
+      b.groupBy(_.user_id).foreach { case (u, evs) =>
+        val best = math.max(stage(u), evs.map(e => stageOf.getOrElse(e.event_type, 0)).max)
+        if (best > stage(u)) expAdvance += ((u, stage(u), best))
+        stage += u -> best
+        val now = spend(u) + evs.map(_.value).sum
+        expSpend += ((u, now))
+        spend += u -> now
+      }
+    }
+
+    val in1 = MemoryStream[Event]
+    val q1 = Streams.funnelStateful(in1.toDS())
+      .writeStream.format("memory").queryName("x6par").outputMode(OutputMode.Update).start()
+    val in2 = MemoryStream[Event]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q2 = Streams.runningSpend(in2.toDS())
+      .writeStream.format("memory").queryName("x6bpar").outputMode(OutputMode.Update).start()
+    try {
+      batches.foreach { b =>
+        in1.addData(b); q1.processAllAvailable()
+        in2.addData(b); q2.processAllAvailable()
+      }
+      val gotAdvance = spark.table("x6par")
+        .select("user_id", "from_stage", "to_stage").as[(Long, Int, Int)]
+        .collect().toSeq
+      // row-for-row parity (multisets — emission order across users is
+      // not defined, per-user NET advancement per batch is)
+      assert(gotAdvance.groupBy(identity).view.mapValues(_.size).toMap ==
+        expAdvance.groupBy(identity).view.mapValues(_.size).toMap,
+        "funnelStateful diverged from the batch fold")
+      val gotSpend = spark.table("x6bpar").as[(Long, Double)].collect().toSeq
+      def roundBag(xs: Seq[(Long, Double)]) =
+        xs.map { case (u, v) => (u, math.round(v * 100)) }
+          .groupBy(identity).view.mapValues(_.size).toMap
+      assert(roundBag(gotSpend) == roundBag(expSpend.toSeq),
+        "runningSpend diverged from the batch fold")
+      // final states vs a Spark BATCH aggregation over all events
+      val batchFinal = all.toDF()
+        .groupBy($"user_id")
+        .agg(max(
+          when($"event_type" === "signup", 1)
+            .when($"event_type" === "view", 2)
+            .when($"event_type" === "purchase", 3).otherwise(0)).as("stage"),
+          round(sum($"value"), 2).as("total"))
+        .as[(Long, Int, Double)].collect()
+      val streamFinalStage = gotAdvance.groupBy(_._1).view
+        .mapValues(_.map(_._3).max).toMap.withDefaultValue(0)
+      val streamFinalSpend = gotSpend.groupBy(_._1).view
+        .mapValues(_.map(_._2).max).toMap
+      batchFinal.foreach { case (u, st, tot) =>
+        assert(streamFinalStage(u) == st,
+          s"user $u: streaming final stage ${streamFinalStage(u)} != batch $st")
+        assert(math.abs(streamFinalSpend(u) - tot) < 1e-6,
+          s"user $u: streaming final spend != batch total")
+      }
+    } finally {
+      q1.stop(); q2.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("X6 full form: flatMapGroupsWithState sessionizer emits on gap and timeout") {
