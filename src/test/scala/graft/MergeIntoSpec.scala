@@ -822,6 +822,61 @@ class MergeIntoSpec extends SparkTestBase {
       s"fuzz did not cover both branches: completed=$completed failed=$failed")
   }
 
+  test("sync races a continuously-committing source: every pass converges on a real version") {
+    // The replication consumer's contract is "catch up from whatever
+    // state" — here the source lands 8 merges (GC'ing versions under
+    // the replica's feet, retention 2) while the main thread sync()s
+    // continuously. Each sync must return a version the source REALLY
+    // committed, with the replica exactly equal to that version's
+    // snapshot-by-model; the final sync (after the writer stops) must
+    // converge on the final model. Exercises the retained-tail path,
+    // the fall-behind full-diff path and the retention-race retry loop
+    // under true concurrency, not just the staged sequence.
+    val srcDir = freshDir()
+    val repDir = freshDir()
+    var model: Map[Long, (String, Double)] =
+      (1L to 16L).map(k => k -> (s"v$k", k * 1.0)).toMap
+    MergeInto.create(
+      model.toSeq.map { case (k, (v, a)) => MergeRow(k, v, a) }.toDF(),
+      srcDir, "k", nBuckets = 4)
+    // version → model snapshot, grown by the writer thread; volatile
+    // via synchronization on the map itself
+    val snaps = new java.util.concurrent.ConcurrentHashMap[Long, Map[Long, (String, Double)]]()
+    snaps.put(1L, model)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val writer = Future {
+      for (step <- 1 to 8) {
+        val k = (step % 20 + 1).toLong
+        val src = Seq(MergeRow(k, s"w$step", step.toDouble)).toDF()
+        val v = MergeInto.merge(src, srcDir)
+        model = model + (k -> (s"w$step", step.toDouble))
+        snaps.put(v, model)
+      }
+    }
+    try {
+      var spins = 0
+      while (!writer.isCompleted && spins < 30) {
+        val v = MergeInto.sync(spark, srcDir, repDir, nBuckets = 8)
+        // the writer records a version's model AFTER its commit lands,
+        // so a freshly-committed head may not be in `snaps` yet — skip
+        // that spin (the final convergence assert still gates the test)
+        val snap = snaps.get(v)
+        if (snap != null)
+          assert(table(repDir) == snap,
+            s"replica at synced version $v diverged from that version's model")
+        spins += 1
+      }
+      Await.result(writer, 180.seconds)
+    } finally pool.shutdown()
+    val vFinal = MergeInto.sync(spark, srcDir, repDir)
+    assert(table(repDir) == model, "final sync did not converge on the model")
+    assert(snaps.get(vFinal) == model)
+  }
+
   test("lookup bounds its key-set collect and fails loudly past maxKeys") {
     val dir = freshDir()
     MergeInto.create((1L to 50L).map(k => MergeRow(k, s"v$k", k * 1.0)).toDF(),
