@@ -250,7 +250,21 @@ class MergeIntoSpec extends SparkTestBase {
   }
 
   test("fuzz: random merge sequences track an in-memory model, including the change feed") {
-    val rnd = new scala.util.Random(20260813L)
+    fuzzMergeModel(seed = 20260813L)
+  }
+
+  test("fuzz on conditional-PUT semantics: the full model-based sequence holds on the object-store seam") {
+    // the same randomized merge/compact/restore/sync/time-travel model
+    // fuzz, with every manifest publish going through the S3-semantics
+    // store — a different seed so the two runs cover different op mixes
+    graft.sources.ManifestTable.storeOverride =
+      Some(graft.sources.ConditionalPutStore)
+    try fuzzMergeModel(seed = 77421L)
+    finally graft.sources.ManifestTable.storeOverride = None
+  }
+
+  private def fuzzMergeModel(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
     val dir = freshDir()
     val repDir = freshDir()
     val nB = 8
