@@ -156,20 +156,28 @@ object MediaHeaders extends Serializable {
     val off = le32(b, 10)
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
+    if (hRaw == Int.MinValue) return None // abs(MinValue) stays negative
     val h = math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
     if (compression != 0 || w <= 0 || h == 0) return None // BI_RGB only
     if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    // the pixel array must start past the headers and inside the buffer;
+    // le32 is signed, so a forged 0x80000000 bfOffBits is negative here
+    // and rejected for every bpp branch, not just the paletted one
+    if (off < 14 + dibSize || off > b.length) return None
     // 8-bit pixels index a palette of BGRA quads between the DIB header
-    // and the pixel array; biClrUsed (offset 46) 0 means "all 256"
+    // and the pixel array; biClrUsed (offset 46) 0 means "all 256".
+    // Bounds run BEFORE the allocation: a forged count (negative or
+    // huge) must reject the file, not throw or allocate gigabytes, and
+    // an 8-bit index can never address more than 256 entries anyway.
     val palette: Array[Double] =
       if (bpp != 8) null
       else {
         val used = { val u = le32(b, 46); if (u == 0) 256 else u }
-        val pal = new Array[Double](used)
         val palOff = 14 + dibSize
-        if (palOff + 4L * used > off || off > b.length) return None
+        if (used < 0 || used > 256 || palOff + 4L * used > off) return None
+        val pal = new Array[Double](used)
         var i = 0
         while (i < used) {
           val bb = u8(b, palOff + 4 * i); val gg = u8(b, palOff + 4 * i + 1)
@@ -180,13 +188,16 @@ object MediaHeaders extends Serializable {
         pal
       }
     val bytesPerPx = bpp / 8
-    val rowSize = ((bpp.toLong * w + 31) / 32 * 4).toInt
-    if (off.toLong + rowSize.toLong * h > b.length) return None // truncated
+    // row stride stays Long until after the bounds check: a width near
+    // 2^29 would wrap an Int stride negative and slip past the guard
+    val rowSize = (bpp.toLong * w + 31) / 32 * 4
+    if (off.toLong + rowSize * h > b.length) return None // truncated
     var n = 0L; var sum = 0.0
     var mn = Double.MaxValue; var mx = Double.MinValue
     var y = 0
     while (y < h) {
-      val row = off + y * rowSize
+      // bounded by b.length (checked above), so the Int narrowing is exact
+      val row = (off + y * rowSize).toInt
       var x = 0
       while (x < w) {
         val p = row + x * bytesPerPx

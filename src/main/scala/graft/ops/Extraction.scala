@@ -191,11 +191,19 @@ object Extraction {
         col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (fn, bytes) =>
-        PdfText.streamTasks(bytes)
-          .map(t => PdfStreamWork(fn, t.idx, t.body, t.fonts, t.merged)) }
+        val tasks = PdfText.streamTasks(bytes)
+        // a document with NO stream tasks at all (empty/damaged PDF)
+        // must still reach the groupBy below or it vanishes from the
+        // extraction queries — same contract as the all-null-text case:
+        // a sentinel carries the filename through, decoding to null
+        if (tasks.isEmpty)
+          Seq(PdfStreamWork(fn, -1, Array.emptyByteArray, Map.empty, Map.empty))
+        else tasks.map(t => PdfStreamWork(fn, t.idx, t.body, t.fonts, t.merged)) }
       .repartition(s.sparkContext.defaultParallelism)
       .map(w => (w.filename, w.idx,
-        PdfText.streamText(PdfText.StreamTask(w.idx, w.body, w.fonts, w.merged)).orNull))
+        if (w.idx < 0) null
+        else PdfText.streamText(
+          PdfText.StreamTask(w.idx, w.body, w.fonts, w.merged)).orNull))
       .toDF("filename", "idx", "txt")
       // group from the FULL filename set, not just streams that decoded
       // to text: a PDF whose streams ALL yield no text must still

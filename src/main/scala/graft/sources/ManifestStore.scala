@@ -97,8 +97,16 @@ private[graft] object ConditionalPutStore extends ManifestStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
   def putIfAbsent(fs: FileSystem, target: Path, body: Array[Byte]): Boolean = {
-    val lock = names.computeIfAbsent(target.toString, _ => new Object)
-    lock.synchronized {
+    // the per-name entry is dropped after the critical section (keyed
+    // remove: only if it still maps to OUR lock) — names are version-
+    // monotonic and never reused, so without cleanup the map would grow
+    // by one entry per commit for the JVM lifetime. A later caller
+    // minting a fresh lock is safe: it can only do so after the winner
+    // published, and published names exist forever (GC never deletes
+    // the live head, and a retired name is never re-PUT).
+    val key = target.toString
+    val lock = names.computeIfAbsent(key, _ => new Object)
+    try lock.synchronized {
       if (fs.exists(target)) false // 412 Precondition Failed
       else {
         // one atomic publish: the lock stands in for the store applying
@@ -111,6 +119,6 @@ private[graft] object ConditionalPutStore extends ManifestStore {
         try out.write(body) finally out.close()
         fs.rename(tmp, target)
       }
-    }
+    } finally names.remove(key, lock)
   }
 }

@@ -81,11 +81,23 @@ object MergeInto {
     * local filesystems, so both racers could pass a pre-check. */
   private def pinMarker(spark: SparkSession, dir: String, name: String,
                         value: String): Unit = {
-    ManifestTable.putFileIfAbsent(spark, dir, name, value)
-    val installed = readMarker(spark, dir, name).getOrElse(
+    val created = ManifestTable.putFileIfAbsent(spark, dir, name, value)
+    // Losing the put does NOT imply the winner's body is readable yet:
+    // the HDFS binding claims a slot first and renames the body in
+    // after, so a loser can observe the claimed-but-bodyless window.
+    // A bounded re-read bridges it (the winner is one rename away); a
+    // writer dead inside that window still fails loudly here and its
+    // claim is aged out by breakStaleClaim on the next pin attempt.
+    var installed = readMarker(spark, dir, name)
+    var waitedMs = 0L
+    while (!created && installed.isEmpty && waitedMs < 10000L) {
+      Thread.sleep(50); waitedMs += 50
+      installed = readMarker(spark, dir, name)
+    }
+    val got = installed.getOrElse(
       throw new IllegalStateException(s"marker vanished after pin: $dir/$name"))
-    require(installed == value,
-      s"table at $dir already pinned $name=$installed, asked for $value")
+    require(got == value,
+      s"table at $dir already pinned $name=$got, asked for $value")
   }
 
   /** Deterministic tie order when the caller has no domain-specific one:
@@ -155,9 +167,9 @@ object MergeInto {
 
   private val SyncMarker = "_synced_to"
 
-  /** Replace-variant of [[writeMarker]] for markers that ADVANCE (the
-    * geometry markers are write-once; `FileSystem.rename` won't clobber
-    * an existing target on the local fs). Delete-then-rename leaves a
+  /** Replace-variant of [[pinMarker]] for markers that ADVANCE (the
+    * geometry markers are write-once put-if-absent through the store
+    * seam; this one moves forward). Delete-then-rename leaves a
     * brief no-marker window on a crash; [[sync]] treats a marker-less
     * replica that already has commits as "unknown position" and
     * re-syncs by full diff, so the window degrades cost, not
@@ -444,6 +456,10 @@ object MergeInto {
             rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
           }.toMap
       val existing = touched.filter(liveByBucket.contains)
+      // one manifest open serves both the standing read and the schema
+      // resolution below — on an object store each schemaOf is a GET,
+      // multiplied by the rebase retry loop under contention
+      val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
       // ONE job rewrites every touched bucket: standing rows from touched
       // buckets minus ALL source keys (update replaces, delete removes —
       // the anti-join is the same either way), plus the non-delete
@@ -456,7 +472,6 @@ object MergeInto {
       val standing =
         if (existing.nonEmpty) {
           val paths = existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}")
-          val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
           val rows = declared match {
             case Some(ddl) => spark.read
               .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -479,8 +494,7 @@ object MergeInto {
       // file converts under the declared schema instead of leaning on
       // reader-side type widening
       val newFields = combined.drop("b").schema
-      val tableSchema = resolveSchema(tableDir,
-        liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v)), newFields)
+      val tableSchema = resolveSchema(tableDir, declared, newFields)
       val have = combined.columns.toSet
       val aligned = tableSchema.fields.foldLeft(combined) { (df, f) =>
         if (!have(f.name) || df.schema(f.name).dataType == f.dataType) df

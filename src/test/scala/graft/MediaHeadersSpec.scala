@@ -223,6 +223,36 @@ class MediaHeadersSpec extends AnyFunSuite {
       "truncated pixel array must not partially decode")
   }
 
+  test("BMP pixel decode: forged header fields reject as None, never throw") {
+    def patched(base: Array[Byte], off: Int, v: Int): Array[Byte] = {
+      val b = base.clone()
+      le32s(v).zipWithIndex.foreach { case (x, i) => b(off + i) = x.toByte }
+      b
+    }
+    val ok24 = bmp24(Seq(Seq((1, 2, 3), (4, 5, 6))))
+    // bfOffBits forged negative (0x80000000) or past the buffer: the
+    // pixel loop must never start at a negative index
+    assert(MediaHeaders.bmpPixelStats(patched(ok24, 10, 0x80000000)).isEmpty)
+    assert(MediaHeaders.bmpPixelStats(patched(ok24, 10, ok24.length + 8)).isEmpty)
+    // biWidth huge enough to wrap an Int row stride negative: the
+    // truncation guard must still fire (Long math), not pass and AIOOBE
+    assert(MediaHeaders.bmpPixelStats(patched(ok24, 18, 0x30000000)).isEmpty)
+    // biHeight = Int.MinValue survives math.abs as a negative — must
+    // reject, not return a Some(n=0, mean=NaN) poison row
+    assert(MediaHeaders.bmpPixelStats(patched(ok24, 22, 0x80000000)).isEmpty)
+    // 8-bit palette file with forged biClrUsed: negative count must not
+    // throw NegativeArraySizeException; huge count must not attempt a
+    // multi-GB allocation before the bounds check
+    val hdr8 = Seq[Int]('B', 'M') ++ le32s(66) ++ Seq.fill(4)(0) ++ le32s(62) ++
+      le32s(40) ++ le32s(2) ++ le32s(1) ++ le16s(1) ++ le16s(8) ++ le32s(0) ++
+      le32s(0) ++ le32s(0) ++ le32s(0) ++ le32s(2) ++ le32s(0) ++
+      Seq(0, 0, 0, 0) ++ Seq(255, 255, 255, 0) ++ Seq(0, 1, 0, 0)
+    val ok8 = bytes(hdr8: _*)
+    assert(MediaHeaders.bmpPixelStats(ok8).nonEmpty, "fixture sanity")
+    assert(MediaHeaders.bmpPixelStats(patched(ok8, 46, 0x80000000)).isEmpty)
+    assert(MediaHeaders.bmpPixelStats(patched(ok8, 46, 0x7fffffff)).isEmpty)
+  }
+
   /** A PCM WAV with the given samples (16-bit signed LE). */
   private def wav16(samples: Seq[Int]): Array[Byte] = {
     val data = samples.flatMap(v => le16s(v & 0xffff))
