@@ -102,6 +102,46 @@ object ManifestTable {
     manifestLines(fs, tableDir, v)
       .find(_.startsWith(SchemaHeader)).map(_.stripPrefix(SchemaHeader))
 
+  private val StatsHeader = "#stats\t"
+
+  /** Per-path column statistics of version `v`: relPath → encoded
+    * payload (`<rows>` then `\t<col>\t<min>\t<max>` per stats column;
+    * values URL-encoded, `%N` = null = no non-null values). Stats are
+    * `#`-prefixed header lines, so [[pathsOf]] and every pre-stats
+    * reader skip them — a manifest without stats is simply never
+    * pruned (conservative), same forward/backward story as `#schema`. */
+  def statsOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
+    manifestLines(fs, tableDir, v)
+      .filter(_.startsWith(StatsHeader))
+      .map { l =>
+        val rest = l.stripPrefix(StatsHeader)
+        val i = rest.indexOf('\t')
+        rest.take(i) -> rest.drop(i + 1)
+      }.toMap
+
+  private val NullTok = "%N" // URLEncoder never emits '%' + non-hex
+
+  private def encTok(o: Any): String =
+    if (o == null) NullTok
+    else java.net.URLEncoder.encode(o.toString, "UTF-8")
+
+  private def decTok(t: String): Option[String] =
+    if (t == NullTok) None
+    else Some(java.net.URLDecoder.decode(t, "UTF-8"))
+
+  /** Parse one path's stats payload for `column`: Some((rows, min,
+    * max)) when that column was tracked; min/max None = all-null. */
+  private[graft] def statsFor(payload: String, column: String)
+      : Option[(Long, Option[String], Option[String])] = {
+    val toks = payload.split('\t')
+    if (toks.isEmpty) return None
+    val rows = try toks(0).toLong catch { case _: NumberFormatException => return None }
+    toks.drop(1).grouped(3).collectFirst {
+      case Array(c, mn, mx) if decTok(c).contains(column) =>
+        (rows, decTok(mn), decTok(mx))
+    }
+  }
+
   private def readWithDeclared(spark: SparkSession, tableDir: String,
                                v: Long, paths: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tableDir)
@@ -154,6 +194,132 @@ object ManifestTable {
     readWithDeclared(spark, tableDir, v, paths)
   }
 
+  /** APPEND-table ingest (S19): commit `df` as one new immutable data
+    * dir added to the live path list — the daily-ingest fact-table
+    * shape (Delta append / Iceberg fast-append). Column statistics for
+    * `statsCols` are observed DURING the write job (`Dataset.observe`
+    * — no second pass over the data) and recorded as `#stats` manifest
+    * header lines, so a later [[rangeScan]] prunes whole commit dirs
+    * against min/max before a single parquet footer is opened. Because
+    * ingest batches are naturally correlated with time-like columns
+    * (each day's append spans one day), the per-dir ranges are narrow
+    * and the pruning is real — the same reason Delta's file stats work.
+    * Concurrency: optimistic — two racing appends both want
+    * `prior + self`, so the commit goes through [[commitIf]] and the
+    * loser re-reads the new head and retries; no append is ever lost.
+    * Append tables are FIXED-schema (the declared DDL must match the
+    * prior version's); evolution belongs to [[MergeInto]]. */
+  def append(df: DataFrame, tableDir: String,
+             statsCols: Seq[String] = Seq.empty,
+             retainGenerations: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val ddl = df.schema.toDDL
+    val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min:$c"),
+      max(col(c)).cast("string").as(s"max:$c")))
+    val observed =
+      if (statsCols.isEmpty) df else df.observe(obs, aggs.head, aggs.tail: _*)
+    observed.write.parquet(s"$tableDir/$cid")
+    val payload =
+      if (statsCols.isEmpty) None
+      else {
+        val m = obs.get
+        Some((Seq(m("rows").toString) ++ statsCols.flatMap(c =>
+          Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
+          .mkString("\t"))
+      }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"append contention at $tableDir")
+      val base = versions(fs, tableDir).lastOption.getOrElse(0L)
+      val prior = if (base > 0) pathsOf(fs, tableDir, base) else Seq.empty
+      val priorStats =
+        if (base > 0) statsOf(fs, tableDir, base) else Map.empty[String, String]
+      val priorDdl = if (base > 0) schemaOf(fs, tableDir, base) else None
+      require(priorDdl.forall(_ == ddl),
+        s"append-table schema mismatch at $tableDir: table declares " +
+          s"'${priorDdl.get}', append brings '$ddl' — append tables are " +
+          "fixed-schema; use MergeInto for evolution")
+      val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
+        retainGenerations, schemaDdl = Some(ddl),
+        stats = priorStats ++ payload.map(cid -> _))
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
+  /** Data-skipping scan (S19): the live table filtered to `column`
+    * BETWEEN `lo` AND `hi`, opening ONLY the commit dirs whose
+    * recorded [min,max] intersects the range — manifest-level pruning,
+    * zero I/O for pruned dirs (at 100 TB with daily appends, a
+    * one-week date scan touches 7 dirs out of years of them, before
+    * parquet's own footer/row-group pruning takes over inside the
+    * survivors). Paths with no recorded stats for `column` are always
+    * read (conservative); a dir whose stats say "no non-null values"
+    * is pruned, since BETWEEN never matches null. `lo`/`hi` are
+    * strings in Spark's cast-to-string form for the column's type
+    * (numbers as rendered, dates `yyyy-MM-dd`, timestamps
+    * `yyyy-MM-dd HH:mm:ss[.SSSSSS]` — all of which compare correctly
+    * in their domain); the residual filter is applied to the surviving
+    * rows and pushed into the parquet scan, so pruning is purely an
+    * I/O optimization, never a correctness dependency. */
+  def rangeScan(spark: SparkSession, tableDir: String, column: String,
+                lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fsOf(spark, tableDir)
+    val v = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val paths = pathsOf(fs, tableDir, v)
+    val stats = statsOf(fs, tableDir, v)
+    val full = readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p"))
+    val dt = full.schema(column).dataType
+    val keep = paths.filter { p =>
+      stats.get(p).flatMap(statsFor(_, column)) match {
+        case Some((_, mn, mx)) => statRangeOverlaps(dt, mn, mx, lo, hi)
+        case None => true // no stats for this path/column → must read
+      }
+    }
+    val pred = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+    if (keep.isEmpty) full.limit(0).filter(pred)
+    else readWithDeclared(spark, tableDir, v, keep.map(p => s"$tableDir/$p"))
+      .filter(pred)
+  }
+
+  /** Conservative interval test for [[rangeScan]]: true unless the
+    * recorded [mn,mx] provably misses [lo,hi] in the column's domain.
+    * Numeric types compare as decimals (cast-to-string renders
+    * scientific notation for wide doubles — BigDecimal parses it);
+    * date/timestamp/string compare lexicographically, which matches
+    * their domain order in Spark's cast format. Unparseable values or
+    * unsupported types keep the path. min/max both null = the dir has
+    * no non-null values for the column = prune (BETWEEN is null-free). */
+  private def statRangeOverlaps(dt: org.apache.spark.sql.types.DataType,
+                                mn: Option[String], mx: Option[String],
+                                lo: String, hi: String): Boolean = {
+    import org.apache.spark.sql.types._
+    if (mn.isEmpty || mx.isEmpty) return false
+    def cmp(a: String, b: String): Option[Int] = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case DateType | TimestampType | TimestampNTZType | StringType =>
+        Some(a.compareTo(b))
+      case _ => None
+    }
+    (cmp(mx.get, lo), cmp(mn.get, hi)) match {
+      case (Some(a), Some(b)) => a >= 0 && b <= 0
+      case _ => true // can't compare → conservative keep
+    }
+  }
+
   /** RESTORE: make a retained older version the live table again by
     * committing its path list (and schema) as a NEW version — history
     * moves forward, nothing is rewritten or deleted, and a reader mid-
@@ -182,7 +348,8 @@ object ManifestTable {
       val head = versions(fs, tableDir).last
       val paths = pathsOf(fs, tableDir, v)
       commitIf(spark, tableDir, paths, expectedBase = head,
-        retainGenerations, schemaDdl = schemaOf(fs, tableDir, v)) match {
+        retainGenerations, schemaDdl = schemaOf(fs, tableDir, v),
+        stats = statsOf(fs, tableDir, v)) match {
         case Some(nv) =>
           val missing = paths.map(_.split("/", 2).head).distinct
             .filterNot(d => fs.exists(new Path(tableDir, d)))
@@ -326,11 +493,16 @@ object ManifestTable {
   }
 
   private def manifestBody(relPaths: Seq[String],
-                           schemaDdl: Option[String]): Array[Byte] = {
+                           schemaDdl: Option[String],
+                           stats: Map[String, String] = Map.empty): Array[Byte] = {
     schemaDdl.foreach(d => require(!d.contains("\n"),
       s"schema DDL must be one line, got: $d"))
     val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
-    (header + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+    // stats only for paths this manifest actually lists — a dropped
+    // (compacted/GC'd) path must not leave a dangling stats line
+    val statLines = relPaths.filter(stats.contains).sorted
+      .map(p => StatsHeader + p + "\t" + stats(p) + "\n").mkString
+    (header + statLines + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
   /** Commit a new version whose table is exactly `relPaths`, then GC
@@ -343,11 +515,12 @@ object ManifestTable {
     * manifests are independently complete. */
   def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
              retainGenerations: Int = 2,
-             schemaDdl: Option[String] = None): Long = {
+             schemaDdl: Option[String] = None,
+             stats: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = manifestBody(relPaths, schemaDdl)
+    val body = manifestBody(relPaths, schemaDdl, stats)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (!publishAt(fs, mdir, v, body)) {
@@ -373,14 +546,15 @@ object ManifestTable {
   def commitIf(spark: SparkSession, tableDir: String, relPaths: Seq[String],
                expectedBase: Long,
                retainGenerations: Int = 2,
-               schemaDdl: Option[String] = None): Option[Long] = {
+               schemaDdl: Option[String] = None,
+               stats: Map[String, String] = Map.empty): Option[Long] = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
     val v = expectedBase + 1
-    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl))) None
+    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats))) None
     else if (versions(fs, tableDir).last != v) {
       // lost to writers that got ahead through a GC'd slot; withdraw —
       // readers resolve the (higher) head, never this manifest

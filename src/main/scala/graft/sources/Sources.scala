@@ -546,6 +546,43 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** Shared fixture for S19: an APPEND table ingested in yearly batches
+    * (1992–1998 — the orders date domain), o_orderdate stats observed
+    * at each append, so every commit dir's recorded [min,max] spans one
+    * year. Built once per (session, corpus), like [[mergeDemo]]. */
+  private val appendDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private def appendDemo(s: SparkSession, d: String): String = {
+    appendDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    appendDemoCache.computeIfAbsent((s, d), { case (s, d) =>
+      val dir = tmp("graft_s19_")
+      val base = orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      (1992 to 1998).foreach { y =>
+        ManifestTable.append(
+          base.filter(year(col("o_orderdate")) === y), dir,
+          statsCols = Seq("o_orderdate"))
+      }
+      dir
+    })
+  }
+
+  /** S19: manifest-level data skipping — a date-range scan over the
+    * append table opens ONLY the commit dirs whose recorded
+    * [min,max] intersects the range (one of seven here; inputFiles-
+    * asserted in the spec), then parquet pushes the residual filter
+    * inside the survivor. The oracle is a plain filter over orders:
+    * pruning is an I/O optimization, never a correctness dependency,
+    * so a wrong prune (a dir dropped that held matching rows) breaks
+    * the count/sum/checksum hash. */
+  def s19_stats_skipping(s: SparkSession, d: String): DataFrame = {
+    val dir = appendDemo(s, d)
+    ManifestTable.rangeScan(s, dir, "o_orderdate", "1994-01-01", "1994-12-31")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -563,6 +600,7 @@ object Sources {
     "s16_merge_upsert" -> (s16_merge_upsert _),
     "s17_snapshot_diff" -> (s17_snapshot_diff _),
     "s18_point_lookup" -> (s18_point_lookup _),
+    "s19_stats_skipping" -> (s19_stats_skipping _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -668,5 +706,10 @@ object Sources {
          SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
          FROM merged WHERE o_orderkey IN (1, 3, 7, -5)
          ORDER BY o_orderkey""",
+    "s19_stats_skipping" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= '1994-01-01' AND o_orderdate <= '1994-12-31'""",
   )
 }

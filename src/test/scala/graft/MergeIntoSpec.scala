@@ -903,4 +903,75 @@ class MergeIntoSpec extends SparkTestBase {
     assert(MergeInto.lookup(spark, dir, (1L to 10L).toDF("k"), maxKeys = 10)
       .count() == 10L)
   }
+
+  test("append table: stats recorded per commit dir, rangeScan prunes to the matching dirs only") {
+    val dir = freshDir()
+    // three "daily" batches with disjoint amt ranges, one without stats
+    val b1 = (1L to 10L).map(k => MergeRow(k, "d1", k * 1.0)).toDF()
+    val b2 = (11L to 20L).map(k => MergeRow(k, "d2", k * 1.0)).toDF()
+    val b3 = (21L to 30L).map(k => MergeRow(k, "d3", k * 1.0)).toDF()
+    val v1 = ManifestTable.append(b1, dir, statsCols = Seq("amt"))
+    val v2 = ManifestTable.append(b2, dir, statsCols = Seq("amt"))
+    assert(v1 == 1L && v2 == 2L)
+    val v3 = ManifestTable.append(b3, dir) // NO stats → never pruned
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // full read sees every batch; stats cover exactly the two stats'd dirs
+    assert(ManifestTable.read(spark, dir).count() == 30L)
+    val stats = ManifestTable.statsOf(fs, dir, v3)
+    assert(stats.size == 2, s"expected stats on 2 of 3 dirs, got $stats")
+    // a scan inside b2's range opens b2's dir and the stats-less b3 dir
+    // (conservative), but NEVER b1's — manifest-level pruning, no I/O
+    val hit = ManifestTable.rangeScan(spark, dir, "amt", "12", "15.5")
+    assert(hit.as[MergeRow].collect().map(_.k).sorted.toSeq == (12L to 15L))
+    val scannedDirs = hit.inputFiles.map(f =>
+      f.split("/").dropRight(1).last).toSet
+    val prunedDir = ManifestTable.pathsOf(fs, dir, v3)
+      .filter(stats.contains).filter(p =>
+        ManifestTable.statsFor(stats(p), "amt").exists(_._3.contains("10.0")))
+    assert(prunedDir.nonEmpty && prunedDir.forall(p => !scannedDirs.contains(p)),
+      s"b1's dir $prunedDir must be pruned, scanned=$scannedDirs")
+    assert(scannedDirs.size == 2, s"expected b2 + stats-less b3, got $scannedDirs")
+    // pruning is an optimization, not a correctness dependency: the
+    // result equals the unpruned filter
+    assert(hit.count() ==
+      ManifestTable.read(spark, dir).filter($"amt" >= 12 && $"amt" <= 15.5).count())
+    // a range matching nothing returns empty with the table schema
+    assert(ManifestTable.rangeScan(spark, dir, "amt", "999", "1000").count() == 0L)
+    // string column stats: URL-encoding round-trips awkward values
+    val dirS = freshDir()
+    ManifestTable.append(Seq(MergeRow(1L, "a\tb%x", 1.0)).toDF(), dirS,
+      statsCols = Seq("v"))
+    val sS = ManifestTable.statsOf(fs, dirS, 1L)
+    assert(ManifestTable.statsFor(sS.values.head, "v")
+      .exists(s => s._2.contains("a\tb%x") && s._3.contains("a\tb%x")))
+  }
+
+  test("append table: all-null stats prune, racing appends both land, schema drift fails loudly") {
+    val dir = freshDir()
+    ManifestTable.append((1L to 5L).map(k => MergeRow(k, "x", k * 1.0)).toDF(),
+      dir, statsCols = Seq("v"))
+    // a batch whose stats column is ALL null: BETWEEN can never match
+    // it, so its dir is pruned outright
+    val nulls = Seq((6L, null.asInstanceOf[String], 6.0)).toDF("k", "v", "amt")
+    ManifestTable.append(nulls, dir, statsCols = Seq("v"))
+    val scan = ManifestTable.rangeScan(spark, dir, "v", "a", "z")
+    assert(scan.count() == 5L)
+    assert(scan.inputFiles.map(_.split("/").dropRight(1).last).toSet.size == 1,
+      "the all-null dir must be pruned at the manifest, not just filtered")
+    // two concurrent appends: optimistic rebase means BOTH batches land
+    val dir2 = freshDir()
+    val t1 = new Thread(() => ManifestTable.append(
+      (1L to 10L).map(k => MergeRow(k, "t1", 1.0)).toDF(), dir2, Seq("amt")))
+    val t2 = new Thread(() => ManifestTable.append(
+      (11L to 20L).map(k => MergeRow(k, "t2", 2.0)).toDF(), dir2, Seq("amt")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(ManifestTable.read(spark, dir2).count() == 20L,
+      "a racing append was lost — commitIf rebase must retry, not clobber")
+    // append tables are fixed-schema: a drifted frame fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(Seq((1L, 2L)).toDF("k", "other"), dir2, Seq.empty)
+    }
+    assert(e.getMessage.contains("fixed-schema"), s"wrong failure: ${e.getMessage}")
+  }
 }
