@@ -255,6 +255,77 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** Append-table compaction (S19 maintenance): rewrite the live
+    * table's accreted small commit dirs as `k` RANGE-SORTED dirs on
+    * `statsCols.head`, each dir a narrow disjoint slice with fresh
+    * `#stats` — compaction doesn't just cap the dir count (years of
+    * daily appends = thousands of manifest paths), it IMPROVES
+    * skipping: overlapping ingest batches become disjoint sorted
+    * ranges, so a [[rangeScan]] after compaction opens ~1 of `k` dirs
+    * where before it opened every batch that straddled the range
+    * (S11's range-clustering, applied at the manifest layer). Stats
+    * for the output dirs come from one grouped aggregate over the
+    * freshly-written files (the rewrite already paid a full pass; the
+    * stats read is footer-friendly and one job). Publishes through
+    * [[commitIf]] against racing APPENDS: on conflict the new head's
+    * extra dirs are carried through untouched — (head − inputs) +
+    * outputs — so no append is lost; an input dir VANISHING from the
+    * head (racing compaction/restore) aborts loudly instead of
+    * resurrecting rewritten rows. */
+  def compactAppend(spark: SparkSession, tableDir: String,
+                    statsCols: Seq[String], k: Int = 4,
+                    retainGenerations: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
+    require(statsCols.nonEmpty, "compactAppend needs at least the sort column")
+    val sortCol = statsCols.head
+    val fs = fsOf(spark, tableDir)
+    val baseV = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val inputs = pathsOf(fs, tableDir, baseV)
+    val ddl = schemaOf(fs, tableDir, baseV)
+    val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
+    readWithDeclared(spark, tableDir, baseV, inputs.map(p => s"$tableDir/$p"))
+      .repartitionByRange(k, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .withColumn("rb", spark_partition_id()) // narrow — no second shuffle
+      .write.partitionBy("rb").parquet(s"$tableDir/$cid")
+    // fresh stats per output dir: one grouped aggregate over the files
+    // just written (rb is a directory-encoded partition column, so the
+    // group-by is scan-cheap and min/max are footer-served)
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min:$c"),
+      max(col(c)).cast("string").as(s"max:$c")))
+    val statRows = spark.read.parquet(s"$tableDir/$cid")
+      .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
+    val outStats: Map[String, String] = statRows.map { r =>
+      val payload = (Seq(r.getAs[Long]("rows").toString) ++
+        statsCols.flatMap(c => Seq(encTok(c),
+          encTok(r.getAs[String](s"min:$c")), encTok(r.getAs[String](s"max:$c")))))
+        .mkString("\t")
+      s"$cid/rb=${r.getAs[Number]("rb").intValue}" -> payload
+    }.toMap
+    val inputSet = inputs.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"compaction contention at $tableDir")
+      val head = versions(fs, tableDir).last
+      val headPaths = pathsOf(fs, tableDir, head)
+      if (!inputSet.subsetOf(headPaths.toSet))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during compaction: " +
+            s"missing ${inputSet -- headPaths.toSet}")
+      val carried = headPaths.filterNot(inputSet)
+      val headStats = statsOf(fs, tableDir, head) -- inputSet
+      val committed = commitIf(spark, tableDir,
+        (carried ++ outStats.keys).sorted, head, retainGenerations,
+        schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
+        stats = headStats ++ outStats)
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** Data-skipping scan (S19): the live table filtered to `column`
     * BETWEEN `lo` AND `hi`, opening ONLY the commit dirs whose
     * recorded [min,max] intersects the range — manifest-level pruning,

@@ -974,4 +974,44 @@ class MergeIntoSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("fixed-schema"), s"wrong failure: ${e.getMessage}")
   }
+
+  test("compactAppend: overlapping appends become disjoint sorted dirs and skipping sharpens") {
+    val dir = freshDir()
+    def dirOf(f: String) = f.split("/").dropRight(1).last
+    // three batches that EACH span most of the amt domain (interleaved
+    // keys) — the worst case for batch-correlation skipping
+    ManifestTable.append((1L to 28L by 3).map(k => MergeRow(k, "b1", k * 1.0)).toDF(),
+      dir, statsCols = Seq("amt"))
+    ManifestTable.append((2L to 29L by 3).map(k => MergeRow(k, "b2", k * 1.0)).toDF(),
+      dir, statsCols = Seq("amt"))
+    ManifestTable.append((3L to 30L by 3).map(k => MergeRow(k, "b3", k * 1.0)).toDF(),
+      dir, statsCols = Seq("amt"))
+    // pre-compaction, a narrow scan must open ALL THREE overlapping dirs
+    val before = ManifestTable.rangeScan(spark, dir, "amt", "5", "7")
+    assert(before.inputFiles.map(dirOf).toSet.size == 3)
+    ManifestTable.compactAppend(spark, dir, statsCols = Seq("amt"), k = 3)
+    assert(ManifestTable.read(spark, dir).count() == 30L, "compaction must not change rows")
+    // post-compaction the same scan opens ONE range-sorted dir
+    val after = ManifestTable.rangeScan(spark, dir, "amt", "5", "7")
+    assert(after.as[MergeRow].collect().map(_.k).sorted.toSeq == Seq(5L, 6L, 7L))
+    assert(after.inputFiles.map(dirOf).toSet.size == 1,
+      s"disjoint sorted dirs must prune to one, got ${after.inputFiles.map(dirOf).toSet}")
+    // the table stays appendable and newly appended stats participate
+    ManifestTable.append(Seq(MergeRow(100L, "late", 100.0)).toDF(), dir,
+      statsCols = Seq("amt"))
+    assert(ManifestTable.read(spark, dir).count() == 31L)
+    assert(ManifestTable.rangeScan(spark, dir, "amt", "99", "101").count() == 1L)
+    // an append racing the compaction is never lost: either it commits
+    // first (carried through as a non-input dir) or it rebases after
+    val dir2 = freshDir()
+    ManifestTable.append((1L to 10L).map(k => MergeRow(k, "a", k * 1.0)).toDF(),
+      dir2, statsCols = Seq("amt"))
+    val racer = new Thread(() => ManifestTable.append(
+      (11L to 20L).map(k => MergeRow(k, "r", k * 1.0)).toDF(), dir2, Seq("amt")))
+    racer.start()
+    ManifestTable.compactAppend(spark, dir2, statsCols = Seq("amt"), k = 2)
+    racer.join()
+    assert(ManifestTable.read(spark, dir2).count() == 20L,
+      "a batch was lost to the compaction race")
+  }
 }
