@@ -975,6 +975,58 @@ class MergeIntoSpec extends SparkTestBase {
     assert(e.getMessage.contains("fixed-schema"), s"wrong failure: ${e.getMessage}")
   }
 
+  test("fuzz: random append/compact/restore sequences track a multiset model, rangeScan always exact") {
+    val rnd = new scala.util.Random(20260813L)
+    val dir = freshDir()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var model = Vector.empty[MergeRow]
+    var snaps = Map.empty[Long, Vector[MergeRow]]
+    def sortedM(v: Seq[MergeRow]) = v.sortBy(r => (r.k, r.v, r.amt))
+    def tableRows: Seq[MergeRow] =
+      ManifestTable.read(spark, dir).as[MergeRow].collect().toSeq
+    for (step <- 1 to 10) {
+      // batches overlap in amt, occasionally empty, occasionally
+      // stats-less — the conservative path must coexist with pruning
+      val batch =
+        if (rnd.nextInt(8) == 0) Seq.empty[MergeRow]
+        else (1 to 1 + rnd.nextInt(10)).map(i =>
+          MergeRow(rnd.nextInt(50).toLong, s"s$step-$i",
+            rnd.nextInt(1000) / 10.0))
+      val v = ManifestTable.append(batch.toDF(), dir,
+        if (rnd.nextInt(4) == 0) Seq.empty else Seq("amt"))
+      model = model ++ batch
+      snaps += v -> model
+      assert(sortedM(tableRows) == sortedM(model), s"step $step: table diverged")
+      // random range scans must equal the model filter exactly —
+      // pruning that drops a matching row shows up here
+      for (_ <- 1 to 2) {
+        val a = rnd.nextInt(1000) / 10.0
+        val b = a + rnd.nextInt(400) / 10.0
+        val got = ManifestTable
+          .rangeScan(spark, dir, "amt", a.toString, b.toString)
+          .as[MergeRow].collect().toSeq
+        val want = model.filter(r => r.amt >= a && r.amt <= b)
+        assert(sortedM(got) == sortedM(want), s"step $step: rangeScan [$a,$b] wrong")
+      }
+      if (step % 4 == 0) {
+        ManifestTable.compactAppend(spark, dir, Seq("amt"), k = 1 + rnd.nextInt(4))
+        assert(sortedM(tableRows) == sortedM(model),
+          s"step $step: compaction changed the table")
+        snaps += ManifestTable.versions(fs, dir).last -> model
+      }
+      if (step % 5 == 3) {
+        val retained = ManifestTable.versions(fs, dir).filter(snaps.contains)
+        val target = retained(rnd.nextInt(retained.size))
+        val rv = ManifestTable.restore(spark, dir, target)
+        model = snaps(target)
+        snaps += rv -> model
+        assert(sortedM(tableRows) == sortedM(model),
+          s"step $step: restore of v$target diverged (stats must carry through)")
+      }
+    }
+  }
+
   test("compactAppend: overlapping appends become disjoint sorted dirs and skipping sharpens") {
     val dir = freshDir()
     def dirOf(f: String) = f.split("/").dropRight(1).last
