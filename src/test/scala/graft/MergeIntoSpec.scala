@@ -976,7 +976,19 @@ class MergeIntoSpec extends SparkTestBase {
   }
 
   test("fuzz: random append/compact/restore sequences track a multiset model, rangeScan always exact") {
-    val rnd = new scala.util.Random(20260813L)
+    fuzzAppendModel(seed = 20260813L)
+  }
+
+  test("append fuzz on conditional-PUT semantics: the sequence holds on the object-store seam") {
+    // different seed → different op mix through the S3-semantics store
+    graft.sources.ManifestTable.storeOverride =
+      Some(graft.sources.ConditionalPutStore)
+    try fuzzAppendModel(seed = 99173L)
+    finally graft.sources.ManifestTable.storeOverride = None
+  }
+
+  private def fuzzAppendModel(seed: Long): Unit = {
+    val rnd = new scala.util.Random(seed)
     val dir = freshDir()
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
