@@ -547,9 +547,10 @@ object Sources {
   }
 
   /** Shared fixture for S19: an APPEND table ingested in yearly batches
-    * (1992–1998 — the orders date domain), o_orderdate stats observed
-    * at each append, so every commit dir's recorded [min,max] spans one
-    * year. Built once per (session, corpus), like [[mergeDemo]]. */
+    * (1995–2001 — the corpus orders date domain), o_orderdate stats
+    * observed at each append, so every commit dir's recorded [min,max]
+    * spans one year. Built once per (session, corpus), like
+    * [[mergeDemo]]. */
   private val appendDemoCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private def appendDemo(s: SparkSession, d: String): String = {
@@ -558,7 +559,7 @@ object Sources {
       val dir = tmp("graft_s19_")
       val base = orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderdate")
-      (1992 to 1998).foreach { y =>
+      (1995 to 2001).foreach { y =>
         ManifestTable.append(
           base.filter(year(col("o_orderdate")) === y), dir,
           statsCols = Seq("o_orderdate"))
@@ -577,7 +578,7 @@ object Sources {
     * the count/sum/checksum hash. */
   def s19_stats_skipping(s: SparkSession, d: String): DataFrame = {
     val dir = appendDemo(s, d)
-    ManifestTable.rangeScan(s, dir, "o_orderdate", "1994-01-01", "1994-12-31")
+    ManifestTable.rangeScan(s, dir, "o_orderdate", "1997-01-01", "1997-12-31")
       .agg(count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("total_price"),
         sum(col("o_orderkey")).as("key_checksum"))
@@ -710,6 +711,6 @@ object Sources {
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders
-         WHERE o_orderdate >= '1994-01-01' AND o_orderdate <= '1994-12-31'""",
+         WHERE o_orderdate >= '1997-01-01' AND o_orderdate <= '1997-12-31'""",
   )
 }

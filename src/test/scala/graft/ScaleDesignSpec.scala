@@ -405,6 +405,22 @@ class ScaleDesignSpec extends SparkTestBase {
       explained.take(2000))
   }
 
+  test("s19: corpus range scan opens exactly one yearly append dir; residual filter pushed") {
+    val q = sources.Sources.s19_stats_skipping(spark, sf)
+    // the query must be substantive on this corpus — a domain drift
+    // that empties the scanned year would pass the oracle vacuously
+    assert(q.head.getLong(0) > 0L, "1997 scan returned no rows — fixture drift?")
+    // manifest-level skipping: of the seven yearly append dirs, the
+    // 1997 scan's plan references ONE — six dirs contribute zero I/O
+    val dirs = q.inputFiles.map(f => f.split("/").dropRight(1).last).toSet
+    assert(dirs.size == 1, s"1997 scan must touch one append dir, got $dirs")
+    // and the residual predicate still reaches the surviving scan, so
+    // row groups inside the kept dir prune on footer stats too
+    val explained = q.queryExecution.executedPlan.toString
+    assert(explained.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      explained.take(2000))
+  }
+
   test("s12: bucketed join reads bucket-for-bucket — zero join-side shuffles") {
     val df = sources.Sources.s12_bucketed_join(spark, sf)
     val p = df.queryExecution.executedPlan.toString
