@@ -301,4 +301,31 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming APPEND ingest into a manifest table with data-skipping
+    * stats (X8 × S19): each micro-batch lands as one immutable commit
+    * dir through [[graft.sources.ManifestTable.append]], its
+    * `statsCols` min/max observed during the batch's own write job —
+    * so a downstream `rangeScan` on event time prunes whole
+    * micro-batches the query's window doesn't touch, which is exactly
+    * the shape streaming ingest produces (each batch spans a narrow
+    * slice of event time). `compactAppend` later folds the accreted
+    * batch dirs into range-sorted ones without stopping the stream
+    * (racing appends rebase). At-least-once across restarts: a batch
+    * REPLAYED after a crash mid-commit appends again (append has no
+    * key to dedup on — exactly-once belongs to [[upsertSink]]); the
+    * manifest itself is never torn, a reader sees whole batches only. */
+  def appendSink(stream: DataFrame, tableDir: String,
+                 checkpointDir: String,
+                 statsCols: Seq[String] = Seq.empty): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          graft.sources.ManifestTable.append(b, tableDir, statsCols): Unit
+        })
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

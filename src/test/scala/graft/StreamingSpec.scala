@@ -373,6 +373,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("X8 × S19: streaming append sink records stats; rangeScan prunes whole micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft_x8s19_").toString
+    val table = s"$base/table"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // two sink runs = two micro-batches = two commit dirs, each
+    // spanning a narrow slice of event time (the ingest shape)
+    in.addData(ev(1, "10:00", 7, "click"), ev(2, "10:05", 7, "view"))
+    Streams.appendSink(in.toDF(), table, s"$base/ckpt", statsCols = Seq("ts"))
+    in.addData(ev(3, "11:00", 8, "click"), ev(4, "11:10", 8, "buy"))
+    Streams.appendSink(in.toDF(), table, s"$base/ckpt", statsCols = Seq("ts"))
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 4L)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = graft.sources.ManifestTable.versions(fs, table).last
+    assert(graft.sources.ManifestTable.statsOf(fs, table, head).size == 2,
+      "each micro-batch dir must carry ts stats")
+    // a query window inside batch 1's hour opens batch 1's dir ONLY
+    val hit = graft.sources.ManifestTable.rangeScan(spark, table, "ts",
+      "2024-01-01 10:00:00", "2024-01-01 10:30:00")
+    assert(hit.as[Event].collect().map(_.event_id).sorted.toSeq == Seq(1L, 2L))
+    assert(hit.inputFiles.map(_.split("/").dropRight(1).last).toSet.size == 1,
+      "the 11:00 micro-batch must be pruned at the manifest")
+  }
+
   test("X9: foreachBatch upsert — latest version wins, re-applied batch is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_x9_").toString
     val table = s"$base/table"
