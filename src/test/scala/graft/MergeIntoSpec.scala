@@ -1005,11 +1005,23 @@ class MergeIntoSpec extends SparkTestBase {
         else (1 to 1 + rnd.nextInt(10)).map(i =>
           MergeRow(rnd.nextInt(50).toLong, s"s$step-$i",
             rnd.nextInt(1000) / 10.0))
+      val prevV = ManifestTable.versions(fs, dir).lastOption
       val v = ManifestTable.append(batch.toDF(), dir,
         if (rnd.nextInt(4) == 0) Seq.empty else Seq("amt"))
       model = model ++ batch
       snaps += v -> model
       assert(sortedM(tableRows) == sortedM(model), s"step $step: table diverged")
+      // the change feed across an append is exactly the batch — all
+      // inserts, no deletes (works on append tables unmodified because
+      // the diff is path-set + multiset based)
+      prevV.filter(p => ManifestTable.versions(fs, dir).contains(p)).foreach { p =>
+        val feed = ManifestTable.changes(spark, dir, p, v)
+          .select($"change_type", $"k", $"v", $"amt")
+          .as[(String, Long, String, Double)].collect()
+        assert(feed.forall(_._1 == "insert"), s"step $step: append feed had deletes")
+        assert(sortedM(feed.map(r => MergeRow(r._2, r._3, r._4))) == sortedM(batch),
+          s"step $step: append feed != batch")
+      }
       // random range scans must equal the model filter exactly —
       // pruning that drops a matching row shows up here
       for (_ <- 1 to 2) {
@@ -1022,10 +1034,17 @@ class MergeIntoSpec extends SparkTestBase {
         assert(sortedM(got) == sortedM(want), s"step $step: rangeScan [$a,$b] wrong")
       }
       if (step % 4 == 0) {
+        val pre = ManifestTable.versions(fs, dir).last
         ManifestTable.compactAppend(spark, dir, Seq("amt"), k = 1 + rnd.nextInt(4))
         assert(sortedM(tableRows) == sortedM(model),
           s"step $step: compaction changed the table")
-        snaps += ManifestTable.versions(fs, dir).last -> model
+        val post = ManifestTable.versions(fs, dir).last
+        snaps += post -> model
+        // a pure compaction is row-invisible: every old-dir row cancels
+        // against a new-dir row in the multiset diff → EMPTY change feed
+        if (ManifestTable.versions(fs, dir).contains(pre))
+          assert(ManifestTable.changes(spark, dir, pre, post).isEmpty,
+            s"step $step: compaction leaked into the change feed")
       }
       if (step % 5 == 3) {
         val retained = ManifestTable.versions(fs, dir).filter(snaps.contains)
