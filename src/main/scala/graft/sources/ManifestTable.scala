@@ -342,22 +342,36 @@ object ManifestTable {
     * rows and pushed into the parquet scan, so pruning is purely an
     * I/O optimization, never a correctness dependency. */
   def rangeScan(spark: SparkSession, tableDir: String, column: String,
-                lo: String, hi: String): DataFrame = {
+                lo: String, hi: String): DataFrame =
+    rangeScan(spark, tableDir, Map(column -> (lo, hi)))
+
+  /** Conjunctive multi-column form: a path survives only if EVERY
+    * bounded column's recorded interval overlaps its bound — the
+    * pruning sets intersect, so a (date, amount) query skips a dir
+    * that either dimension alone rules out (the same conjunctive
+    * semantics Delta applies across its per-file column stats). */
+  def rangeScan(spark: SparkSession, tableDir: String,
+                bounds: Map[String, (String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(bounds.nonEmpty, "rangeScan needs at least one bounded column")
     val fs = fsOf(spark, tableDir)
     val v = versions(fs, tableDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
     val paths = pathsOf(fs, tableDir, v)
     val stats = statsOf(fs, tableDir, v)
     val full = readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p"))
-    val dt = full.schema(column).dataType
+    val dts = bounds.map { case (c, _) => c -> full.schema(c).dataType }
     val keep = paths.filter { p =>
-      stats.get(p).flatMap(statsFor(_, column)) match {
-        case Some((_, mn, mx)) => statRangeOverlaps(dt, mn, mx, lo, hi)
-        case None => true // no stats for this path/column → must read
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get(p).flatMap(statsFor(_, c)) match {
+          case Some((_, mn, mx)) => statRangeOverlaps(dts(c), mn, mx, lo, hi)
+          case None => true // no stats for this path/column → must read
+        }
       }
     }
-    val pred = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+    val pred = bounds.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo).cast(dts(c)) && col(c) <= lit(hi).cast(dts(c))
+    }.reduce(_ && _)
     if (keep.isEmpty) full.limit(0).filter(pred)
     else readWithDeclared(spark, tableDir, v, keep.map(p => s"$tableDir/$p"))
       .filter(pred)

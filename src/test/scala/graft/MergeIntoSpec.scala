@@ -1058,6 +1058,27 @@ class MergeIntoSpec extends SparkTestBase {
     }
   }
 
+  test("multi-column rangeScan prunes on the conjunction — either dimension alone rules a dir out") {
+    val dir = freshDir()
+    def batch(ks: Range, amts: Range, tag: String) =
+      ks.zip(amts).map { case (k, a) => MergeRow(k.toLong, tag, a.toDouble) }.toDF()
+    ManifestTable.append(batch(1 to 10, 1 to 10, "A"), dir, Seq("k", "amt"))
+    ManifestTable.append(batch(1 to 10, 11 to 20, "B"), dir, Seq("k", "amt"))
+    ManifestTable.append(batch(11 to 20, 1 to 10, "C"), dir, Seq("k", "amt"))
+    // k∈[1,10] ∧ amt∈[1,10]: B fails the amt interval, C fails the k
+    // interval — only A's dir survives the conjunctive prune
+    val hit = ManifestTable.rangeScan(spark, dir,
+      Map("k" -> ("1", "10"), "amt" -> ("1", "10")))
+    assert(hit.as[MergeRow].collect().forall(_.v == "A"))
+    assert(hit.count() == 10L)
+    assert(hit.inputFiles.map(_.split("/").dropRight(1).last).toSet.size == 1,
+      "conjunctive pruning must open exactly one dir")
+    // single-column form unchanged: amt alone keeps A and C
+    val one = ManifestTable.rangeScan(spark, dir, "amt", "1", "10")
+    assert(one.inputFiles.map(_.split("/").dropRight(1).last).toSet.size == 2)
+    assert(one.count() == 20L)
+  }
+
   test("compactAppend: overlapping appends become disjoint sorted dirs and skipping sharpens") {
     val dir = freshDir()
     def dirOf(f: String) = f.split("/").dropRight(1).last
