@@ -243,12 +243,28 @@ object ManifestTable {
       val priorStats =
         if (base > 0) statsOf(fs, tableDir, base) else Map.empty[String, String]
       val priorDdl = if (base > 0) schemaOf(fs, tableDir, base) else None
-      require(priorDdl.forall(_ == ddl),
-        s"append-table schema mismatch at $tableDir: table declares " +
-          s"'${priorDdl.get}', append brings '$ddl' — append tables are " +
-          "fixed-schema; use MergeInto for evolution")
+      // fixed-schema = same field names and types, in order. Nullability
+      // is NOT part of the contract: a batch whose column merely became
+      // nullable (a when/otherwise, an outer join) is data-compatible —
+      // the declared schema ORs nullability per field so reads never
+      // claim a non-null guarantee some dir can't honor.
+      val declaredDdl = priorDdl match {
+        case None => ddl
+        case Some(pd) =>
+          val priorSchema = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          def shape(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(f => (f.name, f.dataType)).toSeq
+          require(shape(priorSchema) == shape(df.schema),
+            s"append-table schema mismatch at $tableDir: table declares " +
+              s"'$pd', append brings '$ddl' — append tables are " +
+              "fixed-schema; use MergeInto for evolution")
+          org.apache.spark.sql.types.StructType(
+            priorSchema.fields.zip(df.schema.fields).map { case (p, i) =>
+              p.copy(nullable = p.nullable || i.nullable)
+            }).toDDL
+      }
       val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
-        retainGenerations, schemaDdl = Some(ddl),
+        retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ payload.map(cid -> _))
       committed.foreach(v => return v)
     }

@@ -973,6 +973,20 @@ class MergeIntoSpec extends SparkTestBase {
       ManifestTable.append(Seq((1L, 2L)).toDF("k", "other"), dir2, Seq.empty)
     }
     assert(e.getMessage.contains("fixed-schema"), s"wrong failure: ${e.getMessage}")
+    // ...but nullability is NOT schema drift: a batch whose column went
+    // nullable appends fine, and the declared schema relaxes to match
+    val relaxedBatch = (21L to 25L).map(k => MergeRow(k, "n", k * 1.0)).toDF()
+      .withColumn("amt", when($"k" =!= 23L, $"amt")) // nullable amt, null at 23
+    ManifestTable.append(relaxedBatch, dir2, Seq("amt"))
+    assert(ManifestTable.read(spark, dir2).count() == 25L)
+    val fs2 = new org.apache.hadoop.fs.Path(dir2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head2 = ManifestTable.versions(fs2, dir2).last
+    val declared = org.apache.spark.sql.types.StructType.fromDDL(
+      ManifestTable.schemaOf(fs2, dir2, head2).get)
+    assert(declared("amt").nullable, "declared schema must relax to nullable")
+    assert(ManifestTable.read(spark, dir2)
+      .filter($"amt".isNull).count() == 1L)
   }
 
   test("fuzz: random append/compact/restore sequences track a multiset model, rangeScan always exact") {
