@@ -76,12 +76,22 @@ object Bench {
     // so rep-inconsistent inflation (the contention signature: q2 reps
     // [10.2, 26.3] in the r8 driver run) can be correlated with WHEN the
     // rep ran, not just that the two reps disagree.
+    // A failed rep records the exception's first line alongside the -1:
+    // the r9 driver artifact carried a bare -1 for x4 (corpus ts-encoding
+    // drift, AnalysisException at analysis time) and diagnosing it needed
+    // a full local re-run. The message makes the artifact self-explaining.
+    val errs = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val at = (t0 - bench0) / 1e9
         val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-                  catch { case _: Throwable => -1.0 }
+                  catch { case e: Throwable =>
+                    errs.getOrElseUpdate(name,
+                      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+                        .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(240))
+                    -1.0
+                  }
         (sec, at)
       }
       (name, times)
@@ -92,7 +102,8 @@ object Bench {
     val detail = results.map { case (k, ts) =>
       val secs = ts.map(_._1)
       val best = if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0
-      s"""    "$k": {"sec":${j(best)},"reps":[${secs.map(j).mkString(",")}],"at":[${ts.map(t => j(t._2)).mkString(",")}]}"""
+      val err = errs.get(k).map(m => s""","err":"$m"""").getOrElse("")
+      s"""    "$k": {"sec":${j(best)},"reps":[${secs.map(j).mkString(",")}],"at":[${ts.map(t => j(t._2)).mkString(",")}]$err}"""
     }.mkString(",\n")
     val best = results.map { case (k, ts) =>
       val secs = ts.map(_._1)
@@ -120,6 +131,14 @@ object Bench {
     spark.stop()
     // final stdout line: compact on purpose — the driver's tail capture
     // must see the whole JSON. Per-query map lives in `detail`.
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${best.size},"failed":$failed,"warmup_sec":${j(warmupSec)},"reps":$reps,"env":$env,"detail":"$detailPath","sf":"$sfDir"}""")
+    // failure messages ride along (truncated) so the one tail-captured
+    // line explains a -1 without the sidecar file; shape of "failed"
+    // itself is unchanged for the driver's parser.
+    val failedErrs =
+      if (errs.isEmpty) ""
+      else errs.toSeq.sortBy(_._1)
+        .map { case (k, m) => s""""$k":"${m.take(120)}"""" }
+        .mkString(""","failed_errs":{""", ",", "}")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n":${best.size},"failed":$failed$failedErrs,"warmup_sec":${j(warmupSec)},"reps":$reps,"env":$env,"detail":"$detailPath","sf":"$sfDir"}""")
   }
 }

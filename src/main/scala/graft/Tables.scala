@@ -18,21 +18,32 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. With spark.sql.legacy.parquet.nanosAsLong=true (set
-    * here at runtime — it is a dynamic SQL conf) the column arrives as
-    * BIGINT nanos; convert to a proper TimestampType column so every
-    * downstream operator sees a normal UTC timestamp. */
+  /** events.parquet's `ts` encoding has varied across driver corpus
+    * generations — TIMESTAMP(NANOS) (rejected by Spark's reader unless
+    * spark.sql.legacy.parquet.nanosAsLong=true surfaces it as BIGINT
+    * nanos) and plain timestamp[us] with isAdjustedToUTC=false (read as
+    * TIMESTAMP_NTZ). Normalize every encoding to one downstream
+    * contract: `ts` is TimestampType (LTZ) whose UTC clock reading
+    * equals the file's stored value — the session runs in UTC
+    * (build.sbt pins spark.sql.session.timeZone), so the NTZ→LTZ cast
+    * is a pure reinterpretation, matching DuckDB's naive read of the
+    * same file. Functions like unix_micros reject NTZ input, so
+    * without this cast the whole x-family breaks on a µs corpus. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, d, "events")
-    // Only the NANOS-encoded driver corpus arrives as long; integer `div`
-    // truncates like DuckDB's ns→µs read (double division would round and
-    // drift timestamps by 1µs). Micros-encoded sources pass through.
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      // NANOS corpus arrives as long; integer `div` truncates like
+      // DuckDB's ns→µs read (double division would round and drift
+      // timestamps by 1µs).
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
