@@ -24,6 +24,7 @@ object SparkEntry {
     ops.Composite.queries,
     ops.Tpch.queries,
     ops.Quality.queries,
+    ops.Curation.queries,
   )
   private val oracles = Seq(
     ops.Relational.oracle,
@@ -38,6 +39,7 @@ object SparkEntry {
     ops.Composite.oracle,
     ops.Tpch.oracle,
     ops.Quality.oracle,
+    ops.Curation.oracle,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

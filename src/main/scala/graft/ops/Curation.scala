@@ -1,0 +1,227 @@
+package graft.ops
+
+import graft.Tables._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** T40/T41 — the end-to-end training-data curation layer (SURVEY §2.9
+  * north-star): the individual hygiene operators (t13 langid, t14
+  * quality, t3/t4 dedup, t17/t21 sampling) exist as standalone queries;
+  * production pipelines run them as ONE composed pass with per-stage
+  * retention accounting (the "data funnel" every curation run reports).
+  *
+  * Scale design (the 100 TB shape):
+  * - Every gate is a PER-ROW boolean flag computed in one projection
+  *   over one corpus scan — no materialization between stages, no
+  *   driver round-trips. Catalyst sees a single plan; the whole flag
+  *   block stays inside one WholeStageCodegen span.
+  * - Cumulative-survivor semantics without N passes: stage k's
+  *   canonical-pick windows aggregate `min(CASE WHEN survived_k-1 THEN
+  *   doc_id END)` — the "min over survivors" trick — so exact-dedup and
+  *   near-dedup each cost ONE hash-partitioned shuffle on a
+  *   high-cardinality content key (md5 / minhash signature: no skew,
+  *   and only (key, doc_id, flags) cross the wire, never the text).
+  * - Quota sampling is RATE-based (hash-threshold, t17's idiom), not
+  *   rank-based: a per-row pure function that needs no per-source
+  *   ordered window — the variant that survives a skewed source at
+  *   100 TB (exact top-K quotas are t21's job).
+  * - The funnel itself is one conditional rollup (count/sum FILTER per
+  *   stage) — partial-aggregated map-side, 7 rows out.
+  *
+  * The near-dup signature is a 4-lane minhash (per lane: min over the
+  * lane's 8-hex slice of each 3-gram shingle's md5, lanes concatenated),
+  * computed with higher-order functions (transform/array_min) — per-row,
+  * no explode, byte-identical to the oracle's list_transform/list_min
+  * SQL. One concatenated signature trades a little recall for zero
+  * extra shuffles vs t4's banded LSH (which remains the high-recall
+  * path): a copy merges iff ALL four lane minima survive the
+  * perturbation (~94% of last-word-dropped copies here), while false
+  * merges need a 4-lane collision (1 lane alone false-merged half this
+  * small-vocabulary corpus; 4 lanes false-merge ~2%).
+  */
+object Curation {
+
+  /** t17's portable deterministic bucket: first 6 md5 hex chars → 0–99.
+    * DuckDB recomputes it exactly ('0x'||substr(md5(..),1,6) cast). */
+  private def md5Bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("bigint") % 100
+
+  /** Pipeline input: corpus ∪ exact copies (ids +1M) ∪ near-dup copies
+    * (ids +2M, last token dropped — the t4-family perturbation recipe,
+    * restated identically in the oracle SQL) with lang/source carried
+    * through, so the dedup stages have real work at any SF. */
+  private def triCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    base
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+      .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        col("lang"), col("source")))
+  }
+
+  /** T40: curation funnel — lang gate → length gate → repetition gate →
+    * exact dedup → near dedup → per-lang quota sample, reported as
+    * per-stage surviving docs + tokens. Stage thresholds are corpus
+    * calibrated (n_chars 48–553, distinct-token-ratio quartiles
+    * .28/.36/.46/.60) so every stage does non-vacuous work. */
+  def t40_curation_pipeline(s: SparkSession, d: String): DataFrame = {
+    val enr = triCorpus(s, d)
+      .withColumn("t", split(trim(col("text")), " "))
+      .withColumn("cl", length(trim(col("text"))))
+      .withColumn("ntok", size(col("t")))
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("ratio", size(array_distinct(col("t"))).cast("double") / col("ntok"))
+      // CASE short-circuits in both engines, so sequence(0, ntok-3)
+      // never sees a negative bound.
+      .withColumn("mds", when(col("ntok") >= 3,
+          expr("transform(sequence(0, size(t)-3), " +
+            "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+        .otherwise(array(md5(col("text")))))
+      .withColumn("sig", concat(
+        expr("array_min(transform(mds, m -> substring(m, 1, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 9, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 17, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 25, 8)))")))
+      .withColumn("f1", col("lang") =!= "zh")
+      .withColumn("f2", col("f1") && col("cl").between(100, 520))
+      .withColumn("f3", col("f2") && col("ntok") > 0 && col("ratio") >= 0.35)
+    val wH = Window.partitionBy("h")
+    val wS = Window.partitionBy("sig")
+    val flagged = enr
+      .withColumn("f4", col("f3") &&
+        col("doc_id") === min(when(col("f3"), col("doc_id"))).over(wH))
+      .withColumn("f5", col("f4") &&
+        col("doc_id") === min(when(col("f4"), col("doc_id"))).over(wS))
+      // mixture reweighting at the gate: downsample the dominant lang
+      .withColumn("f6", col("f5") && md5Bucket(col("doc_id")) <
+        when(col("lang") === "en", 80).otherwise(50))
+    flagged.agg(
+        count(lit(1)).as("c0"), sum(col("ntok")).as("k0"),
+        count(when(col("f1"), 1)).as("c1"), sum(when(col("f1"), col("ntok"))).as("k1"),
+        count(when(col("f2"), 1)).as("c2"), sum(when(col("f2"), col("ntok"))).as("k2"),
+        count(when(col("f3"), 1)).as("c3"), sum(when(col("f3"), col("ntok"))).as("k3"),
+        count(when(col("f4"), 1)).as("c4"), sum(when(col("f4"), col("ntok"))).as("k4"),
+        count(when(col("f5"), 1)).as("c5"), sum(when(col("f5"), col("ntok"))).as("k5"),
+        count(when(col("f6"), 1)).as("c6"), sum(when(col("f6"), col("ntok"))).as("k6"))
+      .selectExpr("stack(7, " +
+        "0, 'input',             c0, k0, " +
+        "1, 'lang_filter',       c1, k1, " +
+        "2, 'length_filter',     c2, k2, " +
+        "3, 'repetition_filter', c3, k3, " +
+        "4, 'exact_dedup',       c4, k4, " +
+        "5, 'near_dedup',        c5, k5, " +
+        "6, 'quota_sample',      c6, k6) AS (stage_idx, stage, docs, tokens)")
+      .orderBy("stage_idx")
+  }
+
+  /** T41: mixture planner — the data-scheduling step that turns "train
+    * on 40% en / 20% de / 15% es / 15% fr / 10% zh" plus a token budget
+    * into per-source sampling rates and epoch counts. tokens_have is a
+    * one-pass per-row token count + per-lang partial agg (map-side
+    * combined, 5 rows out); the arithmetic is per-group. epochs > 1 ⇔
+    * the source must be repeated to hit its target (upsampling), the
+    * signal every mixture run needs surfaced. Budget is sized so the
+    * sf0.01 corpus genuinely mixes both directions: de must upsample
+    * (2 epochs), en/es/fr/zh downsample at rates 0.48–0.80. */
+  def t41_mixture_plan(s: SparkSession, d: String): DataFrame = {
+    val budget = 20000.0
+    documents(s, d)
+      .select(col("lang"), size(split(trim(col("text")), " ")).as("ntok"))
+      .groupBy("lang").agg(sum(col("ntok")).as("tokens_have"))
+      .withColumn("weight",
+        when(col("lang") === "en", 0.40)
+          .when(col("lang") === "de", 0.20)
+          .when(col("lang") === "es", 0.15)
+          .when(col("lang") === "fr", 0.15)
+          .otherwise(0.10))
+      .withColumn("tokens_target", round(col("weight") * budget).cast("long"))
+      .withColumn("sample_rate",
+        round(least(lit(1.0), col("tokens_target") / col("tokens_have")), 4))
+      .withColumn("epochs",
+        ceil(col("tokens_target").cast("double") / col("tokens_have")).cast("int"))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_curation_pipeline" -> (t40_curation_pipeline _),
+    "t41_mixture_plan" -> (t41_mixture_plan _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t40_curation_pipeline" ->
+      """WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+         tri AS (
+           SELECT doc_id, text, lang, source FROM base
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, source FROM base
+           UNION ALL
+           SELECT doc_id + 2000000, regexp_replace(text, '\s+\S+$', ''), lang, source FROM base),
+         e1 AS (
+           SELECT doc_id, lang, text,
+                  string_split(trim(text), ' ') AS t,
+                  len(trim(text)) AS cl,
+                  md5(lower(trim(text))) AS h
+           FROM tri),
+         e2a AS (
+           SELECT *, len(t) AS ntok,
+                  len(list_distinct(t)) * 1.0 / len(t) AS ratio,
+                  CASE WHEN len(t) >= 3 THEN
+                    list_transform(range(1, len(t) - 1),
+                      i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [md5(text)] END AS mds
+           FROM e1),
+         e2 AS (
+           SELECT * EXCLUDE (mds),
+                  list_min(list_transform(mds, m -> m[1:8]))
+                  || list_min(list_transform(mds, m -> m[9:16]))
+                  || list_min(list_transform(mds, m -> m[17:24]))
+                  || list_min(list_transform(mds, m -> m[25:32])) AS sig
+           FROM e2a),
+         e3 AS (
+           SELECT *,
+                  (lang <> 'zh') AS f1,
+                  (lang <> 'zh' AND cl BETWEEN 100 AND 520) AS f2,
+                  (lang <> 'zh' AND cl BETWEEN 100 AND 520
+                     AND ntok > 0 AND ratio >= 0.35) AS f3
+           FROM e2),
+         e4 AS (SELECT *, (f3 AND doc_id =
+                  min(CASE WHEN f3 THEN doc_id END) OVER (PARTITION BY h)) AS f4 FROM e3),
+         e5 AS (SELECT *, (f4 AND doc_id =
+                  min(CASE WHEN f4 THEN doc_id END) OVER (PARTITION BY sig)) AS f5 FROM e4),
+         e6 AS (SELECT *, (f5 AND
+                  CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS INTEGER) AS BIGINT) % 100
+                    < CASE WHEN lang = 'en' THEN 80 ELSE 50 END) AS f6 FROM e5)
+         SELECT * FROM (
+           SELECT 0 AS stage_idx, 'input' AS stage,
+                  count(*) AS docs, CAST(sum(ntok) AS BIGINT) AS tokens FROM e6
+           UNION ALL SELECT 1, 'lang_filter',
+                  count(*) FILTER (f1), CAST(sum(ntok) FILTER (f1) AS BIGINT) FROM e6
+           UNION ALL SELECT 2, 'length_filter',
+                  count(*) FILTER (f2), CAST(sum(ntok) FILTER (f2) AS BIGINT) FROM e6
+           UNION ALL SELECT 3, 'repetition_filter',
+                  count(*) FILTER (f3), CAST(sum(ntok) FILTER (f3) AS BIGINT) FROM e6
+           UNION ALL SELECT 4, 'exact_dedup',
+                  count(*) FILTER (f4), CAST(sum(ntok) FILTER (f4) AS BIGINT) FROM e6
+           UNION ALL SELECT 5, 'near_dedup',
+                  count(*) FILTER (f5), CAST(sum(ntok) FILTER (f5) AS BIGINT) FROM e6
+           UNION ALL SELECT 6, 'quota_sample',
+                  count(*) FILTER (f6), CAST(sum(ntok) FILTER (f6) AS BIGINT) FROM e6)
+         ORDER BY stage_idx""",
+    "t41_mixture_plan" ->
+      """WITH have AS (
+           SELECT lang, CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens_have
+           FROM documents GROUP BY lang),
+         w AS (
+           SELECT *, CAST(CASE lang WHEN 'en' THEN 0.40 WHEN 'de' THEN 0.20
+                               WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                               ELSE 0.10 END AS DOUBLE) AS weight
+           FROM have)
+         SELECT lang, tokens_have, weight,
+                CAST(round(weight * 20000) AS BIGINT) AS tokens_target,
+                round(least(1.0, CAST(round(weight * 20000) AS BIGINT) / tokens_have), 4) AS sample_rate,
+                CAST(ceil(CAST(round(weight * 20000) AS BIGINT) * 1.0 / tokens_have) AS INTEGER) AS epochs
+         FROM w ORDER BY lang""",
+  )
+}

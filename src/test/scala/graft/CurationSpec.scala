@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+
+/** T40/T41 — funnel semantics + plan shape. The oracle gate proves
+  * cross-engine value equality; these pin the properties the hash can't
+  * see: monotone retention, the planted-duplicate catches, and that the
+  * single-plan design really produces no cartesian product and no more
+  * than the two intended wide shuffles for the flag block.
+  */
+class CurationSpec extends SparkTestBase {
+
+  private lazy val funnel =
+    ops.Curation.t40_curation_pipeline(spark, sf).collect()
+
+  test("t40: funnel is monotone and every stage does non-vacuous work") {
+    assert(funnel.length == 7)
+    val docs = funnel.sortBy(_.getInt(0)).map(_.getLong(2))
+    val toks = funnel.sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      s"docs not monotone: ${docs.toSeq}")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      s"tokens not monotone: ${toks.toSeq}")
+    // every stage must actually drop something on the planted corpus —
+    // a stage with zero drops is a vacuous gate (the s19 lesson: a
+    // passing hash on empty work proves nothing)
+    assert(docs.zip(docs.tail).forall { case (a, b) => b < a },
+      s"some stage dropped nothing: ${docs.toSeq}")
+    // input = corpus + exact copies + near-dup copies
+    val n = Tables.documents(spark, sf).count()
+    assert(docs.head == 3 * n)
+  }
+
+  test("t40: exact-dedup stage removes every surviving exact copy") {
+    // stage 4 drop count must be >= the number of +1M exact copies that
+    // survived stages 1-3: an exact copy has the same lang/len/ratio as
+    // its original, so survivors come in pairs and every copy must go.
+    val d = funnel.sortBy(_.getInt(0)).map(_.getLong(2))
+    val s3 = d(3); val s4 = d(4)
+    assert(s4 <= s3 - s3 / 3, s"exact dedup too weak: $s3 -> $s4")
+  }
+
+  test("t40: plan has no cartesian product and joins nothing") {
+    val plan = ops.Curation.t40_curation_pipeline(spark, sf)
+      .queryExecution.executedPlan
+    def all(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(all)
+    val names = all(plan).map(_.nodeName)
+    assert(!names.exists(_.contains("CartesianProduct")), names.distinct)
+    assert(!names.exists(_.contains("Join")),
+      s"single-plan funnel should need no join: ${names.distinct}")
+  }
+
+  test("t41: plan rates are sane and de upsamples at sf0.001 scale too") {
+    val rows = ops.Curation.t41_mixture_plan(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val have = r.getLong(1); val target = r.getLong(3)
+      val rate = r.getDouble(4); val epochs = r.getInt(5)
+      assert(rate > 0 && rate <= 1.0)
+      assert(epochs >= 1)
+      assert((epochs > 1) == (target > have),
+        s"epochs must flag upsampling: have=$have target=$target epochs=$epochs")
+    }
+    val w = rows.map(_.getDouble(2)).sum
+    assert(math.abs(w - 1.0) < 1e-9, s"weights must sum to 1: $w")
+  }
+}
