@@ -61,18 +61,31 @@ object Curation {
         col("lang"), col("source")))
   }
 
+  /** The stateless gate block, shared verbatim by the batch funnel and
+    * the streaming ingest ([[graft.streaming.Streams.curationIngest]]):
+    * token/char-length/content-hash enrichment plus the cumulative
+    * lang (f1), length (f2), and repetition (f3) flags. Pure per-row —
+    * indifferent to partitioning and micro-batch boundaries, which is
+    * what makes the batch and streaming paths provably the same gates
+    * (the parity spec feeds both the identical rows). Needs `text` and
+    * `lang`; every other input column passes through. */
+  private[graft] def statelessGates(df: DataFrame): DataFrame =
+    df.withColumn("t", split(trim(col("text")), " "))
+      .withColumn("cl", length(trim(col("text"))))
+      .withColumn("ntok", size(col("t")))
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("ratio", size(array_distinct(col("t"))).cast("double") / col("ntok"))
+      .withColumn("f1", col("lang") =!= "zh")
+      .withColumn("f2", col("f1") && col("cl").between(100, 520))
+      .withColumn("f3", col("f2") && col("ntok") > 0 && col("ratio") >= 0.35)
+
   /** T40: curation funnel — lang gate → length gate → repetition gate →
     * exact dedup → near dedup → per-lang quota sample, reported as
     * per-stage surviving docs + tokens. Stage thresholds are corpus
     * calibrated (n_chars 48–553, distinct-token-ratio quartiles
     * .28/.36/.46/.60) so every stage does non-vacuous work. */
   def t40_curation_pipeline(s: SparkSession, d: String): DataFrame = {
-    val enr = triCorpus(s, d)
-      .withColumn("t", split(trim(col("text")), " "))
-      .withColumn("cl", length(trim(col("text"))))
-      .withColumn("ntok", size(col("t")))
-      .withColumn("h", md5(lower(trim(col("text")))))
-      .withColumn("ratio", size(array_distinct(col("t"))).cast("double") / col("ntok"))
+    val enr = statelessGates(triCorpus(s, d))
       // CASE short-circuits in both engines, so sequence(0, ntok-3)
       // never sees a negative bound.
       .withColumn("mds", when(col("ntok") >= 3,
@@ -84,9 +97,6 @@ object Curation {
         expr("array_min(transform(mds, m -> substring(m, 9, 8)))"),
         expr("array_min(transform(mds, m -> substring(m, 17, 8)))"),
         expr("array_min(transform(mds, m -> substring(m, 25, 8)))")))
-      .withColumn("f1", col("lang") =!= "zh")
-      .withColumn("f2", col("f1") && col("cl").between(100, 520))
-      .withColumn("f3", col("f2") && col("ntok") > 0 && col("ratio") >= 0.35)
     val wH = Window.partitionBy("h")
     val wS = Window.partitionBy("sig")
     val flagged = enr

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality / pipeline-monitoring operators — the reference's
@@ -194,6 +195,50 @@ object Quality {
       .orderBy("col_name")
   }
 
+  /** DQ7: distribution drift (PSI) — the monitoring metric that catches
+    * a pipeline silently changing its data mix: Population Stability
+    * Index between a reference era (orders ≤ 1997) and the current one
+    * (> 1997), for one numeric feature (o_totalprice, fixed-width 50k
+    * buckets capped at decile 9 — data-independent edges, so the metric
+    * is comparable across runs) and one categorical (o_orderpriority).
+    * Add-one smoothing over the observed bucket set keeps ln finite
+    * when an era misses a bucket. PSI ≥ 0.1 = drift warning (the
+    * standard threshold). The synthetic corpus is era-uniform (PSI ≈
+    * 0.001 on the real columns — a truthful "no drift"), so a third
+    * lane plants drift deterministically (cur-era prices scaled ×1.5,
+    * the t19 plant-it-yourself pattern) and must fire the flag in both
+    * engines. Scale: one fact scan unpivoted by a
+    * generator, a (feature,bucket)-keyed partial agg (≤15 groups), and
+    * window sums over those 15 rows — the whole monitor is a side-car
+    * aggregation, never a second pass over the fact. */
+  def dq7_distribution_drift(s: SparkSession, d: String): DataFrame = {
+    val u = orders(s, d)
+      .withColumn("side",
+        when(year(col("o_orderdate")) <= 1997, "ref").otherwise("cur"))
+      .selectExpr("side",
+        """stack(3,
+             'o_orderpriority', o_orderpriority,
+             'o_totalprice', concat('b', cast(least(floor(o_totalprice / 50000), 9) as int)),
+             'o_totalprice_drifted', concat('b', cast(least(floor(
+               o_totalprice * (case when side = 'cur' then 1.5 else 1.0 end) / 50000), 9) as int))
+           ) AS (feature, bucket)""")
+    val counts = u.groupBy("feature", "bucket")
+      .agg(count(when(col("side") === "ref", 1)).as("ref_n"),
+        count(when(col("side") === "cur", 1)).as("cur_n"))
+    val w = Window.partitionBy("feature")
+    val p = counts
+      .withColumn("b", count(lit(1)).over(w))
+      .withColumn("p_ref",
+        (col("ref_n") + 1).cast("double") / (sum(col("ref_n")).over(w) + col("b")))
+      .withColumn("p_cur",
+        (col("cur_n") + 1).cast("double") / (sum(col("cur_n")).over(w) + col("b")))
+    p.groupBy("feature")
+      .agg(max(col("b")).cast("int").as("n_buckets"),
+        round(sum((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))), 6).as("psi"))
+      .withColumn("drifted", col("psi") >= 0.1)
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_referential_integrity" -> (dq1_referential_integrity _),
     "dq2_value_ranges" -> (dq2_value_ranges _),
@@ -201,9 +246,41 @@ object Quality {
     "dq4_outliers" -> (dq4_outliers _),
     "dq5_observe" -> (dq5_observe _),
     "dq6_column_profile" -> (dq6_column_profile _),
+    "dq7_distribution_drift" -> (dq7_distribution_drift _),
   )
 
   val oracle: Map[String, String] = Map(
+    "dq7_distribution_drift" ->
+      """WITH o2 AS (
+           SELECT CASE WHEN year(o_orderdate) <= 1997 THEN 'ref' ELSE 'cur' END AS side,
+                  o_orderpriority, o_totalprice
+           FROM orders),
+         u AS (
+           SELECT side, 'o_orderpriority' AS feature, o_orderpriority AS bucket FROM o2
+           UNION ALL
+           SELECT side, 'o_totalprice',
+                  'b' || CAST(CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS VARCHAR) FROM o2
+           UNION ALL
+           SELECT side, 'o_totalprice_drifted',
+                  'b' || CAST(CAST(least(floor(
+                    o_totalprice * (CASE WHEN side = 'cur' THEN 1.5 ELSE 1.0 END) / 50000), 9) AS INTEGER) AS VARCHAR) FROM o2),
+         c AS (
+           SELECT feature, bucket,
+                  count(*) FILTER (side = 'ref') AS ref_n,
+                  count(*) FILTER (side = 'cur') AS cur_n
+           FROM u GROUP BY 1, 2),
+         e AS (
+           SELECT feature,
+                  CAST(ref_n + 1 AS DOUBLE) /
+                    (sum(ref_n) OVER (PARTITION BY feature) + count(*) OVER (PARTITION BY feature)) AS p_ref,
+                  CAST(cur_n + 1 AS DOUBLE) /
+                    (sum(cur_n) OVER (PARTITION BY feature) + count(*) OVER (PARTITION BY feature)) AS p_cur,
+                  count(*) OVER (PARTITION BY feature) AS b
+           FROM c)
+         SELECT feature, CAST(max(b) AS INTEGER) AS n_buckets,
+                round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) AS psi,
+                (round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 6) >= 0.1) AS drifted
+         FROM e GROUP BY feature ORDER BY feature""",
     "dq1_referential_integrity" ->
       """SELECT relation, n_orphans FROM (
            SELECT 'lineitem->orders' AS relation, count(*) FILTER (

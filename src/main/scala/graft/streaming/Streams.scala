@@ -21,6 +21,10 @@ case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
 /** A user's funnel advancement emitted by funnelStateful. */
 case class FunnelAdvance(user_id: Long, from_stage: Int, to_stage: Int)
 
+/** One document arriving on the curation ingest stream (X11). */
+case class DocArrival(doc_id: Long, text: String, lang: String,
+                      ingest_ts: java.sql.Timestamp)
+
 /** Structured Streaming operators (SURVEY.md §2.10 X1–X8). Each takes an
   * input DataFrame/Dataset so the same code runs against a MemoryStream in
   * tests, a readStream in production, or a batch frame where legal.
@@ -315,6 +319,25 @@ object Streams {
     * REPLAYED after a crash mid-commit appends again (append has no
     * key to dedup on — exactly-once belongs to [[upsertSink]]); the
     * manifest itself is never torn, a reader sees whole batches only. */
+  /** X11 (T40 × X5): streaming curation ingest — the funnel's stateless
+    * gate block applied per micro-batch (the SAME code path batch t40
+    * runs: [[graft.ops.Curation.statelessGates]], so the gates cannot
+    * drift between the lambda halves), then cross-stream exact dedup on
+    * the content hash within the watermark horizon
+    * (dropDuplicatesWithinWatermark state is bounded by the horizon —
+    * a doc's hash retires 10 minutes of event time after first seen).
+    * Near-dedup and quota sampling deliberately stay BATCH jobs over
+    * the curated store: min-over-survivors canonicalization needs the
+    * full candidate set, which a stream never has — the batch/stream
+    * split every production curation pipeline makes. Input needs
+    * (text, lang, ingest_ts); extra columns pass through. */
+  def curationIngest(docs: DataFrame): DataFrame =
+    graft.ops.Curation.statelessGates(docs)
+      .filter(col("f3"))
+      .drop("t", "cl", "ratio", "f1", "f2", "f3")
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+
   def appendSink(stream: DataFrame, tableDir: String,
                  checkpointDir: String,
                  statsCols: Seq[String] = Seq.empty): Unit = {

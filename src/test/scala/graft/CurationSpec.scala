@@ -50,6 +50,21 @@ class CurationSpec extends SparkTestBase {
       s"single-plan funnel should need no join: ${names.distinct}")
   }
 
+  test("t40: flag block costs exactly its two content-hash window shuffles") {
+    val plan = ops.Curation.t40_curation_pipeline(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the two min-over-survivors windows each repartition by their
+    // content key; nothing else in the per-row flag block may shuffle
+    // (the funnel rollup's single-partition exchange is 1 row per task)
+    assert(plan.contains("Exchange hashpartitioning(h#") ||
+      plan.contains("Exchange hashpartitioning(h,"), plan.take(3000))
+    assert(plan.contains("Exchange hashpartitioning(sig#") ||
+      plan.contains("Exchange hashpartitioning(sig,"), plan.take(3000))
+    val nExchanges = "Exchange ".r.findAllIn(plan).length
+    assert(nExchanges <= 4,
+      s"flag block should shuffle only on h/sig (+tiny rollup): $nExchanges exchanges\n${plan.take(3000)}")
+  }
+
   test("t41: plan rates are sane and de upsamples at sf0.001 scale too") {
     val rows = ops.Curation.t41_mixture_plan(spark, sf).collect()
     assert(rows.length == 5)

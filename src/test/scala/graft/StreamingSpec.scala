@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Event, Streams}
+import graft.streaming.{DocArrival, Event, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{max, round, sum, when}
 import org.apache.spark.sql.streaming.OutputMode
@@ -593,6 +593,51 @@ class StreamingSpec extends SparkTestBase {
       val got2 = spark.table("x10")
         .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
       assert(got2 == Set((10L, 1L)), s"wrong matches after batch 2: $got2")
+    } finally q.stop()
+  }
+
+  test("X11: streaming curation ingest gates + dedups exactly like the batch gate block") {
+    implicit val ctx = spark.sqlContext
+    // texts sized for the real gates: length 100-520 chars, distinct-token
+    // ratio >= 0.35; vocab-indexed words keep every doc deterministic
+    def longText(seed: Int): String =
+      (0 until 30).map(i => s"word${(seed * 7 + i * 3) % 40}").mkString(" ")
+    def doc(id: Long, text: String, lang: String, t: String) =
+      DocArrival(id, text, lang, Timestamp.valueOf(s"2024-01-01 $t:00"))
+    val good1 = doc(1, longText(1), "en", "10:00")
+    val good2 = doc(2, longText(2), "fr", "10:01")
+    val zh = doc(3, longText(3), "zh", "10:02")             // lang gate
+    val short = doc(4, "tiny doc", "en", "10:03")           // length gate
+    val degenerate = doc(5, ("spam " * 40).trim, "en", "10:04") // repetition gate
+    val dupIn = doc(6, longText(1), "en", "10:05")          // dup of good1, in horizon
+    val in = MemoryStream[DocArrival]
+    val q = Streams.curationIngest(in.toDF())
+      .writeStream.format("memory").queryName("x11")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(good1, good2, zh, short, degenerate)
+      q.processAllAvailable()
+      in.addData(dupIn)
+      q.processAllAvailable()
+      // far-future doc advances the watermark past every hash's horizon,
+      // then the SAME content arrives again → state retired, passes
+      val lateDup = doc(7, longText(1), "en", "15:00")
+      in.addData(doc(8, longText(9), "en", "14:00"))
+      q.processAllAvailable()
+      in.addData(lateDup)
+      q.processAllAvailable()
+      val got = spark.table("x11").select($"doc_id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 7L, 8L), s"stream kept: $got")
+      // parity: the batch gate block over the same rows keeps the same
+      // docs (before dedup state semantics, which are stream-only)
+      val all = Seq(good1, good2, zh, short, degenerate, dupIn, lateDup,
+        doc(8, longText(9), "en", "14:00"))
+      val batchKept = graft.ops.Curation.statelessGates(all.toDF())
+        .filter($"f3").select($"doc_id").as[Long].collect().toSet
+      assert(batchKept == Set(1L, 2L, 6L, 7L, 8L),
+        s"batch gates kept: $batchKept")
+      // stream == batch gates minus the in-horizon duplicate (id 6)
+      assert(got == batchKept - 6L)
     } finally q.stop()
   }
 }
