@@ -155,6 +155,22 @@ object ManifestTable {
 
   /** Relative data paths of the LIVE (highest-committed) version; empty if
     * the table has never been committed. */
+  /** Current head version, or None for an uncommitted/absent table —
+    * the snapshot-pinning entry point for external access layers (the
+    * [[GraftManifestSource]] relation resolves this once at creation,
+    * so one SQL query sees one version throughout). */
+  def headVersion(spark: SparkSession, tableDir: String): Option[Long] =
+    versions(fsOf(spark, tableDir), tableDir).lastOption
+
+  /** The version's declared schema WITHOUT touching any data file —
+    * metadata-only schema resolution, what every serious table format
+    * provides (a reader must not need the data dirs to plan; a pruned
+    * or GC'd dir it will never scan must not be able to fail it). */
+  def declaredSchemaOf(spark: SparkSession, tableDir: String,
+                       v: Long): Option[org.apache.spark.sql.types.StructType] =
+    schemaOf(fsOf(spark, tableDir), tableDir, v)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+
   def livePaths(fs: FileSystem, tableDir: String): Seq[String] =
     versions(fs, tableDir).lastOption
       .map(v => pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
@@ -367,16 +383,22 @@ object ManifestTable {
     * that either dimension alone rules out (the same conjunctive
     * semantics Delta applies across its per-file column stats). */
   def rangeScan(spark: SparkSession, tableDir: String,
-                bounds: Map[String, (String, String)]): DataFrame = {
+                bounds: Map[String, (String, String)],
+                version: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     require(bounds.nonEmpty, "rangeScan needs at least one bounded column")
     val fs = fsOf(spark, tableDir)
-    val v = versions(fs, tableDir).lastOption.getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val v = version.getOrElse(versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir")))
     val paths = pathsOf(fs, tableDir, v)
     val stats = statsOf(fs, tableDir, v)
-    val full = readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p"))
-    val dts = bounds.map { case (c, _) => c -> full.schema(c).dataType }
+    // type resolution is metadata-only when the manifest declares a
+    // schema (every append-committed table does): pruning must never
+    // OPEN a dir it is about to skip — a pruned dir may already be
+    // GC'd or lost, and the scan still has to plan and run.
+    val tableSchema = declaredSchemaOf(spark, tableDir, v).getOrElse(
+      readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p")).schema)
+    val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
     val keep = paths.filter { p =>
       bounds.forall { case (c, (lo, hi)) =>
         stats.get(p).flatMap(statsFor(_, c)) match {
@@ -388,7 +410,10 @@ object ManifestTable {
     val pred = bounds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo).cast(dts(c)) && col(c) <= lit(hi).cast(dts(c))
     }.reduce(_ && _)
-    if (keep.isEmpty) full.limit(0).filter(pred)
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+        .filter(pred)
     else readWithDeclared(spark, tableDir, v, keep.map(p => s"$tableDir/$p"))
       .filter(pred)
   }

@@ -584,6 +584,51 @@ object Sources {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
+  private val sourceDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S20 fixture: the S19 yearly-append shape, built THROUGH the
+    * graft-manifest DataSource write path (df.write.format(...).mode
+    * (append) with statsCols), so the board query exercises writer and
+    * reader of the interop surface end to end. */
+  private def sourceDemo(s: SparkSession, d: String): String = {
+    sourceDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    sourceDemoCache.computeIfAbsent((s, d), { case (s, d) =>
+      val dir = tmp("graft_s20_")
+      val base = orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      (1995 to 2001).foreach { y =>
+        base.filter(year(col("o_orderdate")) === y)
+          .write.format("graft-manifest").mode("append")
+          .option("statsCols", "o_orderdate").save(dir)
+      }
+      dir
+    })
+  }
+
+  /** S20: the manifest table behind Spark's standard source API
+    * ([[GraftManifestSource]]) — a filtered read via
+    * `spark.read.format("graft-manifest")` whose pushed date predicate
+    * prunes to one commit dir of seven through the relation's
+    * filter→bounds→rangeScan path (deleted-dir-proven in
+    * GraftSourceSpec), with the price band left as residual work the
+    * re-applied exact filters handle. Oracle = the same predicates as
+    * plain SQL over orders: the interop surface must change WHERE the
+    * rows are read, never WHICH rows come back. */
+  def s20_source_pushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = sourceDemo(s, d)
+    val t = s.read.format("graft-manifest").load(dir)
+    // literals cast to the column's own timestamp flavor (the corpus
+    // has shipped o_orderdate as DATE, TIMESTAMP and TIMESTAMP_NTZ
+    // across generations — see Tables.events)
+    val dt = t.schema("o_orderdate").dataType
+    t.filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast(dt) &&
+        col("o_orderdate") <= lit("1998-12-31 23:59:59").cast(dt) &&
+        col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 250000.0)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -602,6 +647,7 @@ object Sources {
     "s17_snapshot_diff" -> (s17_snapshot_diff _),
     "s18_point_lookup" -> (s18_point_lookup _),
     "s19_stats_skipping" -> (s19_stats_skipping _),
+    "s20_source_pushdown" -> (s20_source_pushdown _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -712,5 +758,12 @@ object Sources {
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders
          WHERE o_orderdate >= '1997-01-01' AND o_orderdate <= '1997-12-31'""",
+    "s20_source_pushdown" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1998-12-31 23:59:59'
+           AND o_totalprice >= 1000.0 AND o_totalprice <= 250000.0""",
   )
 }

@@ -21,7 +21,7 @@ case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
 /** A user's funnel advancement emitted by funnelStateful. */
 case class FunnelAdvance(user_id: Long, from_stage: Int, to_stage: Int)
 
-/** One document arriving on the curation ingest stream (X11). */
+/** One document arriving on the curation ingest stream (X12). */
 case class DocArrival(doc_id: Long, text: String, lang: String,
                       ingest_ts: java.sql.Timestamp)
 
@@ -319,7 +319,7 @@ object Streams {
     * REPLAYED after a crash mid-commit appends again (append has no
     * key to dedup on — exactly-once belongs to [[upsertSink]]); the
     * manifest itself is never torn, a reader sees whole batches only. */
-  /** X11 (T40 × X5): streaming curation ingest — the funnel's stateless
+  /** X12 (T40 × X5): streaming curation ingest — the funnel's stateless
     * gate block applied per micro-batch (the SAME code path batch t40
     * runs: [[graft.ops.Curation.statelessGates]], so the gates cannot
     * drift between the lambda halves), then cross-stream exact dedup on

@@ -596,7 +596,7 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("X11: streaming curation ingest gates + dedups exactly like the batch gate block") {
+  test("X12: streaming curation ingest gates + dedups exactly like the batch gate block") {
     implicit val ctx = spark.sqlContext
     // texts sized for the real gates: length 100-520 chars, distinct-token
     // ratio >= 0.35; vocab-indexed words keep every doc deterministic
