@@ -42,10 +42,9 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** t17's portable deterministic bucket: first 6 md5 hex chars → 0–99.
-    * DuckDB recomputes it exactly ('0x'||substr(md5(..),1,6) cast). */
-  private def md5Bucket(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("bigint") % 100
+  /** t17's portable deterministic bucket (shared with TextVector —
+    * ONE copy of the cross-engine formula). */
+  private def md5Bucket(id: Column): Column = TextVector.md5Bucket(id)
 
   /** Pipeline input: corpus ∪ exact copies (ids +1M) ∪ near-dup copies
     * (ids +2M, last token dropped — the t4-family perturbation recipe,

@@ -266,7 +266,7 @@ object TextVector {
   /** The cross-engine sampling bucket (T17, T21): first 6 hex digits of
     * md5(id) mod 100 — a pure function of the id, reproducible anywhere
     * and stable under repartitioning. */
-  private def md5Bucket(id: Column): Column =
+  private[ops] def md5Bucket(id: Column): Column =
     (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("bigint") % 100)
 
   /** The deterministic near-dup generator recipe (shared by withNearDups

@@ -168,16 +168,25 @@ object GraftManifestSource {
       case LessThan(c, v) => tightenTyped(hi, c, v, keepGreater = false)
       case LessThanOrEqual(c, v) => tightenTyped(hi, c, v, keepGreater = false)
       case In(c, vs) if vs.nonEmpty && vs.forall(_ != null) =>
-        // envelope: the dir must overlap [min(vs), max(vs)]
+        // envelope: the dir must overlap [min(vs), max(vs)]. Numeric
+        // members must ALL parse (NaN/Infinity render but don't) —
+        // a lexicographic fallback there would sort '-Infinity' below
+        // digits and pick a too-small max, mis-pruning dirs; skip the
+        // envelope instead (conservative: no bound, no pruning).
         val rendered = vs.toSeq.map(v => (v, render(v)))
         if (rendered.forall(_._2.isDefined)) {
           val rs = rendered.map { case (v, r) => (v, r.get) }
-          val ordered =
-            if (rs.forall(p => num(p._1)) && rs.forall(p => safeBD(p._2).isDefined))
-              rs.sortBy(p => BigDecimal(p._2))
-            else rs.sortBy(_._2)
-          tightenTyped(lo, c, ordered.head._1, keepGreater = true)
-          tightenTyped(hi, c, ordered.last._1, keepGreater = false)
+          val allNum = vs.forall(num)
+          val parseable = rs.forall(p => safeBD(p._2).isDefined)
+          if (allNum && parseable) {
+            val ordered = rs.sortBy(p => BigDecimal(p._2))
+            tightenTyped(lo, c, ordered.head._1, keepGreater = true)
+            tightenTyped(hi, c, ordered.last._1, keepGreater = false)
+          } else if (!allNum) {
+            val ordered = rs.sortBy(_._2)
+            tightenTyped(lo, c, ordered.head._1, keepGreater = true)
+            tightenTyped(hi, c, ordered.last._1, keepGreater = false)
+          }
         }
       case And(a, b) => walk(a); walk(b)
       case _ => () // Or / IsNull / StringContains / ... : no bound
@@ -194,7 +203,13 @@ object GraftManifestSource {
     case null => None
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
-    case t: java.sql.Timestamp => Some(renderTs(t.toLocalDateTime))
+    // NOT t.toLocalDateTime: that renders in the JVM DEFAULT timezone,
+    // while the manifest stats render via cast-to-string in the
+    // UTC-pinned session — on a non-UTC host the two encodings would
+    // diverge and prune dirs that hold matching rows. Render the
+    // instant at UTC, same as the Instant branch.
+    case t: java.sql.Timestamp => Some(renderTs(
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)))
     case i: java.time.Instant => Some(renderTs(
       java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)))
     case l: java.time.LocalDateTime => Some(renderTs(l)) // TIMESTAMP_NTZ literal

@@ -153,8 +153,6 @@ object ManifestTable {
     }
   }
 
-  /** Relative data paths of the LIVE (highest-committed) version; empty if
-    * the table has never been committed. */
   /** Current head version, or None for an uncommitted/absent table —
     * the snapshot-pinning entry point for external access layers (the
     * [[GraftManifestSource]] relation resolves this once at creation,
@@ -171,6 +169,8 @@ object ManifestTable {
     schemaOf(fsOf(spark, tableDir), tableDir, v)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
 
+  /** Relative data paths of the LIVE (highest-committed) version; empty if
+    * the table has never been committed. */
   def livePaths(fs: FileSystem, tableDir: String): Seq[String] =
     versions(fs, tableDir).lastOption
       .map(v => pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)

@@ -330,7 +330,11 @@ object Streams {
     * the curated store: min-over-survivors canonicalization needs the
     * full candidate set, which a stream never has — the batch/stream
     * split every production curation pipeline makes. Input needs
-    * (text, lang, ingest_ts); extra columns pass through. */
+    * (text, lang, ingest_ts); extra columns pass through. The derived
+    * gate intermediates are dropped; `h` (the dedup key) and `ntok`
+    * are DELIBERATE carry-throughs — the downstream batch near-dedup
+    * keys on content hashes and the quota/mixture planners consume
+    * token counts, so landing them with the row saves a recompute. */
   def curationIngest(docs: DataFrame): DataFrame =
     graft.ops.Curation.statelessGates(docs)
       .filter(col("f3"))

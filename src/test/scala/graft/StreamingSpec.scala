@@ -612,7 +612,7 @@ class StreamingSpec extends SparkTestBase {
     val dupIn = doc(6, longText(1), "en", "10:05")          // dup of good1, in horizon
     val in = MemoryStream[DocArrival]
     val q = Streams.curationIngest(in.toDF())
-      .writeStream.format("memory").queryName("x11")
+      .writeStream.format("memory").queryName("x12")
       .outputMode(OutputMode.Append).start()
     try {
       in.addData(good1, good2, zh, short, degenerate)
@@ -626,7 +626,7 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       in.addData(lateDup)
       q.processAllAvailable()
-      val got = spark.table("x11").select($"doc_id").as[Long].collect().toSet
+      val got = spark.table("x12").select($"doc_id").as[Long].collect().toSet
       assert(got == Set(1L, 2L, 7L, 8L), s"stream kept: $got")
       // parity: the batch gate block over the same rows keeps the same
       // docs (before dedup state semantics, which are stream-only)
