@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.StructType
   *     .option("statsCols", "o_orderdate").save(dir)
   *   CREATE TABLE t USING `graft-manifest` OPTIONS (path '...');
   *   SELECT * FROM t WHERE o_orderdate BETWEEN ...
+  *   spark.read.format("graft-manifest").option("readChangeFeed", true)
+  *     .option("startingVersion", v).load(dir)   // row-level CDC feed
   *
   * Built on the stable V1 `sources` API (RelationProvider +
   * PrunedFilteredScan): Spark hands the relation the query's pushed
@@ -55,10 +57,23 @@ class GraftManifestSource extends RelationProvider
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val dir = pathOf(parameters)
-    val v = parameters.get("versionAsOf").map(_.toLong).orElse(
-      ManifestTable.headVersion(ctx.sparkSession, dir)).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $dir"))
-    GraftManifestRelation(ctx, dir, v)
+    def head: Option[Long] = ManifestTable.headVersion(ctx.sparkSession, dir)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      // Delta-CDF-shaped option set: row-level changes between two
+      // retained versions, change_type ∈ insert/delete
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed needs startingVersion")).toLong
+      val to = parameters.get("endingVersion").map(_.toLong).orElse(head)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed manifest at $dir"))
+      GraftChangesRelation(ctx, dir, from, to)
+    } else {
+      val v = parameters.get("versionAsOf").map(_.toLong).orElse(head)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed manifest at $dir"))
+      GraftManifestRelation(ctx, dir, v)
+    }
   }
 
   /** Write side: append lands through [[ManifestTable.append]] (one
@@ -73,19 +88,22 @@ class GraftManifestSource extends RelationProvider
     val dir = pathOf(parameters)
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    // a CDF consumer needs the versions it will diff to SURVIVE GC —
+    // retention is a write-side option, like Delta's retention knobs
+    val retain = parameters.get("retainGenerations").map(_.toInt).getOrElse(2)
     val exists = ManifestTable.headVersion(ctx.sparkSession, dir).isDefined
     mode match {
       case SaveMode.Append =>
-        ManifestTable.append(data, dir, statsCols): Unit
+        ManifestTable.append(data, dir, statsCols, retain): Unit
       case SaveMode.Overwrite =>
-        GraftManifestSource.overwrite(data, dir, statsCols)
+        GraftManifestSource.overwrite(data, dir, statsCols, retain)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft-manifest table already committed at $dir (mode=ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        ManifestTable.append(data, dir, statsCols): Unit
+        ManifestTable.append(data, dir, statsCols, retain): Unit
       case SaveMode.Ignore =>
-        if (!exists) ManifestTable.append(data, dir, statsCols): Unit
+        if (!exists) ManifestTable.append(data, dir, statsCols, retain): Unit
     }
     createRelation(ctx, parameters)
   }
@@ -102,9 +120,10 @@ object GraftManifestSource {
     * table) — the semantics of replacing the whole table; Delta makes
     * the same call by failing the concurrent writer instead. */
   private[graft] def overwrite(data: DataFrame, dir: String,
-                                 statsCols: Seq[String]): Unit = {
+                               statsCols: Seq[String],
+                               retainGenerations: Int = 2): Unit = {
     val spark = data.sparkSession
-    val v = ManifestTable.append(data, dir, statsCols)
+    val v = ManifestTable.append(data, dir, statsCols, retainGenerations)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     // the just-appended dir is the lexicographically last path NOT in
@@ -114,7 +133,7 @@ object GraftManifestSource {
       .map(pv => ManifestTable.pathsOf(fs, dir, pv).toSet).getOrElse(Set.empty)
     val fresh = head.filterNot(prior)
     val stats = ManifestTable.statsOf(fs, dir, v)
-    ManifestTable.commit(spark, dir, fresh,
+    ManifestTable.commit(spark, dir, fresh, retainGenerations,
       schemaDdl = Some(data.schema.toDDL),
       stats = stats.view.filterKeys(fresh.contains).toMap): Unit
   }
@@ -227,6 +246,24 @@ object GraftManifestSource {
     if (micros == 0) base
     else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
   }
+}
+
+/** The row-level change feed between two retained versions, behind the
+  * same source (`option("readChangeFeed", true)
+  * .option("startingVersion", v)[.option("endingVersion", w)]`) — the
+  * Delta CDF consumption shape. A plain TableScan: CDC feeds are
+  * consumed whole by replication/audit consumers, so there is nothing
+  * for filter pushdown to win here; the diff itself already reads ONLY
+  * the commit dirs that differ between the versions
+  * ([[ManifestTable.changes]], inputFiles-asserted in MergeIntoSpec). */
+case class GraftChangesRelation(ctx: SQLContext, tableDir: String,
+                                fromV: Long, toV: Long)
+    extends BaseRelation with TableScan {
+  private lazy val feed: DataFrame =
+    ManifestTable.changes(ctx.sparkSession, tableDir, fromV, toV)
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
 }
 
 /** One pinned version of a manifest table behind the V1 relation API. */

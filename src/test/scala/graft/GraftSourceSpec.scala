@@ -105,6 +105,116 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 
+  test("fuzz: source-filtered reads equal an in-memory model over random tables + predicates") {
+    // The pruning path (filter -> bounds -> stats overlap -> dir skip)
+    // is exactly where this round's self-review found two silent
+    // wrong-rows bugs (default-timezone rendering, IN-envelope
+    // mis-sort). This fuzz pins the whole surface: random batches with
+    // stats (including ±Infinity values, whose stats don't parse as
+    // BigDecimal and must be kept conservatively), random pushed
+    // predicate shapes, results compared row-for-row against a plain
+    // in-memory filter of the same rows.
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(20260813L)
+    def date(y: Int, m: Int, dd: Int) = java.sql.Date.valueOf(f"$y%04d-$m%02d-$dd%02d")
+    for (iter <- 1 to 3) {
+      val dir = freshDir()
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, java.sql.Date, String)]
+      val nBatches = 3 + rnd.nextInt(3)
+      (1 to nBatches).foreach { b =>
+        val rows = (1 to 20 + rnd.nextInt(30)).map { _ =>
+          val v = rnd.nextInt(20) match {
+            case 0 => Double.PositiveInfinity
+            case 1 => Double.NegativeInfinity
+            case _ => math.floor(rnd.nextDouble() * 10000) / 100.0
+          }
+          (rnd.nextInt(1000).toLong, v,
+            date(1995 + rnd.nextInt(5), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)),
+            "w" + rnd.nextInt(50))
+        }
+        all ++= rows
+        val stats = if (b % 3 == 0) "" else "k,d,v" // some batches stats-less
+        rows.toDF("k", "v", "d", "s").write.format("graft-manifest")
+          .option("statsCols", stats).mode(SaveMode.Append).save(dir)
+      }
+      val src = spark.read.format("graft-manifest").load(dir)
+      val preds: Seq[(Column, ((Long, Double, java.sql.Date, String)) => Boolean)] = Seq.fill(8) {
+        val conjuncts = Seq.fill(1 + rnd.nextInt(2)) {
+          rnd.nextInt(5) match {
+            case 0 =>
+              val a = rnd.nextInt(900); val b = a + rnd.nextInt(300)
+              (col("k") >= a && col("k") <= b,
+                (r: (Long, Double, java.sql.Date, String)) => r._1 >= a && r._1 <= b)
+            case 1 =>
+              val y = 1995 + rnd.nextInt(5)
+              val loD = date(y, 1, 1); val hiD = date(y, 12, 28)
+              (col("d") >= lit(loD) && col("d") <= lit(hiD),
+                (r: (Long, Double, java.sql.Date, String)) =>
+                  !r._3.before(loD) && !r._3.after(hiD))
+            case 2 =>
+              val ks = Seq.fill(3)(rnd.nextInt(1000).toLong)
+              (col("k").isin(ks: _*),
+                (r: (Long, Double, java.sql.Date, String)) => ks.contains(r._1))
+            case 3 =>
+              val x = rnd.nextInt(8000) / 100.0
+              (col("v") >= x,
+                (r: (Long, Double, java.sql.Date, String)) => r._2 >= x)
+            case _ =>
+              val w = "w" + rnd.nextInt(50)
+              (col("s") >= w && col("s") <= "w9999",
+                (r: (Long, Double, java.sql.Date, String)) =>
+                  r._4 >= w && r._4 <= "w9999")
+          }
+        }
+        (conjuncts.map(_._1).reduce(_ && _),
+          (r: (Long, Double, java.sql.Date, String)) => conjuncts.forall(_._2(r)))
+      }
+      preds.zipWithIndex.foreach { case ((cPred, mPred), pi) =>
+        // v stringified for the tuple sort: 2.13 has no default implicit
+        // Double ordering, and "Infinity" compares fine as text
+        val got = src.filter(cPred)
+          .select(col("k"), col("v"), col("d").cast("string"), col("s"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1).toString, r.getString(2), r.getString(3)))
+          .sorted.toSeq
+        val want = all.filter(mPred)
+          .map(r => (r._1, r._2.toString, r._3.toString, r._4)).sorted.toSeq
+        assert(got == want,
+          s"iter=$iter pred=$pi: source returned ${got.size} rows, model ${want.size}")
+      }
+    }
+  }
+
+  test("readChangeFeed: append yields inserts, overwrite yields deletes + inserts") {
+    val dir = freshDir()
+    // retention raised so the CDF's from-versions survive later commits
+    batch(1995).write.format("graft-manifest").option("retainGenerations", 10)
+      .option("statsCols", "d").mode(SaveMode.Append).save(dir)
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    batch(1996).write.format("graft-manifest").option("retainGenerations", 10)
+      .option("statsCols", "d").mode(SaveMode.Append).save(dir)
+    val v2 = ManifestTable.headVersion(spark, dir).get
+    val feed = spark.read.format("graft-manifest")
+      .option("readChangeFeed", true).option("startingVersion", v1)
+      .option("endingVersion", v2).load(dir)
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("insert" -> 10L), byType)
+    // overwrite: everything prior deleted, the new batch inserted
+    batch(1999, n = 4).write.format("graft-manifest")
+      .option("retainGenerations", 10).mode(SaveMode.Overwrite).save(dir)
+    val v3 = ManifestTable.headVersion(spark, dir).get
+    val feed2 = spark.read.format("graft-manifest")
+      .option("readChangeFeed", true).option("startingVersion", v2).load(dir)
+    val byType2 = feed2.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType2 == Map("delete" -> 20L, "insert" -> 4L), byType2)
+    assert(v3 > v2)
+    // consuming through SQL works too (TableScan relation)
+    feed2.createOrReplaceTempView("cdf")
+    assert(spark.sql("SELECT count(*) FROM cdf WHERE change_type = 'insert'")
+      .head.getLong(0) == 4L)
+  }
+
   test("write side: append / errorIfExists / ignore / overwrite SaveModes") {
     val dir = freshDir()
     batch(1995).write.format("graft-manifest")
