@@ -640,4 +640,64 @@ class StreamingSpec extends SparkTestBase {
       assert(got == batchKept - 6L)
     } finally q.stop()
   }
+
+  test("lambda pipeline end-to-end: stream gates -> manifest append with stats -> pruned source read -> batch near-dedup") {
+    // The full curation lambda in one test: X12 gates a document
+    // stream, each micro-batch lands as a manifest commit with
+    // ingest-time stats (X8 × S19), the curated store is read back
+    // through the graft-manifest source with a time filter (S20 —
+    // pruning by micro-batch), and the batch half (near-dedup's
+    // canonical pick over the full store, T40's technique) finishes
+    // the split. Every layer is one the suite already proves alone;
+    // this pins that they COMPOSE.
+    implicit val ctx = spark.sqlContext
+    def longText(seed: Int): String =
+      (0 until 30).map(i => s"word${(seed * 11 + i * 3) % 40}").mkString(" ")
+    def doc(id: Long, text: String, t: String) =
+      DocArrival(id, text, "en", Timestamp.valueOf(s"2024-01-01 $t:00"))
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_lambda_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lambda_c").toString
+    val in = MemoryStream[DocArrival]
+    // three waves: two early (distinct + a near-dup pair), one late
+    in.addData(doc(1, longText(1), "09:00"), doc(2, longText(2), "09:01"),
+      doc(3, "tiny", "09:02")) // gated out
+    Streams.appendSink(Streams.curationIngest(in.toDF()), tableDir, ckpt,
+      statsCols = Seq("ingest_ts"))
+    // near-dup of 1 via the canonical drop-last-token recipe (verified
+    // offline: this exact text's 4 lane minima all survive the drop, so
+    // the merge is deterministic — appending a token instead shifted a
+    // lane minimum and did NOT merge, the expected ~6%-per-lane miss)
+    in.addData(doc(4, longText(1).split(" ").dropRight(1).mkString(" "), "13:00"),
+      doc(5, longText(9), "13:01"))
+    Streams.appendSink(Streams.curationIngest(in.toDF()), tableDir, ckpt,
+      statsCols = Seq("ingest_ts"))
+    // the curated store holds exactly the gate survivors
+    val store = spark.read.format("graft-manifest").load(tableDir)
+    assert(store.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L, 5L))
+    // S20 pruned read: only the afternoon micro-batch's commit dir
+    val afternoon = store
+      .filter($"ingest_ts" >= Timestamp.valueOf("2024-01-01 12:00:00") &&
+        $"ingest_ts" <= Timestamp.valueOf("2024-01-01 23:59:59"))
+    assert(afternoon.select("doc_id").as[Long].collect().toSet == Set(4L, 5L))
+    // batch half: near-dedup canonical pick over the whole store
+    // (t40's min-over-survivors on the 4-lane signature) — doc 4 is
+    // doc 1 + a trailing token, same leading shingles, so it merges
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array, col, concat, expr, min => fmin, when => fwhen}
+    val sig = store
+      .withColumn("t", org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.trim(col("text")), " "))
+      .withColumn("mds", fwhen(org.apache.spark.sql.functions.size(col("t")) >= 3,
+          expr("transform(sequence(0, size(t)-3), i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+        .otherwise(array(org.apache.spark.sql.functions.md5(col("text")))))
+      .withColumn("sig", concat(
+        expr("array_min(transform(mds, m -> substring(m, 1, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 9, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 17, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 25, 8)))")))
+    val canon = sig.withColumn("keep",
+      col("doc_id") === fmin(col("doc_id")).over(Window.partitionBy("sig")))
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 2L, 5L), s"near-dedup kept $canon")
+  }
 }
