@@ -25,7 +25,7 @@ case class FunnelAdvance(user_id: Long, from_stage: Int, to_stage: Int)
 case class DocArrival(doc_id: Long, text: String, lang: String,
                       ingest_ts: java.sql.Timestamp)
 
-/** Structured Streaming operators (SURVEY.md §2.10 X1–X8). Each takes an
+/** Structured Streaming operators (SURVEY.md §2.10 X1–X12). Each takes an
   * input DataFrame/Dataset so the same code runs against a MemoryStream in
   * tests, a readStream in production, or a batch frame where legal.
   *
