@@ -72,7 +72,12 @@ class GraftManifestSource extends RelationProvider
       val v = parameters.get("versionAsOf").map(_.toLong).orElse(head)
         .getOrElse(throw new IllegalArgumentException(
           s"no committed manifest at $dir"))
-      GraftManifestRelation(ctx, dir, v)
+      // table-level write options (CREATE TABLE ... OPTIONS) ride on
+      // the relation so SQL INSERT INTO honors them
+      val statsCols = parameters.get("statsCols")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      val retain = parameters.get("retainGenerations").map(_.toInt).getOrElse(2)
+      GraftManifestRelation(ctx, dir, v, statsCols, retain)
     }
   }
 
@@ -105,6 +110,9 @@ class GraftManifestSource extends RelationProvider
       case SaveMode.Ignore =>
         if (!exists) ManifestTable.append(data, dir, statsCols, retain): Unit
     }
+    // a catalog table over this path must not keep serving the
+    // pre-write pinned snapshot (see GraftManifestRelation.insert)
+    ctx.sparkSession.sessionState.catalog.invalidateAllCachedTables()
     createRelation(ctx, parameters)
   }
 }
@@ -268,8 +276,29 @@ case class GraftChangesRelation(ctx: SQLContext, tableDir: String,
 
 /** One pinned version of a manifest table behind the V1 relation API. */
 case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
-                                 version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+                                 version: Long,
+                                 statsCols: Seq[String] = Seq.empty,
+                                 retainGenerations: Int = 2)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** SQL INSERT INTO / INSERT OVERWRITE on a `CREATE TABLE USING
+    * graft-manifest` table. The table's declared OPTIONS (statsCols,
+    * retainGenerations) apply to every INSERT — the DDL, not each
+    * statement, owns the table's stats policy, same as Delta table
+    * properties. The pinned `version` is a READ snapshot only; writes
+    * always land on the current head (append rebases via commitIf). */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite)
+      GraftManifestSource.overwrite(data, tableDir, statsCols, retainGenerations)
+    else
+      ManifestTable.append(data, tableDir, statsCols, retainGenerations): Unit
+    // Spark's FindDataSourceTable caches the resolved relation per
+    // catalog table; THIS relation pins a version, so without
+    // invalidation the next SELECT would keep serving the pre-insert
+    // snapshot. (External writers from another session still need
+    // REFRESH TABLE, same as parquet tables.)
+    ctx.sparkSession.sessionState.catalog.invalidateAllCachedTables()
+  }
 
   private def spark: SparkSession = ctx.sparkSession
 

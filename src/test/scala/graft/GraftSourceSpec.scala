@@ -105,6 +105,30 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 
+  test("SQL INSERT INTO / INSERT OVERWRITE honor the table's declared stats options") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
+    spark.sql("DROP TABLE IF EXISTS graft_ins_t")
+    spark.sql(s"""CREATE TABLE graft_ins_t USING `graft-manifest`
+                  OPTIONS (path '$dir', statsCols 'd', retainGenerations '10')""")
+    try {
+      spark.sql("INSERT INTO graft_ins_t VALUES (1996000, 1.5, DATE'1996-06-10')")
+      assert(spark.sql("SELECT count(*) FROM graft_ins_t").head.getLong(0) == 11)
+      // the INSERT recorded stats per the TABLE's statsCols option:
+      // the new head's fresh dir must carry a d-range
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val head = ManifestTable.headVersion(spark, dir).get
+      val stats = ManifestTable.statsOf(fs, dir, head)
+      val with1996 = stats.values.flatMap(p => ManifestTable.statsFor(p, "d"))
+        .exists(_._2.exists(_.startsWith("1996")))
+      assert(with1996, s"INSERT INTO did not record d stats: $stats")
+      spark.sql("INSERT OVERWRITE graft_ins_t SELECT * FROM graft_ins_t WHERE k >= 1996000")
+      assert(spark.sql("SELECT count(*) FROM graft_ins_t").head.getLong(0) == 1)
+      assert(spark.sql("SELECT k FROM graft_ins_t").head.getLong(0) == 1996000L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ins_t")
+  }
+
   test("fuzz: source-filtered reads equal an in-memory model over random tables + predicates") {
     // The pruning path (filter -> bounds -> stats overlap -> dir skip)
     // is exactly where this round's self-review found two silent
