@@ -310,6 +310,23 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
     ManifestTable.declaredSchemaOf(spark, tableDir, version).getOrElse(
       ManifestTable.readVersion(spark, tableDir, version).schema)
 
+  /** Actual on-disk size of the pinned version's commit dirs. Without
+    * this a V1 relation reports spark.sql.defaultSizeInBytes (Long.Max
+    * scale), so a small manifest dim joined through the SQL surface
+    * would NEVER be auto-broadcast — the one optimizer decision that
+    * matters most for star joins. One file-listing pass at first use
+    * (lazy), no data I/O; a missing dir contributes 0 (it may be
+    * legitimately pruned at scan time). */
+  override lazy val sizeInBytes: Long = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestTable.pathsOf(fs, tableDir, version).map { p =>
+      try fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(tableDir, p)).getLength
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+  }
+
   /** Everything is re-applied by Spark above the scan — pruning below
     * is I/O-only (see class doc). */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters

@@ -105,6 +105,22 @@ class GraftSourceSpec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_sql_t")
   }
 
+  test("sizeInBytes reports real bytes so a small manifest dim auto-broadcasts") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
+    val dim = spark.read.format("graft-manifest").load(dir)
+    val rel = dim.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation
+    }.get
+    val sz = rel.sizeInBytes
+    assert(sz > 0 && sz < (1L << 20), s"expected real small size, got $sz")
+    // a fact × manifest-dim join must pick BroadcastHashJoin without hints
+    val fact = spark.range(100000).selectExpr("id % 10000 AS k", "id AS payload")
+    val plan = fact.join(dim, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("SQL INSERT INTO / INSERT OVERWRITE honor the table's declared stats options") {
     val dir = freshDir()
     ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
