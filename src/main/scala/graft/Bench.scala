@@ -40,6 +40,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // session-TZ + nanos conf mirror Verify's builder: the bench must
+      // read every corpus encoding the correctness gate reads
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -89,7 +93,7 @@ object Bench {
                   catch { case e: Throwable =>
                     errs.getOrElseUpdate(name,
                       s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-                        .replaceAll("[\\\\\"\\n\\r\\t]", " ").take(240))
+                        .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
                     -1.0
                   }
         (sec, at)

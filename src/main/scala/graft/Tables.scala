@@ -28,9 +28,15 @@ object Tables {
     * (build.sbt pins spark.sql.session.timeZone), so the NTZ→LTZ cast
     * is a pure reinterpretation, matching DuckDB's naive read of the
     * same file. Functions like unix_micros reject NTZ input, so
-    * without this cast the whole x-family breaks on a µs corpus. */
+    * without this cast the whole x-family breaks on a µs corpus.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (which surfaces a
+    * NANOS corpus as BIGINT instead of failing the read) is set by the
+    * SESSION BUILDERS (Verify/Bench/SparkTestBase), not here — a
+    * loader mutating shared session conf as a side effect surprises
+    * concurrent users of the same session. A session built elsewhere
+    * must carry that conf to read a NANOS-encoded corpus. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, d, "events")
     df.schema("ts").dataType match {
       // NANOS corpus arrives as long; integer `div` truncates like

@@ -131,19 +131,19 @@ object GraftManifestSource {
                                statsCols: Seq[String],
                                retainGenerations: Int = 2): Unit = {
     val spark = data.sparkSession
-    val v = ManifestTable.append(data, dir, statsCols, retainGenerations)
+    // append tells us exactly which commit dir it created — the second
+    // commit lists precisely [cid]. (Deriving "fresh" by diffing head
+    // against the largest retained version below v is wrong under
+    // retainGenerations=1: the append's GC deletes that version first,
+    // the diff returns ALL head paths, and overwrite silently degrades
+    // to append — keeping rows it must replace.)
+    val (v, cid) = ManifestTable.appendWithCid(data, dir, statsCols, retainGenerations)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    // the just-appended dir is the lexicographically last path NOT in
-    // the prior version — identify it as (head paths) minus (prior paths)
-    val head = ManifestTable.pathsOf(fs, dir, v)
-    val prior = ManifestTable.versions(fs, dir).filter(_ < v).lastOption
-      .map(pv => ManifestTable.pathsOf(fs, dir, pv).toSet).getOrElse(Set.empty)
-    val fresh = head.filterNot(prior)
     val stats = ManifestTable.statsOf(fs, dir, v)
-    ManifestTable.commit(spark, dir, fresh, retainGenerations,
+    ManifestTable.commit(spark, dir, Seq(cid), retainGenerations,
       schemaDdl = Some(data.schema.toDDL),
-      stats = stats.view.filterKeys(fresh.contains).toMap): Unit
+      stats = stats.view.filterKeys(_ == cid).toMap): Unit
   }
 
   /** Fold Spark's pushed filters into per-column [lo, hi] bounds in
@@ -153,8 +153,17 @@ object GraftManifestSource {
     * sorts AFTER the stats' trimmed rendering and would mis-prune an
     * exact-boundary match). Conservative by construction: strict
     * bounds widen to inclusive, IN folds to its envelope, OR and
-    * unsupported filters contribute nothing. */
-  private[graft] def boundsOf(filters: Seq[Filter]): Map[String, (String, String)] = {
+    * unsupported filters contribute nothing.
+    *
+    * `zone` must be the SESSION's `spark.sql.session.timeZone`: the
+    * manifest stats were rendered by cast-to-string in the writing
+    * session's zone, so pushed timestamp literals must render in the
+    * same zone or an exact-boundary dir mis-prunes. (The relation
+    * passes its session's zone; pinning UTC here would only agree
+    * with the stats because build.sbt pins the session to UTC — a
+    * user overriding the session TZ would silently drop rows.) */
+  private[graft] def boundsOf(filters: Seq[Filter],
+                              zone: java.time.ZoneId): Map[String, (String, String)] = {
     val lo = scala.collection.mutable.Map.empty[String, String]
     val hi = scala.collection.mutable.Map.empty[String, String]
     def tighten(m: scala.collection.mutable.Map[String, String], c: String,
@@ -174,7 +183,7 @@ object GraftManifestSource {
     // lexicographically in its domain. NaN/Infinity render but don't
     // parse as BigDecimal → contribute no bound (conservative).
     def tightenTyped(m: scala.collection.mutable.Map[String, String], c: String,
-                     v: Any, keepGreater: Boolean): Unit = render(v).foreach { r =>
+                     v: Any, keepGreater: Boolean): Unit = render(v, zone).foreach { r =>
       if (num(v)) {
         (safeBD(r), m.get(c).flatMap(safeBD)) match {
           case (Some(rb), Some(xb)) =>
@@ -200,7 +209,7 @@ object GraftManifestSource {
         // a lexicographic fallback there would sort '-Infinity' below
         // digits and pick a too-small max, mis-pruning dirs; skip the
         // envelope instead (conservative: no bound, no pruning).
-        val rendered = vs.toSeq.map(v => (v, render(v)))
+        val rendered = vs.toSeq.map(v => (v, render(v, zone)))
         if (rendered.forall(_._2.isDefined)) {
           val rs = rendered.map { case (v, r) => (v, r.get) }
           val allNum = vs.forall(num)
@@ -225,20 +234,19 @@ object GraftManifestSource {
   }
 
   /** Render a pushed literal in the manifest-stats string encoding.
-    * None = unsupported type → the filter contributes no bound. */
-  private[graft] def render(v: Any): Option[String] = v match {
+    * None = unsupported type → the filter contributes no bound.
+    * Timestamp instants render at `zone` — the SESSION timezone, the
+    * same zone the stats writer's cast-to-string used (NOT the JVM
+    * default, and not hardcoded UTC: either mismatch silently
+    * mis-prunes dirs when the session TZ differs). */
+  private[graft] def render(v: Any, zone: java.time.ZoneId): Option[String] = v match {
     case null => None
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
-    // NOT t.toLocalDateTime: that renders in the JVM DEFAULT timezone,
-    // while the manifest stats render via cast-to-string in the
-    // UTC-pinned session — on a non-UTC host the two encodings would
-    // diverge and prune dirs that hold matching rows. Render the
-    // instant at UTC, same as the Instant branch.
     case t: java.sql.Timestamp => Some(renderTs(
-      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)))
+      java.time.LocalDateTime.ofInstant(t.toInstant, zone)))
     case i: java.time.Instant => Some(renderTs(
-      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)))
+      java.time.LocalDateTime.ofInstant(i, zone)))
     case l: java.time.LocalDateTime => Some(renderTs(l)) // TIMESTAMP_NTZ literal
     case n: java.lang.Number => Some(n.toString)
     case s: String => Some(s)
@@ -333,7 +341,9 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val bounds = GraftManifestSource.boundsOf(filters.toSeq)
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val bounds = GraftManifestSource.boundsOf(filters.toSeq, zone)
       .filter { case (c, _) => schema.fieldNames.contains(c) }
     val base =
       if (bounds.isEmpty) ManifestTable.readVersion(spark, tableDir, version)

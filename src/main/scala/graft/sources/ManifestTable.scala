@@ -227,7 +227,18 @@ object ManifestTable {
     * prior version's); evolution belongs to [[MergeInto]]. */
   def append(df: DataFrame, tableDir: String,
              statsCols: Seq[String] = Seq.empty,
-             retainGenerations: Int = 2): Long = {
+             retainGenerations: Int = 2): Long =
+    appendWithCid(df, tableDir, statsCols, retainGenerations)._1
+
+  /** [[append]], also exposing the commit-dir name it created — the
+    * overwrite path commits exactly `[cid]` as the new table, so it
+    * must know WHICH dir the append landed (deriving it by diffing
+    * against "the largest retained version below v" breaks when
+    * retainGenerations=1 GC'd that version: the diff then returns ALL
+    * head paths and overwrite silently degrades to append). */
+  private[graft] def appendWithCid(df: DataFrame, tableDir: String,
+                                   statsCols: Seq[String] = Seq.empty,
+                                   retainGenerations: Int = 2): (Long, String) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
@@ -282,9 +293,9 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
         retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ payload.map(cid -> _))
-      committed.foreach(v => return v)
+      committed.foreach(v => return (v, cid))
     }
-    -1L // unreachable
+    (-1L, cid) // unreachable
   }
 
   /** Append-table compaction (S19 maintenance): rewrite the live

@@ -319,6 +319,20 @@ object Streams {
     * REPLAYED after a crash mid-commit appends again (append has no
     * key to dedup on — exactly-once belongs to [[upsertSink]]); the
     * manifest itself is never torn, a reader sees whole batches only. */
+  def appendSink(stream: DataFrame, tableDir: String,
+                 checkpointDir: String,
+                 statsCols: Seq[String] = Seq.empty): Unit = {
+    val q = stream.writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          graft.sources.ManifestTable.append(b, tableDir, statsCols): Unit
+        })
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** X12 (T40 × X5): streaming curation ingest — the funnel's stateless
     * gate block applied per micro-batch (the SAME code path batch t40
     * runs: [[graft.ops.Curation.statelessGates]], so the gates cannot
@@ -341,18 +355,4 @@ object Streams {
       .drop("t", "cl", "ratio", "f1", "f2", "f3")
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark("h")
-
-  def appendSink(stream: DataFrame, tableDir: String,
-                 checkpointDir: String,
-                 statsCols: Seq[String] = Seq.empty): Unit = {
-    val q = stream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
-        if (!b.isEmpty) {
-          graft.sources.ManifestTable.append(b, tableDir, statsCols): Unit
-        })
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-  }
 }

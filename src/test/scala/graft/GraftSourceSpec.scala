@@ -22,6 +22,8 @@ class GraftSourceSpec extends SparkTestBase {
     rows.toDF("k", "ds", "v").withColumn("d", col("ds").cast("date")).drop("ds")
   }
 
+  private val utc = java.time.ZoneOffset.UTC
+
   test("filter -> bounds translation is conservative and typed") {
     val b = GraftManifestSource.boundsOf(Seq(
       GreaterThanOrEqual("d", java.sql.Date.valueOf("1997-01-01")),
@@ -30,24 +32,34 @@ class GraftSourceSpec extends SparkTestBase {
       In("v", Array[Any](3.5, 1.5, 2.5)),
       StringContains("name", "x"), // unsupported → no bound
       Or(EqualTo("k", 1L), EqualTo("k", 2L)) // OR → no bound
-    ))
+    ), utc)
     assert(b("d") == ("1997-01-01", "1997-12-31"))
     assert(b("k") == ("42", "42"))
     assert(b("v") == ("1.5", "3.5"))
     assert(!b.contains("name"))
     // numeric compare is numeric, not lexicographic: 9 < 10
     val n = GraftManifestSource.boundsOf(Seq(
-      GreaterThanOrEqual("k", 9L), LessThanOrEqual("k", 10L)))
+      GreaterThanOrEqual("k", 9L), LessThanOrEqual("k", 10L)), utc)
     assert(n("k") == ("9", "10"))
     // half-bounded columns contribute nothing (closed-interval contract)
-    assert(!GraftManifestSource.boundsOf(Seq(GreaterThan("k", 1L))).contains("k"))
-    // timestamp rendering matches the stats encoding (no trailing ".0")
+    assert(!GraftManifestSource.boundsOf(Seq(GreaterThan("k", 1L)), utc).contains("k"))
+    // timestamp rendering matches the stats encoding (no trailing ".0").
+    // Timestamp.valueOf interprets in the JVM default zone — render in
+    // that same zone so the clock reading round-trips host-independently.
+    val jvmZone = java.time.ZoneId.systemDefault()
     val ts = GraftManifestSource.render(
-      java.sql.Timestamp.valueOf("2024-01-01 10:00:00")).get
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), jvmZone).get
     assert(ts == "2024-01-01 10:00:00", ts)
     assert(GraftManifestSource.render(
-      java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5")).get
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5"), jvmZone).get
       == "2024-01-01 10:00:00.5")
+    // the zone is honored, not silently pinned to UTC: one instant, two
+    // session zones, two renderings — each matching what cast-to-string
+    // in THAT session would have written into the stats
+    val instant = java.time.Instant.parse("2024-01-01T15:00:00Z")
+    assert(GraftManifestSource.render(instant, utc).get == "2024-01-01 15:00:00")
+    assert(GraftManifestSource.render(
+      instant, java.time.ZoneId.of("America/New_York")).get == "2024-01-01 10:00:00")
   }
 
   test("read path: values match native read; pruning proven by a deleted dir") {
@@ -222,6 +234,27 @@ class GraftSourceSpec extends SparkTestBase {
           s"iter=$iter pred=$pi: source returned ${got.size} rows, model ${want.size}")
       }
     }
+  }
+
+  test("overwrite with retainGenerations=1 still replaces, never degrades to append") {
+    // regression: the fresh-dir set used to be derived by diffing head
+    // against the largest retained version below it — with retain=1 the
+    // append's GC had already deleted that version, the diff returned
+    // ALL head paths, and overwrite silently kept the rows it had to
+    // replace. appendWithCid closes the class: overwrite commits
+    // exactly the dir the append created.
+    val dir = freshDir()
+    Seq(1995, 1996).foreach(y =>
+      batch(y).write.format("graft-manifest").option("retainGenerations", 1)
+        .option("statsCols", "d").mode(SaveMode.Append).save(dir))
+    assert(spark.read.format("graft-manifest").load(dir).count() == 20)
+    batch(1998, n = 4).write.format("graft-manifest")
+      .option("retainGenerations", 1).option("statsCols", "d")
+      .mode(SaveMode.Overwrite).save(dir)
+    val after = spark.read.format("graft-manifest").load(dir)
+    assert(after.count() == 4, "overwrite degraded to append")
+    assert(after.agg(min(col("d")).cast("string")).head.getString(0)
+      .startsWith("1998"))
   }
 
   test("readChangeFeed: append yields inserts, overwrite yields deletes + inserts") {

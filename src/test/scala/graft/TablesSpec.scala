@@ -59,6 +59,33 @@ class TablesSpec extends SparkTestBase {
     assert(got.toSeq == Seq(us, us, us + 1)) // 0/999/1998 ns -> 0/0/1 us
   }
 
+  test("orders/lineitem date-column encoding drift (timestamp[us] <-> DATE) is result-invariant") {
+    // The OTHER observed drift axis (NOTES_r10.md): the regenerated
+    // corpus moved o_orderdate/l_shipdate from DATE to midnight
+    // timestamp[us]. The drift is symmetric (DuckDB reads the same
+    // file), so the contract to pin is that the board's date-arithmetic
+    // queries return IDENTICAL results under either encoding — the next
+    // regeneration is then a no-op, not a diagnosis round.
+    val dir = java.nio.file.Files.createTempDirectory("tables-datecast").toString
+    Seq("orders", "lineitem").foreach { t =>
+      val df = Tables.t(spark, sf, t)
+      val recoded = df.schema.fields.filter(_.name.endsWith("date"))
+        .map(_.name).foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("date")))
+      assert(recoded.schema.fields.exists(_.dataType == DateType))
+      recoded.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    def rows(d: String,
+             q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame) =
+      q(spark, d).collect().map(_.toString).sorted.toSeq
+    // a1 filters on l_shipdate; q4 adds INTERVAL arithmetic across both
+    // tables' date columns. Neither SELECTs the drifted column, so the
+    // results must match row-for-row across encodings.
+    assert(rows(dir, ops.Aggregates.a1_pricing_summary _)
+      == rows(sf, ops.Aggregates.a1_pricing_summary _))
+    assert(rows(dir, ops.Tpch.q4_order_priority _)
+      == rows(sf, ops.Tpch.q4_order_priority _))
+  }
+
   test("whole x-family analyzes against an NTZ corpus (the r9 bench failure shape)") {
     val dir = java.nio.file.Files.createTempDirectory("tables-xfam").toString
     spark.range(200)
