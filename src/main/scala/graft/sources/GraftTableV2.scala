@@ -1,0 +1,524 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** S21 — the manifest table family on the DataSource V2 API
+  * (`TableProvider`), short name `graft`. The V1 surface
+  * ([[GraftManifestSource]], short name `graft-manifest`) stays as the
+  * compatibility alias — it additionally carries the SaveModes V2
+  * path-writes define away (ErrorIfExists/Ignore) and the CDC feed.
+  *
+  * What V2 buys over the V1 relation, in plan terms:
+  *  - **Columnar batch reads.** The scan hands Spark `FilePartition`s
+  *    read by Spark's own vectorized parquet reader factory — rows
+  *    arrive as `ColumnarBatch`, not the V1 `Row` bridge with its
+  *    per-row conversion ([[GraftManifestRelation]]'s documented tax).
+  *  - **Aggregate pushdown from manifest stats.** A global
+  *    `count(*)`/`min(c)`/`max(c)` over an append table is answered
+  *    METADATA-ONLY from the `#stats` manifest headers — zero data
+  *    files opened (proven in spec by physically deleting the data
+  *    dirs) — when every live path carries parseable stats for the
+  *    referenced columns; otherwise the pushdown declines and the scan
+  *    runs normally. Complete pushdown (one final row), never partial.
+  *  - **Runtime filtering (DPP-shaped).** The scan declares its
+  *    stats-covered columns filterable; a runtime IN-set from a
+  *    dimension join re-prunes commit dirs before execution.
+  *  - **Statistics.** `estimateStatistics` reports the PRUNED byte
+  *    size and (when stats cover every surviving dir) the row count,
+  *    so broadcast planning sees post-pruning reality, better than the
+  *    V1 relation's whole-table `sizeInBytes`.
+  *
+  * Filter pushdown stays correctness-free exactly like V1: every
+  * filter is returned as residual (Spark re-applies it above the
+  * scan); pushed copies only drive manifest-level dir pruning and
+  * parquet row-group pruning. Snapshot semantics match V1: the table
+  * pins its version at `getTable` (one query, one version;
+  * `versionAsOf` = explicit time travel).
+  *
+  * Write side: `V1Write` bridge (the sanctioned V2→`InsertableRelation`
+  * seam, same as Spark's JDBC source) onto [[ManifestTable.append]] /
+  * [[GraftManifestSource.overwrite]] — the write is a driver-orchestrated
+  * parquet job + manifest commit, which is precisely what the V1
+  * insert path does; a custom `BatchWrite` would re-implement parquet
+  * task commit for zero plan benefit. A first write to an uncommitted
+  * path gets `ACCEPT_ANY_SCHEMA` (there is no schema to resolve
+  * against yet); once committed, writes resolve by-name against the
+  * declared schema with Spark's standard cast/reorder semantics.
+  */
+class GraftTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def dirOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft needs a path: .load(dir) / .save(dir) or OPTIONS (path '...')"))
+
+  /** Pin the version this table instance serves: `versionAsOf`, else
+    * the current head, else None (an uncommitted path a write is about
+    * to create). */
+  private def pinnedVersion(spark: SparkSession,
+                            options: CaseInsensitiveStringMap): Option[Long] = {
+    val dir = dirOf(options)
+    Option(options.get("versionAsOf")).map(_.toLong) match {
+      case some @ Some(v) =>
+        require(ManifestTable.headVersion(spark, dir).isDefined,
+          s"no committed graft table at $dir (versionAsOf=$v)")
+        some
+      case None => ManifestTable.headVersion(spark, dir)
+    }
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (options.containsKey("readChangeFeed"))
+      throw new UnsupportedOperationException(
+        "the change feed is served by the V1 alias: " +
+          "spark.read.format(\"graft-manifest\").option(\"readChangeFeed\", true)")
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    pinnedVersion(spark, options) match {
+      // uncommitted path: a write will bring its own schema
+      // (ACCEPT_ANY_SCHEMA); a read fails at newScanBuilder with a
+      // clear message rather than here, so EXISTS-style probing works
+      case None => new StructType()
+      case Some(v) => ManifestTable.declaredSchemaOf(spark, dir, v)
+        .getOrElse(ManifestTable.readVersion(spark, dir, v).schema)
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    GraftTable(dirOf(options), pinnedVersion(spark, options), schema,
+      properties.asScala.toMap)
+  }
+}
+
+/** One pinned version of a manifest table behind the V2 `Table` API.
+  * `version` None = the path has never been committed (write-only
+  * until the first commit lands). */
+case class GraftTable(tableDir: String, pinnedV: Option[Long],
+                      tableSchema: StructType, tableProps: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    s"graft:$tableDir" + pinnedV.map(v => s"@v$v").getOrElse("")
+
+  override def schema(): StructType = tableSchema
+
+  override def version(): String = pinnedV.map(_.toString).orNull
+
+  // columns() derives from schema() via Table's default implementation
+  override def capabilities(): java.util.Set[TableCapability] = {
+    // BATCH_WRITE admits the table to DataFrameWriter's V2 write path;
+    // V1_BATCH_WRITE tells the physical planner the Write is a V1Write
+    // bridge (AppendDataExecV1) — both are required, same as Delta
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    // first write to an uncommitted path: nothing to resolve against
+    if (tableSchema.isEmpty) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    base
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = pinnedV.getOrElse(throw new IllegalArgumentException(
+      s"no committed graft table at $tableDir"))
+    GraftScanBuilder(tableDir, v, tableSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    def opt(k: String): Option[String] =
+      Option(info.options.get(k)).orElse(tableProps.get(k))
+    val statsCols = opt("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    val retain = opt("retainGenerations").map(_.toInt).getOrElse(2)
+    new GraftWriteBuilder(tableDir, statsCols, retain)
+  }
+}
+
+/** Append / truncate-overwrite through the `V1Write` bridge: the V2
+  * write plan hands the whole DataFrame to an [[InsertableRelation]],
+  * which is exactly the shape a manifest commit wants (one parquet
+  * write job + one atomic pointer publish). ErrorIfExists/Ignore are
+  * V1-alias-only by Spark's own rule (path-based V2 writes define only
+  * Append and Overwrite). */
+class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
+                        retain: Int)
+    extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      (data, _) =>
+        if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
+        else ManifestTable.append(data, tableDir, statsCols, retain): Unit
+  }
+}
+
+/** Pushdown surface: column pruning, filter recording (always returned
+  * as residual — pruning is I/O-only, never correctness), and complete
+  * aggregate pushdown against manifest stats. */
+case class GraftScanBuilder(tableDir: String, version: Long,
+                            tableSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+
+  private var readSchema: StructType = tableSchema
+  private var filters: Array[Filter] = Array.empty
+  private var agg: Option[(StructType, InternalRow)] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    readSchema = requiredSchema
+
+  /** Record every filter for dir + row-group pruning, and return every
+    * filter as residual: Spark re-applies the exact predicates above
+    * the scan, so stats pruning can never change results (strict `>`
+    * widened to `>=`, IN folded to its envelope — all safe). */
+  override def pushFilters(pushed: Array[Filter]): Array[Filter] = {
+    filters = pushed
+    pushed
+  }
+
+  override def pushedFilters(): Array[Filter] = filters
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    GraftStatsAgg.answer(SparkSession.active, tableDir, version,
+      tableSchema, aggregation, filters).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    agg = GraftStatsAgg.answer(SparkSession.active, tableDir, version,
+      tableSchema, aggregation, filters)
+    agg.isDefined
+  }
+
+  override def build(): Scan =
+    new GraftScan(tableDir, version, tableSchema, readSchema, filters, agg)
+}
+
+/** The scan: either a metadata-only aggregate answer (one local row)
+  * or a pruned parquet file scan through Spark's own vectorized V2
+  * parquet reader factory. Mutable `keptPaths` is the runtime-filter
+  * seam: Spark may call [[filter]] with join-derived predicates (DPP
+  * shape) before planning partitions. */
+class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
+                requiredSchema: StructType, filters: Array[Filter],
+                agg: Option[(StructType, InternalRow)])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  private def spark: SparkSession = SparkSession.active
+  private def fsOf(s: SparkSession) =
+    new Path(tableDir).getFileSystem(s.sessionState.newHadoopConf())
+  private def zone(s: SparkSession) =
+    java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+
+  /** Commit dirs surviving manifest-stats pruning under the pushed
+    * filters; narrowed further by runtime filters. */
+  private var keptPaths: Seq[String] = {
+    val s = spark
+    ManifestTable.prunePaths(fsOf(s), tableDir, version,
+      GraftManifestSource.boundsOf(filters.toIndexedSeq, zone(s))
+        .filter { case (c, _) => tableSchema.fieldNames.contains(c) },
+      tableSchema)
+  }
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(requiredSchema)
+
+  override def toBatch: Batch = this
+
+  /** Stats-covered columns are runtime-filterable: an IN-set arriving
+    * from a dimension join folds to its envelope and re-prunes dirs. */
+  override def filterAttributes(): Array[NamedReference] =
+    if (agg.isDefined) Array.empty
+    else {
+      val s = spark
+      val fs = fsOf(s)
+      val stats = ManifestTable.statsOf(fs, tableDir, version)
+      tableSchema.fieldNames.filter { c =>
+        stats.values.exists(ManifestTable.statsFor(_, c).isDefined)
+      }.map(Expressions.column)
+    }
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    val s = spark
+    val bounds = GraftManifestSource.boundsOf(runtime.toIndexedSeq, zone(s))
+      .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
+    if (bounds.nonEmpty)
+      keptPaths = keptPaths.intersect(ManifestTable.prunePaths(
+        fsOf(s), tableDir, version, bounds, tableSchema))
+  }
+
+  private def listFiles(s: SparkSession): Seq[FileStatus] = {
+    val fs = fsOf(s)
+    keptPaths.flatMap { p =>
+      fs.listStatus(new Path(tableDir, p)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = agg match {
+    case Some((_, row)) => Array(GraftAggPartition(row))
+    case None =>
+      val s = spark
+      val conf = s.sessionState.conf
+      val files = listFiles(s)
+      val openCost = conf.filesOpenCostInBytes
+      val minPart = conf.filesMinPartitionNum
+        .getOrElse(s.sparkContext.defaultParallelism)
+      val bytesPerCore =
+        (files.map(_.getLen + openCost).sum) / math.max(1, minPart)
+      val maxSplit = math.min(conf.filesMaxPartitionBytes,
+        math.max(openCost, bytesPerCore))
+      val split = files.flatMap { st =>
+        (0L until st.getLen by maxSplit).map { off =>
+          PartitionedFile(InternalRow.empty,
+            org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+            off, math.min(maxSplit, st.getLen - off), Array.empty,
+            st.getModificationTime, st.getLen, Map.empty)
+        }
+      }
+      FilePartition.getFilePartitions(s,
+        split.sortBy(-_.length), maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some(_) => GraftAggReaderFactory
+    case None =>
+      // mirror ParquetScan.createReaderFactory's hadoopConf contract —
+      // the reader factory reads these keys executor-side
+      val s = spark
+      val sqlConf = s.sessionState.conf
+      val hadoopConf: Configuration = s.sessionState.newHadoopConf()
+      val readJson = requiredSchema.json
+      hadoopConf.set(
+        org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+        classOf[ParquetReadSupport].getName)
+      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readJson)
+      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readJson)
+      hadoopConf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
+        sqlConf.sessionLocalTimeZone)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+        sqlConf.nestedSchemaPruningEnabled)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
+        sqlConf.caseSensitiveAnalysis)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
+        sqlConf.isParquetBinaryAsString)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+        sqlConf.isParquetINT96AsTimestamp)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        sqlConf.parquetInferTimestampNTZEnabled)
+      hadoopConf.setBoolean(
+        org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+        sqlConf.legacyParquetNanosAsLong)
+      val broadcasted = s.sparkContext.broadcast(
+        new SerializableConfiguration(hadoopConf))
+      // filters ride along for parquet row-group pruning only — the
+      // same predicates are re-applied above the scan (residual)
+      ParquetPartitionReaderFactory(sqlConf, broadcasted, tableSchema,
+        requiredSchema, new StructType(), filters, None,
+        new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  /** Post-pruning size, and a row count when every surviving dir has
+    * parseable stats — broadcast planning sees what will actually be
+    * read, not the whole table. */
+  override def estimateStatistics(): Statistics = agg match {
+    case Some((schema, _)) => GraftStatistics(
+      OptionalLong.of(schema.defaultSize.toLong), OptionalLong.of(1L))
+    case None =>
+      val s = spark
+      val bytes = try listFiles(s).map(_.getLen).sum
+        catch { case _: java.io.IOException => 0L }
+      val stats = ManifestTable.statsOf(fsOf(s), tableDir, version)
+      val rowCounts = keptPaths.map(p =>
+        stats.get(p).flatMap(ManifestTable.rowsIn))
+      val rows =
+        if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
+        else OptionalLong.empty()
+      GraftStatistics(OptionalLong.of(bytes), rows)
+  }
+
+  override def description(): String = {
+    val b = GraftManifestSource.boundsOf(filters.toIndexedSeq, zone(spark))
+    s"GraftScan $tableDir@v$version prunedBounds=${b.keys.toSeq.sorted.mkString(",")}" +
+      agg.map(a => s" PushedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
+  }
+}
+
+case class GraftStatistics(sizeInBytes: OptionalLong,
+                           numRows: OptionalLong) extends Statistics
+
+/** The one-row partition carrying a metadata-answered aggregate. */
+case class GraftAggPartition(row: InternalRow) extends InputPartition
+
+object GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var consumed = false
+      override def next(): Boolean = !consumed && { consumed = true; true }
+      override def get(): InternalRow = partition.asInstanceOf[GraftAggPartition].row
+      override def close(): Unit = ()
+    }
+}
+
+/** Answering a pushed `Aggregation` from `#stats` manifest headers.
+  * Conditions for pushing (else decline and scan normally):
+  * no GROUP BY, no pushed filters, every aggregate is COUNT(*) /
+  * MIN(col) / MAX(col) on a top-level column of a stats-supported
+  * type, and EVERY live path of the pinned version carries parseable
+  * stats for the referenced columns (stats are conservative metadata —
+  * one stats-less dir means the manifest cannot answer). */
+object GraftStatsAgg {
+
+  /** None = cannot answer; Some((schema, row)) = the complete result. */
+  def answer(spark: SparkSession, tableDir: String, version: Long,
+             tableSchema: StructType, aggregation: Aggregation,
+             pushedFilters: Array[Filter]): Option[(StructType, InternalRow)] = {
+    if (aggregation.groupByExpressions.nonEmpty || pushedFilters.nonEmpty)
+      return None
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val paths = ManifestTable.pathsOf(fs, tableDir, version)
+    val stats = ManifestTable.statsOf(fs, tableDir, version)
+    if (paths.isEmpty || !paths.forall(stats.contains)) return None
+    val payloads = paths.map(stats)
+    val rowCounts = payloads.map(ManifestTable.rowsIn)
+    if (rowCounts.exists(_.isEmpty)) return None
+    val total = rowCounts.flatten.sum
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+
+    def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == nr.fieldNames()(0))
+      case _ => None
+    }
+
+    // (value, fieldType) per agg func, in order; None = can't answer
+    val fields = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some((java.lang.Long.valueOf(total): Any,
+          StructField("COUNT(*)", LongType, nullable = false)))
+      case m: Min => columnOf(m.column).flatMap { f =>
+        extremeOf(payloads, f, zone, isMin = true)
+          .map(v => (v, StructField(s"MIN(${f.name})", f.dataType)))
+      }
+      case m: Max => columnOf(m.column).flatMap { f =>
+        extremeOf(payloads, f, zone, isMin = false)
+          .map(v => (v, StructField(s"MAX(${f.name})", f.dataType)))
+      }
+      case _ => None // SUM/AVG/COUNT(col)/... : stats can't answer
+    }
+    if (fields.exists(_.isEmpty)) return None
+    val resolved = fields.flatten
+    Some((StructType(resolved.map(_._2)),
+      new GenericInternalRow(resolved.map(_._1).toArray)))
+  }
+
+  /** The min/max across every dir's recorded extreme for `f`, as the
+    * INTERNAL value Spark's row format wants. All-null dirs contribute
+    * nothing; every dir all-null → Some(null) (the SQL answer). A
+    * payload missing the column, or an unsupported/unparseable value →
+    * None (decline the pushdown). */
+  private def extremeOf(payloads: Seq[String], f: StructField,
+                        zone: java.time.ZoneId,
+                        isMin: Boolean): Option[Any] = {
+    if (!supported(f.dataType)) return None
+    val perDir = payloads.map(ManifestTable.statsFor(_, f.name))
+    if (perDir.exists(_.isEmpty)) return None // column untracked in a dir
+    val present = perDir.flatten.flatMap(t => if (isMin) t._2 else t._3)
+    val parsed = present.map(s => internalValue(f.dataType, s, zone))
+    if (parsed.exists(_.isEmpty)) return None
+    val vs = parsed.flatten
+    if (vs.isEmpty) Some(null) // no non-null values anywhere
+    else Some(vs.reduce((a, b) =>
+      if ((compareInternal(f.dataType, a, b) <= 0) == isMin) a else b))
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | _: DecimalType | DateType | TimestampType |
+         TimestampNTZType | StringType => true
+    case _ => false
+  }
+
+  /** Parse a stats string (Spark cast-to-string rendering) back to the
+    * internal representation for `dt`. Timestamps parse in the session
+    * zone — the zone the stats writer rendered in. */
+  private[sources] def internalValue(dt: DataType, s: String,
+                                     zone: java.time.ZoneId): Option[Any] = try {
+    dt match {
+      case ByteType => Some(java.lang.Byte.valueOf(s))
+      case ShortType => Some(java.lang.Short.valueOf(s))
+      case IntegerType => Some(java.lang.Integer.valueOf(s))
+      case LongType => Some(java.lang.Long.valueOf(s))
+      case FloatType => Some(java.lang.Float.valueOf(s))  // Infinity/NaN parse
+      case DoubleType => Some(java.lang.Double.valueOf(s))
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(
+          BigDecimal(new java.math.BigDecimal(s)), d.precision, d.scale))
+      case DateType =>
+        Some(java.lang.Integer.valueOf(
+          java.time.LocalDate.parse(s).toEpochDay.toInt))
+      case TimestampType =>
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        val ins = ldt.atZone(zone).toInstant
+        Some(java.lang.Long.valueOf(ins.getEpochSecond * 1000000L + ins.getNano / 1000L))
+      case TimestampNTZType =>
+        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        Some(java.lang.Long.valueOf(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L))
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case _ => None
+    }
+  } catch { case _: RuntimeException => None }
+
+  /** Compare two internal values in Spark's OWN ordering for the type
+    * (Double/Float NaN greatest, strings in UTF8 binary order — NOT
+    * java.lang.String order, which diverges beyond the BMP). */
+  private def compareInternal(dt: DataType, a: Any, b: Any): Int = dt match {
+    case FloatType => java.lang.Float.compare(
+      a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType => java.lang.Double.compare(
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _: DecimalType => a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal])
+    case StringType => a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    case _ => // Byte/Short/Int/Long/Date(Int days)/Timestamp(Long micros)
+      java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+  }
+}

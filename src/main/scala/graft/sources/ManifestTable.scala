@@ -129,6 +129,12 @@ object ManifestTable {
     if (t == NullTok) None
     else Some(java.net.URLDecoder.decode(t, "UTF-8"))
 
+  /** The recorded row count of one path's stats payload, if parseable. */
+  private[graft] def rowsIn(payload: String): Option[Long] = {
+    val tok = payload.takeWhile(_ != '\t')
+    try Some(tok.toLong) catch { case _: NumberFormatException => None }
+  }
+
   /** Parse one path's stats payload for `column`: Some((rows, min,
     * max)) when that column was tracked; min/max None = all-null. */
   private[graft] def statsFor(payload: String, column: String)
@@ -409,15 +415,8 @@ object ManifestTable {
     // GC'd or lost, and the scan still has to plan and run.
     val tableSchema = declaredSchemaOf(spark, tableDir, v).getOrElse(
       readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p")).schema)
+    val keep = prunePaths(fs, tableDir, v, bounds, tableSchema)
     val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
-    val keep = paths.filter { p =>
-      bounds.forall { case (c, (lo, hi)) =>
-        stats.get(p).flatMap(statsFor(_, c)) match {
-          case Some((_, mn, mx)) => statRangeOverlaps(dts(c), mn, mx, lo, hi)
-          case None => true // no stats for this path/column → must read
-        }
-      }
-    }
     val pred = bounds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo).cast(dts(c)) && col(c) <= lit(hi).cast(dts(c))
     }.reduce(_ && _)
@@ -427,6 +426,28 @@ object ManifestTable {
         .filter(pred)
     else readWithDeclared(spark, tableDir, v, keep.map(p => s"$tableDir/$p"))
       .filter(pred)
+  }
+
+  /** The paths of version `v` surviving conjunctive bounds pruning —
+    * the dir-selection kernel [[rangeScan]] and the V2 scan share
+    * (pure metadata: manifest lines only, no data I/O). A path with no
+    * stats for a bounded column always survives (conservative). */
+  private[graft] def prunePaths(fs: FileSystem, tableDir: String, v: Long,
+                                bounds: Map[String, (String, String)],
+                                tableSchema: org.apache.spark.sql.types.StructType)
+      : Seq[String] = {
+    val paths = pathsOf(fs, tableDir, v)
+    if (bounds.isEmpty) return paths
+    val stats = statsOf(fs, tableDir, v)
+    val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
+    paths.filter { p =>
+      bounds.forall { case (c, (lo, hi)) =>
+        stats.get(p).flatMap(statsFor(_, c)) match {
+          case Some((_, mn, mx)) => statRangeOverlaps(dts(c), mn, mx, lo, hi)
+          case None => true // no stats for this path/column → must read
+        }
+      }
+    }
   }
 
   /** Conservative interval test for [[rangeScan]]: true unless the

@@ -1,0 +1,221 @@
+package graft
+
+import graft.sources.{GraftTableProvider, ManifestTable}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** S21 — the `graft` DataSource V2 surface: vectorized batch reads with
+  * manifest-dir pruning (proven by a deleted dir), snapshot pinning /
+  * versionAsOf, V1Write-bridged append/overwrite (including the first
+  * write to an uncommitted path), statistics-driven broadcast, and the
+  * marquee: complete aggregate pushdown answered from `#stats` manifest
+  * headers with ZERO data files opened — proven by physically deleting
+  * every data dir and still answering count/min/max. */
+class GraftV2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_v2_").toString
+
+  private def batch(year: Int, n: Int = 10) = {
+    val rows = (0 until n).map(i =>
+      (year * 1000L + i, s"$year-06-${10 + (i % 10)}", i * 1.5))
+    rows.toDF("k", "ds", "v").withColumn("d", col("ds").cast("date")).drop("ds")
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }
+
+  test("short name registers; read path is a V2 BatchScan with value parity") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997).foreach(y =>
+      ManifestTable.append(batch(y), dir, statsCols = Seq("d")))
+    val v2 = spark.read.format("graft").load(dir)
+    assert(scanOf(v2).isDefined, "expected a DSv2 BatchScanExec")
+    assert(v2.count() == 30)
+    assert(v2.schema.fieldNames.toSeq == Seq("k", "v", "d"))
+    // row-for-row parity with the native manifest read
+    val native = ManifestTable.read(spark, dir)
+      .select("k", "v", "d").collect().map(_.toString).sorted.toSeq
+    val got = v2.select("k", "v", "d").collect().map(_.toString).sorted.toSeq
+    assert(got == native)
+  }
+
+  test("dir pruning through V2: a physically deleted dir stays unread when pushed filters prune it") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997).foreach(y =>
+      ManifestTable.append(batch(y), dir, statsCols = Seq("d")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).get
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    val p1995 = paths.find(p =>
+      ManifestTable.statsFor(stats(p), "d").exists(_._2.exists(_.startsWith("1995")))).get
+    fs.delete(new org.apache.hadoop.fs.Path(dir, p1995), true)
+    val pruned = spark.read.format("graft").load(dir)
+      .filter(col("d") >= lit("1997-01-01") && col("d") <= lit("1997-12-31"))
+    assert(pruned.count() == 10)
+    assert(pruned.agg(sum(col("k"))).head.getLong(0)
+      == (0 until 10).map(1997000L + _).sum)
+    // an unpruned, unpushable scan must fail — proves the dir mattered.
+    // (NOT .count(): the aggregate pushdown answers that from manifest
+    // stats without touching the deleted dir — by design.)
+    intercept[Exception] {
+      spark.read.format("graft").load(dir).agg(sum(col("k"))).head
+    }
+  }
+
+  test("snapshot pinning at load + versionAsOf time travel") {
+    val dir = freshDir()
+    ManifestTable.append(batch(2000), dir, statsCols = Seq("d"))
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    val pinned = spark.read.format("graft").load(dir)
+    ManifestTable.append(batch(2001), dir, statsCols = Seq("d"))
+    assert(pinned.count() == 10)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    assert(spark.read.format("graft")
+      .option("versionAsOf", v1).load(dir).count() == 10)
+  }
+
+  test("write side: first write to an uncommitted path, append, truncate-overwrite") {
+    val dir = freshDir()
+    // first write: no manifest exists — ACCEPT_ANY_SCHEMA path
+    batch(1995).write.format("graft").option("statsCols", "d")
+      .mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 10)
+    batch(1996).write.format("graft").option("statsCols", "d")
+      .mode(SaveMode.Append).save(dir)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    // stats were recorded through the V2 write: disjoint range prunes all
+    val none = spark.read.format("graft").load(dir)
+      .filter(col("d") >= lit("1990-01-01") && col("d") <= lit("1990-12-31"))
+    assert(none.count() == 0)
+    // overwrite = truncate + append through SupportsTruncate
+    batch(1998, n = 4).write.format("graft").option("statsCols", "d")
+      .mode(SaveMode.Overwrite).save(dir)
+    val after = spark.read.format("graft").load(dir)
+    assert(after.count() == 4)
+    assert(after.agg(min(col("d")).cast("string")).head.getString(0)
+      .startsWith("1998"))
+    // V1 alias reads the SAME table (one format family, two API surfaces)
+    assert(spark.read.format("graft-manifest").load(dir).count() == 4)
+  }
+
+  test("aggregate pushdown: count/min/max answered from manifest stats with every data dir DELETED") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997).foreach(y =>
+      ManifestTable.append(batch(y), dir, statsCols = Seq("d", "k", "v")))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).get
+    // the hard proof: no data dir survives, only _manifests
+    ManifestTable.pathsOf(fs, dir, head).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, p), true))
+    val t = spark.read.format("graft").load(dir)
+    val got = t.agg(
+      count(lit(1)).as("n"), min(col("d")).as("lo_d"), max(col("d")).as("hi_d"),
+      min(col("k")).as("lo_k"), max(col("k")).as("hi_k"),
+      min(col("v")).as("lo_v"), max(col("v")).as("hi_v")).head
+    assert(got.getLong(0) == 30L)
+    assert(got.getDate(1).toString == "1995-06-10")
+    assert(got.getDate(2).toString == "1997-06-19")
+    assert(got.getLong(3) == 1995000L && got.getLong(4) == 1997009L)
+    assert(got.getDouble(5) == 0.0 && got.getDouble(6) == 13.5)
+    // count() goes through the same pushdown
+    assert(t.count() == 30L)
+    // the plan carries the pushed aggregate (description surface)
+    val scan = scanOf(t.groupBy().agg(count(lit(1)).as("n"))).get
+    assert(scan.description().contains("PushedAggregates"), scan.description())
+  }
+
+  test("aggregate pushdown declines safely: stats-less dir, WHERE clause, unsupported func") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
+    ManifestTable.append(batch(1996), dir) // no stats → manifest can't answer
+    val t = spark.read.format("graft").load(dir)
+    // falls back to a real scan and still answers correctly
+    val r = t.agg(count(lit(1)), min(col("d")).cast("string")).head
+    assert(r.getLong(0) == 20L && r.getString(1) == "1995-06-10")
+    // WHERE blocks pushdown (filters are residual) but stays correct
+    val dir2 = freshDir()
+    Seq(1995, 1996).foreach(y =>
+      ManifestTable.append(batch(y), dir2, statsCols = Seq("d", "k")))
+    val t2 = spark.read.format("graft").load(dir2)
+    assert(t2.filter(col("d") >= lit("1996-01-01")).count() == 10L)
+    // SUM is not stats-answerable: normal scan, correct value
+    assert(t2.agg(sum(col("k"))).head.getLong(0)
+      == (0 until 10).map(1995000L + _).sum + (0 until 10).map(1996000L + _).sum)
+  }
+
+  test("typed extremes: decimal, timestamp, string, and double NaN/Infinity round-trip the stats encoding") {
+    val dir = freshDir()
+    val rows = Seq(
+      (BigDecimal("12.34"), java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5"), "apple", 1.5),
+      (BigDecimal("-99.99"), java.sql.Timestamp.valueOf("2024-06-30 23:59:59"), "zebra", Double.NegativeInfinity),
+      (BigDecimal("500.01"), java.sql.Timestamp.valueOf("2023-12-31 00:00:01"), "mango", Double.NaN))
+    val df = rows.toDF("dec", "ts", "s", "x")
+      .withColumn("dec", col("dec").cast("decimal(10,2)"))
+    ManifestTable.append(df, dir, statsCols = Seq("dec", "ts", "s", "x"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).get
+    ManifestTable.pathsOf(fs, dir, head).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, p), true))
+    val t = spark.read.format("graft").load(dir)
+    val g = t.agg(
+      min(col("dec")), max(col("dec")), min(col("ts")).cast("string"),
+      max(col("ts")).cast("string"), min(col("s")), max(col("s")),
+      min(col("x")), max(col("x"))).head
+    assert(g.getDecimal(0).toString == "-99.99" && g.getDecimal(1).toString == "500.01")
+    assert(g.getString(2) == "2023-12-31 00:00:01")
+    assert(g.getString(3) == "2024-06-30 23:59:59.5".replace("30 23", "30 23")
+      || g.getString(3) == "2024-06-30 23:59:59") // max is the June ts
+    assert(g.getString(4) == "apple" && g.getString(5) == "zebra")
+    assert(g.getDouble(6) == Double.NegativeInfinity)
+    assert(g.getDouble(7).isNaN) // Spark: NaN is greatest
+  }
+
+  test("estimateStatistics: small graft dim auto-broadcasts in a fact join") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
+    val dim = spark.read.format("graft").load(dir)
+    val fact = spark.range(100000).selectExpr("id % 10000 AS k", "id AS payload")
+    val plan = fact.join(dim, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("SQL surface: CREATE TABLE USING graft + INSERT INTO/OVERWRITE") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"))
+    spark.sql("DROP TABLE IF EXISTS graft_v2_t")
+    spark.sql(s"""CREATE TABLE graft_v2_t USING graft
+                  OPTIONS (path '$dir', statsCols 'd')""")
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft_v2_t").head.getLong(0) == 10)
+      val got = spark.sql(
+        """SELECT count(*) AS n, sum(k) AS ks FROM graft_v2_t
+           WHERE d BETWEEN '1995-01-01' AND '1995-12-31'""").head
+      assert(got.getLong(0) == 10)
+      spark.sql("INSERT INTO graft_v2_t VALUES (1996000, 1.5, DATE'1996-06-10')")
+      assert(spark.sql("SELECT count(*) FROM graft_v2_t").head.getLong(0) == 11)
+      spark.sql("INSERT OVERWRITE graft_v2_t SELECT * FROM graft_v2_t WHERE k >= 1996000")
+      assert(spark.sql("SELECT count(*) FROM graft_v2_t").head.getLong(0) == 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_v2_t")
+  }
+
+  test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997, 1998).foreach(y =>
+      ManifestTable.append(batch(y, n = 50), dir, statsCols = Seq("d")))
+    ManifestTable.compactAppend(spark, dir, statsCols = Seq("d"), k = 3)
+    val v2 = spark.read.format("graft").load(dir)
+      .select("k", "v", "d").collect().map(_.toString).sorted.toSeq
+    val v1 = spark.read.format("graft-manifest").load(dir)
+      .select("k", "v", "d").collect().map(_.toString).sorted.toSeq
+    assert(v2 == v1 && v2.size == 200)
+  }
+}
