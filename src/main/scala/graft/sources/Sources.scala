@@ -629,6 +629,40 @@ object Sources {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
+  /** S21: metadata-only aggregate pushdown on the V2 `graft` source
+    * ([[GraftTableProvider]]) — the global count + date extremes over
+    * the S20 demo table are answered from `#stats` manifest headers
+    * without opening ONE data file (complete pushdown; proven the hard
+    * way in GraftV2Spec by deleting every data dir). Every commit dir
+    * was written with `statsCols=o_orderdate`, including the empty
+    * 1999–2001 appends (rows=0, all-null extremes — skipped, not
+    * mis-counted). Falls back to a normal scan, same answer, if any
+    * dir's stats were missing — the oracle can't tell, by design. */
+  def s21_agg_pushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = sourceDemo(s, d)
+    s.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderdate")).as("first_day"),
+        max(col("o_orderdate")).as("last_day"))
+  }
+
+  /** S22: the S20 pruned-read shape through the V2 path — same pushed
+    * date envelope, same residual price band, now planned as a
+    * columnar BatchScan (no V1 Row bridge) with manifest-dir pruning
+    * in [[GraftScan]]. Same oracle as s20: the API surface must change
+    * WHERE rows are read, never WHICH rows come back. */
+  def s22_v2_pushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = sourceDemo(s, d)
+    val t = s.read.format("graft").load(dir)
+    val dt = t.schema("o_orderdate").dataType
+    t.filter(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast(dt) &&
+        col("o_orderdate") <= lit("1998-12-31 23:59:59").cast(dt) &&
+        col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 250000.0)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).as("key_checksum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -648,6 +682,8 @@ object Sources {
     "s18_point_lookup" -> (s18_point_lookup _),
     "s19_stats_skipping" -> (s19_stats_skipping _),
     "s20_source_pushdown" -> (s20_source_pushdown _),
+    "s21_agg_pushdown" -> (s21_agg_pushdown _),
+    "s22_v2_pushdown" -> (s22_v2_pushdown _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -759,6 +795,20 @@ object Sources {
          FROM orders
          WHERE o_orderdate >= '1997-01-01' AND o_orderdate <= '1997-12-31'""",
     "s20_source_pushdown" ->
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o_orderdate <= TIMESTAMP '1998-12-31 23:59:59'
+           AND o_totalprice >= 1000.0 AND o_totalprice <= 250000.0""",
+    // the demo table holds the 1995+ slice of orders (seven yearly
+    // appends; 1999-2001 are empty); extremes over that slice
+    "s21_agg_pushdown" ->
+      """SELECT count(*) AS n, min(o_orderdate) AS first_day,
+         max(o_orderdate) AS last_day
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'""",
+    "s22_v2_pushdown" ->
       """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total_price,
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders

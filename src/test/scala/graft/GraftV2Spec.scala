@@ -207,6 +207,19 @@ class GraftV2Spec extends SparkTestBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_v2_t")
   }
 
+  test("board query s21_agg_pushdown actually pushes (plan-asserted) and matches a plain scan") {
+    val q = graft.sources.Sources.s21_agg_pushdown(spark, sf)
+    val scan = scanOf(q).get
+    assert(scan.description().contains("PushedAggregates"), scan.description())
+    // same numbers as computing the aggregate the ordinary way
+    val plain = graft.Tables.orders(spark, sf)
+      .filter(year(col("o_orderdate")) >= 1995)
+      .agg(count(lit(1)), min(col("o_orderdate")), max(col("o_orderdate"))).head
+    val got = q.head
+    assert(got.getLong(0) == plain.getLong(0))
+    assert(got.get(1) == plain.get(1) && got.get(2) == plain.get(2))
+  }
+
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>
