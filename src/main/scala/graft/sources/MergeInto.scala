@@ -520,9 +520,63 @@ object MergeInto {
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
         schemaDdl = Some(tableSchema.toDDL))
-      // on conflict the freshly-written commit dir is abandoned — a
-      // later successful commit's GC sweeps it, same as a crashed writer
-      published
+      published match {
+        case some @ Some(_) => some
+        // lost the publish — but if the interleaved commits left OUR
+        // buckets untouched, the replacement we already wrote is still
+        // valid: re-commit it against the new head instead of paying a
+        // full re-read + rewrite (bucket-granular conflict validation)
+        case None => retryDisjointCommit(spark, fs, tableDir, liveByBucket,
+          touched, written.toIndexedSeq.map(b => s"$cid/$b"), tableSchema)
+      }
+      // on a TRUE conflict the freshly-written commit dir is abandoned —
+      // a later successful commit's GC sweeps it, same as a crashed writer
+  }
+
+  /** Iceberg-style validation after a lost publish: disjoint writers
+    * don't serialize through a data rewrite. The attempt's replacement
+    * dir was built from the OBSERVED state of its touched buckets; it
+    * stays valid exactly while every interleaved commit left those
+    * buckets' dirs as observed (racing merges on OTHER buckets, by the
+    * one-dir-per-bucket layout). Then the only work left is the
+    * pointer: carry the new head's untouched dirs, drop our buckets'
+    * old dirs, add our written ones, merge the (possibly concurrently
+    * evolved) declared schema through the same [[resolveSchema]]
+    * validation, and `commitIf` on the new head. None = a touched
+    * bucket DID change (true conflict — standing rows we anti-joined
+    * are stale), or the head carries a non-bucket layout (foreign
+    * writer): the caller falls back to the full rebase, which is
+    * always correct. Overlapping merges therefore still linearize;
+    * disjoint merges commit without re-reading a row — the contention
+    * cost Iceberg's partition-granular validation buys at 100 TB,
+    * here at bucket granularity. */
+  private def retryDisjointCommit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
+      observedByBucket: Map[Int, String], touched: Array[Int],
+      writtenPaths: Seq[String],
+      ourSchema: org.apache.spark.sql.types.StructType): Option[Long] = {
+    var attempt = 0
+    while (attempt < 50) {
+      attempt += 1
+      val headV = ManifestTable.versions(fs, tableDir).lastOption.getOrElse(0L)
+      if (headV == 0L) return None
+      val parsed = ManifestTable.pathsOf(fs, tableDir, headV).map { rel =>
+        val i = rel.lastIndexOf("b=")
+        if (i < 0) None
+        else rel.substring(i + 2).toIntOption.map(_ -> rel)
+      }
+      if (parsed.exists(_.isEmpty)) return None // foreign layout → rebase
+      val headByBucket = parsed.flatten.toMap
+      if (touched.exists(b => headByBucket.get(b) != observedByBucket.get(b)))
+        return None // true conflict: our standing read is stale
+      val declared = ManifestTable.schemaOf(fs, tableDir, headV)
+      val merged = resolveSchema(tableDir, declared, ourSchema)
+      val r = ManifestTable.commitIf(spark, tableDir,
+        ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
+        expectedBase = headV, schemaDdl = Some(merged.toDDL))
+      if (r.isDefined) return r
+    }
+    None
   }
 
   /** Point lookup — the serving-path read: each key's bucket is

@@ -433,6 +433,75 @@ class MergeIntoSpec extends SparkTestBase {
     } finally graft.sources.ManifestTable.storeOverride = None
   }
 
+  /** Deterministic interleave harness for the bucket-granular conflict
+    * validation: writer A observes the table and writes its replacement
+    * dir; exactly at A's first manifest publish attempt, a FULL second
+    * merge (B) runs to completion through the same store, stealing the
+    * version slot. A's publish fails; what happens next is the point:
+    *  - B touched OTHER buckets → A re-commits the dir it already wrote
+    *    (no re-read, no rewrite — 3 commit dirs on disk, not 4);
+    *  - B touched A's bucket → true conflict, A falls back to the full
+    *    rebase (re-read + rewrite — 4 dirs) and still linearizes after B.
+    */
+  private def runInterleaved(inner: graft.sources.ManifestStore,
+                             overlap: Boolean): Unit = {
+    val dir = freshDir()
+    val n = 8
+    MergeInto.create((1L to 32L).map(k => MergeRow(k, "init", 0.0)).toDF(),
+      dir, "k", nBuckets = n)
+    // key → bucket under the kernel's own router (never re-implemented)
+    val b = (1L to 32L).toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bucketA = b(1L)
+    val keysA = (1L to 32L).filter(k => b(k) == bucketA)
+    val keysB =
+      if (overlap) keysA
+      else {
+        val bucketB = b((1L to 32L).find(k => b(k) != bucketA).get)
+        (1L to 32L).filter(k => b(k) == bucketB)
+      }
+    @volatile var fired = false
+    val store: graft.sources.ManifestStore = new graft.sources.ManifestStore {
+      def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                      target: org.apache.hadoop.fs.Path,
+                      body: Array[Byte]): Boolean = {
+        if (!fired && target.getName.startsWith("m-")) {
+          fired = true
+          MergeInto.merge(keysB.map(k => MergeRow(k, "B", 2.0)).toDF(), dir): Unit
+        }
+        inner.putIfAbsent(fs, target, body)
+      }
+    }
+    graft.sources.ManifestTable.storeOverride = Some(store)
+    val vA =
+      try MergeInto.merge(keysA.map(k => MergeRow(k, "A", 1.0)).toDF(), dir)
+      finally graft.sources.ManifestTable.storeOverride = None
+    assert(fired, "interleave never fired")
+    assert(vA == 3L, s"create=1, B=2, A must land at 3; got $vA")
+    val fin = table(dir)
+    keysA.foreach(k => assert(fin(k) == ("A", 1.0), s"key $k: ${fin(k)}"))
+    if (!overlap) keysB.foreach(k => assert(fin(k) == ("B", 2.0), s"key $k: ${fin(k)}"))
+    ((1L to 32L).toSet -- keysA -- keysB).foreach(k =>
+      assert(fin(k) == ("init", 0.0), s"untouched key $k changed: ${fin(k)}"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("c-"))
+    assert(cDirs == (if (overlap) 4 else 3),
+      s"expected ${if (overlap) "a rewrite (4 dirs)" else "NO rewrite (3 dirs)"}, got $cDirs")
+  }
+
+  test("disjoint-bucket merges commit without rebase-rewrite — on all three manifest stores") {
+    Seq(graft.sources.PosixLinkStore, graft.sources.HdfsClaimStore,
+      graft.sources.ConditionalPutStore)
+      .foreach(s => runInterleaved(s, overlap = false))
+  }
+
+  test("overlapping-bucket merges still linearize: loser pays the full rebase after the winner") {
+    runInterleaved(graft.sources.PosixLinkStore, overlap = true)
+  }
+
   test("racing initial creators with different geometries resolve to one pinned winner") {
     // Geometry markers are put-if-absent + read-back: two concurrent
     // create() calls with different nBuckets can never BOTH proceed —
