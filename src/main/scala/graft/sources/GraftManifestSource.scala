@@ -143,7 +143,9 @@ object GraftManifestSource {
     val stats = ManifestTable.statsOf(fs, dir, v)
     ManifestTable.commit(spark, dir, Seq(cid), retainGenerations,
       schemaDdl = Some(data.schema.toDDL),
-      stats = stats.view.filterKeys(_ == cid).toMap): Unit
+      stats = stats.view.filterKeys(_ == cid).toMap,
+      // replacing the data does not reset writer txn watermarks
+      meta = ManifestTable.metaOf(fs, dir, v)): Unit
   }
 
   /** Fold Spark's pushed filters into per-column [lo, hi] bounds in

@@ -119,6 +119,27 @@ object ManifestTable {
         rest.take(i) -> rest.drop(i + 1)
       }.toMap
 
+  private val MetaHeader = "#meta\t"
+
+  /** Small key→value metadata carried in a version's manifest header
+    * (`#meta\t<key>\t<value>`, both URL-encoded). The transactional-
+    * writer channel: [[graft.streaming.Streams.appendSink]] records its
+    * `txn:<appId>` → batchId watermark here so a micro-batch replayed
+    * after a crash (committed manifest, unacked checkpoint) is
+    * recognized and skipped — Delta's (txnAppId, txnVersion)
+    * idempotent-write contract. Pre-meta readers skip the `#` lines;
+    * [[append]] carries the prior version's meta forward the same way
+    * it carries stats. */
+  def metaOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
+    manifestLines(fs, tableDir, v)
+      .filter(_.startsWith(MetaHeader))
+      .map { l =>
+        val rest = l.stripPrefix(MetaHeader)
+        val i = rest.indexOf('\t')
+        java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8")
+      }.toMap
+
   private val NullTok = "%N" // URLEncoder never emits '%' + non-hex
 
   private def encTok(o: Any): String =
@@ -233,8 +254,9 @@ object ManifestTable {
     * prior version's); evolution belongs to [[MergeInto]]. */
   def append(df: DataFrame, tableDir: String,
              statsCols: Seq[String] = Seq.empty,
-             retainGenerations: Int = 2): Long =
-    appendWithCid(df, tableDir, statsCols, retainGenerations)._1
+             retainGenerations: Int = 2,
+             meta: Map[String, String] = Map.empty): Long =
+    appendWithCid(df, tableDir, statsCols, retainGenerations, meta)._1
 
   /** [[append]], also exposing the commit-dir name it created — the
     * overwrite path commits exactly `[cid]` as the new table, so it
@@ -244,7 +266,9 @@ object ManifestTable {
     * head paths and overwrite silently degrades to append). */
   private[graft] def appendWithCid(df: DataFrame, tableDir: String,
                                    statsCols: Seq[String] = Seq.empty,
-                                   retainGenerations: Int = 2): (Long, String) = {
+                                   retainGenerations: Int = 2,
+                                   meta: Map[String, String] = Map.empty)
+      : (Long, String) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
@@ -296,9 +320,13 @@ object ManifestTable {
               p.copy(nullable = p.nullable || i.nullable)
             }).toDDL
       }
+      // meta carries forward like stats; this append's keys override
+      val priorMeta =
+        if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
       val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
         retainGenerations, schemaDdl = Some(declaredDdl),
-        stats = priorStats ++ payload.map(cid -> _))
+        stats = priorStats ++ payload.map(cid -> _),
+        meta = priorMeta ++ meta)
       committed.foreach(v => return (v, cid))
     }
     (-1L, cid) // unreachable
@@ -369,7 +397,8 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir,
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
-        stats = headStats ++ outStats)
+        stats = headStats ++ outStats,
+        meta = metaOf(fs, tableDir, head))
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -507,7 +536,12 @@ object ManifestTable {
       val paths = pathsOf(fs, tableDir, v)
       commitIf(spark, tableDir, paths, expectedBase = head,
         retainGenerations, schemaDdl = schemaOf(fs, tableDir, v),
-        stats = statsOf(fs, tableDir, v)) match {
+        stats = statsOf(fs, tableDir, v),
+        // the HEAD's meta, not the restored version's: txn watermarks
+        // are monotone per writer — rolling the data back must not
+        // roll back idempotence markers, or a replayed batch that
+        // committed after v double-applies
+        meta = metaOf(fs, tableDir, head)) match {
         case Some(nv) =>
           val missing = paths.map(_.split("/", 2).head).distinct
             .filterNot(d => fs.exists(new Path(tableDir, d)))
@@ -652,15 +686,20 @@ object ManifestTable {
 
   private def manifestBody(relPaths: Seq[String],
                            schemaDdl: Option[String],
-                           stats: Map[String, String] = Map.empty): Array[Byte] = {
+                           stats: Map[String, String] = Map.empty,
+                           meta: Map[String, String] = Map.empty): Array[Byte] = {
     schemaDdl.foreach(d => require(!d.contains("\n"),
       s"schema DDL must be one line, got: $d"))
     val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
+    val metaLines = meta.toSeq.sorted.map { case (k, v) =>
+      MetaHeader + java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
+        java.net.URLEncoder.encode(v, "UTF-8") + "\n"
+    }.mkString
     // stats only for paths this manifest actually lists — a dropped
     // (compacted/GC'd) path must not leave a dangling stats line
     val statLines = relPaths.filter(stats.contains).sorted
       .map(p => StatsHeader + p + "\t" + stats(p) + "\n").mkString
-    (header + statLines + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+    (header + metaLines + statLines + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
   /** Commit a new version whose table is exactly `relPaths`, then GC
@@ -674,11 +713,12 @@ object ManifestTable {
   def commit(spark: SparkSession, tableDir: String, relPaths: Seq[String],
              retainGenerations: Int = 2,
              schemaDdl: Option[String] = None,
-             stats: Map[String, String] = Map.empty): Long = {
+             stats: Map[String, String] = Map.empty,
+             meta: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = manifestBody(relPaths, schemaDdl, stats)
+    val body = manifestBody(relPaths, schemaDdl, stats, meta)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (!publishAt(fs, mdir, v, body)) {
@@ -705,14 +745,15 @@ object ManifestTable {
                expectedBase: Long,
                retainGenerations: Int = 2,
                schemaDdl: Option[String] = None,
-               stats: Map[String, String] = Map.empty): Option[Long] = {
+               stats: Map[String, String] = Map.empty,
+               meta: Map[String, String] = Map.empty): Option[Long] = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
     val v = expectedBase + 1
-    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats))) None
+    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats, meta))) None
     else if (versions(fs, tableDir).last != v) {
       // lost to writers that got ahead through a GC'd slot; withdraw —
       // readers resolve the (higher) head, never this manifest

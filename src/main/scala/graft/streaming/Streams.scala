@@ -315,22 +315,58 @@ object Streams {
     * the shape streaming ingest produces (each batch spans a narrow
     * slice of event time). `compactAppend` later folds the accreted
     * batch dirs into range-sorted ones without stopping the stream
-    * (racing appends rebase). At-least-once across restarts: a batch
-    * REPLAYED after a crash mid-commit appends again (append has no
-    * key to dedup on — exactly-once belongs to [[upsertSink]]); the
-    * manifest itself is never torn, a reader sees whole batches only. */
+    * (racing appends rebase). EXACTLY-ONCE across restarts (r11): each
+    * batch commit records a `txn:<appId>` → batchId watermark in the
+    * manifest's `#meta` header ([[graft.sources.ManifestTable.metaOf]]);
+    * a batch re-delivered after a crash in the window between manifest
+    * commit and checkpoint ack arrives with a batchId ≤ the recorded
+    * watermark and is SKIPPED instead of double-appended — the
+    * (txnAppId, txnVersion) idempotent-write contract Delta defines
+    * for foreachBatch sinks. `appId` defaults to the checkpoint path
+    * (the query identity the batchIds are scoped to); a NEW checkpoint
+    * against the same table is a new writer — pass the old appId to
+    * keep the watermark, and note the standard caveat: a fresh
+    * checkpoint's batch 0 re-reads the whole source, so reusing the
+    * appId deliberately drops that replay. */
   def appendSink(stream: DataFrame, tableDir: String,
                  checkpointDir: String,
-                 statsCols: Seq[String] = Seq.empty): Unit = {
+                 statsCols: Seq[String] = Seq.empty,
+                 txnAppId: Option[String] = None): Unit = {
+    val app = txnAppId.getOrElse(checkpointDir)
     val q = stream.writeStream
-      .foreachBatch((b: DataFrame, _: Long) =>
-        if (!b.isEmpty) {
-          graft.sources.ManifestTable.append(b, tableDir, statsCols): Unit
-        })
+      .foreachBatch((b: DataFrame, id: Long) =>
+        appendBatch(b, tableDir, statsCols, app, id): Unit)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The foreachBatch body of [[appendSink]], directly callable so the
+    * crash-replay window is testable without killing a JVM: commit the
+    * batch with the writer's txn watermark unless the table already
+    * recorded this (or a later) batchId for `appId`. Returns the
+    * committed version, or None when the batch was recognized as a
+    * replay (or was empty). Single writer per appId (the foreachBatch
+    * contract — batches of one query never run concurrently), so the
+    * read-check + append pair needs no extra atomicity: the only
+    * re-entry is the crashed writer's own replay, which this check
+    * absorbs. */
+  private[graft] def appendBatch(b: DataFrame, tableDir: String,
+                                 statsCols: Seq[String], appId: String,
+                                 batchId: Long): Option[Long] = {
+    val spark = b.sparkSession
+    val key = s"txn:$appId"
+    val committed = graft.sources.ManifestTable.headVersion(spark, tableDir)
+      .flatMap { v =>
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        graft.sources.ManifestTable.metaOf(fs, tableDir, v).get(key)
+      }.map(_.toLong)
+    if (committed.exists(_ >= batchId)) None // replayed batch: already in
+    else if (b.isEmpty) None
+    else Some(graft.sources.ManifestTable.append(b, tableDir, statsCols,
+      meta = Map(key -> batchId.toString)))
   }
 
   /** X12 (T40 × X5): streaming curation ingest — the funnel's stateless

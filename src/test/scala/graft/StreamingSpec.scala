@@ -398,6 +398,59 @@ class StreamingSpec extends SparkTestBase {
       "the 11:00 micro-batch must be pruned at the manifest")
   }
 
+  test("X8 crash recovery: a batch replayed after commit-before-ack does NOT double-append") {
+    // The crash window: foreachBatch committed the manifest, the JVM
+    // died before the checkpoint acked, restart re-delivers the SAME
+    // batchId. appendBatch is the foreachBatch body — drive the window
+    // directly instead of killing a JVM.
+    val base = java.nio.file.Files.createTempDirectory("graft_x8r_").toString
+    val table = s"$base/table"
+    val b0 = Seq(ev(1, "10:00", 7, "click"), ev(2, "10:05", 7, "view")).toDF()
+    assert(Streams.appendBatch(b0, table, Seq("ts"), "app", 0L).isDefined)
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 2L)
+    // the replay: same appId, same batchId → recognized, skipped
+    assert(Streams.appendBatch(b0, table, Seq("ts"), "app", 0L).isEmpty)
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 2L,
+      "replayed batch double-appended")
+    // progress resumes: the NEXT batchId commits and advances the watermark
+    val b1 = Seq(ev(3, "11:00", 8, "buy")).toDF()
+    assert(Streams.appendBatch(b1, table, Seq("ts"), "app", 1L).isDefined)
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 3L)
+    assert(Streams.appendBatch(b1, table, Seq("ts"), "app", 1L).isEmpty)
+    // a DIFFERENT writer's batch 0 is not confused with ours
+    val other = Seq(ev(9, "12:00", 9, "view")).toDF()
+    assert(Streams.appendBatch(other, table, Seq("ts"), "app2", 0L).isDefined)
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 4L)
+    // the watermark survives table maintenance: compaction carries #meta
+    graft.sources.ManifestTable.compactAppend(spark, table, Seq("ts"), k = 2)
+    assert(Streams.appendBatch(b1, table, Seq("ts"), "app", 1L).isEmpty,
+      "compaction dropped the txn watermark")
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 4L)
+  }
+
+  test("X8 crash recovery e2e: a torched checkpoint with a kept appId drops the full re-delivery") {
+    val base = java.nio.file.Files.createTempDirectory("graft_x8e_").toString
+    val table = s"$base/table"
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(ev(1, "10:00", 7, "click"), ev(2, "10:05", 7, "view"))
+    Streams.appendSink(in.toDF(), table, s"$base/ckpt", statsCols = Seq("ts"),
+      txnAppId = Some("pipelineA"))
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 2L)
+    // lose the checkpoint (the worst restart): the source re-delivers
+    // everything as batch 0 — with the SAME appId the recorded
+    // watermark (0) recognizes it and nothing double-lands
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/ckpt"), true)
+    val in2 = MemoryStream[Event]
+    in2.addData(ev(1, "10:00", 7, "click"), ev(2, "10:05", 7, "view"))
+    Streams.appendSink(in2.toDF(), table, s"$base/ckpt2", statsCols = Seq("ts"),
+      txnAppId = Some("pipelineA"))
+    assert(graft.sources.ManifestTable.read(spark, table).count() == 2L,
+      "re-delivered batch 0 double-appended")
+  }
+
   test("X9: foreachBatch upsert — latest version wins, re-applied batch is a no-op") {
     val base = java.nio.file.Files.createTempDirectory("graft_x9_").toString
     val table = s"$base/table"
