@@ -156,7 +156,9 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val statsCols = opt("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
     val retain = opt("retainGenerations").map(_.toInt).getOrElse(2)
-    new GraftWriteBuilder(tableDir, statsCols, retain)
+    val clusterBy = opt("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy)
   }
 }
 
@@ -167,7 +169,7 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
   * V1-alias-only by Spark's own rule (path-based V2 writes define only
   * Append and Overwrite). */
 class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
-                        retain: Int)
+                        retain: Int, clusterBy: Option[Seq[String]] = None)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -175,9 +177,21 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
-      (data, _) =>
+      (data, _) => {
         if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
         else ManifestTable.append(data, tableDir, statsCols, retain): Unit
+        // declared cluster spec from table/write OPTIONS: recorded once
+        // (a metadata commit) when it differs from the current spec —
+        // the next compactAppend realizes the layout
+        clusterBy.foreach { cols =>
+          val spark = data.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(tableDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val head = ManifestTable.headVersion(spark, tableDir).get
+          if (!ManifestTable.clusterSpecOf(fs, tableDir, head).contains(cols))
+            ManifestTable.alterClusterBy(spark, tableDir, cols, retain): Unit
+        }
+      }
   }
 }
 

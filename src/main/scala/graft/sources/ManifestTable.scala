@@ -332,6 +332,91 @@ object ManifestTable {
     (-1L, cid) // unreachable
   }
 
+  private val ClusterByKey = "clusterBy"
+
+  /** The table's DECLARED cluster spec (meta key `clusterBy`), if one
+    * was set — the partition-evolution surface: the spec says how
+    * [[compactAppend]] should lay the table out, independently of how
+    * past batches happened to arrive. */
+  def clusterSpecOf(fs: FileSystem, tableDir: String, v: Long): Option[Seq[String]] =
+    metaOf(fs, tableDir, v).get(ClusterByKey)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  /** Declare (or change) the cluster spec — a METADATA-ONLY commit: the
+    * same paths/schema/stats re-published with the new `clusterBy` meta
+    * ("liquid clustering"'s ALTER TABLE CLUSTER BY move: changing the
+    * spec costs one pointer write; the next [[compactAppend]] realizes
+    * the new layout and pruning sharpens on the new dimensions without
+    * any eager rewrite). Multi-column specs compact into Morton/Z-order
+    * on the named columns, so EACH dimension prunes. */
+  def alterClusterBy(spark: SparkSession, tableDir: String,
+                     cols: Seq[String],
+                     retainGenerations: Int = 2): Long = {
+    require(cols.nonEmpty, "alterClusterBy needs at least one column")
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"alterClusterBy contention at $tableDir")
+      val head = versions(fs, tableDir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+      declaredSchemaOf(spark, tableDir, head).foreach(sch =>
+        cols.foreach(c => require(sch.fieldNames.contains(c),
+          s"cluster column '$c' is not in the declared schema at $tableDir")))
+      val committed = commitIf(spark, tableDir, pathsOf(fs, tableDir, head),
+        head, retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
+        stats = statsOf(fs, tableDir, head),
+        meta = metaOf(fs, tableDir, head) + (ClusterByKey -> cols.mkString(",")))
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
+  /** A clusterable column as a LONG ordinal (for Morton interleaving):
+    * dates as epoch days, timestamps as micros, numerics truncated —
+    * ordering is all the z-curve needs. */
+  private def ordinalOf(c: String,
+                        dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.types._
+    dt match {
+      case DateType => unix_date(col(c)).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType => col(c).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"cluster column '$c' has unclusterable type ${other.sql}")
+    }
+  }
+
+  /** Generalized Morton code over `cols`: each column min-max-scaled to
+    * an 8-bit ordinal in one broadcast agg (the S13 recipe), then bit
+    * j of ordinal i lands at position j*n+i — plain shift/and/or
+    * Columns, whole-stage-codegen friendly. */
+  private def mortonOf(df: DataFrame, cols: Seq[String])
+      : (DataFrame, org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    val dts = cols.map(c => c -> df.schema(c).dataType).toMap
+    val aggs = cols.flatMap(c => Seq(
+      min(ordinalOf(c, dts(c))).as(s"__graft_mn_$c"),
+      max(ordinalOf(c, dts(c))).as(s"__graft_mx_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(broadcast(bounds))
+    val n = cols.size
+    val parts = for {
+      (c, i) <- cols.zipWithIndex
+      scaled = (coalesce(ordinalOf(c, dts(c)), col(s"__graft_mn_$c"))
+        - col(s"__graft_mn_$c")) * 255L /
+        greatest(col(s"__graft_mx_$c") - col(s"__graft_mn_$c"), lit(1L))
+      j <- 0 until 8
+    } yield shiftleft(shiftright(scaled.cast("long"), j)
+      .bitwiseAND(lit(1L)), j * n + i)
+    (joined, parts.reduce(_.bitwiseOR(_)))
+  }
+
   /** Append-table compaction (S19 maintenance): rewrite the live
     * table's accreted small commit dirs as `k` RANGE-SORTED dirs on
     * `statsCols.head`, each dir a narrow disjoint slice with fresh
@@ -361,9 +446,25 @@ object ManifestTable {
     val inputs = pathsOf(fs, tableDir, baseV)
     val ddl = schemaOf(fs, tableDir, baseV)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
-    readWithDeclared(spark, tableDir, baseV, inputs.map(p => s"$tableDir/$p"))
-      .repartitionByRange(k, col(sortCol))
-      .sortWithinPartitions(col(sortCol))
+    val data = readWithDeclared(spark, tableDir, baseV, inputs.map(p => s"$tableDir/$p"))
+    // the DECLARED cluster spec governs the layout when one is set
+    // ([[alterClusterBy]] — partition evolution: compaction REALIZES
+    // the current spec, so a spec change + compact re-clusters without
+    // any separate rewrite job); single column = range sort (sharpest
+    // on that dimension), multi column = Morton interleave so each
+    // dimension prunes. No spec = the legacy statsCols.head range sort.
+    val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(sortCol))
+    val clustered = spec match {
+      case Seq(single) =>
+        data.repartitionByRange(k, col(single)).sortWithinPartitions(col(single))
+      case multi =>
+        val (joined, zv) = mortonOf(data, multi)
+        joined.withColumn("__graft_zv", zv)
+          .repartitionByRange(k, col("__graft_zv"))
+          .sortWithinPartitions(col("__graft_zv"))
+          .select(data.columns.toIndexedSeq.map(col): _*) // shed z helpers
+    }
+    clustered
       .withColumn("rb", spark_partition_id()) // narrow — no second shuffle
       .write.partitionBy("rb").parquet(s"$tableDir/$cid")
     // fresh stats per output dir: one grouped aggregate over the files

@@ -220,6 +220,29 @@ class GraftV2Spec extends SparkTestBase {
     assert(got.get(1) == plain.get(1) && got.get(2) == plain.get(2))
   }
 
+  test("clusterBy write OPTION declares the spec once; compactAppend realizes it") {
+    val dir = freshDir()
+    batch(1995, n = 40).write.format("graft")
+      .option("statsCols", "k,d").option("clusterBy", "k")
+      .mode(SaveMode.Append).save(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.clusterSpecOf(fs, dir, head).contains(Seq("k")))
+    val v = head
+    // same spec again → NO new metadata commit
+    batch(1996, n = 40).write.format("graft")
+      .option("statsCols", "k,d").option("clusterBy", "k")
+      .mode(SaveMode.Append).save(dir)
+    assert(head == v + 1, "unchanged spec must not add a metadata commit")
+    ManifestTable.compactAppend(spark, dir, statsCols = Seq("k", "d"), k = 4)
+    // k-clustered: a point-k scan opens one dir
+    val paths = ManifestTable.prunePaths(fs, dir, head,
+      Map("k" -> ("1995010", "1995010")),
+      ManifestTable.declaredSchemaOf(spark, dir, head).get)
+    assert(paths.size == 1, s"expected 1 dir, got ${paths.size}")
+  }
+
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>

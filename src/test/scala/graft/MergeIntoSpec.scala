@@ -1162,6 +1162,51 @@ class MergeIntoSpec extends SparkTestBase {
     assert(one.count() == 20L)
   }
 
+  test("partition evolution: alterClusterBy + compactAppend re-cluster; pruning sharpens on the new dimension") {
+    val dir = freshDir()
+    // 4 ingest batches, each spanning ALL k but a narrow amt slice —
+    // the ARRIVAL layout prunes on amt and is useless for k
+    for (b <- 0 until 4) {
+      val rows = (0L to 15L).map(k => (k, b * 100.0 + k))
+      ManifestTable.append(rows.toDF("k", "amt"), dir,
+        statsCols = Seq("amt", "k"), retainGenerations = 3)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def prunedCount(bounds: Map[String, (String, String)]): Int = {
+      val v = ManifestTable.versions(fs, dir).last
+      ManifestTable.prunePaths(fs, dir, v, bounds,
+        ManifestTable.declaredSchemaOf(spark, dir, v).get).size
+    }
+    def model(): Seq[(Long, Double)] = ManifestTable.read(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    val rows0 = model()
+    assert(rows0.size == 64)
+    assert(prunedCount(Map("amt" -> ("100", "115"))) == 1, "arrival layout prunes amt")
+    assert(prunedCount(Map("k" -> ("9", "9"))) == 4, "arrival layout cannot prune k")
+    // evolve the spec to k and REALIZE it via compaction: one metadata
+    // commit + the ordinary maintenance job, no dedicated rewrite path
+    ManifestTable.alterClusterBy(spark, dir, Seq("k"))
+    ManifestTable.compactAppend(spark, dir, statsCols = Seq("k", "amt"), k = 4)
+    assert(model() == rows0, "re-clustering changed the rows")
+    assert(prunedCount(Map("k" -> ("9", "9"))) == 1,
+      "k-clustered layout must answer a point-k scan from one dir")
+    // evolve again to a 2-dim Z-ORDER spec: each dimension alone prunes
+    ManifestTable.alterClusterBy(spark, dir, Seq("amt", "k"))
+    ManifestTable.compactAppend(spark, dir, statsCols = Seq("amt", "k"), k = 4)
+    assert(model() == rows0, "z-ordering changed the rows")
+    val kPrune = prunedCount(Map("k" -> ("0", "3")))
+    val amtPrune = prunedCount(Map("amt" -> ("0", "40")))
+    assert(kPrune < 4, s"z-order must prune on k alone (opened $kPrune/4)")
+    assert(amtPrune < 4, s"z-order must prune on amt alone (opened $amtPrune/4)")
+    // the spec survives in meta and an ordinary rangeScan stays exact
+    assert(ManifestTable.clusterSpecOf(fs, dir,
+      ManifestTable.versions(fs, dir).last).contains(Seq("amt", "k")))
+    val scanned = ManifestTable.rangeScan(spark, dir, "k", "3", "5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    assert(scanned == rows0.filter(t => t._1 >= 3 && t._1 <= 5))
+  }
+
   test("compactAppend: overlapping appends become disjoint sorted dirs and skipping sharpens") {
     val dir = freshDir()
     def dirOf(f: String) = f.split("/").dropRight(1).last
