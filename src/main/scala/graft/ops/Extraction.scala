@@ -218,6 +218,35 @@ object Extraction {
         .as("pages"))
   }
 
+  /** The PDF decode-ceiling quarantine channel (S9 pattern, r11): one
+    * row per corpus PDF with the count and declared `/Filter` names of
+    * every stream [[PdfText]] could NOT decode — non-Flate filters
+    * (DCT/LZW), filter chains, plain or corrupt bodies. The channel
+    * earned its keep immediately: the Aris corpus report carries 5 DCT
+    * (JPEG image) streams and 3 filterless streams that were being
+    * skipped with no trace (golden-pinned as `DCTDecode:5,none:3`; all
+    * TEXT streams are Flate, so the extraction goldens never noticed).
+    * A real-world corpus reports its ceiling per file here instead of
+    * thinning silently (TEST:63 honesty note).
+    * No DuckDB oracle by design — binary input, like the pdf family. */
+  def pdf_decode_audit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load(PdfCorpusDir)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("filename"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (fn, bytes) =>
+        val audit = PdfText.filterAudit(bytes)
+        (fn, audit.values.sum.toLong,
+          audit.toSeq.sorted.map { case (k, n) => s"$k:$n" }.mkString(","))
+      }
+      .toDF("filename", "n_undecoded_streams", "unsupported_filters")
+      .orderBy("filename")
+  }
+
   /** Whole-document text, whitespace-flattened, one row per PDF. */
   private def pdfFullText(s: SparkSession): DataFrame =
     pdfPages(s).select(col("filename"),
@@ -355,6 +384,7 @@ object Extraction {
     "pdf_extract" -> (pdf_extract _),
     "pdf_project_meta" -> (pdf_project_meta _),
     "pdf_economics" -> (pdf_economics _),
+    "pdf_decode_audit" -> (pdf_decode_audit _),
   )
 
   val oracle: Map[String, String] = Map(

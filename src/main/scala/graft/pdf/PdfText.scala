@@ -96,7 +96,8 @@ object PdfText extends Serializable {
   /** One indirect object: number, dict text (body before any stream
     * keyword, ISO-8859-1), inflated stream if present, byte offset. */
   private case class PdfObj(num: Int, dict: String,
-                            stream: Option[Array[Byte]], offset: Int)
+                            stream: Option[Array[Byte]], offset: Int,
+                            hadStream: Boolean = false)
 
   private val objHeader = "(?m)(\\d+)\\s+(\\d+)\\s+obj".r
 
@@ -126,7 +127,8 @@ object PdfText extends Serializable {
             if (es < 0) { more = false }
             else {
               val inflated = inflate(bytes, k, es)
-              out(num) = PdfObj(num, doc.substring(start, sIdx), inflated, from + m.start)
+              out(num) = PdfObj(num, doc.substring(start, sIdx), inflated,
+                from + m.start, hadStream = true)
               val eo = doc.indexOf("endobj", es)
               from = if (eo < 0) es + 9 else eo + 6
             }
@@ -267,6 +269,35 @@ object PdfText extends Serializable {
 
   /** Whole-document text (pages joined by form-feed). */
   def text(bytes: Array[Byte]): String = pages(bytes).mkString("")
+
+  /** Decode-ceiling audit: for every stream object whose body was NOT
+    * decoded — a non-Flate filter (DCT/LZW/...), a filter chain, a
+    * plain body the Inflater rejects, or corrupt Flate — the declared
+    * `/Filter` name(s) → count (`none` when the dict declares no
+    * filter). Empty map = the document decodes in full. This is the
+    * quarantine channel for the documented zero-egress ceiling
+    * (FlateDecode-only, TEST:63): a real-world corpus with DCT/LZW/
+    * xref-stream PDFs REPORTS what it skipped per file instead of
+    * thinning silently. */
+  def filterAudit(bytes: Array[Byte]): Map[String, Int] =
+    parseObjects(bytes).values
+      .filter(o => o.hadStream && o.stream.isEmpty).toSeq
+      .flatMap { o =>
+        val fs = filterNames(o.dict)
+        if (fs.isEmpty) Seq("none") else fs
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+  /** The `/Filter` name(s) of a stream dict: a single `/Name` or an
+    * array `[/A /B]` (decode-order chain — each name counted). */
+  private val filterRe = "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+))".r
+  private def filterNames(dict: String): Seq[String] =
+    filterRe.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        if (m.group(2) != null) Seq(m.group(2))
+        else "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {
     val n = needle.getBytes("ISO-8859-1")

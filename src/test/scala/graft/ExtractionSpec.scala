@@ -125,6 +125,49 @@ class ExtractionSpec extends SparkTestBase {
     bos.toByteArray
   }
 
+  test("filterAudit: the corpus ceiling is REPORTED, never silently thinned") {
+    // golden: the Aris report carries 5 DCT (JPEG image) streams and 3
+    // filterless streams the Flate-only decoder cannot decode — the
+    // audit names them. (Every TEXT stream is Flate, which is why the
+    // extraction goldens are unaffected; before this channel existed
+    // those 8 streams were skipped with no trace — the exact silent
+    // thinning the audit exists to surface.)
+    val fs = new java.io.File("/root/reference/data").listFiles()
+      .filter(_.getName.endsWith(".pdf"))
+    assert(fs.nonEmpty)
+    fs.foreach { f =>
+      val audit = PdfText.filterAudit(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(audit == Map("DCTDecode" -> 5, "none" -> 3),
+        s"${f.getName}: audit drifted: $audit")
+    }
+    // synthetic ceiling: a DCT image stream, a filter CHAIN, and a
+    // plain (filterless) body — none decodable, each named in the audit
+    def obj(num: Int, dict: String, body: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"$num 0 obj\n$dict\nstream\n".getBytes("ISO-8859-1"))
+      bos.write(body)
+      bos.write("\nendstream\nendobj\n".getBytes("ISO-8859-1"))
+      bos.toByteArray
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("%PDF-1.4\n".getBytes("ISO-8859-1"))
+    bos.write(obj(1, "<< /Filter /DCTDecode /Length 4 >>",
+      Array[Byte](-1, -40, -1, -39))) // JPEG SOI/EOI
+    bos.write(obj(2, "<< /Filter [/ASCII85Decode /LZWDecode] /Length 4 >>",
+      "Zz!!".getBytes("ISO-8859-1")))
+    bos.write(obj(3, "<< /Length 9 >>", "BT ET raw".getBytes("ISO-8859-1")))
+    val audit = PdfText.filterAudit(bos.toByteArray)
+    assert(audit == Map("DCTDecode" -> 1, "ASCII85Decode" -> 1,
+      "LZWDecode" -> 1, "none" -> 1), audit)
+    // the board query surfaces the channel, one row per corpus PDF
+    val rows = ops.Extraction.pdf_decode_audit(spark, sf).collect()
+    assert(rows.length == fs.length)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 8L && r.getString(2) == "DCTDecode:5,none:3",
+        s"${r.getString(0)}: ${r.getLong(1)} undecoded (${r.getString(2)})")
+    }
+  }
+
   test("hex-string <…> show operators decode (PDF 32000-1 §7.3.4.3)") {
     // digit pairs with legal embedded whitespace; odd trailing digit
     // <4> implies 0 → 0x40 '@'

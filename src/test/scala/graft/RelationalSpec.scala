@@ -21,11 +21,14 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("oracleSql covers every query except the documented exceptions") {
-    // only the binary-input PDF extractions lack a DuckDB oracle (they
-    // carry golden-fixture ScalaTests instead); a4 and t10 gained real
-    // oracles in round 2 (tolerance-boolean / md5-derived simhash)
+    // only the binary-input PDF family lacks a DuckDB oracle (each row
+    // carries golden-fixture ScalaTests instead); a4 and t10 gained real
+    // oracles in round 2 (tolerance-boolean / md5-derived simhash);
+    // pdf_decode_audit (r11) is the decode-ceiling quarantine channel,
+    // golden-pinned in ExtractionSpec
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("pdf_extract", "pdf_project_meta", "pdf_economics"),
+    assert(noOracle == Set("pdf_extract", "pdf_project_meta", "pdf_economics",
+      "pdf_decode_audit"),
       s"unexpected oracle gaps: $noOracle")
   }
 
