@@ -519,7 +519,10 @@ object MergeInto {
       val published = ManifestTable.commitIf(spark, tableDir,
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
-        schemaDdl = Some(tableSchema.toDDL))
+        schemaDdl = Some(tableSchema.toDDL),
+        // #meta (txn watermarks, cluster specs) survives a merge
+        meta = liveV.map(v => ManifestTable.metaOf(fs, tableDir, v))
+          .getOrElse(Map.empty))
       published match {
         case some @ Some(_) => some
         // lost the publish — but if the interleaved commits left OUR
@@ -573,7 +576,8 @@ object MergeInto {
       val merged = resolveSchema(tableDir, declared, ourSchema)
       val r = ManifestTable.commitIf(spark, tableDir,
         ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
-        expectedBase = headV, schemaDdl = Some(merged.toDDL))
+        expectedBase = headV, schemaDdl = Some(merged.toDDL),
+        meta = ManifestTable.metaOf(fs, tableDir, headV))
       if (r.isDefined) return r
     }
     None
@@ -678,7 +682,8 @@ object MergeInto {
         done = ManifestTable.commitIf(spark, tableDir,
           buckets.map(b => s"$cid/$b").toSeq,
           expectedBase = baseV,
-          schemaDdl = Some(live.schema.toDDL)).isDefined
+          schemaDdl = Some(live.schema.toDDL),
+          meta = ManifestTable.metaOf(fs, tableDir, baseV)).isDefined
       } catch {
         // the observed base's dirs (or its manifest) were GC'd by a
         // racing writer's commit mid-read — same rebase as a conflict

@@ -243,6 +243,35 @@ class GraftV2Spec extends SparkTestBase {
     assert(paths.size == 1, s"expected 1 dir, got ${paths.size}")
   }
 
+  test("runtime filtering (DPP seam): a join-derived IN-set re-prunes commit dirs before execution") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997).foreach(y =>
+      ManifestTable.append(batch(y), dir, statsCols = Seq("k", "d")))
+    val head = ManifestTable.headVersion(spark, dir).get
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, head).get
+    val scan = graft.sources.GraftScanBuilder(dir, head, schema).build()
+      .asInstanceOf[graft.sources.GraftScan]
+    // stats-covered columns are declared filterable
+    assert(scan.filterAttributes().map(_.describe()).toSet == Set("k", "d"))
+    def dirsOf(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.flatMap {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+          f.files.map(_.filePath.toString.split("/").dropRight(1).last)
+      }.toSet
+    val before = dirsOf(scan.planInputPartitions())
+    assert(before.size == 3, s"expected 3 commit dirs, got $before")
+    // the runtime filter Spark would plant from a dimension join:
+    // an IN-set on k — folds to its envelope, prunes to 1996's dir
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array(1996003L, 1996007L))))
+    val after = dirsOf(scan.planInputPartitions())
+    assert(after.size == 1, s"runtime filter did not prune: $after")
+    assert(after.subsetOf(before))
+    // statistics follow the pruned set (broadcast planning sees reality)
+    val st = scan.estimateStatistics()
+    assert(st.numRows.getAsLong == 10L, st.numRows)
+  }
+
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>

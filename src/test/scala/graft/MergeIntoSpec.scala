@@ -502,6 +502,22 @@ class MergeIntoSpec extends SparkTestBase {
     runInterleaved(graft.sources.PosixLinkStore, overlap = true)
   }
 
+  test("#meta survives merge, disjoint re-commit, and merge-compaction") {
+    val dir = freshDir()
+    MergeInto.create((1L to 8L).map(k => MergeRow(k, "a", 1.0)).toDF(),
+      dir, "k", nBuckets = 4)
+    ManifestTable.alterClusterBy(spark, dir, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def meta = ManifestTable.metaOf(fs, dir,
+      ManifestTable.versions(fs, dir).last)
+    assert(meta.get("clusterBy").contains("k"))
+    MergeInto.merge(Seq(MergeRow(1L, "b", 2.0)).toDF(), dir)
+    assert(meta.get("clusterBy").contains("k"), "merge dropped #meta")
+    MergeInto.compact(spark, dir)
+    assert(meta.get("clusterBy").contains("k"), "compact dropped #meta")
+  }
+
   test("racing initial creators with different geometries resolve to one pinned winner") {
     // Geometry markers are put-if-absent + read-back: two concurrent
     // create() calls with different nBuckets can never BOTH proceed —
