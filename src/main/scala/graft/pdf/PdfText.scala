@@ -279,24 +279,36 @@ object PdfText extends Serializable {
     * (FlateDecode-only, TEST:63): a real-world corpus with DCT/LZW/
     * xref-stream PDFs REPORTS what it skipped per file instead of
     * thinning silently. */
-  def filterAudit(bytes: Array[Byte]): Map[String, Int] =
-    parseObjects(bytes).values
+  def filterAudit(bytes: Array[Byte]): Map[String, Int] = {
+    val objs = parseObjects(bytes)
+    objs.values
       .filter(o => o.hadStream && o.stream.isEmpty).toSeq
-      .flatMap { o =>
-        val fs = filterNames(o.dict)
-        if (fs.isEmpty) Seq("none") else fs
-      }
+      .map(o => filterLabel(o.dict, objs))
       .groupBy(identity).view.mapValues(_.size).toMap
+  }
 
-  /** The `/Filter` name(s) of a stream dict: a single `/Name` or an
-    * array `[/A /B]` (decode-order chain — each name counted). */
-  private val filterRe = "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+))".r
-  private def filterNames(dict: String): Seq[String] =
+  /** One label per stream (so the audit's counts SUM to the number of
+    * undecoded streams): a single `/Name`; a decode-order chain joined
+    * as `A+B` (one stream, not one count per element); an indirect
+    * `/Filter n 0 R` resolved through the object graph (PDF 32000-1
+    * §7.3.8) — `indirect` only when the referenced object is absent;
+    * `none` when the dict declares no filter at all. */
+  private val filterRe =
+    "/Filter\\s*(?:\\[([^\\]]*)\\]|/([A-Za-z0-9]+)|(\\d+)\\s+\\d+\\s+R)".r
+  private def namesIn(s: String): Seq[String] =
+    "/([A-Za-z0-9]+)".r.findAllMatchIn(s).map(_.group(1)).toSeq
+  private def filterLabel(dict: String, objs: Map[Int, PdfObj]): String =
     filterRe.findFirstMatchIn(dict) match {
-      case None => Seq.empty
+      case None => "none"
+      case Some(m) if m.group(2) != null => m.group(2)
+      case Some(m) if m.group(1) != null =>
+        val ns = namesIn(m.group(1))
+        if (ns.isEmpty) "none" else ns.mkString("+")
       case Some(m) =>
-        if (m.group(2) != null) Seq(m.group(2))
-        else "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+        objs.get(m.group(3).toInt).map(o => namesIn(o.dict)) match {
+          case Some(ns) if ns.nonEmpty => ns.mkString("+")
+          case _ => "indirect"
+        }
     }
 
   private def indexOf(hay: Array[Byte], needle: String, from: Int): Int = {

@@ -237,22 +237,30 @@ object GraftManifestSource {
 
   /** Render a pushed literal in the manifest-stats string encoding.
     * None = unsupported type → the filter contributes no bound.
-    * Timestamp instants render at `zone` — the SESSION timezone, the
-    * same zone the stats writer's cast-to-string used (NOT the JVM
-    * default, and not hardcoded UTC: either mismatch silently
-    * mis-prunes dirs when the session TZ differs). */
-  private[graft] def render(v: Any, zone: java.time.ZoneId): Option[String] = v match {
-    case null => None
-    case d: java.sql.Date => Some(d.toString)
-    case d: java.time.LocalDate => Some(d.toString)
-    case t: java.sql.Timestamp => Some(renderTs(
-      java.time.LocalDateTime.ofInstant(t.toInstant, zone)))
-    case i: java.time.Instant => Some(renderTs(
-      java.time.LocalDateTime.ofInstant(i, zone)))
-    case l: java.time.LocalDateTime => Some(renderTs(l)) // TIMESTAMP_NTZ literal
-    case n: java.lang.Number => Some(n.toString)
-    case s: String => Some(s)
-    case _ => None
+    * Timestamp instants render at `zone` — the zone the stats writer's
+    * cast-to-string used ([[ManifestTable.statsZoneOf]]: the pinned
+    * writer zone, falling back to the session's — NOT the JVM default,
+    * and not hardcoded UTC: either mismatch silently mis-prunes dirs).
+    * Instants render ONLY under a fixed-offset zone: in a DST zone the
+    * local-string order diverges from instant order inside fall-back
+    * overlaps, so lexicographic pruning against the stats strings would
+    * be unsound — those bounds are declined (conservative: no pruning
+    * on that column, full correctness via the re-applied filter). */
+  private[graft] def render(v: Any, zone: java.time.ZoneId): Option[String] = {
+    def fixed = zone.getRules.isFixedOffset
+    v match {
+      case null => None
+      case d: java.sql.Date => Some(d.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case t: java.sql.Timestamp if fixed => Some(renderTs(
+        java.time.LocalDateTime.ofInstant(t.toInstant, zone)))
+      case i: java.time.Instant if fixed => Some(renderTs(
+        java.time.LocalDateTime.ofInstant(i, zone)))
+      case l: java.time.LocalDateTime => Some(renderTs(l)) // TIMESTAMP_NTZ literal
+      case n: java.lang.Number => Some(n.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
   }
 
   /** Spark cast-style timestamp rendering: seconds, then the micro
@@ -343,8 +351,12 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
+    // render pushed literals in the zone the stats were WRITTEN in
+    // (pinned by the first ts-stats writer), not this session's
+    val zone = ManifestTable.statsZoneOf(spark,
+      new org.apache.hadoop.fs.Path(tableDir)
+        .getFileSystem(spark.sessionState.newHadoopConf()),
+      tableDir, version)
     val bounds = GraftManifestSource.boundsOf(filters.toSeq, zone)
       .filter { case (c, _) => schema.fieldNames.contains(c) }
     val base =

@@ -84,8 +84,12 @@ class GraftTableProvider extends TableProvider
     val dir = dirOf(options)
     Option(options.get("versionAsOf")).map(_.toLong) match {
       case some @ Some(v) =>
-        require(ManifestTable.headVersion(spark, dir).isDefined,
-          s"no committed graft table at $dir (versionAsOf=$v)")
+        // validate retention HERE: a GC'd version would otherwise
+        // surface as an unexplained missing-manifest read downstream
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        require(ManifestTable.versions(fs, dir).contains(v),
+          s"version $v is not retained at $dir")
         some
       case None => ManifestTable.headVersion(spark, dir)
     }
@@ -206,6 +210,19 @@ case class GraftScanBuilder(tableDir: String, version: Long,
   private var readSchema: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
   private var agg: Option[(StructType, InternalRow)] = None
+  // supportCompletePushDown and pushAggregation both need the answer —
+  // compute the manifest-backed result once per Aggregation instance
+  private var answered: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
+
+  private def answerOf(aggregation: Aggregation): Option[(StructType, InternalRow)] =
+    answered match {
+      case Some((prev, r)) if prev eq aggregation => r
+      case _ =>
+        val r = GraftStatsAgg.answer(SparkSession.active, tableDir, version,
+          tableSchema, aggregation, filters)
+        answered = Some((aggregation, r))
+        r
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     readSchema = requiredSchema
@@ -222,12 +239,10 @@ case class GraftScanBuilder(tableDir: String, version: Long,
   override def pushedFilters(): Array[Filter] = filters
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    GraftStatsAgg.answer(SparkSession.active, tableDir, version,
-      tableSchema, aggregation, filters).isDefined
+    answerOf(aggregation).isDefined
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    agg = GraftStatsAgg.answer(SparkSession.active, tableDir, version,
-      tableSchema, aggregation, filters)
+    agg = answerOf(aggregation)
     agg.isDefined
   }
 
@@ -249,17 +264,32 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   private def spark: SparkSession = SparkSession.active
   private def fsOf(s: SparkSession) =
     new Path(tableDir).getFileSystem(s.sessionState.newHadoopConf())
-  private def zone(s: SparkSession) =
-    java.time.ZoneId.of(s.sessionState.conf.sessionLocalTimeZone)
+
+  // ONE manifest read serves every planning surface of this scan
+  // (pruning, filterAttributes, statistics, runtime re-pruning) — each
+  // re-read is a GET per plan step on an object store. Driver-only
+  // state: the scan object itself never ships to executors.
+  @transient private lazy val livePaths: Seq[String] =
+    ManifestTable.pathsOf(fsOf(spark), tableDir, version)
+  @transient private lazy val liveStats: Map[String, String] =
+    ManifestTable.statsOf(fsOf(spark), tableDir, version)
+  /** The zone timestamp stats are ENCODED in — the pinned writer zone
+    * ([[ManifestTable.statsZoneOf]]), not this session's. */
+  @transient private lazy val statsZone: java.time.ZoneId =
+    ManifestTable.statsZoneOf(spark, fsOf(spark), tableDir, version)
+
+  private def boundsFor(fs: Array[Filter]): Map[String, (String, String)] =
+    GraftManifestSource.boundsOf(fs.toIndexedSeq, statsZone)
+      .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
 
   /** Commit dirs surviving manifest-stats pruning under the pushed
     * filters; narrowed further by runtime filters. */
-  private var keptPaths: Seq[String] = {
-    val s = spark
-    ManifestTable.prunePaths(fsOf(s), tableDir, version,
-      GraftManifestSource.boundsOf(filters.toIndexedSeq, zone(s))
-        .filter { case (c, _) => tableSchema.fieldNames.contains(c) },
-      tableSchema)
+  private var keptPathsCache: Seq[String] = null
+  private def keptPaths: Seq[String] = {
+    if (keptPathsCache == null)
+      keptPathsCache = ManifestTable.prunePathsIn(
+        livePaths, liveStats, boundsFor(filters), tableSchema)
+    keptPathsCache
   }
 
   override def readSchema(): StructType = agg.map(_._1).getOrElse(requiredSchema)
@@ -270,22 +300,15 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     * from a dimension join folds to its envelope and re-prunes dirs. */
   override def filterAttributes(): Array[NamedReference] =
     if (agg.isDefined) Array.empty
-    else {
-      val s = spark
-      val fs = fsOf(s)
-      val stats = ManifestTable.statsOf(fs, tableDir, version)
-      tableSchema.fieldNames.filter { c =>
-        stats.values.exists(ManifestTable.statsFor(_, c).isDefined)
-      }.map(Expressions.column)
-    }
+    else tableSchema.fieldNames.filter { c =>
+      liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined)
+    }.map(Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
-    val s = spark
-    val bounds = GraftManifestSource.boundsOf(runtime.toIndexedSeq, zone(s))
-      .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
+    val bounds = boundsFor(runtime)
     if (bounds.nonEmpty)
-      keptPaths = keptPaths.intersect(ManifestTable.prunePaths(
-        fsOf(s), tableDir, version, bounds, tableSchema))
+      keptPathsCache = keptPaths.intersect(ManifestTable.prunePathsIn(
+        livePaths, liveStats, bounds, tableSchema))
   }
 
   private def listFiles(s: SparkSession): Seq[FileStatus] = {
@@ -371,20 +394,22 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     case Some((schema, _)) => GraftStatistics(
       OptionalLong.of(schema.defaultSize.toLong), OptionalLong.of(1L))
     case None =>
-      val s = spark
-      val bytes = try listFiles(s).map(_.getLen).sum
-        catch { case _: java.io.IOException => 0L }
-      val stats = ManifestTable.statsOf(fsOf(s), tableDir, version)
+      // a failed listing reports UNKNOWN, not 0 — a zero-byte estimate
+      // would invite broadcasting an arbitrarily large table on a
+      // transient object-store error
+      val bytes =
+        try OptionalLong.of(listFiles(spark).map(_.getLen).sum)
+        catch { case _: java.io.IOException => OptionalLong.empty() }
       val rowCounts = keptPaths.map(p =>
-        stats.get(p).flatMap(ManifestTable.rowsIn))
+        liveStats.get(p).flatMap(ManifestTable.rowsIn))
       val rows =
         if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
         else OptionalLong.empty()
-      GraftStatistics(OptionalLong.of(bytes), rows)
+      GraftStatistics(bytes, rows)
   }
 
   override def description(): String = {
-    val b = GraftManifestSource.boundsOf(filters.toIndexedSeq, zone(spark))
+    val b = boundsFor(filters)
     s"GraftScan $tableDir@v$version prunedBounds=${b.keys.toSeq.sorted.mkString(",")}" +
       agg.map(a => s" PushedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
   }
@@ -430,8 +455,10 @@ object GraftStatsAgg {
     val rowCounts = payloads.map(ManifestTable.rowsIn)
     if (rowCounts.exists(_.isEmpty)) return None
     val total = rowCounts.flatten.sum
-    val zone = java.time.ZoneId.of(
-      spark.sessionState.conf.sessionLocalTimeZone)
+    // the zone the stats strings were WRITTEN in (pinned by the first
+    // ts-stats writer), not this session's — parsing in the wrong zone
+    // returns extremes shifted by the zone difference
+    val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, version)
 
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = e match {
@@ -507,9 +534,15 @@ object GraftStatsAgg {
         Some(java.lang.Integer.valueOf(
           java.time.LocalDate.parse(s).toEpochDay.toInt))
       case TimestampType =>
-        val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-        val ins = ldt.atZone(zone).toInstant
-        Some(java.lang.Long.valueOf(ins.getEpochSecond * 1000000L + ins.getNano / 1000L))
+        // DST-ambiguous local times (fall-back overlaps) have no unique
+        // instant — only fixed-offset zones reconstruct exactly; others
+        // decline, and the query falls back to a correct ordinary scan
+        if (!zone.getRules.isFixedOffset) None
+        else {
+          val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          val ins = ldt.atZone(zone).toInstant
+          Some(java.lang.Long.valueOf(ins.getEpochSecond * 1000000L + ins.getNano / 1000L))
+        }
       case TimestampNTZType =>
         val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
         Some(java.lang.Long.valueOf(

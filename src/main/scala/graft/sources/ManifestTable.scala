@@ -133,12 +133,29 @@ object ManifestTable {
   def metaOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
     manifestLines(fs, tableDir, v)
       .filter(_.startsWith(MetaHeader))
-      .map { l =>
+      .flatMap { l =>
         val rest = l.stripPrefix(MetaHeader)
         val i = rest.indexOf('\t')
-        java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
-          java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8")
+        // a separator-less (hand-edited/corrupt) line is skipped, not
+        // surfaced as a phantom empty-key entry
+        if (i <= 0) None
+        else Some(java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
+          java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8"))
       }.toMap
+
+  private[graft] val StatsZoneKey = "statsZone"
+
+  /** The timezone TIMESTAMP stats strings are encoded in: the zone
+    * pinned by the first timestamp-stats writer ([[StatsZoneKey]]
+    * meta), else the current session's. Readers must render pushed
+    * literals in THIS zone — rendering in their own session zone
+    * mis-prunes dirs the moment the two differ (cross-session-TZ
+    * wrong-rows class). */
+  private[graft] def statsZoneOf(spark: SparkSession, fs: FileSystem,
+                                 tableDir: String, v: Long): java.time.ZoneId =
+    metaOf(fs, tableDir, v).get(StatsZoneKey).map(java.time.ZoneId.of)
+      .getOrElse(java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone))
 
   private val NullTok = "%N" // URLEncoder never emits '%' + non-hex
 
@@ -323,13 +340,48 @@ object ManifestTable {
       // meta carries forward like stats; this append's keys override
       val priorMeta =
         if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
+      // TIMESTAMP stats render via cast-to-string in the SESSION zone —
+      // the encoding every later reader must reproduce. The first
+      // ts-stats writer PINS its zone in meta; a writer in a different
+      // session zone would interleave incomparable encodings into the
+      // same table, so it fails loudly instead.
+      val zoneMeta = statsZonePin(df, statsCols, payload.isDefined,
+        priorMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
         retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ payload.map(cid -> _),
-        meta = priorMeta ++ meta)
+        meta = priorMeta ++ zoneMeta ++ meta)
       committed.foreach(v => return (v, cid))
     }
     (-1L, cid) // unreachable
+  }
+
+  /** The `statsZone` meta contribution for a stats-recording write over
+    * `df`'s schema: nothing unless a TIMESTAMP column is tracked; the
+    * session zone when pinning for the first time; a loud failure when
+    * the session disagrees with the pinned zone (mixed encodings in one
+    * table = silent wrong-rows pruning later). */
+  private def statsZonePin(df: DataFrame, statsCols: Seq[String],
+                           recordingStats: Boolean,
+                           priorMeta: Map[String, String],
+                           spark: SparkSession, tableDir: String)
+      : Map[String, String] = {
+    import org.apache.spark.sql.types.TimestampType
+    val tsTracked = recordingStats && statsCols.exists(c =>
+      df.schema.fields.exists(f => f.name == c && f.dataType == TimestampType))
+    if (!tsTracked) Map.empty
+    else {
+      val zoneNow = spark.sessionState.conf.sessionLocalTimeZone
+      priorMeta.get(StatsZoneKey) match {
+        case Some(pz) =>
+          require(pz == zoneNow,
+            s"table at $tableDir renders timestamp stats in session " +
+              s"timeZone '$pz'; this session uses '$zoneNow' — set " +
+              "spark.sql.session.timeZone to match, or stats encodings mix")
+          Map.empty
+        case None => Map(StatsZoneKey -> zoneNow)
+      }
+    }
   }
 
   private val ClusterByKey = "clusterBy"
@@ -495,11 +547,16 @@ object ManifestTable {
             s"missing ${inputSet -- headPaths.toSet}")
       val carried = headPaths.filterNot(inputSet)
       val headStats = statsOf(fs, tableDir, head) -- inputSet
+      val headMeta = metaOf(fs, tableDir, head)
+      // compaction re-renders stats in the CURRENT session zone — same
+      // pin/validate rule as append (mixed encodings = mis-pruning)
+      val zoneMeta = statsZonePin(data, statsCols, recordingStats = true,
+        headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
         stats = headStats ++ outStats,
-        meta = metaOf(fs, tableDir, head))
+        meta = headMeta ++ zoneMeta)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -545,7 +602,7 @@ object ManifestTable {
     // GC'd or lost, and the scan still has to plan and run.
     val tableSchema = declaredSchemaOf(spark, tableDir, v).getOrElse(
       readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p")).schema)
-    val keep = prunePaths(fs, tableDir, v, bounds, tableSchema)
+    val keep = prunePathsIn(paths, stats, bounds, tableSchema)
     val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
     val pred = bounds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo).cast(dts(c)) && col(c) <= lit(hi).cast(dts(c))
@@ -565,10 +622,21 @@ object ManifestTable {
   private[graft] def prunePaths(fs: FileSystem, tableDir: String, v: Long,
                                 bounds: Map[String, (String, String)],
                                 tableSchema: org.apache.spark.sql.types.StructType)
+      : Seq[String] =
+    prunePathsIn(pathsOf(fs, tableDir, v),
+      if (bounds.isEmpty) Map.empty else statsOf(fs, tableDir, v),
+      bounds, tableSchema)
+
+  /** Pure form of [[prunePaths]] over an already-read manifest — the
+    * V2 scan and [[rangeScan]] hold (paths, stats) already; re-listing
+    * the manifest per pruning pass is a GET per plan step on an object
+    * store. */
+  private[graft] def prunePathsIn(paths: Seq[String],
+                                  stats: Map[String, String],
+                                  bounds: Map[String, (String, String)],
+                                  tableSchema: org.apache.spark.sql.types.StructType)
       : Seq[String] = {
-    val paths = pathsOf(fs, tableDir, v)
     if (bounds.isEmpty) return paths
-    val stats = statsOf(fs, tableDir, v)
     val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
     paths.filter { p =>
       bounds.forall { case (c, (lo, hi)) =>

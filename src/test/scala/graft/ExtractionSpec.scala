@@ -156,9 +156,16 @@ class ExtractionSpec extends SparkTestBase {
     bos.write(obj(2, "<< /Filter [/ASCII85Decode /LZWDecode] /Length 4 >>",
       "Zz!!".getBytes("ISO-8859-1")))
     bos.write(obj(3, "<< /Length 9 >>", "BT ET raw".getBytes("ISO-8859-1")))
+    // /Filter via indirect reference (PDF 32000-1 §7.3.8) — resolved
+    bos.write(obj(4, "<< /Filter 5 0 R /Length 4 >>",
+      "Zz!!".getBytes("ISO-8859-1")))
+    bos.write("5 0 obj\n/LZWDecode\nendobj\n".getBytes("ISO-8859-1"))
     val audit = PdfText.filterAudit(bos.toByteArray)
-    assert(audit == Map("DCTDecode" -> 1, "ASCII85Decode" -> 1,
-      "LZWDecode" -> 1, "none" -> 1), audit)
+    // one count per STREAM: the chain counts once under its joined name
+    // (so counts sum to undecoded-stream count, 4 here), the indirect
+    // reference resolves to its real filter name
+    assert(audit == Map("DCTDecode" -> 1, "ASCII85Decode+LZWDecode" -> 1,
+      "none" -> 1, "LZWDecode" -> 1), audit)
     // the board query surfaces the channel, one row per corpus PDF
     val rows = ops.Extraction.pdf_decode_audit(spark, sf).collect()
     assert(rows.length == fs.length)

@@ -43,23 +43,60 @@ class GraftSourceSpec extends SparkTestBase {
     assert(n("k") == ("9", "10"))
     // half-bounded columns contribute nothing (closed-interval contract)
     assert(!GraftManifestSource.boundsOf(Seq(GreaterThan("k", 1L)), utc).contains("k"))
-    // timestamp rendering matches the stats encoding (no trailing ".0").
-    // Timestamp.valueOf interprets in the JVM default zone — render in
-    // that same zone so the clock reading round-trips host-independently.
-    val jvmZone = java.time.ZoneId.systemDefault()
+    // timestamp rendering matches the stats encoding (no trailing ".0")
     val ts = GraftManifestSource.render(
-      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), jvmZone).get
+      java.time.Instant.parse("2024-01-01T10:00:00Z"), utc).get
     assert(ts == "2024-01-01 10:00:00", ts)
     assert(GraftManifestSource.render(
-      java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5"), jvmZone).get
+      java.time.Instant.parse("2024-01-01T10:00:00.5Z"), utc).get
       == "2024-01-01 10:00:00.5")
     // the zone is honored, not silently pinned to UTC: one instant, two
-    // session zones, two renderings — each matching what cast-to-string
-    // in THAT session would have written into the stats
+    // FIXED-OFFSET zones, two renderings — each matching what
+    // cast-to-string in a session pinned to that zone wrote into stats
     val instant = java.time.Instant.parse("2024-01-01T15:00:00Z")
     assert(GraftManifestSource.render(instant, utc).get == "2024-01-01 15:00:00")
     assert(GraftManifestSource.render(
-      instant, java.time.ZoneId.of("America/New_York")).get == "2024-01-01 10:00:00")
+      instant, java.time.ZoneOffset.ofHours(-5)).get == "2024-01-01 10:00:00")
+    // DST zones DECLINE instant rendering: local-string order diverges
+    // from instant order inside fall-back overlaps, so lexicographic
+    // pruning there would be unsound — no bound, no pruning, correct
+    assert(GraftManifestSource.render(
+      instant, java.time.ZoneId.of("America/New_York")).isEmpty)
+  }
+
+  test("timestamp stats pin the writer's zone; cross-session-TZ reads prune in the PINNED zone") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = freshDir()
+    // one dir whose ts stats max is 1998-12-31 22:00 UTC
+    val us = java.time.Instant.parse("1998-12-31T22:00:00Z").toEpochMilli * 1000L
+    val df = spark.range(3).select(col("id").as("k"),
+      timestamp_micros(lit(us) - col("id") * lit(3600000000L)).as("ts"))
+    ManifestTable.append(df, dir, statsCols = Seq("ts"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).get
+    // the writer session (UTC) pinned its rendering zone in #meta
+    assert(ManifestTable.metaOf(fs, dir, head).get("statsZone").contains("UTC"))
+    // a reader session in Tokyo must render pushed literals in the
+    // PINNED zone: ts >= 1998-12-31T15:00Z is 1999-01-01 00:00 Tokyo —
+    // rendered in Tokyo it would sort above the UTC stats max and
+    // silently prune the dir that holds all 3 matching rows
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try {
+      val cut = java.sql.Timestamp.from(
+        java.time.Instant.parse("1998-12-31T15:00:00Z"))
+      assert(spark.read.format("graft-manifest").load(dir)
+        .filter(col("ts") >= lit(cut)).count() == 3L, "V1 mis-pruned")
+      assert(spark.read.format("graft").load(dir)
+        .filter(col("ts") >= lit(cut)).count() == 3L, "V2 mis-pruned")
+      // and a Tokyo-session APPEND with ts stats fails loudly instead
+      // of mixing encodings into the same table
+      intercept[IllegalArgumentException] {
+        ManifestTable.append(df, dir, statsCols = Seq("ts"))
+      }
+      // ...while a stats-less append (nothing rendered) still lands
+      ManifestTable.append(df, dir)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
   test("read path: values match native read; pruning proven by a deleted dir") {
