@@ -205,11 +205,26 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 case class GraftScanBuilder(tableDir: String, version: Long,
                             tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var readSchema: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
   private var agg: Option[(StructType, InternalRow)] = None
+  private var limit: Option[Int] = None
+
+  /** Manifest-aware LIMIT: with NO filters, every row counts toward
+    * the limit, so the scan can open just enough commit dirs (by their
+    * recorded rowcounts) to cover it — `LIMIT 100` over years of
+    * appends plans one dir, not the table. PARTIAL push (Spark
+    * re-applies the exact limit above); declined when any filter is
+    * pushed — a dir prefix could then under-deliver MATCHING rows. */
+  override def pushLimit(n: Int): Boolean = {
+    if (filters.nonEmpty) false
+    else { limit = Some(n); true }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
   // supportCompletePushDown and pushAggregation both need the answer —
   // compute the manifest-backed result once per Aggregation instance
   private var answered: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
@@ -247,7 +262,8 @@ case class GraftScanBuilder(tableDir: String, version: Long,
   }
 
   override def build(): Scan =
-    new GraftScan(tableDir, version, tableSchema, readSchema, filters, agg)
+    new GraftScan(tableDir, version, tableSchema, readSchema, filters, agg,
+      limit.filter(_ => filters.isEmpty))
 }
 
 /** The scan: either a metadata-only aggregate answer (one local row)
@@ -257,7 +273,8 @@ case class GraftScanBuilder(tableDir: String, version: Long,
   * shape) before planning partitions. */
 class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
                 requiredSchema: StructType, filters: Array[Filter],
-                agg: Option[(StructType, InternalRow)])
+                agg: Option[(StructType, InternalRow)],
+                limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -299,7 +316,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   /** Stats-covered columns are runtime-filterable: an IN-set arriving
     * from a dimension join folds to its envelope and re-prunes dirs. */
   override def filterAttributes(): Array[NamedReference] =
-    if (agg.isDefined) Array.empty
+    // no runtime filtering over an agg answer, nor combined with a
+    // limit-truncated dir plan (the prefix was chosen by TOTAL counts)
+    if (agg.isDefined || limit.isDefined) Array.empty
     else tableSchema.fieldNames.filter { c =>
       liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined)
     }.map(Expressions.column)
@@ -311,9 +330,25 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         livePaths, liveStats, bounds, tableSchema))
   }
 
+  /** With a pushed pure limit: the shortest dir PREFIX whose recorded
+    * rowcounts cover it (no truncation when any dir lacks a rowcount —
+    * conservative full plan). */
+  private def plannedPaths: Seq[String] = limit match {
+    case None => keptPaths
+    case Some(n) =>
+      val counts = keptPaths.map(p =>
+        liveStats.get(p).flatMap(ManifestTable.rowsIn))
+      if (counts.exists(_.isEmpty)) keptPaths
+      else {
+        val cum = counts.flatten.scanLeft(0L)(_ + _).tail
+        val need = cum.indexWhere(_ >= n.toLong)
+        if (need < 0) keptPaths else keptPaths.take(need + 1)
+      }
+  }
+
   private def listFiles(s: SparkSession): Seq[FileStatus] = {
     val fs = fsOf(s)
-    keptPaths.flatMap { p =>
+    plannedPaths.flatMap { p =>
       fs.listStatus(new Path(tableDir, p)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     }
@@ -400,7 +435,7 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       val bytes =
         try OptionalLong.of(listFiles(spark).map(_.getLen).sum)
         catch { case _: java.io.IOException => OptionalLong.empty() }
-      val rowCounts = keptPaths.map(p =>
+      val rowCounts = plannedPaths.map(p =>
         liveStats.get(p).flatMap(ManifestTable.rowsIn))
       val rows =
         if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
@@ -411,7 +446,8 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   override def description(): String = {
     val b = boundsFor(filters)
     s"GraftScan $tableDir@v$version prunedBounds=${b.keys.toSeq.sorted.mkString(",")}" +
-      agg.map(a => s" PushedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("")
+      agg.map(a => s" PushedAggregates=[${a._1.fieldNames.mkString(", ")}]").getOrElse("") +
+      limit.map(n => s" PushedLimit=$n").getOrElse("")
   }
 }
 

@@ -272,6 +272,34 @@ class GraftV2Spec extends SparkTestBase {
     assert(st.numRows.getAsLong == 10L, st.numRows)
   }
 
+  test("limit pushdown: a pure LIMIT opens just enough commit dirs to cover it") {
+    val dir = freshDir()
+    Seq(1995, 1996, 1997, 1998).foreach(y =>
+      ManifestTable.append(batch(y), dir, statsCols = Seq("d"))) // 4 dirs x 10 rows
+    val limited = spark.read.format("graft").load(dir).limit(12)
+    val scan = scanOf(limited).get
+    assert(scan.description().contains("PushedLimit=12"), scan.description())
+    // 12 rows need 2 of the 4 dirs (rowcounts from #stats)
+    val dirs = limited.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.inputRDD.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.flatMap {
+            case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+              f.files.map(_.filePath.toString.split("/").dropRight(1).last)
+          }
+      }.toSet
+    }.get
+    assert(dirs.size == 2, s"expected 2 dirs planned, got $dirs")
+    assert(limited.count() == 12)
+    // a LIMIT under a filter is NOT dir-truncated (partial-push rules):
+    // matching rows beyond a prefix must survive
+    val filtered = spark.read.format("graft").load(dir)
+      .filter(col("d") >= lit("1998-01-01")).limit(5)
+    assert(filtered.count() == 5)
+    assert(!scanOf(filtered).get.description().contains("PushedLimit"),
+      scanOf(filtered).get.description())
+  }
+
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>
