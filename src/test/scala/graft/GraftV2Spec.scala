@@ -272,6 +272,47 @@ class GraftV2Spec extends SparkTestBase {
     assert(st.numRows.getAsLong == 10L, st.numRows)
   }
 
+  test("DPP end-to-end: Spark plants a dynamic-pruning filter on the graft scan and only the matching dir is read") {
+    val dir = freshDir()
+    (0 until 8).foreach { b =>
+      val rows = (0 until 20000).map(i => (b * 100000L + i, i * 1.0))
+      ManifestTable.append(rows.toDF("k", "v"), dir,
+        statsCols = Seq("k"), retainGenerations = 10)
+    }
+    // dim must be file-backed: Spark's partition-pruning heuristic
+    // requires a scan under the filtering side
+    (0 until 50).map(i => (700000L + i, s"n$i")).toDF("k", "name")
+      .write.mode("overwrite").parquet(dir + "_dim")
+    val fact = spark.read.format("graft").load(dir)
+    val dim = spark.read.parquet(dir + "_dim").filter(col("name") =!= "nope")
+    val joined = fact.join(dim, "k")
+    // drive the SAME queryExecution whose metrics we inspect below
+    // (count() would plan and execute a separate aggregate QE)
+    assert(joined.collect().length == 50)
+    val finalPlan = joined.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("dynamicpruningexpression"),
+      finalPlan.toString.split("\n").filter(_.contains("BatchScan")).mkString("\n"))
+    // behavioral proof: the scan emitted ONE dir's rows (the dim's keys
+    // all live in the [700000, 719999] dir), not the table's 160k —
+    // the runtime IN-set reached GraftScan.filter and re-pruned dirs
+    // before execution. (A deleted-dir proof is impossible here:
+    // BatchScanExec eagerly plans the unfiltered partition list once
+    // during planning, by design.)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      }.flatten
+    val graftScan = scans(finalPlan)
+      .find(_.scan.isInstanceOf[graft.sources.GraftScan]).get
+    val scanRows = graftScan.metrics("numOutputRows").value
+    assert(scanRows == 20000L, s"scan emitted $scanRows rows — runtime filter not applied")
+  }
+
   test("limit pushdown: a pure LIMIT opens just enough commit dirs to cover it") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>
