@@ -141,6 +141,7 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     // V1_BATCH_WRITE tells the physical planner the Write is a V1Write
     // bridge (AppendDataExecV1) — both are required, same as Delta
     val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     // first write to an uncommitted path: nothing to resolve against
@@ -151,7 +152,8 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pinnedV.getOrElse(throw new IllegalArgumentException(
       s"no committed graft table at $tableDir"))
-    GraftScanBuilder(tableDir, v, tableSchema)
+    GraftScanBuilder(tableDir, v, tableSchema,
+      options.asCaseSensitiveMap().asScala.toMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -203,7 +205,8 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
   * as residual — pruning is I/O-only, never correctness), and complete
   * aggregate pushdown against manifest stats. */
 case class GraftScanBuilder(tableDir: String, version: Long,
-                            tableSchema: StructType)
+                            tableSchema: StructType,
+                            scanOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -263,7 +266,7 @@ case class GraftScanBuilder(tableDir: String, version: Long,
 
   override def build(): Scan =
     new GraftScan(tableDir, version, tableSchema, readSchema, filters, agg,
-      limit.filter(_ => filters.isEmpty))
+      limit.filter(_ => filters.isEmpty), scanOptions)
 }
 
 /** The scan: either a metadata-only aggregate answer (one local row)
@@ -274,7 +277,8 @@ case class GraftScanBuilder(tableDir: String, version: Long,
 class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
                 requiredSchema: StructType, filters: Array[Filter],
                 agg: Option[(StructType, InternalRow)],
-                limit: Option[Int] = None)
+                limit: Option[Int] = None,
+                streamOptions: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -346,81 +350,28 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       }
   }
 
-  private def listFiles(s: SparkSession): Seq[FileStatus] = {
-    val fs = fsOf(s)
-    plannedPaths.flatMap { p =>
-      fs.listStatus(new Path(tableDir, p)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    }
-  }
+  private def listFiles(s: SparkSession): Seq[FileStatus] =
+    GraftParquetRead.listFiles(s, tableDir, plannedPaths)
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
-    case None =>
-      val s = spark
-      val conf = s.sessionState.conf
-      val files = listFiles(s)
-      val openCost = conf.filesOpenCostInBytes
-      val minPart = conf.filesMinPartitionNum
-        .getOrElse(s.sparkContext.defaultParallelism)
-      val bytesPerCore =
-        (files.map(_.getLen + openCost).sum) / math.max(1, minPart)
-      val maxSplit = math.min(conf.filesMaxPartitionBytes,
-        math.max(openCost, bytesPerCore))
-      val split = files.flatMap { st =>
-        (0L until st.getLen by maxSplit).map { off =>
-          PartitionedFile(InternalRow.empty,
-            org.apache.spark.paths.SparkPath.fromPath(st.getPath),
-            off, math.min(maxSplit, st.getLen - off), Array.empty,
-            st.getModificationTime, st.getLen, Map.empty)
-        }
-      }
-      FilePartition.getFilePartitions(s,
-        split.sortBy(-_.length), maxSplit).toArray
+    case None => GraftParquetRead.packPartitions(spark, listFiles(spark))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(_) => GraftAggReaderFactory
     case None =>
-      // mirror ParquetScan.createReaderFactory's hadoopConf contract —
-      // the reader factory reads these keys executor-side
-      val s = spark
-      val sqlConf = s.sessionState.conf
-      val hadoopConf: Configuration = s.sessionState.newHadoopConf()
-      val readJson = requiredSchema.json
-      hadoopConf.set(
-        org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-        classOf[ParquetReadSupport].getName)
-      hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readJson)
-      hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readJson)
-      hadoopConf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
-        sqlConf.sessionLocalTimeZone)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
-        sqlConf.nestedSchemaPruningEnabled)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
-        sqlConf.caseSensitiveAnalysis)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
-        sqlConf.isParquetBinaryAsString)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
-        sqlConf.isParquetINT96AsTimestamp)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
-        sqlConf.parquetInferTimestampNTZEnabled)
-      hadoopConf.setBoolean(
-        org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
-        sqlConf.legacyParquetNanosAsLong)
-      val broadcasted = s.sparkContext.broadcast(
-        new SerializableConfiguration(hadoopConf))
-      // filters ride along for parquet row-group pruning only — the
-      // same predicates are re-applied above the scan (residual)
-      ParquetPartitionReaderFactory(sqlConf, broadcasted, tableSchema,
-        requiredSchema, new StructType(), filters, None,
-        new ParquetOptions(Map.empty[String, String], sqlConf))
+      GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema, filters)
   }
+
+  /** Streaming read of the SAME table (see [[GraftMicroBatchStream]]).
+    * Aggregate/limit pushdown never reach the streaming path (Spark
+    * plans them batch-only), so the plain file scan shape is the one
+    * that streams. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(tableDir, tableSchema, requiredSchema,
+      filters, streamOptions)
 
   /** Post-pruning size, and a row count when every surviving dir has
     * parseable stats — broadcast planning sees what will actually be
@@ -456,6 +407,175 @@ case class GraftStatistics(sizeInBytes: OptionalLong,
 
 /** The one-row partition carrying a metadata-answered aggregate. */
 case class GraftAggPartition(row: InternalRow) extends InputPartition
+
+/** The parquet read kernel shared by the batch scan and the streaming
+  * source: dir listing → split → `FilePartition` packing, and the
+  * vectorized reader factory (mirroring `ParquetScan.createReaderFactory`'s
+  * hadoopConf contract — the factory reads these keys executor-side). */
+private[sources] object GraftParquetRead {
+
+  def listFiles(s: SparkSession, tableDir: String,
+                relPaths: Seq[String]): Seq[FileStatus] = {
+    val fs = new Path(tableDir).getFileSystem(s.sessionState.newHadoopConf())
+    relPaths.flatMap { p =>
+      fs.listStatus(new Path(tableDir, p)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
+  def packPartitions(s: SparkSession,
+                     files: Seq[FileStatus]): Array[InputPartition] = {
+    val conf = s.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPart = conf.filesMinPartitionNum
+      .getOrElse(s.sparkContext.defaultParallelism)
+    val bytesPerCore =
+      (files.map(_.getLen + openCost).sum) / math.max(1, minPart)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val split = files.flatMap { st =>
+      (0L until st.getLen by maxSplit).map { off =>
+        PartitionedFile(InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+          off, math.min(maxSplit, st.getLen - off), Array.empty,
+          st.getModificationTime, st.getLen, Map.empty)
+      }
+    }
+    FilePartition.getFilePartitions(s,
+      split.sortBy(-_.length), maxSplit).toArray
+  }
+
+  def readerFactory(s: SparkSession, tableSchema: StructType,
+                    requiredSchema: StructType,
+                    filters: Array[Filter]): PartitionReaderFactory = {
+    val sqlConf = s.sessionState.conf
+    val hadoopConf: Configuration = s.sessionState.newHadoopConf()
+    val readJson = requiredSchema.json
+    hadoopConf.set(
+      org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readJson)
+    hadoopConf.set(org.apache.spark.sql.internal.SQLConf.SESSION_LOCAL_TIMEZONE.key,
+      sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    hadoopConf.setBoolean(
+      org.apache.spark.sql.internal.SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    val broadcasted = s.sparkContext.broadcast(
+      new SerializableConfiguration(hadoopConf))
+    // filters ride along for parquet row-group pruning only — the
+    // same predicates are re-applied above the scan (residual)
+    ParquetPartitionReaderFactory(sqlConf, broadcasted, tableSchema,
+      requiredSchema, new StructType(), filters, None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+}
+
+/** Offset = the last fully processed manifest VERSION. Version 0 means
+  * "nothing yet" — the first batch then emits the entire table as of
+  * the first observed head (snapshot + tail, the Delta streaming-source
+  * default). */
+case class GraftStreamOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** X13 — `spark.readStream.format("graft").load(dir)`: the manifest
+  * table as a Structured Streaming SOURCE. Each micro-batch is the set
+  * of commit dirs ADDED between two manifest versions — exactly the
+  * unit [[ManifestTable.append]] and the X8 `appendSink` produce, so
+  * the lakehouse table written by one stream is tailed by the next
+  * (the Delta streaming-source shape). Exactly-once: offsets are
+  * manifest versions in the query checkpoint; a re-planned batch
+  * re-reads the same immutable dirs.
+  *
+  * Contract and failure modes, deliberately explicit:
+  *  - append-only by default: a version step that REMOVED dirs
+  *    (overwrite / compaction / merge rewrite) fails the stream with
+  *    the offending paths unless `ignoreChanges=true` — mirroring
+  *    Delta, which also re-emits rewritten rows under that flag (a
+  *    compacted dir's rows ARE re-emitted: they are "added" dirs).
+  *  - `startingVersion` option: begin from that version's additions
+  *    instead of the full current snapshot.
+  *  - a restart whose checkpointed offset version is no longer
+  *    RETAINED fails loudly naming the retention knobs — the diff
+  *    needs the old manifest; size `retainGenerations`/`minRetainMs`
+  *    to the longest restart gap (same sizing rule as readers).
+  *
+  * Scale: each batch lists only the ADDED dirs (no full-table listing),
+  * so steady-state tailing is O(new data) regardless of table size. */
+class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
+                            requiredSchema: StructType,
+                            filters: Array[Filter],
+                            options: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(tableDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+  private def opt(k: String): Option[String] =
+    options.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
+
+  override def initialOffset(): Offset =
+    GraftStreamOffset(opt("startingVersion").map(_.toLong - 1).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(ManifestTable.headVersion(spark, tableDir).getOrElse(0L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.toLong)
+
+  private def pathsAt(v: Long): Seq[String] =
+    if (v <= 0L) Seq.empty
+    else {
+      require(ManifestTable.versions(fs, tableDir).contains(v),
+        s"stream offset version $v is no longer retained at $tableDir — " +
+          "size retainGenerations/minRetainMs to cover the longest " +
+          "restart gap, or restart the query from a fresh checkpoint")
+      ManifestTable.pathsOf(fs, tableDir, v)
+    }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val e = end.asInstanceOf[GraftStreamOffset].version
+    if (e <= s) return Array.empty
+    val startPaths = pathsAt(s).toSet
+    val endPaths = pathsAt(e)
+    val removed = startPaths -- endPaths
+    if (removed.nonEmpty && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft stream at $tableDir: versions $s -> $e removed data dirs " +
+          s"${removed.toSeq.sorted.take(5).mkString(", ")} — the source " +
+          "streams APPENDS; overwrite/compaction/merge require " +
+          "option ignoreChanges=true (rewritten rows are re-emitted)")
+    val added = endPaths.filterNot(startPaths).sorted
+    GraftParquetRead.packPartitions(spark,
+      GraftParquetRead.listFiles(spark, tableDir, added))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema, filters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 object GraftAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =

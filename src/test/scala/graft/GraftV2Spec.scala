@@ -341,6 +341,66 @@ class GraftV2Spec extends SparkTestBase {
       scanOf(filtered).get.description())
   }
 
+  private def streamOnce(dir: String, ckpt: String,
+                         readOpts: Map[String, String] = Map.empty): Seq[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var reader = spark.readStream.format("graft")
+    readOpts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf.synchronized { buf ++= b.select("k").collect().map(_.getLong(0)) }: Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  test("X13 streaming source: snapshot first batch, exactly-once tail across restarts") {
+    val dir = freshDir()
+    val ckpt = freshDir() + "/ckpt"
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"),
+      retainGenerations = 10)
+    ManifestTable.append(batch(1996), dir, statsCols = Seq("d"),
+      retainGenerations = 10)
+    def ks(y: Int) = (0 until 10).map(y * 1000L + _)
+    // first run: the whole current table as the initial snapshot
+    assert(streamOnce(dir, ckpt).sorted == (ks(1995) ++ ks(1996)).sorted)
+    // tail: only the new commit dir's rows, exactly once
+    ManifestTable.append(batch(1997), dir, statsCols = Seq("d"),
+      retainGenerations = 10)
+    assert(streamOnce(dir, ckpt).sorted == ks(1997).sorted)
+    // nothing new → empty run, offset stands still
+    assert(streamOnce(dir, ckpt).isEmpty)
+  }
+
+  test("X13 streaming source: startingVersion, and removed dirs fail without ignoreChanges") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, retainGenerations = 10)
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    ManifestTable.append(batch(1996), dir, retainGenerations = 10)
+    // startingVersion: begin from v2's additions, skip the v1 snapshot
+    val tail = streamOnce(dir, freshDir() + "/ck",
+      Map("startingVersion" -> (v1 + 1).toString))
+    assert(tail.sorted == (0 until 10).map(1996000L + _).sorted)
+    // an overwrite REMOVES dirs: the append-only stream must fail loudly
+    val ckpt2 = freshDir() + "/ck2"
+    assert(streamOnce(dir, ckpt2).size == 20)
+    batch(1999, n = 4).write.format("graft").option("retainGenerations", 10)
+      .mode(SaveMode.Overwrite).save(dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streamOnce(dir, ckpt2)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("ignoreChanges")), e.getMessage)
+    // ...and proceeds under ignoreChanges, emitting the added dir
+    val got = streamOnce(dir, ckpt2, Map("ignoreChanges" -> "true"))
+    assert(got.sorted == (0 until 4).map(1999000L + _).sorted)
+  }
+
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
     val dir = freshDir()
     Seq(1995, 1996, 1997, 1998).foreach(y =>
