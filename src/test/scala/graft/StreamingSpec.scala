@@ -694,6 +694,43 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("lakehouse loop: a table written by appendSink is TAILED by the graft streaming source into the next table") {
+    // bronze→silver medallion hop, every layer this repo's own: a doc
+    // stream gated by X12 lands in BRONZE via appendSink (X8×S19);
+    // a SECOND stream tails bronze through the X13 graft source and
+    // lands the rows in SILVER via another appendSink — snapshot first,
+    // then exactly-once tail across restarts of the downstream query.
+    implicit val ctx = spark.sqlContext
+    def longText(seed: Int): String =
+      (0 until 30).map(i => s"word${(seed * 11 + i * 3) % 40}").mkString(" ")
+    def doc(id: Long, text: String, t: String) =
+      DocArrival(id, text, "en", Timestamp.valueOf(s"2024-01-01 $t:00"))
+    val bronze = java.nio.file.Files.createTempDirectory("graft_loop_b").toString
+    val silver = java.nio.file.Files.createTempDirectory("graft_loop_s").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_loop_c1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_loop_c2").toString
+    def runSilver(): Unit =
+      Streams.appendSink(spark.readStream.format("graft").load(bronze),
+        silver, ck2, statsCols = Seq("ingest_ts"))
+    def silverIds(): Seq[Long] =
+      graft.sources.ManifestTable.read(spark, silver)
+        .select("doc_id").as[Long].collect().toSeq
+    val in = MemoryStream[DocArrival]
+    in.addData(doc(1, longText(1), "09:00"), doc(2, longText(2), "09:01"),
+      doc(3, "tiny", "09:02")) // gated out by X12
+    Streams.appendSink(Streams.curationIngest(in.toDF()), bronze, ck1,
+      statsCols = Seq("ingest_ts"))
+    runSilver() // snapshot: bronze's current content
+    assert(silverIds().sorted == Seq(1L, 2L))
+    in.addData(doc(6, longText(6), "13:00"), doc(7, longText(7), "13:05"))
+    Streams.appendSink(Streams.curationIngest(in.toDF()), bronze, ck1,
+      statsCols = Seq("ingest_ts"))
+    runSilver() // tail: ONLY the new bronze commit dir, exactly once
+    assert(silverIds().sorted == Seq(1L, 2L, 6L, 7L), silverIds().sorted)
+    runSilver() // no new bronze data: silver unchanged
+    assert(silverIds().sorted == Seq(1L, 2L, 6L, 7L))
+  }
+
   test("lambda pipeline end-to-end: stream gates -> manifest append with stats -> pruned source read -> batch near-dedup") {
     // The full curation lambda in one test: X12 gates a document
     // stream, each micro-batch lands as a manifest commit with
