@@ -369,9 +369,13 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     * plans them batch-only), so the plain file scan shape is the one
     * that streams. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!streamOptions.keys.exists(_.equalsIgnoreCase("versionAsOf")),
+      "versionAsOf is batch time travel; a streaming read tails the " +
+        "LIVE table — use startingVersion to choose where the tail begins")
     new GraftMicroBatchStream(tableDir, tableSchema, requiredSchema,
       filters, streamOptions)
+  }
 
   /** Post-pruning size, and a row count when every surviving dir has
     * parseable stats — broadcast planning sees what will actually be
