@@ -1,0 +1,392 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** S23 — `TableCatalog` plugin for manifest tables: the catalog surface
+  * of the V2 source, registered as
+  *
+  * {{{
+  * spark.sql.catalog.<name>           = graft.sources.GraftCatalog
+  * spark.sql.catalog.<name>.warehouse = <dir>
+  * }}}
+  *
+  * after which the whole multi-part-identifier SQL surface works
+  * against manifest tables with no `.format(...).load(path)` plumbing:
+  * `CREATE/DROP/ALTER TABLE <name>.ns.t`, CTAS, `INSERT INTO/OVERWRITE`,
+  * `SELECT ... VERSION AS OF n / TIMESTAMP AS OF ts`, `SHOW TABLES`,
+  * `SHOW TBLPROPERTIES`, `df.writeTo(...)`, `spark.read.table(...)`,
+  * and `spark.readStream.table(...)` (the X13 source). This is the
+  * catalog-integration surface the V1 API structurally could not offer
+  * (reference capability TEST:41's named-table access; cf. Delta's
+  * `DeltaCatalog` / Iceberg's `SparkCatalog` — same plugin seam, public
+  * `CatalogPlugin` API).
+  *
+  * Layout: an identifier maps to a directory —
+  * `warehouse/ns.../name` — a namespace IS a directory, a table IS a
+  * directory with at least one committed manifest. There is no separate
+  * metastore database: the manifest (schema header + `#meta` channel)
+  * is the table metadata, so the catalog stays consistent with path
+  * access by construction (the same table read via
+  * `spark.read.format("graft").load(dir)` and via `cat.ns.t` resolves
+  * the same manifest — no dual-write to keep in sync, the failure mode
+  * external-metastore lakehouses spend machinery on).
+  *
+  * Table properties (`TBLPROPERTIES`, `OPTIONS`) persist in the `#meta`
+  * channel under a `prop:` prefix, so `statsCols` / `retainGenerations`
+  * / `clusterBy` declared at CREATE govern every subsequent writer
+  * without per-writer options. `clusterBy` is special-cased onto the
+  * engine's declared-cluster-spec key so `ALTER TABLE ... SET
+  * TBLPROPERTIES ('clusterBy'='a,b')` IS the liquid-clustering spec
+  * change ([[ManifestTable.alterClusterBy]] — one metadata commit, the
+  * next compaction realizes the layout).
+  *
+  * Scale: every catalog operation is metadata-only — one manifest
+  * listing or one conditional pointer commit; nothing here reads a
+  * data file, so catalog latency is independent of table size.
+  * Concurrency: metadata changes go through [[ManifestTable.commitIf]]
+  * (optimistic rebase), so a property change racing an append loses
+  * and retries rather than clobbering the appended paths.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog._
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft catalog '$name' needs a warehouse: " +
+          s"spark.sql.catalog.$name.warehouse=<dir>"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** `warehouse/seg1/.../segN` with every segment validated — an
+    * identifier must not be able to escape the warehouse or collide
+    * with the engine's underscore-prefixed metadata dirs. */
+  private def pathOf(segments: Seq[String]): Path = {
+    segments.foreach { s =>
+      require(s != null && s.nonEmpty && s != "." && s != ".." &&
+        !s.contains("/") && !s.contains("\\") && !s.startsWith("_") &&
+        !s.startsWith("."),
+        s"invalid graft identifier segment '$s'")
+    }
+    segments.foldLeft(new Path(warehouse))((p, s) => new Path(p, s))
+  }
+
+  private def tableDir(ident: Identifier): String =
+    pathOf(ident.namespace.toSeq :+ ident.name).toString
+
+  /** A table is a dir with >=1 committed manifest version. */
+  private def isTable(dir: Path): Boolean =
+    ManifestTable.versions(fs, dir.toString).nonEmpty
+
+  /** Child dirs of `p`, engine/metadata dirs excluded. */
+  private def childDirs(p: Path): Seq[Path] =
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = pathOf(namespace.toSeq)
+    if (namespace.nonEmpty && !fs.exists(dir))
+      throw new NoSuchNamespaceException(namespace)
+    childDirs(dir).filter(isTable)
+      .map(c => Identifier.of(namespace, c.getName)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try isTable(new Path(tableDir(ident)))
+    catch { case _: IllegalArgumentException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    val head = ManifestTable.headVersion(spark, dir)
+      .getOrElse(throw new NoSuchTableException(ident))
+    tableAt(ident, dir, head)
+  }
+
+  /** SQL `VERSION AS OF n` — routed here by Spark's time-travel
+    * resolution; validated against retention like the `versionAsOf`
+    * read option. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"graft VERSION AS OF wants a manifest version number, got '$version'"))
+    require(ManifestTable.versions(fs, dir).contains(v),
+      s"version $v is not retained at $dir")
+    tableAt(ident, dir, v)
+  }
+
+  /** SQL `TIMESTAMP AS OF ts` (`timestampMicros` since epoch, per the
+    * API contract): the newest retained version committed at-or-before
+    * the instant — commit times are the manifest files' mtimes, the
+    * same clock [[ManifestTable.history]] reports. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
+    val millis = Math.floorDiv(timestampMicros, 1000L)
+    val v = ManifestTable.versionTimes(fs, dir)
+      .filter(_._2 <= millis).map(_._1).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no retained version of $dir committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(millis)} — earlier history " +
+          "was GC'd (retainGenerations/minRetainMs) or the table is newer"))
+    tableAt(ident, dir, v)
+  }
+
+  private def tableAt(ident: Identifier, dir: String, v: Long): GraftTable = {
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, v)
+      .getOrElse(ManifestTable.readVersion(spark, dir, v).schema)
+    val props = ManifestTable.metaOf(fs, dir, v).collect {
+      case (k, value) if k.startsWith(PropPrefix) =>
+        k.stripPrefix(PropPrefix) -> value
+    }
+    GraftTable(dir, Some(v), schema, props + ("path" -> dir))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val dirPath = new Path(tableDir(ident))
+    if (isTable(dirPath)) throw new TableAlreadyExistsException(ident)
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    require(schema.fields.nonEmpty,
+      s"CREATE TABLE $ident needs columns (CTAS derives them from the query)")
+    // PARTITIONED BY (col, ...) maps onto the declared cluster spec:
+    // manifest tables prune by per-dir stats, and the spec tells
+    // compaction to lay dirs out so those columns DO prune — the same
+    // query-speedup contract hive-style partitioning sells, without
+    // committing the layout at create time (partition EVOLUTION is a
+    // metadata change here, not a table rewrite)
+    val clusterCols = partitions.toSeq.map {
+      // identity transforms only (the concrete case class is
+      // private[sql] — match the public Transform surface)
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"graft tables cluster by plain columns; transform '$t' is not supported")
+    }
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"cluster column '$c' is not in the table schema"))
+    val props = persistedProps(properties) ++
+      (if (clusterCols.nonEmpty) Map("clusterBy" -> clusterCols.mkString(","))
+       else Map.empty)
+    val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
+      props.get("clusterBy").map(ClusterByKey -> _)
+    val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
+    ManifestTable.commit(spark, dirPath.toString, Seq.empty,
+      retainGenerations = retain, schemaDdl = Some(schema.toDDL), meta = meta)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dirPath = new Path(tableDir(ident))
+    isTable(dirPath) && fs.delete(dirPath, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tableDir(oldIdent))
+    val to = new Path(tableDir(newIdent))
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
+    if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
+      throw new NoSuchNamespaceException(newIdent.namespace)
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  /** SET/UNSET TBLPROPERTIES and ADD COLUMN(S). Each change is one
+    * optimistic metadata commit (paths/stats re-published unchanged) —
+    * racing an append, the loser retries against the new head, so a
+    * property change can never drop concurrently appended dirs. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case s: TableChange.SetProperty if s.property == "clusterBy" =>
+        // the liquid-clustering move: validate against the declared
+        // schema and commit the ENGINE spec key, plus the prop echo
+        // (one commit — alterMeta writes both keys; alterClusterBy's
+        // schema validation is replicated here)
+        val cols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty, "clusterBy needs at least one column")
+        val head0 = ManifestTable.headVersion(spark, dir).get
+        ManifestTable.declaredSchemaOf(spark, dir, head0).foreach(sch =>
+          cols.foreach(c => require(sch.fieldNames.contains(c),
+            s"cluster column '$c' is not in the declared schema at $dir")))
+        alterMeta(dir, _ +
+          (ClusterByKey -> cols.mkString(",")) +
+          ((PropPrefix + "clusterBy") -> cols.mkString(",")))
+      case s: TableChange.SetProperty =>
+        alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
+      case r: TableChange.RemoveProperty if r.property == "clusterBy" =>
+        alterMeta(dir, m => m - ClusterByKey - (PropPrefix + "clusterBy"))
+      case r: TableChange.RemoveProperty =>
+        alterMeta(dir, _ - (PropPrefix + r.property))
+      case a: TableChange.AddColumn => addColumn(ident, dir, a)
+      case c => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports SET/UNSET TBLPROPERTIES and ADD " +
+          s"COLUMN; ${c.getClass.getSimpleName} is not supported " +
+          "(width-changing rewrites go through MERGE's schema evolution)")
+    }
+    loadTable(ident)
+  }
+
+  /** Metadata-only ADD COLUMN — the declared-schema read path
+    * null-fills dirs written before the column existed, so no data
+    * file is touched (the Delta/Iceberg schema-evolution contract).
+    * Nullable top-level columns only, appended at the end: anything
+    * else would need a rewrite or a default-value channel. */
+  private def addColumn(ident: Identifier, dir: String,
+                        a: TableChange.AddColumn): Unit = {
+    require(a.fieldNames.length == 1,
+      s"graft ADD COLUMN is top-level only, got ${a.fieldNames.mkString(".")}")
+    require(a.isNullable,
+      s"new column '${a.fieldNames.head}' must be nullable — " +
+        "existing dirs null-fill it")
+    require(a.position() == null,
+      "graft ADD COLUMN appends at the end (FIRST/AFTER would reorder " +
+        "parquet field resolution for existing dirs)")
+    require(a.defaultValue() == null,
+      "graft ADD COLUMN does not support DEFAULT values")
+    alterSchema(dir, old => {
+      require(!old.fieldNames.contains(a.fieldNames.head),
+        s"column '${a.fieldNames.head}' already exists in $ident")
+      StructType(old.fields :+
+        StructField(a.fieldNames.head, a.dataType, nullable = true))
+    })
+  }
+
+  private def alterMeta(dir: String,
+                        f: Map[String, String] => Map[String, String]): Unit =
+    alterHead(dir)(head => (ManifestTable.schemaOf(fs, dir, head),
+      f(ManifestTable.metaOf(fs, dir, head))))
+
+  private def alterSchema(dir: String, f: StructType => StructType): Unit =
+    alterHead(dir) { head =>
+      val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$dir has no declared schema to evolve — written by a " +
+            "pre-schema writer; one append through the catalog declares it"))
+      (Some(f(old).toDDL), ManifestTable.metaOf(fs, dir, head))
+    }
+
+  /** Optimistic metadata rebase loop shared by every ALTER: re-publish
+    * the head's paths and stats with a transformed (schemaDdl, meta). */
+  private def alterHead(dir: String)(
+      f: Long => (Option[String], Map[String, String])): Unit = {
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val head = ManifestTable.headVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(s"no committed manifest at $dir"))
+      val (ddl, meta) = f(head)
+      // honor the table's own retention — an ALTER with the default
+      // would otherwise GC a deep-history table down to 2 generations
+      val retain = meta.get(PropPrefix + "retainGenerations")
+        .flatMap(_.toIntOption).getOrElse(2)
+      if (ManifestTable.commitIf(spark, dir,
+          ManifestTable.pathsOf(fs, dir, head), head,
+          retainGenerations = retain,
+          schemaDdl = ddl, stats = ManifestTable.statsOf(fs, dir, head),
+          meta = meta).isDefined) return
+    }
+    throw new IllegalStateException(s"ALTER contention at $dir")
+  }
+
+  // ------------------------------------------------------------ namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    childDirs(new Path(warehouse)).filterNot(isTable)
+      .map(c => Array(c.getName)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = pathOf(namespace.toSeq)
+    if (!fs.exists(dir) || isTable(dir))
+      throw new NoSuchNamespaceException(namespace)
+    childDirs(dir).filterNot(isTable)
+      .map(c => namespace :+ c.getName).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      try {
+        val dir = pathOf(namespace.toSeq)
+        fs.exists(dir) && !isTable(dir)
+      } catch { case _: IllegalArgumentException => false }
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      pathOf(namespace.toSeq).toString).asJava
+  }
+
+  override def createNamespace(
+      namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(pathOf(namespace.toSeq)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft namespaces are plain directories and carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val dir = pathOf(namespace.toSeq)
+    if (!cascade && childDirs(dir).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(dir, true)
+  }
+}
+
+object GraftCatalog {
+  /** `#meta` prefix under which table properties persist — disjoint
+    * from engine keys (statsZone, clusterBy, txn:*) by construction. */
+  private[sources] val PropPrefix = "prop:"
+  private[sources] val ClusterByKey = "clusterBy"
+
+  /** Spark-managed bookkeeping props that must not persist as user
+    * properties; `option.`-prefixed entries persist with the prefix
+    * stripped (they ARE the table's write options). */
+  private val Reserved = Set(TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_COLLATION)
+
+  private def persistedProps(
+      properties: java.util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.view
+      .filterKeys(k => !Reserved.contains(k)).toMap
+      .map { case (k, v) =>
+        (if (k.startsWith(TableCatalog.OPTION_PREFIX))
+           k.stripPrefix(TableCatalog.OPTION_PREFIX)
+         else k) -> v
+      }
+}

@@ -133,6 +133,13 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
 
   override def schema(): StructType = tableSchema
 
+  /** Persisted table properties (for catalog tables: the `prop:` meta
+    * channel, surfaced by SHOW TBLPROPERTIES) — also the seam
+    * [[newWriteBuilder]] reads statsCols/retainGenerations/clusterBy
+    * through, so a catalog table's write options persist across
+    * sessions instead of living in each writer's .option() calls. */
+  override def properties(): java.util.Map[String, String] = tableProps.asJava
+
   override def version(): String = pinnedV.map(_.toString).orNull
 
   // columns() derives from schema() via Table's default implementation

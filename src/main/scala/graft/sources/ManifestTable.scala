@@ -722,18 +722,28 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** (version, commit epoch millis from the manifest file's mtime) for
+    * every retained version, ascending — the `TIMESTAMP AS OF`
+    * resolution input. A racing commit's GC can delete a listed
+    * manifest before the stat — skip it (it is no longer history)
+    * instead of throwing. */
+  private[sources] def versionTimes(fs: FileSystem,
+                                    tableDir: String): Seq[(Long, Long)] =
+    versions(fs, tableDir).flatMap { v =>
+      try Some((v, fs.getFileStatus(
+        new Path(manifestDir(tableDir), manifestName(v))).getModificationTime))
+      catch { case _: java.io.IOException => None }
+    }
+
   /** Version log of the retained history: (version, committed_at epoch
     * millis from the manifest file's mtime, n_paths). One driver-side
     * listing — metadata only. */
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     val fs = fsOf(spark, tableDir)
-    // a racing commit's GC can delete a listed manifest before the stat
-    // — skip it (it is no longer history) instead of throwing
-    val rows = versions(fs, tableDir).flatMap { v =>
-      try {
-        val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
-        Some((v, st.getModificationTime, pathsOf(fs, tableDir, v).length))
-      } catch { case _: java.io.IOException => None }
+    val rows = versionTimes(fs, tableDir).flatMap { case (v, t) =>
+      // the GC race window extends to the body read as well
+      try Some((v, t, pathsOf(fs, tableDir, v).length))
+      catch { case _: java.io.IOException => None }
     }
     import spark.implicits._
     rows.toDF("version", "committed_at", "n_paths")

@@ -663,6 +663,54 @@ object Sources {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
+  private val catalogDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S23 fixture: a catalog (warehouse = fresh tmp dir, name keyed by
+    * the sf dir so re-registration is idempotent within a session)
+    * holding `lake.ocat`, built entirely through the SQL/writeTo
+    * surface: CTAS with the pre-1997 slice of orders (→ v2), then an
+    * INSERT of the rest (→ v3). `retainGenerations=10` keeps the CTAS
+    * snapshot retained for the time-travel leg. */
+  private def catalogDemo(s: SparkSession, d: String): String = {
+    catalogDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    catalogDemoCache.computeIfAbsent((s, d), { case (s, d) =>
+      val cat = "gb" + (d.hashCode & 0x7fffffff).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp("graft_s23_"))
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+      val base = orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      base.filter(year(col("o_orderdate")) < 1997)
+        .writeTo(s"$cat.lake.ocat")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .create()
+      base.filter(year(col("o_orderdate")) >= 1997)
+        .writeTo(s"$cat.lake.ocat").append()
+      cat
+    })
+  }
+
+  /** S23: the `TableCatalog` plugin ([[GraftCatalog]]) — multi-part-
+    * identifier SQL against a manifest table with zero path plumbing:
+    * one leg aggregates the live table, the other time-travels to the
+    * CTAS snapshot (`VERSION AS OF 2` — v1 is the schema-only CREATE).
+    * The oracle rebuilds both from plain orders: catalog resolution
+    * and snapshot isolation must change HOW the table is addressed,
+    * never WHICH rows come back. Every catalog op here is
+    * metadata-only (one manifest read per leg). */
+  def s23_catalog_sql(s: SparkSession, d: String): DataFrame = {
+    val cat = catalogDemo(s, d)
+    s.sql(
+      s"""SELECT h.n_total, h.total_price, h.key_checksum, v.n_snapshot
+          FROM (SELECT count(*) AS n_total,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.ocat) h
+          CROSS JOIN (SELECT count(*) AS n_snapshot
+                      FROM $cat.lake.ocat VERSION AS OF 2) v""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -684,6 +732,7 @@ object Sources {
     "s20_source_pushdown" -> (s20_source_pushdown _),
     "s21_agg_pushdown" -> (s21_agg_pushdown _),
     "s22_v2_pushdown" -> (s22_v2_pushdown _),
+    "s23_catalog_sql" -> (s23_catalog_sql _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -815,5 +864,12 @@ object Sources {
          WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
            AND o_orderdate <= TIMESTAMP '1998-12-31 23:59:59'
            AND o_totalprice >= 1000.0 AND o_totalprice <= 250000.0""",
+    // live table = all of orders; the CTAS snapshot = the pre-1997 slice
+    "s23_catalog_sql" ->
+      """SELECT (SELECT count(*) FROM orders) AS n_total,
+         (SELECT round(sum(o_totalprice), 2) FROM orders) AS total_price,
+         (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_checksum,
+         (SELECT count(*) FROM orders
+          WHERE year(o_orderdate) < 1997) AS n_snapshot""",
   )
 }

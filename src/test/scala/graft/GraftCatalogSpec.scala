@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** S23 — the `GraftCatalog` TableCatalog plugin: multi-part-identifier
+  * SQL (CREATE/INSERT/SELECT/ALTER/DROP/RENAME, time travel, SHOW)
+  * against manifest tables, plus path/catalog consistency and the
+  * metadata-only schema-evolution contract. */
+class GraftCatalogSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-cat").toString
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", dir)
+    dir
+  }
+  private def fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("catalog: create namespace + table, insert, select, show") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE gcat.lake")
+    spark.sql("CREATE TABLE gcat.lake.t (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    spark.sql("INSERT INTO gcat.lake.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    assert(spark.sql("SELECT * FROM gcat.lake.t").count() == 3L)
+    assert(spark.sql("SELECT v FROM gcat.lake.t WHERE k = 2")
+      .head().getString(0) == "b")
+    assert(spark.sql("SHOW TABLES IN gcat.lake").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+    assert(spark.sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).contains("lake"))
+    // TBLPROPERTIES persisted through the #meta prop channel
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.lake.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("statsCols").contains("k"))
+    // declared statsCols govern the catalog writer: stats present
+    val dir = s"$wh/lake/t"
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.statsOf(fs, dir, head).nonEmpty,
+      "statsCols TBLPROPERTY should flow into the insert's stats write")
+  }
+
+  test("catalog: path access and catalog access resolve the same table") {
+    wh: Unit
+    spark.sql("CREATE TABLE IF NOT EXISTS gcat.lake.t (k INT, v STRING)")
+    val byPath = spark.read.format("graft").load(s"$wh/lake/t")
+    val byName = spark.table("gcat.lake.t")
+    assert(byPath.orderBy("k").collect().toSeq ==
+      byName.orderBy("k").collect().toSeq)
+  }
+
+  test("catalog: CTAS and writeTo append") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.c")
+    spark.sql("CREATE TABLE gcat.lake.c AS " +
+      "SELECT id AS k, CAST(id*2 AS STRING) AS v FROM range(5)")
+    assert(spark.table("gcat.lake.c").count() == 5L)
+    spark.range(5, 8).select(col("id").as("k"),
+        col("id").cast("string").as("v"))
+      .writeTo("gcat.lake.c").append()
+    assert(spark.table("gcat.lake.c").count() == 8L)
+  }
+
+  test("catalog: VERSION AS OF and TIMESTAMP AS OF time travel") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.tt")
+    spark.sql("CREATE TABLE gcat.lake.tt (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gcat.lake.tt VALUES (1)")   // v2
+    Thread.sleep(60)
+    spark.sql("INSERT INTO gcat.lake.tt VALUES (2)")   // v3
+    Thread.sleep(60)
+    spark.sql("INSERT INTO gcat.lake.tt VALUES (3)")   // v4
+    assert(spark.table("gcat.lake.tt").count() == 3L)
+    assert(spark.sql("SELECT * FROM gcat.lake.tt VERSION AS OF 3").count() == 2L)
+    assert(spark.sql("SELECT * FROM gcat.lake.tt VERSION AS OF 2").count() == 1L)
+    // TIMESTAMP AS OF v3's commit instant resolves version 3
+    val t3 = ManifestTable.history(spark, s"$wh/lake/tt")
+      .filter(col("version") === 3).head().getLong(1)
+    val lit3 = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t3))
+    assert(spark.sql(
+      s"SELECT * FROM gcat.lake.tt TIMESTAMP AS OF '$lit3'").count() == 2L)
+    // a GC'd / never-committed version fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.lake.tt VERSION AS OF 99").collect()
+    }
+    // an instant before the first commit fails loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.lake.tt TIMESTAMP AS OF '1999-01-01'")
+        .collect()
+    }
+  }
+
+  test("catalog: metadata-only ADD COLUMN null-fills old dirs") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.ev")
+    spark.sql("CREATE TABLE gcat.lake.ev (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gcat.lake.ev VALUES (1),(2)")
+    val dir = s"$wh/lake/ev"
+    val before = ManifestTable.livePaths(fs, dir)
+    spark.sql("ALTER TABLE gcat.lake.ev ADD COLUMN note STRING")
+    // no data dir was rewritten — the evolution is one metadata commit
+    assert(ManifestTable.livePaths(fs, dir) == before)
+    spark.sql("INSERT INTO gcat.lake.ev VALUES (3,'x')")
+    val rows = spark.table("gcat.lake.ev").orderBy("k")
+      .collect().map(r => (r.getInt(0), Option(r.get(1)))).toSeq
+    assert(rows == Seq((1, None), (2, None), (3, Some("x"))))
+    // contract edges: non-nullable and positioned adds are refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.lake.ev ADD COLUMN m INT NOT NULL")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.lake.ev ADD COLUMN m INT FIRST")
+    }
+  }
+
+  test("catalog: clusterBy TBLPROPERTY is the declared cluster spec") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.cl")
+    // PARTITIONED BY at create maps onto the cluster spec
+    spark.sql("CREATE TABLE gcat.lake.cl (k INT, amt DOUBLE) " +
+      "PARTITIONED BY (k)")
+    val dir = s"$wh/lake/cl"
+    def spec = ManifestTable.clusterSpecOf(fs, dir,
+      ManifestTable.headVersion(spark, dir).get)
+    assert(spec.contains(Seq("k")))
+    spark.sql("ALTER TABLE gcat.lake.cl " +
+      "SET TBLPROPERTIES ('clusterBy'='amt,k')")
+    assert(spec.contains(Seq("amt", "k")))
+    // unknown cluster column is refused at ALTER time
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.lake.cl SET TBLPROPERTIES ('clusterBy'='nope')")
+    }
+    spark.sql("ALTER TABLE gcat.lake.cl UNSET TBLPROPERTIES ('clusterBy')")
+    assert(spec.isEmpty)
+  }
+
+  test("catalog: rename and drop") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.r1")
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.r2")
+    spark.sql("CREATE TABLE gcat.lake.r1 (k INT)")
+    spark.sql("INSERT INTO gcat.lake.r1 VALUES (7)")
+    // the TO name resolves within the source's catalog — Spark hands
+    // the catalog a catalog-relative identifier
+    spark.sql("ALTER TABLE gcat.lake.r1 RENAME TO lake.r2")
+    assert(!spark.catalog.tableExists("gcat.lake.r1"))
+    assert(spark.table("gcat.lake.r2").head().getInt(0) == 7)
+    spark.sql("DROP TABLE gcat.lake.r2")
+    assert(!spark.catalog.tableExists("gcat.lake.r2"))
+    // dropping a namespace with tables requires CASCADE
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tmpns")
+    spark.sql("CREATE TABLE gcat.tmpns.x (k INT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcat.tmpns") }
+    spark.sql("DROP NAMESPACE gcat.tmpns CASCADE")
+    assert(!fs.exists(new Path(s"$wh/tmpns")))
+  }
+
+  test("catalog: INSERT OVERWRITE replaces, snapshots stay readable") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.ow")
+    spark.sql("CREATE TABLE gcat.lake.ow (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gcat.lake.ow VALUES (1),(2)")
+    spark.sql("INSERT OVERWRITE gcat.lake.ow VALUES (9)")
+    assert(spark.table("gcat.lake.ow").collect().map(_.getInt(0)).toSeq == Seq(9))
+    // the pre-overwrite version still time-travels
+    assert(spark.sql("SELECT * FROM gcat.lake.ow VERSION AS OF 2").count() == 2L)
+  }
+
+  test("catalog: streaming read tails a catalog table (X13 by name)") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.st")
+    spark.sql("CREATE TABLE gcat.lake.st (k INT)")
+    spark.sql("INSERT INTO gcat.lake.st VALUES (1),(2)")
+    val q = spark.readStream.table("gcat.lake.st")
+      .writeStream.format("memory").queryName("cat_tail")
+      .option("checkpointLocation",
+        Files.createTempDirectory("cat-tail-ck").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cat_tail").count() == 2L)
+      spark.sql("INSERT INTO gcat.lake.st VALUES (3)")
+      q.processAllAvailable()
+      assert(spark.table("cat_tail").count() == 3L)
+    } finally q.stop()
+  }
+
+  test("s23 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s23_catalog_sql(spark, sf).head()
+    val o = Tables.orders(spark, sf)
+    val all = o.count()
+    val pre97 = o.filter(year(col("o_orderdate")) < 1997).count()
+    assert(r.getLong(0) == all)
+    assert(r.getLong(3) == pre97 && pre97 > 0 && pre97 < all,
+      "the CTAS snapshot must hold exactly the pre-1997 slice")
+    // second invocation reuses the cached fixture and agrees
+    assert(graft.sources.Sources.s23_catalog_sql(spark, sf).head() == r)
+  }
+
+  test("catalog: identifier segments cannot escape the warehouse") {
+    wh: Unit
+    intercept[Exception] { spark.sql("CREATE TABLE gcat.lake.`..` (k INT)") }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.lake.`a/b` (k INT)")
+    }
+    // underscore-prefixed names would collide with _manifests
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.lake.`_m` (k INT)")
+    }
+  }
+}
