@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -126,7 +126,7 @@ class GraftTableProvider extends TableProvider
   * until the first commit lands). */
 case class GraftTable(tableDir: String, pinnedV: Option[Long],
                       tableSchema: StructType, tableProps: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String =
     s"graft:$tableDir" + pinnedV.map(v => s"@v$v").getOrElse("")
@@ -154,6 +154,39 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     // first write to an uncommitted path: nothing to resolve against
     if (tableSchema.isEmpty) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftDeleteSupport.columnOf(_).isDefined)
+
+  /** SQL `DELETE FROM` (and `TRUNCATE TABLE` via [[SupportsDelete]]'s
+    * default, S24): no-WHERE deletes commit an empty path list —
+    * metadata only; predicated deletes run
+    * [[ManifestTable.deleteWhere]]'s dir-granular copy-on-write, with
+    * the pushed filters folded to stats bounds (rendered in the PINNED
+    * stats zone, like every other pruning surface) so untouched dirs
+    * are carried, not rewritten. Always applies to the CURRENT head
+    * under optimistic concurrency, regardless of this instance's read
+    * pin — a delete is a write, and writes rebase. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val retain = tableProps.get("retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+    if (filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue())) {
+      ManifestTable.truncateLive(spark, tableDir, retain): Unit
+      return
+    }
+    val cond = filters.map(f => GraftDeleteSupport.columnOf(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft DELETE cannot evaluate filter $f"))).reduce(_ && _)
+    val fs = new Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestTable.headVersion(spark, tableDir).foreach { head =>
+      val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
+      ManifestTable.deleteWhere(spark, tableDir, cond,
+        GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -734,5 +767,38 @@ object GraftStatsAgg {
     case _ => // Byte/Short/Int/Long/Date(Int days)/Timestamp(Long micros)
       java.lang.Long.compare(
         a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+  }
+}
+
+/** V1 `Filter` → `Column` translation for [[GraftTable.deleteWhere]] —
+  * EXACT SQL semantics, unlike the pruning envelope
+  * ([[GraftManifestSource.boundsOf]] widens; this predicate decides
+  * which rows live, so nothing may widen). None = a filter shape the
+  * delete refuses, surfaced by `canDeleteWhere` before Spark commits
+  * to the operation. */
+private[sources] object GraftDeleteSupport {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def columnOf(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for { lc <- columnOf(l); rc <- columnOf(r) } yield lc && rc
+    case Or(l, r) => for { lc <- columnOf(l); rc <- columnOf(r) } yield lc || rc
+    case Not(c) => columnOf(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
   }
 }

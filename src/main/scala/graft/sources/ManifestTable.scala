@@ -562,6 +562,120 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** Row-level DELETE (S24): remove the live rows where `cond` is TRUE,
+    * with dir-granular copy-on-write. The manifest stats classify every
+    * live dir against `bounds` (a conservative envelope of `cond`, the
+    * same closed intervals [[rangeScan]] prunes by): a dir that
+    * provably holds no matching row is carried into the new version
+    * UNTOUCHED — zero I/O — and only the possibly-matching dirs are
+    * read, filtered to the survivors (`cond` not TRUE: SQL DELETE keeps
+    * FALSE and NULL rows), and rewritten as one fresh dir with fresh
+    * stats. At 100 TB that is the difference between rewriting the
+    * table and rewriting the week the predicate touches — the Delta/
+    * Iceberg copy-on-write shape. A touched dir whose rows all match
+    * simply contributes nothing to the rewrite and drops out of the
+    * manifest; its data dir dies by GC once no retained version lists
+    * it, so time travel to pre-delete versions keeps working.
+    *
+    * Concurrency mirrors [[compactAppend]]: the rewrite happens once
+    * against the base snapshot, then publishes through [[commitIf]] —
+    * racing APPENDS are carried through untouched (their rows were not
+    * visible to this delete's snapshot, so they are not its to judge);
+    * a touched dir VANISHING from the head (racing compaction/restore/
+    * delete) aborts loudly instead of resurrecting rewritten rows.
+    *
+    * Returns the committed version (the base version when no dir can
+    * hold a matching row — a provable no-op commits nothing). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column,
+                  bounds: Map[String, (String, String)] = Map.empty,
+                  retainGenerations: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, not}
+    val fs = fsOf(spark, tableDir)
+    val baseV = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val basePaths = pathsOf(fs, tableDir, baseV)
+    if (basePaths.isEmpty) return baseV
+    val baseStats = statsOf(fs, tableDir, baseV)
+    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
+      readWithDeclared(spark, tableDir, baseV,
+        basePaths.map(p => s"$tableDir/$p")).schema)
+    val touched = prunePathsIn(basePaths, baseStats,
+      bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
+      tableSchema)
+    if (touched.isEmpty) return baseV // no live dir can hold a matching row
+    // the rewritten dir re-records whichever columns the touched dirs
+    // tracked, so data skipping survives the delete
+    val statsCols = tableSchema.fieldNames.filter(c =>
+      touched.exists(p => baseStats.get(p).exists(statsFor(_, c).isDefined)))
+      .toSeq
+    val cid = "d-" + java.util.UUID.randomUUID().toString.take(8)
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min:$c"),
+      max(col(c)).cast("string").as(s"max:$c")))
+    val kept = readWithDeclared(spark, tableDir, baseV,
+        touched.map(p => s"$tableDir/$p"))
+      .filter(not(coalesce(cond, lit(false)))) // keep FALSE and NULL rows
+      .observe(obs, aggs.head, aggs.tail: _*)
+    kept.write.parquet(s"$tableDir/$cid")
+    val m = obs.get
+    val keptRows = m("rows").asInstanceOf[Long]
+    val payload =
+      if (keptRows == 0L) None
+      else Some((Seq(keptRows.toString) ++ statsCols.flatMap(c =>
+        Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
+        .mkString("\t"))
+    if (keptRows == 0L) // every touched row matched — nothing to publish
+      fs.delete(new Path(s"$tableDir/$cid"), true): Unit
+    val touchedSet = touched.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"delete contention at $tableDir")
+      val head = versions(fs, tableDir).last
+      val headPaths = pathsOf(fs, tableDir, head)
+      if (!touchedSet.subsetOf(headPaths.toSet))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during delete: " +
+            s"missing ${touchedSet -- headPaths.toSet}")
+      val carried = headPaths.filterNot(touchedSet)
+      val headMeta = metaOf(fs, tableDir, head)
+      val zoneMeta = statsZonePin(kept, statsCols, payload.isDefined,
+        headMeta, spark, tableDir)
+      val committed = commitIf(spark, tableDir,
+        (carried ++ payload.map(_ => cid)).sorted, head, retainGenerations,
+        schemaDdl = schemaOf(fs, tableDir, head),
+        stats = (statsOf(fs, tableDir, head) -- touchedSet) ++
+          payload.map(cid -> _),
+        meta = headMeta ++ zoneMeta)
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
+  /** TRUNCATE (the `DELETE FROM t` fast path): commit an EMPTY path
+    * list — pure metadata, no data file read or written. Schema and
+    * meta carry forward so the table stays declared; the old dirs die
+    * by GC under the table's retention, and retained pre-truncate
+    * versions still time-travel. */
+  def truncateLive(spark: SparkSession, tableDir: String,
+                   retainGenerations: Int = 2): Long = {
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"truncate contention at $tableDir")
+      val head = versions(fs, tableDir).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+      val committed = commitIf(spark, tableDir, Seq.empty, head,
+        retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
+        stats = Map.empty, meta = metaOf(fs, tableDir, head))
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** Data-skipping scan (S19): the live table filtered to `column`
     * BETWEEN `lo` AND `hi`, opening ONLY the commit dirs whose
     * recorded [min,max] intersects the range — manifest-level pruning,

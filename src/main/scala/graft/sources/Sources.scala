@@ -711,6 +711,50 @@ object Sources {
                       FROM $cat.lake.ocat VERSION AS OF 2) v""")
   }
 
+  private val deleteDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S24 fixture: `lake.odel` in the S23 catalog — CREATE + one INSERT
+    * of orders (→ v2), then one SQL `DELETE FROM` removing the urgent
+    * post-1996 slice (→ v3). `retainGenerations=10` keeps the
+    * pre-delete snapshot for the time-travel leg. */
+  private def deleteDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    deleteDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    deleteDemoCache.computeIfAbsent((s, d), { _ =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .writeTo(s"$cat.lake.odel")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .create()
+      s.sql(s"""DELETE FROM $cat.lake.odel
+                WHERE o_orderdate >= DATE'1997-01-01'
+                  AND o_orderpriority = '1-URGENT'""")
+      cat
+    })
+  }
+
+  /** S24: SQL `DELETE FROM` on a manifest table (dir-granular
+    * copy-on-write through [[ManifestTable.deleteWhere]]) — one leg
+    * aggregates the table AFTER the delete, the other time-travels to
+    * the pre-delete snapshot (`VERSION AS OF 2`), so the oracle checks
+    * both that exactly the predicated rows died AND that history
+    * survived the rewrite. SQL delete semantics are on trial here: a
+    * row where the predicate is NULL must survive (orders has no
+    * nulls, so the slice is exact either way; the null lane is
+    * spec-tested on a crafted table). */
+  def s24_delete_where(s: SparkSession, d: String): DataFrame = {
+    val cat = deleteDemo(s, d)
+    s.sql(
+      s"""SELECT h.n_kept, h.total_price, h.key_checksum, v.n_before
+          FROM (SELECT count(*) AS n_kept,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.odel) h
+          CROSS JOIN (SELECT count(*) AS n_before
+                      FROM $cat.lake.odel VERSION AS OF 2) v""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -733,6 +777,7 @@ object Sources {
     "s21_agg_pushdown" -> (s21_agg_pushdown _),
     "s22_v2_pushdown" -> (s22_v2_pushdown _),
     "s23_catalog_sql" -> (s23_catalog_sql _),
+    "s24_delete_where" -> (s24_delete_where _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -871,5 +916,15 @@ object Sources {
          (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders) AS key_checksum,
          (SELECT count(*) FROM orders
           WHERE year(o_orderdate) < 1997) AS n_snapshot""",
+    // kept = rows where the DELETE predicate is not true; the
+    // time-travel leg sees the whole pre-delete table
+    "s24_delete_where" ->
+      """SELECT count(*) AS n_kept,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT count(*) FROM orders) AS n_before
+         FROM orders
+         WHERE NOT (o_orderdate >= DATE '1997-01-01'
+                    AND o_orderpriority = '1-URGENT')""",
   )
 }
