@@ -12,13 +12,15 @@ import graft.functions.{CosineSim, DotProduct, SquaredL2}
   * `VectorFunctions.register` at runtime (extensions only apply to
   * newly-built sessions).
   *
-  * Only the function injection is needed today: SURVEY §4.3's verdict —
-  * every operator compiles to built-ins + a handful of UDF/UDAF objects —
-  * means no custom Rule[LogicalPlan] or SparkStrategy is warranted. This
-  * class is where they would be injected if that changes.
+  * Besides the function injection, this installs the one custom
+  * `Rule[LogicalPlan]` the engine needs: [[graft.plans.GraftUpdateRule]],
+  * which serves SQL `UPDATE` on manifest tables (S25) — the statement
+  * the V2 Table API cannot express without the full row-level-operation
+  * write protocol. Everything else still compiles to built-ins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftUpdateRule)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

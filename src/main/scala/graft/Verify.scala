@@ -19,6 +19,7 @@ object Verify {
       // (Tables.events normalizes; the conf lives at session build, not
       // as a loader side effect)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -590,7 +590,53 @@ object ManifestTable {
                   cond: org.apache.spark.sql.Column,
                   bounds: Map[String, (String, String)] = Map.empty,
                   retainGenerations: Int = 2): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteWhere(spark, tableDir, bounds, retainGenerations, "d-")(
+      _.filter(not(coalesce(cond, lit(false))))) // keep FALSE and NULL rows
+  }
+
+  /** Row-level UPDATE (S25): rewrite the rows where `cond` is TRUE with
+    * `assignments` applied (each value cast to its column's declared
+    * type — SQL UPDATE's store-assignment cast), leaving FALSE/NULL
+    * rows byte-identical. Same dir-granular copy-on-write and
+    * concurrency story as [[deleteWhere]]: dirs outside the `bounds`
+    * envelope are carried untouched, only possibly-matching dirs are
+    * read and rewritten, racing appends rebase through [[commitIf]].
+    * O(touched dirs), not O(table) — at 100 TB an update predicated on
+    * a clustered column rewrites the slice, not the fact table. */
+  def updateWhere(spark: SparkSession, tableDir: String,
+                  cond: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  bounds: Map[String, (String, String)] = Map.empty,
+                  retainGenerations: Int = 2): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    val byCol = assignments.toMap
+    rewriteWhere(spark, tableDir, bounds, retainGenerations, "u-") { df =>
+      byCol.keys.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"UPDATE assigns unknown column '$c' at $tableDir"))
+      val hit = coalesce(cond, lit(false))
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        byCol.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }
+  }
+
+  /** The shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]:
+    * carry every live dir the stats prove `bounds`-free, run `rewrite`
+    * over the rest, publish the result as one fresh dir with fresh
+    * stats under optimistic concurrency. `rewrite` must preserve the
+    * declared schema. */
+  private def rewriteWhere(spark: SparkSession, tableDir: String,
+                           bounds: Map[String, (String, String)],
+                           retainGenerations: Int, cidPrefix: String)(
+      rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Long = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val fs = fsOf(spark, tableDir)
     val baseV = versions(fs, tableDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
@@ -605,18 +651,17 @@ object ManifestTable {
       tableSchema)
     if (touched.isEmpty) return baseV // no live dir can hold a matching row
     // the rewritten dir re-records whichever columns the touched dirs
-    // tracked, so data skipping survives the delete
+    // tracked, so data skipping survives the rewrite
     val statsCols = tableSchema.fieldNames.filter(c =>
       touched.exists(p => baseStats.get(p).exists(statsFor(_, c).isDefined)))
       .toSeq
-    val cid = "d-" + java.util.UUID.randomUUID().toString.take(8)
+    val cid = cidPrefix + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
-    val kept = readWithDeclared(spark, tableDir, baseV,
-        touched.map(p => s"$tableDir/$p"))
-      .filter(not(coalesce(cond, lit(false)))) // keep FALSE and NULL rows
+    val kept = rewrite(readWithDeclared(spark, tableDir, baseV,
+        touched.map(p => s"$tableDir/$p")))
       .observe(obs, aggs.head, aggs.tail: _*)
     kept.write.parquet(s"$tableDir/$cid")
     val m = obs.get
@@ -626,18 +671,18 @@ object ManifestTable {
       else Some((Seq(keptRows.toString) ++ statsCols.flatMap(c =>
         Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
         .mkString("\t"))
-    if (keptRows == 0L) // every touched row matched — nothing to publish
+    if (keptRows == 0L) // the rewrite kept nothing — no dir to publish
       fs.delete(new Path(s"$tableDir/$cid"), true): Unit
     val touchedSet = touched.toSet
     var attempts = 0
     while (true) {
       attempts += 1
-      require(attempts <= 1000, s"delete contention at $tableDir")
+      require(attempts <= 1000, s"row-level rewrite contention at $tableDir")
       val head = versions(fs, tableDir).last
       val headPaths = pathsOf(fs, tableDir, head)
       if (!touchedSet.subsetOf(headPaths.toSet))
         throw new IllegalStateException(
-          s"table at $tableDir changed incompatibly during delete: " +
+          s"table at $tableDir changed incompatibly during the rewrite: " +
             s"missing ${touchedSet -- headPaths.toSet}")
       val carried = headPaths.filterNot(touchedSet)
       val headMeta = metaOf(fs, tableDir, head)

@@ -755,6 +755,51 @@ object Sources {
                       FROM $cat.lake.odel VERSION AS OF 2) v""")
   }
 
+  private val updateDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
+    * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
+    * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
+    * EXACT in IEEE doubles, so the oracle comparison carries no
+    * float-rounding risk. Requires the session to carry
+    * `spark.sql.extensions=graft.GraftExtensions`. */
+  private def updateDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    updateDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    updateDemoCache.computeIfAbsent((s, d), { _ =>
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .writeTo(s"$cat.lake.oupd")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .create()
+      s.sql(s"""UPDATE $cat.lake.oupd
+                SET o_totalprice = o_totalprice + 500.0
+                WHERE o_orderpriority = '5-LOW'
+                  AND o_orderdate < DATE'1996-06-01'""")
+      cat
+    })
+  }
+
+  /** S25: SQL `UPDATE` on a manifest table, served by the
+    * session-extension rule ([[graft.plans.GraftUpdateRule]]) over
+    * [[ManifestTable.updateWhere]]'s dir-granular copy-on-write — one
+    * leg aggregates the table AFTER the update, the other time-travels
+    * to the pre-update snapshot, so the oracle checks that exactly the
+    * predicated rows changed by exactly the assigned delta AND that
+    * history survived the rewrite. */
+  def s25_update_where(s: SparkSession, d: String): DataFrame = {
+    val cat = updateDemo(s, d)
+    s.sql(
+      s"""SELECT h.n_rows, h.total_price, h.key_checksum, v.price_before
+          FROM (SELECT count(*) AS n_rows,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.oupd) h
+          CROSS JOIN (SELECT round(sum(o_totalprice), 2) AS price_before
+                      FROM $cat.lake.oupd VERSION AS OF 2) v""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -778,6 +823,7 @@ object Sources {
     "s22_v2_pushdown" -> (s22_v2_pushdown _),
     "s23_catalog_sql" -> (s23_catalog_sql _),
     "s24_delete_where" -> (s24_delete_where _),
+    "s25_update_where" -> (s25_update_where _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -926,5 +972,16 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '1-URGENT')""",
+    // updated = +500.0 on the predicated slice (exact in doubles);
+    // the time-travel leg sees the original prices
+    "s25_update_where" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                         AND o_orderdate < DATE '1996-06-01'
+                        THEN o_totalprice + 500.0
+                        ELSE o_totalprice END), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT round(sum(o_totalprice), 2) FROM orders) AS price_before
+         FROM orders""",
   )
 }
