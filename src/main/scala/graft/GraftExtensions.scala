@@ -12,15 +12,18 @@ import graft.functions.{CosineSim, DotProduct, SquaredL2}
   * `VectorFunctions.register` at runtime (extensions only apply to
   * newly-built sessions).
   *
-  * Besides the function injection, this installs the one custom
-  * `Rule[LogicalPlan]` the engine needs: [[graft.plans.GraftUpdateRule]],
-  * which serves SQL `UPDATE` on manifest tables (S25) — the statement
-  * the V2 Table API cannot express without the full row-level-operation
-  * write protocol. Everything else still compiles to built-ins.
+  * Besides the function injection, this installs the two custom
+  * `Rule[LogicalPlan]`s the engine needs:
+  * [[graft.plans.GraftUpdateRule]] (SQL `UPDATE`, S25) and
+  * [[graft.plans.GraftMergeRule]] (SQL `MERGE INTO`, S26) on manifest
+  * tables — the statements the V2 Table API cannot express without the
+  * full row-level-operation write protocol. Everything else still
+  * compiles to built-ins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => graft.plans.GraftUpdateRule)
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeRule)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -1,14 +1,15 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEqualTo, Expression, GreaterThan => CGreaterThan, GreaterThanOrEqual => CGreaterThanOrEqual, In => CIn, LessThan => CLessThan, LessThanOrEqual => CLessThanOrEqual, Literal}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThanOrEqual}
+import org.apache.spark.sql.types.StructField
 
 import graft.sources.{GraftManifestSource, GraftTable, ManifestTable}
 
@@ -120,5 +121,223 @@ case class GraftUpdateCommand(table: GraftTable,
         GraftManifestSource.boundsOf(condFilters, zone), retain): Unit
     }
     Seq.empty
+  }
+}
+
+/** Shared DML helpers. */
+private[plans] object GraftDml {
+  /** The aliases every rendered MERGE expression is qualified with —
+    * chosen to be collision-proof against user column names. */
+  val TargetAlias = "__graft_t"
+  val SourceAlias = "__graft_s"
+  val TIdCol = "__graft_t_id"
+  val SMarkCol = "__graft_s_m"
+
+  /** A captured analyzed `LogicalPlan` as a DataFrame through PUBLIC
+    * surfaces only: execute the plan and convert `InternalRow`s at the
+    * partition level (the converter is built inside the closure so only
+    * the schema ships). One extra internal→external→internal row trip
+    * for the MERGE source — the side that is small by design; the
+    * target never pays it. */
+  def dataFrameOf(spark: SparkSession, plan: LogicalPlan): DataFrame = {
+    val qe = spark.sessionState.executePlan(plan)
+    val schema = qe.analyzed.schema
+    val rows = qe.toRdd.mapPartitions { it =>
+      val conv = CatalystTypeConverters.createToScalaConverter(schema)
+      it.map(ir => conv(ir).asInstanceOf[Row])
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+/** S26 — SQL `MERGE INTO` on manifest tables, through the same
+  * extension seam as S25: a resolved `MergeIntoTable` whose target is a
+  * [[GraftTable]] becomes an eager command on the shared copy-on-write
+  * kernel. Semantics follow the SQL standard: first-match-wins across
+  * WHEN clauses, matched rows may UPDATE or DELETE, `NOT MATCHED`
+  * source rows may INSERT, `NOT MATCHED BY SOURCE` target rows may
+  * UPDATE or DELETE, and a target row matched by more than one source
+  * row fails loudly (the Delta/SQL cardinality rule).
+  *
+  * Scale shape: the target's touched dirs are pruned by the SOURCE's
+  * key envelope — one small agg over the source computes min/max of
+  * every equi-join column, and any target dir whose stats lie outside
+  * carries over untouched (Delta's touched-file pruning, at commit-dir
+  * granularity). The pruning disables itself when a `NOT MATCHED BY
+  * SOURCE` clause exists (every target row must then be judged). The
+  * rewrite itself is ONE full-outer join evaluated in a single pass —
+  * per-row action dispatch compiles to nested CASE WHEN columns, so no
+  * per-clause scan of the join output. */
+object GraftMergeRule extends Rule[LogicalPlan] {
+  import GraftDml.{SourceAlias, TargetAlias}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case m: MergeIntoTable if m.resolved =>
+      m.targetTable.collectFirst {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+          r.table.asInstanceOf[GraftTable]
+      } match {
+        case Some(t) => command(m, t)
+        case None => m
+      }
+    case p => p
+  }
+
+  private def command(m: MergeIntoTable, t: GraftTable): GraftMergeCommand = {
+    if (m.withSchemaEvolution) throw new UnsupportedOperationException(
+      "graft MERGE does not support WITH SCHEMA EVOLUTION — " +
+        "MergeInto.applyBatch carries the schema-evolution path")
+    val tAttrs = m.targetTable.outputSet
+    val sAttrs = m.sourceTable.outputSet
+    // side-aware rendering: every attribute re-qualifies to the alias
+    // its side will carry in the rewrite join, so names that exist on
+    // BOTH sides (the common case — same key column) stay unambiguous
+    def render(e: Expression): String = e.transform {
+      case a: AttributeReference if tAttrs.contains(a) =>
+        a.withQualifier(Seq(TargetAlias))
+      case a: AttributeReference if sAttrs.contains(a) =>
+        a.withQualifier(Seq(SourceAlias))
+    }.sql
+    def renderAssigns(assigns: Seq[Assignment]): Seq[(String, String)] =
+      assigns.map {
+        case Assignment(a: AttributeReference, v) => a.name -> render(v)
+        case Assignment(k, _) => throw new UnsupportedOperationException(
+          s"graft MERGE assigns top-level columns only, got ${k.sql}")
+      }
+    def updateOrDelete(actions: Seq[MergeAction], where: String)
+        : Seq[(Option[String], Option[Seq[(String, String)]])] =
+      actions.map {
+        case UpdateAction(c, as, _) => (c.map(render), Some(renderAssigns(as)))
+        case DeleteAction(c) => (c.map(render), None)
+        case a => throw new UnsupportedOperationException(
+          s"graft MERGE: ${a.getClass.getSimpleName} is not supported $where")
+      }
+    val inserts = m.notMatchedActions.map {
+      case InsertAction(c, as) => (c.map(render), renderAssigns(as))
+      case a => throw new UnsupportedOperationException(
+        s"graft MERGE: ${a.getClass.getSimpleName} is not supported " +
+          "in WHEN NOT MATCHED")
+    }
+    // target-col -> source-col equi pairs of the ON condition: the
+    // source's min/max on these drive target-dir pruning
+    def equiPairs(e: Expression): Seq[(String, String)] = e match {
+      case CAnd(l, r) => equiPairs(l) ++ equiPairs(r)
+      case CEqualTo(a: AttributeReference, b: AttributeReference)
+          if tAttrs.contains(a) && sAttrs.contains(b) => Seq(a.name -> b.name)
+      case CEqualTo(a: AttributeReference, b: AttributeReference)
+          if sAttrs.contains(a) && tAttrs.contains(b) => Seq(b.name -> a.name)
+      case _ => Seq.empty
+    }
+    GraftMergeCommand(t, m.sourceTable, render(m.mergeCondition),
+      updateOrDelete(m.matchedActions, "in WHEN MATCHED"), inserts,
+      updateOrDelete(m.notMatchedBySourceActions,
+        "in WHEN NOT MATCHED BY SOURCE"),
+      equiPairs(m.mergeCondition))
+  }
+}
+
+/** Eagerly-executed SQL MERGE. Clause lists carry `(condition-SQL,
+  * assignments)` with `None` assignments meaning DELETE; everything
+  * re-resolves by name under the `__graft_t`/`__graft_s` aliases. */
+case class GraftMergeCommand(
+    table: GraftTable,
+    @transient sourcePlan: LogicalPlan,
+    condSql: String,
+    matched: Seq[(Option[String], Option[Seq[(String, String)]])],
+    inserts: Seq[(Option[String], Seq[(String, String)])],
+    bySource: Seq[(Option[String], Option[Seq[(String, String)]])],
+    equiPairs: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  import GraftDml.{SMarkCol, SourceAlias, TIdCol, TargetAlias}
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val dir = table.tableDir
+    val retain = table.tableProps.get("retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+    val sdf = GraftDml.dataFrameOf(spark, sourcePlan)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed graft table at $dir"))
+    // source key envelope → target-dir pruning bounds. Unsound when a
+    // NOT MATCHED BY SOURCE clause must judge every target row — the
+    // pruning disables itself there.
+    val bounds: Map[String, (String, String)] =
+      if (bySource.nonEmpty || equiPairs.isEmpty) Map.empty
+      else {
+        val zone = ManifestTable.statsZoneOf(spark, fs, dir, head)
+        val aggs = equiPairs.zipWithIndex.flatMap { case ((_, s), i) =>
+          Seq(min(col(s)).as(s"mn$i"), max(col(s)).as(s"mx$i")) }
+        val r = sdf.agg(aggs.head, aggs.tail: _*).head()
+        equiPairs.zipWithIndex.flatMap { case ((tc, _), i) =>
+          for {
+            mn <- Option(r.get(r.fieldIndex(s"mn$i")))
+            mx <- Option(r.get(r.fieldIndex(s"mx$i")))
+            rmn <- GraftManifestSource.render(mn, zone)
+            rmx <- GraftManifestSource.render(mx, zone)
+          } yield tc -> (rmn, rmx)
+        }.toMap
+      }
+    ManifestTable.rewriteWhere(spark, dir, bounds, retain, "m-",
+      alwaysRewrite = inserts.nonEmpty)(tdf => mergeOf(tdf, sdf)): Unit
+    Seq.empty
+  }
+
+  /** ONE full-outer join; per-row clause dispatch as nested CASE WHEN
+    * (first-match-wins by construction of the `when` chains). */
+  private def mergeOf(tdf: DataFrame, sdf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, when}
+    val schema = tdf.schema
+    require(!schema.fieldNames.exists(_.startsWith("__graft_")),
+      "graft MERGE reserves the __graft_ column-name prefix")
+    val t = tdf.withColumn(TIdCol, monotonically_increasing_id())
+      .alias(TargetAlias)
+    val s = sdf.withColumn(SMarkCol, lit(1)).alias(SourceAlias)
+    val j = t.join(s, expr(condSql), "full_outer")
+    val isMatched = col(TIdCol).isNotNull && col(SMarkCol).isNotNull
+    val isTOnly = col(TIdCol).isNotNull && col(SMarkCol).isNull
+    if (matched.nonEmpty) {
+      // SQL cardinality rule — a separate check job (the join runs
+      // twice; Delta pays the same shape for its duplicate-match check)
+      val dup = j.filter(isMatched).groupBy(col(TIdCol))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      if (!dup.isEmpty) throw new IllegalStateException(
+        "MERGE: a target row matched multiple source rows — " +
+          "deduplicate the source on the join keys")
+    }
+    def keepChain(actions: Seq[(Option[String], Option[Seq[(String, String)]])])
+        : Column =
+      actions.foldRight(lit(true): Column) { case ((c, as), els) =>
+        when(c.map(expr).getOrElse(lit(true)), lit(as.isDefined)).otherwise(els)
+      }
+    def valueChain(actions: Seq[(Option[String], Option[Seq[(String, String)]])],
+                   f: StructField): Column = {
+      val tc = col(s"$TargetAlias.${f.name}")
+      actions.foldRight(tc) { case ((c, as), els) =>
+        val v = as.flatMap(_.toMap.get(f.name)).map(expr).getOrElse(tc)
+        when(c.map(expr).getOrElse(lit(true)), v).otherwise(els)
+      }
+    }
+    val insKeep = inserts.foldRight(lit(false): Column) { case ((c, _), els) =>
+      when(c.map(expr).getOrElse(lit(true)), lit(true)).otherwise(els)
+    }
+    def insValue(f: StructField): Column =
+      inserts.foldRight(lit(null).cast(f.dataType): Column) {
+        case ((c, as), els) =>
+          when(c.map(expr).getOrElse(lit(true)),
+            as.toMap.get(f.name).map(expr)
+              .getOrElse(lit(null).cast(f.dataType))).otherwise(els)
+      }
+    val keep = when(isMatched, keepChain(matched))
+      .when(isTOnly, keepChain(bySource))
+      .otherwise(insKeep)
+    val cols = schema.fields.toIndexedSeq.map { f =>
+      when(isMatched, valueChain(matched, f))
+        .when(isTOnly, valueChain(bySource, f))
+        .otherwise(insValue(f))
+        .cast(f.dataType).as(f.name)
+    }
+    j.filter(keep).select(cols: _*)
   }
 }

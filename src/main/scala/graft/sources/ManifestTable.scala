@@ -626,14 +626,18 @@ object ManifestTable {
     }
   }
 
-  /** The shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]:
-    * carry every live dir the stats prove `bounds`-free, run `rewrite`
-    * over the rest, publish the result as one fresh dir with fresh
-    * stats under optimistic concurrency. `rewrite` must preserve the
-    * declared schema. */
-  private def rewriteWhere(spark: SparkSession, tableDir: String,
-                           bounds: Map[String, (String, String)],
-                           retainGenerations: Int, cidPrefix: String)(
+  /** The shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]
+    * (and SQL MERGE, graft.plans.GraftDml): carry every live dir the
+    * stats prove `bounds`-free, run `rewrite` over the rest, publish
+    * the result as one fresh dir with fresh stats under optimistic
+    * concurrency. `rewrite` must preserve the declared schema.
+    * `alwaysRewrite` = run `rewrite` even when no dir is touched
+    * (over an empty, declared-schema frame) — a rewrite that can ADD
+    * rows (MERGE's inserts) must still publish them. */
+  private[graft] def rewriteWhere(spark: SparkSession, tableDir: String,
+                                  bounds: Map[String, (String, String)],
+                                  retainGenerations: Int, cidPrefix: String,
+                                  alwaysRewrite: Boolean = false)(
       rewrite: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
@@ -641,15 +645,18 @@ object ManifestTable {
     val baseV = versions(fs, tableDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
     val basePaths = pathsOf(fs, tableDir, baseV)
-    if (basePaths.isEmpty) return baseV
+    if (basePaths.isEmpty && !alwaysRewrite) return baseV
     val baseStats = statsOf(fs, tableDir, baseV)
-    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
+    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse {
+      require(basePaths.nonEmpty,
+        s"$tableDir is empty and declares no schema — nothing to rewrite")
       readWithDeclared(spark, tableDir, baseV,
-        basePaths.map(p => s"$tableDir/$p")).schema)
+        basePaths.map(p => s"$tableDir/$p")).schema
+    }
     val touched = prunePathsIn(basePaths, baseStats,
       bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
       tableSchema)
-    if (touched.isEmpty) return baseV // no live dir can hold a matching row
+    if (touched.isEmpty && !alwaysRewrite) return baseV // provable no-op
     // the rewritten dir re-records whichever columns the touched dirs
     // tracked, so data skipping survives the rewrite
     val statsCols = tableSchema.fieldNames.filter(c =>
@@ -660,8 +667,12 @@ object ManifestTable {
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
-    val kept = rewrite(readWithDeclared(spark, tableDir, baseV,
-        touched.map(p => s"$tableDir/$p")))
+    val touchedDf =
+      if (touched.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+      else readWithDeclared(spark, tableDir, baseV,
+        touched.map(p => s"$tableDir/$p"))
+    val kept = rewrite(touchedDf)
       .observe(obs, aggs.head, aggs.tail: _*)
     kept.write.parquet(s"$tableDir/$cid")
     val m = obs.get
@@ -673,6 +684,8 @@ object ManifestTable {
         .mkString("\t"))
     if (keptRows == 0L) // the rewrite kept nothing — no dir to publish
       fs.delete(new Path(s"$tableDir/$cid"), true): Unit
+    if (touched.isEmpty && keptRows == 0L)
+      return baseV // nothing removed, nothing added — don't bump a version
     val touchedSet = touched.toSet
     var attempts = 0
     while (true) {

@@ -800,6 +800,56 @@ object Sources {
                       FROM $cat.lake.oupd VERSION AS OF 2) v""")
   }
 
+  private val mergeSqlDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S26 fixture: `lake.omrg` = all orders as (k, price, pri); one SQL
+    * `MERGE` whose source is the urgent slice (matched: DELETE the
+    * >200k rows, +1000.0 the rest — exact-in-IEEE delta) unioned with
+    * a shifted-key medium slice (inserted as 'NEW' rows). Exercises
+    * conditional DELETE, first-match-wins UPDATE, INSERT, and a
+    * subquery source in one statement. */
+  private def mergeSqlDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    mergeSqlDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    mergeSqlDemoCache.computeIfAbsent((s, d), { _ =>
+      orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"), col("o_orderpriority").as("pri"))
+        .writeTo(s"$cat.lake.omrg")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "k")
+        .create()
+      orders(s, d).createOrReplaceTempView("graft_s26_orders")
+      s.sql(
+        s"""MERGE INTO $cat.lake.omrg AS t
+            USING (SELECT o_orderkey AS k, o_totalprice AS price
+                   FROM graft_s26_orders WHERE o_orderpriority = '1-URGENT'
+                   UNION ALL
+                   SELECT o_orderkey + 100000000, 42.0
+                   FROM graft_s26_orders WHERE o_orderpriority = '3-MEDIUM') AS s
+            ON t.k = s.k
+            WHEN MATCHED AND s.price > 200000 THEN DELETE
+            WHEN MATCHED THEN UPDATE SET price = t.price + 1000.0
+            WHEN NOT MATCHED THEN INSERT (k, price, pri)
+                 VALUES (s.k, s.price, 'NEW')""")
+      cat
+    })
+  }
+
+  /** S26: SQL `MERGE INTO` on a manifest table, served by the
+    * session-extension rule ([[graft.plans.GraftMergeRule]]) over the
+    * shared copy-on-write kernel — the oracle replays the merge as
+    * relational algebra (filter + CASE + UNION ALL) over plain orders,
+    * so every clause's row-level outcome is checked exactly. */
+  def s26_merge_sql(s: SparkSession, d: String): DataFrame = {
+    val cat = mergeSqlDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(price), 2) AS total_price,
+                 CAST(sum(k) AS BIGINT) AS key_checksum,
+                 count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
+          FROM $cat.lake.omrg""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -824,6 +874,7 @@ object Sources {
     "s23_catalog_sql" -> (s23_catalog_sql _),
     "s24_delete_where" -> (s24_delete_where _),
     "s25_update_where" -> (s25_update_where _),
+    "s26_merge_sql" -> (s26_merge_sql _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -983,5 +1034,25 @@ object Sources {
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
          (SELECT round(sum(o_totalprice), 2) FROM orders) AS price_before
          FROM orders""",
+    // replay the merge clauses as relational algebra: urgent rows are
+    // the matched set (DELETE >200k, else +1000.0), shifted-key medium
+    // rows are the inserts
+    "s26_merge_sql" ->
+      """WITH merged AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS price,
+                  o_orderpriority AS pri
+           FROM orders
+           WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+           UNION ALL
+           SELECT o_orderkey + 100000000, 42.0, 'NEW'
+           FROM orders WHERE o_orderpriority = '3-MEDIUM')
+         SELECT count(*) AS n_rows,
+                round(sum(price), 2) AS total_price,
+                CAST(sum(k) AS BIGINT) AS key_checksum,
+                count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
+         FROM merged""",
   )
 }

@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** S26 — SQL `MERGE INTO` on manifest tables via the session-extension
+  * rule ([[graft.plans.GraftMergeRule]]): full clause surface
+  * (matched UPDATE/DELETE with conditions, NOT MATCHED INSERT, NOT
+  * MATCHED BY SOURCE), first-match-wins, the cardinality rule,
+  * source-envelope dir pruning, and subquery sources. */
+class GraftMergeSqlSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-mrg").toString
+    spark.conf.set("spark.sql.catalog.gmrg", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmrg.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmrg.lake")
+    dir
+  }
+  private def fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshTable(name: String): String = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS gmrg.lake.$name")
+    spark.sql(s"CREATE TABLE gmrg.lake.$name (k INT, v STRING, amt DOUBLE) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    spark.sql(s"INSERT INTO gmrg.lake.$name " +
+      "VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    s"$wh/lake/$name"
+  }
+
+  test("MERGE upsert: matched UPDATE + not-matched INSERT") {
+    freshTable("m1")
+    spark.range(0).createOrReplaceTempView("__unused") // force session init
+    spark.sql(
+      """MERGE INTO gmrg.lake.m1 AS t
+         USING (SELECT * FROM VALUES (2,'B2',200.0), (9,'i',90.0) AS s(k, v, amt)) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    val rows = spark.table("gmrg.lake.m1").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows == Seq((1, "a", 10.0), (2, "B2", 200.0), (3, "c", 30.0),
+      (9, "i", 90.0)))
+  }
+
+  test("MERGE clause conditions: first-match-wins, conditional DELETE") {
+    freshTable("m2")
+    spark.sql(
+      """MERGE INTO gmrg.lake.m2 AS t
+         USING (SELECT * FROM VALUES (1, 0.0), (2, 999.0), (3, 5.0) AS s(k, bump)) AS s
+         ON t.k = s.k
+         WHEN MATCHED AND s.bump > 100 THEN DELETE
+         WHEN MATCHED AND s.bump > 1 THEN UPDATE SET amt = t.amt + s.bump
+         WHEN MATCHED THEN UPDATE SET v = 'zeroed'""")
+    val rows = spark.table("gmrg.lake.m2").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    // k=1: bump 0 → third clause (v zeroed); k=2: deleted; k=3: amt+5
+    assert(rows == Seq((1, "zeroed", 10.0), (3, "c", 35.0)))
+  }
+
+  test("MERGE NOT MATCHED BY SOURCE updates/deletes unreferenced target rows") {
+    freshTable("m3")
+    spark.sql(
+      """MERGE INTO gmrg.lake.m3 AS t
+         USING (SELECT * FROM VALUES (1) AS s(k)) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = 'kept'
+         WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN DELETE
+         WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'""")
+    val rows = spark.table("gmrg.lake.m3").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "kept"), (2, "stale")))
+  }
+
+  test("MERGE cardinality: multiple source matches for one target row fail") {
+    freshTable("m4")
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gmrg.lake.m4 AS t
+           USING (SELECT * FROM VALUES (2,'x'), (2,'y') AS s(k, v)) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    // the table is unchanged — the check runs before any commit
+    assert(spark.table("gmrg.lake.m4").count() == 3L)
+  }
+
+  test("MERGE prunes target dirs outside the source key envelope") {
+    val dir = freshTable("m5")
+    spark.sql("INSERT INTO gmrg.lake.m5 VALUES (100,'z',1.0),(101,'zz',2.0)")
+    val before = ManifestTable.livePaths(fs, dir)
+    val v0 = ManifestTable.headVersion(spark, dir).get
+    val stats0 = ManifestTable.statsOf(fs, dir, v0)
+    val lowDir = before.minBy(p =>
+      ManifestTable.statsFor(stats0(p), "k").get._3.get.toLong)
+    // source keys 100..101: the 1..3 dir lies outside the envelope
+    spark.sql(
+      """MERGE INTO gmrg.lake.m5 AS t
+         USING (SELECT * FROM VALUES (100,'Z!') AS s(k, v)) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    val after = ManifestTable.livePaths(fs, dir)
+    assert(after.contains(lowDir), "out-of-envelope dir must be carried")
+    assert(after.exists(_.startsWith("m-")), "merge publishes an m- dir")
+    assert(spark.table("gmrg.lake.m5").filter("k = 100").head().getString(1)
+      == "Z!")
+    assert(spark.table("gmrg.lake.m5").count() == 5L)
+  }
+
+  test("MERGE insert-only into an empty table works (no touched dirs)") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmrg.lake.m6")
+    spark.sql("CREATE TABLE gmrg.lake.m6 (k INT, v STRING, amt DOUBLE)")
+    spark.sql(
+      """MERGE INTO gmrg.lake.m6 AS t
+         USING (SELECT * FROM VALUES (7,'new',70.0) AS s(k, v, amt)) AS s
+         ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    assert(spark.table("gmrg.lake.m6").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((7, "new")))
+  }
+
+  test("MERGE with a real subquery source and expression values") {
+    freshTable("m7")
+    Tables.orders(spark, sf).limit(0) // warm nothing; keep source local
+    spark.sql(
+      """MERGE INTO gmrg.lake.m7 AS t
+         USING (SELECT k * 1 AS kk, upper(v) AS uv
+                FROM VALUES (1,'q'), (8,'r') AS raw(k, v)) AS s
+         ON t.k = s.kk
+         WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+', s.uv)
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.kk, s.uv, 0.0)""")
+    val rows = spark.table("gmrg.lake.m7").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a+Q"), (2, "b"), (3, "c"), (8, "R")))
+  }
+
+  test("MERGE time travel: the pre-merge snapshot is intact") {
+    freshTable("m8") // v1 create, v2 insert
+    spark.sql(
+      """MERGE INTO gmrg.lake.m8 AS t
+         USING (SELECT * FROM VALUES (1) AS s(k)) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN DELETE""")
+    assert(spark.table("gmrg.lake.m8").count() == 2L)
+    assert(spark.sql("SELECT * FROM gmrg.lake.m8 VERSION AS OF 2").count() == 3L)
+  }
+
+  test("s26 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s26_merge_sql(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    // second invocation reuses the cached fixture and agrees
+    assert(graft.sources.Sources.s26_merge_sql(spark, sf).head() == r)
+  }
+}
