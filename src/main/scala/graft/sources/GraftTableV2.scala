@@ -225,10 +225,21 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
     override def toInsertableRelation: InsertableRelation =
       (data, _) => {
         if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
-        else ManifestTable.append(data, tableDir, statsCols, retain): Unit
+        else clusterBy match {
+          // a declared cluster spec makes every append CLUSTERED ON
+          // ARRIVAL (S27): the batch lands as range/Morton-sorted dirs
+          // with per-dir stats, so selective reads prune fresh data
+          // without waiting for a compaction. Cluster columns are
+          // always stats-tracked — pruning needs their ranges.
+          case Some(cols) => ManifestTable.appendClustered(data, tableDir,
+            (statsCols ++ cols).distinct, retainGenerations = retain,
+            specOverride = Some(cols)): Unit
+          case None =>
+            ManifestTable.append(data, tableDir, statsCols, retain): Unit
+        }
         // declared cluster spec from table/write OPTIONS: recorded once
         // (a metadata commit) when it differs from the current spec —
-        // the next compactAppend realizes the layout
+        // it governs later writers and the next compactAppend
         clusterBy.foreach { cols =>
           val spark = data.sparkSession
           val fs = new org.apache.hadoop.fs.Path(tableDir)

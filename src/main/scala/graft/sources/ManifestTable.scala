@@ -308,6 +308,25 @@ object ManifestTable {
           Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
           .mkString("\t"))
       }
+    (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
+      statsCols, retainGenerations, meta,
+      recordingStats = payload.isDefined), cid)
+  }
+
+  /** The optimistic append-publish loop [[appendWithCid]] and
+    * [[appendClustered]] share: validate the fixed-schema contract
+    * against the head, pin the stats zone, and commit
+    * `prior ++ newPaths` with `priorStats ++ newStats`. */
+  private def appendCommitLoop(df: DataFrame, tableDir: String,
+                               newPaths: Seq[String],
+                               newStats: Map[String, String],
+                               statsCols: Seq[String],
+                               retainGenerations: Int,
+                               meta: Map[String, String],
+                               recordingStats: Boolean): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val ddl = df.schema.toDDL
     var attempts = 0
     while (true) {
       attempts += 1
@@ -345,15 +364,50 @@ object ManifestTable {
       // ts-stats writer PINS its zone in meta; a writer in a different
       // session zone would interleave incomparable encodings into the
       // same table, so it fails loudly instead.
-      val zoneMeta = statsZonePin(df, statsCols, payload.isDefined,
+      val zoneMeta = statsZonePin(df, statsCols, recordingStats,
         priorMeta, spark, tableDir)
-      val committed = commitIf(spark, tableDir, (prior :+ cid).sorted, base,
-        retainGenerations, schemaDdl = Some(declaredDdl),
-        stats = priorStats ++ payload.map(cid -> _),
+      val committed = commitIf(spark, tableDir, (prior ++ newPaths).sorted,
+        base, retainGenerations, schemaDdl = Some(declaredDdl),
+        stats = priorStats ++ newStats,
         meta = priorMeta ++ zoneMeta ++ meta)
-      committed.foreach(v => return (v, cid))
+      committed.foreach(v => return v)
     }
-    (-1L, cid) // unreachable
+    -1L // unreachable
+  }
+
+  /** Clustered-on-arrival ingest (S27): [[append]]'s semantics with
+    * [[compactAppend]]'s layout applied to THIS batch — the batch
+    * lands as ≤`k` range-sorted (single-column spec) or
+    * Morton-interleaved (multi-column) dirs, each with its own
+    * `#stats` line, so a range/point scan prunes WITHIN the batch from
+    * the moment it commits, not only after the next compaction
+    * (Delta's optimized-write / clustered-ingest move). The spec is
+    * the table's DECLARED `clusterBy` when one is set, else
+    * `statsCols.head`. Costs one extra shuffle of the batch (the range
+    * partition) and a footer-served stats aggregate — at 100 TB that
+    * is the cheap end of the trade: every later selective read prunes
+    * against day-one layout instead of waiting for maintenance.
+    * Schema contract and optimistic concurrency identical to
+    * [[append]]. */
+  def appendClustered(df: DataFrame, tableDir: String,
+                      statsCols: Seq[String], k: Int = 4,
+                      retainGenerations: Int = 2,
+                      meta: Map[String, String] = Map.empty,
+                      specOverride: Option[Seq[String]] = None): Long = {
+    require(statsCols.nonEmpty,
+      "appendClustered needs statsCols (they seed the default spec and " +
+        "the per-dir skipping stats)")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    val spec = specOverride.orElse(versions(fs, tableDir).lastOption
+      .flatMap(v => clusterSpecOf(fs, tableDir, v)))
+      .getOrElse(Seq(statsCols.head))
+    val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
+    val outStats = writeClusteredDirs(df, tableDir, cid, spec, k, statsCols)
+    appendCommitLoop(df, tableDir, outStats.keys.toSeq.sorted, outStats,
+      statsCols, retainGenerations, meta, recordingStats = true)
   }
 
   /** The `statsZone` meta contribution for a stats-recording write over
@@ -486,6 +540,47 @@ object ManifestTable {
     * outputs — so no append is lost; an input dir VANISHING from the
     * head (racing compaction/restore) aborts loudly instead of
     * resurrecting rewritten rows. */
+  /** The clustered multi-dir write both [[compactAppend]] and
+    * [[appendClustered]] share: lay `data` out as ≤`k` range-sorted
+    * (single-column spec) or Morton-interleaved (multi-column) dirs
+    * under `tableDir/cid/rb=N`, and return the per-dir `#stats`
+    * payloads (one grouped, footer-served aggregate over the files
+    * just written). */
+  private def writeClusteredDirs(data: DataFrame, tableDir: String,
+                                 cid: String, spec: Seq[String], k: Int,
+                                 statsCols: Seq[String])
+      : Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
+    val clustered = spec match {
+      case Seq(single) =>
+        data.repartitionByRange(k, col(single)).sortWithinPartitions(col(single))
+      case multi =>
+        val (joined, zv) = mortonOf(data, multi)
+        joined.withColumn("__graft_zv", zv)
+          .repartitionByRange(k, col("__graft_zv"))
+          .sortWithinPartitions(col("__graft_zv"))
+          .select(data.columns.toIndexedSeq.map(col): _*) // shed z helpers
+    }
+    clustered
+      .withColumn("rb", spark_partition_id()) // narrow — no second shuffle
+      .write.partitionBy("rb").parquet(s"$tableDir/$cid")
+    // fresh stats per output dir: one grouped aggregate over the files
+    // just written (rb is a directory-encoded partition column, so the
+    // group-by is scan-cheap and min/max are footer-served)
+    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min:$c"),
+      max(col(c)).cast("string").as(s"max:$c")))
+    data.sparkSession.read.parquet(s"$tableDir/$cid")
+      .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val payload = (Seq(r.getAs[Long]("rows").toString) ++
+          statsCols.flatMap(c => Seq(encTok(c),
+            encTok(r.getAs[String](s"min:$c")), encTok(r.getAs[String](s"max:$c")))))
+          .mkString("\t")
+        s"$cid/rb=${r.getAs[Number]("rb").intValue}" -> payload
+      }.toMap
+  }
+
   def compactAppend(spark: SparkSession, tableDir: String,
                     statsCols: Seq[String], k: Int = 4,
                     retainGenerations: Int = 2): Long = {
@@ -506,34 +601,7 @@ object ManifestTable {
     // on that dimension), multi column = Morton interleave so each
     // dimension prunes. No spec = the legacy statsCols.head range sort.
     val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(sortCol))
-    val clustered = spec match {
-      case Seq(single) =>
-        data.repartitionByRange(k, col(single)).sortWithinPartitions(col(single))
-      case multi =>
-        val (joined, zv) = mortonOf(data, multi)
-        joined.withColumn("__graft_zv", zv)
-          .repartitionByRange(k, col("__graft_zv"))
-          .sortWithinPartitions(col("__graft_zv"))
-          .select(data.columns.toIndexedSeq.map(col): _*) // shed z helpers
-    }
-    clustered
-      .withColumn("rb", spark_partition_id()) // narrow — no second shuffle
-      .write.partitionBy("rb").parquet(s"$tableDir/$cid")
-    // fresh stats per output dir: one grouped aggregate over the files
-    // just written (rb is a directory-encoded partition column, so the
-    // group-by is scan-cheap and min/max are footer-served)
-    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min:$c"),
-      max(col(c)).cast("string").as(s"max:$c")))
-    val statRows = spark.read.parquet(s"$tableDir/$cid")
-      .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
-    val outStats: Map[String, String] = statRows.map { r =>
-      val payload = (Seq(r.getAs[Long]("rows").toString) ++
-        statsCols.flatMap(c => Seq(encTok(c),
-          encTok(r.getAs[String](s"min:$c")), encTok(r.getAs[String](s"max:$c")))))
-        .mkString("\t")
-      s"$cid/rb=${r.getAs[Number]("rb").intValue}" -> payload
-    }.toMap
+    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols)
     val inputSet = inputs.toSet
     var attempts = 0
     while (true) {

@@ -850,6 +850,46 @@ object Sources {
           FROM $cat.lake.omrg""")
   }
 
+  private val cluDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S27 fixture: `lake.oclu` declared `clusterBy o_orderdate` at
+    * CREATE, then filled by one SQL INSERT — the batch lands as
+    * range-sorted commit dirs with per-dir date stats (clustered on
+    * arrival, no compaction ever run). */
+  private def cluDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    cluDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    cluDemoCache.computeIfAbsent((s, d), { _ =>
+      s.sql(s"""CREATE TABLE $cat.lake.oclu
+                (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
+                TBLPROPERTIES ('clusterBy'='o_orderdate',
+                               'statsCols'='o_orderdate',
+                               'retainGenerations'='10')""")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .writeTo(s"$cat.lake.oclu").append()
+      cat
+    })
+  }
+
+  /** S27: clustered-on-arrival ingest — a one-year slice of the
+    * date-clustered table, read back through the catalog: the pushed
+    * date interval prunes whole commit dirs of the INSERT batch
+    * (fresh data prunes without any compaction; the dir-count proof
+    * lives in ClusteredIngestSpec). The oracle recomputes the slice
+    * from plain orders — layout must never change WHICH rows return. */
+  def s27_clustered_ingest(s: SparkSession, d: String): DataFrame = {
+    val cat = cluDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.oclu
+          WHERE o_orderdate >= DATE'1997-01-01'
+            AND o_orderdate <= DATE'1997-12-31'""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -875,6 +915,7 @@ object Sources {
     "s24_delete_where" -> (s24_delete_where _),
     "s25_update_where" -> (s25_update_where _),
     "s26_merge_sql" -> (s26_merge_sql _),
+    "s27_clustered_ingest" -> (s27_clustered_ingest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1054,5 +1095,13 @@ object Sources {
                 CAST(sum(k) AS BIGINT) AS key_checksum,
                 count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
          FROM merged""",
+    // clustered layout must never change WHICH rows a slice returns
+    "s27_clustered_ingest" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'""",
   )
 }
