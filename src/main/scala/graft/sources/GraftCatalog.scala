@@ -55,7 +55,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (optimistic rebase), so a property change racing an append loses
   * and retries rather than clobbering the appended paths.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -116,6 +117,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     catch { case _: IllegalArgumentException => false }
 
   override def loadTable(ident: Identifier): Table = {
+    // `t$history` / `t$files` / `t$properties` — the S28 metadata
+    // tables: driver-built from one manifest listing, served as a
+    // local relation (no data file opened, no executor involved)
+    val dollar = ident.name.indexOf('$')
+    if (dollar > 0) {
+      val base = Identifier.of(ident.namespace, ident.name.take(dollar))
+      val dir = tableDir(base)
+      if (!isTable(new Path(dir))) throw new NoSuchTableException(base)
+      return GraftMetaTables.of(spark, fs, dir, ident.name,
+          ident.name.drop(dollar + 1))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
     val dir = tableDir(ident)
     val head = ManifestTable.headVersion(spark, dir)
       .getOrElse(throw new NoSuchTableException(ident))
@@ -311,6 +324,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     throw new IllegalStateException(s"ALTER contention at $dir")
   }
+
+  // ------------------------------------------------------------ procedures
+
+  /** S29 — SQL `CALL` maintenance procedures (`ProcedureCatalog`, the
+    * Iceberg-procedures seam, now a public Spark 4 API):
+    *
+    * {{{
+    * CALL cat.system.compact(table => 'lake.t', k => 8)
+    * CALL cat.system.restore(table => 'lake.t', version => 3)
+    * }}}
+    *
+    * Maintenance becomes a SQL statement an operator (or a scheduler)
+    * can run with no engine API in scope. Each returns a one-row
+    * result through a local scan. */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.toSeq == Seq("system"))
+      Array("compact", "restore").map(n => Identifier.of(namespace, n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.toSeq != Seq("system"))
+      throw new IllegalArgumentException(
+        s"graft procedures live in the 'system' namespace, got $ident")
+    ident.name match {
+      case "compact" => new GraftProcedures.Compact(this)
+      case "restore" => new GraftProcedures.Restore(this)
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure '$other' — " +
+          "available: system.compact, system.restore")
+    }
+  }
+
+  /** Resolve a procedure's `table` argument (`'ns.t'`) to its dir. */
+  private[sources] def dirOfTableArg(table: String): String = {
+    val segs = table.split('.').toSeq.map(_.trim)
+    val dir = pathOf(segs)
+    require(isTable(dir), s"'$table' is not a graft table in catalog $name")
+    dir.toString
+  }
+  private[sources] def activeSpark: SparkSession = spark
+  private[sources] def activeFs: FileSystem = fs
 
   // ------------------------------------------------------------ namespaces
 

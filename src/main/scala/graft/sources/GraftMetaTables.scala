@@ -1,0 +1,133 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S28 — SQL-queryable metadata tables for manifest tables, addressed
+  * with the `$`-suffix convention:
+  *
+  * {{{
+  * SELECT * FROM cat.lake.`t$history`     -- (version, committed_at, n_paths)
+  * SELECT * FROM cat.lake.`t$files`      -- (path, rows, stats)
+  * SELECT * FROM cat.lake.`t$properties` -- (key, value) — ALL meta, engine keys included
+  * }}}
+  *
+  * Each is built DRIVER-SIDE from one manifest listing (metadata only —
+  * no data file is opened, so `t$files` over a 100 TB table costs the
+  * same as over an empty one) and served through a [[LocalScan]]: the
+  * rows never ship to an executor, Spark folds them as a local
+  * relation. This is the observability surface every serious table
+  * format exposes (Iceberg's metadata tables, Delta's DESCRIBE
+  * HISTORY) — operators debug skipped-dir counts, retention, and
+  * clustering state with plain SQL instead of engine APIs. */
+object GraftMetaTables {
+
+  /** The metadata table for `dir` named by `suffix`, or None for an
+    * unknown suffix (the catalog then reports NoSuchTable). */
+  def of(spark: SparkSession, fs: FileSystem, dir: String,
+         fullName: String, suffix: String): Option[GraftLocalTable] =
+    suffix match {
+      case "history" => Some(history(spark, fs, dir, fullName))
+      case "files" => Some(files(spark, fs, dir, fullName))
+      case "properties" => Some(properties(spark, fs, dir, fullName))
+      case _ => None
+    }
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private def history(spark: SparkSession, fs: FileSystem, dir: String,
+                      name: String): GraftLocalTable = {
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_paths", IntegerType, nullable = false)))
+    val rows = ManifestTable.versionTimes(fs, dir).flatMap { case (v, millis) =>
+      // the GC race window extends to the body read (same rule as
+      // ManifestTable.history) — a vanished version is not history
+      try Some(new GenericInternalRow(Array[Any](v, millis * 1000L,
+        ManifestTable.pathsOf(fs, dir, v).length)): InternalRow)
+      catch { case _: java.io.IOException => None }
+    }
+    GraftLocalTable(name, schema, rows.toArray)
+  }
+
+  private def files(spark: SparkSession, fs: FileSystem, dir: String,
+                    name: String): GraftLocalTable = {
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("stats", StringType, nullable = true)))
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    val rows = ManifestTable.pathsOf(fs, dir, head).map { p =>
+      val payload = stats.get(p)
+      val nRows = payload.flatMap(ManifestTable.rowsIn)
+      val json = payload.map(statsJson)
+      new GenericInternalRow(Array[Any](utf8(p),
+        nRows.map(Long.box).orNull,
+        json.map(utf8).orNull)): InternalRow
+    }
+    GraftLocalTable(name, schema, rows.toArray)
+  }
+
+  /** The per-path stats payload as JSON:
+    * `{"col":{"min":"...","max":"..."}}` — `null` min/max = the dir
+    * has no non-null values for the column. */
+  private[sources] def statsJson(payload: String): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val cols = ManifestTable.statColsIn(payload)
+    cols.map { c =>
+      val (_, mn, mx) = ManifestTable.statsFor(payload, c).get
+      def j(o: Option[String]) = o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
+      "\"" + esc(c) + "\":{\"min\":" + j(mn) + ",\"max\":" + j(mx) + "}"
+    }.mkString("{", ",", "}")
+  }
+
+  private def properties(spark: SparkSession, fs: FileSystem, dir: String,
+                         name: String): GraftLocalTable = {
+    val schema = StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false)))
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    val rows = ManifestTable.metaOf(fs, dir, head).toSeq.sortBy(_._1).map {
+      case (k, v) =>
+        new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow
+    }
+    GraftLocalTable(name, schema, rows.toArray)
+  }
+}
+
+/** A read-only table serving driver-built rows through [[LocalScan]] —
+  * Spark plans it as a local relation, no executor involved. Used for
+  * the `$`-suffixed metadata tables and procedure results. */
+case class GraftLocalTable(tableName: String, tableSchema: StructType,
+                           localRows: Array[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => GraftLocalScanImpl(tableSchema, localRows)
+}
+
+case class GraftLocalScanImpl(tableSchema: StructType,
+                              localRows: Array[InternalRow]) extends LocalScan {
+  override def rows(): Array[InternalRow] = localRows
+  override def readSchema(): StructType = tableSchema
+}

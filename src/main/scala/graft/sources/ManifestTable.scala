@@ -186,6 +186,12 @@ object ManifestTable {
     }
   }
 
+  /** Every column a stats payload tracks, in payload order. */
+  private[graft] def statColsIn(payload: String): Seq[String] =
+    payload.split('\t').drop(1).grouped(3).collect {
+      case Array(c, _, _) => decTok(c)
+    }.flatten.toSeq
+
   private def readWithDeclared(spark: SparkSession, tableDir: String,
                                v: Long, paths: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tableDir)

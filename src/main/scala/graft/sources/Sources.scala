@@ -890,6 +890,63 @@ object Sources {
             AND o_orderdate <= DATE'1997-12-31'""")
   }
 
+  /** S28: the `$`-suffixed metadata tables over the S23 fixture
+    * (`ocat`: v1 CREATE, v2 CTAS, v3 append — a deterministic
+    * history). `$history` counts retained versions, `$files` sums the
+    * recorded rowcounts (which must equal the table's real rows) and
+    * counts live dirs, `$properties` surfaces the persisted retention —
+    * all metadata-only, no data file opened. */
+  def s28_meta_tables(s: SparkSession, d: String): DataFrame = {
+    val cat = catalogDemo(s, d)
+    s.sql(
+      s"""SELECT h.n_versions, f.total_rows, f.n_files, p.retain
+          FROM (SELECT count(*) AS n_versions
+                FROM $cat.lake.`ocat$$history`) h
+          CROSS JOIN (SELECT CAST(sum(rows) AS BIGINT) AS total_rows,
+                             count(*) AS n_files
+                      FROM $cat.lake.`ocat$$files`) f
+          CROSS JOIN (SELECT value AS retain
+                      FROM $cat.lake.`ocat$$properties`
+                      WHERE key = 'prop:retainGenerations') p""")
+  }
+
+  private val callDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S29 fixture: `lake.ocall` = orders split into two year-sliced
+    * inserts (two commit dirs), then `CALL system.compact(k => 3)` —
+    * maintenance as a SQL statement. */
+  private def callDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    callDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    callDemoCache.computeIfAbsent((s, d), { _ =>
+      val base = orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+      base.filter(year(col("o_orderdate")) < 1997)
+        .writeTo(s"$cat.lake.ocall")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .create()
+      base.filter(year(col("o_orderdate")) >= 1997)
+        .writeTo(s"$cat.lake.ocall").append()
+      s.sql(s"CALL $cat.system.compact(table => 'lake.ocall', k => 3)")
+      cat
+    })
+  }
+
+  /** S29: a range-filtered aggregate over the freshly-compacted table —
+    * `CALL` must never change WHICH rows come back, and the re-clustered
+    * layout serves the pruned slice. */
+  def s29_call_compact(s: SparkSession, d: String): DataFrame = {
+    val cat = callDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.ocall
+          WHERE o_orderdate >= DATE'1996-01-01'
+            AND o_orderdate <= DATE'1996-12-31'""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -916,6 +973,8 @@ object Sources {
     "s25_update_where" -> (s25_update_where _),
     "s26_merge_sql" -> (s26_merge_sql _),
     "s27_clustered_ingest" -> (s27_clustered_ingest _),
+    "s28_meta_tables" -> (s28_meta_tables _),
+    "s29_call_compact" -> (s29_call_compact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1103,5 +1162,21 @@ object Sources {
          FROM orders
          WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
            AND CAST(o_orderdate AS DATE) <= DATE '1997-12-31'""",
+    // ocat's history is 3 deterministic versions (CREATE, CTAS slice,
+    // append); its live table is 2 dirs whose recorded rowcounts sum to
+    // all of orders; retention persisted as '10'
+    "s28_meta_tables" ->
+      """SELECT CAST(3 AS BIGINT) AS n_versions,
+         (SELECT count(*) FROM orders) AS total_rows,
+         CAST(2 AS BIGINT) AS n_files,
+         '10' AS retain""",
+    // compaction must never change which rows a slice returns
+    "s29_call_compact" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate <= DATE '1996-12-31'""",
   )
 }

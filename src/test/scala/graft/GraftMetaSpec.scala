@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** S28/S29 — metadata tables (`t$history`/`t$files`/`t$properties`) and
+  * `CALL` maintenance procedures on the graft catalog. */
+class GraftMetaSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-meta").toString
+    spark.conf.set("spark.sql.catalog.gmeta", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmeta.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmeta.lake")
+    dir
+  }
+  private def fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def seeded(name: String): String = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS gmeta.lake.$name")
+    spark.sql(s"CREATE TABLE gmeta.lake.$name (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    spark.sql(s"INSERT INTO gmeta.lake.$name VALUES (1,'a'),(2,'b')")
+    spark.sql(s"INSERT INTO gmeta.lake.$name VALUES (10,'p'),(11,'q')")
+    s"$wh/lake/$name"
+  }
+
+  test("$history lists every retained version with commit instants") {
+    seeded("h1")
+    val h = spark.sql("SELECT * FROM gmeta.lake.`h1$history` ORDER BY version")
+      .collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(h.map(_.getInt(2)).toSeq == Seq(0, 1, 2), "n_paths per version")
+    // commit instants ascend and are recent
+    val ts = h.map(_.getTimestamp(1).getTime)
+    assert(ts.sorted.toSeq == ts.toSeq)
+    assert(ts.last > System.currentTimeMillis() - 3600L * 1000)
+  }
+
+  test("$files lists live dirs with rowcounts and stats JSON") {
+    seeded("f1")
+    val f = spark.sql(
+      "SELECT path, rows, get_json_object(stats, '$.k.min') AS kmin " +
+        "FROM gmeta.lake.`f1$files` ORDER BY kmin").collect()
+    assert(f.length == 2)
+    assert(f.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+    assert(f.map(_.getString(2)).toSeq == Seq("1", "10"))
+    // metadata-only: $files works even with every data dir deleted
+    val dir = s"$wh/lake/f1"
+    ManifestTable.livePaths(fs, dir).foreach(p =>
+      fs.delete(new Path(dir, p), true))
+    assert(spark.sql("SELECT count(*) FROM gmeta.lake.`f1$files`")
+      .head().getLong(0) == 2L)
+  }
+
+  test("$properties exposes the full #meta channel") {
+    seeded("p1")
+    val props = spark.sql("SELECT * FROM gmeta.lake.`p1$properties`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("prop:statsCols").contains("k"))
+    assert(props.get("prop:retainGenerations").contains("10"))
+  }
+
+  test("unknown $suffix and $meta on a missing table fail loudly") {
+    seeded("x1")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.lake.`x1$nope`").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gmeta.lake.`ghost$history`").collect()
+    }
+  }
+
+  test("CALL system.compact rewrites the dirs and reports the new state") {
+    val dir = seeded("c1")
+    assert(ManifestTable.livePaths(fs, dir).size == 2)
+    val r = spark.sql(
+      "CALL gmeta.system.compact(table => 'lake.c1', k => 2)").collect()
+    assert(r.length == 1 && r.head.getInt(1) <= 2)
+    assert(ManifestTable.livePaths(fs, dir).forall(_.startsWith("a-")))
+    assert(spark.table("gmeta.lake.c1").count() == 4L)
+    // positional args work too
+    spark.sql("INSERT INTO gmeta.lake.c1 VALUES (20,'z')")
+    val r2 = spark.sql("CALL gmeta.system.compact('lake.c1')").collect()
+    assert(r2.head.getInt(1) <= 4)
+    assert(spark.table("gmeta.lake.c1").count() == 5L)
+  }
+
+  test("CALL system.restore re-publishes an older version as a NEW head") {
+    val dir = seeded("r1") // v1 schema, v2 first insert, v3 second
+    val r = spark.sql(
+      "CALL gmeta.system.restore(table => 'lake.r1', version => 2)").collect()
+    assert(r.head.getLong(0) == 4L, "restore moves history forward")
+    assert(spark.table("gmeta.lake.r1").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2))
+    assert(ManifestTable.headVersion(spark, dir).contains(4L))
+  }
+
+  test("unknown procedure fails with the available list") {
+    wh: Unit
+    val e = intercept[Exception] {
+      spark.sql("CALL gmeta.system.vacuum('lake.t')").collect()
+    }
+    assert(e.getMessage.contains("compact") || e.getMessage.contains("vacuum"))
+  }
+
+  test("s28 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s28_meta_tables(spark, sf).head()
+    assert(r.getLong(0) == 3L, "ocat history: create + CTAS-append + append")
+    assert(graft.sources.Sources.s28_meta_tables(spark, sf).head() == r)
+  }
+
+  test("s29 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s29_call_compact(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    assert(graft.sources.Sources.s29_call_compact(spark, sf).head() == r)
+  }
+}
