@@ -284,8 +284,11 @@ case class GraftMergeCommand(
     Seq.empty
   }
 
-  /** ONE full-outer join; per-row clause dispatch as nested CASE WHEN
-    * (first-match-wins by construction of the `when` chains). */
+  /** ONE full-outer join with per-row clause dispatch as nested CASE
+    * WHEN (first-match-wins by construction of the `when` chains) —
+    * except when no WHEN MATCHED clause exists, where semi/anti joins
+    * replace the full-outer so legally-multi-matched target rows are
+    * not duplicated. */
   private def mergeOf(tdf: DataFrame, sdf: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, when}
     val schema = tdf.schema
@@ -329,6 +332,26 @@ case class GraftMergeCommand(
             as.toMap.get(f.name).map(expr)
               .getOrElse(lit(null).cast(f.dataType))).otherwise(els)
       }
+    if (matched.isEmpty) {
+      // No WHEN MATCHED clause: a target row matched by SEVERAL source
+      // rows is LEGAL here (the cardinality rule governs only
+      // update/delete), and the full-outer join would duplicate it —
+      // use semi/anti joins instead, which keep each target row
+      // exactly once by construction.
+      val cond = expr(condSql)
+      val matchedT = t.join(s, cond, "left_semi")
+      val unmatchedT = t.join(s, cond, "left_anti")
+      val outCols = schema.fields.toIndexedSeq
+      val passthrough = matchedT.select(outCols.map(f =>
+        col(s"$TargetAlias.${f.name}").as(f.name)): _*)
+      val tOnlyOut = unmatchedT.filter(keepChain(bySource))
+        .select(outCols.map(f =>
+          valueChain(bySource, f).cast(f.dataType).as(f.name)): _*)
+      val sOnly = s.join(t, cond, "left_anti")
+      val insOut = sOnly.filter(insKeep)
+        .select(outCols.map(f => insValue(f).cast(f.dataType).as(f.name)): _*)
+      return passthrough.union(tOnlyOut).union(insOut)
+    }
     val keep = when(isMatched, keepChain(matched))
       .when(isTOnly, keepChain(bySource))
       .otherwise(insKeep)

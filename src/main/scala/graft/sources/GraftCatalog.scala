@@ -178,6 +178,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
+    // '$' is the metadata-table marker (`t$history`) — a real table
+    // named with one would be shadowed by the interception forever
+    require(!ident.name.contains('$'),
+      s"graft table names cannot contain '$$' (reserved for metadata " +
+        s"tables like `${ident.name.takeWhile(_ != '$')}$$history`)")
     val dirPath = new Path(tableDir(ident))
     if (isTable(dirPath)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
@@ -217,6 +222,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!newIdent.name.contains('$'),
+      s"graft table names cannot contain '$$' (reserved for metadata tables)")
     val from = new Path(tableDir(oldIdent))
     val to = new Path(tableDir(newIdent))
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)

@@ -47,8 +47,12 @@ object GraftProcedures {
             .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .filter(_.nonEmpty)
             .orElse {
-              val tracked = ManifestTable.statsOf(fs, dir, head).values
-                .flatMap(ManifestTable.statColsIn).toSeq.distinct
+              // path-sorted iteration keeps the fallback deterministic —
+              // compactAppend range-sorts on statsCols.head when no
+              // cluster spec is declared, so the order matters
+              val tracked = ManifestTable.statsOf(fs, dir, head).toSeq
+                .sortBy(_._1).flatMap(kv => ManifestTable.statColsIn(kv._2))
+                .distinct
               Some(tracked).filter(_.nonEmpty)
             }
             .getOrElse(throw new IllegalArgumentException(

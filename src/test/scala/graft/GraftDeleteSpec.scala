@@ -141,6 +141,79 @@ class GraftDeleteSpec extends SparkTestBase {
       bounds = Map("k" -> ("999", "999")), retainGenerations = 10) == head)
   }
 
+  test("DELETE racing concurrent appends loses no append and deletes its slice") {
+    val dir = Files.createTempDirectory("graft-del-race").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append((1 to 100).map(i => (i, "seed")).toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(3)
+    val go = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def task(body: => Unit): Runnable = () => {
+      go.await()
+      try body catch { case t: Throwable => errs.add(t): Unit }
+    }
+    // the delete's snapshot is the seed dir; the appends land disjoint
+    // key ranges, so the final state is deterministic whatever the
+    // interleaving: optimistic rebase must carry both appends
+    pool.submit(task {
+      ManifestTable.deleteWhere(spark, dir, col("k") <= 50,
+        bounds = Map("k" -> ("1", "50")), retainGenerations = 10): Unit
+    })
+    pool.submit(task {
+      ManifestTable.append((1001 to 1050).map(i => (i, "a1")).toDF("k", "v"),
+        dir, statsCols = Seq("k"), retainGenerations = 10): Unit
+    })
+    pool.submit(task {
+      ManifestTable.append((2001 to 2050).map(i => (i, "a2")).toDF("k", "v"),
+        dir, statsCols = Seq("k"), retainGenerations = 10): Unit
+    })
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"no racer may fail: ${errs.peek()}")
+    val ks = ManifestTable.read(spark, dir).collect().map(_.getInt(0)).sorted
+    assert(ks.toSeq == ((51 to 100) ++ (1001 to 1050) ++ (2001 to 2050)),
+      "delete removed exactly its slice; both racing appends survived")
+  }
+
+  test("overlapping row-level rewrites abort loudly, never corrupt") {
+    val dir = Files.createTempDirectory("graft-del-race2").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append((1 to 100).map(i => (i, "seed")).toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def del(lo: Int, hi: Int): Runnable = () => {
+      go.await()
+      try ManifestTable.deleteWhere(spark, dir,
+        col("k") >= lo && col("k") <= hi,
+        bounds = Map("k" -> (lo.toString, hi.toString)),
+        retainGenerations = 10): Unit
+      catch { case t: Throwable => errs.add(t): Unit }
+    }
+    pool.submit(del(1, 30)); pool.submit(del(20, 60))
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    // a loser that lost its touched dir must abort with the loud
+    // incompatible-change error, not silently resurrect rows
+    errs.forEach(t => assert(
+      t.getMessage.contains("changed incompatibly during the rewrite"),
+      s"unexpected failure shape: $t"))
+    val ks = ManifestTable.read(spark, dir).collect().map(_.getInt(0)).toSet
+    // rows outside both ranges always survive; rows inside a SUCCESSFUL
+    // delete's range are gone; no row is ever duplicated or invented
+    assert((61 to 100).forall(ks.contains), "untargeted rows must survive")
+    assert(ks.subsetOf((1 to 100).toSet), "no invented rows")
+    val winners = 2 - errs.size
+    if (winners == 2) assert(!(1 to 60).exists(ks.contains))
+    else assert(!(1 to 30).exists(ks.contains) || !(20 to 60).exists(ks.contains))
+  }
+
   test("s24 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s24_delete_where(spark, sf).head()
     val o = Tables.orders(spark, sf)

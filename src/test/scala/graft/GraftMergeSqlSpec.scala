@@ -151,6 +151,31 @@ class GraftMergeSqlSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gmrg.lake.m8 VERSION AS OF 2").count() == 3L)
   }
 
+  test("no-MATCHED merge with a multi-matching source never duplicates target rows") {
+    freshTable("m9")
+    // k=2 matches TWO source rows — legal with no WHEN MATCHED clause;
+    // the target row must appear exactly once, and both k=8 source
+    // rows insert (SQL inserts each source row)
+    spark.sql(
+      """MERGE INTO gmrg.lake.m9 AS t
+         USING (SELECT * FROM VALUES (2,'x'), (2,'y'), (8,'i'), (8,'j')
+                AS s(k, v)) AS s
+         ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, 0.0)""")
+    val rows = spark.table("gmrg.lake.m9").orderBy("k", "v")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((1, "a"), (2, "b"), (3, "c"), (8, "i"), (8, "j")),
+      s"got $rows")
+    // ... and NOT MATCHED BY SOURCE still applies in the same statement
+    spark.sql(
+      """MERGE INTO gmrg.lake.m9 AS t
+         USING (SELECT * FROM VALUES (2,'x'), (2,'y') AS s(k, v)) AS s
+         ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE AND t.k > 7 THEN DELETE""")
+    assert(spark.table("gmrg.lake.m9").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3))
+  }
+
   test("s26 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s26_merge_sql(spark, sf).head()
     assert(r.getLong(0) > 0)
