@@ -153,9 +153,89 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** T42: sequence-packing accounting — the GPT-style "concatenate the
+    * corpus, cut every L tokens" packing step every pretraining run
+    * performs, reported as the numbers a data engineer sizes batches
+    * with: how many L-token sequences the corpus yields, how many
+    * documents straddle a cut (their loss masks span two sequences),
+    * and the densest sequence's document count (attention-mask
+    * fragmentation). Token counts use the chars/4 estimate — pure
+    * arithmetic, deterministic in both engines.
+    *
+    * Scale design: document offsets are a PREFIX SUM over doc_id
+    * order, and a naive `Window.orderBy(doc_id)` collapses to ONE
+    * partition at 100 TB. This computes the textbook two-level
+    * distributed prefix sum instead: fixed doc_id buckets →
+    * per-bucket token sums (map-side partial agg, ~n/B rows) → a
+    * driver-scale cumsum over bucket totals → broadcast the bucket
+    * offsets back → within-bucket cumsum windows run PARALLEL per
+    * bucket. The only global-order structure ever materialized is the
+    * tiny bucket-totals table. */
+  def t42_sequence_pack(s: SparkSession, d: String): DataFrame = {
+    val L = 2048L
+    val bucketW = 100L // doc_ids per bucket — a tunable at real scale
+    val toks = documents(s, d).select(
+      col("doc_id"),
+      greatest(lit(1L), ceil(coalesce(col("n_chars"), lit(0L)) / 4.0)
+        .cast("long")).as("ntok"),
+      floor(col("doc_id") / bucketW).as("bkt"))
+    val bucketTotals = toks.groupBy("bkt")
+      .agg(sum(col("ntok")).as("bkt_tokens"))
+    val bucketOffsets = bucketTotals
+      .withColumn("bkt_offset",
+        coalesce(sum(col("bkt_tokens")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("bkt", "bkt_offset")
+    val placed = toks
+      .join(broadcast(bucketOffsets), "bkt")
+      .withColumn("start", col("bkt_offset") +
+        coalesce(sum(col("ntok")).over(
+          Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", floor(col("start") / L))
+      .withColumn("straddles",
+        floor((col("start") + col("ntok") - 1) / L) =!= col("seq_id"))
+    val perSeq = placed.groupBy("seq_id").agg(count(lit(1)).as("n_docs_in_seq"))
+    placed.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("total_tokens"),
+        (floor((sum(col("ntok")) - 1) / L) + 1).as("n_sequences"),
+        count(when(col("straddles"), 1)).as("n_straddlers"))
+      .join(broadcast(perSeq.agg(
+        max(col("n_docs_in_seq")).as("max_docs_per_seq"))))
+  }
+
+  /** T43: deterministic corpus split — the train/val/test assignment
+    * every dataset ships with, as a pure function of the stable doc_id
+    * (md5 of its decimal string, first two hex digits = 256 buckets:
+    * test < 0x03, val < 0x06, train the rest ≈ 98.8/1.2/1.2). Hash
+    * splits are the industry default because they are REPRODUCIBLE
+    * (no RNG state), STABLE under corpus growth (a doc's split never
+    * changes when others are added), and JOIN-FREE (any pipeline
+    * recomputes membership in place — at 100 TB nobody materializes a
+    * membership table). md5 is bit-identical across engines, which is
+    * exactly the property that makes the split portable — and makes
+    * this oracle exact. */
+  def t43_hash_split(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "03", "test")
+          .when(col("h2") < "06", "val")
+          .otherwise("train"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("total_chars"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
+    "t42_sequence_pack" -> (t42_sequence_pack _),
+    "t43_hash_split" -> (t43_hash_split _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -232,5 +312,38 @@ object Curation {
                 round(least(1.0, CAST(round(weight * 20000) AS BIGINT) / tokens_have), 4) AS sample_rate,
                 CAST(ceil(CAST(round(weight * 20000) AS BIGINT) * 1.0 / tokens_have) AS INTEGER) AS epochs
          FROM w ORDER BY lang""",
+    // the oracle computes the SAME packing with one global cumsum —
+    // the distributed two-level prefix sum must be value-identical
+    "t42_sequence_pack" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  GREATEST(1, CAST(CEIL(COALESCE(n_chars, 0) / 4.0) AS BIGINT)) AS ntok
+           FROM documents),
+         placed AS (
+           SELECT ntok,
+                  COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM toks),
+         seqd AS (
+           SELECT ntok,
+                  CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
+                  CAST(FLOOR((st + ntok - 1) / 2048.0) AS BIGINT)
+                    != CAST(FLOOR(st / 2048.0) AS BIGINT) AS straddles
+           FROM placed)
+         SELECT count(*) AS n_docs,
+                CAST(sum(ntok) AS BIGINT) AS total_tokens,
+                CAST(FLOOR((sum(ntok) - 1) / 2048.0) + 1 AS BIGINT) AS n_sequences,
+                count(*) FILTER (WHERE straddles) AS n_straddlers,
+                (SELECT max(c) FROM (SELECT count(*) AS c FROM seqd GROUP BY seq_id)) AS max_docs_per_seq
+         FROM seqd""",
+    // md5 is bit-identical across engines — the split IS the oracle
+    "t43_hash_split" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '03' THEN 'test'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '06' THEN 'val'
+                     ELSE 'train' END AS split,
+                count(*) AS n_docs,
+                CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
+                CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         FROM documents GROUP BY 1 ORDER BY split""",
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
 
 /** T40/T41 — funnel semantics + plan shape. The oracle gate proves
   * cross-engine value equality; these pin the properties the hash can't
@@ -78,5 +79,51 @@ class CurationSpec extends SparkTestBase {
     }
     val w = rows.map(_.getDouble(2)).sum
     assert(math.abs(w - 1.0) < 1e-9, s"weights must sum to 1: $w")
+  }
+
+  test("t42: packing conserves tokens; the two-level prefix sum equals a global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val r = ops.Curation.t42_sequence_pack(spark, sf).head()
+    val (nDocs, total, nSeq, straddlers, maxPer) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nDocs == Tables.documents(spark, sf).count())
+    assert(nSeq == (total - 1) / 2048 + 1, "every token lands in a sequence")
+    assert(straddlers < nDocs && straddlers <= nSeq,
+      "at most one straddler per cut")
+    assert(maxPer >= 1 && maxPer * 1L <= nDocs)
+    // independent single-window recomputation (the shape that does NOT
+    // scale, used here as the semantic oracle for the bucketed one)
+    val toks = Tables.documents(spark, sf).select(col("doc_id"),
+      greatest(lit(1L), ceil(coalesce(col("n_chars"), lit(0L)) / 4.0)
+        .cast("long")).as("ntok"))
+    val naive = toks.withColumn("st",
+        coalesce(sum(col("ntok")).over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("straddles",
+        floor((col("st") + col("ntok") - 1) / 2048L) =!= floor(col("st") / 2048L))
+      .agg(count(when(col("straddles"), 1)).as("n")).head().getLong(0)
+    assert(naive == straddlers,
+      s"bucketed prefix sum diverged from global cumsum: $naive vs $straddlers")
+  }
+
+  test("t43: the hash split is deterministic, disjoint, and train-dominated") {
+    val a = ops.Curation.t43_hash_split(spark, sf).collect()
+    val b = ops.Curation.t43_hash_split(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "re-running must yield the identical split")
+    val byName = a.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum == Tables.documents(spark, sf).count(),
+      "splits must partition the corpus")
+    assert(byName("train") > byName.getOrElse("val", 0L) &&
+      byName("train") > byName.getOrElse("test", 0L))
+    // stability under growth: a doc's split is a pure function of its
+    // id, so restricting the corpus must not reassign anyone
+    val half = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("h2", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split", when(col("h2") < "03", "test")
+        .when(col("h2") < "06", "val").otherwise("train"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(half.values.sum > 0 && half.keySet.subsetOf(byName.keySet))
   }
 }
