@@ -231,11 +231,50 @@ object Curation {
       .orderBy("split")
   }
 
+  /** T44: benchmark decontamination — the pre-training hygiene step
+    * that flags training documents sharing verbatim n-grams with an
+    * evaluation set (the Lee/GPT-3 decontamination recipe: exact
+    * 5-gram collision here; production uses 8–13-grams — a tunable).
+    * The fixture's eval set is every 20th document's first-30-token
+    * "prompt", so its source documents are contaminated by
+    * construction and the flagging must find them through shingle
+    * overlap, not identity.
+    *
+    * Scale shape: the eval side is SMALL by nature (benchmarks are
+    * thousands of items, the corpus is billions) — its distinct
+    * shingle set broadcasts, so the corpus-side cost is one
+    * projection + explode with NO shuffle of corpus text; contaminated
+    * ids distinct on a bare-id column. Never an all-pairs comparison. */
+  def t44_decontamination(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val sh5 = expr("array_distinct(transform(sequence(1, size(t) - 4), " +
+      "i -> concat_ws(' ', slice(t, i, 5))))")
+    val evalSh = tok.filter(col("doc_id") % 20 === 0)
+      .select(slice(col("t"), 1, 30).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(sh5).as("sh")).distinct()
+    val contaminated = tok.filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(sh5).as("sh"))
+      .join(broadcast(evalSh), "sh")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_contaminated"))
+      .withColumn("rate",
+        round(col("n_contaminated") / col("n_docs"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
     "t42_sequence_pack" -> (t42_sequence_pack _),
     "t43_hash_split" -> (t43_hash_split _),
+    "t44_decontamination" -> (t44_decontamination _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -345,5 +384,28 @@ object Curation {
                 CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS total_chars,
                 CAST(sum(doc_id) AS BIGINT) AS id_checksum
          FROM documents GROUP BY 1 ORDER BY split""",
+    // same 5-gram collision flagging; DuckDB builds shingles with
+    // list_transform over 1-indexed ranges (the t12 idiom)
+    "t44_decontamination" ->
+      """WITH tok AS (
+           SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+         ev AS (SELECT t[1:30] AS t FROM tok WHERE doc_id % 20 = 0),
+         evsh AS (
+           SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4])) AS sh
+           FROM ev WHERE len(t) >= 5),
+         trsh AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                  t[i+3] || ' ' || t[i+4]))) AS sh
+           FROM tok WHERE len(t) >= 5),
+         cont AS (SELECT DISTINCT tr.doc_id FROM trsh tr JOIN evsh e USING (sh))
+         SELECT source, count(*) AS n_docs,
+                count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM cont))
+                  AS n_contaminated,
+                round(CAST(count(*) FILTER (WHERE doc_id IN
+                  (SELECT doc_id FROM cont)) AS DOUBLE) / count(*), 4) AS rate
+         FROM documents GROUP BY source ORDER BY source""",
   )
 }

@@ -126,4 +126,19 @@ class CurationSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(half.values.sum > 0 && half.keySet.subsetOf(byName.keySet))
   }
+
+  test("t44: planted contamination is found through shingle overlap, not identity") {
+    val r = ops.Curation.t44_decontamination(spark, sf).collect()
+    val total = r.map(_.getLong(1)).sum
+    val hit = r.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // every eval doc's own source document (doc_id % 20 == 0 with ≥5
+    // prompt tokens) must be flagged — the prompt IS its prefix
+    val plantable = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 20 === 0 &&
+        size(split(col("text"), " ")) >= 5).count()
+    assert(hit >= plantable, s"flagged $hit < $plantable planted sources")
+    assert(hit < total, "flagging everything means the filter is vacuous")
+    r.foreach(row => assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0))
+  }
 }
