@@ -348,7 +348,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("compact", "restore").map(n => Identifier.of(namespace, n))
+      Array("compact", "restore", "vacuum").map(n => Identifier.of(namespace, n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -359,9 +359,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.name match {
       case "compact" => new GraftProcedures.Compact(this)
       case "restore" => new GraftProcedures.Restore(this)
+      case "vacuum" => new GraftProcedures.Vacuum(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — " +
-          "available: system.compact, system.restore")
+          "available: system.compact, system.restore, system.vacuum")
     }
   }
 

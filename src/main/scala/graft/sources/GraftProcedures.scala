@@ -70,6 +70,37 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.vacuum(table => 'ns.t')` — run the retention +
+    * orphan sweep now ([[ManifestTable.vacuum]]): crashed-writer
+    * leavings age out past the grace window, retention-retired dirs go
+    * immediately. Returns how many entries were swept. */
+  class Vacuum(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "sweep retention-retired dirs and aged orphans of a graft table"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String = Vacuum.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val fs = catalog.activeFs
+          val head = ManifestTable.headVersion(spark, dir).get
+          val retain = ManifestTable.metaOf(fs, dir, head)
+            .get(GraftCatalog.PropPrefix + "retainGenerations")
+            .flatMap(_.toIntOption).getOrElse(2)
+          val swept = ManifestTable.vacuum(spark, dir, retain)
+          oneRow(StructType(Seq(
+            StructField("swept", LongType, nullable = false))),
+            Array[Any](swept))
+        }
+      }
+  }
+
   /** `CALL cat.system.restore(table => 'ns.t', version => n)` — make a
     * retained older version the live table again (history moves
     * FORWARD: one new manifest, nothing rewritten,

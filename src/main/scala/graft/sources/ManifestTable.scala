@@ -1241,6 +1241,23 @@ object ManifestTable {
     * (conservative: a later commit's GC sweeps instead; deleting with
     * an incomplete reference set could drop live dirs). Concurrent
     * deletes of the same file are no-ops (`delete` returns false). */
+  /** VACUUM (maintenance): run the retention + orphan sweep NOW,
+    * without waiting for the next commit's implicit GC — the recovery
+    * path for crashed-writer leavings (orphan dirs still age past
+    * [[orphanGraceMs]] before dying; retention-retired dirs go
+    * immediately). Returns how many top-level entries were swept. */
+  def vacuum(spark: SparkSession, tableDir: String,
+             retainGenerations: Int = 2): Long = {
+    val fs = fsOf(spark, tableDir)
+    def entries = fs.listStatus(new Path(tableDir)).count { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val before = entries
+    gc(fs, tableDir, retainGenerations)
+    (before - entries).toLong.max(0L)
+  }
+
   private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
     val vs = versions(fs, tableDir)
     val (old0, kept0) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))

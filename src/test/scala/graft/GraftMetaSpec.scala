@@ -101,12 +101,29 @@ class GraftMetaSpec extends SparkTestBase {
     assert(ManifestTable.headVersion(spark, dir).contains(4L))
   }
 
+  test("CALL system.vacuum sweeps aged orphans, spares fresh ones") {
+    val dir = seeded("v1")
+    // a crashed writer's leavings: a data dir no manifest references
+    val orphan = new Path(dir, "zz-orphan")
+    fs.mkdirs(new Path(orphan, "part"))
+    // fresh orphan survives (could be a racer's in-flight commit dir)
+    val r0 = spark.sql("CALL gmeta.system.vacuum('lake.v1')").collect()
+    assert(r0.head.getLong(0) == 0L && fs.exists(orphan))
+    // aged past the grace window it is swept
+    ageTree(fs, orphan, 2L * 60 * 60 * 1000)
+    val r1 = spark.sql("CALL gmeta.system.vacuum('lake.v1')").collect()
+    assert(r1.head.getLong(0) == 1L && !fs.exists(orphan))
+    assert(spark.table("gmeta.lake.v1").count() == 4L,
+      "vacuum must never touch referenced data")
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
-      spark.sql("CALL gmeta.system.vacuum('lake.t')").collect()
+      spark.sql("CALL gmeta.system.rewrite_manifests('lake.t')").collect()
     }
-    assert(e.getMessage.contains("compact") || e.getMessage.contains("vacuum"))
+    assert(e.getMessage.contains("compact") ||
+      e.getMessage.contains("rewrite_manifests"))
   }
 
   test("s28 board query matches the recomputed oracle on sf0.001") {
