@@ -77,21 +77,45 @@ class GraftTableProvider extends TableProvider
       "graft needs a path: .load(dir) / .save(dir) or OPTIONS (path '...')"))
 
   /** Pin the version this table instance serves: `versionAsOf`, else
-    * the current head, else None (an uncommitted path a write is about
-    * to create). */
+    * `timestampAsOf` (epoch millis or `yyyy-MM-dd[ HH:mm:ss]`, resolved
+    * against manifest commit instants — the same clock the catalog's
+    * `TIMESTAMP AS OF` and `history` use), else the current head, else
+    * None (an uncommitted path a write is about to create). */
   private def pinnedVersion(spark: SparkSession,
                             options: CaseInsensitiveStringMap): Option[Long] = {
     val dir = dirOf(options)
+    def fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!(options.containsKey("versionAsOf") &&
+        options.containsKey("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
     Option(options.get("versionAsOf")).map(_.toLong) match {
       case some @ Some(v) =>
         // validate retention HERE: a GC'd version would otherwise
         // surface as an unexplained missing-manifest read downstream
-        val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
         require(ManifestTable.versions(fs, dir).contains(v),
           s"version $v is not retained at $dir")
         some
-      case None => ManifestTable.headVersion(spark, dir)
+      case None => Option(options.get("timestampAsOf")) match {
+        case Some(tsRaw) =>
+          val millis = tsRaw.toLongOption.getOrElse {
+            val zone = java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)
+            val local =
+              if (tsRaw.contains(" ") || tsRaw.contains("T"))
+                java.time.LocalDateTime.parse(tsRaw.replace(' ', 'T'))
+              else java.time.LocalDate.parse(tsRaw).atStartOfDay()
+            local.atZone(zone).toInstant.toEpochMilli
+          }
+          val v = ManifestTable.versionTimes(fs, dir)
+            .filter(_._2 <= millis).map(_._1).lastOption
+            .getOrElse(throw new IllegalArgumentException(
+              s"no retained version of $dir committed at or before " +
+                s"${java.time.Instant.ofEpochMilli(millis)} — earlier " +
+                "history was GC'd or the table is newer"))
+          Some(v)
+        case None => ManifestTable.headVersion(spark, dir)
+      }
     }
   }
 
@@ -204,7 +228,13 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val retain = opt("retainGenerations").map(_.toInt).getOrElse(2)
     val clusterBy = opt("clusterBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy)
+    // CHECK constraints (S30): `check.<name>` table properties (or
+    // write options), SQL boolean over the row — collected here so a
+    // catalog table's declared constraints govern every writer
+    val checks = (tableProps ++ info.options.asCaseSensitiveMap().asScala)
+      .collect { case (k, v) if k.toLowerCase.startsWith("check.") =>
+        k.drop("check.".length) -> v }.toSeq.sortBy(_._1)
+    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks)
   }
 }
 
@@ -215,7 +245,8 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
   * V1-alias-only by Spark's own rule (path-based V2 writes define only
   * Append and Overwrite). */
 class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
-                        retain: Int, clusterBy: Option[Seq[String]] = None)
+                        retain: Int, clusterBy: Option[Seq[String]] = None,
+                        checks: Seq[(String, String)] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -223,7 +254,24 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
-      (data, _) => {
+      (data0, _) => {
+        // CHECK constraints (S30, SQL semantics: NULL passes, only a
+        // FALSE evaluation violates) enforced IN the write job — a
+        // per-row raise_error guard inside a filter, so the batch
+        // fails before any manifest commit with the constraint's name,
+        // and no second validation pass over the data is ever run
+        // (Delta's invariant-check shape).
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not, raise_error, when, concat}
+        val data = checks.foldLeft(data0) { case (df, (name, sql)) =>
+          df.filter(
+            when(not(coalesce(expr(sql), lit(true))),
+              raise_error(concat(
+                lit(s"CHECK constraint '$name' violated ($sql) by row: "),
+                org.apache.spark.sql.functions.to_json(
+                  org.apache.spark.sql.functions.struct(
+                    df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)))))
+              .otherwise(lit(true)))
+        }
         if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
         else clusterBy match {
           // a declared cluster spec makes every append CLUSTERED ON

@@ -947,6 +947,44 @@ object Sources {
             AND o_orderdate <= DATE'1996-12-31'""")
   }
 
+  private val chkDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** S30 fixture: `lake.ochk` declares CHECK constraints at CREATE
+    * (positive price, bounded date domain), then one SQL INSERT of
+    * orders — every row must satisfy them, so the write passes and the
+    * constraints cost one in-job guard, not a second pass. */
+  private def chkDemo(s: SparkSession, d: String): String = {
+    val cat = catalogDemo(s, d)
+    chkDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    chkDemoCache.computeIfAbsent((s, d), { _ =>
+      s.sql(s"""CREATE TABLE $cat.lake.ochk
+                (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
+                TBLPROPERTIES ('check.price_pos'='o_totalprice > 0',
+                               'check.date_domain'=
+                                 'o_orderdate >= DATE\\'1990-01-01\\'',
+                               'retainGenerations'='10')""")
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        .writeTo(s"$cat.lake.ochk").append()
+      cat
+    })
+  }
+
+  /** S30: CHECK constraints on the ingest path — the aggregate over the
+    * constrained table must equal plain orders (the guard may reject,
+    * never mutate), proving the enforcement is a pass-through for
+    * conforming data; the rejection lane is spec-tested (a violating
+    * batch fails with the constraint name, nothing committed). */
+  def s30_constrained_ingest(s: SparkSession, d: String): DataFrame = {
+    val cat = chkDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.ochk""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -975,6 +1013,7 @@ object Sources {
     "s27_clustered_ingest" -> (s27_clustered_ingest _),
     "s28_meta_tables" -> (s28_meta_tables _),
     "s29_call_compact" -> (s29_call_compact _),
+    "s30_constrained_ingest" -> (s30_constrained_ingest _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1178,5 +1217,11 @@ object Sources {
          FROM orders
          WHERE o_orderdate >= DATE '1996-01-01'
            AND o_orderdate <= DATE '1996-12-31'""",
+    // constraint enforcement must be a pass-through for conforming data
+    "s30_constrained_ingest" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders""",
   )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** S30 — CHECK constraints enforced in the write job (SQL semantics:
+  * NULL passes, FALSE violates; batch fails before any commit), plus
+  * the `timestampAsOf` path-read option. */
+class GraftConstraintSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-chk").toString
+    spark.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gchk.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gchk.lake")
+    dir
+  }
+  private def fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("CHECK constraint: valid rows pass, a violating batch fails uncommitted") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c1")
+    spark.sql("CREATE TABLE gchk.lake.c1 (k INT, v STRING) " +
+      "TBLPROPERTIES ('check.pos'='k > 0', 'retainGenerations'='10')")
+    spark.sql("INSERT INTO gchk.lake.c1 VALUES (1,'a'),(2,'b')")
+    assert(spark.table("gchk.lake.c1").count() == 2L)
+    val head = ManifestTable.headVersion(spark, s"$wh/lake/c1").get
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gchk.lake.c1 VALUES (3,'c'),(-1,'bad')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("pos") && m.contains("bad")),
+      s"violation must name the constraint and the row: ${msgs(e)}")
+    // the failed batch committed NOTHING — not even its valid rows
+    assert(spark.table("gchk.lake.c1").count() == 2L)
+    assert(ManifestTable.headVersion(spark, s"$wh/lake/c1").contains(head))
+  }
+
+  test("CHECK constraint: NULL evaluations pass (SQL semantics)") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c2")
+    spark.sql("CREATE TABLE gchk.lake.c2 (k INT, v STRING) " +
+      "TBLPROPERTIES ('check.pos'='k > 0')")
+    spark.sql("INSERT INTO gchk.lake.c2 VALUES (NULL,'nullk'),(5,'ok')")
+    assert(spark.table("gchk.lake.c2").count() == 2L)
+  }
+
+  test("a constraint added by ALTER TABLE governs subsequent writes") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c3")
+    spark.sql("CREATE TABLE gchk.lake.c3 (k INT)")
+    spark.sql("INSERT INTO gchk.lake.c3 VALUES (-5)") // no constraint yet
+    spark.sql("ALTER TABLE gchk.lake.c3 SET TBLPROPERTIES ('check.pos'='k > 0')")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gchk.lake.c3 VALUES (-6)")
+    }
+    spark.sql("ALTER TABLE gchk.lake.c3 UNSET TBLPROPERTIES ('check.pos')")
+    spark.sql("INSERT INTO gchk.lake.c3 VALUES (-7)") // dropped → passes
+    assert(spark.table("gchk.lake.c3").count() == 2L)
+  }
+
+  test("timestampAsOf path-read option resolves by commit instant") {
+    val dir = Files.createTempDirectory("graft-tsopt").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append(Seq((1, "a")).toDF("k", "v"), dir,
+      retainGenerations = 10)
+    Thread.sleep(60)
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), dir,
+      retainGenerations = 10)
+    val t1 = ManifestTable.history(spark, dir)
+      .filter(col("version") === 1).head().getLong(1)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", t1.toString).load(dir).count() == 1L)
+    assert(spark.read.format("graft").load(dir).count() == 2L)
+    intercept[Exception] { // an instant before the first commit
+      spark.read.format("graft")
+        .option("timestampAsOf", (t1 - 3600000L).toString).load(dir)
+    }
+    intercept[Exception] { // mutually exclusive with versionAsOf
+      spark.read.format("graft").option("timestampAsOf", t1.toString)
+        .option("versionAsOf", "1").load(dir)
+    }
+    // date-string form parses in the session zone; tomorrow covers all
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+      .plusDays(1).toString
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", tomorrow).load(dir).count() == 2L)
+  }
+
+  test("s30 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s30_constrained_ingest(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    assert(graft.sources.Sources.s30_constrained_ingest(spark, sf).head() == r)
+  }
+}
