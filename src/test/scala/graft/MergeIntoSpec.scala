@@ -1132,6 +1132,34 @@ class MergeIntoSpec extends SparkTestBase {
         val want = model.filter(r => r.amt >= a && r.amt <= b)
         assert(sortedM(got) == sortedM(want), s"step $step: rangeScan [$a,$b] wrong")
       }
+      // row-level DELETE with a genuine bounds envelope: pruning may
+      // only change WHICH dirs are rewritten, never which rows die
+      if (step % 3 == 2 && model.nonEmpty) {
+        val a = rnd.nextInt(1000) / 10.0
+        val b = a + rnd.nextInt(300) / 10.0
+        val dv = ManifestTable.deleteWhere(spark, dir,
+          $"amt" >= a && $"amt" <= b,
+          bounds = Map("amt" -> (a.toString, b.toString)))
+        model = model.filterNot(r => r.amt >= a && r.amt <= b)
+        snaps += dv -> model
+        assert(sortedM(tableRows) == sortedM(model),
+          s"step $step: deleteWhere [$a,$b] diverged")
+      }
+      // row-level UPDATE on a column the stats do NOT cover (k): no
+      // pruning, full rewrite — values must transform exactly and the
+      // recomputed amt stats must keep later rangeScans exact
+      if (step % 5 == 1 && model.nonEmpty) {
+        val lo = rnd.nextInt(40).toLong
+        val hi = lo + rnd.nextInt(10).toLong
+        val uv = ManifestTable.updateWhere(spark, dir,
+          $"k" >= lo && $"k" <= hi,
+          Seq("v" -> concat($"v", lit("+"))))
+        model = model.map(r =>
+          if (r.k >= lo && r.k <= hi) r.copy(v = r.v + "+") else r)
+        snaps += uv -> model
+        assert(sortedM(tableRows) == sortedM(model),
+          s"step $step: updateWhere k∈[$lo,$hi] diverged")
+      }
       if (step % 4 == 0) {
         val pre = ManifestTable.versions(fs, dir).last
         ManifestTable.compactAppend(spark, dir, Seq("amt"), k = 1 + rnd.nextInt(4))
