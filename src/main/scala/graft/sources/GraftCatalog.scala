@@ -172,7 +172,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (k, value) if k.startsWith(PropPrefix) =>
         k.stripPrefix(PropPrefix) -> value
     }
-    GraftTable(dir, Some(v), schema, props + ("path" -> dir))
+    // reserved Spark props instead of a bare "path": SHOW CREATE TABLE
+    // then renders `USING graft` + `LOCATION`, and neither leaks into
+    // TBLPROPERTIES (the engine reads the dir from GraftTable.tableDir,
+    // never from a prop)
+    GraftTable(dir, Some(v), schema, props +
+      (TableCatalog.PROP_PROVIDER -> "graft") +
+      (TableCatalog.PROP_LOCATION -> dir))
   }
 
   override def createTable(ident: Identifier, schema: StructType,

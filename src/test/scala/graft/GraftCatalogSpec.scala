@@ -207,6 +207,20 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(graft.sources.Sources.s23_catalog_sql(spark, sf).head() == r)
   }
 
+  test("catalog: SHOW CREATE TABLE round-trips USING graft + LOCATION") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.sc")
+    spark.sql("CREATE TABLE gcat.lake.sc (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='7')")
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.lake.sc").head().getString(0)
+    assert(ddl.contains("USING graft"), ddl)
+    assert(ddl.contains(s"LOCATION '$wh/lake/sc'"), ddl)
+    assert(ddl.contains("'statsCols' = 'k'") &&
+      ddl.contains("'retainGenerations' = '7'"), ddl)
+    // the engine-internal path prop must not leak into TBLPROPERTIES
+    assert(!ddl.contains("'path'"), ddl)
+  }
+
   test("catalog: identifier segments cannot escape the warehouse") {
     wh: Unit
     intercept[Exception] { spark.sql("CREATE TABLE gcat.lake.`..` (k INT)") }
