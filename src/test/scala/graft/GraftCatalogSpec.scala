@@ -207,6 +207,41 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(graft.sources.Sources.s23_catalog_sql(spark, sf).head() == r)
   }
 
+  test("catalog: ALTER racing INSERTs never drops an appended dir") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.race")
+    spark.sql("CREATE TABLE gcat.lake.race (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(3)
+    val go = new CountDownLatch(1)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def task(body: => Unit): Runnable = () => {
+      go.await(); try body catch { case t: Throwable => errs.add(t): Unit }
+    }
+    pool.submit(task {
+      for (i <- 1 to 3)
+        spark.sql(s"ALTER TABLE gcat.lake.race SET TBLPROPERTIES ('tag'='$i')")
+    })
+    pool.submit(task {
+      for (i <- 0 until 5)
+        spark.sql(s"INSERT INTO gcat.lake.race VALUES ($i)")
+    })
+    pool.submit(task {
+      for (i <- 100 until 105)
+        spark.sql(s"INSERT INTO gcat.lake.race VALUES ($i)")
+    })
+    go.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(180, TimeUnit.SECONDS))
+    assert(errs.isEmpty, s"racer failed: ${errs.peek()}")
+    // every inserted row survived the property-change rebases
+    assert(spark.table("gcat.lake.race").collect().map(_.getInt(0)).sorted
+      .toSeq == ((0 until 5) ++ (100 until 105)))
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.lake.race").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("tag").contains("3"), "the last ALTER wins")
+  }
+
   test("catalog: SHOW CREATE TABLE round-trips USING graft + LOCATION") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gcat.lake.sc")
