@@ -126,6 +126,52 @@ class GraftUpdateSpec extends SparkTestBase {
       retainGenerations = 10) == head)
   }
 
+  test("fuzz: random conditions/assignments round-trip through the SQL transport") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    spark.sql("DROP TABLE IF EXISTS gupd.lake.fz")
+    spark.sql("CREATE TABLE gupd.lake.fz (k INT, amt DOUBLE, v STRING)")
+    (1 to 40).map(i => (i, (i * 7 % 23) + 0.5,
+        if (i % 7 == 0) null else s"s$i"))
+      .toDF("k", "amt", "v").writeTo("gupd.lake.fz").append()
+    def randCond(): String = rnd.nextInt(6) match {
+      case 0 => s"k > ${rnd.nextInt(40)}"
+      case 1 => s"amt <= ${rnd.nextInt(23)}.5"
+      case 2 => "v IS NULL"
+      case 3 => s"(k % ${2 + rnd.nextInt(5)}) = 0 AND amt > ${rnd.nextInt(10)}"
+      case 4 => "upper(v) LIKE 'S1%'"
+      case 5 => s"k IN (${Seq.fill(3)(rnd.nextInt(40)).mkString(",")}) OR v = 's5'"
+    }
+    def randAssign(): (String, String) = rnd.nextInt(4) match {
+      case 0 => "k" -> s"k + ${rnd.nextInt(100)}"
+      case 1 => "amt" -> "round(amt * 2.0, 2)"
+      case 2 => "v" -> "concat(coalesce(v, 'x'), '!')"
+      case 3 => "amt" -> "CAST(k AS DOUBLE) / 4"
+    }
+    def canon(rows: Array[org.apache.spark.sql.Row]): Seq[String] =
+      rows.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (it <- 1 to 12) {
+      val cond = randCond()
+      val assigns = Seq(randAssign())
+      val cur = spark.table("gupd.lake.fz")
+      // the semantic model, computed on the PRE-update state with
+      // DataFrame primitives (no SQL-text round-trip to share a bug with)
+      val expected = canon(cur.select(cur.columns.toIndexedSeq.map { c =>
+        assigns.toMap.get(c) match {
+          case Some(vs) => when(coalesce(expr(cond), lit(false)),
+            expr(vs).cast(cur.schema(c).dataType)).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*).collect())
+      spark.sql(s"UPDATE gupd.lake.fz SET " +
+        assigns.map { case (c, v) => s"$c = $v" }.mkString(", ") +
+        s" WHERE $cond")
+      assert(canon(spark.table("gupd.lake.fz").collect()) == expected,
+        s"iteration $it diverged: UPDATE ... SET ${assigns} WHERE $cond")
+    }
+  }
+
   test("s25 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s25_update_where(spark, sf).head()
     val o = Tables.orders(spark, sf)
