@@ -185,6 +185,44 @@ object Streaming {
       .orderBy("purchase_id")
   }
 
+  private val ingestDemoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  /** X8 fixture: a REAL Structured Streaming ingest — the events
+    * corpus staged as a file-source directory, tailed with
+    * `Trigger.AvailableNow` through [[graft.streaming.Streams.appendSink]]
+    * (foreachBatch → manifest append with per-batch txn watermarks)
+    * into an append table. Bounded and exactly-once, so the result
+    * table is deterministic and the ORACLE GATE applies to a streaming
+    * sink for the first time: every prior X-sink stayed test-only. */
+  private def ingestDemo(s: SparkSession, d: String): String = {
+    ingestDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    ingestDemoCache.computeIfAbsent((s, d), { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft_x8_").toString
+      val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      val staged = ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      staged.write.parquet(src)
+      graft.streaming.Streams.appendSink(
+        s.readStream.schema(staged.schema).parquet(src),
+        tbl, ck, statsCols = Seq("event_id"))
+      tbl
+    })
+  }
+
+  /** X8: streaming ingestion → append table, verified through the
+    * DuckDB gate — the aggregate over the streamed-in manifest table
+    * must equal the same aggregate straight off the corpus (ingest may
+    * reorder and re-batch, never drop or duplicate). */
+  def x8_stream_ingest(s: SparkSession, d: String): DataFrame = {
+    val tbl = ingestDemo(s, d)
+    graft.sources.ManifestTable.read(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_tumbling_window" -> (x1_tumbling_window _),
     "x2_sliding_window" -> (x2_sliding_window _),
@@ -193,6 +231,7 @@ object Streaming {
     "x5_stream_dedup" -> (x5_stream_dedup _),
     "x6_funnel" -> (x6_funnel _),
     "x7_stream_static_join" -> (x7_stream_static_join _),
+    "x8_stream_ingest" -> (x8_stream_ingest _),
     "x10_interval_join" -> (x10_interval_join _),
   )
 
@@ -266,6 +305,13 @@ object Streaming {
       """SELECT c_mktsegment, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // streamed-in table ≡ the corpus: ingest may re-batch, never
+    // drop or duplicate
+    "x8_stream_ingest" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(value), 2) AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS id_checksum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x10_interval_join" ->
       """WITH clicks AS (
            SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
