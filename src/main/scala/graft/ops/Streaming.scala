@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** Streaming operators in their batch-equivalent form (SURVEY.md §2.10
   * X1–X5, X6, X7, X10) — the same expressions run unchanged under
   * readStream (see graft.streaming.Streams for the streaming wiring +
-  * watermarks). Batch form keeps them DuckDB-oracle-able; the remaining
-  * streaming-only semantics (X8 incremental ingest, the stateful X6
-  * forms, X9) are covered by MemoryStream ScalaTests instead.
+  * watermarks). Batch form keeps them DuckDB-oracle-able; X8 runs a
+  * REAL bounded stream under the oracle gate (`x8_stream_ingest`); the
+  * remaining streaming-only semantics (the stateful X6 forms, X9) are
+  * covered by MemoryStream ScalaTests instead.
   */
 object Streaming {
 
@@ -185,8 +186,6 @@ object Streaming {
       .orderBy("purchase_id")
   }
 
-  private val ingestDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** X8 fixture: a REAL Structured Streaming ingest — the events
     * corpus staged as a file-source directory, tailed with
     * `Trigger.AvailableNow` through [[graft.streaming.Streams.appendSink]]
@@ -194,9 +193,7 @@ object Streaming {
     * into an append table. Bounded and exactly-once, so the result
     * table is deterministic and the ORACLE GATE applies to a streaming
     * sink for the first time: every prior X-sink stayed test-only. */
-  private def ingestDemo(s: SparkSession, d: String): String = {
-    ingestDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    ingestDemoCache.computeIfAbsent((s, d), { _ =>
+  private val ingestDemo = new graft.FixtureMemo((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_x8_").toString
       val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
       val staged = ev(s, d)
@@ -206,8 +203,7 @@ object Streaming {
         s.readStream.schema(staged.schema).parquet(src),
         tbl, ck, statsCols = Seq("event_id"))
       tbl
-    })
-  }
+  })
 
   /** X8: streaming ingestion → append table, verified through the
     * DuckDB gate — the aggregate over the streamed-in manifest table

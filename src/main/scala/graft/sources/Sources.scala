@@ -663,17 +663,14 @@ object Sources {
         sum(col("o_orderkey")).as("key_checksum"))
   }
 
-  private val catalogDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+
   /** S23 fixture: a catalog (warehouse = fresh tmp dir, name keyed by
     * the sf dir so re-registration is idempotent within a session)
     * holding `lake.ocat`, built entirely through the SQL/writeTo
     * surface: CTAS with the pre-1997 slice of orders (→ v2), then an
     * INSERT of the rest (→ v3). `retainGenerations=10` keeps the CTAS
     * snapshot retained for the time-travel leg. */
-  private def catalogDemo(s: SparkSession, d: String): String = {
-    catalogDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    catalogDemoCache.computeIfAbsent((s, d), { case (s, d) =>
+  private val catalogDemo = new graft.FixtureMemo((s, d) => {
       val cat = "gb" + (d.hashCode & 0x7fffffff).toString
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", tmp("graft_s23_"))
@@ -688,8 +685,7 @@ object Sources {
       base.filter(year(col("o_orderdate")) >= 1997)
         .writeTo(s"$cat.lake.ocat").append()
       cat
-    })
-  }
+  })
 
   /** S23: the `TableCatalog` plugin ([[GraftCatalog]]) — multi-part-
     * identifier SQL against a manifest table with zero path plumbing:
@@ -711,16 +707,12 @@ object Sources {
                       FROM $cat.lake.ocat VERSION AS OF 2) v""")
   }
 
-  private val deleteDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S24 fixture: `lake.odel` in the S23 catalog — CREATE + one INSERT
     * of orders (→ v2), then one SQL `DELETE FROM` removing the urgent
     * post-1996 slice (→ v3). `retainGenerations=10` keeps the
     * pre-delete snapshot for the time-travel leg. */
-  private def deleteDemo(s: SparkSession, d: String): String = {
+  private val deleteDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    deleteDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    deleteDemoCache.computeIfAbsent((s, d), { _ =>
       orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
         .writeTo(s"$cat.lake.odel")
@@ -731,8 +723,7 @@ object Sources {
                 WHERE o_orderdate >= DATE'1997-01-01'
                   AND o_orderpriority = '1-URGENT'""")
       cat
-    })
-  }
+  })
 
   /** S24: SQL `DELETE FROM` on a manifest table (dir-granular
     * copy-on-write through [[ManifestTable.deleteWhere]]) — one leg
@@ -755,18 +746,14 @@ object Sources {
                       FROM $cat.lake.odel VERSION AS OF 2) v""")
   }
 
-  private val updateDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
     * EXACT in IEEE doubles, so the oracle comparison carries no
     * float-rounding risk. Requires the session to carry
     * `spark.sql.extensions=graft.GraftExtensions`. */
-  private def updateDemo(s: SparkSession, d: String): String = {
+  private val updateDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    updateDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    updateDemoCache.computeIfAbsent((s, d), { _ =>
       orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
         .writeTo(s"$cat.lake.oupd")
@@ -778,8 +765,7 @@ object Sources {
                 WHERE o_orderpriority = '5-LOW'
                   AND o_orderdate < DATE'1996-06-01'""")
       cat
-    })
-  }
+  })
 
   /** S25: SQL `UPDATE` on a manifest table, served by the
     * session-extension rule ([[graft.plans.GraftUpdateRule]]) over
@@ -800,18 +786,14 @@ object Sources {
                       FROM $cat.lake.oupd VERSION AS OF 2) v""")
   }
 
-  private val mergeSqlDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S26 fixture: `lake.omrg` = all orders as (k, price, pri); one SQL
     * `MERGE` whose source is the urgent slice (matched: DELETE the
     * >200k rows, +1000.0 the rest — exact-in-IEEE delta) unioned with
     * a shifted-key medium slice (inserted as 'NEW' rows). Exercises
     * conditional DELETE, first-match-wins UPDATE, INSERT, and a
     * subquery source in one statement. */
-  private def mergeSqlDemo(s: SparkSession, d: String): String = {
+  private val mergeSqlDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    mergeSqlDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    mergeSqlDemoCache.computeIfAbsent((s, d), { _ =>
       orders(s, d).select(col("o_orderkey").as("k"),
           col("o_totalprice").as("price"), col("o_orderpriority").as("pri"))
         .writeTo(s"$cat.lake.omrg")
@@ -832,8 +814,7 @@ object Sources {
             WHEN NOT MATCHED THEN INSERT (k, price, pri)
                  VALUES (s.k, s.price, 'NEW')""")
       cat
-    })
-  }
+  })
 
   /** S26: SQL `MERGE INTO` on a manifest table, served by the
     * session-extension rule ([[graft.plans.GraftMergeRule]]) over the
@@ -850,16 +831,12 @@ object Sources {
           FROM $cat.lake.omrg""")
   }
 
-  private val cluDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S27 fixture: `lake.oclu` declared `clusterBy o_orderdate` at
     * CREATE, then filled by one SQL INSERT — the batch lands as
     * range-sorted commit dirs with per-dir date stats (clustered on
     * arrival, no compaction ever run). */
-  private def cluDemo(s: SparkSession, d: String): String = {
+  private val cluDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    cluDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    cluDemoCache.computeIfAbsent((s, d), { _ =>
       s.sql(s"""CREATE TABLE $cat.lake.oclu
                 (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
                 TBLPROPERTIES ('clusterBy'='o_orderdate',
@@ -870,8 +847,7 @@ object Sources {
           col("o_orderdate").cast("date").as("o_orderdate"))
         .writeTo(s"$cat.lake.oclu").append()
       cat
-    })
-  }
+  })
 
   /** S27: clustered-on-arrival ingest — a one-year slice of the
     * date-clustered table, read back through the catalog: the pushed
@@ -910,15 +886,11 @@ object Sources {
                       WHERE key = 'prop:retainGenerations') p""")
   }
 
-  private val callDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S29 fixture: `lake.ocall` = orders split into two year-sliced
     * inserts (two commit dirs), then `CALL system.compact(k => 3)` —
     * maintenance as a SQL statement. */
-  private def callDemo(s: SparkSession, d: String): String = {
+  private val callDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    callDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    callDemoCache.computeIfAbsent((s, d), { _ =>
       val base = orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
       base.filter(year(col("o_orderdate")) < 1997)
@@ -930,8 +902,7 @@ object Sources {
         .writeTo(s"$cat.lake.ocall").append()
       s.sql(s"CALL $cat.system.compact(table => 'lake.ocall', k => 3)")
       cat
-    })
-  }
+  })
 
   /** S29: a range-filtered aggregate over the freshly-compacted table —
     * `CALL` must never change WHICH rows come back, and the re-clustered
@@ -947,16 +918,12 @@ object Sources {
             AND o_orderdate <= DATE'1996-12-31'""")
   }
 
-  private val chkDemoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   /** S30 fixture: `lake.ochk` declares CHECK constraints at CREATE
     * (positive price, bounded date domain), then one SQL INSERT of
     * orders — every row must satisfy them, so the write passes and the
     * constraints cost one in-job guard, not a second pass. */
-  private def chkDemo(s: SparkSession, d: String): String = {
+  private val chkDemo = new graft.FixtureMemo((s, d) => {
     val cat = catalogDemo(s, d)
-    chkDemoCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    chkDemoCache.computeIfAbsent((s, d), { _ =>
       s.sql(s"""CREATE TABLE $cat.lake.ochk
                 (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
                 TBLPROPERTIES ('check.price_pos'='o_totalprice > 0',
@@ -968,8 +935,7 @@ object Sources {
           col("o_orderdate").cast("date").as("o_orderdate"))
         .writeTo(s"$cat.lake.ochk").append()
       cat
-    })
-  }
+  })
 
   /** S30: CHECK constraints on the ingest path — the aggregate over the
     * constrained table must equal plain orders (the guard may reject,
