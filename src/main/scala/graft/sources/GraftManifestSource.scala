@@ -89,7 +89,7 @@ class GraftManifestSource extends RelationProvider
     * table has any committed version. */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
                               parameters: Map[String, String],
-                              data: DataFrame): BaseRelation = {
+                              data0: DataFrame): BaseRelation = {
     val dir = pathOf(parameters)
     val statsCols = parameters.get("statsCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
@@ -97,6 +97,8 @@ class GraftManifestSource extends RelationProvider
     // retention is a write-side option, like Delta's retention knobs
     val retain = parameters.get("retainGenerations").map(_.toInt).getOrElse(2)
     val exists = ManifestTable.headVersion(ctx.sparkSession, dir).isDefined
+    // declared data contracts bind every API (S30)
+    val data = GraftManifestSource.withDeclaredChecks(data0, dir)
     mode match {
       case SaveMode.Append =>
         ManifestTable.append(data, dir, statsCols, retain): Unit
@@ -127,6 +129,46 @@ object GraftManifestSource {
     * second commit is superseded (its rows are not in the overwritten
     * table) — the semantics of replacing the whole table; Delta makes
     * the same call by failing the concurrent writer instead. */
+  /** CHECK constraints (S30, SQL semantics: NULL passes, only a FALSE
+    * evaluation violates) enforced IN the write job — a per-row
+    * `raise_error` guard inside a filter, so the batch fails before
+    * any manifest commit with the constraint's name and the offending
+    * row, and no second validation pass over the data is ever run
+    * (Delta's invariant-check shape). */
+  private[sources] def applyChecks(data0: DataFrame,
+                                   checks: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, not, raise_error, struct, to_json, when}
+    checks.foldLeft(data0) { case (df, (name, sql)) =>
+      df.filter(
+        when(not(coalesce(expr(sql), lit(true))),
+          raise_error(concat(
+            lit(s"CHECK constraint '$name' violated ($sql) by row: "),
+            to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
+          .otherwise(lit(true)))
+    }
+  }
+
+  /** The table's PERSISTED constraints (`prop:check.<name>` in `#meta`,
+    * the catalog's declared data contracts) applied to `data` — the V1
+    * write paths run this so an older-API writer cannot sidestep a
+    * contract the catalog declared. */
+  private[sources] def withDeclaredChecks(data: DataFrame,
+                                          dir: String): DataFrame = {
+    val spark = data.sparkSession
+    ManifestTable.headVersion(spark, dir) match {
+      case None => data
+      case Some(v) =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val prefix = GraftCatalog.PropPrefix + "check."
+        val checks = ManifestTable.metaOf(fs, dir, v).collect {
+          case (k, sql) if k.startsWith(prefix) =>
+            k.stripPrefix(prefix) -> sql
+        }.toSeq.sortBy(_._1)
+        applyChecks(data, checks)
+    }
+  }
+
   private[graft] def overwrite(data: DataFrame, dir: String,
                                statsCols: Seq[String],
                                retainGenerations: Int = 2): Unit = {
@@ -305,7 +347,9 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
     * statement, owns the table's stats policy, same as Delta table
     * properties. The pinned `version` is a READ snapshot only; writes
     * always land on the current head (append rebases via commitIf). */
-  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+  override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
+    // declared data contracts bind every API (S30)
+    val data = GraftManifestSource.withDeclaredChecks(data0, tableDir)
     if (overwrite)
       GraftManifestSource.overwrite(data, tableDir, statsCols, retainGenerations)
     else

@@ -228,10 +228,11 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val retain = opt("retainGenerations").map(_.toInt).getOrElse(2)
     val clusterBy = opt("clusterBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-    // CHECK constraints (S30): `check.<name>` table properties (or
-    // write options), SQL boolean over the row — collected here so a
-    // catalog table's declared constraints govern every writer
-    val checks = (tableProps ++ info.options.asCaseSensitiveMap().asScala)
+    // ad-hoc CHECK constraints for THIS write (`check.<name>` write
+    // options); the table's DECLARED constraints are read from the
+    // persisted meta channel inside the write itself, so they bind
+    // every API — catalog, V2 path, V1 alias — identically (S30)
+    val checks = info.options.asCaseSensitiveMap().asScala
       .collect { case (k, v) if k.toLowerCase.startsWith("check.") =>
         k.drop("check.".length) -> v }.toSeq.sortBy(_._1)
     new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks)
@@ -255,23 +256,11 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       (data0, _) => {
-        // CHECK constraints (S30, SQL semantics: NULL passes, only a
-        // FALSE evaluation violates) enforced IN the write job — a
-        // per-row raise_error guard inside a filter, so the batch
-        // fails before any manifest commit with the constraint's name,
-        // and no second validation pass over the data is ever run
-        // (Delta's invariant-check shape).
-        import org.apache.spark.sql.functions.{coalesce, expr, lit, not, raise_error, when, concat}
-        val data = checks.foldLeft(data0) { case (df, (name, sql)) =>
-          df.filter(
-            when(not(coalesce(expr(sql), lit(true))),
-              raise_error(concat(
-                lit(s"CHECK constraint '$name' violated ($sql) by row: "),
-                org.apache.spark.sql.functions.to_json(
-                  org.apache.spark.sql.functions.struct(
-                    df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)))))
-              .otherwise(lit(true)))
-        }
+        // CHECK constraints (S30) enforced IN the write job: the
+        // table's PERSISTED contracts first (prop channel — binds
+        // every API), then any ad-hoc per-write checks from OPTIONS.
+        val data = GraftManifestSource.applyChecks(
+          GraftManifestSource.withDeclaredChecks(data0, tableDir), checks)
         if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
         else clusterBy match {
           // a declared cluster spec makes every append CLUSTERED ON

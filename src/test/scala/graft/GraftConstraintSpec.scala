@@ -65,6 +65,30 @@ class GraftConstraintSpec extends SparkTestBase {
     assert(spark.table("gchk.lake.c3").count() == 2L)
   }
 
+  test("a catalog-declared constraint binds PATH writers on every API") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c4")
+    spark.sql("CREATE TABLE gchk.lake.c4 (k INT) " +
+      "TBLPROPERTIES ('check.pos'='k > 0')")
+    val dir = s"$wh/lake/c4"
+    val s = spark; import s.implicits._
+    // the V2 path writer
+    intercept[Exception] {
+      Seq(-1).toDF("k").write.format("graft")
+        .mode("append").save(dir)
+    }
+    // the V1 alias writer
+    intercept[Exception] {
+      Seq(-2).toDF("k").write.format("graft-manifest")
+        .mode("append").save(dir)
+    }
+    // the direct SQL-INSERT-on-path via V1 CREATE TABLE USING
+    assert(spark.table("gchk.lake.c4").count() == 0L,
+      "no bypassing write may have landed")
+    Seq(3).toDF("k").write.format("graft-manifest").mode("append").save(dir)
+    assert(spark.table("gchk.lake.c4").count() == 1L)
+  }
+
   test("timestampAsOf path-read option resolves by commit instant") {
     val dir = Files.createTempDirectory("graft-tsopt").toString + "/t"
     val s = spark; import s.implicits._
