@@ -101,7 +101,7 @@ class GraftManifestSource extends RelationProvider
     val data = GraftManifestSource.withDeclaredChecks(data0, dir)
     mode match {
       case SaveMode.Append =>
-        ManifestTable.append(data, dir, statsCols, retain): Unit
+        GraftManifestSource.appendRespectingSpec(data, dir, statsCols, retain)
       case SaveMode.Overwrite =>
         GraftManifestSource.overwrite(data, dir, statsCols, retain)
       case SaveMode.ErrorIfExists if exists =>
@@ -121,14 +121,6 @@ class GraftManifestSource extends RelationProvider
 
 object GraftManifestSource {
 
-  /** Overwrite = append the batch as a fresh commit dir, then commit a
-    * manifest listing ONLY that dir (its stats carried over). Built
-    * from the same primitives as restore: history moves forward, old
-    * dirs remain referenced by retained versions for time travel.
-    * Concurrency is LAST-WRITER-WINS by design: an append racing the
-    * second commit is superseded (its rows are not in the overwritten
-    * table) — the semantics of replacing the whole table; Delta makes
-    * the same call by failing the concurrent writer instead. */
   /** CHECK constraints (S30, SQL semantics: NULL passes, only a FALSE
     * evaluation violates) enforced IN the write job — a per-row
     * `raise_error` guard inside a filter, so the batch fails before
@@ -145,6 +137,27 @@ object GraftManifestSource {
             lit(s"CHECK constraint '$name' violated ($sql) by row: "),
             to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
           .otherwise(lit(true)))
+    }
+  }
+
+  /** Append honoring the table's DECLARED cluster spec (S27): when one
+    * is set, the batch lands clustered on arrival whatever API carried
+    * it — a V1-alias writer must not quietly degrade the layout a
+    * catalog table declared. No spec = the plain single-dir append. */
+  private[sources] def appendRespectingSpec(data: DataFrame, dir: String,
+                                            statsCols: Seq[String],
+                                            retain: Int): Unit = {
+    val spark = data.sparkSession
+    val spec = ManifestTable.headVersion(spark, dir).flatMap { v =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      ManifestTable.clusterSpecOf(fs, dir, v)
+    }
+    spec match {
+      case Some(cols) => ManifestTable.appendClustered(data, dir,
+        (statsCols ++ cols).distinct, retainGenerations = retain): Unit
+      case None =>
+        ManifestTable.append(data, dir, statsCols, retain): Unit
     }
   }
 
@@ -169,6 +182,14 @@ object GraftManifestSource {
     }
   }
 
+  /** Overwrite = append the batch as a fresh commit dir, then commit a
+    * manifest listing ONLY that dir (its stats carried over). Built
+    * from the same primitives as restore: history moves forward, old
+    * dirs remain referenced by retained versions for time travel.
+    * Concurrency is LAST-WRITER-WINS by design: an append racing the
+    * second commit is superseded (its rows are not in the overwritten
+    * table) — the semantics of replacing the whole table; Delta makes
+    * the same call by failing the concurrent writer instead. */
   private[graft] def overwrite(data: DataFrame, dir: String,
                                statsCols: Seq[String],
                                retainGenerations: Int = 2): Unit = {
@@ -353,7 +374,8 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
     if (overwrite)
       GraftManifestSource.overwrite(data, tableDir, statsCols, retainGenerations)
     else
-      ManifestTable.append(data, tableDir, statsCols, retainGenerations): Unit
+      GraftManifestSource.appendRespectingSpec(data, tableDir, statsCols,
+        retainGenerations)
     // Spark's FindDataSourceTable caches the resolved relation per
     // catalog table; THIS relation pins a version, so without
     // invalidation the next SELECT would keep serving the pre-insert

@@ -102,6 +102,23 @@ class ClusteredIngestSpec extends SparkTestBase {
     assert(spark.table("gclu.lake.t").count() == 200L)
   }
 
+  test("a V1-alias append honors the declared cluster spec too") {
+    val dir = Files.createTempDirectory("graft-clu-v1").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append(Seq((0, "seed")).toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10)
+    ManifestTable.alterClusterBy(spark, dir, Seq("k"), retainGenerations = 10)
+    (1 to 200).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft-manifest").option("statsCols", "k")
+      .option("retainGenerations", "10").mode("append").save(dir)
+    val f = fs(dir)
+    val head = ManifestTable.headVersion(spark, dir).get
+    val fresh = ManifestTable.pathsOf(f, dir, head).filter(_.startsWith("ci-"))
+    assert(fresh.size > 1,
+      "the V1 writer must not quietly degrade a declared clustered layout")
+    assert(ManifestTable.read(spark, dir).count() == 201L)
+  }
+
   test("s27 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s27_clustered_ingest(spark, sf).head()
     assert(r.getLong(0) > 0)
