@@ -280,7 +280,9 @@ case class GraftMergeCommand(
         }.toMap
       }
     ManifestTable.rewriteWhere(spark, dir, bounds, retain, "m-",
-      alwaysRewrite = inserts.nonEmpty)(tdf => mergeOf(tdf, sdf)): Unit
+      alwaysRewrite = inserts.nonEmpty)(tdf =>
+        // declared CHECK constraints bind merged/inserted values (S30)
+        GraftManifestSource.withDeclaredChecks(mergeOf(tdf, sdf), dir)): Unit
     Seq.empty
   }
 

@@ -261,6 +261,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         alterMeta(dir, _ +
           (ClusterByKey -> cols.mkString(",")) +
           ((PropPrefix + "clusterBy") -> cols.mkString(",")))
+      case s: TableChange.SetProperty if s.property.startsWith("check.") =>
+        // Delta's ADD CONSTRAINT contract: existing data must already
+        // conform — one validation scan NOW buys the invariant every
+        // later write and rewrite relies on ("live rows always
+        // conform"), so rewrites can guard their whole output
+        val live = ManifestTable.livePaths(fs, dir)
+        if (live.nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = ManifestTable.read(spark, dir)
+            .filter(not(coalesce(expr(s.value), lit(true)))).limit(1)
+          require(bad.isEmpty,
+            s"cannot add CHECK constraint '${s.property}' (${s.value}): " +
+              s"existing rows of $ident violate it")
+        }
+        alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
       case s: TableChange.SetProperty =>
         alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
       case r: TableChange.RemoveProperty if r.property == "clusterBy" =>

@@ -127,7 +127,7 @@ object GraftManifestSource {
     * any manifest commit with the constraint's name and the offending
     * row, and no second validation pass over the data is ever run
     * (Delta's invariant-check shape). */
-  private[sources] def applyChecks(data0: DataFrame,
+  private[graft] def applyChecks(data0: DataFrame,
                                    checks: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, concat, expr, lit, not, raise_error, struct, to_json, when}
     checks.foldLeft(data0) { case (df, (name, sql)) =>
@@ -144,7 +144,7 @@ object GraftManifestSource {
     * is set, the batch lands clustered on arrival whatever API carried
     * it — a V1-alias writer must not quietly degrade the layout a
     * catalog table declared. No spec = the plain single-dir append. */
-  private[sources] def appendRespectingSpec(data: DataFrame, dir: String,
+  private[graft] def appendRespectingSpec(data: DataFrame, dir: String,
                                             statsCols: Seq[String],
                                             retain: Int): Unit = {
     val spark = data.sparkSession
@@ -165,7 +165,7 @@ object GraftManifestSource {
     * the catalog's declared data contracts) applied to `data` — the V1
     * write paths run this so an older-API writer cannot sidestep a
     * contract the catalog declared. */
-  private[sources] def withDeclaredChecks(data: DataFrame,
+  private[graft] def withDeclaredChecks(data: DataFrame,
                                           dir: String): DataFrame = {
     val spark = data.sparkSession
     ManifestTable.headVersion(spark, dir) match {

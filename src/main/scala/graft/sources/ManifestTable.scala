@@ -690,13 +690,16 @@ object ManifestTable {
       byCol.keys.foreach(c => require(df.schema.fieldNames.contains(c),
         s"UPDATE assigns unknown column '$c' at $tableDir"))
       val hit = coalesce(cond, lit(false))
-      df.select(df.schema.fields.toIndexedSeq.map { f =>
-        byCol.get(f.name) match {
-          case Some(v) =>
-            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => col(f.name)
-        }
-      }: _*)
+      // declared CHECK constraints bind the rewritten values too (S30;
+      // untouched rows conform by the write/ALTER-time invariant)
+      GraftManifestSource.withDeclaredChecks(
+        df.select(df.schema.fields.toIndexedSeq.map { f =>
+          byCol.get(f.name) match {
+            case Some(v) =>
+              when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+            case None => col(f.name)
+          }
+        }: _*), tableDir)
     }
   }
 

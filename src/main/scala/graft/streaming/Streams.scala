@@ -365,8 +365,28 @@ object Streams {
       }.map(_.toLong)
     if (committed.exists(_ >= batchId)) None // replayed batch: already in
     else if (b.isEmpty) None
-    else Some(graft.sources.ManifestTable.append(b, tableDir, statsCols,
-      meta = Map(key -> batchId.toString)))
+    else {
+      // the table's declared contracts and cluster spec bind the
+      // streaming writer like every other API (S27/S30 parity): a
+      // violating micro-batch fails BEFORE its manifest commit — the
+      // checkpoint doesn't advance, so the stream surfaces the error
+      // instead of quietly thinning
+      val guarded = graft.sources.GraftManifestSource
+        .withDeclaredChecks(b, tableDir)
+      val spec = graft.sources.ManifestTable.headVersion(spark, tableDir)
+        .flatMap { v =>
+          val fs = new org.apache.hadoop.fs.Path(tableDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          graft.sources.ManifestTable.clusterSpecOf(fs, tableDir, v)
+        }
+      Some(spec match {
+        case Some(cols) => graft.sources.ManifestTable.appendClustered(
+          guarded, tableDir, (statsCols ++ cols).distinct,
+          meta = Map(key -> batchId.toString))
+        case None => graft.sources.ManifestTable.append(guarded, tableDir,
+          statsCols, meta = Map(key -> batchId.toString))
+      })
+    }
   }
 
   /** X12 (T40 × X5): streaming curation ingest — the funnel's stateless

@@ -51,18 +51,69 @@ class GraftConstraintSpec extends SparkTestBase {
     assert(spark.table("gchk.lake.c2").count() == 2L)
   }
 
-  test("a constraint added by ALTER TABLE governs subsequent writes") {
+  test("ALTER-added constraints validate existing data, then govern writes") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gchk.lake.c3")
     spark.sql("CREATE TABLE gchk.lake.c3 (k INT)")
     spark.sql("INSERT INTO gchk.lake.c3 VALUES (-5)") // no constraint yet
+    // the ADD CONSTRAINT contract: violating existing data refuses the
+    // ALTER itself (one validation scan buys the
+    // live-rows-always-conform invariant every rewrite relies on)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gchk.lake.c3 SET TBLPROPERTIES ('check.pos'='k > 0')")
+    }
+    spark.sql("DELETE FROM gchk.lake.c3 WHERE k < 0")
     spark.sql("ALTER TABLE gchk.lake.c3 SET TBLPROPERTIES ('check.pos'='k > 0')")
     intercept[Exception] {
       spark.sql("INSERT INTO gchk.lake.c3 VALUES (-6)")
     }
     spark.sql("ALTER TABLE gchk.lake.c3 UNSET TBLPROPERTIES ('check.pos')")
     spark.sql("INSERT INTO gchk.lake.c3 VALUES (-7)") // dropped → passes
-    assert(spark.table("gchk.lake.c3").count() == 2L)
+    assert(spark.table("gchk.lake.c3").count() == 1L)
+  }
+
+  test("UPDATE and MERGE cannot write values a declared constraint forbids") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c5")
+    spark.sql("CREATE TABLE gchk.lake.c5 (k INT, amt DOUBLE) " +
+      "TBLPROPERTIES ('check.amt_pos'='amt >= 0')")
+    spark.sql("INSERT INTO gchk.lake.c5 VALUES (1, 5.0), (2, 6.0)")
+    intercept[Exception] {
+      spark.sql("UPDATE gchk.lake.c5 SET amt = -1.0 WHERE k = 1")
+    }
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gchk.lake.c5 AS t
+           USING (SELECT * FROM VALUES (9, -3.0) AS s(k, amt)) AS s
+           ON t.k = s.k
+           WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt)""")
+    }
+    // nothing landed, nothing was lost
+    assert(spark.table("gchk.lake.c5").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 5.0), (2, 6.0)))
+    // conforming DML still flows
+    spark.sql("UPDATE gchk.lake.c5 SET amt = amt + 1.0 WHERE k = 1")
+    assert(spark.table("gchk.lake.c5").filter("k = 1").head().getDouble(1) == 6.0)
+  }
+
+  test("a streaming appendSink batch is bound by declared contracts too") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c6")
+    spark.sql("CREATE TABLE gchk.lake.c6 (k INT) " +
+      "TBLPROPERTIES ('check.pos'='k > 0')")
+    val dir = s"$wh/lake/c6"
+    val s = spark; import s.implicits._
+    // direct micro-batch call (the foreachBatch body): violating batch
+    // must fail with no commit
+    intercept[Exception] {
+      graft.streaming.Streams.appendBatch(
+        Seq(-9).toDF("k"), dir, Seq.empty, "app", 0L)
+    }
+    assert(spark.table("gchk.lake.c6").count() == 0L)
+    graft.streaming.Streams.appendBatch(
+      Seq(9).toDF("k"), dir, Seq.empty, "app", 1L)
+    assert(spark.table("gchk.lake.c6").count() == 1L)
   }
 
   test("a catalog-declared constraint binds PATH writers on every API") {
