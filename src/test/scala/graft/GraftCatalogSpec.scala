@@ -143,6 +143,25 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(spec.isEmpty)
   }
 
+  test("catalog: CREATE OR REPLACE resets the table (drop + create fallback)") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.ror")
+    spark.sql("CREATE TABLE gcat.lake.ror (k INT)")
+    spark.sql("INSERT INTO gcat.lake.ror VALUES (1)")
+    // Spark's non-staging fallback: dropTable + createTable. The new
+    // table starts a FRESH history (unlike Delta's in-history REPLACE)
+    // — a documented difference, pinned here
+    spark.sql("CREATE OR REPLACE TABLE gcat.lake.ror (k INT, v STRING)")
+    assert(spark.table("gcat.lake.ror").schema.fieldNames.toSeq ==
+      Seq("k", "v"))
+    assert(spark.table("gcat.lake.ror").count() == 0L)
+    assert(ManifestTable.headVersion(spark, s"$wh/lake/ror").contains(1L),
+      "REPLACE starts a fresh history")
+    val s2 = spark; import s2.implicits._
+    Seq((9, "z")).toDF("k", "v").writeTo("gcat.lake.ror").createOrReplace()
+    assert(spark.table("gcat.lake.ror").count() == 1L)
+  }
+
   test("catalog: rename and drop") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gcat.lake.r1")
