@@ -195,6 +195,15 @@ object Streaming {
     * sink for the first time: every prior X-sink stayed test-only. */
   private val ingestDemo = new graft.FixtureMemo((s, d) => {
       val root = java.nio.file.Files.createTempDirectory("graft_x8_").toString
+      // staged corpus + checkpoint + table are session-scoped scratch;
+      // delete on JVM exit so repeated harness sessions don't accrete
+      // corpus-sized copies in /tmp (the Sources.tmp discipline)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+            .asScala.toSeq.reverseIterator.foreach(p => p.toFile.delete())
+        } catch { case _: Throwable => () }))
       val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
       val staged = ev(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
