@@ -176,6 +176,82 @@ class GraftMergeSqlSpec extends SparkTestBase {
       .toSeq == Seq(1, 2, 3))
   }
 
+  test("fuzz: random MERGE clause combinations track an in-memory model") {
+    wh: Unit
+    val rnd = new scala.util.Random(20260814L)
+    // model rows: unique keys on both sides (multi-match is its own
+    // tested lane); no nulls, so the Scala mirror's two-valued
+    // evaluation matches SQL exactly
+    case class R(k: Int, amt: Double)
+    // condition grammar: one node renders BOTH the SQL and the Scala
+    // evaluation, so the two sides derive from a single AST
+    case class Cond(sql: String, eval: (Double, Double) => Boolean)
+    def randCond(tRef: String, sRef: String): Cond = rnd.nextInt(4) match {
+      case 0 => val c = rnd.nextInt(40)
+        Cond(s"$tRef.amt > $c.0", (t, _) => t > c)
+      case 1 => val c = rnd.nextInt(40)
+        Cond(s"$sRef.amt <= $c.0", (_, s) => s <= c)
+      case 2 => val c = rnd.nextInt(20)
+        Cond(s"$tRef.amt + $sRef.amt < ${2 * c}.0", (t, s) => t + s < 2 * c)
+      case 3 => Cond("1 = 1", (_, _) => true)
+    }
+    def randTCond(tRef: String): Cond = rnd.nextInt(3) match {
+      case 0 => val c = rnd.nextInt(40); Cond(s"$tRef.amt > $c.0", (t, _) => t > c)
+      case 1 => val c = rnd.nextInt(40); Cond(s"$tRef.amt <= $c.0", (t, _) => t <= c)
+      case 2 => Cond("1 = 1", (_, _) => true)
+    }
+    for (it <- 1 to 8) {
+      spark.sql("DROP TABLE IF EXISTS gmrg.lake.fz")
+      spark.sql("CREATE TABLE gmrg.lake.fz (k INT, amt DOUBLE)")
+      val target = (1 to 30).map(k => R(k, (k * 13 % 47).toDouble))
+      val source = rnd.shuffle((15 to 45).toList).take(20)
+        .map(k => R(k, (k * 7 % 31).toDouble))
+      spark.sql("INSERT INTO gmrg.lake.fz VALUES " +
+        target.map(r => s"(${r.k}, ${r.amt})").mkString(","))
+      // clause mix: matched UPDATE then DELETE (first-match-wins),
+      // a conditional INSERT, an optional BY SOURCE DELETE
+      val mUpd = randCond("t", "s")
+      val mDel = randCond("t", "s")
+      val ins = randCond("s", "s") // only s-side refs are valid here
+      val insC = Cond(ins.sql.replace("t.amt", "s.amt"),
+        (t, s) => ins.eval(s, s))
+      val useBySource = rnd.nextBoolean()
+      val bySrc = randTCond("t")
+      val sql = new StringBuilder(
+        s"""MERGE INTO gmrg.lake.fz AS t
+            USING (SELECT * FROM VALUES
+              ${source.map(r => s"(${r.k}, ${r.amt})").mkString(",")}
+              AS s(k, amt)) AS s
+            ON t.k = s.k
+            WHEN MATCHED AND ${mUpd.sql} THEN UPDATE SET amt = t.amt + s.amt
+            WHEN MATCHED AND ${mDel.sql} THEN DELETE
+            WHEN NOT MATCHED AND ${insC.sql} THEN INSERT (k, amt)
+                 VALUES (s.k, s.amt)""")
+      if (useBySource)
+        sql.append(s"\n            WHEN NOT MATCHED BY SOURCE AND ${bySrc.sql} THEN DELETE")
+      spark.sql(sql.toString)
+      // the Scala mirror of SQL MERGE semantics
+      val srcByK = source.map(r => r.k -> r).toMap
+      val fromTarget = target.flatMap { t =>
+        srcByK.get(t.k) match {
+          case Some(s) => // matched: first-match-wins across clauses
+            if (mUpd.eval(t.amt, s.amt)) Some(R(t.k, t.amt + s.amt))
+            else if (mDel.eval(t.amt, s.amt)) None
+            else Some(t)
+          case None =>
+            if (useBySource && bySrc.eval(t.amt, 0)) None else Some(t)
+        }
+      }
+      val inserted = source.filter(s => !target.exists(_.k == s.k))
+        .filter(s => insC.eval(0, s.amt))
+      val expected = (fromTarget ++ inserted).map(r => (r.k, r.amt))
+        .sorted.toSeq
+      val got = spark.table("gmrg.lake.fz").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).sorted.toSeq
+      assert(got == expected, s"iteration $it diverged:\n$sql")
+    }
+  }
+
   test("s26 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s26_merge_sql(spark, sf).head()
     assert(r.getLong(0) > 0)
