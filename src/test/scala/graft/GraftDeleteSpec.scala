@@ -214,6 +214,38 @@ class GraftDeleteSpec extends SparkTestBase {
     else assert(!(1 to 30).exists(ks.contains) || !(20 to 60).exists(ks.contains))
   }
 
+  test("fuzz: random DELETE conditions round-trip the Filter translation") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def randCond(): String = rnd.nextInt(8) match {
+      case 0 => s"k > ${rnd.nextInt(40)}"
+      case 1 => s"k >= ${rnd.nextInt(40)} AND k < ${rnd.nextInt(40) + 10}"
+      case 2 => s"v IN (${Seq.fill(4)(s"'s${rnd.nextInt(40)}'").mkString(",")})"
+      case 3 => "v IS NULL"
+      case 4 => s"v LIKE 's1%' OR k = ${rnd.nextInt(40)}"
+      case 5 => s"NOT (k <= ${rnd.nextInt(40)})"
+      case 6 => s"v LIKE '%${rnd.nextInt(4)}' AND k != ${rnd.nextInt(40)}"
+      case 7 => s"k <=> ${rnd.nextInt(40)}"
+    }
+    for (it <- 1 to 10) {
+      spark.sql("DROP TABLE IF EXISTS gdel.lake.fz")
+      spark.sql("CREATE TABLE gdel.lake.fz (k INT, v STRING)")
+      (1 to 40).map(i => (i, if (i % 9 == 0) null else s"s$i"))
+        .toDF("k", "v").writeTo("gdel.lake.fz").append()
+      val cond = randCond()
+      // SQL DELETE keeps rows where cond is FALSE or NULL — the model
+      // computes the kept set with DataFrame primitives directly
+      val expected = spark.table("gdel.lake.fz")
+        .filter(!coalesce(expr(cond), lit(false)))
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).sorted.toSeq
+      spark.sql(s"DELETE FROM gdel.lake.fz WHERE $cond")
+      val got = spark.table("gdel.lake.fz")
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).sorted.toSeq
+      assert(got == expected, s"iteration $it diverged: DELETE WHERE $cond")
+    }
+  }
+
   test("s24 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s24_delete_where(spark, sf).head()
     val o = Tables.orders(spark, sf)
