@@ -269,12 +269,49 @@ object Curation {
       .orderBy("source")
   }
 
+  /** T45: the dataset card — the one-row factsheet a curation run
+    * publishes with its artifact (the "datasheet for datasets"
+    * practice): corpus size, token estimate, language breadth and
+    * dominance, exact-duplicate rate, and the split sizes, all in ONE
+    * corpus pass plus one tiny top-lang aggregate. Every figure is
+    * integer-exact or a 4dp-rounded ratio, so the card itself sits
+    * under the cross-engine hash gate like any other query. */
+  def t45_dataset_card(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+    val enr = doc.select(col("doc_id"), col("lang"),
+        coalesce(col("n_chars"), lit(0L)).as("nc"),
+        md5(coalesce(col("text"), lit(""))).as("h"),
+        substring(md5(col("doc_id").cast("string")), 1, 2).as("h2"))
+      .withColumn("dup", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id")) > 1)
+      .withColumn("split", when(col("h2") < "03", "test")
+        .when(col("h2") < "06", "val").otherwise("train"))
+    val top = doc.groupBy("lang").agg(count(lit(1)).as("topn"))
+      .orderBy(col("topn").desc, col("lang").asc).limit(1)
+      .select(col("lang").as("top_lang"), col("topn"))
+    enr.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(greatest(lit(1L), ceil(col("nc") / 4.0).cast("long")))
+          .as("est_tokens"),
+        count(when(col("dup"), 1)).as("n_exact_dups"),
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+      .join(broadcast(top))
+      .withColumn("dup_rate",
+        round(col("n_exact_dups") / col("n_docs"), 4))
+      .withColumn("top_lang_share", round(col("topn") / col("n_docs"), 4))
+      .drop("topn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
     "t42_sequence_pack" -> (t42_sequence_pack _),
     "t43_hash_split" -> (t43_hash_split _),
     "t44_decontamination" -> (t44_decontamination _),
+    "t45_dataset_card" -> (t45_dataset_card _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +444,34 @@ object Curation {
                 round(CAST(count(*) FILTER (WHERE doc_id IN
                   (SELECT doc_id FROM cont)) AS DOUBLE) / count(*), 4) AS rate
          FROM documents GROUP BY source ORDER BY source""",
+    // the card's figures are integer-exact or 4dp ratios — md5 parity
+    // carries the dup and split lanes
+    "t45_dataset_card" ->
+      """WITH enr AS (
+           SELECT doc_id, lang, COALESCE(n_chars, 0) AS nc,
+                  row_number() OVER (PARTITION BY md5(COALESCE(text, ''))
+                                     ORDER BY doc_id) > 1 AS dup,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '03'
+                         THEN 'test'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '06'
+                         THEN 'val'
+                       ELSE 'train' END AS split
+           FROM documents),
+         top AS (SELECT lang AS top_lang, count(*) AS topn FROM documents
+                 GROUP BY lang ORDER BY topn DESC, top_lang ASC LIMIT 1)
+         SELECT count(*) AS n_docs,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(sum(GREATEST(1, CAST(CEIL(nc / 4.0) AS BIGINT)))
+                  AS BIGINT) AS est_tokens,
+                count(*) FILTER (WHERE dup) AS n_exact_dups,
+                count(*) FILTER (WHERE split = 'train') AS n_train,
+                count(*) FILTER (WHERE split = 'val') AS n_val,
+                count(*) FILTER (WHERE split = 'test') AS n_test,
+                (SELECT top_lang FROM top) AS top_lang,
+                round(CAST(count(*) FILTER (WHERE dup) AS DOUBLE)
+                  / count(*), 4) AS dup_rate,
+                round((SELECT topn FROM top) * 1.0 / count(*), 4)
+                  AS top_lang_share
+         FROM enr""",
   )
 }

@@ -127,6 +127,18 @@ class CurationSpec extends SparkTestBase {
     assert(half.values.sum > 0 && half.keySet.subsetOf(byName.keySet))
   }
 
+  test("t45: the dataset card's figures are internally consistent") {
+    val r = ops.Curation.t45_dataset_card(spark, sf).head()
+    val nDocs = r.getLong(0)
+    assert(nDocs == Tables.documents(spark, sf).count())
+    assert(r.getLong(4) + r.getLong(5) + r.getLong(6) == nDocs,
+      "splits must partition the corpus")
+    assert(r.getLong(3) < nDocs, "dup count must be a strict subset")
+    assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    assert(r.getDouble(9) > 0.0 && r.getDouble(9) <= 1.0)
+    assert(Set("de", "en", "es", "fr", "zh").contains(r.getString(7)))
+  }
+
   test("t44: planted contamination is found through shingle overlap, not identity") {
     val r = ops.Curation.t44_decontamination(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
