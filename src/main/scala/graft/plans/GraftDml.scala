@@ -114,12 +114,14 @@ case class GraftUpdateCommand(table: GraftTable,
     val cond = condSql.map(expr).getOrElse(lit(true))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    ManifestTable.headVersion(spark, dir).foreach { head =>
-      val zone = ManifestTable.statsZoneOf(spark, fs, dir, head)
-      ManifestTable.updateWhere(spark, dir, cond,
-        assignments.map { case (c, v) => c -> expr(v) },
-        GraftManifestSource.boundsOf(condFilters, zone), retain): Unit
-    }
+    // an uncommitted table dir is an ERROR, like the MERGE path — a
+    // silent no-op would hide a mistyped path/table (r11 ADVICE)
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed graft table at $dir"))
+    val zone = ManifestTable.statsZoneOf(spark, fs, dir, head)
+    ManifestTable.updateWhere(spark, dir, cond,
+      assignments.map { case (c, v) => c -> expr(v) },
+      GraftManifestSource.boundsOf(condFilters, zone), retain): Unit
     Seq.empty
   }
 }
@@ -255,7 +257,17 @@ case class GraftMergeCommand(
     val dir = table.tableDir
     val retain = table.tableProps.get("retainGenerations")
       .flatMap(_.toIntOption).getOrElse(2)
-    val sdf = GraftDml.dataFrameOf(spark, sourcePlan)
+    // Materialize the captured source ONCE before anything reads it:
+    // the pruning-bounds aggregate, the cardinality/rewrite join(s) and
+    // the semi/anti branch would each re-execute the plan otherwise,
+    // and a non-deterministic source (rand(), uuid(), a view over
+    // concurrently-changing data) could produce a key envelope or
+    // match verdict inconsistent with the rows the rewrite actually
+    // joins — silently mispruning a target dir that holds a matching
+    // row. localCheckpoint truncates lineage and pins the computed
+    // rows (Delta materializes merge sources the same way); the source
+    // is the small side by design, so this is O(changeset).
+    val sdf = GraftDml.dataFrameOf(spark, sourcePlan).localCheckpoint(true)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
@@ -279,10 +291,10 @@ case class GraftMergeCommand(
           } yield tc -> (rmn, rmx)
         }.toMap
       }
+    // declared CHECK constraints bind merged/inserted values through
+    // rewriteWhere's own S30 seam
     ManifestTable.rewriteWhere(spark, dir, bounds, retain, "m-",
-      alwaysRewrite = inserts.nonEmpty)(tdf =>
-        // declared CHECK constraints bind merged/inserted values (S30)
-        GraftManifestSource.withDeclaredChecks(mergeOf(tdf, sdf), dir)): Unit
+      alwaysRewrite = inserts.nonEmpty)(tdf => mergeOf(tdf, sdf)): Unit
     Seq.empty
   }
 

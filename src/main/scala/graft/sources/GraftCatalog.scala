@@ -263,19 +263,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ((PropPrefix + "clusterBy") -> cols.mkString(",")))
       case s: TableChange.SetProperty if s.property.startsWith("check.") =>
         // Delta's ADD CONSTRAINT contract: existing data must already
-        // conform — one validation scan NOW buys the invariant every
-        // later write and rewrite relies on ("live rows always
-        // conform"), so rewrites can guard their whole output
-        val live = ManifestTable.livePaths(fs, dir)
-        if (live.nonEmpty) {
-          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-          val bad = ManifestTable.read(spark, dir)
-            .filter(not(coalesce(expr(s.value), lit(true)))).limit(1)
-          require(bad.isEmpty,
-            s"cannot add CHECK constraint '${s.property}' (${s.value}): " +
-              s"existing rows of $ident violate it")
-        }
-        alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
+        // conform — the validation scan buys the invariant every later
+        // write and rewrite relies on ("live rows always conform").
+        // It runs INSIDE the optimistic commit loop against the exact
+        // head being committed on: a violating append racing the scan
+        // makes this commit lose (commitIf is an atomic put of
+        // head+1), and the retry REVALIDATES against the new head —
+        // closing the r11 TOCTOU where rows appended between scan and
+        // commit slipped under the new constraint unvalidated. The
+        // other direction (append's job built pre-ALTER, committed
+        // post-ALTER) is refused by the write side's own
+        // metadata-conflict guard at publish time.
+        alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value),
+          validate = head => {
+            if (ManifestTable.pathsOf(fs, dir, head).nonEmpty) {
+              import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+              val bad = ManifestTable.readVersion(spark, dir, head)
+                .filter(not(coalesce(expr(s.value), lit(true)))).limit(1)
+              require(bad.isEmpty,
+                s"cannot add CHECK constraint '${s.property}' (${s.value}): " +
+                  s"existing rows of $ident violate it")
+            }
+          })
       case s: TableChange.SetProperty =>
         alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
       case r: TableChange.RemoveProperty if r.property == "clusterBy" =>
@@ -317,8 +326,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def alterMeta(dir: String,
-                        f: Map[String, String] => Map[String, String]): Unit =
-    alterHead(dir)(head => (ManifestTable.schemaOf(fs, dir, head),
+                        f: Map[String, String] => Map[String, String],
+                        validate: Long => Unit = _ => ()): Unit =
+    alterHead(dir, validate)(head => (ManifestTable.schemaOf(fs, dir, head),
       f(ManifestTable.metaOf(fs, dir, head))))
 
   private def alterSchema(dir: String, f: StructType => StructType): Unit =
@@ -331,14 +341,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
 
   /** Optimistic metadata rebase loop shared by every ALTER: re-publish
-    * the head's paths and stats with a transformed (schemaDdl, meta). */
-  private def alterHead(dir: String)(
+    * the head's paths and stats with a transformed (schemaDdl, meta).
+    * `validate` runs per attempt against the head being committed on —
+    * losing the commit race re-runs it against the new head, so a
+    * validation can never be satisfied by a snapshot the commit didn't
+    * actually extend (ADD CONSTRAINT's data scan rides this). */
+  private def alterHead(dir: String, validate: Long => Unit = _ => ())(
       f: Long => (Option[String], Map[String, String])): Unit = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val head = ManifestTable.headVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"no committed manifest at $dir"))
+      validate(head)
       val (ddl, meta) = f(head)
       // honor the table's own retention — an ALTER with the default
       // would otherwise GC a deep-history table down to 2 generations

@@ -166,19 +166,30 @@ object GraftManifestSource {
     * write paths run this so an older-API writer cannot sidestep a
     * contract the catalog declared. */
   private[graft] def withDeclaredChecks(data: DataFrame,
-                                          dir: String): DataFrame = {
+                                          dir: String): DataFrame =
+    bindDeclaredChecks(data, dir)._1
+
+  /** [[withDeclaredChecks]] plus the full PROP KEYS it bound, read at
+    * THIS moment — [[ManifestTable]]'s commit loops compare the head's
+    * declared keys against this set at publish time and refuse when a
+    * constraint appeared after the write job was built (the
+    * ALTER-vs-write metadata race; Delta fails the same interleave
+    * with MetadataChangedException). */
+  private[graft] def bindDeclaredChecks(data: DataFrame, dir: String)
+      : (DataFrame, Set[String]) = {
     val spark = data.sparkSession
     ManifestTable.headVersion(spark, dir) match {
-      case None => data
+      case None => (data, Set.empty)
       case Some(v) =>
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val prefix = GraftCatalog.PropPrefix + "check."
-        val checks = ManifestTable.metaOf(fs, dir, v).collect {
-          case (k, sql) if k.startsWith(prefix) =>
-            k.stripPrefix(prefix) -> sql
-        }.toSeq.sortBy(_._1)
-        applyChecks(data, checks)
+        val bound = ManifestTable.metaOf(fs, dir, v).collect {
+          case (k, sql) if k.startsWith(prefix) => k -> sql
+        }
+        val checks = bound.toSeq.sortBy(_._1)
+          .map { case (k, sql) => k.stripPrefix(prefix) -> sql }
+        (applyChecks(data, checks), bound.keySet)
     }
   }
 

@@ -206,11 +206,14 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
         s"graft DELETE cannot evaluate filter $f"))).reduce(_ && _)
     val fs = new Path(tableDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    ManifestTable.headVersion(spark, tableDir).foreach { head =>
-      val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
-      ManifestTable.deleteWhere(spark, tableDir, cond,
-        GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
-    }
+    // an uncommitted table dir is an ERROR, consistent with the
+    // UPDATE/MERGE paths — not a silent no-op (r11 ADVICE)
+    val head = ManifestTable.headVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed graft table at $tableDir"))
+    val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
+    ManifestTable.deleteWhere(spark, tableDir, cond,
+      GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {

@@ -297,6 +297,14 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     if (!fs.exists(root)) fs.mkdirs(root)
+    // S30 enforcement at the ENGINE primitive: the table's declared
+    // CHECK constraints bind the batch here, so no write API can
+    // sidestep a contract the catalog declared; the bound keyset is
+    // remembered and the commit loop refuses to publish if NEW
+    // constraints appeared while the job ran (ALTER-vs-append race —
+    // Delta's MetadataChangedException shape).
+    val (checked, boundChecks) =
+      GraftManifestSource.bindDeclaredChecks(df, tableDir)
     val ddl = df.schema.toDDL
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
@@ -304,7 +312,8 @@ object ManifestTable {
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
     val observed =
-      if (statsCols.isEmpty) df else df.observe(obs, aggs.head, aggs.tail: _*)
+      if (statsCols.isEmpty) checked
+      else checked.observe(obs, aggs.head, aggs.tail: _*)
     observed.write.parquet(s"$tableDir/$cid")
     val payload =
       if (statsCols.isEmpty) None
@@ -316,7 +325,7 @@ object ManifestTable {
       }
     (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
       statsCols, retainGenerations, meta,
-      recordingStats = payload.isDefined), cid)
+      recordingStats = payload.isDefined, boundChecks = boundChecks), cid)
   }
 
   /** The optimistic append-publish loop [[appendWithCid]] and
@@ -329,7 +338,8 @@ object ManifestTable {
                                statsCols: Seq[String],
                                retainGenerations: Int,
                                meta: Map[String, String],
-                               recordingStats: Boolean): Long = {
+                               recordingStats: Boolean,
+                               boundChecks: Set[String] = Set.empty): Long = {
     val spark = df.sparkSession
     val fs = fsOf(spark, tableDir)
     val ddl = df.schema.toDDL
@@ -365,6 +375,15 @@ object ManifestTable {
       // meta carries forward like stats; this append's keys override
       val priorMeta =
         if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
+      // metadata-conflict guard (ALTER-vs-write race): the batch was
+      // validated against the constraints declared when its job was
+      // built; if a concurrent ALTER declared NEW ones since, this
+      // write's rows were never validated against them — publishing
+      // would admit a possibly-violating batch under a constraint
+      // whose ADD-time scan couldn't see it. Fail loudly (the caller
+      // retries the whole write, which re-binds) and drop the
+      // unpublished dirs rather than orphan them.
+      checkConflictGuard(fs, tableDir, priorMeta, boundChecks, newPaths)
       // TIMESTAMP stats render via cast-to-string in the SESSION zone —
       // the encoding every later reader must reproduce. The first
       // ts-stats writer PINS its zone in meta; a writer in a different
@@ -407,13 +426,24 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     if (!fs.exists(root)) fs.mkdirs(root)
+    // empty batch → plain append path (which handles zero rows): the
+    // partitionBy("rb") write of zero rows would yield a dir with no
+    // parquet files, and the stats re-read then cannot infer a schema —
+    // `INSERT INTO clustered_t SELECT ... WHERE false` must no-op like
+    // any other insert, not crash (r11 ADVICE)
+    if (df.isEmpty) return append(df, tableDir, statsCols, retainGenerations, meta)
     val spec = specOverride.orElse(versions(fs, tableDir).lastOption
       .flatMap(v => clusterSpecOf(fs, tableDir, v)))
       .getOrElse(Seq(statsCols.head))
+    // declared CHECK constraints bind here like on the plain append
+    // path, with the same publish-time metadata-conflict guard
+    val (checked, boundChecks) =
+      GraftManifestSource.bindDeclaredChecks(df, tableDir)
     val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
-    val outStats = writeClusteredDirs(df, tableDir, cid, spec, k, statsCols)
+    val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols)
     appendCommitLoop(df, tableDir, outStats.keys.toSeq.sorted, outStats,
-      statsCols, retainGenerations, meta, recordingStats = true)
+      statsCols, retainGenerations, meta, recordingStats = true,
+      boundChecks = boundChecks)
   }
 
   /** The `statsZone` meta contribution for a stats-recording write over
@@ -441,6 +471,29 @@ object ManifestTable {
           Map.empty
         case None => Map(StatsZoneKey -> zoneNow)
       }
+    }
+  }
+
+  /** The `prop:check.*` keys of `headMeta` must all have been bound to
+    * the write whose commit is being attempted ([[appendCommitLoop]] /
+    * [[rewriteWhere]]): a constraint declared AFTER the write job was
+    * built never validated this write's rows, so the publish is
+    * refused and the already-written (unpublished) dirs are cleaned
+    * up. Constraint REMOVAL mid-write is fine — the batch was
+    * validated against a superset. */
+  private def checkConflictGuard(fs: FileSystem, tableDir: String,
+                                 headMeta: Map[String, String],
+                                 boundChecks: Set[String],
+                                 newPaths: Seq[String]): Unit = {
+    val prefix = GraftCatalog.PropPrefix + "check."
+    val unseen = headMeta.keySet.filter(_.startsWith(prefix)) -- boundChecks
+    if (unseen.nonEmpty) {
+      newPaths.map(_.split("/", 2).head).distinct.foreach(d =>
+        fs.delete(new Path(tableDir, d), true))
+      throw new IllegalStateException(
+        s"CHECK constraint(s) ${unseen.toSeq.sorted.mkString(", ")} were " +
+          s"declared at $tableDir while this write ran — its rows were " +
+          "never validated against them; retry the write")
     }
   }
 
@@ -557,6 +610,15 @@ object ManifestTable {
                                  statsCols: Seq[String])
       : Map[String, String] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
+    // "rb" becomes the partitionBy dir key and "__graft_*" carries the
+    // Morton helpers — a user column with either name would be silently
+    // consumed (withColumn replaces, leaf-dir reads null-fill), so
+    // reject loudly (the reserved-name rule the merge kernel applies
+    // to "b"/"rn"); reachable from EVERY write to a clusterBy table
+    require(!data.columns.contains("rb") &&
+        !data.columns.exists(_.startsWith("__graft_")),
+      "clustered writes reserve the column name 'rb' and the " +
+        "'__graft_' prefix")
     val clustered = spec match {
       case Seq(single) =>
         data.repartitionByRange(k, col(single)).sortWithinPartitions(col(single))
@@ -690,16 +752,16 @@ object ManifestTable {
       byCol.keys.foreach(c => require(df.schema.fieldNames.contains(c),
         s"UPDATE assigns unknown column '$c' at $tableDir"))
       val hit = coalesce(cond, lit(false))
-      // declared CHECK constraints bind the rewritten values too (S30;
-      // untouched rows conform by the write/ALTER-time invariant)
-      GraftManifestSource.withDeclaredChecks(
-        df.select(df.schema.fields.toIndexedSeq.map { f =>
-          byCol.get(f.name) match {
-            case Some(v) =>
-              when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-            case None => col(f.name)
-          }
-        }: _*), tableDir)
+      // declared CHECK constraints bind the rewritten values through
+      // rewriteWhere's own seam (S30; untouched rows conform by the
+      // write/ALTER-time invariant)
+      df.select(df.schema.fields.toIndexedSeq.map { f =>
+        byCol.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
     }
   }
 
@@ -749,8 +811,12 @@ object ManifestTable {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else readWithDeclared(spark, tableDir, baseV,
         touched.map(p => s"$tableDir/$p"))
-    val kept = rewrite(touchedDf)
-      .observe(obs, aggs.head, aggs.tail: _*)
+    // declared CHECK constraints bind the rewrite output here (S30) —
+    // one seam for DELETE/UPDATE/MERGE instead of per-caller wrapping —
+    // and the bound keyset arms the publish-time conflict guard below
+    val (rewritten, boundChecks) =
+      GraftManifestSource.bindDeclaredChecks(rewrite(touchedDf), tableDir)
+    val kept = rewritten.observe(obs, aggs.head, aggs.tail: _*)
     kept.write.parquet(s"$tableDir/$cid")
     val m = obs.get
     val keptRows = m("rows").asInstanceOf[Long]
@@ -776,6 +842,10 @@ object ManifestTable {
             s"missing ${touchedSet -- headPaths.toSet}")
       val carried = headPaths.filterNot(touchedSet)
       val headMeta = metaOf(fs, tableDir, head)
+      // same ALTER-vs-write race guard as the append loop: constraints
+      // declared since the rewrite job ran never saw its output rows
+      checkConflictGuard(fs, tableDir, headMeta, boundChecks,
+        payload.map(_ => cid).toSeq)
       val zoneMeta = statsZonePin(kept, statsCols, payload.isDefined,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,

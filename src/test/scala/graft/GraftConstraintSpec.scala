@@ -140,6 +140,99 @@ class GraftConstraintSpec extends SparkTestBase {
     assert(spark.table("gchk.lake.c4").count() == 1L)
   }
 
+  private def msgChain(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ msgChain(t.getCause)
+
+  test("ALTER SET check racing a violating append revalidates against the new head") {
+    // Deterministic interleave (the ManifestStore seam): the ALTER's
+    // validation scan passes at the old head; a violating append then
+    // commits BEFORE the ALTER's pointer publish. The publish loses
+    // (commitIf is an atomic put of head+1), the retry REVALIDATES
+    // against the new head, sees the violation, and fails loudly — the
+    // constraint never stands over unvalidated rows (r11 TOCTOU).
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c7")
+    spark.sql("CREATE TABLE gchk.lake.c7 (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gchk.lake.c7 VALUES (1), (2)")
+    val dir = s"$wh/lake/c7"
+    val s = spark; import s.implicits._
+    @volatile var fired = false
+    val store: graft.sources.ManifestStore = new graft.sources.ManifestStore {
+      def putIfAbsent(hfs: org.apache.hadoop.fs.FileSystem,
+                      target: Path, body: Array[Byte]): Boolean = {
+        if (!fired && target.getName.startsWith("m-")) {
+          fired = true
+          ManifestTable.append(Seq(-7).toDF("k"), dir,
+            retainGenerations = 10): Unit
+        }
+        graft.sources.PosixLinkStore.putIfAbsent(hfs, target, body)
+      }
+    }
+    graft.sources.ManifestTable.storeOverride = Some(store)
+    val e =
+      try intercept[Exception] {
+        spark.sql(
+          "ALTER TABLE gchk.lake.c7 SET TBLPROPERTIES ('check.pos'='k > 0')")
+      } finally graft.sources.ManifestTable.storeOverride = None
+    assert(fired, "interleave never fired")
+    assert(msgChain(e).exists(_.contains("check.pos")),
+      s"failure must name the constraint: ${msgChain(e)}")
+    // the constraint is NOT standing, and the racing append survived
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(!ManifestTable.metaOf(fs, dir, head).keySet
+      .exists(_.contains("check.pos")))
+    assert(spark.table("gchk.lake.c7").count() == 3L)
+  }
+
+  test("a violating append whose job predates ALTER SET check is refused at publish") {
+    // The other direction of the same race: the append's write job was
+    // built (and its rows validated) BEFORE the constraint existed; the
+    // ALTER commits first. The append's publish loop sees check.* keys
+    // it never bound, refuses to publish, and cleans up its dir — the
+    // Delta MetadataChangedException shape, so a constraint whose
+    // ADD-time scan could not see these rows never silently admits them.
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gchk.lake.c8")
+    spark.sql("CREATE TABLE gchk.lake.c8 (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gchk.lake.c8 VALUES (1)")
+    val dir = s"$wh/lake/c8"
+    val s = spark; import s.implicits._
+    @volatile var fired = false
+    val store: graft.sources.ManifestStore = new graft.sources.ManifestStore {
+      def putIfAbsent(hfs: org.apache.hadoop.fs.FileSystem,
+                      target: Path, body: Array[Byte]): Boolean = {
+        if (!fired && target.getName.startsWith("m-")) {
+          fired = true
+          spark.sql(
+            "ALTER TABLE gchk.lake.c8 SET TBLPROPERTIES ('check.pos'='k > 0')")
+        }
+        graft.sources.PosixLinkStore.putIfAbsent(hfs, target, body)
+      }
+    }
+    graft.sources.ManifestTable.storeOverride = Some(store)
+    val e =
+      try intercept[IllegalStateException] {
+        ManifestTable.append(Seq(-5).toDF("k"), dir, retainGenerations = 10)
+      } finally graft.sources.ManifestTable.storeOverride = None
+    assert(fired, "interleave never fired")
+    assert(e.getMessage.contains("declared") &&
+      e.getMessage.contains("check.pos"), e.getMessage)
+    // the constraint stands, the violating rows never landed, and the
+    // refused write's dir was cleaned up (no orphan)
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.metaOf(fs, dir, head).keySet
+      .exists(_.contains("check.pos")))
+    assert(spark.table("gchk.lake.c8").collect().map(_.getInt(0)).toSeq == Seq(1))
+    val live = ManifestTable.pathsOf(fs, dir, head)
+      .map(_.split("/", 2).head).toSet
+    val onDisk = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    assert(onDisk == live, s"refused write left orphans: ${onDisk -- live}")
+  }
+
   test("timestampAsOf path-read option resolves by commit instant") {
     val dir = Files.createTempDirectory("graft-tsopt").toString + "/t"
     val s = spark; import s.implicits._
