@@ -304,25 +304,39 @@ case class GraftMergeCommand(
     * replace the full-outer so legally-multi-matched target rows are
     * not duplicated. */
   private def mergeOf(tdf: DataFrame, sdf: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, count, lit, monotonically_increasing_id, when}
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, monotonically_increasing_id, raise_error, when}
     val schema = tdf.schema
     require(!schema.fieldNames.exists(_.startsWith("__graft_")),
       "graft MERGE reserves the __graft_ column-name prefix")
     val t = tdf.withColumn(TIdCol, monotonically_increasing_id())
       .alias(TargetAlias)
     val s = sdf.withColumn(SMarkCol, lit(1)).alias(SourceAlias)
-    val j = t.join(s, expr(condSql), "full_outer")
+    val j0 = t.join(s, expr(condSql), "full_outer")
     val isMatched = col(TIdCol).isNotNull && col(SMarkCol).isNotNull
     val isTOnly = col(TIdCol).isNotNull && col(SMarkCol).isNull
-    if (matched.nonEmpty) {
-      // SQL cardinality rule — a separate check job (the join runs
-      // twice; Delta pays the same shape for its duplicate-match check)
-      val dup = j.filter(isMatched).groupBy(col(TIdCol))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-      if (!dup.isEmpty) throw new IllegalStateException(
-        "MERGE: a target row matched multiple source rows — " +
-          "deduplicate the source on the join keys")
-    }
+    // SQL cardinality rule, SINGLE-PASS (r11 ran the full-outer join a
+    // second time just to count duplicate matches — 2× merge cost at
+    // scale): each target row's match count rides a window over the
+    // SAME join output, and a second match trips a raise_error inside
+    // the rewrite job — the write dies pre-commit, table unchanged.
+    // Source-only rows carry a NULL target id; they get a unique
+    // synthetic window key (negative, so disjoint from real ids) to
+    // keep them out of one degenerate all-NULL window partition.
+    val wkey = "__graft_wk"
+    val ncol = "__graft_n"
+    val j =
+      if (matched.isEmpty) j0
+      else j0
+        .withColumn(wkey,
+          coalesce(col(TIdCol), -monotonically_increasing_id() - 1))
+        .withColumn(ncol, count(when(isMatched, lit(1))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(wkey))))
+    val cardinalityGuard: Column => Column =
+      if (matched.isEmpty) identity
+      else keep => when(isMatched && col(ncol) > 1,
+        raise_error(lit("MERGE: a target row matched multiple source " +
+          "rows — deduplicate the source on the join keys"))
+          .cast("boolean")).otherwise(keep)
     def keepChain(actions: Seq[(Option[String], Option[Seq[(String, String)]])])
         : Column =
       actions.foldRight(lit(true): Column) { case ((c, as), els) =>
@@ -366,9 +380,10 @@ case class GraftMergeCommand(
         .select(outCols.map(f => insValue(f).cast(f.dataType).as(f.name)): _*)
       return passthrough.union(tOnlyOut).union(insOut)
     }
-    val keep = when(isMatched, keepChain(matched))
-      .when(isTOnly, keepChain(bySource))
-      .otherwise(insKeep)
+    val keep = cardinalityGuard(
+      when(isMatched, keepChain(matched))
+        .when(isTOnly, keepChain(bySource))
+        .otherwise(insKeep))
     val cols = schema.fields.toIndexedSeq.map { f =>
       when(isMatched, valueChain(matched, f))
         .when(isTOnly, valueChain(bySource, f))

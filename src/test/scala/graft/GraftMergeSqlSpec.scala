@@ -78,16 +78,62 @@ class GraftMergeSqlSpec extends SparkTestBase {
   }
 
   test("MERGE cardinality: multiple source matches for one target row fail") {
-    freshTable("m4")
-    intercept[Exception] {
+    val dir = freshTable("m4")
+    val headBefore = ManifestTable.headVersion(spark, dir).get
+    val e = intercept[Exception] {
       spark.sql(
         """MERGE INTO gmrg.lake.m4 AS t
            USING (SELECT * FROM VALUES (2,'x'), (2,'y') AS s(k, v)) AS s
            ON t.k = s.k
            WHEN MATCHED THEN UPDATE SET v = s.v""")
     }
-    // the table is unchanged — the check runs before any commit
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("matched multiple source rows")),
+      s"cardinality failure must be loud and named: ${msgs(e)}")
+    // the table is unchanged — the guard fires inside the rewrite job,
+    // which dies before any manifest commit
     assert(spark.table("gmrg.lake.m4").count() == 3L)
+    assert(ManifestTable.headVersion(spark, dir).contains(headBefore))
+  }
+
+  test("MERGE runs its join ONCE — the cardinality check rides the rewrite pass") {
+    // r11 ran a SEPARATE duplicate-detection job over a second
+    // full-outer join before the rewrite (2× merge cost at scale); the
+    // check now rides a window over the same join output. Pin it: of
+    // all plans executed by the statement, exactly ONE contains a join.
+    freshTable("m7")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString): Unit
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      spark.sql(
+        """MERGE INTO gmrg.lake.m7 AS t
+           USING (SELECT * FROM VALUES (2,'B2',200.0), (9,'i',90.0) AS s(k, v, amt)) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v, amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+      // listener delivery is async: wait until the join-bearing plan
+      // lands, then a settle window to catch any SECOND one
+      import scala.jdk.CollectionConverters._
+      def joins = plans.asScala.count(_.contains("Join"))
+      val deadline = System.currentTimeMillis() + 20000
+      while (joins < 1 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(1500)
+      assert(joins == 1,
+        s"expected exactly one join-bearing execution, got $joins of ${plans.size}")
+    } finally spark.listenerManager.unregister(listener)
+    assert(spark.table("gmrg.lake.m7").count() == 4L)
   }
 
   test("MERGE prunes target dirs outside the source key envelope") {
