@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions.{expr, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, In, LessThanOrEqual}
 import org.apache.spark.sql.types.StructField
 
-import graft.sources.{GraftManifestSource, GraftTable, ManifestTable}
+import graft.sources.{GraftManifestSource, GraftTable, ManifestTable, MergeInto}
 
 /** S25 — SQL `UPDATE` on manifest tables, registered through
   * [[graft.GraftExtensions]] (`spark.sql.extensions=graft.GraftExtensions`,
@@ -118,10 +118,34 @@ case class GraftUpdateCommand(table: GraftTable,
     // silent no-op would hide a mistyped path/table (r11 ADVICE)
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed graft table at $dir"))
-    val zone = ManifestTable.statsZoneOf(spark, fs, dir, head)
-    ManifestTable.updateWhere(spark, dir, cond,
-      assignments.map { case (c, v) => c -> expr(v) },
-      GraftManifestSource.boundsOf(condFilters, zone), retain): Unit
+    MergeInto.bucketedGeometry(spark, dir) match {
+      case Some((key, _)) =>
+        // S31 bucketed layout: a CoW rewrite dir would break the b=N
+        // invariant — the updated rows become a merge source instead
+        // (replace-by-key; one pushed-filter scan, O(touched buckets)
+        // rewrite). Assigning the key itself would CHANGE a row's
+        // identity under replace semantics (old row would survive), so
+        // it is refused.
+        import org.apache.spark.sql.functions.col
+        require(!assignments.exists(_._1 == key),
+          s"UPDATE on a bucketed table cannot assign the bucket key " +
+            s"'$key' — changing a row's identity is a MERGE (or DELETE " +
+            "+ INSERT)")
+        val byCol = assignments.toMap
+        val t = ManifestTable.read(spark, dir)
+        val updated = t.filter(cond).select(
+          t.schema.fields.toIndexedSeq.map { f =>
+            byCol.get(f.name).map(v => expr(v).cast(f.dataType).as(f.name))
+              .getOrElse(col(f.name))
+          }: _*)
+        MergeInto.merge(
+          GraftManifestSource.withDeclaredChecks(updated, dir), dir): Unit
+      case None =>
+        val zone = ManifestTable.statsZoneOf(spark, fs, dir, head)
+        ManifestTable.updateWhere(spark, dir, cond,
+          assignments.map { case (c, v) => c -> expr(v) },
+          GraftManifestSource.boundsOf(condFilters, zone), retain): Unit
+    }
     Seq.empty
   }
 }
@@ -220,21 +244,50 @@ object GraftMergeRule extends Rule[LogicalPlan] {
         s"graft MERGE: ${a.getClass.getSimpleName} is not supported " +
           "in WHEN NOT MATCHED")
     }
-    // target-col -> source-col equi pairs of the ON condition: the
-    // source's min/max on these drive target-dir pruning
+    // target-col -> source-col equi pairs of the ON condition, looking
+    // THROUGH implicit casts (a VALUES source's INT key renders as
+    // `t.k = CAST(s.k AS BIGINT)`): the source's min/max on these
+    // drive target-dir pruning — safe through a cast, the envelope
+    // only widens
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+      case o => o
+    }
     def equiPairs(e: Expression): Seq[(String, String)] = e match {
       case CAnd(l, r) => equiPairs(l) ++ equiPairs(r)
-      case CEqualTo(a: AttributeReference, b: AttributeReference)
-          if tAttrs.contains(a) && sAttrs.contains(b) => Seq(a.name -> b.name)
-      case CEqualTo(a: AttributeReference, b: AttributeReference)
-          if sAttrs.contains(a) && tAttrs.contains(b) => Seq(b.name -> a.name)
+      case CEqualTo(l, r) => (stripCast(l), stripCast(r)) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if tAttrs.contains(a) && sAttrs.contains(b) => Seq(a.name -> b.name)
+        case (a: AttributeReference, b: AttributeReference)
+            if sAttrs.contains(a) && tAttrs.contains(b) => Seq(b.name -> a.name)
+        case _ => Seq.empty
+      }
       case _ => Seq.empty
+    }
+    // whether ON is EXACTLY one column equality (no extra conjuncts):
+    // the shape the bucketed routing requires — an extra conjunct
+    // changes which pairs count as "matched" and would let an insert
+    // clause fire for a key the table already holds. A cast is allowed
+    // on the SOURCE side only (a widening VALUES-literal cast is
+    // injective); a cast on the TARGET side means the source key type
+    // is WIDER than the table key, and the insert path would narrow —
+    // not routable.
+    val pureEquality = m.mergeCondition match {
+      case CEqualTo(l, r) =>
+        ((l, stripCast(r)), (stripCast(l), r)) match {
+          case ((a: AttributeReference, b: AttributeReference), _)
+              if tAttrs.contains(a) && sAttrs.contains(b) => true
+          case (_, (b: AttributeReference, a: AttributeReference))
+              if sAttrs.contains(b) && tAttrs.contains(a) => true
+          case _ => false
+        }
+      case _ => false
     }
     GraftMergeCommand(t, m.sourceTable, render(m.mergeCondition),
       updateOrDelete(m.matchedActions, "in WHEN MATCHED"), inserts,
       updateOrDelete(m.notMatchedBySourceActions,
         "in WHEN NOT MATCHED BY SOURCE"),
-      equiPairs(m.mergeCondition))
+      equiPairs(m.mergeCondition), pureEquality)
   }
 }
 
@@ -248,7 +301,8 @@ case class GraftMergeCommand(
     matched: Seq[(Option[String], Option[Seq[(String, String)]])],
     inserts: Seq[(Option[String], Seq[(String, String)])],
     bySource: Seq[(Option[String], Option[Seq[(String, String)]])],
-    equiPairs: Seq[(String, String)])
+    equiPairs: Seq[(String, String)],
+    onPureKeyEquality: Boolean = false)
     extends LeafRunnableCommand {
   import GraftDml.{SMarkCol, SourceAlias, TIdCol, TargetAlias}
 
@@ -272,6 +326,24 @@ case class GraftMergeCommand(
       .getFileSystem(spark.sessionState.newHadoopConf())
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed graft table at $dir"))
+    MergeInto.bucketedGeometry(spark, dir) match {
+      case Some((key, n)) =>
+        // S31: the CoW rewrite below would publish a non-bucket dir and
+        // break the layout every later merge's bucket parse relies on —
+        // a bucketed table's MERGE must route through the kernel, and
+        // shapes the kernel cannot express are refused loudly rather
+        // than silently served the slow-and-corrupting way.
+        require(bySource.isEmpty,
+          "MERGE on a bucketed table does not support WHEN NOT MATCHED " +
+            "BY SOURCE — it must judge every target row; use an " +
+            "append-layout table for full-scan merges")
+        require(onPureKeyEquality && equiPairs.map(_._1) == Seq(key),
+          s"MERGE on a bucketed table requires ON to be exactly " +
+            s"t.$key = s.<col> (the declared bucket key); got '$condSql'")
+        runBucketed(spark, dir, key, equiPairs.head._2, n, sdf)
+        return Seq.empty
+      case None => ()
+    }
     // source key envelope → target-dir pruning bounds. Unsound when a
     // NOT MATCHED BY SOURCE clause must judge every target row — the
     // pruning disables itself there.
@@ -337,29 +409,6 @@ case class GraftMergeCommand(
         raise_error(lit("MERGE: a target row matched multiple source " +
           "rows — deduplicate the source on the join keys"))
           .cast("boolean")).otherwise(keep)
-    def keepChain(actions: Seq[(Option[String], Option[Seq[(String, String)]])])
-        : Column =
-      actions.foldRight(lit(true): Column) { case ((c, as), els) =>
-        when(c.map(expr).getOrElse(lit(true)), lit(as.isDefined)).otherwise(els)
-      }
-    def valueChain(actions: Seq[(Option[String], Option[Seq[(String, String)]])],
-                   f: StructField): Column = {
-      val tc = col(s"$TargetAlias.${f.name}")
-      actions.foldRight(tc) { case ((c, as), els) =>
-        val v = as.flatMap(_.toMap.get(f.name)).map(expr).getOrElse(tc)
-        when(c.map(expr).getOrElse(lit(true)), v).otherwise(els)
-      }
-    }
-    val insKeep = inserts.foldRight(lit(false): Column) { case ((c, _), els) =>
-      when(c.map(expr).getOrElse(lit(true)), lit(true)).otherwise(els)
-    }
-    def insValue(f: StructField): Column =
-      inserts.foldRight(lit(null).cast(f.dataType): Column) {
-        case ((c, as), els) =>
-          when(c.map(expr).getOrElse(lit(true)),
-            as.toMap.get(f.name).map(expr)
-              .getOrElse(lit(null).cast(f.dataType))).otherwise(els)
-      }
     if (matched.isEmpty) {
       // No WHEN MATCHED clause: a target row matched by SEVERAL source
       // rows is LEGAL here (the cardinality rule governs only
@@ -391,5 +440,102 @@ case class GraftMergeCommand(
         .cast(f.dataType).as(f.name)
     }
     j.filter(keep).select(cols: _*)
+  }
+
+  // ---- clause-chain builders, shared by the CoW rewrite and the
+  // ---- bucketed (S31) routing. All evaluate under the
+  // ---- __graft_t/__graft_s aliases the rendered SQL carries.
+
+  /** keep=true → the row survives (UPDATE values or untouched);
+    * false → DELETE. First-match-wins by foldRight construction. */
+  private def keepChain(
+      actions: Seq[(Option[String], Option[Seq[(String, String)]])]): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    actions.foldRight(lit(true): Column) { case ((c, as), els) =>
+      when(c.map(expr).getOrElse(lit(true)), lit(as.isDefined)).otherwise(els)
+    }
+  }
+
+  /** The value of column `f` after the first matching clause applies;
+    * fallthrough = the target's own value (untouched). */
+  private def valueChain(
+      actions: Seq[(Option[String], Option[Seq[(String, String)]])],
+      f: StructField): Column = {
+    import org.apache.spark.sql.functions.{col, when}
+    val tc = col(s"$TargetAlias.${f.name}")
+    actions.foldRight(tc) { case ((c, as), els) =>
+      val v = as.flatMap(_.toMap.get(f.name)).map(expr).getOrElse(tc)
+      when(c.map(expr).getOrElse(lit(true)), v).otherwise(els)
+    }
+  }
+
+  /** True when any NOT MATCHED clause admits the source row. */
+  private def insKeep: Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    inserts.foldRight(lit(false): Column) { case ((c, _), els) =>
+      when(c.map(expr).getOrElse(lit(true)), lit(true)).otherwise(els)
+    }
+  }
+
+  /** Column `f` of an inserted row (unassigned columns null-fill). */
+  private def insValue(f: StructField): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    inserts.foldRight(lit(null).cast(f.dataType): Column) {
+      case ((c, as), els) =>
+        when(c.map(expr).getOrElse(lit(true)),
+          as.toMap.get(f.name).map(expr)
+            .getOrElse(lit(null).cast(f.dataType))).otherwise(els)
+    }
+  }
+
+  /** S31 — MERGE routed through the hash-bucketed upsert kernel when
+    * the target declares `layout=bucketed:<key>`: the clauses evaluate
+    * against ONLY the touched buckets' standing rows
+    * ([[MergeInto.standingForKeys]]), producing a per-key outcome frame
+    * that [[MergeInto.applyBatch]] applies as an O(changeset) bucket
+    * rewrite — never a CoW dir, which would break the b=N layout
+    * invariant. Duplicate source keys fail loudly whether matched or
+    * not — stricter than SQL's matched-only cardinality rule, because
+    * a keyed table holds one row per key and a duplicate "insert"
+    * would silently collapse. */
+  private def runBucketed(spark: SparkSession, dir: String, key: String,
+                          srcKey: String, nBuckets: Int,
+                          sdf0: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, raise_error, when}
+    val ncol = "__graft_n"
+    val sdf = sdf0
+      .withColumn(ncol, count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(srcKey))))
+      .filter(when(col(ncol) > 1, raise_error(lit(
+          "MERGE: a target row matched multiple source rows — the " +
+            "bucketed layout holds one row per key; deduplicate the " +
+            "source on the join keys")).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop(ncol)
+    val standing = MergeInto.standingForKeys(spark, dir,
+      sdf0.select(col(srcKey).as(key)))
+    val schema = standing.schema
+    require(!schema.fieldNames.exists(_.startsWith("__graft_")),
+      "graft MERGE reserves the __graft_ column-name prefix")
+    val t = standing.alias(TargetAlias)
+    val s = sdf.alias(SourceAlias)
+    val cond = expr(condSql)
+    val delCol = "__graft_del"
+    // matched pairs: first-match-wins values + a delete flag; keys the
+    // target lacks: the insert chains (or nothing). Union feeds the
+    // kernel as a one-row-per-key outcome frame.
+    val matchedRows = t.join(s, cond, "inner").select(
+      schema.fields.toIndexedSeq.map(f =>
+        valueChain(matched, f).cast(f.dataType).as(f.name)) :+
+        (!keepChain(matched)).as(delCol): _*)
+    val insertRows = s.join(t, cond, "left_anti").filter(insKeep).select(
+      schema.fields.toIndexedSeq.map(f =>
+        insValue(f).cast(f.dataType).as(f.name)) :+
+        lit(false).as(delCol): _*)
+    val source = GraftManifestSource.withDeclaredChecks(
+      matchedRows.unionByName(insertRows), dir)
+    MergeInto.applyBatch(source, dir, key,
+      MergeInto.defaultTies(source, key), col(delCol), nBuckets,
+      dropCols = Seq(delCol)): Unit
   }
 }

@@ -214,9 +214,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = persistedProps(properties) ++
       (if (clusterCols.nonEmpty) Map("clusterBy" -> clusterCols.mkString(","))
        else Map.empty)
+    // S31 — `layout=bucketed:<key>[:<nBuckets>]` declares the
+    // hash-bucketed MERGE layout at CREATE: every INSERT/MERGE routes
+    // through the O(changeset) upsert kernel (MergeInto.applyBatch),
+    // the table holds ONE row per key, and point lookups open one
+    // bucket. The geometry pins in the table's write-once markers
+    // BEFORE the first manifest commits (marker-first crash ordering,
+    // same as a data-bearing create); the prop is the catalog echo.
+    val layoutSpec = props.get("layout").map { l =>
+      val parts = l.split(":").map(_.trim)
+      require(parts.length >= 2 && parts.length <= 3 &&
+          parts(0) == "bucketed" && parts(1).nonEmpty,
+        s"layout must be 'bucketed:<keyColumn>[:<nBuckets>]', got '$l'")
+      require(schema.fieldNames.contains(parts(1)),
+        s"bucket key '${parts(1)}' is not in the table schema")
+      val n = if (parts.length == 3) parts(2).toInt else 256
+      require(n > 0, s"layout '$l': nBuckets must be positive")
+      (parts(1), n)
+    }
+    require(layoutSpec.isEmpty || (clusterCols.isEmpty && !props.contains("clusterBy")),
+      "layout=bucketed and clusterBy are mutually exclusive — a bucketed " +
+        "table's dirs are hash buckets, not range/Morton slices")
     val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
       props.get("clusterBy").map(ClusterByKey -> _)
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
+    layoutSpec.foreach { case (key, n) =>
+      MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
     ManifestTable.commit(spark, dirPath.toString, Seq.empty,
       retainGenerations = retain, schemaDdl = Some(schema.toDDL), meta = meta)
     loadTable(ident)
@@ -384,7 +407,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("compact", "restore", "vacuum").map(n => Identifier.of(namespace, n))
+      Array("compact", "restore", "vacuum", "lookup")
+        .map(n => Identifier.of(namespace, n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -396,9 +420,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "compact" => new GraftProcedures.Compact(this)
       case "restore" => new GraftProcedures.Restore(this)
       case "vacuum" => new GraftProcedures.Vacuum(this)
+      case "lookup" => new GraftProcedures.Lookup(this)
       case other => throw new IllegalArgumentException(
-        s"unknown graft procedure '$other' — " +
-          "available: system.compact, system.restore, system.vacuum")
+        s"unknown graft procedure '$other' — available: system.compact, " +
+          "system.restore, system.vacuum, system.lookup")
     }
   }
 

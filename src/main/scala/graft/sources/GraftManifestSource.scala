@@ -148,6 +148,13 @@ object GraftManifestSource {
                                             statsCols: Seq[String],
                                             retain: Int): Unit = {
     val spark = data.sparkSession
+    // a bucketed (S31) table's append IS an upsert by key — the V1
+    // alias must not degrade the layout any more than it may degrade a
+    // declared cluster spec
+    if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+      MergeInto.merge(data, dir): Unit
+      return
+    }
     val spec = ManifestTable.headVersion(spark, dir).flatMap { v =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -205,6 +212,13 @@ object GraftManifestSource {
                                statsCols: Seq[String],
                                retainGenerations: Int = 2): Unit = {
     val spark = data.sparkSession
+    // bucketed (S31) table: overwrite = truncate + merge, keeping the
+    // b=N layout invariant every later merge's bucket parse relies on
+    if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+      ManifestTable.truncateLive(spark, dir, retainGenerations): Unit
+      MergeInto.merge(data, dir): Unit
+      return
+    }
     // append tells us exactly which commit dir it created — the second
     // commit lists precisely [cid]. (Deriving "fresh" by diffing head
     // against the largest retained version below v is wrong under

@@ -101,6 +101,56 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.lookup(table => 'ns.t', keys => 'k1,k2,...')` —
+    * S18 point lookup BY NAME on a bucketed (`layout=bucketed:<key>`)
+    * table: each key's bucket resolves with the writer's own hash
+    * expression and only those buckets' dirs are opened
+    * ([[MergeInto.lookup]] — O(table/N) bytes per key, with footer
+    * min/max pruning inside the bucket). Keys arrive as a
+    * comma-separated string cast to the key column's type; the result
+    * rows return through a local scan (bounded: ≤ one row per probed
+    * key, and the kernel's maxKeys guard bounds the probe itself). */
+  class Lookup(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "lookup"
+    override def description(): String =
+      "point-lookup rows of a bucketed graft table by key"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "lookup"
+        override def description(): String = Lookup.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keys", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val (key, _) = MergeInto.bucketedGeometry(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"lookup needs a bucketed table (layout=bucketed:<key>); " +
+                s"$dir has no pinned merge geometry"))
+          val head = ManifestTable.headVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed manifest at $dir"))
+          val schema = ManifestTable.declaredSchemaOf(spark, dir, head)
+            .getOrElse(throw new IllegalArgumentException(
+              s"no declared schema at $dir"))
+          val keyType = schema(key).dataType
+          import org.apache.spark.sql.functions.col
+          val keyVals = input.getUTF8String(1).toString
+            .split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq
+          val keysDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(keyVals.map(org.apache.spark.sql.Row(_)), 1),
+            StructType(Seq(StructField(key, StringType))))
+            .select(col(key).cast(keyType).as(key))
+          val result = MergeInto.lookup(spark, dir, keysDf)
+          val rows = result.queryExecution.executedPlan.executeCollect()
+          java.util.List.of[Scan](
+            GraftLocalScanImpl(result.schema, rows.map(_.copy()))).iterator()
+        }
+      }
+  }
+
   /** `CALL cat.system.restore(table => 'ns.t', version => n)` — make a
     * retained older version the live table again (history moves
     * FORWARD: one new manifest, nothing rewritten,

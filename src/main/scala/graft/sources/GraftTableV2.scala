@@ -211,9 +211,20 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val head = ManifestTable.headVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"no committed graft table at $tableDir"))
-    val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
-    ManifestTable.deleteWhere(spark, tableDir, cond,
-      GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
+    if (MergeInto.bucketedGeometry(spark, tableDir).isDefined) {
+      // S31 bucketed layout: a CoW rewrite dir would break the b=N
+      // layout invariant, so DELETE routes through the merge kernel —
+      // matching rows become a delete-flagged source (one table scan
+      // with the predicate pushed to parquet; the rewrite itself stays
+      // O(touched buckets)). cond TRUE deletes; NULL/FALSE survive —
+      // exactly the filter.
+      MergeInto.merge(ManifestTable.read(spark, tableDir).filter(cond),
+        tableDir, deleteWhen = org.apache.spark.sql.functions.lit(true)): Unit
+    } else {
+      val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
+      ManifestTable.deleteWhere(spark, tableDir, cond,
+        GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
+    }
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -264,29 +275,42 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // every API), then any ad-hoc per-write checks from OPTIONS.
         val data = GraftManifestSource.applyChecks(
           GraftManifestSource.withDeclaredChecks(data0, tableDir), checks)
-        if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
-        else clusterBy match {
-          // a declared cluster spec makes every append CLUSTERED ON
-          // ARRIVAL (S27): the batch lands as range/Morton-sorted dirs
-          // with per-dir stats, so selective reads prune fresh data
-          // without waiting for a compaction. Cluster columns are
-          // always stats-tracked — pruning needs their ranges.
-          case Some(cols) => ManifestTable.appendClustered(data, tableDir,
-            (statsCols ++ cols).distinct, retainGenerations = retain,
-            specOverride = Some(cols)): Unit
-          case None =>
-            ManifestTable.append(data, tableDir, statsCols, retain): Unit
-        }
-        // declared cluster spec from table/write OPTIONS: recorded once
-        // (a metadata commit) when it differs from the current spec —
-        // it governs later writers and the next compactAppend
-        clusterBy.foreach { cols =>
-          val spark = data.sparkSession
-          val fs = new org.apache.hadoop.fs.Path(tableDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val head = ManifestTable.headVersion(spark, tableDir).get
-          if (!ManifestTable.clusterSpecOf(fs, tableDir, head).contains(cols))
-            ManifestTable.alterClusterBy(spark, tableDir, cols, retain): Unit
+        // S31 — a bucketed (layout=bucketed:<key>) table routes every
+        // write through the O(changeset) upsert kernel: INSERT is an
+        // upsert BY KEY (a re-inserted key replaces its row — the
+        // table holds one row per key by construction), and INSERT
+        // OVERWRITE replaces the table (truncate + merge). The marker
+        // probe, not the prop, is the routing truth, so path-API
+        // writers to a bucketed dir route identically.
+        if (MergeInto.bucketedGeometry(data.sparkSession, tableDir).isDefined) {
+          if (overwrite)
+            ManifestTable.truncateLive(data.sparkSession, tableDir, retain): Unit
+          MergeInto.merge(data, tableDir): Unit
+        } else {
+          if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
+          else clusterBy match {
+            // a declared cluster spec makes every append CLUSTERED ON
+            // ARRIVAL (S27): the batch lands as range/Morton-sorted dirs
+            // with per-dir stats, so selective reads prune fresh data
+            // without waiting for a compaction. Cluster columns are
+            // always stats-tracked — pruning needs their ranges.
+            case Some(cols) => ManifestTable.appendClustered(data, tableDir,
+              (statsCols ++ cols).distinct, retainGenerations = retain,
+              specOverride = Some(cols)): Unit
+            case None =>
+              ManifestTable.append(data, tableDir, statsCols, retain): Unit
+          }
+          // declared cluster spec from table/write OPTIONS: recorded once
+          // (a metadata commit) when it differs from the current spec —
+          // it governs later writers and the next compactAppend
+          clusterBy.foreach { cols =>
+            val spark = data.sparkSession
+            val fs = new org.apache.hadoop.fs.Path(tableDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val head = ManifestTable.headVersion(spark, tableDir).get
+            if (!ManifestTable.clusterSpecOf(fs, tableDir, head).contains(cols))
+              ManifestTable.alterClusterBy(spark, tableDir, cols, retain): Unit
+          }
         }
       }
   }

@@ -297,6 +297,12 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val root = new Path(tableDir)
     if (!fs.exists(root)) fs.mkdirs(root)
+    // a bucketed (merge) table's layout invariant — every manifest path
+    // is a `b=N` bucket dir — would be silently broken by a plain
+    // append dir; route through MergeInto instead (one exists() probe)
+    require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — writes go through " +
+        "MergeInto.merge (or the catalog's INSERT/MERGE, which route there)")
     // S30 enforcement at the ENGINE primitive: the table's declared
     // CHECK constraints bind the batch here, so no write API can
     // sidestep a contract the catalog declared; the bound keyset is
@@ -432,6 +438,9 @@ object ManifestTable {
     // `INSERT INTO clustered_t SELECT ... WHERE false` must no-op like
     // any other insert, not crash (r11 ADVICE)
     if (df.isEmpty) return append(df, tableDir, statsCols, retainGenerations, meta)
+    require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — writes go through " +
+        "MergeInto.merge (or the catalog's INSERT/MERGE, which route there)")
     val spec = specOverride.orElse(versions(fs, tableDir).lastOption
       .flatMap(v => clusterSpecOf(fs, tableDir, v)))
       .getOrElse(Seq(statsCols.head))

@@ -53,10 +53,66 @@ import org.apache.spark.sql.functions._
 object MergeInto {
 
   private val BucketsMarker = "_n_buckets"
-  private val KeyMarker = "_merge_key"
+  private[sources] val KeyMarker = "_merge_key"
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (key, nBuckets) when `dir` is a pinned merge table — the catalog's
+    * `layout=bucketed:<key>` routing test ([[graft.sources.GraftTable]]
+    * and the V1 alias check it so a plain append can never silently
+    * degrade a bucketed layout). One marker read; None = not bucketed. */
+  private[graft] def bucketedGeometry(spark: SparkSession,
+                                      dir: String): Option[(String, Int)] =
+    for {
+      key <- readMarker(spark, dir, KeyMarker)
+      n <- readMarker(spark, dir, BucketsMarker)
+    } yield (key, n.toInt)
+
+  /** Pin a fresh table's geometry WITHOUT data — the catalog's CREATE
+    * TABLE with `layout=bucketed:<key>:<n>` declares the layout before
+    * any row exists, so the first INSERT already routes through
+    * [[applyBatch]] under the declared modulus. Same put-if-absent +
+    * read-back protocol as a data-bearing create. */
+  private[graft] def pinGeometry(spark: SparkSession, dir: String,
+                                 key: String, nBuckets: Int): Unit = {
+    pinMarker(spark, dir, BucketsMarker, nBuckets.toString)
+    pinMarker(spark, dir, KeyMarker, key)
+  }
+
+  /** Standing rows of the buckets `keys`' values hash into, read
+    * through the live declared schema — the bounded target slice a
+    * key-equality MERGE needs to evaluate matched clauses against:
+    * O(touched buckets), never O(table). Empty frame (right schema)
+    * when the table has no committed data. */
+  private[graft] def standingForKeys(spark: SparkSession, tableDir: String,
+                                     keys: DataFrame): DataFrame = {
+    val (key, n) = bucketedGeometry(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"not a merge table: $tableDir"))
+    val fs = fsOf(spark, tableDir)
+    val liveV = ManifestTable.versions(fs, tableDir).lastOption
+    val liveByBucket: Map[Int, String] =
+      liveV.map(v => ManifestTable.pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
+        .map(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel).toMap
+    val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
+    val schema = declared.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no declared schema at $tableDir"))
+    // touched buckets: tiny driver list, bounded by min(#keys, n).
+    // The probe key MUST be cast to the TABLE's key type before
+    // hashing — murmur3 of INT 2 and BIGINT 2 differ, so an uncast
+    // narrower source key would probe the wrong buckets and silently
+    // miss standing matches (duplicate-key corruption).
+    val keyType = schema(key).dataType
+    val touched = keys
+      .select(pmod(hash(col(key).cast(keyType)), lit(n)).as("b"))
+      .distinct().collect().map(_.getInt(0)).filter(liveByBucket.contains)
+    if (touched.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(touched.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
+  }
 
   private def readMarker(spark: SparkSession, dir: String,
                          name: String): Option[String] = {

@@ -951,6 +951,54 @@ object Sources {
           FROM $cat.lake.ochk""")
   }
 
+  /** S31 fixture: `lake.obkt` declared `layout=bucketed:k:8` at CREATE
+    * — the hash-bucketed MERGE layout as a table property. One INSERT
+    * seeds it through the upsert kernel (8 bucket dirs), then the SAME
+    * MERGE statement as the s26 fixture runs against it, landing
+    * through [[MergeInto.applyBatch]] (O(touched buckets), bucket-dir
+    * manifest) instead of the CoW rewrite. */
+  private val bucketedDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"""CREATE TABLE $cat.lake.obkt (k BIGINT, price DOUBLE, pri STRING)
+              TBLPROPERTIES ('layout'='bucketed:k:8',
+                             'retainGenerations'='10')""")
+    orders(s, d).select(col("o_orderkey").cast("long").as("k"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("pri"))
+      .writeTo(s"$cat.lake.obkt").append()
+    orders(s, d).createOrReplaceTempView("graft_s31_orders")
+    s.sql(
+      s"""MERGE INTO $cat.lake.obkt AS t
+          USING (SELECT CAST(o_orderkey AS BIGINT) AS k,
+                        o_totalprice AS price
+                 FROM graft_s31_orders WHERE o_orderpriority = '1-URGENT'
+                 UNION ALL
+                 SELECT CAST(o_orderkey + 100000000 AS BIGINT), 42.0
+                 FROM graft_s31_orders WHERE o_orderpriority = '3-MEDIUM') AS s
+          ON t.k = s.k
+          WHEN MATCHED AND s.price > 200000 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET price = t.price + 1000.0
+          WHEN NOT MATCHED THEN INSERT (k, price, pri)
+               VALUES (s.k, s.price, 'NEW')""")
+    cat
+  })
+
+  /** S31: the bucketed-MERGE layout reachable from the catalog — the
+    * s26 merge statement re-run against a `layout=bucketed:k` table,
+    * where it routes through the O(changeset) upsert kernel (per-key
+    * outcome frame → bucket rewrite; untouched buckets carried by
+    * path, plan-asserted in GraftBucketedCatalogSpec). Same oracle
+    * algebra as s26: the LAYOUT must never change WHICH rows a merge
+    * produces. */
+  def s31_bucketed_catalog(s: SparkSession, d: String): DataFrame = {
+    val cat = bucketedDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(price), 2) AS total_price,
+                 CAST(sum(k) AS BIGINT) AS key_checksum,
+                 count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
+          FROM $cat.lake.obkt""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -980,6 +1028,7 @@ object Sources {
     "s28_meta_tables" -> (s28_meta_tables _),
     "s29_call_compact" -> (s29_call_compact _),
     "s30_constrained_ingest" -> (s30_constrained_ingest _),
+    "s31_bucketed_catalog" -> (s31_bucketed_catalog _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1189,5 +1238,24 @@ object Sources {
          round(sum(o_totalprice), 2) AS total_price,
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders""",
+    // the s26 merge algebra against the bucketed layout: the layout
+    // must never change WHICH rows a merge produces
+    "s31_bucketed_catalog" ->
+      """WITH merged AS (
+           SELECT o_orderkey AS k,
+                  CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_totalprice + 1000.0
+                       ELSE o_totalprice END AS price,
+                  o_orderpriority AS pri
+           FROM orders
+           WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 200000)
+           UNION ALL
+           SELECT o_orderkey + 100000000, 42.0, 'NEW'
+           FROM orders WHERE o_orderpriority = '3-MEDIUM')
+         SELECT count(*) AS n_rows,
+                round(sum(price), 2) AS total_price,
+                CAST(sum(k) AS BIGINT) AS key_checksum,
+                count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
+         FROM merged""",
   )
 }

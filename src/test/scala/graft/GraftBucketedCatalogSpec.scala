@@ -1,0 +1,238 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.{ManifestTable, MergeInto}
+
+/** S31 — the hash-bucketed MERGE layout reachable from the catalog:
+  * `CREATE TABLE ... TBLPROPERTIES ('layout'='bucketed:<key>[:<n>]')`
+  * routes every INSERT/MERGE/UPDATE/DELETE through the O(changeset)
+  * upsert kernel ([[MergeInto.applyBatch]]), keeps the b=N layout
+  * invariant on every surface (catalog SQL, V2 path, V1 alias), and
+  * serves S18 point lookups by name (`CALL system.lookup`). */
+class GraftBucketedCatalogSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-bkt").toString
+    spark.conf.set("spark.sql.catalog.gbkt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbkt.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbkt.lake")
+    dir
+  }
+  private def fs = new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshBucketed(name: String, n: Int = 8): String = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS gbkt.lake.$name")
+    spark.sql(s"CREATE TABLE gbkt.lake.$name (k BIGINT, v STRING, amt DOUBLE) " +
+      s"TBLPROPERTIES ('layout'='bucketed:k:$n', 'retainGenerations'='10')")
+    s"$wh/lake/$name"
+  }
+
+  private def rows(name: String): Map[Long, (String, Double)] =
+    spark.table(s"gbkt.lake.$name").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+
+  private def livePaths(dir: String): Seq[String] =
+    ManifestTable.livePaths(fs, dir)
+
+  test("CREATE with layout pins the geometry; INSERT is an upsert by key") {
+    val dir = freshBucketed("b1")
+    assert(MergeInto.bucketedGeometry(spark, dir).contains(("k", 8)))
+    spark.sql("INSERT INTO gbkt.lake.b1 VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    // every manifest path is a bucket dir — the layout invariant
+    assert(livePaths(dir).nonEmpty && livePaths(dir).forall(_.contains("b=")))
+    // re-inserting a key REPLACES its row: one row per key by construction
+    spark.sql("INSERT INTO gbkt.lake.b1 VALUES (2,'B!',200.0),(9,'i',90.0)")
+    assert(rows("b1") == Map(1L -> ("a", 10.0), 2L -> ("B!", 200.0),
+      3L -> ("c", 30.0), 9L -> ("i", 90.0)))
+    assert(livePaths(dir).forall(_.contains("b=")))
+  }
+
+  test("SQL MERGE routes through applyBatch: full clause surface, O(touched buckets)") {
+    val dir = freshBucketed("b2")
+    spark.sql("INSERT INTO gbkt.lake.b2 " +
+      "VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
+    // bucket of each key under the kernel's own router
+    val s0 = spark; import s0.implicits._
+    val b = (1L to 9L).toSeq.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(8)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val before = livePaths(dir)
+    // source touches keys 2 (update), 3 (delete), 9 (insert)
+    spark.sql(
+      """MERGE INTO gbkt.lake.b2 AS t
+         USING (SELECT * FROM VALUES
+                  (2,'upd',2.0), (3,'del',0.0), (9,'ins',9.0)
+                AS s(k, v, amt)) AS s
+         ON t.k = s.k
+         WHEN MATCHED AND s.v = 'del' THEN DELETE
+         WHEN MATCHED THEN UPDATE SET v = s.v, amt = t.amt + s.amt
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    assert(rows("b2") == Map(1L -> ("a", 10.0), 2L -> ("upd", 22.0),
+      4L -> ("d", 40.0), 9L -> ("ins", 9.0)))
+    // O(touched buckets): every bucket the source does NOT hash into
+    // keeps its ORIGINAL dir in the new manifest (no rewrite, no read)
+    val touched = Set(2L, 3L, 9L).map(b)
+    val after = livePaths(dir)
+    before.foreach { p =>
+      val bucket = p.substring(p.lastIndexOf("b=") + 2).toInt
+      if (!touched.contains(bucket))
+        assert(after.contains(p), s"untouched bucket dir $p was rewritten")
+    }
+    assert(after.forall(_.contains("b=")), "merge preserved the layout")
+  }
+
+  test("MERGE with target-referencing values and clause conditions") {
+    freshBucketed("b3")
+    spark.sql("INSERT INTO gbkt.lake.b3 VALUES (1,'x',100.0),(2,'y',5.0)")
+    // first-match-wins: k=1 hits the >50 clause, k=2 falls through
+    spark.sql(
+      """MERGE INTO gbkt.lake.b3 AS t
+         USING (SELECT * FROM VALUES (1, 1.0), (2, 2.0) AS s(k, bump)) AS s
+         ON t.k = s.k
+         WHEN MATCHED AND t.amt > 50 THEN UPDATE SET amt = t.amt - s.bump
+         WHEN MATCHED THEN UPDATE SET v = concat(t.v, '+')""")
+    assert(rows("b3") == Map(1L -> ("x", 99.0), 2L -> ("y+", 5.0)))
+  }
+
+  test("MERGE duplicate source keys fail loudly; unroutable shapes are refused") {
+    val dir = freshBucketed("b4")
+    spark.sql("INSERT INTO gbkt.lake.b4 VALUES (1,'a',1.0)")
+    val dup = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gbkt.lake.b4 AS t
+           USING (SELECT * FROM VALUES (1,'p',1.0),(1,'q',2.0) AS s(k,v,amt)) AS s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(dup).exists(_.contains("deduplicate the source")), msgs(dup))
+    assert(rows("b4") == Map(1L -> ("a", 1.0)), "failed merge changed rows")
+    // NOT MATCHED BY SOURCE must judge every target row — refused
+    val bs = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gbkt.lake.b4 AS t
+           USING (SELECT * FROM VALUES (1,'p',1.0) AS s(k,v,amt)) AS s
+           ON t.k = s.k
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    }
+    assert(msgs(bs).exists(_.contains("NOT MATCHED BY SOURCE")), msgs(bs))
+    // a compound ON changes matched-pair semantics — refused
+    val cmp = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gbkt.lake.b4 AS t
+           USING (SELECT * FROM VALUES (1,'p',5.0) AS s(k,v,amt)) AS s
+           ON t.k = s.k AND s.amt > 2
+           WHEN MATCHED THEN UPDATE SET v = s.v""")
+    }
+    assert(msgs(cmp).exists(_.contains("exactly")), msgs(cmp))
+    assert(rows("b4") == Map(1L -> ("a", 1.0)))
+  }
+
+  test("UPDATE and DELETE route through the kernel and keep the layout") {
+    val dir = freshBucketed("b5")
+    spark.sql("INSERT INTO gbkt.lake.b5 " +
+      "VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0)")
+    spark.sql("UPDATE gbkt.lake.b5 SET amt = amt + 1.0 WHERE k <= 2")
+    assert(rows("b5") == Map(1L -> ("a", 11.0), 2L -> ("b", 21.0),
+      3L -> ("c", 30.0)))
+    spark.sql("DELETE FROM gbkt.lake.b5 WHERE v = 'b'")
+    assert(rows("b5") == Map(1L -> ("a", 11.0), 3L -> ("c", 30.0)))
+    assert(livePaths(dir).forall(_.contains("b=")),
+      "row-level DML preserved the bucket layout")
+    // assigning the bucket key would change row identity under
+    // replace-by-key semantics — refused
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gbkt.lake.b5 SET k = k + 100 WHERE v = 'a'")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("bucket key")), msgs(e))
+  }
+
+  test("CALL system.lookup serves S18 point lookups by name") {
+    freshBucketed("b6")
+    spark.sql("INSERT INTO gbkt.lake.b6 " +
+      "VALUES (1,'a',10.0),(2,'b',20.0),(3,'c',30.0),(4,'d',40.0)")
+    val got = spark.sql(
+      "CALL gbkt.system.lookup(table => 'lake.b6', keys => '2, 4, 77')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((2L, "b"), (4L, "d")))
+  }
+
+  test("V1 alias and V2 path writers route through the kernel too") {
+    val dir = freshBucketed("b7")
+    val s = spark; import s.implicits._
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "v", "amt")
+      .write.format("graft-manifest").mode("append").save(dir)
+    Seq((2L, "B2", 22.0), (3L, "c", 3.0)).toDF("k", "v", "amt")
+      .write.format("graft").mode("append").save(dir)
+    assert(rows("b7") == Map(1L -> ("a", 1.0), 2L -> ("B2", 22.0),
+      3L -> ("c", 3.0)))
+    assert(livePaths(dir).forall(_.contains("b=")))
+    // a raw engine append cannot silently degrade the layout
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.append(Seq((9L, "x", 9.0)).toDF("k", "v", "amt"), dir)
+    }
+    assert(e.getMessage.contains("bucketed merge table"), e.getMessage)
+  }
+
+  test("declared CHECK constraints bind bucketed writes and DML") {
+    freshBucketed("b8")
+    spark.sql("ALTER TABLE gbkt.lake.b8 SET TBLPROPERTIES " +
+      "('check.amt_pos'='amt >= 0')")
+    spark.sql("INSERT INTO gbkt.lake.b8 VALUES (1,'a',1.0)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gbkt.lake.b8 VALUES (2,'bad',-5.0)")
+    }
+    intercept[Exception] {
+      spark.sql("UPDATE gbkt.lake.b8 SET amt = -1.0 WHERE k = 1")
+    }
+    assert(rows("b8") == Map(1L -> ("a", 1.0)))
+  }
+
+  test("time travel and TRUNCATE work on bucketed tables") {
+    val dir = freshBucketed("b9")
+    spark.sql("INSERT INTO gbkt.lake.b9 VALUES (1,'a',1.0),(2,'b',2.0)")
+    val v = ManifestTable.headVersion(spark, dir).get
+    spark.sql("INSERT INTO gbkt.lake.b9 VALUES (2,'B2',22.0)")
+    assert(spark.sql(s"SELECT * FROM gbkt.lake.b9 VERSION AS OF $v")
+      .collect().length == 2)
+    assert(spark.table("gbkt.lake.b9").filter("k = 2").head().getString(1) == "B2")
+    spark.sql("TRUNCATE TABLE gbkt.lake.b9")
+    assert(spark.table("gbkt.lake.b9").count() == 0L)
+    // the geometry survives truncation: later inserts still bucket
+    spark.sql("INSERT INTO gbkt.lake.b9 VALUES (7,'z',7.0)")
+    assert(rows("b9") == Map(7L -> ("z", 7.0)))
+    assert(livePaths(dir).forall(_.contains("b=")))
+  }
+
+  test("layout and clusterBy are mutually exclusive; bad layouts rejected at CREATE") {
+    wh: Unit
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gbkt.lake.badmix (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('layout'='bucketed:k', 'clusterBy'='v')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gbkt.lake.badkey (k BIGINT) " +
+        "TBLPROPERTIES ('layout'='bucketed:nope')")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gbkt.lake.badform (k BIGINT) " +
+        "TBLPROPERTIES ('layout'='zordered:k')")
+    }
+  }
+
+  test("s31 board query matches the recomputed oracle on sf0.001") {
+    val r = graft.sources.Sources.s31_bucketed_catalog(spark, sf).head()
+    assert(r.getLong(0) > 0)
+    assert(graft.sources.Sources.s31_bucketed_catalog(spark, sf).head() == r)
+  }
+}
