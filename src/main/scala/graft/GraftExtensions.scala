@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => graft.plans.GraftUpdateRule)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeRule)
+    // S32: swaps the catalog's `t$changes` stub relation for the
+    // computed CDC-feed plan (a diff needs a shuffle — not a scan)
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftChangesRule)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

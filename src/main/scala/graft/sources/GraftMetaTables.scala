@@ -32,13 +32,56 @@ object GraftMetaTables {
   /** The metadata table for `dir` named by `suffix`, or None for an
     * unknown suffix (the catalog then reports NoSuchTable). */
   def of(spark: SparkSession, fs: FileSystem, dir: String,
-         fullName: String, suffix: String): Option[GraftLocalTable] =
+         fullName: String, suffix: String): Option[Table] =
     suffix match {
       case "history" => Some(history(spark, fs, dir, fullName))
       case "files" => Some(files(spark, fs, dir, fullName))
       case "properties" => Some(properties(spark, fs, dir, fullName))
+      case "changes" => Some(GraftChangesStub(dir, fullName,
+        changesSchema(spark, fs, dir)))
       case _ => None
     }
+
+  /** `t$changes` schema: the table's declared shape plus the feed
+    * columns. */
+  private def changesSchema(spark: SparkSession, fs: FileSystem,
+                            dir: String): StructType = {
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    ManifestTable.declaredSchemaOf(spark, dir, head)
+      .getOrElse(ManifestTable.readVersion(spark, dir, head).schema)
+      .add("change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+  }
+
+  /** S32 — the table's full RETAINED change history as one frame: for
+    * each adjacent retained version pair, the S17 row-level diff feed
+    * ([[ManifestTable.changes]]) tagged `_commit_version` = the newer
+    * version. Consumers filter `WHERE _commit_version > x` to tail.
+    * Cost ∝ CHANGED dirs per step (immutable dirs listed by both
+    * manifests cancel without being read), and the pair count is
+    * bounded by the retention window — history older than retention is
+    * not diffable, same contract as Delta's CDF after VACUUM. A feed
+    * across a schema evolution null-fills the added columns on
+    * pre-evolution rows (union-by-name to the head shape). */
+  private[graft] def changesFeed(spark: SparkSession,
+                                 dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val vs = ManifestTable.versions(fs, dir)
+    require(vs.nonEmpty, s"no committed manifest at $dir")
+    val outSchema = changesSchema(spark, fs, dir)
+    val outCols = outSchema.fieldNames.toIndexedSeq.map(col)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    vs.zip(vs.drop(1)).map { case (a, b) =>
+        ManifestTable.changes(spark, dir, a, b)
+          .withColumn("_commit_version", lit(b))
+      }
+      .foldLeft(empty)((acc, f) =>
+        acc.unionByName(f, allowMissingColumns = true))
+      .select(outCols: _*)
+  }
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
@@ -110,6 +153,26 @@ object GraftMetaTables {
     }
     GraftLocalTable(name, schema, rows.toArray)
   }
+}
+
+/** The `t$changes` placeholder the catalog returns: the CDC feed needs
+  * a real query plan (a signed-aggregation diff — shuffles the V2 Table
+  * API cannot serve from a scan), so the injected
+  * [[graft.plans.GraftChangesRule]] swaps this relation for the
+  * computed plan during analysis — the same relation-substitution seam
+  * Delta's CDF rides. Reading it without the extension installed fails
+  * with the conf to set, never silently. */
+case class GraftChangesStub(dir: String, tableName: String,
+                            tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new UnsupportedOperationException(
+      "t$changes is served by the graft session extension — set " +
+        "spark.sql.extensions=graft.GraftExtensions")
 }
 
 /** A read-only table serving driver-built rows through [[LocalScan]] —

@@ -999,6 +999,25 @@ object Sources {
           FROM $cat.lake.obkt""")
   }
 
+  /** S32: the `t$changes` CDC metadata table over the S24 fixture
+    * (`odel`: v1 CREATE, v2 INSERT of all orders, v3 DELETE of the
+    * urgent post-1996 slice) — per-(version, change_type) counts and
+    * key checksums of the full retained feed, served through plain SQL
+    * with no engine API or read option in sight. The oracle rebuilds
+    * both steps from orders: v2 inserted everything, v3's dir-granular
+    * delete diffs to EXACTLY the predicated rows (rewritten survivors
+    * cancel in the multiset diff — that cancellation is what's on
+    * trial). */
+  def s32_changes_feed(s: SparkSession, d: String): DataFrame = {
+    val cat = deleteDemo(s, d)
+    s.sql(
+      s"""SELECT _commit_version, change_type, count(*) AS n,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.`odel$$changes`
+          GROUP BY _commit_version, change_type
+          ORDER BY _commit_version, change_type""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1029,6 +1048,7 @@ object Sources {
     "s29_call_compact" -> (s29_call_compact _),
     "s30_constrained_ingest" -> (s30_constrained_ingest _),
     "s31_bucketed_catalog" -> (s31_bucketed_catalog _),
+    "s32_changes_feed" -> (s32_changes_feed _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1257,5 +1277,20 @@ object Sources {
                 CAST(sum(k) AS BIGINT) AS key_checksum,
                 count(CASE WHEN pri = 'NEW' THEN 1 END) AS n_inserted
          FROM merged""",
+    // odel's feed: v2 inserted all of orders, v3 deleted exactly the
+    // urgent post-1996 slice (rewritten survivors cancel in the diff)
+    "s32_changes_feed" ->
+      """SELECT * FROM (
+           SELECT CAST(2 AS BIGINT) AS _commit_version,
+                  'insert' AS change_type, count(*) AS n,
+                  CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+           FROM orders
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'delete', count(*),
+                  CAST(sum(o_orderkey) AS BIGINT)
+           FROM orders
+           WHERE o_orderdate >= DATE '1997-01-01'
+             AND o_orderpriority = '1-URGENT')
+         ORDER BY _commit_version, change_type""",
   )
 }

@@ -126,6 +126,42 @@ class GraftMetaSpec extends SparkTestBase {
       e.getMessage.contains("rewrite_manifests"))
   }
 
+  test("$changes serves the full retained CDC feed through plain SQL") {
+    seeded("c1")
+    // v2 inserted (1,2); v3 inserted (10,11); an UPDATE then surfaces
+    // as one delete (old image) + one insert (new image) at v4
+    spark.sql("UPDATE gmeta.lake.c1 SET v = 'B!' WHERE k = 2")
+    val feed = spark.sql(
+      "SELECT _commit_version, change_type, k, v FROM gmeta.lake.`c1$changes` " +
+        "ORDER BY _commit_version, change_type, k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(feed.toSeq == Seq(
+      (2L, "insert", 1, "a"), (2L, "insert", 2, "b"),
+      (3L, "insert", 10, "p"), (3L, "insert", 11, "q"),
+      (4L, "delete", 2, "b"), (4L, "insert", 2, "B!")))
+    // tailing: a consumer filters by the versions it has not seen
+    assert(spark.sql(
+      "SELECT count(*) FROM gmeta.lake.`c1$changes` WHERE _commit_version > 3")
+      .head().getLong(0) == 2L)
+  }
+
+  test("$changes across a schema evolution null-fills the added column") {
+    seeded("c2")
+    spark.sql("ALTER TABLE gmeta.lake.c2 ADD COLUMN extra STRING")
+    spark.sql("INSERT INTO gmeta.lake.c2 VALUES (20,'z','ex')")
+    val feed = spark.sql(
+      "SELECT _commit_version, k, extra FROM gmeta.lake.`c2$changes` " +
+        "ORDER BY _commit_version, k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2))))
+    // pre-evolution inserts carry NULL for the added column (the
+    // union-by-name head-shape contract); the post-evolution insert
+    // carries its value. The ALTER itself (v4: metadata-only, and v5's
+    // schema header) changes no rows.
+    assert(feed.toSeq == Seq(
+      (2L, 1, None), (2L, 2, None), (3L, 10, None), (3L, 11, None),
+      (5L, 20, Some("ex"))))
+  }
+
   test("s28 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s28_meta_tables(spark, sf).head()
     assert(r.getLong(0) == 3L, "ocat history: create + CTAS-append + append")
