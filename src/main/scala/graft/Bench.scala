@@ -57,6 +57,22 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
+    // Pre-run LOAD GATE (r11: the driver artifact read 74.6s at
+    // loadavg 2.8 while the same HEAD benched 46.6s exclusive — 15×
+    // noise on single queries): wait, bounded, for the 1-min loadavg
+    // to drop below the gate before anything is timed, and record the
+    // wait + the load actually obtained, so a still-contended run
+    // carries its own evidence instead of reading as a code regression.
+    val gate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.5").toDouble
+    val gateWaitMax =
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE_WAIT_SEC", "240").toInt
+    def load1: Double =
+      try loadavg().stripPrefix("[").split(",")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    var gateWaited = 0
+    while (load1 > gate && gateWaited < gateWaitMax) {
+      Thread.sleep(5000); gateWaited += 5
+    }
     // untimed warmup: JVM/codegen/shuffle machinery + parquet footers, so
     // the first timed query measures steady-state, not session startup.
     // Attributed in the detail file so warm-up drift is separable from
@@ -118,7 +134,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
     val env =
-      s"""{"cpus":$cpus,"loadavg_before":$loadBefore,"loadavg_after_warmup":$loadAfterWarm,"loadavg_after":$loadAfter,"procs_before":$procsBefore,"procs_after":$procsAfter}"""
+      s"""{"cpus":$cpus,"load_gate":$gate,"load_gate_waited_sec":$gateWaited,"loadavg_before":$loadBefore,"loadavg_after_warmup":$loadAfterWarm,"loadavg_after":$loadAfter,"procs_before":$procsBefore,"procs_after":$procsAfter}"""
     val detailJson =
       s"""{
          |  "sf": "$sfDir",

@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPostHocResolutionRule(_ => graft.plans.GraftUpdateRule)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeRule)
+    // full-expression DELETE (beyond the V1-Filter-translatable shapes
+    // the bare SupportsDelete path serves) — see GraftDeleteRule for
+    // why Spark's SupportsRowLevelOperations is NOT the seam here
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftDeleteRule)
     // S32: swaps the catalog's `t$changes` stub relation for the
     // computed CDC-feed plan (a diff needs a shuffle — not a scan)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftChangesRule)

@@ -173,7 +173,7 @@ object Curation {
     * tiny bucket-totals table. */
   def t42_sequence_pack(s: SparkSession, d: String): DataFrame = {
     val L = 2048L
-    val bucketW = 100L // doc_ids per bucket — a tunable at real scale
+    val bucketW = graft.ScaleKnobs.PackBucketWidth // doc_ids per bucket
     val toks = documents(s, d).select(
       col("doc_id"),
       greatest(lit(1L), ceil(coalesce(col("n_chars"), lit(0L)) / 4.0)

@@ -228,7 +228,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"layout must be 'bucketed:<keyColumn>[:<nBuckets>]', got '$l'")
       require(schema.fieldNames.contains(parts(1)),
         s"bucket key '${parts(1)}' is not in the table schema")
-      val n = if (parts.length == 3) parts(2).toInt else 256
+      val n =
+        if (parts.length == 3) parts(2).toInt
+        else graft.ScaleKnobs.DefaultMergeBuckets
       require(n > 0, s"layout '$l': nBuckets must be positive")
       (parts(1), n)
     }

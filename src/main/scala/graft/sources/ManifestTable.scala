@@ -421,7 +421,7 @@ object ManifestTable {
     * Schema contract and optimistic concurrency identical to
     * [[append]]. */
   def appendClustered(df: DataFrame, tableDir: String,
-                      statsCols: Seq[String], k: Int = 4,
+                      statsCols: Seq[String], k: Int = graft.ScaleKnobs.DefaultClusterDirs,
                       retainGenerations: Int = 2,
                       meta: Map[String, String] = Map.empty,
                       specOverride: Option[Seq[String]] = None): Long = {
@@ -659,7 +659,7 @@ object ManifestTable {
   }
 
   def compactAppend(spark: SparkSession, tableDir: String,
-                    statsCols: Seq[String], k: Int = 4,
+                    statsCols: Seq[String], k: Int = graft.ScaleKnobs.DefaultClusterDirs,
                     retainGenerations: Int = 2): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
     require(statsCols.nonEmpty, "compactAppend needs at least the sort column")

@@ -168,7 +168,7 @@ object MergeInto {
     * a duplicated extract can't seed a table that violates the
     * key-uniqueness invariant every later anti-join relies on. */
   def create(df: DataFrame, tableDir: String, key: String,
-             nBuckets: Int = 256): Long =
+             nBuckets: Int = graft.ScaleKnobs.DefaultMergeBuckets): Long =
     applyBatch(df, tableDir, key, defaultTies(df, key), lit(false), nBuckets)
 
   /** MERGE a source frame into an existing table, reading the key and
@@ -271,7 +271,7 @@ object MergeInto {
     * instead of failing a call whose whole contract is "catch up from
     * whatever state". */
   def sync(spark: SparkSession, sourceDir: String, replicaDir: String,
-           nBuckets: Int = 256): Long = {
+           nBuckets: Int = graft.ScaleKnobs.DefaultMergeBuckets): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -655,8 +655,8 @@ object MergeInto {
     * predicate or flooding driver memory: the limit+1 is applied BEFORE
     * the collect, so the driver never materializes more than
     * `maxKeys + 1` rows no matter how large the keys frame is. */
-  def lookup(spark: SparkSession, tableDir: String,
-             keys: DataFrame, maxKeys: Int = 10000): DataFrame = {
+  def lookup(spark: SparkSession, tableDir: String, keys: DataFrame,
+             maxKeys: Int = graft.ScaleKnobs.LookupMaxKeys): DataFrame = {
     val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
       throw new IllegalArgumentException(
         s"not a merge table (no $KeyMarker): $tableDir"))

@@ -108,12 +108,33 @@ class GraftDeleteSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gdel.lake.d4 VERSION AS OF 3").count() == 10L)
   }
 
-  test("an untranslatable DELETE condition fails loudly, table unchanged") {
-    twoDirTable("d5")
-    intercept[Exception] {
-      spark.sql("DELETE FROM gdel.lake.d5 WHERE length(v) > 10")
+  test("a non-Filter-translatable DELETE condition works through the extension seam") {
+    // pre-r12 these failed loudly at canDeleteWhere; GraftDeleteRule now
+    // serves ANY deterministic condition through the same CoW kernel,
+    // with whatever translatable conjuncts exist still pruning dirs
+    twoDirTable("d5") // k in {0..4, 10..14}, single-char v
+    spark.sql("DELETE FROM gdel.lake.d5 WHERE length(v) + k > 10")
+    // length(v)=1 everywhere → deletes k>9 → the 10..14 dir empties
+    assert(spark.table("gdel.lake.d5").count() == 5L)
+    assert(spark.table("gdel.lake.d5").agg(max(col("k"))).head().getInt(0) == 4)
+    // the eager command is the plan — visible in EXPLAIN
+    val plan = spark.sql(
+      "EXPLAIN DELETE FROM gdel.lake.d5 WHERE length(v) > 99")
+      .head().getString(0)
+    assert(plan.contains("GraftDelete"), plan)
+  }
+
+  test("a subquery DELETE condition fails loudly, table unchanged") {
+    twoDirTable("d6")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gdel.lake.d6 WHERE k IN " +
+        "(SELECT k FROM gdel.lake.d6 WHERE k > 5)")
     }
-    assert(spark.table("gdel.lake.d5").count() == 10L)
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("subqueries")), msgs(e))
+    assert(spark.table("gdel.lake.d6").count() == 10L)
   }
 
   test("direct-API deleteWhere prunes by bounds and rebases over racing appends") {

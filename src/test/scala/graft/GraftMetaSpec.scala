@@ -117,6 +117,51 @@ class GraftMetaSpec extends SparkTestBase {
       "vacuum must never touch referenced data")
   }
 
+  test("vacuum never sweeps dirs a retained version references — pinned readers stay safe") {
+    // On all three manifest stores: a reader that pinned a RETAINED
+    // version at relation-resolve time (the S20/S22 snapshot pin)
+    // survives any number of vacuums — the sweep's reference set is
+    // the union of ALL retained manifests, so only aged orphans and
+    // retention-retired dirs die. The protection boundary is explicit:
+    // it lasts exactly as long as the pinned version stays retained
+    // (generations or minRetainMs), nothing longer.
+    for (store <- Seq(graft.sources.PosixLinkStore, graft.sources.HdfsClaimStore,
+        graft.sources.ConditionalPutStore)) {
+      graft.sources.ManifestTable.storeOverride = Some(store)
+      try {
+        val dir = Files.createTempDirectory("graft-vac").toString + "/t"
+        val s = spark; import s.implicits._
+        ManifestTable.append(Seq((1, "a")).toDF("k", "v"), dir,
+          retainGenerations = 10)
+        ManifestTable.append(Seq((2, "b")).toDF("k", "v"), dir,
+          retainGenerations = 10)
+        val pinned = spark.read.format("graft").load(dir) // pins v2
+        ManifestTable.append(Seq((3, "c")).toDF("k", "v"), dir,
+          retainGenerations = 10)
+        val vfs = new Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val orphan = new Path(dir, "zz-orphan")
+        vfs.mkdirs(new Path(orphan, "part"))
+        ageTree(vfs, orphan, 2L * 60 * 60 * 1000)
+        assert(ManifestTable.vacuum(spark, dir, retainGenerations = 10) == 1L,
+          s"store=$store: exactly the aged orphan must be swept")
+        assert(!vfs.exists(orphan))
+        ManifestTable.versions(vfs, dir).foreach { v =>
+          ManifestTable.pathsOf(vfs, dir, v).map(_.split("/", 2).head)
+            .foreach(d => assert(vfs.exists(new Path(dir, d)),
+              s"store=$store: retained v$v's dir $d was swept"))
+        }
+        assert(pinned.count() == 2L, s"store=$store: pinned snapshot broken")
+        // and the boundary: once retention collapses past the pinned
+        // version, its exclusive dirs legitimately die
+        (1 to 9).foreach(i => ManifestTable.append(
+          Seq((10 + i, "x")).toDF("k", "v"), dir, retainGenerations = 2))
+        assert(!ManifestTable.versions(vfs, dir).contains(2L),
+          s"store=$store: retention must eventually retire the pinned version")
+      } finally graft.sources.ManifestTable.storeOverride = None
+    }
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
