@@ -409,7 +409,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("compact", "restore", "vacuum", "lookup")
+      Array("compact", "restore", "vacuum", "lookup", "clone")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -423,9 +423,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "restore" => new GraftProcedures.Restore(this)
       case "vacuum" => new GraftProcedures.Vacuum(this)
       case "lookup" => new GraftProcedures.Lookup(this)
+      case "clone" => new GraftProcedures.Clone(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: system.compact, " +
-          "system.restore, system.vacuum, system.lookup")
+          "system.restore, system.vacuum, system.lookup, system.clone")
     }
   }
 
@@ -434,6 +435,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val segs = table.split('.').toSeq.map(_.trim)
     val dir = pathOf(segs)
     require(isTable(dir), s"'$table' is not a graft table in catalog $name")
+    dir.toString
+  }
+
+  /** The dir a NEW table named `table` would occupy — for procedures
+    * that create (`system.clone`'s target): the namespace must exist,
+    * the table must not. */
+  private[sources] def dirOfNewTableArg(table: String): String = {
+    val segs = table.split('.').toSeq.map(_.trim)
+    require(segs.nonEmpty && !segs.last.contains('$'),
+      s"invalid new-table name '$table'")
+    val dir = pathOf(segs)
+    require(!isTable(dir), s"'$table' already exists in catalog $name")
+    if (segs.length > 1)
+      require(namespaceExists(segs.init.toArray),
+        s"namespace ${segs.init.mkString(".")} does not exist in catalog $name")
     dir.toString
   }
   private[sources] def activeSpark: SparkSession = spark

@@ -151,6 +151,43 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` —
+    * S33 zero-copy SHALLOW CLONE as one SQL statement
+    * ([[ManifestTable.shallowClone]]): the target becomes an
+    * independent table over the source's current data dirs, no file
+    * copied, metadata-only whatever the table size. Compact the CLONE
+    * to make it self-contained (the deep-clone finisher). Returns
+    * (version, n_paths) of the clone's first commit. */
+  class Clone(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "zero-copy shallow clone of a graft table (metadata-only)"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "clone"
+        override def description(): String = Clone.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("source", StringType).build(),
+          ProcedureParameter.in("target", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val src = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val dst = catalog.dirOfNewTableArg(input.getUTF8String(1).toString)
+          val head = ManifestTable.headVersion(spark, src).get
+          val retain = ManifestTable.metaOf(catalog.activeFs, src, head)
+            .get(GraftCatalog.PropPrefix + "retainGenerations")
+            .flatMap(_.toIntOption).getOrElse(2)
+          val v = ManifestTable.shallowClone(spark, src, dst, retain)
+          val nPaths = ManifestTable.pathsOf(catalog.activeFs, dst, v).size
+          oneRow(StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("n_paths", IntegerType, nullable = false))),
+            Array[Any](v, nPaths))
+        }
+      }
+  }
+
   /** `CALL cat.system.restore(table => 'ns.t', version => n)` — make a
     * retained older version the live table again (history moves
     * FORWARD: one new manifest, nothing rewritten,

@@ -85,9 +85,24 @@ object ManifestTable {
     finally in.close()
   }
 
-  /** Relative data paths of manifest version `v` (header lines skipped). */
+  /** Relative data paths of manifest version `v` (header lines skipped).
+    * A SHALLOW-CLONED table ([[shallowClone]]) lists ABSOLUTE entries
+    * (they live under the source table's dir) — resolve through
+    * [[absPath]], never bare string concatenation. */
   def pathsOf(fs: FileSystem, tableDir: String, v: Long): Seq[String] =
     manifestLines(fs, tableDir, v).filterNot(_.startsWith("#"))
+
+  /** True iff a manifest entry addresses a dir OUTSIDE this table's own
+    * directory (an absolute path or a schemed URI like `file:/...` —
+    * the shallow-clone case; engine-written relative entries are
+    * `<cid>[/<sub>]` and never contain ':'). */
+  private[sources] def isForeign(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+
+  /** A manifest entry as a readable location: relative entries resolve
+    * under the table dir; foreign (clone) entries stand alone. */
+  private[graft] def absPath(tableDir: String, p: String): String =
+    if (isForeign(p)) p else s"$tableDir/$p"
 
   /** The schema DDL a version was committed with, if the writer declared
     * one (a `#schema <ddl>` header line). Tracking the schema in table
@@ -227,7 +242,7 @@ object ManifestTable {
 
   /** Absolute data paths of the live version. */
   def resolve(spark: SparkSession, tableDir: String): Seq[String] =
-    livePaths(fsOf(spark, tableDir), tableDir).map(p => s"$tableDir/$p")
+    livePaths(fsOf(spark, tableDir), tableDir).map(p => absPath(tableDir, p))
 
   /** The live table as a DataFrame (parquet over the resolved paths). The
     * listed paths are leaf data dirs, so no partition column is inferred
@@ -240,7 +255,7 @@ object ManifestTable {
     val v = versions(fs, tableDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest at $tableDir"))
-    val paths = pathsOf(fs, tableDir, v).map(p => s"$tableDir/$p")
+    val paths = pathsOf(fs, tableDir, v).map(p => absPath(tableDir, p))
     require(paths.nonEmpty, s"no committed manifest at $tableDir")
     readWithDeclared(spark, tableDir, v, paths)
   }
@@ -255,7 +270,7 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     require(versions(fs, tableDir).contains(v),
       s"version $v is not retained at $tableDir")
-    val paths = pathsOf(fs, tableDir, v).map(p => s"$tableDir/$p")
+    val paths = pathsOf(fs, tableDir, v).map(p => absPath(tableDir, p))
     require(paths.nonEmpty, s"version $v at $tableDir lists no data")
     readWithDeclared(spark, tableDir, v, paths)
   }
@@ -670,7 +685,7 @@ object ManifestTable {
     val inputs = pathsOf(fs, tableDir, baseV)
     val ddl = schemaOf(fs, tableDir, baseV)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
-    val data = readWithDeclared(spark, tableDir, baseV, inputs.map(p => s"$tableDir/$p"))
+    val data = readWithDeclared(spark, tableDir, baseV, inputs.map(p => absPath(tableDir, p)))
     // the DECLARED cluster spec governs the layout when one is set
     // ([[alterClusterBy]] — partition evolution: compaction REALIZES
     // the current spec, so a spec change + compact re-clusters without
@@ -799,7 +814,7 @@ object ManifestTable {
       require(basePaths.nonEmpty,
         s"$tableDir is empty and declares no schema — nothing to rewrite")
       readWithDeclared(spark, tableDir, baseV,
-        basePaths.map(p => s"$tableDir/$p")).schema
+        basePaths.map(p => absPath(tableDir, p))).schema
     }
     val touched = prunePathsIn(basePaths, baseStats,
       bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
@@ -819,7 +834,7 @@ object ManifestTable {
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
       else readWithDeclared(spark, tableDir, baseV,
-        touched.map(p => s"$tableDir/$p"))
+        touched.map(p => absPath(tableDir, p)))
     // declared CHECK constraints bind the rewrite output here (S30) —
     // one seam for DELETE/UPDATE/MERGE instead of per-caller wrapping —
     // and the bound keyset arms the publish-time conflict guard below
@@ -929,7 +944,7 @@ object ManifestTable {
     // OPEN a dir it is about to skip — a pruned dir may already be
     // GC'd or lost, and the scan still has to plan and run.
     val tableSchema = declaredSchemaOf(spark, tableDir, v).getOrElse(
-      readWithDeclared(spark, tableDir, v, paths.map(p => s"$tableDir/$p")).schema)
+      readWithDeclared(spark, tableDir, v, paths.map(p => absPath(tableDir, p))).schema)
     val keep = prunePathsIn(paths, stats, bounds, tableSchema)
     val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
     val pred = bounds.map { case (c, (lo, hi)) =>
@@ -939,7 +954,7 @@ object ManifestTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
         .filter(pred)
-    else readWithDeclared(spark, tableDir, v, keep.map(p => s"$tableDir/$p"))
+    else readWithDeclared(spark, tableDir, v, keep.map(p => absPath(tableDir, p)))
       .filter(pred)
   }
 
@@ -1040,7 +1055,10 @@ object ManifestTable {
         // committed after v double-applies
         meta = metaOf(fs, tableDir, head)) match {
         case Some(nv) =>
-          val missing = paths.map(_.split("/", 2).head).distinct
+          // relative entries check their top-level commit dir; foreign
+          // (clone) entries check the referenced location itself
+          val missing = paths
+            .map(p => if (isForeign(p)) p else p.split("/", 2).head).distinct
             .filterNot(d => fs.exists(new Path(tableDir, d)))
           if (missing.isEmpty) return nv
           fs.delete(new Path(manifestDir(tableDir), manifestName(nv)), false)
@@ -1048,6 +1066,52 @@ object ManifestTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** S33 — zero-copy SHALLOW CLONE: commit, at `targetDir`, a manifest
+    * whose entries are the SOURCE head's data dirs as fully-qualified
+    * foreign paths — no data file is read or copied, the clone costs
+    * one metadata write whatever the table size (Delta SHALLOW CLONE).
+    * The clone is then an independent table: its writes/DML/compaction
+    * land LOCAL dirs and never touch the source; the source's later
+    * commits never appear in the clone. Schema and `#stats` carry
+    * (re-keyed to the foreign entries, so data skipping works on the
+    * clone from commit one); table properties (checks, clusterBy,
+    * statsZone) carry; `txn:` idempotence watermarks do NOT — the
+    * clone is a new table and a stream re-pointed at it must apply its
+    * batches. A bucketed source's geometry markers are re-pinned at
+    * the target, so the clone merges with the same key and modulus.
+    *
+    * The documented caveat (same as Delta's): the clone references the
+    * source's files WITHOUT protecting them — the SOURCE's retention/
+    * vacuum can delete a dir the clone still lists. Mitigations, in
+    * order of strength: size the source's `minRetainMs`, or run
+    * `compactAppend`/`CALL system.compact` on the CLONE — compaction
+    * rewrites every row into local dirs, making the clone
+    * self-contained (the "deep-clone finisher", spec-proven by
+    * deleting the source). */
+  def shallowClone(spark: SparkSession, sourceDir: String,
+                   targetDir: String, retainGenerations: Int = 2): Long = {
+    val sfs = fsOf(spark, sourceDir)
+    val v = versions(sfs, sourceDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $sourceDir"))
+    require(versions(fsOf(spark, targetDir), targetDir).isEmpty,
+      s"clone target already has commits: $targetDir")
+    // fully-qualify so entries stay resolvable from the target whatever
+    // the working scheme (a clone-of-a-clone's foreign entries pass
+    // through untouched)
+    val srcQualified = sfs.makeQualified(new Path(sourceDir)).toString
+    val paths = pathsOf(sfs, sourceDir, v)
+    val abs = paths.map(p =>
+      if (isForeign(p)) p else s"$srcQualified/$p")
+    val stats = statsOf(sfs, sourceDir, v)
+    val absStats = paths.zip(abs)
+      .flatMap { case (p, a) => stats.get(p).map(a -> _) }.toMap
+    val meta = metaOf(sfs, sourceDir, v).filterNot(_._1.startsWith("txn:"))
+    MergeInto.bucketedGeometry(spark, sourceDir).foreach { case (k, n) =>
+      MergeInto.pinGeometry(spark, targetDir, k, n) }
+    commit(spark, targetDir, abs, retainGenerations,
+      schemaDdl = schemaOf(sfs, sourceDir, v), stats = absStats, meta = meta)
   }
 
   /** (version, commit epoch millis from the manifest file's mtime) for
@@ -1101,8 +1165,8 @@ object ManifestTable {
         s"version $v is not retained at $tableDir"))
     val fromP = pathsOf(fs, tableDir, fromV).toSet
     val toP = pathsOf(fs, tableDir, toV).toSet
-    val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => s"$tableDir/$p")
-    val onlyTo = (toP diff fromP).toSeq.sorted.map(p => s"$tableDir/$p")
+    val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => absPath(tableDir, p))
+    val onlyTo = (toP diff fromP).toSeq.sorted.map(p => absPath(tableDir, p))
     if (onlyFrom.isEmpty && onlyTo.isEmpty)
       // identical manifests — empty feed, but with the table's schema
       return readVersion(spark, tableDir, toV).limit(0)

@@ -111,7 +111,8 @@ object MergeInto {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema)
-      .parquet(touched.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}"): _*)
+      .parquet(touched.toIndexedSeq
+        .map(b => ManifestTable.absPath(tableDir, liveByBucket(b))): _*)
   }
 
   private def readMarker(spark: SparkSession, dir: String,
@@ -527,7 +528,8 @@ object MergeInto {
       // footer happens to carry.
       val standing =
         if (existing.nonEmpty) {
-          val paths = existing.toIndexedSeq.map(b => s"$tableDir/${liveByBucket(b)}")
+          val paths = existing.toIndexedSeq
+            .map(b => ManifestTable.absPath(tableDir, liveByBucket(b)))
           val rows = declared match {
             case Some(ddl) => spark.read
               .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -683,7 +685,7 @@ object MergeInto {
         "point lookup collects keys into a pushed isin predicate; for " +
         "large key sets join against MergeInto.read instead (or raise maxKeys)")
     val dirs = probed.map(_.getInt(1)).distinct.sorted.toIndexedSeq
-      .flatMap(liveByBucket.get).map(p => s"$tableDir/$p")
+      .flatMap(liveByBucket.get).map(p => ManifestTable.absPath(tableDir, p))
     if (dirs.isEmpty)
       return ManifestTable.read(spark, tableDir).limit(0)
     val rows = ManifestTable.schemaOf(fs, tableDir, liveV) match {

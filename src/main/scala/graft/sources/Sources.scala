@@ -1018,6 +1018,35 @@ object Sources {
           ORDER BY _commit_version, change_type""")
   }
 
+  /** S33 fixture: `lake.oclone` = a `CALL system.clone` of the S23
+    * table (all orders, 2 dirs, zero data copied), then one SQL DELETE
+    * ON THE CLONE removing the urgent post-1996 slice — the write
+    * lands local dirs; the source's foreign dirs are untouched. */
+  private val cloneDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"CALL $cat.system.clone(source => 'lake.ocat', " +
+      "target => 'lake.oclone')")
+    s.sql(s"""DELETE FROM $cat.lake.oclone
+              WHERE o_orderdate >= DATE'1997-01-01'""")
+    cat
+  })
+
+  /** S33: zero-copy shallow clone — the clone diverges by exactly the
+    * deleted slice while the SOURCE still answers for all of orders
+    * (the independence leg), proving the clone is a real table over
+    * borrowed dirs, not a view. Oracle: both legs from plain orders. */
+  def s33_shallow_clone(s: SparkSession, d: String): DataFrame = {
+    val cat = cloneDemo(s, d)
+    s.sql(
+      s"""SELECT c.n_clone, c.total_price, c.key_checksum, v.n_source
+          FROM (SELECT count(*) AS n_clone,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.oclone) c
+          CROSS JOIN (SELECT count(*) AS n_source
+                      FROM $cat.lake.ocat) v""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1049,6 +1078,7 @@ object Sources {
     "s30_constrained_ingest" -> (s30_constrained_ingest _),
     "s31_bucketed_catalog" -> (s31_bucketed_catalog _),
     "s32_changes_feed" -> (s32_changes_feed _),
+    "s33_shallow_clone" -> (s33_shallow_clone _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1292,5 +1322,13 @@ object Sources {
            WHERE o_orderdate >= DATE '1997-01-01'
              AND o_orderpriority = '1-URGENT')
          ORDER BY _commit_version, change_type""",
+    // the clone diverges by the deleted slice; the source answers whole
+    "s33_shallow_clone" ->
+      """SELECT count(*) AS n_clone,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT count(*) FROM orders) AS n_source
+         FROM orders
+         WHERE NOT (o_orderdate >= DATE '1997-01-01')""",
   )
 }
