@@ -305,6 +305,40 @@ object Curation {
       .drop("topn")
   }
 
+  /** T46 — sliding-window CHUNKING: the RAG-indexing / context-window
+    * counterpart of t42's packing. Each document becomes overlapping
+    * windows of W=64 whitespace tokens with O=16 overlap (stride 48,
+    * the classic fixed-window chunker); every chunk carries
+    * (doc_id, chunk_idx, n_tokens, chunk_md5), so the board row is the
+    * FULL chunk table and the oracle is row-exact, not an aggregate.
+    *
+    * Scale shape: pure per-row compute — split + sequence + one
+    * posexplode, a single WholeStageCodegen span with NO shuffle until
+    * the output sort. The explode multiplies rows, never payload: each
+    * chunk row carries only its own token slice (hashed immediately to
+    * 32 bytes), so a 100 TB corpus chunks at scan speed and the
+    * downstream (embedding, indexing — T5/T6/T31) sees fixed-size
+    * units. W/stride are the documented context-window knobs. */
+  def t46_chunking(s: SparkSession, d: String): DataFrame = {
+    val w = 64
+    val stride = 48 // = W - overlap(16)
+    val toks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+    val nChunks = (lit(1) + ceil(
+      greatest(col("n") - w, lit(0)) / lit(stride.toDouble)).cast("int"))
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("t"), col("chunk_idx") * stride + 1, lit(w)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ct"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
@@ -312,6 +346,7 @@ object Curation {
     "t43_hash_split" -> (t43_hash_split _),
     "t44_decontamination" -> (t44_decontamination _),
     "t45_dataset_card" -> (t45_dataset_card _),
+    "t46_chunking" -> (t46_chunking _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -473,5 +508,29 @@ object Curation {
                 round((SELECT topn FROM top) * 1.0 / count(*), 4)
                   AS top_lang_share
          FROM enr""",
+    // fixed-window chunker replayed with list slicing: same W=64 /
+    // stride=48 formula, same empty-token filter, same join-with-space
+    // normalization before the md5 — row-exact per chunk
+    "t46_chunking" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              t -> t <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+         chunks AS (
+           SELECT doc_id, t, n,
+                  UNNEST(range(0, 1 + CAST(ceil(greatest(n - 64, 0) / 48.0)
+                    AS BIGINT))) AS chunk_idx
+           FROM sized)
+         SELECT doc_id, chunk_idx,
+                CAST(len(t[chunk_idx * 48 + 1 :
+                           least(chunk_idx * 48 + 64, n)]) AS BIGINT)
+                  AS n_tokens,
+                md5(array_to_string(
+                  t[chunk_idx * 48 + 1 : least(chunk_idx * 48 + 64, n)], ' '))
+                  AS chunk_md5
+         FROM chunks
+         ORDER BY doc_id, chunk_idx""",
   )
 }

@@ -139,6 +139,40 @@ class CurationSpec extends SparkTestBase {
     assert(Set("de", "en", "es", "fr", "zh").contains(r.getString(7)))
   }
 
+  test("t46: chunk windows overlap by 16 tokens and cover every token") {
+    val chunks = graft.ops.Curation.t46_chunking(spark, sf)
+    val toks = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .withColumn("n", size(col("t"))).filter(col("n") > 0)
+    val joined = chunks.join(toks, "doc_id")
+    // window arithmetic: every chunk is full-width (64) except a
+    // document's last, which carries the tail remainder; token coverage
+    // is exact: last chunk's end == n
+    val bad = joined.filter(
+      (col("chunk_idx") * 48 + col("n_tokens")) =!=
+        least(col("chunk_idx") * 48 + 64, col("n"))).count()
+    assert(bad == 0L, "chunk width must be min(64, remainder)")
+    val lastEnd = joined.groupBy("doc_id", "n")
+      .agg(max(col("chunk_idx") * 48 + col("n_tokens")).as("end"))
+      .filter(col("end") =!= col("n")).count()
+    assert(lastEnd == 0L, "the last chunk must end exactly at the token count")
+    // overlap: consecutive full chunks share exactly 16 tokens — check
+    // via md5 of the shared slice on a sample document with >1 chunk
+    val multi = joined.filter(col("n") > 64).limit(1)
+      .select(col("doc_id"), col("t")).collect()
+    if (multi.nonEmpty) {
+      val t = multi.head.getSeq[String](1)
+      val c0 = t.slice(0, 64)
+      val c1 = t.slice(48, Math.min(48 + 64, t.length))
+      assert(c0.takeRight(16) == c1.take(16), "16-token overlap")
+    }
+    // deterministic: same rows on re-run
+    assert(chunks.collect().toSeq == graft.ops.Curation
+      .t46_chunking(spark, sf).collect().toSeq)
+  }
+
   test("t44: planted contamination is found through shingle overlap, not identity") {
     val r = ops.Curation.t44_decontamination(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
