@@ -272,11 +272,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = tableDir(ident)
     if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
     changes.foreach {
+      case s: TableChange.SetProperty if s.property == "layout" =>
+        throw new UnsupportedOperationException(
+          "layout is declared at CREATE TABLE (the bucket geometry pins " +
+            "in write-once markers) — re-layout via CALL system.clone " +
+            "into a new bucketed table")
       case s: TableChange.SetProperty if s.property == "clusterBy" =>
         // the liquid-clustering move: validate against the declared
         // schema and commit the ENGINE spec key, plus the prop echo
         // (one commit — alterMeta writes both keys; alterClusterBy's
         // schema validation is replicated here)
+        require(!MergeInto.bucketedGeometry(spark, dir).isDefined,
+          "a bucketed (layout=bucketed) table's dirs are hash buckets — " +
+            "clusterBy does not apply")
         val cols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "clusterBy needs at least one column")
         val head0 = ManifestTable.headVersion(spark, dir).get

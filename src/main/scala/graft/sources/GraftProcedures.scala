@@ -41,6 +41,17 @@ object GraftProcedures {
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val k = if (input.isNullAt(1)) 4 else input.getInt(1)
           val fs = catalog.activeFs
+          // a bucketed (S31) table compacts under its PINNED geometry —
+          // fold the accreted per-merge bucket files into one dir per
+          // bucket (k does not apply: the modulus is the layout)
+          if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+            MergeInto.compact(spark, dir)
+            val v = ManifestTable.headVersion(spark, dir).get
+            return oneRow(StructType(Seq(
+              StructField("version", LongType, nullable = false),
+              StructField("n_dirs", IntegerType, nullable = false))),
+              Array[Any](v, ManifestTable.pathsOf(fs, dir, v).size))
+          }
           val head = ManifestTable.headVersion(spark, dir).get
           val meta = ManifestTable.metaOf(fs, dir, head)
           val statsCols = meta.get(GraftCatalog.PropPrefix + "statsCols")

@@ -678,6 +678,14 @@ object ManifestTable {
                     retainGenerations: Int = 2): Long = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
     require(statsCols.nonEmpty, "compactAppend needs at least the sort column")
+    // a bucketed table's dirs are HASH buckets; a range/Morton rewrite
+    // would break the b=N invariant every merge relies on (worse: its
+    // rb= dirs PARSE as wrong bucket numbers) — its compaction is
+    // MergeInto.compact, which re-buckets under the pinned geometry
+    require(!fsOf(spark, tableDir).exists(
+        new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — compact it with " +
+        "MergeInto.compact (or CALL system.compact, which routes there)")
     val sortCol = statsCols.head
     val fs = fsOf(spark, tableDir)
     val baseV = versions(fs, tableDir).lastOption.getOrElse(

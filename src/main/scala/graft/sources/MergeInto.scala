@@ -404,6 +404,16 @@ object MergeInto {
     } finally winner.unpersist()
   }
 
+  /** The retention a merge-table commit must honor: the table's
+    * PERSISTED `retainGenerations` property (the catalog's `prop:`
+    * meta channel) when declared, else the engine default — so a
+    * bucketed catalog table created with `retainGenerations=10` keeps
+    * its history through every merge/compaction route, not just the
+    * append paths that thread the knob explicitly. */
+  private def retainOf(meta: Map[String, String]): Int =
+    meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+
   /** True iff `t` means "the snapshot I observed no longer exists on
     * disk" — the signature of a racing commit's GC sweeping dirs
     * between a reader's manifest resolve and its scan. Two shapes:
@@ -574,13 +584,16 @@ object MergeInto {
       val written = fs.listStatus(new Path(s"$tableDir/$cid"))
         .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
       val untouchedPaths = (liveByBucket -- touched).values.toSeq
+      // #meta (txn watermarks, persisted props) survives a merge, and
+      // the table's declared retention governs this commit's GC
+      val headMeta = liveV.map(v => ManifestTable.metaOf(fs, tableDir, v))
+        .getOrElse(Map.empty[String, String])
       val published = ManifestTable.commitIf(spark, tableDir,
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
+        retainGenerations = retainOf(headMeta),
         schemaDdl = Some(tableSchema.toDDL),
-        // #meta (txn watermarks, cluster specs) survives a merge
-        meta = liveV.map(v => ManifestTable.metaOf(fs, tableDir, v))
-          .getOrElse(Map.empty))
+        meta = headMeta)
       published match {
         case some @ Some(_) => some
         // lost the publish — but if the interleaved commits left OUR
@@ -632,10 +645,11 @@ object MergeInto {
         return None // true conflict: our standing read is stale
       val declared = ManifestTable.schemaOf(fs, tableDir, headV)
       val merged = resolveSchema(tableDir, declared, ourSchema)
+      val headMeta = ManifestTable.metaOf(fs, tableDir, headV)
       val r = ManifestTable.commitIf(spark, tableDir,
         ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
-        expectedBase = headV, schemaDdl = Some(merged.toDDL),
-        meta = ManifestTable.metaOf(fs, tableDir, headV))
+        expectedBase = headV, retainGenerations = retainOf(headMeta),
+        schemaDdl = Some(merged.toDDL), meta = headMeta)
       if (r.isDefined) return r
     }
     None
@@ -737,11 +751,12 @@ object MergeInto {
           .write.partitionBy("b").parquet(s"$tableDir/$cid")
         val buckets = fs.listStatus(new Path(s"$tableDir/$cid"))
           .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+        val headMeta = ManifestTable.metaOf(fs, tableDir, baseV)
         done = ManifestTable.commitIf(spark, tableDir,
           buckets.map(b => s"$cid/$b").toSeq,
-          expectedBase = baseV,
+          expectedBase = baseV, retainGenerations = retainOf(headMeta),
           schemaDdl = Some(live.schema.toDDL),
-          meta = ManifestTable.metaOf(fs, tableDir, baseV)).isDefined
+          meta = headMeta).isDefined
       } catch {
         // the observed base's dirs (or its manifest) were GC'd by a
         // racing writer's commit mid-read — same rebase as a conflict

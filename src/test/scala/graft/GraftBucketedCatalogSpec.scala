@@ -230,6 +230,48 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL system.compact re-buckets under the pinned geometry; retention honored") {
+    val dir = freshBucketed("b10", n = 4)
+    spark.sql("INSERT INTO gbkt.lake.b10 VALUES (1,'a',1.0),(2,'b',2.0)")
+    spark.sql("INSERT INTO gbkt.lake.b10 VALUES (3,'c',3.0),(4,'d',4.0)")
+    spark.sql("INSERT INTO gbkt.lake.b10 VALUES (5,'e',5.0),(6,'f',6.0)")
+    // the declared retainGenerations=10 governs merge commits too —
+    // every version is still retained (create + 3 inserts)
+    assert(ManifestTable.versions(fs, dir).size == 4,
+      "declared retention must survive merge-kernel commits")
+    val r = spark.sql("CALL gbkt.system.compact(table => 'lake.b10')").head()
+    // compaction folded the accreted per-merge bucket files into one
+    // dir per OCCUPIED bucket, still b=-shaped (never rb= range dirs)
+    val paths = ManifestTable.livePaths(fs, dir)
+    assert(paths.forall(_.contains("b=")), s"layout broken: $paths")
+    assert(paths.map(_.split("/", 2).head).distinct.size == 1,
+      "one commit dir after compaction")
+    assert(rows("b10").keySet == (1L to 6L).toSet)
+    spark.sql("INSERT INTO gbkt.lake.b10 VALUES (2,'B!',22.0)")
+    assert(rows("b10")(2L) == ("B!", 22.0))
+    assert(r.getInt(1) >= 1)
+  }
+
+  test("layout is CREATE-time only; clusterBy does not apply to bucketed tables") {
+    freshBucketed("b11")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e1 = intercept[Exception] {
+      spark.sql("ALTER TABLE gbkt.lake.b11 SET TBLPROPERTIES ('clusterBy'='v')")
+    }
+    assert(msgs(e1).exists(_.contains("hash buckets")), msgs(e1))
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gbkt.lake.b11 SET TBLPROPERTIES ('layout'='bucketed:v')")
+    }
+    assert(msgs(e2).exists(_.contains("CREATE")), msgs(e2))
+    // direct-API compactAppend refuses the layout-breaking rewrite
+    val e3 = intercept[IllegalArgumentException] {
+      ManifestTable.compactAppend(spark, s"$wh/lake/b11", Seq("k"))
+    }
+    assert(e3.getMessage.contains("MergeInto.compact"), e3.getMessage)
+  }
+
   test("s31 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s31_bucketed_catalog(spark, sf).head()
     assert(r.getLong(0) > 0)
