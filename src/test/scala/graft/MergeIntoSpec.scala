@@ -1093,6 +1093,7 @@ class MergeIntoSpec extends SparkTestBase {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var model = Vector.empty[MergeRow]
     var snaps = Map.empty[Long, Vector[MergeRow]]
+    var clones = Vector.empty[(String, Vector[MergeRow])]
     def sortedM(v: Seq[MergeRow]) = v.sortBy(r => (r.k, r.v, r.amt))
     def tableRows: Seq[MergeRow] =
       ManifestTable.read(spark, dir).as[MergeRow].collect().toSeq
@@ -1182,6 +1183,33 @@ class MergeIntoSpec extends SparkTestBase {
         assert(sortedM(tableRows) == sortedM(model),
           s"step $step: restore of v$target diverged (stats must carry through)")
       }
+      // shallow clone mid-sequence: the clone tracks its OWN model from
+      // the cut point — compacted immediately into self-containment
+      // (this fuzz's retain-2 source GC would otherwise sweep referenced
+      // dirs, the documented caveat), then independently mutated; no
+      // leak in either direction, re-checked again at fuzz end
+      if (step % 7 == 6 && model.nonEmpty) {
+        val cdir = freshDir()
+        ManifestTable.shallowClone(spark, dir, cdir, retainGenerations = 10)
+        ManifestTable.compactAppend(spark, cdir, Seq("amt"), k = 2)
+        def cloneRows = ManifestTable.read(spark, cdir)
+          .as[MergeRow].collect().toSeq
+        assert(sortedM(cloneRows) == sortedM(model),
+          s"step $step: clone != source at the cut")
+        val cut = rnd.nextInt(1000) / 10.0
+        ManifestTable.deleteWhere(spark, cdir, $"amt" < cut,
+          Map("amt" -> ("-1.0", cut.toString)))
+        val cmodel = model.filterNot(_.amt < cut)
+        assert(sortedM(cloneRows) == sortedM(cmodel),
+          s"step $step: clone delete diverged")
+        clones = clones :+ (cdir -> cmodel)
+        assert(sortedM(tableRows) == sortedM(model),
+          s"step $step: clone ops leaked into the source")
+      }
+    }
+    clones.foreach { case (cdir, cm) =>
+      assert(sortedM(ManifestTable.read(spark, cdir).as[MergeRow].collect().toSeq)
+        == sortedM(cm), s"source ops leaked into clone $cdir")
     }
   }
 
