@@ -46,13 +46,52 @@ import org.apache.spark.sql.types.StructType
   * semi-internal parquet reader APIs.
   */
 class GraftManifestSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft-manifest"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-manifest needs a path: .load(dir) or OPTIONS (path '...')"))
+
+  /** X14 — `spark.readStream.format("graft-manifest")
+    * .option("readChangeFeed", true).load(dir)`: the row-level CDC
+    * feed as a STREAM. Served through Spark's V1 `Source` API
+    * deliberately — each micro-batch is a signed-aggregation DIFF (a
+    * plan with a shuffle), which the V2 `MicroBatchStream` partition
+    * contract cannot express; Delta's streaming source rides the same
+    * seam for the same reason. Append tailing (dirs only, columnar)
+    * stays on the V2 X13 source (`format("graft")`). */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(parameters.get("readChangeFeed").exists(_.toBoolean),
+      "graft-manifest streams the CHANGE FEED (option readChangeFeed=" +
+        "true); to tail appends columnar use spark.readStream" +
+        ".format(\"graft\") — the X13 source")
+    (shortName(),
+      GraftMetaTables.changesSchemaOf(ctx.sparkSession, pathOf(parameters)))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    require(parameters.get("readChangeFeed").exists(_.toBoolean),
+      "graft-manifest streams the CHANGE FEED (option readChangeFeed=true)")
+    val dir = pathOf(parameters)
+    val spark = ctx.sparkSession
+    // default floor = the head at stream START: only NEW commits
+    // stream (Delta CDF streaming's default); startingVersion=v makes
+    // the first batch INCLUDE v's changes
+    val floor = parameters.get("startingVersion").map(_.toLong - 1)
+      .orElse(ManifestTable.headVersion(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest at $dir"))
+    new GraftCdcSource(spark, dir, floor)
+  }
 
   override def createRelation(ctx: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -459,4 +498,72 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
         org.apache.spark.sql.functions.col): _*)
     projected.rdd
   }
+}
+
+/** X14 — the manifest table's CDC feed as a Structured Streaming
+  * SOURCE. Offsets are manifest VERSIONS (the same log positions X13
+  * uses); each micro-batch is the union of per-adjacent-version diff
+  * feeds in `(start, end]`, tagged `_commit_version` — an update
+  * arrives as delete(old image) + insert(new image), and a pure
+  * compaction contributes an EMPTY diff (old and new dirs cancel in
+  * the multiset), so maintenance never floods the consumer the way
+  * X13's `ignoreChanges` re-emission does.
+  *
+  * Exactly-once: versions in the checkpoint; re-planned batches diff
+  * the same immutable manifests. A restart whose checkpointed version
+  * is no longer RETAINED fails loudly naming the retention knobs — the
+  * diff needs the old manifest as its base (size `retainGenerations` /
+  * `minRetainMs` to the longest restart gap, the X13 rule).
+  *
+  * Scale: each batch costs only the dirs that CHANGED in its version
+  * steps; the steady-state tail is O(changes), never O(table). */
+private[sources] class GraftCdcSource(spark: SparkSession, dir: String,
+                                      floor: Long)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+
+  private def fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  override val schema: StructType =
+    GraftMetaTables.changesSchemaOf(spark, dir)
+
+  private def versionOf(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case so: SerializedOffset => so.json.toLong
+    case other => throw new IllegalStateException(
+      s"unexpected offset type ${other.getClass} for the graft CDC source")
+  }
+
+  // the head, unconditionally: `floor` must only bound a FRESH
+  // stream's first batch (getBatch's start=None case) — a source is
+  // RE-created on restart with a new floor, and filtering here would
+  // suppress batches the checkpointed offset is entitled to
+  override def getOffset: Option[Offset] =
+    ManifestTable.headVersion(spark, dir).map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(versionOf).getOrElse(floor)
+    val hi = versionOf(end)
+    // the diff for version lo+1 needs version lo's manifest as its
+    // base. The only legitimate base OUTSIDE the retained set is the
+    // EMPTY pre-table (lo=0) — and only while version 1 itself is
+    // still retained (version numbers are dense, so a retained head
+    // above 1 means real history was GC'd and its changes are
+    // unrecoverable, not empty).
+    val vs = ManifestTable.versions(fs, dir)
+    require(lo >= hi || vs.contains(lo) || (lo == 0L && vs.headOption.contains(1L)),
+      s"stream offset version $lo is no longer retained at $dir — size " +
+        "retainGenerations/minRetainMs to cover the longest restart gap, " +
+        "or restart from a fresh checkpoint")
+    val feed = GraftMetaTables.changesFeedRange(spark, dir, lo, hi)
+    // the engine asserts isStreaming on the returned plan; the diff
+    // stays LAZY — toRdd builds the DAG, rows compute when the
+    // micro-batch runs (see StreamingShim for the seam rationale)
+    org.apache.spark.sql.graft.StreamingShim.streamingDataFrame(
+      spark, feed.queryExecution.toRdd, feed.schema)
+  }
+
+  override def stop(): Unit = ()
 }

@@ -65,7 +65,16 @@ object GraftMetaTables {
     * across a schema evolution null-fills the added columns on
     * pre-evolution rows (union-by-name to the head shape). */
   private[graft] def changesFeed(spark: SparkSession,
-                                 dir: String): org.apache.spark.sql.DataFrame = {
+                                 dir: String): org.apache.spark.sql.DataFrame =
+    changesFeedRange(spark, dir, Long.MinValue, Long.MaxValue)
+
+  /** [[changesFeed]] bounded to commit versions in `(loV, hiV]` — the
+    * X14 streaming source's per-micro-batch slice. Adjacent RETAINED
+    * pairs only; the caller validates that its lower bound is still
+    * retained (a GC'd diff base means silently lost changes). */
+  private[graft] def changesFeedRange(spark: SparkSession, dir: String,
+                                      loV: Long, hiV: Long)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
     val vs = ManifestTable.versions(fs, dir)
@@ -74,13 +83,32 @@ object GraftMetaTables {
     val outCols = outSchema.fieldNames.toIndexedSeq.map(col)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    vs.zip(vs.drop(1)).map { case (a, b) =>
+    // version 1's base is the EMPTY pre-table: its changes are its
+    // full content as inserts (only constructible while v1 is itself
+    // retained — a retained head above 1 means real history was GC'd)
+    val v1Feed =
+      if (vs.headOption.contains(1L) && 1L > loV && 1L <= hiV &&
+          ManifestTable.pathsOf(fs, dir, 1L).nonEmpty)
+        Seq(ManifestTable.readVersion(spark, dir, 1L)
+          .withColumn("change_type", lit("insert"))
+          .withColumn("_commit_version", lit(1L)))
+      else Seq.empty
+    (v1Feed ++ vs.zip(vs.drop(1))
+      .filter { case (_, b) => b > loV && b <= hiV }
+      .map { case (a, b) =>
         ManifestTable.changes(spark, dir, a, b)
           .withColumn("_commit_version", lit(b))
-      }
+      })
       .foldLeft(empty)((acc, f) =>
         acc.unionByName(f, allowMissingColumns = true))
       .select(outCols: _*)
+  }
+
+  /** The `t$changes` / streaming-CDC output shape for `dir`. */
+  private[graft] def changesSchemaOf(spark: SparkSession,
+                                     dir: String): StructType = {
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    changesSchema(spark, fs, dir)
   }
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)

@@ -325,6 +325,96 @@ class GraftSourceSpec extends SparkTestBase {
       .head.getLong(0) == 4L)
   }
 
+  test("X14: the CDC feed STREAMS — exactly-once, deletes flow, compaction silent") {
+    val dir = freshDir()
+    val s = spark; import s.implicits._
+    def app(rows: (Int, String)*): Long =
+      ManifestTable.append(rows.toDF("k", "v"), dir,
+        statsCols = Seq("k"), retainGenerations = 10)
+    app(1 -> "a", 2 -> "b")
+    val ckpt = java.nio.file.Files.createTempDirectory("x14ck").toString
+    val out = java.nio.file.Files.createTempDirectory("x14out").toString
+    // a DURABLE sink (memory does not recover from a checkpoint):
+    // parquet sink + checkpoint = the real exactly-once consumer shape
+    def startQ() = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val sinkSchema = graft.sources.GraftMetaTables.changesSchemaOf(spark, dir)
+    def sink = spark.read.schema(sinkSchema).parquet(out)
+      .select($"_commit_version", $"change_type", $"k", $"v")
+      .as[(Long, String, Int, String)].collect().sortBy(t => (t._1, t._2, t._3))
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      assert(sink.isEmpty, "default floor = head at start: only NEW commits")
+      val v2 = app(3 -> "c", 4 -> "d")
+      q.processAllAvailable()
+      assert(sink.toSeq == Seq((v2, "insert", 3, "c"), (v2, "insert", 4, "d")))
+      // a row-level delete streams as a delete row
+      val v3 = ManifestTable.deleteWhere(spark, dir, $"k" === 3,
+        Map("k" -> ("3", "3")), retainGenerations = 10)
+      q.processAllAvailable()
+      assert(sink.count(_._2 == "delete") == 1 &&
+        sink.contains((v3, "delete", 3, "c")))
+      // a pure compaction contributes an EMPTY diff — maintenance never
+      // floods the consumer (unlike X13's ignoreChanges re-emission)
+      val n = sink.length
+      ManifestTable.compactAppend(spark, dir, Seq("k"), k = 2,
+        retainGenerations = 10)
+      q.processAllAvailable()
+      assert(sink.length == n, "compaction leaked into the CDC stream")
+    } finally q.stop()
+    // restart from the checkpoint: exactly-once across the gap — only
+    // the commit that landed while the stream was down arrives
+    val before = {
+      val qq = startQ(); qq.processAllAvailable(); qq.stop()
+      sink.length
+    }
+    val v5 = app(9 -> "z")
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      assert(sink.length == before + 1 && sink.contains((v5, "insert", 9, "z")))
+    } finally q2.stop()
+  }
+
+  test("X14: startingVersion streams the retained history; falling behind retention is loud") {
+    val dir = freshDir()
+    val s = spark; import s.implicits._
+    ManifestTable.append(Seq(1 -> "a").toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10)
+    ManifestTable.append(Seq(2 -> "b").toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10)
+    val ckpt = java.nio.file.Files.createTempDirectory("x14sv").toString
+    val out = java.nio.file.Files.createTempDirectory("x14svout").toString
+    val sinkSchema = graft.sources.GraftMetaTables.changesSchemaOf(spark, dir)
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "2").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // from version 2 inclusive: exactly the second append's row
+      assert(spark.read.schema(sinkSchema).parquet(out)
+        .select($"k").as[Int].collect().toSeq == Seq(2))
+    } finally q.stop()
+    // age the table past the checkpointed offset with retain=2 commits
+    (1 to 8).foreach(i => ManifestTable.append(
+      Seq((10 + i) -> "x").toDF("k", "v"), dir, retainGenerations = 2))
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable(); q2.awaitTermination(10000): Unit
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no longer retained")), msgs(e))
+  }
+
   test("write side: append / errorIfExists / ignore / overwrite SaveModes") {
     val dir = freshDir()
     batch(1995).write.format("graft-manifest")
