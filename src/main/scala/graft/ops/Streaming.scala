@@ -214,6 +214,67 @@ object Streaming {
       tbl
   })
 
+  /** X9 fixture: TWO AvailableNow streaming passes through the
+    * idempotent upsert sink ([[graft.streaming.Streams.upsertSink]] —
+    * the MergeInto kernel with an event-time tie order). Pass 1
+    * streams the whole corpus into a fresh bucketed table (all
+    * inserts); pass 2 streams a CDC changeset — every `purchase`
+    * becomes a TOMBSTONE (user_id flagged -1, consumed by
+    * `deleteWhen`), and every `user_id % 7 == 0` event re-arrives with
+    * `value + 100` (an update: whole-row replace by key). Each
+    * event_id appears at most once per pass, so the final table is
+    * batching-invariant — however the source splits micro-batches,
+    * the per-key outcome is the same. */
+  private val upsertDemo = new graft.FixtureMemo((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_x9_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+            .asScala.toSeq.reverseIterator.foreach(p => p.toFile.delete())
+        } catch { case _: Throwable => () }))
+      val tbl = s"$root/tbl"
+      val base = ev(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts"), col("value"))
+      base.write.parquet(s"$root/src1")
+      graft.streaming.Streams.upsertSink(
+        s.readStream.schema(base.schema).parquet(s"$root/src1"),
+        tbl, s"$root/ck1", nBuckets = 8,
+        deleteWhen = col("user_id") < 0)
+      val changes = base
+        .filter(col("event_type") === "purchase" || col("user_id") % 7 === 0)
+        .select(col("event_id"),
+          when(col("event_type") === "purchase", lit(-1L))
+            .otherwise(col("user_id")).as("user_id"),
+          col("event_type"), col("ts"),
+          when(col("event_type") =!= "purchase", col("value") + 100.0)
+            .otherwise(col("value")).as("value"))
+      changes.write.parquet(s"$root/src2")
+      graft.streaming.Streams.upsertSink(
+        s.readStream.schema(base.schema).parquet(s"$root/src2"),
+        tbl, s"$root/ck2", nBuckets = 8,
+        deleteWhen = col("user_id") < 0)
+      tbl
+  })
+
+  /** X9: the idempotent streaming upsert sink under the oracle gate —
+    * after an insert pass and a CDC pass (updates + tombstones), the
+    * table must equal the SQL reconstruction: purchases gone, the
+    * `user_id % 7` slice re-valued, everything else untouched. The
+    * kernel itself (markers, window dedup, O(touched buckets) rewrite)
+    * is s16's, oracle-green there; this row proves the STREAMING wiring
+    * — checkpointed AvailableNow passes through foreachBatch —
+    * delivers the same table. */
+  def x9_upsert_stream(s: SparkSession, d: String): DataFrame = {
+    val tbl = upsertDemo(s, d)
+    graft.streaming.Streams.readUpserted(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** X8: streaming ingestion → append table, verified through the
     * DuckDB gate — the aggregate over the streamed-in manifest table
     * must equal the same aggregate straight off the corpus (ingest may
@@ -237,6 +298,7 @@ object Streaming {
     "x6_funnel" -> (x6_funnel _),
     "x7_stream_static_join" -> (x7_stream_static_join _),
     "x8_stream_ingest" -> (x8_stream_ingest _),
+    "x9_upsert_stream" -> (x9_upsert_stream _),
     "x10_interval_join" -> (x10_interval_join _),
   )
 
@@ -317,6 +379,15 @@ object Streaming {
          round(sum(value), 2) AS total_value,
          CAST(sum(event_id) AS BIGINT) AS id_checksum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // after the CDC pass: purchases tombstoned away, the user%7 slice
+    // re-valued (+100), everything else as ingested
+    "x9_upsert_stream" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(CASE WHEN user_id % 7 = 0 THEN value + 100.0
+                        ELSE value END), 2) AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS id_checksum
+         FROM events WHERE event_type <> 'purchase'
+         GROUP BY event_type ORDER BY event_type""",
     "x10_interval_join" ->
       """WITH clicks AS (
            SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts
