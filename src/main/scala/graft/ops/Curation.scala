@@ -339,6 +339,48 @@ object Curation {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** T47 — PII scrubbing: the safety pass a training corpus runs
+    * before release. Three ASCII pattern classes — email, US-shaped
+    * phone, SSN-shaped — are counted per document and redacted to
+    * typed placeholders in a fixed order (email → SSN → phone). The
+    * corpus is augmented with PLANTED rows (doc_id + 1,000,000,
+    * deterministic PII synthesized from the doc_id — the t26 planting
+    * idiom) so the scrub provably fires; the board row is every
+    * PII-bearing doc's (counts, redacted-text md5) — row-exact against
+    * the oracle's identical regex algebra.
+    *
+    * Scale shape: a pure per-row codegen'd projection — no shuffle
+    * until the output sort; patterns are deliberately RE2∩Java-safe
+    * (character classes, bounded repeats, \b — no backrefs or
+    * lookarounds), which is also what keeps them portable to any
+    * engine that might co-own the corpus at 100 TB. */
+  def t47_pii_redaction(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+    val base = documents(s, d)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    val planted = base.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("contact u"), col("doc_id"), lit("@example.com or "),
+          lit("415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ssn 123-45-6789 "), col("t")).as("t"))
+    val corpus = base.unionByName(planted)
+    val out = corpus
+      .withColumn("n_emails", regexp_count(col("t"), lit(email)))
+      .withColumn("n_ssns", regexp_count(col("t"), lit(ssn)))
+      .withColumn("n_phones", regexp_count(col("t"), lit(phone)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("t"),
+          email, "<EMAIL>"), ssn, "<SSN>"), phone, "<PHONE>"))
+    out.filter(col("n_emails") + col("n_ssns") + col("n_phones") > 0)
+      .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+        col("n_ssns").cast("long").as("n_ssns"),
+        col("n_phones").cast("long").as("n_phones"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
@@ -347,6 +389,7 @@ object Curation {
     "t44_decontamination" -> (t44_decontamination _),
     "t45_dataset_card" -> (t45_dataset_card _),
     "t46_chunking" -> (t46_chunking _),
+    "t47_pii_redaction" -> (t47_pii_redaction _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -532,5 +575,35 @@ object Curation {
                   AS chunk_md5
          FROM chunks
          ORDER BY doc_id, chunk_idx""",
+    // identical regex algebra (RE2∩Java-safe patterns), identical
+    // planting, identical email → SSN → phone redaction order
+    "t47_pii_redaction" ->
+      """WITH base AS (
+           SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         planted AS (
+           SELECT doc_id + 1000000 AS doc_id,
+                  'contact u' || doc_id || '@example.com or 415-555-' ||
+                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                  ' ssn 123-45-6789 ' || t AS t
+           FROM base WHERE doc_id % 50 = 0),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         scrubbed AS (
+           SELECT doc_id,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssns,
+             len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS redacted
+           FROM corpus)
+         SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+                CAST(n_ssns AS BIGINT) AS n_ssns,
+                CAST(n_phones AS BIGINT) AS n_phones,
+                md5(redacted) AS redacted_md5
+         FROM scrubbed
+         WHERE n_emails + n_ssns + n_phones > 0
+         ORDER BY doc_id""",
   )
 }

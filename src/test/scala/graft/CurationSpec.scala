@@ -173,6 +173,31 @@ class CurationSpec extends SparkTestBase {
       .t46_chunking(spark, sf).collect().toSeq)
   }
 
+  test("t47: planted PII is counted and redacted; no raw pattern survives") {
+    val out = graft.ops.Curation.t47_pii_redaction(spark, sf)
+    val planted = out.filter(col("doc_id") >= 1000000L)
+    assert(planted.count() > 0, "planting must fire")
+    // every planted row carries at least the synthesized email+ssn+phone
+    assert(planted.filter(col("n_emails") < 1 || col("n_ssns") < 1 ||
+      col("n_phones") < 1).count() == 0)
+    // and the redacted text itself contains no surviving raw pattern —
+    // recompute the scrub and re-count on the redacted side
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val doc = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+    val redone = doc.filter(col("doc_id") % 50 === 0)
+      .select(concat(lit("contact u"), col("doc_id"), lit("@example.com or "),
+        lit("415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ssn 123-45-6789 "), col("t")).as("t"))
+      .select(regexp_replace(regexp_replace(regexp_replace(col("t"),
+        email, "<EMAIL>"), "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+        "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>").as("r"))
+    assert(redone.filter(regexp_count(col("r"), lit(email)) > 0).count() == 0,
+      "raw emails survived the scrub")
+    assert(redone.filter(col("r").rlike("\\b\\d{3}-\\d{2}-\\d{4}\\b")).count()
+      == 0, "raw SSNs survived the scrub")
+  }
+
   test("t44: planted contamination is found through shingle overlap, not identity") {
     val r = ops.Curation.t44_decontamination(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum

@@ -379,6 +379,35 @@ class GraftSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("X14 over a bucketed upsert table: updates stream as delete+insert pairs") {
+    // the Debezium-shaped feed: a keyed table's merges surface as
+    // old-image deletes + new-image inserts, and only the TOUCHED
+    // buckets' rows diff (untouched bucket dirs cancel by path)
+    val dir = freshDir()
+    val s = spark; import s.implicits._
+    graft.sources.MergeInto.create(
+      (1L to 8L).map(k => (k, s"v$k")).toDF("k", "v"), dir, "k", nBuckets = 4)
+    val out = java.nio.file.Files.createTempDirectory("x14bk").toString
+    val ck = java.nio.file.Files.createTempDirectory("x14bkck").toString
+    val sinkSchema = graft.sources.GraftMetaTables.changesSchemaOf(spark, dir)
+    val q = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      graft.sources.MergeInto.merge(
+        Seq((3L, "UPD"), (99L, "NEW")).toDF("k", "v"), dir)
+      q.processAllAvailable()
+      val got = spark.read.schema(sinkSchema).parquet(out)
+        .select($"change_type", $"k", $"v").as[(String, Long, String)]
+        .collect().sortBy(t => (t._2, t._1))
+      assert(got.toSeq == Seq(
+        ("delete", 3L, "v3"), ("insert", 3L, "UPD"), ("insert", 99L, "NEW")),
+        got.toSeq)
+    } finally q.stop()
+  }
+
   test("X14: startingVersion streams the retained history; falling behind retention is loud") {
     val dir = freshDir()
     val s = spark; import s.implicits._
