@@ -135,14 +135,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     tableAt(ident, dir, head)
   }
 
-  /** SQL `VERSION AS OF n` — routed here by Spark's time-travel
-    * resolution; validated against retention like the `versionAsOf`
-    * read option. */
+  /** SQL `VERSION AS OF n` or `VERSION AS OF 'tagname'` (S34) — routed
+    * here by Spark's time-travel resolution; validated against
+    * retention like the `versionAsOf` read option (a tagged version is
+    * retained by construction — GC pins it). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"graft VERSION AS OF wants a manifest version number, got '$version'"))
+    val v = ManifestTable.resolveVersionArg(spark, dir, version)
     require(ManifestTable.versions(fs, dir).contains(v),
       s"version $v is not retained at $dir")
     tableAt(ident, dir, v)
@@ -417,7 +417,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("compact", "restore", "vacuum", "lookup", "clone")
+      Array("compact", "restore", "vacuum", "lookup", "clone", "tag", "untag")
         .map(n => Identifier.of(namespace, n))
     else Array.empty
 
@@ -432,9 +432,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "vacuum" => new GraftProcedures.Vacuum(this)
       case "lookup" => new GraftProcedures.Lookup(this)
       case "clone" => new GraftProcedures.Clone(this)
+      case "tag" => new GraftProcedures.Tag(this)
+      case "untag" => new GraftProcedures.Untag(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: system.compact, " +
-          "system.restore, system.vacuum, system.lookup, system.clone")
+          "system.restore, system.vacuum, system.lookup, system.clone, " +
+          "system.tag, system.untag")
     }
   }
 

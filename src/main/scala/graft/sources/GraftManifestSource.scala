@@ -108,7 +108,9 @@ class GraftManifestSource extends RelationProvider
           s"no committed manifest at $dir"))
       GraftChangesRelation(ctx, dir, from, to)
     } else {
-      val v = parameters.get("versionAsOf").map(_.toLong).orElse(head)
+      val v = parameters.get("versionAsOf")
+        .map(ManifestTable.resolveVersionArg(ctx.sparkSession, dir, _))
+        .orElse(head)
         .getOrElse(throw new IllegalArgumentException(
           s"no committed manifest at $dir"))
       // table-level write options (CREATE TABLE ... OPTIONS) ride on

@@ -162,6 +162,72 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.tag(table => 'ns.t', name => 'v1.0'[, version
+    * => n])` — S34 version tags: a named pointer GC RETAINS (manifest
+    * + data) past any generation/age policy until untagged, resolvable
+    * as `VERSION AS OF 'v1.0'` and `versionAsOf=v1.0` on every read
+    * surface. The release-pinning move (Iceberg tags). */
+  class Tag(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "tag"
+    override def description(): String =
+      "pin a retained version under a name, protected from GC"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "tag"
+        override def description(): String = Tag.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("NULL").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val head = ManifestTable.headVersion(spark, dir).get
+          val retain = ManifestTable.metaOf(catalog.activeFs, dir, head)
+            .get(GraftCatalog.PropPrefix + "retainGenerations")
+            .flatMap(_.toIntOption).getOrElse(2)
+          val v = ManifestTable.tag(spark, dir,
+            input.getUTF8String(1).toString,
+            if (input.isNullAt(2)) None else Some(input.getLong(2)), retain)
+          oneRow(StructType(Seq(
+            StructField("tagged_version", LongType, nullable = false))),
+            Array[Any](v))
+        }
+      }
+  }
+
+  /** `CALL cat.system.untag(table => 'ns.t', name => 'v1.0')` — drop
+    * the pointer; the version rejoins ordinary retention. */
+  class Untag(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "untag"
+    override def description(): String =
+      "drop a version tag; the version rejoins ordinary retention"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "untag"
+        override def description(): String = Untag.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val head = ManifestTable.headVersion(spark, dir).get
+          val retain = ManifestTable.metaOf(catalog.activeFs, dir, head)
+            .get(GraftCatalog.PropPrefix + "retainGenerations")
+            .flatMap(_.toIntOption).getOrElse(2)
+          ManifestTable.untag(spark, dir,
+            input.getUTF8String(1).toString, retain)
+          oneRow(StructType(Seq(
+            StructField("dropped", StringType, nullable = false))),
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString(input.getUTF8String(1).toString)))
+        }
+      }
+  }
+
   /** `CALL cat.system.clone(source => 'ns.t', target => 'ns.t2')` —
     * S33 zero-copy SHALLOW CLONE as one SQL statement
     * ([[ManifestTable.shallowClone]]): the target becomes an

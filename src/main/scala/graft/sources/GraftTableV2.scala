@@ -89,7 +89,8 @@ class GraftTableProvider extends TableProvider
     require(!(options.containsKey("versionAsOf") &&
         options.containsKey("timestampAsOf")),
       "versionAsOf and timestampAsOf are mutually exclusive")
-    Option(options.get("versionAsOf")).map(_.toLong) match {
+    Option(options.get("versionAsOf"))
+      .map(ManifestTable.resolveVersionArg(spark, dir, _)) match {
       case some @ Some(v) =>
         // validate retention HERE: a GC'd version would otherwise
         // surface as an unexplained missing-manifest read downstream

@@ -1076,6 +1076,81 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  private[sources] val TagPrefix = "tag:"
+
+  /** S34 — TAG a retained version with a name (Iceberg tags): one
+    * optimistic metadata commit adds `tag:<name> -> version` to the
+    * `#meta` channel, after which (a) `VERSION AS OF '<name>'` /
+    * `versionAsOf=<name>` resolve it, and (b) GC RETAINS the tagged
+    * version — manifest and data — past any generation or age policy,
+    * until [[untag]] drops the pointer. Meta carries forward through
+    * every commit, so tags survive appends, DML, compaction and
+    * restore. `version` None = tag the current head. Tagging a
+    * non-retained version fails loudly (there is nothing left to
+    * pin). */
+  def tag(spark: SparkSession, tableDir: String, name: String,
+          version: Option[Long] = None, retainGenerations: Int = 2): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '\n' || c == '\t'),
+      s"invalid tag name '$name'")
+    require(name.toLongOption.isEmpty,
+      s"tag name '$name' would shadow a literal version number")
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 50, s"tag contention at $tableDir")
+      val vs = versions(fs, tableDir)
+      val head = vs.lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest at $tableDir"))
+      val v = version.getOrElse(head)
+      require(vs.contains(v), s"version $v is not retained at $tableDir")
+      val committed = commitIf(spark, tableDir, pathsOf(fs, tableDir, head),
+        head, retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
+        stats = statsOf(fs, tableDir, head),
+        meta = metaOf(fs, tableDir, head) + ((TagPrefix + name) -> v.toString))
+      committed.foreach(_ => return v)
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a tag — the version it pinned becomes ordinary history and
+    * dies by the normal retention policy at a later GC. */
+  def untag(spark: SparkSession, tableDir: String, name: String,
+            retainGenerations: Int = 2): Unit = {
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    while (attempts < 50) {
+      attempts += 1
+      val head = versions(fs, tableDir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest at $tableDir"))
+      val meta = metaOf(fs, tableDir, head)
+      require(meta.contains(TagPrefix + name),
+        s"no tag '$name' at $tableDir")
+      if (commitIf(spark, tableDir, pathsOf(fs, tableDir, head), head,
+          retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
+          stats = statsOf(fs, tableDir, head),
+          meta = meta - (TagPrefix + name)).isDefined) return
+    }
+    throw new IllegalStateException(s"untag contention at $tableDir")
+  }
+
+  /** Resolve a `VERSION AS OF` argument that may be a tag name: a
+    * literal number passes through; anything else looks up
+    * `tag:<name>` in the head's meta. */
+  private[graft] def resolveVersionArg(spark: SparkSession, tableDir: String,
+                                       arg: String): Long =
+    arg.toLongOption.getOrElse {
+      val fs = fsOf(spark, tableDir)
+      val head = versions(fs, tableDir).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"no committed manifest at $tableDir"))
+      metaOf(fs, tableDir, head).get(TagPrefix + arg)
+        .flatMap(_.toLongOption).getOrElse(
+          throw new IllegalArgumentException(
+            s"'$arg' is neither a version number nor a tag at $tableDir"))
+    }
+
   /** S33 — zero-copy SHALLOW CLONE: commit, at `targetDir`, a manifest
     * whose entries are the SOURCE head's data dirs as fully-qualified
     * foreign paths — no data file is read or copied, the clone costs
@@ -1412,24 +1487,37 @@ object ManifestTable {
     (before - entries).toLong.max(0L)
   }
 
+  /** The versions `tag:<name>` meta entries of the HEAD pin — S34:
+    * a tagged version is retained by GC regardless of generation count
+    * or age (Iceberg tags), until `untag` drops the pointer. */
+  private def taggedVersions(fs: FileSystem, tableDir: String,
+                             vs: Seq[Long]): Set[Long] =
+    vs.lastOption.map { head =>
+      (try metaOf(fs, tableDir, head)
+       catch { case _: java.io.IOException => Map.empty[String, String] })
+        .collect { case (k, v) if k.startsWith(TagPrefix) =>
+          v.toLongOption }.flatten.toSet
+    }.getOrElse(Set.empty)
+
   private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
     val vs = versions(fs, tableDir)
     val (old0, kept0) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
-    // versions still inside the time window are promoted back into the
-    // kept set (commit-time from the manifest file's mtime — metadata
-    // only, no data read)
-    val (old, kept) =
-      if (minRetainMs <= 0L || old0.isEmpty) (old0, kept0)
-      else {
-        val cutoff = System.currentTimeMillis() - minRetainMs
-        val young = old0.filter { v =>
+    // versions still inside the time window, and TAGGED versions (S34),
+    // are promoted back into the kept set (commit-time from the
+    // manifest file's mtime — metadata only, no data read)
+    val tagged = taggedVersions(fs, tableDir, vs)
+    val (old, kept) = {
+      val cutoff = System.currentTimeMillis() - minRetainMs
+      def keepAnyway(v: Long): Boolean =
+        tagged.contains(v) || (minRetainMs > 0L && {
           try fs.getFileStatus(
             new Path(manifestDir(tableDir), manifestName(v)))
             .getModificationTime > cutoff
           catch { case _: java.io.IOException => false }
-        }
-        (old0.filterNot(young.contains), young ++ kept0)
-      }
+        })
+      val promoted = old0.filter(keepAnyway)
+      (old0.filterNot(promoted.contains), promoted ++ kept0)
+    }
     val keptPaths = kept.map { v =>
       try Some(pathsOf(fs, tableDir, v))
       catch { case _: java.io.IOException => None }

@@ -1047,6 +1047,48 @@ object Sources {
                       FROM $cat.lake.ocat) v""")
   }
 
+  /** S34 fixture: `lake.otag` with deliberately TIGHT retention
+    * (retainGenerations=2): the pre-1997 slice lands (v2), `CALL
+    * system.tag(name => 'cut')` pins it, then five more yearly INSERTs
+    * churn the history — without the tag, v2's manifest AND data would
+    * be GC'd several commits ago. The board query reading `VERSION AS
+    * OF 'cut'` therefore proves tag-pinned retention inside the oracle
+    * row itself, not just in a spec. */
+  private val tagDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"""CREATE TABLE $cat.lake.otag
+              (o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE)
+              TBLPROPERTIES ('retainGenerations'='2')""")
+    val base = orders(s, d)
+      .select(col("o_orderkey").cast("long").as("o_orderkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("date").as("o_orderdate"))
+    base.filter(year(col("o_orderdate")) < 1997)
+      .writeTo(s"$cat.lake.otag").append()
+    s.sql(s"CALL $cat.system.tag(table => 'lake.otag', name => 'cut')")
+    (1997 to 2001).foreach { y =>
+      base.filter(year(col("o_orderdate")) === y)
+        .writeTo(s"$cat.lake.otag").append()
+    }
+    cat
+  })
+
+  /** S34: version tags — the live table vs the `VERSION AS OF 'cut'`
+    * snapshot that ONLY the tag kept alive through a
+    * retainGenerations=2 history churn. The oracle rebuilds both legs
+    * from plain orders. */
+  def s34_version_tags(s: SparkSession, d: String): DataFrame = {
+    val cat = tagDemo(s, d)
+    s.sql(
+      s"""SELECT h.n_total, h.total_price, h.key_checksum, v.n_cut
+          FROM (SELECT count(*) AS n_total,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.otag) h
+          CROSS JOIN (SELECT count(*) AS n_cut
+                      FROM $cat.lake.otag VERSION AS OF 'cut') v""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1079,6 +1121,7 @@ object Sources {
     "s31_bucketed_catalog" -> (s31_bucketed_catalog _),
     "s32_changes_feed" -> (s32_changes_feed _),
     "s33_shallow_clone" -> (s33_shallow_clone _),
+    "s34_version_tags" -> (s34_version_tags _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1330,5 +1373,14 @@ object Sources {
          (SELECT count(*) FROM orders) AS n_source
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01')""",
+    // live = everything; the tagged snapshot = the pre-1997 slice the
+    // tag alone kept retained through the retention churn
+    "s34_version_tags" ->
+      """SELECT count(*) AS n_total,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT count(*) FROM orders
+          WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01') AS n_cut
+         FROM orders""",
   )
 }

@@ -162,6 +162,68 @@ class GraftMetaSpec extends SparkTestBase {
     }
   }
 
+  test("S34 tags: GC retains a tagged version through retention churn; untag releases it") {
+    val dir = Files.createTempDirectory("graft-tag").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir,
+      statsCols = Seq("k")) // v1, retain default 2
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    ManifestTable.tag(spark, dir, "rel-1", Some(v1)) // v2 carries the tag
+    // churn far past retainGenerations=2
+    (1 to 6).foreach(i => ManifestTable.append(
+      Seq((10 + i, "x")).toDF("k", "v"), dir))
+    // the tagged version's manifest AND data survived
+    assert(ManifestTable.versions(fs, dir).contains(v1))
+    assert(ManifestTable.readVersion(spark, dir, v1)
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // resolvable by name on both path surfaces
+    assert(spark.read.format("graft").option("versionAsOf", "rel-1")
+      .load(dir).count() == 2L)
+    assert(spark.read.format("graft-manifest").option("versionAsOf", "rel-1")
+      .load(dir).count() == 2L)
+    // tags survive compaction (meta carries forward)
+    ManifestTable.compactAppend(spark, dir, Seq("k"), k = 2)
+    assert(ManifestTable.readVersion(spark, dir, v1).count() == 2L)
+    // untag → the version rejoins ordinary retention and dies
+    ManifestTable.untag(spark, dir, "rel-1")
+    (1 to 3).foreach(i => ManifestTable.append(
+      Seq((20 + i, "y")).toDF("k", "v"), dir))
+    assert(!ManifestTable.versions(fs, dir).contains(v1),
+      "untagged version must rejoin retention")
+    // guard rails
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, dir, "7") // shadows a literal version
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.tag(spark, dir, "gone", Some(v1)) // not retained
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "nope").load(dir)
+    }
+  }
+
+  test("S34 tags through SQL: CALL tag/untag + VERSION AS OF 'name'") {
+    val dir = seeded("tg1") // v1 create, v2 insert, v3 insert; retain 10
+    spark.sql("CALL gmeta.system.tag(table => 'lake.tg1', name => 'after-first', version => 2)")
+    assert(spark.sql(
+      "SELECT count(*) FROM gmeta.lake.tg1 VERSION AS OF 'after-first'")
+      .head().getLong(0) == 2L)
+    // head tag defaults to the current version
+    spark.sql("CALL gmeta.system.tag(table => 'lake.tg1', name => 'now')")
+    spark.sql("INSERT INTO gmeta.lake.tg1 VALUES (99,'z')")
+    assert(spark.sql(
+      "SELECT count(*) FROM gmeta.lake.tg1 VERSION AS OF 'now'")
+      .head().getLong(0) == 4L)
+    spark.sql("CALL gmeta.system.untag(table => 'lake.tg1', name => 'now')")
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gmeta.lake.tg1 VERSION AS OF 'now'")
+        .collect()
+    }
+    // $properties surfaces the standing tag for observability
+    assert(spark.sql("SELECT value FROM gmeta.lake.`tg1$properties` " +
+      "WHERE key = 'tag:after-first'").head().getString(0) == "2")
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
