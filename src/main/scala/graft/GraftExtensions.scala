@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // S32: swaps the catalog's `t$changes` stub relation for the
     // computed CDC-feed plan (a diff needs a shuffle — not a scan)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftChangesRule)
+    // S35: view DDL rides the PARSER seam (Spark 4.1 ships the
+    // ViewCatalog interface without SQL wiring, and the analyzer
+    // rejects non-session view DDL before any rule seam — see
+    // GraftViewDdl); reads substitute in the resolution fixpoint
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    e.injectResolutionRule(_ => graft.plans.GraftViewReadRule)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

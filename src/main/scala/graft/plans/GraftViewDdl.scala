@@ -1,0 +1,213 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{ResolvedIdentifier, ResolvedNamespace, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.GraftCatalog
+
+/** S35 — SQL view DDL on the graft catalog, through the extension seam.
+  *
+  * Spark 4.1 ships the `ViewCatalog` INTERFACE but no SQL wiring for it
+  * (`ResolveSessionCatalog` still throws "catalog does not support
+  * views" for any non-session catalog) — so, exactly like UPDATE/MERGE
+  * before Spark's row-level API matured, the statements ride injected
+  * rules onto the catalog's own `ViewCatalog` implementation:
+  *
+  *  - `CREATE [OR REPLACE] VIEW cat.ns.v AS ...` → [[GraftCreateViewCommand]]
+  *  - `DROP VIEW [IF EXISTS] cat.ns.v` → [[GraftDropViewCommand]]
+  *  - `SHOW VIEWS IN cat.ns` → [[GraftShowViewsCommand]]
+  *  - reading: [[GraftViewReadRule]] substitutes an `UnresolvedRelation`
+  *    naming a stored view with its parsed SQL text (resolution-batch
+  *    rule, so the body resolves in the same fixpoint)
+  *
+  * The DDL statements are rewritten AT PARSE TIME
+  * ([[graft.GraftSqlParser]]): `ResolveSessionCatalog` rejects
+  * non-session view DDL INSIDE the main resolution fixpoint — upstream
+  * of every injectable rule seam — so the parser is the one hook that
+  * sees the statement first (the same seam Delta used for MERGE before
+  * Spark grew native support). ALTER VIEW statements resolve through
+  * session-view machinery the same way, so property edits ride
+  * `alterView` on the catalog API directly (spec-covered); the SQL
+  * statements cover the create/read/list/drop lifecycle a BI user
+  * actually drives. */
+object GraftViewDdl {
+
+  /** (catalog, namespace, name) when `parts` addresses a graft catalog:
+    * an explicit leading catalog name wins; otherwise the CURRENT
+    * catalog is probed. None = not ours, leave the statement alone. */
+  private[plans] def graftTarget(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    def catalogNamed(n: String): Option[GraftCatalog] =
+      try cm.catalog(n) match {
+        case g: GraftCatalog => Some(g)
+        case _ => None
+      } catch { case _: Exception => None }
+    parts match {
+      case head +: rest if rest.nonEmpty =>
+        catalogNamed(head)
+          .map(g => (g, Identifier.of(rest.init.toArray, rest.last)))
+          .orElse(cm.currentCatalog match {
+            case g: GraftCatalog =>
+              Some((g, Identifier.of(parts.init.toArray, parts.last)))
+            case _ => None
+          })
+      case Seq(only) => cm.currentCatalog match {
+        case g: GraftCatalog =>
+          Some((g, Identifier.of(cm.currentNamespace, only)))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** The parse-time statement rewrite [[graft.GraftSqlParser]] applies:
+    * view DDL naming a graft catalog becomes an eager command on the
+    * catalog's `ViewCatalog` implementation BEFORE any analyzer rule
+    * can reject it (`ResolveSessionCatalog` throws for non-session
+    * view DDL inside the main resolution fixpoint — upstream of every
+    * injectable rule seam, which is why this lives in the parser). */
+  def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan match {
+      case c: CreateView =>
+        val parts = c.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts
+          case _ => Seq.empty
+        }
+        graftTarget(spark, parts) match {
+          case Some((cat, id)) =>
+            val sql = c.originalText.getOrElse(
+              throw new UnsupportedOperationException(
+                "graft CREATE VIEW needs the view's SQL text"))
+            require(c.userSpecifiedColumns.isEmpty,
+              "graft CREATE VIEW does not support a column list — alias " +
+                "columns in the SELECT itself")
+            GraftCreateViewCommand(cat, id, sql, c.query,
+              c.properties ++ c.comment.map("comment" -> _),
+              c.allowExisting, c.replace)
+          case None => plan
+        }
+      case d: DropView =>
+        val parts = d.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+            u.nameParts
+          case _ => Seq.empty
+        }
+        // a single-part name may be a session TEMP view even when the
+        // current catalog is graft — only claim it when the view file
+        // actually exists (temp views win otherwise)
+        graftTarget(spark, parts) match {
+          case Some((cat, id))
+              if parts.length > 1 || cat.viewExists(id) =>
+            GraftDropViewCommand(cat, id, d.ifExists)
+          case _ => plan
+        }
+      case s: ShowViews =>
+        val parts = s.namespace match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+            u.multipartIdentifier
+          case _ => Seq.empty
+        }
+        parts match {
+          case head +: rest =>
+            (try spark.sessionState.catalogManager.catalog(head) match {
+              case g: GraftCatalog => Some(g)
+              case _ => None
+            } catch { case _: Exception => None }) match {
+              case Some(g) =>
+                GraftShowViewsCommand(g, rest, s.pattern, s.output)
+              case None => plan
+            }
+          case _ => plan
+        }
+      case p => p
+    }
+}
+
+case class GraftCreateViewCommand(@transient cat: GraftCatalog,
+                                  ident: Identifier, sql: String,
+                                  @transient query: LogicalPlan,
+                                  props: Map[String, String],
+                                  allowExisting: Boolean, replace: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    // the analyzed query supplies the stored schema; analysis happens
+    // HERE (the rule ran post-hoc, where c.query may still be the
+    // parsed child) so unresolvable view SQL fails at CREATE, not read
+    val analyzed = spark.sessionState.executePlan(query).analyzed
+    if (cat.viewExists(ident)) {
+      if (allowExisting) return Seq.empty // CREATE VIEW IF NOT EXISTS
+      if (replace) cat.dropView(ident): Unit
+    }
+    import scala.jdk.CollectionConverters._
+    cat.createView(new ViewInfo(ident, sql,
+      spark.sessionState.catalogManager.currentCatalog.name(),
+      spark.sessionState.catalogManager.currentNamespace,
+      analyzed.schema,
+      analyzed.output.map(_.name).toArray,
+      Array.empty[String], Array.empty[String],
+      props.asJava)): Unit
+    Seq.empty
+  }
+}
+
+case class GraftDropViewCommand(@transient cat: GraftCatalog,
+                                ident: Identifier,
+                                ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dropped = cat.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    Seq.empty
+  }
+}
+
+case class GraftShowViewsCommand(@transient cat: GraftCatalog,
+                                 namespace: Seq[String],
+                                 pattern: Option[String],
+                                 override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val views = cat.listViews(namespace: _*).toSeq.map(_.name)
+      .filter(n => pattern.forall(p =>
+        org.apache.spark.sql.catalyst.util.StringUtils
+          .filterPattern(Seq(n), p).nonEmpty))
+      .sorted
+    views.map(n => Row(namespace.mkString("."), n, false))
+  }
+}
+
+/** Read-side substitution: an `UnresolvedRelation` that names a stored
+  * graft view becomes the view's parsed SQL under a subquery alias —
+  * a RESOLUTION-batch rule, so the substituted body resolves in the
+  * same fixpoint (views over views compose by re-entry). Runs after
+  * Spark's own relation resolution has had its chance: only still-
+  * unresolved relations are probed, so tables always win and the
+  * probe cost is zero on the hot path. */
+object GraftViewReadRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+      val parts = u.multipartIdentifier
+      val spark = SparkSession.active
+      val catOpt =
+        try Some(spark.sessionState.catalogManager.catalog(parts.head))
+        catch { case _: Exception => None }
+      catOpt match {
+        case Some(cat: GraftCatalog) =>
+          val ident = Identifier.of(parts.tail.init.toArray, parts.last)
+          if (cat.viewExists(ident)) {
+            val v = cat.loadView(ident)
+            SubqueryAlias(parts.last,
+              spark.sessionState.sqlParser.parsePlan(v.query))
+          } else u
+        case _ => u
+      }
+  }
+}

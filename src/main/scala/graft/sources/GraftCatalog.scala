@@ -56,7 +56,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and retries rather than clobbering the appended paths.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
   import GraftCatalog._
 
   private var catalogName: String = _
@@ -191,6 +192,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"tables like `${ident.name.takeWhile(_ != '$')}$$history`)")
     val dirPath = new Path(tableDir(ident))
     if (isTable(dirPath)) throw new TableAlreadyExistsException(ident)
+    if (viewExists(ident)) throw new TableAlreadyExistsException(ident)
     if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
       throw new NoSuchNamespaceException(ident.namespace)
     require(schema.fields.nonEmpty,
@@ -465,6 +467,101 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
   private[sources] def activeSpark: SparkSession = spark
   private[sources] def activeFs: FileSystem = fs
+
+  // ----------------------------------------------------------------- views
+
+  /** S35 — persistent SQL views: one metadata file per view under the
+    * namespace's `_views/` dir (see [[GraftViews]]). Creation settles
+    * racing writers through the store seam's put-if-absent; every
+    * operation is a single metadata-file touch. */
+  private def viewFile(ident: Identifier): Path =
+    new Path(new Path(pathOf(ident.namespace.toSeq), "_views"),
+      ident.name + ".view")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (ns.nonEmpty && !namespaceExists(ns))
+      throw new NoSuchNamespaceException(ns)
+    val dir = new Path(pathOf(ns.toSeq), "_views")
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".view"))
+      .map(n => Identifier.of(ns, n.stripSuffix(".view"))).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    try fs.exists(viewFile(ident))
+    catch { case _: IllegalArgumentException => false }
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.read(fs, viewFile(ident))
+      .map(GraftViews.deserialize(ident.toString, _))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident
+    require(!ident.name.contains('$'),
+      "graft view names cannot contain '$'")
+    if (ident.namespace.nonEmpty && !namespaceExists(ident.namespace))
+      throw new NoSuchNamespaceException(ident.namespace)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val file = viewFile(ident)
+    // put-if-absent through the store seam: two racing CREATE VIEWs
+    // resolve to one winner and one loud failure
+    val won = ManifestTable.putFileIfAbsent(spark,
+      file.getParent.toString, file.getName,
+      new String(GraftViews.serialize(info),
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+    if (!won)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+                         changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val v = loadView(ident)
+    val props = changes.foldLeft(
+        scala.jdk.CollectionConverters.MapHasAsScala(v.properties).asScala.toMap) {
+      case (m, s: ViewChange.SetProperty) => m + (s.property -> s.value)
+      case (m, r: ViewChange.RemoveProperty) => m - r.property
+      case (m, _) => m
+    }
+    val info = new org.apache.spark.sql.connector.catalog.ViewInfo(
+      ident, v.query, v.currentCatalog, v.currentNamespace, v.schema,
+      v.queryColumnNames, v.columnAliases, v.columnComments,
+      scala.jdk.CollectionConverters.MapHasAsJava(props).asJava)
+    // views are single metadata files; an alter is read-modify-replace
+    // (last-writer-wins, like every catalog's view properties)
+    fs.delete(viewFile(ident), false)
+    createView(info)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    try fs.delete(viewFile(ident), false)
+    catch { case _: IllegalArgumentException => false }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(!newIdent.name.contains('$'),
+      "graft view names cannot contain '$'")
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    val to = viewFile(newIdent)
+    if (!fs.exists(to.getParent)) fs.mkdirs(to.getParent)
+    require(fs.rename(viewFile(oldIdent), to),
+      s"rename view $oldIdent -> $newIdent failed")
+  }
 
   // ------------------------------------------------------------ namespaces
 

@@ -1089,6 +1089,35 @@ object Sources {
                       FROM $cat.lake.otag VERSION AS OF 'cut') v""")
   }
 
+  /** S35 fixture: a persistent catalog VIEW (`lake.ovw`) over the S23
+    * table — a filtered projection with a computed column, stored as
+    * SQL text in the namespace's `_views/` metadata (no metastore)
+    * and re-resolved at read time. */
+  private val viewDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"DROP VIEW IF EXISTS $cat.lake.ovw")
+    s.sql(s"""CREATE VIEW $cat.lake.ovw AS
+              SELECT o_orderkey, o_totalprice,
+                     year(o_orderdate) AS order_year
+              FROM $cat.lake.ocat
+              WHERE o_totalprice > 50000""")
+    cat
+  })
+
+  /** S35: SQL through a PERSISTENT catalog view — per-year aggregates
+    * of the view's filtered projection must equal the same algebra
+    * inlined over plain orders (a view changes HOW the query is
+    * addressed, never WHICH rows come back). */
+  def s35_catalog_view(s: SparkSession, d: String): DataFrame = {
+    val cat = viewDemo(s, d)
+    s.sql(
+      s"""SELECT order_year, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.ovw
+          GROUP BY order_year ORDER BY order_year""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1122,6 +1151,7 @@ object Sources {
     "s32_changes_feed" -> (s32_changes_feed _),
     "s33_shallow_clone" -> (s33_shallow_clone _),
     "s34_version_tags" -> (s34_version_tags _),
+    "s35_catalog_view" -> (s35_catalog_view _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1382,5 +1412,13 @@ object Sources {
          (SELECT count(*) FROM orders
           WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01') AS n_cut
          FROM orders""",
+    // the view's algebra inlined over plain orders
+    "s35_catalog_view" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+         count(*) AS n,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders WHERE o_totalprice > 50000
+         GROUP BY 1 ORDER BY order_year""",
   )
 }
