@@ -33,7 +33,14 @@ import graft.sources.GraftCatalog
   * session-view machinery the same way, so property edits ride
   * `alterView` on the catalog API directly (spec-covered); the SQL
   * statements cover the create/read/list/drop lifecycle a BI user
-  * actually drives. */
+  * actually drives.
+  *
+  * Resolution-context caveat (documented, spec-pinned): the stored SQL
+  * re-resolves in the READER's current catalog/namespace, not the
+  * creator's (the context IS persisted in the view file for a future
+  * context-switching substitution, but Spark's `View` context plumbing
+  * is not public) — qualify table names inside view bodies, as every
+  * example here does. */
 object GraftViewDdl {
 
   /** (catalog, namespace, name) when `parts` addresses a graft catalog:
