@@ -102,5 +102,68 @@ class LakehouseSqlJourneySpec extends SparkTestBase {
     spark.sql(s"CALL gj.system.restore(table => 'lake.fact', " +
       s"version => $headAfterIngest)")
     assert(spark.table("gj.lake.fact").count() == 200L)
+
+    // ---- the r12 chapters ----
+
+    // 9. tag the restored state; it survives retention churn by name
+    spark.sql("CALL gj.system.tag(table => 'lake.fact', name => 'baseline')")
+    spark.sql("INSERT INTO gj.lake.fact VALUES (9001, 1.0, 'post')")
+    assert(spark.sql(
+      "SELECT count(*) FROM gj.lake.fact VERSION AS OF 'baseline'")
+      .head().getLong(0) == 200L)
+
+    // 10. the CDC surfaces: t$changes answers in SQL; the stream tails
+    // the same feed with maintenance invisible
+    assert(spark.sql(
+      """SELECT count(*) FROM gj.lake.`fact$changes`
+         WHERE change_type = 'insert' AND k = 9001""").head().getLong(0) == 1L)
+    val cdcCk = Files.createTempDirectory("gj-cdc").toString
+    val cdcOut = Files.createTempDirectory("gj-cdcout").toString
+    val cdc = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("parquet").option("path", cdcOut)
+      .option("checkpointLocation", cdcCk).start()
+    try {
+      cdc.processAllAvailable()
+      spark.sql("DELETE FROM gj.lake.fact WHERE k = 9001")
+      cdc.processAllAvailable()
+      val cdcSchema = graft.sources.GraftMetaTables.changesSchemaOf(spark, dir)
+      val feed = spark.read.schema(cdcSchema).parquet(cdcOut)
+      assert(feed.filter("change_type = 'delete' AND k = 9001").count() == 1L)
+    } finally cdc.stop()
+
+    // 11. a persistent view over the fact table + its metadata table
+    spark.sql("CREATE VIEW gj.lake.big AS " +
+      "SELECT k, amt FROM gj.lake.fact WHERE amt > 500")
+    assert(spark.table("gj.lake.big").count() ==
+      spark.table("gj.lake.fact").filter("amt > 500").count())
+    assert(spark.sql("SHOW VIEWS IN gj.lake").collect()
+      .map(_.getString(1)).contains("big"))
+
+    // 12. zero-copy clone, diverge it, prove independence
+    spark.sql("CALL gj.system.clone(source => 'lake.fact', target => 'lake.fork')")
+    spark.sql("DELETE FROM gj.lake.fork WHERE k < 50")
+    assert(spark.table("gj.lake.fork").count() ==
+      spark.table("gj.lake.fact").filter("k >= 50").count())
+    assert(spark.table("gj.lake.fact").count() == 200L)
+
+    // 13. a bucketed sibling: upsert-by-key SQL end to end
+    spark.sql(
+      """CREATE TABLE gj.lake.kv (k BIGINT, v STRING)
+         TBLPROPERTIES ('layout'='bucketed:k:4')""")
+    spark.sql("INSERT INTO gj.lake.kv VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO gj.lake.kv VALUES (2,'B!')") // replace by key
+    spark.sql(
+      """MERGE INTO gj.lake.kv AS t
+         USING (SELECT * FROM VALUES (1,'gone'),(3,'c') AS s(k, v)) AS s
+         ON t.k = s.k
+         WHEN MATCHED THEN DELETE
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.table("gj.lake.kv").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(2L -> "B!", 3L -> "c"))
+    assert(spark.sql(
+      "CALL gj.system.lookup(table => 'lake.kv', keys => '2')")
+      .head().getString(1) == "B!")
   }
 }
