@@ -275,6 +275,47 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** X15 fixture: the corpus streamed into a graft table through the
+    * NATIVE streaming write path — `writeStream.format("graft")`,
+    * executor task writers, exactly-once epoch commits
+    * ([[graft.sources.GraftStreamingWrite]]) — no foreachBatch loop. */
+  private val nativeWriteDemo = new graft.FixtureMemo((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_x15_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+            .asScala.toSeq.reverseIterator.foreach(p => p.toFile.delete())
+        } catch { case _: Throwable => () }))
+      val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      val staged = ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      staged.write.parquet(src)
+      val q = s.readStream.schema(staged.schema).parquet(src)
+        .writeStream.format("graft").option("path", tbl)
+        .option("statsCols", "event_id")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl
+  })
+
+  /** X15: NATIVE streaming write (`writeStream.format("graft")` —
+    * executor task-writer commits, exactly-once epochs) under the
+    * oracle gate: the streamed-in table must equal the corpus exactly,
+    * like x8's foreachBatch route but through the engine's own
+    * `StreamingWrite`. */
+  def x15_stream_table_write(s: SparkSession, d: String): DataFrame = {
+    val tbl = nativeWriteDemo(s, d)
+    graft.sources.ManifestTable.read(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** X8: streaming ingestion → append table, verified through the
     * DuckDB gate — the aggregate over the streamed-in manifest table
     * must equal the same aggregate straight off the corpus (ingest may
@@ -300,6 +341,7 @@ object Streaming {
     "x8_stream_ingest" -> (x8_stream_ingest _),
     "x9_upsert_stream" -> (x9_upsert_stream _),
     "x10_interval_join" -> (x10_interval_join _),
+    "x15_stream_table_write" -> (x15_stream_table_write _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -388,6 +430,12 @@ object Streaming {
          CAST(sum(event_id) AS BIGINT) AS id_checksum
          FROM events WHERE event_type <> 'purchase'
          GROUP BY event_type ORDER BY event_type""",
+    // the native-path ingest must equal the corpus, like x8's route
+    "x15_stream_table_write" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(value), 2) AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS id_checksum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "x10_interval_join" ->
       """WITH clicks AS (
            SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts

@@ -175,7 +175,8 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
     // first write to an uncommitted path: nothing to resolve against
     if (tableSchema.isEmpty) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
     base
@@ -250,7 +251,7 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val checks = info.options.asCaseSensitiveMap().asScala
       .collect { case (k, v) if k.toLowerCase.startsWith("check.") =>
         k.drop("check.".length) -> v }.toSeq.sortBy(_._1)
-    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks)
+    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks, info)
   }
 }
 
@@ -262,13 +263,55 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
   * Append and Overwrite). */
 class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
                         retain: Int, clusterBy: Option[Seq[String]] = None,
-                        checks: Seq[(String, String)] = Seq.empty)
+                        checks: Seq[(String, String)] = Seq.empty,
+                        info: LogicalWriteInfo = null)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new V1Write {
+    /** X15 — native streaming path (`writeStream.toTable` /
+      * `.format("graft")`): executor task writers + exactly-once epoch
+      * commits ([[GraftStreamingWrite]]). Tables whose write contracts
+      * need a driver-side plan are refused with the foreachBatch route
+      * named — a silent contract skip would be worse than an error. */
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      val spark = SparkSession.active
+      require(!overwrite,
+        "graft streaming writes are APPEND-mode (complete/truncate " +
+          "modes would overwrite per epoch); use outputMode(\"append\")")
+      require(MergeInto.bucketedGeometry(spark, tableDir).isEmpty,
+        "streaming writes to a bucketed (layout=bucketed) table go " +
+          "through foreachBatch + Streams.upsertSink (the merge kernel " +
+          "needs a driver-side plan)")
+      val declaredCluster = ManifestTable.headVersion(spark, tableDir)
+        .flatMap { v =>
+          val fs = new Path(tableDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          ManifestTable.clusterSpecOf(fs, tableDir, v)
+        }
+      require(clusterBy.isEmpty && declaredCluster.isEmpty,
+        "streaming writes to a clustered table go through foreachBatch " +
+          "+ Streams.appendSink (clustering needs a range shuffle per " +
+          "batch, which a task writer cannot run)")
+      val declaredChecks = ManifestTable.headVersion(spark, tableDir)
+        .map { v =>
+          val fs = new Path(tableDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          ManifestTable.metaOf(fs, tableDir, v).keySet
+            .filter(_.startsWith(GraftCatalog.PropPrefix + "check."))
+        }.getOrElse(Set.empty)
+      require(declaredChecks.isEmpty && checks.isEmpty,
+        "streaming writes to a CHECK-constrained table go through " +
+          "foreachBatch + Streams.appendSink (the per-row guard is a " +
+          "driver-side plan); constraints: " +
+          declaredChecks.toSeq.sorted.mkString(", "))
+      new GraftStreamingWrite(tableDir, info.schema, info.queryId,
+        statsCols, retain)
+    }
+
     override def toInsertableRelation: InsertableRelation =
       (data0, _) => {
         // CHECK constraints (S30) enforced IN the write job: the

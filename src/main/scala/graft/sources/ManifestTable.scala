@@ -360,10 +360,27 @@ object ManifestTable {
                                retainGenerations: Int,
                                meta: Map[String, String],
                                recordingStats: Boolean,
-                               boundChecks: Set[String] = Set.empty): Long = {
-    val spark = df.sparkSession
+                               boundChecks: Set[String] = Set.empty): Long =
+    appendCommitLoopCore(df.sparkSession, df.schema, tableDir, newPaths,
+      newStats, statsCols, retainGenerations, meta, recordingStats,
+      boundChecks)
+
+  /** [[appendCommitLoop]] from (spark, schema) — the X15 streaming
+    * write's commit path, whose rows were written by executor task
+    * writers rather than a driver-visible DataFrame. */
+  private[sources] def appendCommitLoopCore(
+      spark: SparkSession,
+      batchSchema: org.apache.spark.sql.types.StructType,
+      tableDir: String,
+      newPaths: Seq[String],
+      newStats: Map[String, String],
+      statsCols: Seq[String],
+      retainGenerations: Int,
+      meta: Map[String, String],
+      recordingStats: Boolean,
+      boundChecks: Set[String]): Long = {
     val fs = fsOf(spark, tableDir)
-    val ddl = df.schema.toDDL
+    val ddl = batchSchema.toDDL
     var attempts = 0
     while (true) {
       attempts += 1
@@ -384,12 +401,12 @@ object ManifestTable {
           val priorSchema = org.apache.spark.sql.types.StructType.fromDDL(pd)
           def shape(s: org.apache.spark.sql.types.StructType) =
             s.fields.map(f => (f.name, f.dataType)).toSeq
-          require(shape(priorSchema) == shape(df.schema),
+          require(shape(priorSchema) == shape(batchSchema),
             s"append-table schema mismatch at $tableDir: table declares " +
               s"'$pd', append brings '$ddl' — append tables are " +
               "fixed-schema; use MergeInto for evolution")
           org.apache.spark.sql.types.StructType(
-            priorSchema.fields.zip(df.schema.fields).map { case (p, i) =>
+            priorSchema.fields.zip(batchSchema.fields).map { case (p, i) =>
               p.copy(nullable = p.nullable || i.nullable)
             }).toDDL
       }
@@ -410,7 +427,7 @@ object ManifestTable {
       // ts-stats writer PINS its zone in meta; a writer in a different
       // session zone would interleave incomparable encodings into the
       // same table, so it fails loudly instead.
-      val zoneMeta = statsZonePin(df, statsCols, recordingStats,
+      val zoneMeta = statsZonePin(batchSchema, statsCols, recordingStats,
         priorMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir, (prior ++ newPaths).sorted,
         base, retainGenerations, schemaDdl = Some(declaredDdl),
@@ -475,14 +492,15 @@ object ManifestTable {
     * session zone when pinning for the first time; a loud failure when
     * the session disagrees with the pinned zone (mixed encodings in one
     * table = silent wrong-rows pruning later). */
-  private def statsZonePin(df: DataFrame, statsCols: Seq[String],
+  private def statsZonePin(batchSchema: org.apache.spark.sql.types.StructType,
+                           statsCols: Seq[String],
                            recordingStats: Boolean,
                            priorMeta: Map[String, String],
                            spark: SparkSession, tableDir: String)
       : Map[String, String] = {
     import org.apache.spark.sql.types.TimestampType
     val tsTracked = recordingStats && statsCols.exists(c =>
-      df.schema.fields.exists(f => f.name == c && f.dataType == TimestampType))
+      batchSchema.fields.exists(f => f.name == c && f.dataType == TimestampType))
     if (!tsTracked) Map.empty
     else {
       val zoneNow = spark.sessionState.conf.sessionLocalTimeZone
@@ -718,7 +736,7 @@ object ManifestTable {
       val headMeta = metaOf(fs, tableDir, head)
       // compaction re-renders stats in the CURRENT session zone — same
       // pin/validate rule as append (mixed encodings = mis-pruning)
-      val zoneMeta = statsZonePin(data, statsCols, recordingStats = true,
+      val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
         (carried ++ outStats.keys).sorted, head, retainGenerations,
@@ -878,7 +896,7 @@ object ManifestTable {
       // declared since the rewrite job ran never saw its output rows
       checkConflictGuard(fs, tableDir, headMeta, boundChecks,
         payload.map(_ => cid).toSeq)
-      val zoneMeta = statsZonePin(kept, statsCols, payload.isDefined,
+      val zoneMeta = statsZonePin(kept.schema, statsCols, payload.isDefined,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
         (carried ++ payload.map(_ => cid)).sorted, head, retainGenerations,
