@@ -419,8 +419,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listProcedures(namespace: Array[String])
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
-      Array("compact", "restore", "vacuum", "lookup", "clone", "tag", "untag")
-        .map(n => Identifier.of(namespace, n))
+      Array("compact", "restore", "vacuum", "lookup", "clone", "tag",
+        "untag", "analyze").map(n => Identifier.of(namespace, n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -436,6 +436,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "clone" => new GraftProcedures.Clone(this)
       case "tag" => new GraftProcedures.Tag(this)
       case "untag" => new GraftProcedures.Untag(this)
+      case "analyze" => new GraftProcedures.Analyze(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: system.compact, " +
           "system.restore, system.vacuum, system.lookup, system.clone, " +
@@ -621,6 +622,13 @@ object GraftCatalog {
   /** `#meta` prefix under which table properties persist — disjoint
     * from engine keys (statsZone, clusterBy, txn:*) by construction. */
   private[sources] val PropPrefix = "prop:"
+
+  /** Companion access to the instance's optimistic metadata rebase —
+    * the procedures (which hold the catalog) persist engine keys like
+    * the S36 column stats through the same loop every ALTER uses. */
+  private[sources] def alterMetaAt(cat: GraftCatalog, dir: String,
+      f: Map[String, String] => Map[String, String]): Unit =
+    cat.alterMeta(dir, f)
   private[sources] val ClusterByKey = "clusterBy"
 
   /** Spark-managed bookkeeping props that must not persist as user

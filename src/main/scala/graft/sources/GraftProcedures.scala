@@ -162,6 +162,71 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.analyze(table => 'ns.t'[, columns => 'a,b'])` —
+    * S36: compute per-column NDV + null counts in ONE grouped pass
+    * over the table and persist them in the `#meta` channel
+    * (`colstat:<col>` → "ndv,nulls"; `tablestat` → rows), where the
+    * V2 scan surfaces them as `columnStats` — the input Spark's
+    * cost-based optimizer needs for join reordering and build-side
+    * choice. NDV is EXACT by default (count distinct — also what the
+    * oracle can verify); pass `approx => true` at 100 TB for the
+    * HLL-sketched pass Spark's own ANALYZE runs (one pass, no
+    * per-column shuffle). Returns one row per analyzed column. The
+    * stats are snapshot-of-analysis-time, like every engine's ANALYZE:
+    * they carry forward through commits until the next CALL. */
+  class Analyze(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "analyze"
+    override def description(): String =
+      "compute + persist per-column NDV/null stats for the CBO"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "analyze"
+        override def description(): String = Analyze.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("columns", StringType).defaultValue("NULL").build(),
+          ProcedureParameter.in("approx", BooleanType).defaultValue("false").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, lit}
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val df = ManifestTable.read(spark, dir)
+          val cols =
+            if (input.isNullAt(1)) df.columns.toSeq
+            else input.getUTF8String(1).toString.split(",").map(_.trim)
+              .filter(_.nonEmpty).toSeq
+          cols.foreach(c => require(df.columns.contains(c),
+            s"analyze: unknown column '$c'"))
+          val approx = !input.isNullAt(2) && input.getBoolean(2)
+          val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+            (if (approx) approx_count_distinct(col(c))
+             else countDistinct(col(c))).as(s"ndv:$c"),
+            count(lit(1)).minus(count(col(c))).as(s"nulls:$c")))
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          val rows = r.getAs[Long]("__rows")
+          val entries = cols.map { c =>
+            (c, r.getAs[Long](s"ndv:$c"), r.getAs[Long](s"nulls:$c"))
+          }
+          GraftCatalog.alterMetaAt(catalog, dir, m =>
+            m ++ entries.map { case (c, ndv, nulls) =>
+              (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } +
+              (ManifestTable.TableStatKey -> rows.toString))
+          val schema = StructType(Seq(
+            StructField("column", StringType, nullable = false),
+            StructField("ndv", LongType, nullable = false),
+            StructField("null_count", LongType, nullable = false)))
+          val out = entries.map { case (c, ndv, nulls) =>
+            new GenericInternalRow(Array[Any](
+              org.apache.spark.unsafe.types.UTF8String.fromString(c),
+              ndv, nulls)): InternalRow
+          }
+          java.util.List.of[Scan](
+            GraftLocalScanImpl(schema, out.toArray)).iterator()
+        }
+      }
+  }
+
   /** `CALL cat.system.tag(table => 'ns.t', name => 'v1.0'[, version
     * => n])` — S34 version tags: a named pointer GC RETAINS (manifest
     * + data) past any generation/age policy until untagged, resolvable

@@ -538,7 +538,10 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
 
   /** Post-pruning size, and a row count when every surviving dir has
     * parseable stats — broadcast planning sees what will actually be
-    * read, not the whole table. */
+    * read, not the whole table. S36: persisted `colstat:` entries (from
+    * `CALL system.analyze`) surface as V2 column statistics, the NDV
+    * input Spark's CBO needs for join reordering — table-level like
+    * every engine's ANALYZE output (not re-scaled for pruning). */
   override def estimateStatistics(): Statistics = agg match {
     case Some((schema, _)) => GraftStatistics(
       OptionalLong.of(schema.defaultSize.toLong), OptionalLong.of(1L))
@@ -554,7 +557,18 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       val rows =
         if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
         else OptionalLong.empty()
-      GraftStatistics(bytes, rows)
+      val colStats = ManifestTable.metaOf(fsOf(spark), tableDir, version)
+        .collect {
+          case (k, v) if k.startsWith(ManifestTable.ColStatPrefix) &&
+              tableSchema.fieldNames.contains(
+                k.stripPrefix(ManifestTable.ColStatPrefix)) =>
+            val Array(ndv, nulls) = v.split(",", 2)
+            (Expressions.column(k.stripPrefix(ManifestTable.ColStatPrefix))
+                : NamedReference) ->
+              (GraftColumnStatistics(ndv.toLong, nulls.toLong)
+                : org.apache.spark.sql.connector.read.colstats.ColumnStatistics)
+        }
+      GraftStatistics(bytes, rows, colStats)
   }
 
   override def description(): String = {
@@ -565,8 +579,24 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   }
 }
 
-case class GraftStatistics(sizeInBytes: OptionalLong,
-                           numRows: OptionalLong) extends Statistics
+case class GraftStatistics(
+    sizeInBytes: OptionalLong, numRows: OptionalLong,
+    colStats: Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      Map.empty)
+    extends Statistics {
+  override def columnStats()
+      : java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+    scala.jdk.CollectionConverters.MapHasAsJava(colStats).asJava
+}
+
+/** S36 — analyzed NDV + null count for one column. */
+case class GraftColumnStatistics(ndv: Long, nulls: Long)
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+  override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+}
 
 /** The one-row partition carrying a metadata-answered aggregate. */
 case class GraftAggPartition(row: InternalRow) extends InputPartition

@@ -1095,6 +1095,11 @@ object ManifestTable {
   }
 
   private[sources] val TagPrefix = "tag:"
+  /** S36 — `colstat:<col>` → "ndv,nulls" + `tablestat` → rows, written
+    * by `CALL system.analyze`, surfaced by the V2 scan as CBO column
+    * statistics. */
+  private[sources] val ColStatPrefix = "colstat:"
+  private[sources] val TableStatKey = "tablestat"
 
   /** S34 — TAG a retained version with a name (Iceberg tags): one
     * optimistic metadata commit adds `tag:<name> -> version` to the

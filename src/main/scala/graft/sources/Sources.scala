@@ -1118,6 +1118,34 @@ object Sources {
           GROUP BY order_year ORDER BY order_year""")
   }
 
+  /** S36 fixture: `lake.oan` (a dedicated copy of orders — analyze
+    * COMMITS stats metadata, and mutating a shared fixture would shift
+    * other rows' `$history` counts), analyzed over three columns. */
+  private val analyzeDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeTo(s"$cat.lake.oan")
+      .tableProperty("retainGenerations", "10")
+      .create()
+    s.sql(s"CALL $cat.system.analyze(table => 'lake.oan', " +
+      "columns => 'o_orderkey,o_orderpriority')")
+    cat
+  })
+
+  /** S36: `CALL system.analyze` — the persisted per-column NDV/null
+    * stats (the CBO's join-reordering input, surfaced as V2
+    * columnStats) must equal DuckDB's exact count(DISTINCT)/null
+    * algebra; read back through `$properties`, the same observability
+    * surface every other engine key uses. */
+  def s36_analyze_stats(s: SparkSession, d: String): DataFrame = {
+    val cat = analyzeDemo(s, d)
+    s.sql(
+      s"""SELECT key, value FROM $cat.lake.`oan$$properties`
+          WHERE key LIKE 'colstat:%' OR key = 'tablestat'
+          ORDER BY key""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1152,6 +1180,7 @@ object Sources {
     "s33_shallow_clone" -> (s33_shallow_clone _),
     "s34_version_tags" -> (s34_version_tags _),
     "s35_catalog_view" -> (s35_catalog_view _),
+    "s36_analyze_stats" -> (s36_analyze_stats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1420,5 +1449,21 @@ object Sources {
          CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders WHERE o_totalprice > 50000
          GROUP BY 1 ORDER BY order_year""",
+    // exact NDV/null algebra per analyzed column, same "ndv,nulls"
+    // rendering the meta channel stores
+    "s36_analyze_stats" ->
+      """SELECT * FROM (
+           SELECT 'colstat:o_orderkey' AS key,
+                  CAST(count(DISTINCT o_orderkey) AS VARCHAR) || ',' ||
+                  CAST(count(*) - count(o_orderkey) AS VARCHAR) AS value
+           FROM orders
+           UNION ALL
+           SELECT 'colstat:o_orderpriority',
+                  CAST(count(DISTINCT o_orderpriority) AS VARCHAR) || ',' ||
+                  CAST(count(*) - count(o_orderpriority) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'tablestat', CAST(count(*) AS VARCHAR) FROM orders)
+         ORDER BY key""",
   )
 }

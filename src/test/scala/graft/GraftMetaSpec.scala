@@ -224,6 +224,32 @@ class GraftMetaSpec extends SparkTestBase {
       "WHERE key = 'tag:after-first'").head().getString(0) == "2")
   }
 
+  test("S36 analyze: exact NDV/null stats persist and surface as V2 column statistics") {
+    val dir = seeded("an1") // k: 1,2,10,11; v: 4 distinct, no nulls
+    spark.sql("INSERT INTO gmeta.lake.an1 VALUES (1, NULL)") // dup k, null v
+    val out = spark.sql(
+      "CALL gmeta.system.analyze(table => 'lake.an1', columns => 'k,v')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("k", 4L, 0L), ("v", 4L, 1L)), out.toSeq)
+    // persisted in the meta channel → visible via $properties
+    assert(spark.sql("SELECT value FROM gmeta.lake.`an1$properties` " +
+      "WHERE key = 'colstat:k'").head().getString(0) == "4,0")
+    // ...and surfaced to the optimizer as attribute stats on the scan
+    val stats = spark.read.format("graft").load(dir)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.attributeStats.exists { case (a, st) =>
+      a.name == "k" && st.distinctCount.contains(BigInt(4)) },
+      s"CBO must see the analyzed NDV: ${stats.attributeStats}")
+    // approx mode runs the one-pass HLL variant (value near-exact here)
+    val approx = spark.sql("CALL gmeta.system.analyze(table => 'lake.an1', " +
+      "columns => 'k', approx => true)").head()
+    assert(math.abs(approx.getLong(1) - 4L) <= 1)
+    intercept[Exception] {
+      spark.sql("CALL gmeta.system.analyze(table => 'lake.an1', " +
+        "columns => 'nope')").collect()
+    }
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
