@@ -1213,7 +1213,12 @@ object ManifestTable {
     val stats = statsOf(sfs, sourceDir, v)
     val absStats = paths.zip(abs)
       .flatMap { case (p, a) => stats.get(p).map(a -> _) }.toMap
-    val meta = metaOf(sfs, sourceDir, v).filterNot(_._1.startsWith("txn:"))
+    // txn watermarks are per-writer idempotence state and tag pointers
+    // name versions of the SOURCE's history — neither means anything
+    // on the clone's fresh history (its first commit is version 1)
+    val meta = metaOf(sfs, sourceDir, v)
+      .filterNot { case (k, _) =>
+        k.startsWith("txn:") || k.startsWith(TagPrefix) }
     MergeInto.bucketedGeometry(spark, sourceDir).foreach { case (k, n) =>
       MergeInto.pinGeometry(spark, targetDir, k, n) }
     commit(spark, targetDir, abs, retainGenerations,

@@ -132,6 +132,26 @@ class GraftCloneSpec extends SparkTestBase {
     }
   }
 
+  test("clone drops txn watermarks AND tag pointers (both name the source's history)") {
+    val s = spark; import s.implicits._
+    val src = Files.createTempDirectory("graft-ct").toString + "/t"
+    ManifestTable.append(Seq((1, "a")).toDF("k", "v"), src,
+      retainGenerations = 10)
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), src,
+      retainGenerations = 10)
+    ManifestTable.tag(spark, src, "rel", Some(1L), retainGenerations = 10)
+    val dst = Files.createTempDirectory("graft-ct").toString + "/c"
+    ManifestTable.shallowClone(spark, src, dst, retainGenerations = 10)
+    val head = ManifestTable.headVersion(spark, dst).get
+    val meta = ManifestTable.metaOf(fs, dst, head)
+    assert(!meta.keys.exists(_.startsWith("tag:")),
+      "a clone's fresh history cannot carry source-version tag pointers")
+    // the clone can tag its OWN history immediately
+    ManifestTable.tag(spark, dst, "mine", retainGenerations = 10)
+    assert(spark.read.format("graft").option("versionAsOf", "mine")
+      .load(dst).count() == 2L)
+  }
+
   test("clone-of-a-clone passes foreign entries through") {
     val s = spark; import s.implicits._
     val a = Files.createTempDirectory("graft-cc").toString + "/a"
