@@ -381,6 +381,63 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** T48 — SELECTION UNDER A TOKEN BUDGET: keep the highest-quality
+    * documents whose tokens fit a budget (here 25% of the corpus) —
+    * the "best N billion tokens" pass every data-constrained training
+    * run ends with. Quality = the 3dp-rounded distinct-token ratio (a
+    * deterministic stand-in for any per-doc scorer; the 3dp grid IS
+    * the algorithm's histogram).
+    *
+    * Scale shape — the whole point: NO global sort. Quality buckets
+    * aggregate to a ≤1001-row frame; a driver-sized running sum over
+    * that frame (the t42 two-level idiom) classifies every bucket as
+    * fully-in, fully-out, or THE boundary bucket; fully-in buckets
+    * join-select their docs with no ordering at all, and only the
+    * boundary bucket pays a within-bucket cumsum (one partition,
+    * bounded by the bucket's size — tighten the quality grid to shrink
+    * it). The naive form — a global `ORDER BY quality DESC` cumsum
+    * window over the corpus — collapses to ONE partition at 100 TB;
+    * the oracle replays exactly that naive form, so the board row
+    * doubles as the two-level ≡ global-sort equivalence proof. */
+  def t48_budget_selection(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
+        round(size(array_distinct(col("t"))) / size(col("t")), 3).as("q"))
+    val budget = toks.agg(
+      floor(sum(col("ntok")) / 4).cast("long").as("budget"))
+    // level 1: per-quality-bucket token totals + running sum over the
+    // TINY bucket frame (≤1001 rows — the unpartitioned window is the
+    // design, not an accident)
+    val wB = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bc = toks.groupBy("q").agg(sum(col("ntok")).as("btok"))
+      .withColumn("before", coalesce(sum(col("btok")).over(wB), lit(0L)))
+      .crossJoin(broadcast(budget))
+    val fullQ = bc.filter(col("before") + col("btok") <= col("budget"))
+      .select("q")
+    val boundary = bc.filter(col("before") < col("budget") &&
+        col("before") + col("btok") > col("budget"))
+      .select(col("q"), (col("budget") - col("before")).as("room"))
+    // level 2: fully-in buckets need no ordering; only the boundary
+    // bucket pays a (single-bucket) cumsum by doc_id
+    val fullSel = toks.join(broadcast(fullQ), Seq("q"))
+    val wD = Window.partitionBy("q").orderBy("doc_id")
+    val boundarySel = toks.join(broadcast(boundary), Seq("q"))
+      .withColumn("run", sum(col("ntok")).over(wD))
+      .filter(col("run") <= col("room"))
+      .select(fullSel.columns.toIndexedSeq.map(col): _*)
+    fullSel.unionByName(boundarySel)
+      .crossJoin(broadcast(budget))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col("ntok")).as("sel_tokens"),
+        sum(col("doc_id")).as("key_checksum"),
+        round(min(col("q")), 3).as("threshold_q"),
+        max(col("budget")).as("budget"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t40_curation_pipeline" -> (t40_curation_pipeline _),
     "t41_mixture_plan" -> (t41_mixture_plan _),
@@ -390,6 +447,7 @@ object Curation {
     "t45_dataset_card" -> (t45_dataset_card _),
     "t46_chunking" -> (t46_chunking _),
     "t47_pii_redaction" -> (t47_pii_redaction _),
+    "t48_budget_selection" -> (t48_budget_selection _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -605,5 +663,30 @@ object Curation {
          FROM scrubbed
          WHERE n_emails + n_ssns + n_phones > 0
          ORDER BY doc_id""",
+    // the NAIVE replay: one global cumsum over (quality desc, doc_id)
+    // — exactly the single-partition shape the Spark side's two-level
+    // selection avoids; equal results = the equivalence proof
+    "t48_budget_selection" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '') AS t
+           FROM documents WHERE text IS NOT NULL),
+         s AS (
+           SELECT doc_id, CAST(len(t) AS BIGINT) AS ntok,
+                  round(len(list_distinct(t)) * 1.0 / len(t), 3) AS q
+           FROM toks WHERE len(t) > 0),
+         b AS (SELECT CAST(floor(sum(ntok) / 4) AS BIGINT) AS budget FROM s),
+         r AS (
+           SELECT doc_id, ntok, q,
+                  sum(ntok) OVER (ORDER BY q DESC, doc_id ASC
+                    ROWS UNBOUNDED PRECEDING) AS run
+           FROM s)
+         SELECT count(*) AS n_selected,
+                CAST(sum(ntok) AS BIGINT) AS sel_tokens,
+                CAST(sum(doc_id) AS BIGINT) AS key_checksum,
+                round(min(q), 3) AS threshold_q,
+                (SELECT budget FROM b) AS budget
+         FROM r WHERE run <= (SELECT budget FROM b)""",
   )
 }

@@ -198,6 +198,34 @@ class CurationSpec extends SparkTestBase {
       == 0, "raw SSNs survived the scrub")
   }
 
+  test("t48: two-level budget selection equals the naive global-sort greedy") {
+    val r = graft.ops.Curation.t48_budget_selection(spark, sf).head()
+    val (n, tok, budget) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    assert(n > 0 && tok <= budget, s"selection must respect the budget: $r")
+    // a budget is BINDING at 25%: something must also be excluded
+    val total = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).count()
+    assert(n < total, "the budget must exclude some documents")
+    // the naive replay INSIDE Spark: one global cumsum window — the
+    // single-partition shape the two-level form avoids — must select
+    // the identical set (checksum + counts)
+    val toks = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
+        round(size(array_distinct(col("t"))) / size(col("t")), 3).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = toks.withColumn("run", sum(col("ntok")).over(w))
+      .filter(col("run") <= lit(budget))
+      .agg(count(lit(1)), sum(col("ntok")), sum(col("doc_id"))).head()
+    assert((naive.getLong(0), naive.getLong(1), naive.getLong(2)) ==
+      (n, tok, r.getLong(2)), s"two-level != naive: $naive vs $r")
+  }
+
   test("t44: planted contamination is found through shingle overlap, not identity") {
     val r = ops.Curation.t44_decontamination(spark, sf).collect()
     val total = r.map(_.getLong(1)).sum
