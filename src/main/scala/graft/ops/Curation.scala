@@ -399,13 +399,21 @@ object Curation {
     * window over the corpus — collapses to ONE partition at 100 TB;
     * the oracle replays exactly that naive form, so the board row
     * doubles as the two-level ≡ global-sort equivalence proof. */
-  def t48_budget_selection(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d).filter(col("text").isNotNull)
+  private val t48ToksMemo = new FrameMemo("documents.parquet")((s, d) =>
+    documents(s, d).filter(col("text").isNotNull)
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), t => t =!= "").as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"), size(col("t")).cast("long").as("ntok"),
-        round(size(array_distinct(col("t"))) / size(col("t")), 3).as("q"))
+        round(size(array_distinct(col("t"))) / size(col("t")), 3).as("q")))
+
+  def t48_budget_selection(s: SparkSession, d: String): DataFrame = {
+    // The (doc_id, ntok, q) frame feeds FOUR branches of one action
+    // (budget agg, bucket histogram, fullSel, boundarySel) — memoize it
+    // so the tokenize scan runs once per session+corpus, not 4× per
+    // action (the r12 verdict's one perf-weak finding). At 100 TB this
+    // is one corpus pass instead of four.
+    val toks = t48ToksMemo(s, d)
     val budget = toks.agg(
       floor(sum(col("ntok")) / 4).cast("long").as("budget"))
     // level 1: per-quality-bucket token totals + running sum over the

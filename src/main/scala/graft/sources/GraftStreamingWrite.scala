@@ -20,8 +20,9 @@ import org.apache.spark.util.SerializableConfiguration
   *  - Each task writes one parquet file straight into the epoch's
   *    staging dir `ss-<run>/e<epoch>` (files are uniquely named, so
   *    there is no rename protocol to coordinate; a failed task's file
-  *    is deleted by its own abort, and a lost one is invisible —
-  *    only files named by COMMIT MESSAGES are counted).
+  *    is deleted by its own abort, and a HARD-killed attempt's orphan
+  *    — abort never ran — is deleted by the commit-time reconcile:
+  *    only files named by COMMIT MESSAGES publish).
   *  - `commit(epoch)` publishes the staged dir through the same
   *    optimistic append loop every other write uses — schema contract,
   *    meta carry, ALTER-vs-write constraint guard, rebase over racing
@@ -101,6 +102,18 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       .flatMap(_.toLongOption)
     if (committedUpTo.exists(_ >= epochId)) { dropStaged(); return }
     if (files.isEmpty) { dropStaged(); return } // empty epoch: nothing lands
+    // exactly-once under TASK death, not just epoch replay: a
+    // hard-killed attempt (executor loss) never runs abort(), leaving
+    // a partial/orphan parquet file in the staging dir that publishing
+    // the whole dir would silently include — duplicate rows or an
+    // unreadable footer. Only commit-message-named files may publish:
+    // reconcile the dir against the message set BEFORE the stats
+    // aggregate or the manifest sees it.
+    val named = files.map(m => new Path(m.file).getName).toSet
+    fs.listStatus(new Path(tableDir, rel)).foreach { st =>
+      if (!named.contains(st.getPath.getName))
+        fs.delete(st.getPath, true): Unit
+    }
     val stats =
       if (statsCols.isEmpty) Map.empty[String, String]
       else {

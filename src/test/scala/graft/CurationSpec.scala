@@ -198,6 +198,34 @@ class CurationSpec extends SparkTestBase {
       == 0, "raw SSNs survived the scrub")
   }
 
+  test("t48: the tokenized corpus is computed once, not per branch") {
+    // four branches (budget agg, histogram, fullSel, boundarySel) read
+    // the toks frame; the memoized persist must replace every branch's
+    // documents scan with the shared cached relation — ONE corpus pass
+    // per action (the r12 verdict's perf-weak finding)
+    val df = graft.ops.Curation.t48_budget_selection(spark, sf)
+    df.head() // materialize the memoized frame
+    // assert on the OPTIMIZED LOGICAL plan: collect() does not descend
+    // into InMemoryRelation's innerChildren (the one real scan lives
+    // there), so any documents.parquet file relation found in the tree
+    // is a branch that bypassed the shared cache
+    val lp = df.queryExecution.optimizedPlan
+    val memRelations = lp.collect {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m }
+    val docFileScans = lp.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }.filter(_.contains("documents.parquet"))
+    assert(memRelations.nonEmpty, lp.treeString.take(3000))
+    assert(docFileScans.isEmpty,
+      s"t48's plan still file-scans documents.parquet " +
+        s"${docFileScans.length} time(s) outside the cache — branches not shared")
+  }
+
   test("t48: two-level budget selection equals the naive global-sort greedy") {
     val r = graft.ops.Curation.t48_budget_selection(spark, sf).head()
     val (n, tok, budget) = (r.getLong(0), r.getLong(1), r.getLong(4))

@@ -94,6 +94,54 @@ class GraftStreamingWriteSpec extends SparkTestBase {
     assert(spark.table("gsw.lake.mix").count() == 2L)
   }
 
+  test("commit publishes ONLY commit-message files: a hard-killed attempt's orphan is deleted, not published") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.orph")
+    spark.sql("CREATE TABLE gsw.lake.orph (k INT, v STRING)")
+    spark.sql("INSERT INTO gsw.lake.orph VALUES (0, 'seed')")
+    val dir = s"$wh/lake/orph"
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT, v STRING")
+    val w = new graft.sources.GraftStreamingWrite(
+      dir, schema, "orph-q", Seq.empty, 20)
+    val factory = w.createStreamingWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions: Int = 1 })
+    def runTask(pid: Int, taskId: Long, rows: Seq[(Int, String)]) = {
+      val tw = factory.createWriter(pid, taskId, 7L)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(schema)
+      val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+        .createSerializer()
+      rows.foreach(r => tw.write(ser(
+        org.apache.spark.sql.Row(r._1, r._2)).copy()))
+      tw.commit()
+    }
+    // attempt A: the winner — its message is delivered to commit()
+    val winner = runTask(0, 1L, Seq(1 -> "a", 2 -> "b"))
+    // attempt B: same partition, hard-killed AFTER flushing its file —
+    // abort() never runs and its message is never delivered (the
+    // speculative-duplicate / executor-death shape)
+    runTask(0, 2L, Seq(1 -> "DUP", 2 -> "DUP"))
+    val stageRel = "ss-" + winner.asInstanceOf[graft.sources.GraftTaskCommit]
+      .file.split("/ss-")(1).split("/")(0) + "/e7"
+    val staged = fs.listStatus(new Path(dir, stageRel))
+    assert(staged.length == 2, "both attempts' files must be staged pre-commit")
+    w.commit(7L, Array(winner))
+    val got = spark.table("gsw.lake.orph").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(got == Set(0 -> "seed", 1 -> "a", 2 -> "b"),
+      s"orphan rows leaked into the table: $got")
+    // and the orphan file is gone from the published dir
+    val live = ManifestTable.livePaths(fs, dir).filter(_.startsWith("ss-"))
+    assert(live.size == 1)
+    val pubFiles = fs.listStatus(new Path(dir, live.head))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    assert(pubFiles.length == 1 && winner
+      .asInstanceOf[graft.sources.GraftTaskCommit].file.endsWith(pubFiles.head),
+      s"published dir must hold exactly the winner's file: ${pubFiles.toSeq}")
+  }
+
   test("contract-bearing tables refuse the native path, naming the foreachBatch route") {
     wh: Unit
     def msgs(t: Throwable): Seq[String] =
