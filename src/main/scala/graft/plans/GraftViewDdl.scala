@@ -196,25 +196,98 @@ case class GraftShowViewsCommand(@transient cat: GraftCatalog,
   * a RESOLUTION-batch rule, so the substituted body resolves in the
   * same fixpoint (views over views compose by re-entry). Runs after
   * Spark's own relation resolution has had its chance: only still-
-  * unresolved relations are probed, so tables always win and the
-  * probe cost is zero on the hot path. */
+  * unresolved relations are probed, so tables (and temp views) always
+  * win and the probe cost is zero on the hot path.
+  *
+  * Name resolution mirrors [[GraftViewDdl.graftTarget]]: an explicit
+  * leading graft-catalog name wins; otherwise — `ns.v` or bare `v`
+  * with a graft catalog current — the current catalog/namespace is
+  * probed, so the read lifecycle is symmetric with CREATE/DROP.
+  *
+  * The substituted body resolves in the CREATOR's persisted context,
+  * not the reader's: every unqualified table name in the parsed body
+  * is qualified against the view's stored currentCatalog/
+  * currentNamespace before substitution (Spark's own `View.context`
+  * semantics), so a reader defaulted to a different namespace can
+  * never silently bind a view's `t` to a different table. CTE names
+  * defined anywhere in the body are exempt — they are scope-local,
+  * not catalog names. */
 object GraftViewReadRule extends Rule[LogicalPlan] {
+
+  private def graftCatalogNamed(spark: SparkSession, n: String)
+      : Option[GraftCatalog] =
+    try spark.sessionState.catalogManager.catalog(n) match {
+      case g: GraftCatalog => Some(g)
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** The stored view `parts` addresses, probing explicit-catalog first
+    * then the current catalog/namespace — None = not a graft view. */
+  private def resolveView(spark: SparkSession, parts: Seq[String])
+      : Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    val candidates: Seq[(GraftCatalog, Identifier)] = (parts match {
+      case head +: rest if rest.nonEmpty =>
+        graftCatalogNamed(spark, head)
+          .map(g => (g, Identifier.of(rest.init.toArray, rest.last))).toSeq
+      case _ => Seq.empty
+    }) ++ (cm.currentCatalog match {
+      case g: GraftCatalog if parts.length >= 2 =>
+        Seq((g, Identifier.of(parts.init.toArray, parts.last)))
+      case g: GraftCatalog =>
+        Seq((g, Identifier.of(cm.currentNamespace, parts.last)))
+      case _ => Seq.empty
+    })
+    candidates.find { case (g, id) => g.viewExists(id) }
+  }
+
+  /** Qualify the body's unqualified relation names against the view's
+    * persisted creation context. A single-part name gets the stored
+    * catalog + namespace; a multi-part name whose head is NOT a
+    * catalog gets the stored catalog (it was namespace-relative at
+    * creation). CTE names collected from the whole tree are skipped
+    * (conservative: a sub-scope CTE shadows globally here, which can
+    * only leave a name unqualified, never mis-qualify it). */
+  private def applyContext(spark: SparkSession, body0: LogicalPlan,
+                           ctxCat: String, ctxNs: Array[String])
+      : LogicalPlan = {
+    // the analyzer's CTESubstitution batch ran BEFORE this rule
+    // injected the body, so a `WITH` inside a view body would never be
+    // substituted — its references would resolve as TABLES ("No plan
+    // for CTE"). Run the substitution on the parsed body now; CTE
+    // references become CTERelationRefs that the qualifier below
+    // naturally skips.
+    val body = org.apache.spark.sql.catalyst.analysis.CTESubstitution(body0)
+    val cteNames = body.collectWithSubqueries {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    def isCatalog(n: String): Boolean =
+      try { spark.sessionState.catalogManager.catalog(n); true }
+      catch { case _: Exception => false }
+    body.transformDownWithSubqueries {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          !cteNames(u.multipartIdentifier.head
+            .toLowerCase(java.util.Locale.ROOT)) =>
+        u.copy(multipartIdentifier =
+          (ctxCat +: ctxNs.toSeq) :+ u.multipartIdentifier.head)
+      case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 &&
+          !isCatalog(u.multipartIdentifier.head) =>
+        u.copy(multipartIdentifier = ctxCat +: u.multipartIdentifier)
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation if u.multipartIdentifier.length >= 2 =>
+    case u: UnresolvedRelation =>
       val parts = u.multipartIdentifier
       val spark = SparkSession.active
-      val catOpt =
-        try Some(spark.sessionState.catalogManager.catalog(parts.head))
-        catch { case _: Exception => None }
-      catOpt match {
-        case Some(cat: GraftCatalog) =>
-          val ident = Identifier.of(parts.tail.init.toArray, parts.last)
-          if (cat.viewExists(ident)) {
-            val v = cat.loadView(ident)
-            SubqueryAlias(parts.last,
-              spark.sessionState.sqlParser.parsePlan(v.query))
-          } else u
-        case _ => u
+      resolveView(spark, parts) match {
+        case Some((cat, ident)) =>
+          val v = cat.loadView(ident)
+          val body = spark.sessionState.sqlParser.parsePlan(v.query)
+          SubqueryAlias(parts.last,
+            applyContext(spark, body, v.currentCatalog, v.currentNamespace))
+        case None => u
       }
   }
 }

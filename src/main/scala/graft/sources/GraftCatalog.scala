@@ -540,9 +540,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       v.queryColumnNames, v.columnAliases, v.columnComments,
       scala.jdk.CollectionConverters.MapHasAsJava(props).asJava)
     // views are single metadata files; an alter is read-modify-replace
-    // (last-writer-wins, like every catalog's view properties)
-    fs.delete(viewFile(ident), false)
-    createView(info)
+    // (last-writer-wins, like every catalog's view properties). The
+    // replace is write-then-RENAME-OVERWRITE, never delete-then-create:
+    // the view file is never absent mid-alter, so a crash (or a racing
+    // reader) sees either the old or the new definition — at worst a
+    // stranded .alter- temp file no lookup ever resolves.
+    val file = viewFile(ident)
+    val tmpName = file.getName + ".alter-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    require(ManifestTable.putFileIfAbsent(spark, file.getParent.toString,
+        tmpName, new String(GraftViews.serialize(info),
+          java.nio.charset.StandardCharsets.ISO_8859_1)),
+      s"alter view temp write failed for $ident")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(file.toUri, spark.sessionState.newHadoopConf())
+      .rename(new Path(file.getParent, tmpName), file,
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    loadView(ident)
   }
 
   override def dropView(ident: Identifier): Boolean =

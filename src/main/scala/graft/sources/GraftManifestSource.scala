@@ -253,11 +253,11 @@ object GraftManifestSource {
                                statsCols: Seq[String],
                                retainGenerations: Int = 2): Unit = {
     val spark = data.sparkSession
-    // bucketed (S31) table: overwrite = truncate + merge, keeping the
-    // b=N layout invariant every later merge's bucket parse relies on
+    // bucketed (S31) table: overwrite = ONE atomic swap commit keeping
+    // the b=N layout invariant every later merge's bucket parse relies
+    // on — never a truncate a reader could observe mid-overwrite
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
-      ManifestTable.truncateLive(spark, dir, retainGenerations): Unit
-      MergeInto.merge(data, dir): Unit
+      MergeInto.overwriteBucketed(data, dir): Unit
       return
     }
     // append tells us exactly which commit dir it created — the second

@@ -327,9 +327,11 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // probe, not the prop, is the routing truth, so path-API
         // writers to a bucketed dir route identically.
         if (MergeInto.bucketedGeometry(data.sparkSession, tableDir).isDefined) {
-          if (overwrite)
-            ManifestTable.truncateLive(data.sparkSession, tableDir, retain): Unit
-          MergeInto.merge(data, tableDir): Unit
+          // overwrite = ONE atomic swap commit (write new bucket dirs,
+          // then publish drop-old+add-new together) — never a truncate
+          // a reader could observe or a crash could strand
+          if (overwrite) MergeInto.overwriteBucketed(data, tableDir): Unit
+          else MergeInto.merge(data, tableDir): Unit
         } else {
           if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
           else clusterBy match {

@@ -190,6 +190,69 @@ object MergeInto {
     applyBatch(source, tableDir, key, ties, deleteWhen, n)
   }
 
+  /** INSERT OVERWRITE for a bucketed table in ONE atomic commit:
+    * write the replacement bucket dirs FIRST, then publish the swap
+    * (drop every old path, add the new b= dirs) via a single
+    * `commitIf` — matching the atomicity of the non-bucketed
+    * overwrite. The previous truncate-then-merge route was two
+    * commits: a reader between them observed an EMPTY table, and a
+    * crash after the truncate lost all data with no replacement.
+    * Concurrency is last-writer-wins like every overwrite: the
+    * written dirs depend on no standing rows, so a lost publish just
+    * re-points against the new head (no re-read, no rewrite); the
+    * superseded head's dirs die by GC under the table's retention.
+    * The batch goes through the same one-winner-per-key reduction as
+    * [[merge]], so an overwrite can never seed duplicate keys. */
+  def overwriteBucketed(source: DataFrame, tableDir: String): Long = {
+    val spark = source.sparkSession
+    val fs = fsOf(spark, tableDir)
+    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $KeyMarker): $tableDir"))
+    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    Seq("b", "rn").foreach(r => require(!source.columns.contains(r),
+      s"column name '$r' is reserved by the merge kernel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(defaultTies(source, key): _*)
+    val inserts = source
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn").withColumn("b", pmod(hash(col(key)), lit(n)))
+    // schema resolution against the head's declared schema — the same
+    // union-and-validate contract every merge commit honors, so an
+    // overwrite can evolve but never narrow the declared shape
+    val liveV = ManifestTable.versions(fs, tableDir).lastOption
+    val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
+    val tableSchema = resolveSchema(tableDir, declared, inserts.drop("b").schema)
+    val have = inserts.columns.toSet
+    val aligned = tableSchema.fields.foldLeft(inserts) { (df, f) =>
+      if (!have(f.name) || df.schema(f.name).dataType == f.dataType) df
+      else df.withColumn(f.name, col(f.name).cast(f.dataType))
+    }
+    val cid = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    aligned.repartition(col("b"))
+      .sortWithinPartitions(col("b"), col(key))
+      .write.partitionBy("b").parquet(s"$tableDir/$cid")
+    val written = fs.listStatus(new Path(s"$tableDir/$cid"))
+      .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
+      .toIndexedSeq.map(b => s"$cid/$b")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 50, s"overwrite contention at $tableDir")
+      val headV = ManifestTable.versions(fs, tableDir).lastOption.getOrElse(0L)
+      val headMeta =
+        if (headV > 0) ManifestTable.metaOf(fs, tableDir, headV)
+        else Map.empty[String, String]
+      val published = ManifestTable.commitIf(spark, tableDir, written,
+        expectedBase = headV, retainGenerations = retainOf(headMeta),
+        schemaDdl = Some(tableSchema.toDDL), meta = headMeta)
+      published.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** The live table (highest committed manifest). */
   def read(spark: SparkSession, tableDir: String): DataFrame =
     ManifestTable.read(spark, tableDir)

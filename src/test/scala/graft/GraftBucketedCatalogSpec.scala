@@ -214,6 +214,35 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     assert(livePaths(dir).forall(_.contains("b=")))
   }
 
+  test("INSERT OVERWRITE is ONE atomic commit: no empty-table window, no pre-swap loss point") {
+    val dir = freshBucketed("bow")
+    spark.sql("INSERT INTO gbkt.lake.bow VALUES (1,'a',10.0),(2,'b',20.0)")
+    val before = ManifestTable.versions(fs, dir).last
+    spark.sql("INSERT OVERWRITE gbkt.lake.bow VALUES (7,'x',70.0),(8,'y',80.0),(7,'X',700.0)")
+    // exactly ONE commit advanced the head — the old truncate+merge
+    // route was two, with a reader-visible empty table between them
+    val after = ManifestTable.versions(fs, dir).last
+    assert(after == before + 1,
+      s"overwrite must be one commit, saw ${after - before}")
+    // dedup through the winner reduction: one row per key survives,
+    // under the same defaultTies order a plain INSERT uses (amt desc)
+    assert(rows("bow") == Map(7L -> ("X", 700.0), 8L -> ("y", 80.0)))
+    // layout invariant holds and the overwrite's sole commit carries
+    // the full new table — no empty intermediate exists to observe
+    // (only CREATE's own empty v1 predates the data)
+    assert(livePaths(dir).forall(_.contains("b=")))
+    assert(ManifestTable.readVersion(spark, dir, after).count() == 2L)
+    // time travel still serves the pre-overwrite table
+    assert(ManifestTable.readVersion(spark, dir, before).count() == 2L)
+    // V1 alias overwrite routes through the same atomic swap
+    val s0 = spark; import s0.implicits._
+    val b2 = ManifestTable.versions(fs, dir).last
+    Seq((100L, "z", 1.0)).toDF("k", "v", "amt")
+      .write.format("graft-manifest").mode("overwrite").save(dir)
+    assert(ManifestTable.versions(fs, dir).last == b2 + 1)
+    assert(rows("bow") == Map(100L -> ("z", 1.0)))
+  }
+
   test("layout and clusterBy are mutually exclusive; bad layouts rejected at CREATE") {
     wh: Unit
     intercept[Exception] {

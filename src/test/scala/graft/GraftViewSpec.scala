@@ -94,6 +94,45 @@ class GraftViewSpec extends SparkTestBase {
     assert(spark.table("gvw.lake.hist").head().getLong(0) == 3L)
   }
 
+  test("view bodies resolve in the CREATOR's persisted context, not the reader's") {
+    wh: Unit
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name, cm.currentNamespace)
+    try {
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gvw.ns1")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gvw.ns2")
+      for (ns <- Seq("ns1", "ns2")) {
+        spark.sql(s"DROP VIEW IF EXISTS gvw.$ns.whose")
+        spark.sql(s"DROP TABLE IF EXISTS gvw.$ns.shared")
+        spark.sql(s"CREATE TABLE gvw.$ns.shared (who STRING)")
+        spark.sql(s"INSERT INTO gvw.$ns.shared VALUES ('$ns')")
+      }
+      // created under ns1 with an UNQUALIFIED body name
+      spark.sql("USE gvw.ns1")
+      spark.sql("CREATE VIEW whose AS SELECT who FROM shared")
+      // a reader defaulted to ns2 must STILL read ns1.shared — the
+      // wrong-results class the persisted context closes
+      spark.sql("USE gvw.ns2")
+      assert(spark.sql("SELECT who FROM gvw.ns1.whose").head().getString(0)
+        == "ns1", "body bound to the READER's namespace")
+      // read-lifecycle symmetry (ADVICE): ns.v and bare v resolve when
+      // the graft catalog is current, like CREATE/DROP already did
+      assert(spark.sql("SELECT who FROM ns1.whose").head().getString(0) == "ns1")
+      spark.sql("USE gvw.ns1")
+      assert(spark.sql("SELECT who FROM whose").head().getString(0) == "ns1")
+      // CTE names inside a body stay scope-local, never qualified
+      spark.sql("CREATE OR REPLACE VIEW cted AS " +
+        "WITH shared AS (SELECT 'cte' AS who) SELECT who FROM shared")
+      spark.sql("USE gvw.ns2")
+      assert(spark.sql("SELECT who FROM gvw.ns1.cted").head().getString(0)
+        == "cte", "CTE name was qualified away from its scope")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      if (prevCat == cm.currentCatalog.name && prevNs.nonEmpty)
+        cm.setCurrentNamespace(prevNs)
+    }
+  }
+
   test("s35 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s35_catalog_view(spark, sf).head()
     assert(r.getLong(1) > 0)
