@@ -56,30 +56,9 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
   private def epochRel(epochId: Long): String = s"ss-$runId/e$epochId"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory = {
-    val conf = spark.sessionState.newHadoopConf()
-    val sqlConf = spark.sessionState.conf
-    ParquetWriteSupport.setSchema(writeSchema, conf)
-    // exactly the SQLConf keys ParquetWriteSupport.init and
-    // SparkToParquetSchemaConverter(conf) read (they `.toBoolean` a
-    // raw get — an unset key is an executor-side NPE, so every one
-    // must be materialized from the session before shipping)
-    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
-      sqlConf.writeLegacyParquetFormat.toString)
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
-      sqlConf.parquetOutputTimestampType.toString)
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
-      sqlConf.parquetFieldIdWriteEnabled.toString)
-    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
-      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
-    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
-    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
-      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
-    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+      : StreamingDataWriterFactory =
     GraftStreamingWriterFactory(s"$tableDir/ss-$runId",
-      new SerializableConfiguration(conf))
-  }
+      GraftTaskWriters.writeConf(spark, writeSchema))
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -109,11 +88,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     // unreadable footer. Only commit-message-named files may publish:
     // reconcile the dir against the message set BEFORE the stats
     // aggregate or the manifest sees it.
-    val named = files.map(m => new Path(m.file).getName).toSet
-    fs.listStatus(new Path(tableDir, rel)).foreach { st =>
-      if (!named.contains(st.getPath.getName))
-        fs.delete(st.getPath, true): Unit
-    }
+    GraftTaskWriters.reconcile(fs, new Path(tableDir, rel),
+      files.map(m => new Path(m.file).getName).toSet)
     val stats =
       if (statsCols.isEmpty) Map.empty[String, String]
       else {
@@ -149,6 +125,48 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
 
 case class GraftTaskCommit(file: String, rows: Long)
     extends WriterCommitMessage
+
+/** Shared executor-task parquet-writer plumbing (X15 streaming writes
+  * and the native row-level-operation writes, GraftRowLevelOps). */
+private[sources] object GraftTaskWriters {
+
+  /** Hadoop conf a [[GraftTaskWriter]] needs executor-side: exactly
+    * the SQLConf keys ParquetWriteSupport.init and
+    * SparkToParquetSchemaConverter(conf) read (they `.toBoolean` a
+    * raw get — an unset key is an executor-side NPE, so every one
+    * must be materialized from the session before shipping). */
+  def writeConf(spark: SparkSession,
+                writeSchema: StructType): SerializableConfiguration = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sqlConf = spark.sessionState.conf
+    ParquetWriteSupport.setSchema(writeSchema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlConf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    new SerializableConfiguration(conf)
+  }
+
+  /** Delete every file in `stageDir` NOT named by a commit message —
+    * the hard-killed-attempt orphan reconcile both write protocols
+    * run before anything reads or publishes the staged dir. */
+  def reconcile(fs: org.apache.hadoop.fs.FileSystem, stageDir: Path,
+                named: Set[String]): Unit =
+    if (fs.exists(stageDir))
+      fs.listStatus(stageDir).foreach { st =>
+        if (!named.contains(st.getPath.getName))
+          fs.delete(st.getPath, true): Unit
+      }
+}
 
 case class GraftStreamingWriterFactory(stageDir: String,
                                        conf: SerializableConfiguration)

@@ -174,7 +174,7 @@ object ManifestTable {
 
   private val NullTok = "%N" // URLEncoder never emits '%' + non-hex
 
-  private def encTok(o: Any): String =
+  private[sources] def encTok(o: Any): String =
     if (o == null) NullTok
     else java.net.URLEncoder.encode(o.toString, "UTF-8")
 
@@ -879,7 +879,25 @@ object ManifestTable {
       fs.delete(new Path(s"$tableDir/$cid"), true): Unit
     if (touched.isEmpty && keptRows == 0L)
       return baseV // nothing removed, nothing added — don't bump a version
-    val touchedSet = touched.toSet
+    publishRewrite(spark, tableDir, touched.toSet,
+      payload.map(_ => cid), payload, kept.schema, statsCols,
+      retainGenerations, boundChecks)
+  }
+
+  /** The publish half of a dir-granular copy-on-write rewrite: carry
+    * every head dir outside `touchedSet`, add `cid` (when a payload
+    * exists), validate that no racing writer rewrote a touched dir
+    * (loud abort — the standing rows this rewrite anti-joined are
+    * stale), re-check the ALTER-vs-write constraint guard, and commit
+    * under optimistic concurrency. Shared by [[rewriteWhere]] and the
+    * native row-level-operation write (GraftRowLevelOps), so both DML
+    * surfaces carry identical conflict semantics. */
+  private[sources] def publishRewrite(spark: SparkSession, tableDir: String,
+      touchedSet: Set[String], cid: Option[String], payload: Option[String],
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String], retainGenerations: Int,
+      boundChecks: Set[String]): Long = {
+    val fs = fsOf(spark, tableDir)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -894,15 +912,14 @@ object ManifestTable {
       val headMeta = metaOf(fs, tableDir, head)
       // same ALTER-vs-write race guard as the append loop: constraints
       // declared since the rewrite job ran never saw its output rows
-      checkConflictGuard(fs, tableDir, headMeta, boundChecks,
-        payload.map(_ => cid).toSeq)
-      val zoneMeta = statsZonePin(kept.schema, statsCols, payload.isDefined,
+      checkConflictGuard(fs, tableDir, headMeta, boundChecks, cid.toSeq)
+      val zoneMeta = statsZonePin(payloadSchema, statsCols, payload.isDefined,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
-        (carried ++ payload.map(_ => cid)).sorted, head, retainGenerations,
+        (carried ++ cid).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head),
         stats = (statsOf(fs, tableDir, head) -- touchedSet) ++
-          payload.map(cid -> _),
+          (for { c <- cid; p <- payload } yield c -> p),
         meta = headMeta ++ zoneMeta)
       committed.foreach(v => return v)
     }
