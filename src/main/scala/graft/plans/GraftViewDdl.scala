@@ -232,8 +232,17 @@ object GraftViewReadRule extends Rule[LogicalPlan] {
           .map(g => (g, Identifier.of(rest.init.toArray, rest.last))).toSeq
       case _ => Seq.empty
     }) ++ (cm.currentCatalog match {
+      // a multi-part name whose head names ANY registered catalog
+      // (graft or not) is catalog-qualified, never relative — probing
+      // the current graft catalog with it could silently bind
+      // `other_cat.ns.t` to a graft view stored at namespace
+      // [other_cat, ns] instead of raising table-not-found
       case g: GraftCatalog if parts.length >= 2 =>
-        Seq((g, Identifier.of(parts.init.toArray, parts.last)))
+        val headIsCatalog =
+          try { cm.catalog(parts.head); true }
+          catch { case _: Exception => false }
+        if (headIsCatalog) Seq.empty
+        else Seq((g, Identifier.of(parts.init.toArray, parts.last)))
       case g: GraftCatalog =>
         Seq((g, Identifier.of(cm.currentNamespace, parts.last)))
       case _ => Seq.empty
@@ -277,17 +286,39 @@ object GraftViewReadRule extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedRelation =>
-      val parts = u.multipartIdentifier
-      val spark = SparkSession.active
-      resolveView(spark, parts) match {
-        case Some((cat, ident)) =>
-          val v = cat.loadView(ident)
-          val body = spark.sessionState.sqlParser.parsePlan(v.query)
-          SubqueryAlias(parts.last,
-            applyContext(spark, body, v.currentCatalog, v.currentNamespace))
-        case None => u
-      }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    substitute(SparkSession.active, plan, depth = 0)
+
+  /** One substitution pass, recursing eagerly into each substituted
+    * body so EVERY nesting level expands inside a single rule
+    * invocation with a tracked depth — a self- or mutually-referential
+    * view (creatable via CREATE OR REPLACE) hits the depth ceiling and
+    * fails loudly instead of re-substituting forever across analyzer
+    * fixpoint iterations (Spark's own views bound nesting the same
+    * way, via `spark.sql.view.maxNestedViewDepth`). */
+  private def substitute(spark: SparkSession, plan: LogicalPlan,
+                         depth: Int): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u: UnresolvedRelation =>
+        val parts = u.multipartIdentifier
+        resolveView(spark, parts) match {
+          case Some((cat, ident)) =>
+            val maxDepth = spark.sessionState.conf.maxNestedViewDepth
+            if (depth + 1 > maxDepth)
+              throw new org.apache.spark.sql.AnalysisException(
+                errorClass = "RECURSIVE_VIEW",
+                messageParameters = Map(
+                  "viewIdent" -> parts.mkString("."),
+                  "newPath" -> (s"max nested view depth $maxDepth " +
+                    s"exceeded resolving ${parts.mkString(".")} — " +
+                    "recursive view or raise " +
+                    "spark.sql.view.maxNestedViewDepth")))
+            val v = cat.loadView(ident)
+            val body = spark.sessionState.sqlParser.parsePlan(v.query)
+            SubqueryAlias(parts.last, substitute(spark,
+              applyContext(spark, body, v.currentCatalog, v.currentNamespace),
+              depth + 1))
+          case None => u
+        }
+    }
 }

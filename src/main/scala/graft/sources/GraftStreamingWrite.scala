@@ -83,13 +83,20 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     if (files.isEmpty) { dropStaged(); return } // empty epoch: nothing lands
     // exactly-once under TASK death, not just epoch replay: a
     // hard-killed attempt (executor loss) never runs abort(), leaving
-    // a partial/orphan parquet file in the staging dir that publishing
-    // the whole dir would silently include — duplicate rows or an
-    // unreadable footer. Only commit-message-named files may publish:
-    // reconcile the dir against the message set BEFORE the stats
-    // aggregate or the manifest sees it.
-    GraftTaskWriters.reconcile(fs, new Path(tableDir, rel),
-      files.map(m => new Path(m.file).getName).toSet)
+    // a partial/orphan parquet file in the staging dir. Deleting
+    // orphans in place is not enough — a speculative attempt still
+    // flushing can land its file AFTER the cleanup listing but before
+    // the dir publishes, and readers list every *.parquet in a
+    // published dir. So publication is by MOVE, not by dir: each
+    // commit-message-named file is renamed into a fresh publish dir
+    // (one NN rename per task, same order as a listing), and only
+    // that dir enters the manifest — a late-landing orphan hits the
+    // doomed staging dir, which is never reader-visible.
+    val pubRel = s"ss-$runId/p$epochId"
+    GraftTaskWriters.publishNamed(fs, new Path(tableDir, rel),
+      new Path(tableDir, pubRel),
+      files.map(m => new Path(m.file).getName).toSeq)
+    fs.delete(new Path(tableDir, rel), true): Unit
     val stats =
       if (statsCols.isEmpty) Map.empty[String, String]
       else {
@@ -98,8 +105,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
           min(col(c)).cast("string").as(s"min:$c"),
           max(col(c)).cast("string").as(s"max:$c")))
         val r = spark.read.schema(writeSchema)
-          .parquet(s"$tableDir/$rel").agg(aggs.head, aggs.tail: _*).head()
-        Map(rel -> (Seq(r.getAs[Long]("rows").toString) ++
+          .parquet(s"$tableDir/$pubRel").agg(aggs.head, aggs.tail: _*).head()
+        Map(pubRel -> (Seq(r.getAs[Long]("rows").toString) ++
           statsCols.flatMap(c => Seq(
             java.net.URLEncoder.encode(c, "UTF-8"),
             Option(r.getAs[String](s"min:$c"))
@@ -109,7 +116,7 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
           .mkString("\t"))
       }
     ManifestTable.appendCommitLoopCore(spark, writeSchema, tableDir,
-      Seq(rel), stats, statsCols, retain,
+      Seq(pubRel), stats, statsCols, retain,
       meta = Map(txnKey -> epochId.toString),
       recordingStats = stats.nonEmpty,
       // the guard set: this write refuses tables with declared checks
@@ -119,8 +126,10 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
   }
 
   override def abort(epochId: Long,
-                     messages: Array[WriterCommitMessage]): Unit =
+                     messages: Array[WriterCommitMessage]): Unit = {
     fs.delete(new Path(tableDir, epochRel(epochId)), true): Unit
+    fs.delete(new Path(tableDir, s"ss-$runId/p$epochId"), true): Unit
+  }
 }
 
 case class GraftTaskCommit(file: String, rows: Long)
@@ -156,16 +165,21 @@ private[sources] object GraftTaskWriters {
     new SerializableConfiguration(conf)
   }
 
-  /** Delete every file in `stageDir` NOT named by a commit message —
-    * the hard-killed-attempt orphan reconcile both write protocols
-    * run before anything reads or publishes the staged dir. */
-  def reconcile(fs: org.apache.hadoop.fs.FileSystem, stageDir: Path,
-                named: Set[String]): Unit =
-    if (fs.exists(stageDir))
-      fs.listStatus(stageDir).foreach { st =>
-        if (!named.contains(st.getPath.getName))
-          fs.delete(st.getPath, true): Unit
-      }
+  /** Move exactly the commit-message-named files from `stageDir` into
+    * a fresh `pubDir` — the hard-killed-attempt orphan defense: only
+    * the publish dir enters the manifest, so a straggler attempt's
+    * file that lands in the staging dir at ANY point (even after a
+    * cleanup listing) is never reader-visible. A named file that
+    * cannot be moved is a loud failure — its task committed it, so
+    * absence means the staging dir was tampered with or lost. */
+  def publishNamed(fs: org.apache.hadoop.fs.FileSystem, stageDir: Path,
+                   pubDir: Path, named: Seq[String]): Unit = {
+    fs.mkdirs(pubDir)
+    named.foreach { n =>
+      require(fs.rename(new Path(stageDir, n), new Path(pubDir, n)),
+        s"cannot publish $n: rename from $stageDir failed")
+    }
+  }
 }
 
 case class GraftStreamingWriterFactory(stageDir: String,

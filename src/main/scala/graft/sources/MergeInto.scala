@@ -237,6 +237,22 @@ object MergeInto {
     val written = fs.listStatus(new Path(s"$tableDir/$cid"))
       .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
       .toIndexedSeq.map(b => s"$cid/$b")
+    publishOverwrite(spark, tableDir, written, tableSchema)
+  }
+
+  /** The publish half of [[overwriteBucketed]] — the swap commit under
+    * optimistic concurrency, separated so the ALTER-vs-overwrite race
+    * is testable. `dataSchema` is the schema the replacement dirs were
+    * written under; the DECLARED schema is re-resolved against the
+    * CURRENT head on every attempt, so a concurrent ALTER TABLE ADD
+    * COLUMN that wins the race survives the overwrite's commit
+    * (committing the pre-write resolution would silently revert it)
+    * and a concurrent incompatible type change aborts loudly instead
+    * of being overwritten. */
+  private[graft] def publishOverwrite(spark: SparkSession,
+      tableDir: String, written: Seq[String],
+      dataSchema: org.apache.spark.sql.types.StructType): Long = {
+    val fs = fsOf(spark, tableDir)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -245,9 +261,12 @@ object MergeInto {
       val headMeta =
         if (headV > 0) ManifestTable.metaOf(fs, tableDir, headV)
         else Map.empty[String, String]
+      val headDeclared =
+        if (headV > 0) ManifestTable.schemaOf(fs, tableDir, headV) else None
+      val commitSchema = resolveSchema(tableDir, headDeclared, dataSchema)
       val published = ManifestTable.commitIf(spark, tableDir, written,
         expectedBase = headV, retainGenerations = retainOf(headMeta),
-        schemaDdl = Some(tableSchema.toDDL), meta = headMeta)
+        schemaDdl = Some(commitSchema.toDDL), meta = headMeta)
       published.foreach(v => return v)
     }
     -1L // unreachable

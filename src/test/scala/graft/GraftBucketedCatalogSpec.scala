@@ -243,6 +243,33 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     assert(rows("bow") == Map(100L -> ("z", 1.0)))
   }
 
+  test("overwrite publish re-resolves the declared schema against the live head") {
+    val dir = freshBucketed("bsd")
+    spark.sql("INSERT INTO gbkt.lake.bsd VALUES (1,'a',1.0)")
+    // simulate the race window: replacement dirs already written under
+    // the pre-ALTER schema, then a concurrent ALTER ADD COLUMN wins
+    // the commit race BEFORE the overwrite publishes — drive the
+    // publish seam directly with the stale data schema
+    val staged = ManifestTable.pathsOf(fs, dir,
+      ManifestTable.versions(fs, dir).last)
+    spark.sql("ALTER TABLE gbkt.lake.bsd ADD COLUMN note STRING")
+    val dataSchema = org.apache.spark.sql.types.StructType
+      .fromDDL("k BIGINT, v STRING, amt DOUBLE")
+    MergeInto.publishOverwrite(spark, dir, staged, dataSchema)
+    // the concurrently-added column SURVIVES the overwrite's commit
+    assert(spark.table("gbkt.lake.bsd").schema.fieldNames.contains("note"),
+      "concurrent ALTER ADD COLUMN was reverted by the overwrite publish")
+    // a concurrent INCOMPATIBLE type change aborts the publish loudly
+    val headV = ManifestTable.versions(fs, dir).last
+    ManifestTable.commitIf(spark, dir,
+      ManifestTable.pathsOf(fs, dir, headV), headV, 10,
+      schemaDdl = Some("k BIGINT, v INT, amt DOUBLE"),
+      meta = ManifestTable.metaOf(fs, dir, headV))
+    intercept[IllegalArgumentException] {
+      MergeInto.publishOverwrite(spark, dir, staged, dataSchema)
+    }
+  }
+
   test("layout and clusterBy are mutually exclusive; bad layouts rejected at CREATE") {
     wh: Unit
     intercept[Exception] {

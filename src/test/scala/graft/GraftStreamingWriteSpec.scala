@@ -140,6 +140,16 @@ class GraftStreamingWriteSpec extends SparkTestBase {
     assert(pubFiles.length == 1 && winner
       .asInstanceOf[graft.sources.GraftTaskCommit].file.endsWith(pubFiles.head),
       s"published dir must hold exactly the winner's file: ${pubFiles.toSeq}")
+    // the race a delete-in-place cleanup can NOT close: a straggler
+    // attempt whose flush lands AFTER commit's cleanup listing. Here
+    // it lands after commit entirely (recreating the staging dir) —
+    // because publication is by move into a fresh dir, the straggler
+    // is never reader-visible
+    runTask(0, 3L, Seq(9 -> "LATE"))
+    val after = spark.table("gsw.lake.orph").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(after == Set(0 -> "seed", 1 -> "a", 2 -> "b"),
+      s"straggler attempt's rows leaked into the table: $after")
   }
 
   test("contract-bearing tables refuse the native path, naming the foreachBatch route") {

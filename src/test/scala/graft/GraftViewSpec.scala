@@ -133,6 +133,57 @@ class GraftViewSpec extends SparkTestBase {
     }
   }
 
+  test("recursive views fail loudly at the depth ceiling, never hang") {
+    seed()
+    spark.sql("DROP VIEW IF EXISTS gvw.lake.cyc_a")
+    spark.sql("DROP VIEW IF EXISTS gvw.lake.cyc_b")
+    spark.sql("CREATE VIEW gvw.lake.cyc_a AS SELECT k FROM gvw.lake.t")
+    spark.sql("CREATE VIEW gvw.lake.cyc_b AS SELECT k FROM gvw.lake.cyc_a")
+    // legitimate nesting still works
+    assert(spark.sql("SELECT k FROM gvw.lake.cyc_b").count() >= 3L)
+    // CREATE OR REPLACE closes the loop: a -> b -> a
+    spark.sql("CREATE OR REPLACE VIEW gvw.lake.cyc_a AS " +
+      "SELECT k FROM gvw.lake.cyc_b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT k FROM gvw.lake.cyc_a").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("recursive"), e.getMessage)
+    spark.sql("DROP VIEW gvw.lake.cyc_a")
+    spark.sql("DROP VIEW gvw.lake.cyc_b")
+  }
+
+  test("a catalog-qualified name never binds relative to the current catalog") {
+    seed()
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name, cm.currentNamespace)
+    try {
+      // a second REGISTERED catalog with its own (empty) warehouse
+      val otherWh = Files.createTempDirectory("graft-view-other").toString
+      spark.conf.set("spark.sql.catalog.gvwother", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gvwother.warehouse", otherWh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gvwother.lake")
+      // a view stored in gvw at the ADVERSARIAL namespace [gvwother, lake]
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS gvw.gvwother.lake")
+      spark.sql("DROP VIEW IF EXISTS gvw.gvwother.lake.leak")
+      spark.sql("CREATE VIEW gvw.gvwother.lake.leak AS " +
+        "SELECT k FROM gvw.lake.t")
+      spark.sql("USE gvw.lake")
+      // gvwother.lake.leak is catalog-qualified and gvwother holds no
+      // such view: this must be table-not-found, NOT a silent bind to
+      // gvw's view stored at namespace [gvwother, lake]
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT k FROM gvwother.lake.leak").collect()
+      }
+      // while the full 4-part address still reads it
+      assert(spark.sql("SELECT k FROM gvw.gvwother.lake.leak").count() == 3L)
+      spark.sql("DROP VIEW gvw.gvwother.lake.leak")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      if (prevCat == cm.currentCatalog.name && prevNs.nonEmpty)
+        cm.setCurrentNamespace(prevNs)
+    }
+  }
+
   test("s35 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s35_catalog_view(spark, sf).head()
     assert(r.getLong(1) > 0)
