@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the bare SupportsDelete path serves) — see GraftDeleteRule for
     // why Spark's SupportsRowLevelOperations is NOT the seam here
     e.injectPostHocResolutionRule(_ => graft.plans.GraftDeleteRule)
+    // S26 correctness patch on the NATIVE merge rewrite: a no-WHEN-
+    // MATCHED merge must not duplicate multi-matched target rows
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeCarryoverDedup)
     // S32: swaps the catalog's `t$changes` stub relation for the
     // computed CDC-feed plan (a diff needs a shuffle — not a scan)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftChangesRule)

@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Coalesce, Literal, MonotonicallyIncreasingID, Subtract}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Deduplicate, Join, LogicalPlan, MergeRows, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.BooleanType
+
+/** S26 correctness patch over Spark's group-based MERGE rewrite: a
+  * target row matched by SEVERAL source rows is LEGAL when the
+  * statement has no `WHEN MATCHED` clause (the SQL cardinality rule
+  * governs only update/delete), and the row must survive EXACTLY once.
+  * `RewriteMergeIntoTable` plans that case as a left/full-outer join
+  * whose only matched instruction is the carryover `Keep(Copy, true)`,
+  * with the cardinality check off — so each extra source match emits
+  * an extra carried copy of the target row into the copy-on-write
+  * output: silent row duplication (the extension-seam kernel this
+  * adoption replaced special-cased the same shape with semi/anti
+  * joins).
+  *
+  * The patch is a value-free plan transform on our own tables only:
+  * tag each target row with a monotonic id BEFORE the join, then
+  * deduplicate the join output on that id (source-only rows get a
+  * unique synthetic negative key, so inserts — where SQL really does
+  * take every source row — pass through untouched), and hand MergeRows
+  * its original column set back. Which of a target row's matches
+  * survives is immaterial: the only instruction that can fire for a
+  * matched row is the carryover, whose output ignores the source side
+  * entirely. All original attribute ids pass through unchanged, so the
+  * MergeRows instructions resolve exactly as Spark built them.
+  *
+  * Scale note: the dedup keys by one LONG over the rewrite stream; a
+  * matched row's duplicates are co-partitioned by the join key, so the
+  * aggregate sees skew only where the join already did. It costs one
+  * exchange on the rewrite path of one statement shape (MERGE with no
+  * WHEN MATCHED clause) — correctness over an edge-shape shuffle. */
+object GraftMergeCarryoverDedup extends Rule[LogicalPlan] {
+
+  /** True when the matched-instruction list is ONLY the synthetic
+    * carryover — i.e. the user wrote no WHEN MATCHED clause and the
+    * rewrite copies matched rows verbatim. */
+  private def carryoverOnly(instrs: Seq[MergeRows.Instruction]): Boolean =
+    instrs match {
+      case Seq(k: MergeRows.Keep) =>
+        k.context == MergeRows.Copy && (k.condition match {
+          case Literal(true, BooleanType) => true
+          case _ => false
+        })
+      case _ => false
+    }
+
+  private def graftGroupTarget(rel: Any): Boolean = rel match {
+    case r: DataSourceV2Relation =>
+      org.apache.spark.sql.GraftShims.rowLevelOperationOf(r.table)
+        .exists(_.isInstanceOf[graft.sources.GraftGroupOperation])
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case rd: ReplaceData if graftGroupTarget(rd.table) =>
+      rd.query match {
+        case m: MergeRows
+            if carryoverOnly(m.matchedInstructions) && !m.checkCardinality =>
+          m.child match {
+            case j @ Join(pt: Project, _, LeftOuter | FullOuter, _, _)
+                if pt.projectList.exists {
+                  case a: Alias => a.name == "__row_from_target"
+                  case _ => false
+                } =>
+              val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+              val j2 = j.copy(left =
+                pt.copy(projectList = pt.projectList :+ tid))
+              val dk = Alias(Coalesce(Seq(tid.toAttribute,
+                Subtract(Literal(-1L), MonotonicallyIncreasingID()))),
+                "__graft_dk")()
+              val keyed = Project(j2.output :+ dk, j2)
+              val deduped = Deduplicate(Seq(dk.toAttribute), keyed)
+              rd.withNewQuery(m.copy(child = Project(j.output, deduped)))
+            case _ => rd // unexpected shape: leave Spark's plan alone
+          }
+        case _ => rd
+      }
+    case other => other
+  }
+}

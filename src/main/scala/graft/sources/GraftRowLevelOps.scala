@@ -1,0 +1,379 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native row-level operations (S24–S26 via Spark's OWN DML rewrites):
+  * the two `RowLevelOperation` implementations behind
+  * [[GraftTable.newRowLevelOperationBuilder]], replacing the extension
+  * seam's plan-intercepting rules with the analyzer-blessed path —
+  * `RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` now plan DELETE/UPDATE/MERGE themselves
+  * (including subquery conditions, which the seam refused), and this
+  * file supplies the two physical strategies those rewrites choose
+  * between:
+  *
+  *  - [[GraftGroupOperation]] — group-based copy-on-write at COMMIT-DIR
+  *    granularity for plain manifest tables. The group id is the
+  *    `_graft_dir` metadata column; Spark's runtime group filtering
+  *    narrows the rewrite to exactly the dirs holding matches (the
+  *    same dir pruning the extension kernels did, now expressed
+  *    through `SupportsRuntimeFiltering` on the scan), and the write
+  *    publishes through [[ManifestTable.publishRewrite]] — identical
+  *    conflict semantics to the old seam.
+  *  - [[GraftDeltaOperation]] — `SupportsDelta` for S31 bucketed
+  *    layouts: per-row DELETE/UPDATE/INSERT records land as an
+  *    executor-written changeset keyed on the bucket key, applied at
+  *    commit through [[MergeInto.applyBatch]] — O(changeset), never a
+  *    group rewrite that would break the `b=N` layout invariant.
+  *
+  * Translatable DELETEs still short-circuit before either path:
+  * Spark's `OptimizeMetadataOnlyDeleteFromTable` routes them to
+  * [[GraftTable.deleteWhere]] (truncate fast path, stats-bounded CoW,
+  * bucketed merge-kernel delete), so the native adoption only ever
+  * CHANGES the plan for conditions the V1-Filter bridge cannot carry.
+  */
+object GraftRowLevel {
+
+  /** The group-id metadata column: which commit dir a row resides in.
+    * Constant per file, emitted through the `PartitionedFile`
+    * partition-values channel — zero bytes read per row. */
+  val DirCol = "_graft_dir"
+
+  val dirField: StructField = StructField(DirCol, StringType, nullable = false)
+
+  /** Exposed via `SupportsMetadataColumns` (`SELECT _graft_dir, ...`
+    * works as table observability too). Preservation is disabled for
+    * CoW writes: the dir a row CAME from is meaningless in the dir
+    * that replaces it, and a preserved metadata column would otherwise
+    * ride into the write schema as a phantom data column. */
+  object DirMetadataColumn extends MetadataColumn {
+    override def name: String = DirCol
+    override def dataType: DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "commit dir holding this row (row-level operation group id)"
+    override def metadataInJSON: String =
+      s"""{"${MetadataColumn.PRESERVE_ON_DELETE}": false,
+         | "${MetadataColumn.PRESERVE_ON_UPDATE}": false}""".stripMargin
+  }
+
+  /** The table's persisted retention, same default as every commit
+    * surface. */
+  private[sources] def retainOf(table: GraftTable): Int =
+    table.tableProps.get("retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+}
+
+/** Group-based copy-on-write over commit dirs. ONE instance is shared
+  * by the operation's scan and write (Spark's `RowLevelOperationTable`
+  * contract): the scan records which dirs it actually planned (post
+  * static-stats pruning AND runtime group filtering) and the write
+  * replaces exactly those dirs with its output in one
+  * [[ManifestTable.publishRewrite]] commit. */
+class GraftGroupOperation(table: GraftTable, cmd: Command)
+    extends RowLevelOperation {
+
+  /** Dirs the operation's scan ended up reading — the groups the write
+    * replaces. Written once on the driver at scan planning, read once
+    * on the driver at write commit (planning happens-before commit). */
+  @volatile private var affectedDirs: Set[String] = Set.empty
+
+  private[sources] def recordAffected(planned: Seq[String]): Unit =
+    affectedDirs = planned.toSet
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"GraftGroupCoW[${table.tableDir}]"
+
+  /** The rewrite's scan: same pruned parquet scan as a read, with two
+    * group-mode differences wired in [[GraftScanBuilder]]/[[GraftScan]]
+    * — runtime filtering happens on `_graft_dir` (exact group sets, not
+    * stats envelopes), and pushed filters prune whole dirs only (every
+    * row of a surviving dir must be returned, because rows the
+    * condition does NOT match are copied by the rewrite). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = table.pinnedV.getOrElse(throw new IllegalArgumentException(
+      s"no committed graft table at ${table.tableDir}"))
+    import scala.jdk.CollectionConverters._
+    GraftScanBuilder(table.tableDir, v, table.schema(),
+      options.asCaseSensitiveMap().asScala.toMap, rowLevel = Some(this))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftGroupWrite(table, GraftGroupOperation.this, info.schema())
+    }
+
+  /** Keep `_graft_dir` in the rewrite plan — the handle runtime group
+    * filtering narrows. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.DirCol))
+
+  private[sources] def affected: Set[String] = affectedDirs
+}
+
+/** The CoW write: executor task writers stage replacement rows, commit
+  * publishes them over the affected dirs. Straggler-safe like X15 —
+  * only commit-message-named files move into the publish dir. */
+class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
+                      writeSchema: StructType)
+    extends Write with BatchWrite {
+
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+  private val stageRel = s"rl-$runId/stage"
+  private val cid = s"c-rl-$runId"
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(table.tableDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    GraftBatchWriterFactory(s"${table.tableDir}/$stageRel",
+      GraftTaskWriters.writeConf(spark, writeSchema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = table.tableDir
+    val files = messages.collect { case m: GraftTaskCommit if m.rows > 0 => m }
+    val rows = files.map(_.rows).sum
+    val touched = op.affected
+    try {
+      if (rows == 0L) {
+        // every row of every affected dir was deleted — pure removal
+        if (touched.nonEmpty)
+          ManifestTable.publishRewrite(spark, dir, touched, None, None,
+            writeSchema, Seq.empty, GraftRowLevel.retainOf(table),
+            boundChecks = Set.empty): Unit
+        return
+      }
+      GraftTaskWriters.publishNamed(fs, new Path(dir, stageRel),
+        new Path(dir, cid), files.map(m => new Path(m.file).getName).toSeq)
+      // the replacement dir re-records whatever columns the touched
+      // dirs tracked (mirrors rewriteWhere), and declared CHECK
+      // constraints bind the read-back in the same pass — an UPDATE'd
+      // row that violates a constraint fails here, before any commit
+      val headV = ManifestTable.versions(fs, dir).last
+      val baseStats = ManifestTable.statsOf(fs, dir, headV)
+      val statsCols = writeSchema.fieldNames.filter(c => touched.exists(p =>
+        baseStats.get(p).exists(ManifestTable.statsFor(_, c).isDefined)))
+        .toSeq
+      val staged = spark.read.schema(writeSchema).parquet(s"$dir/$cid")
+      val (checked, boundChecks) =
+        GraftManifestSource.bindDeclaredChecks(staged, dir)
+      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min:$c"),
+        max(col(c)).cast("string").as(s"max:$c")))
+      val m = checked.agg(aggs.head, aggs.tail: _*).head()
+      val payload = (Seq(m.getAs[Long]("rows").toString) ++
+        statsCols.flatMap(c => Seq(ManifestTable.encTok(c),
+          ManifestTable.encTok(m.getAs[String](s"min:$c")),
+          ManifestTable.encTok(m.getAs[String](s"max:$c")))))
+        .mkString("\t")
+      ManifestTable.publishRewrite(spark, dir, touched, Some(cid),
+        Some(payload), writeSchema, statsCols,
+        GraftRowLevel.retainOf(table), boundChecks): Unit
+    } finally {
+      fs.delete(new Path(dir, s"rl-$runId"), true): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    fs.delete(new Path(table.tableDir, s"rl-$runId"), true): Unit
+    fs.delete(new Path(table.tableDir, cid), true): Unit
+  }
+}
+
+/** Batch flavor of the X15 task-writer factory: one uniquely-named
+  * parquet file per task, opened lazily, straggler-reconciled at
+  * commit by the named-file move. */
+case class GraftBatchWriterFactory(stageDir: String,
+                                   conf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftTaskWriter(
+      s"$stageDir/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
+      conf.value)
+}
+
+/** `SupportsDelta` for bucketed (S31) tables: Spark hands the write
+  * per-row DELETE/UPDATE/INSERT records keyed on the bucket key; the
+  * writers stage them as a changeset (table columns, null except the
+  * key on deletes, plus a `_graft_change` marker) and commit applies
+  * it through the O(changeset) merge kernel — placement, one-winner
+  * dedup, CHECK binding and optimistic rebase all inherited from
+  * [[MergeInto.applyBatch]]. */
+class GraftDeltaOperation(table: GraftTable, cmd: Command, key: String)
+    extends RowLevelOperation with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"GraftDelta[${table.tableDir} key=$key]"
+
+  /** Plain pruned scan — a delta write touches only rows the condition
+    * matches, so filters push fully (dir pruning AND parquet row-group
+    * pruning), unlike the group scan. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = table.pinnedV.getOrElse(throw new IllegalArgumentException(
+      s"no committed graft table at ${table.tableDir}"))
+    import scala.jdk.CollectionConverters._
+    GraftScanBuilder(table.tableDir, v, table.schema(),
+      options.asCaseSensitiveMap().asScala.toMap)
+  }
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(key))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(table, key, info)
+    }
+}
+
+private[sources] object GraftDeltaWrite {
+  /** Changeset marker column: 0 = upsert (insert/updated row),
+    * 1 = delete (row identified by key). The marker sorts upserts
+    * ahead of deletes in the one-winner-per-key reduction, so an
+    * in-place update (delete(k) + insert(k) in one batch) nets to a
+    * replace — the same change_type-first tie order
+    * [[MergeInto.replicate]] uses for CDC feeds. */
+  val ChangeCol = "_graft_change"
+}
+
+class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
+    extends DeltaWrite with DeltaBatchWrite {
+
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+  private val stageRel = s"rl-$runId/stage"
+  private val pubRel = s"rl-$runId/pub"
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(table.tableDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** All table columns nullable (delete records carry only the key)
+    * plus the marker. */
+  private val changesetSchema: StructType = StructType(
+    table.schema().fields.map(_.copy(nullable = true)) :+
+      StructField(GraftDeltaWrite.ChangeCol, IntegerType, nullable = false))
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = {
+    val tableFields = table.schema()
+    // data rows arrive in the WRITE schema's column order — map each
+    // incoming ordinal to its changeset ordinal by name
+    val rowMap = this.info.schema().fieldNames.map(tableFields.fieldIndex)
+    val rowTypes = this.info.schema().fields.map(_.dataType)
+    GraftDeltaWriterFactory(s"${table.tableDir}/$stageRel",
+      GraftTaskWriters.writeConf(spark, changesetSchema),
+      changesetSchema.length - 1, rowMap, rowTypes,
+      tableFields.fieldIndex(key), tableFields(key).dataType)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = table.tableDir
+    val files = messages.collect { case m: GraftTaskCommit if m.rows > 0 => m }
+    try {
+      if (files.isEmpty) return // no-op DML: nothing matched, nothing landed
+      GraftTaskWriters.publishNamed(fs, new Path(dir, stageRel),
+        new Path(dir, pubRel), files.map(m => new Path(m.file).getName).toSeq)
+      val (_, n) = MergeInto.bucketedGeometry(spark, dir).getOrElse(
+        throw new IllegalStateException(s"bucketed geometry vanished at $dir"))
+      val cs0 = spark.read.schema(changesetSchema).parquet(s"$dir/$pubRel")
+      // declared CHECK constraints bind the changeset before it merges:
+      // an UPDATE'd/INSERT'd row violating a constraint fails the merge
+      // job pre-commit (delete records carry null data columns, which
+      // pass like every SQL CHECK NULL evaluation)
+      val (cs, _) = GraftManifestSource.bindDeclaredChecks(cs0, dir)
+      val marker = col(GraftDeltaWrite.ChangeCol)
+      MergeInto.applyBatch(cs, dir, key,
+        tieCols = marker +: MergeInto.defaultTies(
+          cs.drop(GraftDeltaWrite.ChangeCol), key),
+        deleteWhen = coalesce(marker === 1, lit(false)),
+        nBuckets = n, dropCols = Seq(GraftDeltaWrite.ChangeCol)): Unit
+    } finally {
+      fs.delete(new Path(dir, s"rl-$runId"), true): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new Path(table.tableDir, s"rl-$runId"), true): Unit
+}
+
+case class GraftDeltaWriterFactory(stageDir: String,
+    conf: SerializableConfiguration, markerOrd: Int, rowMap: Array[Int],
+    rowTypes: Array[DataType], keyOrd: Int, keyType: DataType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaTaskWriter(
+      s"$stageDir/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
+      conf.value, markerOrd, rowMap, rowTypes, keyOrd, keyType)
+}
+
+/** One task's changeset writer. Values are copied field-by-field into
+  * a fresh row and consumed synchronously by the parquet write
+  * support, so Spark's per-record row reuse is safe. */
+class GraftDeltaTaskWriter(path: String,
+    conf: org.apache.hadoop.conf.Configuration, markerOrd: Int,
+    rowMap: Array[Int], rowTypes: Array[DataType], keyOrd: Int,
+    keyType: DataType)
+    extends DeltaWriter[InternalRow] {
+
+  private val inner = new GraftTaskWriter(path, conf)
+
+  private def emit(marker: Int)(fill: GenericInternalRow => Unit): Unit = {
+    val out = new GenericInternalRow(markerOrd + 1)
+    fill(out)
+    out.update(markerOrd, marker)
+    inner.write(out)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    emit(1)(out => out.update(keyOrd, id.get(0, keyType)))
+
+  override def insert(row: InternalRow): Unit =
+    emit(0) { out =>
+      var i = 0
+      while (i < rowMap.length) {
+        out.update(rowMap(i), row.get(i, rowTypes(i)))
+        i += 1
+      }
+    }
+
+  /** An update is delete(old id) + upsert(new row) in changeset terms —
+    * correct whether or not the update moved the key (the marker-first
+    * tie order nets an in-place pair to a replace). */
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
+}

@@ -151,12 +151,45 @@ class GraftTableProvider extends TableProvider
   * until the first commit lands). */
 case class GraftTable(tableDir: String, pinnedV: Option[Long],
                       tableSchema: StructType, tableProps: Map[String, String])
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     s"graft:$tableDir" + pinnedV.map(v => s"@v$v").getOrElse("")
 
-  override def schema(): StructType = tableSchema
+  /** The bucket key of an S31 table — the delta row id, which Spark's
+    * row-level rewrites require NON-NULLABLE, so [[schema]] marks it.
+    * Honest at the data level too: the merge kernel rejects null keys
+    * loudly at write (a null key could never be replaced through the
+    * key anti-join — NULL never equals NULL). */
+  @transient private[sources] lazy val bucketedKey: Option[String] =
+    try MergeInto.bucketedGeometry(SparkSession.active, tableDir).map(_._1)
+    catch { case _: Exception => None }
+
+  override def schema(): StructType = bucketedKey match {
+    case Some(k) => StructType(tableSchema.fields.map(f =>
+      if (f.name == k) f.copy(nullable = false) else f))
+    case None => tableSchema
+  }
+
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftRowLevel.DirMetadataColumn)
+
+  /** Native row-level operations (Spark's own DELETE/UPDATE/MERGE
+    * rewrites): S31 bucketed tables take the DELTA path (row-id = the
+    * bucket key, applied through the O(changeset) merge kernel); every
+    * other table takes group-based copy-on-write at commit-dir
+    * granularity, with runtime group filtering reproducing the
+    * stats-pruned dir carrying the extension kernels did. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => bucketedKey match {
+      case Some(k) => new GraftDeltaOperation(this, info.command, k)
+      case None => new GraftGroupOperation(this, info.command)
+    }
 
   /** Persisted table properties (for catalog tables: the `prop:` meta
     * channel, surfaced by SHOW TBLPROPERTIES) — also the seam
@@ -232,7 +265,7 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = pinnedV.getOrElse(throw new IllegalArgumentException(
       s"no committed graft table at $tableDir"))
-    GraftScanBuilder(tableDir, v, tableSchema,
+    GraftScanBuilder(tableDir, v, schema(),
       options.asCaseSensitiveMap().asScala.toMap)
   }
 
@@ -367,7 +400,8 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
   * aggregate pushdown against manifest stats. */
 case class GraftScanBuilder(tableDir: String, version: Long,
                             tableSchema: StructType,
-                            scanOptions: Map[String, String] = Map.empty)
+                            scanOptions: Map[String, String] = Map.empty,
+                            rowLevel: Option[GraftGroupOperation] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
@@ -425,9 +459,17 @@ case class GraftScanBuilder(tableDir: String, version: Long,
     agg.isDefined
   }
 
-  override def build(): Scan =
-    new GraftScan(tableDir, version, tableSchema, readSchema, filters, agg,
-      limit.filter(_ => filters.isEmpty), scanOptions)
+  override def build(): Scan = {
+    // `_graft_dir` is a metadata column, not parquet data: strip it
+    // from the read schema and let the scan re-emit it per file via
+    // the partition-values channel
+    val emitDir = readSchema.fieldNames.contains(GraftRowLevel.DirCol)
+    val dataSchema =
+      if (!emitDir) readSchema
+      else StructType(readSchema.fields.filterNot(_.name == GraftRowLevel.DirCol))
+    new GraftScan(tableDir, version, tableSchema, dataSchema, filters, agg,
+      limit.filter(_ => filters.isEmpty), scanOptions, emitDir, rowLevel)
+  }
 }
 
 /** The scan: either a metadata-only aggregate answer (one local row)
@@ -439,7 +481,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
                 requiredSchema: StructType, filters: Array[Filter],
                 agg: Option[(StructType, InternalRow)],
                 limit: Option[Int] = None,
-                streamOptions: Map[String, String] = Map.empty)
+                streamOptions: Map[String, String] = Map.empty,
+                emitDir: Boolean = false,
+                rowLevel: Option[GraftGroupOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -474,21 +518,38 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     keptPathsCache
   }
 
-  override def readSchema(): StructType = agg.map(_._1).getOrElse(requiredSchema)
+  override def readSchema(): StructType = agg.map(_._1).getOrElse {
+    if (emitDir) StructType(requiredSchema.fields :+ GraftRowLevel.dirField)
+    else requiredSchema
+  }
 
   override def toBatch: Batch = this
 
   /** Stats-covered columns are runtime-filterable: an IN-set arriving
-    * from a dimension join folds to its envelope and re-prunes dirs. */
+    * from a dimension join folds to its envelope and re-prunes dirs.
+    * A ROW-LEVEL operation's scan instead filters on `_graft_dir` —
+    * the group id Spark's runtime group filtering narrows, so a CoW
+    * DELETE/UPDATE/MERGE rewrites only the dirs that hold matches. */
   override def filterAttributes(): Array[NamedReference] =
     // no runtime filtering over an agg answer, nor combined with a
     // limit-truncated dir plan (the prefix was chosen by TOTAL counts)
     if (agg.isDefined || limit.isDefined) Array.empty
+    else if (rowLevel.isDefined) Array(Expressions.column(GraftRowLevel.DirCol))
     else tableSchema.fieldNames.filter { c =>
       liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined)
     }.map(Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
+    // group filtering: an IN/= on the dir metadata column names the
+    // affected groups EXACTLY — intersect, no envelope folding
+    val dirSets = runtime.collect {
+      case org.apache.spark.sql.sources.In(c, vs)
+          if c == GraftRowLevel.DirCol =>
+        vs.collect { case s: String => s }.toSet
+      case org.apache.spark.sql.sources.EqualTo(c, v: String)
+          if c == GraftRowLevel.DirCol => Set(v)
+    }
+    dirSets.foreach(ds => keptPathsCache = keptPaths.filter(ds))
     val bounds = boundsFor(runtime)
     if (bounds.nonEmpty)
       keptPathsCache = keptPaths.intersect(ManifestTable.prunePathsIn(
@@ -516,13 +577,32 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
-    case None => GraftParquetRead.packPartitions(spark, listFiles(spark))
+    case None =>
+      val planned = plannedPaths
+      // a row-level operation's write will replace EXACTLY the dirs
+      // its scan ended up reading (post static-stats pruning AND
+      // runtime group filtering) — record them on the shared operation
+      rowLevel.foreach(_.recordAffected(planned))
+      if (emitDir)
+        GraftParquetRead.packPartitionsWithValues(spark,
+          GraftParquetRead.listFilesWithDir(spark, tableDir, planned).map {
+            case (rel, st) => (InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(rel)), st)
+          })
+      else GraftParquetRead.packPartitions(spark, listFiles(spark))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(_) => GraftAggReaderFactory
     case None =>
-      GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema, filters)
+      // group mode must return EVERY row of a surviving dir (rows the
+      // condition does not match are COPIED by the CoW rewrite), so
+      // the pushed filters may prune whole dirs but must not reach
+      // parquet's row-group pruning
+      GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema,
+        if (rowLevel.isDefined) Array.empty else filters,
+        if (emitDir) StructType(Seq(GraftRowLevel.dirField))
+        else new StructType())
   }
 
   /** Streaming read of the SAME table (see [[GraftMicroBatchStream]]).
@@ -610,27 +690,40 @@ case class GraftAggPartition(row: InternalRow) extends InputPartition
 private[sources] object GraftParquetRead {
 
   def listFiles(s: SparkSession, tableDir: String,
-                relPaths: Seq[String]): Seq[FileStatus] = {
+                relPaths: Seq[String]): Seq[FileStatus] =
+    listFilesWithDir(s, tableDir, relPaths).map(_._2)
+
+  /** Per-file listing that remembers which commit dir each file came
+    * from — the `_graft_dir` metadata-column source (rides each
+    * `PartitionedFile`'s partitionValues, the same constant-per-file
+    * channel Spark's own file sources use for partition columns). */
+  def listFilesWithDir(s: SparkSession, tableDir: String,
+                       relPaths: Seq[String]): Seq[(String, FileStatus)] = {
     val fs = new Path(tableDir).getFileSystem(s.sessionState.newHadoopConf())
     relPaths.flatMap { p =>
       fs.listStatus(new Path(tableDir, p)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(p -> _)
     }
   }
 
   def packPartitions(s: SparkSession,
-                     files: Seq[FileStatus]): Array[InputPartition] = {
+                     files: Seq[FileStatus]): Array[InputPartition] =
+    packPartitionsWithValues(s, files.map(f => (InternalRow.empty, f)))
+
+  def packPartitionsWithValues(s: SparkSession,
+      files: Seq[(InternalRow, FileStatus)]): Array[InputPartition] = {
     val conf = s.sessionState.conf
     val openCost = conf.filesOpenCostInBytes
     val minPart = conf.filesMinPartitionNum
       .getOrElse(s.sparkContext.defaultParallelism)
     val bytesPerCore =
-      (files.map(_.getLen + openCost).sum) / math.max(1, minPart)
+      (files.map(_._2.getLen + openCost).sum) / math.max(1, minPart)
     val maxSplit = math.min(conf.filesMaxPartitionBytes,
       math.max(openCost, bytesPerCore))
-    val split = files.flatMap { st =>
+    val split = files.flatMap { case (pv, st) =>
       (0L until st.getLen by maxSplit).map { off =>
-        PartitionedFile(InternalRow.empty,
+        PartitionedFile(pv,
           org.apache.spark.paths.SparkPath.fromPath(st.getPath),
           off, math.min(maxSplit, st.getLen - off), Array.empty,
           st.getModificationTime, st.getLen, Map.empty)
@@ -642,7 +735,9 @@ private[sources] object GraftParquetRead {
 
   def readerFactory(s: SparkSession, tableSchema: StructType,
                     requiredSchema: StructType,
-                    filters: Array[Filter]): PartitionReaderFactory = {
+                    filters: Array[Filter],
+                    partitionSchema: StructType = new StructType())
+      : PartitionReaderFactory = {
     val sqlConf = s.sessionState.conf
     val hadoopConf: Configuration = s.sessionState.newHadoopConf()
     val readJson = requiredSchema.json
@@ -676,7 +771,7 @@ private[sources] object GraftParquetRead {
     // filters ride along for parquet row-group pruning only — the
     // same predicates are re-applied above the scan (residual)
     ParquetPartitionReaderFactory(sqlConf, broadcasted, tableSchema,
-      requiredSchema, new StructType(), filters, None,
+      requiredSchema, partitionSchema, filters, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
   }
 }

@@ -10,4 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** The `RowLevelOperation` inside Spark's private[sql]
+    * `RowLevelOperationTable` wrapper, if `t` is one — the handle
+    * graft's merge-carryover patch needs to recognize its own
+    * group-CoW rewrites. */
+  def rowLevelOperationOf(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] =
+    t match {
+      case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(rt.operation)
+      case _ => None
+    }
 }

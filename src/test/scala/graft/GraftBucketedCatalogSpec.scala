@@ -99,7 +99,7 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     assert(rows("b3") == Map(1L -> ("x", 99.0), 2L -> ("y+", 5.0)))
   }
 
-  test("MERGE duplicate source keys fail loudly; unroutable shapes are refused") {
+  test("MERGE duplicate source keys fail loudly; once-refused shapes now run natively") {
     val dir = freshBucketed("b4")
     spark.sql("INSERT INTO gbkt.lake.b4 VALUES (1,'a',1.0)")
     val dup = intercept[Exception] {
@@ -112,27 +112,26 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(dup).exists(_.contains("deduplicate the source")), msgs(dup))
+    assert(msgs(dup).exists(_.contains("MERGE_CARDINALITY_VIOLATION")), msgs(dup))
     assert(rows("b4") == Map(1L -> ("a", 1.0)), "failed merge changed rows")
-    // NOT MATCHED BY SOURCE must judge every target row — refused
-    val bs = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO gbkt.lake.b4 AS t
-           USING (SELECT * FROM VALUES (1,'p',1.0) AS s(k,v,amt)) AS s
-           ON t.k = s.k
-           WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-    }
-    assert(msgs(bs).exists(_.contains("NOT MATCHED BY SOURCE")), msgs(bs))
-    // a compound ON changes matched-pair semantics — refused
-    val cmp = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO gbkt.lake.b4 AS t
-           USING (SELECT * FROM VALUES (1,'p',5.0) AS s(k,v,amt)) AS s
-           ON t.k = s.k AND s.amt > 2
-           WHEN MATCHED THEN UPDATE SET v = s.v""")
-    }
-    assert(msgs(cmp).exists(_.contains("exactly")), msgs(cmp))
-    assert(rows("b4") == Map(1L -> ("a", 1.0)))
+    // NOT MATCHED BY SOURCE judges every target row — the extension
+    // kernel refused this shape; Spark's delta rewrite scans the full
+    // target and emits per-row deletes, so it now just works
+    spark.sql("INSERT INTO gbkt.lake.b4 VALUES (2,'gone',2.0)")
+    spark.sql(
+      """MERGE INTO gbkt.lake.b4 AS t
+         USING (SELECT * FROM VALUES (1,'p',1.0) AS s(k,v,amt)) AS s
+         ON t.k = s.k
+         WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+    assert(rows("b4") == Map(1L -> ("a", 1.0)), "unmatched row must be deleted")
+    // a compound ON condition — likewise native now
+    spark.sql(
+      """MERGE INTO gbkt.lake.b4 AS t
+         USING (SELECT * FROM VALUES (1,'p',5.0) AS s(k,v,amt)) AS s
+         ON t.k = s.k AND s.amt > 2
+         WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert(rows("b4") == Map(1L -> ("p", 1.0)))
+    assert(livePaths(dir).forall(_.contains("b=")))
   }
 
   test("UPDATE and DELETE route through the kernel and keep the layout") {
@@ -146,15 +145,14 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     assert(rows("b5") == Map(1L -> ("a", 11.0), 3L -> ("c", 30.0)))
     assert(livePaths(dir).forall(_.contains("b=")),
       "row-level DML preserved the bucket layout")
-    // assigning the bucket key would change row identity under
-    // replace-by-key semantics — refused
-    val e = intercept[Exception] {
-      spark.sql("UPDATE gbkt.lake.b5 SET k = k + 100 WHERE v = 'a'")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("bucket key")), msgs(e))
+    // assigning the bucket key moves row identity: the delta write
+    // emits delete(old key) + insert(new row), so the row lands in its
+    // new bucket and the old key is gone — the extension kernel used
+    // to refuse this shape
+    spark.sql("UPDATE gbkt.lake.b5 SET k = k + 100 WHERE v = 'a'")
+    assert(rows("b5") == Map(101L -> ("a", 11.0), 3L -> ("c", 30.0)),
+      "key update must move the row, not duplicate it")
+    assert(livePaths(dir).forall(_.contains("b=")))
   }
 
   test("CALL system.lookup serves S18 point lookups by name") {

@@ -108,33 +108,37 @@ class GraftDeleteSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gdel.lake.d4 VERSION AS OF 3").count() == 10L)
   }
 
-  test("a non-Filter-translatable DELETE condition works through the extension seam") {
-    // pre-r12 these failed loudly at canDeleteWhere; GraftDeleteRule now
-    // serves ANY deterministic condition through the same CoW kernel,
-    // with whatever translatable conjuncts exist still pruning dirs
+  test("a non-Filter-translatable DELETE runs Spark's group CoW rewrite with runtime group filtering") {
+    // pre-r12 these failed loudly at canDeleteWhere; since the native
+    // SupportsRowLevelOperations adoption, ANY deterministic condition
+    // plans as Spark's own ReplaceData rewrite, with runtime group
+    // filtering on the _graft_dir metadata column narrowing the CoW to
+    // exactly the dirs holding matches
     twoDirTable("d5") // k in {0..4, 10..14}, single-char v
     spark.sql("DELETE FROM gdel.lake.d5 WHERE length(v) + k > 10")
     // length(v)=1 everywhere → deletes k>9 → the 10..14 dir empties
     assert(spark.table("gdel.lake.d5").count() == 5L)
     assert(spark.table("gdel.lake.d5").agg(max(col("k"))).head().getInt(0) == 4)
-    // the eager command is the plan — visible in EXPLAIN
+    // the native rewrite is the plan — ReplaceData over the group CoW
+    // write, with the dir-IN dynamic pruning subquery attached
     val plan = spark.sql(
       "EXPLAIN DELETE FROM gdel.lake.d5 WHERE length(v) > 99")
       .head().getString(0)
-    assert(plan.contains("GraftDelete"), plan)
+    assert(plan.contains("ReplaceData"), plan)
+    assert(plan.contains("GraftGroupWrite"), plan)
+    assert(plan.contains(s"dynamicpruningexpression(${
+      graft.sources.GraftRowLevel.DirCol}"), plan)
   }
 
-  test("a subquery DELETE condition fails loudly, table unchanged") {
+  test("a subquery DELETE condition works through the native rewrite") {
+    // the extension seam refused subqueries (its SQL transport could
+    // not re-resolve them); Spark's RewriteDeleteFromTable plans them
+    // as joins, so they now just work
     twoDirTable("d6")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gdel.lake.d6 WHERE k IN " +
-        "(SELECT k FROM gdel.lake.d6 WHERE k > 5)")
-    }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("subqueries")), msgs(e))
-    assert(spark.table("gdel.lake.d6").count() == 10L)
+    spark.sql("DELETE FROM gdel.lake.d6 WHERE k IN " +
+      "(SELECT k FROM gdel.lake.d6 WHERE k > 5)")
+    assert(spark.table("gdel.lake.d6").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(0, 1, 2, 3, 4))
   }
 
   test("direct-API deleteWhere prunes by bounds and rebases over racing appends") {

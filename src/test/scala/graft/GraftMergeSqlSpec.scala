@@ -90,7 +90,7 @@ class GraftMergeSqlSpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("matched multiple source rows")),
+    assert(msgs(e).exists(_.contains("MERGE_CARDINALITY_VIOLATION")),
       s"cardinality failure must be loud and named: ${msgs(e)}")
     // the table is unchanged — the guard fires inside the rewrite job,
     // which dies before any manifest commit
@@ -152,7 +152,8 @@ class GraftMergeSqlSpec extends SparkTestBase {
          WHEN MATCHED THEN UPDATE SET v = s.v""")
     val after = ManifestTable.livePaths(fs, dir)
     assert(after.contains(lowDir), "out-of-envelope dir must be carried")
-    assert(after.exists(_.startsWith("m-")), "merge publishes an m- dir")
+    assert(after.exists(_.startsWith("c-rl-")),
+      "native group rewrite publishes a c-rl- dir")
     assert(spark.table("gmrg.lake.m5").filter("k = 100").head().getString(1)
       == "Z!")
     assert(spark.table("gmrg.lake.m5").count() == 5L)

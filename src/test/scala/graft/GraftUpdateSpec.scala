@@ -55,7 +55,8 @@ class GraftUpdateSpec extends SparkTestBase {
     spark.sql("UPDATE gupd.lake.u2 SET v = upper(v) WHERE k >= 12 AND k <= 13")
     val after = ManifestTable.livePaths(fs, dir)
     assert(after.contains(lowDir), "out-of-bounds dir must be carried untouched")
-    assert(after.exists(_.startsWith("u-")), "rewrite publishes a u- dir")
+    assert(after.exists(_.startsWith("c-rl-")),
+      "native group rewrite publishes a c-rl- dir")
     assert(spark.table("gupd.lake.u2").filter(col("k") >= 10)
       .orderBy("k").collect().map(_.getString(1)).toSeq ==
       Seq("p", "q", "R", "S", "t"))
