@@ -12,22 +12,16 @@ import graft.functions.{CosineSim, DotProduct, SquaredL2}
   * `VectorFunctions.register` at runtime (extensions only apply to
   * newly-built sessions).
   *
-  * Besides the function injection, this installs the two custom
-  * `Rule[LogicalPlan]`s the engine needs:
-  * [[graft.plans.GraftUpdateRule]] (SQL `UPDATE`, S25) and
-  * [[graft.plans.GraftMergeRule]] (SQL `MERGE INTO`, S26) on manifest
-  * tables — the statements the V2 Table API cannot express without the
-  * full row-level-operation write protocol. Everything else still
-  * compiles to built-ins.
+  * SQL DELETE/UPDATE/MERGE need NO rule here: [[graft.sources.GraftTable]]
+  * implements `SupportsRowLevelOperations`, so Spark's own analyzer
+  * rewrites plan them onto [[graft.sources.GraftGroupOperation]] /
+  * [[graft.sources.GraftDeltaOperation]] (GraftRowLevelOps). The one
+  * DML rule below is a correctness patch over an upstream edge of that
+  * rewrite, not a bypass. Everything else still compiles to
+  * built-ins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectPostHocResolutionRule(_ => graft.plans.GraftUpdateRule)
-    e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeRule)
-    // full-expression DELETE (beyond the V1-Filter-translatable shapes
-    // the bare SupportsDelete path serves) — see GraftDeleteRule for
-    // why Spark's SupportsRowLevelOperations is NOT the seam here
-    e.injectPostHocResolutionRule(_ => graft.plans.GraftDeleteRule)
     // S26 correctness patch on the NATIVE merge rewrite: a no-WHEN-
     // MATCHED merge must not duplicate multi-matched target rows
     e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeCarryoverDedup)

@@ -816,7 +816,8 @@ object ManifestTable {
   }
 
   /** The shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]
-    * (and SQL MERGE, graft.plans.GraftDml): carry every live dir the
+    * (the direct API surface; SQL DML rides Spark's native row-level
+    * rewrites onto GraftRowLevelOps): carry every live dir the
     * stats prove `bounds`-free, run `rewrite` over the rest, publish
     * the result as one fresh dir with fresh stats under optimistic
     * concurrency. `rewrite` must preserve the declared schema.

@@ -767,9 +767,9 @@ object Sources {
       cat
   })
 
-  /** S25: SQL `UPDATE` on a manifest table, served by the
-    * session-extension rule ([[graft.plans.GraftUpdateRule]]) over
-    * [[ManifestTable.updateWhere]]'s dir-granular copy-on-write — one
+  /** S25: SQL `UPDATE` on a manifest table, served by Spark's native
+    * row-level rewrite onto [[GraftGroupOperation]]'s dir-granular
+    * copy-on-write (GraftRowLevelOps) — one
     * leg aggregates the table AFTER the update, the other time-travels
     * to the pre-update snapshot, so the oracle checks that exactly the
     * predicated rows changed by exactly the assigned delta AND that
@@ -816,9 +816,9 @@ object Sources {
       cat
   })
 
-  /** S26: SQL `MERGE INTO` on a manifest table, served by the
-    * session-extension rule ([[graft.plans.GraftMergeRule]]) over the
-    * shared copy-on-write kernel — the oracle replays the merge as
+  /** S26: SQL `MERGE INTO` on a manifest table, served by Spark's
+    * native merge rewrite onto the group copy-on-write operation
+    * (GraftRowLevelOps) — the oracle replays the merge as
     * relational algebra (filter + CASE + UNION ALL) over plain orders,
     * so every clause's row-level outcome is checked exactly. */
   def s26_merge_sql(s: SparkSession, d: String): DataFrame = {

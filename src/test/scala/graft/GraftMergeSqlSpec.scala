@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.ManifestTable
 
-/** S26 — SQL `MERGE INTO` on manifest tables via the session-extension
-  * rule ([[graft.plans.GraftMergeRule]]): full clause surface
+/** S26 — SQL `MERGE INTO` on manifest tables via Spark's native merge
+  * rewrite onto the group copy-on-write operation: full clause surface
   * (matched UPDATE/DELETE with conditions, NOT MATCHED INSERT, NOT
   * MATCHED BY SOURCE), first-match-wins, the cardinality rule,
   * source-envelope dir pruning, and subquery sources. */

@@ -7,10 +7,10 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.ManifestTable
 
-/** S25 — SQL `UPDATE` on manifest tables via the session-extension
-  * rule ([[graft.plans.GraftUpdateRule]]): dir-granular copy-on-write,
-  * SQL null semantics, expression values, store-assignment casts, and
-  * pass-through for non-graft tables. */
+/** S25 — SQL `UPDATE` on manifest tables via Spark's native row-level
+  * rewrite onto the group copy-on-write operation (GraftRowLevelOps):
+  * dir-granular copy-on-write, SQL null semantics, expression values,
+  * store-assignment casts, and pass-through for non-graft tables. */
 class GraftUpdateSpec extends SparkTestBase {
 
   private lazy val wh: String = {
