@@ -316,6 +316,50 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  /** X16 fixture: the corpus streamed into a CLUSTERED graft table
+    * through the native streaming write — the write declares
+    * `RequiresDistributionAndOrdering` (ordered on `event_id`, k
+    * partitions), Spark plans the per-epoch range shuffle, and each
+    * epoch lands as ≤k disjoint sorted range dirs with per-dir
+    * task-computed stats ([[graft.sources.GraftStreamingWrite]]). */
+  private val clusteredWriteDemo = new graft.FixtureMemo((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_x16_").toString
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+            .asScala.toSeq.reverseIterator.foreach(p => p.toFile.delete())
+        } catch { case _: Throwable => () }))
+      val src = s"$root/src"; val tbl = s"$root/tbl"; val ck = s"$root/ck"
+      val staged = ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      staged.write.parquet(src)
+      val q = s.readStream.schema(staged.schema).parquet(src)
+        .writeStream.format("graft").option("path", tbl)
+        .option("clusterBy", "event_id")
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      tbl
+  })
+
+  /** X16: native streaming write to a CLUSTERED table under the oracle
+    * gate — a range-filtered aggregate over the streamed-in table must
+    * equal the same aggregate off the corpus (the filter rides the
+    * per-dir stats the task writers computed; clustering may re-range
+    * and re-order rows, never drop or duplicate them). */
+  def x16_stream_clustered_write(s: SparkSession, d: String): DataFrame = {
+    val tbl = clusteredWriteDemo(s, d)
+    graft.sources.ManifestTable.read(s, tbl)
+      .filter(col("event_id").between(100, 3000))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"),
+        sum(col("event_id")).as("id_checksum"))
+      .orderBy("event_type")
+  }
+
   /** X8: streaming ingestion → append table, verified through the
     * DuckDB gate — the aggregate over the streamed-in manifest table
     * must equal the same aggregate straight off the corpus (ingest may
@@ -342,6 +386,7 @@ object Streaming {
     "x9_upsert_stream" -> (x9_upsert_stream _),
     "x10_interval_join" -> (x10_interval_join _),
     "x15_stream_table_write" -> (x15_stream_table_write _),
+    "x16_stream_clustered_write" -> (x16_stream_clustered_write _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -436,6 +481,14 @@ object Streaming {
          round(sum(value), 2) AS total_value,
          CAST(sum(event_id) AS BIGINT) AS id_checksum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the clustered native-path ingest must equal the corpus on a
+    // range slice (pruned through the task-computed per-dir stats)
+    "x16_stream_clustered_write" ->
+      """SELECT event_type, count(*) AS n,
+         round(sum(value), 2) AS total_value,
+         CAST(sum(event_id) AS BIGINT) AS id_checksum
+         FROM events WHERE event_id BETWEEN 100 AND 3000
+         GROUP BY event_type ORDER BY event_type""",
     "x10_interval_join" ->
       """WITH clicks AS (
            SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts

@@ -4,11 +4,14 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.connector.write.{DataWriter, PhysicalWriteInfo, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** X15 — NATIVE streaming writes: `df.writeStream.toTable("cat.ns.t")`
@@ -33,17 +36,30 @@ import org.apache.spark.util.SerializableConfiguration
   *  - Restarts get a fresh run id, so a replayed epoch never collides
   *    with the committed one's files.
   *
-  * When the table declares `statsCols`, the commit runs one tiny
-  * aggregate over the just-written files (page-cache-warm) so streamed
-  * dirs skip like appended ones. Tables whose write-side contracts
-  * need a DRIVER-side plan — declared CHECK constraints (per-row
-  * `raise_error` guards), `clusterBy` (a range shuffle), or a bucketed
-  * layout (the merge kernel) — are refused with the `foreachBatch`
-  * route named: a native task writer cannot run those plans, and
-  * silently skipping a declared contract is worse than an error. */
+  * When the table declares `statsCols`, each TASK tracks min/max of
+  * the tracked columns inline as it writes (atomic types — the normal
+  * case) and ships them in its commit message, so the epoch commit
+  * records skipping stats with ZERO extra jobs; non-atomic tracked
+  * columns fall back to one footer-served aggregate over the
+  * just-written files. Tables whose write-side contracts need a
+  * DRIVER-side plan — declared CHECK constraints (per-row
+  * `raise_error` guards) or a bucketed layout (the merge kernel) —
+  * are refused with the `foreachBatch` route named: a native task
+  * writer cannot run those plans, and silently skipping a declared
+  * contract is worse than an error.
+  *
+  * A `clusterBy` table is NOT refused (r14): the write declares
+  * `RequiresDistributionAndOrdering` (ordered distribution on the
+  * cluster columns, `requiredNumPartitions = k`), so Spark itself
+  * plans the per-epoch range shuffle + local sort — the native seam
+  * Iceberg's write-distribution modes use. Each arriving task file is
+  * then one contiguous key range, and the commit publishes it as its
+  * OWN dir with its own stats line: the epoch lands clustered-on-
+  * arrival (≤k dirs), pruning from the moment it commits, exactly the
+  * S27 batch contract. */
 class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                           queryId: String, statsCols: Seq[String],
-                          retain: Int)
+                          retain: Int, clusterCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -55,10 +71,20 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
 
   private def epochRel(epochId: Long): String = s"ss-$runId/e$epochId"
 
+  /** The session zone pinned at write construction — timestamp stats
+    * render in it on executors exactly as the driver aggregate would. */
+  private val zone = spark.sessionState.conf.sessionLocalTimeZone
+
+  /** Some(specs) when EVERY tracked column is an atomic type a task
+    * writer can min/max inline; None = read-back aggregate fallback. */
+  private val inlineSpec: Option[Seq[StatsColSpec]] =
+    GraftTaskWriters.inlineStatsSpec(writeSchema, statsCols)
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactory(s"$tableDir/ss-$runId",
-      GraftTaskWriters.writeConf(spark, writeSchema))
+      GraftTaskWriters.writeConf(spark, writeSchema),
+      inlineSpec.getOrElse(Seq.empty), zone)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -92,31 +118,55 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     // (one NN rename per task, same order as a listing), and only
     // that dir enters the manifest — a late-landing orphan hits the
     // doomed staging dir, which is never reader-visible.
-    val pubRel = s"ss-$runId/p$epochId"
-    GraftTaskWriters.publishNamed(fs, new Path(tableDir, rel),
-      new Path(tableDir, pubRel),
-      files.map(m => new Path(m.file).getName).toSeq)
+    // CLUSTERED epoch (RequiresDistributionAndOrdering upstream): each
+    // task file is one contiguous range — publish it as its OWN dir so
+    // its stats line prunes independently (S27's ≤k-dirs-per-batch
+    // shape). Unclustered: one dir for the whole epoch.
+    val fileDirs: Seq[(String, Seq[GraftTaskCommit])] =
+      if (clusterCols.nonEmpty)
+        files.toSeq.sortBy(m => partitionIdOf(m.file)).zipWithIndex
+          .map { case (m, i) => s"ss-$runId/p$epochId-$i" -> Seq(m) }
+      else Seq(s"ss-$runId/p$epochId" -> files.toSeq)
+    fileDirs.foreach { case (pubRel, ms) =>
+      GraftTaskWriters.publishNamed(fs, new Path(tableDir, rel),
+        new Path(tableDir, pubRel),
+        ms.map(m => new Path(m.file).getName))
+    }
     fs.delete(new Path(tableDir, rel), true): Unit
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, String]
-      else {
-        import org.apache.spark.sql.functions.{col, count, lit, max, min}
-        val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"min:$c"),
-          max(col(c)).cast("string").as(s"max:$c")))
-        val r = spark.read.schema(writeSchema)
-          .parquet(s"$tableDir/$pubRel").agg(aggs.head, aggs.tail: _*).head()
-        Map(pubRel -> (Seq(r.getAs[Long]("rows").toString) ++
-          statsCols.flatMap(c => Seq(
-            java.net.URLEncoder.encode(c, "UTF-8"),
-            Option(r.getAs[String](s"min:$c"))
-              .map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"),
-            Option(r.getAs[String](s"max:$c"))
-              .map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"))))
-          .mkString("\t"))
+    val stats: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else inlineSpec match {
+        case Some(specs) =>
+          // zero-job path: every tracked column's min/max was computed
+          // IN the task writers and rides the commit messages
+          fileDirs.map { case (pubRel, ms) =>
+            val cells = specs.map { sp =>
+              val per = ms.flatMap(_.stats.filter(_.col == sp.name))
+              (sp.name,
+                GraftTaskWriters.mergeStat(sp.dt, zone,
+                  per.map(_.min), least = true),
+                GraftTaskWriters.mergeStat(sp.dt, zone,
+                  per.map(_.max), least = false))
+            }
+            pubRel -> GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells)
+          }.toMap
+        case None =>
+          // a non-atomic tracked column: one footer-served aggregate
+          // per published dir (page-cache-warm, dirs ≤ k)
+          import org.apache.spark.sql.functions.{col, count, lit, max, min}
+          fileDirs.map { case (pubRel, ms) =>
+            val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+              min(col(c)).cast("string").as(s"min:$c"),
+              max(col(c)).cast("string").as(s"max:$c")))
+            val r = spark.read.schema(writeSchema)
+              .parquet(s"$tableDir/$pubRel").agg(aggs.head, aggs.tail: _*).head()
+            pubRel -> GraftTaskWriters.statsLine(r.getAs[Long]("rows"),
+              statsCols.map(c => (c, Option(r.getAs[String](s"min:$c")),
+                Option(r.getAs[String](s"max:$c")))))
+          }.toMap
       }
     ManifestTable.appendCommitLoopCore(spark, writeSchema, tableDir,
-      Seq(pubRel), stats, statsCols, retain,
+      fileDirs.map(_._1), stats, statsCols, retain,
       meta = Map(txnKey -> epochId.toString),
       recordingStats = stats.nonEmpty,
       // the guard set: this write refuses tables with declared checks
@@ -125,14 +175,35 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       boundChecks = Set.empty): Unit
   }
 
+  /** The range-bucket ordinal a task file carries in its name
+    * (`part-<partitionId>-<taskId>-<uuid>`). */
+  private def partitionIdOf(file: String): Int =
+    new Path(file).getName.split("-")(1).toInt
+
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     fs.delete(new Path(tableDir, epochRel(epochId)), true): Unit
-    fs.delete(new Path(tableDir, s"ss-$runId/p$epochId"), true): Unit
+    // unpublished publish dirs: p<epoch> (plain) or p<epoch>-<i> (clustered)
+    val shell = new Path(tableDir, s"ss-$runId")
+    if (fs.exists(shell))
+      fs.listStatus(shell).map(_.getPath)
+        .filter { p => val n = p.getName
+          n == s"p$epochId" || n.startsWith(s"p$epochId-") }
+        .foreach(fs.delete(_, true))
   }
 }
 
-case class GraftTaskCommit(file: String, rows: Long)
+/** One tracked column's min/max within one task's file, rendered to
+  * the stats-channel string form (Spark cast-to-string in the session
+  * zone) task-side — the driver never re-reads the file. */
+case class StatCell(col: String, min: Option[String], max: Option[String])
+
+/** What a task writer needs to min/max a column inline: its ordinal in
+  * the write schema and its (atomic) type. */
+case class StatsColSpec(name: String, ordinal: Int, dt: DataType)
+
+case class GraftTaskCommit(file: String, rows: Long,
+                           stats: Seq[StatCell] = Seq.empty)
     extends WriterCommitMessage
 
 /** Shared executor-task parquet-writer plumbing (X15 streaming writes
@@ -165,6 +236,54 @@ private[sources] object GraftTaskWriters {
     new SerializableConfiguration(conf)
   }
 
+  /** Inline-stats plan for `statsCols` over `schema`: Some(specs) only
+    * when EVERY tracked column resolves (case-insensitively) to an
+    * atomic type whose in-task min/max matches Spark's own min/max
+    * aggregate ordering — else the caller falls back to the read-back
+    * aggregate. Binary is excluded (its cast-to-string is lossy). */
+  def inlineStatsSpec(schema: StructType,
+                      statsCols: Seq[String]): Option[Seq[StatsColSpec]] = {
+    val specs = statsCols.flatMap { c =>
+      val i = schema.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      if (i < 0) None
+      else schema.fields(i).dataType match {
+        case dt @ (_: NumericType | StringType | DateType | TimestampType |
+                   TimestampNTZType | BooleanType) =>
+          Some(StatsColSpec(schema.fields(i).name, i, dt))
+        case _ => None
+      }
+    }
+    if (specs.length == statsCols.length) Some(specs) else None
+  }
+
+  /** One dir's `#stats` payload: rowcount + per-column URL-encoded
+    * (name, min, max) triples, `%N` = all-null. The single format every
+    * stats producer (append, clustered write, streaming epoch) emits. */
+  def statsLine(rows: Long,
+                cells: Seq[(String, Option[String], Option[String])]): String =
+    (Seq(rows.toString) ++ cells.flatMap { case (c, lo, hi) => Seq(
+      java.net.URLEncoder.encode(c, "UTF-8"),
+      lo.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"),
+      hi.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"))
+    }).mkString("\t")
+
+  /** Fold per-task extreme STRINGS into the epoch extreme by comparing
+    * in the column's NATIVE type (string order would mis-rank
+    * numerics): each candidate round-trips through Spark's own
+    * string→type cast — exact for every inline-able atomic type. */
+  def mergeStat(dt: DataType, zone: String, vals: Seq[Option[String]],
+                least: Boolean): Option[String] = {
+    val present = vals.flatten
+    if (present.isEmpty) None
+    else {
+      val ord = TypeUtils.getInterpretedOrdering(dt)
+      val parsed = present.map { s =>
+        s -> Cast(Literal(UTF8String.fromString(s), StringType), dt,
+          Option(zone)).eval(null) }
+      Some((if (least) parsed.minBy(_._2)(ord) else parsed.maxBy(_._2)(ord))._1)
+    }
+  }
+
   /** Move exactly the commit-message-named files from `stageDir` into
     * a fresh `pubDir` — the hard-killed-attempt orphan defense: only
     * the publish dir enters the manifest, so a straggler attempt's
@@ -183,23 +302,61 @@ private[sources] object GraftTaskWriters {
 }
 
 case class GraftStreamingWriterFactory(stageDir: String,
-                                       conf: SerializableConfiguration)
+                                       conf: SerializableConfiguration,
+                                       statsSpec: Seq[StatsColSpec] = Seq.empty,
+                                       zone: String = "UTC")
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftTaskWriter(
       s"$stageDir/e$epochId/part-$partitionId-$taskId-" +
         java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
-      conf.value)
+      conf.value, statsSpec, zone)
 }
 
 /** One task's parquet writer — opened lazily so zero-row tasks leave
-  * nothing behind; `abort` deletes the file it may have started. */
-class GraftTaskWriter(path: String, conf: Configuration)
+  * nothing behind; `abort` deletes the file it may have started. When
+  * `statsSpec` is non-empty the writer min/maxes those columns inline
+  * (Spark's own type orderings — NaN greatest, UTF8 binary strings)
+  * and renders them with Spark's cast-to-string in `zone`, so the
+  * commit message carries the dir's skipping stats and the driver
+  * never re-reads the file. */
+class GraftTaskWriter(path: String, conf: Configuration,
+                      statsSpec: Seq[StatsColSpec] = Seq.empty,
+                      zone: String = "UTC")
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
+
+  // per-column running extremes as CATALYST values (string stats would
+  // mis-rank numerics); UTF8String candidates are cloned only when they
+  // become the new extreme — InternalRow buffers are reused
+  private val lo = new Array[Any](statsSpec.length)
+  private val hi = new Array[Any](statsSpec.length)
+  private val ords = statsSpec.map(s => TypeUtils.getInterpretedOrdering(s.dt))
+
+  private def copied(v: Any): Any = v match {
+    case u: UTF8String => u.clone()
+    case other => other
+  }
+
+  private def track(record: InternalRow): Unit = {
+    var i = 0
+    while (i < statsSpec.length) {
+      val sp = statsSpec(i)
+      if (!record.isNullAt(sp.ordinal)) {
+        val v = record.get(sp.ordinal, sp.dt)
+        if (lo(i) == null || ords(i).lt(v, lo(i))) lo(i) = copied(v)
+        if (hi(i) == null || ords(i).gt(v, hi(i))) hi(i) = copied(v)
+      }
+      i += 1
+    }
+  }
+
+  private def render(v: Any, dt: DataType): Option[String] =
+    Option(v).map(x =>
+      Cast(Literal(x, dt), StringType, Option(zone)).eval(null).toString)
 
   private class Builder(p: org.apache.parquet.hadoop.util.HadoopOutputFile)
       extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow, Builder](p) {
@@ -217,12 +374,14 @@ class GraftTaskWriter(path: String, conf: Configuration)
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
         .build()
     writer.write(record) // consumed synchronously by the write support
+    track(record)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    GraftTaskCommit(path, rows)
+    GraftTaskCommit(path, rows, statsSpec.zipWithIndex.map { case (sp, i) =>
+      StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt)) })
   }
 
   override def abort(): Unit = {

@@ -13,7 +13,9 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Sup
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -303,12 +305,59 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
-  override def build(): Write = new V1Write {
-    /** X15 — native streaming path (`writeStream.toTable` /
+  /** The table's effective cluster spec at write-build time: the write
+    * option / TBLPROPERTY when given, else the spec DECLARED in the
+    * head manifest (`ALTER TABLE ... CLUSTER BY`). Probed once per
+    * write construction — one manifest listing. */
+  private def effectiveCluster: Seq[String] = {
+    val spark = SparkSession.active
+    clusterBy.orElse(ManifestTable.headVersion(spark, tableDir).flatMap { v =>
+      val fs = new Path(tableDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      ManifestTable.clusterSpecOf(fs, tableDir, v)
+    }).getOrElse(Seq.empty)
+  }
+
+  override def build(): Write = new GraftV1Write(effectiveCluster)
+
+  /** The V2 `Write`: V1-bridged for batch, native task writers for
+    * streaming. When the table is CLUSTERED the write declares
+    * `RequiresDistributionAndOrdering` — ordered distribution on the
+    * cluster columns into `k` partitions — and Spark plans the range
+    * shuffle + local sort itself (the seam Iceberg's write-distribution
+    * modes use). Spark applies it to the MICRO-BATCH pipeline (V2Writes
+    * → DistributionAndOrderingUtils.prepareQuery), so each streaming
+    * epoch arrives as ≤k contiguous sorted ranges and lands
+    * clustered-on-arrival; the batch V1 bridge replays the pre-prepared
+    * `analyzedQuery`, so batch inserts keep [[ManifestTable
+    * .appendClustered]]'s own (Morton-capable) shuffle — one shuffle on
+    * every path, never two. */
+  private class GraftV1Write(cluster: Seq[String])
+      extends V1Write with RequiresDistributionAndOrdering {
+
+    private def sortOrders: Array[SortOrder] = cluster.map(c =>
+      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+
+    override def requiredDistribution(): Distribution =
+      if (cluster.isEmpty) Distributions.unspecified()
+      else Distributions.ordered(sortOrders)
+
+    override def requiredOrdering(): Array[SortOrder] =
+      if (cluster.isEmpty) Array.empty else sortOrders
+
+    /** ≤k dirs per epoch — the S27 batch bound, keeping manifest growth
+      * per epoch constant. 0 = unconstrained for unclustered writes. */
+    override def requiredNumPartitions(): Int =
+      if (cluster.isEmpty) 0 else graft.ScaleKnobs.DefaultClusterDirs
+
+    /** X15/X16 — native streaming path (`writeStream.toTable` /
       * `.format("graft")`): executor task writers + exactly-once epoch
       * commits ([[GraftStreamingWrite]]). Tables whose write contracts
       * need a driver-side plan are refused with the foreachBatch route
-      * named — a silent contract skip would be worse than an error. */
+      * named — a silent contract skip would be worse than an error.
+      * Clustered tables are SERVED (r14): the range shuffle their
+      * layout needs is planned by Spark from this write's declared
+      * distribution, not by a driver-side plan. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val spark = SparkSession.active
@@ -319,16 +368,10 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         "streaming writes to a bucketed (layout=bucketed) table go " +
           "through foreachBatch + Streams.upsertSink (the merge kernel " +
           "needs a driver-side plan)")
-      val declaredCluster = ManifestTable.headVersion(spark, tableDir)
-        .flatMap { v =>
-          val fs = new Path(tableDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          ManifestTable.clusterSpecOf(fs, tableDir, v)
-        }
-      require(clusterBy.isEmpty && declaredCluster.isEmpty,
-        "streaming writes to a clustered table go through foreachBatch " +
-          "+ Streams.appendSink (clustering needs a range shuffle per " +
-          "batch, which a task writer cannot run)")
+      cluster.foreach(c => require(
+        info.schema.fields.exists(_.name.equalsIgnoreCase(c)),
+        s"cluster column '$c' is not in the streaming write schema " +
+          s"${info.schema.fieldNames.mkString("(", ", ", ")")}"))
       val declaredChecks = ManifestTable.headVersion(spark, tableDir)
         .map { v =>
           val fs = new Path(tableDir)
@@ -341,8 +384,10 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
           "foreachBatch + Streams.appendSink (the per-row guard is a " +
           "driver-side plan); constraints: " +
           declaredChecks.toSeq.sorted.mkString(", "))
+      // cluster columns are always stats-tracked — pruning needs their
+      // ranges (the S27 batch rule, applied per epoch)
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
-        statsCols, retain)
+        (statsCols ++ cluster).distinct, retain, cluster)
     }
 
     override def toInsertableRelation: InsertableRelation =

@@ -152,6 +152,98 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       s"straggler attempt's rows leaked into the table: $after")
   }
 
+  test("streaming into a clusterBy table: Spark plans the range shuffle (RequiresDistributionAndOrdering); the epoch lands as ≤k disjoint sorted range dirs with per-dir stats") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.sclu")
+    spark.sql("CREATE TABLE gsw.lake.sclu (k INT, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'retainGenerations'='20')")
+    val dir = s"$wh/lake/sclu"
+    val src = Files.createTempDirectory("gsw-sclu").toString
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0 until 400).toList).map(i => (i, s"v$i")).toDF("k", "v")
+      .coalesce(2).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-scluck").toString
+    val q = spark.readStream.schema("k INT, v STRING").parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.sclu")
+    q.awaitTermination()
+    assert(spark.table("gsw.lake.sclu").count() == 400L)
+    assert(spark.table("gsw.lake.sclu").agg(sum($"k")).head.getLong(0)
+      == (0 until 400).sum.toLong)
+    // the epoch landed as >1 but ≤k dirs, each with its own stats line
+    val live = ManifestTable.livePaths(fs, dir)
+    assert(live.size > 1 && live.size <= graft.ScaleKnobs.DefaultClusterDirs,
+      live)
+    val v = ManifestTable.headVersion(spark, dir).get
+    val stats = ManifestTable.statsOf(fs, dir, v)
+    assert(live.forall(stats.contains),
+      s"every clustered dir needs stats: $live vs ${stats.keySet}")
+    // dirs are DISJOINT ranges covering the keyspace — the shuffle was
+    // a real range partition, not hash
+    val ranges = live.map { p =>
+      val parts = stats(p).split("\t")
+      val i = parts.indexWhere(x =>
+        java.net.URLDecoder.decode(x, "UTF-8") == "k")
+      (java.net.URLDecoder.decode(parts(i + 1), "UTF-8").toInt,
+        java.net.URLDecoder.decode(parts(i + 2), "UTF-8").toInt)
+    }.sortBy(_._1)
+    assert(ranges.head._1 == 0 && ranges.last._2 == 399, ranges)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $ranges")
+      case _ =>
+    }
+    // a point scan prunes to exactly ONE of the streamed dirs
+    val pruned = ManifestTable.rangeScan(spark, dir, "k", "250", "250")
+    assert(pruned.count() == 1L)
+    assert(pruned.inputFiles.map(_.split("/").dropRight(1).last)
+      .distinct.length == 1, "point scan must open one range dir")
+    // rows are SORTED within a dir (requiredOrdering honored)
+    val raw = spark.read.parquet(s"$dir/${live.head}")
+      .select("k").collect().map(_.getInt(0))
+    assert(raw.sameElements(raw.sorted),
+      "rows within a clustered dir must arrive sorted")
+  }
+
+  test("inline task-side stats render exactly what the driver read-back cast would (timestamps included)") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.tst")
+    spark.sql("CREATE TABLE gsw.lake.tst (ts TIMESTAMP, k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='ts,k,v', 'retainGenerations'='20')")
+    val dir = s"$wh/lake/tst"
+    val src = Files.createTempDirectory("gsw-tst").toString
+    Seq(
+      ("2024-03-01 10:15:30.123456", 7, "mid"),
+      ("2023-12-31 23:59:59.999999", -3, "alpha"),
+      ("2024-07-04 00:00:00", 42, "zed"))
+      .toDF("tss", "k", "v")
+      .select($"tss".cast("timestamp").as("ts"), $"k", $"v")
+      .coalesce(1).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-tstck").toString
+    val q = spark.readStream.schema("ts TIMESTAMP, k INT, v STRING")
+      .parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.tst")
+    q.awaitTermination()
+    val v = ManifestTable.headVersion(spark, dir).get
+    val stats = ManifestTable.statsOf(fs, dir, v)
+    val rel = ManifestTable.livePaths(fs, dir).head
+    // recompute what the OLD read-back aggregate would have recorded
+    val exp = spark.read.parquet(s"$dir/$rel").agg(
+      count(lit(1)).as("rows"),
+      min($"ts").cast("string"), max($"ts").cast("string"),
+      min($"k").cast("string"), max($"k").cast("string"),
+      min($"v").cast("string"), max($"v").cast("string")).head()
+    val expected = (Seq(exp.getLong(0).toString) ++ Seq(
+      "ts", exp.getString(1), exp.getString(2),
+      "k", exp.getString(3), exp.getString(4),
+      "v", exp.getString(5), exp.getString(6))
+      .map(java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\t")
+    assert(stats(rel) == expected,
+      s"inline stats drifted from the read-back form:\n ${stats(rel)}\n $expected")
+  }
+
   test("contract-bearing tables refuse the native path, naming the foreachBatch route") {
     wh: Unit
     def msgs(t: Throwable): Seq[String] =
@@ -175,10 +267,6 @@ class GraftStreamingWriteSpec extends SparkTestBase {
     spark.sql("CREATE TABLE gsw.lake.chk (k INT, v STRING) " +
       "TBLPROPERTIES ('check.pos'='k > 0')")
     assert(tryStream("gsw.lake.chk").exists(_.contains("foreachBatch")))
-    spark.sql("DROP TABLE IF EXISTS gsw.lake.clu")
-    spark.sql("CREATE TABLE gsw.lake.clu (k INT, v STRING) " +
-      "TBLPROPERTIES ('clusterBy'='k')")
-    assert(tryStream("gsw.lake.clu").exists(_.contains("foreachBatch")))
     spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt")
     spark.sql("CREATE TABLE gsw.lake.bkt (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('layout'='bucketed:k:4')")
