@@ -398,7 +398,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ManifestTable.pathsOf(fs, dir, head), head,
           retainGenerations = retain,
           schemaDdl = ddl, stats = ManifestTable.statsOf(fs, dir, head),
-          meta = meta).isDefined) return
+          // pointer-only commit: the change feed skips it by tag
+          meta = meta + ManifestTable.cdcTag("meta", head + 1)).isDefined)
+        return
     }
     throw new IllegalStateException(s"ALTER contention at $dir")
   }

@@ -432,7 +432,7 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, (prior ++ newPaths).sorted,
         base, retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ newStats,
-        meta = priorMeta ++ zoneMeta ++ meta)
+        meta = priorMeta ++ zoneMeta ++ meta + cdcTag("append", base + 1))
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -541,6 +541,19 @@ object ManifestTable {
 
   private val ClusterByKey = "clusterBy"
 
+  /** Commit-kind channel for the change feed: `<kind>@<version>` where
+    * kind ∈ append (dirs only added — logical inserts), layout
+    * (content-preserving rewrite: compaction), meta (pointer-only:
+    * ALTER). Meta CARRIES across commits, so the `@version` suffix is
+    * what makes the tag trustworthy — a commit that doesn't re-tag
+    * leaves a stale tag whose version mismatches, and [[changes]]
+    * falls back to the manifest diff for that step. DML commits never
+    * tag (their feed IS the diff). */
+  private val CdcKindKey = "cdc"
+
+  private[sources] def cdcTag(kind: String, v: Long): (String, String) =
+    CdcKindKey -> s"$kind@$v"
+
   /** The table's DECLARED cluster spec (meta key `clusterBy`), if one
     * was set — the partition-evolution surface: the spec says how
     * [[compactAppend]] should lay the table out, independently of how
@@ -574,7 +587,8 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, pathsOf(fs, tableDir, head),
         head, retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
         stats = statsOf(fs, tableDir, head),
-        meta = metaOf(fs, tableDir, head) + (ClusterByKey -> cols.mkString(",")))
+        meta = metaOf(fs, tableDir, head) + (ClusterByKey -> cols.mkString(","))
+          + cdcTag("meta", head + 1))
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -742,7 +756,7 @@ object ManifestTable {
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
         stats = headStats ++ outStats,
-        meta = headMeta ++ zoneMeta)
+        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1))
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1284,7 +1298,13 @@ object ManifestTable {
     * scanned, which for a bucket-bounded merge ([[MergeInto]]) means
     * the touched buckets' old and new dirs. At 100 TB a small merge
     * diffs in O(touched buckets); a full-table diff only happens when
-    * every bucket actually changed. */
+    * every bucket actually changed.
+    *
+    * Better still (r14): spans whose every commit is tagged additive —
+    * appends, compactions, ALTERs — skip the diff entirely
+    * ([[additiveFeed]]): the feed is a plain scan of the appended
+    * dirs, zero shuffle, and a feed ACROSS a compaction (the old worst
+    * case: nothing cancels, everything read twice) costs nothing. */
   def changes(spark: SparkSession, tableDir: String,
               fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -1292,6 +1312,7 @@ object ManifestTable {
     Seq(fromV, toV).foreach(v =>
       require(versions(fs, tableDir).contains(v),
         s"version $v is not retained at $tableDir"))
+    additiveFeed(spark, tableDir, fromV, toV).foreach(return _)
     val fromP = pathsOf(fs, tableDir, fromV).toSet
     val toP = pathsOf(fs, tableDir, toV).toSet
     val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => absPath(tableDir, p))
@@ -1310,6 +1331,54 @@ object ManifestTable {
       if (paths.nonEmpty) readWithDeclared(spark, tableDir, anchorV, paths)
       else readWithDeclared(spark, tableDir, anchorV, schemaAnchor).limit(0)
     diffFeed(readOr(onlyFrom, onlyTo), readOr(onlyTo, onlyFrom))
+  }
+
+  /** The change feed's ZERO-SHUFFLE fast path: when every step of
+    * `fromV..toV` is retained and carries a trustworthy commit-kind tag
+    * ([[cdcTag]]) of `append` (dirs only added), `layout`
+    * (content-preserving compaction) or `meta` (pointer-only ALTER),
+    * the endpoint multiset diff is — provably — exactly the rows of
+    * the dirs the append steps ADDED, all `'insert'`: layout/meta
+    * steps change no logical content and an append step's dirs are
+    * immutable, so nothing can net out. The feed is then a plain SCAN
+    * of those dirs (no join, no aggregation — O(changed rows) I/O and
+    * zero shuffle), which is what a 100 TB table's telemetry stream
+    * looks like: endless appends, periodic compactions, occasional
+    * ALTERs. Any untagged / stale-tagged / DML step → None, and
+    * [[changes]] runs the bounded manifest diff instead. */
+  private def additiveFeed(spark: SparkSession, tableDir: String,
+                           fromV: Long, toV: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    if (toV <= fromV) return None
+    val fs = fsOf(spark, tableDir)
+    val retained = versions(fs, tableDir).toSet
+    if (!(fromV to toV).forall(retained)) return None
+    val additive = Set("append", "layout", "meta")
+    val steps = ((fromV + 1) to toV).map { v =>
+      val kind = metaOf(fs, tableDir, v).get(CdcKindKey).collect {
+        // the tag is only believable when stamped FOR this version —
+        // meta carries, so an untagging commit leaves a stale suffix
+        case t if t.endsWith(s"@$v") => t.takeWhile(_ != '@')
+      }
+      v -> kind
+    }
+    if (!steps.forall(_._2.exists(additive))) return None
+    val added = steps.collect { case (v, Some("append")) =>
+      val prev = pathsOf(fs, tableDir, v - 1).toSet
+      val cur = pathsOf(fs, tableDir, v)
+      // defensive: an append step must be purely additive — a dir
+      // vanishing under an 'append' tag means the tag lied; diff it
+      if (!prev.subsetOf(cur.toSet)) return None
+      cur.filterNot(prev)
+    }.flatten.distinct.sorted
+    val anchorV = if (schemaOf(fs, tableDir, toV).isDefined) toV else fromV
+    Some(
+      if (added.isEmpty)
+        readVersion(spark, tableDir, toV).limit(0)
+          .withColumn("change_type", lit(""))
+      else readWithDeclared(spark, tableDir, anchorV,
+        added.map(p => absPath(tableDir, p)))
+        .withColumn("change_type", lit("insert")))
   }
 
   /** Multiset diff of two same-schema frames, shaped as a change feed:
