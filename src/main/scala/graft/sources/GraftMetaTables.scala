@@ -175,7 +175,30 @@ object GraftMetaTables {
       StructField("value", StringType, nullable = false)))
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
-    val rows = ManifestTable.metaOf(fs, dir, head).toSeq.sortBy(_._1).map {
+    val meta = ManifestTable.metaOf(fs, dir, head)
+    // S37 — stats-staleness advisory: when the analyzed rowcount
+    // (`tablestat`) has drifted ≥2× from the LIVE rowcount (free: the
+    // manifest's per-dir stats rowcounts), surface `advice:analyze` so
+    // an operator/scheduler sees the re-analyze trigger. Computed, not
+    // stored — it disappears the moment a fresh CALL analyze lands.
+    val advisory: Option[(String, String)] =
+      meta.get(ManifestTable.TableStatKey).flatMap(_.toLongOption)
+        .flatMap { analyzed =>
+          val liveStats = ManifestTable.statsOf(fs, dir, head)
+          val counts = ManifestTable.pathsOf(fs, dir, head)
+            .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
+          if (!counts.forall(_.isDefined)) None
+          else {
+            val live = counts.flatten.sum
+            val (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
+            if (l >= 2.0 * a || a >= 2.0 * l)
+              Some("advice:analyze" ->
+                (s"column stats analyzed at $analyzed rows but table now " +
+                  s"holds $live — re-run CALL system.analyze"))
+            else None
+          }
+        }
+    val rows = (meta ++ advisory).toSeq.sortBy(_._1).map {
       case (k, v) =>
         new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow
     }

@@ -186,9 +186,11 @@ object GraftProcedures {
         override def parameters(): Array[ProcedureParameter] = Array(
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("columns", StringType).defaultValue("NULL").build(),
-          ProcedureParameter.in("approx", BooleanType).defaultValue("false").build())
+          ProcedureParameter.in("approx", BooleanType).defaultValue("false").build(),
+          ProcedureParameter.in("histogram", BooleanType).defaultValue("false").build(),
+          ProcedureParameter.in("bins", IntegerType).defaultValue("16").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, lit}
+          import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, expr, lit}
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val df = ManifestTable.read(spark, dir)
@@ -199,18 +201,43 @@ object GraftProcedures {
           cols.foreach(c => require(df.columns.contains(c),
             s"analyze: unknown column '$c'"))
           val approx = !input.isNullAt(2) && input.getBoolean(2)
-          val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+          // S37 — equi-height histograms (histogram => true): bin
+          // BOUNDS are the (0, 1/b, ..., 1) percentiles of each
+          // numeric column, computed IN THE SAME single pass as the
+          // NDVs (extra agg expressions, not extra jobs/shuffles).
+          // Exact `percentile` by default (oracle-verifiable);
+          // `approx => true` switches to approx_percentile like the
+          // NDV's HLL — the 100 TB mode.
+          val histOn = !input.isNullAt(3) && input.getBoolean(3)
+          val bins = if (input.isNullAt(4)) 16 else math.max(2, input.getInt(4))
+          val histCols =
+            if (!histOn) Seq.empty
+            else cols.filter(c => df.schema(c).dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType])
+          val pcts = (0 to bins).map(i => i.toDouble / bins)
+            .mkString("array(", ",", ")")
+          val histAggs = histCols.map { c =>
+            val fn = if (approx) "approx_percentile" else "percentile"
+            expr(s"$fn(CAST(`$c` AS DOUBLE), $pcts)").as(s"hist:$c")
+          }
+          val aggs = (count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
             (if (approx) approx_count_distinct(col(c))
              else countDistinct(col(c))).as(s"ndv:$c"),
-            count(lit(1)).minus(count(col(c))).as(s"nulls:$c")))
+            count(lit(1)).minus(count(col(c))).as(s"nulls:$c")))) ++ histAggs
           val r = df.agg(aggs.head, aggs.tail: _*).head()
           val rows = r.getAs[Long]("__rows")
           val entries = cols.map { c =>
             (c, r.getAs[Long](s"ndv:$c"), r.getAs[Long](s"nulls:$c"))
           }
+          val histEntries = histCols.flatMap { c =>
+            Option(r.getAs[scala.collection.Seq[Double]](s"hist:$c"))
+              .map(bounds =>
+                (ManifestTable.ColHistPrefix + c) -> bounds.mkString(","))
+          }
           GraftCatalog.alterMetaAt(catalog, dir, m =>
             m ++ entries.map { case (c, ndv, nulls) =>
-              (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } +
+              (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } ++
+              histEntries +
               (ManifestTable.TableStatKey -> rows.toString))
           val schema = StructType(Seq(
             StructField("column", StringType, nullable = false),

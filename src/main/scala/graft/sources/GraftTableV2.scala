@@ -684,17 +684,36 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       val rows =
         if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
         else OptionalLong.empty()
-      val colStats = ManifestTable.metaOf(fsOf(spark), tableDir, version)
-        .collect {
-          case (k, v) if k.startsWith(ManifestTable.ColStatPrefix) &&
-              tableSchema.fieldNames.contains(
-                k.stripPrefix(ManifestTable.ColStatPrefix)) =>
-            val Array(ndv, nulls) = v.split(",", 2)
-            (Expressions.column(k.stripPrefix(ManifestTable.ColStatPrefix))
-                : NamedReference) ->
-              (GraftColumnStatistics(ndv.toLong, nulls.toLong)
-                : org.apache.spark.sql.connector.read.colstats.ColumnStatistics)
-        }
+      val meta = ManifestTable.metaOf(fsOf(spark), tableDir, version)
+      val analyzedRows = meta.get(ManifestTable.TableStatKey)
+        .flatMap(_.toLongOption)
+      val colStats = meta.collect {
+        case (k, v) if k.startsWith(ManifestTable.ColStatPrefix) &&
+            tableSchema.fieldNames.contains(
+              k.stripPrefix(ManifestTable.ColStatPrefix)) =>
+          val c = k.stripPrefix(ManifestTable.ColStatPrefix)
+          val Array(ndv, nulls) = v.split(",", 2)
+          // S37 — persisted equi-height bin bounds rehydrate as a
+          // connector histogram; Spark's transformV2Stats hands it to
+          // the CBO (FilterEstimation range selectivity). Height =
+          // non-null rows per bin at analysis time; per-bin NDV is the
+          // even-split estimate (bounded by the height).
+          val hist = meta.get(ManifestTable.ColHistPrefix + c).flatMap { s =>
+            val bounds = s.split(",").map(_.toDouble)
+            analyzedRows.collect {
+              case rowsAn if bounds.length >= 3 =>
+                val nBins = bounds.length - 1
+                val height = (rowsAn - nulls.toLong).toDouble / nBins
+                val binNdv = math.max(1L, math.min(ndv.toLong / nBins,
+                  math.ceil(height).toLong))
+                GraftHistogram(height, bounds.sliding(2).map(w =>
+                  GraftHistogramBin(w(0), w(1), binNdv)).toArray)
+            }
+          }
+          (Expressions.column(c): NamedReference) ->
+            (GraftColumnStatistics(ndv.toLong, nulls.toLong, hist)
+              : org.apache.spark.sql.connector.read.colstats.ColumnStatistics)
+      }
       GraftStatistics(bytes, rows, colStats)
   }
 
@@ -718,11 +737,34 @@ case class GraftStatistics(
     scala.jdk.CollectionConverters.MapHasAsJava(colStats).asJava
 }
 
-/** S36 — analyzed NDV + null count for one column. */
-case class GraftColumnStatistics(ndv: Long, nulls: Long)
+/** S36/S37 — analyzed NDV + null count (+ optional equi-height
+  * histogram) for one column. */
+case class GraftColumnStatistics(ndv: Long, nulls: Long,
+    hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] = None)
     extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
   override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
   override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+  override def histogram()
+      : java.util.Optional[org.apache.spark.sql.connector.read.colstats.Histogram] =
+    hist.map(java.util.Optional.of[
+      org.apache.spark.sql.connector.read.colstats.Histogram])
+      .getOrElse(java.util.Optional.empty())
+}
+
+/** S37 — the rehydrated connector histogram. */
+case class GraftHistogram(h: Double,
+    binArr: Array[org.apache.spark.sql.connector.read.colstats.HistogramBin])
+    extends org.apache.spark.sql.connector.read.colstats.Histogram {
+  override def height(): Double = h
+  override def bins()
+      : Array[org.apache.spark.sql.connector.read.colstats.HistogramBin] = binArr
+}
+
+case class GraftHistogramBin(loV: Double, hiV: Double, ndvV: Long)
+    extends org.apache.spark.sql.connector.read.colstats.HistogramBin {
+  override def lo(): Double = loV
+  override def hi(): Double = hiV
+  override def ndv(): Long = ndvV
 }
 
 /** The one-row partition carrying a metadata-answered aggregate. */

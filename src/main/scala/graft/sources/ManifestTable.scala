@@ -1132,6 +1132,11 @@ object ManifestTable {
     * statistics. */
   private[sources] val ColStatPrefix = "colstat:"
   private[sources] val TableStatKey = "tablestat"
+  /** S37 — `colhist:<col>` → comma-joined equi-height bin BOUNDS
+    * (bins+1 ascending doubles), persisted by `CALL system.analyze(...,
+    * histogram => true)`; the V2 scan rehydrates them as connector
+    * histograms for the CBO's range-selectivity estimates. */
+  private[sources] val ColHistPrefix = "colhist:"
 
   /** S34 — TAG a retained version with a name (Iceberg tags): one
     * optimistic metadata commit adds `tag:<name> -> version` to the

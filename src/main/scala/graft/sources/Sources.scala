@@ -1130,6 +1130,11 @@ object Sources {
       .create()
     s.sql(s"CALL $cat.system.analyze(table => 'lake.oan', " +
       "columns => 'o_orderkey,o_orderpriority')")
+    // S37 — equi-height histogram over the key (exact percentile
+    // bounds; .25 quantile steps over integers interpolate to exact
+    // binary fractions, so the oracle comparison is float-fuzz-free)
+    s.sql(s"CALL $cat.system.analyze(table => 'lake.oan', " +
+      "columns => 'o_orderkey', histogram => true, bins => 4)")
     cat
   })
 
@@ -1144,6 +1149,21 @@ object Sources {
       s"""SELECT key, value FROM $cat.lake.`oan$$properties`
           WHERE key LIKE 'colstat:%' OR key = 'tablestat'
           ORDER BY key""")
+  }
+
+  /** S37: the persisted equi-height histogram (the CBO's
+    * range-selectivity input, surfaced as V2 columnStats → catalyst
+    * attribute histograms) must equal DuckDB's exact quantile algebra
+    * bin-for-bin — bounds are the (0, .25, .5, .75, 1) percentiles of
+    * the key, computed in the SAME single analyze pass as the NDVs. */
+  def s37_histogram_stats(s: SparkSession, d: String): DataFrame = {
+    val cat = analyzeDemo(s, d)
+    s.sql(
+      s"""SELECT pos AS bin, round(CAST(bound AS DOUBLE), 2) AS bound
+          FROM (SELECT posexplode(split(value, ',')) AS (pos, bound)
+                FROM $cat.lake.`oan$$properties`
+                WHERE key = 'colhist:o_orderkey')
+          ORDER BY bin""")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1181,6 +1201,7 @@ object Sources {
     "s34_version_tags" -> (s34_version_tags _),
     "s35_catalog_view" -> (s35_catalog_view _),
     "s36_analyze_stats" -> (s36_analyze_stats _),
+    "s37_histogram_stats" -> (s37_histogram_stats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1465,5 +1486,11 @@ object Sources {
            UNION ALL
            SELECT 'tablestat', CAST(count(*) AS VARCHAR) FROM orders)
          ORDER BY key""",
+    "s37_histogram_stats" ->
+      """WITH q AS (SELECT quantile_cont(o_orderkey,
+                      [0.0, 0.25, 0.5, 0.75, 1.0]) AS qs FROM orders)
+         SELECT CAST(t.i - 1 AS INT) AS bin,
+                round(qs[CAST(t.i AS INT)], 2) AS bound
+         FROM q, range(1, 6) t(i) ORDER BY bin""",
   )
 }

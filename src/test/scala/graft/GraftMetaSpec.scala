@@ -250,6 +250,50 @@ class GraftMetaSpec extends SparkTestBase {
     }
   }
 
+  test("S37 analyze histogram: equi-height bounds persist, surface to the CBO, and staleness advises re-analysis") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.hist1")
+    spark.sql("CREATE TABLE gmeta.lake.hist1 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    // skewed: 1..80 once, plus 20 copies of 1000
+    val s = spark; import s.implicits._
+    ((1 to 80).map(i => (i, s"v$i")) ++ (1 to 20).map(_ => (1000, "hot")))
+      .toDF("k", "v").createOrReplaceTempView("hist1_src")
+    spark.sql("INSERT INTO gmeta.lake.hist1 SELECT * FROM hist1_src")
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.hist1', " +
+      "columns => 'k', histogram => true, bins => 4)")
+    // persisted: 5 ascending double bounds, 1 .. 1000
+    val raw = spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
+      "WHERE key = 'colhist:k'").head().getString(0)
+    val bounds = raw.split(",").map(_.toDouble).toSeq
+    assert(bounds.length == 5 && bounds == bounds.sorted, bounds)
+    assert(bounds.head == 1.0 && bounds.last == 1000.0, bounds)
+    // equi-HEIGHT, not equi-width: the hot value pulls the last bound
+    // to 1000 while the first three bins stay inside 1..80
+    assert(bounds(3) <= 80.0, s"equi-height bounds expected: $bounds")
+    // the CBO sees the histogram through V2 columnStats
+    val stats = spark.read.format("graft").load(s"$wh/lake/hist1")
+      .queryExecution.optimizedPlan.stats
+    val kStat = stats.attributeStats.collectFirst {
+      case (a, st) if a.name == "k" => st }.get
+    val h = kStat.histogram.getOrElse(
+      fail(s"CBO must see the histogram: ${stats.attributeStats}"))
+    assert(h.bins.length == 4)
+    assert(math.abs(h.height - 25.0) < 0.01, h.height) // 100 rows / 4 bins
+    // staleness: triple the table → $properties advises a re-analyze
+    spark.sql("INSERT INTO gmeta.lake.hist1 SELECT * FROM hist1_src")
+    spark.sql("INSERT INTO gmeta.lake.hist1 SELECT * FROM hist1_src")
+    val advice = spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
+      "WHERE key = 'advice:analyze'").collect()
+    assert(advice.length == 1 && advice.head.getString(0).contains("300"),
+      advice.toSeq)
+    // a fresh analyze clears the advisory
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.hist1', " +
+      "columns => 'k')")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
+      "WHERE key = 'advice:analyze'").isEmpty)
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
