@@ -57,7 +57,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.ViewCatalog {
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ------------------------------------------------------ functions (S38)
+
+  /** The engine's bucket transform, loadable from this catalog — the
+    * seam `V2ExpressionUtils` resolves a scan-reported
+    * `KeyGroupedPartitioning(bucket(n, key))` through, enabling
+    * storage-partitioned joins on S31 bucketed tables. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftBucketUnbound.resolve(ident)
   import GraftCatalog._
 
   private var catalogName: String = _

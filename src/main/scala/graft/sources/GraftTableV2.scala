@@ -530,7 +530,8 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
                 emitDir: Boolean = false,
                 rowLevel: Option[GraftGroupOperation] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private def spark: SparkSession = SparkSession.active
   private def fsOf(s: SparkSession) =
@@ -620,6 +621,36 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   private def listFiles(s: SparkSession): Seq[FileStatus] =
     GraftParquetRead.listFiles(s, tableDir, plannedPaths)
 
+  /** S38 — storage-partitioned-join geometry: Some((key, n)) when this
+    * is a plain file scan of an S31 bucketed table whose every planned
+    * dir parses as a `b=<bucket>` leaf. The scan then reports
+    * `KeyGroupedPartitioning(bucket(n, key))` and plans ONE partition
+    * per bucket dir carrying its bucket id as the partition key — an
+    * equi-join of two co-bucketed tables plans with ZERO shuffle
+    * (`spark.sql.sources.v2.bucketing.enabled=true`). */
+  @transient private lazy val spjGeometry: Option[(String, Int)] =
+    if (agg.isDefined || limit.isDefined || rowLevel.isDefined || emitDir)
+      None
+    else MergeInto.bucketedGeometry(spark, tableDir)
+      .filter(_ => plannedPaths.forall(bucketIdOf(_).isDefined))
+
+  private def bucketIdOf(rel: String): Option[Int] = {
+    val i = rel.lastIndexOf("b=")
+    if (i < 0) None else rel.substring(i + 2).toIntOption
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGeometry match {
+      case Some((key, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(Expressions.bucket(n, key)), plannedPaths.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
     case None =>
@@ -634,6 +665,16 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
             case (rel, st) => (InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(rel)), st)
           })
+      else if (spjGeometry.isDefined)
+        // bucket-aligned planning: each bucket dir = one partition
+        // keyed by its bucket id (the bucket(n, key) transform value),
+        // so Spark can line partitions up across co-bucketed scans
+        planned.zipWithIndex.map { case (rel, i) =>
+          val files = GraftParquetRead.listFiles(spark, tableDir, Seq(rel))
+          new GraftBucketPartition(i,
+            GraftParquetRead.toPartitionedFiles(files),
+            bucketIdOf(rel).get): InputPartition
+        }.toArray
       else GraftParquetRead.packPartitions(spark, listFiles(spark))
   }
 
@@ -770,6 +811,19 @@ case class GraftHistogramBin(loV: Double, hiV: Double, ndvV: Long)
 /** The one-row partition carrying a metadata-answered aggregate. */
 case class GraftAggPartition(row: InternalRow) extends InputPartition
 
+/** S38 — one bucket dir's files as one input partition, keyed by its
+  * bucket id: the `HasPartitionKey` half of the storage-partitioned
+  * join contract (the reported `bucket(n, key)` value for every row in
+  * this partition). Extends [[FilePartition]] so the vectorized
+  * parquet reader factory serves it unchanged. */
+class GraftBucketPartition(idx: Int,
+                           partFiles: Array[PartitionedFile],
+                           bucket: Int)
+    extends FilePartition(idx, partFiles)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 /** The parquet read kernel shared by the batch scan and the streaming
   * source: dir listing → split → `FilePartition` packing, and the
   * vectorized reader factory (mirroring `ParquetScan.createReaderFactory`'s
@@ -819,6 +873,17 @@ private[sources] object GraftParquetRead {
     FilePartition.getFilePartitions(s,
       split.sortBy(-_.length), maxSplit).toArray
   }
+
+  /** Whole-file `PartitionedFile`s (no byte-range splitting) — the S38
+    * bucket-aligned planning shape, where one partition must hold
+    * exactly one bucket dir's files. */
+  def toPartitionedFiles(files: Seq[FileStatus]): Array[PartitionedFile] =
+    files.map { st =>
+      PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty,
+        st.getModificationTime, st.getLen, Map.empty)
+    }.toArray
 
   def readerFactory(s: SparkSession, tableSchema: StructType,
                     requiredSchema: StructType,
