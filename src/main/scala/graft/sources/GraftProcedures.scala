@@ -35,11 +35,14 @@ object GraftProcedures {
         override def isDeterministic: Boolean = false
         override def parameters(): Array[ProcedureParameter] = Array(
           ProcedureParameter.in("table", StringType).build(),
-          ProcedureParameter.in("k", IntegerType).defaultValue("4").build())
+          ProcedureParameter.in("k", IntegerType).defaultValue("4").build(),
+          ProcedureParameter.in("incremental", BooleanType)
+            .defaultValue("false").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val k = if (input.isNullAt(1)) 4 else input.getInt(1)
+          val incremental = !input.isNullAt(2) && input.getBoolean(2)
           val fs = catalog.activeFs
           // a bucketed (S31) table compacts under its PINNED geometry —
           // fold the accreted per-merge bucket files into one dir per
@@ -71,7 +74,13 @@ object GraftProcedures {
                 s"property on $dir or ingest with stats"))
           val retain = meta.get(GraftCatalog.PropPrefix + "retainGenerations")
             .flatMap(_.toIntOption).getOrElse(2)
-          val v = ManifestTable.compactAppend(spark, dir, statsCols, k, retain)
+          // incremental => true (S39): fold only the dirs that OVERLAP
+          // on the leading cluster dimension — cost ∝ arrivals since
+          // the last full compact, kept dirs carried by path
+          val v =
+            if (incremental)
+              ManifestTable.compactIncremental(spark, dir, statsCols, k, retain)
+            else ManifestTable.compactAppend(spark, dir, statsCols, k, retain)
           val nDirs = ManifestTable.pathsOf(fs, dir, v).size
           oneRow(StructType(Seq(
             StructField("version", LongType, nullable = false),

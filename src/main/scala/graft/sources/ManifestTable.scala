@@ -762,6 +762,127 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** S39 — INCREMENTAL compaction, the LSM-flavored maintenance move:
+    * keep the largest mutually-disjoint set of dirs (greedy by
+    * recorded rowcount, disjointness on the LEADING cluster
+    * dimension's stats range) untouched — those are the fruits of the
+    * last full compaction — and fold only the OVERLAPPING remainder
+    * (the arrivals since) into ≤`k` fresh clustered dirs. Cost ∝
+    * stragglers, not table size: a 100 TB table that accreted 100 GB
+    * since its last OPTIMIZE rewrites 100 GB, where [[compactAppend]]
+    * rewrites everything. Kept dirs carry BY PATH (spec-asserted
+    * identity), so their page-cache/object-store state is undisturbed.
+    * The layout converges level-wise like an LSM: repeated incremental
+    * calls keep straggler count bounded; a full [[compactAppend]]
+    * remains the perfect-layout move. No-op (base version returned)
+    * when fewer than two dirs would fold. */
+  def compactIncremental(spark: SparkSession, tableDir: String,
+                         statsCols: Seq[String],
+                         k: Int = graft.ScaleKnobs.DefaultClusterDirs,
+                         retainGenerations: Int = 2): Long = {
+    require(statsCols.nonEmpty, "compactIncremental needs stats columns")
+    require(!fsOf(spark, tableDir).exists(
+        new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — compact it with " +
+        "MergeInto.compact (or CALL system.compact, which routes there)")
+    val fs = fsOf(spark, tableDir)
+    val baseV = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val inputs = pathsOf(fs, tableDir, baseV)
+    val baseStats = statsOf(fs, tableDir, baseV)
+    val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(statsCols.head))
+    val lead = spec.head
+    val dt = declaredSchemaOf(spark, tableDir, baseV)
+      .flatMap(sch => sch.fields.find(_.name == lead)).map(_.dataType)
+    def cmp(a: String, b: String): Option[Int] = dt.flatMap {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType |
+           (_: org.apache.spark.sql.types.DecimalType) =>
+        try Some(BigDecimal(a).compare(BigDecimal(b)))
+        catch { case _: NumberFormatException => None }
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.StringType => Some(a.compareTo(b))
+      case _ => None
+    }
+    // per-dir (rows, lead range); a dir without parseable rowcount or
+    // bounds can never be proven disjoint — always a straggler
+    val parsed: Seq[(String, Option[Long], Option[(String, String)])] =
+      inputs.map { p =>
+        val payload = baseStats.get(p)
+        val rows = payload.flatMap(rowsIn)
+        val range = payload.flatMap(statsFor(_, lead)).flatMap {
+          case (_, Some(mn), Some(mx)) => Some((mn, mx))
+          case _ => None
+        }
+        (p, rows, range)
+      }
+    val kept = scala.collection.mutable.ListBuffer.empty[(String, (String, String))]
+    parsed.collect { case (p, Some(r), Some(rg)) => (p, r, rg) }
+      .sortBy { case (p, r, _) => (-r, p) }
+      .foreach { case (p, _, rg @ (lo, hi)) =>
+        val disjoint = kept.forall { case (_, (klo, khi)) =>
+          (cmp(hi, klo), cmp(lo, khi)) match {
+            case (Some(a), Some(b)) => a < 0 || b > 0
+            case _ => false // incomparable → assume overlap
+          }
+        }
+        if (disjoint) kept += ((p, rg))
+      }
+    val keptSet = kept.map(_._1).toSet
+    val stragglers = inputs.filterNot(keptSet)
+    if (stragglers.size <= 1) return baseV
+    // convergence: folding helps only when the stragglers overlap EACH
+    // OTHER (merging sharpens their ranges) or outnumber k (folding
+    // shrinks the dir count). Stragglers that are mutually disjoint
+    // and ≤k are simply the next level of the layout — refolding them
+    // would churn the same bytes on every call, so no-op instead.
+    val ranges = parsed.collect {
+      case (p, _, Some(rg)) if !keptSet(p) => rg }
+    val anyMutualOverlap = ranges.size < stragglers.size || // unparseable dir
+      ranges.combinations(2).exists { case Seq((lo1, hi1), (lo2, hi2)) =>
+        (cmp(hi1, lo2), cmp(lo1, hi2)) match {
+          case (Some(a), Some(b)) => a >= 0 && b <= 0
+          case _ => true
+        }
+      case _ => false
+      }
+    if (!anyMutualOverlap && stragglers.size <= k) return baseV
+    val cid = "ic-" + java.util.UUID.randomUUID().toString.take(8)
+    val data = readWithDeclared(spark, tableDir, baseV,
+      stragglers.map(p => absPath(tableDir, p)))
+    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols)
+    val inputSet = stragglers.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"incremental-compaction contention at $tableDir")
+      val head = versions(fs, tableDir).last
+      val headPaths = pathsOf(fs, tableDir, head)
+      if (!inputSet.subsetOf(headPaths.toSet))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during incremental " +
+            s"compaction: missing ${inputSet -- headPaths.toSet}")
+      val carried = headPaths.filterNot(inputSet)
+      val headStats = statsOf(fs, tableDir, head) -- inputSet
+      val headMeta = metaOf(fs, tableDir, head)
+      val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
+        headMeta, spark, tableDir)
+      val committed = commitIf(spark, tableDir,
+        (carried ++ outStats.keys).sorted, head, retainGenerations,
+        schemaDdl = schemaOf(fs, tableDir, head),
+        stats = headStats ++ outStats,
+        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1))
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** Row-level DELETE (S24): remove the live rows where `cond` is TRUE,
     * with dir-granular copy-on-write. The manifest stats classify every
     * live dir against `bounds` (a conservative envelope of `cond`, the

@@ -294,6 +294,46 @@ class GraftMetaSpec extends SparkTestBase {
       "WHERE key = 'advice:analyze'").isEmpty)
   }
 
+  test("S39 incremental compact folds only stragglers; kept dirs carry by path; repeated calls converge") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.ic1")
+    spark.sql("CREATE TABLE gmeta.lake.ic1 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    val dir = s"$wh/lake/ic1"
+    val s = spark; import s.implicits._
+    (1 to 400).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("ic1_src")
+    spark.sql("INSERT INTO gmeta.lake.ic1 SELECT * FROM ic1_src")
+    spark.sql("CALL gmeta.system.compact(table => 'lake.ic1', k => 2)")
+    val compacted = ManifestTable.livePaths(fs, dir).toSet
+    assert(compacted.size == 2, compacted)
+    // two small out-of-order arrivals — each overlaps a compacted dir
+    spark.sql("INSERT INTO gmeta.lake.ic1 VALUES (10, 'late-a'), (390, 'late-a2')")
+    spark.sql("INSERT INTO gmeta.lake.ic1 VALUES (15, 'late-b')")
+    val out = spark.sql("CALL gmeta.system.compact(table => 'lake.ic1', " +
+      "k => 2, incremental => true)").head()
+    val after = ManifestTable.livePaths(fs, dir).toSet
+    // the full-compact dirs are untouched — carried BY PATH
+    assert(compacted.subsetOf(after),
+      s"incremental compact must not rewrite the disjoint dirs: " +
+        s"$compacted vs $after")
+    // the stragglers folded into ic- dirs
+    val folded = after -- compacted
+    assert(folded.nonEmpty && folded.forall(_.startsWith("ic-")), folded)
+    // content is intact
+    assert(spark.table("gmeta.lake.ic1").count() == 403L)
+    assert(spark.table("gmeta.lake.ic1")
+      .agg(sum($"k")).head.getLong(0) == (1 to 400).sum.toLong + 10 + 390 + 15)
+    // convergence: a second incremental call with nothing new is a
+    // no-op (same head version — the folded level is already disjoint)
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    spark.sql("CALL gmeta.system.compact(table => 'lake.ic1', " +
+      "k => 2, incremental => true)")
+    assert(ManifestTable.headVersion(spark, dir).get == v1,
+      "refolding already-disjoint stragglers must no-op")
+    out: Unit
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
