@@ -568,6 +568,29 @@ object TextVector {
       .select("doc_id", "fingerprint")
       .orderBy("doc_id")
 
+  /** T49: BPE merge-candidate mining — the vocabulary-induction step
+    * of tokenizer training as a distributed pair count. Classic BPE
+    * compresses the corpus to a WORD-FREQUENCY table first, then
+    * counts adjacent symbol pairs weighted by word frequency; the
+    * top pair is the next merge. The scale shape matters: the
+    * char-pair explode runs over DISTINCT words (vocab-sized — a few
+    * million rows at 100 TB), not the corpus, and both aggregations
+    * are map-side-combined groupBys. One merge round shown (the
+    * fixed-point loop is this op iterated with the winning pair
+    * fused into the symbol inventory). */
+  def t49_bpe_merges(s: SparkSession, d: String): DataFrame = {
+    val words = tokDocs(s, d)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(20)
+  }
+
   /** T17: deterministic sampling — the training-data staple. Seeded
     * `sample`/`sampleBy` are reproducible only for a fixed input
     * partitioning and never cross-engine; hash-mod sampling
@@ -1519,6 +1542,7 @@ object TextVector {
     "t14_quality" -> (t14_quality _),
     "t15_token_count" -> (t15_token_count _),
     "t16_fingerprint" -> (t16_fingerprint _),
+    "t49_bpe_merges" -> (t49_bpe_merges _),
     "t17_sampling" -> (t17_sampling _),
     "t18_decontaminate" -> (t18_decontaminate _),
     "t19_pii_redact" -> (t19_pii_redact _),
@@ -1780,6 +1804,18 @@ object TextVector {
          SELECT doc_id,
            list_reduce(codes, (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
          FROM c ORDER BY doc_id""",
+    "t49_bpe_merges" ->
+      """WITH words AS (
+           SELECT w, count(*) AS wc FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+           GROUP BY w),
+         pairs AS (
+           SELECT substr(w, CAST(t.i AS INT), 2) AS pair, wc
+           FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i))
+         SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+         FROM pairs GROUP BY pair
+         ORDER BY n DESC, pair LIMIT 20""",
     "t17_sampling" ->
       """WITH s AS (
            SELECT lang, doc_id,

@@ -982,6 +982,80 @@ object Sources {
     cat
   })
 
+  /** S39 fixture: full compact → two out-of-order arrival slices →
+    * INCREMENTAL compact. The fold rewrites only the two straggler
+    * dirs (the compacted level carries by path — spec-asserted in
+    * GraftMetaSpec); this row pins that the folded table still holds
+    * exactly the corpus. */
+  private val icDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+    base.filter(col("o_orderkey") % 10 < 8)
+      .writeTo(s"$cat.lake.oinc")
+      .tableProperty("retainGenerations", "10")
+      .tableProperty("statsCols", "o_orderkey")
+      .create()
+    s.sql(s"CALL $cat.system.compact(table => 'lake.oinc', k => 3)")
+    base.filter(col("o_orderkey") % 10 === 8)
+      .writeTo(s"$cat.lake.oinc").append()
+    base.filter(col("o_orderkey") % 10 === 9)
+      .writeTo(s"$cat.lake.oinc").append()
+    s.sql(s"CALL $cat.system.compact(table => 'lake.oinc', k => 3, " +
+      "incremental => true)")
+    cat
+  })
+
+  /** S39: incremental compaction under the oracle gate — after the
+    * straggler fold, the table must still equal the corpus exactly. */
+  def s39_incremental_compact(s: SparkSession, d: String): DataFrame = {
+    val cat = icDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 round(sum(o_totalprice), 2) AS total_price,
+                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+          FROM $cat.lake.oinc""")
+  }
+
+  /** S38 fixture: TWO co-bucketed tables (same key type, same bucket
+    * count) — customers by key, and a per-customer order rollup by the
+    * same key — so their equi-join is storage-partitioned: both scans
+    * report `KeyGroupedPartitioning(bucket(8, k))` through the
+    * catalog's V2 `bucket` function and the join plans with ZERO
+    * shuffle on either side (spec-asserted in GraftSpjSpec). */
+  private val spjDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"""CREATE TABLE $cat.lake.spjc (k BIGINT, seg STRING)
+              TBLPROPERTIES ('layout'='bucketed:k:8',
+                             'retainGenerations'='10')""")
+    customer(s, d).select(col("c_custkey").cast("long").as("k"),
+        col("c_mktsegment").as("seg"))
+      .writeTo(s"$cat.lake.spjc").append()
+    s.sql(s"""CREATE TABLE $cat.lake.spjo (k BIGINT, n_orders BIGINT,
+                                           total DOUBLE)
+              TBLPROPERTIES ('layout'='bucketed:k:8',
+                             'retainGenerations'='10')""")
+    orders(s, d).groupBy(col("o_custkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+      .writeTo(s"$cat.lake.spjo").append()
+    cat
+  })
+
+  /** S38: storage-partitioned join — the co-bucketed customer/rollup
+    * join aggregated per segment must equal DuckDB's plain join
+    * algebra (the zero-shuffle plan is asserted in spec; this row
+    * pins the ANSWER is also right). */
+  def s38_spj_join(s: SparkSession, d: String): DataFrame = {
+    val cat = spjDemo(s, d)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT c.seg, count(*) AS n_cust,
+                 CAST(sum(o.n_orders) AS BIGINT) AS n_orders,
+                 round(sum(o.total), 2) AS total_price
+          FROM $cat.lake.spjc c JOIN $cat.lake.spjo o ON c.k = o.k
+          GROUP BY c.seg ORDER BY c.seg""")
+  }
+
   /** S31: the bucketed-MERGE layout reachable from the catalog — the
     * s26 merge statement re-run against a `layout=bucketed:k` table,
     * where it routes through the O(changeset) upsert kernel (per-key
@@ -1202,6 +1276,8 @@ object Sources {
     "s35_catalog_view" -> (s35_catalog_view _),
     "s36_analyze_stats" -> (s36_analyze_stats _),
     "s37_histogram_stats" -> (s37_histogram_stats _),
+    "s38_spj_join" -> (s38_spj_join _),
+    "s39_incremental_compact" -> (s39_incremental_compact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1492,5 +1568,19 @@ object Sources {
          SELECT CAST(t.i - 1 AS INT) AS bin,
                 round(qs[CAST(t.i AS INT)], 2) AS bound
          FROM q, range(1, 6) t(i) ORDER BY bin""",
+    "s38_spj_join" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+                    sum(o_totalprice) AS total
+                    FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment AS seg, count(*) AS n_cust,
+                CAST(sum(o.n_orders) AS BIGINT) AS n_orders,
+                round(sum(o.total), 2) AS total_price
+         FROM customer c JOIN o ON c.c_custkey = o.k
+         GROUP BY c_mktsegment ORDER BY seg""",
+    "s39_incremental_compact" ->
+      """SELECT count(*) AS n_rows,
+                round(sum(o_totalprice), 2) AS total_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+         FROM orders""",
   )
 }
