@@ -20,6 +20,10 @@ object Verify {
       // as a loader side effect)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // S38 engine default: bucketed scans report KeyGroupedPartitioning,
+      // so co-bucketed joins plan storage-partitioned (order-independent
+      // of which query runs first — this is a session-wide stance)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -77,7 +77,20 @@ object GraftMergeCarryoverDedup extends Rule[LogicalPlan] {
               val keyed = Project(j2.output :+ dk, j2)
               val deduped = Deduplicate(Seq(dk.toAttribute), keyed)
               rd.withNewQuery(m.copy(child = Project(j.output, deduped)))
-            case _ => rd // unexpected shape: leave Spark's plan alone
+            case other =>
+              // This branch is only reached when the statement HAS the
+              // duplication-prone shape (carryover-only, cardinality
+              // check off, our group table). Running it unpatched would
+              // silently duplicate multi-matched target rows — fail
+              // loudly instead; if a Spark upgrade fixed the carryover
+              // upstream, this error is the signal to retire the patch.
+              throw new IllegalStateException(
+                "MERGE with no WHEN MATCHED clause on a graft table " +
+                  "planned with an unrecognized child shape " +
+                  s"(${other.getClass.getSimpleName}); refusing to run " +
+                  "UNPATCHED — Spark's group rewrite duplicates " +
+                  "multi-matched target rows in this statement shape " +
+                  "(GraftMergeCarryoverDedup)")
           }
         case _ => rd
       }

@@ -223,7 +223,13 @@ object GraftManifestSource {
     * constraint appeared after the write job was built (the
     * ALTER-vs-write metadata race; Delta fails the same interleave
     * with MetadataChangedException). */
-  private[graft] def bindDeclaredChecks(data: DataFrame, dir: String)
+  /** `exemptWhen`: rows matching this predicate are NOT judged by the
+    * declared constraints — the delta-changeset path uses it for
+    * delete records, whose null-filled data columns would otherwise
+    * spuriously fail a non-null-propagating check (`v IS NOT NULL`)
+    * on every DELETE. */
+  private[graft] def bindDeclaredChecks(data: DataFrame, dir: String,
+                                        exemptWhen: Option[String] = None)
       : (DataFrame, Set[String]) = {
     val spark = data.sparkSession
     ManifestTable.headVersion(spark, dir) match {
@@ -236,7 +242,8 @@ object GraftManifestSource {
           case (k, sql) if k.startsWith(prefix) => k -> sql
         }
         val checks = bound.toSeq.sortBy(_._1)
-          .map { case (k, sql) => k.stripPrefix(prefix) -> sql }
+          .map { case (k, sql) => k.stripPrefix(prefix) ->
+            exemptWhen.map(e => s"($e) OR ($sql)").getOrElse(sql) }
         (applyChecks(data, checks), bound.keySet)
     }
   }

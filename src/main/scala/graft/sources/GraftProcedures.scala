@@ -48,6 +48,17 @@ object GraftProcedures {
           // fold the accreted per-merge bucket files into one dir per
           // bucket (k does not apply: the modulus is the layout)
           if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+            // no silent flag-drop: the merge kernel already folds each
+            // touched bucket at write time (one dir per bucket by
+            // construction), so there are no stragglers for an
+            // incremental pass to pick up — refuse loudly rather than
+            // run a full rewrite under an 'incremental' request
+            require(!incremental,
+              s"incremental compaction does not apply to bucketed table " +
+                s"$dir: its layout is maintained incrementally by " +
+                "construction (each merge folds its touched buckets); " +
+                "use CALL system.compact without incremental for a full " +
+                "re-fold")
             MergeInto.compact(spark, dir)
             val v = ManifestTable.headVersion(spark, dir).get
             return oneRow(StructType(Seq(
@@ -238,14 +249,26 @@ object GraftProcedures {
           val entries = cols.map { c =>
             (c, r.getAs[Long](s"ndv:$c"), r.getAs[Long](s"nulls:$c"))
           }
+          // the persisted histogram is SELF-CONTAINED — its own
+          // non-null rowcount and NDV ride the value ("nn;ndv;b1,…"),
+          // so a later plain re-analyze can never pair fresh counts
+          // with stale bounds into a histogram nobody computed
+          val byCol = entries.map(e => e._1 -> e).toMap
           val histEntries = histCols.flatMap { c =>
             Option(r.getAs[scala.collection.Seq[Double]](s"hist:$c"))
-              .map(bounds =>
-                (ManifestTable.ColHistPrefix + c) -> bounds.mkString(","))
+              .map { bounds =>
+                val (_, ndv, nulls) = byCol(c)
+                (ManifestTable.ColHistPrefix + c) ->
+                  s"${rows - nulls};$ndv;${bounds.mkString(",")}"
+              }
           }
           GraftCatalog.alterMetaAt(catalog, dir, m =>
-            m ++ entries.map { case (c, ndv, nulls) =>
-              (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } ++
+            // a fresh analyze of a column REPLACES all its stats: its
+            // histogram is recomputed when requested, dropped otherwise
+            // (Spark's own ANALYZE ... FOR COLUMNS contract)
+            (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
+              entries.map { case (c, ndv, nulls) =>
+                (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } ++
               histEntries +
               (ManifestTable.TableStatKey -> rows.toString))
           val schema = StructType(Seq(

@@ -302,12 +302,38 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
       val (_, n) = MergeInto.bucketedGeometry(spark, dir).getOrElse(
         throw new IllegalStateException(s"bucketed geometry vanished at $dir"))
       val cs0 = spark.read.schema(changesetSchema).parquet(s"$dir/$pubRel")
+      val marker = col(GraftDeltaWrite.ChangeCol)
+      // a keyed table holds ONE row per key, so an INSERT record for a
+      // key the target already holds — reachable via MERGE's NOT
+      // MATCHED under a compound ON predicate, or an UPDATE that moves
+      // the bucket key onto a standing one — is the duplicate-key
+      // corruption this layout forbids: fail loudly, table unchanged.
+      // (Inserts paired with their own delete record are updates in
+      // changeset terms and replace legitimately. Two surfaces do NOT
+      // come through here and keep the layout's documented
+      // upsert-by-key contract instead: plain INSERT INTO, and
+      // INSERT-ONLY merges — Spark plans those as an APPEND via a
+      // left-anti join, which routes through the upsert kernel.)
+      val pureInserts = cs0.filter(marker === 0).select(col(key))
+        .join(cs0.filter(marker === 1).select(col(key)).distinct(),
+          Seq(key), "left_anti")
+      val clash = pureInserts
+        .join(MergeInto.standingForKeys(spark, dir, pureInserts)
+          .select(col(key)), Seq(key), "left_semi")
+        .limit(5).collect()
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INSERT would duplicate standing key(s) " +
+            s"${clash.map(_.get(0)).mkString(", ")} in keyed table $dir " +
+            "(one row per key by construction); route replacements " +
+            "through WHEN MATCHED or widen the ON condition")
       // declared CHECK constraints bind the changeset before it merges:
       // an UPDATE'd/INSERT'd row violating a constraint fails the merge
-      // job pre-commit (delete records carry null data columns, which
-      // pass like every SQL CHECK NULL evaluation)
-      val (cs, _) = GraftManifestSource.bindDeclaredChecks(cs0, dir)
-      val marker = col(GraftDeltaWrite.ChangeCol)
+      // job pre-commit; DELETE records are exempt — their null-filled
+      // data columns must not be judged ('v IS NOT NULL' would
+      // otherwise fail every DELETE)
+      val (cs, _) = GraftManifestSource.bindDeclaredChecks(cs0, dir,
+        exemptWhen = Some(s"${GraftDeltaWrite.ChangeCol} = 1"))
       MergeInto.applyBatch(cs, dir, key,
         tieCols = marker +: MergeInto.defaultTies(
           cs.drop(GraftDeltaWrite.ChangeCol), key),

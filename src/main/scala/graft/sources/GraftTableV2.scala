@@ -665,16 +665,20 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
             case (rel, st) => (InternalRow(
               org.apache.spark.unsafe.types.UTF8String.fromString(rel)), st)
           })
-      else if (spjGeometry.isDefined)
+      else if (spjGeometry.isDefined) {
         // bucket-aligned planning: each bucket dir = one partition
         // keyed by its bucket id (the bucket(n, key) transform value),
-        // so Spark can line partitions up across co-bucketed scans
+        // so Spark can line partitions up across co-bucketed scans;
+        // one listing pass over all planned dirs
+        val byDir = GraftParquetRead
+          .listFilesWithDir(spark, tableDir, planned).groupBy(_._1)
         planned.zipWithIndex.map { case (rel, i) =>
-          val files = GraftParquetRead.listFiles(spark, tableDir, Seq(rel))
           new GraftBucketPartition(i,
-            GraftParquetRead.toPartitionedFiles(files),
+            GraftParquetRead.toPartitionedFiles(
+              byDir.getOrElse(rel, Seq.empty).map(_._2)),
             bucketIdOf(rel).get): InputPartition
         }.toArray
+      }
       else GraftParquetRead.packPartitions(spark, listFiles(spark))
   }
 
@@ -726,29 +730,35 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
         else OptionalLong.empty()
       val meta = ManifestTable.metaOf(fsOf(spark), tableDir, version)
-      val analyzedRows = meta.get(ManifestTable.TableStatKey)
-        .flatMap(_.toLongOption)
       val colStats = meta.collect {
         case (k, v) if k.startsWith(ManifestTable.ColStatPrefix) &&
             tableSchema.fieldNames.contains(
               k.stripPrefix(ManifestTable.ColStatPrefix)) =>
           val c = k.stripPrefix(ManifestTable.ColStatPrefix)
           val Array(ndv, nulls) = v.split(",", 2)
-          // S37 — persisted equi-height bin bounds rehydrate as a
-          // connector histogram; Spark's transformV2Stats hands it to
-          // the CBO (FilterEstimation range selectivity). Height =
-          // non-null rows per bin at analysis time; per-bin NDV is the
-          // even-split estimate (bounded by the height).
+          // S37 — persisted equi-height bins rehydrate as a connector
+          // histogram; Spark's transformV2Stats hands it to the CBO
+          // (FilterEstimation range selectivity). The value is
+          // SELF-CONTAINED ("nonNullRows;ndv;b1,…,b_{k+1}") — height
+          // and per-bin NDV derive from the counts recorded AT
+          // histogram time, never from later-refreshed stats.
           val hist = meta.get(ManifestTable.ColHistPrefix + c).flatMap { s =>
-            val bounds = s.split(",").map(_.toDouble)
-            analyzedRows.collect {
-              case rowsAn if bounds.length >= 3 =>
-                val nBins = bounds.length - 1
-                val height = (rowsAn - nulls.toLong).toDouble / nBins
-                val binNdv = math.max(1L, math.min(ndv.toLong / nBins,
-                  math.ceil(height).toLong))
-                GraftHistogram(height, bounds.sliding(2).map(w =>
-                  GraftHistogramBin(w(0), w(1), binNdv)).toArray)
+            s.split(";", 3) match {
+              case Array(nn, hNdv, bs) =>
+                val bounds = bs.split(",").map(_.toDouble)
+                for {
+                  nonNull <- nn.toLongOption
+                  histNdv <- hNdv.toLongOption
+                  if bounds.length >= 3
+                } yield {
+                  val nBins = bounds.length - 1
+                  val height = nonNull.toDouble / nBins
+                  val binNdv = math.max(1L, math.min(histNdv / nBins,
+                    math.ceil(height).toLong))
+                  GraftHistogram(height, bounds.sliding(2).map(w =>
+                    GraftHistogramBin(w(0), w(1), binNdv)).toArray)
+                }
+              case _ => None
             }
           }
           (Expressions.column(c): NamedReference) ->

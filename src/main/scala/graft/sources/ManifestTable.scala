@@ -777,10 +777,10 @@ object ManifestTable {
     * remains the perfect-layout move. No-op (base version returned)
     * when fewer than two dirs would fold. */
   def compactIncremental(spark: SparkSession, tableDir: String,
-                         statsCols: Seq[String],
+                         statsCols0: Seq[String],
                          k: Int = graft.ScaleKnobs.DefaultClusterDirs,
                          retainGenerations: Int = 2): Long = {
-    require(statsCols.nonEmpty, "compactIncremental needs stats columns")
+    require(statsCols0.nonEmpty, "compactIncremental needs stats columns")
     require(!fsOf(spark, tableDir).exists(
         new Path(tableDir, MergeInto.KeyMarker)),
       s"$tableDir is a bucketed merge table — compact it with " +
@@ -790,7 +790,11 @@ object ManifestTable {
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
     val inputs = pathsOf(fs, tableDir, baseV)
     val baseStats = statsOf(fs, tableDir, baseV)
-    val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(statsCols.head))
+    val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(statsCols0.head))
+    // the folded dirs MUST track the cluster columns, or they can never
+    // prove themselves disjoint and every later call refolds them —
+    // the appendClustered rule, applied here for convergence
+    val statsCols = (statsCols0 ++ spec).distinct
     val lead = spec.head
     val dt = declaredSchemaOf(spark, tableDir, baseV)
       .flatMap(sch => sch.fields.find(_.name == lead)).map(_.dataType)

@@ -1234,7 +1234,8 @@ object Sources {
     val cat = analyzeDemo(s, d)
     s.sql(
       s"""SELECT pos AS bin, round(CAST(bound AS DOUBLE), 2) AS bound
-          FROM (SELECT posexplode(split(value, ',')) AS (pos, bound)
+          FROM (SELECT posexplode(split(element_at(split(value, ';'), 3),
+                                        ',')) AS (pos, bound)
                 FROM $cat.lake.`oan$$properties`
                 WHERE key = 'colhist:o_orderkey')
           ORDER BY bin""")

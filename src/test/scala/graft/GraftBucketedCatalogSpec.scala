@@ -194,6 +194,58 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
       spark.sql("UPDATE gbkt.lake.b8 SET amt = -1.0 WHERE k = 1")
     }
     assert(rows("b8") == Map(1L -> ("a", 1.0)))
+    // a NON-null-propagating check must not judge delete records'
+    // null-filled data columns: DELETE and legal UPDATE still work
+    spark.sql("ALTER TABLE gbkt.lake.b8 SET TBLPROPERTIES " +
+      "('check.v_nn'='v IS NOT NULL')")
+    spark.sql("INSERT INTO gbkt.lake.b8 VALUES (2,'b',2.0)")
+    spark.sql("UPDATE gbkt.lake.b8 SET amt = 3.0 WHERE k = 1")
+    spark.sql("DELETE FROM gbkt.lake.b8 WHERE k = 2")
+    assert(rows("b8") == Map(1L -> ("a", 3.0)))
+  }
+
+  test("MERGE NOT MATCHED cannot INSERT a standing key (compound ON); update-moves onto standing keys refuse too") {
+    freshBucketed("b8b")
+    spark.sql("INSERT INTO gbkt.lake.b8b VALUES (1,'a',1.0),(2,'b',2.0)")
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    // a MIXED merge routes through the delta changeset: ON is false
+    // for k=1 (amt filter), so the pair is NOT MATCHED and the rewrite
+    // emits an insert for a key the target already holds — a keyed
+    // table cannot represent that; must fail loudly, table unchanged
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gbkt.lake.b8b t
+           USING (SELECT CAST(1 AS BIGINT) AS k, 'p' AS v,
+                         CAST(1.0 AS DOUBLE) AS amt) s
+           ON t.k = s.k AND s.amt > 100
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    }
+    assert(msgs(e).contains("duplicate standing key"), msgs(e).take(300))
+    assert(rows("b8b") == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    // an INSERT-ONLY merge is planned by Spark as an APPEND (left-anti
+    // join), which on this layout follows the documented
+    // INSERT-is-upsert-by-key contract — the standing row is REPLACED,
+    // matching what INSERT INTO of the same row would do
+    spark.sql(
+      """MERGE INTO gbkt.lake.b8b t
+         USING (SELECT CAST(1 AS BIGINT) AS k, 'p' AS v,
+                       CAST(7.0 AS DOUBLE) AS amt) s
+         ON t.k = s.k AND s.amt > 100
+         WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    assert(rows("b8b") == Map(1L -> ("p", 7.0), 2L -> ("b", 2.0)))
+    spark.sql("UPDATE gbkt.lake.b8b SET v = 'a', amt = 1.0 WHERE k = 1")
+    // an UPDATE that MOVES the bucket key onto a standing key is the
+    // same duplicate-key corruption — refused, table unchanged
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE gbkt.lake.b8b SET k = 2 WHERE k = 1")
+    }
+    assert(msgs(e2).contains("duplicate standing key"), msgs(e2).take(300))
+    assert(rows("b8b") == Map(1L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    // ...while a move onto a FREE key still works
+    spark.sql("UPDATE gbkt.lake.b8b SET k = 9 WHERE k = 1")
+    assert(rows("b8b") == Map(9L -> ("a", 1.0), 2L -> ("b", 2.0)))
   }
 
   test("time travel and TRUNCATE work on bucketed tables") {

@@ -265,7 +265,10 @@ class GraftMetaSpec extends SparkTestBase {
     // persisted: 5 ascending double bounds, 1 .. 1000
     val raw = spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
       "WHERE key = 'colhist:k'").head().getString(0)
-    val bounds = raw.split(",").map(_.toDouble).toSeq
+    // self-contained: "<nonNullRows>;<ndv>;<bounds,...>"
+    val Array(nn, hNdv, bs) = raw.split(";", 3)
+    assert(nn.toLong == 100L && hNdv.toLong == 81L, raw)
+    val bounds = bs.split(",").map(_.toDouble).toSeq
     assert(bounds.length == 5 && bounds == bounds.sorted, bounds)
     assert(bounds.head == 1.0 && bounds.last == 1000.0, bounds)
     // equi-HEIGHT, not equi-width: the hot value pulls the last bound
@@ -292,6 +295,12 @@ class GraftMetaSpec extends SparkTestBase {
       "columns => 'k')")
     assert(spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
       "WHERE key = 'advice:analyze'").isEmpty)
+    // ...and REPLACES k's stats wholesale: the histogram was not
+    // recomputed, so it must be dropped, not left to pair stale
+    // bounds with fresh counts
+    assert(spark.sql("SELECT value FROM gmeta.lake.`hist1$properties` " +
+      "WHERE key = 'colhist:k'").isEmpty,
+      "plain re-analyze must drop the stale histogram")
   }
 
   test("S39 incremental compact folds only stragglers; kept dirs carry by path; repeated calls converge") {
