@@ -343,9 +343,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RemoveProperty =>
         alterMeta(dir, _ - (PropPrefix + r.property))
       case a: TableChange.AddColumn => addColumn(ident, dir, a)
+      case u: TableChange.UpdateColumnType => updateColumnType(ident, dir, u)
       case c => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports SET/UNSET TBLPROPERTIES and ADD " +
-          s"COLUMN; ${c.getClass.getSimpleName} is not supported " +
+        s"graft ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD " +
+          s"COLUMN and ALTER COLUMN TYPE (widening); " +
+          s"${c.getClass.getSimpleName} is not supported " +
           "(width-changing rewrites go through MERGE's schema evolution)")
     }
     loadTable(ident)
@@ -373,6 +375,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"column '${a.fieldNames.head}' already exists in $ident")
       StructType(old.fields :+
         StructField(a.fieldNames.head, a.dataType, nullable = true))
+    })
+  }
+
+  /** S40 — metadata-only TYPE WIDENING (`ALTER TABLE t ALTER COLUMN c
+    * TYPE bigint`): the declared schema changes, no data file is
+    * touched. Old dirs keep their narrow parquet encoding and the read
+    * path serves them WIDENED — Spark's vectorized parquet reader has
+    * native widening updaters for exactly the lossless pairs this
+    * whitelist admits (int→bigint, int→double, float→double), the
+    * Iceberg/Delta type-promotion contract. New appends must bring the
+    * widened type (the fixed-schema append contract, unchanged).
+    * Recorded stats stay valid: min/max strings compare numerically,
+    * and a value's decimal rendering is type-independent. */
+  private def updateColumnType(ident: Identifier, dir: String,
+                               u: TableChange.UpdateColumnType): Unit = {
+    import org.apache.spark.sql.types._
+    require(u.fieldNames.length == 1,
+      s"graft ALTER COLUMN TYPE is top-level only, got " +
+        u.fieldNames.mkString("."))
+    val name = u.fieldNames.head
+    // the bucket key's murmur3 hash is TYPE-SENSITIVE (INT 2 and
+    // BIGINT 2 hash differently): widening it would silently re-route
+    // every standing key to the wrong bucket — refuse
+    MergeInto.bucketedGeometry(spark, dir).foreach { case (key, _) =>
+      require(!name.equalsIgnoreCase(key),
+        s"cannot widen bucket key '$key' of $ident: murmur3 bucket " +
+          "routing is type-sensitive; clone into a new layout instead")
+    }
+    alterSchema(dir, old => {
+      require(old.fieldNames.contains(name),
+        s"no column '$name' in $ident to widen")
+      val i = old.fieldIndex(name)
+      val from = old.fields(i).dataType
+      val ok = (from, u.newDataType) match {
+        case (IntegerType, LongType | DoubleType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(ok,
+        s"unsupported widen $from -> ${u.newDataType} on '$name': " +
+          "metadata-only widening covers int->bigint, int->double, " +
+          "float->double (lossless, reader-supported); anything else " +
+          "needs a rewrite")
+      StructType(old.fields.updated(i, old.fields(i).copy(dataType = u.newDataType)))
     })
   }
 

@@ -1017,6 +1017,41 @@ object Sources {
           FROM $cat.lake.oinc""")
   }
 
+  /** S40 fixture: half the orders land while `k` is INT; the column is
+    * then WIDENED to BIGINT in one metadata commit (no dir rewritten)
+    * and the other half lands with keys beyond Int range — the final
+    * read serves the narrow parquet dirs widened through Spark's own
+    * type-widening updaters. */
+  private val widenDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    s.sql(s"""CREATE TABLE $cat.lake.owide (k INT, price DOUBLE)
+              TBLPROPERTIES ('retainGenerations'='10', 'statsCols'='k')""")
+    orders(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey").cast("int").as("k"),
+        col("o_totalprice").as("price"))
+      .writeTo(s"$cat.lake.owide").append()
+    s.sql(s"ALTER TABLE $cat.lake.owide ALTER COLUMN k TYPE BIGINT")
+    orders(s, d).filter(col("o_orderkey") % 2 === 1)
+      .select((col("o_orderkey").cast("long") + 3000000000L).as("k"),
+        col("o_totalprice").as("price"))
+      .writeTo(s"$cat.lake.owide").append()
+    cat
+  })
+
+  /** S40: metadata-only type widening under the oracle gate — the
+    * mixed-encoding table (INT32 dirs + INT64 dirs, one declared
+    * BIGINT schema) must aggregate exactly like the reconstructed
+    * algebra; the >Int.MaxValue checksum proves the widened half
+    * really landed wide. */
+  def s40_type_widening(s: SparkSession, d: String): DataFrame = {
+    val cat = widenDemo(s, d)
+    s.sql(
+      s"""SELECT count(*) AS n_rows,
+                 CAST(sum(k) AS BIGINT) AS key_checksum,
+                 round(sum(price), 2) AS total_price
+          FROM $cat.lake.owide""")
+  }
+
   /** S38 fixture: TWO co-bucketed tables (same key type, same bucket
     * count) — customers by key, and a per-customer order rollup by the
     * same key — so their equi-join is storage-partitioned: both scans
@@ -1279,6 +1314,7 @@ object Sources {
     "s37_histogram_stats" -> (s37_histogram_stats _),
     "s38_spj_join" -> (s38_spj_join _),
     "s39_incremental_compact" -> (s39_incremental_compact _),
+    "s40_type_widening" -> (s40_type_widening _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1583,5 +1619,16 @@ object Sources {
                 round(sum(o_totalprice), 2) AS total_price,
                 CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
          FROM orders""",
+    "s40_type_widening" ->
+      """WITH w AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS price
+           FROM orders WHERE o_orderkey % 2 = 0
+           UNION ALL
+           SELECT CAST(o_orderkey AS BIGINT) + 3000000000, o_totalprice
+           FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT count(*) AS n_rows,
+                CAST(sum(k) AS BIGINT) AS key_checksum,
+                round(sum(price), 2) AS total_price
+         FROM w""",
   )
 }

@@ -122,6 +122,50 @@ class GraftCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("catalog: metadata-only TYPE WIDENING serves old narrow dirs widened; guards hold") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.wd")
+    spark.sql("CREATE TABLE gcat.lake.wd (k INT, r FLOAT, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10', 'statsCols'='k')")
+    spark.sql("INSERT INTO gcat.lake.wd VALUES " +
+      "(1, CAST(1.5 AS FLOAT), 'a'), (2, CAST(2.5 AS FLOAT), 'b')")
+    val dir = s"$wh/lake/wd"
+    val before = ManifestTable.livePaths(fs, dir)
+    spark.sql("ALTER TABLE gcat.lake.wd ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE gcat.lake.wd ALTER COLUMN r TYPE DOUBLE")
+    // metadata-only: no dir rewritten
+    assert(ManifestTable.livePaths(fs, dir) == before)
+    // widened appends land; OLD INT32/FLOAT dirs read widened
+    spark.sql("INSERT INTO gcat.lake.wd VALUES " +
+      "(8589934592, CAST(3.5 AS DOUBLE), 'c')") // > Int.MaxValue
+    val got = spark.table("gcat.lake.wd").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got == Seq((1L, 1.5, "a"), (2L, 2.5, "b"),
+      (8589934592L, 3.5, "c")), got)
+    assert(spark.table("gcat.lake.wd").schema("k").dataType.simpleString
+      == "bigint")
+    // stats recorded pre-widening still prune (numeric compare)
+    val pruned = ManifestTable.rangeScan(spark, dir, "k", "1", "1")
+    assert(pruned.count() == 1L)
+    // guards: lossy/unsupported widens refuse; bucket keys refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.lake.wd ALTER COLUMN v TYPE INT")
+    }
+    intercept[Exception] { // bigint -> double is lossy
+      spark.sql("ALTER TABLE gcat.lake.wd ALTER COLUMN k TYPE DOUBLE")
+    }
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.wb")
+    spark.sql("CREATE TABLE gcat.lake.wb (k INT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gcat.lake.wb VALUES (1, 'a')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.lake.wb ALTER COLUMN k TYPE BIGINT")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + msgs(t.getCause)
+    assert(msgs(e).contains("bucket key"), msgs(e).take(200))
+  }
+
   test("catalog: clusterBy TBLPROPERTY is the declared cluster spec") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gcat.lake.cl")
