@@ -554,6 +554,28 @@ object ManifestTable {
   private[sources] def cdcTag(kind: String, v: Long): (String, String) =
     CdcKindKey -> s"$kind@$v"
 
+  /** Write-side CDC materialization (opt-in, Delta's
+    * `enableChangeDataFeed` shape): when the table property
+    * `cdc.materialize=true` is set, every DML commit that rides
+    * [[publishRewrite]] ALSO stages its row-level change feed as
+    * parquet under `_cdc/<name>` and records `cdcdata:<v> -> <name>`
+    * in the commit's meta. [[changes]] then serves that step as a
+    * PLAIN SCAN of the staged files — O(change rows) I/O — instead of
+    * re-reading both sides of the touched dirs and shuffling the
+    * bounded diff on every feed read. At 100 TB with N downstream CDC
+    * consumers, the diff runs once at write time instead of N times at
+    * read time. The `_` prefix hides the staging area from the data
+    * sweep; [[gc]] reaps staged dirs no retained manifest references. */
+  private[sources] val CdcDataPrefix = "cdcdata:"
+  private[sources] val CdcDirName = "_cdc"
+  /** Meta value meaning "materialized, and the feed is provably empty"
+    * (a rewrite that changed nothing) — served as an empty frame with
+    * zero file reads. */
+  private[sources] val CdcEmptyToken = "-"
+  /** The persisted TBLPROPERTIES key ([[GraftCatalog.PropPrefix]] +
+    * user key `cdc.materialize`). */
+  private val CdcMaterializeKey = "prop:cdc.materialize"
+
   /** The table's DECLARED cluster spec (meta key `clusterBy`), if one
     * was set — the partition-evolution surface: the spec says how
     * [[compactAppend]] should lay the table out, independently of how
@@ -1038,11 +1060,20 @@ object ManifestTable {
       statsCols: Seq[String], retainGenerations: Int,
       boundChecks: Set[String]): Long = {
     val fs = fsOf(spark, tableDir)
+    // write-side CDC materialization (opt-in): the staged feed diffs
+    // exactly the dirs this rewrite removes against the dir it adds.
+    // Racing appends rebase through commitIf with BOTH sides of that
+    // diff unchanged (touched dirs are immutable and validated still
+    // present; the cid dir is ours alone), so the staged frame equals
+    // the endpoint diff changes(v-1, v) at whatever version the commit
+    // finally lands.
+    val stagedCdc = stageCdc(spark, tableDir, touchedSet, cid, payloadSchema)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 1000, s"row-level rewrite contention at $tableDir")
-      val head = versions(fs, tableDir).last
+      val vs = versions(fs, tableDir)
+      val head = vs.last
       val headPaths = pathsOf(fs, tableDir, head)
       if (!touchedSet.subsetOf(headPaths.toSet))
         throw new IllegalStateException(
@@ -1060,10 +1091,86 @@ object ManifestTable {
         schemaDdl = schemaOf(fs, tableDir, head),
         stats = (statsOf(fs, tableDir, head) -- touchedSet) ++
           (for { c <- cid; p <- payload } yield c -> p),
-        meta = headMeta ++ zoneMeta)
+        meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
+          stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n))
       committed.foreach(v => return v)
     }
     -1L // unreachable
+  }
+
+  /** The write half of CDC materialization: when the base head carries
+    * `cdc.materialize=true`, run the bounded diff ONCE now (old =
+    * touched dirs at the base snapshot, new = the freshly-written cid
+    * dir) and stage it under [[CdcDirName]]. Some(name) → record in
+    * the commit meta; Some([[CdcEmptyToken]]) → the rewrite provably
+    * changed nothing; None → property unset, feed stays read-time. */
+  private def stageCdc(spark: SparkSession, tableDir: String,
+      touchedSet: Set[String], cid: Option[String],
+      payloadSchema: org.apache.spark.sql.types.StructType): Option[String] = {
+    val fs = fsOf(spark, tableDir)
+    val baseV = versions(fs, tableDir).last
+    if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
+        .exists(_.equalsIgnoreCase("true"))) return None
+    import org.apache.spark.sql.functions.{count, lit}
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
+    val older =
+      if (touchedSet.isEmpty) empty
+      else readWithDeclared(spark, tableDir, baseV,
+        touchedSet.toSeq.sorted.map(absPath(tableDir, _)))
+    val newer = cid match {
+      case Some(c) => spark.read.schema(payloadSchema).parquet(s"$tableDir/$c")
+      case None => empty
+    }
+    val name = "c-" + java.util.UUID.randomUUID().toString.take(8)
+    val obs = org.apache.spark.sql.Observation()
+    diffFeed(older, newer).observe(obs, count(lit(1)).as("rows"))
+      .write.parquet(s"$tableDir/$CdcDirName/$name")
+    if (obs.get("rows").asInstanceOf[Long] == 0L) {
+      fs.delete(new Path(s"$tableDir/$CdcDirName/$name"), true)
+      Some(CdcEmptyToken)
+    } else Some(name)
+  }
+
+  /** Drop `cdcdata:` entries for versions no longer retained — meta
+    * carries forward, so without pruning every DML commit would grow
+    * the header forever. Conservative: entries for any version still
+    * listed in the manifest dir survive; their staged dirs are [[gc]]'s
+    * to reap once the version itself ages out. */
+  private def pruneCdcMeta(meta: Map[String, String],
+                           retained: Set[Long]): Map[String, String] =
+    meta.filterNot { case (k, _) =>
+      k.startsWith(CdcDataPrefix) &&
+        k.stripPrefix(CdcDataPrefix).toLongOption.exists(!retained.contains(_))
+    }
+
+  /** Serve one adjacent feed step from its write-time staged change
+    * files — a plain scan, O(change rows), zero shuffle, no re-read of
+    * the rewrite's two sides. None (→ bounded diff) when the commit
+    * didn't materialize or the staged dir lost a race with GC. */
+  private def materializedFeed(spark: SparkSession, tableDir: String,
+                               v: Long): Option[DataFrame] = {
+    val fs = fsOf(spark, tableDir)
+    def feedSchema: Option[org.apache.spark.sql.types.StructType] =
+      schemaOf(fs, tableDir, v).map(ddl =>
+        org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .add("change_type", org.apache.spark.sql.types.StringType))
+    metaOf(fs, tableDir, v).get(CdcDataPrefix + v).flatMap {
+      case CdcEmptyToken =>
+        // a provably-empty feed is a LOCAL empty frame — zero files
+        // opened (needs the declared schema; a schema-less table falls
+        // back to the diff, which is empty but footer-shaped)
+        feedSchema.map(sch => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+      case name =>
+        val p = new Path(s"$tableDir/$CdcDirName/$name")
+        val ok = try fs.exists(p) catch { case _: java.io.IOException => false }
+        if (!ok) None
+        else Some(feedSchema match {
+          case Some(sch) => spark.read.schema(sch).parquet(p.toString)
+          case None => spark.read.parquet(p.toString)
+        })
+    }
   }
 
   /** TRUNCATE (the `DELETE FROM t` fast path): commit an EMPTY path
@@ -1443,6 +1550,10 @@ object ManifestTable {
       require(versions(fs, tableDir).contains(v),
         s"version $v is not retained at $tableDir"))
     additiveFeed(spark, tableDir, fromV, toV).foreach(return _)
+    // an adjacent DML step that materialized its feed at write time
+    // (cdc.materialize) serves as a plain scan of the staged files
+    if (toV == fromV + 1)
+      materializedFeed(spark, tableDir, toV).foreach(return _)
     val fromP = pathsOf(fs, tableDir, fromV).toSet
     val toP = pathsOf(fs, tableDir, toV).toSet
     val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => absPath(tableDir, p))
@@ -1803,6 +1914,24 @@ object ManifestTable {
           now - newestMtime(fs, st.getPath) > orphanGraceMs)
       if (!protectedEntry && !referenced.contains(n) && sweepable)
         fs.delete(st.getPath, true)
+    }
+    // staged CDC dirs (`_cdc/` is under the protected prefix, so the
+    // sweep above never touches it): referenced = the union of
+    // `cdcdata:` values across KEPT manifests; anything else ages out
+    // past the same grace window — covering both retired versions'
+    // leavings and a crashed writer's never-committed staging
+    val cdcRoot = new Path(tableDir, CdcDirName)
+    if (try fs.exists(cdcRoot) catch { case _: java.io.IOException => false }) {
+      val cdcReferenced: Set[String] = kept.flatMap { v =>
+        try metaOf(fs, tableDir, v).collect {
+          case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
+        } catch { case _: java.io.IOException => Seq.empty[String] }
+      }.toSet
+      fs.listStatus(cdcRoot).foreach { st =>
+        if (!cdcReferenced.contains(st.getPath.getName) &&
+            now - newestMtime(fs, st.getPath) > orphanGraceMs)
+          fs.delete(st.getPath, true)
+      }
     }
   }
 

@@ -86,6 +86,105 @@ class GraftChangesFeedSpec extends SparkTestBase {
       feed.inputFiles.toSeq)
   }
 
+  // ---- write-side CDC materialization (TBLPROPERTIES cdc.materialize) ----
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-cdcmat").toString
+    spark.conf.set("spark.sql.catalog.gcdc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdc.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcdc.lake")
+    dir
+  }
+
+  private def freshTable(name: String, props: String): String = {
+    wh: Unit
+    spark.sql(s"DROP TABLE IF EXISTS gcdc.lake.$name")
+    spark.sql(s"CREATE TABLE gcdc.lake.$name (k INT, v STRING) " +
+      s"TBLPROPERTIES ('retainGenerations'='10','statsCols'='k'$props)")
+    s"$wh/lake/$name"
+  }
+
+  test("cdc.materialize: an update step serves from staged change files — not both versions, no diff shuffle") {
+    val dir = freshTable("m1", ",'cdc.materialize'='true'")
+    spark.sql("INSERT INTO gcdc.lake.m1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("UPDATE gcdc.lake.m1 SET v = 'B' WHERE k = 2")
+    val vN = ManifestTable.headVersion(spark, dir).get
+    val feed = ManifestTable.changes(spark, dir, vN - 1, vN)
+    val got = feed.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((2, "B", "insert"), (2, "b", "delete")), got)
+    // the point of materialization: the feed reads the write-time
+    // staged files, not the touched dirs of both versions
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/_cdc/")), feed.inputFiles.toSeq)
+    assert(!hasExchange(feed),
+      "a materialized step must be a plain scan:\n" +
+        feed.queryExecution.executedPlan)
+    // the t$changes surface inherits the staged route
+    val tail = spark.sql("SELECT k, v, change_type FROM " +
+      s"gcdc.lake.`m1$$changes` WHERE _commit_version = $vN")
+    val got2 = tail.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got2 == got, got2)
+  }
+
+  test("materialized feed equals the read-time diff fallback exactly") {
+    val dirOn = freshTable("m2", ",'cdc.materialize'='true'")
+    val dirOff = freshTable("m3", "")
+    Seq("m2", "m3").foreach { t =>
+      spark.sql(s"INSERT INTO gcdc.lake.$t VALUES (1,'a'),(2,'b'),(3,'c')")
+      spark.sql(s"INSERT INTO gcdc.lake.$t VALUES (4,'d')")
+      spark.sql(s"DELETE FROM gcdc.lake.$t WHERE k IN (2, 4)")
+    }
+    def tail(d: String) = {
+      val v = ManifestTable.headVersion(spark, d).get
+      ManifestTable.changes(spark, d, v - 1, v)
+    }
+    val (on, off) = (tail(dirOn), tail(dirOff))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(rows(on) == rows(off), (rows(on), rows(off)))
+    assert(rows(on) == Seq((2, "b", "delete"), (4, "d", "delete")))
+    assert(on.inputFiles.forall(_.contains("/_cdc/")), on.inputFiles.toSeq)
+    assert(off.inputFiles.exists(!_.contains("/_cdc/")),
+      "the property-less table must take the diff route")
+  }
+
+  test("a DML that changes nothing records the empty token — the feed step opens zero files") {
+    val dir = freshTable("m4", ",'cdc.materialize'='true'")
+    spark.sql("INSERT INTO gcdc.lake.m4 VALUES (1,'a'),(2,'b')")
+    spark.sql("UPDATE gcdc.lake.m4 SET v = v WHERE k = 1") // identity write
+    val vN = ManifestTable.headVersion(spark, dir).get
+    val feed = ManifestTable.changes(spark, dir, vN - 1, vN)
+    assert(feed.count() == 0L)
+    assert(feed.inputFiles.isEmpty,
+      "an empty materialized step must not open any file: " +
+        feed.inputFiles.toSeq)
+  }
+
+  test("vacuum reaps unreferenced staged CDC dirs, keeps referenced ones") {
+    val dir = freshTable("m5", ",'cdc.materialize'='true'")
+    spark.sql("INSERT INTO gcdc.lake.m5 VALUES (1,'a'),(2,'b')")
+    spark.sql("UPDATE gcdc.lake.m5 SET v = 'B' WHERE k = 2")
+    val f = fs(dir)
+    val cdcRoot = new org.apache.hadoop.fs.Path(dir, "_cdc")
+    assert(f.exists(cdcRoot) && f.listStatus(cdcRoot).length == 1)
+    // plant an orphan staging dir (a crashed writer's leavings), age
+    // everything under _cdc, and sweep: the orphan dies, the staged
+    // dir a retained manifest references survives
+    val orphan = new org.apache.hadoop.fs.Path(cdcRoot, "c-orphan00")
+    f.mkdirs(orphan)
+    ageTree(f, cdcRoot, 48L * 3600 * 1000)
+    ManifestTable.vacuum(spark, dir, retainGenerations = 10)
+    val left = f.listStatus(cdcRoot).map(_.getPath.getName).toSeq
+    assert(left.length == 1 && left.head != "c-orphan00", left)
+    // and the feed still serves from the surviving staged dir
+    val vN = ManifestTable.headVersion(spark, dir).get
+    val feed = ManifestTable.changes(spark, dir, vN - 1, vN)
+    assert(feed.count() == 2L)
+    assert(feed.inputFiles.forall(_.contains("/_cdc/")), feed.inputFiles.toSeq)
+  }
+
   test("a DML step in the span falls back to the exact manifest diff") {
     val s = spark; import s.implicits._
     val dir = freshDir()
