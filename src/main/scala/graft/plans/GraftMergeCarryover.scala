@@ -57,40 +57,56 @@ object GraftMergeCarryoverDedup extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Locate the rewrite's target-vs-source join STRUCTURALLY — the
+    * first left/full-outer join, descending through any unary nodes
+    * Spark's rewrite (or a future upstream change) interposes, whose
+    * LEFT side outputs the `__row_from_target` marker — and rebuild
+    * the subtree with the dedup wired in. Matching the one exact plan
+    * shape the current rewrite emits would turn a benign upstream
+    * refactor (an extra Project, an alias rename) into a hard runtime
+    * failure on every no-WHEN-MATCHED MERGE; keying off the join
+    * semantics keeps the patch working across such changes. None =
+    * no such join anywhere below (the caller fails loudly — the
+    * duplication-prone shape with no patchable join is the signal to
+    * re-derive this rule against the new rewrite). */
+  private def patched(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case j @ Join(left, _, LeftOuter | FullOuter, _, _)
+        if left.output.exists(_.name == "__row_from_target") =>
+      val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+      val j2 = j.copy(left = Project(left.output :+ tid, left))
+      val dk = Alias(Coalesce(Seq(tid.toAttribute,
+        Subtract(Literal(-1L), MonotonicallyIncreasingID()))),
+        "__graft_dk")()
+      val keyed = Project(j2.output :+ dk, j2)
+      val deduped = Deduplicate(Seq(dk.toAttribute), keyed)
+      Some(Project(j.output, deduped))
+    case u if u.children.length == 1 =>
+      patched(u.children.head).map(c => u.withNewChildren(Seq(c)))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case rd: ReplaceData if graftGroupTarget(rd.table) =>
       rd.query match {
         case m: MergeRows
             if carryoverOnly(m.matchedInstructions) && !m.checkCardinality =>
-          m.child match {
-            case j @ Join(pt: Project, _, LeftOuter | FullOuter, _, _)
-                if pt.projectList.exists {
-                  case a: Alias => a.name == "__row_from_target"
-                  case _ => false
-                } =>
-              val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
-              val j2 = j.copy(left =
-                pt.copy(projectList = pt.projectList :+ tid))
-              val dk = Alias(Coalesce(Seq(tid.toAttribute,
-                Subtract(Literal(-1L), MonotonicallyIncreasingID()))),
-                "__graft_dk")()
-              val keyed = Project(j2.output :+ dk, j2)
-              val deduped = Deduplicate(Seq(dk.toAttribute), keyed)
-              rd.withNewQuery(m.copy(child = Project(j.output, deduped)))
-            case other =>
-              // This branch is only reached when the statement HAS the
-              // duplication-prone shape (carryover-only, cardinality
-              // check off, our group table). Running it unpatched would
-              // silently duplicate multi-matched target rows — fail
-              // loudly instead; if a Spark upgrade fixed the carryover
+          patched(m.child) match {
+            case Some(c) => rd.withNewQuery(m.copy(child = c))
+            case None =>
+              // Only reached when the statement HAS the duplication-
+              // prone shape (carryover-only, cardinality check off,
+              // our group table) and no target-left outer join exists
+              // anywhere below. Running it unpatched would silently
+              // duplicate multi-matched target rows — fail loudly
+              // instead; if a Spark upgrade fixed the carryover
               // upstream, this error is the signal to retire the patch.
               throw new IllegalStateException(
                 "MERGE with no WHEN MATCHED clause on a graft table " +
-                  "planned with an unrecognized child shape " +
-                  s"(${other.getClass.getSimpleName}); refusing to run " +
-                  "UNPATCHED — Spark's group rewrite duplicates " +
-                  "multi-matched target rows in this statement shape " +
-                  "(GraftMergeCarryoverDedup)")
+                  "planned with no recognizable target join below " +
+                  s"MergeRows (${m.child.getClass.getSimpleName}); " +
+                  "refusing to run UNPATCHED — Spark's group rewrite " +
+                  "duplicates multi-matched target rows in this " +
+                  "statement shape (GraftMergeCarryoverDedup)")
           }
         case _ => rd
       }

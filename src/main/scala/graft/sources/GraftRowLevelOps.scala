@@ -210,7 +210,7 @@ case class GraftBatchWriterFactory(stageDir: String,
     new GraftTaskWriter(
       s"$stageDir/part-$partitionId-$taskId-" +
         java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
-      conf.value)
+      conf.value, partitionId = partitionId)
 }
 
 /** `SupportsDelta` for bucketed (S31) tables: Spark hands the write
@@ -317,6 +317,21 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
       val pureInserts = cs0.filter(marker === 0).select(col(key))
         .join(cs0.filter(marker === 1).select(col(key)).distinct(),
           Seq(key), "left_anti")
+      // the same key appearing in TWO insert records of one changeset
+      // (duplicate unmatched source keys under a compound ON) would
+      // pass the standing-key check below and then silently collapse
+      // to one arbitrary winner in applyBatch's one-winner-per-key
+      // reduction — that is data loss of a source row, so it fails as
+      // loudly as the standing-key clash (the replaced extension
+      // kernel refused duplicate source keys whether matched or not;
+      // Spark's own cardinality check covers only MATCHED rows)
+      val dupIns = pureInserts.groupBy(col(key))
+        .count().filter(col("count") > 1).limit(5).collect()
+      if (dupIns.nonEmpty)
+        throw new IllegalStateException(
+          s"MERGE INSERT carries duplicate source key(s) " +
+            s"${dupIns.map(_.get(0)).mkString(", ")} for keyed table $dir " +
+            "(one row per key by construction); deduplicate the source")
       val clash = pureInserts
         .join(MergeInto.standingForKeys(spark, dir, pureInserts)
           .select(col(key)), Seq(key), "left_semi")

@@ -124,7 +124,10 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     // shape). Unclustered: one dir for the whole epoch.
     val fileDirs: Seq[(String, Seq[GraftTaskCommit])] =
       if (clusterCols.nonEmpty)
-        files.toSeq.sortBy(m => partitionIdOf(m.file)).zipWithIndex
+        // partitionId rides the commit message (stamped by the writer
+        // factory that KNOWS it) — deriving it from the task file's
+        // name would couple epoch commits to the naming scheme
+        files.toSeq.sortBy(_.partitionId).zipWithIndex
           .map { case (m, i) => s"ss-$runId/p$epochId-$i" -> Seq(m) }
       else Seq(s"ss-$runId/p$epochId" -> files.toSeq)
     fileDirs.foreach { case (pubRel, ms) =>
@@ -175,11 +178,6 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       boundChecks = Set.empty): Unit
   }
 
-  /** The range-bucket ordinal a task file carries in its name
-    * (`part-<partitionId>-<taskId>-<uuid>`). */
-  private def partitionIdOf(file: String): Int =
-    new Path(file).getName.split("-")(1).toInt
-
   override def abort(epochId: Long,
                      messages: Array[WriterCommitMessage]): Unit = {
     fs.delete(new Path(tableDir, epochRel(epochId)), true): Unit
@@ -203,7 +201,8 @@ case class StatCell(col: String, min: Option[String], max: Option[String])
 case class StatsColSpec(name: String, ordinal: Int, dt: DataType)
 
 case class GraftTaskCommit(file: String, rows: Long,
-                           stats: Seq[StatCell] = Seq.empty)
+                           stats: Seq[StatCell] = Seq.empty,
+                           partitionId: Int = -1)
     extends WriterCommitMessage
 
 /** Shared executor-task parquet-writer plumbing (X15 streaming writes
@@ -311,7 +310,7 @@ case class GraftStreamingWriterFactory(stageDir: String,
     new GraftTaskWriter(
       s"$stageDir/e$epochId/part-$partitionId-$taskId-" +
         java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
-      conf.value, statsSpec, zone)
+      conf.value, statsSpec, zone, partitionId)
 }
 
 /** One task's parquet writer — opened lazily so zero-row tasks leave
@@ -323,7 +322,7 @@ case class GraftStreamingWriterFactory(stageDir: String,
   * never re-reads the file. */
 class GraftTaskWriter(path: String, conf: Configuration,
                       statsSpec: Seq[StatsColSpec] = Seq.empty,
-                      zone: String = "UTC")
+                      zone: String = "UTC", partitionId: Int = -1)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -381,7 +380,8 @@ class GraftTaskWriter(path: String, conf: Configuration,
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
     GraftTaskCommit(path, rows, statsSpec.zipWithIndex.map { case (sp, i) =>
-      StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt)) })
+      StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt)) },
+      partitionId)
   }
 
   override def abort(): Unit = {

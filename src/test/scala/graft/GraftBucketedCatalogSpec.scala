@@ -246,6 +246,24 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     // ...while a move onto a FREE key still works
     spark.sql("UPDATE gbkt.lake.b8b SET k = 9 WHERE k = 1")
     assert(rows("b8b") == Map(9L -> ("a", 1.0), 2L -> ("b", 2.0)))
+    // TWO NOT-MATCHED inserts for the SAME new key in one changeset
+    // (duplicate unmatched source keys in a mixed merge): neither
+    // matches a standing row, so Spark's cardinality check and the
+    // standing-key clash both pass — without its own guard the
+    // one-winner-per-key reduction would silently drop a source row
+    val e3 = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO gbkt.lake.b8b t
+           USING (SELECT * FROM VALUES
+                    (CAST(5 AS BIGINT),'x',CAST(1.0 AS DOUBLE)),
+                    (CAST(5 AS BIGINT),'y',CAST(2.0 AS DOUBLE)) AS s(k,v,amt)) s
+           ON t.k = s.k
+           WHEN MATCHED THEN UPDATE SET amt = s.amt
+           WHEN NOT MATCHED THEN INSERT (k, v, amt) VALUES (s.k, s.v, s.amt)""")
+    }
+    assert(msgs(e3).contains("duplicate source key"), msgs(e3).take(300))
+    assert(rows("b8b") == Map(9L -> ("a", 1.0), 2L -> ("b", 2.0)),
+      "failed merge must leave the table unchanged")
   }
 
   test("time travel and TRUNCATE work on bucketed tables") {
