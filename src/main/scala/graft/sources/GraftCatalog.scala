@@ -461,7 +461,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           retainGenerations = retain,
           schemaDdl = ddl, stats = ManifestTable.statsOf(fs, dir, head),
           // pointer-only commit: the change feed skips it by tag
-          meta = meta + ManifestTable.cdcTag("meta", head + 1)).isDefined)
+          meta = meta + ManifestTable.cdcTag("meta", head + 1),
+          // deletion vectors carry like stats — dropping them here
+          // would resurrect merge-on-read-deleted rows on any ALTER
+          dv = ManifestTable.dvOf(fs, dir, head)).isDefined)
         return
     }
     throw new IllegalStateException(s"ALTER contention at $dir")

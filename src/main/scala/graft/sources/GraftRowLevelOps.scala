@@ -153,13 +153,19 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
     val files = messages.collect { case m: GraftTaskCommit if m.rows > 0 => m }
     val rows = files.map(_.rows).sum
     val touched = op.affected
+    // the dv state the operation's scan READ THROUGH (the pinned
+    // version's) — publishRewrite aborts if a racing merge-on-read
+    // delete advanced a touched dir's mask since
+    val dvExpected = table.pinnedV.map(v =>
+      ManifestTable.dvOf(fs, dir, v).view.filterKeys(touched).toMap)
+      .getOrElse(Map.empty[String, String])
     try {
       if (rows == 0L) {
         // every row of every affected dir was deleted — pure removal
         if (touched.nonEmpty)
           ManifestTable.publishRewrite(spark, dir, touched, None, None,
             writeSchema, Seq.empty, GraftRowLevel.retainOf(table),
-            boundChecks = Set.empty): Unit
+            boundChecks = Set.empty, dvExpected = dvExpected): Unit
         return
       }
       GraftTaskWriters.publishNamed(fs, new Path(dir, stageRel),
@@ -187,7 +193,8 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
         .mkString("\t")
       ManifestTable.publishRewrite(spark, dir, touched, Some(cid),
         Some(payload), writeSchema, statsCols,
-        GraftRowLevel.retainOf(table), boundChecks): Unit
+        GraftRowLevel.retainOf(table), boundChecks,
+        dvExpected = dvExpected): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.distributions.{Distribution, Distributions
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RequiresDistributionAndOrdering, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetOptions, ParquetReadSupport, ParquetWriteSupport}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types._
@@ -259,8 +259,14 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
         tableDir, deleteWhen = org.apache.spark.sql.functions.lit(true)): Unit
     } else {
       val zone = ManifestTable.statsZoneOf(spark, fs, tableDir, head)
-      ManifestTable.deleteWhere(spark, tableDir, cond,
-        GraftManifestSource.boundsOf(filters.toIndexedSeq, zone), retain): Unit
+      val bounds = GraftManifestSource.boundsOf(filters.toIndexedSeq, zone)
+      // S41 — `dml.mode=merge-on-read` (TBLPROPERTIES): the delete
+      // stages a deletion vector instead of rewriting touched dirs —
+      // write cost ∝ deleted rows; compaction materializes later
+      if (tableProps.get("dml.mode").exists(_.equalsIgnoreCase("merge-on-read")))
+        ManifestTable.deleteWhereMoR(spark, tableDir, cond, bounds, retain): Unit
+      else
+        ManifestTable.deleteWhere(spark, tableDir, cond, bounds, retain): Unit
     }
   }
 
@@ -545,6 +551,12 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     ManifestTable.pathsOf(fsOf(spark), tableDir, version)
   @transient private lazy val liveStats: Map[String, String] =
     ManifestTable.statsOf(fsOf(spark), tableDir, version)
+  /** S41 — the pinned version's deletion vectors: dv'd dirs plan as
+    * per-file partitions whose readers drop masked row positions, so
+    * the V2 scan serves the same LOGICAL table as every DataFrame
+    * surface. */
+  @transient private lazy val dvByPath: Map[String, String] =
+    ManifestTable.dvOf(fsOf(spark), tableDir, version)
   /** The zone timestamp stats are ENCODED in — the pinned writer zone
     * ([[ManifestTable.statsZoneOf]]), not this session's. */
   @transient private lazy val statsZone: java.time.ZoneId =
@@ -604,9 +616,13 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
 
   /** With a pushed pure limit: the shortest dir PREFIX whose recorded
     * rowcounts cover it (no truncation when any dir lacks a rowcount —
-    * conservative full plan). */
+    * conservative full plan; likewise under deletion vectors, whose
+    * recorded counts are PHYSICAL — a masked dir could under-deliver
+    * logical rows and a truncated plan would return fewer rows than
+    * exist). */
   private def plannedPaths: Seq[String] = limit match {
     case None => keptPaths
+    case Some(_) if dvByPath.nonEmpty => keptPaths
     case Some(n) =>
       val counts = keptPaths.map(p =>
         liveStats.get(p).flatMap(ManifestTable.rowsIn))
@@ -659,7 +675,30 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       // its scan ended up reading (post static-stats pruning AND
       // runtime group filtering) — record them on the shared operation
       rowLevel.foreach(_.recordAffected(planned))
-      if (emitDir)
+      if (planned.exists(dvByPath.contains)) {
+        // S41 — dv'd dirs plan ONE PARTITION PER FILE carrying the
+        // file's canonical key, so the reader wrapper can look up its
+        // mask; clean dirs pack normally (and keep columnar reads)
+        def pv(rel: String): InternalRow =
+          if (emitDir) InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(rel))
+          else InternalRow.empty
+        val (dirty, clean) = GraftParquetRead
+          .listFilesWithDir(spark, tableDir, planned)
+          .partition { case (rel, _) => dvByPath.contains(rel) }
+        val cleanParts = GraftParquetRead.packPartitionsWithValues(spark,
+          clean.map { case (rel, st) => (pv(rel), st) })
+        val dirtyParts = dirty.zipWithIndex.map { case ((rel, st), i) =>
+          new GraftDvFilePartition(cleanParts.length + i,
+            Array(PartitionedFile(pv(rel),
+              org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+              0L, st.getLen, Array.empty,
+              st.getModificationTime, st.getLen, Map.empty)),
+            DvStore.keyOf(st.getPath)): InputPartition
+        }
+        cleanParts ++ dirtyParts
+      }
+      else if (emitDir)
         GraftParquetRead.packPartitionsWithValues(spark,
           GraftParquetRead.listFilesWithDir(spark, tableDir, planned).map {
             case (rel, st) => (InternalRow(
@@ -689,10 +728,38 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       // condition does not match are COPIED by the CoW rewrite), so
       // the pushed filters may prune whole dirs but must not reach
       // parquet's row-group pruning
-      GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema,
-        if (rowLevel.isDefined) Array.empty else filters,
+      val effFilters = if (rowLevel.isDefined) Array.empty[Filter] else filters
+      val partSchema =
         if (emitDir) StructType(Seq(GraftRowLevel.dirField))
-        else new StructType())
+        else new StructType()
+      val base = GraftParquetRead.readerFactory(spark, tableSchema,
+        requiredSchema, effFilters, partSchema)
+      val dirty = plannedPaths.filter(dvByPath.contains)
+      if (dirty.isEmpty) base
+      else {
+        // positions load ONCE on the driver and ship with the factory
+        // (cap-guarded — see DvStore); dv'd partitions read through a
+        // second factory whose schema appends the parquet row-index
+        // temp column, filter masked positions with a pointer walk
+        // (positions sorted, row indexes arrive increasing), and
+        // project the temp column away
+        val conf = spark.sessionState.newHadoopConf()
+        val dvDirs = dirty.flatMap(p =>
+          ManifestTable.dvEntries(dvByPath(p)).map(_._1)).distinct
+          .map(d => new Path(ManifestTable.absPath(tableDir, d)))
+        val masks = DvStore.readPositions(conf, dvDirs)
+        // nullable, like Spark's own ROW_INDEX_FIELD: the reader's
+        // missing-column check throws for required absent columns; the
+        // row-index generator recognizes the name and fills positions
+        val extSchema = StructType(requiredSchema.fields :+
+          StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            LongType, nullable = true))
+        val ext = GraftParquetRead.readerFactory(spark, tableSchema,
+          extSchema, effFilters, partSchema)
+        val outFields = requiredSchema.fields ++ partSchema.fields
+        GraftDvReaderFactory(base, ext, masks, requiredSchema.length,
+          outFields.map(_.dataType), outFields.map(_.nullable))
+      }
   }
 
   /** Streaming read of the SAME table (see [[GraftMicroBatchStream]]).
@@ -726,8 +793,15 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         catch { case _: java.io.IOException => OptionalLong.empty() }
       val rowCounts = plannedPaths.map(p =>
         liveStats.get(p).flatMap(ManifestTable.rowsIn))
+      // recorded counts are PHYSICAL; subtract the planned dirs' dv
+      // position counts so broadcast planning sees the logical size
+      // (an upper-bound estimate under stacked re-deletes — fine for
+      // an estimate, which is why the EXACT agg pushdown declines)
+      val masked = plannedPaths.flatMap(dvByPath.get)
+        .map(pl => ManifestTable.dvEntries(pl).map(_._2).sum).sum
       val rows =
-        if (rowCounts.forall(_.isDefined)) OptionalLong.of(rowCounts.flatten.sum)
+        if (rowCounts.forall(_.isDefined))
+          OptionalLong.of(math.max(0L, rowCounts.flatten.sum - masked))
         else OptionalLong.empty()
       val meta = ManifestTable.metaOf(fsOf(spark), tableDir, version)
       val colStats = meta.collect {
@@ -832,6 +906,68 @@ class GraftBucketPartition(idx: Int,
     extends FilePartition(idx, partFiles)
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
+/** S41 — one dv'd data FILE as one partition, keyed for mask lookup.
+  * Whole-file (no byte-range splits): a masked file is the exception,
+  * and per-file partitions keep the reader's position walk trivially
+  * monotone. */
+class GraftDvFilePartition(idx: Int, partFiles: Array[PartitionedFile],
+                           val fileKey: String)
+    extends FilePartition(idx, partFiles)
+
+/** S41 — the dv-aware reader factory: dv'd partitions read row-based
+  * through `ext` (whose schema appends Spark's parquet row-index temp
+  * column — the same channel `_metadata.row_index` rides), drop rows
+  * whose position the file's mask lists, and project the temp column
+  * away; every other partition delegates to the plain factory,
+  * columnar reads included. */
+case class GraftDvReaderFactory(clean: PartitionReaderFactory,
+    ext: PartitionReaderFactory, masks: Map[String, Array[Long]],
+    rowIdxOrd: Int, outTypes: Array[DataType], outNullable: Array[Boolean])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case d: GraftDvFilePartition =>
+        val inner = ext.createReader(d)
+        val mask = masks.getOrElse(d.fileKey, Array.emptyLongArray)
+        new PartitionReader[InternalRow] {
+          // copying projection (UnsafeProjection): the filtered rows
+          // leave this reader materialized, so an inner reader reusing
+          // its row buffer stays safe
+          private val proj = org.apache.spark.sql.catalyst.expressions
+            .UnsafeProjection.create(
+              outTypes.zipWithIndex.map { case (dt, i) =>
+                org.apache.spark.sql.catalyst.expressions.BoundReference(
+                  if (i < rowIdxOrd) i else i + 1, dt, outNullable(i))
+              }.toIndexedSeq)
+          private var mi = 0
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val r = inner.get()
+              val idx = r.getLong(rowIdxOrd)
+              while (mi < mask.length && mask(mi) < idx) mi += 1
+              if (mi >= mask.length || mask(mi) != idx) { cur = r; return true }
+            }
+            false
+          }
+          override def get(): InternalRow = proj(cur)
+          override def close(): Unit = inner.close()
+        }
+      case other => clean.createReader(other)
+    }
+
+  /** Row-based for EVERY partition: Spark refuses a scan mixing
+    * columnar and row partitions, so the presence of any masked file
+    * demotes the whole scan (the masked state is transient — the next
+    * compaction materializes it and columnar reads return). */
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    clean.createColumnarReader(p)
 }
 
 /** The parquet read kernel shared by the batch scan and the streaming
@@ -1017,6 +1153,17 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
           s"${removed.toSeq.sorted.take(5).mkString(", ")} — the source " +
           "streams APPENDS; overwrite/compaction/merge require " +
           "option ignoreChanges=true (rewritten rows are re-emitted)")
+    // a merge-on-read DELETE changes no path, only the deletion-vector
+    // state — logical deletes an append tail cannot express; same
+    // contract as a removed dir (Delta fails DV commits the same way)
+    def dvAt(v: Long): Map[String, String] =
+      if (v <= 0L) Map.empty else ManifestTable.dvOf(fs, tableDir, v)
+    if (dvAt(s) != dvAt(e) && !ignoreChanges)
+      throw new IllegalStateException(
+        s"graft stream at $tableDir: versions $s -> $e changed deletion " +
+          "vectors (merge-on-read DELETE/UPDATE) — the source streams " +
+          "APPENDS; use the change feed (readChangeFeed) for row-level " +
+          "deletes, or option ignoreChanges=true to skip them")
     val added = endPaths.filterNot(startPaths).sorted
     GraftParquetRead.packPartitions(spark,
       GraftParquetRead.listFiles(spark, tableDir, added))
@@ -1059,6 +1206,9 @@ object GraftStatsAgg {
     val paths = ManifestTable.pathsOf(fs, tableDir, version)
     val stats = ManifestTable.statsOf(fs, tableDir, version)
     if (paths.isEmpty || !paths.forall(stats.contains)) return None
+    // deletion vectors make every recorded count/extreme a PHYSICAL
+    // value — the logical answer needs the scan, so decline
+    if (ManifestTable.dvOf(fs, tableDir, version).nonEmpty) return None
     val payloads = paths.map(stats)
     val rowCounts = payloads.map(ManifestTable.rowsIn)
     if (rowCounts.exists(_.isEmpty)) return None

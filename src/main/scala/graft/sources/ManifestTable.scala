@@ -207,6 +207,98 @@ object ManifestTable {
       case Array(c, _, _) => decTok(c)
     }.flatten.toSeq
 
+  // ------------------------------------------------- deletion vectors (S41)
+
+  private val DvHeader = "#dvec\t"
+  /** Staging root for deletion-vector parquet (protected `_` prefix —
+    * the data sweep never touches it; GC reaps unreferenced names). */
+  private[graft] val DvDirName = "_dv"
+  /** A deletion-vector file's schema: the masked row's FULLY-QUALIFIED
+    * data file URI (exactly as `_metadata.file_path` renders it — files
+    * never move, so the URI is stable table metadata) and its row
+    * position within that file (`_metadata.row_index` semantics). */
+  private[graft] val DvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Per-path DELETION VECTORS of version `v` (S41, merge-on-read DML):
+    * relPath → payload `"<dvDir>@<rows>[,<dvDir>@<rows>...]"` where each
+    * dvDir is a parquet dataset of (path, pos) records masking rows of
+    * that dir OUT of the logical table, and rows counts that dv's
+    * position records (an upper bound on newly-masked rows — re-deleted
+    * positions may repeat across stacked dvs). `#`-prefixed like stats:
+    * a reader that ignores the channel sees the PHYSICAL table, which is
+    * why every read surface in this engine resolves it explicitly. */
+  def dvOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
+    manifestLines(fs, tableDir, v)
+      .filter(_.startsWith(DvHeader))
+      .map { l =>
+        val rest = l.stripPrefix(DvHeader)
+        val i = rest.indexOf('\t')
+        rest.take(i) -> rest.drop(i + 1)
+      }.toMap
+
+  /** Parse one dv payload into (dvDir, positionRows) entries. */
+  private[graft] def dvEntries(payload: String): Seq[(String, Long)] =
+    payload.split(',').toSeq.flatMap { e =>
+      val i = e.lastIndexOf('@')
+      if (i <= 0) None
+      else e.drop(i + 1).toLongOption.map(n => (e.take(i), n))
+    }
+
+  /** Total position records across a version's dvs — the ESTIMATED
+    * masked-row count (upper bound under stacked re-deletes). */
+  private[graft] def dvDeletedRows(dv: Map[String, String]): Long =
+    dv.valuesIterator.flatMap(dvEntries(_).map(_._2)).sum
+
+  /** The top-level `_dv/<name>` dirs a dv map references — GC's
+    * reference set (values may be foreign/absolute on clones). */
+  private def dvTopDirs(dv: Map[String, String]): Set[String] =
+    dv.values.flatMap(dvEntries(_).map(_._1)).toSet
+
+  /** Mask `df` (rows of `paths`, read WITH parquet `_metadata`
+    * available) by the dv entries covering those paths: anti-join on
+    * (file URI, row position). The dv side is small by construction
+    * (selective deletes — large deletes take the copy-on-write path),
+    * so AQE broadcasts it from its file-size stats. */
+  private def maskFrame(spark: SparkSession, tableDir: String,
+                        df: DataFrame, dvDirs: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dvDf = spark.read.schema(DvSchema)
+      .parquet(dvDirs.map(absPath(tableDir, _)): _*)
+      .select(col("path").as("__graft_dv_path"), col("pos").as("__graft_dv_pos"))
+    df.withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(dvDf, col("__graft_file") === col("__graft_dv_path") &&
+        col("__graft_pos") === col("__graft_dv_pos"), "left_anti")
+      .drop("__graft_file", "__graft_pos")
+  }
+
+  /** Read `paths` of version `v` through the version's deletion
+    * vectors — THE logical-read kernel every DataFrame surface uses
+    * (plain read, time travel, range scan, compaction input, CoW
+    * rewrite input, change-feed sides). Splits the scan: dirs without
+    * dvs read plain (no join tax); dv'd dirs anti-join their masks. */
+  private[graft] def readMasked(spark: SparkSession, tableDir: String,
+                                v: Long, paths: Seq[String],
+                                dv: Map[String, String]): DataFrame = {
+    val dirty = paths.filter(dv.contains)
+    if (dirty.isEmpty)
+      return readWithDeclared(spark, tableDir, v,
+        paths.map(p => absPath(tableDir, p)))
+    val clean = paths.filterNot(dv.contains)
+    val dvDirs = dirty.flatMap(p => dvEntries(dv(p)).map(_._1)).distinct
+    val masked = maskFrame(spark, tableDir,
+      readWithDeclared(spark, tableDir, v, dirty.map(p => absPath(tableDir, p))),
+      dvDirs)
+    if (clean.isEmpty) masked
+    else readWithDeclared(spark, tableDir, v,
+      clean.map(p => absPath(tableDir, p))).unionByName(masked)
+  }
+
   private def readWithDeclared(spark: SparkSession, tableDir: String,
                                v: Long, paths: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tableDir)
@@ -255,9 +347,9 @@ object ManifestTable {
     val v = versions(fs, tableDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest at $tableDir"))
-    val paths = pathsOf(fs, tableDir, v).map(p => absPath(tableDir, p))
+    val paths = pathsOf(fs, tableDir, v)
     require(paths.nonEmpty, s"no committed manifest at $tableDir")
-    readWithDeclared(spark, tableDir, v, paths)
+    readMasked(spark, tableDir, v, paths, dvOf(fs, tableDir, v))
   }
 
   /** Time travel: snapshot read of a RETAINED committed version (S17).
@@ -270,9 +362,9 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     require(versions(fs, tableDir).contains(v),
       s"version $v is not retained at $tableDir")
-    val paths = pathsOf(fs, tableDir, v).map(p => absPath(tableDir, p))
+    val paths = pathsOf(fs, tableDir, v)
     require(paths.nonEmpty, s"version $v at $tableDir lists no data")
-    readWithDeclared(spark, tableDir, v, paths)
+    readMasked(spark, tableDir, v, paths, dvOf(fs, tableDir, v))
   }
 
   /** APPEND-table ingest (S19): commit `df` as one new immutable data
@@ -432,7 +524,10 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, (prior ++ newPaths).sorted,
         base, retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ newStats,
-        meta = priorMeta ++ zoneMeta ++ meta + cdcTag("append", base + 1))
+        meta = priorMeta ++ zoneMeta ++ meta + cdcTag("append", base + 1),
+        // deletion vectors carry like stats: prior dirs keep theirs,
+        // the appended dirs have none
+        dv = if (base > 0) dvOf(fs, tableDir, base) else Map.empty)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -610,7 +705,8 @@ object ManifestTable {
         head, retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
         stats = statsOf(fs, tableDir, head),
         meta = metaOf(fs, tableDir, head) + (ClusterByKey -> cols.mkString(","))
-          + cdcTag("meta", head + 1))
+          + cdcTag("meta", head + 1),
+        dv = dvOf(fs, tableDir, head))
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -747,7 +843,12 @@ object ManifestTable {
     val inputs = pathsOf(fs, tableDir, baseV)
     val ddl = schemaOf(fs, tableDir, baseV)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
-    val data = readWithDeclared(spark, tableDir, baseV, inputs.map(p => absPath(tableDir, p)))
+    // inputs read through the base version's deletion vectors — the
+    // rewrite MATERIALIZES them away: masked rows are not copied and
+    // the output dirs carry no dv (the contract that keeps dv chains
+    // short: OPTIMIZE is the dv cleanup)
+    val baseDv = dvOf(fs, tableDir, baseV)
+    val data = readMasked(spark, tableDir, baseV, inputs, baseDv)
     // the DECLARED cluster spec governs the layout when one is set
     // ([[alterClusterBy]] — partition evolution: compaction REALIZES
     // the current spec, so a spec change + compact re-clusters without
@@ -770,6 +871,15 @@ object ManifestTable {
       val carried = headPaths.filterNot(inputSet)
       val headStats = statsOf(fs, tableDir, head) -- inputSet
       val headMeta = metaOf(fs, tableDir, head)
+      // a racing merge-on-read DELETE does not change the path list,
+      // so the subset check above cannot see it — but publishing this
+      // rewrite would RESURRECT the rows it masked (the rewrite read
+      // the base's masks). Abort loudly like a vanished dir.
+      val headDv = dvOf(fs, tableDir, head)
+      if (inputs.exists(p => headDv.get(p) != baseDv.get(p)))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during compaction: " +
+            "deletion vectors advanced on a rewritten dir")
       // compaction re-renders stats in the CURRENT session zone — same
       // pin/validate rule as append (mixed encodings = mis-pruning)
       val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
@@ -778,7 +888,8 @@ object ManifestTable {
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
         stats = headStats ++ outStats,
-        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1))
+        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1),
+        dv = headDv -- inputSet)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -848,8 +959,13 @@ object ManifestTable {
         }
         (p, rows, range)
       }
+    // a dv'd dir can never be KEPT: keeping it carries the masks
+    // forever, and the whole point of folding is materializing them —
+    // dv'd dirs are always stragglers (and force a fold)
+    val baseDv = dvOf(fs, tableDir, baseV)
     val kept = scala.collection.mutable.ListBuffer.empty[(String, (String, String))]
-    parsed.collect { case (p, Some(r), Some(rg)) => (p, r, rg) }
+    parsed.collect {
+      case (p, Some(r), Some(rg)) if !baseDv.contains(p) => (p, r, rg) }
       .sortBy { case (p, r, _) => (-r, p) }
       .foreach { case (p, _, rg @ (lo, hi)) =>
         val disjoint = kept.forall { case (_, (klo, khi)) =>
@@ -862,7 +978,8 @@ object ManifestTable {
       }
     val keptSet = kept.map(_._1).toSet
     val stragglers = inputs.filterNot(keptSet)
-    if (stragglers.size <= 1) return baseV
+    val anyDv = stragglers.exists(baseDv.contains)
+    if (stragglers.isEmpty || (stragglers.size <= 1 && !anyDv)) return baseV
     // convergence: folding helps only when the stragglers overlap EACH
     // OTHER (merging sharpens their ranges) or outnumber k (folding
     // shrinks the dir count). Stragglers that are mutually disjoint
@@ -878,10 +995,11 @@ object ManifestTable {
         }
       case _ => false
       }
-    if (!anyMutualOverlap && stragglers.size <= k) return baseV
+    if (!anyMutualOverlap && !anyDv && stragglers.size <= k) return baseV
     val cid = "ic-" + java.util.UUID.randomUUID().toString.take(8)
-    val data = readWithDeclared(spark, tableDir, baseV,
-      stragglers.map(p => absPath(tableDir, p)))
+    // stragglers read through the base masks; the fold materializes
+    // their dvs away (same contract as the full compaction)
+    val data = readMasked(spark, tableDir, baseV, stragglers, baseDv)
     val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols)
     val inputSet = stragglers.toSet
     var attempts = 0
@@ -897,13 +1015,21 @@ object ManifestTable {
       val carried = headPaths.filterNot(inputSet)
       val headStats = statsOf(fs, tableDir, head) -- inputSet
       val headMeta = metaOf(fs, tableDir, head)
+      // racing MoR delete on a folded dir: same resurrect hazard and
+      // loud abort as the full compaction
+      val headDv = dvOf(fs, tableDir, head)
+      if (stragglers.exists(p => headDv.get(p) != baseDv.get(p)))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during incremental " +
+            "compaction: deletion vectors advanced on a folded dir")
       val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head),
         stats = headStats ++ outStats,
-        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1))
+        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1),
+        dv = headDv -- inputSet)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -976,6 +1102,218 @@ object ManifestTable {
     }
   }
 
+  /** S41 — MERGE-ON-READ row-level DELETE: instead of rewriting every
+    * touched dir (copy-on-write's write amplification: a 1-row DELETE
+    * rewrites its whole commit dir), record the matching rows' (file,
+    * position) pairs as a DELETION VECTOR under `_dv/` and commit a
+    * manifest whose `#dvec` channel masks them out of every logical
+    * read — data dirs untouched, I/O ∝ deleted rows. The scan applies
+    * the mask as a runtime anti-join (DataFrame surfaces) or a
+    * row-position filter (the V2 scan); `CALL system.compact` /
+    * [[compactAppend]] materializes masks away. This is the
+    * position-delete / deletion-vector design every production format
+    * converged on (Iceberg v2 position deletes, Delta deletion
+    * vectors): at 100 TB, the difference between a DELETE costing the
+    * week it touches and costing the rows it touches.
+    *
+    * Time travel is exact (masks are per-version header state), the
+    * change feed is exact (a mask change marks the dir changed; the
+    * diff reads each side through its own masks), and concurrency is
+    * the engine's optimistic protocol — with one addition everywhere:
+    * a dv advancing on a dir some rewrite is replacing aborts that
+    * rewrite loudly (paths alone can't see mask-only changes).
+    *
+    * Stats stay PHYSICAL (upper bounds): pruning remains conservative-
+    * correct, metadata-only aggregates and LIMIT dir planning decline
+    * while masks exist. Returns the committed version (base when no
+    * row matches). */
+  def deleteWhereMoR(spark: SparkSession, tableDir: String,
+                     cond: org.apache.spark.sql.Column,
+                     bounds: Map[String, (String, String)] = Map.empty,
+                     retainGenerations: Int = 2): Long =
+    morRewrite(spark, tableDir, cond, Seq.empty, bounds, retainGenerations)
+
+  /** S41 — merge-on-read UPDATE: matching rows are masked out of their
+    * dirs (a deletion vector, as [[deleteWhereMoR]]) and their UPDATED
+    * images land as ONE fresh appended dir — write cost ∝ changed
+    * rows, not touched dirs (Iceberg's MoR update shape). Declared
+    * CHECK constraints bind the new images; non-matching rows are
+    * byte-untouched. */
+  def updateWhereMoR(spark: SparkSession, tableDir: String,
+                     cond: org.apache.spark.sql.Column,
+                     assignments: Seq[(String, org.apache.spark.sql.Column)],
+                     bounds: Map[String, (String, String)] = Map.empty,
+                     retainGenerations: Int = 2): Long = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    morRewrite(spark, tableDir, cond, assignments, bounds, retainGenerations)
+  }
+
+  /** The shared merge-on-read kernel: positions of the LIVE (already-
+    * masked rows excluded — an update must not resurrect) matching
+    * rows staged as `_dv/<name>/d=<i>` parquet, plus (UPDATE only) the
+    * updated images as a fresh data dir; one optimistic commit extends
+    * the touched dirs' dv payloads. */
+  private def morRewrite(spark: SparkSession, tableDir: String,
+                         cond: org.apache.spark.sql.Column,
+                         assignments: Seq[(String, org.apache.spark.sql.Column)],
+                         bounds: Map[String, (String, String)],
+                         retainGenerations: Int): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max, min}
+    val fs = fsOf(spark, tableDir)
+    require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — its DML is the O(changeset) " +
+        "merge kernel; deletion vectors apply to manifest append tables")
+    val baseV = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val basePaths = pathsOf(fs, tableDir, baseV)
+    if (basePaths.isEmpty) return baseV
+    val baseStats = statsOf(fs, tableDir, baseV)
+    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
+      readWithDeclared(spark, tableDir, baseV,
+        basePaths.map(p => absPath(tableDir, p))).schema)
+    val byCol = assignments.toMap
+    byCol.keys.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"UPDATE assigns unknown column '$c' at $tableDir"))
+    val touched = prunePathsIn(basePaths, baseStats,
+      bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
+      tableSchema)
+    if (touched.isEmpty) return baseV // provable no-op
+    val baseDv = dvOf(fs, tableDir, baseV)
+    // one scan leg per touched dir, each tagged with its dir ordinal —
+    // exact dir attribution without path-string surgery (works for
+    // foreign/clone entries too); MoR targets selective predicates, so
+    // the touched list is short by construction
+    val perDir = touched.zipWithIndex.map { case (p, i) =>
+      readWithDeclared(spark, tableDir, baseV, Seq(absPath(tableDir, p)))
+        .withColumn("__graft_dv_d", lit(i))
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+    }.reduce(_.unionByName(_))
+    val dvDirs = touched.flatMap(p =>
+      baseDv.get(p).toSeq.flatMap(dvEntries(_).map(_._1))).distinct
+    val live =
+      if (dvDirs.isEmpty) perDir
+      else {
+        val dvDf = spark.read.schema(DvSchema)
+          .parquet(dvDirs.map(absPath(tableDir, _)): _*)
+          .select(col("path").as("__graft_dv_path"),
+            col("pos").as("__graft_dv_pos"))
+        perDir.join(dvDf,
+          col("__graft_file") === col("__graft_dv_path") &&
+            col("__graft_pos") === col("__graft_dv_pos"), "left_anti")
+      }
+    val matches = live.filter(coalesce(cond, lit(false)))
+    val dvName = "dv-" + java.util.UUID.randomUUID().toString.take(8)
+    val dvRel = s"$DvDirName/$dvName"
+    matches.select(col("__graft_file").as("path"),
+        col("__graft_pos").as("pos"), col("__graft_dv_d").as("d"))
+      .write.partitionBy("d").parquet(s"$tableDir/$dvRel")
+    // per-dir position counts from the tiny files just written
+    // (explicit schema: a zero-match job leaves no file to infer from)
+    val counts: Map[Int, Long] = spark.read
+      .schema(org.apache.spark.sql.types.StructType(DvSchema.fields :+
+        org.apache.spark.sql.types.StructField("d",
+          org.apache.spark.sql.types.IntegerType)))
+      .parquet(s"$tableDir/$dvRel")
+      .groupBy("d").count().collect()
+      .map(r => r.getAs[Number]("d").intValue -> r.getAs[Long]("count")).toMap
+    if (counts.valuesIterator.sum == 0L) {
+      fs.delete(new Path(tableDir, dvRel), true)
+      return baseV // nothing matched
+    }
+    // UPDATE: the matching rows' updated images as one fresh dir, with
+    // the same stats/CHECK treatment as the CoW rewrite's output
+    val statsCols = tableSchema.fieldNames.filter(c =>
+      touched.exists(p => baseStats.get(p).exists(statsFor(_, c).isDefined)))
+      .toSeq
+    val dataCols = tableSchema.fields.toIndexedSeq.map { f =>
+      byCol.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    var boundChecks: Set[String] = Set.empty
+    val cidAndPayload: Option[(String, Option[String])] =
+      if (assignments.isEmpty) None
+      else {
+        val cid = "mu-" + java.util.UUID.randomUUID().toString.take(8)
+        val (checked, bc) = GraftManifestSource.bindDeclaredChecks(
+          matches.select(dataCols: _*), tableDir)
+        boundChecks = bc
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"min:$c"),
+          max(col(c)).cast("string").as(s"max:$c")))
+        checked.observe(obs, aggs.head, aggs.tail: _*)
+          .write.parquet(s"$tableDir/$cid")
+        val m = obs.get
+        val payload =
+          if (m("rows").asInstanceOf[Long] == 0L) None
+          else Some((Seq(m("rows").toString) ++ statsCols.flatMap(c =>
+            Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
+            .mkString("\t"))
+        Some((cid, payload))
+      }
+    // write-side CDC materialization (opt-in, same property as CoW):
+    // the feed IS the matched rows — old images as deletes, updated
+    // images as inserts — staged now, served as a plain scan later
+    val stagedCdc: Option[String] =
+      if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
+          .exists(_.equalsIgnoreCase("true"))) None
+      else {
+        val name = "c-" + java.util.UUID.randomUUID().toString.take(8)
+        val plainCols = tableSchema.fieldNames.toIndexedSeq.map(col)
+        val oldImages = matches.select(plainCols: _*)
+          .withColumn("change_type", lit("delete"))
+        val feed =
+          if (assignments.isEmpty) oldImages
+          else oldImages.unionByName(matches.select(dataCols: _*)
+            .withColumn("change_type", lit("insert")))
+        feed.write.parquet(s"$tableDir/$CdcDirName/$name")
+        Some(name)
+      }
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"merge-on-read contention at $tableDir")
+      val vs = versions(fs, tableDir)
+      val head = vs.last
+      val headPaths = pathsOf(fs, tableDir, head)
+      if (!touched.toSet.subsetOf(headPaths.toSet))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during the " +
+            s"merge-on-read rewrite: missing ${touched.toSet -- headPaths.toSet}")
+      val headDv = dvOf(fs, tableDir, head)
+      if (touched.exists(p => headDv.get(p) != baseDv.get(p)))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during the " +
+            "merge-on-read rewrite: deletion vectors advanced on a touched dir")
+      val headMeta = metaOf(fs, tableDir, head)
+      if (assignments.nonEmpty)
+        checkConflictGuard(fs, tableDir, headMeta, boundChecks,
+          cidAndPayload.map(_._1).toSeq)
+      val zoneMeta = statsZonePin(tableSchema, statsCols,
+        cidAndPayload.exists(_._2.isDefined), headMeta, spark, tableDir)
+      val newDv = headDv ++ touched.zipWithIndex.flatMap { case (p, i) =>
+        counts.get(i).filter(_ > 0L).map { n =>
+          val entry = s"$dvRel/d=$i@$n"
+          // stacked deletes EXTEND the dir's payload; readers union
+          p -> (headDv.get(p).map(_ + ",").getOrElse("") + entry)
+        }
+      }
+      val committed = commitIf(spark, tableDir,
+        (headPaths ++ cidAndPayload.map(_._1)).sorted, head,
+        retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
+        stats = statsOf(fs, tableDir, head) ++
+          (for { (c, pl) <- cidAndPayload; p <- pl } yield c -> p),
+        meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
+          stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
+        dv = newDv)
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** The shared copy-on-write kernel of [[deleteWhere]]/[[updateWhere]]
     * (the direct API surface; SQL DML rides Spark's native row-level
     * rewrites onto GraftRowLevelOps): carry every live dir the
@@ -1018,11 +1356,13 @@ object ManifestTable {
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
+    // touched dirs read through the base masks: a CoW rewrite over a
+    // dv'd dir must not resurrect rows a merge-on-read delete masked
+    val baseDv = dvOf(fs, tableDir, baseV)
     val touchedDf =
       if (touched.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
-      else readWithDeclared(spark, tableDir, baseV,
-        touched.map(p => absPath(tableDir, p)))
+      else readMasked(spark, tableDir, baseV, touched, baseDv)
     // declared CHECK constraints bind the rewrite output here (S30) —
     // one seam for DELETE/UPDATE/MERGE instead of per-caller wrapping —
     // and the bound keyset arms the publish-time conflict guard below
@@ -1043,7 +1383,8 @@ object ManifestTable {
       return baseV // nothing removed, nothing added — don't bump a version
     publishRewrite(spark, tableDir, touched.toSet,
       payload.map(_ => cid), payload, kept.schema, statsCols,
-      retainGenerations, boundChecks)
+      retainGenerations, boundChecks,
+      dvExpected = baseDv.view.filterKeys(touched.toSet).toMap)
   }
 
   /** The publish half of a dir-granular copy-on-write rewrite: carry
@@ -1058,7 +1399,8 @@ object ManifestTable {
       touchedSet: Set[String], cid: Option[String], payload: Option[String],
       payloadSchema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String], retainGenerations: Int,
-      boundChecks: Set[String]): Long = {
+      boundChecks: Set[String],
+      dvExpected: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
     // write-side CDC materialization (opt-in): the staged feed diffs
     // exactly the dirs this rewrite removes against the dir it adds.
@@ -1084,6 +1426,14 @@ object ManifestTable {
       // same ALTER-vs-write race guard as the append loop: constraints
       // declared since the rewrite job ran never saw its output rows
       checkConflictGuard(fs, tableDir, headMeta, boundChecks, cid.toSeq)
+      // a merge-on-read DELETE racing this rewrite masks rows in a
+      // touched dir WITHOUT changing the path list — publishing would
+      // resurrect them (the rewrite read the base's masks); loud abort
+      val headDv = dvOf(fs, tableDir, head)
+      if (touchedSet.exists(p => headDv.get(p) != dvExpected.get(p)))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during the rewrite: " +
+            "deletion vectors advanced on a touched dir")
       val zoneMeta = statsZonePin(payloadSchema, statsCols, payload.isDefined,
         headMeta, spark, tableDir)
       val committed = commitIf(spark, tableDir,
@@ -1092,7 +1442,8 @@ object ManifestTable {
         stats = (statsOf(fs, tableDir, head) -- touchedSet) ++
           (for { c <- cid; p <- payload } yield c -> p),
         meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
-          stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n))
+          stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
+        dv = headDv -- touchedSet)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1116,8 +1467,10 @@ object ManifestTable {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], payloadSchema)
     val older =
       if (touchedSet.isEmpty) empty
-      else readWithDeclared(spark, tableDir, baseV,
-        touchedSet.toSeq.sorted.map(absPath(tableDir, _)))
+      // the old image is the LOGICAL rows — through the base masks, or
+      // a CoW rewrite over a dv'd dir would stage masked rows as deletes
+      else readMasked(spark, tableDir, baseV, touchedSet.toSeq.sorted,
+        dvOf(fs, tableDir, baseV))
     val newer = cid match {
       case Some(c) => spark.read.schema(payloadSchema).parquet(s"$tableDir/$c")
       case None => empty
@@ -1244,7 +1597,7 @@ object ManifestTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
         .filter(pred)
-    else readWithDeclared(spark, tableDir, v, keep.map(p => absPath(tableDir, p)))
+    else readMasked(spark, tableDir, v, keep, dvOf(fs, tableDir, v))
       .filter(pred)
   }
 
@@ -1343,7 +1696,10 @@ object ManifestTable {
         // are monotone per writer — rolling the data back must not
         // roll back idempotence markers, or a replayed batch that
         // committed after v double-applies
-        meta = metaOf(fs, tableDir, head)) match {
+        meta = metaOf(fs, tableDir, head),
+        // the restored version's MASKS restore with its paths — a
+        // post-v delete's dv must not keep masking the rolled-back data
+        dv = dvOf(fs, tableDir, v)) match {
         case Some(nv) =>
           // relative entries check their top-level commit dir; foreign
           // (clone) entries check the referenced location itself
@@ -1399,7 +1755,8 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, pathsOf(fs, tableDir, head),
         head, retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
         stats = statsOf(fs, tableDir, head),
-        meta = metaOf(fs, tableDir, head) + ((TagPrefix + name) -> v.toString))
+        meta = metaOf(fs, tableDir, head) + ((TagPrefix + name) -> v.toString),
+        dv = dvOf(fs, tableDir, head))
       committed.foreach(_ => return v)
     }
     -1L // unreachable
@@ -1422,7 +1779,8 @@ object ManifestTable {
       if (commitIf(spark, tableDir, pathsOf(fs, tableDir, head), head,
           retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
           stats = statsOf(fs, tableDir, head),
-          meta = meta - (TagPrefix + name)).isDefined) return
+          meta = meta - (TagPrefix + name),
+          dv = dvOf(fs, tableDir, head)).isDefined) return
     }
     throw new IllegalStateException(s"untag contention at $tableDir")
   }
@@ -1482,6 +1840,18 @@ object ManifestTable {
     val stats = statsOf(sfs, sourceDir, v)
     val absStats = paths.zip(abs)
       .flatMap { case (p, a) => stats.get(p).map(a -> _) }.toMap
+    // deletion vectors clone like stats: re-keyed to the foreign data
+    // entries, their dv dirs fully qualified under the SOURCE (same
+    // retention caveat as the data itself — compaction of the clone
+    // materializes them local)
+    val srcDv = dvOf(sfs, sourceDir, v)
+    val absDv = paths.zip(abs).flatMap { case (p, a) =>
+      srcDv.get(p).map { payload =>
+        a -> dvEntries(payload).map { case (d, n) =>
+          (if (isForeign(d)) d else s"$srcQualified/$d") + "@" + n
+        }.mkString(",")
+      }
+    }.toMap
     // txn watermarks are per-writer idempotence state and tag pointers
     // name versions of the SOURCE's history — neither means anything
     // on the clone's fresh history (its first commit is version 1)
@@ -1491,7 +1861,8 @@ object ManifestTable {
     MergeInto.bucketedGeometry(spark, sourceDir).foreach { case (k, n) =>
       MergeInto.pinGeometry(spark, targetDir, k, n) }
     commit(spark, targetDir, abs, retainGenerations,
-      schemaDdl = schemaOf(sfs, sourceDir, v), stats = absStats, meta = meta)
+      schemaDdl = schemaOf(sfs, sourceDir, v), stats = absStats, meta = meta,
+      dv = absDv)
   }
 
   /** (version, commit epoch millis from the manifest file's mtime) for
@@ -1554,10 +1925,19 @@ object ManifestTable {
     // (cdc.materialize) serves as a plain scan of the staged files
     if (toV == fromV + 1)
       materializedFeed(spark, tableDir, toV).foreach(return _)
-    val fromP = pathsOf(fs, tableDir, fromV).toSet
-    val toP = pathsOf(fs, tableDir, toV).toSet
-    val onlyFrom = (fromP diff toP).toSeq.sorted.map(p => absPath(tableDir, p))
-    val onlyTo = (toP diff fromP).toSeq.sorted.map(p => absPath(tableDir, p))
+    // a dir counts as CHANGED when the versions disagree on its path
+    // OR its deletion-vector state — a merge-on-read delete changes no
+    // path, only the mask, and the feed must still surface its rows;
+    // each side then reads with ITS version's masks, so unchanged rows
+    // cancel and newly-masked rows surface as 'delete'
+    val fromDv = dvOf(fs, tableDir, fromV)
+    val toDv = dvOf(fs, tableDir, toV)
+    def keys(paths: Seq[String], dv: Map[String, String]) =
+      paths.map(p => p -> dv.getOrElse(p, "")).toSet
+    val fromK = keys(pathsOf(fs, tableDir, fromV), fromDv)
+    val toK = keys(pathsOf(fs, tableDir, toV), toDv)
+    val onlyFrom = (fromK diff toK).toSeq.map(_._1).sorted
+    val onlyTo = (toK diff fromK).toSeq.map(_._1).sorted
     if (onlyFrom.isEmpty && onlyTo.isEmpty)
       // identical manifests — empty feed, but with the table's schema
       return readVersion(spark, tableDir, toV).limit(0)
@@ -1568,10 +1948,12 @@ object ManifestTable {
     // column, exactly as readVersion would show it)
     val anchorV =
       if (schemaOf(fs, tableDir, toV).isDefined) toV else fromV
-    def readOr(paths: Seq[String], schemaAnchor: Seq[String]): DataFrame =
-      if (paths.nonEmpty) readWithDeclared(spark, tableDir, anchorV, paths)
-      else readWithDeclared(spark, tableDir, anchorV, schemaAnchor).limit(0)
-    diffFeed(readOr(onlyFrom, onlyTo), readOr(onlyTo, onlyFrom))
+    def readOr(paths: Seq[String], dv: Map[String, String],
+               schemaAnchor: Seq[String]): DataFrame =
+      if (paths.nonEmpty) readMasked(spark, tableDir, anchorV, paths, dv)
+      else readWithDeclared(spark, tableDir, anchorV,
+        schemaAnchor.map(p => absPath(tableDir, p))).limit(0)
+    diffFeed(readOr(onlyFrom, fromDv, onlyTo), readOr(onlyTo, toDv, onlyFrom))
   }
 
   /** The change feed's ZERO-SHUFFLE fast path: when every step of
@@ -1594,6 +1976,13 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val retained = versions(fs, tableDir).toSet
     if (!(fromV to toV).forall(retained)) return None
+    // deletion-vector state must be IDENTICAL at the endpoints: a mask
+    // change means logical deletes the added-dirs scan cannot express
+    // (constant-dv spans are fine — appended dirs never carry masks).
+    // Mid-span-only changes are impossible under all-additive tags
+    // (only untagged DML commits write dvs), so endpoint equality is
+    // sufficient.
+    if (dvOf(fs, tableDir, fromV) != dvOf(fs, tableDir, toV)) return None
     val additive = Set("append", "layout", "meta")
     val steps = ((fromV + 1) to toV).map { v =>
       val kind = metaOf(fs, tableDir, v).get(CdcKindKey).collect {
@@ -1697,7 +2086,8 @@ object ManifestTable {
   private def manifestBody(relPaths: Seq[String],
                            schemaDdl: Option[String],
                            stats: Map[String, String] = Map.empty,
-                           meta: Map[String, String] = Map.empty): Array[Byte] = {
+                           meta: Map[String, String] = Map.empty,
+                           dv: Map[String, String] = Map.empty): Array[Byte] = {
     schemaDdl.foreach(d => require(!d.contains("\n"),
       s"schema DDL must be one line, got: $d"))
     val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
@@ -1705,11 +2095,14 @@ object ManifestTable {
       MetaHeader + java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8") + "\n"
     }.mkString
-    // stats only for paths this manifest actually lists — a dropped
-    // (compacted/GC'd) path must not leave a dangling stats line
+    // stats (and dv) only for paths this manifest actually lists — a
+    // dropped (compacted/GC'd) path must not leave a dangling line
     val statLines = relPaths.filter(stats.contains).sorted
       .map(p => StatsHeader + p + "\t" + stats(p) + "\n").mkString
-    (header + metaLines + statLines + relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+    val dvLines = relPaths.filter(dv.contains).sorted
+      .map(p => DvHeader + p + "\t" + dv(p) + "\n").mkString
+    (header + metaLines + statLines + dvLines +
+      relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
   /** Commit a new version whose table is exactly `relPaths`, then GC
@@ -1724,11 +2117,12 @@ object ManifestTable {
              retainGenerations: Int = 2,
              schemaDdl: Option[String] = None,
              stats: Map[String, String] = Map.empty,
-             meta: Map[String, String] = Map.empty): Long = {
+             meta: Map[String, String] = Map.empty,
+             dv: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = manifestBody(relPaths, schemaDdl, stats, meta)
+    val body = manifestBody(relPaths, schemaDdl, stats, meta, dv)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (!publishAt(fs, mdir, v, body)) {
@@ -1756,14 +2150,15 @@ object ManifestTable {
                retainGenerations: Int = 2,
                schemaDdl: Option[String] = None,
                stats: Map[String, String] = Map.empty,
-               meta: Map[String, String] = Map.empty): Option[Long] = {
+               meta: Map[String, String] = Map.empty,
+               dv: Map[String, String] = Map.empty): Option[Long] = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
     val v = expectedBase + 1
-    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats, meta))) None
+    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats, meta, dv))) None
     else if (versions(fs, tableDir).last != v) {
       // lost to writers that got ahead through a GC'd slot; withdraw —
       // readers resolve the (higher) head, never this manifest
@@ -1929,6 +2324,25 @@ object ManifestTable {
       }.toSet
       fs.listStatus(cdcRoot).foreach { st =>
         if (!cdcReferenced.contains(st.getPath.getName) &&
+            now - newestMtime(fs, st.getPath) > orphanGraceMs)
+          fs.delete(st.getPath, true)
+      }
+    }
+    // deletion-vector dirs (`_dv/<name>/...`): referenced = every name
+    // a KEPT manifest's dv channel points into; everything else ages
+    // out past the grace window (retired versions' masks, a crashed
+    // MoR delete's never-committed staging). Foreign (clone) entries
+    // point into the SOURCE table's _dv and are not ours to sweep.
+    val dvRoot = new Path(tableDir, DvDirName)
+    if (try fs.exists(dvRoot) catch { case _: java.io.IOException => false }) {
+      val dvReferenced: Set[String] = kept.flatMap { v =>
+        try dvTopDirs(dvOf(fs, tableDir, v)).collect {
+          case rel if rel.startsWith(DvDirName + "/") =>
+            rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
+        } catch { case _: java.io.IOException => Set.empty[String] }
+      }.toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        if (!dvReferenced.contains(st.getPath.getName) &&
             now - newestMtime(fs, st.getPath) > orphanGraceMs)
           fs.delete(st.getPath, true)
       }

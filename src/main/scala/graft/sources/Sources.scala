@@ -746,6 +746,53 @@ object Sources {
                       FROM $cat.lake.odel VERSION AS OF 2) v""")
   }
 
+  /** S41 fixture: `lake.odv` — the S24 statement on a
+    * `dml.mode=merge-on-read` table: CREATE + INSERT of orders (→ v2),
+    * then one SQL `DELETE FROM` of the high-priority 1997+ slice
+    * (→ v3) that commits a DELETION VECTOR — a metadata-only commit
+    * masking the rows out; zero data dirs rewritten
+    * ([[ManifestTable.deleteWhereMoR]]). */
+  private val dvDeleteDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .writeTo(s"$cat.lake.odv")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .tableProperty("dml.mode", "merge-on-read")
+        .create()
+      s.sql(s"""DELETE FROM $cat.lake.odv
+                WHERE o_orderdate >= DATE'1997-01-01'
+                  AND o_orderpriority = '2-HIGH'""")
+      cat
+  })
+
+  /** S41: merge-on-read DELETE via deletion vectors. Three trials in
+    * one row: the post-delete aggregate (the V2 scan must apply the
+    * mask exactly — its row-position filter, not a rewrite), the
+    * pre-delete snapshot (time travel across a DV commit), and
+    * `mask_only` — computed from the two manifests driver-side — TRUE
+    * iff the delete's commit changed NO path (the write-amplification
+    * claim, witnessed in the oracle-checked row itself). */
+  def s41_dv_delete(s: SparkSession, d: String): DataFrame = {
+    val cat = dvDeleteDemo(s, d)
+    val dir = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/odv"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val maskOnly =
+      ManifestTable.pathsOf(fs, dir, 3L) == ManifestTable.pathsOf(fs, dir, 2L) &&
+        ManifestTable.dvOf(fs, dir, 3L).nonEmpty
+    s.sql(
+      s"""SELECT h.n_kept, h.total_price, h.key_checksum, v.n_before
+          FROM (SELECT count(*) AS n_kept,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.odv) h
+          CROSS JOIN (SELECT count(*) AS n_before
+                      FROM $cat.lake.odv VERSION AS OF 2) v""")
+      .withColumn("mask_only", lit(maskOnly))
+  }
+
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
@@ -1315,6 +1362,7 @@ object Sources {
     "s38_spj_join" -> (s38_spj_join _),
     "s39_incremental_compact" -> (s39_incremental_compact _),
     "s40_type_widening" -> (s40_type_widening _),
+    "s41_dv_delete" -> (s41_dv_delete _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1463,6 +1511,17 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '1-URGENT')""",
+    // merge-on-read delete: same kept-rows semantics as S24, plus the
+    // mask-only invariant the engine computed from its two manifests
+    "s41_dv_delete" ->
+      """SELECT count(*) AS n_kept,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT count(*) FROM orders) AS n_before,
+         true AS mask_only
+         FROM orders
+         WHERE NOT (o_orderdate >= DATE '1997-01-01'
+                    AND o_orderpriority = '2-HIGH')""",
     // updated = +500.0 on the predicated slice (exact in doubles);
     // the time-travel leg sees the original prices
     "s25_update_where" ->
