@@ -105,11 +105,19 @@ object Bench {
     // the r9 driver artifact carried a bare -1 for x4 (corpus ts-encoding
     // drift, AnalysisException at analysis time) and diagnosing it needed
     // a full local re-run. The message makes the artifact self-explaining.
+    // Per-rep LOAD SAMPLE ("ld" = 1-min loadavg at rep start): the r14
+    // driver artifact lost 25% to a mid-run contention window that the
+    // three-point before/warm/after capture could not localize (q12-q22
+    // inflated, at≈50-140s). With load recorded per rep, a contaminated
+    // window self-diagnoses from the artifact alone: inflated reps
+    // whose ld spiked are host noise; inflated reps at idle load are a
+    // real regression.
     val errs = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val at = (t0 - bench0) / 1e9
+        val ld = load1
         val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
                   catch { case e: Throwable =>
                     errs.getOrElseUpdate(name,
@@ -117,7 +125,7 @@ object Bench {
                         .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
                     -1.0
                   }
-        (sec, at)
+        (sec, at, ld)
       }
       (name, times)
     }
@@ -128,7 +136,7 @@ object Bench {
       val secs = ts.map(_._1)
       val best = if (secs.exists(_ >= 0)) secs.filter(_ >= 0).min else -1.0
       val err = errs.get(k).map(m => s""","err":"$m"""").getOrElse("")
-      s"""    "$k": {"sec":${j(best)},"reps":[${secs.map(j).mkString(",")}],"at":[${ts.map(t => j(t._2)).mkString(",")}]$err}"""
+      s"""    "$k": {"sec":${j(best)},"reps":[${secs.map(j).mkString(",")}],"at":[${ts.map(t => j(t._2)).mkString(",")}],"ld":[${ts.map(t => j(t._3)).mkString(",")}]$err}"""
     }.mkString(",\n")
     val best = results.map { case (k, ts) =>
       val secs = ts.map(_._1)

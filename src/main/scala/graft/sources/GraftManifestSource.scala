@@ -90,7 +90,8 @@ class GraftManifestSource extends RelationProvider
       .orElse(ManifestTable.headVersion(spark, dir))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest at $dir"))
-    new GraftCdcSource(spark, dir, floor)
+    new GraftCdcSource(spark, dir, floor,
+      parameters.get("maxVersionsPerTrigger").map(_.toLong))
   }
 
   override def createRelation(ctx: SQLContext,
@@ -527,8 +528,12 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
   * Scale: each batch costs only the dirs that CHANGED in its version
   * steps; the steady-state tail is O(changes), never O(table). */
 private[sources] class GraftCdcSource(spark: SparkSession, dir: String,
-                                      floor: Long)
-    extends org.apache.spark.sql.execution.streaming.Source {
+                                      floor: Long,
+                                      maxVersions: Option[Long] = None)
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
   import org.apache.spark.sql.execution.streaming.Offset
   import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 
@@ -538,17 +543,55 @@ private[sources] class GraftCdcSource(spark: SparkSession, dir: String,
   override val schema: StructType =
     GraftMetaTables.changesSchemaOf(spark, dir)
 
-  private def versionOf(o: Offset): Long = o match {
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Long = o match {
     case LongOffset(v) => v
     case so: SerializedOffset => so.json.toLong
-    case other => throw new IllegalStateException(
-      s"unexpected offset type ${other.getClass} for the graft CDC source")
+    case other => other.json.toLong // every offset here is a version
   }
 
-  // the head, unconditionally: `floor` must only bound a FRESH
-  // stream's first batch (getBatch's start=None case) — a source is
-  // RE-created on restart with a new floor, and filtering here would
-  // suppress batches the checkpointed offset is entitled to
+  // ---- admission control (X14): `maxVersionsPerTrigger` caps each
+  // micro-batch to n version-diff steps, so a long-stopped consumer
+  // drains its backlog in bounded batches instead of one giant union
+  // of every missed diff. Implemented on the engine's own
+  // SupportsAdmissionControl seam (the FileStreamSource shape): the
+  // engine hands this source its true position as `startOffset`, so
+  // pacing needs no side state and survives restarts by construction.
+  // ReadMaxRows carries the cap (the unit is version STEPS — the
+  // feed's atomic batch unit — not rows; the engine treats the limit
+  // as opaque and hands it back).
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  /** Trigger.AvailableNow (SupportsTriggerAvailableNow): pin the head
+    * at query start; the engine then loops bounded batches up to it. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestTable.headVersion(spark, dir)
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: ReadLimit): org.apache.spark.sql.connector.read.streaming.Offset = {
+    val s = Option(startOffset).map(versionOf).getOrElse(floor)
+    val head0 = ManifestTable.headVersion(spark, dir).getOrElse(s)
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(head, s + r.maxRows())
+      case _ => head
+    }
+    LongOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    ManifestTable.headVersion(spark, dir).map(LongOffset(_)).orNull
+
+  // legacy (non-admission) path — the head, unconditionally: `floor`
+  // must only bound a FRESH stream's first batch (getBatch's
+  // start=None case) — a source is RE-created on restart with a new
+  // floor, and filtering here would suppress batches the checkpointed
+  // offset is entitled to
   override def getOffset: Option[Offset] =
     ManifestTable.headVersion(spark, dir).map(LongOffset(_))
 

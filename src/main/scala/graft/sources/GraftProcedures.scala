@@ -19,6 +19,102 @@ object GraftProcedures {
     java.util.List.of[Scan](GraftLocalScanImpl(schema,
       Array(new GenericInternalRow(values): InternalRow))).iterator()
 
+  /** The S36/S37 analyze kernel (shared by `CALL system.analyze` and
+    * the compaction auto-refresh): one grouped pass over the table
+    * computing per-column NDV + null counts — and, for `histCols`,
+    * equi-height bin BOUNDS as the (0, 1/b, ..., 1) percentiles, extra
+    * agg expressions in the SAME pass, never extra jobs — persisted in
+    * the `#meta` channel where the V2 scan serves them to the CBO.
+    * Exact `countDistinct`/`percentile` by default (oracle-verifiable);
+    * `approx` switches to HLL + approx_percentile — the 100 TB mode. */
+  private[sources] def analyzePersist(catalog: GraftCatalog, dir: String,
+      cols: Seq[String], approx: Boolean, histCols: Seq[String],
+      bins: Int): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, expr, lit}
+    val spark = catalog.activeSpark
+    val df = ManifestTable.read(spark, dir)
+    val pcts = (0 to bins).map(i => i.toDouble / bins)
+      .mkString("array(", ",", ")")
+    val histAggs = histCols.map { c =>
+      val fn = if (approx) "approx_percentile" else "percentile"
+      expr(s"$fn(CAST(`$c` AS DOUBLE), $pcts)").as(s"hist:$c")
+    }
+    val aggs = (count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      (if (approx) approx_count_distinct(col(c))
+       else countDistinct(col(c))).as(s"ndv:$c"),
+      count(lit(1)).minus(count(col(c))).as(s"nulls:$c")))) ++ histAggs
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getAs[Long]("__rows")
+    val entries = cols.map { c =>
+      (c, r.getAs[Long](s"ndv:$c"), r.getAs[Long](s"nulls:$c"))
+    }
+    // the persisted histogram is SELF-CONTAINED — its own non-null
+    // rowcount and NDV ride the value ("nn;ndv;b1,…"), so a later
+    // plain re-analyze can never pair fresh counts with stale bounds
+    // into a histogram nobody computed
+    val byCol = entries.map(e => e._1 -> e).toMap
+    val histEntries = histCols.flatMap { c =>
+      Option(r.getAs[scala.collection.Seq[Double]](s"hist:$c"))
+        .map { bounds =>
+          val (_, ndv, nulls) = byCol(c)
+          (ManifestTable.ColHistPrefix + c) ->
+            s"${rows - nulls};$ndv;${bounds.mkString(",")}"
+        }
+    }
+    GraftCatalog.alterMetaAt(catalog, dir, m =>
+      // a fresh analyze of a column REPLACES all its stats: its
+      // histogram is recomputed when requested, dropped otherwise
+      // (Spark's own ANALYZE ... FOR COLUMNS contract)
+      (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
+        entries.map { case (c, ndv, nulls) =>
+          (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } ++
+        histEntries +
+        (ManifestTable.TableStatKey -> rows.toString))
+    entries
+  }
+
+  /** S37 auto-hook: after a compaction paid its full pass over the
+    * table, refresh the persisted CBO stats IF they have drifted ≥2×
+    * from the live rowcount — exactly the staleness the `$properties`
+    * advisory (`advice:analyze`) computes — for the columns a previous
+    * `CALL system.analyze` covered (histograms re-binned at their
+    * recorded width). The scheduled OPTIMIZE then keeps stats fresh
+    * with no separate CALL. Runs the HLL/approx pass: unattended
+    * maintenance takes the 100 TB mode; an operator wanting exact
+    * NDVs re-runs analyze explicitly. No-op when nothing was ever
+    * analyzed or drift is within bounds. */
+  private[sources] def refreshStaleStats(catalog: GraftCatalog,
+                                         dir: String): Unit = {
+    val spark = catalog.activeSpark
+    val fs = catalog.activeFs
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(return)
+    val meta = ManifestTable.metaOf(fs, dir, head)
+    val analyzed = meta.get(ManifestTable.TableStatKey)
+      .flatMap(_.toLongOption).getOrElse(return)
+    val liveStats = ManifestTable.statsOf(fs, dir, head)
+    val counts = ManifestTable.pathsOf(fs, dir, head)
+      .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
+    if (!counts.forall(_.isDefined)) return
+    val live = counts.flatten.sum
+    val (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
+    if (l < 2.0 * a && a < 2.0 * l) return // advisory would not fire
+    val cols = meta.keySet
+      .filter(_.startsWith(ManifestTable.ColStatPrefix))
+      .map(_.stripPrefix(ManifestTable.ColStatPrefix)).toSeq.sorted
+    if (cols.isEmpty) return
+    val histCols = meta.keySet
+      .filter(_.startsWith(ManifestTable.ColHistPrefix))
+      .map(_.stripPrefix(ManifestTable.ColHistPrefix)).toSeq.sorted
+      .filter(cols.contains)
+    val bins = histCols.headOption
+      .flatMap(c => meta.get(ManifestTable.ColHistPrefix + c))
+      .flatMap(_.split(";", 3) match {
+        case Array(_, _, bs) => Some(math.max(2, bs.split(",").length - 1))
+        case _ => None
+      }).getOrElse(16)
+    analyzePersist(catalog, dir, cols, approx = true, histCols, bins): Unit
+  }
+
   /** `CALL cat.system.compact(table => 'ns.t', k => 4)` — rewrite the
     * live table as ≤k clustered dirs ([[ManifestTable.compactAppend]],
     * honoring the declared `clusterBy` spec). `statsCols` resolve from
@@ -92,11 +188,16 @@ object GraftProcedures {
             if (incremental)
               ManifestTable.compactIncremental(spark, dir, statsCols, k, retain)
             else ManifestTable.compactAppend(spark, dir, statsCols, k, retain)
-          val nDirs = ManifestTable.pathsOf(fs, dir, v).size
+          // S37 auto-hook: the rewrite just paid a full pass — refresh
+          // drifted CBO stats now instead of waiting for a manual CALL
+          // (its metadata commit, when it fires, is the version
+          // reported — the caller sees the table it actually left)
+          refreshStaleStats(catalog, dir)
+          val headV = ManifestTable.headVersion(spark, dir).getOrElse(v)
           oneRow(StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("n_dirs", IntegerType, nullable = false))),
-            Array[Any](v, nDirs))
+            Array[Any](headV, ManifestTable.pathsOf(fs, dir, headV).size))
         }
       }
   }
@@ -210,7 +311,6 @@ object GraftProcedures {
           ProcedureParameter.in("histogram", BooleanType).defaultValue("false").build(),
           ProcedureParameter.in("bins", IntegerType).defaultValue("16").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
-          import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, expr, lit}
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val df = ManifestTable.read(spark, dir)
@@ -221,56 +321,14 @@ object GraftProcedures {
           cols.foreach(c => require(df.columns.contains(c),
             s"analyze: unknown column '$c'"))
           val approx = !input.isNullAt(2) && input.getBoolean(2)
-          // S37 — equi-height histograms (histogram => true): bin
-          // BOUNDS are the (0, 1/b, ..., 1) percentiles of each
-          // numeric column, computed IN THE SAME single pass as the
-          // NDVs (extra agg expressions, not extra jobs/shuffles).
-          // Exact `percentile` by default (oracle-verifiable);
-          // `approx => true` switches to approx_percentile like the
-          // NDV's HLL — the 100 TB mode.
           val histOn = !input.isNullAt(3) && input.getBoolean(3)
           val bins = if (input.isNullAt(4)) 16 else math.max(2, input.getInt(4))
           val histCols =
             if (!histOn) Seq.empty
             else cols.filter(c => df.schema(c).dataType
               .isInstanceOf[org.apache.spark.sql.types.NumericType])
-          val pcts = (0 to bins).map(i => i.toDouble / bins)
-            .mkString("array(", ",", ")")
-          val histAggs = histCols.map { c =>
-            val fn = if (approx) "approx_percentile" else "percentile"
-            expr(s"$fn(CAST(`$c` AS DOUBLE), $pcts)").as(s"hist:$c")
-          }
-          val aggs = (count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
-            (if (approx) approx_count_distinct(col(c))
-             else countDistinct(col(c))).as(s"ndv:$c"),
-            count(lit(1)).minus(count(col(c))).as(s"nulls:$c")))) ++ histAggs
-          val r = df.agg(aggs.head, aggs.tail: _*).head()
-          val rows = r.getAs[Long]("__rows")
-          val entries = cols.map { c =>
-            (c, r.getAs[Long](s"ndv:$c"), r.getAs[Long](s"nulls:$c"))
-          }
-          // the persisted histogram is SELF-CONTAINED — its own
-          // non-null rowcount and NDV ride the value ("nn;ndv;b1,…"),
-          // so a later plain re-analyze can never pair fresh counts
-          // with stale bounds into a histogram nobody computed
-          val byCol = entries.map(e => e._1 -> e).toMap
-          val histEntries = histCols.flatMap { c =>
-            Option(r.getAs[scala.collection.Seq[Double]](s"hist:$c"))
-              .map { bounds =>
-                val (_, ndv, nulls) = byCol(c)
-                (ManifestTable.ColHistPrefix + c) ->
-                  s"${rows - nulls};$ndv;${bounds.mkString(",")}"
-              }
-          }
-          GraftCatalog.alterMetaAt(catalog, dir, m =>
-            // a fresh analyze of a column REPLACES all its stats: its
-            // histogram is recomputed when requested, dropped otherwise
-            // (Spark's own ANALYZE ... FOR COLUMNS contract)
-            (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
-              entries.map { case (c, ndv, nulls) =>
-                (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } ++
-              histEntries +
-              (ManifestTable.TableStatKey -> rows.toString))
+          val entries =
+            analyzePersist(catalog, dir, cols, approx, histCols, bins)
           val schema = StructType(Seq(
             StructField("column", StringType, nullable = false),
             StructField("ndv", LongType, nullable = false),

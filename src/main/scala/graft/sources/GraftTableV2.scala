@@ -1111,8 +1111,10 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
                             requiredSchema: StructType,
                             filters: Array[Filter],
                             options: Map[String, String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def spark: SparkSession = SparkSession.active
   private def fs = new Path(tableDir)
@@ -1126,6 +1128,80 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
 
   override def latestOffset(): Offset =
     GraftStreamOffset(ManifestTable.headVersion(spark, tableDir).getOrElse(0L))
+
+  // ---- admission control (X13, SupportsAdmissionControl): a
+  // re-pointed or long-stopped consumer must NOT get the whole backlog
+  // (worst case: the full table snapshot) as one micro-batch.
+  // `maxFilesPerTrigger` / `maxBytesPerTrigger` bound each batch; the
+  // batch endpoint is still a manifest VERSION (admission only chooses
+  // a nearer one), so offsets, replay and exactly-once are unchanged.
+  // Granularity is whole versions with at-least-one-version progress —
+  // a single oversized commit still flows (the FileStreamSource/Delta
+  // contract: limits are soft at the atomic-unit boundary).
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val lims = Seq(
+      opt("maxFilesPerTrigger").map(n => ReadLimit.maxFiles(n.toInt)),
+      opt("maxBytesPerTrigger").map(n => ReadLimit.maxBytes(n.toLong))
+    ).flatten
+    lims match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Trigger.AvailableNow (SupportsTriggerAvailableNow): pin the head
+    * at query start; the engine loops bounded batches up to it instead
+    * of falling back to one unbounded batch. */
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = ManifestTable.headVersion(spark, tableDir)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val head0 = ManifestTable.headVersion(spark, tableDir).getOrElse(0L)
+    val head = availableNowCap.fold(head0)(math.min(head0, _))
+    if (head <= s) return GraftStreamOffset(s)
+    def bounds(l: ReadLimit): (Long, Long) = l match {
+      case f: ReadMaxFiles => (f.maxFiles().toLong, Long.MaxValue)
+      case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes())
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(bounds).reduce((a, b) =>
+          (math.min(a._1, b._1), math.min(a._2, b._2)))
+      case _: ReadAllAvailable => (Long.MaxValue, Long.MaxValue)
+      case _ => (Long.MaxValue, Long.MaxValue) // rows-based: N/A here
+    }
+    val (maxFiles, maxBytes) = bounds(limit)
+    if (maxFiles == Long.MaxValue && maxBytes == Long.MaxValue)
+      return GraftStreamOffset(head)
+    val base = pathsAt(s).toSet
+    var admitted = base
+    var files = 0L
+    var bytes = 0L
+    var chosen = s
+    // walk the RETAINED versions above the start (and at or below the
+    // AvailableNow cap); each step admits one whole version's
+    // newly-added dirs (one listing per new dir)
+    ManifestTable.versions(fs, tableDir)
+      .filter(v => v > s && v <= head).foreach { v =>
+      val newDirs = ManifestTable.pathsOf(fs, tableDir, v)
+        .filterNot(admitted)
+      val sts = GraftParquetRead.listFiles(spark, tableDir, newDirs)
+      val (nf, nb) = (sts.size.toLong, sts.map(_.getLen).sum)
+      // stop BEFORE exceeding, but always admit at least one version
+      if (chosen != s && (files + nf > maxFiles || bytes + nb > maxBytes))
+        return GraftStreamOffset(chosen)
+      files += nf; bytes += nb
+      admitted ++= newDirs
+      chosen = v
+      if (files >= maxFiles || bytes >= maxBytes)
+        return GraftStreamOffset(chosen)
+    }
+    GraftStreamOffset(chosen)
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.toLong)

@@ -303,6 +303,46 @@ class GraftMetaSpec extends SparkTestBase {
       "plain re-analyze must drop the stale histogram")
   }
 
+  test("S37 auto-hook: CALL system.compact refreshes drifted stats, advisory clears without a manual analyze") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.hist2")
+    spark.sql("CREATE TABLE gmeta.lake.hist2 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    val s = spark; import s.implicits._
+    (1 to 50).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("hist2_src")
+    spark.sql("INSERT INTO gmeta.lake.hist2 SELECT * FROM hist2_src")
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.hist2', " +
+      "columns => 'k', histogram => true, bins => 4)")
+    // churn the table past the 2x drift the advisory fires on
+    spark.sql("INSERT INTO gmeta.lake.hist2 SELECT * FROM hist2_src")
+    spark.sql("INSERT INTO gmeta.lake.hist2 SELECT k + 100, v FROM hist2_src")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`hist2$properties` " +
+      "WHERE key = 'advice:analyze'").count() == 1)
+    // compaction pays a full pass anyway — the hook refreshes the
+    // drifted stats in the same CALL, clearing the advisory
+    spark.sql("CALL gmeta.system.compact(table => 'lake.hist2', k => 2)")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`hist2$properties` " +
+      "WHERE key = 'advice:analyze'").isEmpty,
+      "compaction must refresh drifted CBO stats")
+    val ts = spark.sql("SELECT value FROM gmeta.lake.`hist2$properties` " +
+      "WHERE key = 'tablestat'").head().getString(0)
+    assert(ts == "150", s"refreshed tablestat expected 150 rows, got $ts")
+    // the histogram refreshed at its recorded bin width (4 bins = 5
+    // bounds) covering the churned domain
+    val raw = spark.sql("SELECT value FROM gmeta.lake.`hist2$properties` " +
+      "WHERE key = 'colhist:k'").head().getString(0)
+    val Array(nn, _, bs) = raw.split(";", 3)
+    assert(nn.toLong == 150L, raw)
+    val bounds = bs.split(",").map(_.toDouble).toSeq
+    assert(bounds.length == 5 && bounds.last == 150.0, bounds)
+    // a fresh (un-drifted) table's compact leaves stats untouched —
+    // the hook fires on the advisory's own condition only
+    spark.sql("CALL gmeta.system.compact(table => 'lake.hist2', k => 2)")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`hist2$properties` " +
+      "WHERE key = 'tablestat'").head().getString(0) == "150")
+  }
+
   test("S39 incremental compact folds only stragglers; kept dirs carry by path; repeated calls converge") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gmeta.lake.ic1")

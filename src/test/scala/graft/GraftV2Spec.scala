@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{GraftTableProvider, ManifestTable}
+import graft.sources.{GraftStreamOffset, GraftTableProvider, ManifestTable}
 import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
@@ -399,6 +399,51 @@ class GraftV2Spec extends SparkTestBase {
     // ...and proceeds under ignoreChanges, emitting the added dir
     val got = streamOnce(dir, ckpt2, Map("ignoreChanges" -> "true"))
     assert(got.sorted == (0 until 4).map(1999000L + _).sorted)
+  }
+
+  test("X13 admission control: a commit backlog drains in bounded batches, exactly once") {
+    val dir = freshDir()
+    (1995 to 2000).foreach(y => ManifestTable.append(batch(y), dir,
+      statsCols = Seq("d"), retainGenerations = 20))
+    // unit leg: latestOffset honors ReadLimit at version granularity —
+    // maxFiles(1) admits exactly one version per call (at-least-one
+    // progress: even the first version exceeds a 1-file budget)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new graft.sources.GraftMicroBatchStream(dir,
+      ManifestTable.read(spark, dir).schema,
+      ManifestTable.read(spark, dir).schema, Array.empty, Map.empty)
+    val o1 = stream.latestOffset(GraftStreamOffset(0L), ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftStreamOffset]
+    assert(o1.version == 1L, s"one oversized version per call, got $o1")
+    val o2 = stream.latestOffset(o1, ReadLimit.maxFiles(1))
+      .asInstanceOf[GraftStreamOffset]
+    assert(o2.version == 2L)
+    // a generous byte budget admits several versions but not all
+    val oBig = stream.latestOffset(GraftStreamOffset(0L),
+      ReadLimit.allAvailable()).asInstanceOf[GraftStreamOffset]
+    assert(oBig.version == 6L)
+    // end-to-end: AvailableNow + maxFilesPerTrigger=1 drains the
+    // 6-commit backlog as 6 one-version batches through the checkpoint
+    val ckpt = freshDir() + "/ckpt"
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sizes.synchronized { sizes += b.count() }: Unit)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val real = sizes.filter(_ > 0)
+    assert(real.length == 6 && real.forall(_ == 10L),
+      s"expected 6 bounded batches of one version each, got $sizes")
+    // restart with more data: pacing resumes from the checkpoint,
+    // exactly once — only the new version flows
+    ManifestTable.append(batch(2001), dir, statsCols = Seq("d"),
+      retainGenerations = 20)
+    assert(streamOnce(dir, ckpt, Map("maxFilesPerTrigger" -> "1"))
+      .sorted == (0 until 10).map(2001000L + _).sorted)
   }
 
   test("V2 read equals V1 read over a compacted multi-dir table (rb= layout)") {
