@@ -344,9 +344,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         alterMeta(dir, _ - (PropPrefix + r.property))
       case a: TableChange.AddColumn => addColumn(ident, dir, a)
       case u: TableChange.UpdateColumnType => updateColumnType(ident, dir, u)
+      case r: TableChange.RenameColumn => renameColumn(ident, dir, r)
+      case d: TableChange.DeleteColumn => dropColumn(ident, dir, d)
       case c => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD " +
-          s"COLUMN and ALTER COLUMN TYPE (widening); " +
+        s"graft ALTER TABLE supports SET/UNSET TBLPROPERTIES, ADD/" +
+          s"RENAME/DROP COLUMN and ALTER COLUMN TYPE (widening); " +
           s"${c.getClass.getSimpleName} is not supported " +
           "(width-changing rewrites go through MERGE's schema evolution)")
     }
@@ -370,12 +372,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "parquet field resolution for existing dirs)")
     require(a.defaultValue() == null,
       "graft ADD COLUMN does not support DEFAULT values")
-    alterSchema(dir, old => {
-      require(!old.fieldNames.contains(a.fieldNames.head),
-        s"column '${a.fieldNames.head}' already exists in $ident")
-      StructType(old.fields :+
-        StructField(a.fieldNames.head, a.dataType, nullable = true))
-    })
+    val name = a.fieldNames.head
+    alterFull(dir) { head =>
+      val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$dir has no declared schema to evolve — written by a " +
+            "pre-schema writer; one append through the catalog declares it"))
+      require(!old.fieldNames.contains(name),
+        s"column '$name' already exists in $ident")
+      // parquet resolves by PHYSICAL name: adding a name that old dirs
+      // still store — a DROPPED column's, or a renamed column's frozen
+      // physical — would silently RESURRECT foreign values (S42 guard)
+      val meta = ManifestTable.metaOf(fs, dir, head)
+      require(!meta.contains(ManifestTable.DroppedPrefix + name),
+        s"column '$name' was previously dropped from $ident; old dirs " +
+          "still store its values and re-adding the name would " +
+          "resurrect them — pick a different name (or compact first)")
+      require(!meta.exists { case (k, v) =>
+          k.startsWith(ManifestTable.ColMapPrefix) && v == name },
+        s"'$name' is the stored physical name of a renamed column of " +
+          s"$ident; adding it would read that column's old values — " +
+          "pick a different name")
+      (Some(StructType(old.fields :+
+        StructField(name, a.dataType, nullable = true)).toDDL),
+        meta, identity)
+    }
   }
 
   /** S40 — metadata-only TYPE WIDENING (`ALTER TABLE t ALTER COLUMN c
@@ -429,29 +450,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       f(ManifestTable.metaOf(fs, dir, head))))
 
   private def alterSchema(dir: String, f: StructType => StructType): Unit =
-    alterHead(dir) { head =>
+    alterFull(dir) { head =>
       val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
         throw new UnsupportedOperationException(
           s"$dir has no declared schema to evolve — written by a " +
             "pre-schema writer; one append through the catalog declares it"))
-      (Some(f(old).toDDL), ManifestTable.metaOf(fs, dir, head))
+      (Some(f(old).toDDL), ManifestTable.metaOf(fs, dir, head), identity)
+    }
+
+  private def alterHead(dir: String, validate: Long => Unit = _ => ())(
+      f: Long => (Option[String], Map[String, String])): Unit =
+    alterFull(dir, validate) { head =>
+      val (ddl, meta) = f(head)
+      (ddl, meta, identity)
     }
 
   /** Optimistic metadata rebase loop shared by every ALTER: re-publish
-    * the head's paths and stats with a transformed (schemaDdl, meta).
-    * `validate` runs per attempt against the head being committed on —
-    * losing the commit race re-runs it against the new head, so a
-    * validation can never be satisfied by a snapshot the commit didn't
-    * actually extend (ADD CONSTRAINT's data scan rides this). */
-  private def alterHead(dir: String, validate: Long => Unit = _ => ())(
-      f: Long => (Option[String], Map[String, String])): Unit = {
+    * the head's paths with a transformed (schemaDdl, meta) and a
+    * per-payload stats transform (identity except RENAME/DROP COLUMN,
+    * which re-key/strip the per-dir stats so pruning follows the
+    * schema). `validate` runs per attempt against the head being
+    * committed on — losing the commit race re-runs it against the new
+    * head, so a validation can never be satisfied by a snapshot the
+    * commit didn't actually extend (ADD CONSTRAINT's data scan rides
+    * this). */
+  private def alterFull(dir: String, validate: Long => Unit = _ => ())(
+      f: Long => (Option[String], Map[String, String], String => String))
+      : Unit = {
     var attempts = 0
     while (attempts < 50) {
       attempts += 1
       val head = ManifestTable.headVersion(spark, dir).getOrElse(
         throw new IllegalStateException(s"no committed manifest at $dir"))
       validate(head)
-      val (ddl, meta) = f(head)
+      val (ddl, meta, statsXform) = f(head)
       // honor the table's own retention — an ALTER with the default
       // would otherwise GC a deep-history table down to 2 generations
       val retain = meta.get(PropPrefix + "retainGenerations")
@@ -459,7 +491,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (ManifestTable.commitIf(spark, dir,
           ManifestTable.pathsOf(fs, dir, head), head,
           retainGenerations = retain,
-          schemaDdl = ddl, stats = ManifestTable.statsOf(fs, dir, head),
+          schemaDdl = ddl,
+          stats = ManifestTable.statsOf(fs, dir, head)
+            .view.mapValues(statsXform).toMap,
           // pointer-only commit: the change feed skips it by tag
           meta = meta + ManifestTable.cdcTag("meta", head + 1),
           // deletion vectors carry like stats — dropping them here
@@ -468,6 +502,133 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         return
     }
     throw new IllegalStateException(s"ALTER contention at $dir")
+  }
+
+  /** True when any declared CHECK constraint's SQL references `col` as
+    * a word — conservative textual test; renaming/dropping a column a
+    * constraint judges must fail rather than silently break (or
+    * re-bind) the contract. */
+  private def checkReferences(meta: Map[String, String],
+                              col: String): Option[String] = {
+    val re = ("(?i)(^|[^A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(col) + "([^A-Za-z0-9_]|$)").r
+    meta.collectFirst {
+      case (k, sql) if k.startsWith(PropPrefix + "check.") &&
+        re.findFirstIn(sql).isDefined =>
+        k.stripPrefix(PropPrefix + "check.")
+    }
+  }
+
+  /** Replace `from` with `to` in a comma-joined column list. */
+  private def rekeyList(list: String, from: String, to: String): String =
+    list.split(",").map(_.trim).filter(_.nonEmpty)
+      .map(c => if (c == from) to else c).mkString(",")
+
+  /** S42 — metadata-only RENAME COLUMN via column mapping: the
+    * declared (logical) schema changes in one pointer commit; the
+    * column's PHYSICAL parquet name stays frozen forever (recorded in
+    * the `colmap:` channel — Delta's column-mapping design), so no
+    * data file is rewritten and old dirs keep reading exactly. Stats
+    * payloads, the cluster spec, statsCols and CBO stats re-key in the
+    * same commit; a CHECK constraint referencing the column refuses
+    * (its SQL would silently stop binding). */
+  private def renameColumn(ident: Identifier, dir: String,
+                           r: TableChange.RenameColumn): Unit = {
+    require(r.fieldNames.length == 1,
+      s"graft RENAME COLUMN is top-level only, got ${r.fieldNames.mkString(".")}")
+    val from = r.fieldNames.head
+    val to = r.newName
+    require(to.nonEmpty && !to.contains('\t') && !to.contains('\n') &&
+      !to.contains(','), s"invalid column name '$to'")
+    MergeInto.bucketedGeometry(spark, dir).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"cannot rename columns of bucketed table $ident: the merge " +
+          "kernel and its pinned geometry resolve columns by name; " +
+          "clone into a new layout instead")
+    }
+    alterFull(dir) { head =>
+      val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$dir has no declared schema to evolve"))
+      require(old.fieldNames.contains(from),
+        s"no column '$from' in $ident to rename")
+      require(!old.fieldNames.contains(to),
+        s"column '$to' already exists in $ident")
+      val meta = ManifestTable.metaOf(fs, dir, head)
+      checkReferences(meta, from).foreach(name =>
+        throw new UnsupportedOperationException(
+          s"cannot rename '$from': CHECK constraint '$name' references " +
+            "it — drop the constraint, rename, re-add against the new name"))
+      val physical = meta.getOrElse(ManifestTable.ColMapPrefix + from, from)
+      val ddl = StructType(old.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).toDDL
+      val newMeta = (meta - (ManifestTable.ColMapPrefix + from)) +
+        ((ManifestTable.ColMapPrefix + to) -> physical) ++
+        meta.get(ClusterByKey).map(l => ClusterByKey -> rekeyList(l, from, to)) ++
+        meta.get(PropPrefix + "clusterBy")
+          .map(l => (PropPrefix + "clusterBy") -> rekeyList(l, from, to)) ++
+        meta.get(PropPrefix + "statsCols")
+          .map(l => (PropPrefix + "statsCols") -> rekeyList(l, from, to)) ++
+        meta.get(ManifestTable.ColStatPrefix + from)
+          .map(v => (ManifestTable.ColStatPrefix + to) -> v) ++
+        meta.get(ManifestTable.ColHistPrefix + from)
+          .map(v => (ManifestTable.ColHistPrefix + to) -> v) --
+        Seq(ManifestTable.ColStatPrefix + from,
+          ManifestTable.ColHistPrefix + from)
+      (Some(ddl), newMeta, ManifestTable.renameStatsCol(_, from, to))
+    }
+  }
+
+  /** S42 — metadata-only DROP COLUMN: the field leaves the declared
+    * schema in one pointer commit; old dirs' stored values simply stop
+    * being read (parquet resolves by the declared schema). The
+    * column's PHYSICAL name is TOMBSTONED (`dropped:` channel): a
+    * later ADD COLUMN of that name would silently resurrect the old
+    * values from pre-drop dirs, so it refuses. Cluster columns and
+    * CHECK-referenced columns refuse; statsCols and CBO stats scrub. */
+  private def dropColumn(ident: Identifier, dir: String,
+                         d: TableChange.DeleteColumn): Unit = {
+    require(d.fieldNames.length == 1,
+      s"graft DROP COLUMN is top-level only, got ${d.fieldNames.mkString(".")}")
+    val col = d.fieldNames.head
+    MergeInto.bucketedGeometry(spark, dir).foreach { _ =>
+      throw new UnsupportedOperationException(
+        s"cannot drop columns of bucketed table $ident: the merge " +
+          "kernel resolves columns by name; clone into a new layout instead")
+    }
+    alterFull(dir) { head =>
+      val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$dir has no declared schema to evolve"))
+      require(old.fieldNames.contains(col),
+        s"no column '$col' in $ident to drop")
+      require(old.fields.length > 1,
+        s"cannot drop the last column of $ident")
+      val meta = ManifestTable.metaOf(fs, dir, head)
+      ManifestTable.clusterSpecOf(fs, dir, head).foreach(spec =>
+        require(!spec.contains(col),
+          s"cannot drop cluster column '$col' of $ident — ALTER the " +
+            "clusterBy spec first"))
+      checkReferences(meta, col).foreach(name =>
+        throw new UnsupportedOperationException(
+          s"cannot drop '$col': CHECK constraint '$name' references it — " +
+            "drop the constraint first"))
+      val physical = meta.getOrElse(ManifestTable.ColMapPrefix + col, col)
+      val ddl = StructType(old.fields.filterNot(_.name == col)).toDDL
+      val newMeta = (meta
+        - (ManifestTable.ColMapPrefix + col)
+        - (ManifestTable.ColStatPrefix + col)
+        - (ManifestTable.ColHistPrefix + col)) +
+        ((ManifestTable.DroppedPrefix + physical) -> "true") ++
+        meta.get(PropPrefix + "statsCols").map { l =>
+          (PropPrefix + "statsCols") ->
+            l.split(",").map(_.trim).filter(c => c.nonEmpty && c != col)
+              .mkString(",")
+        }
+      (Some(ddl), newMeta.filterNot { case (k, v) =>
+        k == PropPrefix + "statsCols" && v.isEmpty },
+        ManifestTable.dropStatsCol(_, col))
+    }
   }
 
   // ------------------------------------------------------------ procedures

@@ -141,12 +141,20 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
   private def fs = new Path(table.tableDir)
     .getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** S42 — logical→physical mapping: task writers stage parquet with
+    * PHYSICAL names (rows are positional, so only the schema handed to
+    * the writer changes); the read-back aliases back to logical. */
+  private lazy val cmap: Map[String, String] = table.pinnedV
+    .map(v => ManifestTable.colMapOf(fs, table.tableDir, v))
+    .getOrElse(Map.empty)
+
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     GraftBatchWriterFactory(s"${table.tableDir}/$stageRel",
-      GraftTaskWriters.writeConf(spark, writeSchema))
+      GraftTaskWriters.writeConf(spark,
+        ManifestTable.toPhysical(writeSchema, cmap)))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = table.tableDir
@@ -179,7 +187,13 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
       val statsCols = writeSchema.fieldNames.filter(c => touched.exists(p =>
         baseStats.get(p).exists(ManifestTable.statsFor(_, c).isDefined)))
         .toSeq
-      val staged = spark.read.schema(writeSchema).parquet(s"$dir/$cid")
+      val staged0 = spark.read
+        .schema(ManifestTable.toPhysical(writeSchema, cmap))
+        .parquet(s"$dir/$cid")
+      val staged =
+        if (cmap.isEmpty) staged0
+        else staged0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+          col(cmap.getOrElse(l, l)).as(l)): _*)
       val (checked, boundChecks) =
         GraftManifestSource.bindDeclaredChecks(staged, dir)
       val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(

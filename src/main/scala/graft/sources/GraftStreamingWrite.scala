@@ -59,7 +59,8 @@ import org.apache.spark.util.SerializableConfiguration
   * S27 batch contract. */
 class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                           queryId: String, statsCols: Seq[String],
-                          retain: Int, clusterCols: Seq[String] = Seq.empty)
+                          retain: Int, clusterCols: Seq[String] = Seq.empty,
+                          cmap: Map[String, String] = Map.empty)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -83,7 +84,10 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
     GraftStreamingWriterFactory(s"$tableDir/ss-$runId",
-      GraftTaskWriters.writeConf(spark, writeSchema),
+      // parquet stores PHYSICAL names (S42 column mapping); inline
+      // stats track ordinals, so their logical keys are unaffected
+      GraftTaskWriters.writeConf(spark,
+        ManifestTable.toPhysical(writeSchema, cmap)),
       inlineSpec.getOrElse(Seq.empty), zone)
 
   override def commit(epochId: Long,
@@ -161,8 +165,14 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
             val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
               min(col(c)).cast("string").as(s"min:$c"),
               max(col(c)).cast("string").as(s"max:$c")))
-            val r = spark.read.schema(writeSchema)
-              .parquet(s"$tableDir/$pubRel").agg(aggs.head, aggs.tail: _*).head()
+            val rb0 = spark.read
+              .schema(ManifestTable.toPhysical(writeSchema, cmap))
+              .parquet(s"$tableDir/$pubRel")
+            val rb =
+              if (cmap.isEmpty) rb0
+              else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+                col(cmap.getOrElse(l, l)).as(l)): _*)
+            val r = rb.agg(aggs.head, aggs.tail: _*).head()
             pubRel -> GraftTaskWriters.statsLine(r.getAs[Long]("rows"),
               statsCols.map(c => (c, Option(r.getAs[String](s"min:$c")),
                 Option(r.getAs[String](s"max:$c")))))

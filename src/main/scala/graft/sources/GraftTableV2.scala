@@ -392,8 +392,13 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
           declaredChecks.toSeq.sorted.mkString(", "))
       // cluster columns are always stats-tracked — pruning needs their
       // ranges (the S27 batch rule, applied per epoch)
+      val cmap = ManifestTable.headVersion(spark, tableDir).map { v =>
+        val fs = new Path(tableDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        ManifestTable.colMapOf(fs, tableDir, v)
+      }.getOrElse(Map.empty)
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
-        (statsCols ++ cluster).distinct, retain, cluster)
+        (statsCols ++ cluster).distinct, retain, cluster, cmap)
     }
 
     override def toInsertableRelation: InsertableRelation =
@@ -557,6 +562,12 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     * surface. */
   @transient private lazy val dvByPath: Map[String, String] =
     ManifestTable.dvOf(fsOf(spark), tableDir, version)
+  /** S42 — logical→physical column mapping of the pinned version:
+    * parquet files store PHYSICAL names, so the reader factories
+    * request physical schemas (rows are positional — the scan's output
+    * schema stays logical). */
+  @transient private lazy val colMap: Map[String, String] =
+    ManifestTable.colMapOf(fsOf(spark), tableDir, version)
   /** The zone timestamp stats are ENCODED in — the pinned writer zone
     * ([[ManifestTable.statsZoneOf]]), not this session's. */
   @transient private lazy val statsZone: java.time.ZoneId =
@@ -728,12 +739,19 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       // condition does not match are COPIED by the CoW rewrite), so
       // the pushed filters may prune whole dirs but must not reach
       // parquet's row-group pruning
-      val effFilters = if (rowLevel.isDefined) Array.empty[Filter] else filters
+      // under a column mapping the row-group-pruning filters reference
+      // LOGICAL names no file stores — drop them (pruning is I/O-only;
+      // Spark re-applies every predicate above the scan)
+      val effFilters =
+        if (rowLevel.isDefined || colMap.nonEmpty) Array.empty[Filter]
+        else filters
       val partSchema =
         if (emitDir) StructType(Seq(GraftRowLevel.dirField))
         else new StructType()
-      val base = GraftParquetRead.readerFactory(spark, tableSchema,
-        requiredSchema, effFilters, partSchema)
+      val base = GraftParquetRead.readerFactory(spark,
+        ManifestTable.toPhysical(tableSchema, colMap),
+        ManifestTable.toPhysical(requiredSchema, colMap),
+        effFilters, partSchema)
       val dirty = plannedPaths.filter(dvByPath.contains)
       if (dirty.isEmpty) base
       else {
@@ -751,10 +769,12 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         // nullable, like Spark's own ROW_INDEX_FIELD: the reader's
         // missing-column check throws for required absent columns; the
         // row-index generator recognizes the name and fills positions
-        val extSchema = StructType(requiredSchema.fields :+
+        val extSchema = StructType(
+          ManifestTable.toPhysical(requiredSchema, colMap).fields :+
           StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             LongType, nullable = true))
-        val ext = GraftParquetRead.readerFactory(spark, tableSchema,
+        val ext = GraftParquetRead.readerFactory(spark,
+          ManifestTable.toPhysical(tableSchema, colMap),
           extSchema, effFilters, partSchema)
         val outFields = requiredSchema.fields ++ partSchema.fields
         GraftDvReaderFactory(base, ext, masks, requiredSchema.length,
@@ -1245,8 +1265,16 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
       GraftParquetRead.listFiles(spark, tableDir, added))
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetRead.readerFactory(spark, tableSchema, requiredSchema, filters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // physical names under a column mapping (data files never rename);
+    // pruning filters reference logical names — drop them then
+    val cmap = ManifestTable.headVersion(spark, tableDir)
+      .map(ManifestTable.colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
+    GraftParquetRead.readerFactory(spark,
+      ManifestTable.toPhysical(tableSchema, cmap),
+      ManifestTable.toPhysical(requiredSchema, cmap),
+      if (cmap.isEmpty) filters else Array.empty)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -207,6 +207,29 @@ object ManifestTable {
       case Array(c, _, _) => decTok(c)
     }.flatten.toSeq
 
+  /** Stats payload with `from`'s triples re-keyed to `to` — the RENAME
+    * COLUMN commit re-keys every per-dir payload so pruning keeps
+    * working against the new logical name (metadata-only: the payloads
+    * live in the manifest header). */
+  private[sources] def renameStatsCol(payload: String, from: String,
+                                      to: String): String = {
+    val toks = payload.split('\t')
+    (toks.take(1).toSeq ++ toks.drop(1).grouped(3).flatMap {
+      case Array(c, mn, mx) =>
+        Seq(if (decTok(c).contains(from)) encTok(to) else c, mn, mx)
+      case other => other.toSeq
+    }).mkString("\t")
+  }
+
+  /** Stats payload with `col`'s triples removed (DROP COLUMN). */
+  private[sources] def dropStatsCol(payload: String, col: String): String = {
+    val toks = payload.split('\t')
+    (toks.take(1).toSeq ++ toks.drop(1).grouped(3).flatMap {
+      case Array(c, _, _) if decTok(c).contains(col) => Seq.empty[String]
+      case other => other.toSeq
+    }).mkString("\t")
+  }
+
   // ------------------------------------------------- deletion vectors (S41)
 
   private val DvHeader = "#dvec\t"
@@ -299,13 +322,65 @@ object ManifestTable {
       clean.map(p => absPath(tableDir, p))).unionByName(masked)
   }
 
+  /** S42 — column-mapping channel (`colmap:<logical>\t<physical>` meta
+    * entries): after a RENAME COLUMN, the column's LOGICAL name (what
+    * SQL and the declared schema say) diverges from its PHYSICAL name
+    * (what every parquet file stores — frozen at column creation, the
+    * Delta column-mapping design). Readers request physical names and
+    * alias back; writers rename logical→physical before any parquet
+    * write. Empty for tables never renamed — the common case pays
+    * nothing. */
+  private[graft] val ColMapPrefix = "colmap:"
+  /** Tombstones of DROPPED physical names (`dropped:<physical>`): a
+    * later ADD COLUMN of the same name would silently RESURRECT the
+    * dropped column's values from pre-drop dirs (parquet resolves by
+    * name) — the guard refuses it. */
+  private[graft] val DroppedPrefix = "dropped:"
+
+  /** logical → physical name map of version `v` (empty = identity). */
+  private[graft] def colMapOf(fs: FileSystem, tableDir: String,
+                              v: Long): Map[String, String] =
+    metaOf(fs, tableDir, v).collect {
+      case (k, phys) if k.startsWith(ColMapPrefix) =>
+        k.stripPrefix(ColMapPrefix) -> phys
+    }
+
+  /** `schema` with logical field names replaced by their physical ones. */
+  private[graft] def toPhysical(schema: org.apache.spark.sql.types.StructType,
+                                cmap: Map[String, String])
+      : org.apache.spark.sql.types.StructType =
+    if (cmap.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** `df`'s columns renamed logical→physical — the write-side half of
+    * column mapping (parquet files ALWAYS store physical names). */
+  private[graft] def writePhysical(df: DataFrame,
+                                   cmap: Map[String, String]): DataFrame =
+    if (cmap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toIndexedSeq.map(c =>
+        col(c).as(cmap.getOrElse(c, c))): _*)
+    }
+
   private def readWithDeclared(spark: SparkSession, tableDir: String,
                                v: Long, paths: Seq[String]): DataFrame = {
     val fs = fsOf(spark, tableDir)
     schemaOf(fs, tableDir, v) match {
-      case Some(ddl) => spark.read
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-        .parquet(paths: _*)
+      case Some(ddl) =>
+        val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        val cmap = colMapOf(fs, tableDir, v)
+        if (cmap.isEmpty) spark.read.schema(logical).parquet(paths: _*)
+        else {
+          // request PHYSICAL names from parquet, alias back to logical
+          // (one Project — `_metadata` still resolves through it for
+          // the dv-masking and MoR surfaces, spec-pinned)
+          import org.apache.spark.sql.functions.col
+          spark.read.schema(toPhysical(logical, cmap)).parquet(paths: _*)
+            .select(logical.fieldNames.toIndexedSeq.map(l =>
+              col(cmap.getOrElse(l, l)).as(l)): _*)
+        }
       case None => spark.read.parquet(paths: _*)
     }
   }
@@ -427,7 +502,11 @@ object ManifestTable {
     val observed =
       if (statsCols.isEmpty) checked
       else checked.observe(obs, aggs.head, aggs.tail: _*)
-    observed.write.parquet(s"$tableDir/$cid")
+    // parquet stores PHYSICAL names (column mapping, S42); stats above
+    // observe the logical frame, so payload keys stay logical
+    val cmap = versions(fs, tableDir).lastOption
+      .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
+    writePhysical(observed, cmap).write.parquet(s"$tableDir/$cid")
     val payload =
       if (statsCols.isEmpty) None
       else {
@@ -576,7 +655,9 @@ object ManifestTable {
     val (checked, boundChecks) =
       GraftManifestSource.bindDeclaredChecks(df, tableDir)
     val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
-    val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols)
+    val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols,
+      versions(fs, tableDir).lastOption
+        .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty))
     appendCommitLoop(df, tableDir, outStats.keys.toSeq.sorted, outStats,
       statsCols, retainGenerations, meta, recordingStats = true,
       boundChecks = boundChecks)
@@ -781,7 +862,8 @@ object ManifestTable {
     * just written). */
   private def writeClusteredDirs(data: DataFrame, tableDir: String,
                                  cid: String, spec: Seq[String], k: Int,
-                                 statsCols: Seq[String])
+                                 statsCols: Seq[String],
+                                 cmap: Map[String, String] = Map.empty)
       : Map[String, String] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
     // "rb" becomes the partitionBy dir key and "__graft_*" carries the
@@ -803,16 +885,22 @@ object ManifestTable {
           .sortWithinPartitions(col("__graft_zv"))
           .select(data.columns.toIndexedSeq.map(col): _*) // shed z helpers
     }
-    clustered
+    writePhysical(clustered, cmap)
       .withColumn("rb", spark_partition_id()) // narrow — no second shuffle
       .write.partitionBy("rb").parquet(s"$tableDir/$cid")
     // fresh stats per output dir: one grouped aggregate over the files
     // just written (rb is a directory-encoded partition column, so the
-    // group-by is scan-cheap and min/max are footer-served)
+    // group-by is scan-cheap and min/max are footer-served); the files
+    // store physical names — alias back so payload keys stay logical
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
-    data.sparkSession.read.parquet(s"$tableDir/$cid")
+    val readBack0 = data.sparkSession.read.parquet(s"$tableDir/$cid")
+    val readBack =
+      if (cmap.isEmpty) readBack0
+      else readBack0.select((data.columns.toIndexedSeq.map(l =>
+        col(cmap.getOrElse(l, l)).as(l)) :+ col("rb")): _*)
+    readBack
       .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
         val payload = (Seq(r.getAs[Long]("rows").toString) ++
@@ -856,7 +944,8 @@ object ManifestTable {
     // on that dimension), multi column = Morton interleave so each
     // dimension prunes. No spec = the legacy statsCols.head range sort.
     val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(sortCol))
-    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols)
+    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols,
+      colMapOf(fs, tableDir, baseV))
     val inputSet = inputs.toSet
     var attempts = 0
     while (true) {
@@ -1000,7 +1089,8 @@ object ManifestTable {
     // stragglers read through the base masks; the fold materializes
     // their dvs away (same contract as the full compaction)
     val data = readMasked(spark, tableDir, baseV, stragglers, baseDv)
-    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols)
+    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols,
+      colMapOf(fs, tableDir, baseV))
     val inputSet = stragglers.toSet
     var attempts = 0
     while (true) {
@@ -1244,7 +1334,8 @@ object ManifestTable {
         val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
           min(col(c)).cast("string").as(s"min:$c"),
           max(col(c)).cast("string").as(s"max:$c")))
-        checked.observe(obs, aggs.head, aggs.tail: _*)
+        writePhysical(checked.observe(obs, aggs.head, aggs.tail: _*),
+          colMapOf(fs, tableDir, baseV))
           .write.parquet(s"$tableDir/$cid")
         val m = obs.get
         val payload =
@@ -1369,7 +1460,8 @@ object ManifestTable {
     val (rewritten, boundChecks) =
       GraftManifestSource.bindDeclaredChecks(rewrite(touchedDf), tableDir)
     val kept = rewritten.observe(obs, aggs.head, aggs.tail: _*)
-    kept.write.parquet(s"$tableDir/$cid")
+    writePhysical(kept, colMapOf(fs, tableDir, baseV))
+      .write.parquet(s"$tableDir/$cid")
     val m = obs.get
     val keptRows = m("rows").asInstanceOf[Long]
     val payload =

@@ -793,6 +793,55 @@ object Sources {
       .withColumn("mask_only", lit(maskOnly))
   }
 
+  /** S42 fixture: `lake.ocmap` — CREATE + INSERT of orders (→ v2),
+    * then two METADATA-ONLY schema changes: `RENAME COLUMN
+    * o_totalprice TO price` (column mapping: the physical parquet name
+    * freezes, `colmap:` channel) and `DROP COLUMN o_orderpriority`
+    * (tombstoned), then one more INSERT — whose files store the
+    * PHYSICAL name — so the live table mixes pre- and post-rename
+    * vintages under one logical schema. */
+  private val cmapDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .writeTo(s"$cat.lake.ocmap")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .create()
+      s.sql(s"ALTER TABLE $cat.lake.ocmap RENAME COLUMN o_totalprice TO price")
+      s.sql(s"ALTER TABLE $cat.lake.ocmap DROP COLUMN o_orderpriority")
+      orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("price"), col("o_orderdate"))
+        .writeTo(s"$cat.lake.ocmap").append()
+      cat
+  })
+
+  /** S42: RENAME/DROP COLUMN as pointer commits. One leg aggregates
+    * the mixed-vintage live table through the NEW names (the V2 scan
+    * requests physical names per the mapping), one time-travels to the
+    * pre-evolution snapshot (old names, old shape), and `meta_only` —
+    * computed from the manifests — witnesses that neither schema
+    * change touched a single data path. */
+  def s42_column_mapping(s: SparkSession, d: String): DataFrame = {
+    val cat = cmapDemo(s, d)
+    val dir = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/ocmap"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val metaOnly =
+      ManifestTable.pathsOf(fs, dir, 3L) == ManifestTable.pathsOf(fs, dir, 2L) &&
+        ManifestTable.pathsOf(fs, dir, 4L) == ManifestTable.pathsOf(fs, dir, 2L)
+    s.sql(
+      s"""SELECT h.n_rows, h.total_price, h.key_checksum, v.n_before
+          FROM (SELECT count(*) AS n_rows,
+                       round(sum(price), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.ocmap) h
+          CROSS JOIN (SELECT count(*) AS n_before
+                      FROM $cat.lake.ocmap VERSION AS OF 2) v""")
+      .withColumn("meta_only", lit(metaOnly))
+  }
+
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
@@ -1363,6 +1412,7 @@ object Sources {
     "s39_incremental_compact" -> (s39_incremental_compact _),
     "s40_type_widening" -> (s40_type_widening _),
     "s41_dv_delete" -> (s41_dv_delete _),
+    "s42_column_mapping" -> (s42_column_mapping _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1522,6 +1572,21 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '2-HIGH')""",
+    // mixed-vintage logical table: all orders plus the shifted-key
+    // urgent slice (+1000.0 exact in doubles), read through the
+    // renamed/narrowed schema; the snapshot leg is the whole original
+    "s42_column_mapping" ->
+      """WITH live AS (
+           SELECT o_orderkey, o_totalprice AS price FROM orders
+           UNION ALL
+           SELECT o_orderkey + 50000000, o_totalprice + 1000.0
+           FROM orders WHERE o_orderpriority = '1-URGENT')
+         SELECT count(*) AS n_rows,
+                round(sum(price), 2) AS total_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+                (SELECT count(*) FROM orders) AS n_before,
+                true AS meta_only
+         FROM live""",
     // updated = +500.0 on the predicated slice (exact in doubles);
     // the time-travel leg sees the original prices
     "s25_update_where" ->
