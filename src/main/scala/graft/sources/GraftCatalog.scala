@@ -62,18 +62,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------ functions (S38)
 
-  /** The engine's bucket transform, loadable from this catalog — the
-    * seam `V2ExpressionUtils` resolves a scan-reported
-    * `KeyGroupedPartitioning(bucket(n, key))` through, enabling
-    * storage-partitioned joins on S31 bucketed tables. */
+  /** The engine's transforms, loadable from this catalog — the seam
+    * `V2ExpressionUtils` resolves through: `bucket` backs the
+    * scan-reported `KeyGroupedPartitioning` (storage-partitioned
+    * joins, S38); `morton` backs the clustered write's declared
+    * z-order distribution (X16 multi-dimension streaming parity). */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array(Identifier.of(namespace, "bucket"))
+      Array(Identifier.of(namespace, "bucket"),
+        Identifier.of(namespace, "morton"))
     else Array.empty
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    GraftBucketUnbound.resolve(ident)
+    if (ident.name == "morton" && (ident.namespace.isEmpty ||
+        ident.namespace.sameElements(Array("system"))))
+      GraftMortonUnbound
+    else GraftBucketUnbound.resolve(ident)
   import GraftCatalog._
 
   private var catalogName: String = _

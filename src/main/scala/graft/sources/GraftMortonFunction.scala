@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** S27/X16 — the engine's Morton (z-order) interleave as a
+  * catalog-loadable V2 scalar function, so a CLUSTERED table's write
+  * can declare `ordered by morton(a, lo_a, hi_a, b, lo_b, hi_b)` as
+  * its required distribution and SPARK plans the z-curve range shuffle
+  * itself — the seam that gives STREAMING epochs the same
+  * multi-dimension pruning the batch `appendClustered`/compaction path
+  * produces (every dim's per-dir range narrows, not just the leading
+  * one).
+  *
+  * Unlike the batch kernel (which min-max-scales by the BATCH's own
+  * bounds in a broadcast agg — impossible in a stateless function),
+  * the function scales each dimension by the TABLE-DOMAIN bounds the
+  * write bakes in as literal arguments, read from the head manifest's
+  * stats at write build. Per-epoch values outside the baked domain
+  * CLAMP to the edge ordinal — layout quality degrades at the moving
+  * edge, never correctness (per-dir stats always record TRUE min/max,
+  * and pruning is driven by those, not by the curve).
+  *
+  * Bit layout matches the batch kernel: each dimension min-max-scales
+  * to 8 bits; bit j of dimension i lands at j*k+i. */
+object GraftMortonUnbound extends UnboundFunction {
+  override def name(): String = "morton"
+  override def description(): String =
+    "morton(c1, lo1, hi1, c2, lo2, hi2, ...) — z-order interleave of " +
+      "each column min-max-scaled to 8 bits over [lo, hi]"
+
+  /** Dimension types the function interleaves: integral and date —
+    * the ordinal-able set whose stats strings the write side can parse
+    * back to long bounds without zone machinery. */
+  private[sources] def ordinalable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => true
+    case _ => false
+  }
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 3 && inputType.fields.length % 3 == 0,
+      s"morton takes (col, lo, hi) triples; got $inputType")
+    val dims = inputType.fields.grouped(3).map { case Array(c, lo, hi) =>
+      require(ordinalable(c.dataType),
+        s"morton dimension '${c.name}' has unsupported type ${c.dataType.sql}")
+      require(lo.dataType == LongType && hi.dataType == LongType,
+        s"morton bounds must be BIGINT literals; got $inputType")
+      c.dataType
+    }.toArray
+    GraftMortonFunction(dims)
+  }
+}
+
+case class GraftMortonFunction(dims: Array[DataType])
+    extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] =
+    dims.flatMap(dt => Array(dt, LongType: DataType, LongType: DataType))
+  override def resultType(): DataType = LongType
+  override def name(): String = "morton"
+  override def canonicalName(): String =
+    s"graft.morton(${dims.map(_.catalogString).mkString(",")})"
+  override def isResultNullable: Boolean = false
+
+  private def ordinal(input: InternalRow, ord: Int, dt: DataType): Long =
+    dt match {
+      case ByteType => input.getByte(ord).toLong
+      case ShortType => input.getShort(ord).toLong
+      case IntegerType | DateType => input.getInt(ord).toLong
+      case LongType => input.getLong(ord)
+      case other => throw new IllegalStateException(
+        s"unreachable morton dimension type $other")
+    }
+
+  override def produceResult(input: InternalRow): java.lang.Long = {
+    val k = dims.length
+    var z = 0L
+    var i = 0
+    while (i < k) {
+      val base = i * 3
+      val lo = input.getLong(base + 1)
+      val hi = input.getLong(base + 2)
+      // null dims sort with the domain floor, like the batch kernel's
+      // coalesce-to-min
+      val v = if (input.isNullAt(base)) lo else ordinal(input, base, dims(i))
+      val span = math.max(hi - lo, 1L)
+      val scaled = math.min(255L, math.max(0L, (v - lo) * 255L / span))
+      var j = 0
+      while (j < 8) {
+        z |= ((scaled >> j) & 1L) << (j * k + i)
+        j += 1
+      }
+      i += 1
+    }
+    java.lang.Long.valueOf(z)
+  }
+}

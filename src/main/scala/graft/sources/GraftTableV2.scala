@@ -9,7 +9,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
@@ -292,7 +292,12 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     val checks = info.options.asCaseSensitiveMap().asScala
       .collect { case (k, v) if k.toLowerCase.startsWith("check.") =>
         k.drop("check.".length) -> v }.toSeq.sortBy(_._1)
-    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks, info)
+    // catalog-loaded tables can declare FUNCTION-based distributions
+    // (their relations carry a FunctionCatalog to resolve `morton`
+    // through); path-loaded tables cannot and keep the lexical form
+    val viaCatalog = tableProps.contains(TableCatalog.PROP_PROVIDER)
+    new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks,
+      info, viaCatalog)
   }
 }
 
@@ -305,7 +310,8 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
 class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
                         retain: Int, clusterBy: Option[Seq[String]] = None,
                         checks: Seq[(String, String)] = Seq.empty,
-                        info: LogicalWriteInfo = null)
+                        info: LogicalWriteInfo = null,
+                        viaCatalog: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -341,8 +347,71 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
   private class GraftV1Write(cluster: Seq[String])
       extends V1Write with RequiresDistributionAndOrdering {
 
-    private def sortOrders: Array[SortOrder] = cluster.map(c =>
-      Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+    /** X16 multi-dimension parity: for a MULTI-column spec on a
+      * catalog-loaded table, declare the distribution as `ordered by
+      * morton(c1, lo1, hi1, ...)` — the engine z-orders each streaming
+      * epoch, so EVERY dimension's per-dir range narrows (the batch
+      * kernel's layout), not just the leading one's. Bounds are the
+      * table-domain min/max read from the head manifest's stats at
+      * write build (the write rebuilds per micro-batch, so they track
+      * domain drift); values outside clamp — layout quality at the
+      * moving edge, never correctness. None (→ lexical ordering) when
+      * the table is path-loaded (no FunctionCatalog to resolve
+      * `morton`), single-column, empty, missing stats, or typed
+      * outside the ordinal-able set. */
+    private def mortonTransform
+        : Option[org.apache.spark.sql.connector.expressions.Transform] = {
+      if (!viaCatalog || cluster.size < 2) return None
+      val spark = SparkSession.active
+      val fs = new Path(tableDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val head = ManifestTable.headVersion(spark, tableDir).getOrElse(return None)
+      val schema = ManifestTable.declaredSchemaOf(spark, tableDir, head)
+        .getOrElse(return None)
+      val paths = ManifestTable.pathsOf(fs, tableDir, head)
+      if (paths.isEmpty) return None
+      val stats = ManifestTable.statsOf(fs, tableDir, head)
+      def ordinalOf(dt: org.apache.spark.sql.types.DataType,
+                    s: String): Option[Long] = dt match {
+        case org.apache.spark.sql.types.DateType =>
+          try Some(java.time.LocalDate.parse(s).toEpochDay)
+          catch { case _: java.time.format.DateTimeParseException => None }
+        case _ => s.toLongOption
+      }
+      val args = cluster.map { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(return None)
+        if (!GraftMortonUnbound.ordinalable(f.dataType)) return None
+        // domain = the union of every dir's recorded range; one
+        // stats-less or unparseable dir → no domain → lexical fallback
+        val ranges = paths.map(p => stats.get(p)
+          .flatMap(ManifestTable.statsFor(_, f.name)).flatMap {
+            case (_, Some(mn), Some(mx)) =>
+              for (a <- ordinalOf(f.dataType, mn); b <- ordinalOf(f.dataType, mx))
+                yield (a, b)
+            case _ => None
+          })
+        if (ranges.exists(_.isEmpty)) return None
+        val rs = ranges.flatten
+        (c, rs.map(_._1).min, rs.map(_._2).max)
+      }
+      Some(Expressions.apply("morton", args.flatMap { case (c, lo, hi) =>
+        Seq(Expressions.column(c):
+          org.apache.spark.sql.connector.expressions.Expression,
+          org.apache.spark.sql.GraftShims.v2LongLiteral(lo),
+          org.apache.spark.sql.GraftShims.v2LongLiteral(hi))
+      }: _*))
+    }
+
+    // computed ONCE per write build: distribution and ordering must
+    // agree, and the manifest may advance between the two calls
+    private lazy val sortOrders: Array[SortOrder] =
+      mortonTransform match {
+        case Some(t) => Array(Expressions.sort(t, SortDirection.ASCENDING))
+        case None => cluster.map(c =>
+          Expressions.sort(Expressions.column(c),
+            SortDirection.ASCENDING)).toArray
+      }
 
     override def requiredDistribution(): Distribution =
       if (cluster.isEmpty) Distributions.unspecified()
@@ -355,6 +424,53 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       * per epoch constant. 0 = unconstrained for unclustered writes. */
     override def requiredNumPartitions(): Int =
       if (cluster.isEmpty) 0 else graft.ScaleKnobs.DefaultClusterDirs
+
+    /** Remove the Sort+RepartitionByExpression that
+      * `DistributionAndOrderingUtils.prepareQuery` added for THIS
+      * write's declared distribution. Spark applies the preparation to
+      * batch `AppendData` even on the V1 fallback, and
+      * `AppendDataExecV1` executes the prepared plan — so without the
+      * peel, a batch insert to a clustered table range-shuffles TWICE:
+      * once from the declared distribution (which only the streaming
+      * path needs) and once inside `appendClustered` (whose shuffle is
+      * the one that matters — it is Morton-capable for multi-column
+      * specs). Shape-conservative: peel only the exact
+      * ordered-distribution preparation on the declared cluster
+      * columns; anything else passes through untouched (worst case the
+      * old double shuffle, never a lost shuffle). */
+    private def peelPrepared(df: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.{ApplyFunctionExpression, Attribute, Expression, SortOrder}
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RepartitionByExpression, Sort}
+      def onCluster(exprs: Seq[Expression]): Boolean =
+        (exprs.length == cluster.length && exprs.zip(cluster).forall {
+          case (SortOrder(a: Attribute, _, _, _), c) =>
+            a.name.equalsIgnoreCase(c)
+          case _ => false
+        }) || (exprs match {
+          // the multi-column form: one SortOrder over the engine's own
+          // morton function (batch peels it too — appendClustered
+          // z-orders with the batch's exact bounds)
+          case Seq(SortOrder(af: ApplyFunctionExpression, _, _, _)) =>
+            af.function.isInstanceOf[GraftMortonFunction]
+          case _ => false
+        })
+      def peel(plan: LogicalPlan): LogicalPlan = plan match {
+        case s: Sort if !s.global && onCluster(s.order) =>
+          s.child match {
+            case r: RepartitionByExpression if onCluster(r.partitionExpressions) =>
+              r.child
+            case _ => plan
+          }
+        case r: RepartitionByExpression if onCluster(r.partitionExpressions) =>
+          r.child
+        case _ => plan
+      }
+      val logical = df.queryExecution.logical
+      val peeled = peel(logical)
+      if (peeled eq logical) df
+      else org.apache.spark.sql.GraftShims.dataFrame(df.sparkSession, peeled)
+    }
 
     /** X15/X16 — native streaming path (`writeStream.toTable` /
       * `.format("graft")`): executor task writers + exactly-once epoch
@@ -403,11 +519,16 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 
     override def toInsertableRelation: InsertableRelation =
       (data0, _) => {
+        // the peel must see the PREPARED plan's top — before the check
+        // guards wrap it (append path only: overwrite has no second
+        // shuffle to save, and keeping Spark's sort there is free)
+        val unprepared =
+          if (overwrite || cluster.isEmpty) data0 else peelPrepared(data0)
         // CHECK constraints (S30) enforced IN the write job: the
         // table's PERSISTED contracts first (prop channel — binds
         // every API), then any ad-hoc per-write checks from OPTIONS.
         val data = GraftManifestSource.applyChecks(
-          GraftManifestSource.withDeclaredChecks(data0, tableDir), checks)
+          GraftManifestSource.withDeclaredChecks(unprepared, tableDir), checks)
         // S31 — a bucketed (layout=bucketed:<key>) table routes every
         // write through the O(changeset) upsert kernel: INSERT is an
         // upsert BY KEY (a re-inserted key replaces its row — the
@@ -428,10 +549,22 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
             // ARRIVAL (S27): the batch lands as range/Morton-sorted dirs
             // with per-dir stats, so selective reads prune fresh data
             // without waiting for a compaction. Cluster columns are
-            // always stats-tracked — pruning needs their ranges.
+            // always stats-tracked — pruning needs their ranges. The
+            // entry peel removed Spark's prepared exchange — ONE
+            // shuffle (appendClustered's own, Morton-capable), not two.
             case Some(cols) => ManifestTable.appendClustered(data, tableDir,
               (statsCols ++ cols).distinct, retainGenerations = retain,
               specOverride = Some(cols)): Unit
+            // no explicit option, but the table DECLARES a spec
+            // (effectiveCluster read it from the head manifest): land
+            // clustered like every other write surface — the V1
+            // alias's appendRespectingSpec contract, not a silent
+            // single-dir degrade (the peel removed the prepared sort
+            // that used to paper over this path)
+            case None if cluster.nonEmpty =>
+              ManifestTable.appendClustered(data, tableDir,
+                (statsCols ++ cluster).distinct,
+                retainGenerations = retain): Unit
             case None =>
               ManifestTable.append(data, tableDir, statsCols, retain): Unit
           }

@@ -11,6 +11,23 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A V2 literal expression (`LiteralValue`'s companion is
+    * private[sql]) — the morton distribution's baked domain bounds. */
+  def v2LongLiteral(v: Long): connector.expressions.Expression =
+    connector.expressions.LiteralValue(java.lang.Long.valueOf(v),
+      org.apache.spark.sql.types.LongType)
+
+  /** A DataFrame over a logical plan — the V1-write-bridge peel needs
+    * to re-wrap a child plan after removing the engine-prepared
+    * exchange it is about to redo itself (`Dataset.ofRows` is
+    * private[sql]; same one-function-bridge rationale as the rest of
+    * this file). */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession], plan)
+
   /** The `RowLevelOperation` inside Spark's private[sql]
     * `RowLevelOperationTable` wrapper, if `t` is one — the handle
     * graft's merge-carryover patch needs to recognize its own

@@ -119,6 +119,53 @@ class ClusteredIngestSpec extends SparkTestBase {
     assert(ManifestTable.read(spark, dir).count() == 201L)
   }
 
+  test("batch INSERT into a clustered table shuffles ONCE, not twice") {
+    // V2Writes prepares batch AppendData for the declared distribution
+    // even on the V1 fallback; without the GraftV1Write peel the rows
+    // range-shuffled twice — once for the preparation, once inside
+    // appendClustered. Measured by total shuffle-write RECORDS across
+    // the insert: one pass of N rows plus the (tiny) stats read-back
+    // aggregate; the double-shuffle regression reads ~2N.
+    val wh = Files.createTempDirectory("graft-clu-one").toString
+    spark.conf.set("spark.sql.catalog.gclu1", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclu1.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gclu1.lake")
+    spark.sql("CREATE TABLE gclu1.lake.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'statsCols'='k', " +
+      "'retainGenerations'='10')")
+    val n = 50000L
+    val records = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          records.addAndGet(e.taskMetrics.shuffleWriteMetrics.recordsWritten): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql("INSERT INTO gclu1.lake.t " +
+        s"SELECT id AS k, CAST(id AS STRING) AS v FROM range(0, $n)")
+      // listener events drain asynchronously — wait for quiescence
+      var last = -1L
+      var spins = 0
+      while (records.get() != last && spins < 40) {
+        last = records.get(); Thread.sleep(250); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val got = records.get()
+    assert(got >= n, s"the clustering range shuffle must run: $got")
+    assert(got < (n * 1.2).toLong,
+      s"batch insert shuffled ~${got.toDouble / n}x the rows — the " +
+        "prepared-exchange peel regressed (expected one shuffle pass)")
+    // and the layout contract still holds: clustered dirs, point prune
+    val dir = s"$wh/lake/t"
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.pathsOf(fs(dir), dir, head).forall(_.startsWith("ci-")))
+    assert(spark.sql("SELECT v FROM gclu1.lake.t WHERE k = 42")
+      .head().getString(0) == "42")
+    assert(spark.table("gclu1.lake.t").count() == n)
+  }
+
   test("s27 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s27_clustered_ingest(spark, sf).head()
     assert(r.getLong(0) > 0)

@@ -205,6 +205,54 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       "rows within a clustered dir must arrive sorted")
   }
 
+  test("streamed MULTI-column clusterBy lands Morton: both dims prune on a never-compacted table") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.zs")
+    spark.sql("CREATE TABLE gsw.lake.zs (a INT, b INT, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='a,b', 'retainGenerations'='20')")
+    val dir = s"$wh/lake/zs"
+    // seed the DOMAIN (the write bakes morton bounds from head stats;
+    // a table with no stats falls back to lexical for its first epoch)
+    spark.sql("INSERT INTO gsw.lake.zs VALUES (1,1,'lo'),(20,20,'hi')")
+    // stream the 20x20 grid as ONE epoch through writeStream.toTable —
+    // the declared distribution is `ordered by morton(a, lo, hi, b,
+    // lo, hi)` resolved through the catalog's FunctionCatalog, so
+    // SPARK plans the z-curve range shuffle per epoch
+    val src = Files.createTempDirectory("gsw-zs").toString
+    val rnd = new scala.util.Random(11)
+    rnd.shuffle((for (a <- 1 to 20; b <- 1 to 20) yield (a, b)).toList)
+      .map { case (a, b) => (a, b, s"$a-$b") }.toDF("a", "b", "v")
+      .coalesce(2).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-zsck").toString
+    val q = spark.readStream.schema("a INT, b INT, v STRING")
+      .parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.zs")
+    q.awaitTermination()
+    assert(spark.table("gsw.lake.zs").count() == 402L)
+    val v = ManifestTable.headVersion(spark, dir).get
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, v).get
+    val streamed = ManifestTable.pathsOf(fs, dir, v).filter(_.startsWith("ss-"))
+    assert(streamed.size > 1 &&
+      streamed.size <= graft.ScaleKnobs.DefaultClusterDirs, streamed)
+    // the batch leg's trial (ClusteredIngestSpec): each dimension ALONE
+    // prunes streamed dirs — lexical ordering would leave the trailing
+    // dim's per-dir range full-width (no dir prunable on b)
+    def keptFor(col: String, value: String): Int = ManifestTable.prunePaths(
+      fs, dir, v, Map(col -> (value, value)), schema)
+      .count(_.startsWith("ss-"))
+    assert(keptFor("a", "2") < streamed.size,
+      "a-dim must prune z-ordered streamed dirs")
+    assert(keptFor("b", "2") < streamed.size,
+      "b-dim must prune z-ordered streamed dirs — lexical epoch layout " +
+        "leaves the trailing dimension unprunable")
+    // exactness through the masked/mapped read stack
+    assert(spark.sql(
+      "SELECT v FROM gsw.lake.zs WHERE a = 7 AND b = 13").head.getString(0)
+      == "7-13")
+  }
+
   test("inline task-side stats render exactly what the driver read-back cast would (timestamps included)") {
     wh: Unit
     val s = spark; import s.implicits._
