@@ -44,7 +44,9 @@ object GraftBucketUnbound extends UnboundFunction {
 }
 
 case class GraftBucketFunction(keyType: DataType)
-    extends ScalarFunction[Integer] {
+    extends ScalarFunction[Integer]
+    with org.apache.spark.sql.connector.catalog.functions
+      .ReducibleFunction[Integer, Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -61,4 +63,38 @@ case class GraftBucketFunction(keyType: DataType)
       keyType, 42L).toInt
     ((h % n) + n) % n
   }
+
+  /** SPJ across MISMATCHED bucket counts (S38 depth): when this side's
+    * modulus is a whole multiple of the other's, every fine bucket
+    * folds into exactly one coarse bucket — `pmod(h, m) % n =
+    * pmod(h, n)` whenever `n | m` — so Spark can join a 2n-bucket
+    * table against an n-bucket table by GROUPING the fine side's
+    * partitions instead of shuffling both
+    * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+    * .enabled`). Key types must match (murmur3 is type-sensitive);
+    * anything else returns null and Spark falls back to a shuffle. */
+  override def reducer(
+      thisNumBuckets: Int,
+      otherFunc: org.apache.spark.sql.connector.catalog.functions
+        .ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions
+        .Reducer[Integer, Integer] =
+    otherFunc match {
+      case GraftBucketFunction(otherKeyType)
+          if otherKeyType == keyType &&
+            thisNumBuckets > otherNumBuckets &&
+            otherNumBuckets > 0 &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+        GraftBucketReducer(otherNumBuckets)
+      case _ => null // incompatible (or already aligned) → no reduction
+    }
+}
+
+/** Folds a fine bucket ordinal onto the coarse modulus. */
+case class GraftBucketReducer(coarse: Int)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .Reducer[Integer, Integer] {
+  override def reduce(bucket: Integer): Integer =
+    Integer.valueOf(bucket.intValue % coarse)
 }
