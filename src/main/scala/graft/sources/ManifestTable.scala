@@ -1264,6 +1264,11 @@ object ManifestTable {
     val byCol = assignments.toMap
     byCol.keys.foreach(c => require(tableSchema.fieldNames.contains(c),
       s"UPDATE assigns unknown column '$c' at $tableDir"))
+    // the kernel synthesizes __graft_-prefixed helper columns; a user
+    // column with the prefix would be silently consumed (withColumn
+    // replaces) — the clustered writes' reserved-name rule applies
+    require(!tableSchema.fieldNames.exists(_.startsWith("__graft_")),
+      "merge-on-read DML reserves the '__graft_' column-name prefix")
     val touched = prunePathsIn(basePaths, baseStats,
       bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
       tableSchema)
