@@ -83,20 +83,43 @@ object GraftMetaTables {
     val outCols = outSchema.fieldNames.toIndexedSeq.map(col)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    // RENAME alignment (S42): a pair predating a rename emits the OLD
+    // logical name; the union-by-name would silently null-fill the
+    // head's new name for those rows. A renamed column keeps its
+    // PHYSICAL identity, so align each pair's names to the head's
+    // logical names through it (a column dropped by head simply falls
+    // out in the final select — the feed's shape is the head's).
+    val headCmap = ManifestTable.colMapOf(fs, dir, vs.last)
+    val physToHead = headCmap.map(_.swap)
+    def aligned(df: org.apache.spark.sql.DataFrame, v: Long)
+        : org.apache.spark.sql.DataFrame = {
+      if (physToHead.isEmpty) return df
+      val cmapV = ManifestTable.colMapOf(fs, dir, v)
+      val renames = df.columns.flatMap { c =>
+        if (c == "change_type" || c == "_commit_version") None
+        else {
+          val headName = physToHead.getOrElse(cmapV.getOrElse(c, c), c)
+          if (headName != c) Some(c -> headName) else None
+        }
+      }.toMap
+      if (renames.isEmpty) df else df.withColumnsRenamed(renames)
+    }
     // version 1's base is the EMPTY pre-table: its changes are its
     // full content as inserts (only constructible while v1 is itself
     // retained — a retained head above 1 means real history was GC'd)
     val v1Feed =
       if (vs.headOption.contains(1L) && 1L > loV && 1L <= hiV &&
           ManifestTable.pathsOf(fs, dir, 1L).nonEmpty)
-        Seq(ManifestTable.readVersion(spark, dir, 1L)
+        Seq(aligned(ManifestTable.readVersion(spark, dir, 1L), 1L)
           .withColumn("change_type", lit("insert"))
           .withColumn("_commit_version", lit(1L)))
       else Seq.empty
     (v1Feed ++ vs.zip(vs.drop(1))
       .filter { case (_, b) => b > loV && b <= hiV }
       .map { case (a, b) =>
-        ManifestTable.changes(spark, dir, a, b)
+        // the pair feed's names are the newer endpoint's (changes
+        // anchors its schema there)
+        aligned(ManifestTable.changes(spark, dir, a, b), b)
           .withColumn("_commit_version", lit(b))
       })
       .foldLeft(empty)((acc, f) =>

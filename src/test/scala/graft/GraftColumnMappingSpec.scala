@@ -185,6 +185,18 @@ class GraftColumnMappingSpec extends SparkTestBase {
     assert(feed.collect().map(r =>
       (r.getAs[Int]("id"), r.getAs[String]("change_type"))).toSeq ==
       Seq((9, "insert")))
+    // $changes unions per-pair feeds across the WHOLE retained history:
+    // the pre-rename insert's rows must surface their values under the
+    // head's logical name (aligned through the physical identity), not
+    // null-filled by the union
+    val hist = spark.sql("SELECT id, _commit_version FROM gcm.lake.`r3$changes`")
+      .collect().map(r => (r.isNullAt(0), r.getLong(1)))
+    assert(hist.nonEmpty && hist.forall(!_._1),
+      s"pre-rename feed rows must carry the renamed column's values: " +
+        hist.filter(_._1).take(3).mkString(","))
+    assert(spark.sql("SELECT sum(id) FROM gcm.lake.`r3$changes` " +
+      s"WHERE _commit_version = $v0").head.getLong(0) == 10L,
+      "the pre-rename insert's values must align to the new name")
     // clustered streaming write (X15/X16 path) lands physical names
     val clusterDir = freshTable("r4")
     spark.sql("ALTER TABLE gcm.lake.r4 RENAME COLUMN k TO id")
