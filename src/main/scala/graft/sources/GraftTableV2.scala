@@ -681,26 +681,25 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   private def fsOf(s: SparkSession) =
     new Path(tableDir).getFileSystem(s.sessionState.newHadoopConf())
 
-  // ONE manifest read serves every planning surface of this scan
-  // (pruning, filterAttributes, statistics, runtime re-pruning) — each
-  // re-read is a GET per plan step on an object store. Driver-only
-  // state: the scan object itself never ships to executors.
-  @transient private lazy val livePaths: Seq[String] =
-    ManifestTable.pathsOf(fsOf(spark), tableDir, version)
-  @transient private lazy val liveStats: Map[String, String] =
-    ManifestTable.statsOf(fsOf(spark), tableDir, version)
+  // ONE manifest PARSE serves every planning surface of this scan
+  // (pruning, filterAttributes, statistics, runtime re-pruning, masks,
+  // column mapping) — each per-channel accessor re-reads the file, a
+  // GET per plan step on an object store. Driver-only state: the scan
+  // object itself never ships to executors.
+  @transient private lazy val snap: ManifestTable.Snapshot =
+    ManifestTable.snapshotOf(fsOf(spark), tableDir, version)
+  private def livePaths: Seq[String] = snap.paths
+  private def liveStats: Map[String, String] = snap.stats
   /** S41 — the pinned version's deletion vectors: dv'd dirs plan as
     * per-file partitions whose readers drop masked row positions, so
     * the V2 scan serves the same LOGICAL table as every DataFrame
     * surface. */
-  @transient private lazy val dvByPath: Map[String, String] =
-    ManifestTable.dvOf(fsOf(spark), tableDir, version)
+  private def dvByPath: Map[String, String] = snap.dv
   /** S42 — logical→physical column mapping of the pinned version:
     * parquet files store PHYSICAL names, so the reader factories
     * request physical schemas (rows are positional — the scan's output
     * schema stays logical). */
-  @transient private lazy val colMap: Map[String, String] =
-    ManifestTable.colMapOf(fsOf(spark), tableDir, version)
+  @transient private lazy val colMap: Map[String, String] = snap.cmap
   /** The zone timestamp stats are ENCODED in — the pinned writer zone
     * ([[ManifestTable.statsZoneOf]]), not this session's. */
   @transient private lazy val statsZone: java.time.ZoneId =
@@ -956,7 +955,7 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         if (rowCounts.forall(_.isDefined))
           OptionalLong.of(math.max(0L, rowCounts.flatten.sum - masked))
         else OptionalLong.empty()
-      val meta = ManifestTable.metaOf(fsOf(spark), tableDir, version)
+      val meta = snap.meta
       val colStats = meta.collect {
         case (k, v) if k.startsWith(ManifestTable.ColStatPrefix) &&
             tableSchema.fieldNames.contains(

@@ -85,6 +85,49 @@ object ManifestTable {
     finally in.close()
   }
 
+  /** ONE parse of a version's manifest, every channel split out — the
+    * read path's metadata unit. The per-channel accessors ([[pathsOf]],
+    * [[schemaOf]], [[statsOf]], [[metaOf]], [[dvOf]], [[colMapOf]])
+    * each re-read the manifest FILE; that is one GET per channel on an
+    * object store, and a single logical table read consults up to five
+    * channels (paths, schema, column map, stats, deletion vectors).
+    * [[snapshotOf]] reads the immutable file once and the read kernels
+    * share the result. */
+  private[graft] final case class Snapshot(version: Long,
+      paths: Seq[String], schemaDdl: Option[String],
+      stats: Map[String, String], meta: Map[String, String],
+      dv: Map[String, String]) {
+    def cmap: Map[String, String] = meta.collect {
+      case (k, phys) if k.startsWith(ColMapPrefix) =>
+        k.stripPrefix(ColMapPrefix) -> phys
+    }
+    def declared: Option[org.apache.spark.sql.types.StructType] =
+      schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
+
+  private[graft] def snapshotOf(fs: FileSystem, tableDir: String,
+                                v: Long): Snapshot = {
+    val lines = manifestLines(fs, tableDir, v)
+    val meta = lines.filter(_.startsWith(MetaHeader)).flatMap { l =>
+      val rest = l.stripPrefix(MetaHeader)
+      val i = rest.indexOf('\t')
+      if (i <= 0) None
+      else Some(java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
+        java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8"))
+    }.toMap
+    def channel(header: String): Map[String, String] =
+      lines.filter(_.startsWith(header)).map { l =>
+        val rest = l.stripPrefix(header)
+        val i = rest.indexOf('\t')
+        rest.take(i) -> rest.drop(i + 1)
+      }.toMap
+    Snapshot(v,
+      paths = lines.filterNot(_.startsWith("#")),
+      schemaDdl = lines.find(_.startsWith(SchemaHeader))
+        .map(_.stripPrefix(SchemaHeader)),
+      stats = channel(StatsHeader), meta = meta, dv = channel(DvHeader))
+  }
+
   /** Relative data paths of manifest version `v` (header lines skipped).
     * A SHALLOW-CLONED table ([[shallowClone]]) lists ABSOLUTE entries
     * (they live under the source table's dir) — resolve through
@@ -307,18 +350,26 @@ object ManifestTable {
     * dvs read plain (no join tax); dv'd dirs anti-join their masks. */
   private[graft] def readMasked(spark: SparkSession, tableDir: String,
                                 v: Long, paths: Seq[String],
-                                dv: Map[String, String]): DataFrame = {
+                                dv: Map[String, String]): DataFrame =
+    readMaskedWith(spark, tableDir,
+      snapshotOf(fsOf(spark, tableDir), tableDir, v), paths, dv)
+
+  /** [[readMasked]] over an already-parsed snapshot (schema/colmap come
+    * from `snap`; `dv` stays a parameter because the change feed reads
+    * one version's paths through ANOTHER version's schema anchor). */
+  private def readMaskedWith(spark: SparkSession, tableDir: String,
+                             snap: Snapshot, paths: Seq[String],
+                             dv: Map[String, String]): DataFrame = {
     val dirty = paths.filter(dv.contains)
     if (dirty.isEmpty)
-      return readWithDeclared(spark, tableDir, v,
-        paths.map(p => absPath(tableDir, p)))
+      return readSnap(spark, snap, paths.map(p => absPath(tableDir, p)))
     val clean = paths.filterNot(dv.contains)
     val dvDirs = dirty.flatMap(p => dvEntries(dv(p)).map(_._1)).distinct
     val masked = maskFrame(spark, tableDir,
-      readWithDeclared(spark, tableDir, v, dirty.map(p => absPath(tableDir, p))),
+      readSnap(spark, snap, dirty.map(p => absPath(tableDir, p))),
       dvDirs)
     if (clean.isEmpty) masked
-    else readWithDeclared(spark, tableDir, v,
+    else readSnap(spark, snap,
       clean.map(p => absPath(tableDir, p))).unionByName(masked)
   }
 
@@ -365,12 +416,18 @@ object ManifestTable {
     }
 
   private def readWithDeclared(spark: SparkSession, tableDir: String,
-                               v: Long, paths: Seq[String]): DataFrame = {
-    val fs = fsOf(spark, tableDir)
-    schemaOf(fs, tableDir, v) match {
-      case Some(ddl) =>
-        val logical = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        val cmap = colMapOf(fs, tableDir, v)
+                               v: Long, paths: Seq[String]): DataFrame =
+    readSnap(spark,
+      snapshotOf(fsOf(spark, tableDir), tableDir, v), paths)
+
+  /** The parquet read through an already-parsed [[Snapshot]]'s schema
+    * and column mapping (`paths` are ABSOLUTE) — zero further manifest
+    * I/O. */
+  private def readSnap(spark: SparkSession, snap: Snapshot,
+                       paths: Seq[String]): DataFrame = {
+    snap.declared match {
+      case Some(logical) =>
+        val cmap = snap.cmap
         if (cmap.isEmpty) spark.read.schema(logical).parquet(paths: _*)
         else {
           // request PHYSICAL names from parquet, alias back to logical
@@ -422,9 +479,10 @@ object ManifestTable {
     val v = versions(fs, tableDir).lastOption
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest at $tableDir"))
-    val paths = pathsOf(fs, tableDir, v)
-    require(paths.nonEmpty, s"no committed manifest at $tableDir")
-    readMasked(spark, tableDir, v, paths, dvOf(fs, tableDir, v))
+    // one manifest parse serves paths, schema, column map and masks
+    val snap = snapshotOf(fs, tableDir, v)
+    require(snap.paths.nonEmpty, s"no committed manifest at $tableDir")
+    readMaskedWith(spark, tableDir, snap, snap.paths, snap.dv)
   }
 
   /** Time travel: snapshot read of a RETAINED committed version (S17).
@@ -437,9 +495,9 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     require(versions(fs, tableDir).contains(v),
       s"version $v is not retained at $tableDir")
-    val paths = pathsOf(fs, tableDir, v)
-    require(paths.nonEmpty, s"version $v at $tableDir lists no data")
-    readMasked(spark, tableDir, v, paths, dvOf(fs, tableDir, v))
+    val snap = snapshotOf(fs, tableDir, v)
+    require(snap.paths.nonEmpty, s"version $v at $tableDir lists no data")
+    readMaskedWith(spark, tableDir, snap, snap.paths, snap.dv)
   }
 
   /** APPEND-table ingest (S19): commit `df` as one new immutable data
@@ -1677,15 +1735,16 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val v = version.getOrElse(versions(fs, tableDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $tableDir")))
-    val paths = pathsOf(fs, tableDir, v)
-    val stats = statsOf(fs, tableDir, v)
+    // one manifest parse serves paths, stats, schema, colmap and masks
+    val snap = snapshotOf(fs, tableDir, v)
     // type resolution is metadata-only when the manifest declares a
     // schema (every append-committed table does): pruning must never
     // OPEN a dir it is about to skip — a pruned dir may already be
     // GC'd or lost, and the scan still has to plan and run.
-    val tableSchema = declaredSchemaOf(spark, tableDir, v).getOrElse(
-      readWithDeclared(spark, tableDir, v, paths.map(p => absPath(tableDir, p))).schema)
-    val keep = prunePathsIn(paths, stats, bounds, tableSchema)
+    val tableSchema = snap.declared.getOrElse(
+      readSnap(spark, snap,
+        snap.paths.map(p => absPath(tableDir, p))).schema)
+    val keep = prunePathsIn(snap.paths, snap.stats, bounds, tableSchema)
     val dts = bounds.map { case (c, _) => c -> tableSchema(c).dataType }
     val pred = bounds.map { case (c, (lo, hi)) =>
       col(c) >= lit(lo).cast(dts(c)) && col(c) <= lit(hi).cast(dts(c))
@@ -1694,7 +1753,7 @@ object ManifestTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
         .filter(pred)
-    else readMasked(spark, tableDir, v, keep, dvOf(fs, tableDir, v))
+    else readMaskedWith(spark, tableDir, snap, keep, snap.dv)
       .filter(pred)
   }
 
