@@ -157,17 +157,25 @@ object GraftMetaTables {
     val schema = StructType(Seq(
       StructField("path", StringType, nullable = false),
       StructField("rows", LongType, nullable = true),
-      StructField("stats", StringType, nullable = true)))
+      StructField("stats", StringType, nullable = true),
+      // S41 — position records masking this dir's rows (null = no dv);
+      // `rows` stays the PHYSICAL count, so an operator reads the
+      // outstanding merge-on-read debt (and the next compaction's
+      // cleanup scope) straight off the listing
+      StructField("masked_positions", LongType, nullable = true)))
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
-    val stats = ManifestTable.statsOf(fs, dir, head)
-    val rows = ManifestTable.pathsOf(fs, dir, head).map { p =>
-      val payload = stats.get(p)
+    val snap = ManifestTable.snapshotOf(fs, dir, head)
+    val rows = snap.paths.map { p =>
+      val payload = snap.stats.get(p)
       val nRows = payload.flatMap(ManifestTable.rowsIn)
       val json = payload.map(statsJson)
+      val masked = snap.dv.get(p)
+        .map(pl => ManifestTable.dvEntries(pl).map(_._2).sum)
       new GenericInternalRow(Array[Any](utf8(p),
         nRows.map(Long.box).orNull,
-        json.map(utf8).orNull)): InternalRow
+        json.map(utf8).orNull,
+        masked.map(Long.box).orNull)): InternalRow
     }
     GraftLocalTable(name, schema, rows.toArray)
   }

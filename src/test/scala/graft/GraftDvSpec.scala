@@ -72,6 +72,10 @@ class GraftDvSpec extends SparkTestBase {
     // range scan over the masked dir prunes the others AND masks
     val rs = ManifestTable.rangeScan(spark, dir, "k", "10", "14")
     assert(rs.collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 11, 13, 14))
+    // $files surfaces the outstanding mask debt per dir
+    val mf = spark.sql("SELECT masked_positions FROM gdv.lake.`m1$files` " +
+      "WHERE masked_positions IS NOT NULL").collect()
+    assert(mf.length == 1 && mf.head.getLong(0) == 1L, mf.toSeq)
   }
 
   test("stacked deletes extend the mask; time travel stays exact") {
