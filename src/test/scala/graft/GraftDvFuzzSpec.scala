@@ -47,18 +47,26 @@ class GraftDvFuzzSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1))).toSeq)
 
   test("fuzz: random MoR/CoW/compact sequences track a multiset model; feed and travel stay exact") {
+    runFuzz("f1", 20260815L)
+  }
+
+  test("fuzz: a second seed walks a different op interleaving") {
+    runFuzz("f2", 7L)
+  }
+
+  private def runFuzz(table: String, seed: Long): Unit = {
     wh: Unit
-    val rnd = new scala.util.Random(20260815L)
-    spark.sql("DROP TABLE IF EXISTS gdfz.lake.f1")
-    spark.sql("CREATE TABLE gdfz.lake.f1 (k INT, v STRING) " +
+    val rnd = new scala.util.Random(seed)
+    spark.sql(s"DROP TABLE IF EXISTS gdfz.lake.$table")
+    spark.sql(s"CREATE TABLE gdfz.lake.$table (k INT, v STRING) " +
       "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='40', " +
       "'dml.mode'='merge-on-read')")
-    val dir = s"$wh/lake/f1"
+    val dir = s"$wh/lake/$table"
     var model: Multiset = Map.empty
     val history = scala.collection.mutable.LinkedHashMap.empty[Long, Multiset]
 
     def insert(rows: Seq[(Int, String)]): Unit = {
-      spark.sql("INSERT INTO gdfz.lake.f1 VALUES " +
+      spark.sql(s"INSERT INTO gdfz.lake.$table VALUES " +
         rows.map { case (k, v) => s"($k,'$v')" }.mkString(","))
       model = plus(model, rows)
     }
@@ -77,11 +85,11 @@ class GraftDvFuzzSpec extends SparkTestBase {
             .map(i => (rnd.nextInt(25), s"i$step-$i")))
         case 1 => // merge-on-read DELETE (translatable IN predicate)
           val ks = (0 until 1 + rnd.nextInt(4)).map(_ => rnd.nextInt(25)).distinct
-          spark.sql(s"DELETE FROM gdfz.lake.f1 WHERE k IN (${ks.mkString(",")})")
+          spark.sql(s"DELETE FROM gdfz.lake.$table WHERE k IN (${ks.mkString(",")})")
           model = model.filterNot { case ((k, _), _) => ks.contains(k) }
         case 2 => // CoW UPDATE over whatever masks exist
           val key = rnd.nextInt(25)
-          spark.sql(s"UPDATE gdfz.lake.f1 SET v = 'u$step' WHERE k = $key")
+          spark.sql(s"UPDATE gdfz.lake.$table SET v = 'u$step' WHERE k = $key")
           model = model.foldLeft(Map.empty: Multiset) {
             case (m, ((k, v), n)) =>
               val r = if (k == key) (k, s"u$step") else (k, v)
@@ -107,7 +115,7 @@ class GraftDvFuzzSpec extends SparkTestBase {
             retainGenerations = 40)
       }
       // both read stacks, every step
-      assert(counts(spark.table("gdfz.lake.f1")) == model,
+      assert(counts(spark.table(s"gdfz.lake.$table")) == model,
         s"V2 scan diverged from the model at step $step")
       assert(counts(ManifestTable.read(spark, dir)) == model,
         s"engine read diverged from the model at step $step")
