@@ -26,14 +26,17 @@ object ScaleKnobs {
     * declare `bucketed:<key>:<n>` per table beyond it. */
   val DefaultMergeBuckets = 256
 
-  /** S41 — hard cap on deletion-vector positions one V2 scan may load
-    * driver-side (DvStore). Deletion vectors serve SELECTIVE deletes;
-    * a table whose masks grow past this is overdue for `CALL
-    * system.compact` (which materializes them), and the loader fails
-    * with that message instead of inching toward a driver OOM. 20M
-    * positions ≈ low hundreds of MB with path strings — generous for
-    * the contract, far below driver heap. */
-  val DvDriverPositionCap: Long = 20L * 1000 * 1000
+  /** S41 — cap on deletion-vector positions one V2 scan loads
+    * DRIVER-side (DvStore): under it, masks load once and ship with
+    * the reader factory; past it, each reader loads its own file's
+    * positions executor-side (per-task I/O = one commit dir's dv
+    * dirs — unbounded scale, no driver memory at stake either way).
+    * 20M positions ≈ low hundreds of MB with path strings — the
+    * single-read fast path stays generous, and a table past it is
+    * overdue for `CALL system.compact` regardless (compaction
+    * materializes masks away). @volatile test hook: the executor path
+    * is exercised by forcing the cap to 0. */
+  @volatile var DvDriverPositionCap: Long = 20L * 1000 * 1000
 
   /** S11/S13/S14/S19/S27/S29 — default clustered-dir fan-out `k` for
     * compaction and clustered-on-arrival ingest. At 100 TB size k so

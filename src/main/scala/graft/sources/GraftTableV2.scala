@@ -837,7 +837,11 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
               org.apache.spark.paths.SparkPath.fromPath(st.getPath),
               0L, st.getLen, Array.empty,
               st.getModificationTime, st.getLen, Map.empty)),
-            DvStore.keyOf(st.getPath)): InputPartition
+            DvStore.keyOf(st.getPath),
+            // the dv dirs covering THIS file's commit dir — the
+            // executor-side mask source past the driver cap
+            ManifestTable.dvEntries(dvByPath(rel)).map(e =>
+              ManifestTable.absPath(tableDir, e._1))): InputPartition
         }
         cleanParts ++ dirtyParts
       }
@@ -888,7 +892,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       if (dirty.isEmpty) base
       else {
         // positions load ONCE on the driver and ship with the factory
-        // (cap-guarded — see DvStore); dv'd partitions read through a
+        // when they fit the cap; past it, each reader loads ITS file's
+        // mask executor-side (unbounded scale, per-task I/O = the dv
+        // dirs of one commit dir). dv'd partitions read through a
         // second factory whose schema appends the parquet row-index
         // temp column, filter masked positions with a pointer walk
         // (positions sorted, row indexes arrive increasing), and
@@ -897,7 +903,8 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         val dvDirs = dirty.flatMap(p =>
           ManifestTable.dvEntries(dvByPath(p)).map(_._1)).distinct
           .map(d => new Path(ManifestTable.absPath(tableDir, d)))
-        val masks = DvStore.readPositions(conf, dvDirs)
+        val masksOpt = DvStore.tryReadPositions(conf, dvDirs)
+        val masks = masksOpt.getOrElse(Map.empty)
         // nullable, like Spark's own ROW_INDEX_FIELD: the reader's
         // missing-column check throws for required absent columns; the
         // row-index generator recognizes the name and fills positions
@@ -909,7 +916,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
           ManifestTable.toPhysical(tableSchema, colMap),
           extSchema, effFilters, partSchema)
         val outFields = requiredSchema.fields ++ partSchema.fields
-        GraftDvReaderFactory(base, ext, masks, requiredSchema.length,
+        GraftDvReaderFactory(base, ext, masks,
+          driverLoaded = masksOpt.isDefined,
+          new SerializableConfiguration(conf), requiredSchema.length,
           outFields.map(_.dataType), outFields.map(_.nullable))
       }
   }
@@ -1060,22 +1069,28 @@ class GraftBucketPartition(idx: Int,
   override def partitionKey(): InternalRow = InternalRow(bucket)
 }
 
-/** S41 — one dv'd data FILE as one partition, keyed for mask lookup.
-  * Whole-file (no byte-range splits): a masked file is the exception,
-  * and per-file partitions keep the reader's position walk trivially
-  * monotone. */
+/** S41 — one dv'd data FILE as one partition, keyed for mask lookup
+  * and carrying its commit dir's dv-dir paths (the executor-side mask
+  * source). Whole-file (no byte-range splits): a masked file is the
+  * exception, and per-file partitions keep the reader's position walk
+  * trivially monotone. */
 class GraftDvFilePartition(idx: Int, partFiles: Array[PartitionedFile],
-                           val fileKey: String)
+                           val fileKey: String,
+                           val dvDirs: Seq[String] = Seq.empty)
     extends FilePartition(idx, partFiles)
 
 /** S41 — the dv-aware reader factory: dv'd partitions read row-based
   * through `ext` (whose schema appends Spark's parquet row-index temp
   * column — the same channel `_metadata.row_index` rides), drop rows
   * whose position the file's mask lists, and project the temp column
-  * away; every other partition delegates to the plain factory,
-  * columnar reads included. */
+  * away; every other partition delegates to the plain factory. Masks
+  * ship from the driver when they fit the cap (`driverLoaded`, one
+  * read for the whole scan); otherwise each reader loads its own
+  * file's positions from its partition's dv dirs — per-task I/O
+  * bounded by one commit dir's masks, scale bounded by nothing. */
 case class GraftDvReaderFactory(clean: PartitionReaderFactory,
     ext: PartitionReaderFactory, masks: Map[String, Array[Long]],
+    driverLoaded: Boolean, conf: SerializableConfiguration,
     rowIdxOrd: Int, outTypes: Array[DataType], outNullable: Array[Boolean])
     extends PartitionReaderFactory {
 
@@ -1083,7 +1098,10 @@ case class GraftDvReaderFactory(clean: PartitionReaderFactory,
     p match {
       case d: GraftDvFilePartition =>
         val inner = ext.createReader(d)
-        val mask = masks.getOrElse(d.fileKey, Array.emptyLongArray)
+        val mask =
+          if (driverLoaded) masks.getOrElse(d.fileKey, Array.emptyLongArray)
+          else DvStore.positionsForFile(conf.value,
+            d.dvDirs.map(new Path(_)), d.fileKey)
         new PartitionReader[InternalRow] {
           // copying projection (UnsafeProjection): the filtered rows
           // leave this reader materialized, so an inner reader reusing

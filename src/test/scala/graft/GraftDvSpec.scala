@@ -232,6 +232,26 @@ class GraftDvSpec extends SparkTestBase {
       GraftStreamOffset(v0), GraftStreamOffset(v1)).isEmpty)
   }
 
+  test("past the driver cap, readers load their masks executor-side") {
+    val dir = fourDirTable("m10")
+    spark.sql("DELETE FROM gdv.lake.m10 WHERE k IN (1, 22, 23)")
+    val expect = (0 until 20).map(b => b / 5 * 10 + b % 5)
+      .filterNot(Set(1, 22, 23))
+    // sanity on the driver-loaded path first
+    assert(ks("gdv.lake.m10") == expect)
+    val cap = graft.ScaleKnobs.DvDriverPositionCap
+    try {
+      // cap 0 → tryReadPositions declines → every dv'd reader loads
+      // its own file's positions from its partition's dv dirs
+      graft.ScaleKnobs.DvDriverPositionCap = 0L
+      assert(ks("gdv.lake.m10") == expect,
+        "executor-side mask loading must serve the same logical table")
+      assert(spark.sql("SELECT count(*) FROM gdv.lake.m10")
+        .head.getLong(0) == 17L)
+    } finally graft.ScaleKnobs.DvDriverPositionCap = cap
+    dir: Unit
+  }
+
   test("direct-API MoR delete with SQL-null semantics and no-op paths") {
     val dir = fourDirTable("m9")
     // provable no-op: bounds outside every dir's range — version unchanged
