@@ -114,7 +114,7 @@ object Bench {
     // real regression.
     val errs = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): (Double, Double, Double) = {
         val t0 = System.nanoTime()
         val at = (t0 - bench0) / 1e9
         val ld = load1
@@ -127,6 +127,15 @@ object Bench {
                   }
         (sec, at, ld)
       }
+      val base = (1 to reps).map(_ => rep())
+      // adaptive extra rep: when even the BEST rep started under load
+      // above the gate, its number is contention-suspect — one re-run
+      // keeps the artifact's reported minimum clean instead of merely
+      // explained by the ld field (all reps, ld included, still land
+      // in the detail sidecar)
+      val ok = base.filter(_._1 >= 0)
+      val times =
+        if (ok.nonEmpty && ok.minBy(_._1)._3 > gate) base :+ rep() else base
       (name, times)
     }
     val loadAfter = loadavg()

@@ -38,6 +38,16 @@ object ScaleKnobs {
     * is exercised by forcing the cap to 0. */
   @volatile var DvDriverPositionCap: Long = 20L * 1000 * 1000
 
+  /** Manifest-snapshot cache entries (ManifestTable.snapshotOf): parsed
+    * manifests served across OPERATIONS, keyed on the manifest FILE's
+    * identity (path, version, mtime, length) — immune to the
+    * DROP+CREATE same-path renumbering hazard because a recreated
+    * version is a different file. At 100 TB the manifest parse is the
+    * fixed metadata cost of every query; 16 entries covers a session's
+    * working set of tables while bounding driver heap (entries hold the
+    * parsed path/stats maps). */
+  val SnapshotCacheEntries = 16
+
   /** S11/S13/S14/S19/S27/S29 — default clustered-dir fan-out `k` for
     * compaction and clustered-on-arrival ingest. At 100 TB size k so
     * each dir is a few GB (k ≈ table_bytes / 2 GB); the SQL surface

@@ -272,6 +272,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val dirPath = new Path(tableDir(ident))
+    // drop the dir's cached snapshots: a same-path CREATE restarts
+    // version numbering, and the cache's file-identity key (mtime,
+    // length) alone cannot distinguish a same-millisecond recreation
+    ManifestTable.invalidateSnapshots(dirPath.toString)
     isTable(dirPath) && fs.delete(dirPath, true)
   }
 
@@ -284,6 +288,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(newIdent.namespace)
+    // both endpoints' cached snapshots drop: the source path's entries
+    // are dead, and the target path may have hosted a dropped table
+    ManifestTable.invalidateSnapshots(from.toString)
+    ManifestTable.invalidateSnapshots(to.toString)
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
@@ -515,7 +523,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * re-bind) the contract. */
   private def checkReferences(meta: Map[String, String],
                               col: String): Option[String] = {
-    val re = ("(?i)(^|[^A-Za-z0-9_`])" +
+    // boundary classes are SYMMETRIC on purpose: backtick must count as
+    // a boundary on both sides, or a backtick-quoted `col` reference
+    // escapes the RENAME/DROP guard and every later write fails at
+    // constraint binding instead
+    val re = ("(?i)(^|[^A-Za-z0-9_])" +
       java.util.regex.Pattern.quote(col) + "([^A-Za-z0-9_]|$)").r
     meta.collectFirst {
       case (k, sql) if k.startsWith(PropPrefix + "check.") &&

@@ -229,7 +229,30 @@ object GraftMetaTables {
             else None
           }
         }
-    val rows = (meta ++ advisory).toSeq.sortBy(_._1).map {
+    // S41 — mask-debt advisory: standing deletion-vector positions tax
+    // every read (mask loads + batch filtering) until a compaction
+    // materializes them away; when they exceed 10% of the live rows,
+    // surface `advice:compact`. Both numbers are free from the
+    // manifest (dv payload counts, per-dir stats rowcounts). Computed,
+    // not stored — it clears the moment OPTIMIZE lands.
+    val dvAdvisory: Option[(String, String)] = {
+      val dv = ManifestTable.dvOf(fs, dir, head)
+      if (dv.isEmpty) None
+      else {
+        val masked = ManifestTable.dvDeletedRows(dv)
+        val liveStats = ManifestTable.statsOf(fs, dir, head)
+        val counts = ManifestTable.pathsOf(fs, dir, head)
+          .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
+        val physical =
+          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+        physical.filter(p => masked.toDouble >= 0.1 * math.max(1L, p))
+          .map(p => "advice:compact" ->
+            (s"$masked deletion-vector positions stand against $p " +
+              "physical rows — reads pay the mask tax until " +
+              "CALL system.compact materializes them away"))
+      }
+    }
+    val rows = (meta ++ advisory ++ dvAdvisory).toSeq.sortBy(_._1).map {
       case (k, v) =>
         new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow
     }

@@ -30,17 +30,43 @@ object GraftMortonUnbound extends UnboundFunction {
     "morton(c1, lo1, hi1, c2, lo2, hi2, ...) — z-order interleave of " +
       "each column min-max-scaled to 8 bits over [lo, hi]"
 
-  /** Dimension types the function interleaves: integral and date —
-    * the ordinal-able set whose stats strings the write side can parse
-    * back to long bounds without zone machinery. */
+  /** Dimension types the function interleaves. Integral and date
+    * ordinals are exact; timestamps ride their internal micros (bounds
+    * parse from stats strings in the table's pinned stats zone); and
+    * strings map to the big-endian value of their first 7 UTF-8 bytes
+    * (zero-padded — left-aligned so the ordinal is monotone in binary
+    * collation; 7 bytes keeps the unsigned value inside a signed
+    * Long). Real 100-TB cluster keys — event time, host, URL — are
+    * exactly these types; ties beyond 7 bytes cost layout sharpness
+    * only (per-dir stats stay exact, so pruning is never wrong). */
   private[sources] def ordinalable(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType => true
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | StringType => true
     case _ => false
+  }
+
+  /** The 7-byte big-endian prefix ordinal of a string — shared by the
+    * scalar kernel (runtime values) and the write-build bounds parser
+    * (stats strings). */
+  private[sources] def stringOrdinal(bytes: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) {
+      v = (v << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+      i += 1
+    }
+    v
   }
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length >= 3 && inputType.fields.length % 3 == 0,
       s"morton takes (col, lo, hi) triples; got $inputType")
+    // 8 dims × 8 bits = the 64 bits a Long holds; a 9th dimension's
+    // shifts would wrap mod 64 and silently collide bit positions
+    // across dimensions — fail loudly instead of degrading the curve
+    require(inputType.fields.length / 3 <= 8,
+      s"morton interleaves at most 8 dimensions (8 bits each in one " +
+        s"64-bit code); got ${inputType.fields.length / 3}")
     val dims = inputType.fields.grouped(3).map { case Array(c, lo, hi) =>
       require(ordinalable(c.dataType),
         s"morton dimension '${c.name}' has unsupported type ${c.dataType.sql}")
@@ -67,7 +93,9 @@ case class GraftMortonFunction(dims: Array[DataType])
       case ByteType => input.getByte(ord).toLong
       case ShortType => input.getShort(ord).toLong
       case IntegerType | DateType => input.getInt(ord).toLong
-      case LongType => input.getLong(ord)
+      case LongType | TimestampType => input.getLong(ord) // ts = micros
+      case StringType =>
+        GraftMortonUnbound.stringOrdinal(input.getUTF8String(ord).getBytes)
       case other => throw new IllegalStateException(
         s"unreachable morton dimension type $other")
     }

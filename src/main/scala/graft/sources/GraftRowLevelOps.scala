@@ -53,6 +53,19 @@ object GraftRowLevel {
 
   val dirField: StructField = StructField(DirCol, StringType, nullable = false)
 
+  /** Row-identity metadata columns for MERGE-ON-READ delta DML (S41):
+    * the data FILE a row lives in (canonical URI — [[DvStore.keyOf]]
+    * rendering) and its row POSITION within that file (parquet
+    * row-index semantics). Together they are exactly a deletion-vector
+    * record, which is what makes (file, pos) the natural `SupportsDelta`
+    * row id: a delete record IS a mask entry. */
+  val FileCol = "_graft_file"
+  val PosCol = "_graft_pos"
+
+  val fileField: StructField = StructField(FileCol, StringType, nullable = false)
+  val posField: StructField =
+    StructField(PosCol, org.apache.spark.sql.types.LongType, nullable = false)
+
   /** Exposed via `SupportsMetadataColumns` (`SELECT _graft_dir, ...`
     * works as table observability too). Preservation is disabled for
     * CoW writes: the dir a row CAME from is meaningless in the dir
@@ -67,6 +80,29 @@ object GraftRowLevel {
     override def metadataInJSON: String =
       s"""{"${MetadataColumn.PRESERVE_ON_DELETE}": false,
          | "${MetadataColumn.PRESERVE_ON_UPDATE}": false}""".stripMargin
+  }
+
+  /** Unlike [[DirMetadataColumn]], the row-id halves are PRESERVED
+    * (default metadata): Spark's delta rewrites NULLIFY non-preserved
+    * metadata attributes in delete records (`null AS _graft_file`) —
+    * which would erase the row identity the write needs — and
+    * `WriteDelta.outputResolved` then rejects the nullable projection
+    * against the non-nullable row-id attrs. Preservation is what keeps
+    * the (file, pos) values flowing into the delete records. */
+  object FileMetadataColumn extends MetadataColumn {
+    override def name: String = FileCol
+    override def dataType: DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "data file holding this row (merge-on-read row-id half)"
+  }
+
+  object PosMetadataColumn extends MetadataColumn {
+    override def name: String = PosCol
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment: String =
+      "row position within _graft_file (merge-on-read row-id half)"
   }
 
   /** The table's persisted retention, same default as every commit
@@ -382,6 +418,266 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     fs.delete(new Path(table.tableDir, s"rl-$runId"), true): Unit
+}
+
+/** S41 — `SupportsDelta` for MERGE-ON-READ tables (`dml.mode=
+  * merge-on-read`), keyed on POSITION: row id = (`_graft_file`,
+  * `_graft_pos`), which is exactly a deletion-vector record. SQL
+  * DELETE/UPDATE/MERGE therefore commit `mask + one fresh dir` with
+  * write cost ∝ changed rows — zero standing dirs rewritten — instead
+  * of the group copy-on-write rewrite, honoring the contract the
+  * operator declared with `dml.mode` (the Iceberg position-delta
+  * shape). Updates split into delete+insert records
+  * ([[representUpdateAsDeleteAndInsert]]): the mask retires the old
+  * image, the fresh dir carries the new one. */
+class GraftPositionDeltaOperation(table: GraftTable, cmd: Command)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"GraftPositionDelta[${table.tableDir}]"
+
+  /** Plain pruned scan — a delta write touches only rows the condition
+    * matches, so filters push FULLY (dir pruning AND parquet row-group
+    * pruning), and the scan reads through the pinned version's standing
+    * masks (a masked row can never be re-deleted or re-updated). The
+    * row-id metadata columns ride the scan's per-file partition values
+    * (`_graft_file`) and the parquet row-index channel (`_graft_pos`). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = table.pinnedV.getOrElse(throw new IllegalArgumentException(
+      s"no committed graft table at ${table.tableDir}"))
+    import scala.jdk.CollectionConverters._
+    GraftScanBuilder(table.tableDir, v, table.schema(),
+      options.asCaseSensitiveMap().asScala.toMap)
+  }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftRowLevel.FileCol),
+    Expressions.column(GraftRowLevel.PosCol))
+
+  /** NO metadata attributes: the dv channel's per-commit-dir key is
+    * derived from the file path at commit time (a file's parent IS its
+    * commit dir). Requesting `_graft_dir` here would be wrong anyway —
+    * it declares PRESERVE_ON_DELETE=false for the group-CoW path, so
+    * Spark's delta rewrite would nullify it in every delete record. */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  /** A position cannot be "updated" — the old position masks out and
+    * the new image appends (Spark splits updates into delete+insert
+    * records for us). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftPositionDeltaWrite(table, info)
+    }
+}
+
+/** The MoR delta write: executor task writers stage the changeset
+  * (delete records = (dir, file, pos); insert records = fresh row
+  * images), commit turns delete records into `_dv/<name>/d=<i>`
+  * position parquet and insert records into ONE fresh data dir, and
+  * publishes both through [[ManifestTable.publishMorDelta]] — the same
+  * commit (and the same conflict guards) the direct
+  * `deleteWhereMoR`/`updateWhereMoR` API uses. */
+class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
+    extends DeltaWrite with DeltaBatchWrite {
+
+  private val runId = java.util.UUID.randomUUID().toString.take(8)
+  private val stageRel = s"rl-$runId/stage"
+  private val pubRel = s"rl-$runId/pub"
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = new Path(table.tableDir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Table columns nullable (delete records carry only identity), then
+    * file/pos (null on inserts), then the marker. */
+  private val changesetSchema: StructType = StructType(
+    table.schema().fields.map(_.copy(nullable = true)) ++ Seq(
+      StructField(GraftRowLevel.FileCol, StringType, nullable = true),
+      StructField(GraftRowLevel.PosCol,
+        org.apache.spark.sql.types.LongType, nullable = true),
+      StructField(GraftDeltaWrite.ChangeCol, IntegerType, nullable = false)))
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory = {
+    val tableFields = table.schema()
+    val rowMap = this.info.schema().fieldNames.map(tableFields.fieldIndex)
+    val rowTypes = this.info.schema().fields.map(_.dataType)
+    GraftPositionDeltaWriterFactory(s"${table.tableDir}/$stageRel",
+      GraftTaskWriters.writeConf(spark, changesetSchema),
+      rowMap, rowTypes, tableFields.length)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val dir = table.tableDir
+    val files = messages.collect { case m: GraftTaskCommit if m.rows > 0 => m }
+    try {
+      if (files.isEmpty) return // no-op DML: nothing matched, nothing landed
+      GraftTaskWriters.publishNamed(fs, new Path(dir, stageRel),
+        new Path(dir, pubRel), files.map(m => new Path(m.file).getName).toSeq)
+      val baseV = table.pinnedV.getOrElse(
+        throw new IllegalStateException(s"no committed graft table at $dir"))
+      val tableSchema = table.schema()
+      val marker = col(GraftDeltaWrite.ChangeCol)
+      val cs = spark.read.schema(changesetSchema).parquet(s"$dir/$pubRel")
+      // a file's PARENT is its commit dir — the dv channel's key
+      // (derived here rather than carried as a metadata column, see
+      // requiredMetadataAttributes)
+      val deletes = cs.filter(marker === 1).select(
+        org.apache.spark.sql.functions.regexp_replace(
+          col(GraftRowLevel.FileCol), "/[^/]*$", "").as("__graft_parent"),
+        col(GraftRowLevel.FileCol).as("path"),
+        col(GraftRowLevel.PosCol).as("pos"))
+      // touched dirs: the DISTINCT parent dirs among delete records —
+      // dir-granular metadata (bounded by the table's dir count), not
+      // row-scale data, so the collect is manifest-sized by nature
+      val parents = deletes.select(col("__graft_parent")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      // parent (qualified URI) → the manifest's own relPath entry
+      val parentToRel = ManifestTable.pathsOf(fs, dir, baseV).map(p =>
+        fs.makeQualified(new Path(ManifestTable.absPath(dir, p)))
+          .toString -> p).toMap
+      val touched = parents.map(par => parentToRel.getOrElse(par,
+        throw new IllegalStateException(
+          s"delta delete names $par, which is no commit dir of $dir@v$baseV")))
+      val dvName = "dv-" + java.util.UUID.randomUUID().toString.take(8)
+      val dvRel = s"${ManifestTable.DvDirName}/$dvName"
+      var counts = Map.empty[Int, Long]
+      if (touched.nonEmpty) {
+        val ords = broadcast(spark.createDataFrame(
+          parents.zipWithIndex.map { case (p, i) => (p, i) })
+          .toDF("__graft_ord_dir", "d"))
+        deletes.join(ords, col("__graft_parent") === col("__graft_ord_dir"))
+          .select(col("path"), col("pos"), col("d"))
+          .write.partitionBy("d").parquet(s"$dir/$dvRel")
+        counts = spark.read
+          .schema(StructType(ManifestTable.DvSchema.fields :+
+            StructField("d", IntegerType)))
+          .parquet(s"$dir/$dvRel")
+          .groupBy("d").count().collect()
+          .map(r => r.getAs[Number]("d").intValue -> r.getAs[Long]("count"))
+          .toMap
+      }
+      // insert records → ONE fresh images dir, with the same
+      // stats/CHECK treatment as every rewrite output
+      val baseStats = ManifestTable.statsOf(fs, dir, baseV)
+      val statsBasis =
+        if (touched.nonEmpty) touched
+        else ManifestTable.pathsOf(fs, dir, baseV)
+      val statsCols = tableSchema.fieldNames.filter(c => statsBasis.exists(p =>
+        baseStats.get(p).exists(ManifestTable.statsFor(_, c).isDefined)))
+        .toSeq
+      val inserts = cs.filter(marker === 0)
+        .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+      var boundChecks: Set[String] = Set.empty
+      val cid = "pd-" + java.util.UUID.randomUUID().toString.take(8)
+      val (checked, bc) =
+        GraftManifestSource.bindDeclaredChecks(inserts, dir)
+      boundChecks = bc
+      val obs = org.apache.spark.sql.Observation()
+      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"min:$c"),
+        max(col(c)).cast("string").as(s"max:$c")))
+      ManifestTable.writePhysical(
+        checked.observe(obs, aggs.head, aggs.tail: _*),
+        ManifestTable.colMapOf(fs, dir, baseV))
+        .write.parquet(s"$dir/$cid")
+      val m = obs.get
+      val insertedRows = m("rows").asInstanceOf[Long]
+      val cidAndPayload: Option[(String, Option[String])] =
+        if (insertedRows == 0L) {
+          fs.delete(new Path(dir, cid), true): Unit
+          None
+        } else Some((cid, Some((Seq(insertedRows.toString) ++
+          statsCols.flatMap(c => Seq(ManifestTable.encTok(c),
+            ManifestTable.encTok(m(s"min:$c")),
+            ManifestTable.encTok(m(s"max:$c"))))).mkString("\t"))))
+      if (counts.valuesIterator.sum == 0L && cidAndPayload.isEmpty) {
+        fs.delete(new Path(dir, dvRel), true): Unit
+        return // provable no-op: no masks, no images
+      }
+      val stagedCdc = ManifestTable.stageMorDeltaCdc(spark, dir, baseV,
+        touched, deletes.select(col("path"), col("pos")),
+        cidAndPayload.map(_ => inserts))
+      ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
+        counts, cidAndPayload, tableSchema, statsCols, boundChecks,
+        stagedCdc, GraftRowLevel.retainOf(table)): Unit
+    } finally {
+      fs.delete(new Path(dir, s"rl-$runId"), true): Unit
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    fs.delete(new Path(table.tableDir, s"rl-$runId"), true): Unit
+}
+
+case class GraftPositionDeltaWriterFactory(stageDir: String,
+    conf: SerializableConfiguration, rowMap: Array[Int],
+    rowTypes: Array[DataType], nTable: Int)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new GraftPositionDeltaTaskWriter(
+      s"$stageDir/part-$partitionId-$taskId-" +
+        java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
+      conf.value, rowMap, rowTypes, nTable)
+}
+
+/** One task's MoR changeset writer: delete records carry (dir, file,
+  * pos) from the operation's metadata/row-id projections; insert
+  * records carry the fresh row image. Rows are consumed synchronously
+  * by the parquet write support, so Spark's per-record row reuse is
+  * safe. */
+class GraftPositionDeltaTaskWriter(path: String,
+    conf: org.apache.hadoop.conf.Configuration, rowMap: Array[Int],
+    rowTypes: Array[DataType], nTable: Int)
+    extends DeltaWriter[InternalRow] {
+
+  private val inner = new GraftTaskWriter(path, conf)
+  private val markerOrd = nTable + 2
+
+  private def emit(marker: Int)(fill: GenericInternalRow => Unit): Unit = {
+    val out = new GenericInternalRow(markerOrd + 1)
+    fill(out)
+    out.update(markerOrd, marker)
+    inner.write(out)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    emit(1) { out =>
+      out.update(nTable, id.get(0, StringType))           // _graft_file
+      out.update(nTable + 1,
+        id.get(1, org.apache.spark.sql.types.LongType))   // _graft_pos
+    }
+
+  override def insert(row: InternalRow): Unit =
+    emit(0) { out =>
+      var i = 0
+      while (i < rowMap.length) {
+        out.update(rowMap(i), row.get(i, rowTypes(i)))
+        i += 1
+      }
+    }
+
+  /** Unreachable under `representUpdateAsDeleteAndInsert = true`
+    * (Spark pre-splits updates); decomposed here anyway for safety. */
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 case class GraftDeltaWriterFactory(stageDir: String,

@@ -177,19 +177,29 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
 
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftRowLevel.DirMetadataColumn)
+    Array(GraftRowLevel.DirMetadataColumn,
+      GraftRowLevel.FileMetadataColumn, GraftRowLevel.PosMetadataColumn)
 
   /** Native row-level operations (Spark's own DELETE/UPDATE/MERGE
-    * rewrites): S31 bucketed tables take the DELTA path (row-id = the
-    * bucket key, applied through the O(changeset) merge kernel); every
-    * other table takes group-based copy-on-write at commit-dir
-    * granularity, with runtime group filtering reproducing the
-    * stats-pruned dir carrying the extension kernels did. */
+    * rewrites), routed by the table's declared contract:
+    *  - S31 bucketed tables take the KEY-delta path (row-id = the
+    *    bucket key, applied through the O(changeset) merge kernel);
+    *  - `dml.mode=merge-on-read` tables take the POSITION-delta path
+    *    (row-id = (file, row position)): DML commits masks + one fresh
+    *    dir, zero standing dirs rewritten — SQL UPDATE/MERGE honor the
+    *    declared MoR contract exactly like DELETE does (S41);
+    *  - every other table takes group-based copy-on-write at
+    *    commit-dir granularity, with runtime group filtering
+    *    reproducing the stats-pruned dir carrying the extension
+    *    kernels did. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     () => bucketedKey match {
       case Some(k) => new GraftDeltaOperation(this, info.command, k)
+      case None if tableProps.get("dml.mode")
+          .exists(_.equalsIgnoreCase("merge-on-read")) =>
+        new GraftPositionDeltaOperation(this, info.command)
       case None => new GraftGroupOperation(this, info.command)
     }
 
@@ -371,11 +381,26 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       val paths = ManifestTable.pathsOf(fs, tableDir, head)
       if (paths.isEmpty) return None
       val stats = ManifestTable.statsOf(fs, tableDir, head)
+      // the zone TIMESTAMP stats strings render in — pinned by the
+      // first ts-stats writer, not this session's (bounds parsed in
+      // the wrong zone shift the domain; clamping keeps that a layout
+      // nuance, but parse right anyway)
+      lazy val statsZone =
+        ManifestTable.statsZoneOf(spark, fs, tableDir, head)
       def ordinalOf(dt: org.apache.spark.sql.types.DataType,
                     s: String): Option[Long] = dt match {
         case org.apache.spark.sql.types.DateType =>
           try Some(java.time.LocalDate.parse(s).toEpochDay)
           catch { case _: java.time.format.DateTimeParseException => None }
+        case org.apache.spark.sql.types.TimestampType =>
+          try {
+            val ins = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+              .atZone(statsZone).toInstant
+            Some(ins.getEpochSecond * 1000000L + ins.getNano / 1000L)
+          } catch { case _: java.time.format.DateTimeParseException => None }
+        case org.apache.spark.sql.types.StringType =>
+          Some(GraftMortonUnbound.stringOrdinal(
+            s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
         case _ => s.toLongOption
       }
       val args = cluster.map { c =>
@@ -649,15 +674,22 @@ case class GraftScanBuilder(tableDir: String, version: Long,
   }
 
   override def build(): Scan = {
-    // `_graft_dir` is a metadata column, not parquet data: strip it
-    // from the read schema and let the scan re-emit it per file via
-    // the partition-values channel
-    val emitDir = readSchema.fieldNames.contains(GraftRowLevel.DirCol)
+    // `_graft_dir`/`_graft_file`/`_graft_pos` are metadata columns, not
+    // parquet data: strip them from the read schema and let the scan
+    // re-emit them — dir and file per file via the partition-values
+    // channel, pos via the parquet row-index column
+    val metaCols = Set(GraftRowLevel.DirCol, GraftRowLevel.FileCol,
+      GraftRowLevel.PosCol)
+    val requested = readSchema.fieldNames.filter(metaCols).toSet
     val dataSchema =
-      if (!emitDir) readSchema
-      else StructType(readSchema.fields.filterNot(_.name == GraftRowLevel.DirCol))
+      if (requested.isEmpty) readSchema
+      else StructType(readSchema.fields.filterNot(f => metaCols(f.name)))
     new GraftScan(tableDir, version, tableSchema, dataSchema, filters, agg,
-      limit.filter(_ => filters.isEmpty), scanOptions, emitDir, rowLevel)
+      limit.filter(_ => filters.isEmpty), scanOptions,
+      emitDir = requested(GraftRowLevel.DirCol),
+      rowLevel = rowLevel,
+      emitFile = requested(GraftRowLevel.FileCol),
+      emitPos = requested(GraftRowLevel.PosCol))
   }
 }
 
@@ -672,7 +704,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
                 limit: Option[Int] = None,
                 streamOptions: Map[String, String] = Map.empty,
                 emitDir: Boolean = false,
-                rowLevel: Option[GraftGroupOperation] = None)
+                rowLevel: Option[GraftGroupOperation] = None,
+                emitFile: Boolean = false,
+                emitPos: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -719,10 +753,16 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     keptPathsCache
   }
 
-  override def readSchema(): StructType = agg.map(_._1).getOrElse {
-    if (emitDir) StructType(requiredSchema.fields :+ GraftRowLevel.dirField)
-    else requiredSchema
-  }
+  /** Requested metadata fields in the scan's CANONICAL emit order
+    * (dir, file, pos) — [[readSchema]], the partition-values schema and
+    * the reader projection all derive from this one list. */
+  private def metaFields: Seq[StructField] =
+    (if (emitDir) Seq(GraftRowLevel.dirField) else Seq.empty) ++
+    (if (emitFile) Seq(GraftRowLevel.fileField) else Seq.empty) ++
+    (if (emitPos) Seq(GraftRowLevel.posField) else Seq.empty)
+
+  override def readSchema(): StructType = agg.map(_._1).getOrElse(
+    StructType(requiredSchema.fields ++ metaFields))
 
   override def toBatch: Batch = this
 
@@ -788,7 +828,8 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     * equi-join of two co-bucketed tables plans with ZERO shuffle
     * (`spark.sql.sources.v2.bucketing.enabled=true`). */
   @transient private lazy val spjGeometry: Option[(String, Int)] =
-    if (agg.isDefined || limit.isDefined || rowLevel.isDefined || emitDir)
+    if (agg.isDefined || limit.isDefined || rowLevel.isDefined || emitDir ||
+        emitFile || emitPos)
       None
     else MergeInto.bucketedGeometry(spark, tableDir)
       .filter(_ => plannedPaths.forall(bucketIdOf(_).isDefined))
@@ -810,6 +851,22 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
           .UnknownPartitioning(0)
     }
 
+  /** Per-file partition-values row for the constant-per-file metadata
+    * columns the scan emits (dir and/or file — pos is NOT constant and
+    * rides the parquet row-index channel instead). File values render
+    * via [[DvStore.keyOf]] so a mask a DML write stages from
+    * `_graft_file` matches every read surface's probe key. */
+  private def pvOf(rel: String, st: FileStatus): InternalRow = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val vals =
+      (if (emitDir) Seq(UTF8String.fromString(rel)) else Seq.empty) ++
+      (if (emitFile) Seq(UTF8String.fromString(DvStore.keyOf(st.getPath)))
+       else Seq.empty)
+    if (vals.isEmpty) InternalRow.empty else InternalRow(vals: _*)
+  }
+
+  private def emitAnyPerFile: Boolean = emitDir || emitFile
+
   override def planInputPartitions(): Array[InputPartition] = agg match {
     case Some((_, row)) => Array(GraftAggPartition(row))
     case None =>
@@ -821,19 +878,16 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       if (planned.exists(dvByPath.contains)) {
         // S41 — dv'd dirs plan ONE PARTITION PER FILE carrying the
         // file's canonical key, so the reader wrapper can look up its
-        // mask; clean dirs pack normally (and keep columnar reads)
-        def pv(rel: String): InternalRow =
-          if (emitDir) InternalRow(
-            org.apache.spark.unsafe.types.UTF8String.fromString(rel))
-          else InternalRow.empty
+        // mask (and walk positions monotonically within the one file);
+        // clean dirs pack normally and keep zero-copy columnar reads
         val (dirty, clean) = GraftParquetRead
           .listFilesWithDir(spark, tableDir, planned)
           .partition { case (rel, _) => dvByPath.contains(rel) }
         val cleanParts = GraftParquetRead.packPartitionsWithValues(spark,
-          clean.map { case (rel, st) => (pv(rel), st) })
+          clean.map { case (rel, st) => (pvOf(rel, st), st) })
         val dirtyParts = dirty.zipWithIndex.map { case ((rel, st), i) =>
           new GraftDvFilePartition(cleanParts.length + i,
-            Array(PartitionedFile(pv(rel),
+            Array(PartitionedFile(pvOf(rel, st),
               org.apache.spark.paths.SparkPath.fromPath(st.getPath),
               0L, st.getLen, Array.empty,
               st.getModificationTime, st.getLen, Map.empty)),
@@ -845,11 +899,10 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         }
         cleanParts ++ dirtyParts
       }
-      else if (emitDir)
+      else if (emitAnyPerFile)
         GraftParquetRead.packPartitionsWithValues(spark,
           GraftParquetRead.listFilesWithDir(spark, tableDir, planned).map {
-            case (rel, st) => (InternalRow(
-              org.apache.spark.unsafe.types.UTF8String.fromString(rel)), st)
+            case (rel, st) => (pvOf(rel, st), st)
           })
       else if (spjGeometry.isDefined) {
         // bucket-aligned planning: each bucket dir = one partition
@@ -871,39 +924,45 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = agg match {
     case Some(_) => GraftAggReaderFactory
     case None =>
-      // group mode must return EVERY row of a surviving dir (rows the
-      // condition does not match are COPIED by the CoW rewrite), so
-      // the pushed filters may prune whole dirs but must not reach
-      // parquet's row-group pruning
-      // under a column mapping the row-group-pruning filters reference
-      // LOGICAL names no file stores — drop them (pruning is I/O-only;
-      // Spark re-applies every predicate above the scan)
+      // GROUP mode must return EVERY row of a surviving dir — rows the
+      // condition does NOT match are COPIED into the replacement dir
+      // by the CoW rewrite, and a row group skipped by predicate
+      // pruning would silently lose its copied rows. So a group scan's
+      // pushed filters prune whole dirs only, never parquet row
+      // groups. (Delta-operation scans are plain scans and push
+      // fully.) Under a column mapping the filters reference LOGICAL
+      // names no file stores — TRANSLATE attribute names to physical
+      // (S42: a renamed table keeps row-group pruning forever) instead
+      // of dropping the filters.
       val effFilters =
-        if (rowLevel.isDefined || colMap.nonEmpty) Array.empty[Filter]
-        else filters
-      val partSchema =
-        if (emitDir) StructType(Seq(GraftRowLevel.dirField))
-        else new StructType()
+        if (rowLevel.isDefined) Array.empty[Filter]
+        else GraftFilterXlate.toPhysical(filters, colMap)
+      val partSchema = StructType(
+        (if (emitDir) Seq(GraftRowLevel.dirField) else Seq.empty) ++
+        (if (emitFile) Seq(GraftRowLevel.fileField) else Seq.empty))
       val base = GraftParquetRead.readerFactory(spark,
         ManifestTable.toPhysical(tableSchema, colMap),
         ManifestTable.toPhysical(requiredSchema, colMap),
         effFilters, partSchema)
       val dirty = plannedPaths.filter(dvByPath.contains)
-      if (dirty.isEmpty) base
+      if (dirty.isEmpty && !emitPos) base
       else {
         // positions load ONCE on the driver and ship with the factory
         // when they fit the cap; past it, each reader loads ITS file's
         // mask executor-side (unbounded scale, per-task I/O = the dv
-        // dirs of one commit dir). dv'd partitions read through a
-        // second factory whose schema appends the parquet row-index
-        // temp column, filter masked positions with a pointer walk
-        // (positions sorted, row indexes arrive increasing), and
-        // project the temp column away
+        // dirs of one commit dir). Masked (and pos-emitting) partitions
+        // read through a second factory whose schema appends the
+        // parquet row-index temp column; readers drop masked positions
+        // with a pointer walk (positions sorted, row indexes arrive
+        // increasing within a file) and either project the temp column
+        // away or surface it as `_graft_pos`.
         val conf = spark.sessionState.newHadoopConf()
         val dvDirs = dirty.flatMap(p =>
           ManifestTable.dvEntries(dvByPath(p)).map(_._1)).distinct
           .map(d => new Path(ManifestTable.absPath(tableDir, d)))
-        val masksOpt = DvStore.tryReadPositions(conf, dvDirs)
+        val masksOpt =
+          if (dirty.isEmpty) Some(Map.empty[String, Array[Long]])
+          else DvStore.tryReadPositions(conf, dvDirs)
         val masks = masksOpt.getOrElse(Map.empty)
         // nullable, like Spark's own ROW_INDEX_FIELD: the reader's
         // missing-column check throws for required absent columns; the
@@ -915,11 +974,19 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         val ext = GraftParquetRead.readerFactory(spark,
           ManifestTable.toPhysical(tableSchema, colMap),
           extSchema, effFilters, partSchema)
-        val outFields = requiredSchema.fields ++ partSchema.fields
+        // projection geometry: the ext reader's rows arrive as
+        // [data(n), rowIdx, partCols...]; the scan's output order is
+        // [data(n), partCols..., pos?]
+        val nData = requiredSchema.length
+        val outFields = requiredSchema.fields ++ partSchema.fields ++
+          (if (emitPos) Seq(GraftRowLevel.posField) else Seq.empty)
+        val bound = ((0 until nData) ++
+          partSchema.fields.indices.map(nData + 1 + _) ++
+          (if (emitPos) Seq(nData) else Seq.empty)).toArray
         GraftDvReaderFactory(base, ext, masks,
           driverLoaded = masksOpt.isDefined,
-          new SerializableConfiguration(conf), requiredSchema.length,
-          outFields.map(_.dataType), outFields.map(_.nullable))
+          new SerializableConfiguration(conf), nData, bound,
+          outFields.map(_.dataType), outFields.map(_.nullable), emitPos)
       }
   }
 
@@ -933,7 +1000,7 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       "versionAsOf is batch time travel; a streaming read tails the " +
         "LIVE table — use startingVersion to choose where the tail begins")
     new GraftMicroBatchStream(tableDir, tableSchema, requiredSchema,
-      filters, streamOptions)
+      filters, streamOptions, version)
   }
 
   /** Post-pruning size, and a row count when every surviving dir has
@@ -1079,65 +1146,214 @@ class GraftDvFilePartition(idx: Int, partFiles: Array[PartitionedFile],
                            val dvDirs: Seq[String] = Seq.empty)
     extends FilePartition(idx, partFiles)
 
-/** S41 — the dv-aware reader factory: dv'd partitions read row-based
-  * through `ext` (whose schema appends Spark's parquet row-index temp
-  * column — the same channel `_metadata.row_index` rides), drop rows
-  * whose position the file's mask lists, and project the temp column
-  * away; every other partition delegates to the plain factory. Masks
-  * ship from the driver when they fit the cap (`driverLoaded`, one
-  * read for the whole scan); otherwise each reader loads its own
-  * file's positions from its partition's dv dirs — per-task I/O
-  * bounded by one commit dir's masks, scale bounded by nothing. */
+/** S41 — the dv-aware reader factory: dv'd partitions read through
+  * `ext` (whose schema appends Spark's parquet row-index temp column —
+  * the same channel `_metadata.row_index` rides), drop rows whose
+  * position the file's mask lists, and project the temp column away
+  * (or surface it as `_graft_pos` when the scan asked for positions —
+  * the MoR delta-DML row id). Every other partition delegates to the
+  * plain factory, except that pos-emitting scans route ALL partitions
+  * through `ext`. Masks ship from the driver when they fit the cap
+  * (`driverLoaded`, one read for the whole scan); otherwise each
+  * reader loads its own file's positions from its partition's dv
+  * dirs — per-task I/O bounded by one commit dir's masks, scale
+  * bounded by nothing.
+  *
+  * Columnar: supported whenever both parquet factories support it and
+  * no positions are being emitted. Clean partitions serve Spark's own
+  * `ColumnarBatch`es zero-copy; a masked partition's batches are
+  * filtered IN PLACE by a selection-vector wrapper
+  * ([[GraftSelectedColumnVector]]) — so one 1-row merge-on-read DELETE
+  * no longer demotes a 100-TB table's whole scan to row-based reads
+  * until the next compaction. */
 case class GraftDvReaderFactory(clean: PartitionReaderFactory,
     ext: PartitionReaderFactory, masks: Map[String, Array[Long]],
     driverLoaded: Boolean, conf: SerializableConfiguration,
-    rowIdxOrd: Int, outTypes: Array[DataType], outNullable: Array[Boolean])
+    rowIdxOrd: Int, boundOrds: Array[Int],
+    outTypes: Array[DataType], outNullable: Array[Boolean],
+    emitPos: Boolean = false)
     extends PartitionReaderFactory {
+
+  private def maskOf(d: GraftDvFilePartition): Array[Long] =
+    if (driverLoaded) masks.getOrElse(d.fileKey, Array.emptyLongArray)
+    else DvStore.positionsForFile(conf.value,
+      d.dvDirs.map(new Path(_)), d.fileKey)
+
+  private def filteredRows(inner: PartitionReader[InternalRow],
+                           mask: Array[Long]): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      // copying projection (UnsafeProjection): the filtered rows
+      // leave this reader materialized, so an inner reader reusing
+      // its row buffer stays safe
+      private val proj = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(
+          outTypes.zipWithIndex.map { case (dt, i) =>
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              boundOrds(i), dt, outNullable(i))
+          }.toIndexedSeq)
+      private var mi = 0
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (mask.isEmpty) { cur = r; return true }
+          val idx = r.getLong(rowIdxOrd)
+          while (mi < mask.length && mask(mi) < idx) mi += 1
+          if (mi >= mask.length || mask(mi) != idx) { cur = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(cur)
+      override def close(): Unit = inner.close()
+    }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case d: GraftDvFilePartition =>
-        val inner = ext.createReader(d)
-        val mask =
-          if (driverLoaded) masks.getOrElse(d.fileKey, Array.emptyLongArray)
-          else DvStore.positionsForFile(conf.value,
-            d.dvDirs.map(new Path(_)), d.fileKey)
-        new PartitionReader[InternalRow] {
-          // copying projection (UnsafeProjection): the filtered rows
-          // leave this reader materialized, so an inner reader reusing
-          // its row buffer stays safe
-          private val proj = org.apache.spark.sql.catalyst.expressions
-            .UnsafeProjection.create(
-              outTypes.zipWithIndex.map { case (dt, i) =>
-                org.apache.spark.sql.catalyst.expressions.BoundReference(
-                  if (i < rowIdxOrd) i else i + 1, dt, outNullable(i))
-              }.toIndexedSeq)
-          private var mi = 0
-          private var cur: InternalRow = _
-          override def next(): Boolean = {
-            while (inner.next()) {
-              val r = inner.get()
-              val idx = r.getLong(rowIdxOrd)
-              while (mi < mask.length && mask(mi) < idx) mi += 1
-              if (mi >= mask.length || mask(mi) != idx) { cur = r; return true }
-            }
-            false
-          }
-          override def get(): InternalRow = proj(cur)
-          override def close(): Unit = inner.close()
-        }
+        filteredRows(ext.createReader(d), maskOf(d))
+      // pos-emitting scans read every partition through the row-index
+      // factory (clean packed partitions too — the walk is a no-op)
+      case other if emitPos =>
+        filteredRows(ext.createReader(other), Array.emptyLongArray)
       case other => clean.createReader(other)
     }
 
-  /** Row-based for EVERY partition: Spark refuses a scan mixing
-    * columnar and row partitions, so the presence of any masked file
-    * demotes the whole scan (the masked state is transient — the next
-    * compaction materializes it and columnar reads return). */
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+  /** Columnar whenever the underlying parquet factories are (their
+    * answer is conf/schema-based, identical for every partition, so the
+    * scan never mixes row and columnar partitions) and the scan is not
+    * emitting row positions. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !emitPos && clean.supportColumnarReads(p) && ext.supportColumnarReads(p)
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    clean.createColumnarReader(p)
+    p match {
+      case d: GraftDvFilePartition =>
+        import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+        val inner = ext.createColumnarReader(d)
+        val mask = maskOf(d)
+        new PartitionReader[ColumnarBatch] {
+          private var mi = 0
+          private var cur: ColumnarBatch = _
+          override def next(): Boolean = {
+            while (inner.next()) {
+              val b = inner.get()
+              val n = b.numRows()
+              val idxCol = b.column(rowIdxOrd)
+              // selection vector: surviving ordinals of this batch
+              // (one pointer walk — positions sorted, indexes increasing)
+              val sel = new Array[Int](n)
+              var k = 0
+              var r = 0
+              while (r < n) {
+                val idx = idxCol.getLong(r)
+                while (mi < mask.length && mask(mi) < idx) mi += 1
+                if (mi >= mask.length || mask(mi) != idx) { sel(k) = r; k += 1 }
+                r += 1
+              }
+              val outCols: Array[ColumnVector] = boundOrds.map { o =>
+                val src = b.column(o)
+                if (k == n) src
+                else new GraftSelectedColumnVector(src, sel): ColumnVector
+              }
+              cur = new ColumnarBatch(outCols, k)
+              return true
+            }
+            false
+          }
+          override def get(): ColumnarBatch = cur
+          override def close(): Unit = inner.close()
+        }
+      case other => clean.createColumnarReader(other)
+    }
+}
+
+/** A read-only selection-vector view over a `ColumnVector`: row `i` of
+  * this vector is row `sel(i)` of `base`. Filtering a masked file's
+  * `ColumnarBatch` this way keeps the scan columnar (no per-row
+  * materialization; downstream whole-stage codegen reads through the
+  * indirection) — OSS Spark's `ColumnarBatch` carries no native
+  * selection vector, so the remap lives in the vector view, the same
+  * move engines with deletion-vector-aware vectorized readers make.
+  * Struct children remap through [[getChild]]; array/map getters
+  * delegate with the remapped ordinal and return base-coordinate
+  * views, which are self-contained. Lifecycle belongs to the inner
+  * reader's batch — [[close]] is a no-op so per-batch wrappers can
+  * never double-free the reused backing vectors. */
+private[sources] class GraftSelectedColumnVector(
+    base: org.apache.spark.sql.vectorized.ColumnVector, sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(base.dataType()) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls() // upper bound: hint only
+  override def isNullAt(i: Int): Boolean = base.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = base.getByte(sel(i))
+  override def getShort(i: Int): Short = base.getShort(sel(i))
+  override def getInt(i: Int): Int = base.getInt(sel(i))
+  override def getLong(i: Int): Long = base.getLong(sel(i))
+  override def getFloat(i: Int): Float = base.getFloat(sel(i))
+  override def getDouble(i: Int): Double = base.getDouble(sel(i))
+  override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+    base.getArray(sel(i))
+  override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+    base.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = base.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = base.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(sel(i))
+  override def getChild(ordinal: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    new GraftSelectedColumnVector(base.getChild(ordinal), sel)
+}
+
+/** S42 — V1 `Filter` trees re-keyed logical→physical so parquet
+  * row-group pruning keeps working after RENAME COLUMN (data files
+  * store PHYSICAL names; the pushed filters reference logical ones).
+  * Strictly safe by construction: translation is pruning-only (Spark
+  * re-applies every predicate above the scan), and any subtree with an
+  * untranslatable node drops its WHOLE top-level conjunct — never a
+  * weakened child under a `Not`, whose negation would prune wrongly. */
+private[sources] object GraftFilterXlate {
+  import org.apache.spark.sql.sources._
+
+  def toPhysical(filters: Array[Filter],
+                 cmap: Map[String, String]): Array[Filter] =
+    if (cmap.isEmpty) filters else filters.flatMap(xlate(_, cmap))
+
+  /** One attribute reference: top-level rename applies to the leading
+    * path segment of a nested reference too (struct fields keep their
+    * inner names — only the column itself can be renamed). */
+  private def ref(n: String, cmap: Map[String, String]): String =
+    cmap.get(n).getOrElse {
+      val i = n.indexOf('.')
+      if (i > 0 && cmap.contains(n.take(i))) cmap(n.take(i)) + n.drop(i)
+      else n
+    }
+
+  private def xlate(f: Filter, cmap: Map[String, String]): Option[Filter] =
+    f match {
+      case EqualTo(a, v) => Some(EqualTo(ref(a, cmap), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(ref(a, cmap), v))
+      case GreaterThan(a, v) => Some(GreaterThan(ref(a, cmap), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(ref(a, cmap), v))
+      case LessThan(a, v) => Some(LessThan(ref(a, cmap), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(ref(a, cmap), v))
+      case In(a, vs) => Some(In(ref(a, cmap), vs))
+      case IsNull(a) => Some(IsNull(ref(a, cmap)))
+      case IsNotNull(a) => Some(IsNotNull(ref(a, cmap)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(ref(a, cmap), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(ref(a, cmap), v))
+      case StringContains(a, v) => Some(StringContains(ref(a, cmap), v))
+      case And(l, r) =>
+        for { a <- xlate(l, cmap); b <- xlate(r, cmap) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- xlate(l, cmap); b <- xlate(r, cmap) } yield Or(a, b)
+      case Not(c) => xlate(c, cmap).map(Not)
+      case AlwaysTrue() | AlwaysFalse() => Some(f)
+      case _ => None // unknown shape: drop the conjunct (pruning-only)
+    }
 }
 
 /** The parquet read kernel shared by the batch scan and the streaming
@@ -1280,7 +1496,8 @@ case class GraftStreamOffset(version: Long)
 class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
                             requiredSchema: StructType,
                             filters: Array[Filter],
-                            options: Map[String, String])
+                            options: Map[String, String],
+                            schemaVersion: Long = 0L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1411,19 +1628,53 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
           "APPENDS; use the change feed (readChangeFeed) for row-level " +
           "deletes, or option ignoreChanges=true to skip them")
     val added = endPaths.filterNot(startPaths).sorted
+    lastPlannedEnd = e
     GraftParquetRead.packPartitions(spark,
       GraftParquetRead.listFiles(spark, tableDir, added))
   }
 
+  /** The end version of the most recently planned batch — set by
+    * [[planInputPartitions]] before the engine asks for the factory
+    * (both driver-side, in order), so schema evolution is validated
+    * against the version whose files the batch actually reads. */
+  @volatile private var lastPlannedEnd: Long = 0L
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // physical names under a column mapping (data files never rename);
-    // pruning filters reference logical names — drop them then
-    val cmap = ManifestTable.headVersion(spark, tableDir)
-      .map(ManifestTable.colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
+    // Physical names under a column mapping: resolve through the map
+    // captured at the STREAM'S OWN pinned version — physical parquet
+    // names are frozen at column creation, so that resolution stays
+    // correct for every dir this stream will ever read, including dirs
+    // committed after later renames. (Resolving through the LIVE head
+    // instead would silently null a column renamed twice mid-stream —
+    // the stream's logical name stops being a cmap key.)
+    val cmap =
+      if (schemaVersion <= 0L) Map.empty[String, String]
+      else ManifestTable.colMapOf(fs, tableDir, schemaVersion)
+    // fail LOUDLY when the batch-end version no longer serves a
+    // stream-schema field's physical name (dropped, or the table was
+    // replaced) — a silent all-null column is the one unacceptable
+    // outcome
+    val checkV = if (lastPlannedEnd > 0L) Some(lastPlannedEnd)
+                 else ManifestTable.headVersion(spark, tableDir)
+    for {
+      v <- checkV
+      decl <- ManifestTable.declaredSchemaOf(spark, tableDir, v)
+    } {
+      val valid = ManifestTable.toPhysical(decl,
+        ManifestTable.colMapOf(fs, tableDir, v)).fieldNames.toSet
+      val gone = tableSchema.fieldNames
+        .filterNot(n => valid.contains(cmap.getOrElse(n, n)))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"graft stream at $tableDir: column(s) ${gone.mkString(", ")} " +
+            s"of the stream's schema no longer resolve at version $v " +
+            "(dropped or renamed since the stream started) — restart " +
+            "the query to pick up the evolved schema")
+    }
     GraftParquetRead.readerFactory(spark,
       ManifestTable.toPhysical(tableSchema, cmap),
       ManifestTable.toPhysical(requiredSchema, cmap),
-      if (cmap.isEmpty) filters else Array.empty)
+      GraftFilterXlate.toPhysical(filters, cmap))
   }
 
   override def commit(end: Offset): Unit = ()

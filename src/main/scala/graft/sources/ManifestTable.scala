@@ -87,12 +87,12 @@ object ManifestTable {
 
   /** ONE parse of a version's manifest, every channel split out — the
     * read path's metadata unit. The per-channel accessors ([[pathsOf]],
-    * [[schemaOf]], [[statsOf]], [[metaOf]], [[dvOf]], [[colMapOf]])
-    * each re-read the manifest FILE; that is one GET per channel on an
-    * object store, and a single logical table read consults up to five
-    * channels (paths, schema, column map, stats, deletion vectors).
-    * [[snapshotOf]] reads the immutable file once and the read kernels
-    * share the result. */
+    * [[schemaOf]], [[statsOf]], [[metaOf]], [[dvOf]], [[colMapOf]]) all
+    * route through [[snapshotOf]], which reads the immutable file once
+    * and serves it from a small file-identity-keyed cache across
+    * operations — at 100 TB the manifest parse is the table-agnostic
+    * fixed cost of every query, paid once per (file, version) instead
+    * of once per channel per operation. */
   private[graft] final case class Snapshot(version: Long,
       paths: Seq[String], schemaDdl: Option[String],
       stats: Map[String, String], meta: Map[String, String],
@@ -105,8 +105,46 @@ object ManifestTable {
       schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
   }
 
+  /** Cross-operation snapshot cache, keyed on the manifest FILE's
+    * identity — (dir, version, mtime, length) — not on (dir, version)
+    * alone: committed manifests are immutable, but DROP TABLE +
+    * CREATE at the same path RESTARTS version numbering, and a
+    * recreated version is a different file (different mtime/length).
+    * Same-JVM drops also invalidate explicitly ([[invalidateSnapshots]])
+    * so even a same-millisecond, same-length recreation cannot serve
+    * stale. A GC'd version behaves exactly like the uncached read: the
+    * identity probe's getFileStatus throws FileNotFound. */
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](
+      32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long, Long), Snapshot])
+          : Boolean = size() > graft.ScaleKnobs.SnapshotCacheEntries
+    }
+
+  /** Drop every cached snapshot of `tableDir` — called by the catalog's
+    * DROP TABLE so a same-path CREATE can never race the file-identity
+    * key's mtime granularity. */
+  private[graft] def invalidateSnapshots(tableDir: String): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == tableDir) it.remove()
+    }
+
   private[graft] def snapshotOf(fs: FileSystem, tableDir: String,
                                 v: Long): Snapshot = {
+    val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
+    val key = (tableDir, v, st.getModificationTime, st.getLen)
+    val hit = snapCache.synchronized(Option(snapCache.get(key)))
+    hit.getOrElse {
+      val snap = parseSnapshot(fs, tableDir, v)
+      snapCache.synchronized(snapCache.put(key, snap)): Unit
+      snap
+    }
+  }
+
+  private def parseSnapshot(fs: FileSystem, tableDir: String,
+                            v: Long): Snapshot = {
     val lines = manifestLines(fs, tableDir, v)
     val meta = lines.filter(_.startsWith(MetaHeader)).flatMap { l =>
       val rest = l.stripPrefix(MetaHeader)
@@ -133,7 +171,7 @@ object ManifestTable {
     * (they live under the source table's dir) — resolve through
     * [[absPath]], never bare string concatenation. */
   def pathsOf(fs: FileSystem, tableDir: String, v: Long): Seq[String] =
-    manifestLines(fs, tableDir, v).filterNot(_.startsWith("#"))
+    snapshotOf(fs, tableDir, v).paths
 
   /** True iff a manifest entry addresses a dir OUTSIDE this table's own
     * directory (an absolute path or a schemed URI like `file:/...` —
@@ -157,8 +195,7 @@ object ManifestTable {
     * costs one metadata line and null-fills older dirs per ordinary
     * parquet missing-column semantics. */
   def schemaOf(fs: FileSystem, tableDir: String, v: Long): Option[String] =
-    manifestLines(fs, tableDir, v)
-      .find(_.startsWith(SchemaHeader)).map(_.stripPrefix(SchemaHeader))
+    snapshotOf(fs, tableDir, v).schemaDdl
 
   private val StatsHeader = "#stats\t"
 
@@ -169,13 +206,7 @@ object ManifestTable {
     * reader skip them — a manifest without stats is simply never
     * pruned (conservative), same forward/backward story as `#schema`. */
   def statsOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
-    manifestLines(fs, tableDir, v)
-      .filter(_.startsWith(StatsHeader))
-      .map { l =>
-        val rest = l.stripPrefix(StatsHeader)
-        val i = rest.indexOf('\t')
-        rest.take(i) -> rest.drop(i + 1)
-      }.toMap
+    snapshotOf(fs, tableDir, v).stats
 
   private val MetaHeader = "#meta\t"
 
@@ -189,17 +220,7 @@ object ManifestTable {
     * [[append]] carries the prior version's meta forward the same way
     * it carries stats. */
   def metaOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
-    manifestLines(fs, tableDir, v)
-      .filter(_.startsWith(MetaHeader))
-      .flatMap { l =>
-        val rest = l.stripPrefix(MetaHeader)
-        val i = rest.indexOf('\t')
-        // a separator-less (hand-edited/corrupt) line is skipped, not
-        // surfaced as a phantom empty-key entry
-        if (i <= 0) None
-        else Some(java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
-          java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8"))
-      }.toMap
+    snapshotOf(fs, tableDir, v).meta
 
   private[graft] val StatsZoneKey = "statsZone"
 
@@ -299,13 +320,7 @@ object ManifestTable {
     * a reader that ignores the channel sees the PHYSICAL table, which is
     * why every read surface in this engine resolves it explicitly. */
   def dvOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
-    manifestLines(fs, tableDir, v)
-      .filter(_.startsWith(DvHeader))
-      .map { l =>
-        val rest = l.stripPrefix(DvHeader)
-        val i = rest.indexOf('\t')
-        rest.take(i) -> rest.drop(i + 1)
-      }.toMap
+    snapshotOf(fs, tableDir, v).dv
 
   /** Parse one dv payload into (dvDir, positionRows) entries. */
   private[graft] def dvEntries(payload: String): Seq[(String, Long)] =
@@ -391,10 +406,7 @@ object ManifestTable {
   /** logical → physical name map of version `v` (empty = identity). */
   private[graft] def colMapOf(fs: FileSystem, tableDir: String,
                               v: Long): Map[String, String] =
-    metaOf(fs, tableDir, v).collect {
-      case (k, phys) if k.startsWith(ColMapPrefix) =>
-        k.stripPrefix(ColMapPrefix) -> phys
-    }
+    snapshotOf(fs, tableDir, v).cmap
 
   /** `schema` with logical field names replaced by their physical ones. */
   private[graft] def toPhysical(schema: org.apache.spark.sql.types.StructType,
@@ -857,7 +869,7 @@ object ManifestTable {
   private def ordinalOf(c: String,
                         dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    import org.apache.spark.sql.functions.{col, conv, encode, hex, rpad, unix_date, unix_micros}
     import org.apache.spark.sql.types._
     dt match {
       case DateType => unix_date(col(c)).cast("long")
@@ -865,6 +877,17 @@ object ManifestTable {
       case TimestampNTZType => unix_micros(col(c).cast("timestamp"))
       case ByteType | ShortType | IntegerType | LongType | FloatType |
            DoubleType | _: DecimalType => col(c).cast("long")
+      // strings: big-endian value of the UTF-8 prefix, zero-padded to a
+      // FIXED 7 bytes (left-aligned, so "az" < "b" ordinal-sorts
+      // correctly; 7 bytes keeps the unsigned value inside a signed
+      // Long). UTF-8 byte order = code-point order, so the ordinal is
+      // monotone in the string's binary collation — all the z-curve
+      // needs. Common 100-TB cluster keys (host, URL) differentiate in
+      // their first bytes; ties beyond 7 bytes cost layout sharpness
+      // only, never pruning correctness (per-dir stats stay exact).
+      case StringType =>
+        conv(hex(rpad(encode(col(c), "UTF-8"), 7, Array[Byte](0))), 16, 10)
+          .cast("long")
       case other => throw new IllegalArgumentException(
         s"cluster column '$c' has unclusterable type ${other.sql}")
     }
@@ -877,6 +900,12 @@ object ManifestTable {
   private def mortonOf(df: DataFrame, cols: Seq[String])
       : (DataFrame, org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions._
+    // same 64-bit budget as the scalar function: >8 dims would wrap
+    // the shift mod 64 and silently collide dimensions' bits
+    require(cols.size <= 8,
+      s"Morton layout interleaves at most 8 cluster columns (8 bits " +
+        s"each in one 64-bit code); got ${cols.size} — trim the spec " +
+        "to the dimensions queries actually prune on")
     val dts = cols.map(c => c -> df.schema(c).dataType).toMap
     val aggs = cols.flatMap(c => Seq(
       min(ordinalOf(c, dts(c))).as(s"__graft_mn_$c"),
@@ -1031,11 +1060,25 @@ object ManifestTable {
       // pin/validate rule as append (mixed encodings = mis-pruning)
       val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
         headMeta, spark, tableDir)
+      // a FULL rewrite retires every dir that could still store a
+      // dropped column's physical name, so its `dropped:` tombstones
+      // can clear and the name becomes re-addable (the addColumn
+      // refusal's "compact first" route). Two guards: nothing carried
+      // (a racing append's dir rides through unexamined), and only
+      // tombstones ALREADY PRESENT at the base version (a DROP racing
+      // this rewrite tombstones a column the rewrite's output dirs DO
+      // store — it was in the base schema the rewrite read with — so
+      // post-base tombstones must survive the compaction).
+      val clearable =
+        if (carried.isEmpty)
+          metaOf(fs, tableDir, baseV).keySet.filter(_.startsWith(DroppedPrefix))
+        else Set.empty[String]
+      val clearedMeta = headMeta -- clearable
       val committed = commitIf(spark, tableDir,
         (carried ++ outStats.keys).sorted, head, retainGenerations,
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
         stats = headStats ++ outStats,
-        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1),
+        meta = clearedMeta ++ zoneMeta + cdcTag("layout", head + 1),
         dv = headDv -- inputSet)
       committed.foreach(v => return v)
     }
@@ -1426,6 +1469,75 @@ object ManifestTable {
         feed.write.parquet(s"$tableDir/$CdcDirName/$name")
         Some(name)
       }
+    publishMorDelta(spark, tableDir, baseV, touched, dvRel, counts,
+      cidAndPayload, tableSchema, statsCols, boundChecks, stagedCdc,
+      retainGenerations)
+  }
+
+  /** Write-side CDC staging for the SQL MoR delta write (opt-in via
+    * `cdc.materialize`, same property as every other DML surface): old
+    * images are reconstructed by semi-joining the touched dirs (read
+    * through the BASE masks — already-deleted rows can never re-enter
+    * the feed) against the delete records' (file, pos) keys; insert
+    * records are the new images. Cost ∝ touched dirs + changed rows,
+    * paid only when the property is set. None = property unset or the
+    * feed is provably empty. */
+  private[sources] def stageMorDeltaCdc(spark: SparkSession,
+      tableDir: String, baseV: Long, touched: Seq[String],
+      delKeys: DataFrame, inserts: Option[DataFrame]): Option[String] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val fs = fsOf(spark, tableDir)
+    if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
+        .exists(_.equalsIgnoreCase("true"))) return None
+    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
+      return None) // pre-schema table: no anchor to render a feed with
+    val plainCols = tableSchema.fieldNames.toIndexedSeq.map(col)
+    val oldImages =
+      if (touched.isEmpty) None
+      else {
+        // per-dir reads so `_metadata` resolves (it would not above a
+        // union); NO base-mask filtering needed — the delete keys came
+        // from a scan that already read through the standing masks, so
+        // the semi-join can only ever match live rows
+        val rows = touched.map(p =>
+          readWithDeclared(spark, tableDir, baseV, Seq(absPath(tableDir, p)))
+            .withColumn("__graft_file", col("_metadata.file_path"))
+            .withColumn("__graft_pos", col("_metadata.row_index")))
+          .reduce(_.unionByName(_))
+        Some(rows.join(delKeys.select(col("path").as("__graft_dv_path"),
+            col("pos").as("__graft_dv_pos")),
+          col("__graft_file") === col("__graft_dv_path") &&
+            col("__graft_pos") === col("__graft_dv_pos"), "left_semi")
+          .select(plainCols: _*).withColumn("change_type", lit("delete")))
+      }
+    val insImages = inserts.map(_.select(plainCols: _*)
+      .withColumn("change_type", lit("insert")))
+    (oldImages.toSeq ++ insImages.toSeq).reduceOption(_.unionByName(_))
+      .map { feed =>
+        val name = "c-" + java.util.UUID.randomUUID().toString.take(8)
+        feed.write.parquet(s"$tableDir/$CdcDirName/$name")
+        name
+      }
+  }
+
+  /** The merge-on-read PUBLISH half, shared by [[morRewrite]] (the
+    * direct `deleteWhereMoR`/`updateWhereMoR` API) and the SQL delta
+    * write (GraftPositionDeltaWrite): extend the touched dirs' dv
+    * payloads with the freshly-staged `dvRel` position dirs
+    * (ordinal-aligned with `touched`), add the fresh-images dir when
+    * one exists, and commit under optimistic concurrency with the
+    * rewrite family's conflict guards — touched dirs still present,
+    * masks not advanced since `baseV` (the version the positions were
+    * computed against), no CHECK constraint declared mid-write. */
+  private[sources] def publishMorDelta(spark: SparkSession, tableDir: String,
+      baseV: Long, touched: Seq[String], dvRel: String,
+      counts: Map[Int, Long],
+      cidAndPayload: Option[(String, Option[String])],
+      payloadSchema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String], boundChecks: Set[String],
+      stagedCdc: Option[String], retainGenerations: Int): Long = {
+    val fs = fsOf(spark, tableDir)
+    val baseDv = dvOf(fs, tableDir, baseV)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1443,10 +1555,10 @@ object ManifestTable {
           s"table at $tableDir changed incompatibly during the " +
             "merge-on-read rewrite: deletion vectors advanced on a touched dir")
       val headMeta = metaOf(fs, tableDir, head)
-      if (assignments.nonEmpty)
+      if (cidAndPayload.isDefined)
         checkConflictGuard(fs, tableDir, headMeta, boundChecks,
           cidAndPayload.map(_._1).toSeq)
-      val zoneMeta = statsZonePin(tableSchema, statsCols,
+      val zoneMeta = statsZonePin(payloadSchema, statsCols,
         cidAndPayload.exists(_._2.isDefined), headMeta, spark, tableDir)
       val newDv = headDv ++ touched.zipWithIndex.flatMap { case (p, i) =>
         counts.get(i).filter(_ > 0L).map { n =>
@@ -2471,17 +2583,26 @@ object ManifestTable {
     // `cdcdata:` values across KEPT manifests; anything else ages out
     // past the same grace window — covering both retired versions'
     // leavings and a crashed writer's never-committed staging
+    // BOTH header sweeps below must be at least as conservative as the
+    // data sweep's kept-manifest rule (keptPaths.exists(_.isEmpty) =>
+    // return): a transient read failure on a KEPT manifest must mean
+    // "skip this sweep", never "that version references nothing" — the
+    // latter deletes LIVE staged feeds / deletion vectors and silently
+    // resurrects merge-on-read-deleted rows on later reads.
     val cdcRoot = new Path(tableDir, CdcDirName)
     if (try fs.exists(cdcRoot) catch { case _: java.io.IOException => false }) {
-      val cdcReferenced: Set[String] = kept.flatMap { v =>
-        try metaOf(fs, tableDir, v).collect {
+      val cdcRefs = kept.map { v =>
+        try Some(metaOf(fs, tableDir, v).collect {
           case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
-        } catch { case _: java.io.IOException => Seq.empty[String] }
-      }.toSet
-      fs.listStatus(cdcRoot).foreach { st =>
-        if (!cdcReferenced.contains(st.getPath.getName) &&
-            now - newestMtime(fs, st.getPath) > orphanGraceMs)
-          fs.delete(st.getPath, true)
+        }.toSet) catch { case _: java.io.IOException => None }
+      }
+      if (cdcRefs.forall(_.isDefined)) {
+        val cdcReferenced: Set[String] = cdcRefs.flatten.flatten.toSet
+        fs.listStatus(cdcRoot).foreach { st =>
+          if (!cdcReferenced.contains(st.getPath.getName) &&
+              now - newestMtime(fs, st.getPath) > orphanGraceMs)
+            fs.delete(st.getPath, true)
+        }
       }
     }
     // deletion-vector dirs (`_dv/<name>/...`): referenced = every name
@@ -2491,16 +2612,19 @@ object ManifestTable {
     // point into the SOURCE table's _dv and are not ours to sweep.
     val dvRoot = new Path(tableDir, DvDirName)
     if (try fs.exists(dvRoot) catch { case _: java.io.IOException => false }) {
-      val dvReferenced: Set[String] = kept.flatMap { v =>
-        try dvTopDirs(dvOf(fs, tableDir, v)).collect {
+      val dvRefs = kept.map { v =>
+        try Some(dvTopDirs(dvOf(fs, tableDir, v)).collect {
           case rel if rel.startsWith(DvDirName + "/") =>
             rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
-        } catch { case _: java.io.IOException => Set.empty[String] }
-      }.toSet
-      fs.listStatus(dvRoot).foreach { st =>
-        if (!dvReferenced.contains(st.getPath.getName) &&
-            now - newestMtime(fs, st.getPath) > orphanGraceMs)
-          fs.delete(st.getPath, true)
+        }) catch { case _: java.io.IOException => None }
+      }
+      if (dvRefs.forall(_.isDefined)) {
+        val dvReferenced: Set[String] = dvRefs.flatten.flatten.toSet
+        fs.listStatus(dvRoot).foreach { st =>
+          if (!dvReferenced.contains(st.getPath.getName) &&
+              now - newestMtime(fs, st.getPath) > orphanGraceMs)
+            fs.delete(st.getPath, true)
+        }
       }
     }
   }

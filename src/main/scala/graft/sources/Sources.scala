@@ -842,6 +842,56 @@ object Sources {
       .withColumn("meta_only", lit(metaOnly))
   }
 
+  /** S41b fixture: `lake.opdu` — a `dml.mode=merge-on-read` orders
+    * table, then one SQL `UPDATE` (+500.0 on the low-priority pre-1996H2
+    * slice, exact in IEEE doubles). The update rides the POSITION-delta
+    * row-level operation (row id = (file, row position)): old images
+    * mask out via the dv channel, new images land as ONE fresh dir —
+    * zero standing dirs rewritten. */
+  private val dvUpdateDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+      orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority")
+        .writeTo(s"$cat.lake.opdu")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .tableProperty("dml.mode", "merge-on-read")
+        .create()
+      s.sql(s"""UPDATE $cat.lake.opdu
+                SET o_totalprice = o_totalprice + 500.0
+                WHERE o_orderpriority = '5-LOW'
+                  AND o_orderdate < DATE'1996-06-01'""")
+      cat
+  })
+
+  /** S41b: SQL `UPDATE` on a merge-on-read table honors the declared
+    * contract — same visible semantics as S25's copy-on-write update
+    * (the oracle checks exactly that), but the commit is `masks + one
+    * fresh images dir`, witnessed by `mask_plus_images`: every
+    * pre-update dir still listed, EXACTLY one new `pd-` dir, and a
+    * non-empty dv channel. */
+  def s41_dv_update_sql(s: SparkSession, d: String): DataFrame = {
+    val cat = dvUpdateDemo(s, d)
+    val dir = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/opdu"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val p2 = ManifestTable.pathsOf(fs, dir, 2L)
+    val p3 = ManifestTable.pathsOf(fs, dir, 3L)
+    val fresh = p3.filterNot(p2.toSet)
+    val maskPlusImages = p2.toSet.subsetOf(p3.toSet) &&
+      fresh.length == 1 && fresh.head.startsWith("pd-") &&
+      ManifestTable.dvOf(fs, dir, 3L).nonEmpty
+    s.sql(
+      s"""SELECT h.n_rows, h.total_price, h.key_checksum, v.price_before
+          FROM (SELECT count(*) AS n_rows,
+                       round(sum(o_totalprice), 2) AS total_price,
+                       CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+                FROM $cat.lake.opdu) h
+          CROSS JOIN (SELECT round(sum(o_totalprice), 2) AS price_before
+                      FROM $cat.lake.opdu VERSION AS OF 2) v""")
+      .withColumn("mask_plus_images", lit(maskPlusImages))
+  }
+
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
@@ -1412,6 +1462,7 @@ object Sources {
     "s39_incremental_compact" -> (s39_incremental_compact _),
     "s40_type_widening" -> (s40_type_widening _),
     "s41_dv_delete" -> (s41_dv_delete _),
+    "s41_dv_update_sql" -> (s41_dv_update_sql _),
     "s42_column_mapping" -> (s42_column_mapping _),
   )
 
@@ -1572,6 +1623,19 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '2-HIGH')""",
+    // SQL UPDATE on a merge-on-read table: identical visible semantics
+    // to S25's CoW update, plus the masks+one-fresh-dir invariant the
+    // engine computed from its two manifests
+    "s41_dv_update_sql" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                         AND o_orderdate < DATE '1996-06-01'
+                        THEN o_totalprice + 500.0
+                        ELSE o_totalprice END), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         (SELECT round(sum(o_totalprice), 2) FROM orders) AS price_before,
+         true AS mask_plus_images
+         FROM orders""",
     // mixed-vintage logical table: all orders plus the shifted-key
     // urgent slice (+1000.0 exact in doubles), read through the
     // renamed/narrowed schema; the snapshot leg is the whole original

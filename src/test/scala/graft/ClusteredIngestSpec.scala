@@ -78,6 +78,38 @@ class ClusteredIngestSpec extends SparkTestBase {
     assert(keptFor("b", "2") < 4, "b-dim should prune z-clustered dirs")
   }
 
+  test("batch (TIMESTAMP, STRING) spec Morton-clusters: both dims prune") {
+    val dir = Files.createTempDirectory("graft-clu-ts").toString + "/t"
+    val s = spark; import s.implicits._
+    ManifestTable.append(Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "h01", "seed"))
+      .toDF("ts", "host", "v"), dir,
+      statsCols = Seq("ts", "host"), retainGenerations = 10)
+    ManifestTable.alterClusterBy(spark, dir, Seq("ts", "host"),
+      retainGenerations = 10)
+    def tsOf(i: Int) = f"2026-01-01 $i%02d:00:00"
+    val grid = for (i <- 0 until 20; j <- 1 to 20)
+      yield (java.sql.Timestamp.valueOf(tsOf(i)), f"h$j%02d", s"$i-$j")
+    ManifestTable.appendClustered(grid.toDF("ts", "host", "v"), dir,
+      statsCols = Seq("ts", "host"), k = 4, retainGenerations = 10)
+    val f = fs(dir)
+    val head = ManifestTable.headVersion(spark, dir).get
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, head).get
+    val dirs = ManifestTable.pathsOf(f, dir, head).filter(_.startsWith("ci-"))
+    assert(dirs.size == 4)
+    def keptFor(col: String, v: String) = ManifestTable.prunePaths(
+      f, dir, head, Map(col -> (v, v)), schema).count(_.startsWith("ci-"))
+    assert(keptFor("ts", tsOf(2)) < 4,
+      "timestamp dim should prune z-clustered dirs")
+    assert(keptFor("host", "h02") < 4,
+      "string dim should prune z-clustered dirs")
+    // z-values collapse to range sort when one dim is constant; the
+    // point is correctness of the string/timestamp ordinals end-to-end
+    assert(ManifestTable.read(spark, dir)
+      .where(col("host") === "h13" && col("ts") ===
+        java.sql.Timestamp.valueOf(tsOf(7))).head.getString(2) == "7-13")
+  }
+
   test("catalog table with clusterBy TBLPROPERTY clusters every INSERT") {
     val wh = Files.createTempDirectory("graft-clu-cat").toString
     spark.conf.set("spark.sql.catalog.gclu", "graft.sources.GraftCatalog")

@@ -227,6 +227,32 @@ class GraftCatalogSpec extends SparkTestBase {
     assert(!fs.exists(new Path(s"$wh/tmpns")))
   }
 
+  test("catalog: the snapshot cache can never serve a DROP+CREATE stale") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcat.lake.sc1")
+    spark.sql("CREATE TABLE gcat.lake.sc1 (k INT) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gcat.lake.sc1 VALUES (1),(2),(3)")
+    val dir = s"$wh/lake/sc1"
+    // warm the cross-operation snapshot cache through BOTH read stacks
+    assert(spark.table("gcat.lake.sc1").count() == 3L)
+    assert(graft.sources.ManifestTable.read(spark, dir).count() == 3L)
+    // DROP restarts version numbering at the same path; CREATE + a
+    // single insert lands version numbers the cache has entries for —
+    // the invalidation hook (plus the file-identity key) must make the
+    // recreated table's content the only thing any surface serves
+    spark.sql("DROP TABLE gcat.lake.sc1")
+    spark.sql("CREATE TABLE gcat.lake.sc1 (k INT, tag STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gcat.lake.sc1 VALUES (9,'new')")
+    assert(spark.table("gcat.lake.sc1").columns.toSeq == Seq("k", "tag"))
+    assert(spark.table("gcat.lake.sc1").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((9, "new")))
+    assert(graft.sources.ManifestTable.read(spark, dir)
+      .columns.toSeq == Seq("k", "tag"))
+    assert(graft.sources.ManifestTable.read(spark, dir).count() == 1L)
+  }
+
   test("catalog: INSERT OVERWRITE replaces, snapshots stay readable") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gcat.lake.ow")

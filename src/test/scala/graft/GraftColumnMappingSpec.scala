@@ -77,14 +77,15 @@ class GraftColumnMappingSpec extends SparkTestBase {
     spark.sql("DELETE FROM gcm.lake.r2 WHERE id = 2")
     assert(spark.table("gcm.lake.r2").collect().map(_.getInt(0)).sorted
       .toSeq == Seq(0, 1, 3, 4))
-    // CoW UPDATE over the masked, renamed dir: no resurrect, values land
+    // SQL UPDATE over the masked, renamed dir rides the POSITION delta
+    // (dml.mode=merge-on-read): no resurrect, values land, the fresh
+    // images dir stores PHYSICAL names
     spark.sql("UPDATE gcm.lake.r2 SET v = 'X' WHERE id = 3")
     val got = spark.table("gcm.lake.r2").collect()
       .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
     assert(got == Seq((0, "v0"), (1, "v1"), (3, "X"), (4, "v4")), got)
-    // the CoW rewrite's task writers wrote PHYSICAL names
     val head = ManifestTable.headVersion(spark, dir).get
-    val rl = ManifestTable.pathsOf(fs, dir, head).find(_.startsWith("c-rl-")).get
+    val rl = ManifestTable.pathsOf(fs, dir, head).find(_.startsWith("pd-")).get
     assert(spark.read.parquet(s"$dir/$rl").columns.contains("k"))
     // compaction reads logical, writes physical, keeps the mapping
     ManifestTable.compactAppend(spark, dir, Seq("id"), k = 2,
@@ -118,6 +119,28 @@ class GraftColumnMappingSpec extends SparkTestBase {
     // time travel pre-drop still shows the column
     assert(spark.sql("SELECT sum(amt) FROM gcm.lake.d1 VERSION AS OF 2")
       .head.getDouble(0) == 15.0)
+  }
+
+  test("a FULL compaction clears tombstones: the dropped name re-adds clean") {
+    val dir = freshTable("d2")
+    spark.sql("ALTER TABLE gcm.lake.d2 DROP COLUMN amt")
+    // still refused pre-compaction (old dirs store amt values)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcm.lake.d2 ADD COLUMN amt DOUBLE") }
+    // the full rewrite retires every pre-drop dir, so the tombstone
+    // clears and the name becomes addable — the addColumn refusal's
+    // "compact first" route
+    ManifestTable.compactAppend(spark, dir, Seq("k"), k = 2,
+      retainGenerations = 10)
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(!ManifestTable.metaOf(fs, dir, head).keys
+      .exists(_.startsWith("dropped:")), "full compaction clears tombstones")
+    spark.sql("ALTER TABLE gcm.lake.d2 ADD COLUMN amt DOUBLE")
+    // the re-added column is NULL everywhere — never the pre-drop values
+    assert(spark.sql("SELECT count(amt) FROM gcm.lake.d2").head.getLong(0) == 0L,
+      "re-added column must not resurrect pre-drop values")
+    spark.sql("INSERT INTO gcm.lake.d2 VALUES (60,'z',4.5)")
+    assert(spark.sql("SELECT sum(amt) FROM gcm.lake.d2").head.getDouble(0) == 4.5)
   }
 
   test("rename-then-add guards: a new column cannot take a live physical name") {
@@ -171,6 +194,39 @@ class GraftColumnMappingSpec extends SparkTestBase {
     val e5 = intercept[Exception] {
       spark.sql("ALTER TABLE gcm.lake.g2b DROP COLUMN v") }
     assert(e5.getMessage.contains("bucketed"), e5.getMessage)
+  }
+
+  test("pushed filters survive a rename: parquet row groups still prune") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gcm.lake.rg")
+    spark.sql("CREATE TABLE gcm.lake.rg (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    // ONE commit dir, FOUR files with disjoint k ranges (the append
+    // preserves the incoming partitioning) — dir-level stats cover the
+    // whole range, so only parquet ROW-GROUP pruning can skip I/O here
+    val df = spark.range(0, 40000)
+      .select(col("id").cast("int").as("k"),
+        concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    df.writeTo("gcm.lake.rg").append()
+    spark.sql("ALTER TABLE gcm.lake.rg RENAME COLUMN k TO id")
+    val q = spark.table("gcm.lake.rg").where(col("id") === 7)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = q.queryExecution
+    val rows = qe.executedPlan.executeCollect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(7))
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collect { case b: BatchScanExec => b }.head
+    val scanned = scan.metrics("numOutputRows").value
+    // without the logical→physical filter translation the renamed
+    // table's scan reads ALL 40k rows forever (the S42 perf cliff);
+    // with it, three of the four files' row groups skip
+    assert(scanned <= 10000L,
+      s"renamed scan emitted $scanned rows — pushed filters were dropped")
   }
 
   test("change feed and streaming ingest stay exact across a rename") {

@@ -135,10 +135,12 @@ class GraftDvSpec extends SparkTestBase {
   test("CoW DML over a masked dir must not resurrect masked rows") {
     val dir = fourDirTable("m4")
     spark.sql("DELETE FROM gdv.lake.m4 WHERE k = 11")
-    // SQL UPDATE takes the group CoW rewrite (MoR mode only reroutes
-    // DELETE) — it reads the dv'd dir through the wrapper, so k=11
-    // must stay gone, and the rewritten dir sheds its mask entry
-    spark.sql("UPDATE gdv.lake.m4 SET v = 'X' WHERE k = 10")
+    // the DIRECT CoW API ignores dml.mode by design — it must read the
+    // dv'd dir through its masks, so k=11 stays gone and the rewritten
+    // dir sheds its mask entry with the dir
+    ManifestTable.updateWhere(spark, dir, col("k") === 10,
+      Seq("v" -> lit("X")), bounds = Map("k" -> ("10", "10")),
+      retainGenerations = 10)
     val after = ks("gdv.lake.m4")
     assert(!after.contains(11), "CoW update resurrected a masked row")
     assert(after.size == 19)
@@ -150,6 +152,88 @@ class GraftDvSpec extends SparkTestBase {
     ManifestTable.deleteWhere(spark, dir, col("k") === 20,
       bounds = Map("k" -> ("20", "20")), retainGenerations = 10)
     assert(!ks("gdv.lake.m4").exists(Set(20, 22)))
+  }
+
+  test("SQL UPDATE on a MoR table commits mask + ONE fresh dir") {
+    val dir = fourDirTable("m11")
+    val before = ManifestTable.livePaths(fs, dir)
+    spark.sql("UPDATE gdv.lake.m11 SET v = 'UP' WHERE k IN (3, 21)")
+    val after = ManifestTable.livePaths(fs, dir)
+    // zero standing dirs rewritten: every pre-update dir still listed,
+    // plus exactly one fresh dir of updated images
+    assert(before.toSet.subsetOf(after.toSet),
+      s"SQL UPDATE on a merge-on-read table rewrote standing dirs: " +
+        s"$before -> $after")
+    assert(after.size == before.size + 1 && after.exists(_.startsWith("pd-")),
+      s"expected one fresh pd- images dir: $after")
+    val head = ManifestTable.headVersion(spark, dir).get
+    val dv = ManifestTable.dvOf(fs, dir, head)
+    assert(dv.size == 2 &&
+      dv.valuesIterator.flatMap(ManifestTable.dvEntries(_).map(_._2)).sum == 2L,
+      s"each touched dir masks its old image: $dv")
+    // logical table exact: count preserved, both rows updated, via the
+    // V2 scan AND the DataFrame kernel
+    assert(ks("gdv.lake.m11").size == 20)
+    val got = spark.table("gdv.lake.m11").where(col("v") === "UP")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == Seq(3, 21), got.mkString(","))
+    assert(ManifestTable.read(spark, dir).where(col("v") === "UP").count() == 2L)
+    // the fresh dir records stats (skipping keeps working)
+    val pd = after.find(_.startsWith("pd-")).get
+    assert(ManifestTable.statsOf(fs, dir, head).contains(pd))
+  }
+
+  test("SQL MERGE into a MoR table: masks + fresh dir, zero rewrites") {
+    val dir = fourDirTable("m12")
+    val before = ManifestTable.livePaths(fs, dir)
+    spark.sql(
+      """MERGE INTO gdv.lake.m12 t
+        |USING (SELECT * FROM VALUES (2, 'merged'), (13, 'merged'),
+        |       (99, 'new') AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ManifestTable.livePaths(fs, dir)
+    assert(before.toSet.subsetOf(after.toSet),
+      "MERGE on a merge-on-read table must not rewrite standing dirs")
+    assert(after.size == before.size + 1, s"one fresh images dir: $after")
+    assert(ks("gdv.lake.m12").size == 21) // 20 + 1 inserted
+    val byK = spark.table("gdv.lake.m12").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byK(2) == "merged" && byK(13) == "merged" && byK(99) == "new")
+    assert(byK(3) == "v3", "untouched rows byte-identical")
+    // SQL DELETE with a NON-translatable condition (subquery) also
+    // rides the position delta: mask only, no fresh dir
+    val mid = ManifestTable.livePaths(fs, dir)
+    spark.sql("DELETE FROM gdv.lake.m12 WHERE k IN " +
+      "(SELECT k FROM gdv.lake.m12 WHERE v = 'new')")
+    assert(ManifestTable.livePaths(fs, dir).toSet == mid.toSet,
+      "subquery DELETE on MoR must be mask-only")
+    assert(ks("gdv.lake.m12").size == 20 && !ks("gdv.lake.m12").contains(99))
+  }
+
+  test("a masked table's scan stays COLUMNAR (clean dirs zero-copy)") {
+    val dir = fourDirTable("m13")
+    spark.sql("DELETE FROM gdv.lake.m13 WHERE k = 12")
+    val df = spark.table("gdv.lake.m13")
+    assert(df.collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 20).map(b => b / 5 * 10 + b % 5).filter(_ != 12))
+    // the executed plan's scan over the masked table must report
+    // columnar: one 1-row MoR DELETE no longer demotes the whole scan
+    // to row-based reads until compaction
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = df.queryExecution
+    qe.executedPlan.executeCollect(): Unit
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"no BatchScanExec in:\n$plan")
+    assert(scans.forall(_.supportsColumnar),
+      "masked scan demoted to row-based reads")
+    dir: Unit
   }
 
   test("compaction materializes masks away; GC sweeps the dv dirs") {

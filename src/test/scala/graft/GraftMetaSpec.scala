@@ -303,6 +303,34 @@ class GraftMetaSpec extends SparkTestBase {
       "plain re-analyze must drop the stale histogram")
   }
 
+  test("S41 advisory: standing mask debt surfaces advice:compact, compaction clears it") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.dvadv")
+    spark.sql("CREATE TABLE gmeta.lake.dvadv (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    spark.sql("INSERT INTO gmeta.lake.dvadv SELECT id, CAST(id AS STRING) " +
+      "FROM range(0, 40)")
+    // one masked row = 2.5% of 40 physical rows: under the 10% line
+    spark.sql("DELETE FROM gmeta.lake.dvadv WHERE k = 1")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`dvadv$properties` " +
+      "WHERE key = 'advice:compact'").isEmpty,
+      "a light mask must not trip the advisory")
+    // mask 6 more (17.5% total): past the line, the advisory fires and
+    // names both numbers
+    spark.sql("DELETE FROM gmeta.lake.dvadv WHERE k IN (2,3,4,5,6,7)")
+    val adv = spark.sql("SELECT value FROM gmeta.lake.`dvadv$properties` " +
+      "WHERE key = 'advice:compact'").collect()
+    assert(adv.length == 1 && adv.head.getString(0).contains("7") &&
+      adv.head.getString(0).contains("40"), adv.toSeq)
+    // OPTIMIZE materializes the masks — the advisory clears with them
+    spark.sql("CALL gmeta.system.compact(table => 'lake.dvadv', k => 2)")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`dvadv$properties` " +
+      "WHERE key = 'advice:compact'").isEmpty,
+      "compaction must clear the mask-debt advisory")
+    assert(spark.table("gmeta.lake.dvadv").count() == 33L)
+  }
+
   test("S37 auto-hook: CALL system.compact refreshes drifted stats, advisory clears without a manual analyze") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gmeta.lake.hist2")

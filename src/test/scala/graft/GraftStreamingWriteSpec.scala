@@ -253,6 +253,48 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       == "7-13")
   }
 
+  test("streamed (TIMESTAMP, STRING) clusterBy z-orders: both dims prune") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.zts")
+    spark.sql("CREATE TABLE gsw.lake.zts (ts TIMESTAMP, host STRING, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='ts,host', 'retainGenerations'='20')")
+    val dir = s"$wh/lake/zts"
+    // seed the DOMAIN corners (bounds bake from head stats: timestamps
+    // parse in the pinned stats zone, strings map to 7-byte ordinals)
+    spark.sql("INSERT INTO gsw.lake.zts VALUES " +
+      "(TIMESTAMP'2026-01-01 00:00:00','h01','lo')," +
+      "(TIMESTAMP'2026-01-01 19:00:00','h20','hi')")
+    def tsOf(i: Int) = f"2026-01-01 $i%02d:00:00"
+    val src = Files.createTempDirectory("gsw-zts").toString
+    val rnd = new scala.util.Random(13)
+    rnd.shuffle((for (i <- 0 until 20; j <- 1 to 20) yield (i, j)).toList)
+      .map { case (i, j) => (java.sql.Timestamp.valueOf(tsOf(i)),
+        f"h$j%02d", s"$i-$j") }
+      .toDF("ts", "host", "v").coalesce(2).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-ztsck").toString
+    val q = spark.readStream.schema("ts TIMESTAMP, host STRING, v STRING")
+      .parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.zts")
+    q.awaitTermination()
+    assert(spark.table("gsw.lake.zts").count() == 402L)
+    val v = ManifestTable.headVersion(spark, dir).get
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, v).get
+    val streamed = ManifestTable.pathsOf(fs, dir, v).filter(_.startsWith("ss-"))
+    assert(streamed.size > 1, streamed)
+    def keptFor(col: String, value: String): Int = ManifestTable.prunePaths(
+      fs, dir, v, Map(col -> (value, value)), schema)
+      .count(_.startsWith("ss-"))
+    assert(keptFor("ts", tsOf(2)) < streamed.size,
+      "timestamp dim must prune z-ordered streamed dirs")
+    assert(keptFor("host", "h02") < streamed.size,
+      "string dim must prune z-ordered streamed dirs — lexical layout " +
+        "leaves the trailing dimension unprunable")
+    assert(spark.sql("SELECT v FROM gsw.lake.zts WHERE host = 'h13' AND " +
+      s"ts = TIMESTAMP'${tsOf(7)}'").head.getString(0) == "7-13")
+  }
+
   test("inline task-side stats render exactly what the driver read-back cast would (timestamps included)") {
     wh: Unit
     val s = spark; import s.implicits._
