@@ -366,9 +366,15 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       * write build (the write rebuilds per micro-batch, so they track
       * domain drift); values outside clamp — layout quality at the
       * moving edge, never correctness. None (→ lexical ordering) when
-      * the table is path-loaded (no FunctionCatalog to resolve
-      * `morton`), single-column, empty, missing stats, or typed
-      * outside the ordinal-able set. */
+      * the table is path-loaded, single-column, empty, missing stats,
+      * or typed outside the ordinal-able set. The path-loaded gate is
+      * a RESOLUTION constraint, not a literal-construction one
+      * (GraftShims bridges LiteralValue): `prepareQuery` resolves an
+      * ApplyTransform through the relation's `funCatalog`, and a
+      * path-based write plans with `relationOpt = None` — lifting the
+      * gate fails the stream with "morton(...) ASC NULLS FIRST is not
+      * currently supported" (verified empirically on 4.1.2), so the
+      * catalog route is the supported multi-dimension streaming path. */
     private def mortonTransform
         : Option[org.apache.spark.sql.connector.expressions.Transform] = {
       if (!viaCatalog || cluster.size < 2) return None

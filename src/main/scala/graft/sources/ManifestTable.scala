@@ -978,11 +978,22 @@ object ManifestTable {
     // fresh stats per output dir: one grouped aggregate over the files
     // just written (rb is a directory-encoded partition column, so the
     // group-by is scan-cheap and min/max are footer-served); the files
-    // store physical names — alias back so payload keys stay logical
+    // store physical names — alias back so payload keys stay logical.
+    // EXPLICIT read schema: a fully-masked input (every row deleted
+    // merge-on-read) writes ZERO files, and schema inference over the
+    // empty cid dir would throw — with the schema given, the read-back
+    // is an empty frame, the stats map is empty, and the compaction
+    // commits a dir-less (empty-table) manifest, which is the correct
+    // materialization of an all-masked table (concurrency-fuzz find).
     val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"min:$c"),
       max(col(c)).cast("string").as(s"max:$c")))
-    val readBack0 = data.sparkSession.read.parquet(s"$tableDir/$cid")
+    val readBackSchema = org.apache.spark.sql.types.StructType(
+      toPhysical(data.schema, cmap).fields :+
+        org.apache.spark.sql.types.StructField("rb",
+          org.apache.spark.sql.types.IntegerType))
+    val readBack0 = data.sparkSession.read.schema(readBackSchema)
+      .parquet(s"$tableDir/$cid")
     val readBack =
       if (cmap.isEmpty) readBack0
       else readBack0.select((data.columns.toIndexedSeq.map(l =>

@@ -210,6 +210,18 @@ class GraftDvSpec extends SparkTestBase {
     assert(ManifestTable.livePaths(fs, dir).toSet == mid.toSet,
       "subquery DELETE on MoR must be mask-only")
     assert(ks("gdv.lake.m12").size == 20 && !ks("gdv.lake.m12").contains(99))
+    // WHEN NOT MATCHED BY SOURCE: target-only rows delete as masks too
+    val mid2 = ManifestTable.livePaths(fs, dir)
+    spark.sql(
+      """MERGE INTO gdv.lake.m12 t
+        |USING (SELECT * FROM VALUES (0, 'keep') AS s(k, v)) s
+        |ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.k >= 30 THEN DELETE""".stripMargin)
+    assert(ManifestTable.livePaths(fs, dir).toSet == mid2.toSet,
+      "NOT MATCHED BY SOURCE delete on MoR must be mask-only")
+    assert(ks("gdv.lake.m12") == (0 until 20)
+      .map(b => b / 5 * 10 + b % 5).filter(_ < 30),
+      "rows >= 30 unmatched by source must be masked out")
   }
 
   test("a masked table's scan stays COLUMNAR (clean dirs zero-copy)") {
