@@ -38,6 +38,16 @@ object ScaleKnobs {
     * is exercised by forcing the cap to 0. */
   @volatile var DvDriverPositionCap: Long = 20L * 1000 * 1000
 
+  /** S44 — bloom point-index defaults (`bloomCols` table property):
+    * false-positive rate (override per table with `bloomFpp`), the
+    * per-dir row cap past which a dir's bloom is skipped (a sidecar for
+    * 1M items at 1% ≈ 1.2 MB — past that, the dir is no longer "point
+    * lookup" shaped and min/max stats plus layout carry the pruning),
+    * and the sizing fallback when a dir has no recorded rowcount. */
+  val BloomFpp = 0.01
+  val BloomMaxItems = 1L * 1000 * 1000
+  val BloomDefaultItems = 100L * 1000
+
   /** Manifest-snapshot cache entries (ManifestTable.snapshotOf): parsed
     * manifests served across OPERATIONS, keyed on the manifest FILE's
     * identity (path, version, mtime, length) — immune to the

@@ -665,7 +665,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("compact", "restore", "vacuum", "lookup", "clone", "tag",
-        "untag", "analyze").map(n => Identifier.of(namespace, n))
+        "untag", "analyze", "maintain").map(n => Identifier.of(namespace, n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -682,6 +682,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "tag" => new GraftProcedures.Tag(this)
       case "untag" => new GraftProcedures.Untag(this)
       case "analyze" => new GraftProcedures.Analyze(this)
+      case "maintain" => new GraftProcedures.Maintain(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: system.compact, " +
           "system.restore, system.vacuum, system.lookup, system.clone, " +

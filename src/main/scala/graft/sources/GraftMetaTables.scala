@@ -199,6 +199,44 @@ object GraftMetaTables {
     }.mkString("{", ",", "}")
   }
 
+  /** The computed `advice:*` keys `$properties` surfaces (and `CALL
+    * system.maintain` acts on) — never stored, so each clears the
+    * moment the maintenance it recommends lands.
+    *  - `advice:analyze` (S37): the analyzed rowcount drifted ≥2× from
+    *    the live rowcount (both free from the manifest).
+    *  - `advice:compact` (S41): standing deletion-vector positions
+    *    exceed 10% of the physical rows — reads pay the mask tax until
+    *    OPTIMIZE materializes them away. */
+  private[sources] def advisories(spark: SparkSession, fs: FileSystem,
+                                  dir: String, head: Long)
+      : Seq[(String, String)] = {
+    val meta = ManifestTable.metaOf(fs, dir, head)
+    val liveStats = ManifestTable.statsOf(fs, dir, head)
+    val counts = ManifestTable.pathsOf(fs, dir, head)
+      .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
+    val physical =
+      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    val analyzeAdvice: Option[(String, String)] = for {
+      analyzed <- meta.get(ManifestTable.TableStatKey).flatMap(_.toLongOption)
+      live <- physical
+      (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
+      if l >= 2.0 * a || a >= 2.0 * l
+    } yield "advice:analyze" ->
+      (s"column stats analyzed at $analyzed rows but table now " +
+        s"holds $live — re-run CALL system.analyze")
+    val dv = ManifestTable.dvOf(fs, dir, head)
+    val compactAdvice: Option[(String, String)] = for {
+      p <- physical
+      if dv.nonEmpty
+      masked = ManifestTable.dvDeletedRows(dv)
+      if masked.toDouble >= 0.1 * math.max(1L, p)
+    } yield "advice:compact" ->
+      (s"$masked deletion-vector positions stand against $p " +
+        "physical rows — reads pay the mask tax until " +
+        "CALL system.compact materializes them away")
+    analyzeAdvice.toSeq ++ compactAdvice.toSeq
+  }
+
   private def properties(spark: SparkSession, fs: FileSystem, dir: String,
                          name: String): GraftLocalTable = {
     val schema = StructType(Seq(
@@ -207,55 +245,11 @@ object GraftMetaTables {
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
     val meta = ManifestTable.metaOf(fs, dir, head)
-    // S37 — stats-staleness advisory: when the analyzed rowcount
-    // (`tablestat`) has drifted ≥2× from the LIVE rowcount (free: the
-    // manifest's per-dir stats rowcounts), surface `advice:analyze` so
-    // an operator/scheduler sees the re-analyze trigger. Computed, not
-    // stored — it disappears the moment a fresh CALL analyze lands.
-    val advisory: Option[(String, String)] =
-      meta.get(ManifestTable.TableStatKey).flatMap(_.toLongOption)
-        .flatMap { analyzed =>
-          val liveStats = ManifestTable.statsOf(fs, dir, head)
-          val counts = ManifestTable.pathsOf(fs, dir, head)
-            .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
-          if (!counts.forall(_.isDefined)) None
-          else {
-            val live = counts.flatten.sum
-            val (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
-            if (l >= 2.0 * a || a >= 2.0 * l)
-              Some("advice:analyze" ->
-                (s"column stats analyzed at $analyzed rows but table now " +
-                  s"holds $live — re-run CALL system.analyze"))
-            else None
-          }
-        }
-    // S41 — mask-debt advisory: standing deletion-vector positions tax
-    // every read (mask loads + batch filtering) until a compaction
-    // materializes them away; when they exceed 10% of the live rows,
-    // surface `advice:compact`. Both numbers are free from the
-    // manifest (dv payload counts, per-dir stats rowcounts). Computed,
-    // not stored — it clears the moment OPTIMIZE lands.
-    val dvAdvisory: Option[(String, String)] = {
-      val dv = ManifestTable.dvOf(fs, dir, head)
-      if (dv.isEmpty) None
-      else {
-        val masked = ManifestTable.dvDeletedRows(dv)
-        val liveStats = ManifestTable.statsOf(fs, dir, head)
-        val counts = ManifestTable.pathsOf(fs, dir, head)
-          .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
-        val physical =
-          if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
-        physical.filter(p => masked.toDouble >= 0.1 * math.max(1L, p))
-          .map(p => "advice:compact" ->
-            (s"$masked deletion-vector positions stand against $p " +
-              "physical rows — reads pay the mask tax until " +
-              "CALL system.compact materializes them away"))
+    val rows = (meta ++ advisories(spark, fs, dir, head))
+      .toSeq.sortBy(_._1).map {
+        case (k, v) =>
+          new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow
       }
-    }
-    val rows = (meta ++ advisory ++ dvAdvisory).toSeq.sortBy(_._1).map {
-      case (k, v) =>
-        new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow
-    }
     GraftLocalTable(name, schema, rows.toArray)
   }
 }

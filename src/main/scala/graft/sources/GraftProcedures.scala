@@ -202,6 +202,82 @@ object GraftProcedures {
       }
   }
 
+  /** `CALL cat.system.maintain(table => 'ns.t')` — execute whatever the
+    * table's computed `advice:*` keys recommend, in one call: standing
+    * mask debt past the threshold (`advice:compact`) runs a full
+    * compaction (which materializes every deletion vector, and whose
+    * auto-hook refreshes drifted CBO stats in the same pass); a
+    * remaining stats drift (`advice:analyze`) re-runs the approx
+    * analyze over the previously-analyzed columns. The advisories are
+    * COMPUTED, so acting on them clears them — a scheduler can loop
+    * `maintain` unconditionally and it no-ops at a steady state ("none").
+    * Returns (version, actions). Bucketed tables route their compaction
+    * through the merge kernel's re-fold, same as `CALL compact`. */
+  class Maintain(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "maintain"
+    override def description(): String =
+      "run the maintenance a graft table's advice:* keys recommend"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "maintain"
+        override def description(): String = Maintain.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("k", IntegerType).defaultValue("4").build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val k = if (input.isNullAt(1)) 4 else input.getInt(1)
+          val fs = catalog.activeFs
+          val head = ManifestTable.headVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed manifest at $dir"))
+          val advice = GraftMetaTables.advisories(spark, fs, dir, head)
+            .map(_._1).toSet
+          val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+          if (advice("advice:compact")) {
+            if (MergeInto.bucketedGeometry(spark, dir).isDefined)
+              MergeInto.compact(spark, dir): Unit
+            else {
+              val meta = ManifestTable.metaOf(fs, dir, head)
+              val statsCols = meta.get(GraftCatalog.PropPrefix + "statsCols")
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+                .filter(_.nonEmpty)
+                .orElse {
+                  val tracked = ManifestTable.statsOf(fs, dir, head).toSeq
+                    .sortBy(_._1)
+                    .flatMap(kv => ManifestTable.statColsIn(kv._2)).distinct
+                  Some(tracked).filter(_.nonEmpty)
+                }
+                .getOrElse(throw new IllegalArgumentException(
+                  s"maintain needs stats columns to compact $dir: set the " +
+                    "statsCols table property or ingest with stats"))
+              val retain = meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+                .flatMap(_.toIntOption).getOrElse(2)
+              ManifestTable.compactAppend(spark, dir, statsCols, k, retain): Unit
+            }
+            // the compaction paid a full pass — refresh drifted stats now
+            refreshStaleStats(catalog, dir)
+            actions += "compact"
+          }
+          // stats drift surviving the (possibly skipped) compaction
+          val headAfter = ManifestTable.headVersion(spark, dir).get
+          if (GraftMetaTables.advisories(spark, fs, dir, headAfter)
+              .exists(_._1 == "advice:analyze")) {
+            refreshStaleStats(catalog, dir)
+            actions += "analyze"
+          }
+          val v = ManifestTable.headVersion(spark, dir).get
+          oneRow(StructType(Seq(
+            StructField("version", LongType, nullable = false),
+            StructField("actions", StringType, nullable = false))),
+            Array[Any](v, org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (actions.isEmpty) "none" else actions.mkString(","))))
+        }
+      }
+  }
+
   /** `CALL cat.system.vacuum(table => 'ns.t')` — run the retention +
     * orphan sweep now ([[ManifestTable.vacuum]]): crashed-writer
     * leavings age out past the grace window, retention-retired dirs go

@@ -749,13 +749,28 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     GraftManifestSource.boundsOf(fs.toIndexedSeq, statsZone)
       .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
 
+  /** S44 — per-scan bloom sidecar cache (driver-side, loaded on demand
+    * only for candidate dirs under point predicates). */
+  @transient private lazy val bloomCache = scala.collection.mutable.Map
+    .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  /** Point predicates (EqualTo/In conjuncts) re-keyed to PHYSICAL
+    * column names — the bloom channel's key space. */
+  private def bloomPointsFor(fs: Array[Filter]): Seq[(String, Set[String])] =
+    GraftFilterPoints.of(fs, tableSchema)
+      .map { case (c, pts) => (colMap.getOrElse(c, c), pts) }
+
   /** Commit dirs surviving manifest-stats pruning under the pushed
-    * filters; narrowed further by runtime filters. */
+    * filters (and, for point predicates on bloom-indexed columns, the
+    * per-dir membership sketches); narrowed further by runtime
+    * filters. */
   private var keptPathsCache: Seq[String] = null
   private def keptPaths: Seq[String] = {
     if (keptPathsCache == null)
-      keptPathsCache = ManifestTable.prunePathsIn(
-        livePaths, liveStats, boundsFor(filters), tableSchema)
+      keptPathsCache = ManifestTable.pruneByBloom(fsOf(spark), tableDir,
+        ManifestTable.prunePathsIn(
+          livePaths, liveStats, boundsFor(filters), tableSchema),
+        snap.bloom, bloomPointsFor(filters), bloomCache)
     keptPathsCache
   }
 
@@ -782,9 +797,16 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     // limit-truncated dir plan (the prefix was chosen by TOTAL counts)
     if (agg.isDefined || limit.isDefined) Array.empty
     else if (rowLevel.isDefined) Array(Expressions.column(GraftRowLevel.DirCol))
-    else tableSchema.fieldNames.filter { c =>
-      liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined)
-    }.map(Expressions.column)
+    else {
+      // stats-covered columns, plus bloom-indexed ones: a runtime
+      // IN-set from a dimension join can point-prune via the sketches
+      val bloomCols = snap.bloom.values
+        .flatMap(ManifestTable.bloomEntries(_).keys).toSet
+      tableSchema.fieldNames.filter { c =>
+        liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined) ||
+          bloomCols.contains(colMap.getOrElse(c, c))
+      }.map(Expressions.column)
+    }
 
   override def filter(runtime: Array[Filter]): Unit = {
     // group filtering: an IN/= on the dir metadata column names the
@@ -801,23 +823,34 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     if (bounds.nonEmpty)
       keptPathsCache = keptPaths.intersect(ManifestTable.prunePathsIn(
         livePaths, liveStats, bounds, tableSchema))
+    // a runtime IN-set (DPP shape) on a bloom-indexed column
+    // point-prunes dirs the sketches prove key-free
+    val pts = bloomPointsFor(runtime)
+    if (pts.nonEmpty)
+      keptPathsCache = ManifestTable.pruneByBloom(fsOf(spark), tableDir,
+        keptPaths, snap.bloom, pts, bloomCache)
   }
 
   /** With a pushed pure limit: the shortest dir PREFIX whose recorded
     * rowcounts cover it (no truncation when any dir lacks a rowcount —
-    * conservative full plan; likewise under deletion vectors, whose
-    * recorded counts are PHYSICAL — a masked dir could under-deliver
-    * logical rows and a truncated plan would return fewer rows than
-    * exist). */
+    * conservative full plan). Recorded counts are PHYSICAL; under
+    * deletion vectors each dir contributes its logical LOWER BOUND —
+    * physical rows minus the dir's mask-position count, which may
+    * OVERCOUNT masked rows under stacked re-deletes and therefore can
+    * only make the prefix longer, never under-deliver. */
   private def plannedPaths: Seq[String] = limit match {
     case None => keptPaths
-    case Some(_) if dvByPath.nonEmpty => keptPaths
     case Some(n) =>
       val counts = keptPaths.map(p =>
         liveStats.get(p).flatMap(ManifestTable.rowsIn))
       if (counts.exists(_.isEmpty)) keptPaths
       else {
-        val cum = counts.flatten.scanLeft(0L)(_ + _).tail
+        val lowerBounds = keptPaths.zip(counts.flatten).map { case (p, c) =>
+          val masked = dvByPath.get(p)
+            .map(pl => ManifestTable.dvEntries(pl).map(_._2).sum).getOrElse(0L)
+          math.max(0L, c - masked)
+        }
+        val cum = lowerBounds.scanLeft(0L)(_ + _).tail
         val need = cum.indexWhere(_ >= n.toLong)
         if (need < 0) keptPaths else keptPaths.take(need + 1)
       }
@@ -1312,6 +1345,50 @@ private[sources] class GraftSelectedColumnVector(
   override def getChild(ordinal: Int)
       : org.apache.spark.sql.vectorized.ColumnVector =
     new GraftSelectedColumnVector(base.getChild(ordinal), sel)
+}
+
+/** S44 — point-predicate extraction for bloom pruning: top-level
+  * EqualTo/In conjuncts on columns whose cast-to-string rendering a
+  * probe can reproduce EXACTLY from the pushed literal (string +
+  * integral types). Conjunct semantics: each extracted (col, points)
+  * pair must independently admit a dir, so no cross-conjunct merging.
+  * Null points drop — a row can only match `=`/`IN` through a non-null
+  * value, so "every non-null point absent" still proves the dir
+  * matchless. Pruning-only: anything unextractable is simply
+  * ignored. */
+private[sources] object GraftFilterPoints {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+  import org.apache.spark.sql.types._
+
+  private def render(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case b: Byte => Some(b.toString)
+    case s: Short => Some(s.toString)
+    case i: Int => Some(i.toString)
+    case l: Long => Some(l.toString)
+    case _ => None
+  }
+
+  def of(filters: Array[Filter],
+         schema: StructType): Seq[(String, Set[String])] = {
+    def typed(c: String): Boolean = schema.fields.find(_.name == c)
+      .exists(_.dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })
+    filters.toSeq.flatMap {
+      case EqualTo(c, v) if typed(c) =>
+        render(v).map(r => c -> Set(r))
+      case In(c, vs) if typed(c) && vs.nonEmpty =>
+        val rs = vs.filter(_ != null).flatMap(render(_))
+        // every non-null literal must render, or the point set would
+        // UNDERSTATE the match surface and prune a matching dir
+        if (rs.length == vs.count(_ != null) && rs.nonEmpty)
+          Some(c -> rs.toSet)
+        else None
+      case _ => None
+    }
+  }
 }
 
 /** S42 — V1 `Filter` trees re-keyed logical→physical so parquet

@@ -96,7 +96,8 @@ object ManifestTable {
   private[graft] final case class Snapshot(version: Long,
       paths: Seq[String], schemaDdl: Option[String],
       stats: Map[String, String], meta: Map[String, String],
-      dv: Map[String, String]) {
+      dv: Map[String, String],
+      bloom: Map[String, String] = Map.empty) {
     def cmap: Map[String, String] = meta.collect {
       case (k, phys) if k.startsWith(ColMapPrefix) =>
         k.stripPrefix(ColMapPrefix) -> phys
@@ -163,7 +164,8 @@ object ManifestTable {
       paths = lines.filterNot(_.startsWith("#")),
       schemaDdl = lines.find(_.startsWith(SchemaHeader))
         .map(_.stripPrefix(SchemaHeader)),
-      stats = channel(StatsHeader), meta = meta, dv = channel(DvHeader))
+      stats = channel(StatsHeader), meta = meta, dv = channel(DvHeader),
+      bloom = channel(BloomHeader))
   }
 
   /** Relative data paths of manifest version `v` (header lines skipped).
@@ -339,6 +341,123 @@ object ManifestTable {
     * reference set (values may be foreign/absolute on clones). */
   private def dvTopDirs(dv: Map[String, String]): Set[String] =
     dv.values.flatMap(dvEntries(_).map(_._1)).toSet
+
+  // ------------------------------------------------ bloom point index (S44)
+
+  private val BloomHeader = "#bloomidx\t"
+  /** Sidecar root for bloom filters (protected `_` prefix — the data
+    * sweep never touches it; GC reaps unreferenced names like `_dv`). */
+  private[graft] val IdxDirName = "_idx"
+
+  /** Per-path BLOOM POINT INDEXES of version `v` (S44): relPath →
+    * payload of `<physColEnc>\t<idxRel>` pairs, where idxRel is an
+    * `_idx/<name>/...bloom` sidecar holding a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` over the column's
+    * CAST-TO-STRING rendering. Keys are PHYSICAL column names, so the
+    * index survives RENAME COLUMN by construction. Pruning-only like
+    * stats: a reader that ignores the channel just prunes less. */
+  def bloomsOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
+    snapshotOf(fs, tableDir, v).bloom
+
+  /** Parse one bloom payload into physCol → sidecar relPath. */
+  private[graft] def bloomEntries(payload: String): Map[String, String] =
+    payload.split('\t').grouped(2).collect {
+      case Array(c, rel) => decTok(c).map(_ -> rel)
+    }.flatten.toMap
+
+  /** Build bloom sidecars for freshly-written dirs when the table
+    * declares `bloomCols` (persisted property) — the point-lookup
+    * complement to min/max stats: on a high-cardinality column (id,
+    * url, hash) whose values scatter across every dir, range stats
+    * prune nothing while a per-dir membership sketch prunes everything
+    * that provably lacks the key. One small aggregate job per new dir
+    * (cost ∝ the batch, like the stats pass); dirs above
+    * [[graft.ScaleKnobs.BloomMaxItems]] recorded rows skip (sidecar
+    * size is the constraint; such dirs are no longer point-lookup
+    * shaped). Supported column types: string + integral — the types
+    * whose cast-to-string rendering the probe side can reproduce
+    * exactly from a pushed literal. Returns relPath → payload. */
+  private[sources] def buildBloomSidecars(spark: SparkSession,
+      tableDir: String, newPaths: Seq[String],
+      newStats: Map[String, String]): Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val fs = fsOf(spark, tableDir)
+    val head = versions(fs, tableDir).lastOption.getOrElse(return Map.empty)
+    val meta = metaOf(fs, tableDir, head)
+    val cols = meta.get(GraftCatalog.PropPrefix + "bloomCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).getOrElse(return Map.empty)
+    val fpp = meta.get(GraftCatalog.PropPrefix + "bloomFpp")
+      .flatMap(_.toDoubleOption).getOrElse(graft.ScaleKnobs.BloomFpp)
+    val declared = declaredSchemaOf(spark, tableDir, head)
+      .getOrElse(return Map.empty)
+    val cmap = colMapOf(fs, tableDir, head)
+    val usable = cols.filter(c => declared.fields.find(_.name == c)
+      .exists(_.dataType match {
+        case StringType | ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }))
+    if (usable.isEmpty) return Map.empty
+    val idxName = "bl-" + java.util.UUID.randomUUID().toString.take(8)
+    newPaths.zipWithIndex.flatMap { case (p, i) =>
+      val rows = newStats.get(p).flatMap(rowsIn)
+        .getOrElse(graft.ScaleKnobs.BloomDefaultItems)
+      if (rows == 0L || rows > graft.ScaleKnobs.BloomMaxItems) None
+      else {
+        val df = spark.read.schema(toPhysical(declared, cmap))
+          .parquet(absPath(tableDir, p))
+        val aggs = usable.map(c => graft.functions.BloomFilterAgg(
+          col(cmap.getOrElse(c, c)).cast("string"),
+          math.max(64L, rows), fpp).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val pairs = usable.zipWithIndex.flatMap { case (c, j) =>
+          Option(r.get(j)).map(_.asInstanceOf[Array[Byte]]).map { bytes =>
+            val phys = cmap.getOrElse(c, c)
+            val rel = s"$IdxDirName/$idxName/d$i-${encTok(phys)}.bloom"
+            val out = fs.create(new Path(tableDir, rel), true)
+            try out.write(bytes) finally out.close()
+            Seq(encTok(phys), rel)
+          }
+        }.flatten
+        if (pairs.isEmpty) None else Some(p -> pairs.mkString("\t"))
+      }
+    }.toMap
+  }
+
+  /** Drop every candidate dir whose bloom payload PROVES none of the
+    * probe points can be present, per conjunct: a dir survives unless
+    * some conjunct has a loaded bloom for its (physical) column and
+    * every point is absent. `points` carry PHYSICAL column names and
+    * cast-to-string renderings; a missing/corrupt sidecar counts as
+    * "no bloom" (conservative — pruning-only, never correctness). */
+  private[graft] def pruneByBloom(fs: FileSystem, tableDir: String,
+      paths: Seq[String], blooms: Map[String, String],
+      points: Seq[(String, Set[String])],
+      cache: scala.collection.mutable.Map[String,
+        Option[org.apache.spark.util.sketch.BloomFilter]])
+      : Seq[String] = {
+    if (blooms.isEmpty || points.isEmpty) return paths
+    def load(rel: String) = cache.getOrElseUpdate(rel,
+      try {
+        val in = fs.open(new Path(absPath(tableDir, rel)))
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } catch { case _: Exception => None })
+    paths.filter { p =>
+      blooms.get(p) match {
+        case None => true
+        case Some(payload) =>
+          val entries = bloomEntries(payload)
+          points.forall { case (c, pts) =>
+            entries.get(c).flatMap(load) match {
+              case Some(bf) => pts.exists(bf.mightContainString)
+              case None => true
+            }
+          }
+      }
+    }
+  }
 
   /** Mask `df` (rows of `paths`, read WITH parquet `_metadata`
     * available) by the dv entries covering those paths: anti-join on
@@ -622,6 +741,11 @@ object ManifestTable {
       boundChecks: Set[String]): Long = {
     val fs = fsOf(spark, tableDir)
     val ddl = batchSchema.toDDL
+    // S44 — point-index sidecars for the freshly-landed dirs when the
+    // table declares bloomCols (one small agg job per new dir, before
+    // the commit loop — the sidecars are content, the loop only rebases
+    // the pointer)
+    val newBlooms = buildBloomSidecars(spark, tableDir, newPaths, newStats)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -676,7 +800,8 @@ object ManifestTable {
         meta = priorMeta ++ zoneMeta ++ meta + cdcTag("append", base + 1),
         // deletion vectors carry like stats: prior dirs keep theirs,
         // the appended dirs have none
-        dv = if (base > 0) dvOf(fs, tableDir, base) else Map.empty)
+        dv = if (base > 0) dvOf(fs, tableDir, base) else Map.empty,
+        blooms = newBlooms)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1044,6 +1169,10 @@ object ManifestTable {
     val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(sortCol))
     val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols,
       colMapOf(fs, tableDir, baseV))
+    // S44 — the rewrite replaced every input dir, so their bloom
+    // entries drop with the paths; rebuild indexes over the output dirs
+    val outBlooms = buildBloomSidecars(spark, tableDir,
+      outStats.keys.toSeq.sorted, outStats)
     val inputSet = inputs.toSet
     var attempts = 0
     while (true) {
@@ -1090,7 +1219,8 @@ object ManifestTable {
         schemaDdl = schemaOf(fs, tableDir, head).orElse(ddl),
         stats = headStats ++ outStats,
         meta = clearedMeta ++ zoneMeta + cdcTag("layout", head + 1),
-        dv = headDv -- inputSet)
+        dv = headDv -- inputSet,
+        blooms = outBlooms)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1203,6 +1333,10 @@ object ManifestTable {
     val data = readMasked(spark, tableDir, baseV, stragglers, baseDv)
     val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols,
       colMapOf(fs, tableDir, baseV))
+    // S44 — fold dirs' bloom entries drop with their paths (kept dirs
+    // auto-carry); rebuild indexes over the fold output
+    val outBlooms = buildBloomSidecars(spark, tableDir,
+      outStats.keys.toSeq.sorted, outStats)
     val inputSet = stragglers.toSet
     var attempts = 0
     while (true) {
@@ -1231,7 +1365,8 @@ object ManifestTable {
         schemaDdl = schemaOf(fs, tableDir, head),
         stats = headStats ++ outStats,
         meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1),
-        dv = headDv -- inputSet)
+        dv = headDv -- inputSet,
+        blooms = outBlooms)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1549,6 +1684,11 @@ object ManifestTable {
       stagedCdc: Option[String], retainGenerations: Int): Long = {
     val fs = fsOf(spark, tableDir)
     val baseDv = dvOf(fs, tableDir, baseV)
+    // S44 — index the fresh images dir (standing dirs keep theirs via
+    // the auto-carry; their masks never touch the sketches — supersets)
+    val newBlooms = (for { (c, pl) <- cidAndPayload; p <- pl } yield
+      buildBloomSidecars(spark, tableDir, Seq(c), Map(c -> p)))
+      .getOrElse(Map.empty)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1585,7 +1725,8 @@ object ManifestTable {
           (for { (c, pl) <- cidAndPayload; p <- pl } yield c -> p),
         meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
           stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
-        dv = newDv)
+        dv = newDv,
+        blooms = newBlooms)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -1688,6 +1829,11 @@ object ManifestTable {
     // the endpoint diff changes(v-1, v) at whatever version the commit
     // finally lands.
     val stagedCdc = stageCdc(spark, tableDir, touchedSet, cid, payloadSchema)
+    // S44 — the rewritten dirs' bloom entries drop with their paths;
+    // index the replacement dir so point pruning survives CoW DML
+    val newBlooms = (for { c <- cid; p <- payload } yield
+      buildBloomSidecars(spark, tableDir, Seq(c), Map(c -> p)))
+      .getOrElse(Map.empty)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -1721,7 +1867,8 @@ object ManifestTable {
           (for { c <- cid; p <- payload } yield c -> p),
         meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
           stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
-        dv = headDv -- touchedSet)
+        dv = headDv -- touchedSet,
+        blooms = newBlooms)
       committed.foreach(v => return v)
     }
     -1L // unreachable
@@ -2366,7 +2513,9 @@ object ManifestTable {
                            schemaDdl: Option[String],
                            stats: Map[String, String] = Map.empty,
                            meta: Map[String, String] = Map.empty,
-                           dv: Map[String, String] = Map.empty): Array[Byte] = {
+                           dv: Map[String, String] = Map.empty,
+                           blooms: Map[String, String] = Map.empty)
+      : Array[Byte] = {
     schemaDdl.foreach(d => require(!d.contains("\n"),
       s"schema DDL must be one line, got: $d"))
     val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
@@ -2374,13 +2523,16 @@ object ManifestTable {
       MetaHeader + java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8") + "\n"
     }.mkString
-    // stats (and dv) only for paths this manifest actually lists — a
-    // dropped (compacted/GC'd) path must not leave a dangling line
+    // stats (and dv, and blooms) only for paths this manifest actually
+    // lists — a dropped (compacted/GC'd) path must not leave a
+    // dangling line
     val statLines = relPaths.filter(stats.contains).sorted
       .map(p => StatsHeader + p + "\t" + stats(p) + "\n").mkString
     val dvLines = relPaths.filter(dv.contains).sorted
       .map(p => DvHeader + p + "\t" + dv(p) + "\n").mkString
-    (header + metaLines + statLines + dvLines +
+    val bloomLines = relPaths.filter(blooms.contains).sorted
+      .map(p => BloomHeader + p + "\t" + blooms(p) + "\n").mkString
+    (header + metaLines + statLines + dvLines + bloomLines +
       relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
@@ -2397,11 +2549,12 @@ object ManifestTable {
              schemaDdl: Option[String] = None,
              stats: Map[String, String] = Map.empty,
              meta: Map[String, String] = Map.empty,
-             dv: Map[String, String] = Map.empty): Long = {
+             dv: Map[String, String] = Map.empty,
+             blooms: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    val body = manifestBody(relPaths, schemaDdl, stats, meta, dv)
+    val body = manifestBody(relPaths, schemaDdl, stats, meta, dv, blooms)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var attempts = 0
     while (!publishAt(fs, mdir, v, body)) {
@@ -2430,14 +2583,25 @@ object ManifestTable {
                schemaDdl: Option[String] = None,
                stats: Map[String, String] = Map.empty,
                meta: Map[String, String] = Map.empty,
-               dv: Map[String, String] = Map.empty): Option[Long] = {
+               dv: Map[String, String] = Map.empty,
+               blooms: Map[String, String] = Map.empty): Option[Long] = {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
     val v = expectedBase + 1
-    if (!publishAt(fs, mdir, v, manifestBody(relPaths, schemaDdl, stats, meta, dv))) None
+    // bloom entries AUTO-CARRY across every commit surface: keyed by
+    // relPath (never reused — uuid cids), so carrying the expected
+    // head's map and letting manifestBody filter to the listed paths
+    // is correct by construction — a rewritten/removed dir's entry
+    // drops with its path, and a stale entry for a LIVE path cannot
+    // exist. Explicit `blooms` (fresh indexes) override/extend.
+    val carriedBlooms =
+      (if (expectedBase > 0) bloomsOf(fs, tableDir, expectedBase)
+       else Map.empty[String, String]) ++ blooms
+    if (!publishAt(fs, mdir, v,
+        manifestBody(relPaths, schemaDdl, stats, meta, dv, carriedBlooms))) None
     else if (versions(fs, tableDir).last != v) {
       // lost to writers that got ahead through a GC'd slot; withdraw —
       // readers resolve the (higher) head, never this manifest
@@ -2633,6 +2797,27 @@ object ManifestTable {
         val dvReferenced: Set[String] = dvRefs.flatten.flatten.toSet
         fs.listStatus(dvRoot).foreach { st =>
           if (!dvReferenced.contains(st.getPath.getName) &&
+              now - newestMtime(fs, st.getPath) > orphanGraceMs)
+            fs.delete(st.getPath, true)
+        }
+      }
+    }
+    // bloom sidecars (`_idx/<name>/...`): same conservative sweep —
+    // referenced = every name a KEPT manifest's bloom channel points
+    // into; an unreadable kept manifest skips the sweep entirely
+    val idxRoot = new Path(tableDir, IdxDirName)
+    if (try fs.exists(idxRoot) catch { case _: java.io.IOException => false }) {
+      val idxRefs = kept.map { v =>
+        try Some(bloomsOf(fs, tableDir, v).values
+          .flatMap(bloomEntries(_).values).collect {
+            case rel if rel.startsWith(IdxDirName + "/") =>
+              rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
+          }.toSet) catch { case _: java.io.IOException => None }
+      }
+      if (idxRefs.forall(_.isDefined)) {
+        val idxReferenced: Set[String] = idxRefs.flatten.flatten.toSet
+        fs.listStatus(idxRoot).foreach { st =>
+          if (!idxReferenced.contains(st.getPath.getName) &&
               now - newestMtime(fs, st.getPath) > orphanGraceMs)
             fs.delete(st.getPath, true)
         }

@@ -892,6 +892,63 @@ object Sources {
       .withColumn("mask_plus_images", lit(maskPlusImages))
   }
 
+  /** S44 fixture: `lake.oblm` — orders as four YEARLY appends with a
+    * bloom point index on `o_orderkey` (`bloomCols` property). Order
+    * keys scatter uniformly across dates, so every dir's key RANGE
+    * spans the keyspace — min/max stats prune nothing for a key
+    * lookup; the per-dir membership sketches prune every dir that
+    * provably lacks the key. */
+  private val bloomDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+      val o = orders(s, d).select("o_orderkey", "o_totalprice", "o_orderdate")
+      o.filter(year(col("o_orderdate")) <= 1995)
+        .writeTo(s"$cat.lake.oblm")
+        .tableProperty("retainGenerations", "10")
+        .tableProperty("statsCols", "o_orderdate")
+        .tableProperty("bloomCols", "o_orderkey")
+        .tableProperty("bloomFpp", "0.001")
+        .create()
+      Seq(1996, 1997).foreach(y =>
+        o.filter(year(col("o_orderdate")) === y)
+          .writeTo(s"$cat.lake.oblm").append())
+      // open-ended tail slice: the table must hold EVERY order (the
+      // oracle replays the probe over the whole corpus), whatever year
+      // range a given SF's generator produced
+      o.filter(year(col("o_orderdate")) >= 1998)
+        .writeTo(s"$cat.lake.oblm").append()
+      cat
+  })
+
+  /** S44: bloom-indexed point lookup. The probe keys are the table's
+    * three smallest order keys (deterministic at any SF); the result
+    * aggregates their rows, and `bloom_pruned` — computed driver-side
+    * from the manifest's `#bloomidx` channel — witnesses that every
+    * dir is indexed AND the sketches pruned dirs the range stats could
+    * not (the keys' dates scatter, so every dir's key range covers
+    * them). */
+  def s44_bloom_lookup(s: SparkSession, d: String): DataFrame = {
+    val cat = bloomDemo(s, d)
+    val dir = s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/oblm"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(s, dir).get
+    val keys = s.table(s"$cat.lake.oblm").select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).collect().map(_.getLong(0)).toSeq
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    val blooms = ManifestTable.bloomsOf(fs, dir, head)
+    val kept = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
+      Seq("o_orderkey" -> keys.map(_.toString).toSet),
+      scala.collection.mutable.Map.empty)
+    val bloomPruned =
+      blooms.size == paths.size && kept.size < paths.size
+    s.table(s"$cat.lake.oblm")
+      .where(col("o_orderkey").isin(keys: _*))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"))
+      .withColumn("bloom_pruned", lit(bloomPruned))
+  }
+
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
@@ -1464,6 +1521,7 @@ object Sources {
     "s41_dv_delete" -> (s41_dv_delete _),
     "s41_dv_update_sql" -> (s41_dv_update_sql _),
     "s42_column_mapping" -> (s42_column_mapping _),
+    "s44_bloom_lookup" -> (s44_bloom_lookup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1623,6 +1681,17 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '2-HIGH')""",
+    // bloom-indexed point lookup: the 3 smallest order keys' rows, plus
+    // the driver-computed pruning witness
+    "s44_bloom_lookup" ->
+      """WITH probe AS (SELECT o_orderkey FROM orders
+                        ORDER BY o_orderkey LIMIT 3)
+         SELECT count(*) AS n_rows,
+                round(sum(o_totalprice), 2) AS total_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+                true AS bloom_pruned
+         FROM orders
+         WHERE o_orderkey IN (SELECT o_orderkey FROM probe)""",
     // SQL UPDATE on a merge-on-read table: identical visible semantics
     // to S25's CoW update, plus the masks+one-fresh-dir invariant the
     // engine computed from its two manifests

@@ -53,9 +53,12 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
   test("3 writers + a compactor race one MoR table: nothing lost, nothing resurrected") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gccf.lake.t")
+    // bloomCols rides along: every insert/compaction builds sidecars
+    // under the same contention, and the end-state point lookups below
+    // read through whatever index survived the races
     spark.sql("CREATE TABLE gccf.lake.t (k INT, v STRING) " +
       "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='200', " +
-      "'dml.mode'='merge-on-read')")
+      "'dml.mode'='merge-on-read', 'bloomCols'='k')")
     val dir = s"$wh/lake/t"
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
 
@@ -142,5 +145,13 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
     assert(ManifestTable.dvOf(fs, dir,
       ManifestTable.headVersion(spark, dir).get).isEmpty)
     assert(observed(spark.table("gccf.lake.t")) == expected)
+    // bloom-indexed point lookups agree with the model (the sketches
+    // survived inserts, deltas and compactions racing each other)
+    expected.keys.take(3).foreach { k =>
+      assert(spark.table("gccf.lake.t")
+        .where(org.apache.spark.sql.functions.col("k") === k)
+        .collect().map(_.getString(1)).toSeq == Seq(expected(k)),
+        s"point lookup diverged for key $k")
+    }
   }
 }

@@ -224,6 +224,30 @@ class GraftDvSpec extends SparkTestBase {
       "rows >= 30 unmatched by source must be masked out")
   }
 
+  test("SQL position-delta UPDATE on a shallow CLONE: masks land in the clone, source untouched") {
+    val dir = fourDirTable("m14")
+    val target = s"$wh/lake/m14c"
+    ManifestTable.shallowClone(spark, dir, target)
+    // the clone's manifest lists FOREIGN (absolute) dirs; dml.mode rode
+    // the cloned meta, so SQL UPDATE routes through the position delta
+    // and must derive each foreign file's commit-dir key correctly
+    spark.sql("UPDATE gdv.lake.m14c SET v = 'CLONED' WHERE k = 12")
+    val got = spark.table("gdv.lake.m14c").where(col("k") === 12)
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("CLONED"), got)
+    assert(spark.table("gdv.lake.m14c").count() == 20L)
+    // masks + fresh images belong to the CLONE...
+    val cfs = new Path(target).getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, target).get
+    assert(ManifestTable.dvOf(cfs, target, head).size == 1)
+    assert(fs.exists(new Path(target, "_dv")))
+    // ...and the SOURCE still serves the original row
+    assert(spark.table("gdv.lake.m14").where(col("k") === 12)
+      .select("v").head.getString(0) == "v12")
+    assert(!fs.exists(new Path(dir, "_dv")),
+      "a clone's masks must never land under the source table")
+  }
+
   test("a masked table's scan stays COLUMNAR (clean dirs zero-copy)") {
     val dir = fourDirTable("m13")
     spark.sql("DELETE FROM gdv.lake.m13 WHERE k = 12")

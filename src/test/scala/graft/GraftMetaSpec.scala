@@ -323,12 +323,19 @@ class GraftMetaSpec extends SparkTestBase {
       "WHERE key = 'advice:compact'").collect()
     assert(adv.length == 1 && adv.head.getString(0).contains("7") &&
       adv.head.getString(0).contains("40"), adv.toSeq)
-    // OPTIMIZE materializes the masks — the advisory clears with them
-    spark.sql("CALL gmeta.system.compact(table => 'lake.dvadv', k => 2)")
+    // CALL system.maintain ACTS on the advisories: here it compacts
+    // (materializing the masks), reports the action, and a second call
+    // is a steady-state no-op — the scheduler loop contract
+    val m = spark.sql("CALL gmeta.system.maintain(table => 'lake.dvadv', " +
+      "k => 2)").head()
+    assert(m.getString(1) == "compact", m.toString)
     assert(spark.sql("SELECT value FROM gmeta.lake.`dvadv$properties` " +
       "WHERE key = 'advice:compact'").isEmpty,
-      "compaction must clear the mask-debt advisory")
+      "maintain must clear the mask-debt advisory")
     assert(spark.table("gmeta.lake.dvadv").count() == 33L)
+    val m2 = spark.sql("CALL gmeta.system.maintain(table => 'lake.dvadv')")
+      .head()
+    assert(m2.getString(1) == "none", m2.toString)
   }
 
   test("S37 auto-hook: CALL system.compact refreshes drifted stats, advisory clears without a manual analyze") {

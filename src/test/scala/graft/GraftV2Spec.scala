@@ -341,6 +341,49 @@ class GraftV2Spec extends SparkTestBase {
       scanOf(filtered).get.description())
   }
 
+  test("limit pushdown under deletion vectors: masked dirs count their logical lower bound") {
+    // catalog table (MoR routing needs table props) — 4 dirs x 10 rows
+    val wh = java.nio.file.Files.createTempDirectory("graft-v2lim").toString
+    spark.conf.set("spark.sql.catalog.gvl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvl.lake")
+    spark.sql("CREATE TABLE gvl.lake.t (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    (0 until 4).foreach { b =>
+      spark.sql(s"INSERT INTO gvl.lake.t VALUES " +
+        (b * 10 until b * 10 + 10).map(k => s"($k,'v$k')").mkString(","))
+    }
+    // mask 6 of the LEXICALLY-FIRST dir's 10 rows (dir names are random
+    // cids, so the limit prefix is lexical, not insert order): its
+    // logical lower bound drops to 4, so LIMIT 20 must now plan THREE
+    // dirs (4+10+10 = 24 covers it; unmasked 10+10 took two) — and
+    // still deliver exactly 20 rows
+    val tdir = s"$wh/lake/t"
+    val tfs = new org.apache.hadoop.fs.Path(tdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head0 = ManifestTable.headVersion(spark, tdir).get
+    val first = ManifestTable.pathsOf(tfs, tdir, head0).min
+    val lo = ManifestTable.statsFor(
+      ManifestTable.statsOf(tfs, tdir, head0)(first), "k").get._2.get.toInt
+    spark.sql(s"DELETE FROM gvl.lake.t WHERE k >= $lo AND k < ${lo + 6}")
+    val limited = spark.table("gvl.lake.t").limit(20)
+    val dirs = limited.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputRDD.partitions.flatMap {
+        case p: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          p.inputPartitions.flatMap {
+            case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+              f.files.map(_.filePath.toString.split("/").dropRight(1).last)
+          }
+      }.toSet
+    }.headOption.getOrElse(Set.empty[String])
+    assert(dirs.size == 3, s"expected 3 dirs planned under masks, got $dirs")
+    assert(limited.count() == 20)
+    // the masked prefix alone cannot cover the limit — a LIMIT larger
+    // than the logical table still returns every surviving row
+    assert(spark.table("gvl.lake.t").limit(50).count() == 34)
+  }
+
   private def streamOnce(dir: String, ckpt: String,
                          readOpts: Map[String, String] = Map.empty): Seq[Long] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
