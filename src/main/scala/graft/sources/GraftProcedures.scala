@@ -133,17 +133,42 @@ object GraftProcedures {
           ProcedureParameter.in("table", StringType).build(),
           ProcedureParameter.in("k", IntegerType).defaultValue("4").build(),
           ProcedureParameter.in("incremental", BooleanType)
-            .defaultValue("false").build())
+            .defaultValue("false").build(),
+          // predicate-SCOPED compaction (OPTIMIZE ... WHERE): fold only
+          // the dirs whose stats overlap [where_lo, where_hi] on
+          // where_col; everything else carries by path
+          ProcedureParameter.in("where_col", StringType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("where_lo", StringType)
+            .defaultValue("NULL").build(),
+          ProcedureParameter.in("where_hi", StringType)
+            .defaultValue("NULL").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val k = if (input.isNullAt(1)) 4 else input.getInt(1)
           val incremental = !input.isNullAt(2) && input.getBoolean(2)
+          def strArg(i: Int): Option[String] =
+            if (input.isNullAt(i)) None else Some(input.getUTF8String(i).toString)
+          val whereBounds = (strArg(3), strArg(4), strArg(5)) match {
+            case (None, None, None) => None
+            case (Some(c), Some(lo), Some(hi)) => Some(Map(c -> (lo, hi)))
+            case _ => throw new IllegalArgumentException(
+              "scoped compaction needs all three of where_col/where_lo/" +
+                "where_hi (or none)")
+          }
+          require(whereBounds.isEmpty || !incremental,
+            "incremental and where_* are mutually exclusive: a scoped " +
+              "compaction already folds only the overlapping dirs")
           val fs = catalog.activeFs
           // a bucketed (S31) table compacts under its PINNED geometry —
           // fold the accreted per-merge bucket files into one dir per
           // bucket (k does not apply: the modulus is the layout)
           if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+            require(whereBounds.isEmpty,
+              s"scoped compaction does not apply to bucketed table $dir: " +
+                "its dirs are HASH buckets, not ranges — a stats envelope " +
+                "selects nothing meaningful")
             // no silent flag-drop: the merge kernel already folds each
             // touched bucket at write time (one dir per bucket by
             // construction), so there are no stragglers for an
@@ -183,11 +208,16 @@ object GraftProcedures {
             .flatMap(_.toIntOption).getOrElse(2)
           // incremental => true (S39): fold only the dirs that OVERLAP
           // on the leading cluster dimension — cost ∝ arrivals since
-          // the last full compact, kept dirs carried by path
-          val v =
-            if (incremental)
+          // the last full compact, kept dirs carried by path;
+          // where_* => the operator-directed scoped fold
+          val v = whereBounds match {
+            case Some(b) =>
+              ManifestTable.compactWhere(spark, dir, statsCols, b, k, retain)
+            case None if incremental =>
               ManifestTable.compactIncremental(spark, dir, statsCols, k, retain)
-            else ManifestTable.compactAppend(spark, dir, statsCols, k, retain)
+            case None =>
+              ManifestTable.compactAppend(spark, dir, statsCols, k, retain)
+          }
           // S37 auto-hook: the rewrite just paid a full pass — refresh
           // drifted CBO stats now instead of waiting for a manual CALL
           // (its metadata commit, when it fires, is the version

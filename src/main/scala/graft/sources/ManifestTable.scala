@@ -1372,6 +1372,83 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** Predicate-SCOPED compaction (the `OPTIMIZE ... WHERE` move): fold
+    * only the live dirs whose recorded stats OVERLAP `bounds` — the
+    * operator-directed variant of [[compactIncremental]] for hot
+    * partitions (today's ingest range, one tenant's key band) on a
+    * table whose cold bulk must stay byte-untouched. Selected dirs
+    * rewrite as ≤`k` clustered dirs (masks materialize away — a dv'd
+    * dir inside the range always folds); every dir outside the
+    * envelope carries BY PATH. Selection is conservative like every
+    * pruning surface: a stats-less dir can never prove itself outside
+    * the range, so it folds. No-op (base version returned) when fewer
+    * than two dirs match and none is masked. */
+  def compactWhere(spark: SparkSession, tableDir: String,
+                   statsCols0: Seq[String],
+                   bounds: Map[String, (String, String)],
+                   k: Int = graft.ScaleKnobs.DefaultClusterDirs,
+                   retainGenerations: Int = 2): Long = {
+    require(statsCols0.nonEmpty, "compactWhere needs stats columns")
+    require(bounds.nonEmpty, "compactWhere needs a bounds predicate — " +
+      "for the unscoped rewrite use compactAppend/compactIncremental")
+    require(!fsOf(spark, tableDir).exists(
+        new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — compact it with " +
+        "MergeInto.compact (or CALL system.compact, which routes there)")
+    val fs = fsOf(spark, tableDir)
+    val baseV = versions(fs, tableDir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
+    val all = pathsOf(fs, tableDir, baseV)
+    val baseStats = statsOf(fs, tableDir, baseV)
+    val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
+      readWithDeclared(spark, tableDir, baseV,
+        all.map(p => absPath(tableDir, p))).schema)
+    val inputs = prunePathsIn(all, baseStats,
+      bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
+      tableSchema)
+    val baseDv = dvOf(fs, tableDir, baseV)
+    val anyDv = inputs.exists(baseDv.contains)
+    if (inputs.size <= 1 && !anyDv) return baseV
+    val spec = clusterSpecOf(fs, tableDir, baseV).getOrElse(Seq(statsCols0.head))
+    val statsCols = (statsCols0 ++ spec).distinct
+    val cid = "cw-" + java.util.UUID.randomUUID().toString.take(8)
+    val data = readMasked(spark, tableDir, baseV, inputs, baseDv)
+    val outStats = writeClusteredDirs(data, tableDir, cid, spec, k, statsCols,
+      colMapOf(fs, tableDir, baseV))
+    val outBlooms = buildBloomSidecars(spark, tableDir,
+      outStats.keys.toSeq.sorted, outStats)
+    val inputSet = inputs.toSet
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, s"scoped-compaction contention at $tableDir")
+      val head = versions(fs, tableDir).last
+      val headPaths = pathsOf(fs, tableDir, head)
+      if (!inputSet.subsetOf(headPaths.toSet))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during scoped " +
+            s"compaction: missing ${inputSet -- headPaths.toSet}")
+      val carried = headPaths.filterNot(inputSet)
+      val headMeta = metaOf(fs, tableDir, head)
+      val headDv = dvOf(fs, tableDir, head)
+      if (inputs.exists(p => headDv.get(p) != baseDv.get(p)))
+        throw new IllegalStateException(
+          s"table at $tableDir changed incompatibly during scoped " +
+            "compaction: deletion vectors advanced on a folded dir")
+      val zoneMeta = statsZonePin(data.schema, statsCols, recordingStats = true,
+        headMeta, spark, tableDir)
+      val committed = commitIf(spark, tableDir,
+        (carried ++ outStats.keys).sorted, head, retainGenerations,
+        schemaDdl = schemaOf(fs, tableDir, head),
+        stats = (statsOf(fs, tableDir, head) -- inputSet) ++ outStats,
+        meta = headMeta ++ zoneMeta + cdcTag("layout", head + 1),
+        dv = headDv -- inputSet,
+        blooms = outBlooms)
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
+  }
+
   /** Row-level DELETE (S24): remove the live rows where `cond` is TRUE,
     * with dir-granular copy-on-write. The manifest stats classify every
     * live dir against `bounds` (a conservative envelope of `cond`, the

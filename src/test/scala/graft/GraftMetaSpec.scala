@@ -303,6 +303,59 @@ class GraftMetaSpec extends SparkTestBase {
       "plain re-analyze must drop the stale histogram")
   }
 
+  test("CALL system.compact with where_*: folds ONLY the overlapping dirs") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.cw")
+    spark.sql("CREATE TABLE gmeta.lake.cw (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    // two fragmented dirs in the HOT range, two cold dirs far away
+    spark.sql("INSERT INTO gmeta.lake.cw VALUES " +
+      (0 until 10).map(k => s"($k,'v$k')").mkString(","))
+    spark.sql("INSERT INTO gmeta.lake.cw VALUES " +
+      (5 until 15).map(k => s"($k,'w$k')").mkString(","))
+    spark.sql("INSERT INTO gmeta.lake.cw VALUES (100,'cold1')")
+    spark.sql("INSERT INTO gmeta.lake.cw VALUES (200,'cold2')")
+    // a mask inside the range must materialize with the fold
+    spark.sql("DELETE FROM gmeta.lake.cw WHERE k = 7 AND v = 'v7'")
+    val dir = s"$wh/lake/cw"
+    val before = ManifestTable.livePaths(fs, dir)
+    val cold = before.filter { p =>
+      ManifestTable.statsFor(ManifestTable.statsOf(fs, dir,
+        ManifestTable.headVersion(spark, dir).get)(p), "k")
+        .exists(_._2.exists(_.toInt >= 100))
+    }
+    assert(cold.size == 2)
+    val r = spark.sql("CALL gmeta.system.compact(table => 'lake.cw', " +
+      "k => 1, where_col => 'k', where_lo => '0', where_hi => '20')").head()
+    val after = ManifestTable.livePaths(fs, dir)
+    // cold dirs carried BY PATH (byte-untouched); hot fragments folded
+    // into one cw- dir with the mask materialized away
+    assert(cold.forall(after.contains),
+      s"cold dirs must carry by path: $cold vs $after")
+    assert(after.size == 3 && after.exists(_.startsWith("cw-")), after)
+    assert(ManifestTable.dvOf(fs, dir,
+      ManifestTable.headVersion(spark, dir).get).isEmpty,
+      "in-range masks must materialize with the fold")
+    val got = spark.table("gmeta.lake.cw").collect()
+      .map(x => (x.getInt(0), x.getString(1))).sorted.toSeq
+    assert(got.size == 21 && !got.contains((7, "v7")) && got.contains((7, "w7")))
+    assert(got.contains((100, "cold1")) && got.contains((200, "cold2")))
+    r: Unit
+    // a second scoped call over the now-compact range no-ops
+    val v0 = ManifestTable.headVersion(spark, dir).get
+    spark.sql("CALL gmeta.system.compact(table => 'lake.cw', " +
+      "k => 1, where_col => 'k', where_lo => '0', where_hi => '20')")
+    assert(ManifestTable.headVersion(spark, dir).get == v0,
+      "re-scoping an already-folded range must no-op")
+    // incompatible flags refuse loudly
+    val e = intercept[Exception] {
+      spark.sql("CALL gmeta.system.compact(table => 'lake.cw', " +
+        "incremental => true, where_col => 'k', where_lo => '0', " +
+        "where_hi => '1')") }
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   test("S41 advisory: standing mask debt surfaces advice:compact, compaction clears it") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gmeta.lake.dvadv")
