@@ -112,7 +112,13 @@ case class GraftMortonFunction(dims: Array[DataType])
       // coalesce-to-min
       val v = if (input.isNullAt(base)) lo else ordinal(input, base, dims(i))
       val span = math.max(hi - lo, 1L)
-      val scaled = math.min(255L, math.max(0L, (v - lo) * 255L / span))
+      // clamp BEFORE scaling; wide spans (string ordinals reach 2^56)
+      // take the bucket-divide form — `delta * 255` would overflow and
+      // silently wrap, collapsing out-of-domain values onto the floor
+      val delta = math.min(math.max(v - lo, 0L), span)
+      val scaled =
+        if (span <= Long.MaxValue / 255L) delta * 255L / span
+        else math.min(255L, delta / math.max(span / 255L, 1L))
       var j = 0
       while (j < 8) {
         z |= ((scaled >> j) & 1L) << (j * k + i)

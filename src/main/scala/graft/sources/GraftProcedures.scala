@@ -115,6 +115,31 @@ object GraftProcedures {
     analyzePersist(catalog, dir, cols, approx = true, histCols, bins): Unit
   }
 
+  /** The compaction family's shared stats-column derivation: the
+    * persisted `statsCols` property, else every column the live stats
+    * already track — PATH-SORTED iteration keeps the fallback
+    * deterministic, because `compactAppend` range-sorts on
+    * `statsCols.head` when no cluster spec is declared. One helper so
+    * `CALL compact` and `CALL maintain` can never drift apart. */
+  private[sources] def compactionStatsCols(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, head: Long, meta: Map[String, String]): Seq[String] =
+    meta.get(GraftCatalog.PropPrefix + "statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .orElse {
+        val tracked = ManifestTable.statsOf(fs, dir, head).toSeq
+          .sortBy(_._1).flatMap(kv => ManifestTable.statColsIn(kv._2))
+          .distinct
+        Some(tracked).filter(_.nonEmpty)
+      }
+      .getOrElse(throw new IllegalArgumentException(
+        s"compaction needs stats columns: set the statsCols table " +
+          s"property on $dir or ingest with stats"))
+
+  private[sources] def retainOf(meta: Map[String, String]): Int =
+    meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+
   /** `CALL cat.system.compact(table => 'ns.t', k => 4)` — rewrite the
     * live table as ≤k clustered dirs ([[ManifestTable.compactAppend]],
     * honoring the declared `clusterBy` spec). `statsCols` resolve from
@@ -189,23 +214,8 @@ object GraftProcedures {
           }
           val head = ManifestTable.headVersion(spark, dir).get
           val meta = ManifestTable.metaOf(fs, dir, head)
-          val statsCols = meta.get(GraftCatalog.PropPrefix + "statsCols")
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .filter(_.nonEmpty)
-            .orElse {
-              // path-sorted iteration keeps the fallback deterministic —
-              // compactAppend range-sorts on statsCols.head when no
-              // cluster spec is declared, so the order matters
-              val tracked = ManifestTable.statsOf(fs, dir, head).toSeq
-                .sortBy(_._1).flatMap(kv => ManifestTable.statColsIn(kv._2))
-                .distinct
-              Some(tracked).filter(_.nonEmpty)
-            }
-            .getOrElse(throw new IllegalArgumentException(
-              s"compact needs stats columns: set the statsCols table " +
-                s"property on $dir or ingest with stats"))
-          val retain = meta.get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val statsCols = compactionStatsCols(fs, dir, head, meta)
+          val retain = retainOf(meta)
           // incremental => true (S39): fold only the dirs that OVERLAP
           // on the leading cluster dimension — cost ∝ arrivals since
           // the last full compact, kept dirs carried by path;
@@ -271,21 +281,9 @@ object GraftProcedures {
               MergeInto.compact(spark, dir): Unit
             else {
               val meta = ManifestTable.metaOf(fs, dir, head)
-              val statsCols = meta.get(GraftCatalog.PropPrefix + "statsCols")
-                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-                .filter(_.nonEmpty)
-                .orElse {
-                  val tracked = ManifestTable.statsOf(fs, dir, head).toSeq
-                    .sortBy(_._1)
-                    .flatMap(kv => ManifestTable.statColsIn(kv._2)).distinct
-                  Some(tracked).filter(_.nonEmpty)
-                }
-                .getOrElse(throw new IllegalArgumentException(
-                  s"maintain needs stats columns to compact $dir: set the " +
-                    "statsCols table property or ingest with stats"))
-              val retain = meta.get(GraftCatalog.PropPrefix + "retainGenerations")
-                .flatMap(_.toIntOption).getOrElse(2)
-              ManifestTable.compactAppend(spark, dir, statsCols, k, retain): Unit
+              ManifestTable.compactAppend(spark, dir,
+                compactionStatsCols(fs, dir, head, meta), k,
+                retainOf(meta)): Unit
             }
             // the compaction paid a full pass — refresh drifted stats now
             refreshStaleStats(catalog, dir)

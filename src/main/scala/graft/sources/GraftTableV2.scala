@@ -1722,17 +1722,31 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
     * against the version whose files the batch actually reads. */
   @volatile private var lastPlannedEnd: Long = 0L
 
+  /** Physical names under a column mapping: the map captured ONCE at
+    * the stream's own pinned version, at construction — physical
+    * parquet names are frozen at column creation, so that resolution
+    * stays correct for every dir this stream will ever read, including
+    * dirs committed after later renames. (Resolving through the LIVE
+    * head instead would silently null a column renamed twice
+    * mid-stream.) Captured eagerly because the pinned version's
+    * manifest may be GC'd out of retention while the stream runs — a
+    * per-batch read would then kill a long-running query whose table
+    * was never even renamed. If the manifest is ALREADY gone at
+    * construction (restart straight onto an aged checkpoint), fall
+    * back to the head's map — head resolution is correct for every
+    * field that is still a current logical name, and the per-batch
+    * validation below still fails loudly on any field that is not. */
+  private val cmap0: Map[String, String] =
+    if (schemaVersion <= 0L) Map.empty
+    else try ManifestTable.colMapOf(fs, tableDir, schemaVersion)
+    catch {
+      case _: java.io.IOException =>
+        ManifestTable.headVersion(spark, tableDir)
+          .map(ManifestTable.colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
+    }
+
   override def createReaderFactory(): PartitionReaderFactory = {
-    // Physical names under a column mapping: resolve through the map
-    // captured at the STREAM'S OWN pinned version — physical parquet
-    // names are frozen at column creation, so that resolution stays
-    // correct for every dir this stream will ever read, including dirs
-    // committed after later renames. (Resolving through the LIVE head
-    // instead would silently null a column renamed twice mid-stream —
-    // the stream's logical name stops being a cmap key.)
-    val cmap =
-      if (schemaVersion <= 0L) Map.empty[String, String]
-      else ManifestTable.colMapOf(fs, tableDir, schemaVersion)
+    val cmap = cmap0
     // fail LOUDLY when the batch-end version no longer serves a
     // stream-schema field's physical name (dropped, or the table was
     // replaced) — a silent all-null column is the one unacceptable

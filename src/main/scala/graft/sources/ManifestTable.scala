@@ -399,29 +399,43 @@ object ManifestTable {
         case _ => false
       }))
     if (usable.isEmpty) return Map.empty
+    def rowsOf(p: String): Long = newStats.get(p).flatMap(rowsIn)
+      .getOrElse(graft.ScaleKnobs.BloomDefaultItems)
+    val eligible = newPaths.filter(p =>
+      rowsOf(p) > 0L && rowsOf(p) <= graft.ScaleKnobs.BloomMaxItems)
+    if (eligible.isEmpty) return Map.empty
+    // ONE grouped job over every eligible new dir (not one job per
+    // dir): a k-dir clustered write pays one pass, same shape as the
+    // stats read-back. Filters size to the LARGEST dir of the batch —
+    // same-batch dirs are balanced by the range shuffle, so the
+    // over-allocation is bounded and buys the single-size single pass.
+    val expected = math.max(64L, eligible.map(rowsOf).max)
+    val relOf = eligible.map(p =>
+      fs.makeQualified(new Path(absPath(tableDir, p))).toString -> p).toMap
+    val df = spark.read.schema(toPhysical(declared, cmap))
+      .parquet(eligible.map(p => absPath(tableDir, p)): _*)
+      .withColumn("__graft_bdir", org.apache.spark.sql.functions
+        .regexp_replace(org.apache.spark.sql.functions.input_file_name(),
+          "/[^/]*$", ""))
+    val aggs = usable.map(c => graft.functions.BloomFilterAgg(
+      col(cmap.getOrElse(c, c)).cast("string"), expected, fpp).as(c))
+    val grouped = df.groupBy(col("__graft_bdir"))
+      .agg(aggs.head, aggs.tail: _*).collect()
     val idxName = "bl-" + java.util.UUID.randomUUID().toString.take(8)
-    newPaths.zipWithIndex.flatMap { case (p, i) =>
-      val rows = newStats.get(p).flatMap(rowsIn)
-        .getOrElse(graft.ScaleKnobs.BloomDefaultItems)
-      if (rows == 0L || rows > graft.ScaleKnobs.BloomMaxItems) None
-      else {
-        val df = spark.read.schema(toPhysical(declared, cmap))
-          .parquet(absPath(tableDir, p))
-        val aggs = usable.map(c => graft.functions.BloomFilterAgg(
-          col(cmap.getOrElse(c, c)).cast("string"),
-          math.max(64L, rows), fpp).as(c))
-        val r = df.agg(aggs.head, aggs.tail: _*).head()
-        val pairs = usable.zipWithIndex.flatMap { case (c, j) =>
-          Option(r.get(j)).map(_.asInstanceOf[Array[Byte]]).map { bytes =>
-            val phys = cmap.getOrElse(c, c)
-            val rel = s"$IdxDirName/$idxName/d$i-${encTok(phys)}.bloom"
-            val out = fs.create(new Path(tableDir, rel), true)
-            try out.write(bytes) finally out.close()
-            Seq(encTok(phys), rel)
-          }
-        }.flatten
-        if (pairs.isEmpty) None else Some(p -> pairs.mkString("\t"))
-      }
+    grouped.zipWithIndex.flatMap { case (r, i) =>
+      relOf.get(fs.makeQualified(new Path(r.getString(0))).toString)
+        .flatMap { p =>
+          val pairs = usable.zipWithIndex.flatMap { case (c, j) =>
+            Option(r.get(j + 1)).map(_.asInstanceOf[Array[Byte]]).map { bytes =>
+              val phys = cmap.getOrElse(c, c)
+              val rel = s"$IdxDirName/$idxName/d$i-${encTok(phys)}.bloom"
+              val out = fs.create(new Path(tableDir, rel), true)
+              try out.write(bytes) finally out.close()
+              Seq(encTok(phys), rel)
+            }
+          }.flatten
+          if (pairs.isEmpty) None else Some(p -> pairs.mkString("\t"))
+        }
     }.toMap
   }
 
@@ -1038,11 +1052,19 @@ object ManifestTable {
     val bounds = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.join(broadcast(bounds))
     val n = cols.size
+    // `delta * 255` overflows a Long (ANSI: the whole write job dies)
+    // once the dimension's span exceeds Long.MaxValue/255 — reachable
+    // since string ordinals run to 2^56. Wide spans switch to the
+    // bucket-divide form (delta / (span/255), clamped): same monotone
+    // 8-bit scaling, no multiply, off by at most one bucket at the
+    // seam — layout nuance, never correctness (stats stay exact).
     val parts = for {
       (c, i) <- cols.zipWithIndex
-      scaled = (coalesce(ordinalOf(c, dts(c)), col(s"__graft_mn_$c"))
-        - col(s"__graft_mn_$c")) * 255L /
-        greatest(col(s"__graft_mx_$c") - col(s"__graft_mn_$c"), lit(1L))
+      span = greatest(col(s"__graft_mx_$c") - col(s"__graft_mn_$c"), lit(1L))
+      delta = coalesce(ordinalOf(c, dts(c)), col(s"__graft_mn_$c")) -
+        col(s"__graft_mn_$c")
+      scaled = when(span <= lit(Long.MaxValue / 255L), delta * 255L / span)
+        .otherwise(least(lit(255L), delta / greatest(span / 255L, lit(1L))))
       j <- 0 until 8
     } yield shiftleft(shiftright(scaled.cast("long"), j)
       .bitwiseAND(lit(1L)), j * n + i)
@@ -1403,9 +1425,13 @@ object ManifestTable {
     val tableSchema = declaredSchemaOf(spark, tableDir, baseV).getOrElse(
       readWithDeclared(spark, tableDir, baseV,
         all.map(p => absPath(tableDir, p))).schema)
-    val inputs = prunePathsIn(all, baseStats,
-      bounds.filter { case (c, _) => tableSchema.fieldNames.contains(c) },
-      tableSchema)
+    // an unknown column is operator error, not a conservative case:
+    // silently dropping it would leave NO bounds and turn the "scoped"
+    // call into a full-table rewrite
+    bounds.keys.foreach(c => require(tableSchema.fieldNames.contains(c),
+      s"scoped compaction references unknown column '$c' at $tableDir " +
+        s"(declared: ${tableSchema.fieldNames.mkString(", ")})"))
+    val inputs = prunePathsIn(all, baseStats, bounds, tableSchema)
     val baseDv = dvOf(fs, tableDir, baseV)
     val anyDv = inputs.exists(baseDv.contains)
     if (inputs.size <= 1 && !anyDv) return baseV

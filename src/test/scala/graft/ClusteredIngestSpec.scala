@@ -110,6 +110,28 @@ class ClusteredIngestSpec extends SparkTestBase {
         java.sql.Timestamp.valueOf(tsOf(7))).head.getString(2) == "7-13")
   }
 
+  test("string Morton dims survive wide UTF-8 spans (no ANSI overflow)") {
+    val dir = Files.createTempDirectory("graft-clu-wide").toString + "/t"
+    val s = spark; import s.implicits._
+    // 'a' (0x61...) vs CJK (0xe4... first UTF-8 byte) prefix ordinals
+    // span ~3.7e16 > Long.MaxValue/255 — the naive `delta * 255`
+    // scaling overflows (ANSI: the whole write job dies); the
+    // bucket-divide form must carry it
+    ManifestTable.append(Seq((0, "a", "lo"), (99, "中文", "hi"))
+      .toDF("k", "s", "v"), dir,
+      statsCols = Seq("k", "s"), retainGenerations = 10)
+    ManifestTable.alterClusterBy(spark, dir, Seq("k", "s"),
+      retainGenerations = 10)
+    val rows = (0 until 40).map(i =>
+      (i, if (i % 2 == 0) s"a$i" else s"中$i", s"v$i"))
+    ManifestTable.appendClustered(rows.toDF("k", "s", "v"), dir,
+      statsCols = Seq("k", "s"), k = 4, retainGenerations = 10)
+    val got = ManifestTable.read(spark, dir)
+      .where(col("k") === 7).select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("v7"))
+    assert(ManifestTable.read(spark, dir).count() == 42L)
+  }
+
   test("catalog table with clusterBy TBLPROPERTY clusters every INSERT") {
     val wh = Files.createTempDirectory("graft-clu-cat").toString
     spark.conf.set("spark.sql.catalog.gclu", "graft.sources.GraftCatalog")

@@ -341,6 +341,33 @@ class GraftV2Spec extends SparkTestBase {
       scanOf(filtered).get.description())
   }
 
+  test("a stream outlives GC of its pinned manifest (colmap cached at construction)") {
+    val dir = freshDir()
+    ManifestTable.append(batch(1995), dir, statsCols = Seq("d"),
+      retainGenerations = 10)
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    // the stream pins v1's column map AT CONSTRUCTION
+    val stream = new graft.sources.GraftMicroBatchStream(dir,
+      batch(1995).schema, batch(1995).schema, Array.empty, Map.empty,
+      schemaVersion = v1)
+    // retention-2 appends GC manifest v1 out from under the stream
+    // (head and head-1 stay retained so the batch itself can plan)
+    ManifestTable.append(batch(1996), dir, statsCols = Seq("d"),
+      retainGenerations = 2)
+    ManifestTable.append(batch(1997), dir, statsCols = Seq("d"),
+      retainGenerations = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!ManifestTable.versions(fs, dir).contains(v1),
+      "fixture must GC the pinned version")
+    // a per-batch manifest read of v1 would now kill the query with
+    // FileNotFound — the cached map must keep serving batches
+    val head = ManifestTable.headVersion(spark, dir).get
+    stream.planInputPartitions(graft.sources.GraftStreamOffset(head - 1),
+      graft.sources.GraftStreamOffset(head)): Unit
+    stream.createReaderFactory(): Unit
+  }
+
   test("limit pushdown under deletion vectors: masked dirs count their logical lower bound") {
     // catalog table (MoR routing needs table props) — 4 dirs x 10 rows
     val wh = java.nio.file.Files.createTempDirectory("graft-v2lim").toString
