@@ -162,7 +162,12 @@ object GraftMetaTables {
       // `rows` stays the PHYSICAL count, so an operator reads the
       // outstanding merge-on-read debt (and the next compaction's
       // cleanup scope) straight off the listing
-      StructField("masked_positions", LongType, nullable = true)))
+      StructField("masked_positions", LongType, nullable = true),
+      // S44 — PHYSICAL column names this dir's bloom point index
+      // covers (comma-joined; null = unindexed — e.g. a CoW dir
+      // written before bloomCols was declared, or one past the
+      // size cap): point-lookup coverage straight off the listing
+      StructField("bloom_cols", StringType, nullable = true)))
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
     val snap = ManifestTable.snapshotOf(fs, dir, head)
@@ -172,10 +177,14 @@ object GraftMetaTables {
       val json = payload.map(statsJson)
       val masked = snap.dv.get(p)
         .map(pl => ManifestTable.dvEntries(pl).map(_._2).sum)
+      val bloomCols = snap.bloom.get(p)
+        .map(pl => ManifestTable.bloomEntries(pl).keys.toSeq.sorted
+          .mkString(","))
       new GenericInternalRow(Array[Any](utf8(p),
         nRows.map(Long.box).orNull,
         json.map(utf8).orNull,
-        masked.map(Long.box).orNull)): InternalRow
+        masked.map(Long.box).orNull,
+        bloomCols.map(utf8).orNull)): InternalRow
     }
     GraftLocalTable(name, schema, rows.toArray)
   }

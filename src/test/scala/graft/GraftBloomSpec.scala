@@ -79,6 +79,10 @@ class GraftBloomSpec extends SparkTestBase {
     // an absent key plans ZERO dirs and returns nothing
     val q3 = spark.table("gbl.lake.b1").where(col("k") === 999999L)
     assert(q3.isEmpty && plannedDirs(q3).isEmpty)
+    // $files surfaces the coverage per dir
+    val bc = spark.sql("SELECT bloom_cols FROM gbl.lake.`b1$files`")
+      .collect().map(r => Option(r.getString(0)))
+    assert(bc.length == 4 && bc.forall(_.contains("k")), bc.toSeq)
   }
 
   test("blooms carry across metadata commits, rebuild on compaction, drop with rewritten dirs") {
