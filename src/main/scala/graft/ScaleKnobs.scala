@@ -48,6 +48,25 @@ object ScaleKnobs {
   val BloomMaxItems = 1L * 1000 * 1000
   val BloomDefaultItems = 100L * 1000
 
+  /** S44 — driver-side probe budgets (ManifestTable.pruneByBloom).
+    * Bloom pruning runs on the DRIVER during planning, so both axes
+    * must be bounded or a big table stalls every query that plans:
+    *  - max probe POINTS (static EqualTo/In and runtime DPP IN-sets):
+    *    past it, skip bloom pruning entirely — a thousand-key IN-set
+    *    is a join, not a point lookup, and O(dirs × points) membership
+    *    tests would bill it to planning latency;
+    *  - max SIDECARS loaded per scan: sidecars load lazily per
+    *    candidate dir (an `fs.open` each — a GET on an object store);
+    *    past the budget the remaining dirs pass unpruned (prune less,
+    *    never wrong). Loads are parallelized over a small bounded
+    *    pool ([[BloomProbeThreads]]) — serial driver GETs are the
+    *    first thing that dies against object-store latency at 100 TB. */
+  /** @volatile test hooks: the budget paths are exercised by lowering
+    * them (GraftBloomSpec), like [[DvDriverPositionCap]]. */
+  @volatile var BloomProbeMaxPoints = 1024
+  @volatile var BloomProbeMaxSidecars = 256
+  val BloomProbeThreads = 8
+
   /** Manifest-snapshot cache entries (ManifestTable.snapshotOf): parsed
     * manifests served across OPERATIONS, keyed on the manifest FILE's
     * identity (path, version, mtime, length) — immune to the

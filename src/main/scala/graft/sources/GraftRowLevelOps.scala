@@ -232,15 +232,10 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
           col(cmap.getOrElse(l, l)).as(l)): _*)
       val (checked, boundChecks) =
         GraftManifestSource.bindDeclaredChecks(staged, dir)
-      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"min:$c"),
-        max(col(c)).cast("string").as(s"max:$c")))
+      val aggs = ManifestTable.statsAggExprs(statsCols)
       val m = checked.agg(aggs.head, aggs.tail: _*).head()
-      val payload = (Seq(m.getAs[Long]("rows").toString) ++
-        statsCols.flatMap(c => Seq(ManifestTable.encTok(c),
-          ManifestTable.encTok(m.getAs[String](s"min:$c")),
-          ManifestTable.encTok(m.getAs[String](s"max:$c")))))
-        .mkString("\t")
+      val payload = ManifestTable.statsPayloadFrom(m.getAs[Long]("rows"),
+        statsCols, lane => m.getAs[Any](lane))
       ManifestTable.publishRewrite(spark, dir, touched, Some(cid),
         Some(payload), writeSchema, statsCols,
         GraftRowLevel.retainOf(table), boundChecks,
@@ -583,9 +578,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
         GraftManifestSource.bindDeclaredChecks(inserts, dir)
       boundChecks = bc
       val obs = org.apache.spark.sql.Observation()
-      val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"min:$c"),
-        max(col(c)).cast("string").as(s"max:$c")))
+      val aggs = ManifestTable.statsAggExprs(statsCols)
       ManifestTable.writePhysical(
         checked.observe(obs, aggs.head, aggs.tail: _*),
         ManifestTable.colMapOf(fs, dir, baseV))
@@ -596,10 +589,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
         if (insertedRows == 0L) {
           fs.delete(new Path(dir, cid), true): Unit
           None
-        } else Some((cid, Some((Seq(insertedRows.toString) ++
-          statsCols.flatMap(c => Seq(ManifestTable.encTok(c),
-            ManifestTable.encTok(m(s"min:$c")),
-            ManifestTable.encTok(m(s"max:$c"))))).mkString("\t"))))
+        } else Some((cid,
+          Some(ManifestTable.statsPayloadFrom(insertedRows, statsCols, m))))
       if (counts.valuesIterator.sum == 0L && cidAndPayload.isEmpty) {
         fs.delete(new Path(dir, dvRel), true): Unit
         return // provable no-op: no masks, no images

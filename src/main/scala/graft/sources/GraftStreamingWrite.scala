@@ -155,16 +155,17 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                 GraftTaskWriters.mergeStat(sp.dt, zone,
                   per.map(_.max), least = false))
             }
-            pubRel -> GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells)
+            val nulls = specs.map(sp => sp.name ->
+              ms.flatMap(_.stats.filter(_.col == sp.name)).map(_.nulls).sum)
+            pubRel -> GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells,
+              nulls)
           }.toMap
         case None =>
           // a non-atomic tracked column: one footer-served aggregate
           // per published dir (page-cache-warm, dirs ≤ k)
-          import org.apache.spark.sql.functions.{col, count, lit, max, min}
+          import org.apache.spark.sql.functions.col
           fileDirs.map { case (pubRel, ms) =>
-            val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-              min(col(c)).cast("string").as(s"min:$c"),
-              max(col(c)).cast("string").as(s"max:$c")))
+            val aggs = ManifestTable.statsAggExprs(statsCols)
             val rb0 = spark.read
               .schema(ManifestTable.toPhysical(writeSchema, cmap))
               .parquet(s"$tableDir/$pubRel")
@@ -173,9 +174,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
               else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
                 col(cmap.getOrElse(l, l)).as(l)): _*)
             val r = rb.agg(aggs.head, aggs.tail: _*).head()
-            pubRel -> GraftTaskWriters.statsLine(r.getAs[Long]("rows"),
-              statsCols.map(c => (c, Option(r.getAs[String](s"min:$c")),
-                Option(r.getAs[String](s"max:$c")))))
+            pubRel -> ManifestTable.statsPayloadFrom(r.getAs[Long]("rows"),
+              statsCols, lane => r.getAs[Any](lane))
           }.toMap
       }
     ManifestTable.appendCommitLoopCore(spark, writeSchema, tableDir,
@@ -201,10 +201,12 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
   }
 }
 
-/** One tracked column's min/max within one task's file, rendered to
-  * the stats-channel string form (Spark cast-to-string in the session
-  * zone) task-side — the driver never re-reads the file. */
-case class StatCell(col: String, min: Option[String], max: Option[String])
+/** One tracked column's min/max (rendered to the stats-channel string
+  * form — Spark cast-to-string in the session zone) and NULL count
+  * within one task's file, computed task-side — the driver never
+  * re-reads the file. */
+case class StatCell(col: String, min: Option[String], max: Option[String],
+                    nulls: Long = 0L)
 
 /** What a task writer needs to min/max a column inline: its ordinal in
   * the write schema and its (atomic) type. */
@@ -265,16 +267,14 @@ private[sources] object GraftTaskWriters {
     if (specs.length == statsCols.length) Some(specs) else None
   }
 
-  /** One dir's `#stats` payload: rowcount + per-column URL-encoded
-    * (name, min, max) triples, `%N` = all-null. The single format every
-    * stats producer (append, clustered write, streaming epoch) emits. */
+  /** One dir's `#stats` payload: rowcount + per-column (name, min,
+    * max) triples (`%N` = all-null) + the `#nulls` lane. Delegates to
+    * the one encoder every stats producer (append, clustered write,
+    * streaming epoch, task-inline) shares. */
   def statsLine(rows: Long,
-                cells: Seq[(String, Option[String], Option[String])]): String =
-    (Seq(rows.toString) ++ cells.flatMap { case (c, lo, hi) => Seq(
-      java.net.URLEncoder.encode(c, "UTF-8"),
-      lo.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"),
-      hi.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("%N"))
-    }).mkString("\t")
+                cells: Seq[(String, Option[String], Option[String])],
+                nulls: Seq[(String, Long)] = Seq.empty): String =
+    ManifestTable.statsPayloadCells(rows, cells, nulls)
 
   /** Fold per-task extreme STRINGS into the epoch extreme by comparing
     * in the column's NATIVE type (string order would mis-rank
@@ -343,6 +343,7 @@ class GraftTaskWriter(path: String, conf: Configuration,
   // become the new extreme — InternalRow buffers are reused
   private val lo = new Array[Any](statsSpec.length)
   private val hi = new Array[Any](statsSpec.length)
+  private val nn = new Array[Long](statsSpec.length) // per-column nulls
   private val ords = statsSpec.map(s => TypeUtils.getInterpretedOrdering(s.dt))
 
   private def copied(v: Any): Any = v match {
@@ -354,7 +355,8 @@ class GraftTaskWriter(path: String, conf: Configuration,
     var i = 0
     while (i < statsSpec.length) {
       val sp = statsSpec(i)
-      if (!record.isNullAt(sp.ordinal)) {
+      if (record.isNullAt(sp.ordinal)) nn(i) += 1
+      else {
         val v = record.get(sp.ordinal, sp.dt)
         if (lo(i) == null || ords(i).lt(v, lo(i))) lo(i) = copied(v)
         if (hi(i) == null || ords(i).gt(v, hi(i))) hi(i) = copied(v)
@@ -390,7 +392,7 @@ class GraftTaskWriter(path: String, conf: Configuration,
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
     GraftTaskCommit(path, rows, statsSpec.zipWithIndex.map { case (sp, i) =>
-      StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt)) },
+      StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt), nn(i)) },
       partitionId)
   }
 

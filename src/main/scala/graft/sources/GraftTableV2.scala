@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder}
@@ -768,8 +768,10 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   private def keptPaths: Seq[String] = {
     if (keptPathsCache == null)
       keptPathsCache = ManifestTable.pruneByBloom(fsOf(spark), tableDir,
-        ManifestTable.prunePathsIn(
-          livePaths, liveStats, boundsFor(filters), tableSchema),
+        ManifestTable.pruneByNulls(
+          ManifestTable.prunePathsIn(
+            livePaths, liveStats, boundsFor(filters), tableSchema),
+          liveStats, filters.toSeq),
         snap.bloom, bloomPointsFor(filters), bloomCache)
     keptPathsCache
   }
@@ -834,10 +836,9 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
   /** With a pushed pure limit: the shortest dir PREFIX whose recorded
     * rowcounts cover it (no truncation when any dir lacks a rowcount —
     * conservative full plan). Recorded counts are PHYSICAL; under
-    * deletion vectors each dir contributes its logical LOWER BOUND —
-    * physical rows minus the dir's mask-position count, which may
-    * OVERCOUNT masked rows under stacked re-deletes and therefore can
-    * only make the prefix longer, never under-deliver. */
+    * deletion vectors each dir contributes its LOGICAL count —
+    * physical rows minus the dir's mask-position count (exact: standing
+    * masks are position-disjoint, see [[ManifestTable.dvDeletedRows]]). */
   private def plannedPaths: Seq[String] = limit match {
     case None => keptPaths
     case Some(n) =>
@@ -1062,8 +1063,8 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
         liveStats.get(p).flatMap(ManifestTable.rowsIn))
       // recorded counts are PHYSICAL; subtract the planned dirs' dv
       // position counts so broadcast planning sees the logical size
-      // (an upper-bound estimate under stacked re-deletes — fine for
-      // an estimate, which is why the EXACT agg pushdown declines)
+      // (exact — standing masks are position-disjoint, see
+      // ManifestTable.dvDeletedRows)
       val masked = plannedPaths.flatMap(dvByPath.get)
         .map(pl => ManifestTable.dvEntries(pl).map(_._2).sum).sum
       val rows =
@@ -1259,16 +1260,33 @@ case class GraftDvReaderFactory(clean: PartitionReaderFactory,
 
   /** Columnar whenever the underlying parquet factories are (their
     * answer is conf/schema-based, identical for every partition, so the
-    * scan never mixes row and columnar partitions) and the scan is not
-    * emitting row positions. */
+    * scan never mixes row and columnar partitions). Position-emitting
+    * scans stay columnar too: the vectorized parquet reader fills the
+    * row-index temp column natively, and the output projection just
+    * reorders vectors — so the S43 delta-DML candidate read (the scan
+    * feeding SQL UPDATE/MERGE on a MoR table) keeps vectorization. */
   override def supportColumnarReads(p: InputPartition): Boolean =
-    !emitPos && clean.supportColumnarReads(p) && ext.supportColumnarReads(p)
+    clean.supportColumnarReads(p) && ext.supportColumnarReads(p)
+
+  /** Reorder (and under a mask, selection-filter) one batch into the
+    * scan's output geometry. `sel == null` = keep every row. */
+  private def projectBatch(b: org.apache.spark.sql.vectorized.ColumnarBatch,
+                           sel: Array[Int], n: Int)
+      : org.apache.spark.sql.vectorized.ColumnarBatch = {
+    import org.apache.spark.sql.vectorized.ColumnVector
+    val outCols: Array[ColumnVector] = boundOrds.map { o =>
+      val src = b.column(o)
+      if (sel == null) src
+      else new GraftSelectedColumnVector(src, sel): ColumnVector
+    }
+    new org.apache.spark.sql.vectorized.ColumnarBatch(outCols, n)
+  }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     p match {
       case d: GraftDvFilePartition =>
-        import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+        import org.apache.spark.sql.vectorized.ColumnarBatch
         val inner = ext.createColumnarReader(d)
         val mask = maskOf(d)
         new PartitionReader[ColumnarBatch] {
@@ -1290,15 +1308,25 @@ case class GraftDvReaderFactory(clean: PartitionReaderFactory,
                 if (mi >= mask.length || mask(mi) != idx) { sel(k) = r; k += 1 }
                 r += 1
               }
-              val outCols: Array[ColumnVector] = boundOrds.map { o =>
-                val src = b.column(o)
-                if (k == n) src
-                else new GraftSelectedColumnVector(src, sel): ColumnVector
-              }
-              cur = new ColumnarBatch(outCols, k)
+              cur = projectBatch(b, if (k == n) null else sel, k)
               return true
             }
             false
+          }
+          override def get(): ColumnarBatch = cur
+          override def close(): Unit = inner.close()
+        }
+      // pos-emitting scans read every partition through the row-index
+      // factory columnar-side too (mirror of the row path above)
+      case other if emitPos =>
+        import org.apache.spark.sql.vectorized.ColumnarBatch
+        val inner = ext.createColumnarReader(other)
+        new PartitionReader[ColumnarBatch] {
+          private var cur: ColumnarBatch = _
+          override def next(): Boolean = inner.next() && {
+            val b = inner.get()
+            cur = projectBatch(b, null, b.numRows())
+            true
           }
           override def get(): ColumnarBatch = cur
           override def close(): Unit = inner.close()
@@ -1567,6 +1595,11 @@ case class GraftStreamOffset(version: Long)
   *    the offending paths unless `ignoreChanges=true` — mirroring
   *    Delta, which also re-emits rewritten rows under that flag (a
   *    compacted dir's rows ARE re-emitted: they are "added" dirs).
+  *  - `ignoreDeletes=true` (the weaker flag, also mirroring Delta):
+  *    tolerate MASK-ONLY version steps (merge-on-read DELETE/UPDATE
+  *    advancing deletion vectors, no dir removed) while still failing
+  *    on removed dirs — for consumers that can miss logical deletes
+  *    but must never absorb a compaction's re-emission.
   *  - `startingVersion` option: begin from that version's additions
   *    instead of the full current snapshot.
   *  - a restart whose checkpointed offset version is no longer
@@ -1592,6 +1625,14 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
   private def opt(k: String): Option[String] =
     options.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
   private val ignoreChanges = opt("ignoreChanges").exists(_.toBoolean)
+  /** Delta's weaker sibling of `ignoreChanges`: tolerate version steps
+    * that only DELETE (here: advance deletion vectors — mask-only
+    * commits, no dir removed) without also accepting re-emitted
+    * rewrites. The two have different blast radii — a consumer that
+    * can live with missed deletes may still need to fail on a
+    * compaction re-emitting a billion rows. Implied by ignoreChanges. */
+  private val ignoreDeletes =
+    ignoreChanges || opt("ignoreDeletes").exists(_.toBoolean)
 
   override def initialOffset(): Offset =
     GraftStreamOffset(opt("startingVersion").map(_.toLong - 1).getOrElse(0L))
@@ -1701,15 +1742,18 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
           "option ignoreChanges=true (rewritten rows are re-emitted)")
     // a merge-on-read DELETE changes no path, only the deletion-vector
     // state — logical deletes an append tail cannot express; same
-    // contract as a removed dir (Delta fails DV commits the same way)
+    // contract as a removed dir (Delta fails DV commits the same way),
+    // but with the weaker escape hatch: ignoreDeletes tolerates the
+    // mask-only step without also accepting re-emitted rewrites
     def dvAt(v: Long): Map[String, String] =
       if (v <= 0L) Map.empty else ManifestTable.dvOf(fs, tableDir, v)
-    if (dvAt(s) != dvAt(e) && !ignoreChanges)
+    if (dvAt(s) != dvAt(e) && !ignoreDeletes)
       throw new IllegalStateException(
         s"graft stream at $tableDir: versions $s -> $e changed deletion " +
           "vectors (merge-on-read DELETE/UPDATE) — the source streams " +
           "APPENDS; use the change feed (readChangeFeed) for row-level " +
-          "deletes, or option ignoreChanges=true to skip them")
+          "deletes, option ignoreDeletes=true to skip mask-only " +
+          "commits, or ignoreChanges=true to also accept rewrites")
     val added = endPaths.filterNot(startPaths).sorted
     lastPlannedEnd = e
     GraftParquetRead.packPartitions(spark,
@@ -1759,12 +1803,18 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
     } {
       val valid = ManifestTable.toPhysical(decl,
         ManifestTable.colMapOf(fs, tableDir, v)).fieldNames.toSet
-      val gone = tableSchema.fieldNames
+      // validate only what this query READS (projected fields plus
+      // pushed-filter references) — a DROP COLUMN of a field the
+      // stream never selects must not kill a long-running query whose
+      // output is unaffected
+      val read = requiredSchema.fieldNames.toSet ++
+        filters.flatMap(_.references)
+      val gone = tableSchema.fieldNames.filter(read)
         .filterNot(n => valid.contains(cmap.getOrElse(n, n)))
       if (gone.nonEmpty)
         throw new IllegalStateException(
           s"graft stream at $tableDir: column(s) ${gone.mkString(", ")} " +
-            s"of the stream's schema no longer resolve at version $v " +
+            s"read by the stream no longer resolve at version $v " +
             "(dropped or renamed since the stream started) — restart " +
             "the query to pick up the evolved schema")
     }
@@ -1791,10 +1841,15 @@ object GraftAggReaderFactory extends PartitionReaderFactory {
 /** Answering a pushed `Aggregation` from `#stats` manifest headers.
   * Conditions for pushing (else decline and scan normally):
   * no GROUP BY, no pushed filters, every aggregate is COUNT(*) /
-  * MIN(col) / MAX(col) on a top-level column of a stats-supported
-  * type, and EVERY live path of the pinned version carries parseable
-  * stats for the referenced columns (stats are conservative metadata —
-  * one stats-less dir means the manifest cannot answer). */
+  * COUNT(col) / MIN(col) / MAX(col) on a top-level column of a
+  * stats-supported type, and EVERY live path of the pinned version
+  * carries parseable stats for the referenced columns (stats are
+  * conservative metadata — one stats-less dir means the manifest
+  * cannot answer). Under standing deletion vectors only COUNT(*)
+  * remains answerable (recorded physical counts minus the per-dir
+  * mask position counts — see the invariant note in [[answer]]);
+  * per-column aggregates decline because a mask can hide an extreme
+  * or a null. */
 object GraftStatsAgg {
 
   /** None = cannot answer; Some((schema, row)) = the complete result. */
@@ -1808,13 +1863,21 @@ object GraftStatsAgg {
     val paths = ManifestTable.pathsOf(fs, tableDir, version)
     val stats = ManifestTable.statsOf(fs, tableDir, version)
     if (paths.isEmpty || !paths.forall(stats.contains)) return None
-    // deletion vectors make every recorded count/extreme a PHYSICAL
-    // value — the logical answer needs the scan, so decline
-    if (ManifestTable.dvOf(fs, tableDir, version).nonEmpty) return None
+    // Deletion vectors make every recorded PER-COLUMN stat a PHYSICAL
+    // value — a mask can hide an extreme or any share of a column's
+    // nulls, so MIN/MAX/COUNT(col) decline and fall back to the scan.
+    // COUNT(*) stays answerable: standing dv entries of one dir are
+    // pairwise position-DISJOINT (writers compute masks against the
+    // base version's logical rows and publishMorDelta aborts if the
+    // dir's dv advanced since base — see [[ManifestTable.dvDeletedRows]]),
+    // so logical rows = Σ recorded rowcounts − Σ mask position counts,
+    // both manifest state. A MoR table keeps its cheapest query.
+    val masked = ManifestTable.dvDeletedRows(
+      ManifestTable.dvOf(fs, tableDir, version))
     val payloads = paths.map(stats)
     val rowCounts = payloads.map(ManifestTable.rowsIn)
     if (rowCounts.exists(_.isEmpty)) return None
-    val total = rowCounts.flatten.sum
+    val total = rowCounts.flatten.sum - masked
     // the zone the stats strings were WRITTEN in (pinned by the first
     // ts-stats writer), not this session's — parsing in the wrong zone
     // returns extremes shifted by the zone difference
@@ -1832,15 +1895,28 @@ object GraftStatsAgg {
       case _: CountStar =>
         Some((java.lang.Long.valueOf(total): Any,
           StructField("COUNT(*)", LongType, nullable = false)))
-      case m: Min => columnOf(m.column).flatMap { f =>
+      case m: Min if masked == 0L => columnOf(m.column).flatMap { f =>
         extremeOf(payloads, f, zone, isMin = true)
           .map(v => (v, StructField(s"MIN(${f.name})", f.dataType)))
       }
-      case m: Max => columnOf(m.column).flatMap { f =>
+      case m: Max if masked == 0L => columnOf(m.column).flatMap { f =>
         extremeOf(payloads, f, zone, isMin = false)
           .map(v => (v, StructField(s"MAX(${f.name})", f.dataType)))
       }
-      case _ => None // SUM/AVG/COUNT(col)/... : stats can't answer
+      // COUNT(col) = Σ per-dir (rows − recorded nulls) — answerable
+      // only when EVERY dir carries the `#nulls` lane for the column
+      // (older payloads predate it) and no masks stand
+      case c: Count if !c.isDistinct && masked == 0L =>
+        columnOf(c.column).flatMap { f =>
+          val perDir = payloads.map(p => for {
+            rows <- ManifestTable.rowsIn(p)
+            nulls <- ManifestTable.nullsFor(p, f.name)
+          } yield rows - nulls)
+          if (perDir.exists(_.isEmpty)) None
+          else Some((java.lang.Long.valueOf(perDir.flatten.sum): Any,
+            StructField(s"COUNT(${f.name})", LongType, nullable = false)))
+        }
+      case _ => None // SUM/AVG/COUNT(DISTINCT)/... : stats can't answer
     }
     if (fields.exists(_.isEmpty)) return None
     val resolved = fields.flatten

@@ -254,6 +254,22 @@ object ManifestTable {
     try Some(tok.toLong) catch { case _: NumberFormatException => None }
   }
 
+  /** Marker token opening the payload's NULL-COUNT section:
+    * `...triples\t#nulls\t<col>\t<n>[...]`. A raw `#` token can never
+    * collide with [[encTok]] output (URLEncoder renders '#' as `%23`),
+    * so the triples parser stops at it unambiguously. Payloads written
+    * before the lane simply have no section — every reader treats the
+    * absent lane as "nulls untracked" (conservative, like all stats). */
+  private val NullsMarker = "#nulls"
+
+  /** A payload's token list split at the null-count marker:
+    * (triple tokens, null-pair tokens). */
+  private def splitStatsToks(toks: Array[String]): (Seq[String], Seq[String]) = {
+    val i = toks.indexOf(NullsMarker)
+    if (i < 0) (toks.toSeq, Seq.empty)
+    else (toks.take(i).toSeq, toks.drop(i + 1).toSeq)
+  }
+
   /** Parse one path's stats payload for `column`: Some((rows, min,
     * max)) when that column was tracked; min/max None = all-null. */
   private[graft] def statsFor(payload: String, column: String)
@@ -261,40 +277,97 @@ object ManifestTable {
     val toks = payload.split('\t')
     if (toks.isEmpty) return None
     val rows = try toks(0).toLong catch { case _: NumberFormatException => return None }
-    toks.drop(1).grouped(3).collectFirst {
-      case Array(c, mn, mx) if decTok(c).contains(column) =>
+    splitStatsToks(toks)._1.drop(1).grouped(3).collectFirst {
+      case Seq(c, mn, mx) if decTok(c).contains(column) =>
         (rows, decTok(mn), decTok(mx))
     }
   }
 
+  /** `column`'s recorded NULL count in a payload, when the writer
+    * tracked the lane (payloads predating it → None). */
+  private[graft] def nullsFor(payload: String, column: String): Option[Long] =
+    splitStatsToks(payload.split('\t'))._2.grouped(2).collectFirst {
+      case Seq(c, n) if decTok(c).contains(column) => n.toLongOption
+    }.flatten
+
   /** Every column a stats payload tracks, in payload order. */
   private[graft] def statColsIn(payload: String): Seq[String] =
-    payload.split('\t').drop(1).grouped(3).collect {
-      case Array(c, _, _) => decTok(c)
+    splitStatsToks(payload.split('\t'))._1.drop(1).grouped(3).collect {
+      case Seq(c, _, _) => decTok(c)
     }.flatten.toSeq
 
-  /** Stats payload with `from`'s triples re-keyed to `to` — the RENAME
+  /** Stats payload with `from`'s lanes re-keyed to `to` — the RENAME
     * COLUMN commit re-keys every per-dir payload so pruning keeps
     * working against the new logical name (metadata-only: the payloads
     * live in the manifest header). */
   private[sources] def renameStatsCol(payload: String, from: String,
                                       to: String): String = {
-    val toks = payload.split('\t')
-    (toks.take(1).toSeq ++ toks.drop(1).grouped(3).flatMap {
-      case Array(c, mn, mx) =>
-        Seq(if (decTok(c).contains(from)) encTok(to) else c, mn, mx)
-      case other => other.toSeq
-    }).mkString("\t")
+    val (triples, nulls) = splitStatsToks(payload.split('\t'))
+    def rekey(c: String) = if (decTok(c).contains(from)) encTok(to) else c
+    val t = triples.take(1) ++ triples.drop(1).grouped(3).flatMap {
+      case Seq(c, mn, mx) => Seq(rekey(c), mn, mx)
+      case other => other
+    }
+    val n = nulls.grouped(2).flatMap {
+      case Seq(c, v) => Seq(rekey(c), v)
+      case other => other
+    }.toSeq
+    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n)).mkString("\t")
   }
 
-  /** Stats payload with `col`'s triples removed (DROP COLUMN). */
+  /** Stats payload with `col`'s lanes removed (DROP COLUMN). */
   private[sources] def dropStatsCol(payload: String, col: String): String = {
-    val toks = payload.split('\t')
-    (toks.take(1).toSeq ++ toks.drop(1).grouped(3).flatMap {
-      case Array(c, _, _) if decTok(c).contains(col) => Seq.empty[String]
-      case other => other.toSeq
-    }).mkString("\t")
+    val (triples, nulls) = splitStatsToks(payload.split('\t'))
+    val t = triples.take(1) ++ triples.drop(1).grouped(3).flatMap {
+      case Seq(c, _, _) if decTok(c).contains(col) => Seq.empty[String]
+      case other => other
+    }
+    val n = nulls.grouped(2).flatMap {
+      case Seq(c, _) if decTok(c).contains(col) => Seq.empty[String]
+      case other => other
+    }.toSeq
+    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n)).mkString("\t")
   }
+
+  /** The stats observation lanes for `statsCols` over one output dir:
+    * total rows, then per column min / max (cast-to-string) and the
+    * NON-NULL count (`cnt:` — the `#nulls` lane's input). One pass,
+    * map-side combined, shared by every stats-writing commit path. */
+  private[sources] def statsAggExprs(statsCols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"min:$c"),
+      max(col(c)).cast("string").as(s"max:$c"),
+      count(col(c)).as(s"cnt:$c")))
+  }
+
+  /** Encode one dir's stats payload from per-column cells:
+    * `<rows>\t(<col>\t<min>\t<max>)*\t#nulls\t(<col>\t<nulls>)*` —
+    * the single format every stats producer emits (None min/max =
+    * `%N` = no non-null values). */
+  private[sources] def statsPayloadCells(rows: Long,
+      cells: Seq[(String, Option[String], Option[String])],
+      nulls: Seq[(String, Long)]): String = {
+    val triples = cells.flatMap { case (c, mn, mx) =>
+      Seq(encTok(c), mn.map(encTok).getOrElse(NullTok),
+        mx.map(encTok).getOrElse(NullTok)) }
+    val nn = nulls.flatMap { case (c, n) => Seq(encTok(c), n.toString) }
+    (Seq(rows.toString) ++ triples ++
+      (if (nn.isEmpty) Seq.empty else NullsMarker +: nn)).mkString("\t")
+  }
+
+  /** Encode one dir's stats payload from the observed [[statsAggExprs]]
+    * lane values. */
+  private[sources] def statsPayloadFrom(rows: Long, statsCols: Seq[String],
+                                        lane: String => Any): String =
+    statsPayloadCells(rows,
+      statsCols.map(c => (c, Option(lane(s"min:$c")).map(_.toString),
+        Option(lane(s"max:$c")).map(_.toString))),
+      statsCols.map { c =>
+        val nonNull = lane(s"cnt:$c").asInstanceOf[Number].longValue
+        (c, rows - nonNull)
+      })
 
   // ------------------------------------------------- deletion vectors (S41)
 
@@ -317,8 +390,8 @@ object ManifestTable {
     * relPath → payload `"<dvDir>@<rows>[,<dvDir>@<rows>...]"` where each
     * dvDir is a parquet dataset of (path, pos) records masking rows of
     * that dir OUT of the logical table, and rows counts that dv's
-    * position records (an upper bound on newly-masked rows — re-deleted
-    * positions may repeat across stacked dvs). `#`-prefixed like stats:
+    * position records. Stacked entries of one dir are pairwise
+    * position-DISJOINT — see [[dvDeletedRows]]. `#`-prefixed like stats:
     * a reader that ignores the channel sees the PHYSICAL table, which is
     * why every read surface in this engine resolves it explicitly. */
   def dvOf(fs: FileSystem, tableDir: String, v: Long): Map[String, String] =
@@ -332,8 +405,18 @@ object ManifestTable {
       else e.drop(i + 1).toLongOption.map(n => (e.take(i), n))
     }
 
-  /** Total position records across a version's dvs — the ESTIMATED
-    * masked-row count (upper bound under stacked re-deletes). */
+  /** Total position records across a version's dvs = the EXACT
+    * masked-row count. Exactness rests on a protocol invariant every
+    * dv writer upholds: stacked entries of one dir are pairwise
+    * position-disjoint, because (a) both mask producers
+    * ([[deleteWhereMoR]]/[[morRewrite]]'s anti-join and the S43 delta
+    * scan) compute new positions against
+    * the BASE version's LOGICAL rows — already-masked positions can
+    * never re-enter a changeset — and (b) [[publishMorDelta]] aborts
+    * (no retry) when a touched dir's dv advanced past the base, so no
+    * concurrent writer can stack a mask computed against other masks.
+    * S21's metadata-only COUNT(*) under masks and the V2 scan's
+    * reported statistics both lean on this arithmetic. */
   private[graft] def dvDeletedRows(dv: Map[String, String]): Long =
     dv.valuesIterator.flatMap(dvEntries(_).map(_._2)).sum
 
@@ -444,7 +527,16 @@ object ManifestTable {
     * some conjunct has a loaded bloom for its (physical) column and
     * every point is absent. `points` carry PHYSICAL column names and
     * cast-to-string renderings; a missing/corrupt sidecar counts as
-    * "no bloom" (conservative — pruning-only, never correctness). */
+    * "no bloom" (conservative — pruning-only, never correctness).
+    *
+    * Driver-budgeted (this runs during PLANNING): a probe-point set
+    * past [[graft.ScaleKnobs.BloomProbeMaxPoints]] skips bloom pruning
+    * outright (a huge runtime IN-set is a join, not a point lookup);
+    * sidecar loads stop at [[graft.ScaleKnobs.BloomProbeMaxSidecars]]
+    * per scan — candidate dirs past the budget pass unpruned — and the
+    * loads within budget run on a small bounded pool instead of one
+    * serial `fs.open` per dir (object-store GET latency × dirs is the
+    * planning stall that bites first at 100 TB). */
   private[graft] def pruneByBloom(fs: FileSystem, tableDir: String,
       paths: Seq[String], blooms: Map[String, String],
       points: Seq[(String, Set[String])],
@@ -452,25 +544,57 @@ object ManifestTable {
         Option[org.apache.spark.util.sketch.BloomFilter]])
       : Seq[String] = {
     if (blooms.isEmpty || points.isEmpty) return paths
-    def load(rel: String) = cache.getOrElseUpdate(rel,
+    if (points.map(_._2.size).sum > graft.ScaleKnobs.BloomProbeMaxPoints)
+      return paths
+    val cols = points.map(_._1).toSet
+    // the sidecars each candidate dir would need (probe columns only)
+    val relsOf: Map[String, Seq[String]] = paths.map { p =>
+      p -> blooms.get(p).map(bloomEntries(_).view.filterKeys(cols)
+        .values.toSeq.distinct).getOrElse(Seq.empty)
+    }.toMap
+    // walk dirs in plan order, admitting each while its uncached
+    // sidecars fit the remaining per-scan budget; everything past the
+    // cutoff passes unpruned (prune less, never wrong)
+    val toLoad = scala.collection.mutable.LinkedHashSet.empty[String]
+    var probeable = paths.length
+    var i = 0
+    while (i < paths.length && probeable == paths.length) {
+      val fresh = relsOf(paths(i)).filterNot(r =>
+        cache.contains(r) || toLoad.contains(r))
+      if (toLoad.size + fresh.size > graft.ScaleKnobs.BloomProbeMaxSidecars)
+        probeable = i
+      else { toLoad ++= fresh; i += 1 }
+    }
+    if (toLoad.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(graft.ScaleKnobs.BloomProbeThreads, toLoad.size))
       try {
-        val in = fs.open(new Path(absPath(tableDir, rel)))
-        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-        finally in.close()
-      } catch { case _: Exception => None })
-    paths.filter { p =>
+        val fetched = toLoad.toSeq.map(rel => rel -> pool.submit(
+          new java.util.concurrent.Callable[
+              Option[org.apache.spark.util.sketch.BloomFilter]] {
+            override def call() = try {
+              val in = fs.open(new Path(absPath(tableDir, rel)))
+              try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+              finally in.close()
+            } catch { case _: Exception => None }
+          }))
+        fetched.foreach { case (rel, f) => cache.update(rel, f.get()) }
+      } finally pool.shutdown()
+    }
+    val (probed, rest) = paths.splitAt(probeable)
+    probed.filter { p =>
       blooms.get(p) match {
         case None => true
         case Some(payload) =>
           val entries = bloomEntries(payload)
           points.forall { case (c, pts) =>
-            entries.get(c).flatMap(load) match {
+            entries.get(c).flatMap(cache.getOrElse(_, None)) match {
               case Some(bf) => pts.exists(bf.mightContainString)
               case None => true
             }
           }
       }
-    }
+    } ++ rest
   }
 
   /** Mask `df` (rows of `paths`, read WITH parquet `_metadata`
@@ -699,9 +823,7 @@ object ManifestTable {
     val ddl = df.schema.toDDL
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
-    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min:$c"),
-      max(col(c)).cast("string").as(s"max:$c")))
+    val aggs = statsAggExprs(statsCols)
     val observed =
       if (statsCols.isEmpty) checked
       else checked.observe(obs, aggs.head, aggs.tail: _*)
@@ -714,9 +836,8 @@ object ManifestTable {
       if (statsCols.isEmpty) None
       else {
         val m = obs.get
-        Some((Seq(m("rows").toString) ++ statsCols.flatMap(c =>
-          Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
-          .mkString("\t"))
+        Some(statsPayloadFrom(m("rows").asInstanceOf[Number].longValue,
+          statsCols, m))
       }
     (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
       statsCols, retainGenerations, meta,
@@ -1132,9 +1253,7 @@ object ManifestTable {
     // is an empty frame, the stats map is empty, and the compaction
     // commits a dir-less (empty-table) manifest, which is the correct
     // materialization of an all-masked table (concurrency-fuzz find).
-    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min:$c"),
-      max(col(c)).cast("string").as(s"max:$c")))
+    val aggs = statsAggExprs(statsCols)
     val readBackSchema = org.apache.spark.sql.types.StructType(
       toPhysical(data.schema, cmap).fields :+
         org.apache.spark.sql.types.StructField("rb",
@@ -1148,10 +1267,8 @@ object ManifestTable {
     readBack
       .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
-        val payload = (Seq(r.getAs[Long]("rows").toString) ++
-          statsCols.flatMap(c => Seq(encTok(c),
-            encTok(r.getAs[String](s"min:$c")), encTok(r.getAs[String](s"max:$c")))))
-          .mkString("\t")
+        val payload = statsPayloadFrom(r.getAs[Long]("rows"), statsCols,
+          lane => r.getAs[Any](lane))
         s"$cid/rb=${r.getAs[Number]("rb").intValue}" -> payload
       }.toMap
   }
@@ -1686,18 +1803,15 @@ object ManifestTable {
           matches.select(dataCols: _*), tableDir)
         boundChecks = bc
         val obs = org.apache.spark.sql.Observation()
-        val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-          min(col(c)).cast("string").as(s"min:$c"),
-          max(col(c)).cast("string").as(s"max:$c")))
+        val aggs = statsAggExprs(statsCols)
         writePhysical(checked.observe(obs, aggs.head, aggs.tail: _*),
           colMapOf(fs, tableDir, baseV))
           .write.parquet(s"$tableDir/$cid")
         val m = obs.get
         val payload =
           if (m("rows").asInstanceOf[Long] == 0L) None
-          else Some((Seq(m("rows").toString) ++ statsCols.flatMap(c =>
-            Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
-            .mkString("\t"))
+          else Some(statsPayloadFrom(m("rows").asInstanceOf[Long],
+            statsCols, m))
         Some((cid, payload))
       }
     // write-side CDC materialization (opt-in, same property as CoW):
@@ -1874,9 +1988,7 @@ object ManifestTable {
       .toSeq
     val cid = cidPrefix + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
-    val aggs = count(lit(1)).as("rows") +: statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"min:$c"),
-      max(col(c)).cast("string").as(s"max:$c")))
+    val aggs = statsAggExprs(statsCols)
     // touched dirs read through the base masks: a CoW rewrite over a
     // dv'd dir must not resurrect rows a merge-on-read delete masked
     val baseDv = dvOf(fs, tableDir, baseV)
@@ -1896,9 +2008,7 @@ object ManifestTable {
     val keptRows = m("rows").asInstanceOf[Long]
     val payload =
       if (keptRows == 0L) None
-      else Some((Seq(keptRows.toString) ++ statsCols.flatMap(c =>
-        Seq(encTok(c), encTok(m(s"min:$c")), encTok(m(s"max:$c")))))
-        .mkString("\t"))
+      else Some(statsPayloadFrom(keptRows, statsCols, m))
     if (keptRows == 0L) // the rewrite kept nothing — no dir to publish
       fs.delete(new Path(s"$tableDir/$cid"), true): Unit
     if (touched.isEmpty && keptRows == 0L)
@@ -2159,6 +2269,46 @@ object ManifestTable {
           case Some((_, mn, mx)) => statRangeOverlaps(dts(c), mn, mx, lo, hi)
           case None => true // no stats for this path/column → must read
         }
+      }
+    }
+  }
+
+  /** Null-lane dir pruning: drop dirs a top-level IS NULL / IS NOT
+    * NULL conjunct provably rules out — `IS NULL` skips a dir whose
+    * recorded null count is 0; `IS NOT NULL` skips a dir that is
+    * all-null (recorded nulls = rows, or min and max both `%N`, which
+    * pre-nulls-lane payloads already record). Spark pushes IsNotNull
+    * for nearly every referenced column, so all-null dirs — common
+    * after ADD COLUMN backfills land sparsely — prune everywhere for
+    * free. Conjuncts only (a top-level Or can satisfy a row another
+    * way); untracked columns/lanes keep the dir (conservative). */
+  private[graft] def pruneByNulls(paths: Seq[String],
+                                  stats: Map[String, String],
+                                  filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[String] = {
+    import org.apache.spark.sql.sources.{And, Filter, IsNotNull, IsNull}
+    val isNull = Set.newBuilder[String]
+    val isNotNull = Set.newBuilder[String]
+    def walk(f: Filter): Unit = f match {
+      case IsNull(c) => isNull += c
+      case IsNotNull(c) => isNotNull += c
+      case And(a, b) => walk(a); walk(b)
+      case _ => ()
+    }
+    filters.foreach(walk)
+    val (nulls, notNulls) = (isNull.result(), isNotNull.result())
+    if (nulls.isEmpty && notNulls.isEmpty) return paths
+    paths.filter { p =>
+      stats.get(p) match {
+        case None => true
+        case Some(payload) =>
+          nulls.forall(c => !nullsFor(payload, c).contains(0L)) &&
+          notNulls.forall { c =>
+            val allNull =
+              statsFor(payload, c).exists(t => t._2.isEmpty && t._3.isEmpty) ||
+                nullsFor(payload, c).exists(n => rowsIn(payload).contains(n))
+            !allNull
+          }
       }
     }
   }

@@ -949,6 +949,73 @@ object Sources {
       .withColumn("bloom_pruned", lit(bloomPruned))
   }
 
+  /** S21 under masks: COUNT(*) on the S41 merge-on-read table (standing
+    * deletion vectors) answered as pure manifest arithmetic — Σ recorded
+    * physical rowcounts − Σ mask position counts (exact: standing masks
+    * of one dir are position-disjoint by the dv protocol's publish
+    * guard). `count_pushed` witnesses the pushed-aggregate plan — a MoR
+    * table keeps its cheapest query without materializing a single mask. */
+  def s21_masked_count(s: SparkSession, d: String): DataFrame = {
+    val cat = dvDeleteDemo(s, d)
+    val counted = s.table(s"$cat.lake.odv").groupBy()
+      .agg(count(lit(1)).as("n_kept"))
+    val pushed = counted.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description().contains("PushedAggregates")
+    }.getOrElse(false)
+    counted.withColumn("count_pushed", lit(pushed))
+  }
+
+  /** S45 fixture: a 3-dir manifest table whose nullable column splits
+    * the dirs into all-null / mixed / all-non-null — the geometry the
+    * `#nulls` stats lane prunes on. Derived from orders so the oracle
+    * can replay the null rule (`o_orderkey % 7 = 0 → NULL`) in SQL. */
+  private val nullStatsDemo = new graft.FixtureMemo((s, d) => {
+    val dir = tmp("graft_s45_")
+    val base = orders(s, d).select(col("o_orderkey"),
+      when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")).as("prio"))
+    // dir 1: the all-null slice; dirs 2-3: non-null rows split by key
+    ManifestTable.append(base.filter(col("prio").isNull), dir,
+      statsCols = Seq("o_orderkey", "prio"))
+    ManifestTable.append(
+      base.filter(col("prio").isNotNull && col("o_orderkey") % 2 === 0),
+      dir, statsCols = Seq("o_orderkey", "prio"))
+    ManifestTable.append(
+      base.filter(col("prio").isNotNull && col("o_orderkey") % 2 === 1),
+      dir, statsCols = Seq("o_orderkey", "prio"))
+    dir
+  })
+
+  /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
+    * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
+    * witnesses the plan); the IS NULL leg scans, with its all-non-null
+    * dirs dir-pruned via the lane (`null_pruned` witnesses the
+    * driver-side arithmetic: 2 of 3 dirs carry zero nulls). */
+  def s45_null_stats(s: SparkSession, d: String): DataFrame = {
+    val dir = nullStatsDemo(s, d)
+    val t = s.read.format("graft").load(dir)
+    val counted = t.groupBy().agg(count(lit(1)).as("n_rows"),
+      count(col("prio")).as("n_vals"))
+    val pushed = counted.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description().contains("PushedAggregates")
+    }.getOrElse(false)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(s, dir).get
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    val keptForIsNull = ManifestTable.pruneByNulls(paths, stats,
+      Seq(org.apache.spark.sql.sources.IsNull("prio")))
+    val nullPruned = paths.size == 3 && keptForIsNull.size == 1
+    val nNull = t.filter(col("prio").isNull)
+      .agg(count(lit(1)).as("n_null"))
+    counted.crossJoin(nNull)
+      .withColumn("count_pushed", lit(pushed))
+      .withColumn("null_pruned", lit(nullPruned))
+  }
+
   /** S25 fixture: `lake.oupd` in the S23 catalog — CREATE + INSERT of
     * orders (→ v2), then one SQL `UPDATE` adding a flat 500.0 surcharge
     * to the low-priority pre-1996H2 slice (→ v3). The +500.0 delta is
@@ -1522,6 +1589,8 @@ object Sources {
     "s41_dv_update_sql" -> (s41_dv_update_sql _),
     "s42_column_mapping" -> (s42_column_mapping _),
     "s44_bloom_lookup" -> (s44_bloom_lookup _),
+    "s21_masked_count" -> (s21_masked_count _),
+    "s45_null_stats" -> (s45_null_stats _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1681,6 +1750,22 @@ object Sources {
          FROM orders
          WHERE NOT (o_orderdate >= DATE '1997-01-01'
                     AND o_orderpriority = '2-HIGH')""",
+    // metadata-only COUNT(*) under standing deletion vectors: kept-rows
+    // semantics of the S41 delete, plus the pushed-aggregate witness
+    "s21_masked_count" ->
+      """SELECT count(*) AS n_kept, true AS count_pushed
+         FROM orders
+         WHERE NOT (o_orderdate >= DATE '1997-01-01'
+                    AND o_orderpriority = '2-HIGH')""",
+    // the #nulls stats lane: metadata-only COUNT(*)/COUNT(col) plus an
+    // IS NULL scan whose zero-null dirs prune (both witnessed)
+    "s45_null_stats" ->
+      """SELECT count(*) AS n_rows,
+         count(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END) AS n_vals,
+         (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
+         true AS count_pushed, true AS null_pruned
+         FROM orders""",
     // bloom-indexed point lookup: the 3 smallest order keys' rows, plus
     // the driver-computed pruning witness
     "s44_bloom_lookup" ->

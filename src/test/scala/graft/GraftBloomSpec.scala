@@ -85,6 +85,49 @@ class GraftBloomSpec extends SparkTestBase {
     assert(bc.length == 4 && bc.forall(_.contains("k")), bc.toSeq)
   }
 
+  test("probe budgets: sidecar cap leaves the tail unpruned but exact; point cap skips pruning") {
+    val dir = interleavedTable("b9")
+    val head = ManifestTable.headVersion(spark, dir).get
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    val blooms = ManifestTable.bloomsOf(fs, dir, head)
+    val holds8 = paths.filter(p => spark.read
+      .parquet(s"$dir/$p").where(col("k") === 8L).limit(1).count() > 0)
+    assert(holds8.size == 1)
+    val (oldSc, oldPts) = (graft.ScaleKnobs.BloomProbeMaxSidecars,
+      graft.ScaleKnobs.BloomProbeMaxPoints)
+    try {
+      // sidecar budget 2: only the first two dirs (plan order) probe;
+      // the tail passes UNPRUNED — exact answer, bounded driver I/O
+      graft.ScaleKnobs.BloomProbeMaxSidecars = 2
+      val kept = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
+        Seq("k" -> Set("8")), scala.collection.mutable.Map.empty)
+      val tail = paths.drop(2)
+      assert(tail.forall(kept.contains), s"budget tail must survive: $kept")
+      val expectProbedKeep = paths.take(2).filter(holds8.contains)
+      assert(kept.filterNot(tail.contains).sorted ==
+        expectProbedKeep.sorted, s"probed prefix prunes exactly: $kept")
+      // end-to-end under the budget: fewer dirs than unbudgeted-but-
+      // unpruned, and the value is exact
+      val q = spark.table("gbl.lake.b9").where(col("k") === 8L)
+      assert(q.collect().map(_.getString(1)).toSeq == Seq("v8"))
+      assert(plannedDirs(q).size < 4 && plannedDirs(q).nonEmpty)
+      // point cap: a probe set past it skips bloom pruning outright
+      // (a huge IN-set is a join, not a point lookup) — still exact
+      graft.ScaleKnobs.BloomProbeMaxSidecars = oldSc
+      graft.ScaleKnobs.BloomProbeMaxPoints = 1
+      val kept2 = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
+        Seq("k" -> Set("8", "13")), scala.collection.mutable.Map.empty)
+      assert(kept2 == paths, "past the point cap, nothing prunes")
+      val q2 = spark.table("gbl.lake.b9").where(col("k").isin(8L, 13L))
+      assert(q2.collect().map(_.getString(1)).sorted.toSeq ==
+        Seq("v13", "v8"))
+      assert(plannedDirs(q2).size == 4)
+    } finally {
+      graft.ScaleKnobs.BloomProbeMaxSidecars = oldSc
+      graft.ScaleKnobs.BloomProbeMaxPoints = oldPts
+    }
+  }
+
   test("blooms carry across metadata commits, rebuild on compaction, drop with rewritten dirs") {
     val dir = interleavedTable("b2")
     // pointer commits auto-carry the channel

@@ -229,6 +229,38 @@ class GraftColumnMappingSpec extends SparkTestBase {
       s"renamed scan emitted $scanned rows — pushed filters were dropped")
   }
 
+  test("a running stream survives DROP COLUMN of a field it never reads") {
+    val dir = freshTable("sg1")
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    val full = spark.table("gcm.lake.sg1").schema
+    val narrow = org.apache.spark.sql.types.StructType(
+      full.fields.filter(_.name != "amt"))
+    // the long-running query projects (k, v) only — `amt` is dead to it
+    val stream = new graft.sources.GraftMicroBatchStream(dir, full, narrow,
+      Array.empty, Map.empty, schemaVersion = v1)
+    spark.sql("ALTER TABLE gcm.lake.sg1 DROP COLUMN amt")
+    spark.sql("INSERT INTO gcm.lake.sg1 VALUES (100,'new')")
+    val head = ManifestTable.headVersion(spark, dir).get
+    stream.planInputPartitions(graft.sources.GraftStreamOffset(head - 1),
+      graft.sources.GraftStreamOffset(head)): Unit
+    stream.createReaderFactory(): Unit // must not throw — output unaffected
+    // a query that DOES read the dropped field still fails loudly
+    val reads = new graft.sources.GraftMicroBatchStream(dir, full, full,
+      Array.empty, Map.empty, schemaVersion = v1)
+    reads.planInputPartitions(graft.sources.GraftStreamOffset(head - 1),
+      graft.sources.GraftStreamOffset(head)): Unit
+    val e = intercept[IllegalStateException](reads.createReaderFactory())
+    assert(e.getMessage.contains("amt"), e.getMessage)
+    // ...as does one that only FILTERS on it (pushed-filter reference)
+    val filtersOn = new graft.sources.GraftMicroBatchStream(dir, full, narrow,
+      Array(org.apache.spark.sql.sources.GreaterThan("amt", 0.0)),
+      Map.empty, schemaVersion = v1)
+    filtersOn.planInputPartitions(graft.sources.GraftStreamOffset(head - 1),
+      graft.sources.GraftStreamOffset(head)): Unit
+    val e2 = intercept[IllegalStateException](filtersOn.createReaderFactory())
+    assert(e2.getMessage.contains("amt"), e2.getMessage)
+  }
+
   test("change feed and streaming ingest stay exact across a rename") {
     val dir = freshTable("r3")
     val v0 = ManifestTable.headVersion(spark, dir).get

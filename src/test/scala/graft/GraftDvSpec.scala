@@ -272,6 +272,43 @@ class GraftDvSpec extends SparkTestBase {
     dir: Unit
   }
 
+  test("a position-emitting scan stays COLUMNAR (the S43 delta-DML candidate read)") {
+    val dir = fourDirTable("m15")
+    def pairs(): Map[Int, (String, Long)] =
+      spark.table("gdv.lake.m15")
+        .select(col("k"), col("_graft_file"), col("_graft_pos"))
+        .collect().map(r => r.getInt(0) -> (r.getString(1), r.getLong(2)))
+        .toMap
+    // positions are per-FILE row indexes: the logical (file, pos) ids
+    // after a MoR delete are exactly the pre-delete ids minus the
+    // masked row's — whatever file layout the insert produced
+    val before = pairs()
+    assert(before.size == 20)
+    spark.sql("DELETE FROM gdv.lake.m15 WHERE k = 12")
+    assert(pairs() == before - 12)
+    val df = spark.table("gdv.lake.m15")
+      .select(col("k"), col("_graft_file"), col("_graft_pos"))
+    assert(df.count() == 19)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val qe = df.queryExecution
+    qe.executedPlan.executeCollect(): Unit
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "pos-emitting scan demoted to row-based reads")
+    // the consumer of that read path end-to-end: SQL position-delta
+    // UPDATE over the still-masked table
+    spark.sql("UPDATE gdv.lake.m15 SET v = concat(v, '!') WHERE k = 13")
+    assert(spark.table("gdv.lake.m15").where(col("k") === 13)
+      .select("v").head.getString(0) == "v13!")
+    assert(ks("gdv.lake.m15").size == 19)
+    dir: Unit
+  }
+
   test("compaction materializes masks away; GC sweeps the dv dirs") {
     val dir = fourDirTable("m5")
     spark.sql("DELETE FROM gdv.lake.m5 WHERE k IN (2, 12)")
@@ -350,6 +387,22 @@ class GraftDvSpec extends SparkTestBase {
       Array.empty, Map("ignoreChanges" -> "true"))
     assert(skipping.planInputPartitions(
       GraftStreamOffset(v0), GraftStreamOffset(v1)).isEmpty)
+    // ignoreDeletes (the weaker flag): the mask-only step passes...
+    val deletesOk = new graft.sources.GraftMicroBatchStream(dir,
+      spark.table("gdv.lake.m8").schema, spark.table("gdv.lake.m8").schema,
+      Array.empty, Map("ignoreDeletes" -> "true"))
+    assert(deletesOk.planInputPartitions(
+      GraftStreamOffset(v0), GraftStreamOffset(v1)).isEmpty)
+    // ...but a REMOVED dir still fails it (different blast radius:
+    // a rewrite would re-emit rows, which only ignoreChanges accepts)
+    ManifestTable.compactAppend(spark, dir, Seq("k"), k = 2,
+      retainGenerations = 10)
+    val v2 = ManifestTable.headVersion(spark, dir).get
+    val e2 = intercept[IllegalStateException] {
+      deletesOk.planInputPartitions(
+        GraftStreamOffset(v1), GraftStreamOffset(v2))
+    }
+    assert(e2.getMessage.contains("removed data dirs"), e2.getMessage)
   }
 
   test("past the driver cap, readers load their masks executor-side") {

@@ -329,7 +329,9 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       "ts", exp.getString(1), exp.getString(2),
       "k", exp.getString(3), exp.getString(4),
       "v", exp.getString(5), exp.getString(6))
-      .map(java.net.URLEncoder.encode(_, "UTF-8"))).mkString("\t")
+      .map(java.net.URLEncoder.encode(_, "UTF-8")) ++
+      // the #nulls lane the task writers count inline (no nulls here)
+      Seq("#nulls", "ts", "0", "k", "0", "v", "0")).mkString("\t")
     assert(stats(rel) == expected,
       s"inline stats drifted from the read-back form:\n ${stats(rel)}\n $expected")
   }

@@ -24,10 +24,16 @@ class GraftV2Spec extends SparkTestBase {
     rows.toDF("k", "ds", "v").withColumn("d", col("ds").cast("date")).drop("ds")
   }
 
-  private def scanOf(df: org.apache.spark.sql.DataFrame) =
-    df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b.scan
+  private def scanOf(df: org.apache.spark.sql.DataFrame) = {
+    // AQE wraps shuffling plans (the DECLINED-pushdown shape) in an
+    // AdaptiveSparkPlanExec whose children are not in the outer tree
+    val p = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
     }
+    p.collectFirst { case b: BatchScanExec => b.scan }
+  }
 
   test("short name registers; read path is a V2 BatchScan with value parity") {
     val dir = freshDir()
@@ -130,6 +136,114 @@ class GraftV2Spec extends SparkTestBase {
     // the plan carries the pushed aggregate (description surface)
     val scan = scanOf(t.groupBy().agg(count(lit(1)).as("n"))).get
     assert(scan.description().contains("PushedAggregates"), scan.description())
+  }
+
+  test("aggregate pushdown under deletion vectors: COUNT(*) answers metadata-only, per-column aggs decline") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-v2mc").toString
+    spark.conf.set("spark.sql.catalog.gvmc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvmc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvmc.lake")
+    spark.sql("CREATE TABLE gvmc.lake.t (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO gvmc.lake.t VALUES " +
+        (b * 10 until b * 10 + 10).map(k => s"($k,'v$k')").mkString(","))
+    }
+    spark.sql("DELETE FROM gvmc.lake.t WHERE k % 5 = 0") // masks 6 of 30
+    // per-column extremes DECLINE under masks (a mask can hide the
+    // extreme) but stay correct through the scan fallback
+    val mm = spark.table("gvmc.lake.t").agg(min(col("k")), max(col("k"))).head
+    assert(mm.getInt(0) == 1 && mm.getInt(1) == 29)
+    val mmScan = scanOf(spark.table("gvmc.lake.t")
+      .groupBy().agg(min(col("k")))).get
+    assert(!mmScan.description().contains("PushedAggregates"),
+      mmScan.description())
+    // the hard proof of metadata-only COUNT(*): no data dir (nor mask
+    // file) survives — the logical count is pure manifest arithmetic
+    val tdir = s"$wh/lake/t"
+    val tfs = new org.apache.hadoop.fs.Path(tdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, tdir).get
+    ManifestTable.pathsOf(tfs, tdir, head).foreach(p =>
+      tfs.delete(new org.apache.hadoop.fs.Path(tdir, p), true))
+    tfs.delete(new org.apache.hadoop.fs.Path(tdir, "_dv"), true)
+    val counted = spark.table("gvmc.lake.t").groupBy()
+      .agg(count(lit(1)).as("n"))
+    assert(scanOf(counted).get.description().contains("PushedAggregates"))
+    assert(counted.head.getLong(0) == 24L)
+    assert(spark.table("gvmc.lake.t").count() == 24L)
+  }
+
+  test("COUNT(col) answers from the #nulls lane with every data dir deleted") {
+    val dir = freshDir()
+    def slice(ks: Range, nullify: Long => Boolean) =
+      ks.map(i => (i.toLong, if (nullify(i.toLong)) None else Some(s"x$i")))
+        .toDF("k", "s")
+    ManifestTable.append(slice(0 until 10, _ => false), dir,
+      statsCols = Seq("k", "s"))
+    ManifestTable.append(slice(10 until 20, _ % 2 == 0), dir,
+      statsCols = Seq("k", "s"))
+    ManifestTable.append(slice(20 until 30, _ => true), dir,
+      statsCols = Seq("k", "s"))
+    // COUNT(DISTINCT col) is NOT stats-answerable — it declines (and
+    // answers through a real scan, so this runs while the files exist)
+    val t = spark.read.format("graft").load(dir)
+    val d = t.agg(countDistinct(col("s")).as("nd"))
+    assert(scanOf(d).forall(!_.description().contains("PushedAggregates")))
+    assert(d.head.getLong(0) == 15L)
+    // the hard proof: COUNT(*)/COUNT(col) answer with no data file left
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, dir).get
+    ManifestTable.pathsOf(fs, dir, head).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, p), true))
+    val got = spark.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("s")).as("nv")).head
+    assert(got.getLong(0) == 30L && got.getLong(1) == 15L)
+  }
+
+  test("IS NULL / IS NOT NULL prune dirs via the #nulls lane (deleted-dir proof)") {
+    def slice(ks: Range, nullify: Long => Boolean) =
+      ks.map(i => (i.toLong, if (nullify(i.toLong)) None else Some(s"x$i")))
+        .toDF("k", "s")
+    def dirOfAllNonNull(dir: String): String = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val head = ManifestTable.headVersion(spark, dir).get
+      val stats = ManifestTable.statsOf(fs, dir, head)
+      ManifestTable.pathsOf(fs, dir, head).find(p =>
+        ManifestTable.nullsFor(stats(p), "s").contains(0L)).get
+    }
+    // IS NULL skips the all-non-null dir (recorded nulls = 0)
+    val d1 = freshDir()
+    ManifestTable.append(slice(0 until 10, _ => false), d1,
+      statsCols = Seq("k", "s"))
+    ManifestTable.append(slice(10 until 20, _ % 2 == 0), d1,
+      statsCols = Seq("k", "s"))
+    val fs1 = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs1.delete(new org.apache.hadoop.fs.Path(d1, dirOfAllNonNull(d1)), true)
+    val hit = spark.read.format("graft").load(d1)
+      .filter(col("s").isNull).select("k").collect().map(_.getLong(0)).sorted
+    assert(hit.toSeq == Seq(10L, 12L, 14L, 16L, 18L))
+    // IS NOT NULL skips the all-null dir (min/max both %N)
+    val d2 = freshDir()
+    ManifestTable.append(slice(10 until 20, _ % 2 == 0), d2,
+      statsCols = Seq("k", "s"))
+    ManifestTable.append(slice(20 until 30, _ => true), d2,
+      statsCols = Seq("k", "s"))
+    val fs2 = new org.apache.hadoop.fs.Path(d2)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head2 = ManifestTable.headVersion(spark, d2).get
+    val stats2 = ManifestTable.statsOf(fs2, d2, head2)
+    val allNull = ManifestTable.pathsOf(fs2, d2, head2).find(p =>
+      ManifestTable.statsFor(stats2(p), "s").exists(t =>
+        t._2.isEmpty && t._3.isEmpty)).get
+    fs2.delete(new org.apache.hadoop.fs.Path(d2, allNull), true)
+    val hit2 = spark.read.format("graft").load(d2)
+      .filter(col("s").isNotNull).select("k").collect().map(_.getLong(0)).sorted
+    assert(hit2.toSeq == Seq(11L, 13L, 15L, 17L, 19L))
   }
 
   test("aggregate pushdown declines safely: stats-less dir, WHERE clause, unsupported func") {
