@@ -254,7 +254,15 @@ object GraftMetaTables {
     val head = ManifestTable.headVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $dir"))
     val meta = ManifestTable.metaOf(fs, dir, head)
-    val rows = (meta ++ advisories(spark, fs, dir, head))
+    // engine: keys are JVM-wide runtime telemetry, not stored table
+    // state — here the snapshot-cache counters, so a session can see
+    // whether the per-operation manifest parse is amortizing
+    // (ScaleKnobs.SnapshotCacheEntries sizes the cache)
+    val (cacheHits, cacheMisses) = ManifestTable.snapshotCacheStats
+    val engine = Seq(
+      "engine:snapshotCacheHits" -> cacheHits.toString,
+      "engine:snapshotCacheMisses" -> cacheMisses.toString)
+    val rows = (meta ++ advisories(spark, fs, dir, head) ++ engine)
       .toSeq.sortBy(_._1).map {
         case (k, v) =>
           new GenericInternalRow(Array[Any](utf8(k), utf8(v))): InternalRow

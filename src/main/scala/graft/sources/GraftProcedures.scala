@@ -276,7 +276,8 @@ object GraftProcedures {
           val advice = GraftMetaTables.advisories(spark, fs, dir, head)
             .map(_._1).toSet
           val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-          if (advice("advice:compact")) {
+          val didCompact = advice("advice:compact")
+          if (didCompact) {
             if (MergeInto.bucketedGeometry(spark, dir).isDefined)
               MergeInto.compact(spark, dir): Unit
             else {
@@ -285,17 +286,18 @@ object GraftProcedures {
                 compactionStatsCols(fs, dir, head, meta), k,
                 retainOf(meta)): Unit
             }
-            // the compaction paid a full pass — refresh drifted stats now
-            refreshStaleStats(catalog, dir)
             actions += "compact"
           }
-          // stats drift surviving the (possibly skipped) compaction
+          // ONE advisory recomputation at the post-action head, ONE
+          // refreshStaleStats at most per maintain call — the compact
+          // auto-hook and the analyze advisory share the same pass
+          // (running both paid a redundant analyze, r16 ADVICE)
           val headAfter = ManifestTable.headVersion(spark, dir).get
-          if (GraftMetaTables.advisories(spark, fs, dir, headAfter)
-              .exists(_._1 == "advice:analyze")) {
-            refreshStaleStats(catalog, dir)
-            actions += "analyze"
-          }
+          val advisedAnalyze = GraftMetaTables
+            .advisories(spark, fs, dir, headAfter)
+            .exists(_._1 == "advice:analyze")
+          if (didCompact || advisedAnalyze) refreshStaleStats(catalog, dir)
+          if (advisedAnalyze) actions += "analyze"
           val v = ManifestTable.headVersion(spark, dir).get
           oneRow(StructType(Seq(
             StructField("version", LongType, nullable = false),
@@ -306,10 +308,17 @@ object GraftProcedures {
       }
   }
 
-  /** `CALL cat.system.vacuum(table => 'ns.t')` — run the retention +
-    * orphan sweep now ([[ManifestTable.vacuum]]): crashed-writer
-    * leavings age out past the grace window, retention-retired dirs go
-    * immediately. Returns how many entries were swept. */
+  /** `CALL cat.system.vacuum(table => 'ns.t'[, dry_run => true])` —
+    * run the retention + orphan sweep now ([[ManifestTable.vacuum]]):
+    * crashed-writer leavings age out past the grace window,
+    * retention-retired dirs go immediately. Returns how many entries
+    * were swept. With `dry_run => true` NOTHING is deleted: instead
+    * every entry the sweep would consider comes back as a row
+    * (path, kind, age_seconds, would_sweep, reason) — the operator
+    * sees the blast radius and whether the grace window would hold a
+    * candidate back BEFORE committing to the deletes
+    * ([[ManifestTable.orphanReport]], the same retirement split the
+    * sweep itself uses, so the report can never disagree with it). */
   class Vacuum(catalog: GraftCatalog) extends UnboundProcedure {
     override def name(): String = "vacuum"
     override def description(): String =
@@ -320,7 +329,9 @@ object GraftProcedures {
         override def description(): String = Vacuum.this.description()
         override def isDeterministic: Boolean = false
         override def parameters(): Array[ProcedureParameter] = Array(
-          ProcedureParameter.in("table", StringType).build())
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("dry_run", BooleanType)
+            .defaultValue("false").build())
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
@@ -329,10 +340,31 @@ object GraftProcedures {
           val retain = ManifestTable.metaOf(fs, dir, head)
             .get(GraftCatalog.PropPrefix + "retainGenerations")
             .flatMap(_.toIntOption).getOrElse(2)
-          val swept = ManifestTable.vacuum(spark, dir, retain)
-          oneRow(StructType(Seq(
-            StructField("swept", LongType, nullable = false))),
-            Array[Any](swept))
+          val dryRun = !input.isNullAt(1) && input.getBoolean(1)
+          if (dryRun) {
+            val report = ManifestTable.orphanReport(spark, dir, retain)
+            val schema = StructType(Seq(
+              StructField("path", StringType, nullable = false),
+              StructField("kind", StringType, nullable = false),
+              StructField("age_seconds", LongType, nullable = false),
+              StructField("would_sweep", BooleanType, nullable = false),
+              StructField("reason", StringType, nullable = false)))
+            val rows = report.map { case (p, kind, age, sweep, why) =>
+              new GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(p),
+                org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+                age, sweep,
+                org.apache.spark.unsafe.types.UTF8String.fromString(why)))
+                : InternalRow
+            }
+            java.util.List.of[Scan](
+              GraftLocalScanImpl(schema, rows.toArray)).iterator()
+          } else {
+            val swept = ManifestTable.vacuum(spark, dir, retain)
+            oneRow(StructType(Seq(
+              StructField("swept", LongType, nullable = false))),
+              Array[Any](swept))
+          }
         }
       }
   }

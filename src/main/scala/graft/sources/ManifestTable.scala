@@ -113,8 +113,12 @@ object ManifestTable {
     * recreated version is a different file (different mtime/length).
     * Same-JVM drops also invalidate explicitly ([[invalidateSnapshots]])
     * so even a same-millisecond, same-length recreation cannot serve
-    * stale. A GC'd version behaves exactly like the uncached read: the
-    * identity probe's getFileStatus throws FileNotFound. */
+    * stale; cross-JVM, the manifest's random-length [[NonceHeader]]
+    * padding de-correlates byte lengths so a recreation colliding on
+    * (version, mtime granule, length) is a <1/128 accident even on
+    * 1s-granularity stores. A GC'd version behaves exactly like the
+    * uncached read: the identity probe's getFileStatus throws
+    * FileNotFound. */
   private val snapCache =
     new java.util.LinkedHashMap[(String, Long, Long, Long), Snapshot](
       32, 0.75f, true) {
@@ -132,12 +136,23 @@ object ManifestTable {
       while (it.hasNext) if (it.next()._1 == tableDir) it.remove()
     }
 
+  // JVM-wide hit/miss telemetry for the snapshot cache, surfaced by
+  // `$properties` (engine: keys) — a session can VERIFY the fixed
+  // per-operation metadata cost is actually amortizing instead of
+  // guessing from timings. Monotonic since JVM start, all tables.
+  private val snapCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private val snapCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def snapshotCacheStats: (Long, Long) =
+    (snapCacheHits.get(), snapCacheMisses.get())
+
   private[graft] def snapshotOf(fs: FileSystem, tableDir: String,
                                 v: Long): Snapshot = {
     val st = fs.getFileStatus(new Path(manifestDir(tableDir), manifestName(v)))
     val key = (tableDir, v, st.getModificationTime, st.getLen)
     val hit = snapCache.synchronized(Option(snapCache.get(key)))
+    hit.foreach(_ => snapCacheHits.incrementAndGet(): Unit)
     hit.getOrElse {
+      snapCacheMisses.incrementAndGet(): Unit
       val snap = parseSnapshot(fs, tableDir, v)
       snapCache.synchronized(snapCache.put(key, snap)): Unit
       snap
@@ -428,6 +443,12 @@ object ManifestTable {
   // ------------------------------------------------ bloom point index (S44)
 
   private val BloomHeader = "#bloomidx\t"
+
+  /** Per-commit random nonce line (see [[manifestBody]]) — carries no
+    * state; its random-length padding de-correlates manifest byte
+    * lengths so the snapshot cache's (mtime, length) file identity
+    * cannot collide across an external DROP+CREATE at the same path. */
+  private val NonceHeader = "#nonce\t"
   /** Sidecar root for bloom filters (protected `_` prefix — the data
     * sweep never touches it; GC reaps unreferenced names like `_dv`). */
   private[graft] val IdxDirName = "_idx"
@@ -2785,7 +2806,19 @@ object ManifestTable {
       .map(p => DvHeader + p + "\t" + dv(p) + "\n").mkString
     val bloomLines = relPaths.filter(blooms.contains).sorted
       .map(p => BloomHeader + p + "\t" + blooms(p) + "\n").mkString
-    (header + metaLines + statLines + dvLines + bloomLines +
+    // per-commit nonce with RANDOM-LENGTH padding: the snapshot cache
+    // keys on (dir, version, mtime, length), and mtime granularity can
+    // be as coarse as 1s (object stores) — an external-process DROP
+    // TABLE + CREATE that recommits the same version number inside one
+    // granule could otherwise collide on length and serve a stale
+    // cached snapshot to OTHER JVMs (same-JVM drops invalidate
+    // explicitly). The varying line length makes a byte-length
+    // collision a <1/128 accident instead of the common case (two
+    // fixture-shaped tables easily produce identical manifests).
+    // Readers ignore it: parseSnapshot drops unknown '#' headers.
+    val nonce = NonceHeader + java.util.UUID.randomUUID().toString +
+      "=" * scala.util.Random.nextInt(128) + "\n"
+    (header + nonce + metaLines + statLines + dvLines + bloomLines +
       relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
   }
 
@@ -2922,6 +2955,97 @@ object ManifestTable {
     * path for crashed-writer leavings (orphan dirs still age past
     * [[orphanGraceMs]] before dying; retention-retired dirs go
     * immediately). Returns how many top-level entries were swept. */
+  /** Read-only dry run of [[gc]]'s candidate computation — the `CALL
+    * system.vacuum(..., dry_run => true)` surface: every entry the next
+    * sweep would consider, with its age and whether the sweep would
+    * take it NOW. An operator sizing the grace window or retention sees
+    * the blast radius BEFORE deleting anything. Driver-side from the
+    * same listings gc itself pays (one shallow walk per candidate);
+    * rows are (path, kind, age_seconds, would_sweep, reason). Families
+    * whose kept-manifest reads fail are omitted, exactly as gc skips
+    * their sweep (the conservative mirror). */
+  def orphanReport(spark: SparkSession, tableDir: String,
+      retainGenerations: Int): Seq[(String, String, Long, Boolean, String)] = {
+    val fs = fsOf(spark, tableDir)
+    val (old, kept) = retirementSplit(fs, tableDir, retainGenerations)
+    val keptPaths = kept.map { v =>
+      try Some(pathsOf(fs, tableDir, v))
+      catch { case _: java.io.IOException => None }
+    }
+    val referenced: Set[String] = keptPaths.flatten.flatten
+      .map(_.split("/", 2).head).toSet
+    val retired: Set[String] = old.flatMap { v =>
+      try pathsOf(fs, tableDir, v)
+      catch { case _: java.io.IOException => Seq.empty }
+    }.map(_.split("/", 2).head).toSet -- referenced
+    val now = System.currentTimeMillis()
+    def ageMs(p: Path): Long = math.max(0L, now - newestMtime(fs, p))
+    val manifests = old.map { v =>
+      val rel = s"$ManifestDirName/${manifestName(v)}"
+      (rel, "manifest", ageMs(new Path(tableDir, rel)) / 1000L, true,
+        s"version $v leaves retention")
+    }
+    // gc refuses its ENTIRE data sweep when any kept manifest is
+    // unreadable (the racing-GC / transient-IO guard) — mirror that:
+    // no data row may claim would_sweep under the same condition
+    val allKeptReadable = keptPaths.forall(_.isDefined)
+    val dataRows = (try fs.listStatus(new Path(tableDir)).toSeq
+      catch { case _: java.io.IOException => Seq.empty }).flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_") || n.startsWith(".")) None
+      else if (retired.contains(n))
+        Some((n, "data", ageMs(st.getPath) / 1000L, allKeptReadable,
+          "retired by this retention policy"))
+      else if (!referenced.contains(n)) {
+        val ms = ageMs(st.getPath)
+        Some((n, "data", ms / 1000L,
+          allKeptReadable && ms > orphanGraceMs,
+          "orphan: no retained manifest references it"))
+      } else None
+    }
+    // sidecar families mirror gc's reference computation; a family with
+    // any unreadable kept manifest reports nothing (gc skips it too)
+    def family(rootName: String, kind: String,
+               refs: Seq[Option[Set[String]]]): Seq[(String, String, Long, Boolean, String)] = {
+      val root = new Path(tableDir, rootName)
+      if (!(try fs.exists(root) catch { case _: java.io.IOException => false })
+          || !refs.forall(_.isDefined)) Seq.empty
+      else {
+        val referencedNames: Set[String] = refs.flatten.flatten.toSet
+        (try fs.listStatus(root).toSeq
+         catch { case _: java.io.IOException => Seq.empty }).flatMap { st =>
+          val n = st.getPath.getName
+          if (referencedNames.contains(n)) None
+          else {
+            val ms = ageMs(st.getPath)
+            Some((s"$rootName/$n", kind, ms / 1000L, ms > orphanGraceMs,
+              s"$kind staging no retained manifest references"))
+          }
+        }
+      }
+    }
+    val cdcRows = family(CdcDirName, "cdc", kept.map { v =>
+      try Some(metaOf(fs, tableDir, v).collect {
+        case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
+      }.toSet) catch { case _: java.io.IOException => None }
+    })
+    val dvRows = family(DvDirName, "dv", kept.map { v =>
+      try Some(dvTopDirs(dvOf(fs, tableDir, v)).collect {
+        case rel if rel.startsWith(DvDirName + "/") =>
+          rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
+      }) catch { case _: java.io.IOException => None }
+    })
+    val idxRows = family(IdxDirName, "index", kept.map { v =>
+      try Some(bloomsOf(fs, tableDir, v).values
+        .flatMap(bloomEntries(_).values).collect {
+          case rel if rel.startsWith(IdxDirName + "/") =>
+            rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
+        }.toSet) catch { case _: java.io.IOException => None }
+    })
+    (manifests ++ dataRows ++ cdcRows ++ dvRows ++ idxRows)
+      .sortBy(r => (r._2, r._1))
+  }
+
   def vacuum(spark: SparkSession, tableDir: String,
              retainGenerations: Int = 2): Long = {
     val fs = fsOf(spark, tableDir)
@@ -2946,25 +3070,31 @@ object ManifestTable {
           v.toLongOption }.flatten.toSet
     }.getOrElse(Set.empty)
 
-  private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
+  /** GC's retirement split: (versions leaving retention, versions
+    * kept) — generation count, then [[minRetainMs]]-window and tag
+    * (S34) promotion back into the kept set (commit-time from the
+    * manifest file's mtime — metadata only, no data read). Shared by
+    * [[gc]] and the read-only [[orphanReport]] so the dry run can
+    * never disagree with the sweep. */
+  private def retirementSplit(fs: FileSystem, tableDir: String,
+                              retain: Int): (Seq[Long], Seq[Long]) = {
     val vs = versions(fs, tableDir)
     val (old0, kept0) = vs.splitAt(math.max(0, vs.length - math.max(1, retain)))
-    // versions still inside the time window, and TAGGED versions (S34),
-    // are promoted back into the kept set (commit-time from the
-    // manifest file's mtime — metadata only, no data read)
     val tagged = taggedVersions(fs, tableDir, vs)
-    val (old, kept) = {
-      val cutoff = System.currentTimeMillis() - minRetainMs
-      def keepAnyway(v: Long): Boolean =
-        tagged.contains(v) || (minRetainMs > 0L && {
-          try fs.getFileStatus(
-            new Path(manifestDir(tableDir), manifestName(v)))
-            .getModificationTime > cutoff
-          catch { case _: java.io.IOException => false }
-        })
-      val promoted = old0.filter(keepAnyway)
-      (old0.filterNot(promoted.contains), promoted ++ kept0)
-    }
+    val cutoff = System.currentTimeMillis() - minRetainMs
+    def keepAnyway(v: Long): Boolean =
+      tagged.contains(v) || (minRetainMs > 0L && {
+        try fs.getFileStatus(
+          new Path(manifestDir(tableDir), manifestName(v)))
+          .getModificationTime > cutoff
+        catch { case _: java.io.IOException => false }
+      })
+    val promoted = old0.filter(keepAnyway)
+    (old0.filterNot(promoted.contains), promoted ++ kept0)
+  }
+
+  private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
+    val (old, kept) = retirementSplit(fs, tableDir, retain)
     val keptPaths = kept.map { v =>
       try Some(pathsOf(fs, tableDir, v))
       catch { case _: java.io.IOException => None }

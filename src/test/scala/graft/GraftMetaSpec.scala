@@ -66,6 +66,25 @@ class GraftMetaSpec extends SparkTestBase {
     assert(props.get("prop:retainGenerations").contains("10"))
   }
 
+  test("$properties surfaces snapshot-cache telemetry that moves with reuse") {
+    seeded("pc1")
+    def counters(): (Long, Long) = {
+      val m = spark.sql("SELECT * FROM gmeta.lake.`pc1$properties`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      (m("engine:snapshotCacheHits").toLong,
+        m("engine:snapshotCacheMisses").toLong)
+    }
+    val (h0, m0) = counters()
+    assert(h0 >= 0 && m0 > 0, "parses already happened this JVM")
+    // re-reading the same committed version must be served from cache:
+    // hits strictly rise, misses stay put (no new version committed)
+    spark.table("gmeta.lake.pc1").count(): Unit
+    spark.table("gmeta.lake.pc1").count(): Unit
+    val (h1, m1) = counters()
+    assert(h1 > h0, s"repeat reads must hit the snapshot cache ($h0 -> $h1)")
+    assert(m1 == m0, s"no new manifest appeared, misses must not move ($m0 -> $m1)")
+  }
+
   test("unknown $suffix and $meta on a missing table fail loudly") {
     seeded("x1")
     intercept[Exception] {
@@ -115,6 +134,64 @@ class GraftMetaSpec extends SparkTestBase {
     assert(r1.head.getLong(0) == 1L && !fs.exists(orphan))
     assert(spark.table("gmeta.lake.v1").count() == 4L,
       "vacuum must never touch referenced data")
+  }
+
+  test("CALL system.vacuum(dry_run) reports the blast radius without deleting") {
+    val dir = seeded("vd1")
+    val orphan = new Path(dir, "zz-orphan")
+    fs.mkdirs(new Path(orphan, "part"))
+    def report() = spark.sql(
+      "CALL gmeta.system.vacuum(table => 'lake.vd1', dry_run => true)")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getString(4)))
+    // fresh orphan: listed, but the grace window holds it back
+    val r0 = report()
+    val fresh = r0.filter(_._1 == "zz-orphan")
+    assert(fresh.length == 1 && fresh.head._2 == "data" && !fresh.head._4,
+      s"fresh orphan must report would_sweep=false: ${r0.toSeq}")
+    assert(fresh.head._5.startsWith("orphan"))
+    assert(fs.exists(orphan), "dry run must not delete")
+    // aged past grace: would_sweep flips true — and STILL nothing dies
+    ageTree(fs, orphan, 2L * 60 * 60 * 1000)
+    val r1 = report().filter(_._1 == "zz-orphan")
+    assert(r1.length == 1 && r1.head._4 && r1.head._3 >= 2L * 60 * 60,
+      s"aged orphan must report would_sweep=true with its age: ${r1.toSeq}")
+    assert(fs.exists(orphan), "dry run must never delete, even sweepables")
+    // the real sweep takes exactly what the report promised
+    val swept = spark.sql("CALL gmeta.system.vacuum('lake.vd1')")
+      .collect().head.getLong(0)
+    assert(swept == 1L && !fs.exists(orphan))
+    assert(report().isEmpty, "post-sweep report must be clean")
+    // retention-retired dirs report would_sweep=true regardless of age:
+    // compact (new a-* dirs) + one more commit so the append-era dirs
+    // fall out of every RETAINED manifest's reference set
+    val tdir = Files.createTempDirectory("graft-dry").toString + "/t"
+    val s = spark; import s.implicits._
+    // commit with a wide retention (the per-commit gc keeps everything),
+    // then ask the dry run what a TIGHTER policy would take
+    ManifestTable.append(Seq((1, "a")).toDF("k", "v"), tdir,
+      retainGenerations = 10)
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), tdir,
+      retainGenerations = 10)
+    ManifestTable.append(Seq((3, "c")).toDF("k", "v"), tdir,
+      retainGenerations = 10)
+    ManifestTable.compactAppend(spark, tdir, statsCols = Seq("k"), k = 1,
+      retainGenerations = 10)
+    ManifestTable.append(Seq((4, "d")).toDF("k", "v"), tdir,
+      retainGenerations = 10)
+    val rep = ManifestTable.orphanReport(spark, tdir, retainGenerations = 2)
+    val retiredData = rep.filter(r => r._2 == "data" && r._4)
+    assert(retiredData.length == 3 &&
+      retiredData.forall(_._5.startsWith("retired")),
+      s"the 3 pre-compaction dirs must report as retired+sweepable: $rep")
+    assert(rep.exists(r => r._2 == "manifest" && r._4),
+      s"the retiring manifests must be listed: $rep")
+    // and the sweep agrees with the report, data row for data row
+    // (vacuum's return counts top-level entries; manifests live under
+    // the protected _manifests prefix)
+    val promised = rep.count(r => r._2 == "data" && r._4)
+    assert(ManifestTable.vacuum(spark, tdir, retainGenerations = 2) ==
+      promised.toLong, "sweep must take exactly what the dry run promised")
   }
 
   test("vacuum never sweeps dirs a retained version references — pinned readers stay safe") {
