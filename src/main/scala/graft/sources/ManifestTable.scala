@@ -925,7 +925,9 @@ object ManifestTable {
           require(shape(priorSchema) == shape(batchSchema),
             s"append-table schema mismatch at $tableDir: table declares " +
               s"'$pd', append brings '$ddl' — append tables are " +
-              "fixed-schema; use MergeInto for evolution")
+              "fixed-schema (use ALTER TABLE / MergeInto for evolution); " +
+              "if a concurrent schema change landed after this write was " +
+              "planned, re-plan at fresh metadata and retry")
           org.apache.spark.sql.types.StructType(
             priorSchema.fields.zip(batchSchema.fields).map { case (p, i) =>
               p.copy(nullable = p.nullable || i.nullable)

@@ -57,9 +57,13 @@ class GraftColumnMappingFuzzSpec extends SparkTestBase {
     wh: Unit
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS gcmf.lake.$table")
+    // bloomCols crosses the families: every append/compaction under
+    // the evolution walk also rebuilds point-index sidecars, so a
+    // rename whose bloom re-key went wrong surfaces as a model
+    // divergence (a bloom that wrongly prunes = missing rows)
     spark.sql(s"CREATE TABLE gcmf.lake.$table (k INT, c0 STRING) " +
       "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='40', " +
-      "'dml.mode'='merge-on-read')")
+      "'dml.mode'='merge-on-read', 'bloomCols'='k')")
     val dir = s"$wh/lake/$table"
 
     var keyName = "k"
@@ -149,6 +153,15 @@ class GraftColumnMappingFuzzSpec extends SparkTestBase {
         s"V2 scan diverged from the model at step $step (cols=$cols)")
       assert(collectRows(ManifestTable.read(spark, dir), cols) == model,
         s"engine read diverged from the model at step $step (cols=$cols)")
+      // a point lookup probes the bloom sidecars (full scans don't):
+      // a rename whose bloom re-key broke either prunes live rows away
+      // or stops pruning — only the former is data loss, and this
+      // catches it at the step it happens
+      val probe = rnd.nextInt(20)
+      assert(collectRows(spark.table(s"gcmf.lake.$table")
+          .where(col(keyName) === probe), cols) ==
+        model.filter { case (r, _) => r(keyName) == probe.toString },
+        s"bloom point lookup for $keyName=$probe diverged at step $step")
       val newV = head()
       // schema changes are POINTER commits: the feed must be empty;
       // DML/append feeds must reconstruct the model delta

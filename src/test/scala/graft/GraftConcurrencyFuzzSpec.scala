@@ -37,6 +37,25 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
     msgs.contains("changed incompatibly") || msgs.contains("contention")
   }
 
+  /** Under concurrent DDL a client can also lose the name race: it
+    * resolved the key column, a RENAME landed, its statement now
+    * references a column that no longer exists. That is an ANALYSIS
+    * error, not a commit abort — but the correct client move is the
+    * same (re-resolve at fresh metadata and retry), so the crossed
+    * fuzz treats it as transient alongside the protocol aborts. */
+  private def transientUnderDdl(e: Throwable): Boolean = retryable(e) || {
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .flatMap(t => Option(t.getMessage)).mkString(" | ")
+    msgs.contains("UNRESOLVED_COLUMN") || msgs.contains("cannot be resolved") ||
+      msgs.contains("FIELD_NOT_FOUND") || msgs.contains("does not exist") ||
+      msgs.contains("Schema of the graft table") ||
+      msgs.contains("UNRESOLVED_FIELD") ||
+      // a write planned at the old name committing after the rename:
+      // the engine's loud schema-mismatch refusal (the Delta
+      // MetadataChangedException analogue) — re-plan and retry
+      msgs.contains("schema mismatch")
+  }
+
   private def retrying[T](what: String)(f: => T): T = {
     var attempts = 0
     while (true) {
@@ -152,6 +171,156 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
         .where(org.apache.spark.sql.functions.col("k") === k)
         .collect().map(_.getString(1)).toSeq == Seq(expected(k)),
         s"point lookup diverged for key $k")
+    }
+  }
+
+  test("writers + compactor + schema evolver race one table: renames never corrupt stats/bloom re-keys") {
+    // THE seam the single-family fuzzes miss: a RENAME of the
+    // stats/bloom column racing a compaction's sidecar rebuild and
+    // other writers' DML. The evolver renames the KEY column (the one
+    // every stats payload and bloom sidecar is keyed by) back and
+    // forth and churns payload columns; writers re-resolve the key
+    // name at every attempt, treating lost name races as transient;
+    // the compactor derives its sort column fresh per pass. Invariant:
+    // the end state equals the union of the writer models — a stats
+    // re-key or sidecar rebuild gone wrong under the race surfaces as
+    // pruned-away (lost) rows or a crash, and every read below runs
+    // through whatever indexes the races left standing.
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gccf.lake.e")
+    spark.sql("CREATE TABLE gccf.lake.e (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='200', " +
+      "'dml.mode'='merge-on-read', 'bloomCols'='k')")
+    val dir = s"$wh/lake/e"
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+
+    def keyCol(): String = spark.table("gccf.lake.e").columns
+      .find(_.startsWith("k")).get // evolver renames k -> k<i> -> ...
+
+    def retryingDdl[T](what: String)(f: => T): T = {
+      var attempts = 0
+      while (true) {
+        try return f
+        catch {
+          case e: Throwable if transientUnderDdl(e) && attempts < 40 =>
+            attempts += 1
+            Thread.sleep(15L * attempts)
+        }
+      }
+      throw new IllegalStateException(s"unreachable: $what")
+    }
+
+    class Writer(t: Int) extends Thread {
+      val model = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+      private val rnd = new scala.util.Random(2000L + t)
+      private var next = t * 1000
+      override def run(): Unit = try {
+        for (step <- 1 to 8) {
+          rnd.nextInt(3) match {
+            case 0 =>
+              val k = next; next += 1
+              val v = s"t$t-i$step"
+              // column-list INSERT: the key name moves under us, and a
+              // payload column the evolver added must null-fill
+              retryingDdl(s"t$t insert")(spark.sql(
+                s"INSERT INTO gccf.lake.e (${keyCol()}, v) VALUES ($k,'$v')"))
+              model(k) = v
+            case 1 if model.nonEmpty =>
+              val ks = rnd.shuffle(model.keys.toList).take(1 + rnd.nextInt(2))
+              retryingDdl(s"t$t delete")(spark.sql(
+                s"DELETE FROM gccf.lake.e WHERE ${keyCol()} IN (${ks.mkString(",")})"))
+              ks.foreach(model.remove)
+            case 2 if model.nonEmpty =>
+              val k = rnd.shuffle(model.keys.toList).head
+              val v = s"t$t-u$step"
+              retryingDdl(s"t$t update")(spark.sql(
+                s"UPDATE gccf.lake.e SET v = '$v' WHERE ${keyCol()} = $k"))
+              model(k) = v
+            case _ =>
+              val k = next; next += 1
+              retryingDdl(s"t$t seed")(spark.sql(
+                s"INSERT INTO gccf.lake.e (${keyCol()}, v) VALUES ($k,'t$t-s$step')"))
+              model(k) = s"t$t-s$step"
+          }
+        }
+      } catch { case e: Throwable => failures.add(e): Unit }
+    }
+
+    class Evolver extends Thread {
+      private val added = scala.collection.mutable.Queue.empty[String]
+      override def run(): Unit = try {
+        for (i <- 1 to 6) {
+          Thread.sleep(80)
+          // rename the stats/bloom key column — every sidecar and
+          // stats payload must follow through whatever compaction or
+          // DML commit it races
+          retryingDdl(s"rename $i")(spark.sql(
+            s"ALTER TABLE gccf.lake.e RENAME COLUMN ${keyCol()} TO k$i"))
+          if (i % 2 == 1) {
+            retryingDdl(s"add $i")(spark.sql(
+              s"ALTER TABLE gccf.lake.e ADD COLUMN x$i STRING"))
+            added.enqueue(s"x$i")
+          } else if (added.nonEmpty) {
+            val victim = added.dequeue()
+            retryingDdl(s"drop $victim")(spark.sql(
+              s"ALTER TABLE gccf.lake.e DROP COLUMN $victim"))
+          }
+        }
+      } catch { case e: Throwable => failures.add(e): Unit }
+    }
+
+    class Compactor extends Thread {
+      override def run(): Unit = try {
+        for (i <- 1 to 5) {
+          Thread.sleep(120)
+          // sort/stats column resolved fresh per pass — and even so the
+          // evolver can rename between the read and the rewrite; both
+          // the optimistic abort and the lost name race are skips here
+          try {
+            if (i % 2 == 0)
+              ManifestTable.compactAppend(spark, dir, Seq(keyCol()), k = 3,
+                retainGenerations = 200): Unit
+            else
+              ManifestTable.compactIncremental(spark, dir, Seq(keyCol()), k = 3,
+                retainGenerations = 200): Unit
+          } catch { case e: Throwable if transientUnderDdl(e) => () }
+        }
+      } catch { case e: Throwable => failures.add(e): Unit }
+    }
+
+    val writers = (0 until 2).map(new Writer(_))
+    val racers = writers ++ Seq(new Evolver, new Compactor)
+    racers.foreach(_.start())
+    racers.foreach(_.join(600000))
+    val died = Option(failures.peek())
+    assert(died.isEmpty, died.map(e =>
+      s"worker died: $e\n${e.getStackTrace.take(12).mkString("\n")}")
+      .getOrElse(""))
+
+    val expected = writers.flatMap(_.model).toMap
+    val key = keyCol()
+    assert(key != "k", "the evolver must have renamed the key column")
+    def observed(df: org.apache.spark.sql.DataFrame): Map[Int, String] =
+      df.select(key, "v").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(observed(spark.table("gccf.lake.e")) == expected,
+      s"V2 read diverged after the crossed race (key=$key)")
+    assert(observed(ManifestTable.read(spark, dir)) == expected)
+    // quiesced compaction under the FINAL name: stats + blooms re-key
+    // one last time, masks materialize away, content is preserved
+    ManifestTable.compactAppend(spark, dir, Seq(key), k = 3,
+      retainGenerations = 200)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestTable.dvOf(fs, dir,
+      ManifestTable.headVersion(spark, dir).get).isEmpty)
+    assert(observed(spark.table("gccf.lake.e")) == expected)
+    // point lookups through the rebuilt indexes under the renamed key
+    expected.keys.take(3).foreach { k =>
+      assert(spark.table("gccf.lake.e")
+        .where(org.apache.spark.sql.functions.col(key) === k)
+        .select("v").collect().map(_.getString(0)).toSeq ==
+        Seq(expected(k)), s"point lookup diverged for $key=$k")
     }
   }
 }
