@@ -288,14 +288,16 @@ object GraftProcedures {
             }
             actions += "compact"
           }
-          // ONE advisory recomputation at the post-action head, ONE
-          // refreshStaleStats at most per maintain call — the compact
-          // auto-hook and the analyze advisory share the same pass
-          // (running both paid a redundant analyze, r16 ADVICE)
-          val headAfter = ManifestTable.headVersion(spark, dir).get
-          val advisedAnalyze = GraftMetaTables
-            .advisories(spark, fs, dir, headAfter)
-            .exists(_._1 == "advice:analyze")
+          // ONE refreshStaleStats at most per maintain call — the
+          // compact auto-hook and the analyze advisory share the same
+          // pass (running both paid a redundant analyze, r16 ADVICE) —
+          // and the advisories recompute ONLY when compaction moved
+          // the head (unchanged head = the set computed above)
+          val advisedAnalyze =
+            if (!didCompact) advice("advice:analyze")
+            else GraftMetaTables.advisories(spark, fs, dir,
+              ManifestTable.headVersion(spark, dir).get)
+              .exists(_._1 == "advice:analyze")
           if (didCompact || advisedAnalyze) refreshStaleStats(catalog, dir)
           if (advisedAnalyze) actions += "analyze"
           val v = ManifestTable.headVersion(spark, dir).get

@@ -750,9 +750,15 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
       .filter { case (c, _) => tableSchema.fieldNames.contains(c) }
 
   /** S44 — per-scan bloom sidecar cache (driver-side, loaded on demand
-    * only for candidate dirs under point predicates). */
+    * only for candidate dirs under point predicates), plus the scan's
+    * ONE load budget: the static prune and a later runtime-filter
+    * (DPP) prune draw from the same allowance, so a scan can never pay
+    * more than [[graft.ScaleKnobs.BloomProbeMaxSidecars]] GETs total. */
   @transient private lazy val bloomCache = scala.collection.mutable.Map
     .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+  @transient private lazy val bloomBudget =
+    new java.util.concurrent.atomic.AtomicInteger(
+      graft.ScaleKnobs.BloomProbeMaxSidecars)
 
   /** Point predicates (EqualTo/In conjuncts) re-keyed to PHYSICAL
     * column names — the bloom channel's key space. */
@@ -772,7 +778,7 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
           ManifestTable.prunePathsIn(
             livePaths, liveStats, boundsFor(filters), tableSchema),
           liveStats, filters.toSeq),
-        snap.bloom, bloomPointsFor(filters), bloomCache)
+        snap.bloom, bloomPointsFor(filters), bloomCache, bloomBudget)
     keptPathsCache
   }
 
@@ -830,7 +836,7 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     val pts = bloomPointsFor(runtime)
     if (pts.nonEmpty)
       keptPathsCache = ManifestTable.pruneByBloom(fsOf(spark), tableDir,
-        keptPaths, snap.bloom, pts, bloomCache)
+        keptPaths, snap.bloom, pts, bloomCache, bloomBudget)
   }
 
   /** With a pushed pure limit: the shortest dir PREFIX whose recorded

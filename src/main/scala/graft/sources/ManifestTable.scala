@@ -169,6 +169,15 @@ object ManifestTable {
       else Some(java.net.URLDecoder.decode(rest.take(i), "UTF-8") ->
         java.net.URLDecoder.decode(rest.drop(i + 1), "UTF-8"))
     }.toMap
+    // protocol gate — a version demanding reader features this engine
+    // lacks must fail HERE, the one choke point every surface (scan,
+    // time travel, streaming, maintenance, even a writer reading its
+    // base) passes through, not deep in some lane parser
+    val unknown = unknownOf(meta, RequireReaderKey, SupportedReaderFeatures)
+    require(unknown.isEmpty,
+      s"table at $tableDir (version $v) requires reader feature(s) " +
+        s"${unknown.mkString(", ")} this engine does not support — " +
+        "reading could return wrong results; upgrade the engine")
     def channel(header: String): Map[String, String] =
       lines.filter(_.startsWith(header)).map { l =>
         val rest = l.stripPrefix(header)
@@ -449,6 +458,48 @@ object ManifestTable {
     * lengths so the snapshot cache's (mtime, length) file identity
     * cannot collide across an external DROP+CREATE at the same path. */
   private val NonceHeader = "#nonce\t"
+
+  /** Table protocol features (the Delta minReaderVersion/table-features
+    * idea): `require:reader` / `require:writer` meta keys carry the
+    * comma-joined feature tokens an engine MUST understand to read /
+    * write this version without corrupting it. [[manifestBody]] derives
+    * both sets from the manifest's own content at commit time (a
+    * version using column mapping requires `colmap`, standing masks
+    * require `dv`, a `#nulls` stats lane requires `stats-nulls` of
+    * writers only — an ignorant reader parses around it, but an
+    * ignorant stats re-keyer would mangle it), so the keys can never
+    * drift from the state: full compaction clears the masks AND the
+    * `dv` token in one commit. Enforcement: [[parseSnapshot]] refuses
+    * to serve a snapshot whose reader set this engine doesn't cover
+    * (every read AND every write reads its base first), and the commit
+    * surfaces refuse to publish over a base demanding unknown writer
+    * tokens. The payoff is FORWARD safety: when a future engine adds a
+    * format lane, today's binary fails loudly at the choke point
+    * instead of silently corrupting the lane it cannot see. */
+  private[graft] val RequireReaderKey = "require:reader"
+  private[graft] val RequireWriterKey = "require:writer"
+  private[graft] val SupportedReaderFeatures: Set[String] =
+    Set("colmap", "dv")
+  private[graft] val SupportedWriterFeatures: Set[String] =
+    SupportedReaderFeatures + "stats-nulls"
+
+  private def unknownOf(meta: Map[String, String], key: String,
+                        supported: Set[String]): Seq[String] =
+    meta.get(key).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      .filterNot(supported).sorted
+
+  /** Refuse to publish over a base whose `require:writer` names a
+    * feature this engine doesn't implement — a commit would rewrite
+    * state (stats payloads, channels) around content it cannot see. */
+  private def checkWriterFeatures(tableDir: String,
+                                  baseMeta: Map[String, String]): Unit = {
+    val unknown = unknownOf(baseMeta, RequireWriterKey, SupportedWriterFeatures)
+    require(unknown.isEmpty,
+      s"table at $tableDir requires writer feature(s) " +
+        s"${unknown.mkString(", ")} this engine does not support — " +
+        "committing would corrupt state a newer engine wrote; " +
+        "upgrade the engine or stop writers")
+  }
   /** Sidecar root for bloom filters (protected `_` prefix — the data
     * sweep never touches it; GC reaps unreferenced names like `_dv`). */
   private[graft] val IdxDirName = "_idx"
@@ -553,70 +604,80 @@ object ManifestTable {
     * Driver-budgeted (this runs during PLANNING): a probe-point set
     * past [[graft.ScaleKnobs.BloomProbeMaxPoints]] skips bloom pruning
     * outright (a huge runtime IN-set is a join, not a point lookup);
-    * sidecar loads stop at [[graft.ScaleKnobs.BloomProbeMaxSidecars]]
-    * per scan — candidate dirs past the budget pass unpruned — and the
-    * loads within budget run on a small bounded pool instead of one
-    * serial `fs.open` per dir (object-store GET latency × dirs is the
-    * planning stall that bites first at 100 TB). */
+    * sidecar loads stop when the caller-owned `budget` drains —
+    * candidate dirs past the cutoff pass unpruned. The budget lives
+    * WITH the scan (next to its sidecar cache), so the static prune
+    * and a later runtime-filter (DPP) prune share ONE
+    * [[graft.ScaleKnobs.BloomProbeMaxSidecars]] allowance per scan —
+    * not a fresh one per invocation. Loads within budget run on a
+    * shared bounded daemon pool instead of one serial `fs.open` per
+    * dir (object-store GET latency × dirs is the planning stall that
+    * bites first at 100 TB). */
   private[graft] def pruneByBloom(fs: FileSystem, tableDir: String,
       paths: Seq[String], blooms: Map[String, String],
       points: Seq[(String, Set[String])],
       cache: scala.collection.mutable.Map[String,
-        Option[org.apache.spark.util.sketch.BloomFilter]])
+        Option[org.apache.spark.util.sketch.BloomFilter]],
+      budget: java.util.concurrent.atomic.AtomicInteger)
       : Seq[String] = {
     if (blooms.isEmpty || points.isEmpty) return paths
     if (points.map(_._2.size).sum > graft.ScaleKnobs.BloomProbeMaxPoints)
       return paths
     val cols = points.map(_._1).toSet
-    // the sidecars each candidate dir would need (probe columns only)
-    val relsOf: Map[String, Seq[String]] = paths.map { p =>
-      p -> blooms.get(p).map(bloomEntries(_).view.filterKeys(cols)
-        .values.toSeq.distinct).getOrElse(Seq.empty)
+    // ONE payload parse per candidate dir, reused by both the
+    // admission walk and the probe phase below
+    val entriesOf: Map[String, Map[String, String]] = paths.map { p =>
+      p -> blooms.get(p).map(bloomEntries).getOrElse(Map.empty)
     }.toMap
     // walk dirs in plan order, admitting each while its uncached
-    // sidecars fit the remaining per-scan budget; everything past the
+    // sidecars fit the scan's remaining budget; everything past the
     // cutoff passes unpruned (prune less, never wrong)
     val toLoad = scala.collection.mutable.LinkedHashSet.empty[String]
+    val remaining = budget.get()
     var probeable = paths.length
     var i = 0
     while (i < paths.length && probeable == paths.length) {
-      val fresh = relsOf(paths(i)).filterNot(r =>
-        cache.contains(r) || toLoad.contains(r))
-      if (toLoad.size + fresh.size > graft.ScaleKnobs.BloomProbeMaxSidecars)
-        probeable = i
+      val fresh = entriesOf(paths(i)).view.filterKeys(cols).values
+        .toSeq.distinct.filterNot(r =>
+          cache.contains(r) || toLoad.contains(r))
+      if (toLoad.size + fresh.size > remaining) probeable = i
       else { toLoad ++= fresh; i += 1 }
     }
     if (toLoad.nonEmpty) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(graft.ScaleKnobs.BloomProbeThreads, toLoad.size))
-      try {
-        val fetched = toLoad.toSeq.map(rel => rel -> pool.submit(
-          new java.util.concurrent.Callable[
-              Option[org.apache.spark.util.sketch.BloomFilter]] {
-            override def call() = try {
-              val in = fs.open(new Path(absPath(tableDir, rel)))
-              try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-              finally in.close()
-            } catch { case _: Exception => None }
-          }))
-        fetched.foreach { case (rel, f) => cache.update(rel, f.get()) }
-      } finally pool.shutdown()
+      budget.addAndGet(-toLoad.size): Unit
+      val fetched = toLoad.toSeq.map(rel => rel -> bloomLoadPool.submit(
+        new java.util.concurrent.Callable[
+            Option[org.apache.spark.util.sketch.BloomFilter]] {
+          override def call() = try {
+            val in = fs.open(new Path(absPath(tableDir, rel)))
+            try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+            finally in.close()
+          } catch { case _: Exception => None }
+        }))
+      fetched.foreach { case (rel, f) => cache.update(rel, f.get()) }
     }
     val (probed, rest) = paths.splitAt(probeable)
     probed.filter { p =>
-      blooms.get(p) match {
-        case None => true
-        case Some(payload) =>
-          val entries = bloomEntries(payload)
-          points.forall { case (c, pts) =>
-            entries.get(c).flatMap(cache.getOrElse(_, None)) match {
-              case Some(bf) => pts.exists(bf.mightContainString)
-              case None => true
-            }
-          }
+      val entries = entriesOf(p)
+      entries.isEmpty || points.forall { case (c, pts) =>
+        entries.get(c).flatMap(cache.getOrElse(_, None)) match {
+          case Some(bf) => pts.exists(bf.mightContainString)
+          case None => true
+        }
       }
     } ++ rest
   }
+
+  /** Shared bounded daemon pool for bloom sidecar loads — planning-path
+    * work; a per-invocation pool would churn 8 OS threads per scan. */
+  private lazy val bloomLoadPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      graft.ScaleKnobs.BloomProbeThreads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-bloom-load")
+        t.setDaemon(true)
+        t
+      })
 
   /** Mask `df` (rows of `paths`, read WITH parquet `_metadata`
     * available) by the dv entries covering those paths: anti-join on
@@ -936,6 +997,7 @@ object ManifestTable {
       // meta carries forward like stats; this append's keys override
       val priorMeta =
         if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
+      checkWriterFeatures(tableDir, priorMeta)
       // metadata-conflict guard (ALTER-vs-write race): the batch was
       // validated against the constraints declared when its job was
       // built; if a concurrent ALTER declared NEW ones since, this
@@ -2795,7 +2857,26 @@ object ManifestTable {
     schemaDdl.foreach(d => require(!d.contains("\n"),
       s"schema DDL must be one line, got: $d"))
     val header = schemaDdl.map(SchemaHeader + _ + "\n").getOrElse("")
-    val metaLines = meta.toSeq.sorted.map { case (k, v) =>
+    // protocol requirements DERIVED from this very body's content (see
+    // [[RequireReaderKey]]) — recomputed every commit, so they track
+    // the state exactly: carried stale keys are stripped first. A
+    // legal commit can never drop a FUTURE engine's token unknowingly:
+    // reading the base (where such a token would live) already refused.
+    val readerReq =
+      (if (meta.keys.exists(_.startsWith(ColMapPrefix))) Seq("colmap")
+       else Seq.empty) ++
+      (if (relPaths.exists(dv.contains)) Seq("dv") else Seq.empty)
+    val writerReq = readerReq ++
+      (if (relPaths.exists(p => stats.get(p).exists(_.contains(NullsMarker))))
+        Seq("stats-nulls") else Seq.empty)
+    val metaReq = meta - RequireReaderKey - RequireWriterKey ++
+      (if (readerReq.nonEmpty)
+        Map(RequireReaderKey -> readerReq.sorted.mkString(","))
+       else Map.empty) ++
+      (if (writerReq.nonEmpty)
+        Map(RequireWriterKey -> writerReq.sorted.mkString(","))
+       else Map.empty)
+    val metaLines = metaReq.toSeq.sorted.map { case (k, v) =>
       MetaHeader + java.net.URLEncoder.encode(k, "UTF-8") + "\t" +
         java.net.URLEncoder.encode(v, "UTF-8") + "\n"
     }.mkString
@@ -2842,6 +2923,8 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    versions(fs, tableDir).lastOption.foreach(h =>
+      checkWriterFeatures(tableDir, metaOf(fs, tableDir, h)))
     val body = manifestBody(relPaths, schemaDdl, stats, meta, dv, blooms)
     var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
     var attempts = 0
@@ -2878,6 +2961,8 @@ object ManifestTable {
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
+    if (expectedBase > 0)
+      checkWriterFeatures(tableDir, metaOf(fs, tableDir, expectedBase))
     val v = expectedBase + 1
     // bloom entries AUTO-CARRY across every commit surface: keyed by
     // relPath (never reused — uuid cids), so carrying the expected
@@ -2987,6 +3072,20 @@ object ManifestTable {
       (rel, "manifest", ageMs(new Path(tableDir, rel)) / 1000L, true,
         s"version $v leaves retention")
     }
+    // dead claim slots below the retained floor (writer crashed between
+    // claim and rename) — gc sweeps these too; mirror its floor rule
+    val claimRows = kept.headOption.toSeq.flatMap { floor =>
+      (try fs.listStatus(manifestDir(tableDir)).toSeq
+       catch { case _: java.io.IOException => Seq.empty }).flatMap { st =>
+        val n = st.getPath.getName
+        if (!n.endsWith(".claim")) None
+        else versionOf(n.stripSuffix(".claim")).filter(_ < floor).map { v =>
+          (s"$ManifestDirName/$n", "claim", ageMs(st.getPath) / 1000L,
+            keptPaths.forall(_.isDefined), // gc's sweep guard, mirrored
+            s"dead claim slot for version $v below the retained floor")
+        }
+      }
+    }
     // gc refuses its ENTIRE data sweep when any kept manifest is
     // unreadable (the racing-GC / transient-IO guard) — mirror that:
     // no data row may claim would_sweep under the same condition
@@ -3044,7 +3143,7 @@ object ManifestTable {
             rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
         }.toSet) catch { case _: java.io.IOException => None }
     })
-    (manifests ++ dataRows ++ cdcRows ++ dvRows ++ idxRows)
+    (manifests ++ claimRows ++ dataRows ++ cdcRows ++ dvRows ++ idxRows)
       .sortBy(r => (r._2, r._1))
   }
 

@@ -938,7 +938,9 @@ object Sources {
     val blooms = ManifestTable.bloomsOf(fs, dir, head)
     val kept = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
       Seq("o_orderkey" -> keys.map(_.toString).toSet),
-      scala.collection.mutable.Map.empty)
+      scala.collection.mutable.Map.empty,
+      new java.util.concurrent.atomic.AtomicInteger(
+        graft.ScaleKnobs.BloomProbeMaxSidecars))
     val bloomPruned =
       blooms.size == paths.size && kept.size < paths.size
     s.table(s"$cat.lake.oblm")

@@ -99,8 +99,11 @@ class GraftBloomSpec extends SparkTestBase {
       // sidecar budget 2: only the first two dirs (plan order) probe;
       // the tail passes UNPRUNED — exact answer, bounded driver I/O
       graft.ScaleKnobs.BloomProbeMaxSidecars = 2
+      val budget = new java.util.concurrent.atomic.AtomicInteger(2)
+      val sharedCache = scala.collection.mutable.Map.empty[String,
+        Option[org.apache.spark.util.sketch.BloomFilter]]
       val kept = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
-        Seq("k" -> Set("8")), scala.collection.mutable.Map.empty)
+        Seq("k" -> Set("8")), sharedCache, budget)
       val tail = paths.drop(2)
       assert(tail.forall(kept.contains), s"budget tail must survive: $kept")
       val expectProbedKeep = paths.take(2).filter(holds8.contains)
@@ -114,9 +117,20 @@ class GraftBloomSpec extends SparkTestBase {
       // point cap: a probe set past it skips bloom pruning outright
       // (a huge IN-set is a join, not a point lookup) — still exact
       graft.ScaleKnobs.BloomProbeMaxSidecars = oldSc
+      // the budget is PER SCAN, shared across invocations (the DPP
+      // runtime-filter call reuses the static prune's allowance): a
+      // drained budget loads nothing new, but already-cached sidecars
+      // still prune — bounded I/O, never bounded correctness
+      assert(budget.get() == 0, s"2 loads must drain the budget: ${budget.get()}")
+      val keptAgain = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
+        Seq("k" -> Set("8")), sharedCache, budget)
+      assert(keptAgain == kept,
+        "drained budget + warm cache must reproduce the probed answer")
       graft.ScaleKnobs.BloomProbeMaxPoints = 1
       val kept2 = ManifestTable.pruneByBloom(fs, dir, paths, blooms,
-        Seq("k" -> Set("8", "13")), scala.collection.mutable.Map.empty)
+        Seq("k" -> Set("8", "13")), scala.collection.mutable.Map.empty,
+        new java.util.concurrent.atomic.AtomicInteger(
+          graft.ScaleKnobs.BloomProbeMaxSidecars))
       assert(kept2 == paths, "past the point cap, nothing prunes")
       val q2 = spark.table("gbl.lake.b9").where(col("k").isin(8L, 13L))
       assert(q2.collect().map(_.getString(1)).sorted.toSeq ==
