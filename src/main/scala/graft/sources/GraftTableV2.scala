@@ -1870,16 +1870,21 @@ object GraftStatsAgg {
     val stats = ManifestTable.statsOf(fs, tableDir, version)
     if (paths.isEmpty || !paths.forall(stats.contains)) return None
     // Deletion vectors make every recorded PER-COLUMN stat a PHYSICAL
-    // value — a mask can hide an extreme or any share of a column's
-    // nulls, so MIN/MAX/COUNT(col) decline and fall back to the scan.
+    // value — a mask can hide any share of a column's nulls, so
+    // COUNT(col) declines under masks and falls back to the scan.
     // COUNT(*) stays answerable: standing dv entries of one dir are
     // pairwise position-DISJOINT (writers compute masks against the
     // base version's logical rows and publishMorDelta aborts if the
     // dir's dv advanced since base — see [[ManifestTable.dvDeletedRows]]),
     // so logical rows = Σ recorded rowcounts − Σ mask position counts,
-    // both manifest state. A MoR table keeps its cheapest query.
-    val masked = ManifestTable.dvDeletedRows(
-      ManifestTable.dvOf(fs, tableDir, version))
+    // both manifest state. MIN/MAX stay answerable when PROVABLE: a
+    // mask only removes rows, so a recorded extreme attained by an
+    // UNMASKED dir is still the exact logical extreme; only when every
+    // attaining dir is masked (the extreme row itself may be deleted)
+    // does the pushdown decline. A MoR table keeps its cheapest queries.
+    val dvMap = ManifestTable.dvOf(fs, tableDir, version)
+    val masked = ManifestTable.dvDeletedRows(dvMap)
+    val dirMasked = paths.map(dvMap.contains)
     val payloads = paths.map(stats)
     val rowCounts = payloads.map(ManifestTable.rowsIn)
     if (rowCounts.exists(_.isEmpty)) return None
@@ -1901,12 +1906,12 @@ object GraftStatsAgg {
       case _: CountStar =>
         Some((java.lang.Long.valueOf(total): Any,
           StructField("COUNT(*)", LongType, nullable = false)))
-      case m: Min if masked == 0L => columnOf(m.column).flatMap { f =>
-        extremeOf(payloads, f, zone, isMin = true)
+      case m: Min => columnOf(m.column).flatMap { f =>
+        extremeOf(payloads, dirMasked, f, zone, isMin = true)
           .map(v => (v, StructField(s"MIN(${f.name})", f.dataType)))
       }
-      case m: Max if masked == 0L => columnOf(m.column).flatMap { f =>
-        extremeOf(payloads, f, zone, isMin = false)
+      case m: Max => columnOf(m.column).flatMap { f =>
+        extremeOf(payloads, dirMasked, f, zone, isMin = false)
           .map(v => (v, StructField(s"MAX(${f.name})", f.dataType)))
       }
       // COUNT(col) = Σ per-dir (rows − recorded nulls) — answerable
@@ -1932,22 +1937,34 @@ object GraftStatsAgg {
 
   /** The min/max across every dir's recorded extreme for `f`, as the
     * INTERNAL value Spark's row format wants. All-null dirs contribute
-    * nothing; every dir all-null → Some(null) (the SQL answer). A
-    * payload missing the column, or an unsupported/unparseable value →
-    * None (decline the pushdown). */
-  private def extremeOf(payloads: Seq[String], f: StructField,
-                        zone: java.time.ZoneId,
+    * nothing; every dir all-null → Some(null) (the SQL answer — exact
+    * even under masks: removing rows from all-null dirs leaves nulls).
+    * A payload missing the column, or an unsupported/unparseable
+    * value → None (decline the pushdown). Under deletion vectors the
+    * recorded extremes are PHYSICAL: a masked dir's extreme row may be
+    * deleted, so the answer is served only when an UNMASKED dir
+    * attains the global extreme (masks only remove rows — a value an
+    * unmasked dir holds is present, and nothing anywhere beats it);
+    * otherwise None. */
+  private def extremeOf(payloads: Seq[String], dirMasked: Seq[Boolean],
+                        f: StructField, zone: java.time.ZoneId,
                         isMin: Boolean): Option[Any] = {
     if (!supported(f.dataType)) return None
     val perDir = payloads.map(ManifestTable.statsFor(_, f.name))
     if (perDir.exists(_.isEmpty)) return None // column untracked in a dir
-    val present = perDir.flatten.flatMap(t => if (isMin) t._2 else t._3)
-    val parsed = present.map(s => internalValue(f.dataType, s, zone))
-    if (parsed.exists(_.isEmpty)) return None
-    val vs = parsed.flatten
-    if (vs.isEmpty) Some(null) // no non-null values anywhere
-    else Some(vs.reduce((a, b) =>
-      if ((compareInternal(f.dataType, a, b) <= 0) == isMin) a else b))
+    val entries = perDir.zip(dirMasked).flatMap { case (t, mk) =>
+      t.flatMap(x => (if (isMin) x._2 else x._3).map(s => (s, mk)))
+    }
+    val parsed = entries.map { case (s, mk) =>
+      (internalValue(f.dataType, s, zone), mk) }
+    if (parsed.exists(_._1.isEmpty)) return None
+    val vs = parsed.collect { case (Some(v), mk) => (v, mk) }
+    if (vs.isEmpty) return Some(null) // no non-null values anywhere
+    val m = vs.map(_._1).reduce((a, b) =>
+      if ((compareInternal(f.dataType, a, b) <= 0) == isMin) a else b)
+    if (vs.exists { case (v, mk) =>
+        !mk && compareInternal(f.dataType, v, m) == 0 }) Some(m)
+    else None
   }
 
   private def supported(dt: DataType): Boolean = dt match {

@@ -175,6 +175,58 @@ class GraftV2Spec extends SparkTestBase {
     assert(spark.table("gvmc.lake.t").count() == 24L)
   }
 
+  test("MIN/MAX under masks: served when an UNMASKED dir attains the extreme, declined otherwise") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-v2me").toString
+    spark.conf.set("spark.sql.catalog.gvme", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gvme.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gvme.lake")
+    spark.sql("CREATE TABLE gvme.lake.t (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    (0 until 3).foreach { b =>
+      spark.sql(s"INSERT INTO gvme.lake.t VALUES " +
+        (b * 10 until b * 10 + 10).map(k => s"($k,'v$k')").mkString(","))
+    }
+    // mask ONLY the middle dir: both extremes live in unmasked dirs,
+    // so they are PROVABLY exact (a mask only removes rows) and the
+    // pushdown serves them — with the masked-count — metadata-only
+    spark.sql("DELETE FROM gvme.lake.t WHERE k = 15")
+    val served = spark.table("gvme.lake.t")
+      .agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+    assert(scanOf(served).get.description().contains("PushedAggregates"),
+      scanOf(served).get.description())
+    // the hard proof: no data dir nor mask file survives
+    val tdir = s"$wh/lake/t"
+    val tfs = new org.apache.hadoop.fs.Path(tdir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val head = ManifestTable.headVersion(spark, tdir).get
+    ManifestTable.pathsOf(tfs, tdir, head).foreach(p =>
+      tfs.delete(new org.apache.hadoop.fs.Path(tdir, p), true))
+    tfs.delete(new org.apache.hadoop.fs.Path(tdir, "_dv"), true)
+    val got = served.head
+    assert(got.getInt(0) == 0 && got.getInt(1) == 29)
+    assert(spark.table("gvme.lake.t").count() == 29L)
+    // a second table masks the dir that ATTAINS the minimum: min must
+    // decline (the extreme row itself may be the deleted one) while
+    // max — attained by an unmasked dir — still serves
+    spark.sql("CREATE TABLE gvme.lake.u (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'dml.mode'='merge-on-read')")
+    (0 until 2).foreach { b =>
+      spark.sql(s"INSERT INTO gvme.lake.u VALUES " +
+        (b * 10 until b * 10 + 10).map(k => s"($k,'v$k')").mkString(","))
+    }
+    spark.sql("DELETE FROM gvme.lake.u WHERE k = 0")
+    val lo = spark.table("gvme.lake.u").agg(min(col("k")))
+    assert(!scanOf(lo).get.description().contains("PushedAggregates"),
+      "min attained only by the masked dir must decline")
+    assert(lo.head.getInt(0) == 1, "scan fallback stays correct")
+    val hi = spark.table("gvme.lake.u").agg(max(col("k")))
+    assert(scanOf(hi).get.description().contains("PushedAggregates"),
+      "max attained by the unmasked dir must serve")
+    assert(hi.head.getInt(0) == 19)
+  }
+
   test("COUNT(col) answers from the #nulls lane with every data dir deleted") {
     val dir = freshDir()
     def slice(ks: Range, nullify: Long => Boolean) =
