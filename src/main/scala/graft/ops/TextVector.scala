@@ -591,6 +591,92 @@ object TextVector {
       .orderBy(desc("n"), col("pair")).limit(20)
   }
 
+  /** The T50 oracle, composed programmatically: DuckDB applies the
+    * SAME 8 merges in the SAME rank order through 8 nested replaces
+    * (scalar subqueries against the ranked merge CTE), over the same
+    * boundary-delimited symbol sequence — an independent end-to-end
+    * re-derivation of mine + apply, not a replay of Spark's merges. */
+  private def t50Oracle: String = {
+    val seq0 =
+      "' ' || rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    val applied = (1 to 8).foldLeft(seq0) { (acc, i) =>
+      s"replace($acc, (SELECT pat FROM m WHERE rn = $i), " +
+        s"(SELECT rep FROM m WHERE rn = $i))"
+    }
+    """WITH words AS (
+         SELECT w, count(*) AS wc FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+         GROUP BY w),
+       pc AS (
+         SELECT substr(w, CAST(t.i AS INT), 2) AS pair,
+                CAST(sum(wc) AS BIGINT) AS n
+         FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+         GROUP BY pair),
+       m AS (
+         SELECT pair,
+           ' ' || substr(pair,1,1) || ' ' || substr(pair,2,1) || ' ' AS pat,
+           ' ' || pair || ' ' AS rep,
+           row_number() OVER (ORDER BY n DESC, pair) AS rn
+         FROM pc QUALIFY rn <= 8),
+       seg AS (
+         SELECT w, wc, trim(""" + applied + """) AS bpe FROM words),
+       top AS (
+         SELECT w, wc, bpe,
+                CAST(len(string_split(bpe, ' ')) AS INT) AS n_segments
+         FROM seg ORDER BY wc DESC, w LIMIT 20)
+       SELECT w, CAST(wc AS BIGINT) AS wc, bpe, n_segments,
+         CAST(sum(wc * n_segments) OVER () AS BIGINT) AS top20_token_mass
+       FROM top ORDER BY wc DESC, w"""
+  }
+
+  /** T50: BPE APPLY — the other half of tokenizer training (T49 mines
+    * the merge table; this op segments the corpus with it). The merge
+    * table is mined from the same word-frequency table (top-8 char
+    * pairs, deterministic (count DESC, pair) rank) and COLLECTED — 8
+    * rows, exactly the vocab-sized broadcast every real tokenizer
+    * ships to executors — then each distinct word is segmented by
+    * fusing merges IN RANK ORDER over a boundary-delimited symbol
+    * sequence (` t h e ` --' t h '->' th '--> ` th e `; the
+    * surrounding spaces make symbols unambiguous, so a later merge
+    * can never fuse across a symbol boundary). One left-to-right
+    * non-overlapping replace pass per merge — the standard fast-apply
+    * variant, identical semantics in both engines — over DISTINCT
+    * words (vocab-sized, not corpus-sized: the 100 TB shape).
+    * Output: the 20 heaviest words with their segmentations plus the
+    * top-20 token mass (Σ wc × segments — the number a budget planner
+    * actually needs). */
+  def t50_bpe_apply(s: SparkSession, d: String): DataFrame = {
+    val words = tokDocs(s, d)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val merges = words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(desc("n"), col("pair")).limit(8)
+      .collect().map(_.getString(0)).toIndexedSeq
+    val seq0 = "concat(' ', rtrim(regexp_replace(w, '(.)', '$1 ')), ' ')"
+    val appliedExpr = merges.foldLeft(seq0) { (acc, p) =>
+      s"replace($acc, ' ${p(0)} ${p(1)} ', ' $p ')"
+    }
+    words
+      .withColumn("bpe", expr(s"trim($appliedExpr)"))
+      .withColumn("n_segments", size(split(col("bpe"), " ")))
+      .orderBy(desc("wc"), col("w")).limit(20)
+      .withColumn("top20_token_mass",
+        sum(col("wc") * col("n_segments")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(1)).orderBy(lit(1))
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("w"), col("wc"), col("bpe"),
+        col("n_segments").cast("int").as("n_segments"),
+        col("top20_token_mass").cast("long").as("top20_token_mass"))
+      .orderBy(desc("wc"), col("w"))
+  }
+
   /** T17: deterministic sampling — the training-data staple. Seeded
     * `sample`/`sampleBy` are reproducible only for a fixed input
     * partitioning and never cross-engine; hash-mod sampling
@@ -1543,6 +1629,7 @@ object TextVector {
     "t15_token_count" -> (t15_token_count _),
     "t16_fingerprint" -> (t16_fingerprint _),
     "t49_bpe_merges" -> (t49_bpe_merges _),
+    "t50_bpe_apply" -> (t50_bpe_apply _),
     "t17_sampling" -> (t17_sampling _),
     "t18_decontaminate" -> (t18_decontaminate _),
     "t19_pii_redact" -> (t19_pii_redact _),
@@ -1816,6 +1903,7 @@ object TextVector {
          SELECT pair, CAST(sum(wc) AS BIGINT) AS n
          FROM pairs GROUP BY pair
          ORDER BY n DESC, pair LIMIT 20""",
+    "t50_bpe_apply" -> t50Oracle,
     "t17_sampling" ->
       """WITH s AS (
            SELECT lang, doc_id,

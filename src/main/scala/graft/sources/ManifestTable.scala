@@ -161,7 +161,19 @@ object ManifestTable {
 
   private def parseSnapshot(fs: FileSystem, tableDir: String,
                             v: Long): Snapshot = {
-    val lines = manifestLines(fs, tableDir, v)
+    val allLines = manifestLines(fs, tableDir, v)
+    // integrity gate: refuse a bit-rotted root pointer loudly (the
+    // alternative is silently-wrong prunes or a missing-dir read error
+    // blamed on the data); crc-less manifests (older commits) pass
+    val lines = allLines.filterNot(_.startsWith(CrcHeader))
+    allLines.find(_.startsWith(CrcHeader)).foreach { cl =>
+      val want = cl.stripPrefix(CrcHeader).trim
+      val got = crcOfLines(lines).toString
+      require(want == got,
+        s"manifest ${manifestName(v)} at $tableDir is corrupt: " +
+          s"recorded crc $want, computed $got — refusing to serve; " +
+          "restore the file from a replica or time-travel below it")
+    }
     val meta = lines.filter(_.startsWith(MetaHeader)).flatMap { l =>
       val rest = l.stripPrefix(MetaHeader)
       val i = rest.indexOf('\t')
@@ -458,6 +470,22 @@ object ManifestTable {
     * lengths so the snapshot cache's (mtime, length) file identity
     * cannot collide across an external DROP+CREATE at the same path. */
   private val NonceHeader = "#nonce\t"
+
+  /** Manifest integrity line: CRC32 over the manifest's NORMALIZED
+    * line sequence (trimmed, empties dropped, the crc line itself
+    * excluded — exactly [[manifestLines]]' normalization, so writer
+    * and reader compute the same value byte-for-byte). The manifest is
+    * the table's root pointer: a flipped bit in a path or stats line
+    * would otherwise serve silently-wrong prunes or a missing-dir read
+    * error blamed on the data. With the line present, [[parseSnapshot]]
+    * refuses a corrupt manifest LOUDLY at the choke point; manifests
+    * without it (older commits) read unchanged. */
+  private val CrcHeader = "#crc\t"
+  private def crcOfLines(lines: Seq[String]): Long = {
+    val crc = new java.util.zip.CRC32
+    crc.update(lines.mkString("\n").getBytes("UTF-8"))
+    crc.getValue
+  }
 
   /** Table protocol features (the Delta minReaderVersion/table-features
     * idea): `require:reader` / `require:writer` meta keys carry the
@@ -2901,8 +2929,12 @@ object ManifestTable {
     // Readers ignore it: parseSnapshot drops unknown '#' headers.
     val nonce = NonceHeader + java.util.UUID.randomUUID().toString +
       "=" * scala.util.Random.nextInt(128) + "\n"
-    (header + nonce + metaLines + statLines + dvLines + bloomLines +
-      relPaths.mkString("", "\n", "\n")).getBytes("UTF-8")
+    val rest = header + nonce + metaLines + statLines + dvLines +
+      bloomLines + relPaths.mkString("", "\n", "\n")
+    // integrity line over the normalized line sequence (see CrcHeader)
+    val crcLine = CrcHeader + crcOfLines(
+      rest.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)) + "\n"
+    (crcLine + rest).getBytes("UTF-8")
   }
 
   /** Commit a new version whose table is exactly `relPaths`, then GC

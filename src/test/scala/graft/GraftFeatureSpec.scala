@@ -74,6 +74,7 @@ class GraftFeatureSpec extends SparkTestBase {
         java.net.URLEncoder.encode(v, "UTF-8"))
     val kept = new String(buf, "UTF-8").split("\n").toSeq
       .filter(_.nonEmpty).filterNot(_.startsWith("#meta\trequire%3A"))
+      .filterNot(_.startsWith("#crc\t")) // crc-less manifests are legal
     val body = ((if (readerToks.nonEmpty)
         metaLine("require:reader", readerToks) else Seq.empty) ++
       (if (writerToks.nonEmpty)
@@ -100,6 +101,40 @@ class GraftFeatureSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("INSERT INTO gfeat.lake.r VALUES (2,'b')")
     }
+  }
+
+  test("a bit-rotted manifest refuses to serve, loudly naming the file") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gfeat.lake.c")
+    spark.sql("CREATE TABLE gfeat.lake.c (k INT, v STRING)")
+    spark.sql("INSERT INTO gfeat.lake.c VALUES (1,'a'),(2,'b')")
+    val dir = s"$wh/lake/c"
+    val head = ManifestTable.headVersion(spark, dir).get
+    val mf = new Path(s"$dir/_manifests", f"m-$head%012d")
+    val len = fs.getFileStatus(mf).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(mf); try in.readFully(buf) finally in.close()
+    val text = new String(buf, "UTF-8")
+    assert(text.startsWith("#crc\t"), "every commit records its crc")
+    // flip one character inside the PATH line (the last content line)
+    val pathLine = text.split("\n").filter(_.nonEmpty).last
+    val flipped = pathLine.updated(pathLine.length / 2,
+      if (pathLine(pathLine.length / 2) == 'x') 'y' else 'x')
+    val out = fs.create(mf, true)
+    try out.write(text.replace(pathLine, flipped).getBytes("UTF-8"))
+    finally out.close()
+    ManifestTable.invalidateSnapshots(dir) // same length can share an mtime granule
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM gfeat.lake.c").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("corrupt") && msgs.contains(f"m-$head%012d"), msgs)
+    // restoring the original bytes restores service
+    val out2 = fs.create(mf, true)
+    try out2.write(buf) finally out2.close()
+    ManifestTable.invalidateSnapshots(dir)
+    assert(spark.table("gfeat.lake.c").count() == 2L)
   }
 
   test("an unknown writer-only feature keeps reads serving but refuses commits") {

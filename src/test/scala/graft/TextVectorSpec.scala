@@ -27,6 +27,26 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("t50 BPE apply: segmentations rejoin to their words, merges fuse, mass adds up") {
+    val rows = ops.TextVector.t50_bpe_apply(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (w, wc, bpe, segs) =
+        (r.getString(0), r.getLong(1), r.getString(2), r.getInt(3))
+      // losslessness: dropping the symbol separators restores the word
+      assert(bpe.replace(" ", "") == w, s"'$bpe' does not rejoin to '$w'")
+      assert(segs == bpe.split(" ").length && segs >= 1 && segs <= w.length)
+      assert(wc >= 1)
+    }
+    // the mined merges actually fused pairs in the heavy words: at
+    // least one top word segments into FEWER symbols than characters
+    assert(rows.exists(r => r.getInt(3) < r.getString(0).length),
+      rows.map(r => (r.getString(0), r.getInt(3))).mkString(","))
+    // the reported token mass is exactly sum(wc * segments) of the 20
+    val mass = rows.map(r => r.getLong(1) * r.getInt(3)).sum
+    assert(rows.forall(_.getLong(4) == mass))
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
