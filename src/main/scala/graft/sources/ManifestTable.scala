@@ -2399,12 +2399,16 @@ object ManifestTable {
                                   stats: Map[String, String],
                                   filters: Seq[org.apache.spark.sql.sources.Filter])
       : Seq[String] = {
-    import org.apache.spark.sql.sources.{And, Filter, IsNotNull, IsNull}
+    import org.apache.spark.sql.sources.{And, EqualNullSafe, Filter, IsNotNull, IsNull}
     val isNull = Set.newBuilder[String]
     val isNotNull = Set.newBuilder[String]
     def walk(f: Filter): Unit = f match {
       case IsNull(c) => isNull += c
       case IsNotNull(c) => isNotNull += c
+      // `c <=> NULL` pushes as EqualNullSafe(c, null) — same prune as
+      // IS NULL; with a non-null literal it implies IS NOT NULL
+      case EqualNullSafe(c, v) => if (v == null) isNull += c
+                                  else isNotNull += c
       case And(a, b) => walk(a); walk(b)
       case _ => ()
     }

@@ -296,6 +296,12 @@ class GraftV2Spec extends SparkTestBase {
     val hit2 = spark.read.format("graft").load(d2)
       .filter(col("s").isNotNull).select("k").collect().map(_.getLong(0)).sorted
     assert(hit2.toSeq == Seq(11L, 13L, 15L, 17L, 19L))
+    // `s <=> NULL` (EqualNullSafe) prunes like IS NULL: d1's surviving
+    // dir answers even though the all-non-null dir is deleted
+    val hit3 = spark.read.format("graft").load(d1)
+      .filter(col("s") <=> lit(null)).select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(hit3.toSeq == Seq(10L, 12L, 14L, 16L, 18L))
   }
 
   test("aggregate pushdown declines safely: stats-less dir, WHERE clause, unsupported func") {
