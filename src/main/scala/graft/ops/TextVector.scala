@@ -599,9 +599,15 @@ object TextVector {
   private def t50Oracle: String = {
     val seq0 =
       "' ' || rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    // null-safe needles: on a degenerate corpus with fewer than 8
+    // mined pairs the missing ranks' subqueries are NULL and
+    // replace(x, NULL, NULL) would NULL the whole word — coalescing
+    // the needle to '' makes an absent merge a no-op (DuckDB
+    // replace(x, '', y) = x), matching the Spark side folding over
+    // only the merges that exist
     val applied = (1 to 8).foldLeft(seq0) { (acc, i) =>
-      s"replace($acc, (SELECT pat FROM m WHERE rn = $i), " +
-        s"(SELECT rep FROM m WHERE rn = $i))"
+      s"replace($acc, coalesce((SELECT pat FROM m WHERE rn = $i), ''), " +
+        s"coalesce((SELECT rep FROM m WHERE rn = $i), ''))"
     }
     """WITH words AS (
          SELECT w, count(*) AS wc FROM (

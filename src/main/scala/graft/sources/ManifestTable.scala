@@ -169,7 +169,7 @@ object ManifestTable {
     allLines.find(_.startsWith(CrcHeader)).foreach { cl =>
       val want = cl.stripPrefix(CrcHeader).trim
       val got = crcOfLines(lines).toString
-      require(want == got,
+      if (want != got) throw new GraftManifestRefusedException(
         s"manifest ${manifestName(v)} at $tableDir is corrupt: " +
           s"recorded crc $want, computed $got — refusing to serve; " +
           "restore the file from a replica or time-travel below it")
@@ -186,7 +186,7 @@ object ManifestTable {
     // time travel, streaming, maintenance, even a writer reading its
     // base) passes through, not deep in some lane parser
     val unknown = unknownOf(meta, RequireReaderKey, SupportedReaderFeatures)
-    require(unknown.isEmpty,
+    if (unknown.nonEmpty) throw new GraftManifestRefusedException(
       s"table at $tableDir (version $v) requires reader feature(s) " +
         s"${unknown.mkString(", ")} this engine does not support — " +
         "reading could return wrong results; upgrade the engine")
@@ -485,6 +485,27 @@ object ManifestTable {
     val crc = new java.util.zip.CRC32
     crc.update(lines.mkString("\n").getBytes("UTF-8"))
     crc.getValue
+  }
+
+  /** A manifest this engine REFUSES to serve — corrupt (crc mismatch)
+    * or demanding unknown reader features. Its own exception type so
+    * the maintenance paths' conservative guards (gc, orphanReport,
+    * taggedVersions: "an unreadable kept manifest means SKIP the
+    * sweep, never 'references nothing'") can treat a refusal exactly
+    * like a transient read failure WITHOUT swallowing unrelated
+    * IllegalArgumentExceptions — while every user-facing read still
+    * fails loudly. Otherwise one bit-rotted retained manifest would
+    * brick gc forever (and make a commit look failed AFTER its publish
+    * landed, the worst kind of lie to a writer). */
+  final class GraftManifestRefusedException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** The exception classes maintenance guards treat as "this manifest
+    * cannot be read RIGHT NOW — skip conservatively": transient I/O
+    * and this engine's own refusal gates. */
+  private def unreadable(t: Throwable): Boolean = t match {
+    case _: java.io.IOException | _: GraftManifestRefusedException => true
+    case _ => false
   }
 
   /** Table protocol features (the Delta minReaderVersion/table-features
@@ -2959,10 +2980,21 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val mdir = manifestDir(tableDir)
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
-    versions(fs, tableDir).lastOption.foreach(h =>
-      checkWriterFeatures(tableDir, metaOf(fs, tableDir, h)))
+    // writer-feature gate against the listed head (ONE listing, reused
+    // as the version seed). A racing gc can delete that head between
+    // the listing and the read — nothing to validate against then, and
+    // the publish loop below bumps past whatever replaced it. commit()
+    // is last-pointer-wins by contract; the gap where a NEWER head
+    // could raise requirements mid-flight is inherent to that contract
+    // — conflict-safe writers route through commitIf, which re-checks
+    // at its expectedBase.
+    val seen = versions(fs, tableDir).lastOption
+    seen.foreach { h =>
+      try checkWriterFeatures(tableDir, metaOf(fs, tableDir, h))
+      catch { case _: java.io.FileNotFoundException => () }
+    }
     val body = manifestBody(relPaths, schemaDdl, stats, meta, dv, blooms)
-    var v = versions(fs, tableDir).lastOption.getOrElse(0L) + 1
+    var v = seen.getOrElse(0L) + 1
     var attempts = 0
     while (!publishAt(fs, mdir, v, body)) {
       attempts += 1
@@ -2997,8 +3029,13 @@ object ManifestTable {
     if (!fs.exists(mdir)) fs.mkdirs(mdir)
     val vs = versions(fs, tableDir)
     if (vs.lastOption.getOrElse(0L) != expectedBase) return None // fast path
-    if (expectedBase > 0)
-      checkWriterFeatures(tableDir, metaOf(fs, tableDir, expectedBase))
+    if (expectedBase > 0) {
+      // a racing gc can retire expectedBase between the listing and
+      // this read — that IS a conflict (the caller rebases), not a
+      // crash; unknown writer features still refuse loudly
+      try checkWriterFeatures(tableDir, metaOf(fs, tableDir, expectedBase))
+      catch { case _: java.io.FileNotFoundException => return None }
+    }
     val v = expectedBase + 1
     // bloom entries AUTO-CARRY across every commit surface: keyed by
     // relPath (never reused — uuid cids), so carrying the expected
@@ -3091,16 +3128,10 @@ object ManifestTable {
       retainGenerations: Int): Seq[(String, String, Long, Boolean, String)] = {
     val fs = fsOf(spark, tableDir)
     val (old, kept) = retirementSplit(fs, tableDir, retainGenerations)
-    val keptPaths = kept.map { v =>
-      try Some(pathsOf(fs, tableDir, v))
-      catch { case _: java.io.IOException => None }
-    }
+    val keptPaths = keptPathsOf(fs, tableDir, kept)
     val referenced: Set[String] = keptPaths.flatten.flatten
       .map(_.split("/", 2).head).toSet
-    val retired: Set[String] = old.flatMap { v =>
-      try pathsOf(fs, tableDir, v)
-      catch { case _: java.io.IOException => Seq.empty }
-    }.map(_.split("/", 2).head).toSet -- referenced
+    val retired: Set[String] = retiredDirsOf(fs, tableDir, old, referenced)
     val now = System.currentTimeMillis()
     def ageMs(p: Path): Long = math.max(0L, now - newestMtime(fs, p))
     val manifests = old.map { v =>
@@ -3116,8 +3147,11 @@ object ManifestTable {
         val n = st.getPath.getName
         if (!n.endsWith(".claim")) None
         else versionOf(n.stripSuffix(".claim")).filter(_ < floor).map { v =>
+          // gc deletes a RETIRING version's claim unconditionally
+          // (alongside its manifest, before the kept-readable guard);
+          // other below-floor claims only behind that guard — mirrored
           (s"$ManifestDirName/$n", "claim", ageMs(st.getPath) / 1000L,
-            keptPaths.forall(_.isDefined), // gc's sweep guard, mirrored
+            old.contains(v) || keptPaths.forall(_.isDefined),
             s"dead claim slot for version $v below the retained floor")
         }
       }
@@ -3161,24 +3195,9 @@ object ManifestTable {
         }
       }
     }
-    val cdcRows = family(CdcDirName, "cdc", kept.map { v =>
-      try Some(metaOf(fs, tableDir, v).collect {
-        case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
-      }.toSet) catch { case _: java.io.IOException => None }
-    })
-    val dvRows = family(DvDirName, "dv", kept.map { v =>
-      try Some(dvTopDirs(dvOf(fs, tableDir, v)).collect {
-        case rel if rel.startsWith(DvDirName + "/") =>
-          rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
-      }) catch { case _: java.io.IOException => None }
-    })
-    val idxRows = family(IdxDirName, "index", kept.map { v =>
-      try Some(bloomsOf(fs, tableDir, v).values
-        .flatMap(bloomEntries(_).values).collect {
-          case rel if rel.startsWith(IdxDirName + "/") =>
-            rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
-        }.toSet) catch { case _: java.io.IOException => None }
-    })
+    val cdcRows = family(CdcDirName, "cdc", cdcRefsOf(fs, tableDir, kept))
+    val dvRows = family(DvDirName, "dv", dvRefsOf(fs, tableDir, kept))
+    val idxRows = family(IdxDirName, "index", idxRefsOf(fs, tableDir, kept))
     (manifests ++ claimRows ++ dataRows ++ cdcRows ++ dvRows ++ idxRows)
       .sortBy(r => (r._2, r._1))
   }
@@ -3202,7 +3221,7 @@ object ManifestTable {
                              vs: Seq[Long]): Set[Long] =
     vs.lastOption.map { head =>
       (try metaOf(fs, tableDir, head)
-       catch { case _: java.io.IOException => Map.empty[String, String] })
+       catch { case t if unreadable(t) => Map.empty[String, String] })
         .collect { case (k, v) if k.startsWith(TagPrefix) =>
           v.toLongOption }.flatten.toSet
     }.getOrElse(Set.empty)
@@ -3230,20 +3249,60 @@ object ManifestTable {
     (old0.filterNot(promoted.contains), promoted ++ kept0)
   }
 
+  /** Shared reference-set derivations for [[gc]] and [[orphanReport]]
+    * — like [[retirementSplit]], extracted so the dry run and the
+    * sweep can never drift apart by a copy-paste edit. Per KEPT
+    * version: None = that manifest cannot be read right now
+    * ([[unreadable]] — transient I/O or this engine's own refusal
+    * gate); both surfaces then skip the affected family entirely
+    * (never "it references nothing" — that deletes live state). */
+  private def keptPathsOf(fs: FileSystem, tableDir: String,
+                          kept: Seq[Long]): Seq[Option[Seq[String]]] =
+    kept.map { v =>
+      try Some(pathsOf(fs, tableDir, v))
+      catch { case t if unreadable(t) => None }
+    }
+  /** Dirs only RETIRING manifests reference — swept immediately. */
+  private def retiredDirsOf(fs: FileSystem, tableDir: String,
+                            old: Seq[Long],
+                            referenced: Set[String]): Set[String] =
+    old.flatMap { v =>
+      try pathsOf(fs, tableDir, v)
+      catch { case t if unreadable(t) => Seq.empty }
+    }.map(_.split("/", 2).head).toSet -- referenced
+  private def cdcRefsOf(fs: FileSystem, tableDir: String,
+                        kept: Seq[Long]): Seq[Option[Set[String]]] =
+    kept.map { v =>
+      try Some(metaOf(fs, tableDir, v).collect {
+        case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
+      }.toSet) catch { case t if unreadable(t) => None }
+    }
+  private def dvRefsOf(fs: FileSystem, tableDir: String,
+                       kept: Seq[Long]): Seq[Option[Set[String]]] =
+    kept.map { v =>
+      try Some(dvTopDirs(dvOf(fs, tableDir, v)).collect {
+        case rel if rel.startsWith(DvDirName + "/") =>
+          rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
+      }.toSet) catch { case t if unreadable(t) => None }
+    }
+  private def idxRefsOf(fs: FileSystem, tableDir: String,
+                        kept: Seq[Long]): Seq[Option[Set[String]]] =
+    kept.map { v =>
+      try Some(bloomsOf(fs, tableDir, v).values
+        .flatMap(bloomEntries(_).values).collect {
+          case rel if rel.startsWith(IdxDirName + "/") =>
+            rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
+        }.toSet) catch { case t if unreadable(t) => None }
+    }
+
   private def gc(fs: FileSystem, tableDir: String, retain: Int): Unit = {
     val (old, kept) = retirementSplit(fs, tableDir, retain)
-    val keptPaths = kept.map { v =>
-      try Some(pathsOf(fs, tableDir, v))
-      catch { case _: java.io.IOException => None }
-    }
+    val keptPaths = keptPathsOf(fs, tableDir, kept)
     val referenced: Set[String] = keptPaths.flatten.flatten
       .map(_.split("/", 2).head).toSet
     // dirs the retiring manifests referenced: aged out of retention,
     // swept immediately (unless a kept manifest still references them)
-    val retired: Set[String] = old.flatMap { v =>
-      try pathsOf(fs, tableDir, v)
-      catch { case _: java.io.IOException => Seq.empty }
-    }.map(_.split("/", 2).head).toSet -- referenced
+    val retired: Set[String] = retiredDirsOf(fs, tableDir, old, referenced)
     old.foreach { v =>
       fs.delete(new Path(manifestDir(tableDir), manifestName(v)), false)
       fs.delete(new Path(manifestDir(tableDir), manifestName(v) + ".claim"), false)
@@ -3284,65 +3343,23 @@ object ManifestTable {
     // "skip this sweep", never "that version references nothing" — the
     // latter deletes LIVE staged feeds / deletion vectors and silently
     // resurrects merge-on-read-deleted rows on later reads.
-    val cdcRoot = new Path(tableDir, CdcDirName)
-    if (try fs.exists(cdcRoot) catch { case _: java.io.IOException => false }) {
-      val cdcRefs = kept.map { v =>
-        try Some(metaOf(fs, tableDir, v).collect {
-          case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
-        }.toSet) catch { case _: java.io.IOException => None }
-      }
-      if (cdcRefs.forall(_.isDefined)) {
-        val cdcReferenced: Set[String] = cdcRefs.flatten.flatten.toSet
-        fs.listStatus(cdcRoot).foreach { st =>
-          if (!cdcReferenced.contains(st.getPath.getName) &&
+    // (dv: foreign clone entries point into the SOURCE table's _dv and
+    // are not ours to sweep — dvRefsOf keys on this table's own names)
+    def sweepFamily(rootName: String, refs: Seq[Option[Set[String]]]): Unit = {
+      val root = new Path(tableDir, rootName)
+      if ((try fs.exists(root) catch { case _: java.io.IOException => false })
+          && refs.forall(_.isDefined)) {
+        val referencedNames: Set[String] = refs.flatten.flatten.toSet
+        fs.listStatus(root).foreach { st =>
+          if (!referencedNames.contains(st.getPath.getName) &&
               now - newestMtime(fs, st.getPath) > orphanGraceMs)
             fs.delete(st.getPath, true)
         }
       }
     }
-    // deletion-vector dirs (`_dv/<name>/...`): referenced = every name
-    // a KEPT manifest's dv channel points into; everything else ages
-    // out past the grace window (retired versions' masks, a crashed
-    // MoR delete's never-committed staging). Foreign (clone) entries
-    // point into the SOURCE table's _dv and are not ours to sweep.
-    val dvRoot = new Path(tableDir, DvDirName)
-    if (try fs.exists(dvRoot) catch { case _: java.io.IOException => false }) {
-      val dvRefs = kept.map { v =>
-        try Some(dvTopDirs(dvOf(fs, tableDir, v)).collect {
-          case rel if rel.startsWith(DvDirName + "/") =>
-            rel.stripPrefix(DvDirName + "/").takeWhile(_ != '/')
-        }) catch { case _: java.io.IOException => None }
-      }
-      if (dvRefs.forall(_.isDefined)) {
-        val dvReferenced: Set[String] = dvRefs.flatten.flatten.toSet
-        fs.listStatus(dvRoot).foreach { st =>
-          if (!dvReferenced.contains(st.getPath.getName) &&
-              now - newestMtime(fs, st.getPath) > orphanGraceMs)
-            fs.delete(st.getPath, true)
-        }
-      }
-    }
-    // bloom sidecars (`_idx/<name>/...`): same conservative sweep —
-    // referenced = every name a KEPT manifest's bloom channel points
-    // into; an unreadable kept manifest skips the sweep entirely
-    val idxRoot = new Path(tableDir, IdxDirName)
-    if (try fs.exists(idxRoot) catch { case _: java.io.IOException => false }) {
-      val idxRefs = kept.map { v =>
-        try Some(bloomsOf(fs, tableDir, v).values
-          .flatMap(bloomEntries(_).values).collect {
-            case rel if rel.startsWith(IdxDirName + "/") =>
-              rel.stripPrefix(IdxDirName + "/").takeWhile(_ != '/')
-          }.toSet) catch { case _: java.io.IOException => None }
-      }
-      if (idxRefs.forall(_.isDefined)) {
-        val idxReferenced: Set[String] = idxRefs.flatten.flatten.toSet
-        fs.listStatus(idxRoot).foreach { st =>
-          if (!idxReferenced.contains(st.getPath.getName) &&
-              now - newestMtime(fs, st.getPath) > orphanGraceMs)
-            fs.delete(st.getPath, true)
-        }
-      }
-    }
+    sweepFamily(CdcDirName, cdcRefsOf(fs, tableDir, kept))
+    sweepFamily(DvDirName, dvRefsOf(fs, tableDir, kept))
+    sweepFamily(IdxDirName, idxRefsOf(fs, tableDir, kept))
   }
 
   /** Count data files (by suffix) under the live version's paths — used by

@@ -137,6 +137,47 @@ class GraftFeatureSpec extends SparkTestBase {
     assert(spark.table("gfeat.lake.c").count() == 2L)
   }
 
+  test("a corrupt RETAINED non-head manifest never bricks commits or gc") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gfeat.lake.g")
+    spark.sql("CREATE TABLE gfeat.lake.g (k INT, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gfeat.lake.g VALUES (1,'a')")
+    spark.sql("INSERT INTO gfeat.lake.g VALUES (2,'b')")
+    val dir = s"$wh/lake/g"
+    val victim = ManifestTable.headVersion(spark, dir).get - 1
+    val mf = new Path(s"$dir/_manifests", f"m-$victim%012d")
+    val len = fs.getFileStatus(mf).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(mf); try in.readFully(buf) finally in.close()
+    val text = new String(buf, "UTF-8")
+    val line = text.split("\n").filter(_.nonEmpty).last
+    val out = fs.create(mf, true)
+    try out.write(text.replace(line,
+      line.updated(line.length / 2,
+        if (line(line.length / 2) == 'x') 'y' else 'x')).getBytes("UTF-8"))
+    finally out.close()
+    ManifestTable.invalidateSnapshots(dir)
+    // the head still reads; time travel to the rotted version refuses
+    assert(spark.table("gfeat.lake.g").count() == 2L)
+    intercept[Exception] {
+      ManifestTable.readVersion(spark, dir, victim).collect()
+    }
+    // commits and maintenance proceed — the refusal is treated like a
+    // transient read failure by every conservative sweep guard: data
+    // the rotted version references is HELD, never swept as
+    // "references nothing", and the write path never throws AFTER its
+    // publish landed
+    spark.sql("INSERT INTO gfeat.lake.g VALUES (3,'c')")
+    assert(spark.table("gfeat.lake.g").count() == 3L)
+    ManifestTable.vacuum(spark, dir, retainGenerations = 10): Unit
+    assert(spark.table("gfeat.lake.g").count() == 3L,
+      "vacuum with a corrupt retained manifest must not sweep live data")
+    // the dry run mirrors the hold: nothing reports would_sweep
+    assert(ManifestTable.orphanReport(spark, dir, 10).forall(!_._4),
+      ManifestTable.orphanReport(spark, dir, 10).toString)
+  }
+
   test("an unknown writer-only feature keeps reads serving but refuses commits") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gfeat.lake.w")
