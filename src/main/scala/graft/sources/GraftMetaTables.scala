@@ -243,7 +243,39 @@ object GraftMetaTables {
       (s"$masked deletion-vector positions stand against $p " +
         "physical rows — reads pay the mask tax until " +
         "CALL system.compact materializes them away")
-    analyzeAdvice.toSeq ++ compactAdvice.toSeq
+    // advice:bloom — an ANALYZED scatter column (NDV ≈ rows: ids,
+    // urls, hashes) over several dirs without a bloom index: min/max
+    // stats provably cannot prune its point lookups (every dir's range
+    // covers the keyspace). Advisory ONLY — maintain never auto-acts:
+    // an index is a write-amplification policy call the operator owns.
+    val bloomAdvice: Seq[(String, String)] = {
+      val indexed = meta.get(GraftCatalog.PropPrefix + "bloomCols")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+      val nDirs = counts.length
+      val eligible = ManifestTable.declaredSchemaOf(spark, dir, head)
+        .map(_.fields.filter(f => f.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
+        }).map(_.name).toSet).getOrElse(Set.empty)
+      for {
+        live <- physical.toSeq
+        if nDirs >= 4
+        (k, v) <- meta.toSeq.sortBy(_._1)
+        c = k.stripPrefix(ManifestTable.ColStatPrefix)
+        if k.startsWith(ManifestTable.ColStatPrefix) &&
+          !indexed.contains(c) && eligible.contains(c)
+        ndv <- v.split(",").headOption.flatMap(_.toLongOption)
+        if ndv.toDouble >= 0.5 * math.max(1L, live)
+      } yield "advice:bloom" ->
+        (s"column $c: analyzed NDV $ndv of $live rows scatters across " +
+          s"$nDirs dirs — min/max stats cannot prune its point " +
+          "lookups; consider TBLPROPERTIES ('bloomCols'='" + c + "')")
+    }
+    analyzeAdvice.toSeq ++ compactAdvice.toSeq ++ bloomAdvice.take(1)
   }
 
   private def properties(spark: SparkSession, fs: FileSystem, dir: String,

@@ -137,6 +137,49 @@ class GraftFeatureSpec extends SparkTestBase {
     assert(spark.table("gfeat.lake.c").count() == 2L)
   }
 
+  test("property: ANY single-byte manifest corruption refuses — never a silently-wrong read") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gfeat.lake.z")
+    spark.sql("CREATE TABLE gfeat.lake.z (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k')")
+    spark.sql("INSERT INTO gfeat.lake.z VALUES (1,'a'),(2,'b'),(3,'c')")
+    val dir = s"$wh/lake/z"
+    val head = ManifestTable.headVersion(spark, dir).get
+    val mf = new Path(s"$dir/_manifests", f"m-$head%012d")
+    val len = fs.getFileStatus(mf).getLen.toInt
+    val orig = new Array[Byte](len)
+    val in = fs.open(mf); try in.readFully(orig) finally in.close()
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 25).foreach { i =>
+      val pos = rnd.nextInt(len)
+      val mutated = orig.clone()
+      var b = 0
+      do b = rnd.nextInt(127 - 32) + 32 while (b.toByte == orig(pos))
+      mutated(pos) = b.toByte
+      val out = fs.create(mf, true)
+      try out.write(mutated) finally out.close()
+      ManifestTable.invalidateSnapshots(dir)
+      // the crc covers every normalized line, so ANY content-bearing
+      // flip refuses; a flip that only perturbs line whitespace still
+      // changes the normalized sequence (manifests carry none to
+      // begin with). The one unacceptable outcome is a clean read
+      // with wrong content.
+      val r = try Left(spark.table("gfeat.lake.z").collect()
+          .map(x => (x.getInt(0), x.getString(1))).sortBy(_._1).toSeq)
+        catch { case e: Exception => Right(e) }
+      r match {
+        case Left(rows) => assert(
+          rows == Seq((1, "a"), (2, "b"), (3, "c")),
+          s"trial $i pos $pos: corruption served WRONG rows: $rows")
+        case Right(_) => () // refusal is the designed outcome
+      }
+    }
+    val out = fs.create(mf, true)
+    try out.write(orig) finally out.close()
+    ManifestTable.invalidateSnapshots(dir)
+    assert(spark.table("gfeat.lake.z").count() == 3L)
+  }
+
   test("a corrupt RETAINED non-head manifest never bricks commits or gc") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gfeat.lake.g")

@@ -120,6 +120,30 @@ class GraftMetaSpec extends SparkTestBase {
     assert(ManifestTable.headVersion(spark, dir).contains(4L))
   }
 
+  test("advice:bloom flags analyzed scatter columns; indexing or ineligibility clears it") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.ab")
+    spark.sql("CREATE TABLE gmeta.lake.ab (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10')")
+    (0 until 4).foreach(b => spark.sql(
+      s"INSERT INTO gmeta.lake.ab VALUES " +
+        (b * 10 until b * 10 + 10).map(k => s"($k,'v$k')").mkString(",")))
+    def advice(): Map[String, String] =
+      spark.sql("SELECT * FROM gmeta.lake.`ab$properties`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+        .filter(_._1.startsWith("advice:"))
+    // no column stats yet — nothing to reason from
+    assert(!advice().contains("advice:bloom"), advice())
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.ab', columns => 'k')")
+    val a = advice()
+    assert(a.get("advice:bloom").exists(m =>
+      m.contains("column k") && m.contains("bloomCols")), a)
+    // declaring the index clears the advisory (the operator's call —
+    // maintain never auto-acts on it)
+    spark.sql("ALTER TABLE gmeta.lake.ab SET TBLPROPERTIES ('bloomCols'='k')")
+    assert(!advice().contains("advice:bloom"), advice())
+  }
+
   test("CALL system.vacuum sweeps aged orphans, spares fresh ones") {
     val dir = seeded("v1")
     // a crashed writer's leavings: a data dir no manifest references
