@@ -139,20 +139,29 @@ class GraftManifestSource extends RelationProvider
     // retention is a write-side option, like Delta's retention knobs
     val retain = parameters.get("retainGenerations").map(_.toInt).getOrElse(2)
     val exists = ManifestTable.headVersion(ctx.sparkSession, dir).isDefined
+    // S47 — idempotent batch writes on the V1 alias too: same option
+    // pair, same check-then-write replay gate as the V2 builder
+    val txn = GraftManifestSource.txnOf(parameters.get)
+    val txnMeta = GraftManifestSource.txnMetaOf(txn)
+    if (GraftManifestSource.txnApplied(ctx.sparkSession, dir, txn))
+      return createRelation(ctx, parameters)
     // declared data contracts bind every API (S30)
     val data = GraftManifestSource.withDeclaredChecks(data0, dir)
     mode match {
       case SaveMode.Append =>
-        GraftManifestSource.appendRespectingSpec(data, dir, statsCols, retain)
+        GraftManifestSource.appendRespectingSpec(data, dir, statsCols, retain,
+          extraMeta = txnMeta)
       case SaveMode.Overwrite =>
-        GraftManifestSource.overwrite(data, dir, statsCols, retain)
+        GraftManifestSource.overwrite(data, dir, statsCols, retain,
+          extraMeta = txnMeta)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft-manifest table already committed at $dir (mode=ErrorIfExists)")
       case SaveMode.ErrorIfExists =>
-        ManifestTable.append(data, dir, statsCols, retain): Unit
+        ManifestTable.append(data, dir, statsCols, retain, meta = txnMeta): Unit
       case SaveMode.Ignore =>
-        if (!exists) ManifestTable.append(data, dir, statsCols, retain): Unit
+        if (!exists) ManifestTable.append(data, dir, statsCols, retain,
+          meta = txnMeta): Unit
     }
     // a catalog table over this path must not keep serving the
     // pre-write pinned snapshot (see GraftManifestRelation.insert)
@@ -186,14 +195,61 @@ object GraftManifestSource {
     * is set, the batch lands clustered on arrival whatever API carried
     * it — a V1-alias writer must not quietly degrade the layout a
     * catalog table declared. No spec = the plain single-dir append. */
+  /** S47 — parse the per-write idempotence options (Delta's
+    * txnAppId/txnVersion pair): both-or-neither, numeric version,
+    * appId manifest-line-safe. Shared by the V2 write builder and the
+    * V1 alias so both surfaces validate identically. */
+  private[graft] def txnOf(opt: String => Option[String])
+      : Option[(String, Long)] = {
+    val app = opt("txnAppId").map(_.trim).filter(_.nonEmpty)
+    val ver = opt("txnVersion")
+    require(app.isDefined == ver.isDefined,
+      "txnAppId and txnVersion come as a pair: both identify one " +
+        "idempotent write (Delta's foreachBatch contract) — got " +
+        s"txnAppId=${app.orNull}, txnVersion=${ver.orNull}")
+    for (a <- app; v <- ver) yield {
+      require(!a.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"txnAppId must not contain tab/newline characters: '$a'")
+      (a, v.toLongOption.getOrElse(throw new IllegalArgumentException(
+        s"txnVersion must be an integer watermark, got '$v'")))
+    }
+  }
+
+  /** The recorded `txn:<appId>` watermark at the current head is
+    * at-or-past this write's version — the batch already committed
+    * (crash between commit and the caller's ack). Check-then-write,
+    * same single-writer-per-appId contract [[graft.streaming.Streams
+    * .appendBatch]] documents: batches of one appId never run
+    * concurrently, so the only re-entry is the crashed writer's own
+    * replay, which this check absorbs without extra atomicity. */
+  private[graft] def txnApplied(spark: org.apache.spark.sql.SparkSession,
+                                dir: String,
+                                txn: Option[(String, Long)]): Boolean =
+    txn.exists { case (appId, ver) =>
+      ManifestTable.headVersion(spark, dir).exists { h =>
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        ManifestTable.metaOf(fs, dir, h).get(s"txn:$appId")
+          .flatMap(_.toLongOption).exists(_ >= ver)
+      }
+    }
+
+  private[graft] def txnMetaOf(txn: Option[(String, Long)])
+      : Map[String, String] =
+    txn.map { case (a, v) => s"txn:$a" -> v.toString }.toMap
+
   private[graft] def appendRespectingSpec(data: DataFrame, dir: String,
                                             statsCols: Seq[String],
-                                            retain: Int): Unit = {
+                                            retain: Int,
+                                            extraMeta: Map[String, String] =
+                                              Map.empty): Unit = {
     val spark = data.sparkSession
     // a bucketed (S31) table's append IS an upsert by key — the V1
     // alias must not degrade the layout any more than it may degrade a
     // declared cluster spec
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+      require(extraMeta.isEmpty,
+        s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
       MergeInto.merge(data, dir): Unit
       return
     }
@@ -204,9 +260,11 @@ object GraftManifestSource {
     }
     spec match {
       case Some(cols) => ManifestTable.appendClustered(data, dir,
-        (statsCols ++ cols).distinct, retainGenerations = retain): Unit
+        (statsCols ++ cols).distinct, retainGenerations = retain,
+        meta = extraMeta): Unit
       case None =>
-        ManifestTable.append(data, dir, statsCols, retain): Unit
+        ManifestTable.append(data, dir, statsCols, retain,
+          meta = extraMeta): Unit
     }
   }
 
@@ -259,12 +317,16 @@ object GraftManifestSource {
     * the same call by failing the concurrent writer instead. */
   private[graft] def overwrite(data: DataFrame, dir: String,
                                statsCols: Seq[String],
-                               retainGenerations: Int = 2): Unit = {
+                               retainGenerations: Int = 2,
+                               extraMeta: Map[String, String] = Map.empty)
+      : Unit = {
     val spark = data.sparkSession
     // bucketed (S31) table: overwrite = ONE atomic swap commit keeping
     // the b=N layout invariant every later merge's bucket parse relies
     // on — never a truncate a reader could observe mid-overwrite
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
+      require(extraMeta.isEmpty,
+        s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
       MergeInto.overwriteBucketed(data, dir): Unit
       return
     }
@@ -281,8 +343,12 @@ object GraftManifestSource {
     ManifestTable.commit(spark, dir, Seq(cid), retainGenerations,
       schemaDdl = Some(data.schema.toDDL),
       stats = stats.view.filterKeys(_ == cid).toMap,
-      // replacing the data does not reset writer txn watermarks
-      meta = ManifestTable.metaOf(fs, dir, v)): Unit
+      // replacing the data does not reset writer txn watermarks; an
+      // S47 idempotent overwrite records ITS watermark here — on the
+      // FINAL commit only, so a crash between the two commits replays
+      // the whole overwrite (same end state) instead of being skipped
+      // with only the intermediate append visible
+      meta = ManifestTable.metaOf(fs, dir, v) ++ extraMeta): Unit
   }
 
   /** Fold Spark's pushed filters into per-column [lo, hi] bounds in

@@ -306,8 +306,14 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     // (their relations carry a FunctionCatalog to resolve `morton`
     // through); path-loaded tables cannot and keep the lexical form
     val viaCatalog = tableProps.contains(TableCatalog.PROP_PROVIDER)
+    // S47 — idempotent batch writes (Delta's txnAppId/txnVersion
+    // contract on the DSv2 OPTIONS surface): per-WRITE options only,
+    // never table properties (a persisted txnVersion would make every
+    // write "the same" transaction).
+    val txn = GraftManifestSource.txnOf(
+      k => Option(info.options.get(k)))
     new GraftWriteBuilder(tableDir, statsCols, retain, clusterBy, checks,
-      info, viaCatalog)
+      info, viaCatalog, txn)
   }
 }
 
@@ -321,7 +327,8 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
                         retain: Int, clusterBy: Option[Seq[String]] = None,
                         checks: Seq[(String, String)] = Seq.empty,
                         info: LogicalWriteInfo = null,
-                        viaCatalog: Boolean = false)
+                        viaCatalog: Boolean = false,
+                        txn: Option[(String, Long)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var overwrite = false
 
@@ -548,8 +555,18 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         (statsCols ++ cluster).distinct, retain, cluster, cmap)
     }
 
+    private def txnMeta: Map[String, String] =
+      GraftManifestSource.txnMetaOf(txn)
+
     override def toInsertableRelation: InsertableRelation =
-      (data0, _) => {
+      (data0, _) =>
+      // S47 replay fast-path: a watermark at-or-past this write's
+      // txnVersion means the batch already committed (crash between
+      // commit and the caller's ack) — skip BEFORE the write job,
+      // not just before the pointer publish. (No `return` here: a
+      // non-local return from this lambda would fire after
+      // toInsertableRelation already returned.)
+      if (!GraftManifestSource.txnApplied(data0.sparkSession, tableDir, txn)) {
         // the peel must see the PREPARED plan's top — before the check
         // guards wrap it (append path only: overwrite has no second
         // shuffle to save, and keeping Spark's sort there is free)
@@ -571,10 +588,17 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
           // overwrite = ONE atomic swap commit (write new bucket dirs,
           // then publish drop-old+add-new together) — never a truncate
           // a reader could observe or a crash could strand
+          require(txn.isEmpty,
+            s"txnAppId/txnVersion are not supported on bucketed merge " +
+              s"tables ($tableDir): a merge is key-idempotent by " +
+              "construction — replaying the same source yields the same " +
+              "table — so the watermark would only mask interleaved " +
+              "foreign writes")
           if (overwrite) MergeInto.overwriteBucketed(data, tableDir): Unit
           else MergeInto.merge(data, tableDir): Unit
         } else {
-          if (overwrite) GraftManifestSource.overwrite(data, tableDir, statsCols, retain)
+          if (overwrite) GraftManifestSource.overwrite(data, tableDir,
+            statsCols, retain, extraMeta = txnMeta)
           else clusterBy match {
             // a declared cluster spec makes every append CLUSTERED ON
             // ARRIVAL (S27): the batch lands as range/Morton-sorted dirs
@@ -585,7 +609,7 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
             // shuffle (appendClustered's own, Morton-capable), not two.
             case Some(cols) => ManifestTable.appendClustered(data, tableDir,
               (statsCols ++ cols).distinct, retainGenerations = retain,
-              specOverride = Some(cols)): Unit
+              meta = txnMeta, specOverride = Some(cols)): Unit
             // no explicit option, but the table DECLARES a spec
             // (effectiveCluster read it from the head manifest): land
             // clustered like every other write surface — the V1
@@ -595,9 +619,10 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
             case None if cluster.nonEmpty =>
               ManifestTable.appendClustered(data, tableDir,
                 (statsCols ++ cluster).distinct,
-                retainGenerations = retain): Unit
+                retainGenerations = retain, meta = txnMeta): Unit
             case None =>
-              ManifestTable.append(data, tableDir, statsCols, retain): Unit
+              ManifestTable.append(data, tableDir, statsCols, retain,
+                meta = txnMeta): Unit
           }
           // declared cluster spec from table/write OPTIONS: recorded once
           // (a metadata commit) when it differs from the current spec —

@@ -989,6 +989,40 @@ object Sources {
     dir
   })
 
+  /** S47 fixture: an orders table built by an idempotent batch writer —
+    * each half of orders lands under its own (txnAppId, txnVersion),
+    * and BOTH writes are then replayed verbatim (the crash-between-
+    * commit-and-ack shape). The replays must be recognized by the
+    * recorded watermarks and skipped, or the table double-counts. */
+  private val txnDemo = new graft.FixtureMemo((s, d) => {
+    val dir = tmp("graft_s47_")
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    def write(slice: org.apache.spark.sql.DataFrame, ver: Long): Unit =
+      slice.write.format("graft").mode("append")
+        .option("txnAppId", "s47-ingest").option("txnVersion", ver.toString)
+        .save(dir)
+    val even = base.filter(col("o_orderkey") % 2 === 0)
+    val odd = base.filter(col("o_orderkey") % 2 === 1)
+    write(even, 1L); write(odd, 2L)
+    write(even, 1L); write(odd, 2L) // verbatim replays: must no-op
+    dir
+  })
+
+  /** S47: idempotent batch writes (txnAppId/txnVersion write options —
+    * Delta's foreachBatch contract on the DSv2 surface). The fixture
+    * replayed both ingest batches; the aggregate matches a SINGLE
+    * application of each, and `replay_skipped` witnesses that the
+    * replays committed nothing (head version is exactly 2). */
+  def s47_idempotent_write(s: SparkSession, d: String): DataFrame = {
+    val dir = txnDemo(s, d)
+    val skipped = ManifestTable.headVersion(s, dir).contains(2L)
+    s.read.format("graft").load(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice")), 2).as("total_price"),
+        sum(col("o_orderkey")).cast("long").as("key_checksum"))
+      .withColumn("replay_skipped", lit(skipped))
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1593,6 +1627,7 @@ object Sources {
     "s44_bloom_lookup" -> (s44_bloom_lookup _),
     "s21_masked_count" -> (s21_masked_count _),
     "s45_null_stats" -> (s45_null_stats _),
+    "s47_idempotent_write" -> (s47_idempotent_write _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1767,6 +1802,14 @@ object Sources {
                     ELSE o_orderpriority END) AS n_vals,
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
+         FROM orders""",
+    // idempotent batch writes: both replayed batches were skipped, so
+    // the table is exactly ONE application of each half of orders
+    "s47_idempotent_write" ->
+      """SELECT count(*) AS n_rows,
+         round(sum(o_totalprice), 2) AS total_price,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         true AS replay_skipped
          FROM orders""",
     // bloom-indexed point lookup: the 3 smallest order keys' rows, plus
     // the driver-computed pruning witness
