@@ -60,6 +60,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ViewCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
+  /** S48 — admits DEFAULT clauses to CREATE/ALTER through Spark's own
+    * resolution (the capability gates the SQL surface; the values land
+    * in the manifest's `default:`/`defaultx:` channels). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ------------------------------------------------------ functions (S38)
 
   /** The engine's transforms, loadable from this catalog — the seam
@@ -188,9 +196,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def tableAt(ident: Identifier, dir: String, v: Long): GraftTable = {
-    val schema = ManifestTable.declaredSchemaOf(spark, dir, v)
-      .getOrElse(ManifestTable.readVersion(spark, dir, v).schema)
-    val props = ManifestTable.metaOf(fs, dir, v).collect {
+    val vMeta = ManifestTable.metaOf(fs, dir, v)
+    // S48: default metadata rides the served schema — Spark's INSERT
+    // resolution reads CURRENT_DEFAULT from here, and the scan's
+    // required schema carries EXISTS_DEFAULT down to the parquet
+    // readers (which fill missing columns with the frozen constant)
+    val schema = ManifestTable.withDefaults(
+      ManifestTable.declaredSchemaOf(spark, dir, v)
+        .getOrElse(ManifestTable.readVersion(spark, dir, v).schema),
+      vMeta, ManifestTable.colMapOf(fs, dir, v))
+    val props = vMeta.collect {
       case (k, value) if k.startsWith(PropPrefix) =>
         k.stripPrefix(PropPrefix) -> value
     }
@@ -260,13 +275,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(layoutSpec.isEmpty || (clusterCols.isEmpty && !props.contains("clusterBy")),
       "layout=bucketed and clusterBy are mutually exclusive — a bucketed " +
         "table's dirs are hash buckets, not range/Morton slices")
+    // S48 — `CREATE TABLE (... c INT DEFAULT 5)`: Spark lands the
+    // clause in field metadata (capability-gated); record the CURRENT
+    // default per column. No existence default at CREATE: every dir
+    // this table will ever hold physically stores the column.
+    val defaultMeta = {
+      val key = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+        .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+      schema.fields.collect {
+        case f if f.metadata.contains(key) =>
+          (ManifestTable.DefaultPrefix + f.name) -> f.metadata.getString(key)
+      }.toMap
+    }
     val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
-      props.get("clusterBy").map(ClusterByKey -> _)
+      props.get("clusterBy").map(ClusterByKey -> _) ++ defaultMeta
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
     layoutSpec.foreach { case (key, n) =>
       MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
     ManifestTable.commit(spark, dirPath.toString, Seq.empty,
-      retainGenerations = retain, schemaDdl = Some(schema.toDDL), meta = meta)
+      retainGenerations = retain,
+      schemaDdl = Some(ManifestTable.cleanDdl(schema)), meta = meta)
     loadTable(ident)
   }
 
@@ -356,6 +384,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RemoveProperty =>
         alterMeta(dir, _ - (PropPrefix + r.property))
       case a: TableChange.AddColumn => addColumn(ident, dir, a)
+      // S48 — ALTER COLUMN c SET DEFAULT / DROP DEFAULT: the CURRENT
+      // default only (it governs future INSERTs); the existence
+      // default stays frozen at its ADD-time constant — pre-ADD rows
+      // must not change value under a later SET DEFAULT (the
+      // SQL-standard split Iceberg v3 calls initial-default)
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          s"graft SET DEFAULT is top-level only, got ${u.fieldNames.mkString(".")}")
+        val logical = u.fieldNames.head
+        val newSql = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+        // validate: the clause must analyze to a constant castable to
+        // the column's type — refuse at ALTER time, not first INSERT
+        alterMeta(dir, m => {
+          val phys = m.getOrElse(ManifestTable.ColMapPrefix + logical, logical)
+          newSql match {
+            case Some(sql) => m + ((ManifestTable.DefaultPrefix + phys) -> sql)
+            case None => m - (ManifestTable.DefaultPrefix + phys)
+          }
+        }, validate = head => {
+          val sch = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
+            throw new UnsupportedOperationException(
+              s"$dir has no declared schema"))
+          val f = sch.fields.find(_.name == logical).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column '$logical' in $ident to default"))
+          newSql.foreach { sql =>
+            org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+              .analyze(f.name, f.dataType, sql,
+                "ALTER TABLE ALTER COLUMN"): Unit
+          }
+        })
       case u: TableChange.UpdateColumnType => updateColumnType(ident, dir, u)
       case r: TableChange.RenameColumn => renameColumn(ident, dir, r)
       case d: TableChange.DeleteColumn => dropColumn(ident, dir, d)
@@ -368,24 +427,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadTable(ident)
   }
 
-  /** Metadata-only ADD COLUMN — the declared-schema read path
-    * null-fills dirs written before the column existed, so no data
+  /** Metadata-only ADD COLUMN — the declared-schema read path fills
+    * dirs written before the column existed (null, or the S48
+    * existence default when a DEFAULT clause is given), so no data
     * file is touched (the Delta/Iceberg schema-evolution contract).
     * Nullable top-level columns only, appended at the end: anything
-    * else would need a rewrite or a default-value channel. */
+    * else would need a rewrite. A DEFAULT records two channels: the
+    * CURRENT default (its SQL, for future INSERT resolution) and the
+    * EXISTENCE default (the constant it evaluates to NOW, frozen —
+    * pre-ADD rows serve it forever, the SQL-standard semantics). */
   private def addColumn(ident: Identifier, dir: String,
                         a: TableChange.AddColumn): Unit = {
     require(a.fieldNames.length == 1,
       s"graft ADD COLUMN is top-level only, got ${a.fieldNames.mkString(".")}")
     require(a.isNullable,
       s"new column '${a.fieldNames.head}' must be nullable — " +
-        "existing dirs null-fill it")
+        "existing dirs fill it (with null or the DEFAULT)")
     require(a.position() == null,
       "graft ADD COLUMN appends at the end (FIRST/AFTER would reorder " +
         "parquet field resolution for existing dirs)")
-    require(a.defaultValue() == null,
-      "graft ADD COLUMN does not support DEFAULT values")
     val name = a.fieldNames.head
+    // S48: the evaluated constant renders back to a SQL literal via
+    // catalyst (Spark analyzed + folded the clause already — the V2
+    // ColumnDefaultValue carries both the original SQL and the value)
+    val defaultMeta: Map[String, String] = Option(a.defaultValue()).map { d =>
+      val lit = d.getValue()
+      require(lit != null,
+        s"ADD COLUMN '$name' DEFAULT did not fold to a constant")
+      val frozen = org.apache.spark.sql.catalyst.expressions
+        .Literal(lit.value, lit.dataType).sql
+      Map((ManifestTable.DefaultPrefix + name) ->
+            Option(d.getSql()).getOrElse(frozen),
+          (ManifestTable.ExistsDefaultPrefix + name) -> frozen)
+    }.getOrElse(Map.empty)
     alterFull(dir) { head =>
       val old = ManifestTable.declaredSchemaOf(spark, dir, head).getOrElse(
         throw new UnsupportedOperationException(
@@ -406,9 +480,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"'$name' is the stored physical name of a renamed column of " +
           s"$ident; adding it would read that column's old values — " +
           "pick a different name")
-      (Some(StructType(old.fields :+
-        StructField(name, a.dataType, nullable = true)).toDDL),
-        meta, identity)
+      (Some(ManifestTable.cleanDdl(StructType(old.fields :+
+        StructField(name, a.dataType, nullable = true)))),
+        meta ++ defaultMeta, identity)
     }
   }
 
@@ -468,7 +542,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"$dir has no declared schema to evolve — written by a " +
             "pre-schema writer; one append through the catalog declares it"))
-      (Some(f(old).toDDL), ManifestTable.metaOf(fs, dir, head), identity)
+      (Some(ManifestTable.cleanDdl(f(old))), ManifestTable.metaOf(fs, dir, head), identity)
     }
 
   private def alterHead(dir: String, validate: Long => Unit = _ => ())(
@@ -635,7 +709,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val newMeta = (meta
         - (ManifestTable.ColMapPrefix + col)
         - (ManifestTable.ColStatPrefix + col)
-        - (ManifestTable.ColHistPrefix + col)) +
+        - (ManifestTable.ColHistPrefix + col)
+        - (ManifestTable.DefaultPrefix + physical)
+        - (ManifestTable.ExistsDefaultPrefix + physical)) +
         ((ManifestTable.DroppedPrefix + physical) -> "true") ++
         meta.get(PropPrefix + "statsCols").map { l =>
           (PropPrefix + "statsCols") ->

@@ -341,7 +341,7 @@ object GraftManifestSource {
       .getFileSystem(spark.sessionState.newHadoopConf())
     val stats = ManifestTable.statsOf(fs, dir, v)
     ManifestTable.commit(spark, dir, Seq(cid), retainGenerations,
-      schemaDdl = Some(data.schema.toDDL),
+      schemaDdl = Some(ManifestTable.cleanDdl(data.schema)),
       stats = stats.view.filterKeys(_ == cid).toMap,
       // replacing the data does not reset writer txn watermarks; an
       // S47 idempotent overwrite records ITS watermark here — on the

@@ -134,8 +134,16 @@ class GraftTableProvider extends TableProvider
       // (ACCEPT_ANY_SCHEMA); a read fails at newScanBuilder with a
       // clear message rather than here, so EXISTS-style probing works
       case None => new StructType()
-      case Some(v) => ManifestTable.declaredSchemaOf(spark, dir, v)
-        .getOrElse(ManifestTable.readVersion(spark, dir, v).schema)
+      case Some(v) =>
+        val fs = new Path(dir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // S48: path-loaded reads serve the same default contract the
+        // catalog route does (exists-defaults fill pre-ADD dirs)
+        ManifestTable.withDefaults(
+          ManifestTable.declaredSchemaOf(spark, dir, v)
+            .getOrElse(ManifestTable.readVersion(spark, dir, v).schema),
+          ManifestTable.metaOf(fs, dir, v),
+          ManifestTable.colMapOf(fs, dir, v))
     }
   }
 

@@ -528,7 +528,7 @@ object ManifestTable {
   private[graft] val RequireReaderKey = "require:reader"
   private[graft] val RequireWriterKey = "require:writer"
   private[graft] val SupportedReaderFeatures: Set[String] =
-    Set("colmap", "dv")
+    Set("colmap", "dv", "col-defaults")
   private[graft] val SupportedWriterFeatures: Set[String] =
     SupportedReaderFeatures + "stats-nulls"
 
@@ -791,6 +791,74 @@ object ManifestTable {
     * name) — the guard refuses it. */
   private[graft] val DroppedPrefix = "dropped:"
 
+  /** S48 — column DEFAULT channels, keyed by PHYSICAL name (so both
+    * survive RENAME COLUMN for free, like stats and blooms):
+    *  - `default:<phys>` — the CURRENT default's SQL text, applied by
+    *    Spark's own INSERT resolution to statements that omit the
+    *    column (or write the DEFAULT keyword). Never read-side.
+    *  - `defaultx:<phys>` — the EXISTENCE default: the constant the
+    *    column's ADD-time default evaluated to, frozen forever (the
+    *    Iceberg v3 initial-default / SQL-standard semantics). Dirs
+    *    written BEFORE the column existed serve this constant instead
+    *    of null — filled by Spark's parquet readers from the
+    *    EXISTS_DEFAULT field metadata, zero rewrite.
+    * An engine that ignored `defaultx:` would serve nulls where the
+    * table contract says the constant — and a compaction through it
+    * would MATERIALIZE those nulls — so its presence derives the
+    * `col-defaults` READER feature token. */
+  private[graft] val DefaultPrefix = "default:"
+  private[graft] val ExistsDefaultPrefix = "defaultx:"
+
+  /** `schema` rendered as the one-line DDL every manifest persists —
+    * with Spark's default-value field metadata STRIPPED first: Spark
+    * 4's `toDDL` emits a `DEFAULT <sql>` clause from that metadata,
+    * which `StructType.fromDDL` cannot parse back (the asymmetry would
+    * brick every later read). Defaults persist in the `default:` /
+    * `defaultx:` meta channels, never in the DDL; decoration re-attaches
+    * them at read ([[withDefaults]]). Every schemaDdl a commit persists
+    * MUST come through here — INSERT batch schemas arrive decorated
+    * (Spark copies the table's field metadata onto the data columns). */
+  private[graft] def cleanDdl(schema: org.apache.spark.sql.types.StructType)
+      : String = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    val keys = Seq(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+      ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+    org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+      if (!keys.exists(f.metadata.contains)) f
+      else f.copy(metadata = keys.foldLeft(
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata))(_.remove(_)).build())
+    }).toDDL
+  }
+
+  /** `logical` with Spark's default-value field metadata attached from
+    * the version's default channels — the decoration every read-schema
+    * surface applies (catalog loads, path loads, internal readSnap), so
+    * INSERT resolution and missing-column fill see one contract. */
+  private[graft] def withDefaults(logical: org.apache.spark.sql.types.StructType,
+                                  meta: Map[String, String],
+                                  cmap: Map[String, String])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+    if (!meta.keys.exists(k => k.startsWith(DefaultPrefix) ||
+        k.startsWith(ExistsDefaultPrefix))) return logical
+    org.apache.spark.sql.types.StructType(logical.fields.map { f =>
+      val phys = cmap.getOrElse(f.name, f.name)
+      val cur = meta.get(DefaultPrefix + phys)
+      val ex = meta.get(ExistsDefaultPrefix + phys)
+      if (cur.isEmpty && ex.isEmpty) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        cur.foreach(b.putString(
+          ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, _))
+        ex.foreach(b.putString(
+          ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+        f.copy(metadata = b.build())
+      }
+    })
+  }
+
   /** logical → physical name map of version `v` (empty = identity). */
   private[graft] def colMapOf(fs: FileSystem, tableDir: String,
                               v: Long): Map[String, String] =
@@ -826,7 +894,13 @@ object ManifestTable {
   private def readSnap(spark: SparkSession, snap: Snapshot,
                        paths: Seq[String]): DataFrame = {
     snap.declared match {
-      case Some(logical) =>
+      case Some(logical0) =>
+        // S48: existence defaults fill columns absent from pre-ADD
+        // dirs (Spark's parquet readers honor the EXISTS_DEFAULT
+        // field metadata) — decorated here so EVERY internal read
+        // (time travel, CDC images, compaction/DML sources) serves
+        // the same constant the live scan does
+        val logical = withDefaults(logical0, snap.meta, snap.cmap)
         val cmap = snap.cmap
         if (cmap.isEmpty) spark.read.schema(logical).parquet(paths: _*)
         else {
@@ -951,7 +1025,7 @@ object ManifestTable {
     // Delta's MetadataChangedException shape).
     val (checked, boundChecks) =
       GraftManifestSource.bindDeclaredChecks(df, tableDir)
-    val ddl = df.schema.toDDL
+    val ddl = cleanDdl(df.schema)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
     val aggs = statsAggExprs(statsCols)
@@ -1006,7 +1080,7 @@ object ManifestTable {
       recordingStats: Boolean,
       boundChecks: Set[String]): Long = {
     val fs = fsOf(spark, tableDir)
-    val ddl = batchSchema.toDDL
+    val ddl = cleanDdl(batchSchema)
     // S44 — point-index sidecars for the freshly-landed dirs when the
     // table declares bloomCols (one small agg job per new dir, before
     // the commit loop — the sidecars are content, the loop only rebases
@@ -2918,7 +2992,14 @@ object ManifestTable {
     val readerReq =
       (if (meta.keys.exists(_.startsWith(ColMapPrefix))) Seq("colmap")
        else Seq.empty) ++
-      (if (relPaths.exists(dv.contains)) Seq("dv") else Seq.empty)
+      (if (relPaths.exists(dv.contains)) Seq("dv") else Seq.empty) ++
+      // existence defaults change what a READ returns (and an ignorant
+      // compaction would materialize nulls over the constant); the
+      // current-default channel alone does not — an engine without it
+      // refuses the under-specified INSERT loudly rather than
+      // mis-writing, so `default:` stays ungated
+      (if (meta.keys.exists(_.startsWith(ExistsDefaultPrefix)))
+        Seq("col-defaults") else Seq.empty)
     val writerReq = readerReq ++
       (if (relPaths.exists(p => stats.get(p).exists(_.contains(NullsMarker))))
         Seq("stats-nulls") else Seq.empty)

@@ -266,7 +266,7 @@ object MergeInto {
       val commitSchema = resolveSchema(tableDir, headDeclared, dataSchema)
       val published = ManifestTable.commitIf(spark, tableDir, written,
         expectedBase = headV, retainGenerations = retainOf(headMeta),
-        schemaDdl = Some(commitSchema.toDDL), meta = headMeta)
+        schemaDdl = Some(ManifestTable.cleanDdl(commitSchema)), meta = headMeta)
       published.foreach(v => return v)
     }
     -1L // unreachable
@@ -674,7 +674,7 @@ object MergeInto {
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
         retainGenerations = retainOf(headMeta),
-        schemaDdl = Some(tableSchema.toDDL),
+        schemaDdl = Some(ManifestTable.cleanDdl(tableSchema)),
         meta = headMeta)
       published match {
         case some @ Some(_) => some
@@ -731,7 +731,7 @@ object MergeInto {
       val r = ManifestTable.commitIf(spark, tableDir,
         ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
         expectedBase = headV, retainGenerations = retainOf(headMeta),
-        schemaDdl = Some(merged.toDDL), meta = headMeta)
+        schemaDdl = Some(ManifestTable.cleanDdl(merged)), meta = headMeta)
       if (r.isDefined) return r
     }
     None
@@ -837,7 +837,7 @@ object MergeInto {
         done = ManifestTable.commitIf(spark, tableDir,
           buckets.map(b => s"$cid/$b").toSeq,
           expectedBase = baseV, retainGenerations = retainOf(headMeta),
-          schemaDdl = Some(live.schema.toDDL),
+          schemaDdl = Some(ManifestTable.cleanDdl(live.schema)),
           meta = headMeta).isDefined
       } catch {
         // the observed base's dirs (or its manifest) were GC'd by a

@@ -1023,6 +1023,48 @@ object Sources {
       .withColumn("replay_skipped", lit(skipped))
   }
 
+  /** S48 fixture: `lake.defs` exercises the full default-value
+    * lifecycle — rows inserted BEFORE the column existed (they serve
+    * the ADD-time existence constant 'legacy' forever), an ALTER SET
+    * DEFAULT to 'fresh' (governs later short inserts only), and an
+    * explicit-value insert. Key ranges are disjoint by `mod 3` so the
+    * oracle re-derives every band from raw orders. */
+  private val defaultsDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")).createOrReplaceTempView("graft_s48_orders")
+    s.sql(s"""CREATE TABLE $cat.lake.defs (
+                k BIGINT, price DOUBLE) TBLPROPERTIES
+                ('retainGenerations'='10')""")
+    s.sql(s"""INSERT INTO $cat.lake.defs
+              SELECT o_orderkey, o_totalprice FROM graft_s48_orders
+              WHERE o_orderkey % 3 = 0""")
+    s.sql(s"ALTER TABLE $cat.lake.defs ADD COLUMN band STRING DEFAULT 'legacy'")
+    s.sql(s"ALTER TABLE $cat.lake.defs ALTER COLUMN band SET DEFAULT 'fresh'")
+    s.sql(s"""INSERT INTO $cat.lake.defs (k, price)
+              SELECT o_orderkey, o_totalprice FROM graft_s48_orders
+              WHERE o_orderkey % 3 = 1""")
+    s.sql(s"""INSERT INTO $cat.lake.defs
+              SELECT o_orderkey, o_totalprice, upper(o_orderpriority)
+              FROM graft_s48_orders WHERE o_orderkey % 3 = 2""")
+    cat
+  })
+
+  /** S48: column DEFAULT values — CREATE/ADD COLUMN DEFAULT, the
+    * existence-vs-current split (SQL-standard / Iceberg v3
+    * initial-default semantics), metadata-only (the ADD rewrites no
+    * data file; Spark's parquet readers fill pre-ADD rows from
+    * EXISTS_DEFAULT field metadata). The aggregate groups by the
+    * defaulted column across all three populations. */
+  def s48_default_values(s: SparkSession, d: String): DataFrame = {
+    val cat = defaultsDemo(s, d)
+    s.sql(s"""SELECT band, count(*) AS n_rows,
+                     CAST(sum(k) AS BIGINT) AS key_checksum,
+                     round(sum(price), 2) AS total_price
+              FROM $cat.lake.defs
+              GROUP BY band ORDER BY band""")
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1628,6 +1670,7 @@ object Sources {
     "s21_masked_count" -> (s21_masked_count _),
     "s45_null_stats" -> (s45_null_stats _),
     "s47_idempotent_write" -> (s47_idempotent_write _),
+    "s48_default_values" -> (s48_default_values _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1803,6 +1846,16 @@ object Sources {
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
          FROM orders""",
+    // column defaults: pre-ADD rows froze at 'legacy', post-SET short
+    // inserts read 'fresh', the third population wrote explicit bands
+    "s48_default_values" ->
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'legacy'
+                     WHEN o_orderkey % 3 = 1 THEN 'fresh'
+                     ELSE upper(o_orderpriority) END AS band,
+                count(*) AS n_rows,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+                round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY 1 ORDER BY band""",
     // idempotent batch writes: both replayed batches were skipped, so
     // the table is exactly ONE application of each half of orders
     "s47_idempotent_write" ->
