@@ -155,8 +155,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val base = Identifier.of(ident.namespace, ident.name.take(dollar))
       val dir = tableDir(base)
       if (!isTable(new Path(dir))) throw new NoSuchTableException(base)
-      return GraftMetaTables.of(spark, fs, dir, ident.name,
-          ident.name.drop(dollar + 1))
+      val suffix = ident.name.drop(dollar + 1)
+      // S49 — `` t$branch$audit ``: read a WAP branch with plain SQL
+      // (the branch is a full table at its own dir; same pinned-read
+      // construction as the parent, defaults and props included)
+      if (suffix.startsWith("branch$")) {
+        val bname = suffix.stripPrefix("branch$")
+        val bdir = ManifestTable.branchDirOf(dir, bname)
+        val bHead = ManifestTable.headVersion(spark, bdir)
+          .getOrElse(throw new NoSuchTableException(ident))
+        return tableAt(ident, bdir, bHead)
+      }
+      return GraftMetaTables.of(spark, fs, dir, ident.name, suffix)
         .getOrElse(throw new NoSuchTableException(ident))
     }
     val dir = tableDir(ident)
@@ -741,7 +751,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Array[Identifier] =
     if (namespace.toSeq == Seq("system"))
       Array("compact", "restore", "vacuum", "lookup", "clone", "tag",
-        "untag", "analyze", "maintain").map(n => Identifier.of(namespace, n))
+        "untag", "analyze", "maintain", "create_branch", "publish_branch",
+        "drop_branch").map(n => Identifier.of(namespace, n))
     else Array.empty
 
   override def loadProcedure(ident: Identifier)
@@ -759,10 +770,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case "untag" => new GraftProcedures.Untag(this)
       case "analyze" => new GraftProcedures.Analyze(this)
       case "maintain" => new GraftProcedures.Maintain(this)
+      case "create_branch" => new GraftProcedures.CreateBranch(this)
+      case "publish_branch" => new GraftProcedures.PublishBranch(this)
+      case "drop_branch" => new GraftProcedures.DropBranch(this)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure '$other' — available: system.compact, " +
           "system.restore, system.vacuum, system.lookup, system.clone, " +
-          "system.tag, system.untag")
+          "system.tag, system.untag, system.analyze, system.maintain, " +
+          "system.create_branch, system.publish_branch, system.drop_branch")
     }
   }
 

@@ -39,8 +39,29 @@ object GraftMetaTables {
       case "properties" => Some(properties(spark, fs, dir, fullName))
       case "changes" => Some(GraftChangesStub(dir, fullName,
         changesSchema(spark, fs, dir)))
+      case "branches" => Some(branches(spark, fs, dir, fullName))
       case _ => None
     }
+
+  /** S49 — `t$branches`: one row per live WAP branch (name, the parent
+    * version it was cut at, its own head version, whether the parent
+    * has moved since — a stale branch can no longer fast-forward). */
+  private def branches(spark: SparkSession, fs: FileSystem, dir: String,
+                       name: String): GraftLocalTable = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("publishable", BooleanType, nullable = false)))
+    val parentHead = ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    val rows = ManifestTable.branches(spark, dir).map {
+      case (bname, base, head) =>
+        new GenericInternalRow(Array[Any](utf8(bname), base, head,
+          base == parentHead)): InternalRow
+    }
+    GraftLocalTable(name, schema, rows.toArray)
+  }
 
   /** `t$changes` schema: the table's declared shape plus the feed
     * columns. */

@@ -517,6 +517,90 @@ object GraftProcedures {
       }
   }
 
+  /** S49 — `CALL cat.system.create_branch(table => 'ns.t', name =>
+    * 'audit')`: cut a WAP branch at the parent head. The branch is a
+    * full table at `<table>/_branches/<name>` — write and audit it
+    * with every normal surface, then publish or drop. */
+  class CreateBranch(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String =
+      "cut a write-audit-publish branch at the parent table's head"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "create_branch"
+        override def description(): String = CreateBranch.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val bname = input.getUTF8String(1).toString
+          ManifestTable.createBranch(spark, dir, bname): Unit
+          oneRow(StructType(Seq(
+            StructField("branch_path", StringType, nullable = false))),
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString(ManifestTable.branchDirOf(dir, bname))))
+        }
+      }
+  }
+
+  /** S49 — `CALL cat.system.publish_branch(table => 'ns.t', name =>
+    * 'audit')`: fast-forward the parent to the branch head in one
+    * atomic commit; the branch is consumed. Refused if the parent
+    * moved since the cut. */
+  class PublishBranch(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "publish_branch"
+    override def description(): String =
+      "fast-forward the parent to the branch head; the branch is consumed"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "publish_branch"
+        override def description(): String = PublishBranch.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val v = ManifestTable.publishBranch(spark, dir,
+            input.getUTF8String(1).toString)
+          oneRow(StructType(Seq(
+            StructField("published_version", LongType, nullable = false))),
+            Array[Any](v))
+        }
+      }
+  }
+
+  /** S49 — `CALL cat.system.drop_branch(table => 'ns.t', name =>
+    * 'audit')`: discard a branch; parent state is untouched. */
+  class DropBranch(catalog: GraftCatalog) extends UnboundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String =
+      "discard a branch; the parent table is untouched"
+    override def bind(inputType: StructType): BoundProcedure =
+      new BoundProcedure {
+        override def name(): String = "drop_branch"
+        override def description(): String = DropBranch.this.description()
+        override def isDeterministic: Boolean = false
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build())
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val spark = catalog.activeSpark
+          val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
+          val bname = input.getUTF8String(1).toString
+          ManifestTable.dropBranch(spark, dir, bname)
+          oneRow(StructType(Seq(
+            StructField("dropped", StringType, nullable = false))),
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString(bname)))
+        }
+      }
+  }
+
   /** `CALL cat.system.untag(table => 'ns.t', name => 'v1.0')` — drop
     * the pointer; the version rejoins ordinary retention. */
   class Untag(catalog: GraftCatalog) extends UnboundProcedure {

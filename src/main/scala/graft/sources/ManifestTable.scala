@@ -215,7 +215,7 @@ object ManifestTable {
     * directory (an absolute path or a schemed URI like `file:/...` —
     * the shallow-clone case; engine-written relative entries are
     * `<cid>[/<sub>]` and never contain ':'). */
-  private[sources] def isForeign(p: String): Boolean =
+  private[graft] def isForeign(p: String): Boolean =
     p.startsWith("/") || p.contains(":/")
 
   /** A manifest entry as a readable location: relative entries resolve
@@ -2715,7 +2715,8 @@ object ManifestTable {
     * self-contained (the "deep-clone finisher", spec-proven by
     * deleting the source). */
   def shallowClone(spark: SparkSession, sourceDir: String,
-                   targetDir: String, retainGenerations: Int = 2): Long = {
+                   targetDir: String, retainGenerations: Int = 2,
+                   extraMeta: Map[String, String] = Map.empty): Long = {
     val sfs = fsOf(spark, sourceDir)
     val v = versions(sfs, sourceDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $sourceDir"))
@@ -2752,8 +2753,245 @@ object ManifestTable {
     MergeInto.bucketedGeometry(spark, sourceDir).foreach { case (k, n) =>
       MergeInto.pinGeometry(spark, targetDir, k, n) }
     commit(spark, targetDir, abs, retainGenerations,
-      schemaDdl = schemaOf(sfs, sourceDir, v), stats = absStats, meta = meta,
-      dv = absDv)
+      schemaDdl = schemaOf(sfs, sourceDir, v), stats = absStats,
+      meta = meta ++ extraMeta, dv = absDv)
+  }
+
+  // ------------------------------------------------------ S49 WAP branches
+
+  /** Branch root under the parent table (protected `_` prefix — the
+    * data sweep never touches it). A BRANCH is a full manifest table
+    * at `_branches/<name>`: created as a shallow clone of the parent
+    * head (zero copy — foreign entries reference the parent's dirs),
+    * so EVERY existing surface works on it unchanged — reads, appends,
+    * DML, compaction, time travel — while the parent never sees its
+    * commits. The write-audit-publish flow (Iceberg branches / the
+    * `spark.wap.branch` pattern): stage writes on the branch, audit
+    * them with real queries, then [[publishBranch]] fast-forwards the
+    * parent to the branch head in ONE atomic parent commit. */
+  private[graft] val BranchesDirName = "_branches"
+  private[graft] val BranchBaseKey = "branchBase"
+
+  private[graft] def branchDirOf(tableDir: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+        c == '-' || c == '_') && !name.startsWith("_"),
+      s"branch names are [A-Za-z0-9_-] and not underscore-led: '$name'")
+    s"$tableDir/$BranchesDirName/$name"
+  }
+
+  /** Create branch `name` at the parent's current head. One metadata
+    * commit (the clone); the branch records its base version so
+    * publish can verify fast-forwardability. Refused on bucketed
+    * parents: a branch merge writes `b=N` dirs whose names would
+    * collide with the parent's own buckets at publish time. */
+  def createBranch(spark: SparkSession, tableDir: String,
+                   name: String): Long = {
+    val bdir = branchDirOf(tableDir, name)
+    require(!tableDir.contains(s"/$BranchesDirName/"),
+      s"cannot branch a branch ($tableDir) — publish or drop it first")
+    require(MergeInto.bucketedGeometry(spark, tableDir).isEmpty,
+      s"branches of bucketed (layout=bucketed) tables are not supported " +
+        "— bucket dir names would collide at publish; use CALL " +
+        "system.clone for an independent copy")
+    val head = headVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed graft table at $tableDir"))
+    require(versions(fsOf(spark, tableDir), bdir).isEmpty,
+      s"branch '$name' already exists at $tableDir")
+    // deep histories are the audit workload's point — keep the branch's
+    // own history generously (it dies at publish/drop anyway)
+    shallowClone(spark, tableDir, bdir, retainGenerations = 10,
+      extraMeta = Map(BranchBaseKey -> head.toString))
+  }
+
+  /** (name, baseVersion, headVersion) of every live branch. */
+  def branches(spark: SparkSession, tableDir: String)
+      : Seq[(String, Long, Long)] = {
+    val fs = fsOf(spark, tableDir)
+    val root = new Path(tableDir, BranchesDirName)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { st =>
+      val bdir = st.getPath.toString
+      versions(fs, bdir).lastOption.map { h =>
+        val base = metaOf(fs, bdir, h).get(BranchBaseKey)
+          .flatMap(_.toLongOption).getOrElse(-1L)
+        (st.getPath.getName, base, h)
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Drop branch `name` — its manifests and local dirs die with it;
+    * parent state is untouched (the branch only ever referenced the
+    * parent's dirs foreign, never owned them). */
+  def dropBranch(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val bdir = branchDirOf(tableDir, name)
+    val fs = fsOf(spark, tableDir)
+    require(versions(fs, bdir).nonEmpty,
+      s"no branch '$name' at $tableDir")
+    invalidateSnapshots(bdir)
+    fs.delete(new Path(bdir), true): Unit
+  }
+
+  /** FAST-FORWARD publish: make the parent's next version exactly the
+    * branch's head state, then consume the branch. Strict WAP contract:
+    * refused unless the parent head still equals the branch's recorded
+    * base (no parent commit landed since the branch was cut) — the
+    * atomic `commitIf` at that base makes a racing parent writer lose
+    * cleanly (one of the two conflicts, nothing interleaves).
+    *
+    * Mechanics: entries the branch carried foreign from the parent
+    * re-key back to parent-relative; dirs the branch wrote LOCALLY
+    * (appends, DML rewrites, compactions) MOVE into the parent tree
+    * under deterministic `br-<name>-v<head>-…` names — `fs.rename`,
+    * instant on posix/HDFS, a server-side copy on object stores — with
+    * stats/dv/bloom channels re-keyed in step. The moves are
+    * idempotent (a crashed publish resumes: target-present+source-
+    * missing = already moved), and the parent commit is the only
+    * visibility point — a crash before it leaves the parent byte-
+    * identical and the moved dirs as aged-out orphans at worst.
+    * Branch-local deletion-vector and bloom-sidecar dirs move the same
+    * way; branch-local staged-CDC references are dropped (the branch's
+    * own feed dies with it), while cdc references inherited from the
+    * parent base (identical key+value there) carry. The parent base's
+    * `tag:`/`txn:` pointers survive — a publish must not untag
+    * versions or reset writer watermarks. */
+  def publishBranch(spark: SparkSession, tableDir: String,
+                    name: String): Long = {
+    val bdir = branchDirOf(tableDir, name)
+    val fs = fsOf(spark, tableDir)
+    val bHead = versions(fs, bdir).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $tableDir"))
+    val bsnap = snapshotOf(fs, bdir, bHead)
+    val base = bsnap.meta.get(BranchBaseKey).flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"branch '$name' carries no $BranchBaseKey — not a branch?"))
+    val parentHead = headVersion(spark, tableDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed graft table at $tableDir"))
+    require(parentHead == base,
+      s"cannot fast-forward publish branch '$name': parent head is " +
+        s"v$parentHead but the branch was cut at v$base — the parent " +
+        "moved since. Re-cut the branch (drop + create) and replay, " +
+        "or drop it if superseded")
+    val qualParent = fs.makeQualified(new Path(tableDir)).toString
+    val nameEnc = name // validated charset is path-safe
+    // idempotent move of a branch-local top-level entry into the parent
+    def moveLocal(topRel: String, targetTop: String): Unit = {
+      val src = new Path(bdir, topRel)
+      val dst = new Path(tableDir, targetTop)
+      val srcThere = try fs.exists(src) catch { case _: java.io.IOException => false }
+      val dstThere = try fs.exists(dst) catch { case _: java.io.IOException => false }
+      if (srcThere && dstThere)
+        throw new IllegalStateException(
+          s"publish of branch '$name': target $dst already exists while " +
+            s"the source does too — an orphaned earlier publish? Remove " +
+            "the target (or vacuum) and retry")
+      if (srcThere) {
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(src, dst), s"publish move $src -> $dst failed")
+      } else require(dstThere,
+        s"publish of branch '$name': $src is gone and $dst absent — " +
+          "the branch tree is damaged")
+    }
+    // data entries: foreign-from-parent → relative; local → move
+    val dataTargetOf = scala.collection.mutable.Map.empty[String, String]
+    def rekeyData(p: String): String =
+      if (isForeign(p)) {
+        if (p.startsWith(qualParent + "/")) {
+          val rel = p.stripPrefix(qualParent + "/")
+          // only plain data entries re-key; anything under a protected
+          // root stays foreign (it is not listed as a data dir anyway)
+          rel
+        } else p // foreign beyond the parent (clone chains) — carry
+      } else {
+        val top = p.split("/", 2)
+        val target = dataTargetOf.getOrElseUpdate(top.head,
+          s"br-$nameEnc-v$bHead-${top.head}")
+        if (top.length == 1) target else s"$target/${top(1)}"
+      }
+    val rekeyedPaths = bsnap.paths.map(rekeyData)
+    val pathKey = bsnap.paths.zip(rekeyedPaths).toMap
+    // deletion vectors: payload entries are `<dvDir>@<count>` where a
+    // LOCAL dvDir lives under the branch's _dv — move + re-key
+    val dvTargetOf = scala.collection.mutable.Map.empty[String, String]
+    def rekeyDvPayload(payload: String): String =
+      dvEntries(payload).map { case (d, n) =>
+        val moved =
+          // a parent-MoR mask the clone absolutized MUST re-key back to
+          // relative: the parent's _dv sweep counts only its OWN
+          // (relative) names as referenced — an absolute self-reference
+          // would age out and be swept, resurrecting deleted rows
+          if (isForeign(d) && d.startsWith(qualParent + "/"))
+            d.stripPrefix(qualParent + "/")
+          else if (isForeign(d)) d
+          else if (d.startsWith(DvDirName + "/")) {
+            val sub = d.stripPrefix(DvDirName + "/").split("/", 2)
+            val target = dvTargetOf.getOrElseUpdate(sub.head,
+              s"br-$nameEnc-v$bHead-${sub.head}")
+            DvDirName + "/" + (if (sub.length == 1) target
+                               else s"$target/${sub(1)}")
+          } else d
+        s"$moved@$n"
+      }.mkString(",")
+    val rekeyedDv = bsnap.dv.collect {
+      case (p, payload) if pathKey.contains(p) =>
+        pathKey(p) -> rekeyDvPayload(payload)
+    }
+    // bloom sidecars: payload pairs (physEnc, idxRel) with idxRel under
+    // _idx/<idxName>/... — move per idxName + re-key
+    val idxTargetOf = scala.collection.mutable.Map.empty[String, String]
+    def rekeyBloomPayload(payload: String): String =
+      payload.split('\t').grouped(2).collect { case Array(c, rel) =>
+        val moved =
+          if (rel.startsWith(IdxDirName + "/")) {
+            val sub = rel.stripPrefix(IdxDirName + "/").split("/", 2)
+            val target = idxTargetOf.getOrElseUpdate(sub.head,
+              s"br-$nameEnc-v$bHead-${sub.head}")
+            IdxDirName + "/" + (if (sub.length == 1) target
+                                else s"$target/${sub(1)}")
+          } else rel
+        Seq(c, moved)
+      }.flatten.mkString("\t")
+    val rekeyedBlooms = bsnap.bloom.collect {
+      case (p, payload) if pathKey.contains(p) =>
+        pathKey(p) -> rekeyBloomPayload(payload)
+    }
+    val rekeyedStats = bsnap.stats.collect {
+      case (p, payload) if pathKey.contains(p) => pathKey(p) -> payload
+    }
+    // meta: the branch's own staged-cdc refs die with it; refs the
+    // parent base also holds (identical key AND value) carry; the
+    // base's tag/txn pointers survive the publish
+    val baseMeta = metaOf(fs, tableDir, base)
+    val publishedMeta = bsnap.meta
+      .filterNot { case (k, v) =>
+        k == BranchBaseKey ||
+          (k.startsWith("cdcdata:") && !baseMeta.get(k).contains(v)) }
+      .++(baseMeta.filter { case (k, _) =>
+        k.startsWith(TagPrefix) || k.startsWith("txn:") })
+    // MOVE phase (idempotent, before the visibility point) — the
+    // target maps were populated by the re-key passes above
+    dataTargetOf.foreach { case (top, target) => moveLocal(top, target) }
+    dvTargetOf.foreach { case (sub, target) =>
+      moveLocal(s"$DvDirName/$sub", s"$DvDirName/$target") }
+    idxTargetOf.foreach { case (sub, target) =>
+      moveLocal(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
+    val retain = publishedMeta.get(GraftCatalog.PropPrefix + "retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
+    val committed = commitIf(spark, tableDir, rekeyedPaths, base,
+      retainGenerations = retain, schemaDdl = bsnap.schemaDdl,
+      stats = rekeyedStats, meta = publishedMeta, dv = rekeyedDv,
+      blooms = rekeyedBlooms).getOrElse(
+      throw new IllegalStateException(
+        s"publish of branch '$name' lost the parent head race at " +
+          s"v$base — a writer committed during the publish; the moved " +
+          "dirs remain (retry is safe: the moves are idempotent), but " +
+          "the fast-forward contract no longer holds"))
+    // consume the branch (crash here leaves a stale branch; publish of
+    // it refuses on base mismatch and dropBranch cleans)
+    invalidateSnapshots(bdir)
+    fs.delete(new Path(bdir), true)
+    committed
   }
 
   /** (version, commit epoch millis from the manifest file's mtime) for

@@ -1065,6 +1065,50 @@ object Sources {
               GROUP BY band ORDER BY band""")
   }
 
+  /** S49 fixture: the write-audit-publish cycle on `lake.wap` — half
+    * of orders lands on main, the other half is staged on branch
+    * 'load' (written through the SQL branch address), audited while
+    * the parent still serves only its half, then fast-forward
+    * published. A failed isolation or a double-publish breaks the
+    * oracle aggregate. */
+  private val wapDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_s49_orders")
+    s.sql(s"""CREATE TABLE $cat.lake.wap (k BIGINT, price DOUBLE)
+              TBLPROPERTIES ('retainGenerations'='10', 'statsCols'='k')""")
+    s.sql(s"""INSERT INTO $cat.lake.wap
+              SELECT o_orderkey, o_totalprice FROM graft_s49_orders
+              WHERE o_orderkey % 2 = 0""")
+    s.sql(s"CALL $cat.system.create_branch(table => 'lake.wap', name => 'load')")
+    s.sql(s"""INSERT INTO $cat.lake.`wap$$branch$$load`
+              SELECT o_orderkey, o_totalprice FROM graft_s49_orders
+              WHERE o_orderkey % 2 = 1""")
+    // the audit step: the branch must hold everything, the parent
+    // only its half — a leak either way fails here, not in the oracle
+    val staged = s.sql(s"SELECT count(*) FROM $cat.lake.`wap$$branch$$load`")
+      .head.getLong(0)
+    val visible = s.sql(s"SELECT count(*) FROM $cat.lake.wap").head.getLong(0)
+    require(staged > visible && visible > 0,
+      s"WAP isolation broken: staged=$staged visible=$visible")
+    s.sql(s"CALL $cat.system.publish_branch(table => 'lake.wap', name => 'load')")
+    cat
+  })
+
+  /** S49: write-audit-publish branches (Iceberg-branch / WAP shaped).
+    * The aggregate runs on the PARENT after the publish: exactly one
+    * application of both halves, with `branches_clear` witnessing the
+    * branch was consumed by its fast-forward. */
+  def s49_wap_branch(s: SparkSession, d: String): DataFrame = {
+    val cat = wapDemo(s, d)
+    val clear = s.sql(s"SELECT * FROM $cat.lake.`wap$$branches`").count() == 0L
+    s.sql(s"""SELECT count(*) AS n_rows,
+                     CAST(sum(k) AS BIGINT) AS key_checksum,
+                     round(sum(price), 2) AS total_price
+              FROM $cat.lake.wap""")
+      .withColumn("branches_clear", lit(clear))
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1671,6 +1715,7 @@ object Sources {
     "s45_null_stats" -> (s45_null_stats _),
     "s47_idempotent_write" -> (s47_idempotent_write _),
     "s48_default_values" -> (s48_default_values _),
+    "s49_wap_branch" -> (s49_wap_branch _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1845,6 +1890,14 @@ object Sources {
                     ELSE o_orderpriority END) AS n_vals,
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
+         FROM orders""",
+    // write-audit-publish: after the publish the parent holds exactly
+    // one application of both halves of orders
+    "s49_wap_branch" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         round(sum(o_totalprice), 2) AS total_price,
+         true AS branches_clear
          FROM orders""",
     // column defaults: pre-ADD rows froze at 'legacy', post-SET short
     // inserts read 'fresh', the third population wrote explicit bands

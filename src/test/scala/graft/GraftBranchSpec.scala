@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.ManifestTable
+
+/** S49 — write-audit-publish branches: a branch is a full manifest
+  * table at `_branches/<name>` (shallow clone of the parent head —
+  * every surface works on it), and publish fast-forwards the parent to
+  * the branch head in one atomic commit, moving branch-local dirs into
+  * the parent tree with stats/dv/bloom channels re-keyed in step. */
+class GraftBranchSpec extends SparkTestBase {
+
+  private lazy val wh: String = {
+    val dir = Files.createTempDirectory("graft-br").toString
+    spark.conf.set("spark.sql.catalog.gbr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbr.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbr.lake")
+    dir
+  }
+  private def fs =
+    new Path(wh).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def freshTable(name: String, rows: Seq[(Int, String)]): String = {
+    wh: Unit
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory(s"graft-br-$name").toString + "/t"
+    ManifestTable.append(rows.toDF("k", "v"), dir,
+      statsCols = Seq("k"), retainGenerations = 10): Unit
+    dir
+  }
+
+  test("WAP cycle: cut, write in isolation, audit, publish, consumed") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("wap", Seq((1, "a"), (2, "b")))
+    ManifestTable.createBranch(spark, dir, "audit"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "audit")
+    // stage a load on the branch
+    ManifestTable.append(Seq((3, "c"), (4, "d")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // audit isolation: the branch sees old+new, the parent only old
+    assert(ManifestTable.read(spark, bdir).count() === 4)
+    assert(ManifestTable.read(spark, dir).count() === 2)
+    val parentHeadBefore = ManifestTable.headVersion(spark, dir).get
+    val v = ManifestTable.publishBranch(spark, dir, "audit")
+    assert(v === parentHeadBefore + 1, "fast-forward = exactly one commit")
+    val got = ManifestTable.read(spark, dir).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(got === Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // the branch is consumed
+    assert(!fs.exists(new Path(bdir)))
+    assert(ManifestTable.branches(spark, dir).isEmpty)
+    // every published path resolves inside the PARENT tree and stats
+    // re-keyed with them (pruning keeps working on published dirs)
+    val head = ManifestTable.headVersion(spark, dir).get
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    assert(paths.forall(p => !ManifestTable.isForeign(p)),
+      s"published entries must be parent-relative, got $paths")
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    assert(paths.forall(stats.contains),
+      "stats must follow the moved dirs through the re-key")
+  }
+
+  test("divergence: a parent commit after the cut refuses the publish") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("div", Seq((1, "a")))
+    ManifestTable.createBranch(spark, dir, "b1"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "b1")
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // the parent moves on
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), dir,
+      statsCols = Seq("k")): Unit
+    val e = intercept[IllegalArgumentException] {
+      ManifestTable.publishBranch(spark, dir, "b1")
+    }
+    assert(e.getMessage.contains("fast-forward"))
+    // parent unharmed, branch still drops cleanly
+    assert(ManifestTable.read(spark, dir).count() === 2)
+    ManifestTable.dropBranch(spark, dir, "b1")
+    assert(ManifestTable.branches(spark, dir).isEmpty)
+    assert(ManifestTable.read(spark, dir).count() === 2)
+  }
+
+  test("publish is crash-resumable: pre-moved dirs are recognized") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("resume", Seq((1, "a")))
+    ManifestTable.createBranch(spark, dir, "crash"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "crash")
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // simulate a publish that crashed after moving the local dir: move
+    // it to its deterministic target by hand
+    val bHead = ManifestTable.headVersion(spark, bdir).get
+    val local = ManifestTable.pathsOf(fs, bdir, bHead)
+      .filterNot(ManifestTable.isForeign)
+    assert(local.nonEmpty)
+    val top = local.head.split("/", 2).head
+    assert(fs.rename(new Path(bdir, top),
+      new Path(dir, s"br-crash-v$bHead-$top")))
+    // the retried publish resumes instead of failing
+    ManifestTable.publishBranch(spark, dir, "crash"): Unit
+    assert(ManifestTable.read(spark, dir).count() === 2)
+  }
+
+  test("DML on the branch publishes: a delete is auditable before it lands") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("dml", (1 to 10).map(i => (i, s"v$i")))
+    ManifestTable.createBranch(spark, dir, "purge"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "purge")
+    // the candidate deletion runs on the BRANCH (copy-on-write rewrite
+    // of the touched foreign dir into a branch-local dir)
+    ManifestTable.deleteWhere(spark, bdir, col("k") <= 3, Map.empty): Unit
+    assert(ManifestTable.read(spark, bdir).count() === 7)
+    assert(ManifestTable.read(spark, dir).count() === 10,
+      "the parent must not see the staged delete")
+    ManifestTable.publishBranch(spark, dir, "purge"): Unit
+    assert(ManifestTable.read(spark, dir).agg(min(col("k"))).head.getInt(0) === 4)
+    assert(ManifestTable.read(spark, dir).count() === 7)
+  }
+
+  test("merge-on-read masks staged on a branch publish as masks") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("mor", (1 to 8).map(i => (i, s"v$i")))
+    ManifestTable.createBranch(spark, dir, "mask"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "mask")
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 5, Map.empty): Unit
+    assert(ManifestTable.read(spark, bdir).count() === 7)
+    assert(ManifestTable.read(spark, dir).count() === 8)
+    ManifestTable.publishBranch(spark, dir, "mask"): Unit
+    assert(ManifestTable.read(spark, dir).count() === 7)
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.dvOf(fs, dir, head).nonEmpty,
+      "the deletion stayed a MASK through the publish (no rewrite)")
+    // the moved mask dirs resolve inside the parent tree
+    ManifestTable.dvOf(fs, dir, head).values.foreach { payload =>
+      assert(!payload.contains(bdir.split("/").last) ||
+        fs.exists(new Path(dir, "_dv")))
+    }
+    assert(ManifestTable.read(spark, dir)
+      .filter(col("k") === 5).count() === 0)
+  }
+
+  test("a parent-MoR mask survives the branch round-trip RELATIVE (sweep safety)") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("morparent", (1 to 6).map(i => (i, s"v$i")))
+    // the PARENT carries a standing mask before the branch is cut
+    ManifestTable.deleteWhereMoR(spark, dir, col("k") === 2, Map.empty): Unit
+    assert(ManifestTable.read(spark, dir).count() === 5)
+    ManifestTable.createBranch(spark, dir, "rt"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "rt")
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    ManifestTable.publishBranch(spark, dir, "rt"): Unit
+    val head = ManifestTable.headVersion(spark, dir).get
+    // the clone absolutized the parent's own mask refs; the publish
+    // must have re-keyed them back to RELATIVE — the parent's _dv
+    // sweep counts only relative own-names as referenced, so an
+    // absolute self-reference would age out and resurrect the row
+    ManifestTable.dvOf(fs, dir, head).values.foreach { payload =>
+      payload.split(",").foreach(e => assert(e.startsWith("_dv/"),
+        s"published dv entry must be parent-relative, got $e"))
+    }
+    assert(ManifestTable.read(spark, dir).count() === 6) // 5 + appended
+    assert(ManifestTable.read(spark, dir).filter(col("k") === 2).count() === 0)
+  }
+
+  test("refusals: duplicate name, branch-of-branch, bucketed parent, bad name") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("ref", Seq((1, "a")))
+    ManifestTable.createBranch(spark, dir, "dup"): Unit
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, dir, "dup")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark,
+        ManifestTable.branchDirOf(dir, "dup"), "nested")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, dir, "bad/name")
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, dir, "_sneaky")
+    }
+    val bdir = Files.createTempDirectory("graft-br-bkt").toString + "/t"
+    graft.sources.MergeInto.create(
+      Seq((1L, "a")).toDF("k", "v"), bdir, "k", nBuckets = 2)
+    intercept[IllegalArgumentException] {
+      ManifestTable.createBranch(spark, bdir, "nope")
+    }
+    ManifestTable.dropBranch(spark, dir, "dup")
+  }
+
+  test("parent maintenance leaves a standing branch alone") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("gc", Seq((1, "a")))
+    ManifestTable.createBranch(spark, dir, "keep"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "keep")
+    ManifestTable.append(Seq((7, "g")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // parent churns (append + compaction both run gc)
+    (2 to 4).foreach(i => ManifestTable.append(
+      Seq((i, s"v$i")).toDF("k", "v"), dir, statsCols = Seq("k")): Unit)
+    ManifestTable.compactAppend(spark, dir, Seq("k"), 2): Unit
+    assert(fs.exists(new Path(bdir)),
+      "_branches is under the protected prefix — the sweeps never touch it")
+    assert(ManifestTable.branches(spark, dir).map(_._1) === Seq("keep"))
+    // the branch still reads (its foreign refs may dangle only when
+    // parent retention drops dirs — retainGenerations=10 here)
+    assert(ManifestTable.read(spark, bdir).count() === 2)
+    // ...but is no longer publishable (parent moved) — the meta table says so
+    ManifestTable.dropBranch(spark, dir, "keep")
+  }
+
+  test("SQL surface: procedures, t$branches, t$branch$<name> read and write") {
+    wh: Unit
+    spark.sql("CREATE TABLE gbr.lake.w (k INT, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10', 'statsCols'='k')")
+    spark.sql("INSERT INTO gbr.lake.w VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CALL gbr.system.create_branch(table => 'lake.w', name => 'sqlb')")
+    // write to the branch THROUGH SQL (the branch table is addressable)
+    spark.sql("INSERT INTO gbr.lake.`w$branch$sqlb` VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.`w$branch$sqlb`")
+      .head.getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.w").head.getLong(0) === 2L)
+    val row = spark.sql("SELECT name, publishable FROM gbr.lake.`w$branches`")
+      .head()
+    assert(row.getString(0) === "sqlb" && row.getBoolean(1))
+    spark.sql("CALL gbr.system.publish_branch(table => 'lake.w', name => 'sqlb')")
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.w").head.getLong(0) === 3L)
+    assert(spark.sql("SELECT * FROM gbr.lake.`w$branches`").count() === 0L)
+    // drop_branch route
+    spark.sql("CALL gbr.system.create_branch(table => 'lake.w', name => 'tmp')")
+    spark.sql("CALL gbr.system.drop_branch(table => 'lake.w', name => 'tmp')")
+    assert(spark.sql("SELECT * FROM gbr.lake.`w$branches`").count() === 0L)
+  }
+}
