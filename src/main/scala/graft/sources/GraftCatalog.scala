@@ -60,13 +60,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ViewCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
-  /** S48 — admits DEFAULT clauses to CREATE/ALTER through Spark's own
-    * resolution (the capability gates the SQL surface; the values land
-    * in the manifest's `default:`/`defaultx:` channels). */
+  /** S48/S50 — admits DEFAULT and GENERATED ALWAYS AS clauses through
+    * Spark's own resolution (the capabilities gate the SQL surface and
+    * make Spark VALIDATE generation expressions at CREATE; the values
+    * land in the manifest's `default:`/`defaultx:`/`gencol:` channels). */
   override def capabilities()
       : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   // ------------------------------------------------------ functions (S38)
 
@@ -228,6 +232,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       (TableCatalog.PROP_LOCATION -> dir))
   }
 
+  /** S50 — the V2 `Column[]` create route: `v2ColumnsToStructType`
+    * carries DEFAULT metadata but DROPS generation expressions, so
+    * capture them here from the columns themselves and re-attach as
+    * the field metadata the StructType route reads. */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val base = org.apache.spark.sql.GraftShims.v2ColumnsToStructType(columns)
+    val genOf = columns.collect {
+      case c if c.generationExpression() != null =>
+        c.name() -> c.generationExpression()
+    }.toMap
+    val schema =
+      if (genOf.isEmpty) base
+      else StructType(base.fields.map { f =>
+        genOf.get(f.name).map { g =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+              .GENERATION_EXPRESSION_METADATA_KEY, g).build())
+        }.getOrElse(f)
+      })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -297,8 +327,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (ManifestTable.DefaultPrefix + f.name) -> f.metadata.getString(key)
       }.toMap
     }
+    // S50 — GENERATED ALWAYS AS (expr): Spark validated the expression
+    // (deterministic, reads only non-generated columns — the
+    // capability turns that analysis on); the write choke point
+    // computes and enforces it from this channel
+    val genMeta = {
+      val key = org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .GENERATION_EXPRESSION_METADATA_KEY
+      schema.fields.collect {
+        case f if f.metadata.contains(key) =>
+          (ManifestTable.GenColPrefix + f.name) -> f.metadata.getString(key)
+      }.toMap
+    }
+    require(genMeta.isEmpty || layoutSpec.isEmpty,
+      "generated columns on bucketed (layout=bucketed) tables are not " +
+        "supported — the merge kernel's upsert path does not run the " +
+        "generation step")
     val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
-      props.get("clusterBy").map(ClusterByKey -> _) ++ defaultMeta
+      props.get("clusterBy").map(ClusterByKey -> _) ++ defaultMeta ++ genMeta
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
     layoutSpec.foreach { case (key, n) =>
       MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
@@ -408,6 +454,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // the column's type — refuse at ALTER time, not first INSERT
         alterMeta(dir, m => {
           val phys = m.getOrElse(ManifestTable.ColMapPrefix + logical, logical)
+          require(!m.contains(ManifestTable.GenColPrefix + phys),
+            s"'$logical' is GENERATED ALWAYS AS — it cannot also carry " +
+              "a DEFAULT (the generation expression owns its value)")
           newSql match {
             case Some(sql) => m + ((ManifestTable.DefaultPrefix + phys) -> sql)
             case None => m - (ManifestTable.DefaultPrefix + phys)
@@ -620,6 +669,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
+  /** S50 — the generated column (by physical key) whose expression
+    * references `col` as a word, if any — renaming or dropping a column
+    * a generation expression reads must refuse (the expression would
+    * silently stop binding), same contract as [[checkReferences]]. */
+  private def genReferences(meta: Map[String, String],
+                            col: String): Option[String] = {
+    val re = ("(?i)(^|[^A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(col) + "([^A-Za-z0-9_]|$)").r
+    meta.collectFirst {
+      case (k, sql) if k.startsWith(ManifestTable.GenColPrefix) &&
+        re.findFirstIn(sql).isDefined =>
+        k.stripPrefix(ManifestTable.GenColPrefix)
+    }
+  }
+
   /** Replace `from` with `to` in a comma-joined column list. */
   private def rekeyList(list: String, from: String, to: String): String =
     list.split(",").map(_.trim).filter(_.nonEmpty)
@@ -660,6 +724,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException(
           s"cannot rename '$from': CHECK constraint '$name' references " +
             "it — drop the constraint, rename, re-add against the new name"))
+      genReferences(meta, from).foreach(g =>
+        throw new UnsupportedOperationException(
+          s"cannot rename '$from': generated column '$g' computes from " +
+            "it — generation expressions bind by name"))
       val physical = meta.getOrElse(ManifestTable.ColMapPrefix + from, from)
       val ddl = StructType(old.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f)).toDDL
@@ -715,13 +783,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"cannot drop '$col': CHECK constraint '$name' references it — " +
             "drop the constraint first"))
       val physical = meta.getOrElse(ManifestTable.ColMapPrefix + col, col)
+      genReferences(meta, col).foreach(g =>
+        // dropping the generated column ITSELF is fine (its channel
+        // dies below); dropping a column its expression READS is not
+        if (g != physical) throw new UnsupportedOperationException(
+          s"cannot drop '$col': generated column '$g' computes from it"))
       val ddl = StructType(old.fields.filterNot(_.name == col)).toDDL
       val newMeta = (meta
         - (ManifestTable.ColMapPrefix + col)
         - (ManifestTable.ColStatPrefix + col)
         - (ManifestTable.ColHistPrefix + col)
         - (ManifestTable.DefaultPrefix + physical)
-        - (ManifestTable.ExistsDefaultPrefix + physical)) +
+        - (ManifestTable.ExistsDefaultPrefix + physical)
+        - (ManifestTable.GenColPrefix + physical)) +
         ((ManifestTable.DroppedPrefix + physical) -> "true") ++
         meta.get(PropPrefix + "statsCols").map { l =>
           (PropPrefix + "statsCols") ->

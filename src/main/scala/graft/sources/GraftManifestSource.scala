@@ -288,7 +288,8 @@ object GraftManifestSource {
     * spuriously fail a non-null-propagating check (`v IS NOT NULL`)
     * on every DELETE. */
   private[graft] def bindDeclaredChecks(data: DataFrame, dir: String,
-                                        exemptWhen: Option[String] = None)
+                                        exemptWhen: Option[String] = None,
+                                        recomputeGenerated: Boolean = false)
       : (DataFrame, Set[String]) = {
     val spark = data.sparkSession
     ManifestTable.headVersion(spark, dir) match {
@@ -297,13 +298,69 @@ object GraftManifestSource {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         val prefix = GraftCatalog.PropPrefix + "check."
-        val bound = ManifestTable.metaOf(fs, dir, v).collect {
+        val meta = ManifestTable.metaOf(fs, dir, v)
+        val bound = meta.collect {
           case (k, sql) if k.startsWith(prefix) => k -> sql
         }
         val checks = bound.toSeq.sortBy(_._1)
           .map { case (k, sql) => k.stripPrefix(prefix) ->
             exemptWhen.map(e => s"($e) OR ($sql)").getOrElse(sql) }
-        (applyChecks(data, checks), bound.keySet)
+        (applyChecks(applyGenerated(data, dir, v, meta, exemptWhen,
+          recomputeGenerated), checks), bound.keySet)
+    }
+  }
+
+  /** S50 — GENERATED ALWAYS AS enforcement at the same choke point the
+    * CHECK constraints bind (every write API passes here): a NULL in a
+    * generated column FILLS with the expression (the by-name INSERT
+    * that omitted it arrives null-filled from Spark's resolution — the
+    * fill is the feature), a provided non-null value must null-safe-
+    * equal it (a mismatch raises with the row, Delta's contract).
+    * `exemptWhen` rows (delta delete records) pass through untouched —
+    * their null-filled data columns are not data. */
+  private[graft] def applyGenerated(data: DataFrame, dir: String, v: Long,
+                                    meta: Map[String, String],
+                                    exemptWhen: Option[String],
+                                    recompute: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, not, raise_error, struct, to_json, when}
+    val gens = meta.collect {
+      case (k, sql) if k.startsWith(ManifestTable.GenColPrefix) =>
+        k.stripPrefix(ManifestTable.GenColPrefix) -> sql
+    }
+    if (gens.isEmpty) return data
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(data.sparkSession.sessionState.newHadoopConf())
+    val cmap = ManifestTable.colMapOf(fs, dir, v)
+    val physToLogical = cmap.map(_.swap)
+    val declared = ManifestTable.declaredSchemaOf(data.sparkSession, dir, v)
+    gens.toSeq.sortBy(_._1).foldLeft(data) { case (df, (phys, sql)) =>
+      val logical = physToLogical.getOrElse(phys, phys)
+      if (!df.columns.contains(logical)) df // delta changesets carry ids only
+      else {
+        val dt = declared.flatMap(_.fields.find(_.name == logical))
+          .map(_.dataType)
+        val computed = dt.map(expr(sql).cast(_)).getOrElse(expr(sql))
+        val exempt = exemptWhen.map(expr).getOrElse(lit(false))
+        if (recompute)
+          // DML write-backs: an UPDATE of a SOURCE column refreshes
+          // the generated value (Delta's semantics); an assignment to
+          // the generated column itself is overridden by the
+          // recomputation — the invariant wins, never the assignment
+          df.withColumn(logical,
+            when(exempt, col(logical)).otherwise(computed))
+        else {
+          val gated = df.filter(
+            when(not(exempt) && col(logical).isNotNull &&
+                not(col(logical) <=> computed),
+              raise_error(concat(
+                lit(s"generated column '$logical' = ($sql) violated by row: "),
+                to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
+              .otherwise(lit(true)))
+          gated.withColumn(logical,
+            when(exempt || col(logical).isNotNull, col(logical))
+              .otherwise(computed))
+        }
+      }
     }
   }
 

@@ -230,8 +230,33 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
         if (cmap.isEmpty) staged0
         else staged0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
           col(cmap.getOrElse(l, l)).as(l)): _*)
-      val (checked, boundChecks) =
-        GraftManifestSource.bindDeclaredChecks(staged, dir)
+      val (checked0, boundChecks) =
+        GraftManifestSource.bindDeclaredChecks(staged, dir,
+          recomputeGenerated = true)
+      // S50: the task writers staged these rows BEFORE the generation
+      // step could run (the rewrite plan is Spark's own) — when the
+      // table declares generated columns, materialize the RECOMPUTED
+      // read-back as the replacement dir, so an UPDATE of a source
+      // column refreshes the generated value in what actually lands.
+      // One extra pass over the replacement dir only, and only on
+      // generated tables' DML.
+      val checked =
+        if (!ManifestTable.metaOf(fs, dir, headV).keys
+            .exists(_.startsWith(ManifestTable.GenColPrefix))) checked0
+        else {
+          val cid2 = cid + "-g"
+          ManifestTable.writePhysical(checked0, cmap)
+            .write.parquet(s"$dir/$cid2")
+          fs.delete(new Path(dir, cid), true)
+          require(fs.rename(new Path(dir, cid2), new Path(dir, cid)),
+            s"generated-column restage swap failed at $dir/$cid")
+          val re0 = spark.read
+            .schema(ManifestTable.toPhysical(writeSchema, cmap))
+            .parquet(s"$dir/$cid")
+          if (cmap.isEmpty) re0
+          else re0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+            col(cmap.getOrElse(l, l)).as(l)): _*)
+        }
       val aggs = ManifestTable.statsAggExprs(statsCols)
       val m = checked.agg(aggs.head, aggs.tail: _*).head()
       val payload = ManifestTable.statsPayloadFrom(m.getAs[Long]("rows"),
@@ -400,7 +425,8 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
       // data columns must not be judged ('v IS NOT NULL' would
       // otherwise fail every DELETE)
       val (cs, _) = GraftManifestSource.bindDeclaredChecks(cs0, dir,
-        exemptWhen = Some(s"${GraftDeltaWrite.ChangeCol} = 1"))
+        exemptWhen = Some(s"${GraftDeltaWrite.ChangeCol} = 1"),
+        recomputeGenerated = true)
       MergeInto.applyBatch(cs, dir, key,
         tieCols = marker +: MergeInto.defaultTies(
           cs.drop(GraftDeltaWrite.ChangeCol), key),
@@ -575,7 +601,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
       var boundChecks: Set[String] = Set.empty
       val cid = "pd-" + java.util.UUID.randomUUID().toString.take(8)
       val (checked, bc) =
-        GraftManifestSource.bindDeclaredChecks(inserts, dir)
+        GraftManifestSource.bindDeclaredChecks(inserts, dir,
+          recomputeGenerated = true)
       boundChecks = bc
       val obs = org.apache.spark.sql.Observation()
       val aggs = ManifestTable.statsAggExprs(statsCols)

@@ -809,6 +809,17 @@ object ManifestTable {
   private[graft] val DefaultPrefix = "default:"
   private[graft] val ExistsDefaultPrefix = "defaultx:"
 
+  /** S50 — GENERATED ALWAYS AS channel (`gencol:<phys>` → the
+    * generation expression's SQL, logical column names inside).
+    * Declared at CREATE (Spark validates the expression shape when the
+    * catalog announces the capability); enforced and computed at the
+    * same write choke point as CHECK constraints: a provided non-null
+    * value must null-safe-equal the expression, a null fills with it.
+    * Keyed by PHYSICAL name so renaming the generated column itself is
+    * free; renaming/dropping a column the expression READS refuses
+    * (same contract as CHECK references). */
+  private[graft] val GenColPrefix = "gencol:"
+
   /** `schema` rendered as the one-line DDL every manifest persists —
     * with Spark's default-value field metadata STRIPPED first: Spark
     * 4's `toDDL` emits a `DEFAULT <sql>` clause from that metadata,
@@ -822,7 +833,9 @@ object ManifestTable {
       : String = {
     import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
     val keys = Seq(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
-      ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY)
+      ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+      org.apache.spark.sql.catalyst.util.GeneratedColumn
+        .GENERATION_EXPRESSION_METADATA_KEY)
     org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (!keys.exists(f.metadata.contains)) f
       else f.copy(metadata = keys.foldLeft(
@@ -831,22 +844,25 @@ object ManifestTable {
     }).toDDL
   }
 
-  /** `logical` with Spark's default-value field metadata attached from
-    * the version's default channels — the decoration every read-schema
-    * surface applies (catalog loads, path loads, internal readSnap), so
-    * INSERT resolution and missing-column fill see one contract. */
+  /** `logical` with Spark's default-value and generation-expression
+    * field metadata attached from the version's channels — the
+    * decoration every read-schema surface applies (catalog loads, path
+    * loads, internal readSnap), so INSERT resolution, missing-column
+    * fill and DESCRIBE all see one contract. */
   private[graft] def withDefaults(logical: org.apache.spark.sql.types.StructType,
                                   meta: Map[String, String],
                                   cmap: Map[String, String])
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
     if (!meta.keys.exists(k => k.startsWith(DefaultPrefix) ||
-        k.startsWith(ExistsDefaultPrefix))) return logical
+        k.startsWith(ExistsDefaultPrefix) || k.startsWith(GenColPrefix)))
+      return logical
     org.apache.spark.sql.types.StructType(logical.fields.map { f =>
       val phys = cmap.getOrElse(f.name, f.name)
       val cur = meta.get(DefaultPrefix + phys)
       val ex = meta.get(ExistsDefaultPrefix + phys)
-      if (cur.isEmpty && ex.isEmpty) f
+      val gen = meta.get(GenColPrefix + phys)
+      if (cur.isEmpty && ex.isEmpty && gen.isEmpty) f
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -854,6 +870,8 @@ object ManifestTable {
           ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY, _))
         ex.foreach(b.putString(
           ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+        gen.foreach(b.putString(org.apache.spark.sql.catalyst.util
+          .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, _))
         f.copy(metadata = b.build())
       }
     })
@@ -2208,7 +2226,8 @@ object ManifestTable {
     // one seam for DELETE/UPDATE/MERGE instead of per-caller wrapping —
     // and the bound keyset arms the publish-time conflict guard below
     val (rewritten, boundChecks) =
-      GraftManifestSource.bindDeclaredChecks(rewrite(touchedDf), tableDir)
+      GraftManifestSource.bindDeclaredChecks(rewrite(touchedDf), tableDir,
+        recomputeGenerated = true)
     val kept = rewritten.observe(obs, aggs.head, aggs.tail: _*)
     writePhysical(kept, colMapOf(fs, tableDir, baseV))
       .write.parquet(s"$tableDir/$cid")

@@ -1109,6 +1109,43 @@ object Sources {
       .withColumn("branches_clear", lit(clear))
   }
 
+  /** S50 fixture: `lake.gen` — orders with two GENERATED ALWAYS AS
+    * columns (the order year and a price band), populated by an INSERT
+    * that OMITS both (the engine computes them), plus one UPDATE that
+    * moves a slice's price — the generated band must RECOMPUTE for
+    * exactly the updated rows. */
+  private val generatedDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate")).createOrReplaceTempView("graft_s50_orders")
+    s.sql(s"""CREATE TABLE $cat.lake.gen (
+                k BIGINT, price DOUBLE, d DATE,
+                yr INT GENERATED ALWAYS AS (year(d)),
+                band STRING GENERATED ALWAYS AS (
+                  CASE WHEN price >= 200000 THEN 'high' ELSE 'low' END))
+              TBLPROPERTIES ('retainGenerations'='10')""")
+    s.sql(s"""INSERT INTO $cat.lake.gen (k, price, d)
+              SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE)
+              FROM graft_s50_orders""")
+    s.sql(s"""UPDATE $cat.lake.gen SET price = price + 150000
+              WHERE k % 100 = 7""")
+    cat
+  })
+
+  /** S50: GENERATED ALWAYS AS columns — computed at INSERT when
+    * omitted, RECOMPUTED by DML write-backs (the UPDATE moved prices
+    * across the band threshold; the band followed). The oracle
+    * re-derives both generated columns from raw orders through the
+    * same arithmetic. */
+  def s50_generated_columns(s: SparkSession, d: String): DataFrame = {
+    val cat = generatedDemo(s, d)
+    s.sql(s"""SELECT yr, band, count(*) AS n_rows,
+                     CAST(sum(k) AS BIGINT) AS key_checksum,
+                     round(sum(price), 2) AS total_price
+              FROM $cat.lake.gen
+              GROUP BY yr, band ORDER BY yr, band""")
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1716,6 +1753,7 @@ object Sources {
     "s47_idempotent_write" -> (s47_idempotent_write _),
     "s48_default_values" -> (s48_default_values _),
     "s49_wap_branch" -> (s49_wap_branch _),
+    "s50_generated_columns" -> (s50_generated_columns _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1891,6 +1929,21 @@ object Sources {
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
          FROM orders""",
+    // generated columns: both re-derived from raw orders — the update
+    // moved k%100=7 prices up 150000 and the band must have followed
+    "s50_generated_columns" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+                           o_totalprice +
+                             (CASE WHEN o_orderkey % 100 = 7
+                                   THEN 150000 ELSE 0 END) AS price,
+                           CAST(o_orderdate AS DATE) AS d
+                    FROM orders)
+         SELECT CAST(year(d) AS INT) AS yr,
+                CASE WHEN price >= 200000 THEN 'high' ELSE 'low' END AS band,
+                count(*) AS n_rows,
+                CAST(sum(k) AS BIGINT) AS key_checksum,
+                round(sum(price), 2) AS total_price
+         FROM t GROUP BY 1, 2 ORDER BY yr, band""",
     // write-audit-publish: after the publish the parent holds exactly
     // one application of both halves of orders
     "s49_wap_branch" ->

@@ -28,6 +28,15 @@ object GraftShims {
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** V2 `Column[]` → `StructType` with Spark's own conversion
+    * (`CatalogV2Util` is private[sql]) — the catalog's Column-based
+    * createTable route needs the default-value metadata this carries. */
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util
+      .v2ColumnsToStructType(cols.toIndexedSeq)
+
   /** The `RowLevelOperation` inside Spark's private[sql]
     * `RowLevelOperationTable` wrapper, if `t` is one — the handle
     * graft's merge-carryover patch needs to recognize its own

@@ -215,6 +215,41 @@ class GraftBranchSpec extends SparkTestBase {
     ManifestTable.dropBranch(spark, dir, "keep")
   }
 
+  test("publish racing a parent writer: exactly one wins, no interleave") {
+    val s = spark; import s.implicits._
+    (1 to 6).foreach { round =>
+      val dir = freshTable(s"race$round", Seq((1, "a")))
+      ManifestTable.createBranch(spark, dir, "r"): Unit
+      val bdir = ManifestTable.branchDirOf(dir, "r")
+      ManifestTable.append(Seq((100, "branch")).toDF("k", "v"), bdir,
+        statsCols = Seq("k")): Unit
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val publish = Future(
+        try Right(ManifestTable.publishBranch(spark, dir, "r"))
+        catch { case e: IllegalStateException => Left(e) })
+      val write = Future(
+        ManifestTable.append(Seq((200, "writer")).toDF("k", "v"), dir,
+          statsCols = Seq("k")))
+      val pubRes = Await.result(publish, 120.seconds)
+      Await.result(write, 120.seconds): Unit
+      pool.shutdown()
+      val rows = ManifestTable.read(spark, dir).collect()
+        .map(_.getInt(0)).toSet
+      pubRes match {
+        // publish won its slot: final table holds base + branch +
+        // the writer's append (which rebased on the published head)
+        case Right(_) => assert(rows === Set(1, 100, 200))
+        // publish lost: base + writer only; branch data must NOT leak
+        case Left(_) =>
+          assert(rows === Set(1, 200))
+          ManifestTable.dropBranch(spark, dir, "r")
+      }
+    }
+  }
+
   test("SQL surface: procedures, t$branches, t$branch$<name> read and write") {
     wh: Unit
     spark.sql("CREATE TABLE gbr.lake.w (k INT, v STRING) " +
