@@ -70,7 +70,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // ------------------------------------------------------ functions (S38)
 
@@ -245,15 +247,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c if c.generationExpression() != null =>
         c.name() -> c.generationExpression()
     }.toMap
+    // S51 — identity specs ride the same capture (the conversion drops
+    // them like generation expressions)
+    val idOf = columns.collect {
+      case c if c.identityColumnSpec() != null =>
+        c.name() -> c.identityColumnSpec()
+    }.toMap
     val schema =
-      if (genOf.isEmpty) base
+      if (genOf.isEmpty && idOf.isEmpty) base
       else StructType(base.fields.map { f =>
-        genOf.get(f.name).map { g =>
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
-              .GENERATION_EXPRESSION_METADATA_KEY, g).build())
-        }.getOrElse(f)
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        genOf.get(f.name).foreach(g =>
+          b.putString(org.apache.spark.sql.catalyst.util.GeneratedColumn
+            .GENERATION_EXPRESSION_METADATA_KEY, g))
+        idOf.get(f.name).foreach { s =>
+          val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+          b.putLong(ic.IDENTITY_INFO_START, s.getStart)
+          b.putLong(ic.IDENTITY_INFO_STEP, s.getStep)
+          b.putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.isAllowExplicitInsert)
+        }
+        if (genOf.contains(f.name) || idOf.contains(f.name))
+          f.copy(metadata = b.build())
+        else f
       })
     createTable(ident, schema, partitions, properties)
   }
@@ -343,8 +360,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       "generated columns on bucketed (layout=bucketed) tables are not " +
         "supported — the merge kernel's upsert path does not run the " +
         "generation step")
+    // S51 — GENERATED ... AS IDENTITY: spec frozen in the identity:
+    // channel; the watermark channel starts absent (first assignment
+    // creates it). Bucketed layouts refuse like generated columns.
+    val idMeta = {
+      val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+      schema.fields.collect {
+        case f if f.metadata.contains(ic.IDENTITY_INFO_START) =>
+          (ManifestTable.IdentityPrefix + f.name) ->
+            (f.metadata.getLong(ic.IDENTITY_INFO_START).toString + "," +
+              f.metadata.getLong(ic.IDENTITY_INFO_STEP).toString + "," +
+              f.metadata.getBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT))
+      }.toMap
+    }
+    require(idMeta.isEmpty || layoutSpec.isEmpty,
+      "identity columns on bucketed (layout=bucketed) tables are not " +
+        "supported — the merge kernel's upsert path does not mint ids")
     val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
-      props.get("clusterBy").map(ClusterByKey -> _) ++ defaultMeta ++ genMeta
+      props.get("clusterBy").map(ClusterByKey -> _) ++
+      defaultMeta ++ genMeta ++ idMeta
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
     layoutSpec.foreach { case (key, n) =>
       MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
@@ -457,6 +491,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(!m.contains(ManifestTable.GenColPrefix + phys),
             s"'$logical' is GENERATED ALWAYS AS — it cannot also carry " +
               "a DEFAULT (the generation expression owns its value)")
+          require(!m.contains(ManifestTable.IdentityPrefix + phys),
+            s"'$logical' is an IDENTITY column — it cannot also carry " +
+              "a DEFAULT (the identity minting owns its value)")
           newSql match {
             case Some(sql) => m + ((ManifestTable.DefaultPrefix + phys) -> sql)
             case None => m - (ManifestTable.DefaultPrefix + phys)
@@ -795,7 +832,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         - (ManifestTable.ColHistPrefix + col)
         - (ManifestTable.DefaultPrefix + physical)
         - (ManifestTable.ExistsDefaultPrefix + physical)
-        - (ManifestTable.GenColPrefix + physical)) +
+        - (ManifestTable.GenColPrefix + physical)
+        - (ManifestTable.IdentityPrefix + physical)
+        - (ManifestTable.IdentityWmPrefix + physical)) +
         ((ManifestTable.DroppedPrefix + physical) -> "true") ++
         meta.get(PropPrefix + "statsCols").map { l =>
           (PropPrefix + "statsCols") ->

@@ -305,8 +305,43 @@ object GraftManifestSource {
         val checks = bound.toSeq.sortBy(_._1)
           .map { case (k, sql) => k.stripPrefix(prefix) ->
             exemptWhen.map(e => s"($e) OR ($sql)").getOrElse(sql) }
-        (applyChecks(applyGenerated(data, dir, v, meta, exemptWhen,
-          recomputeGenerated), checks), bound.keySet)
+        (applyChecks(refuseNullIdentity(
+          applyGenerated(data, dir, v, meta, exemptWhen, recomputeGenerated),
+          dir, v, meta, exemptWhen, dmlPath = recomputeGenerated),
+          checks), bound.keySet)
+    }
+  }
+
+  /** S51 — DML write-backs do not MINT identity values (only the
+    * append surfaces hold a watermark claim the commit can verify), so
+    * a NULL arriving in an identity column there is a MERGE-inserted
+    * row that would land id-less: refuse loudly with the route named.
+    * Non-DML callers pass through — the append path mints before this
+    * point never fires. Delete records (exemptWhen) are not data. */
+  private[graft] def refuseNullIdentity(data: DataFrame, dir: String, v: Long,
+                                        meta: Map[String, String],
+                                        exemptWhen: Option[String],
+                                        dmlPath: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, raise_error, when}
+    if (!dmlPath) return data
+    val specs = ManifestTable.identitySpecs(meta)
+    if (specs.isEmpty) return data
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(data.sparkSession.sessionState.newHadoopConf())
+    val physToLogical = ManifestTable.colMapOf(fs, dir, v).map(_.swap)
+    specs.keys.toSeq.sorted.foldLeft(data) { (df, phys) =>
+      val logical = physToLogical.getOrElse(phys, phys)
+      if (!df.columns.contains(logical)) df
+      else {
+        val exempt = exemptWhen.map(expr).getOrElse(lit(false))
+        df.filter(when(!exempt && col(logical).isNull,
+          raise_error(lit(
+            s"identity column '$logical' arrived NULL on a DML " +
+              "write-back — MERGE-inserted rows into identity tables " +
+              "get no minted ids on this path; route inserts through " +
+              "INSERT/append (which mints against the watermark)")))
+          .otherwise(lit(true)))
+      }
     }
   }
 

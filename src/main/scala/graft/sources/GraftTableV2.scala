@@ -840,12 +840,19 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
     else if (rowLevel.isDefined) Array(Expressions.column(GraftRowLevel.DirCol))
     else {
       // stats-covered columns, plus bloom-indexed ones: a runtime
-      // IN-set from a dimension join can point-prune via the sketches
+      // IN-set from a dimension join can point-prune via the sketches.
+      // RESTRICTED to the scan's PRUNED output: Spark's PartitionPruning
+      // resolves these refs against the scan output and THROWS on a
+      // declared column the projection dropped (a stats-tracked column
+      // the query never reads — e.g. an identity id in a merge's
+      // join-key-only scan) rather than skipping it.
+      val out = readSchema().fieldNames.toSet
       val bloomCols = snap.bloom.values
         .flatMap(ManifestTable.bloomEntries(_).keys).toSet
       tableSchema.fieldNames.filter { c =>
-        liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined) ||
-          bloomCols.contains(colMap.getOrElse(c, c))
+        out.contains(c) &&
+          (liveStats.values.exists(ManifestTable.statsFor(_, c).isDefined) ||
+            bloomCols.contains(colMap.getOrElse(c, c)))
       }.map(Expressions.column)
     }
 

@@ -820,6 +820,37 @@ object ManifestTable {
     * (same contract as CHECK references). */
   private[graft] val GenColPrefix = "gencol:"
 
+  /** S51 — IDENTITY channels (Delta identity columns):
+    *  - `identity:<phys>` → `start,step,allowExplicit` (the spec,
+    *    immutable after CREATE);
+    *  - `idwm:<phys>` → the watermark: the furthest value handed out
+    *    (absent until the first assignment). Advanced ATOMICALLY with
+    *    each append's commit; a concurrent allocation is detected at
+    *    publish (the staged ids were minted from a stale watermark and
+    *    could collide) and refused with the staged dirs cleaned — the
+    *    caller retries the whole write, Delta's conflict shape.
+    * Assignment is the gap-tolerant one-pass kernel: NULLs fill with
+    * `wm + step * (1 + monotonically_increasing_id())` — per-partition
+    * offsets, no shuffle, no count barrier; ids are unique and
+    * monotone-per-partition but NOT consecutive (Delta documents the
+    * same gaps contract — consecutive ids would cost an extra
+    * count-and-prefix pass per ingest, the wrong trade at 100 TB). */
+  private[graft] val IdentityPrefix = "identity:"
+  private[graft] val IdentityWmPrefix = "idwm:"
+
+  private[graft] final case class IdentitySpec(start: Long, step: Long,
+                                               allowExplicit: Boolean) {
+    def base: Long = start - step
+  }
+
+  private[graft] def identitySpecs(meta: Map[String, String])
+      : Map[String, IdentitySpec] = meta.collect {
+    case (k, v) if k.startsWith(IdentityPrefix) =>
+      val parts = v.split(",")
+      k.stripPrefix(IdentityPrefix) ->
+        IdentitySpec(parts(0).toLong, parts(1).toLong, parts(2).toBoolean)
+  }
+
   /** `schema` rendered as the one-line DDL every manifest persists —
     * with Spark's default-value field metadata STRIPPED first: Spark
     * 4's `toDDL` emits a `DEFAULT <sql>` clause from that metadata,
@@ -835,7 +866,11 @@ object ManifestTable {
     val keys = Seq(ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
       ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
       org.apache.spark.sql.catalyst.util.GeneratedColumn
-        .GENERATION_EXPRESSION_METADATA_KEY)
+        .GENERATION_EXPRESSION_METADATA_KEY,
+      org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_START,
+      org.apache.spark.sql.catalyst.util.IdentityColumn.IDENTITY_INFO_STEP,
+      org.apache.spark.sql.catalyst.util.IdentityColumn
+        .IDENTITY_INFO_ALLOW_EXPLICIT_INSERT)
     org.apache.spark.sql.types.StructType(schema.fields.map { f =>
       if (!keys.exists(f.metadata.contains)) f
       else f.copy(metadata = keys.foldLeft(
@@ -855,14 +890,16 @@ object ManifestTable {
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
     if (!meta.keys.exists(k => k.startsWith(DefaultPrefix) ||
-        k.startsWith(ExistsDefaultPrefix) || k.startsWith(GenColPrefix)))
+        k.startsWith(ExistsDefaultPrefix) || k.startsWith(GenColPrefix) ||
+        k.startsWith(IdentityPrefix)))
       return logical
     org.apache.spark.sql.types.StructType(logical.fields.map { f =>
       val phys = cmap.getOrElse(f.name, f.name)
       val cur = meta.get(DefaultPrefix + phys)
       val ex = meta.get(ExistsDefaultPrefix + phys)
       val gen = meta.get(GenColPrefix + phys)
-      if (cur.isEmpty && ex.isEmpty && gen.isEmpty) f
+      val ident = identitySpecs(meta).get(phys)
+      if (cur.isEmpty && ex.isEmpty && gen.isEmpty && ident.isEmpty) f
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
@@ -872,6 +909,13 @@ object ManifestTable {
           ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
         gen.foreach(b.putString(org.apache.spark.sql.catalyst.util
           .GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, _))
+        ident.foreach { s =>
+          val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
+          b.putLong(ic.IDENTITY_INFO_START, s.start)
+          b.putLong(ic.IDENTITY_INFO_STEP, s.step)
+          b.putBoolean(ic.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+            s.allowExplicit)
+        }
         f.copy(metadata = b.build())
       }
     })
@@ -1041,14 +1085,23 @@ object ManifestTable {
     // remembered and the commit loop refuses to publish if NEW
     // constraints appeared while the job ran (ALTER-vs-append race —
     // Delta's MetadataChangedException shape).
-    val (checked, boundChecks) =
+    val (checked0, boundChecks) =
       GraftManifestSource.bindDeclaredChecks(df, tableDir)
+    // S51 — identity assignment: NULLs in declared identity columns
+    // mint values from the head watermark (gap-tolerant one-pass
+    // kernel); the claims thread into the commit loop, which verifies
+    // the watermark is STILL the one these ids were minted from and
+    // advances it in the same commit
+    val (checked, idClaims) = assignIdentity(checked0, tableDir, fs)
+    // identity columns are always stats-tracked: the per-dir max IS
+    // the watermark-advance input (and point lookups on ids prune)
+    val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
     val ddl = cleanDdl(df.schema)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
-    val aggs = statsAggExprs(statsCols)
+    val aggs = statsAggExprs(statsCols2)
     val observed =
-      if (statsCols.isEmpty) checked
+      if (statsCols2.isEmpty) checked
       else checked.observe(obs, aggs.head, aggs.tail: _*)
     // parquet stores PHYSICAL names (column mapping, S42); stats above
     // observe the logical frame, so payload keys stay logical
@@ -1056,15 +1109,67 @@ object ManifestTable {
       .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
     writePhysical(observed, cmap).write.parquet(s"$tableDir/$cid")
     val payload =
-      if (statsCols.isEmpty) None
+      if (statsCols2.isEmpty) None
       else {
         val m = obs.get
         Some(statsPayloadFrom(m("rows").asInstanceOf[Number].longValue,
-          statsCols, m))
+          statsCols2, m))
       }
     (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
-      statsCols, retainGenerations, meta,
-      recordingStats = payload.isDefined, boundChecks = boundChecks), cid)
+      statsCols2, retainGenerations, meta,
+      recordingStats = payload.isDefined, boundChecks = boundChecks,
+      identity = idClaims), cid)
+  }
+
+  /** S51 — one identity column's minting claim: which watermark the
+    * batch's ids were computed FROM (the commit loop refuses to publish
+    * if the head's watermark moved — a concurrent allocation could
+    * collide) and where to read the batch's furthest value (the
+    * column's own per-dir stats lane). */
+  private[graft] final case class IdentityClaim(phys: String, logical: String,
+                                                spec: IdentitySpec,
+                                                baseWm: Long)
+
+  /** Assign identity values over `df` from the head's declared specs:
+    * explicit non-null values REFUSE unless the spec allows them
+    * (GENERATED ALWAYS vs BY DEFAULT); NULLs fill with
+    * `wm + step * (1 + monotonically_increasing_id())` — unique,
+    * gap-tolerant, one pass, no shuffle (Delta's gaps contract; dense
+    * ids would cost a count + prefix pass per ingest). */
+  private def assignIdentity(df: DataFrame, tableDir: String,
+                             fs: FileSystem): (DataFrame, Seq[IdentityClaim]) = {
+    import org.apache.spark.sql.functions.{col, concat, lit, monotonically_increasing_id, raise_error, when}
+    val head = versions(fs, tableDir).lastOption.getOrElse(return (df, Seq.empty))
+    val hMeta = metaOf(fs, tableDir, head)
+    val specs = identitySpecs(hMeta)
+    if (specs.isEmpty) return (df, Seq.empty)
+    val cmap = colMapOf(fs, tableDir, head)
+    val physToLogical = cmap.map(_.swap)
+    val dtOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    specs.toSeq.sortBy(_._1).foldLeft((df, Seq.empty[IdentityClaim])) {
+      case ((d, claims), (phys, spec)) =>
+        val logical = physToLogical.getOrElse(phys, phys)
+        if (!d.columns.contains(logical)) (d, claims)
+        else {
+          val wm = hMeta.get(IdentityWmPrefix + phys)
+            .flatMap(_.toLongOption).getOrElse(spec.base)
+          val gated =
+            if (spec.allowExplicit) d
+            else d.filter(when(col(logical).isNotNull,
+              raise_error(concat(
+                lit(s"identity column '$logical' is GENERATED ALWAYS — " +
+                  "explicit values are refused (declare BY DEFAULT to " +
+                  "allow them); got "), col(logical).cast("string"))))
+              .otherwise(lit(true)))
+          val minted = (lit(wm) + lit(spec.step) *
+            (lit(1L) + monotonically_increasing_id()))
+            .cast(dtOf.getOrElse(logical,
+              org.apache.spark.sql.types.LongType))
+          (gated.withColumn(logical,
+            when(col(logical).isNull, minted).otherwise(col(logical))),
+            claims :+ IdentityClaim(phys, logical, spec, wm))
+        }
+    }
   }
 
   /** The optimistic append-publish loop [[appendWithCid]] and
@@ -1078,10 +1183,11 @@ object ManifestTable {
                                retainGenerations: Int,
                                meta: Map[String, String],
                                recordingStats: Boolean,
-                               boundChecks: Set[String] = Set.empty): Long =
+                               boundChecks: Set[String] = Set.empty,
+                               identity: Seq[IdentityClaim] = Seq.empty): Long =
     appendCommitLoopCore(df.sparkSession, df.schema, tableDir, newPaths,
       newStats, statsCols, retainGenerations, meta, recordingStats,
-      boundChecks)
+      boundChecks, identity)
 
   /** [[appendCommitLoop]] from (spark, schema) — the X15 streaming
     * write's commit path, whose rows were written by executor task
@@ -1096,9 +1202,28 @@ object ManifestTable {
       retainGenerations: Int,
       meta: Map[String, String],
       recordingStats: Boolean,
-      boundChecks: Set[String]): Long = {
+      boundChecks: Set[String],
+      identity: Seq[IdentityClaim] = Seq.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val ddl = cleanDdl(batchSchema)
+    // S51 — the watermark this commit publishes: the furthest minted
+    // (or explicitly inserted) value per identity column, read from the
+    // freshly-landed dirs' OWN stats lanes (identity columns are always
+    // tracked), never below the base the batch minted from
+    val idMeta: Map[String, String] = identity.flatMap { cl =>
+      val vals = newPaths.flatMap(p => newStats.get(p)
+        .flatMap(statsFor(_, cl.logical)).flatMap { case (_, mn, mx) =>
+          (if (cl.spec.step > 0) mx else mn).flatMap(_.toLongOption) })
+      val ext =
+        if (vals.isEmpty) None
+        else Some(if (cl.spec.step > 0) vals.max else vals.min)
+      ext.map { e =>
+        val wmNew =
+          if (cl.spec.step > 0) math.max(cl.baseWm, e)
+          else math.min(cl.baseWm, e)
+        (IdentityWmPrefix + cl.phys) -> wmNew.toString
+      }
+    }.toMap
     // S44 — point-index sidecars for the freshly-landed dirs when the
     // table declares bloomCols (one small agg job per new dir, before
     // the commit loop — the sidecars are content, the loop only rebases
@@ -1139,6 +1264,25 @@ object ManifestTable {
       val priorMeta =
         if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
       checkWriterFeatures(tableDir, priorMeta)
+      // S51 — identity allocation conflict: the batch's ids were minted
+      // from each claim's baseWm; if the head's watermark moved since,
+      // a concurrent writer allocated the same range and publishing
+      // would admit colliding ids. Clean the staged dirs and refuse —
+      // the caller re-runs the write, re-minting from the new
+      // watermark (the Delta identity-conflict shape).
+      identity.foreach { cl =>
+        val cur = priorMeta.get(IdentityWmPrefix + cl.phys)
+          .flatMap(_.toLongOption).getOrElse(cl.spec.base)
+        if (cur != cl.baseWm) {
+          newPaths.map(_.split("/", 2).head).distinct.foreach(d =>
+            fs.delete(new Path(tableDir, d), true))
+          throw new IllegalStateException(
+            s"concurrent identity allocation on '${cl.logical}' at " +
+              s"$tableDir: this batch minted ids from watermark " +
+              s"${cl.baseWm} but the head now records $cur — retry the " +
+              "write (it re-mints from the new watermark)")
+        }
+      }
       // metadata-conflict guard (ALTER-vs-write race): the batch was
       // validated against the constraints declared when its job was
       // built; if a concurrent ALTER declared NEW ones since, this
@@ -1158,7 +1302,8 @@ object ManifestTable {
       val committed = commitIf(spark, tableDir, (prior ++ newPaths).sorted,
         base, retainGenerations, schemaDdl = Some(declaredDdl),
         stats = priorStats ++ newStats,
-        meta = priorMeta ++ zoneMeta ++ meta + cdcTag("append", base + 1),
+        meta = priorMeta ++ zoneMeta ++ meta ++ idMeta +
+          cdcTag("append", base + 1),
         // deletion vectors carry like stats: prior dirs keep theirs,
         // the appended dirs have none
         dv = if (base > 0) dvOf(fs, tableDir, base) else Map.empty,
@@ -1208,15 +1353,20 @@ object ManifestTable {
       .getOrElse(Seq(statsCols.head))
     // declared CHECK constraints bind here like on the plain append
     // path, with the same publish-time metadata-conflict guard
-    val (checked, boundChecks) =
+    val (checked0, boundChecks) =
       GraftManifestSource.bindDeclaredChecks(df, tableDir)
+    // S51 — identity minting on the clustered path too (same claims,
+    // same commit-time watermark verification); identity columns join
+    // statsCols so the per-dir lanes carry the watermark input
+    val (checked, idClaims) = assignIdentity(checked0, tableDir, fs)
+    val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
     val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
-    val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols,
+    val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols2,
       versions(fs, tableDir).lastOption
         .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty))
     appendCommitLoop(df, tableDir, outStats.keys.toSeq.sorted, outStats,
-      statsCols, retainGenerations, meta, recordingStats = true,
-      boundChecks = boundChecks)
+      statsCols2, retainGenerations, meta, recordingStats = true,
+      boundChecks = boundChecks, identity = idClaims)
   }
 
   /** The `statsZone` meta contribution for a stats-recording write over

@@ -1146,6 +1146,51 @@ object Sources {
               GROUP BY yr, band ORDER BY yr, band""")
   }
 
+  /** S51 fixture: `lake.ids` — an IDENTITY-keyed event table loaded in
+    * three batches (two appends + a MERGE whose NOT-MATCHED half
+    * inserts). Ids are engine-minted (gap-tolerant), so the oracle
+    * checks the INVARIANTS rather than the values: row count, id
+    * uniqueness, arithmetic conformance, per-batch monotonicity. */
+  private val identityDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_s51_orders")
+    s.sql(s"""CREATE TABLE $cat.lake.ids (
+                id BIGINT GENERATED ALWAYS AS IDENTITY
+                  (START WITH 1000 INCREMENT BY 2),
+                k BIGINT, price DOUBLE)
+              TBLPROPERTIES ('retainGenerations'='10')""")
+    s.sql(s"""INSERT INTO $cat.lake.ids (k, price)
+              SELECT o_orderkey, o_totalprice FROM graft_s51_orders
+              WHERE o_orderkey % 3 = 0""")
+    s.sql(s"""INSERT INTO $cat.lake.ids (k, price)
+              SELECT o_orderkey, o_totalprice FROM graft_s51_orders
+              WHERE o_orderkey % 3 = 1""")
+    s.sql(s"""MERGE INTO $cat.lake.ids t
+              USING (SELECT o_orderkey AS k, o_totalprice AS price
+                     FROM graft_s51_orders WHERE o_orderkey % 3 = 2) s
+              ON t.k = s.k
+              WHEN NOT MATCHED THEN INSERT (k, price) VALUES (s.k, s.price)""")
+    cat
+  })
+
+  /** S51: IDENTITY columns — minted on the append surfaces from the
+    * manifest watermark (unique, gap-tolerant, one pass), verified at
+    * publish against concurrent allocation. Ids are engine-chosen, so
+    * the query aggregates INVARIANTS the oracle can re-state: every
+    * order landed exactly once, every id unique, every id on the
+    * declared arithmetic (start 1000, step 2). */
+  def s51_identity_columns(s: SparkSession, d: String): DataFrame = {
+    val cat = identityDemo(s, d)
+    s.sql(s"""SELECT count(*) AS n_rows,
+                     count(DISTINCT id) AS n_ids,
+                     CAST(sum(k) AS BIGINT) AS key_checksum,
+                     CAST(sum(CASE WHEN id >= 1000 AND (id - 1000) % 2 = 0
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS on_arithmetic
+              FROM $cat.lake.ids""")
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1754,6 +1799,7 @@ object Sources {
     "s48_default_values" -> (s48_default_values _),
     "s49_wap_branch" -> (s49_wap_branch _),
     "s50_generated_columns" -> (s50_generated_columns _),
+    "s51_identity_columns" -> (s51_identity_columns _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1928,6 +1974,15 @@ object Sources {
                     ELSE o_orderpriority END) AS n_vals,
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
+         FROM orders""",
+    // identity columns: ids are engine-minted (gaps allowed), so the
+    // oracle re-states the invariants — one row per order, all ids
+    // unique and on the declared arithmetic
+    "s51_identity_columns" ->
+      """SELECT count(*) AS n_rows,
+                count(*) AS n_ids,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+                count(*) AS on_arithmetic
          FROM orders""",
     // generated columns: both re-derived from raw orders — the update
     // moved k%100=7 prices up 150000 and the band must have followed
