@@ -72,7 +72,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
 
   // ------------------------------------------------------ functions (S38)
 
@@ -275,6 +277,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     createTable(ident, schema, partitions, properties)
   }
 
+  /** S52 — CREATE TABLE with inline constraints (the `TableInfo`
+    * route): CHECKs fold into the prop channel BEFORE the create (the
+    * table is empty — no validation scan needed); anything
+    * informational refuses like the ALTER route. */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : Table = {
+    val checkProps = info.constraints().map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        ("check." + c.name) -> c.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"graft enforces every constraint it declares — informational " +
+          s"${other.getClass.getSimpleName} constraints are not supported; " +
+          "declare a CHECK instead")
+    }
+    val props = new java.util.HashMap[String, String](info.properties())
+    checkProps.foreach { case (k, v) => props.put(k, v) }
+    createTable(ident, info.columns(), info.partitions(), props)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String]): Table = {
@@ -444,29 +466,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (ClusterByKey -> cols.mkString(",")) +
           ((PropPrefix + "clusterBy") -> cols.mkString(",")))
       case s: TableChange.SetProperty if s.property.startsWith("check.") =>
-        // Delta's ADD CONSTRAINT contract: existing data must already
-        // conform — the validation scan buys the invariant every later
-        // write and rewrite relies on ("live rows always conform").
-        // It runs INSIDE the optimistic commit loop against the exact
-        // head being committed on: a violating append racing the scan
-        // makes this commit lose (commitIf is an atomic put of
-        // head+1), and the retry REVALIDATES against the new head —
-        // closing the r11 TOCTOU where rows appended between scan and
-        // commit slipped under the new constraint unvalidated. The
-        // other direction (append's job built pre-ALTER, committed
-        // post-ALTER) is refused by the write side's own
-        // metadata-conflict guard at publish time.
-        alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value),
-          validate = head => {
-            if (ManifestTable.pathsOf(fs, dir, head).nonEmpty) {
-              import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-              val bad = ManifestTable.readVersion(spark, dir, head)
-                .filter(not(coalesce(expr(s.value), lit(true)))).limit(1)
-              require(bad.isEmpty,
-                s"cannot add CHECK constraint '${s.property}' (${s.value}): " +
-                  s"existing rows of $ident violate it")
-            }
-          })
+        addCheck(ident, dir, s.property.stripPrefix("check."), s.value)
+      // S52 — standard SQL constraint syntax (`ALTER TABLE t ADD
+      // CONSTRAINT c CHECK (...)`, capability-gated): a CHECK maps
+      // onto the SAME prop channel the TBLPROPERTIES route uses — one
+      // enforcement machine, two syntaxes. Informational PK/UNIQUE/FK
+      // refuse loudly: this engine only declares contracts it
+      // ENFORCES (the Delta stance).
+      case a: TableChange.AddConstraint =>
+        a.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(c.name != null && c.name.nonEmpty, "constraint needs a name")
+            addCheck(ident, dir, c.name,
+              Option(c.predicateSql()).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"CHECK constraint '${c.name}' carries no SQL predicate")))
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces every constraint it declares — informational " +
+              s"${other.getClass.getSimpleName} constraints are not " +
+              "supported; declare a CHECK instead")
+        }
+      case d: TableChange.DropConstraint =>
+        val key = PropPrefix + "check." + d.name
+        alterMeta(dir, m => {
+          require(d.ifExists || m.contains(key),
+            s"no CHECK constraint '${d.name}' on $ident to drop")
+          m - key
+        })
       case s: TableChange.SetProperty =>
         alterMeta(dir, _ + ((PropPrefix + s.property) -> s.value))
       case r: TableChange.RemoveProperty if r.property == "clusterBy" =>
@@ -625,6 +651,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType(old.fields.updated(i, old.fields(i).copy(dataType = u.newDataType)))
     })
   }
+
+  /** Delta's ADD CONSTRAINT contract: existing data must already
+    * conform — the validation scan buys the invariant every later
+    * write and rewrite relies on ("live rows always conform"). It runs
+    * INSIDE the optimistic commit loop against the exact head being
+    * committed on: a violating append racing the scan makes this
+    * commit lose (commitIf is an atomic put of head+1), and the retry
+    * REVALIDATES against the new head — closing the r11 TOCTOU where
+    * rows appended between scan and commit slipped under the new
+    * constraint unvalidated. The other direction (append's job built
+    * pre-ALTER, committed post-ALTER) is refused by the write side's
+    * own metadata-conflict guard at publish time. Shared by the
+    * TBLPROPERTIES route and S52's ADD CONSTRAINT syntax. */
+  private def addCheck(ident: Identifier, dir: String,
+                       name: String, sql: String): Unit =
+    alterMeta(dir, _ + ((PropPrefix + "check." + name) -> sql),
+      validate = head => {
+        if (ManifestTable.pathsOf(fs, dir, head).nonEmpty) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = ManifestTable.readVersion(spark, dir, head)
+            .filter(not(coalesce(expr(sql), lit(true)))).limit(1)
+          require(bad.isEmpty,
+            s"cannot add CHECK constraint '$name' (check.$name: $sql): " +
+              s"existing rows of $ident violate it")
+        }
+      })
 
   private def alterMeta(dir: String,
                         f: Map[String, String] => Map[String, String],

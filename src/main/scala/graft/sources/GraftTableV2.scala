@@ -188,6 +188,23 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     Array(GraftRowLevel.DirMetadataColumn,
       GraftRowLevel.FileMetadataColumn, GraftRowLevel.PosMetadataColumn)
 
+  /** S52 — the declared CHECK contracts as V2 constraints (ENFORCED —
+    * every write API validates them — and VALID: the ADD-time scan
+    * proved existing rows conform). DESCRIBE and Spark's own
+    * constraint-aware analysis read this. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableProps.toSeq.collect {
+      case (k, sql) if k.startsWith("check.") =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix("check."))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.sortBy(_.name).toArray
+
   /** Native row-level operations (Spark's own DELETE/UPDATE/MERGE
     * rewrites), routed by the table's declared contract:
     *  - S31 bucketed tables take the KEY-delta path (row-id = the

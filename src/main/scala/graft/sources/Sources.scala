@@ -1191,6 +1191,46 @@ object Sources {
               FROM $cat.lake.ids""")
   }
 
+  /** S52 fixture: `lake.con` with an INLINE CHECK (standard SQL
+    * constraint syntax) plus an ALTER-added one; a violating batch is
+    * attempted and must refuse wholesale (nothing lands). */
+  private val constraintSqlDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .createOrReplaceTempView("graft_s52_orders")
+    s.sql(s"""CREATE TABLE $cat.lake.con (
+                k BIGINT, price DOUBLE,
+                CONSTRAINT price_pos CHECK (price > 0))
+              TBLPROPERTIES ('retainGenerations'='10')""")
+    s.sql(s"""INSERT INTO $cat.lake.con
+              SELECT o_orderkey, o_totalprice FROM graft_s52_orders""")
+    s.sql(s"ALTER TABLE $cat.lake.con " +
+      "ADD CONSTRAINT k_nonneg CHECK (k >= 0)")
+    val refused =
+      try { s.sql(s"INSERT INTO $cat.lake.con VALUES (-1, 10.0)"); false }
+      catch { case _: Exception => true }
+    require(refused, "the violating batch must refuse")
+    cat
+  })
+
+  /** S52: standard SQL constraint syntax (ADD/DROP CONSTRAINT, inline
+    * CREATE) on the S30 enforcement machine. The aggregate proves the
+    * violating batch left no trace; `n_constraints` witnesses both
+    * declared contracts surfacing through the V2 constraints() API. */
+  def s52_constraint_sql(s: SparkSession, d: String): DataFrame = {
+    val cat = constraintSqlDemo(s, d)
+    val t = s.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog].loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("lake"), "con"))
+    val n = t.constraints().length
+    s.sql(s"""SELECT count(*) AS n_rows,
+                     CAST(sum(k) AS BIGINT) AS key_checksum,
+                     round(sum(price), 2) AS total_price
+              FROM $cat.lake.con""")
+      .withColumn("n_constraints", lit(n))
+  }
+
   /** S45: the `#nulls` stats lane. COUNT(*) and COUNT(col) answer
     * metadata-only (Σ rows, Σ rows − recorded nulls — `count_pushed`
     * witnesses the plan); the IS NULL leg scans, with its all-non-null
@@ -1800,6 +1840,7 @@ object Sources {
     "s49_wap_branch" -> (s49_wap_branch _),
     "s50_generated_columns" -> (s50_generated_columns _),
     "s51_identity_columns" -> (s51_identity_columns _),
+    "s52_constraint_sql" -> (s52_constraint_sql _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1974,6 +2015,15 @@ object Sources {
                     ELSE o_orderpriority END) AS n_vals,
          (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) AS n_null,
          true AS count_pushed, true AS null_pruned
+         FROM orders""",
+    // SQL constraint syntax: the violating batch refused wholesale, so
+    // the table is exactly one application of orders; two declared
+    // contracts surface through constraints()
+    "s52_constraint_sql" ->
+      """SELECT count(*) AS n_rows,
+         CAST(sum(o_orderkey) AS BIGINT) AS key_checksum,
+         round(sum(o_totalprice), 2) AS total_price,
+         2 AS n_constraints
          FROM orders""",
     // identity columns: ids are engine-minted (gaps allowed), so the
     // oracle re-states the invariants — one row per order, all ids

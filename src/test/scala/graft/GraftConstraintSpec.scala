@@ -35,7 +35,11 @@ class GraftConstraintSpec extends SparkTestBase {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(m => m.contains("pos") && m.contains("bad")),
+    // S52 made the declared checks visible through constraints(), so
+    // SPARK's own write validation may fire before the engine's — both
+    // name the constraint and surface the violating value
+    assert(msgs(e).exists(m => m.contains("pos") &&
+      (m.contains("bad") || m.contains("-1"))),
       s"violation must name the constraint and the row: ${msgs(e)}")
     // the failed batch committed NOTHING — not even its valid rows
     assert(spark.table("gchk.lake.c1").count() == 2L)
