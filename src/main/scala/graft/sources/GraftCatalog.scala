@@ -286,7 +286,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : Table = {
     val checkProps = info.constraints().map {
       case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
-        ("check." + c.name) -> c.predicateSql()
+        ("check." + c.name) -> Option(c.predicateSql()).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint '${c.name}' carries no SQL predicate"))
       case other => throw new UnsupportedOperationException(
         s"graft enforces every constraint it declares — informational " +
           s"${other.getClass.getSimpleName} constraints are not supported; " +
@@ -389,6 +391,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val ic = org.apache.spark.sql.catalyst.util.IdentityColumn
       schema.fields.collect {
         case f if f.metadata.contains(ic.IDENTITY_INFO_START) =>
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column '${f.name}' must be BIGINT: the minting " +
+              "kernel's per-partition offsets span past 2^33 on " +
+              s"multi-partition batches, overflowing ${f.dataType.sql}")
           (ManifestTable.IdentityPrefix + f.name) ->
             (f.metadata.getLong(ic.IDENTITY_INFO_START).toString + "," +
               f.metadata.getLong(ic.IDENTITY_INFO_STEP).toString + "," +
@@ -488,7 +494,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         }
       case d: TableChange.DropConstraint =>
         val key = PropPrefix + "check." + d.name
-        alterMeta(dir, m => {
+        // IF EXISTS on a missing constraint is a true no-op — don't
+        // publish a pointless metadata version (version churn, CDC
+        // noise, spurious conflicts with concurrent writers)
+        val standing = ManifestTable.headVersion(spark, dir)
+          .exists(v => ManifestTable.metaOf(fs, dir, v).contains(key))
+        require(d.ifExists || standing,
+          s"no CHECK constraint '${d.name}' on $ident to drop")
+        if (standing) alterMeta(dir, m => {
           require(d.ifExists || m.contains(key),
             s"no CHECK constraint '${d.name}' on $ident to drop")
           m - key

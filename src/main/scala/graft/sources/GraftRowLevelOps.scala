@@ -239,9 +239,13 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
       // read-back as the replacement dir, so an UPDATE of a source
       // column refreshes the generated value in what actually lands.
       // One extra pass over the replacement dir only, and only on
-      // generated tables' DML.
+      // generated tables' UPDATE/MERGE — a DELETE carries rows
+      // byte-identical, so recomputation cannot change a value and the
+      // restage would be a pure double-write.
       val checked =
-        if (!ManifestTable.metaOf(fs, dir, headV).keys
+        if (op.command() == org.apache.spark.sql.connector.write
+              .RowLevelOperation.Command.DELETE ||
+            !ManifestTable.metaOf(fs, dir, headV).keys
             .exists(_.startsWith(ManifestTable.GenColPrefix))) checked0
         else {
           val cid2 = cid + "-g"

@@ -557,18 +557,34 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         info.schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"cluster column '$c' is not in the streaming write schema " +
           s"${info.schema.fieldNames.mkString("(", ", ", ")")}"))
-      val declaredChecks = ManifestTable.headVersion(spark, tableDir)
+      val headMeta = ManifestTable.headVersion(spark, tableDir)
         .map { v =>
           val fs = new Path(tableDir)
             .getFileSystem(spark.sessionState.newHadoopConf())
-          ManifestTable.metaOf(fs, tableDir, v).keySet
-            .filter(_.startsWith(GraftCatalog.PropPrefix + "check."))
-        }.getOrElse(Set.empty)
+          ManifestTable.metaOf(fs, tableDir, v)
+        }.getOrElse(Map.empty[String, String])
+      val declaredChecks = headMeta.keySet
+        .filter(_.startsWith(GraftCatalog.PropPrefix + "check."))
       require(declaredChecks.isEmpty && checks.isEmpty,
         "streaming writes to a CHECK-constrained table go through " +
           "foreachBatch + Streams.appendSink (the per-row guard is a " +
           "driver-side plan); constraints: " +
           declaredChecks.toSeq.sorted.mkString(", "))
+      // S50/S51 — the executor task writers commit straight through
+      // appendCommitLoopCore: no generation step runs and no identity
+      // watermark claim exists on that path, so silently admitting the
+      // epoch would land NULL ids / unvalidated generated values —
+      // exactly the invariant-violation class the CHECK guard above
+      // refuses. Same remedy: the foreachBatch route binds every
+      // contract per micro-batch.
+      val contractCols = headMeta.keySet.filter(k =>
+        k.startsWith(ManifestTable.GenColPrefix) ||
+          k.startsWith(ManifestTable.IdentityPrefix))
+      require(contractCols.isEmpty,
+        "streaming writes to a table with GENERATED/IDENTITY columns " +
+          "go through foreachBatch + Streams.appendSink (generation and " +
+          "identity minting are driver-side plan steps); columns: " +
+          contractCols.toSeq.sorted.mkString(", "))
       // cluster columns are always stats-tracked — pruning needs their
       // ranges (the S27 batch rule, applied per epoch)
       val cmap = ManifestTable.headVersion(spark, tableDir).map { v =>

@@ -893,12 +893,13 @@ object ManifestTable {
         k.startsWith(ExistsDefaultPrefix) || k.startsWith(GenColPrefix) ||
         k.startsWith(IdentityPrefix)))
       return logical
+    val specs = identitySpecs(meta) // once, not per field
     org.apache.spark.sql.types.StructType(logical.fields.map { f =>
       val phys = cmap.getOrElse(f.name, f.name)
       val cur = meta.get(DefaultPrefix + phys)
       val ex = meta.get(ExistsDefaultPrefix + phys)
       val gen = meta.get(GenColPrefix + phys)
-      val ident = identitySpecs(meta).get(phys)
+      val ident = specs.get(phys)
       if (cur.isEmpty && ex.isEmpty && gen.isEmpty && ident.isEmpty) f
       else {
         val b = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1085,14 +1086,17 @@ object ManifestTable {
     // remembered and the commit loop refuses to publish if NEW
     // constraints appeared while the job ran (ALTER-vs-append race —
     // Delta's MetadataChangedException shape).
-    val (checked0, boundChecks) =
-      GraftManifestSource.bindDeclaredChecks(df, tableDir)
-    // S51 — identity assignment: NULLs in declared identity columns
-    // mint values from the head watermark (gap-tolerant one-pass
-    // kernel); the claims thread into the commit loop, which verifies
-    // the watermark is STILL the one these ids were minted from and
-    // advances it in the same commit
-    val (checked, idClaims) = assignIdentity(checked0, tableDir, fs)
+    // S51 — identity assignment FIRST: NULLs in declared identity
+    // columns mint values from the head watermark (gap-tolerant
+    // one-pass kernel); the claims thread into the commit loop, which
+    // verifies the watermark is STILL the one these ids were minted
+    // from and advances it in the same commit. Minting precedes the
+    // CHECK binding below so a constraint referencing the identity
+    // column judges the MINTED value — bound over the pre-mint frame
+    // it would see NULL and pass vacuously.
+    val (minted, idClaims) = assignIdentity(df, tableDir, fs)
+    val (checked, boundChecks) =
+      GraftManifestSource.bindDeclaredChecks(minted, tableDir)
     // identity columns are always stats-tracked: the per-dir max IS
     // the watermark-advance input (and point lookups on ids prune)
     val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
@@ -1146,6 +1150,14 @@ object ManifestTable {
     val cmap = colMapOf(fs, tableDir, head)
     val physToLogical = cmap.map(_.swap)
     val dtOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    specs.foreach { case (phys, _) =>
+      val logical = physToLogical.getOrElse(phys, phys)
+      dtOf.get(logical).foreach(dt => require(
+        dt == org.apache.spark.sql.types.LongType,
+        s"identity column '$logical' must be BIGINT: the minting " +
+          "kernel's per-partition offsets span past 2^33 on " +
+          s"multi-partition batches, overflowing $dt"))
+    }
     specs.toSeq.sortBy(_._1).foldLeft((df, Seq.empty[IdentityClaim])) {
       case ((d, claims), (phys, spec)) =>
         val logical = physToLogical.getOrElse(phys, phys)
@@ -1351,14 +1363,15 @@ object ManifestTable {
     val spec = specOverride.orElse(versions(fs, tableDir).lastOption
       .flatMap(v => clusterSpecOf(fs, tableDir, v)))
       .getOrElse(Seq(statsCols.head))
+    // S51 — identity minting FIRST (same claims, same commit-time
+    // watermark verification; checks must judge minted values, not
+    // pre-mint NULLs); identity columns join statsCols so the per-dir
+    // lanes carry the watermark input
+    val (minted, idClaims) = assignIdentity(df, tableDir, fs)
     // declared CHECK constraints bind here like on the plain append
     // path, with the same publish-time metadata-conflict guard
-    val (checked0, boundChecks) =
-      GraftManifestSource.bindDeclaredChecks(df, tableDir)
-    // S51 — identity minting on the clustered path too (same claims,
-    // same commit-time watermark verification); identity columns join
-    // statsCols so the per-dir lanes carry the watermark input
-    val (checked, idClaims) = assignIdentity(checked0, tableDir, fs)
+    val (checked, boundChecks) =
+      GraftManifestSource.bindDeclaredChecks(minted, tableDir)
     val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
     val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
     val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols2,
@@ -3129,15 +3142,30 @@ object ManifestTable {
       case (p, payload) if pathKey.contains(p) => pathKey(p) -> payload
     }
     // meta: the branch's own staged-cdc refs die with it; refs the
-    // parent base also holds (identical key AND value) carry; the
-    // base's tag/txn pointers survive the publish
+    // parent base also holds (identical key AND value) carry. TAGS
+    // name versions of a specific HISTORY: the base's survive (they
+    // point at retained parent versions), branch-created ones drop
+    // (they point at branch version numbers that mean nothing on the
+    // parent). TXN watermarks are monotone per appId and must never
+    // move backwards: an idempotent loader that advanced its watermark
+    // ON THE BRANCH would re-apply already-published batches if the
+    // publish reverted it to the base's value — merge per key by MAX.
     val baseMeta = metaOf(fs, tableDir, base)
+    val txnKeys = (bsnap.meta.keySet ++ baseMeta.keySet)
+      .filter(_.startsWith("txn:"))
+    val mergedTxn = txnKeys.flatMap { k =>
+      val vs = Seq(bsnap.meta.get(k), baseMeta.get(k))
+        .flatten.flatMap(_.toLongOption)
+      if (vs.isEmpty) baseMeta.get(k).orElse(bsnap.meta.get(k)).map(k -> _)
+      else Some(k -> vs.max.toString)
+    }.toMap
     val publishedMeta = bsnap.meta
       .filterNot { case (k, v) =>
         k == BranchBaseKey ||
+          k.startsWith(TagPrefix) || k.startsWith("txn:") ||
           (k.startsWith("cdcdata:") && !baseMeta.get(k).contains(v)) }
-      .++(baseMeta.filter { case (k, _) =>
-        k.startsWith(TagPrefix) || k.startsWith("txn:") })
+      .++(baseMeta.filter { case (k, _) => k.startsWith(TagPrefix) })
+      .++(mergedTxn)
     // MOVE phase (idempotent, before the visibility point) — the
     // target maps were populated by the re-key passes above
     dataTargetOf.foreach { case (top, target) => moveLocal(top, target) }
@@ -3150,12 +3178,37 @@ object ManifestTable {
     val committed = commitIf(spark, tableDir, rekeyedPaths, base,
       retainGenerations = retain, schemaDdl = bsnap.schemaDdl,
       stats = rekeyedStats, meta = publishedMeta, dv = rekeyedDv,
-      blooms = rekeyedBlooms).getOrElse(
+      blooms = rekeyedBlooms).getOrElse {
+      // lost the parent-head race: the fast-forward contract no longer
+      // holds and never will (the base is gone for good). REVERSE the
+      // moves so the branch survives intact — its manifest references
+      // the branch-local names, which must exist again for the branch
+      // to stay readable/droppable/re-cuttable. The reverse renames
+      // are the forward moves' mirror; a crash mid-reverse leaves a
+      // mix a RETRIED publish cannot mend (base mismatch), but every
+      // dir is still in exactly one of its two known places and
+      // dropBranch + the orphan sweep clean both.
+      def moveBack(topRel: String, targetTop: String): Unit = {
+        val src = new Path(bdir, topRel)
+        val dst = new Path(tableDir, targetTop)
+        if ((try fs.exists(dst) catch { case _: java.io.IOException => false })
+            && !(try fs.exists(src) catch { case _: java.io.IOException => false })) {
+          fs.mkdirs(src.getParent)
+          fs.rename(dst, src): Unit
+        }
+      }
+      dataTargetOf.foreach { case (top, target) => moveBack(top, target) }
+      dvTargetOf.foreach { case (sub, target) =>
+        moveBack(s"$DvDirName/$sub", s"$DvDirName/$target") }
+      idxTargetOf.foreach { case (sub, target) =>
+        moveBack(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
       throw new IllegalStateException(
         s"publish of branch '$name' lost the parent head race at " +
-          s"v$base — a writer committed during the publish; the moved " +
-          "dirs remain (retry is safe: the moves are idempotent), but " +
-          "the fast-forward contract no longer holds"))
+          s"v$base — a writer committed during the publish. The moved " +
+          "dirs were returned to the branch (it remains intact and " +
+          "readable), but the fast-forward contract no longer holds: " +
+          "re-cut the branch and replay, or drop it if superseded")
+    }
     // consume the branch (crash here leaves a stale branch; publish of
     // it refuses on base mismatch and dropBranch cleans)
     invalidateSnapshots(bdir)

@@ -243,11 +243,42 @@ class GraftBranchSpec extends SparkTestBase {
         // the writer's append (which rebased on the published head)
         case Right(_) => assert(rows === Set(1, 100, 200))
         // publish lost: base + writer only; branch data must NOT leak
+        // — and the REVERSED moves leave the branch intact and readable
         case Left(_) =>
           assert(rows === Set(1, 200))
+          assert(ManifestTable.read(spark, bdir).collect()
+            .map(_.getInt(0)).toSet === Set(1, 100),
+            "a lost publish returns the moved dirs to the branch")
           ManifestTable.dropBranch(spark, dir, "r")
       }
     }
+  }
+
+  test("publish merges txn watermarks by MAX — replays stay skipped after it") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("txnwm", Seq((1, "a")))
+    def write(target: String, ver: Long): Unit =
+      Seq((ver.toInt * 10, s"b$ver")).toDF("k", "v")
+        .write.format("graft").mode("append")
+        .option("txnAppId", "loader").option("txnVersion", ver.toString)
+        .save(target)
+    write(dir, 5L) // parent watermark: 5
+    ManifestTable.createBranch(spark, dir, "wm"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "wm")
+    write(bdir, 6L) // batches 6-7 staged on the branch
+    write(bdir, 7L)
+    ManifestTable.publishBranch(spark, dir, "wm"): Unit
+    val n = ManifestTable.read(spark, dir).count()
+    // a crash-replay of batch 6 against the PARENT must be recognized:
+    // the publish carried the branch-advanced watermark (max merge),
+    // not the base's 5
+    write(dir, 6L)
+    write(dir, 7L)
+    assert(ManifestTable.read(spark, dir).count() === n,
+      "replays of branch-published batches must no-op on the parent")
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.metaOf(fs, dir, head).get("txn:loader")
+      .contains("7"))
   }
 
   test("SQL surface: procedures, t$branches, t$branch$<name> read and write") {

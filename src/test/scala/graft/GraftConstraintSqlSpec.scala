@@ -39,7 +39,12 @@ class GraftConstraintSqlSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE gcon.lake.c1 DROP CONSTRAINT nope")
     }
+    // ...and with IF EXISTS is a TRUE no-op: no metadata version burned
+    val dir = s"$wh/lake/c1"
+    val before = graft.sources.ManifestTable.headVersion(spark, dir).get
     spark.sql("ALTER TABLE gcon.lake.c1 DROP CONSTRAINT IF EXISTS nope")
+    assert(graft.sources.ManifestTable.headVersion(spark, dir)
+      .contains(before))
   }
 
   test("inline CREATE constraints bind from the first insert") {
