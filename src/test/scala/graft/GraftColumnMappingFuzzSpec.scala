@@ -91,7 +91,7 @@ class GraftColumnMappingFuzzSpec extends SparkTestBase {
 
     for (step <- 1 to 16) {
       val prevV = head()
-      val metaStep = rnd.nextInt(8) match {
+      val metaStep = rnd.nextInt(9) match {
         case 0 =>
           insert((0 until 1 + rnd.nextInt(4))
             .map(i => rowOf(rnd.nextInt(20), c => s"i$step-$i-$c")))
@@ -147,6 +147,21 @@ class GraftColumnMappingFuzzSpec extends SparkTestBase {
           ManifestTable.compactIncremental(spark, dir, Seq(keyName), k = 3,
             retainGenerations = 40)
           false
+        case 8 => // S48 crossing: ADD COLUMN with an EXISTENCE default —
+          // every STANDING row serves the frozen constant from this
+          // moment on (the model gains it), later inserts write
+          // explicit values, and every subsequent RENAME/DROP/
+          // compaction/DML step now also exercises the default
+          // channels' physical keying (a default detaching from its
+          // column diverges the model at that step)
+          spark.sql(s"ALTER TABLE gcmf.lake.$table " +
+            s"ADD COLUMN d$step STRING DEFAULT 'dv$step'")
+          cols = cols :+ s"d$step"
+          model = model.foldLeft(Map.empty: Multiset) { case (m, (r, n)) =>
+            val r2 = r + (s"d$step" -> s"dv$step")
+            m + (r2 -> (m.getOrElse(r2, 0) + n))
+          }
+          true
       }
       // both read stacks, every step
       assert(collectRows(spark.table(s"gcmf.lake.$table"), cols) == model,
