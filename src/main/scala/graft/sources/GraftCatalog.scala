@@ -190,6 +190,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
+    // S49 — `VERSION AS OF 'branch:<name>'` reads a WAP branch's head
+    // through standard time-travel syntax (Iceberg accepts branch
+    // names there; the prefix keeps ours from shadowing tag names)
+    if (version.startsWith("branch:")) {
+      val bdir = ManifestTable.branchDirOf(dir,
+        version.stripPrefix("branch:"))
+      val bHead = ManifestTable.headVersion(spark, bdir).getOrElse(
+        throw new IllegalArgumentException(
+          s"no branch '${version.stripPrefix("branch:")}' at $dir"))
+      return tableAt(ident, bdir, bHead)
+    }
     val v = ManifestTable.resolveVersionArg(spark, dir, version)
     require(ManifestTable.versions(fs, dir).contains(v),
       s"version $v is not retained at $dir")

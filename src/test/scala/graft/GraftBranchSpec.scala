@@ -300,6 +300,15 @@ class GraftBranchSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM gbr.lake.`w$branches`").count() === 0L)
     // drop_branch route
     spark.sql("CALL gbr.system.create_branch(table => 'lake.w', name => 'tmp')")
+    // time-travel sugar: VERSION AS OF 'branch:<name>' reads the branch
+    spark.sql("INSERT INTO gbr.lake.`w$branch$tmp` VALUES (9, 'staged')")
+    assert(spark.sql(
+      "SELECT count(*) FROM gbr.lake.w VERSION AS OF 'branch:tmp'")
+      .head.getLong(0) === 4L)
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.w").head.getLong(0) === 3L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gbr.lake.w VERSION AS OF 'branch:nope'").collect()
+    }
     spark.sql("CALL gbr.system.drop_branch(table => 'lake.w', name => 'tmp')")
     assert(spark.sql("SELECT * FROM gbr.lake.`w$branches`").count() === 0L)
   }
