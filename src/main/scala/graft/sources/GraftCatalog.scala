@@ -442,6 +442,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val from = new Path(tableDir(oldIdent))
     val to = new Path(tableDir(newIdent))
     if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    // S49 — a branch references the parent's dirs by ABSOLUTE path
+    // (the zero-copy clone); renaming the table moves the data out
+    // from under those refs, and a later publish would commit the
+    // dangling paths INTO the parent manifest. Refuse while branches
+    // stand — publish or drop them first.
+    val standing = ManifestTable.branches(spark, from.toString).map(_._1)
+    require(standing.isEmpty,
+      s"cannot rename $oldIdent: WAP branch(es) " +
+        s"${standing.mkString(", ")} reference its dirs by absolute " +
+        "path — publish or drop them first")
     if (fs.exists(to)) throw new TableAlreadyExistsException(newIdent)
     if (newIdent.namespace.nonEmpty && !namespaceExists(newIdent.namespace))
       throw new NoSuchNamespaceException(newIdent.namespace)

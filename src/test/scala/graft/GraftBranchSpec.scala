@@ -281,6 +281,24 @@ class GraftBranchSpec extends SparkTestBase {
       .contains("7"))
   }
 
+  test("RENAME TABLE refuses while branches stand (absolute refs would dangle)") {
+    wh: Unit
+    spark.sql("CREATE TABLE gbr.lake.rn (k INT, v STRING)")
+    spark.sql("INSERT INTO gbr.lake.rn VALUES (1, 'a')")
+    spark.sql("CALL gbr.system.create_branch(table => 'lake.rn', name => 'hold')")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gbr.lake.rn RENAME TO lake.rn2")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("hold")))
+    // dropping the branch frees the rename
+    spark.sql("CALL gbr.system.drop_branch(table => 'lake.rn', name => 'hold')")
+    spark.sql("ALTER TABLE gbr.lake.rn RENAME TO lake.rn2")
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.rn2").head.getLong(0) === 1L)
+  }
+
   test("SQL surface: procedures, t$branches, t$branch$<name> read and write") {
     wh: Unit
     spark.sql("CREATE TABLE gbr.lake.w (k INT, v STRING) " +
