@@ -281,6 +281,24 @@ class GraftBranchSpec extends SparkTestBase {
       .contains("7"))
   }
 
+  test("identity watermarks carry through a publish: post-publish mints never collide") {
+    wh: Unit
+    spark.sql("""CREATE TABLE gbr.lake.idb (
+      id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)
+      TBLPROPERTIES ('retainGenerations'='10')""")
+    spark.sql("INSERT INTO gbr.lake.idb (v) VALUES ('p1'), ('p2')")
+    spark.sql("CALL gbr.system.create_branch(table => 'lake.idb', name => 'mint')")
+    // the branch mints from the CARRIED watermark (clone keeps idwm)
+    spark.sql("INSERT INTO gbr.lake.`idb$branch$mint` (v) VALUES ('b1'), ('b2')")
+    spark.sql("CALL gbr.system.publish_branch(table => 'lake.idb', name => 'mint')")
+    // post-publish mints continue from the branch-advanced watermark
+    spark.sql("INSERT INTO gbr.lake.idb (v) VALUES ('p3')")
+    val ids = spark.sql("SELECT id FROM gbr.lake.idb")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size === 5 && ids.distinct.size === 5,
+      s"ids must stay unique across cut/mint/publish/mint: $ids")
+  }
+
   test("RENAME TABLE refuses while branches stand (absolute refs would dangle)") {
     wh: Unit
     spark.sql("CREATE TABLE gbr.lake.rn (k INT, v STRING)")
