@@ -44,8 +44,9 @@ object GraftMetaTables {
     }
 
   /** S49 — `t$branches`: one row per live WAP branch (name, the parent
-    * version it was cut at, its own head version, whether the parent
-    * has moved since — a stale branch can no longer fast-forward). */
+    * version it was cut at, its own head version, whether a publish
+    * can still merge — the base version must remain retained on the
+    * parent; conflicts vs parent commits are decided at publish). */
   private def branches(spark: SparkSession, fs: FileSystem, dir: String,
                        name: String): GraftLocalTable = {
     val schema = StructType(Seq(
@@ -53,12 +54,13 @@ object GraftMetaTables {
       StructField("base_version", LongType, nullable = false),
       StructField("head_version", LongType, nullable = false),
       StructField("publishable", BooleanType, nullable = false)))
-    val parentHead = ManifestTable.headVersion(spark, dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+    ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir")): Unit
+    val retained = ManifestTable.versions(fs, dir).toSet
     val rows = ManifestTable.branches(spark, dir).map {
       case (bname, base, head) =>
         new GenericInternalRow(Array[Any](utf8(bname), base, head,
-          base == parentHead)): InternalRow
+          retained.contains(base))): InternalRow
     }
     GraftLocalTable(name, schema, rows.toArray)
   }

@@ -694,7 +694,7 @@ object ManifestTable {
     }
     if (toLoad.nonEmpty) {
       budget.addAndGet(-toLoad.size): Unit
-      val fetched = toLoad.toSeq.map(rel => rel -> bloomLoadPool.submit(
+      val fetched = toLoad.toSeq.map(rel => rel -> metaIoPool.submit(
         new java.util.concurrent.Callable[
             Option[org.apache.spark.util.sketch.BloomFilter]] {
           override def call() = try {
@@ -717,13 +717,14 @@ object ManifestTable {
     } ++ rest
   }
 
-  /** Shared bounded daemon pool for bloom sidecar loads — planning-path
-    * work; a per-invocation pool would churn 8 OS threads per scan. */
-  private lazy val bloomLoadPool: java.util.concurrent.ExecutorService =
+  /** Shared bounded daemon pool for driver-side metadata I/O — bloom
+    * sidecar loads (planning path) and branch-publish move sweeps; a
+    * per-invocation pool would churn 8 OS threads per scan. */
+  private lazy val metaIoPool: java.util.concurrent.ExecutorService =
     java.util.concurrent.Executors.newFixedThreadPool(
       graft.ScaleKnobs.BloomProbeThreads,
       (r: Runnable) => {
-        val t = new Thread(r, "graft-bloom-load")
+        val t = new Thread(r, "graft-meta-io")
         t.setDaemon(true)
         t
       })
@@ -1140,8 +1141,15 @@ object ManifestTable {
     * `wm + step * (1 + monotonically_increasing_id())` — unique,
     * gap-tolerant, one pass, no shuffle (Delta's gaps contract; dense
     * ids would cost a count + prefix pass per ingest). */
-  private def assignIdentity(df: DataFrame, tableDir: String,
-                             fs: FileSystem): (DataFrame, Seq[IdentityClaim]) = {
+  /** `gateExplicit = false` (the merge-on-read delta path): non-null
+    * values PASS ungated — an UPDATE's post-image arrives as an insert
+    * record CARRYING its existing id, indistinguishable at this layer
+    * from an explicit insert; the GENERATED ALWAYS gate binds on the
+    * append surfaces (and on Delta it binds at MERGE analysis). */
+  private[sources] def assignIdentity(df: DataFrame, tableDir: String,
+                             fs: FileSystem,
+                             gateExplicit: Boolean = true)
+      : (DataFrame, Seq[IdentityClaim]) = {
     import org.apache.spark.sql.functions.{col, concat, lit, monotonically_increasing_id, raise_error, when}
     val head = versions(fs, tableDir).lastOption.getOrElse(return (df, Seq.empty))
     val hMeta = metaOf(fs, tableDir, head)
@@ -1166,7 +1174,7 @@ object ManifestTable {
           val wm = hMeta.get(IdentityWmPrefix + phys)
             .flatMap(_.toLongOption).getOrElse(spec.base)
           val gated =
-            if (spec.allowExplicit) d
+            if (spec.allowExplicit || !gateExplicit) d
             else d.filter(when(col(logical).isNotNull,
               raise_error(concat(
                 lit(s"identity column '$logical' is GENERATED ALWAYS — " +
@@ -1183,6 +1191,29 @@ object ManifestTable {
         }
     }
   }
+
+  /** The `idwm:` advance a commit publishes for its identity claims:
+    * the furthest minted (or explicitly inserted) value per column,
+    * read from the freshly-landed dirs' own stats lanes — never below
+    * the base the batch minted from. Shared by the append loops and
+    * the merge-on-read delta publish. */
+  private[sources] def identityWmMeta(identity: Seq[IdentityClaim],
+                                      newPaths: Seq[String],
+                                      newStats: Map[String, String])
+      : Map[String, String] = identity.flatMap { cl =>
+    val vals = newPaths.flatMap(p => newStats.get(p)
+      .flatMap(statsFor(_, cl.logical)).flatMap { case (_, mn, mx) =>
+        (if (cl.spec.step > 0) mx else mn).flatMap(_.toLongOption) })
+    val ext =
+      if (vals.isEmpty) None
+      else Some(if (cl.spec.step > 0) vals.max else vals.min)
+    ext.map { e =>
+      val wmNew =
+        if (cl.spec.step > 0) math.max(cl.baseWm, e)
+        else math.min(cl.baseWm, e)
+      (IdentityWmPrefix + cl.phys) -> wmNew.toString
+    }
+  }.toMap
 
   /** The optimistic append-publish loop [[appendWithCid]] and
     * [[appendClustered]] share: validate the fixed-schema contract
@@ -1222,20 +1253,7 @@ object ManifestTable {
     // (or explicitly inserted) value per identity column, read from the
     // freshly-landed dirs' OWN stats lanes (identity columns are always
     // tracked), never below the base the batch minted from
-    val idMeta: Map[String, String] = identity.flatMap { cl =>
-      val vals = newPaths.flatMap(p => newStats.get(p)
-        .flatMap(statsFor(_, cl.logical)).flatMap { case (_, mn, mx) =>
-          (if (cl.spec.step > 0) mx else mn).flatMap(_.toLongOption) })
-      val ext =
-        if (vals.isEmpty) None
-        else Some(if (cl.spec.step > 0) vals.max else vals.min)
-      ext.map { e =>
-        val wmNew =
-          if (cl.spec.step > 0) math.max(cl.baseWm, e)
-          else math.min(cl.baseWm, e)
-        (IdentityWmPrefix + cl.phys) -> wmNew.toString
-      }
-    }.toMap
+    val idMeta = identityWmMeta(identity, newPaths, newStats)
     // S44 — point-index sidecars for the freshly-landed dirs when the
     // table declares bloomCols (one small agg job per new dir, before
     // the commit loop — the sidecars are content, the loop only rebases
@@ -2287,7 +2305,8 @@ object ManifestTable {
       cidAndPayload: Option[(String, Option[String])],
       payloadSchema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String], boundChecks: Set[String],
-      stagedCdc: Option[String], retainGenerations: Int): Long = {
+      stagedCdc: Option[String], retainGenerations: Int,
+      identity: Seq[IdentityClaim] = Seq.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val baseDv = dvOf(fs, tableDir, baseV)
     // S44 — index the fresh images dir (standing dirs keep theirs via
@@ -2315,6 +2334,25 @@ object ManifestTable {
       if (cidAndPayload.isDefined)
         checkConflictGuard(fs, tableDir, headMeta, boundChecks,
           cidAndPayload.map(_._1).toSeq)
+      // S51 — the delta's insert images were minted from each claim's
+      // baseWm; a moved head watermark means a concurrent allocation
+      // could collide. Clean the staged dirs and refuse (the caller
+      // re-runs the MERGE, re-minting) — the append loop's contract.
+      identity.foreach { cl =>
+        val cur = headMeta.get(IdentityWmPrefix + cl.phys)
+          .flatMap(_.toLongOption).getOrElse(cl.spec.base)
+        if (cur != cl.baseWm) {
+          (cidAndPayload.map(_._1).toSeq :+ dvRel).foreach(d =>
+            fs.delete(new Path(tableDir, d), true))
+          throw new IllegalStateException(
+            s"concurrent identity allocation on '${cl.logical}' at " +
+              s"$tableDir: this MERGE minted ids from watermark " +
+              s"${cl.baseWm} but the head now records $cur — retry the " +
+              "statement (it re-mints from the new watermark)")
+        }
+      }
+      val idMeta = identityWmMeta(identity, cidAndPayload.map(_._1).toSeq,
+        cidAndPayload.collect { case (c, Some(p)) => c -> p }.toMap)
       val zoneMeta = statsZonePin(payloadSchema, statsCols,
         cidAndPayload.exists(_._2.isDefined), headMeta, spark, tableDir)
       val newDv = headDv ++ touched.zipWithIndex.flatMap { case (p, i) =>
@@ -2329,7 +2367,7 @@ object ManifestTable {
         retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
         stats = statsOf(fs, tableDir, head) ++
           (for { (c, pl) <- cidAndPayload; p <- pl } yield c -> p),
-        meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++
+        meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++ idMeta ++
           stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
         dv = newDv,
         blooms = newBlooms)
@@ -2949,8 +2987,10 @@ object ManifestTable {
     * DML, compaction, time travel — while the parent never sees its
     * commits. The write-audit-publish flow (Iceberg branches / the
     * `spark.wap.branch` pattern): stage writes on the branch, audit
-    * them with real queries, then [[publishBranch]] fast-forwards the
-    * parent to the branch head in ONE atomic parent commit. */
+    * them with real queries, then [[publishBranch]] lands the
+    * branch on the parent in ONE atomic parent commit — fast-forward
+    * when the parent never moved, a dir-granular rebase (cherry-pick)
+    * when disjoint parent commits landed during the audit. */
   private[graft] val BranchesDirName = "_branches"
   private[graft] val BranchBaseKey = "branchBase"
 
@@ -2962,8 +3002,9 @@ object ManifestTable {
   }
 
   /** Create branch `name` at the parent's current head. One metadata
-    * commit (the clone); the branch records its base version so
-    * publish can verify fast-forwardability. Refused on bucketed
+    * commit (the clone); the branch records its base version — the
+    * three-way anchor [[publishBranch]] merges and conflict-checks
+    * against. Refused on bucketed
     * parents: a branch merge writes `b=N` dirs whose names would
     * collide with the parent's own buckets at publish time. */
   def createBranch(spark: SparkSession, tableDir: String,
@@ -3014,29 +3055,50 @@ object ManifestTable {
     fs.delete(new Path(bdir), true): Unit
   }
 
-  /** FAST-FORWARD publish: make the parent's next version exactly the
-    * branch's head state, then consume the branch. Strict WAP contract:
-    * refused unless the parent head still equals the branch's recorded
-    * base (no parent commit landed since the branch was cut) — the
-    * atomic `commitIf` at that base makes a racing parent writer lose
-    * cleanly (one of the two conflicts, nothing interleaves).
+  /** Publish branch `name`: land the branch's staged work on the parent
+    * in ONE atomic parent commit, then consume the branch. Two modes,
+    * decided by whether the parent moved since the cut:
+    *
+    *  - **Fast-forward** (parent head == branch base): the parent's
+    *    next version is exactly the branch head state — the classic
+    *    WAP contract.
+    *  - **Rebase** (parent advanced): the branch's commits-since-base
+    *    are re-keyed onto the CURRENT parent head — Iceberg's
+    *    cherry-pick, the shape a continuously-ingested table needs
+    *    (any strict-FF publish there would be permanently stuck). The
+    *    merge is dir-granular three-way against the recorded base:
+    *    dirs the branch added land; dirs the branch removed
+    *    (compaction/CoW rewrites) drop from the head; per-dir dv /
+    *    stats / bloom channels the branch changed override. It is
+    *    REFUSED loudly — naming the conflicts — when both lineages
+    *    touched the same dir (removed or re-masked it), changed the
+    *    same meta key (including `idwm:` — identity allocations on
+    *    both sides could collide), or both evolved the schema. A
+    *    refused publish leaves parent and branch intact.
     *
     * Mechanics: entries the branch carried foreign from the parent
     * re-key back to parent-relative; dirs the branch wrote LOCALLY
     * (appends, DML rewrites, compactions) MOVE into the parent tree
     * under deterministic `br-<name>-v<head>-…` names — `fs.rename`,
     * instant on posix/HDFS, a server-side copy on object stores — with
-    * stats/dv/bloom channels re-keyed in step. The moves are
-    * idempotent (a crashed publish resumes: target-present+source-
-    * missing = already moved), and the parent commit is the only
-    * visibility point — a crash before it leaves the parent byte-
-    * identical and the moved dirs as aged-out orphans at worst.
-    * Branch-local deletion-vector and bloom-sidecar dirs move the same
-    * way; branch-local staged-CDC references are dropped (the branch's
-    * own feed dies with it), while cdc references inherited from the
-    * parent base (identical key+value there) carry. The parent base's
-    * `tag:`/`txn:` pointers survive — a publish must not untag
-    * versions or reset writer watermarks. */
+    * stats/dv/bloom channels re-keyed in step. Moves run on the shared
+    * bounded metadata-I/O pool (a many-dir branch pays one pool sweep,
+    * not one serial RPC per dir), are idempotent (a crashed publish
+    * resumes: target-present+source-missing = already moved), and the
+    * parent commit is the only visibility point — a crash before it
+    * leaves the parent byte-identical and the moved dirs as aged-out
+    * orphans at worst. Branch-local deletion-vector and bloom-sidecar
+    * dirs move the same way; branch-local staged-CDC references are
+    * dropped (the branch's own feed dies with it), while cdc references
+    * the parent head holds carry. The parent head's `tag:` pointers
+    * survive (they name parent history; branch-created tags name branch
+    * versions and drop); `txn:` watermarks merge per key by MAX (a
+    * publish must never reset a writer's idempotence watermark).
+    *
+    * The commit is optimistic: a writer landing mid-publish just
+    * re-merges against the new head and retries (bounded), refusing
+    * only when the newcomer actually conflicts — then the moves are
+    * REVERSED so the branch survives intact. */
   def publishBranch(spark: SparkSession, tableDir: String,
                     name: String): Long = {
     val bdir = branchDirOf(tableDir, name)
@@ -3047,14 +3109,6 @@ object ManifestTable {
     val base = bsnap.meta.get(BranchBaseKey).flatMap(_.toLongOption)
       .getOrElse(throw new IllegalStateException(
         s"branch '$name' carries no $BranchBaseKey — not a branch?"))
-    val parentHead = headVersion(spark, tableDir).getOrElse(
-      throw new IllegalArgumentException(
-        s"no committed graft table at $tableDir"))
-    require(parentHead == base,
-      s"cannot fast-forward publish branch '$name': parent head is " +
-        s"v$parentHead but the branch was cut at v$base — the parent " +
-        "moved since. Re-cut the branch (drop + create) and replay, " +
-        "or drop it if superseded")
     val qualParent = fs.makeQualified(new Path(tableDir)).toString
     val nameEnc = name // validated charset is path-safe
     // idempotent move of a branch-local top-level entry into the parent
@@ -3141,79 +3195,285 @@ object ManifestTable {
     val rekeyedStats = bsnap.stats.collect {
       case (p, payload) if pathKey.contains(p) => pathKey(p) -> payload
     }
-    // meta: the branch's own staged-cdc refs die with it; refs the
-    // parent base also holds (identical key AND value) carry. TAGS
-    // name versions of a specific HISTORY: the base's survive (they
-    // point at retained parent versions), branch-created ones drop
-    // (they point at branch version numbers that mean nothing on the
-    // parent). TXN watermarks are monotone per appId and must never
-    // move backwards: an idempotent loader that advanced its watermark
-    // ON THE BRANCH would re-apply already-published batches if the
-    // publish reverted it to the base's value — merge per key by MAX.
-    val baseMeta = metaOf(fs, tableDir, base)
-    val txnKeys = (bsnap.meta.keySet ++ baseMeta.keySet)
-      .filter(_.startsWith("txn:"))
-    val mergedTxn = txnKeys.flatMap { k =>
-      val vs = Seq(bsnap.meta.get(k), baseMeta.get(k))
-        .flatten.flatMap(_.toLongOption)
-      if (vs.isEmpty) baseMeta.get(k).orElse(bsnap.meta.get(k)).map(k -> _)
-      else Some(k -> vs.max.toString)
-    }.toMap
-    val publishedMeta = bsnap.meta
-      .filterNot { case (k, v) =>
-        k == BranchBaseKey ||
-          k.startsWith(TagPrefix) || k.startsWith("txn:") ||
-          (k.startsWith("cdcdata:") && !baseMeta.get(k).contains(v)) }
-      .++(baseMeta.filter { case (k, _) => k.startsWith(TagPrefix) })
-      .++(mergedTxn)
-    // MOVE phase (idempotent, before the visibility point) — the
-    // target maps were populated by the re-key passes above
-    dataTargetOf.foreach { case (top, target) => moveLocal(top, target) }
-    dvTargetOf.foreach { case (sub, target) =>
-      moveLocal(s"$DvDirName/$sub", s"$DvDirName/$target") }
-    idxTargetOf.foreach { case (sub, target) =>
-      moveLocal(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
-    val retain = publishedMeta.get(GraftCatalog.PropPrefix + "retainGenerations")
-      .flatMap(_.toIntOption).getOrElse(2)
-    val committed = commitIf(spark, tableDir, rekeyedPaths, base,
-      retainGenerations = retain, schemaDdl = bsnap.schemaDdl,
-      stats = rekeyedStats, meta = publishedMeta, dv = rekeyedDv,
-      blooms = rekeyedBlooms).getOrElse {
-      // lost the parent-head race: the fast-forward contract no longer
-      // holds and never will (the base is gone for good). REVERSE the
-      // moves so the branch survives intact — its manifest references
-      // the branch-local names, which must exist again for the branch
-      // to stay readable/droppable/re-cuttable. The reverse renames
-      // are the forward moves' mirror; a crash mid-reverse leaves a
-      // mix a RETRIED publish cannot mend (base mismatch), but every
-      // dir is still in exactly one of its two known places and
-      // dropBranch + the orphan sweep clean both.
-      def moveBack(topRel: String, targetTop: String): Unit = {
-        val src = new Path(bdir, topRel)
-        val dst = new Path(tableDir, targetTop)
-        if ((try fs.exists(dst) catch { case _: java.io.IOException => false })
-            && !(try fs.exists(src) catch { case _: java.io.IOException => false })) {
-          fs.mkdirs(src.getParent)
-          fs.rename(dst, src): Unit
+    // ---- three-way anchor: the parent state the branch was cut from.
+    // Needed even when the parent never moved (it is the head then);
+    // gone = retention outran the branch, nothing to merge against.
+    val baseSnap =
+      try snapshotOf(fs, tableDir, base)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot publish branch '$name': its base v$base is no longer " +
+            s"retained on the parent — retention outran the audit " +
+            "window (raise retainGenerations) — re-cut the branch and " +
+            "replay, or drop it if superseded")
+      }
+    val baseSet = baseSnap.paths.toSet
+    val rekeyedSet = rekeyedPaths.toSet
+    // the branch's delta vs its base, dir-granular per channel
+    val branchRemoved = baseSet -- rekeyedSet
+    val branchNew = rekeyedPaths.filterNot(baseSet)
+    val branchNewSet = branchNew.toSet
+    val branchKept = baseSet & rekeyedSet
+    val bDvChanged = branchKept.filter(d =>
+      rekeyedDv.get(d) != baseSnap.dv.get(d))
+    val bStatsChanged = branchKept.filter(d =>
+      rekeyedStats.get(d) != baseSnap.stats.get(d))
+    // a shallow clone does not carry bloom sidecars (commitIf's
+    // auto-carry restores them at publish) — an ABSENT branch entry is
+    // "unchanged", only a differing PRESENT one is a branch change
+    val bBloomChanged = branchKept.filter(d =>
+      rekeyedBlooms.get(d).exists(v => !baseSnap.bloom.get(d).contains(v)))
+    val branchTouched = branchRemoved ++ bDvChanged ++ bStatsChanged ++
+      bBloomChanged
+    val branchSchemaChanged = bsnap.schemaDdl != baseSnap.schemaDdl
+    // meta keys with publish-specific handling, excluded from the
+    // generic three-way merge below. The commit-kind tag (`cdc` =
+    // `<kind>@<version>`) drops entirely: it describes ONE commit, and
+    // the publish commit is neither side's — a stale carried tag would
+    // mismatch by version anyway and the feed falls back to the
+    // manifest diff for this step.
+    def specialMeta(k: String): Boolean =
+      k == BranchBaseKey || k == CdcKindKey || k.startsWith(TagPrefix) ||
+        k.startsWith("txn:") || k.startsWith("cdcdata:")
+    // attempt a merge against ONE observed parent head; Left = the
+    // conflicts that make this branch unpublishable (for good — a
+    // conflict vs an already-committed parent version never clears)
+    final case class Merged(paths: Seq[String], schemaDdl: Option[String],
+        stats: Map[String, String], meta: Map[String, String],
+        dv: Map[String, String], blooms: Map[String, String])
+    def mergeAgainst(psnap: Snapshot): Either[String, Merged] = {
+      val pSet = psnap.paths.toSet
+      val pRemoved = baseSet -- pSet
+      val pKept = baseSet & pSet
+      val pChanged = pKept.filter(d =>
+        psnap.dv.get(d) != baseSnap.dv.get(d) ||
+          psnap.stats.get(d) != baseSnap.stats.get(d) ||
+          psnap.bloom.get(d) != baseSnap.bloom.get(d))
+      val parentTouched = pRemoved ++ pChanged
+      val dirConflicts = (branchTouched & parentTouched).toSeq.sorted
+      if (dirConflicts.nonEmpty)
+        return Left("both the branch and the parent touched " +
+          s"(rewrote, removed or re-masked) ${dirConflicts.size} dir(s): " +
+          dirConflicts.take(8).mkString(", "))
+      // schema: three-way — both evolved (to different shapes) refuses
+      val schemaDdl =
+        if (!branchSchemaChanged) psnap.schemaDdl
+        else if (psnap.schemaDdl == baseSnap.schemaDdl ||
+          psnap.schemaDdl == bsnap.schemaDdl) bsnap.schemaDdl
+        else return Left("both the branch and the parent evolved the " +
+          "table schema since the cut")
+      // meta: generic three-way per key; a key both sides changed (to
+      // different values) refuses — `idwm:` lands here by design: both
+      // lineages minting identity ids from the same base watermark can
+      // collide, the Delta conflict shape
+      val keys = (bsnap.meta.keySet ++ psnap.meta.keySet ++
+        baseSnap.meta.keySet).filterNot(specialMeta)
+      val metaConflicts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val merged3 = keys.toSeq.flatMap { k =>
+        val a = baseSnap.meta.get(k)
+        val b = bsnap.meta.get(k)
+        val p = psnap.meta.get(k)
+        // an identity watermark BOTH sides advanced conflicts even when
+        // they landed on the same value — equal watermarks mean both
+        // lineages minted the SAME ids from the shared base
+        val bothMinted = k.startsWith(IdentityWmPrefix) && b != a && p != a
+        val v = if (bothMinted) { metaConflicts += k; None }
+        else if (b == a) p
+        else if (p == a || p == b) b
+        else { metaConflicts += k; None }
+        v.map(k -> _)
+      }.toMap
+      if (metaConflicts.nonEmpty) {
+        val ks = metaConflicts.sorted
+        val hint = if (ks.exists(_.startsWith(IdentityWmPrefix)))
+          " (identity ids were allocated on BOTH lineages from the same " +
+            "watermark — the staged ids could collide)"
+        else ""
+        return Left("both the branch and the parent changed meta " +
+          s"key(s)$hint: ${ks.take(8).mkString(", ")}")
+      }
+      // TXN watermarks are monotone per appId and must never move
+      // backwards: merge branch and parent per key by MAX. TAGS name
+      // versions of the PARENT history — the head's survive, branch-
+      // created ones drop. Staged-CDC refs: the head's carry (the
+      // branch's own feed dies with it).
+      val txnKeys = (bsnap.meta.keySet ++ psnap.meta.keySet)
+        .filter(_.startsWith("txn:"))
+      val mergedTxn = txnKeys.flatMap { k =>
+        val vs = Seq(bsnap.meta.get(k), psnap.meta.get(k))
+          .flatten.flatMap(_.toLongOption)
+        if (vs.isEmpty) psnap.meta.get(k).orElse(bsnap.meta.get(k)).map(k -> _)
+        else Some(k -> vs.max.toString)
+      }.toMap
+      val meta = merged3 ++
+        psnap.meta.filter { case (k, _) =>
+          k.startsWith(TagPrefix) || k.startsWith("cdcdata:") } ++
+        mergedTxn
+      // channels: per dir — branch's where the branch changed/added it,
+      // the head's otherwise (conflict-free by the checks above)
+      val paths = (psnap.paths.filterNot(branchRemoved) ++ branchNew).distinct
+      def channel(pch: Map[String, String], bch: Map[String, String],
+                  bWins: Set[String]): Map[String, String] =
+        paths.flatMap { d =>
+          (if (branchNewSet(d) || bWins(d)) bch.get(d) else pch.get(d))
+            .map(d -> _)
+        }.toMap
+      Right(Merged(paths, schemaDdl,
+        channel(psnap.stats, rekeyedStats, bStatsChanged),
+        meta,
+        channel(psnap.dv, rekeyedDv, bDvChanged),
+        channel(psnap.bloom, rekeyedBlooms, bBloomChanged)))
+    }
+    // Deletion vectors store the masked file's URI VERBATIM ("files
+    // never move") — but the publish MOVES branch-local data dirs, so a
+    // dv that masks one of them must have its parquet REWRITTEN, not
+    // renamed: the path infix `/_branches/<name>/<top>/` becomes the
+    // moved dir's name. String surgery on the stored value keeps the
+    // original scheme rendering byte-identical, so the rewritten paths
+    // still raw-match `_metadata.file_path` at read time. Only dv dirs
+    // attached to a branch-LOCAL data entry pay the (tiny — masks are
+    // selective by protocol) rewrite job; masks of parent dirs rename.
+    val dvSubsNeedingRewrite: Set[String] = bsnap.dv.toSeq.collect {
+      case (p, payload) if !isForeign(p) =>
+        dvEntries(payload).collect {
+          case (d, _) if d.startsWith(DvDirName + "/") =>
+            d.stripPrefix(DvDirName + "/").split("/", 2).head
+        }
+    }.flatten.toSet
+    // every referenced dv dir under a top-level sub, as (sub, rest) —
+    // the rewrite must land each referenced dir at its exact re-keyed
+    // location (`_dv/<target>/<rest>`), preserving the subtree shape
+    val dvRefsBySub: Map[String, Set[String]] = bsnap.dv.values.toSeq
+      .flatMap(dvEntries(_).map(_._1))
+      .collect { case d if d.startsWith(DvDirName + "/") =>
+        val parts = d.stripPrefix(DvDirName + "/").split("/", 2)
+        parts.head -> (if (parts.length == 1) "" else parts(1))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def rewriteDv(sub: String, target: String, forward: Boolean): Unit = {
+      import org.apache.spark.sql.functions.{col, lit, replace}
+      val srcTop = if (forward) new Path(bdir, s"$DvDirName/$sub")
+                   else new Path(tableDir, s"$DvDirName/$target")
+      val dstTop = if (forward) new Path(tableDir, s"$DvDirName/$target")
+                   else new Path(bdir, s"$DvDirName/$sub")
+      dvRefsBySub.getOrElse(sub, Set("")).foreach { rest =>
+        val src = if (rest.isEmpty) srcTop else new Path(srcTop, rest)
+        val dst = if (rest.isEmpty) dstTop else new Path(dstTop, rest)
+        val srcThere = try fs.exists(src) catch { case _: java.io.IOException => false }
+        if (!srcThere) {
+          require(try fs.exists(dst) catch { case _: java.io.IOException => false },
+            s"publish of branch '$name': $src is gone and $dst absent — " +
+              "the branch tree is damaged")
+        } else {
+          val mapped = dataTargetOf.toSeq.foldLeft(col("path")) {
+            case (acc, (top, tgt)) =>
+              val o = s"/$BranchesDirName/$nameEnc/$top/"
+              val n = s"/$tgt/"
+              if (forward) replace(acc, lit(o), lit(n))
+              else replace(acc, lit(n), lit(o))
+          }
+          spark.read.schema(DvSchema).parquet(src.toString)
+            .withColumn("path", mapped)
+            .coalesce(1).write.mode("overwrite").parquet(dst.toString)
         }
       }
-      dataTargetOf.foreach { case (top, target) => moveBack(top, target) }
-      dvTargetOf.foreach { case (sub, target) =>
-        moveBack(s"$DvDirName/$sub", s"$DvDirName/$target") }
-      idxTargetOf.foreach { case (sub, target) =>
-        moveBack(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
+      fs.delete(srcTop, true): Unit
+    }
+    // MOVE phase (idempotent, before the visibility point) — one sweep
+    // of the shared bounded pool, not one serial RPC per dir. Forward
+    // and reverse share the sweep.
+    def moveAll(): Unit = sidecarIoSweep {
+      dataTargetOf.toSeq.map { case (top, target) =>
+        () => moveLocal(top, target) } ++
+      dvTargetOf.toSeq.map { case (sub, target) =>
+        if (dvSubsNeedingRewrite(sub)) () => rewriteDv(sub, target, forward = true)
+        else () => moveLocal(s"$DvDirName/$sub", s"$DvDirName/$target") } ++
+      idxTargetOf.toSeq.map { case (sub, target) =>
+        () => moveLocal(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
+    }
+    def moveBack(topRel: String, targetTop: String): Unit = {
+      val src = new Path(bdir, topRel)
+      val dst = new Path(tableDir, targetTop)
+      if ((try fs.exists(dst) catch { case _: java.io.IOException => false })
+          && !(try fs.exists(src) catch { case _: java.io.IOException => false })) {
+        fs.mkdirs(src.getParent)
+        fs.rename(dst, src): Unit
+      }
+    }
+    // REVERSE the moves so the branch survives intact — its manifest
+    // references the branch-local names, which must exist again for the
+    // branch to stay readable/droppable/re-cuttable. The reverse renames
+    // are the forward moves' mirror; a crash mid-reverse leaves a mix a
+    // retried publish cannot mend, but every dir is still in exactly one
+    // of its two known places and dropBranch + the orphan sweep clean both.
+    def moveAllBack(): Unit = sidecarIoSweep {
+      dataTargetOf.toSeq.map { case (top, target) =>
+        () => moveBack(top, target) } ++
+      dvTargetOf.toSeq.map { case (sub, target) =>
+        if (dvSubsNeedingRewrite(sub))
+          () => rewriteDv(sub, target, forward = false)
+        else () => moveBack(s"$DvDirName/$sub", s"$DvDirName/$target") } ++
+      idxTargetOf.toSeq.map { case (sub, target) =>
+        () => moveBack(s"$IdxDirName/$sub", s"$IdxDirName/$target") }
+    }
+    def refuse(why: String, movedAlready: Boolean): Nothing = {
+      if (movedAlready) moveAllBack()
       throw new IllegalStateException(
-        s"publish of branch '$name' lost the parent head race at " +
-          s"v$base — a writer committed during the publish. The moved " +
-          "dirs were returned to the branch (it remains intact and " +
-          "readable), but the fast-forward contract no longer holds: " +
-          "re-cut the branch and replay, or drop it if superseded")
+        s"cannot publish branch '$name' (cut at v$base): $why. " +
+          "The branch remains intact and readable — re-cut it and " +
+          "replay, or drop it if superseded" +
+          (if (movedAlready) " (the moved dirs were returned to the branch)"
+           else ""))
+    }
+    // optimistic-commit loop: re-merge against whatever head a racing
+    // writer left, refuse only on a REAL conflict (which never clears)
+    var moved = false
+    var committed: Option[Long] = None
+    var attempts = 0
+    while (committed.isEmpty) {
+      attempts += 1
+      val parentHead = headVersion(spark, tableDir).getOrElse(
+        refuse("no committed graft table at the parent", moved))
+      val psnap = snapshotOf(fs, tableDir, parentHead)
+      val m = mergeAgainst(psnap) match {
+        case Left(why) => refuse(why, moved)
+        case Right(m) => m
+      }
+      if (attempts > 10)
+        refuse(s"parent commit contention — $attempts merge attempts " +
+          "each lost the head race", moved)
+      if (!moved) { moveAll(); moved = true }
+      val retain = m.meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+        .flatMap(_.toIntOption).getOrElse(2)
+      committed = commitIf(spark, tableDir, m.paths, parentHead,
+        retainGenerations = retain, schemaDdl = m.schemaDdl,
+        stats = m.stats, meta = m.meta, dv = m.dv, blooms = m.blooms)
     }
     // consume the branch (crash here leaves a stale branch; publish of
     // it refuses on base mismatch and dropBranch cleans)
     invalidateSnapshots(bdir)
     fs.delete(new Path(bdir), true)
-    committed
+    committed.get
+  }
+
+  /** Run `tasks` concurrently on the shared metadata-I/O pool, await
+    * all, rethrow the first failure (unwrapped). Used for the publish
+    * move sweeps — driver-side renames whose latency on an object
+    * store is per-RPC, not per-byte. */
+  private def sidecarIoSweep(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.isEmpty) return
+    val futures = tasks.map(t => metaIoPool.submit(
+      new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = t()
+      }))
+    var first: Throwable = null
+    futures.foreach { f =>
+      try f.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          if (first == null) first = e.getCause
+      }
+    }
+    if (first != null) throw first
   }
 
   /** (version, commit epoch millis from the manifest file's mtime) for

@@ -174,6 +174,138 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("writers + compactor + brancher race one table: publishes land exactly once, refusals leave no orphans") {
+    // S49 under randomized contention: a brancher cuts WAP branches,
+    // stages appends + branch-local MoR masks, and publishes (now a
+    // REBASE — the parent is guaranteed to have moved under it), while
+    // writers churn DML and a compactor rewrites base dirs. Branch
+    // work only touches branch-local dirs, so every publish is
+    // conflict-free by design and must eventually land (bounded
+    // contention refusals reverse the moves and retry whole); dropped
+    // branches must leave nothing behind. Invariant: the end state is
+    // exactly the writers' models plus the PUBLISHED branch rows —
+    // a lost publish move, a leaked reversed dir, or a double-landed
+    // branch row all break it.
+    wh: Unit
+    val s = spark; import s.implicits._
+    for (seed <- 1 to 2) {
+      spark.sql("DROP TABLE IF EXISTS gccf.lake.b")
+      spark.sql("CREATE TABLE gccf.lake.b (k INT, v STRING) " +
+        "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='200', " +
+        "'dml.mode'='merge-on-read', 'bloomCols'='k')")
+      spark.sql("INSERT INTO gccf.lake.b VALUES (1, 'seed')")
+      val dir = s"$wh/lake/b"
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+
+      class Writer(t: Int) extends Thread {
+        val model = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+        private val rnd = new scala.util.Random(3000L * seed + t)
+        private var next = t * 1000 + 10
+        override def run(): Unit = try {
+          for (step <- 1 to 8) {
+            rnd.nextInt(3) match {
+              case 0 =>
+                val k = next; next += 1
+                retrying(s"t$t insert")(spark.sql(
+                  s"INSERT INTO gccf.lake.b VALUES ($k,'t$t-i$step')"))
+                model(k) = s"t$t-i$step"
+              case 1 if model.nonEmpty =>
+                val ks = rnd.shuffle(model.keys.toList).take(1 + rnd.nextInt(2))
+                retrying(s"t$t delete")(spark.sql(
+                  s"DELETE FROM gccf.lake.b WHERE k IN (${ks.mkString(",")})"))
+                ks.foreach(model.remove)
+              case _ =>
+                val k = next; next += 1
+                retrying(s"t$t seed")(spark.sql(
+                  s"INSERT INTO gccf.lake.b VALUES ($k,'t$t-s$step')"))
+                model(k) = s"t$t-s$step"
+            }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
+
+      class Compactor extends Thread {
+        override def run(): Unit = try {
+          for (i <- 1 to 4) {
+            Thread.sleep(100)
+            try ManifestTable.compactAppend(spark, dir, Seq("k"), k = 3,
+              retainGenerations = 200): Unit
+            catch { case e: Throwable if retryable(e) => () }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
+
+      class Brancher extends Thread {
+        val model = scala.collection.mutable.LinkedHashMap.empty[Int, String]
+        private val rnd = new scala.util.Random(4000L * seed)
+        private var next = 9000
+        override def run(): Unit = try {
+          for (i <- 1 to 4) {
+            Thread.sleep(50)
+            val name = s"fz$i"
+            ManifestTable.createBranch(spark, dir, name): Unit
+            val bdir = ManifestTable.branchDirOf(dir, name)
+            val rows = (0 until 2).map { _ =>
+              val k = next; next += 1; (k, s"br$i-$k") }
+            ManifestTable.append(rows.toDF("k", "v"), bdir,
+              statsCols = Seq("k"), retainGenerations = 10): Unit
+            // sometimes mask one of the branch's OWN fresh rows — a
+            // branch-local dv dir that must move through the publish
+            val masked: Option[Int] =
+              if (rnd.nextBoolean()) {
+                val k = rows.head._1
+                ManifestTable.deleteWhereMoR(spark, bdir,
+                  org.apache.spark.sql.functions.col("k") === k,
+                  Map.empty): Unit
+                Some(k)
+              } else None
+            if (i == 3) {
+              // one audit "fails": the branch drops, its rows vanish
+              ManifestTable.dropBranch(spark, dir, name)
+            } else {
+              retrying(s"publish $name")(
+                ManifestTable.publishBranch(spark, dir, name)): Unit
+              rows.filterNot { case (k, _) => masked.contains(k) }
+                .foreach { case (k, v) => model(k) = v }
+            }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
+
+      val writers = (0 until 2).map(new Writer(_))
+      val brancher = new Brancher
+      val racers = writers ++ Seq(new Compactor, brancher)
+      racers.foreach(_.start())
+      racers.foreach(_.join(600000))
+      val died = Option(failures.peek())
+      assert(died.isEmpty, died.map(e =>
+        s"seed $seed worker died: $e\n${e.getStackTrace.take(12).mkString("\n")}")
+        .getOrElse(""))
+
+      val expected = (writers.flatMap(_.model) ++ brancher.model)
+        .toMap + (1 -> "seed")
+      val got = spark.table("gccf.lake.b").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(got == expected,
+        s"seed $seed diverged: missing=${(expected.keySet -- got.keySet).toSeq.sorted.take(8)} " +
+          s"extra=${(got.keySet -- expected.keySet).toSeq.sorted.take(8)}")
+      // every schedule consumes or drops its branches — nothing orphaned
+      assert(ManifestTable.branches(spark, dir).isEmpty,
+        s"seed $seed left branches standing")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_branches")) ||
+        fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_branches")).isEmpty,
+        s"seed $seed left orphaned branch dirs")
+      // quiesced compaction materializes surviving masks, content intact
+      ManifestTable.compactAppend(spark, dir, Seq("k"), k = 3,
+        retainGenerations = 200)
+      val got2 = spark.table("gccf.lake.b").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(got2 == expected, s"seed $seed diverged after final compaction")
+    }
+  }
+
   test("writers + compactor + schema evolver race one table: renames never corrupt stats/bloom re-keys") {
     // THE seam the single-family fuzzes miss: a RENAME of the
     // stats/bloom column racing a compaction's sidecar rebuild and
