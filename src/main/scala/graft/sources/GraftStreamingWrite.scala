@@ -60,7 +60,11 @@ import org.apache.spark.util.SerializableConfiguration
 class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                           queryId: String, statsCols: Seq[String],
                           retain: Int, clusterCols: Seq[String] = Seq.empty,
-                          cmap: Map[String, String] = Map.empty)
+                          cmap: Map[String, String] = Map.empty,
+                          contracts: Option[GraftRowContracts] = None,
+                          identityClaims: Seq[ManifestTable.IdentityClaim] =
+                            Seq.empty,
+                          boundCheckKeys: Set[String] = Set.empty)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -88,7 +92,7 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       // stats track ordinals, so their logical keys are unaffected
       GraftTaskWriters.writeConf(spark,
         ManifestTable.toPhysical(writeSchema, cmap)),
-      inlineSpec.getOrElse(Seq.empty), zone)
+      inlineSpec.getOrElse(Seq.empty), zone, contracts)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -182,10 +186,14 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       fileDirs.map(_._1), stats, statsCols, retain,
       meta = Map(txnKey -> epochId.toString),
       recordingStats = stats.nonEmpty,
-      // the guard set: this write refuses tables with declared checks
-      // at build time, so any check key appearing at publish time was
-      // declared MID-STREAM — the guard fails the epoch loudly
-      boundChecks = Set.empty): Unit
+      // the guard set = the checks this epoch's task writers actually
+      // enforced; a check key at publish time NOT in it was declared
+      // MID-STREAM — the guard fails the epoch loudly. Identity claims
+      // ride through: the loop advances `idwm:` from the landed dirs'
+      // own stats lanes and refuses if a concurrent allocation moved
+      // the watermark this epoch minted from.
+      boundChecks = boundCheckKeys,
+      identity = identityClaims): Unit
   }
 
   override def abort(epochId: Long,
@@ -198,6 +206,57 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
         .filter { p => val n = p.getName
           n == s"p$epochId" || n.startsWith(s"p$epochId-") }
         .foreach(fs.delete(_, true))
+  }
+}
+
+/** X15 — the table's write contracts BOUND to the write schema, shipped
+  * to the executor task writers and applied per row: the streaming
+  * sink has no driver-side plan to fold guards into, so the bound
+  * Catalyst expressions ARE the batch path's guards, minus the plan.
+  * Application order mirrors the batch choke point: identity MINT
+  * first (a generated expression or check may read the id), then
+  * generated fill/validate, then CHECK predicates — a violating row
+  * throws, the task aborts, and the epoch dies BEFORE its manifest
+  * commit (nothing lands). Minting replicates the batch kernel's
+  * arithmetic exactly — `wm + step * (1 + (partition << 33) + n)`,
+  * `monotonically_increasing_id`'s layout — so ids stay unique and
+  * gap-tolerant with zero cross-task coordination. */
+case class GraftRowContracts(
+    fieldTypes: Seq[DataType],
+    checks: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    gens: Seq[(String, Int, org.apache.spark.sql.catalyst.expressions.Expression)],
+    idents: Seq[(String, Int, Long, Long, Boolean)])
+    extends Serializable {
+  def isEmpty: Boolean = checks.isEmpty && gens.isEmpty && idents.isEmpty
+}
+
+object GraftRowContracts {
+
+  /** Parse `sql` against `schema`'s columns and bind it by ordinal —
+    * analyzer-resolved (functions, implicit casts, time zones), then
+    * `BindReferences` so the executors evaluate it straight off the
+    * task rows. `castTo` wraps the declared type around a generation
+    * expression (the batch path's `.cast(dt)`). */
+  private[sources] def bind(spark: SparkSession, schema: StructType,
+                            sql: String, castTo: Option[DataType] = None)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BindReferences, Cast}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    val attrs = schema.fields.toIndexedSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val parsed0 = spark.sessionState.sqlParser.parseExpression(sql)
+    val parsed = castTo.map(Cast(parsed0, _)).getOrElse(parsed0)
+    val analyzed = spark.sessionState.analyzer.execute(
+      Project(Seq(Alias(parsed, "__graft_contract")()), LocalRelation(attrs)))
+    val resolved = analyzed.collectFirst {
+      case p: Project => p.projectList.head
+        .asInstanceOf[Alias].child
+    }.getOrElse(throw new IllegalStateException(
+      s"contract expression did not analyze to a projection: $sql"))
+    require(resolved.resolved,
+      s"cannot resolve contract expression '$sql' against the write " +
+        s"schema ${schema.fieldNames.mkString("(", ", ", ")")}")
+    BindReferences.bindReference(resolved, attrs)
   }
 }
 
@@ -313,14 +372,17 @@ private[sources] object GraftTaskWriters {
 case class GraftStreamingWriterFactory(stageDir: String,
                                        conf: SerializableConfiguration,
                                        statsSpec: Seq[StatsColSpec] = Seq.empty,
-                                       zone: String = "UTC")
+                                       zone: String = "UTC",
+                                       contracts: Option[GraftRowContracts] =
+                                         None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new GraftTaskWriter(
       s"$stageDir/e$epochId/part-$partitionId-$taskId-" +
         java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
-      conf.value, statsSpec, zone, partitionId)
+      conf.value, statsSpec, zone, partitionId,
+      contracts.filterNot(_.isEmpty))
 }
 
 /** One task's parquet writer — opened lazily so zero-row tasks leave
@@ -332,11 +394,81 @@ case class GraftStreamingWriterFactory(stageDir: String,
   * never re-reads the file. */
 class GraftTaskWriter(path: String, conf: Configuration,
                       statsSpec: Seq[StatsColSpec] = Seq.empty,
-                      zone: String = "UTC", partitionId: Int = -1)
+                      zone: String = "UTC", partitionId: Int = -1,
+                      contracts: Option[GraftRowContracts] = None)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
   private var rows = 0L
+
+  // ---- write-contract state (only allocated for contract tables) ----
+  // nondeterministic leaves must be seeded before interpreted eval
+  contracts.foreach(c => (c.checks.map(_._2) ++ c.gens.map(_._3)).foreach(
+    _.foreach {
+      case n: org.apache.spark.sql.catalyst.expressions.Nondeterministic =>
+        n.initialize(math.max(partitionId, 0))
+      case _ => ()
+    }))
+  private val genOrds = contracts.map(_.gens.map { case (_, ord, _) =>
+    TypeUtils.getInterpretedOrdering(
+      contracts.get.fieldTypes(ord))
+  }).getOrElse(Seq.empty)
+  private val mintCounts =
+    new Array[Long](contracts.map(_.idents.length).getOrElse(0))
+
+  /** Identity mint → generated fill/validate → CHECK gates, per row.
+    * Copies the row only when a fill actually happens. */
+  private def applyContracts(record: InternalRow): InternalRow = {
+    val c = contracts.get
+    var row: InternalRow = record
+    var mutable: org.apache.spark.sql.catalyst.expressions.GenericInternalRow = null
+    def ensureMutable(): Unit = if (mutable == null) {
+      val arr = new Array[Any](c.fieldTypes.length)
+      var i = 0
+      while (i < c.fieldTypes.length) {
+        arr(i) = if (record.isNullAt(i)) null
+                 else copied(record.get(i, c.fieldTypes(i)))
+        i += 1
+      }
+      mutable = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(arr)
+      row = mutable
+    }
+    var j = 0
+    c.idents.foreach { case (logical, ord, baseWm, step, allowExplicit) =>
+      if (record.isNullAt(ord)) {
+        ensureMutable()
+        mutable.update(ord, baseWm + step *
+          (1L + (math.max(partitionId, 0).toLong << 33) + mintCounts(j)))
+        mintCounts(j) += 1
+      } else if (!allowExplicit)
+        throw new IllegalArgumentException(
+          s"identity column '$logical' is GENERATED ALWAYS — explicit " +
+            "values are refused on the streaming write (declare BY " +
+            s"DEFAULT to allow them); got ${record.get(ord, c.fieldTypes(ord))}")
+      j += 1
+    }
+    c.gens.zip(genOrds).foreach { case ((logical, ord, e), ord2) =>
+      val computed = e.eval(row)
+      if (row.isNullAt(ord)) {
+        if (computed != null) { ensureMutable(); mutable.update(ord, copied(computed)) }
+      } else {
+        val cur = row.get(ord, c.fieldTypes(ord))
+        if (computed == null || !ord2.equiv(cur, computed))
+          throw new IllegalArgumentException(
+            s"generated column '$logical' violated by a streamed row: " +
+              s"provided $cur, expression computes $computed")
+      }
+    }
+    c.checks.foreach { case (nm, p) =>
+      val verdict = p.eval(row)
+      if (verdict != null && !verdict.asInstanceOf[Boolean])
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$nm' violated by a streamed row — the " +
+            "epoch aborts before its manifest commit")
+    }
+    row
+  }
 
   // per-column running extremes as CATALYST values (string stats would
   // mis-rank numerics); UTF8String candidates are cloned only when they
@@ -384,8 +516,9 @@ class GraftTaskWriter(path: String, conf: Configuration,
         .withCompressionCodec(
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
         .build()
-    writer.write(record) // consumed synchronously by the write support
-    track(record)
+    val out = if (contracts.isDefined) applyContracts(record) else record
+    writer.write(out) // consumed synchronously by the write support
+    track(out)
     rows += 1
   }
 

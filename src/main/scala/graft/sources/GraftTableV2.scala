@@ -537,12 +537,17 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
 
     /** X15/X16 — native streaming path (`writeStream.toTable` /
       * `.format("graft")`): executor task writers + exactly-once epoch
-      * commits ([[GraftStreamingWrite]]). Tables whose write contracts
-      * need a driver-side plan are refused with the foreachBatch route
-      * named — a silent contract skip would be worse than an error.
-      * Clustered tables are SERVED (r14): the range shuffle their
-      * layout needs is planned by Spark from this write's declared
-      * distribution, not by a driver-side plan. */
+      * commits ([[GraftStreamingWrite]]). Write CONTRACTS bind INTO
+      * the path (r18): declared + ad-hoc CHECK constraints, generated
+      * columns and identity minting ship as schema-bound Catalyst
+      * expressions the task writers evaluate per row — a violating
+      * epoch dies before its manifest commit, minted ids ride the
+      * batch kernel's exact arithmetic against a per-epoch watermark
+      * claim the commit loop verifies. Only bucketed tables still
+      * refuse (the merge kernel is genuinely a driver-side shuffle
+      * plan). Clustered tables are SERVED (r14): the range shuffle
+      * their layout needs is planned by Spark from this write's
+      * declared distribution. */
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
       val spark = SparkSession.active
@@ -563,37 +568,67 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
             .getFileSystem(spark.sessionState.newHadoopConf())
           ManifestTable.metaOf(fs, tableDir, v)
         }.getOrElse(Map.empty[String, String])
-      val declaredChecks = headMeta.keySet
-        .filter(_.startsWith(GraftCatalog.PropPrefix + "check."))
-      require(declaredChecks.isEmpty && checks.isEmpty,
-        "streaming writes to a CHECK-constrained table go through " +
-          "foreachBatch + Streams.appendSink (the per-row guard is a " +
-          "driver-side plan); constraints: " +
-          declaredChecks.toSeq.sorted.mkString(", "))
-      // S50/S51 — the executor task writers commit straight through
-      // appendCommitLoopCore: no generation step runs and no identity
-      // watermark claim exists on that path, so silently admitting the
-      // epoch would land NULL ids / unvalidated generated values —
-      // exactly the invariant-violation class the CHECK guard above
-      // refuses. Same remedy: the foreachBatch route binds every
-      // contract per micro-batch.
-      val contractCols = headMeta.keySet.filter(k =>
-        k.startsWith(ManifestTable.GenColPrefix) ||
-          k.startsWith(ManifestTable.IdentityPrefix))
-      require(contractCols.isEmpty,
-        "streaming writes to a table with GENERATED/IDENTITY columns " +
-          "go through foreachBatch + Streams.appendSink (generation and " +
-          "identity minting are driver-side plan steps); columns: " +
-          contractCols.toSeq.sorted.mkString(", "))
-      // cluster columns are always stats-tracked — pruning needs their
-      // ranges (the S27 batch rule, applied per epoch)
       val cmap = ManifestTable.headVersion(spark, tableDir).map { v =>
         val fs = new Path(tableDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         ManifestTable.colMapOf(fs, tableDir, v)
-      }.getOrElse(Map.empty)
+      }.getOrElse(Map.empty[String, String])
+      val physToLogical = cmap.map(_.swap)
+      def ordinalOf(logical: String): Int =
+        info.schema.fieldNames.indexWhere(_.equalsIgnoreCase(logical))
+      // S30 — CHECK constraints, declared (persisted meta channel) and
+      // ad-hoc (`check.<name>` write options), bound to the write
+      // schema; the bound-key set feeds the ALTER-mid-stream guard
+      val checkPrefix = GraftCatalog.PropPrefix + "check."
+      val declaredChecks = headMeta.toSeq.collect {
+        case (k, sql) if k.startsWith(checkPrefix) => k -> sql
+      }.sortBy(_._1)
+      val checkExprs = (declaredChecks.map { case (k, sql) =>
+        k.stripPrefix(checkPrefix) -> sql } ++ checks).map { case (nm, sql) =>
+        nm -> GraftRowContracts.bind(spark, info.schema, sql) }
+      // S50 — generated columns: fill-or-validate per row, the batch
+      // choke point's semantics with the declared type cast
+      val genExprs = headMeta.toSeq.collect {
+        case (k, sql) if k.startsWith(ManifestTable.GenColPrefix) =>
+          k.stripPrefix(ManifestTable.GenColPrefix) -> sql
+      }.sortBy(_._1).flatMap { case (phys, sql) =>
+        val logical = physToLogical.getOrElse(phys, phys)
+        val ord = ordinalOf(logical)
+        if (ord < 0) None
+        else Some((logical, ord, GraftRowContracts.bind(spark, info.schema,
+          sql, Some(info.schema.fields(ord).dataType))))
+      }
+      // S51 — identity: each epoch claims the head watermark at write
+      // construction (one StreamingWrite per micro-batch); the commit
+      // loop refuses if a concurrent allocation moved it
+      val idClaims = ManifestTable.identitySpecs(headMeta).toSeq
+        .sortBy(_._1).flatMap { case (phys, spec) =>
+          val logical = physToLogical.getOrElse(phys, phys)
+          val ord = ordinalOf(logical)
+          if (ord < 0) None
+          else {
+            require(info.schema.fields(ord).dataType ==
+              org.apache.spark.sql.types.LongType,
+              s"identity column '$logical' must be BIGINT on the " +
+                "streaming write (per-partition mint offsets span 2^33)")
+            val wm = headMeta.get(ManifestTable.IdentityWmPrefix + phys)
+              .flatMap(_.toLongOption).getOrElse(spec.base)
+            Some(ManifestTable.IdentityClaim(phys, logical, spec, wm))
+          }
+        }
+      val idents = idClaims.map { cl =>
+        (cl.logical, ordinalOf(cl.logical), cl.baseWm, cl.spec.step,
+          cl.spec.allowExplicit) }
+      val contracts = GraftRowContracts(
+        info.schema.fields.map(_.dataType).toSeq, checkExprs, genExprs,
+        idents)
+      // cluster AND identity columns are always stats-tracked — pruning
+      // needs the ranges (S27, per epoch) and the identity watermark is
+      // read from the landed dirs' own lanes
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
-        (statsCols ++ cluster).distinct, retain, cluster, cmap)
+        (statsCols ++ cluster ++ idClaims.map(_.logical)).distinct, retain,
+        cluster, cmap, Some(contracts).filterNot(_.isEmpty), idClaims,
+        declaredChecks.map(_._1).toSet)
     }
 
     private def txnMeta: Map[String, String] =

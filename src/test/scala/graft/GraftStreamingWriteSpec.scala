@@ -336,32 +336,139 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       s"inline stats drifted from the read-back form:\n ${stats(rel)}\n $expected")
   }
 
-  test("contract-bearing tables refuse the native path, naming the foreachBatch route") {
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Seq.empty
+    else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("CHECK constraints bind INTO the native stream: a violating epoch dies before its manifest commit") {
     wh: Unit
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Seq.empty
-      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    def tryStream(table: String): Seq[String] = {
-      val src = Files.createTempDirectory("gsw-ref").toString
-      val s = spark; import s.implicits._
-      Seq(1 -> "a").toDF("k", "v").write.parquet(s"$src/f1")
-      val e = intercept[Exception] {
-        val q = spark.readStream.schema("k INT, v STRING")
-          .parquet(s"$src/*")
-          .writeStream.option("checkpointLocation",
-            Files.createTempDirectory("gsw-refck").toString)
-          .trigger(Trigger.AvailableNow()).toTable(table)
-        q.awaitTermination()
-      }
-      msgs(e)
-    }
+    val s = spark; import s.implicits._
     spark.sql("DROP TABLE IF EXISTS gsw.lake.chk")
     spark.sql("CREATE TABLE gsw.lake.chk (k INT, v STRING) " +
-      "TBLPROPERTIES ('check.pos'='k > 0')")
-    assert(tryStream("gsw.lake.chk").exists(_.contains("foreachBatch")))
+      "TBLPROPERTIES ('check.pos'='k > 0', 'retainGenerations'='20')")
+    val src = Files.createTempDirectory("gsw-chk").toString
+    val ck = Files.createTempDirectory("gsw-chkck").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema("k INT, v STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.chk")
+      q.awaitTermination()
+    }
+    Seq(1 -> "a", 2 -> "b").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/f1")
+    run()
+    assert(spark.table("gsw.lake.chk").count() === 2L)
+    // served by the NATIVE path (epoch commit dirs), not foreachBatch
+    val dir = s"$wh/lake/chk"
+    assert(ManifestTable.livePaths(fs, dir).exists(_.startsWith("ss-")),
+      "a CHECK table must stream through the native task-writer path")
+    // a violating row kills its epoch BEFORE the manifest commit
+    Seq(-5 -> "bad").toDF("k", "v").coalesce(1).write.parquet(s"$src/f2")
+    val e = intercept[Exception] { run() }
+    assert(msgs(e).exists(_.contains("CHECK constraint 'pos'")),
+      s"got: ${msgs(e).take(3)}")
+    assert(spark.table("gsw.lake.chk").count() === 2L,
+      "the violating epoch must land NOTHING")
+  }
+
+  test("generated columns fill and validate inside the native stream's task writers") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.gen")
+    spark.sql("CREATE TABLE gsw.lake.gen (k INT, v STRING, " +
+      "vlen INT GENERATED ALWAYS AS (length(v))) " +
+      "TBLPROPERTIES ('retainGenerations'='20')")
+    val src = Files.createTempDirectory("gsw-gen").toString
+    val ck = Files.createTempDirectory("gsw-genck").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema("k INT, v STRING, vlen INT")
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.gen")
+      q.awaitTermination()
+    }
+    // NULL generated values fill from the expression, task-side
+    Seq((1, "abc", null.asInstanceOf[java.lang.Integer]),
+        (2, "zzzzz", null.asInstanceOf[java.lang.Integer]))
+      .toDF("k", "v", "vlen").coalesce(1).write.parquet(s"$src/f1")
+    run()
+    val got = spark.table("gsw.lake.gen").collect()
+      .map(r => r.getInt(0) -> r.getInt(2)).toMap
+    assert(got === Map(1 -> 3, 2 -> 5),
+      s"generated values must compute in the task writers: $got")
+    // a provided WRONG value dies before the manifest commit
+    Seq((3, "xy", java.lang.Integer.valueOf(999)))
+      .toDF("k", "v", "vlen").coalesce(1).write.parquet(s"$src/f2")
+    val e = intercept[Exception] { run() }
+    assert(msgs(e).exists(_.contains("generated column 'vlen'")),
+      s"got: ${msgs(e).take(3)}")
+    assert(spark.table("gsw.lake.gen").count() === 2L)
+  }
+
+  test("identity minting rides the native stream: unique across epochs, a crash-replay epoch skips without re-minting") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.sid")
+    spark.sql("CREATE TABLE gsw.lake.sid (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='20')")
+    val src = Files.createTempDirectory("gsw-sid").toString
+    val ck = Files.createTempDirectory("gsw-sidck").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema("id BIGINT, v STRING")
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.sid")
+      q.awaitTermination()
+    }
+    val nullId = null.asInstanceOf[java.lang.Long]
+    Seq((nullId, "a"), (nullId, "b")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/f1")
+    Seq((nullId, "c")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/f2")
+    run()
+    val ids = spark.table("gsw.lake.sid").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.length === 3 && ids.distinct.length === 3,
+      s"streamed ids must be unique across epochs: $ids")
+    assert(ids.forall(_ >= 1L), s"ids respect the declared start: $ids")
+    // CRASH-REPLAY: torch the last checkpoint ack — the re-delivered
+    // epoch must SKIP (txn watermark), leaving the minted ids untouched
+    fs.listStatus(new Path(ck, "commits")).map(_.getPath)
+      .filter(!_.getName.startsWith("."))
+      .sortBy(_.getName.toInt).lastOption.foreach(fs.delete(_, false))
+    run()
+    val after = spark.table("gsw.lake.sid").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(after === ids.sorted,
+      s"a replayed epoch must not re-mint: before=${ids.sorted} after=$after")
+    // a GENERATED ALWAYS column refuses explicit streamed values
+    Seq((java.lang.Long.valueOf(77L), "boom")).toDF("id", "v").coalesce(1)
+      .write.parquet(s"$src/f3")
+    val e = intercept[Exception] { run() }
+    assert(msgs(e).exists(_.contains("GENERATED ALWAYS")),
+      s"got: ${msgs(e).take(3)}")
+    assert(spark.table("gsw.lake.sid").count() === 3L,
+      "the refused epoch must land nothing")
+  }
+
+  test("bucketed tables still refuse the native path, naming the foreachBatch route") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    val src = Files.createTempDirectory("gsw-ref").toString
+    Seq(1L -> "a").toDF("k", "v").write.parquet(s"$src/f1")
     spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt")
     spark.sql("CREATE TABLE gsw.lake.bkt (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('layout'='bucketed:k:4')")
-    assert(tryStream("gsw.lake.bkt").exists(_.contains("foreachBatch")))
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema("k BIGINT, v STRING")
+        .parquet(s"$src/*")
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("gsw-refck").toString)
+        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.bkt")
+      q.awaitTermination()
+    }
+    assert(msgs(e).exists(_.contains("foreachBatch")))
   }
 }
