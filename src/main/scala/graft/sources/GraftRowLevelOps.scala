@@ -604,12 +604,25 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       var boundChecks: Set[String] = Set.empty
       val cid = "pd-" + java.util.UUID.randomUUID().toString.take(8)
+      // S51 — MERGE-inserted rows on the merge-on-read path MINT their
+      // identity ids (r18): route the insert images through the same
+      // kernel the append surfaces use; the claims thread into
+      // publishMorDelta, which verifies the watermark still matches
+      // and advances it in the same commit. Deletes stay masks.
+      val (minted, idClaims) =
+        ManifestTable.assignIdentity(inserts, dir, fs,
+          // update post-images arrive as insert records CARRYING their
+          // ids — pass non-nulls ungated, mint only the true inserts
+          gateExplicit = false)
       val (checked, bc) =
-        GraftManifestSource.bindDeclaredChecks(inserts, dir,
+        GraftManifestSource.bindDeclaredChecks(minted, dir,
           recomputeGenerated = true)
       boundChecks = bc
+      // identity columns join the tracked set: the per-dir max IS the
+      // watermark-advance input publishMorDelta reads
+      val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
       val obs = org.apache.spark.sql.Observation()
-      val aggs = ManifestTable.statsAggExprs(statsCols)
+      val aggs = ManifestTable.statsAggExprs(statsCols2)
       ManifestTable.writePhysical(
         checked.observe(obs, aggs.head, aggs.tail: _*),
         ManifestTable.colMapOf(fs, dir, baseV))
@@ -621,7 +634,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
           fs.delete(new Path(dir, cid), true): Unit
           None
         } else Some((cid,
-          Some(ManifestTable.statsPayloadFrom(insertedRows, statsCols, m))))
+          Some(ManifestTable.statsPayloadFrom(insertedRows, statsCols2, m))))
       if (counts.valuesIterator.sum == 0L && cidAndPayload.isEmpty) {
         fs.delete(new Path(dir, dvRel), true): Unit
         return // provable no-op: no masks, no images
@@ -630,8 +643,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
         touched, deletes.select(col("path"), col("pos")),
         cidAndPayload.map(_ => inserts))
       ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
-        counts, cidAndPayload, tableSchema, statsCols, boundChecks,
-        stagedCdc, GraftRowLevel.retainOf(table)): Unit
+        counts, cidAndPayload, tableSchema, statsCols2, boundChecks,
+        stagedCdc, GraftRowLevel.retainOf(table), idClaims): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }
