@@ -497,7 +497,8 @@ class GraftPositionDeltaOperation(table: GraftTable, cmd: Command)
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new GraftPositionDeltaWrite(table, info)
+      override def build(): DeltaWrite =
+        new GraftPositionDeltaWrite(table, info, cmd)
     }
 }
 
@@ -508,7 +509,8 @@ class GraftPositionDeltaOperation(table: GraftTable, cmd: Command)
   * publishes both through [[ManifestTable.publishMorDelta]] — the same
   * commit (and the same conflict guards) the direct
   * `deleteWhereMoR`/`updateWhereMoR` API uses. */
-class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
+class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
+                              cmd: Command = Command.MERGE)
     extends DeltaWrite with DeltaBatchWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -641,7 +643,10 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo)
       }
       val stagedCdc = ManifestTable.stageMorDeltaCdc(spark, dir, baseV,
         touched, deletes.select(col("path"), col("pos")),
-        cidAndPayload.map(_ => inserts))
+        cidAndPayload.map(_ => inserts),
+        // an UPDATE statement's every delete record is a pre-image and
+        // every insert its post-image — the staged feed pairs them
+        updateSemantics = cmd == Command.UPDATE)
       ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
         counts, cidAndPayload, tableSchema, statsCols2, boundChecks,
         stagedCdc, GraftRowLevel.retainOf(table), idClaims): Unit

@@ -298,12 +298,92 @@ object ManifestTable {
     * absent lane as "nulls untracked" (conservative, like all stats). */
   private val NullsMarker = "#nulls"
 
-  /** A payload's token list split at the null-count marker:
-    * (triple tokens, null-pair tokens). */
-  private def splitStatsToks(toks: Array[String]): (Seq[String], Seq[String]) = {
-    val i = toks.indexOf(NullsMarker)
-    if (i < 0) (toks.toSeq, Seq.empty)
-    else (toks.take(i).toSeq, toks.drop(i + 1).toSeq)
+  /** Marker token opening the payload's NDV-SKETCH section (S53):
+    * `...\t#ndv\t<col>\t<sketchB64>[...]` — per-column HLL sketch
+    * bytes (url-safe base64, the DataSketches HLL family Spark's own
+    * `hll_sketch_agg` emits). Written by `CALL system.analyze` in
+    * approx mode, which is what makes re-ANALYZE incremental: dirs
+    * already carrying a sketch merge without being read. Same
+    * forward/backward story as `#nulls` — absent section = "not
+    * sketched yet". */
+  private[sources] val NdvMarker = "#ndv"
+
+  /** A payload's token list split at the section markers:
+    * (triple tokens, null-pair tokens, ndv-pair tokens). Every section
+    * parser stops at the NEXT `#`-led token, so sections added later
+    * never leak into earlier parsers. */
+  private def splitStatsToks(toks: Array[String])
+      : (Seq[String], Seq[String], Seq[String]) = {
+    def section(marker: String): Seq[String] = {
+      val i = toks.indexOf(marker)
+      if (i < 0) Seq.empty
+      else toks.drop(i + 1).takeWhile(!_.startsWith("#")).toSeq
+    }
+    val firstMarker = toks.indexWhere(_.startsWith("#"))
+    val triples = (if (firstMarker < 0) toks else toks.take(firstMarker)).toSeq
+    (triples, section(NullsMarker), section(NdvMarker))
+  }
+
+  /** `column`'s recorded HLL sketch bytes in a payload, when ANALYZE
+    * sketched it (absent → the dir must be read to contribute NDV). */
+  private[graft] def ndvSketchFor(payload: String,
+                                  column: String): Option[Array[Byte]] =
+    splitStatsToks(payload.split('\t'))._3.grouped(2).collectFirst {
+      case Seq(c, b) if decTok(c).contains(column) =>
+        try Some(java.util.Base64.getUrlDecoder.decode(b))
+        catch { case _: IllegalArgumentException => None }
+    }.flatten
+
+  /** `payload` with the given (column, sketch bytes) pairs merged into
+    * its `#ndv` section (replacing those columns' previous sketches,
+    * keeping the others). */
+  private[sources] def withNdvSketches(payload: String,
+      add: Seq[(String, Array[Byte])]): String = {
+    val toks = payload.split('\t')
+    val (triples, nulls, ndv) = splitStatsToks(toks)
+    val addKeys = add.map(_._1).toSet
+    val kept = ndv.grouped(2).collect {
+      case Seq(c, b) if !decTok(c).exists(addKeys.contains) => Seq(c, b)
+    }.flatten.toSeq
+    val fresh = add.flatMap { case (c, bytes) =>
+      Seq(encTok(c),
+        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bytes)) }
+    val n = (triples ++
+      (if (nulls.isEmpty) Seq.empty else NullsMarker +: nulls) ++
+      (if (kept.isEmpty && fresh.isEmpty) Seq.empty
+       else NdvMarker +: (kept ++ fresh)))
+    n.mkString("\t")
+  }
+
+  /** Publish extended stats payloads (the ANALYZE sketch pass) as one
+    * pointer commit: same paths, same meta/dv, per-dir payloads merged
+    * with the fresh `#ndv` sections. Optimistic: racing appends rebase
+    * this update (their new dirs simply have no sketch yet). */
+  private[sources] def recordNdvSketches(spark: SparkSession,
+      tableDir: String,
+      sketches: Map[String, Seq[(String, Array[Byte])]]): Long = {
+    val fs = fsOf(spark, tableDir)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 100, s"analyze sketch contention at $tableDir")
+      val head = versions(fs, tableDir).last
+      val snap = snapshotOf(fs, tableDir, head)
+      val stats2 = snap.stats.map { case (p, payload) =>
+        sketches.get(p) match {
+          case Some(sk) => p -> withNdvSketches(payload, sk)
+          case None => p -> payload
+        }
+      }
+      val retain = snap.meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+        .flatMap(_.toIntOption).getOrElse(2)
+      val committed = commitIf(spark, tableDir, snap.paths, head,
+        retainGenerations = retain, schemaDdl = snap.schemaDdl,
+        stats = stats2, meta = snap.meta + cdcTag("meta", head + 1),
+        dv = snap.dv)
+      committed.foreach(v => return v)
+    }
+    -1L // unreachable
   }
 
   /** Parse one path's stats payload for `column`: Some((rows, min,
@@ -338,7 +418,7 @@ object ManifestTable {
     * live in the manifest header). */
   private[sources] def renameStatsCol(payload: String, from: String,
                                       to: String): String = {
-    val (triples, nulls) = splitStatsToks(payload.split('\t'))
+    val (triples, nulls, ndv) = splitStatsToks(payload.split('\t'))
     def rekey(c: String) = if (decTok(c).contains(from)) encTok(to) else c
     val t = triples.take(1) ++ triples.drop(1).grouped(3).flatMap {
       case Seq(c, mn, mx) => Seq(rekey(c), mn, mx)
@@ -348,12 +428,17 @@ object ManifestTable {
       case Seq(c, v) => Seq(rekey(c), v)
       case other => other
     }.toSeq
-    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n)).mkString("\t")
+    val d = ndv.grouped(2).flatMap {
+      case Seq(c, v) => Seq(rekey(c), v)
+      case other => other
+    }.toSeq
+    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n) ++
+      (if (d.isEmpty) Seq.empty else NdvMarker +: d)).mkString("\t")
   }
 
   /** Stats payload with `col`'s lanes removed (DROP COLUMN). */
   private[sources] def dropStatsCol(payload: String, col: String): String = {
-    val (triples, nulls) = splitStatsToks(payload.split('\t'))
+    val (triples, nulls, ndv) = splitStatsToks(payload.split('\t'))
     val t = triples.take(1) ++ triples.drop(1).grouped(3).flatMap {
       case Seq(c, _, _) if decTok(c).contains(col) => Seq.empty[String]
       case other => other
@@ -362,7 +447,12 @@ object ManifestTable {
       case Seq(c, _) if decTok(c).contains(col) => Seq.empty[String]
       case other => other
     }.toSeq
-    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n)).mkString("\t")
+    val d = ndv.grouped(2).flatMap {
+      case Seq(c, _) if decTok(c).contains(col) => Seq.empty[String]
+      case other => other
+    }.toSeq
+    (t ++ (if (n.isEmpty) Seq.empty else NullsMarker +: n) ++
+      (if (d.isEmpty) Seq.empty else NdvMarker +: d)).mkString("\t")
   }
 
   /** The stats observation lanes for `statsCols` over one output dir:
@@ -946,6 +1036,13 @@ object ManifestTable {
       df.select(df.columns.toIndexedSeq.map(c =>
         col(c).as(cmap.getOrElse(c, c))): _*)
     }
+
+  /** Read a SUBSET of version `v`'s dirs through the declared schema —
+    * the ANALYZE sketch pass's input (only dirs without a persisted
+    * `#ndv` sketch are read). */
+  private[sources] def readDirs(spark: SparkSession, tableDir: String,
+                                v: Long, rel: Seq[String]): DataFrame =
+    readWithDeclared(spark, tableDir, v, rel.map(absPath(tableDir, _)))
 
   private def readWithDeclared(spark: SparkSession, tableDir: String,
                                v: Long, paths: Seq[String]): DataFrame =
@@ -2222,8 +2319,11 @@ object ManifestTable {
         Some((cid, payload))
       }
     // write-side CDC materialization (opt-in, same property as CoW):
-    // the feed IS the matched rows — old images as deletes, updated
-    // images as inserts — staged now, served as a plain scan later
+    // the feed IS the matched rows — staged now, served as a plain
+    // scan later. An UPDATE's halves are PAIRED (Delta CDF's
+    // `update_preimage`/`update_postimage` tags): the write holds both
+    // images of each row, so a consumer can rebuild the update without
+    // re-keying the feed; a DELETE stays `delete`.
     val stagedCdc: Option[String] =
       if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
           .exists(_.equalsIgnoreCase("true"))) None
@@ -2231,11 +2331,12 @@ object ManifestTable {
         val name = "c-" + java.util.UUID.randomUUID().toString.take(8)
         val plainCols = tableSchema.fieldNames.toIndexedSeq.map(col)
         val oldImages = matches.select(plainCols: _*)
-          .withColumn("change_type", lit("delete"))
+          .withColumn("change_type",
+            lit(if (assignments.isEmpty) "delete" else "update_preimage"))
         val feed =
           if (assignments.isEmpty) oldImages
           else oldImages.unionByName(matches.select(dataCols: _*)
-            .withColumn("change_type", lit("insert")))
+            .withColumn("change_type", lit("update_postimage")))
         feed.write.parquet(s"$tableDir/$CdcDirName/$name")
         Some(name)
       }
@@ -2251,10 +2352,19 @@ object ManifestTable {
     * the feed) against the delete records' (file, pos) keys; insert
     * records are the new images. Cost ∝ touched dirs + changed rows,
     * paid only when the property is set. None = property unset or the
-    * feed is provably empty. */
+    * feed is provably empty.
+    *
+    * `updateSemantics` (the SQL UPDATE command, whose every delete
+    * record is a row's pre-image and every insert its post-image):
+    * tags pair as `update_preimage`/`update_postimage` — the Delta CDF
+    * contract — so consumers rebuild updates without re-keying the
+    * feed. MERGE changesets keep `delete`/`insert` (a merge mixes
+    * genuine deletes/inserts with update pairs and the split records
+    * carry no per-clause provenance). */
   private[sources] def stageMorDeltaCdc(spark: SparkSession,
       tableDir: String, baseV: Long, touched: Seq[String],
-      delKeys: DataFrame, inserts: Option[DataFrame]): Option[String] = {
+      delKeys: DataFrame, inserts: Option[DataFrame],
+      updateSemantics: Boolean = false): Option[String] = {
     import org.apache.spark.sql.functions.{col, lit}
     val fs = fsOf(spark, tableDir)
     if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
@@ -2278,10 +2388,12 @@ object ManifestTable {
             col("pos").as("__graft_dv_pos")),
           col("__graft_file") === col("__graft_dv_path") &&
             col("__graft_pos") === col("__graft_dv_pos"), "left_semi")
-          .select(plainCols: _*).withColumn("change_type", lit("delete")))
+          .select(plainCols: _*).withColumn("change_type",
+            lit(if (updateSemantics) "update_preimage" else "delete")))
       }
     val insImages = inserts.map(_.select(plainCols: _*)
-      .withColumn("change_type", lit("insert")))
+      .withColumn("change_type",
+        lit(if (updateSemantics) "update_postimage" else "insert")))
     (oldImages.toSeq ++ insImages.toSeq).reduceOption(_.unionByName(_))
       .map { feed =>
         val name = "c-" + java.util.UUID.randomUUID().toString.take(8)

@@ -281,13 +281,15 @@ object MergeInto {
     * replication pattern: initial sync = [[create]] from
     * `readVersion(source, v)`, tail = `replicate(changes(source, v,
     * v'), replicaDir)`, after which the replica equals
-    * `readVersion(source, v')`. An update arrives as delete (old
-    * image) + insert (new image) under the SAME key; the
-    * change_type-first tie order makes the insert the key's winner, so
-    * the pair nets to a replace. The routing column is dropped before
-    * storage — the replica carries the table schema, not the feed
-    * schema. Idempotent like every merge: re-applying a delivered feed
-    * reproduces the same replica. */
+    * `readVersion(source, v')`. An update arrives either as delete
+    * (old image) + insert (new image) under the SAME key (the
+    * read-time diff) or PAIRED as `update_preimage`/`update_postimage`
+    * (a write-materialized feed, the Delta CDF tags); either way a
+    * new-image-first tie order makes the post state the key's winner,
+    * so the pair nets to a replace. The routing column is dropped
+    * before storage — the replica carries the table schema, not the
+    * feed schema. Idempotent like every merge: re-applying a delivered
+    * feed reproduces the same replica. */
   def replicate(feed: DataFrame, tableDir: String): Long = {
     require(feed.columns.contains("change_type"),
       "not a change feed: missing change_type column")
@@ -298,9 +300,13 @@ object MergeInto {
     val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
       throw new IllegalArgumentException(
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    // rank, not the raw tag, orders the tie: lexical order would put
+    // update_pREimage above update_pOstimage and delete the row
+    val oldImage = col("change_type").isin("delete", "update_preimage")
     applyBatch(feed, tableDir, key,
-      col("change_type").desc +: defaultTies(feed, key),
-      col("change_type") === "delete", n,
+      org.apache.spark.sql.functions.when(oldImage, 0).otherwise(1).desc
+        +: defaultTies(feed, key),
+      oldImage, n,
       dropCols = Seq("change_type"))
   }
 

@@ -128,6 +128,52 @@ class GraftChangesFeedSpec extends SparkTestBase {
     assert(got2 == got, got2)
   }
 
+  test("a merge-on-read UPDATE pairs its halves: update_preimage/update_postimage (Delta CDF tags)") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("m6",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m6 VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("UPDATE gcdc.lake.m6 SET v = 'B' WHERE k = 2")
+    val vU = ManifestTable.headVersion(spark, dir).get
+    val feed = ManifestTable.changes(spark, dir, vU - 1, vU)
+    val got = feed.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((2, "B", "update_postimage"),
+                      (2, "b", "update_preimage")),
+      s"the UPDATE's halves must arrive PAIRED: $got")
+    assert(feed.inputFiles.forall(_.contains("/_cdc/")),
+      "pairing must ride the write-materialized route")
+    // a MoR DELETE keeps the plain tag — only updates pair
+    spark.sql("DELETE FROM gcdc.lake.m6 WHERE k = 3")
+    val vD = ManifestTable.headVersion(spark, dir).get
+    val del = ManifestTable.changes(spark, dir, vD - 1, vD).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+    assert(del == Seq((3, "c", "delete")), del)
+    // the direct API pairs identically
+    ManifestTable.updateWhereMoR(spark, dir, col("k") === 1,
+      Seq("v" -> lit("A")), retainGenerations = 10): Unit
+    val vA = ManifestTable.headVersion(spark, dir).get
+    val api = ManifestTable.changes(spark, dir, vA - 1, vA).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(api == Seq((1, "A", "update_postimage"),
+                      (1, "a", "update_preimage")), api)
+    // a replica consumer nets each pair to a replace (rank order, not
+    // the raw tag — lexical order would delete the row)
+    val repDir = Files.createTempDirectory("graft-cdcrep").toString + "/r"
+    graft.sources.MergeInto.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), repDir, "k",
+      nBuckets = 2)
+    (vU to vA).foreach { v =>
+      graft.sources.MergeInto.replicate(
+        ManifestTable.changes(spark, dir, v - 1, v)
+          .withColumn("k", col("k").cast("bigint")), repDir): Unit
+    }
+    val replica = graft.sources.MergeInto.read(spark, repDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(replica == Seq((1L, "A"), (2L, "B")),
+      s"paired feed must replicate to the post-DML state: $replica")
+  }
+
   test("materialized feed equals the read-time diff fallback exactly") {
     val dirOn = freshTable("m2", ",'cdc.materialize'='true'")
     val dirOff = freshTable("m3", "")
