@@ -67,6 +67,14 @@ object ScaleKnobs {
   @volatile var BloomProbeMaxSidecars = 256
   val BloomProbeThreads = 8
 
+  /** S53 — log2 of the per-dir HLL NDV sketch's bucket count (the
+    * DataSketches lgConfigK Spark's own `hll_sketch_agg` takes).
+    * 12 = Spark's default: ~1.6% relative standard error at ~2 KB per
+    * (dir, column) of manifest payload — re-ANALYZE reads ZERO old
+    * data in exchange. Lower it on tables with very many small dirs;
+    * sketches at different lgK still union (DataSketches downsamples). */
+  val NdvSketchLgK = 12
+
   /** Manifest-snapshot cache entries (ManifestTable.snapshotOf): parsed
     * manifests served across OPERATIONS, keyed on the manifest FILE's
     * identity (path, version, mtime, length) — immune to the

@@ -32,6 +32,20 @@ object GraftProcedures {
       bins: Int): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col, count, countDistinct, expr, lit}
     val spark = catalog.activeSpark
+    // S53 — the incremental sketch path (approx mode, no histograms):
+    // per-dir HLL sketches persist in the `#ndv` stats lane, so a
+    // re-ANALYZE reads ONLY dirs without one and merges the rest as
+    // pure metadata. Falls back to the full pass whenever its
+    // preconditions don't hold.
+    if (approx && histCols.isEmpty)
+      incrementalNdv(catalog, dir, cols).foreach { case (rows, entries) =>
+        GraftCatalog.alterMetaAt(catalog, dir, m =>
+          (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
+            entries.map { case (c, ndv, nulls) =>
+              (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } +
+            (ManifestTable.TableStatKey -> rows.toString))
+        return entries
+      }
     val df = ManifestTable.read(spark, dir)
     val pcts = (0 to bins).map(i => i.toDouble / bins)
       .mkString("array(", ",", ")")
@@ -71,6 +85,100 @@ object GraftProcedures {
         histEntries +
         (ManifestTable.TableStatKey -> rows.toString))
     entries
+  }
+
+  /** S53 — incremental NDV via per-dir HLL sketches. Sketches the dirs
+    * that lack a persisted `#ndv` lane (ONE grouped pass over exactly
+    * those dirs — `hll_sketch_agg`, Spark's own DataSketches family),
+    * publishes the extended payloads as a pointer commit, then derives
+    * the table stats as pure metadata: rows = Σ per-dir rowcounts,
+    * nulls = Σ per-dir `#nulls` lanes, NDV = the union estimate over
+    * every dir's sketch (driver-side — sketch bytes are KBs, dirs are
+    * manifest-scale). At 100 TB a post-append re-ANALYZE costs one
+    * scan of the appended dirs and nothing else — the
+    * Iceberg-puffin shape, carried in the manifest instead of a
+    * sidecar file.
+    *
+    * None (→ full pass) when: standing deletion vectors (a sketch
+    * cannot subtract masked rows), a dir without stats, or a dir whose
+    * payload predates the `#nulls` lane (rows/nulls would be wrong). */
+  private def incrementalNdv(catalog: GraftCatalog, dir: String,
+      cols: Seq[String]): Option[(Long, Seq[(String, Long, Long)])] = {
+    import org.apache.spark.sql.functions.expr
+    val spark = catalog.activeSpark
+    val fs = catalog.activeFs
+    val head = ManifestTable.headVersion(spark, dir).getOrElse(return None)
+    if (ManifestTable.dvOf(fs, dir, head).nonEmpty) return None
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, head)
+      .getOrElse(return None)
+    if (!cols.forall(schema.fieldNames.contains)) return None
+    val paths = ManifestTable.pathsOf(fs, dir, head)
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    val payloads: Seq[(String, String)] = paths.map { p =>
+      stats.get(p) match {
+        case Some(pl) => p -> pl
+        case None => return None // an unstatted dir: nothing to merge
+      }
+    }
+    val rowsPer = payloads.map { case (_, pl) =>
+      ManifestTable.rowsIn(pl).getOrElse(return None) }
+    val nullsPer: Map[String, Seq[Long]] = cols.map { c =>
+      c -> payloads.map { case (_, pl) =>
+        ManifestTable.nullsFor(pl, c).getOrElse(return None) }
+    }.toMap
+    val lgK = graft.ScaleKnobs.NdvSketchLgK
+    // ONE pass over exactly the unsketched dirs (none on a pure
+    // re-ANALYZE of an unchanged table)
+    val need = payloads.collect {
+      case (p, pl) if cols.exists(c =>
+        ManifestTable.ndvSketchFor(pl, c).isEmpty) => p
+    }
+    val fresh: Map[String, Seq[(String, Array[Byte])]] =
+      if (need.isEmpty) Map.empty
+      else {
+        val dirKey = expr(
+          "regexp_replace(_metadata.file_path, '/[^/]*$', '')")
+        val aggs = cols.map(c =>
+          expr(s"hll_sketch_agg(CAST(`$c` AS STRING), $lgK)").as(s"ndv:$c"))
+        val perDir = ManifestTable.readDirs(spark, dir, head, need)
+          .withColumn("__graft_ndv_dir", dirKey)
+          .groupBy("__graft_ndv_dir")
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val parentToRel = need.map(p => fs.makeQualified(
+          new org.apache.hadoop.fs.Path(
+            ManifestTable.absPath(dir, p))).toString -> p).toMap
+        def emptySketch: Array[Byte] =
+          new org.apache.datasketches.hll.HllSketch(lgK)
+            .toUpdatableByteArray
+        val sketched = perDir.map { r =>
+          val rel = parentToRel.getOrElse(new org.apache.hadoop.fs.Path(
+            r.getString(0)).toString, return None)
+          // an all-null column yields no sketch — persist an EMPTY one
+          // so the dir never re-reads on later ANALYZEs
+          rel -> cols.map(c => c ->
+            Option(r.getAs[Array[Byte]](s"ndv:$c")).getOrElse(emptySketch))
+        }.toMap
+        // a zero-row dir produces no group at all — same empty-sketch
+        // treatment, same never-re-read guarantee
+        sketched ++ need.filterNot(sketched.contains)
+          .map(p => p -> cols.map(c => c -> emptySketch)).toMap
+      }
+    if (fresh.nonEmpty)
+      ManifestTable.recordNdvSketches(spark, dir, fresh): Unit
+    // table NDV = union estimate over every dir's sketch (persisted or
+    // fresh); a column all-null in a dir may have no sketch there
+    val entries = cols.map { c =>
+      val union = new org.apache.datasketches.hll.Union(lgK)
+      payloads.foreach { case (p, pl) =>
+        val bytes = fresh.get(p).flatMap(_.find(_._1 == c).map(_._2))
+          .orElse(ManifestTable.ndvSketchFor(pl, c))
+        bytes.foreach(b => union.update(
+          org.apache.datasketches.hll.HllSketch.heapify(b)))
+      }
+      (c, math.round(union.getEstimate), nullsPer(c).sum)
+    }
+    Some((rowsPer.sum, entries))
   }
 
   /** S37 auto-hook: after a compaction paid its full pass over the

@@ -351,6 +351,48 @@ class GraftMetaSpec extends SparkTestBase {
     }
   }
 
+  test("S53 incremental NDV: re-ANALYZE after an append reads ONLY the appended dirs") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.ndv1")
+    spark.sql("CREATE TABLE gmeta.lake.ndv1 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k,v', 'retainGenerations'='10')")
+    spark.sql("INSERT INTO gmeta.lake.ndv1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    val dir = s"$wh/lake/ndv1"
+    val out1 = spark.sql("CALL gmeta.system.analyze(" +
+      "table => 'lake.ndv1', columns => 'k,v', approx => true)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out1.toSeq == Seq(("k", 3L, 0L), ("v", 3L, 0L)), out1.toSeq)
+    // the approx pass persisted per-dir HLL sketches in the #ndv lane
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    val firstDataDir = ManifestTable.pathsOf(fs, dir, v1).head
+    assert(ManifestTable.statsOf(fs, dir, v1).values.forall(pl =>
+      ManifestTable.ndvSketchFor(pl, "k").isDefined),
+      "every dir must carry a persisted sketch after the approx analyze")
+    // the parent moves on: a second batch lands as a NEW dir
+    spark.sql("INSERT INTO gmeta.lake.ndv1 VALUES (3,'c2'),(4,'d')")
+    // PROOF of incrementality: corrupt the first dir's parquet bytes —
+    // a re-ANALYZE that reads it dies; the sketch path must not
+    fs.listStatus(new Path(dir, firstDataDir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val o = fs.create(f, true)
+        o.write("not parquet anymore".getBytes("UTF-8")); o.close()
+      }
+    val out2 = spark.sql("CALL gmeta.system.analyze(" +
+      "table => 'lake.ndv1', columns => 'k,v', approx => true)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == Seq(("k", 4L, 0L), ("v", 5L, 0L)),
+      s"union of old sketches + the appended dir's fresh one: ${out2.toSeq}")
+    assert(spark.sql("SELECT value FROM gmeta.lake.`ndv1$properties` " +
+      "WHERE key = 'tablestat'").head().getString(0) == "5",
+      "rows derive from the per-dir stats lanes, zero data I/O")
+    // a third ANALYZE with no new dirs is pure metadata (the corrupt
+    // dir would fail any read — nothing reads)
+    val out3 = spark.sql("CALL gmeta.system.analyze(" +
+      "table => 'lake.ndv1', columns => 'k', approx => true)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out3.toSeq == Seq(("k", 4L)), out3.toSeq)
+  }
+
   test("S37 analyze histogram: equi-height bounds persist, surface to the CBO, and staleness advises re-analysis") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gmeta.lake.hist1")
