@@ -683,6 +683,118 @@ object TextVector {
       .orderBy(desc("wc"), col("w"))
   }
 
+  /** The T51 oracle, generated round by round: DuckDB replays the FULL
+    * training loop — each round re-splits the previous round's
+    * segmentation, counts adjacent SYMBOL pairs, picks the same
+    * (count DESC, pair) winner and fuses it — an independent
+    * re-derivation of the fixed point, not a replay of Spark's
+    * merges. A round past the corpus's pair supply no-ops (coalesced
+    * needles), matching the Spark loop's early stop. */
+  private def t51Oracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH words AS MATERIALIZED (
+         SELECT w, count(*) AS wc FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+         GROUP BY w),
+       s0 AS MATERIALIZED (
+         SELECT w, wc,
+           ' ' || rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS seg
+         FROM words)"""
+    for (i <- 1 to rounds) {
+      val prev = s"s${i - 1}"
+      sb ++= s""",
+       p$i AS MATERIALIZED (
+         SELECT q.l[CAST(t.i AS INT)] || ' ' ||
+                q.l[CAST(t.i AS INT) + 1] AS pair,
+                CAST(sum(q.wc) AS BIGINT) AS n
+         FROM (SELECT wc, string_split(trim(seg), ' ') AS l FROM $prev) q,
+              unnest(generate_series(1, len(q.l) - 1)) AS t(i)
+         GROUP BY pair),
+       m$i AS MATERIALIZED (
+         SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+       s$i AS MATERIALIZED (
+         SELECT w, wc, replace(seg,
+           coalesce(' ' || (SELECT pair FROM m$i) || ' ', ''),
+           coalesce(' ' || replace((SELECT pair FROM m$i), ' ', '') ||
+             ' ', '')) AS seg
+         FROM $prev)"""
+    }
+    sb ++= s""",
+       mass AS (
+         SELECT CAST(sum(wc * len(string_split(trim(seg), ' '))) AS BIGINT)
+           AS m FROM s$rounds)
+       SELECT * FROM ("""
+    sb ++= (1 to rounds).map(i =>
+      s"""SELECT $i AS round, pair AS merge,
+            replace(pair, ' ', '') AS symbol, n AS pair_weight,
+            (SELECT m FROM mass) AS final_token_mass FROM m$i""")
+      .mkString("\n UNION ALL \n")
+    sb ++= ") ORDER BY round"
+    sb.toString
+  }
+
+  /** T51: BPE vocabulary TRAINING — the fixed-point loop a tokenizer
+    * pipeline actually runs (T49 mine → T50 apply, iterated): each
+    * round counts adjacent-symbol pairs over the CURRENT segmentation
+    * of the distinct-word table, fuses the heaviest pair (count DESC,
+    * pair tiebreak — deterministic cross-engine) into the symbol
+    * inventory, and re-segments. Every round is VOCAB-sized: the word
+    * table computes once and stays cached; a round is one map-side-
+    * combined aggregation plus a 1-row collect (the merge every real
+    * trainer publishes to its merges.txt) — never a corpus pass, the
+    * 100 TB shape. The apply is the same left-to-right non-overlapping
+    * replace over boundary-delimited symbols as T50 — identical
+    * semantics in both engines, so the oracle's replay stays exact.
+    * 16 rounds here (the knob is the target vocab size); output = the
+    * learned merge table in training order + the corpus token mass
+    * after the final round (Σ wc × segments — the compression the
+    * vocabulary bought). */
+  def t51_bpe_train(s: SparkSession, d: String): DataFrame = {
+    val rounds = 16
+    val words = tokDocs(s, d)
+      .select(explode(col("t")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .persist()
+    try {
+      var segExpr = "concat(' ', rtrim(regexp_replace(w, '(.)', '$1 ')), ' ')"
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+      var done = false
+      for (i <- 1 to rounds if !done) {
+        val top = words
+          .withColumn("syms", split(expr(s"trim($segExpr)"), " "))
+          .filter(size(col("syms")) >= 2) // fully-fused words drop out
+          .select(col("wc"), explode(expr(
+            "transform(sequence(1, size(syms) - 1), " +
+              "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+            .as("pair"))
+          .groupBy("pair").agg(sum(col("wc")).as("n"))
+          .orderBy(desc("n"), col("pair")).limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val pair = top(0).getString(0)
+          learned += ((i, pair, top(0).getLong(1)))
+          segExpr =
+            s"replace($segExpr, ' $pair ', ' ${pair.replace(" ", "")} ')"
+        }
+      }
+      val mass = words
+        .select(sum(col("wc") *
+          size(split(expr(s"trim($segExpr)"), " "))).cast("long").as("m"))
+        .head.getLong(0)
+      val sp = s; import sp.implicits._
+      learned.toSeq.toDF("round", "merge", "pair_weight")
+        .withColumn("symbol", regexp_replace(col("merge"), " ", ""))
+        .withColumn("final_token_mass", lit(mass))
+        .select(col("round"), col("merge"), col("symbol"),
+          col("pair_weight").cast("long").as("pair_weight"),
+          col("final_token_mass"))
+        .orderBy("round")
+    } finally { words.unpersist(): Unit }
+  }
+
   /** T17: deterministic sampling — the training-data staple. Seeded
     * `sample`/`sampleBy` are reproducible only for a fixed input
     * partitioning and never cross-engine; hash-mod sampling
@@ -1636,6 +1748,7 @@ object TextVector {
     "t16_fingerprint" -> (t16_fingerprint _),
     "t49_bpe_merges" -> (t49_bpe_merges _),
     "t50_bpe_apply" -> (t50_bpe_apply _),
+    "t51_bpe_train" -> (t51_bpe_train _),
     "t17_sampling" -> (t17_sampling _),
     "t18_decontaminate" -> (t18_decontaminate _),
     "t19_pii_redact" -> (t19_pii_redact _),
@@ -1910,6 +2023,7 @@ object TextVector {
          FROM pairs GROUP BY pair
          ORDER BY n DESC, pair LIMIT 20""",
     "t50_bpe_apply" -> t50Oracle,
+    "t51_bpe_train" -> t51Oracle(16),
     "t17_sampling" ->
       """WITH s AS (
            SELECT lang, doc_id,

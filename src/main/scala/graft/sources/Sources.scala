@@ -1790,6 +1790,75 @@ object Sources {
           ORDER BY bin""")
   }
 
+  /** S53 fixture: half of orders lands, an approx ANALYZE sketches its
+    * dirs (`#ndv` lane), the other half appends, a SECOND approx
+    * ANALYZE merges the persisted sketches with fresh ones over ONLY
+    * the appended dirs — the table-level stats it publishes must equal
+    * the full-table truth. The tracked columns are low-cardinality, so
+    * the HLL sketches are still in exact (coupon) range and the DuckDB
+    * oracle can be exact. */
+  private val ndvDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .filter(col("o_orderkey") % 2 === 0)
+      .writeTo(s"$cat.lake.ondv")
+      .tableProperty("retainGenerations", "10")
+      .create()
+    s.sql(s"CALL $cat.system.analyze(table => 'lake.ondv', " +
+      "columns => 'o_orderstatus,o_orderpriority', approx => true)")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      .filter(col("o_orderkey") % 2 === 1)
+      .writeTo(s"$cat.lake.ondv").append()
+    s.sql(s"CALL $cat.system.analyze(table => 'lake.ondv', " +
+      "columns => 'o_orderstatus,o_orderpriority', approx => true)")
+    cat
+  })
+
+  /** S53: incremental NDV — the re-ANALYZE after the append read only
+    * the appended dirs (the first half's dirs answered from their
+    * persisted `#ndv` sketches), yet the published stats must equal
+    * the full-table truth DuckDB derives exactly. */
+  def s53_ndv_incremental(s: SparkSession, d: String): DataFrame = {
+    val cat = ndvDemo(s, d)
+    s.sql(
+      s"""SELECT key, value FROM $cat.lake.`ondv$$properties`
+          WHERE key LIKE 'colstat:%' OR key = 'tablestat'
+          ORDER BY key""")
+  }
+
+  /** S54 fixture: a merge-on-read table with write-side CDC
+    * materialization takes one SQL UPDATE — the staged feed must pair
+    * the halves as `update_preimage`/`update_postimage` (Delta CDF). */
+  private val cdcPairDemo = new graft.FixtureMemo((s, d) => {
+    val cat = catalogDemo(s, d)
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .writeTo(s"$cat.lake.ocdc")
+      .tableProperty("retainGenerations", "10")
+      .tableProperty("dml.mode", "merge-on-read")
+      .tableProperty("cdc.materialize", "true")
+      .create()
+    s.sql(s"UPDATE $cat.lake.ocdc SET o_totalprice = o_totalprice + 1 " +
+      "WHERE o_orderpriority = '1-URGENT'")
+    cat
+  })
+
+  /** S54: paired CDC updates — each updated row's old and new images
+    * arrive tagged `update_preimage`/`update_postimage` through
+    * `t$changes`, so a consumer rebuilds the UPDATE without re-keying
+    * the feed; the oracle re-derives both sides from orders. */
+  def s54_cdc_update_pairs(s: SparkSession, d: String): DataFrame = {
+    val cat = cdcPairDemo(s, d)
+    s.sql(
+      s"""SELECT change_type, count(*) AS n,
+                 round(sum(o_totalprice), 2) AS total
+          FROM $cat.lake.`ocdc$$changes`
+          WHERE change_type IN ('update_preimage', 'update_postimage')
+          GROUP BY change_type ORDER BY change_type""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_parquet_scan" -> (s1_parquet_scan _),
     "s2_binary_scan" -> (s2_binary_scan _),
@@ -1825,6 +1894,8 @@ object Sources {
     "s34_version_tags" -> (s34_version_tags _),
     "s35_catalog_view" -> (s35_catalog_view _),
     "s36_analyze_stats" -> (s36_analyze_stats _),
+    "s53_ndv_incremental" -> (s53_ndv_incremental _),
+    "s54_cdc_update_pairs" -> (s54_cdc_update_pairs _),
     "s37_histogram_stats" -> (s37_histogram_stats _),
     "s38_spj_join" -> (s38_spj_join _),
     "s39_incremental_compact" -> (s39_incremental_compact _),
@@ -2236,6 +2307,31 @@ object Sources {
          GROUP BY 1 ORDER BY order_year""",
     // exact NDV/null algebra per analyzed column, same "ndv,nulls"
     // rendering the meta channel stores
+    "s53_ndv_incremental" ->
+      """SELECT * FROM (
+           SELECT 'colstat:o_orderpriority' AS key,
+                  CAST(count(DISTINCT o_orderpriority) AS VARCHAR) || ',' ||
+                  CAST(count(*) - count(o_orderpriority) AS VARCHAR) AS value
+           FROM orders
+           UNION ALL
+           SELECT 'colstat:o_orderstatus',
+                  CAST(count(DISTINCT o_orderstatus) AS VARCHAR) || ',' ||
+                  CAST(count(*) - count(o_orderstatus) AS VARCHAR)
+           FROM orders
+           UNION ALL
+           SELECT 'tablestat', CAST(count(*) AS VARCHAR) FROM orders)
+         ORDER BY key""",
+    "s54_cdc_update_pairs" ->
+      """SELECT * FROM (
+           SELECT 'update_postimage' AS change_type,
+                  count(*) AS n,
+                  round(sum(o_totalprice + 1), 2) AS total
+           FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT 'update_preimage', count(*),
+                  round(sum(o_totalprice), 2)
+           FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY change_type""",
     "s36_analyze_stats" ->
       """SELECT * FROM (
            SELECT 'colstat:o_orderkey' AS key,

