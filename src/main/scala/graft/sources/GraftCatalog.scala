@@ -462,12 +462,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
+  /** `ident` resolved to its table dir, following a `t$branch$<name>`
+    * suffix to the branch's OWN dir (S49): ALTER targets a branch
+    * exactly like reads and writes do — an audit can stage a contract
+    * or schema change and publish it with the data (the rebase's
+    * contract-conflict rule keeps it honest vs parent appends). */
+  private def resolvedDir(ident: Identifier): String = {
+    val dollar = ident.name.indexOf('$')
+    if (dollar > 0 && ident.name.drop(dollar + 1).startsWith("branch$")) {
+      val base = Identifier.of(ident.namespace, ident.name.take(dollar))
+      val bname = ident.name.drop(dollar + 1).stripPrefix("branch$")
+      ManifestTable.branchDirOf(tableDir(base), bname)
+    } else tableDir(ident)
+  }
+
   /** SET/UNSET TBLPROPERTIES and ADD COLUMN(S). Each change is one
     * optimistic metadata commit (paths/stats re-published unchanged) —
     * racing an append, the loser retries against the new head, so a
     * property change can never drop concurrently appended dirs. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDir(ident)
+    val dir = resolvedDir(ident)
     if (!isTable(new Path(dir))) throw new NoSuchTableException(ident)
     changes.foreach {
       case s: TableChange.SetProperty if s.property == "layout" =>

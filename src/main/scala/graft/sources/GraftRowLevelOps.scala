@@ -606,6 +606,46 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       var boundChecks: Set[String] = Set.empty
       val cid = "pd-" + java.util.UUID.randomUUID().toString.take(8)
+      // S51 — the GENERATED ALWAYS gate, delta shape: a non-null id in
+      // an insert record is legitimate ONLY as an update post-image
+      // carrying a pre-image's id — and this changeset's pre-images
+      // are exactly the rows its delete records mask. Any other
+      // non-null id is an explicit assignment to an ALWAYS column
+      // (Delta refuses those at MERGE analysis; the write layer can
+      // only tell by membership) and refuses loudly, BEFORE minting.
+      // Cost: one semi-join over the TOUCHED dirs per gated column —
+      // the changeset shape, never a table pass.
+      val hMeta = ManifestTable.metaOf(fs, dir, baseV)
+      val alwaysIdCols = ManifestTable.identitySpecs(hMeta).collect {
+        case (phys, spec) if !spec.allowExplicit =>
+          ManifestTable.colMapOf(fs, dir, baseV).map(_.swap)
+            .getOrElse(phys, phys)
+      }.filter(tableSchema.fieldNames.contains).toSeq.sorted
+      alwaysIdCols.foreach { logical =>
+        val explicit = inserts.filter(col(logical).isNotNull)
+          .select(col(logical))
+        val preImageIds =
+          if (touched.isEmpty)
+            spark.createDataFrame(spark.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row], explicit.schema)
+          else touched.map(p =>
+            ManifestTable.readDirs(spark, dir, baseV, Seq(p))
+              .withColumn("__graft_file", col("_metadata.file_path"))
+              .withColumn("__graft_pos", col("_metadata.row_index")))
+            .reduce(_.unionByName(_))
+            .join(deletes.select(col("path").as("__graft_dv_path"),
+              col("pos").as("__graft_dv_pos")),
+              col("__graft_file") === col("__graft_dv_path") &&
+                col("__graft_pos") === col("__graft_dv_pos"), "left_semi")
+            .select(col(logical))
+        val foreign = explicit.join(preImageIds, Seq(logical), "left_anti")
+          .limit(1).collect()
+        require(foreign.isEmpty,
+          s"identity column '$logical' is GENERATED ALWAYS — a MERGE " +
+            s"insert record carries explicit id ${foreign.head.get(0)} " +
+            "that is no updated row's pre-image id (declare BY DEFAULT " +
+            "to allow explicit values)")
+      }
       // S51 — MERGE-inserted rows on the merge-on-read path MINT their
       // identity ids (r18): route the insert images through the same
       // kernel the append surfaces use; the claims thread into
@@ -614,7 +654,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       val (minted, idClaims) =
         ManifestTable.assignIdentity(inserts, dir, fs,
           // update post-images arrive as insert records CARRYING their
-          // ids — pass non-nulls ungated, mint only the true inserts
+          // ids, gated to pre-image membership above — mint only the
+          // true (NULL-id) inserts
           gateExplicit = false)
       val (checked, bc) =
         GraftManifestSource.bindDeclaredChecks(minted, dir,
@@ -643,7 +684,13 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       }
       val stagedCdc = ManifestTable.stageMorDeltaCdc(spark, dir, baseV,
         touched, deletes.select(col("path"), col("pos")),
-        cidAndPayload.map(_ => inserts),
+        // the feed's insert images must be the POST-state rows — read
+        // back the written dir, never the pre-mint frame (whose
+        // identity ids are still NULL and whose generated columns are
+        // unrecomputed; re-evaluating the minting plan could also mint
+        // DIFFERENT ids than were written)
+        cidAndPayload.map { case (c, _) =>
+          ManifestTable.readDirs(spark, dir, baseV, Seq(c)) },
         // an UPDATE statement's every delete record is a pre-image and
         // every insert its post-image — the staged feed pairs them
         updateSemantics = cmd == Command.UPDATE)

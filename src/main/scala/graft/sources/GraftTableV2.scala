@@ -562,17 +562,16 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         info.schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"cluster column '$c' is not in the streaming write schema " +
           s"${info.schema.fieldNames.mkString("(", ", ", ")")}"))
-      val headMeta = ManifestTable.headVersion(spark, tableDir)
+      // ONE head resolution per micro-batch: meta and colmap come off
+      // the same snapshot (this method runs per epoch — a second
+      // listing would double the object-store round-trips per trigger)
+      val (headMeta, cmap) = ManifestTable.headVersion(spark, tableDir)
         .map { v =>
           val fs = new Path(tableDir)
             .getFileSystem(spark.sessionState.newHadoopConf())
-          ManifestTable.metaOf(fs, tableDir, v)
-        }.getOrElse(Map.empty[String, String])
-      val cmap = ManifestTable.headVersion(spark, tableDir).map { v =>
-        val fs = new Path(tableDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        ManifestTable.colMapOf(fs, tableDir, v)
-      }.getOrElse(Map.empty[String, String])
+          (ManifestTable.metaOf(fs, tableDir, v),
+            ManifestTable.colMapOf(fs, tableDir, v))
+        }.getOrElse((Map.empty[String, String], Map.empty[String, String]))
       val physToLogical = cmap.map(_.swap)
       def ordinalOf(logical: String): Int =
         info.schema.fieldNames.indexWhere(_.equalsIgnoreCase(logical))

@@ -1289,6 +1289,30 @@ object ManifestTable {
     }
   }
 
+  /** The identity-allocation conflict check every identity-minting
+    * commit runs at its publish point: the batch's ids were minted
+    * from each claim's baseWm; a moved head watermark means a
+    * concurrent writer allocated the same range and publishing would
+    * admit colliding ids. Cleans `cleanupDirs` and refuses — the
+    * caller re-runs its write, re-minting from the new watermark (the
+    * Delta identity-conflict shape). */
+  private[sources] def identityConflictGuard(fs: FileSystem,
+      tableDir: String, headMeta: Map[String, String],
+      identity: Seq[IdentityClaim], cleanupDirs: => Seq[String],
+      what: String): Unit =
+    identity.foreach { cl =>
+      val cur = headMeta.get(IdentityWmPrefix + cl.phys)
+        .flatMap(_.toLongOption).getOrElse(cl.spec.base)
+      if (cur != cl.baseWm) {
+        cleanupDirs.foreach(d => fs.delete(new Path(tableDir, d), true))
+        throw new IllegalStateException(
+          s"concurrent identity allocation on '${cl.logical}' at " +
+            s"$tableDir: this $what minted ids from watermark " +
+            s"${cl.baseWm} but the head now records $cur — retry " +
+            "(the re-run re-mints from the new watermark)")
+      }
+    }
+
   /** The `idwm:` advance a commit publishes for its identity claims:
     * the furthest minted (or explicitly inserted) value per column,
     * read from the freshly-landed dirs' own stats lanes — never below
@@ -1391,25 +1415,8 @@ object ManifestTable {
       val priorMeta =
         if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
       checkWriterFeatures(tableDir, priorMeta)
-      // S51 — identity allocation conflict: the batch's ids were minted
-      // from each claim's baseWm; if the head's watermark moved since,
-      // a concurrent writer allocated the same range and publishing
-      // would admit colliding ids. Clean the staged dirs and refuse —
-      // the caller re-runs the write, re-minting from the new
-      // watermark (the Delta identity-conflict shape).
-      identity.foreach { cl =>
-        val cur = priorMeta.get(IdentityWmPrefix + cl.phys)
-          .flatMap(_.toLongOption).getOrElse(cl.spec.base)
-        if (cur != cl.baseWm) {
-          newPaths.map(_.split("/", 2).head).distinct.foreach(d =>
-            fs.delete(new Path(tableDir, d), true))
-          throw new IllegalStateException(
-            s"concurrent identity allocation on '${cl.logical}' at " +
-              s"$tableDir: this batch minted ids from watermark " +
-              s"${cl.baseWm} but the head now records $cur — retry the " +
-              "write (it re-mints from the new watermark)")
-        }
-      }
+      identityConflictGuard(fs, tableDir, priorMeta, identity,
+        newPaths.map(_.split("/", 2).head).distinct, "batch")
       // metadata-conflict guard (ALTER-vs-write race): the batch was
       // validated against the constraints declared when its job was
       // built; if a concurrent ALTER declared NEW ones since, this
@@ -2446,23 +2453,16 @@ object ManifestTable {
       if (cidAndPayload.isDefined)
         checkConflictGuard(fs, tableDir, headMeta, boundChecks,
           cidAndPayload.map(_._1).toSeq)
-      // S51 — the delta's insert images were minted from each claim's
-      // baseWm; a moved head watermark means a concurrent allocation
-      // could collide. Clean the staged dirs and refuse (the caller
-      // re-runs the MERGE, re-minting) — the append loop's contract.
-      identity.foreach { cl =>
-        val cur = headMeta.get(IdentityWmPrefix + cl.phys)
-          .flatMap(_.toLongOption).getOrElse(cl.spec.base)
-        if (cur != cl.baseWm) {
-          (cidAndPayload.map(_._1).toSeq :+ dvRel).foreach(d =>
-            fs.delete(new Path(tableDir, d), true))
-          throw new IllegalStateException(
-            s"concurrent identity allocation on '${cl.logical}' at " +
-              s"$tableDir: this MERGE minted ids from watermark " +
-              s"${cl.baseWm} but the head now records $cur — retry the " +
-              "statement (it re-mints from the new watermark)")
-        }
-      }
+      // S51 — only a delta that actually LANDED insert images can have
+      // minted: a delete-only statement holds claims (the column
+      // exists) but zero new ids, and must not refuse under a racing
+      // insert the loop otherwise rebases over cleanly
+      if (cidAndPayload.isDefined)
+        identityConflictGuard(fs, tableDir, headMeta, identity,
+          cidAndPayload.map(_._1).toSeq ++ Seq(dvRel) ++
+            stagedCdc.filterNot(_ == CdcEmptyToken)
+              .map(n => s"$CdcDirName/$n"),
+          "statement")
       val idMeta = identityWmMeta(identity, cidAndPayload.map(_._1).toSeq,
         cidAndPayload.collect { case (c, Some(p)) => c -> p }.toMap)
       val zoneMeta = statsZonePin(payloadSchema, statsCols,
@@ -3362,6 +3362,11 @@ object ManifestTable {
           psnap.stats.get(d) != baseSnap.stats.get(d) ||
           psnap.bloom.get(d) != baseSnap.bloom.get(d))
       val parentTouched = pRemoved ++ pChanged
+      // did either lineage change DATA since the cut? (the write-
+      // contract conflict test below needs the cross answer)
+      val parentDataChanged = parentTouched.nonEmpty || pSet != baseSet
+      val branchDataChanged = branchTouched.nonEmpty ||
+        branchNew.nonEmpty || branchSchemaChanged
       val dirConflicts = (branchTouched & parentTouched).toSeq.sorted
       if (dirConflicts.nonEmpty)
         return Left("both the branch and the parent touched " +
@@ -3381,6 +3386,15 @@ object ManifestTable {
       val keys = (bsnap.meta.keySet ++ psnap.meta.keySet ++
         baseSnap.meta.keySet).filterNot(specialMeta)
       val metaConflicts = scala.collection.mutable.ArrayBuffer.empty[String]
+      // a write CONTRACT declared on one lineage never judged the
+      // OTHER lineage's rows: its add-time validation scan saw only
+      // its own snapshot, so carrying it over foreign data silently
+      // admits exactly the ALTER-vs-write race every write path
+      // refuses (checkConflictGuard). Declaration keys conflict
+      // whenever the opposite side changed data.
+      def contractKey(k: String): Boolean =
+        k.startsWith(GraftCatalog.PropPrefix + "check.") ||
+          k.startsWith(GenColPrefix) || k.startsWith(IdentityPrefix)
       val merged3 = keys.toSeq.flatMap { k =>
         val a = baseSnap.meta.get(k)
         val b = bsnap.meta.get(k)
@@ -3389,7 +3403,10 @@ object ManifestTable {
         // they landed on the same value — equal watermarks mean both
         // lineages minted the SAME ids from the shared base
         val bothMinted = k.startsWith(IdentityWmPrefix) && b != a && p != a
-        val v = if (bothMinted) { metaConflicts += k; None }
+        val contractOverForeignRows = contractKey(k) &&
+          ((b != a && parentDataChanged) || (p != a && branchDataChanged))
+        val v = if (bothMinted || contractOverForeignRows) {
+          metaConflicts += k; None }
         else if (b == a) p
         else if (p == a || p == b) b
         else { metaConflicts += k; None }
@@ -3397,12 +3414,16 @@ object ManifestTable {
       }.toMap
       if (metaConflicts.nonEmpty) {
         val ks = metaConflicts.sorted
-        val hint = if (ks.exists(_.startsWith(IdentityWmPrefix)))
-          " (identity ids were allocated on BOTH lineages from the same " +
-            "watermark — the staged ids could collide)"
-        else ""
-        return Left("both the branch and the parent changed meta " +
-          s"key(s)$hint: ${ks.take(8).mkString(", ")}")
+        val hint =
+          if (ks.exists(_.startsWith(IdentityWmPrefix)))
+            " (identity ids were allocated on BOTH lineages from the " +
+              "same watermark — the staged ids could collide)"
+          else if (ks.exists(contractKey))
+            " (a write contract declared on one lineage never validated " +
+              "the other lineage's rows)"
+          else ""
+        return Left(
+          s"conflicting meta key(s)$hint: ${ks.take(8).mkString(", ")}")
       }
       // TXN watermarks are monotone per appId and must never move
       // backwards: merge branch and parent per key by MAX. TAGS name
@@ -3541,11 +3562,38 @@ object ManifestTable {
     var moved = false
     var committed: Option[Long] = None
     var attempts = 0
+    // A publish that CRASHED between its parent commit and the branch
+    // delete leaves the branch's whole delta already on the parent —
+    // the retry must recognize that and just consume the branch, not
+    // re-merge (the idwm both-sides check would otherwise misread the
+    // landed watermark as a second allocation and refuse the
+    // operator's own published data).
+    def alreadyPublished(psnap: Snapshot): Boolean = {
+      val pSet = psnap.paths.toSet
+      (branchNew.nonEmpty || branchTouched.nonEmpty ||
+        branchSchemaChanged || bsnap.meta != baseSnap.meta) &&
+      branchNew.forall(pSet.contains) &&
+      branchRemoved.forall(!pSet.contains(_)) &&
+      bDvChanged.forall(d => psnap.dv.get(d) == rekeyedDv.get(d)) &&
+      bStatsChanged.forall(d => psnap.stats.get(d) == rekeyedStats.get(d)) &&
+      bBloomChanged.forall(d => psnap.bloom.get(d) == rekeyedBlooms.get(d)) &&
+      (!branchSchemaChanged || psnap.schemaDdl == bsnap.schemaDdl) &&
+      (bsnap.meta.keySet ++ baseSnap.meta.keySet)
+        .filterNot(specialMeta).forall { k =>
+          bsnap.meta.get(k) == baseSnap.meta.get(k) ||
+            psnap.meta.get(k) == bsnap.meta.get(k)
+        }
+    }
     while (committed.isEmpty) {
       attempts += 1
       val parentHead = headVersion(spark, tableDir).getOrElse(
         refuse("no committed graft table at the parent", moved))
       val psnap = snapshotOf(fs, tableDir, parentHead)
+      if (alreadyPublished(psnap)) {
+        invalidateSnapshots(bdir)
+        fs.delete(new Path(bdir), true)
+        return parentHead
+      }
       val m = mergeAgainst(psnap) match {
         case Left(why) => refuse(why, moved)
         case Right(m) => m
@@ -3560,8 +3608,9 @@ object ManifestTable {
         retainGenerations = retain, schemaDdl = m.schemaDdl,
         stats = m.stats, meta = m.meta, dv = m.dv, blooms = m.blooms)
     }
-    // consume the branch (crash here leaves a stale branch; publish of
-    // it refuses on base mismatch and dropBranch cleans)
+    // consume the branch (a crash HERE is healed by alreadyPublished on
+    // the retried publish, which consumes without re-merging;
+    // dropBranch also cleans)
     invalidateSnapshots(bdir)
     fs.delete(new Path(bdir), true)
     committed.get

@@ -172,6 +172,63 @@ class GraftBranchSpec extends SparkTestBase {
       "the staged deletion stayed a MASK through the rebase publish")
   }
 
+  test("rebase publish refuses a branch-declared contract over unvalidated parent appends") {
+    wh: Unit
+    spark.sql("CREATE TABLE gbr.lake.ctr (k INT, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10')")
+    spark.sql("INSERT INTO gbr.lake.ctr VALUES (1, 'a')")
+    spark.sql("CALL gbr.system.create_branch(table => 'lake.ctr', name => 'c1')")
+    // the branch declares a CHECK — its add-time scan sees only the
+    // branch snapshot (all positive)
+    spark.sql("ALTER TABLE gbr.lake.`ctr$branch$c1` " +
+      "ADD CONSTRAINT pos CHECK (k > 0)")
+    // the parent lands rows the constraint never judged (one violates)
+    spark.sql("INSERT INTO gbr.lake.ctr VALUES (-5, 'rogue')")
+    val e = intercept[Exception] {
+      spark.sql("CALL gbr.system.publish_branch(table => 'lake.ctr', name => 'c1')")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m =>
+      m.contains("check.pos") && m.contains("contract")),
+      s"got: ${messages(e).take(2)}")
+    // parent intact (no silently-violated constraint), branch drops
+    assert(spark.sql("SELECT count(*) FROM gbr.lake.ctr").head.getLong(0) === 2L)
+    spark.sql("CALL gbr.system.drop_branch(table => 'lake.ctr', name => 'c1')")
+  }
+
+  test("a publish that crashed between commit and branch delete resumes by consuming") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("crs", Seq((1, "a")))
+    ManifestTable.createBranch(spark, dir, "cr"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "cr")
+    ManifestTable.append(Seq((7, "g"), (8, "h")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // snapshot the branch's MANIFESTS before publishing — restoring
+    // them after the publish recreates the exact crash state (parent
+    // commit landed, branch-local dirs moved out, branch delete never
+    // ran: manifests present, data dirs gone)
+    val conf = spark.sessionState.newHadoopConf()
+    val saved = java.nio.file.Files.createTempDirectory("graft-brcrash")
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(bdir, "_manifests"),
+      fs, new Path(saved.toString, "_manifests"), false, conf): Unit
+    val published = ManifestTable.publishBranch(spark, dir, "cr")
+    assert(!fs.exists(new Path(bdir)))
+    fs.mkdirs(new Path(bdir))
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(saved.toString, "_manifests"),
+      fs, new Path(bdir, "_manifests"), false, conf): Unit
+    // the retried publish must RECOGNIZE the landed delta and consume
+    // the stale branch — not refuse its own published data as a
+    // both-lineages conflict, and not double-apply anything
+    val resumed = ManifestTable.publishBranch(spark, dir, "cr")
+    assert(resumed === published, "resume consumes at the landed head")
+    assert(!fs.exists(new Path(bdir)), "the stale branch is consumed")
+    assert(ManifestTable.read(spark, dir).collect()
+      .map(_.getInt(0)).sorted.toSeq === Seq(1, 7, 8),
+      "nothing double-applied")
+  }
+
   test("publish is crash-resumable: pre-moved dirs are recognized") {
     val s = spark; import s.implicits._
     val dir = freshTable("resume", Seq((1, "a")))
