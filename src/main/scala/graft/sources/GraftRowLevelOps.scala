@@ -490,10 +490,12 @@ class GraftPositionDeltaOperation(table: GraftTable, cmd: Command)
   override def requiredMetadataAttributes(): Array[NamedReference] =
     Array.empty
 
-  /** A position cannot be "updated" — the old position masks out and
-    * the new image appends (Spark splits updates into delete+insert
-    * records for us). */
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** Updates arrive AS updates (Spark's default delta mode): the
+    * writer decomposes each into a pre-image position record and a
+    * post-image row record with DISTINCT markers — exact per-row
+    * provenance, which is what makes MERGE's CDC pairing and the
+    * GENERATED ALWAYS identity gate exact instead of heuristic. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -558,11 +560,14 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       // a file's PARENT is its commit dir — the dv channel's key
       // (derived here rather than carried as a metadata column, see
       // requiredMetadataAttributes)
-      val deletes = cs.filter(marker === 1).select(
+      // plain deletes (1) and update pre-images (2) both become masks;
+      // the `upd` flag keeps the per-record provenance for the feed
+      val deletes = cs.filter(marker.isin(1, 2)).select(
         org.apache.spark.sql.functions.regexp_replace(
           col(GraftRowLevel.FileCol), "/[^/]*$", "").as("__graft_parent"),
         col(GraftRowLevel.FileCol).as("path"),
-        col(GraftRowLevel.PosCol).as("pos"))
+        col(GraftRowLevel.PosCol).as("pos"),
+        (marker === 2).as("upd"))
       // touched dirs: the DISTINCT parent dirs among delete records —
       // dir-granular metadata (bounded by the table's dir count), not
       // row-scale data, so the collect is manifest-sized by nature
@@ -583,7 +588,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
           parents.zipWithIndex.map { case (p, i) => (p, i) })
           .toDF("__graft_ord_dir", "d"))
         deletes.join(ords, col("__graft_parent") === col("__graft_ord_dir"))
-          .select(col("path"), col("pos"), col("d"))
+          .select(col("path"), col("pos"), col("d")) // upd is feed-only
           .write.partitionBy("d").parquet(s"$dir/$dvRel")
         counts = spark.read
           .schema(StructType(ManifestTable.DvSchema.fields :+
@@ -602,101 +607,71 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       val statsCols = tableSchema.fieldNames.filter(c => statsBasis.exists(p =>
         baseStats.get(p).exists(ManifestTable.statsFor(_, c).isDefined)))
         .toSeq
-      val inserts = cs.filter(marker === 0)
+      // image records split by PROVENANCE: fresh inserts (0) MINT
+      // their identity ids through the append kernel's gate — a
+      // GENERATED ALWAYS column refuses an explicit value OUTRIGHT,
+      // per record, no heuristic; update post-images (3) CARRY their
+      // ids (a NULL there is an assignment of NULL to an identity
+      // column, refused inside the contract binding). Two dirs land
+      // (one per kind, empty ones skipped) so the CDC feed can tag
+      // each image exactly.
+      val fresh = cs.filter(marker === 0)
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val post = cs.filter(marker === 3)
+        .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+      val (freshMinted, idClaims) =
+        ManifestTable.assignIdentity(fresh, dir, fs)
       var boundChecks: Set[String] = Set.empty
-      val cid = "pd-" + java.util.UUID.randomUUID().toString.take(8)
-      // S51 — the GENERATED ALWAYS gate, delta shape: a non-null id in
-      // an insert record is legitimate ONLY as an update post-image
-      // carrying a pre-image's id — and this changeset's pre-images
-      // are exactly the rows its delete records mask. Any other
-      // non-null id is an explicit assignment to an ALWAYS column
-      // (Delta refuses those at MERGE analysis; the write layer can
-      // only tell by membership) and refuses loudly, BEFORE minting.
-      // Cost: one semi-join over the TOUCHED dirs per gated column —
-      // the changeset shape, never a table pass.
-      val hMeta = ManifestTable.metaOf(fs, dir, baseV)
-      val alwaysIdCols = ManifestTable.identitySpecs(hMeta).collect {
-        case (phys, spec) if !spec.allowExplicit =>
-          ManifestTable.colMapOf(fs, dir, baseV).map(_.swap)
-            .getOrElse(phys, phys)
-      }.filter(tableSchema.fieldNames.contains).toSeq.sorted
-      alwaysIdCols.foreach { logical =>
-        val explicit = inserts.filter(col(logical).isNotNull)
-          .select(col(logical))
-        val preImageIds =
-          if (touched.isEmpty)
-            spark.createDataFrame(spark.sparkContext
-              .emptyRDD[org.apache.spark.sql.Row], explicit.schema)
-          else touched.map(p =>
-            ManifestTable.readDirs(spark, dir, baseV, Seq(p))
-              .withColumn("__graft_file", col("_metadata.file_path"))
-              .withColumn("__graft_pos", col("_metadata.row_index")))
-            .reduce(_.unionByName(_))
-            .join(deletes.select(col("path").as("__graft_dv_path"),
-              col("pos").as("__graft_dv_pos")),
-              col("__graft_file") === col("__graft_dv_path") &&
-                col("__graft_pos") === col("__graft_dv_pos"), "left_semi")
-            .select(col(logical))
-        val foreign = explicit.join(preImageIds, Seq(logical), "left_anti")
-          .limit(1).collect()
-        require(foreign.isEmpty,
-          s"identity column '$logical' is GENERATED ALWAYS — a MERGE " +
-            s"insert record carries explicit id ${foreign.head.get(0)} " +
-            "that is no updated row's pre-image id (declare BY DEFAULT " +
-            "to allow explicit values)")
-      }
-      // S51 — MERGE-inserted rows on the merge-on-read path MINT their
-      // identity ids (r18): route the insert images through the same
-      // kernel the append surfaces use; the claims thread into
-      // publishMorDelta, which verifies the watermark still matches
-      // and advances it in the same commit. Deletes stay masks.
-      val (minted, idClaims) =
-        ManifestTable.assignIdentity(inserts, dir, fs,
-          // update post-images arrive as insert records CARRYING their
-          // ids, gated to pre-image membership above — mint only the
-          // true (NULL-id) inserts
-          gateExplicit = false)
-      val (checked, bc) =
-        GraftManifestSource.bindDeclaredChecks(minted, dir,
-          recomputeGenerated = true)
-      boundChecks = bc
       // identity columns join the tracked set: the per-dir max IS the
       // watermark-advance input publishMorDelta reads
       val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
-      val obs = org.apache.spark.sql.Observation()
-      val aggs = ManifestTable.statsAggExprs(statsCols2)
-      ManifestTable.writePhysical(
-        checked.observe(obs, aggs.head, aggs.tail: _*),
-        ManifestTable.colMapOf(fs, dir, baseV))
-        .write.parquet(s"$dir/$cid")
-      val m = obs.get
-      val insertedRows = m("rows").asInstanceOf[Long]
-      val cidAndPayload: Option[(String, Option[String])] =
-        if (insertedRows == 0L) {
-          fs.delete(new Path(dir, cid), true): Unit
-          None
-        } else Some((cid,
-          Some(ManifestTable.statsPayloadFrom(insertedRows, statsCols2, m))))
-      if (counts.valuesIterator.sum == 0L && cidAndPayload.isEmpty) {
+      def landImages(df0: org.apache.spark.sql.DataFrame)
+          : Option[(String, Option[String])] = {
+        val (checked, bc) =
+          GraftManifestSource.bindDeclaredChecks(df0, dir,
+            recomputeGenerated = true)
+        boundChecks ++= bc
+        val c = "pd-" + java.util.UUID.randomUUID().toString.take(8)
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = ManifestTable.statsAggExprs(statsCols2)
+        ManifestTable.writePhysical(
+          checked.observe(obs, aggs.head, aggs.tail: _*),
+          ManifestTable.colMapOf(fs, dir, baseV))
+          .write.parquet(s"$dir/$c")
+        val m = obs.get
+        val n = m("rows").asInstanceOf[Long]
+        if (n == 0L) { fs.delete(new Path(dir, c), true): Unit; None }
+        else Some((c,
+          Some(ManifestTable.statsPayloadFrom(n, statsCols2, m))))
+      }
+      val cidFresh = landImages(freshMinted)
+      val cidPost = landImages(post)
+      val cids = cidFresh.toSeq ++ cidPost.toSeq
+      if (counts.valuesIterator.sum == 0L && cids.isEmpty) {
         fs.delete(new Path(dir, dvRel), true): Unit
         return // provable no-op: no masks, no images
       }
+      // the feed's images are the POST-state rows — read back the
+      // written dirs, never the pre-mint frames (whose identity ids
+      // are still NULL; re-evaluating the minting plan could also
+      // mint DIFFERENT ids than were written). Tags are exact per
+      // record now, for MERGE as much as UPDATE.
       val stagedCdc = ManifestTable.stageMorDeltaCdc(spark, dir, baseV,
-        touched, deletes.select(col("path"), col("pos")),
-        // the feed's insert images must be the POST-state rows — read
-        // back the written dir, never the pre-mint frame (whose
-        // identity ids are still NULL and whose generated columns are
-        // unrecomputed; re-evaluating the minting plan could also mint
-        // DIFFERENT ids than were written)
-        cidAndPayload.map { case (c, _) =>
-          ManifestTable.readDirs(spark, dir, baseV, Seq(c)) },
-        // an UPDATE statement's every delete record is a pre-image and
-        // every insert its post-image — the staged feed pairs them
-        updateSemantics = cmd == Command.UPDATE)
+        touched, deletes.select(col("path"), col("pos"), col("upd")),
+        cidFresh.map { case (c, _) =>
+          ManifestTable.readDirs(spark, dir, baseV, Seq(c)) -> "insert"
+        }.toSeq ++
+        cidPost.map { case (c, _) =>
+          ManifestTable.readDirs(spark, dir, baseV, Seq(c)) ->
+            "update_postimage"
+        }.toSeq)
       ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
-        counts, cidAndPayload, tableSchema, statsCols2, boundChecks,
-        stagedCdc, GraftRowLevel.retainOf(table), idClaims): Unit
+        counts, cids, tableSchema, statsCols2, boundChecks,
+        stagedCdc, GraftRowLevel.retainOf(table),
+        // claims verify/advance only when FRESH images minted — an
+        // update-only statement holds claims (the column exists) but
+        // zero new ids
+        if (cidFresh.isDefined) idClaims else Seq.empty): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }
@@ -754,12 +729,24 @@ class GraftPositionDeltaTaskWriter(path: String,
       }
     }
 
-  /** Unreachable under `representUpdateAsDeleteAndInsert = true`
-    * (Spark pre-splits updates); decomposed here anyway for safety. */
+  /** An UPDATE decomposes into a pre-image position record and a
+    * post-image row record under their OWN markers (2/3, vs delete's 1
+    * and insert's 0) — the commit can tell an updated row from an
+    * unrelated delete+insert pair, per record. */
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
-    delete(metadata, id)
-    insert(row)
+    emit(2) { out =>
+      out.update(nTable, id.get(0, StringType))           // _graft_file
+      out.update(nTable + 1,
+        id.get(1, org.apache.spark.sql.types.LongType))   // _graft_pos
+    }
+    emit(3) { out =>
+      var i = 0
+      while (i < rowMap.length) {
+        out.update(rowMap(i), row.get(i, rowTypes(i)))
+        i += 1
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = inner.commit()

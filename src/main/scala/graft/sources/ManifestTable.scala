@@ -2348,7 +2348,7 @@ object ManifestTable {
         Some(name)
       }
     publishMorDelta(spark, tableDir, baseV, touched, dvRel, counts,
-      cidAndPayload, tableSchema, statsCols, boundChecks, stagedCdc,
+      cidAndPayload.toSeq, tableSchema, statsCols, boundChecks, stagedCdc,
       retainGenerations)
   }
 
@@ -2361,18 +2361,17 @@ object ManifestTable {
     * paid only when the property is set. None = property unset or the
     * feed is provably empty.
     *
-    * `updateSemantics` (the SQL UPDATE command, whose every delete
-    * record is a row's pre-image and every insert its post-image):
-    * tags pair as `update_preimage`/`update_postimage` — the Delta CDF
-    * contract — so consumers rebuild updates without re-keying the
-    * feed. MERGE changesets keep `delete`/`insert` (a merge mixes
-    * genuine deletes/inserts with update pairs and the split records
-    * carry no per-clause provenance). */
+    * Tags are PER RECORD (the writer keeps each update's provenance
+    * through its changeset markers): a delete key flagged `upd` is a
+    * row's pre-image (`update_preimage`), the post-image frame tags
+    * `update_postimage` — the Delta CDF contract, exact for MERGE as
+    * much as for UPDATE — while genuine deletes/inserts keep their
+    * plain tags. `images` = (post-state frame, tag) pairs. */
   private[sources] def stageMorDeltaCdc(spark: SparkSession,
       tableDir: String, baseV: Long, touched: Seq[String],
-      delKeys: DataFrame, inserts: Option[DataFrame],
-      updateSemantics: Boolean = false): Option[String] = {
-    import org.apache.spark.sql.functions.{col, lit}
+      delKeys: DataFrame,
+      images: Seq[(DataFrame, String)]): Option[String] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     val fs = fsOf(spark, tableDir)
     if (!metaOf(fs, tableDir, baseV).get(CdcMaterializeKey)
         .exists(_.equalsIgnoreCase("true"))) return None
@@ -2385,23 +2384,24 @@ object ManifestTable {
         // per-dir reads so `_metadata` resolves (it would not above a
         // union); NO base-mask filtering needed — the delete keys came
         // from a scan that already read through the standing masks, so
-        // the semi-join can only ever match live rows
+        // the join can only ever match live rows (keys are unique per
+        // row, so the inner join preserves multiplicity)
         val rows = touched.map(p =>
           readWithDeclared(spark, tableDir, baseV, Seq(absPath(tableDir, p)))
             .withColumn("__graft_file", col("_metadata.file_path"))
             .withColumn("__graft_pos", col("_metadata.row_index")))
           .reduce(_.unionByName(_))
         Some(rows.join(delKeys.select(col("path").as("__graft_dv_path"),
-            col("pos").as("__graft_dv_pos")),
+            col("pos").as("__graft_dv_pos"), col("upd").as("__graft_dv_upd")),
           col("__graft_file") === col("__graft_dv_path") &&
-            col("__graft_pos") === col("__graft_dv_pos"), "left_semi")
-          .select(plainCols: _*).withColumn("change_type",
-            lit(if (updateSemantics) "update_preimage" else "delete")))
+            col("__graft_pos") === col("__graft_dv_pos"), "inner")
+          .select(plainCols :+ when(col("__graft_dv_upd"),
+            lit("update_preimage")).otherwise(lit("delete"))
+            .as("change_type"): _*))
       }
-    val insImages = inserts.map(_.select(plainCols: _*)
-      .withColumn("change_type",
-        lit(if (updateSemantics) "update_postimage" else "insert")))
-    (oldImages.toSeq ++ insImages.toSeq).reduceOption(_.unionByName(_))
+    val insImages = images.map { case (df, tag) =>
+      df.select(plainCols: _*).withColumn("change_type", lit(tag)) }
+    (oldImages.toSeq ++ insImages).reduceOption(_.unionByName(_))
       .map { feed =>
         val name = "c-" + java.util.UUID.randomUUID().toString.take(8)
         feed.write.parquet(s"$tableDir/$CdcDirName/$name")
@@ -2421,18 +2421,18 @@ object ManifestTable {
   private[sources] def publishMorDelta(spark: SparkSession, tableDir: String,
       baseV: Long, touched: Seq[String], dvRel: String,
       counts: Map[Int, Long],
-      cidAndPayload: Option[(String, Option[String])],
+      cids: Seq[(String, Option[String])],
       payloadSchema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String], boundChecks: Set[String],
       stagedCdc: Option[String], retainGenerations: Int,
       identity: Seq[IdentityClaim] = Seq.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val baseDv = dvOf(fs, tableDir, baseV)
-    // S44 — index the fresh images dir (standing dirs keep theirs via
+    // S44 — index the fresh images dirs (standing dirs keep theirs via
     // the auto-carry; their masks never touch the sketches — supersets)
-    val newBlooms = (for { (c, pl) <- cidAndPayload; p <- pl } yield
-      buildBloomSidecars(spark, tableDir, Seq(c), Map(c -> p)))
-      .getOrElse(Map.empty)
+    val newBlooms = cids.collect { case (c, Some(p)) =>
+      buildBloomSidecars(spark, tableDir, Seq(c), Map(c -> p))
+    }.foldLeft(Map.empty[String, String])(_ ++ _)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -2450,23 +2450,21 @@ object ManifestTable {
           s"table at $tableDir changed incompatibly during the " +
             "merge-on-read rewrite: deletion vectors advanced on a touched dir")
       val headMeta = metaOf(fs, tableDir, head)
-      if (cidAndPayload.isDefined)
+      if (cids.nonEmpty)
         checkConflictGuard(fs, tableDir, headMeta, boundChecks,
-          cidAndPayload.map(_._1).toSeq)
-      // S51 — only a delta that actually LANDED insert images can have
-      // minted: a delete-only statement holds claims (the column
-      // exists) but zero new ids, and must not refuse under a racing
-      // insert the loop otherwise rebases over cleanly
-      if (cidAndPayload.isDefined)
-        identityConflictGuard(fs, tableDir, headMeta, identity,
-          cidAndPayload.map(_._1).toSeq ++ Seq(dvRel) ++
-            stagedCdc.filterNot(_ == CdcEmptyToken)
-              .map(n => s"$CdcDirName/$n"),
-          "statement")
-      val idMeta = identityWmMeta(identity, cidAndPayload.map(_._1).toSeq,
-        cidAndPayload.collect { case (c, Some(p)) => c -> p }.toMap)
+          cids.map(_._1))
+      // S51 — the caller passes claims only when fresh images actually
+      // MINTED (an update/delete-only statement must not refuse under
+      // a racing insert the loop otherwise rebases over cleanly)
+      identityConflictGuard(fs, tableDir, headMeta, identity,
+        cids.map(_._1) ++ Seq(dvRel) ++
+          stagedCdc.filterNot(_ == CdcEmptyToken)
+            .map(n => s"$CdcDirName/$n"),
+        "statement")
+      val idMeta = identityWmMeta(identity, cids.map(_._1),
+        cids.collect { case (c, Some(p)) => c -> p }.toMap)
       val zoneMeta = statsZonePin(payloadSchema, statsCols,
-        cidAndPayload.exists(_._2.isDefined), headMeta, spark, tableDir)
+        cids.exists(_._2.isDefined), headMeta, spark, tableDir)
       val newDv = headDv ++ touched.zipWithIndex.flatMap { case (p, i) =>
         counts.get(i).filter(_ > 0L).map { n =>
           val entry = s"$dvRel/d=$i@$n"
@@ -2475,10 +2473,10 @@ object ManifestTable {
         }
       }
       val committed = commitIf(spark, tableDir,
-        (headPaths ++ cidAndPayload.map(_._1)).sorted, head,
+        (headPaths ++ cids.map(_._1)).sorted, head,
         retainGenerations, schemaDdl = schemaOf(fs, tableDir, head),
         stats = statsOf(fs, tableDir, head) ++
-          (for { (c, pl) <- cidAndPayload; p <- pl } yield c -> p),
+          cids.collect { case (c, Some(p)) => c -> p },
         meta = pruneCdcMeta(headMeta, vs.toSet) ++ zoneMeta ++ idMeta ++
           stagedCdc.map(n => CdcDataPrefix + (head + 1) -> n),
         dv = newDv,

@@ -157,6 +157,23 @@ class GraftChangesFeedSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
     assert(api == Seq((1, "A", "update_postimage"),
                       (1, "a", "update_preimage")), api)
+    // MERGE pairing is EXACT too (per-record provenance through the
+    // delta markers): one statement mixing an update, a delete and an
+    // insert tags each image by its own clause
+    spark.sql("""SELECT * FROM VALUES (2, 'BB', 'u'), (4, 'd', 'i'),
+      (1, NULL, 'd') AS t(k, v, op)""").createOrReplaceTempView("m6src")
+    spark.sql("""MERGE INTO gcdc.lake.m6 t USING m6src s ON t.k = s.k
+                 WHEN MATCHED AND s.op = 'd' THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET v = s.v
+                 WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val vM = ManifestTable.headVersion(spark, dir).get
+    val mg = ManifestTable.changes(spark, dir, vM - 1, vM).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(mg == Seq((1, "A", "delete"),
+                     (2, "B", "update_preimage"),
+                     (2, "BB", "update_postimage"),
+                     (4, "d", "insert")),
+      s"MERGE images must tag by their own clause: $mg")
     // a replica consumer nets each pair to a replace (rank order, not
     // the raw tag — lexical order would delete the row)
     val repDir = Files.createTempDirectory("graft-cdcrep").toString + "/r"

@@ -196,7 +196,10 @@ class GraftDvSpec extends SparkTestBase {
     val after = ManifestTable.livePaths(fs, dir)
     assert(before.toSet.subsetOf(after.toSet),
       "MERGE on a merge-on-read table must not rewrite standing dirs")
-    assert(after.size == before.size + 1, s"one fresh images dir: $after")
+    // one dir per IMAGE KIND (fresh inserts / update post-images) —
+    // the split is what keeps the CDC feed's per-record tags exact
+    assert(after.size == before.size + 2,
+      s"two fresh images dirs (inserts + post-images): $after")
     assert(ks("gdv.lake.m12").size == 21) // 20 + 1 inserted
     val byK = spark.table("gdv.lake.m12").collect()
       .map(r => r.getInt(0) -> r.getString(1)).toMap
