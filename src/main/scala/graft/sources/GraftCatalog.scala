@@ -166,9 +166,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val suffix = ident.name.drop(dollar + 1)
       // S49 — `` t$branch$audit ``: read a WAP branch with plain SQL
       // (the branch is a full table at its own dir; same pinned-read
-      // construction as the parent, defaults and props included)
-      if (suffix.startsWith("branch$")) {
-        val bname = suffix.stripPrefix("branch$")
+      // construction as the parent, defaults and props included);
+      // address syntax parsed by the shared [[branchAddress]]
+      branchAddress(ident).foreach { case (_, bname) =>
         val bdir = ManifestTable.branchDirOf(dir, bname)
         val bHead = ManifestTable.headVersion(spark, bdir)
           .getOrElse(throw new NoSuchTableException(ident))
@@ -462,19 +462,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(fs.rename(from, to), s"rename $from -> $to failed")
   }
 
+  /** Parse a `t$branch$<name>` address into (base identifier, branch
+    * name) — the ONE place the branch-address syntax lives; loadTable
+    * and ALTER resolution both consume it. */
+  private def branchAddress(ident: Identifier): Option[(Identifier, String)] = {
+    val dollar = ident.name.indexOf('$')
+    if (dollar > 0 && ident.name.drop(dollar + 1).startsWith("branch$"))
+      Some((Identifier.of(ident.namespace, ident.name.take(dollar)),
+        ident.name.drop(dollar + 1).stripPrefix("branch$")))
+    else None
+  }
+
   /** `ident` resolved to its table dir, following a `t$branch$<name>`
     * suffix to the branch's OWN dir (S49): ALTER targets a branch
     * exactly like reads and writes do — an audit can stage a contract
     * or schema change and publish it with the data (the rebase's
     * contract-conflict rule keeps it honest vs parent appends). */
-  private def resolvedDir(ident: Identifier): String = {
-    val dollar = ident.name.indexOf('$')
-    if (dollar > 0 && ident.name.drop(dollar + 1).startsWith("branch$")) {
-      val base = Identifier.of(ident.namespace, ident.name.take(dollar))
-      val bname = ident.name.drop(dollar + 1).stripPrefix("branch$")
-      ManifestTable.branchDirOf(tableDir(base), bname)
-    } else tableDir(ident)
-  }
+  private def resolvedDir(ident: Identifier): String =
+    branchAddress(ident) match {
+      case Some((base, bname)) =>
+        ManifestTable.branchDirOf(tableDir(base), bname)
+      case None => tableDir(ident)
+    }
 
   /** SET/UNSET TBLPROPERTIES and ADD COLUMN(S). Each change is one
     * optimistic metadata commit (paths/stats re-published unchanged) —

@@ -452,9 +452,11 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
   * write cost ∝ changed rows — zero standing dirs rewritten — instead
   * of the group copy-on-write rewrite, honoring the contract the
   * operator declared with `dml.mode` (the Iceberg position-delta
-  * shape). Updates split into delete+insert records
-  * ([[representUpdateAsDeleteAndInsert]]): the mask retires the old
-  * image, the fresh dir carries the new one. */
+  * shape). Updates arrive AS updates ([[representUpdateAsDeleteAndInsert]]
+  * = false) and decompose in the writer under their OWN markers: the
+  * pre-image position retires into the mask, the post-image row lands
+  * in its own dir — per-record provenance the CDC feed and the
+  * identity gate consume exactly. */
 class GraftPositionDeltaOperation(table: GraftTable, cmd: Command)
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
@@ -615,6 +617,10 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       // column, refused inside the contract binding). Two dirs land
       // (one per kind, empty ones skipped) so the CDC feed can tag
       // each image exactly.
+      // one tiny agg decides which image kinds exist at all — a pure
+      // DELETE must not pay two empty write jobs over the changeset
+      val kindCounts = cs.groupBy(marker).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val fresh = cs.filter(marker === 0)
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       val post = cs.filter(marker === 3)
@@ -644,8 +650,12 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         else Some((c,
           Some(ManifestTable.statsPayloadFrom(n, statsCols2, m))))
       }
-      val cidFresh = landImages(freshMinted)
-      val cidPost = landImages(post)
+      val cidFresh =
+        if (kindCounts.getOrElse(0, 0L) == 0L) None
+        else landImages(freshMinted)
+      val cidPost =
+        if (kindCounts.getOrElse(3, 0L) == 0L) None
+        else landImages(post)
       val cids = cidFresh.toSeq ++ cidPost.toSeq
       if (counts.valuesIterator.sum == 0L && cids.isEmpty) {
         fs.delete(new Path(dir, dvRel), true): Unit
@@ -668,10 +678,10 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
         counts, cids, tableSchema, statsCols2, boundChecks,
         stagedCdc, GraftRowLevel.retainOf(table),
-        // claims verify/advance only when FRESH images minted — an
-        // update-only statement holds claims (the column exists) but
-        // zero new ids
-        if (cidFresh.isDefined) idClaims else Seq.empty): Unit
+        // claims ALWAYS thread (the watermark must advance past
+        // explicit BY DEFAULT ids in update post-images too); the
+        // conflict check itself runs only when fresh images minted
+        idClaims, mintedFresh = cidFresh.isDefined): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }

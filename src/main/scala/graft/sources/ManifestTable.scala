@@ -1320,7 +1320,9 @@ object ManifestTable {
     * the merge-on-read delta publish. */
   private[sources] def identityWmMeta(identity: Seq[IdentityClaim],
                                       newPaths: Seq[String],
-                                      newStats: Map[String, String])
+                                      newStats: Map[String, String],
+                                      floorMeta: Map[String, String] =
+                                        Map.empty)
       : Map[String, String] = identity.flatMap { cl =>
     val vals = newPaths.flatMap(p => newStats.get(p)
       .flatMap(statsFor(_, cl.logical)).flatMap { case (_, mn, mx) =>
@@ -1329,9 +1331,15 @@ object ManifestTable {
       if (vals.isEmpty) None
       else Some(if (cl.spec.step > 0) vals.max else vals.min)
     ext.map { e =>
+      // floor against the HEAD's live watermark too: a commit that did
+      // not mint (update-only, guard skipped) may publish concurrently
+      // with a minting writer — overwriting the key from a stale
+      // baseWm would REGRESS the watermark and re-issue taken ids
+      val floor = floorMeta.get(IdentityWmPrefix + cl.phys)
+        .flatMap(_.toLongOption).getOrElse(cl.baseWm)
       val wmNew =
-        if (cl.spec.step > 0) math.max(cl.baseWm, e)
-        else math.min(cl.baseWm, e)
+        if (cl.spec.step > 0) math.max(math.max(cl.baseWm, floor), e)
+        else math.min(math.min(cl.baseWm, floor), e)
       (IdentityWmPrefix + cl.phys) -> wmNew.toString
     }
   }.toMap
@@ -2425,7 +2433,8 @@ object ManifestTable {
       payloadSchema: org.apache.spark.sql.types.StructType,
       statsCols: Seq[String], boundChecks: Set[String],
       stagedCdc: Option[String], retainGenerations: Int,
-      identity: Seq[IdentityClaim] = Seq.empty): Long = {
+      identity: Seq[IdentityClaim] = Seq.empty,
+      mintedFresh: Boolean = false): Long = {
     val fs = fsOf(spark, tableDir)
     val baseDv = dvOf(fs, tableDir, baseV)
     // S44 — index the fresh images dirs (standing dirs keep theirs via
@@ -2453,16 +2462,21 @@ object ManifestTable {
       if (cids.nonEmpty)
         checkConflictGuard(fs, tableDir, headMeta, boundChecks,
           cids.map(_._1))
-      // S51 — the caller passes claims only when fresh images actually
-      // MINTED (an update/delete-only statement must not refuse under
-      // a racing insert the loop otherwise rebases over cleanly)
-      identityConflictGuard(fs, tableDir, headMeta, identity,
-        cids.map(_._1) ++ Seq(dvRel) ++
-          stagedCdc.filterNot(_ == CdcEmptyToken)
-            .map(n => s"$CdcDirName/$n"),
-        "statement")
+      // S51 — the conflict check runs only when fresh images MINTED
+      // (an update/delete-only statement must not refuse under a
+      // racing insert the loop otherwise rebases over cleanly), but
+      // the watermark ADVANCE runs for every landed image: a BY
+      // DEFAULT update can push explicit ids past the watermark, and
+      // the head floor keeps a non-minting publish from regressing a
+      // concurrently-advanced one
+      if (mintedFresh)
+        identityConflictGuard(fs, tableDir, headMeta, identity,
+          cids.map(_._1) ++ Seq(dvRel) ++
+            stagedCdc.filterNot(_ == CdcEmptyToken)
+              .map(n => s"$CdcDirName/$n"),
+          "statement")
       val idMeta = identityWmMeta(identity, cids.map(_._1),
-        cids.collect { case (c, Some(p)) => c -> p }.toMap)
+        cids.collect { case (c, Some(p)) => c -> p }.toMap, headMeta)
       val zoneMeta = statsZonePin(payloadSchema, statsCols,
         cids.exists(_._2.isDefined), headMeta, spark, tableDir)
       val newDv = headDv ++ touched.zipWithIndex.flatMap { case (p, i) =>
@@ -3401,8 +3415,12 @@ object ManifestTable {
         // they landed on the same value — equal watermarks mean both
         // lineages minted the SAME ids from the shared base
         val bothMinted = k.startsWith(IdentityWmPrefix) && b != a && p != a
-        val contractOverForeignRows = contractKey(k) &&
-          ((b != a && parentDataChanged) || (p != a && branchDataChanged))
+        // only an ADDED/CHANGED declaration conflicts — dropping one
+        // admits no unvalidated rows, and both sides declaring the
+        // IDENTICAL value each validated their own rows
+        val contractOverForeignRows = contractKey(k) && b != p &&
+          ((b.isDefined && b != a && parentDataChanged) ||
+            (p.isDefined && p != a && branchDataChanged))
         val v = if (bothMinted || contractOverForeignRows) {
           metaConflicts += k; None }
         else if (b == a) p
@@ -3569,7 +3587,9 @@ object ManifestTable {
     def alreadyPublished(psnap: Snapshot): Boolean = {
       val pSet = psnap.paths.toSet
       (branchNew.nonEmpty || branchTouched.nonEmpty ||
-        branchSchemaChanged || bsnap.meta != baseSnap.meta) &&
+        branchSchemaChanged ||
+        (bsnap.meta.keySet ++ baseSnap.meta.keySet).filterNot(specialMeta)
+          .exists(k => bsnap.meta.get(k) != baseSnap.meta.get(k))) &&
       branchNew.forall(pSet.contains) &&
       branchRemoved.forall(!pSet.contains(_)) &&
       bDvChanged.forall(d => psnap.dv.get(d) == rekeyedDv.get(d)) &&
