@@ -3379,7 +3379,75 @@ object ManifestTable {
       val parentDataChanged = parentTouched.nonEmpty || pSet != baseSet
       val branchDataChanged = branchTouched.nonEmpty ||
         branchNew.nonEmpty || branchSchemaChanged
-      val dirConflicts = (branchTouched & parentTouched).toSeq.sorted
+      // MASK-UNION rescue: a dir BOTH lineages merely EXTENDED with
+      // merge-on-read masks (stacked dv entries; dir kept, stats and
+      // blooms untouched on both sides) is mergeable when the two
+      // mask sets are POSITION-DISJOINT — the concurrent-delete shape
+      // a live table hits constantly during an audit. The merged
+      // payload stacks parent additions then branch additions (each
+      // side's own protocol already guarantees disjointness vs the
+      // base, so only the cross pair needs the check — one tiny read
+      // over selective-delete parquet). A crashed merge's retry shows
+      // the branch's additions already ON the head (entry names are
+      // unique) and resumes by carrying the head payload.
+      def dvEntryList(payload: Option[String]): Seq[String] =
+        payload.toSeq.flatMap(_.split(',').toSeq)
+      def extendsDv(base: Option[String], cur: Option[String]): Boolean =
+        cur.isDefined && dvEntryList(cur).startsWith(dvEntryList(base))
+      def dvAdditions(base: Option[String], cur: Option[String]): Seq[String] =
+        dvEntryList(cur).drop(dvEntryList(base).length)
+      // positions of one side's ADDED mask entries; branch-local dirs
+      // read from wherever they currently live (pre- or post-move)
+      def maskPositions(entries: Seq[String]): DataFrame = {
+        val dirs = entries.flatMap(e => dvEntries(e).map(_._1)).map { rel =>
+          val parent = new Path(absPath(tableDir, rel))
+          if (try fs.exists(parent) catch { case _: java.io.IOException => false })
+            parent.toString
+          else {
+            // a branch-local dv dir not yet moved: map the rekeyed name
+            // back to its branch location
+            val sub = rel.stripPrefix(DvDirName + "/")
+            val orig = dvTargetOf.collectFirst {
+              case (s0, tgt) if sub == tgt || sub.startsWith(tgt + "/") =>
+                DvDirName + "/" + s0 + sub.stripPrefix(tgt)
+            }.getOrElse(sub)
+            s"$bdir/$orig"
+          }
+        }
+        spark.read.schema(DvSchema).parquet(dirs: _*)
+      }
+      val dirConflicts0 = (branchTouched & parentTouched).toSeq.sorted
+      val mergedDvOverrides = scala.collection.mutable.Map.empty[String, String]
+      val dirConflicts = dirConflicts0.filterNot { d =>
+        val bothOnlyMasked =
+          pSet.contains(d) && rekeyedSet.contains(d) &&
+          psnap.stats.get(d) == baseSnap.stats.get(d) &&
+          rekeyedStats.get(d) == baseSnap.stats.get(d) &&
+          psnap.bloom.get(d) == baseSnap.bloom.get(d) &&
+          !bBloomChanged.contains(d) &&
+          extendsDv(baseSnap.dv.get(d), psnap.dv.get(d)) &&
+          extendsDv(baseSnap.dv.get(d), rekeyedDv.get(d))
+        bothOnlyMasked && {
+          val addP = dvAdditions(baseSnap.dv.get(d), psnap.dv.get(d))
+          val addB = dvAdditions(baseSnap.dv.get(d), rekeyedDv.get(d))
+          if (addB.toSet.subsetOf(addP.toSet)) {
+            // crash-resumed merge: the branch's masks already landed
+            mergedDvOverrides(d) = psnap.dv(d)
+            true
+          } else if (addB.exists(addP.contains)) false // partial overlap
+          else {
+            val clash = maskPositions(addP)
+              .join(maskPositions(addB), Seq("path", "pos"), "inner")
+              .limit(1).collect()
+            if (clash.nonEmpty) false // both masked the SAME row
+            else {
+              mergedDvOverrides(d) = (dvEntryList(psnap.dv.get(d)) ++ addB)
+                .mkString(",")
+              true
+            }
+          }
+        }
+      }
       if (dirConflicts.nonEmpty)
         return Left("both the branch and the parent touched " +
           s"(rewrote, removed or re-masked) ${dirConflicts.size} dir(s): " +
@@ -3470,7 +3538,8 @@ object ManifestTable {
       Right(Merged(paths, schemaDdl,
         channel(psnap.stats, rekeyedStats, bStatsChanged),
         meta,
-        channel(psnap.dv, rekeyedDv, bDvChanged),
+        channel(psnap.dv, rekeyedDv,
+          bDvChanged -- mergedDvOverrides.keySet) ++ mergedDvOverrides,
         channel(psnap.bloom, rekeyedBlooms, bBloomChanged)))
     }
     // Deletion vectors store the masked file's URI VERBATIM ("files

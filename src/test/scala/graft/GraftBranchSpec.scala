@@ -172,6 +172,39 @@ class GraftBranchSpec extends SparkTestBase {
       "the staged deletion stayed a MASK through the rebase publish")
   }
 
+  test("mask-union rebase: disjoint MoR masks on the SAME dir merge; overlapping masks refuse") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("mu", (1 to 10).map(i => (i, s"v$i")))
+    ManifestTable.createBranch(spark, dir, "mm"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "mm")
+    // both lineages mask rows of the SAME base dir — different rows
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 2): Unit
+    ManifestTable.deleteWhereMoR(spark, dir, col("k") === 5,
+      retainGenerations = 10): Unit
+    ManifestTable.publishBranch(spark, dir, "mm"): Unit
+    val got = ManifestTable.read(spark, dir).collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(got === Seq(1, 3, 4, 6, 7, 8, 9, 10),
+      s"BOTH masks must land through the union merge: $got")
+    val head = ManifestTable.headVersion(spark, dir).get
+    val payload = ManifestTable.dvOf(fs, dir, head).values.headOption
+    assert(payload.exists(_.split(",").length == 2),
+      s"the merged dir stacks both lineages' mask entries: $payload")
+    // overlapping masks — BOTH sides deleted the same row — refuse
+    ManifestTable.createBranch(spark, dir, "mm2"): Unit
+    val bdir2 = ManifestTable.branchDirOf(dir, "mm2")
+    ManifestTable.deleteWhereMoR(spark, bdir2, col("k") === 7): Unit
+    ManifestTable.deleteWhereMoR(spark, dir, col("k") === 7,
+      retainGenerations = 10): Unit
+    val e = intercept[IllegalStateException] {
+      ManifestTable.publishBranch(spark, dir, "mm2")
+    }
+    assert(e.getMessage.contains("touched"), e.getMessage)
+    ManifestTable.dropBranch(spark, dir, "mm2")
+    assert(ManifestTable.read(spark, dir).filter(col("k") === 7).count() === 0,
+      "the parent's own mask stands after the refusal")
+  }
+
   test("rebase publish refuses a branch-declared contract over unvalidated parent appends") {
     wh: Unit
     spark.sql("CREATE TABLE gbr.lake.ctr (k INT, v STRING) " +
