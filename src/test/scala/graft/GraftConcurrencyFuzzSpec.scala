@@ -259,14 +259,43 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
                   Map.empty): Unit
                 Some(k)
               } else None
+            // on even rounds ALSO mask a previously-PUBLISHED row — a
+            // BASE-dir mask racing the compactor's rewrites and the
+            // writers' own masks: lands via the mask-union merge when
+            // the dir only accreted masks, refuses (reversing the
+            // moves) when a rewrite touched it
+            val baseMasked: Option[Int] =
+              if (i % 2 == 0 && model.nonEmpty) {
+                val k = model.keys.head
+                try {
+                  ManifestTable.deleteWhereMoR(spark, bdir,
+                    org.apache.spark.sql.functions.col("k") === k,
+                    Map.empty): Unit
+                  Some(k)
+                } catch { case e: Throwable if retryable(e) => None }
+              } else None
             if (i == 3) {
               // one audit "fails": the branch drops, its rows vanish
               ManifestTable.dropBranch(spark, dir, name)
             } else {
-              retrying(s"publish $name")(
-                ManifestTable.publishBranch(spark, dir, name)): Unit
-              rows.filterNot { case (k, _) => masked.contains(k) }
-                .foreach { case (k, v) => model(k) = v }
+              val published =
+                try {
+                  retrying(s"publish $name")(
+                    ManifestTable.publishBranch(spark, dir, name)): Unit
+                  true
+                } catch {
+                  // a REAL conflict (the compactor rewrote the masked
+                  // base dir): the refusal must have reversed the
+                  // moves — drop the intact branch, nothing landed
+                  case _: IllegalStateException =>
+                    ManifestTable.dropBranch(spark, dir, name)
+                    false
+                }
+              if (published) {
+                rows.filterNot { case (k, _) => masked.contains(k) }
+                  .foreach { case (k, v) => model(k) = v }
+                baseMasked.foreach(model.remove)
+              }
             }
           }
         } catch { case e: Throwable => failures.add(e): Unit }
