@@ -460,6 +460,31 @@ class GraftBranchSpec extends SparkTestBase {
     }
   }
 
+  test("two branches with disjoint work publish CONCURRENTLY: both land exactly once") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("two", Seq((1, "a")))
+    Seq("x", "y").foreach { n =>
+      ManifestTable.createBranch(spark, dir, n): Unit
+      ManifestTable.append(
+        Seq((if (n == "x") 100 else 200, n)).toDF("k", "v"),
+        ManifestTable.branchDirOf(dir, n), statsCols = Seq("k")): Unit
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fx = Future(ManifestTable.publishBranch(spark, dir, "x"))
+    val fy = Future(ManifestTable.publishBranch(spark, dir, "y"))
+    Await.result(fx, 120.seconds): Unit
+    Await.result(fy, 120.seconds): Unit
+    pool.shutdown()
+    // whichever lost the head race re-merged and landed on top
+    assert(ManifestTable.read(spark, dir).collect()
+      .map(_.getInt(0)).sorted.toSeq === Seq(1, 100, 200),
+      "both lineages land exactly once")
+    assert(ManifestTable.branches(spark, dir).isEmpty, "both consumed")
+  }
+
   test("publish merges txn watermarks by MAX — replays stay skipped after it") {
     val s = spark; import s.implicits._
     val dir = freshTable("txnwm", Seq((1, "a")))
