@@ -453,6 +453,42 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       "the refused epoch must land nothing")
   }
 
+  test("X16 + contracts: a CLUSTERED identity stream mints unique ids across the range-shuffled tasks") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.cid")
+    spark.sql("CREATE TABLE gsw.lake.cid (" +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY, k INT, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'retainGenerations'='20')")
+    val dir = s"$wh/lake/cid"
+    val src = Files.createTempDirectory("gsw-cid").toString
+    val rnd = new scala.util.Random(11)
+    val nullId = null.asInstanceOf[java.lang.Long]
+    rnd.shuffle((0 until 300).toList).map(i => (nullId, i, s"v$i"))
+      .toDF("id", "k", "v").coalesce(2).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-cidck").toString
+    val q = spark.readStream.schema("id BIGINT, k INT, v STRING")
+      .parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.cid")
+    q.awaitTermination()
+    // the epoch range-shuffled into ≤k dirs AND each task minted from
+    // its own partition offset — ids unique across the whole epoch
+    val ids = spark.table("gsw.lake.cid").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length === 300 && ids.distinct.length === 300,
+      s"clustered tasks must mint disjoint ranges: dup count = " +
+        s"${ids.length - ids.distinct.length}")
+    val live = ManifestTable.livePaths(fs, dir)
+    assert(live.count(_.startsWith("ss-")) > 1,
+      "the epoch must still land clustered (>1 range dir)")
+    // the cluster column still prunes (stats landed per range dir)
+    val pruned = ManifestTable.rangeScan(spark, dir, "k", "5", "5")
+    assert(pruned.count() === 1L)
+    assert(pruned.inputFiles.map(_.split("/").dropRight(1).last)
+      .distinct.length === 1, "range dirs must prune independently")
+  }
+
   test("bucketed tables still refuse the native path, naming the foreachBatch route") {
     wh: Unit
     val s = spark; import s.implicits._
