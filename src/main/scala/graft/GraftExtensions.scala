@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // S26 correctness patch on the NATIVE merge rewrite: a no-WHEN-
     // MATCHED merge must not duplicate multi-matched target rows
     e.injectPostHocResolutionRule(_ => graft.plans.GraftMergeCarryoverDedup)
+    // S51 contract closure: UPDATE/MERGE cannot assign a GENERATED
+    // ALWAYS identity column (judged on the rewritten row-level write —
+    // the rewrites run inside the Resolution fixpoint, before any
+    // injected rule can observe the original assignments)
+    e.injectPostHocResolutionRule(_ => graft.plans.GraftIdentityUpdateGuard)
     // S32: swaps the catalog's `t$changes` stub relation for the
     // computed CDC-feed plan (a diff needs a shuffle — not a scan)
     e.injectPostHocResolutionRule(_ => graft.plans.GraftChangesRule)

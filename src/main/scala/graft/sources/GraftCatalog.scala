@@ -1200,8 +1200,9 @@ object GraftCatalog {
     * the procedures (which hold the catalog) persist engine keys like
     * the S36 column stats through the same loop every ALTER uses. */
   private[sources] def alterMetaAt(cat: GraftCatalog, dir: String,
-      f: Map[String, String] => Map[String, String]): Unit =
-    cat.alterMeta(dir, f)
+      f: Map[String, String] => Map[String, String],
+      validate: Long => Unit = _ => ()): Unit =
+    cat.alterMeta(dir, f, validate)
   private[sources] val ClusterByKey = "clusterBy"
 
   /** Spark-managed bookkeeping props that must not persist as user

@@ -37,15 +37,26 @@ object GraftProcedures {
     // re-ANALYZE reads ONLY dirs without one and merges the rest as
     // pure metadata. Falls back to the full pass whenever its
     // preconditions don't hold.
-    if (approx && histCols.isEmpty)
-      incrementalNdv(catalog, dir, cols).foreach { case (rows, entries) =>
+    if (approx && histCols.isEmpty) {
+      // the incremental result is only publishable while the table
+      // stays mask-free: a MoR delete landing between the sketch pin
+      // and the stats publish would bake its masked rows into the
+      // published counts. The publish loop re-validates against the
+      // exact head it commits on; masks appearing mid-analyze abort to
+      // the full pass (which reads THROUGH the masks).
+      object MaskedMidAnalyze extends scala.util.control.ControlThrowable
+      try incrementalNdv(catalog, dir, cols).foreach { case (rows, entries) =>
         GraftCatalog.alterMetaAt(catalog, dir, m =>
           (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
             entries.map { case (c, ndv, nulls) =>
               (ManifestTable.ColStatPrefix + c) -> s"$ndv,$nulls" } +
-            (ManifestTable.TableStatKey -> rows.toString))
+            (ManifestTable.TableStatKey -> rows.toString),
+          validate = h =>
+            if (ManifestTable.dvOf(catalog.activeFs, dir, h).nonEmpty)
+              throw MaskedMidAnalyze)
         return entries
-      }
+      } catch { case MaskedMidAnalyze => () }
+    }
     val df = ManifestTable.read(spark, dir)
     val pcts = (0 to bins).map(i => i.toDouble / bins)
       .mkString("array(", ",", ")")

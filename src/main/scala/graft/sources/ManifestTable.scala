@@ -1237,15 +1237,12 @@ object ManifestTable {
     * (GENERATED ALWAYS vs BY DEFAULT); NULLs fill with
     * `wm + step * (1 + monotonically_increasing_id())` — unique,
     * gap-tolerant, one pass, no shuffle (Delta's gaps contract; dense
-    * ids would cost a count + prefix pass per ingest). */
-  /** `gateExplicit = false` (the merge-on-read delta path): non-null
-    * values PASS ungated — an UPDATE's post-image arrives as an insert
-    * record CARRYING its existing id, indistinguishable at this layer
-    * from an explicit insert; the GENERATED ALWAYS gate binds on the
-    * append surfaces (and on Delta it binds at MERGE analysis). */
+    * ids would cost a count + prefix pass per ingest). Every caller
+    * gates: update post-images never come through here (they carry
+    * their ids verbatim, and assignment to a GENERATED ALWAYS column
+    * is refused at analysis — [[graft.plans.GraftIdentityUpdateGuard]]). */
   private[sources] def assignIdentity(df: DataFrame, tableDir: String,
-                             fs: FileSystem,
-                             gateExplicit: Boolean = true)
+                             fs: FileSystem)
       : (DataFrame, Seq[IdentityClaim]) = {
     import org.apache.spark.sql.functions.{col, concat, lit, monotonically_increasing_id, raise_error, when}
     val head = versions(fs, tableDir).lastOption.getOrElse(return (df, Seq.empty))
@@ -1271,7 +1268,7 @@ object ManifestTable {
           val wm = hMeta.get(IdentityWmPrefix + phys)
             .flatMap(_.toLongOption).getOrElse(spec.base)
           val gated =
-            if (spec.allowExplicit || !gateExplicit) d
+            if (spec.allowExplicit) d
             else d.filter(when(col(logical).isNotNull,
               raise_error(concat(
                 lit(s"identity column '$logical' is GENERATED ALWAYS — " +
@@ -3193,7 +3190,12 @@ object ManifestTable {
     *    merge is dir-granular three-way against the recorded base:
     *    dirs the branch added land; dirs the branch removed
     *    (compaction/CoW rewrites) drop from the head; per-dir dv /
-    *    stats / bloom channels the branch changed override. It is
+    *    stats / bloom channels the branch changed override. Only DATA
+    *    channels conflict: stats and bloom payloads are DERIVED state
+    *    over immutable files, so a parent-side ANALYZE (`#ndv` sweep)
+    *    or bloom rebuild during the audit merges instead of blocking —
+    *    the branch's value carries where the branch changed that
+    *    channel, the parent's refresh otherwise. It is
     *    REFUSED loudly — naming the conflicts — when both lineages
     *    touched the same dir (removed or re-masked it), changed the
     *    same meta key (including `idwm:` — identity allocations on
@@ -3347,8 +3349,15 @@ object ManifestTable {
     // "unchanged", only a differing PRESENT one is a branch change
     val bBloomChanged = branchKept.filter(d =>
       rekeyedBlooms.get(d).exists(v => !baseSnap.bloom.get(d).contains(v)))
-    val branchTouched = branchRemoved ++ bDvChanged ++ bStatsChanged ++
-      bBloomChanged
+    // Only DATA channels (the dir itself and its deletion-vector mask)
+    // can conflict. Stats and bloom payloads are DERIVED state over an
+    // IMMUTABLE file — a refresh on either lineage (ANALYZE's `#ndv`
+    // sweep, a bloom rebuild) describes the same physical bytes, so any
+    // combination merges: the branch's value carries where the branch
+    // changed the channel, the parent's refreshed value otherwise. A
+    // nightly parent ANALYZE must never make an audit branch
+    // unpublishable.
+    val branchTouched = branchRemoved ++ bDvChanged
     val branchSchemaChanged = bsnap.schemaDdl != baseSnap.schemaDdl
     // meta keys with publish-specific handling, excluded from the
     // generic three-way merge below. The commit-kind tag (`cdc` =
@@ -3370,9 +3379,7 @@ object ManifestTable {
       val pRemoved = baseSet -- pSet
       val pKept = baseSet & pSet
       val pChanged = pKept.filter(d =>
-        psnap.dv.get(d) != baseSnap.dv.get(d) ||
-          psnap.stats.get(d) != baseSnap.stats.get(d) ||
-          psnap.bloom.get(d) != baseSnap.bloom.get(d))
+        psnap.dv.get(d) != baseSnap.dv.get(d))
       val parentTouched = pRemoved ++ pChanged
       // did either lineage change DATA since the cut? (the write-
       // contract conflict test below needs the cross answer)
@@ -3419,12 +3426,11 @@ object ManifestTable {
       val dirConflicts0 = (branchTouched & parentTouched).toSeq.sorted
       val mergedDvOverrides = scala.collection.mutable.Map.empty[String, String]
       val dirConflicts = dirConflicts0.filterNot { d =>
+        // derived channels (stats/bloom) never veto the rescue — a
+        // concurrent ANALYZE or bloom rebuild on the same dir merges
+        // independently of the mask union
         val bothOnlyMasked =
           pSet.contains(d) && rekeyedSet.contains(d) &&
-          psnap.stats.get(d) == baseSnap.stats.get(d) &&
-          rekeyedStats.get(d) == baseSnap.stats.get(d) &&
-          psnap.bloom.get(d) == baseSnap.bloom.get(d) &&
-          !bBloomChanged.contains(d) &&
           extendsDv(baseSnap.dv.get(d), psnap.dv.get(d)) &&
           extendsDv(baseSnap.dv.get(d), rekeyedDv.get(d))
         bothOnlyMasked && {
@@ -3635,12 +3641,31 @@ object ManifestTable {
     }
     def refuse(why: String, movedAlready: Boolean): Nothing = {
       if (movedAlready) moveAllBack()
+      // A retry of a publish that CRASHED AFTER its parent commit can
+      // reach here when a racing writer defeated the alreadyPublished
+      // probe (e.g. advanced an identity watermark past the branch's,
+      // tripping the both-minted conflict): the branch-local dirs were
+      // already moved and committed by the crashed run, so promising an
+      // intact, replayable branch would be a lie — detect the
+      // half-landed state and direct the operator honestly.
+      def there(p: Path): Boolean =
+        try fs.exists(p) catch { case _: java.io.IOException => false }
+      val landedAlready = !movedAlready && dataTargetOf.exists {
+        case (top, target) =>
+          !there(new Path(bdir, top)) && there(new Path(tableDir, target))
+      }
       throw new IllegalStateException(
         s"cannot publish branch '$name' (cut at v$base): $why. " +
-          "The branch remains intact and readable — re-cut it and " +
-          "replay, or drop it if superseded" +
-          (if (movedAlready) " (the moved dirs were returned to the branch)"
-           else ""))
+          (if (landedAlready)
+            "The branch's local dirs already LIVE ON THE PARENT (an " +
+              "earlier publish committed and crashed before consuming " +
+              "the branch) — the branch is NOT intact: verify the " +
+              "parent head carries the audited work, then dropBranch"
+           else
+            "The branch remains intact and readable — re-cut it and " +
+              "replay, or drop it if superseded" +
+            (if (movedAlready)
+               " (the moved dirs were returned to the branch)" else "")))
     }
     // optimistic-commit loop: re-merge against whatever head a racing
     // writer left, refuse only on a REAL conflict (which never clears)

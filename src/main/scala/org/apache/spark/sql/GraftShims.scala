@@ -48,4 +48,15 @@ object GraftShims {
         Some(rt.operation)
       case _ => None
     }
+
+  /** The ORIGINAL table inside Spark's private[sql]
+    * `RowLevelOperationTable` wrapper, if `t` is one — the identity
+    * update guard needs the target's own metadata channels. */
+  def rowLevelInnerTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.catalog.Table] =
+    t match {
+      case rt: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(rt.table)
+      case _ => None
+    }
 }

@@ -205,6 +205,68 @@ class GraftBranchSpec extends SparkTestBase {
       "the parent's own mask stands after the refusal")
   }
 
+  test("rebase publish merges DERIVED state: parent ANALYZE + bloom refresh mid-audit never block (r19)") {
+    val s = spark; import s.implicits._
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gbr.lake.drv")
+    spark.sql("CREATE TABLE gbr.lake.drv (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k,v', 'retainGenerations'='10')")
+    spark.sql("INSERT INTO gbr.lake.drv VALUES (1,'a'),(2,'b'),(3,'c')")
+    val dir = s"$wh/lake/drv"
+    ManifestTable.createBranch(spark, dir, "audit"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "audit")
+    // the branch stages an append AND a MoR mask on a BASE dir — the
+    // dv (data) channel of a kept dir changes on the BRANCH side
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+      statsCols = Seq("k", "v")): Unit
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 2, Map.empty): Unit
+    // mid-audit parent MAINTENANCE: approx ANALYZE rewrites the `#ndv`
+    // section of EVERY dir's stats payload (the nightly job) ...
+    spark.sql("CALL gbr.system.analyze(table => 'lake.drv', " +
+      "columns => 'k', approx => true)").collect()
+    // ... and a bloom rebuild lands a fresh sidecar payload on the same
+    // base dir the branch masked
+    val head0 = ManifestTable.headVersion(spark, dir).get
+    val base0 = ManifestTable.pathsOf(fs, dir, head0).head
+    assert(ManifestTable.statsOf(fs, dir, head0).values.forall(pl =>
+      ManifestTable.ndvSketchFor(pl, "k").isDefined),
+      "the approx analyze persisted per-dir sketches on the parent")
+    val rebuiltBloom = "k\t_idx/rebuilt/d0-k.bloom"
+    assert(ManifestTable.commitIf(spark, dir,
+      ManifestTable.pathsOf(fs, dir, head0), head0,
+      retainGenerations = 10,
+      schemaDdl = ManifestTable.schemaOf(fs, dir, head0),
+      stats = ManifestTable.statsOf(fs, dir, head0),
+      meta = ManifestTable.metaOf(fs, dir, head0),
+      dv = ManifestTable.dvOf(fs, dir, head0),
+      blooms = Map(base0 -> rebuiltBloom)).isDefined)
+    // stats AND bloom changed on the parent for dirs the branch masked
+    // — DERIVED channels, so the publish merges instead of refusing
+    // (pre-r19 this refused with 'both ... touched the same dir')
+    ManifestTable.publishBranch(spark, dir, "audit"): Unit
+    val head = ManifestTable.headVersion(spark, dir).get
+    // data merged: the branch's mask applies and its append landed
+    val got = ManifestTable.read(spark, dir).orderBy("k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(1, 3, 9), s"mask + append must both land: $got")
+    // the PARENT's derived refresh carried through the merge: kept dirs
+    // keep their fresh `#ndv` sketches and the rebuilt bloom payload
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    val keptDirs = ManifestTable.pathsOf(fs, dir, head0).toSet
+    ManifestTable.pathsOf(fs, dir, head).filter(keptDirs).foreach { p =>
+      assert(ManifestTable.ndvSketchFor(stats(p), "k").isDefined,
+        s"parent's ANALYZE sketch must survive the publish on $p")
+    }
+    assert(ManifestTable.bloomsOf(fs, dir, head).get(base0)
+      .contains(rebuiltBloom),
+      "parent's rebuilt bloom payload must survive the publish")
+    // and NDV answers stay EXACT post-publish: the standing mask makes
+    // ANALYZE fall back to the full (mask-aware) pass
+    val ndv = spark.sql("CALL gbr.system.analyze(table => 'lake.drv', " +
+      "columns => 'k', approx => true)").head().getLong(1)
+    assert(ndv === 3L, s"k in {1,3,9} post-publish, got $ndv")
+  }
+
   test("rebase publish refuses a branch-declared contract over unvalidated parent appends") {
     wh: Unit
     spark.sql("CREATE TABLE gbr.lake.ctr (k INT, v STRING) " +
