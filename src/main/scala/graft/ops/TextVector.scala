@@ -684,13 +684,21 @@ object TextVector {
   }
 
   /** The T51 oracle, generated round by round: DuckDB replays the FULL
-    * training loop — each round re-splits the previous round's
-    * segmentation, counts adjacent SYMBOL pairs, picks the same
-    * (count DESC, pair) winner and fuses it — an independent
-    * re-derivation of the fixed point, not a replay of Spark's
-    * merges. A round past the corpus's pair supply no-ops (coalesced
-    * needles), matching the Spark loop's early stop. */
-  private def t51Oracle(rounds: Int): String = {
+    * BATCHED training loop — each round re-splits the previous round's
+    * segmentation, counts adjacent SYMBOL pairs, ranks them
+    * (count DESC, pair), accepts every pair no higher-ranked pair
+    * shares a symbol with (the rank-functional non-interference rule —
+    * a pure NOT EXISTS, no greedy state), caps acceptance at the
+    * remaining global budget, and fuses the accepted merges in rank
+    * order (`list_reduce` over the accepted list — the same
+    * left-to-right nested-replace order the Spark loop applies). An
+    * independent re-derivation of the fixed point, not a replay of
+    * Spark's merges. Rounds past budget exhaustion (or past the
+    * corpus's pair supply) no-op. CTEs stay MATERIALIZED — inlining
+    * the chained rounds doubles file opens per round (the 2^16
+    * open-files blowup the r18 harness caught). */
+  private def t51Oracle(budget: Int): String = {
+    val rounds = budget // worst case: one accepted merge per round
     val sb = new StringBuilder
     sb ++= """WITH words AS MATERIALIZED (
          SELECT w, count(*) AS wc FROM (
@@ -700,58 +708,85 @@ object TextVector {
        s0 AS MATERIALIZED (
          SELECT w, wc,
            ' ' || rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS seg
-         FROM words)"""
+         FROM words),
+       acc0 AS MATERIALIZED (
+         SELECT '' AS pair, CAST(0 AS BIGINT) AS n, 0 AS rk, 0 AS ark,
+                0 AS round WHERE false)"""
     for (i <- 1 to rounds) {
       val prev = s"s${i - 1}"
       sb ++= s""",
-       p$i AS MATERIALIZED (
-         SELECT q.l[CAST(t.i AS INT)] || ' ' ||
-                q.l[CAST(t.i AS INT) + 1] AS pair,
-                CAST(sum(q.wc) AS BIGINT) AS n
-         FROM (SELECT wc, string_split(trim(seg), ' ') AS l FROM $prev) q,
-              unnest(generate_series(1, len(q.l) - 1)) AS t(i)
-         GROUP BY pair),
+       c$i AS MATERIALIZED (
+         SELECT pair, n,
+                CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT)
+                  AS rk,
+                string_split(pair, ' ')[1] AS a,
+                string_split(pair, ' ')[2] AS b
+         FROM (
+           SELECT q.l[CAST(t.i AS INT)] || ' ' ||
+                  q.l[CAST(t.i AS INT) + 1] AS pair,
+                  CAST(sum(q.wc) AS BIGINT) AS n
+           FROM (SELECT wc, string_split(trim(seg), ' ') AS l FROM $prev) q,
+                unnest(generate_series(1, len(q.l) - 1)) AS t(i)
+           GROUP BY pair)),
        m$i AS MATERIALIZED (
-         SELECT pair, n FROM p$i ORDER BY n DESC, pair LIMIT 1),
+         SELECT pair, n, rk, ark FROM (
+           SELECT pair, n, rk,
+                  CAST(row_number() OVER (ORDER BY rk) AS INT) AS ark
+           FROM c$i p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM c$i q WHERE q.rk < p.rk AND
+               (q.a = p.a OR q.a = p.b OR q.b = p.a OR q.b = p.b)))
+         WHERE ark <= $budget - (SELECT count(*) FROM acc${i - 1})),
+       acc$i AS MATERIALIZED (
+         SELECT * FROM acc${i - 1}
+         UNION ALL
+         SELECT pair, n, rk, ark, $i AS round FROM m$i),
        s$i AS MATERIALIZED (
-         SELECT w, wc, replace(seg,
-           coalesce(' ' || (SELECT pair FROM m$i) || ' ', ''),
-           coalesce(' ' || replace((SELECT pair FROM m$i), ' ', '') ||
-             ' ', '')) AS seg
+         SELECT w, wc, list_reduce(
+             list_prepend(seg,
+               coalesce((SELECT list(pair ORDER BY rk) FROM m$i), [])),
+             (acc, p) -> replace(acc, ' ' || p || ' ',
+                                 ' ' || replace(p, ' ', '') || ' '))
+           AS seg
          FROM $prev)"""
     }
     sb ++= s""",
        mass AS (
          SELECT CAST(sum(wc * len(string_split(trim(seg), ' '))) AS BIGINT)
            AS m FROM s$rounds)
-       SELECT * FROM ("""
-    sb ++= (1 to rounds).map(i =>
-      s"""SELECT $i AS round, pair AS merge,
-            replace(pair, ' ', '') AS symbol, n AS pair_weight,
-            (SELECT m FROM mass) AS final_token_mass FROM m$i""")
-      .mkString("\n UNION ALL \n")
-    sb ++= ") ORDER BY round"
+       SELECT CAST(round AS INT) AS round,
+              CAST(row_number() OVER (ORDER BY round, ark) AS INT)
+                AS merge_idx,
+              pair AS merge, replace(pair, ' ', '') AS symbol,
+              n AS pair_weight,
+              (SELECT m FROM mass) AS final_token_mass
+       FROM acc$rounds ORDER BY merge_idx"""
     sb.toString
   }
 
   /** T51: BPE vocabulary TRAINING — the fixed-point loop a tokenizer
-    * pipeline actually runs (T49 mine → T50 apply, iterated): each
-    * round counts adjacent-symbol pairs over the CURRENT segmentation
-    * of the distinct-word table, fuses the heaviest pair (count DESC,
-    * pair tiebreak — deterministic cross-engine) into the symbol
-    * inventory, and re-segments. Every round is VOCAB-sized: the word
-    * table computes once and stays cached; a round is one map-side-
-    * combined aggregation plus a 1-row collect (the merge every real
-    * trainer publishes to its merges.txt) — never a corpus pass, the
-    * 100 TB shape. The apply is the same left-to-right non-overlapping
-    * replace over boundary-delimited symbols as T50 — identical
-    * semantics in both engines, so the oracle's replay stays exact.
-    * 16 rounds here (the knob is the target vocab size); output = the
-    * learned merge table in training order + the corpus token mass
-    * after the final round (Σ wc × segments — the compression the
-    * vocabulary bought). */
+    * pipeline actually runs (T49 mine → T50 apply, iterated), BATCHED
+    * the way real trainers batch (r19): each round counts
+    * adjacent-symbol pairs over the CURRENT segmentation of the
+    * distinct-word table, then fuses EVERY top-ranked pair whose
+    * symbols no higher-ranked pair of the round touches — the
+    * non-interference rule that lets k merges share one counting pass,
+    * collapsing 16 sequential driver round-trips into ~3-4 (wall-clock
+    * on a 50k-merge vocabulary scales with rounds × job latency, and
+    * batching is the known fix). Acceptance is deliberately
+    * rank-functional (a pair is blocked by ANY higher-ranked pair
+    * sharing a symbol, accepted or not) so the DuckDB oracle replays
+    * it as a pure NOT EXISTS — no greedy state to mirror. The round's
+    * accepted merges apply IN RANK ORDER as nested boundary-delimited
+    * replaces (T50's left-to-right non-overlap semantics — identical
+    * in both engines). Every round stays VOCAB-sized: one
+    * map-side-combined aggregation + one candidate-table collect
+    * (bounded by the distinct adjacent-pair count, thousands). Budget
+    * = 16 merges; output = the learned merge table in training order
+    * (global `merge_idx`, with the batch `round` it was mined in) +
+    * the corpus token mass after the final round. */
   def t51_bpe_train(s: SparkSession, d: String): DataFrame = {
-    val rounds = 16
+    val budget = 16
     val words = tokDocs(s, d)
       .select(explode(col("t")).as("w"))
       .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
@@ -759,11 +794,14 @@ object TextVector {
       .persist()
     try {
       var segExpr = "concat(' ', rtrim(regexp_replace(w, '(.)', '$1 ')), ' ')"
+      // (round, merge_idx, pair, n)
       val learned =
-        scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, Long)]
+      var round = 0
       var done = false
-      for (i <- 1 to rounds if !done) {
-        val top = words
+      while (learned.size < budget && !done) {
+        round += 1
+        val cands = words
           .withColumn("syms", split(expr(s"trim($segExpr)"), " "))
           .filter(size(col("syms")) >= 2) // fully-fused words drop out
           .select(col("wc"), explode(expr(
@@ -771,13 +809,28 @@ object TextVector {
               "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
             .as("pair"))
           .groupBy("pair").agg(sum(col("wc")).as("n"))
-          .orderBy(desc("n"), col("pair")).limit(1).collect()
-        if (top.isEmpty) done = true
+          .orderBy(desc("n"), col("pair")).collect()
+        if (cands.isEmpty) done = true
         else {
-          val pair = top(0).getString(0)
-          learned += ((i, pair, top(0).getLong(1)))
-          segExpr =
-            s"replace($segExpr, ' $pair ', ' ${pair.replace(" ", "")} ')"
+          val remaining = budget - learned.size
+          val seen = scala.collection.mutable.Set.empty[String]
+          val accepted =
+            scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          val it = cands.iterator
+          while (it.hasNext && accepted.size < remaining) {
+            val r = it.next()
+            val pair = r.getString(0)
+            val Array(a, b) = pair.split(" ", 2)
+            if (!seen(a) && !seen(b)) accepted += ((pair, r.getLong(1)))
+            // EVERY scanned (= higher-ranked) pair blocks later ones,
+            // accepted or not — the oracle's NOT EXISTS, exactly
+            seen += a; seen += b
+          }
+          accepted.foreach { case (pair, n) =>
+            learned += ((round, learned.size + 1, pair, n))
+            segExpr =
+              s"replace($segExpr, ' $pair ', ' ${pair.replace(" ", "")} ')"
+          }
         }
       }
       val mass = words
@@ -785,13 +838,13 @@ object TextVector {
           size(split(expr(s"trim($segExpr)"), " "))).cast("long").as("m"))
         .head.getLong(0)
       val sp = s; import sp.implicits._
-      learned.toSeq.toDF("round", "merge", "pair_weight")
+      learned.toSeq.toDF("round", "merge_idx", "merge", "pair_weight")
         .withColumn("symbol", regexp_replace(col("merge"), " ", ""))
         .withColumn("final_token_mass", lit(mass))
-        .select(col("round"), col("merge"), col("symbol"),
+        .select(col("round"), col("merge_idx"), col("merge"), col("symbol"),
           col("pair_weight").cast("long").as("pair_weight"),
           col("final_token_mass"))
-        .orderBy("round")
+        .orderBy("merge_idx")
     } finally { words.unpersist(): Unit }
   }
 

@@ -64,7 +64,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                           contracts: Option[GraftRowContracts] = None,
                           identityClaims: Seq[ManifestTable.IdentityClaim] =
                             Seq.empty,
-                          boundCheckKeys: Set[String] = Set.empty)
+                          boundCheckKeys: Set[String] = Set.empty,
+                          bucketed: Option[(String, Int)] = None)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -115,6 +116,44 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       .flatMap(_.toLongOption)
     if (committedUpTo.exists(_ >= epochId)) { dropStaged(); return }
     if (files.isEmpty) { dropStaged(); return } // empty epoch: nothing lands
+    // S31 × X15 — BUCKETED table: the epoch's task files stage like any
+    // other epoch, but publication is the MERGE KERNEL, not an append:
+    // the epoch upserts by key into the touched buckets (one row per
+    // key stays invariant, the b=N geometry — and with it S12's
+    // zero-shuffle join plans — survives every epoch), and the epoch
+    // watermark rides the merge's OWN commit meta, so a crash between
+    // manifest commit and checkpoint ack re-delivers into the skip
+    // above exactly like the append path. Cost shape per epoch = the
+    // batch merge's: O(epoch ∩ touched buckets), one kernel shuffle of
+    // the bounded replacement (reading the staged files back is the
+    // price of task-side staging; the kernel's own bucket shuffle
+    // follows regardless of arrival layout).
+    if (bucketed.isDefined) {
+      import org.apache.spark.sql.functions.col
+      val pubRel = s"ss-$runId/p$epochId"
+      GraftTaskWriters.publishNamed(fs, new Path(tableDir, rel),
+        new Path(tableDir, pubRel),
+        files.toSeq.map(m => new Path(m.file).getName))
+      fs.delete(new Path(tableDir, rel), true): Unit
+      try {
+        val staged0 = spark.read
+          .schema(ManifestTable.toPhysical(writeSchema, cmap))
+          .parquet(s"$tableDir/$pubRel")
+        val staged =
+          if (cmap.isEmpty) staged0
+          else staged0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+            col(cmap.getOrElse(l, l)).as(l)): _*)
+        MergeInto.merge(staged, tableDir,
+          extraMeta = Map(txnKey -> epochId.toString)): Unit
+      } finally {
+        fs.delete(new Path(tableDir, pubRel), true): Unit
+        val shell = new Path(tableDir, s"ss-$runId")
+        if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
+          fs.delete(shell, true): Unit
+      }
+      return
+    }
+    // ---- non-bucketed: append-shaped epoch publication below
     // exactly-once under TASK death, not just epoch replay: a
     // hard-killed attempt (executor loss) never runs abort(), leaving
     // a partial/orphan parquet file in the staging dir. Deleting

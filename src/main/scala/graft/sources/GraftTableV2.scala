@@ -554,10 +554,12 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       require(!overwrite,
         "graft streaming writes are APPEND-mode (complete/truncate " +
           "modes would overwrite per epoch); use outputMode(\"append\")")
-      require(MergeInto.bucketedGeometry(spark, tableDir).isEmpty,
-        "streaming writes to a bucketed (layout=bucketed) table go " +
-          "through foreachBatch + Streams.upsertSink (the merge kernel " +
-          "needs a driver-side plan)")
+      // S31 — bucketed tables STREAM natively too (r19): task writers
+      // stage the epoch, and the epoch commit drives the merge kernel
+      // (upsert by key, b=N geometry preserved — S12's zero-shuffle
+      // join plans survive every epoch) with the epoch watermark riding
+      // the merge's own commit for exactly-once replay skips
+      val bucketedGeom = MergeInto.bucketedGeometry(spark, tableDir)
       cluster.foreach(c => require(
         info.schema.fields.exists(_.name.equalsIgnoreCase(c)),
         s"cluster column '$c' is not in the streaming write schema " +
@@ -621,13 +623,21 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       val contracts = GraftRowContracts(
         info.schema.fields.map(_.dataType).toSeq, checkExprs, genExprs,
         idents)
+      // the merge kernel's commit path advances no identity watermark —
+      // and the engine's bucketed batch routes (the same kernel) never
+      // mint either, so this is a loud gate on an unsupported combo,
+      // not a feature gap introduced by streaming
+      require(bucketedGeom.isEmpty || idClaims.isEmpty,
+        "identity columns are not supported on bucketed (layout=" +
+          "bucketed) tables — the merge kernel's commit does not " +
+          "advance identity watermarks")
       // cluster AND identity columns are always stats-tracked — pruning
       // needs the ranges (S27, per epoch) and the identity watermark is
       // read from the landed dirs' own lanes
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
         (statsCols ++ cluster ++ idClaims.map(_.logical)).distinct, retain,
         cluster, cmap, Some(contracts).filterNot(_.isEmpty), idClaims,
-        declaredChecks.map(_._1).toSet)
+        declaredChecks.map(_._1).toSet, bucketedGeom)
     }
 
     private def txnMeta: Map[String, String] =

@@ -386,6 +386,41 @@ object ManifestTable {
     -1L // unreachable
   }
 
+  /** S53 WRITE-SIDE lane (opt-in `TBLPROPERTIES ('stats.ndv'='write')`):
+    * the columns to HLL-sketch inside the write pass itself, riding
+    * the same one-pass stats observation as min/max/nulls — so a later
+    * approx ANALYZE is pure metadata even over freshly appended dirs
+    * (zero data reads; the incremental path finds every dir already
+    * sketched). Deliberately the same expression family as the
+    * ANALYZE-side sketcher — `hll_sketch_agg` over `CAST(c AS STRING)`
+    * at [[graft.ScaleKnobs.NdvSketchLgK]] — so write-time and
+    * analyze-time sketches union. Opt-in (NOTES_r18's argument): the
+    * sketch costs a hash per row per tracked column on EVERY ingest,
+    * the right trade only for hot tables analyzed often. */
+  private[sources] def writeNdvCols(meta: Map[String, String],
+                                    statsCols: Seq[String]): Seq[String] =
+    if (statsCols.nonEmpty && meta.get(GraftCatalog.PropPrefix + "stats.ndv")
+        .exists(_.equalsIgnoreCase("write"))) statsCols
+    else Seq.empty
+
+  private[sources] def ndvSketchAggExprs(cols: Seq[String])
+      : Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    cols.map(c => hll_sketch_agg(col(c).cast("string"),
+      graft.ScaleKnobs.NdvSketchLgK).as(s"ndvsk:$c"))
+  }
+
+  /** An all-null (or zero-row) slice persists an EMPTY sketch — same
+    * never-re-read guarantee the ANALYZE-side sketcher gives. */
+  private[sources] def emptyNdvSketch: Array[Byte] =
+    new org.apache.datasketches.hll.HllSketch(
+      graft.ScaleKnobs.NdvSketchLgK).toUpdatableByteArray
+
+  private[sources] def ndvSketchCells(cols: Seq[String],
+      lane: String => Any): Seq[(String, Array[Byte])] =
+    cols.map(c => c -> Option(lane(s"ndvsk:$c"))
+      .map(_.asInstanceOf[Array[Byte]]).getOrElse(emptyNdvSketch))
+
   /** Parse one path's stats payload for `column`: Some((rows, min,
     * max)) when that column was tracked; min/max None = all-null. */
   private[graft] def statsFor(payload: String, column: String)
@@ -1201,21 +1236,30 @@ object ManifestTable {
     val ddl = cleanDdl(df.schema)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
-    val aggs = statsAggExprs(statsCols2)
+    val headV0 = versions(fs, tableDir).lastOption
+    // S53 write-side lane: an opted-in table sketches its stats columns
+    // IN the same observation pass — later approx ANALYZEs go zero-read
+    val ndvCols = headV0.map(v =>
+      writeNdvCols(metaOf(fs, tableDir, v), statsCols2))
+      .getOrElse(Seq.empty)
+    val aggs = statsAggExprs(statsCols2) ++ ndvSketchAggExprs(ndvCols)
     val observed =
       if (statsCols2.isEmpty) checked
       else checked.observe(obs, aggs.head, aggs.tail: _*)
     // parquet stores PHYSICAL names (column mapping, S42); stats above
     // observe the logical frame, so payload keys stay logical
-    val cmap = versions(fs, tableDir).lastOption
+    val cmap = headV0
       .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty)
     writePhysical(observed, cmap).write.parquet(s"$tableDir/$cid")
     val payload =
       if (statsCols2.isEmpty) None
       else {
         val m = obs.get
-        Some(statsPayloadFrom(m("rows").asInstanceOf[Number].longValue,
-          statsCols2, m))
+        val base = statsPayloadFrom(m("rows").asInstanceOf[Number].longValue,
+          statsCols2, m)
+        Some(
+          if (ndvCols.isEmpty) base
+          else withNdvSketches(base, ndvSketchCells(ndvCols, m)))
       }
     (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
       statsCols2, retainGenerations, meta,
@@ -1260,6 +1304,18 @@ object ManifestTable {
           "kernel's per-partition offsets span past 2^33 on " +
           s"multi-partition batches, overflowing $dt"))
     }
+    // S51 opt-in uniqueness probe (`identity.unique=probe`): a BY
+    // DEFAULT column admits explicit ids, and nothing in the watermark
+    // protocol stops an explicit value from duplicating an existing id
+    // — the probe closes that hole for tables that ask, at the cost of
+    // one changeset-bounded existence check per write (dir-pruned on
+    // the identity column's own stats lanes, so it reads only dirs
+    // whose recorded range overlaps the batch's). Best-effort against
+    // the observed head, like Delta: a racing writer inserting the
+    // same explicit id between probe and commit still lands (serial
+    // uniqueness would need commit-time re-validation per retry).
+    val probeUnique = hMeta.get(GraftCatalog.PropPrefix + "identity.unique")
+      .exists(_.equalsIgnoreCase("probe"))
     specs.toSeq.sortBy(_._1).foldLeft((df, Seq.empty[IdentityClaim])) {
       case ((d, claims), (phys, spec)) =>
         val logical = physToLogical.getOrElse(phys, phys)
@@ -1267,6 +1323,8 @@ object ManifestTable {
         else {
           val wm = hMeta.get(IdentityWmPrefix + phys)
             .flatMap(_.toLongOption).getOrElse(spec.base)
+          if (spec.allowExplicit && probeUnique)
+            identityUniqueProbe(d, tableDir, fs, head, logical)
           val gated =
             if (spec.allowExplicit) d
             else d.filter(when(col(logical).isNotNull,
@@ -1284,6 +1342,47 @@ object ManifestTable {
             claims :+ IdentityClaim(phys, logical, spec, wm))
         }
     }
+  }
+
+  /** S51 `identity.unique=probe` — refuse an EXPLICIT id that already
+    * exists. One changeset-bounded existence check: collect the
+    * batch's explicit-id range (one tiny agg), prune standing dirs on
+    * the identity column's own stats lanes (identity columns are
+    * always stats-tracked), then semi-join the surviving dirs' ids
+    * against the batch's — `limit(1)`, masked rows excluded (a
+    * merge-on-read-deleted id is reusable). At 100 TB the stats prune
+    * is what makes this viable: monotone minted ids cluster per dir,
+    * so an explicit id probes O(1) dirs, not the table. */
+  private def identityUniqueProbe(df: DataFrame, tableDir: String,
+      fs: FileSystem, head: Long, logical: String): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val spark = df.sparkSession
+    val ids = df.select(col(logical)).filter(col(logical).isNotNull)
+      .distinct()
+    val rng = ids.agg(min(col(logical)), max(col(logical))).head()
+    if (rng.isNullAt(0)) return // no explicit values in the batch
+    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+    val stats = statsOf(fs, tableDir, head)
+    val candidates = pathsOf(fs, tableDir, head).filter { p =>
+      stats.get(p).flatMap(statsFor(_, logical)) match {
+        case Some((_, Some(mn), Some(mx))) =>
+          mn.toLongOption.forall(_ <= hi) && mx.toLongOption.forall(_ >= lo)
+        case Some((_, None, None)) => false // all-null dir: no ids there
+        case _ => true // unstatted dir — probe it (conservative)
+      }
+    }
+    if (candidates.isEmpty) return
+    val hit = readMasked(spark, tableDir, head, candidates,
+      dvOf(fs, tableDir, head))
+      .select(col(logical).as("__graft_idp"))
+      .join(ids.select(col(logical).as("__graft_idp")),
+        Seq("__graft_idp"), "left_semi")
+      .limit(1).collect()
+    if (hit.nonEmpty)
+      throw new IllegalArgumentException(
+        s"identity column '$logical': explicit id ${hit.head.get(0)} " +
+          s"already exists at $tableDir (identity.unique=probe) — " +
+          "duplicate ids refused; omit the column to mint a fresh one")
   }
 
   /** The identity-allocation conflict check every identity-minting
@@ -1769,7 +1868,14 @@ object ManifestTable {
     // is an empty frame, the stats map is empty, and the compaction
     // commits a dir-less (empty-table) manifest, which is the correct
     // materialization of an all-masked table (concurrency-fuzz find).
-    val aggs = statsAggExprs(statsCols)
+    // S53 write-side lane on the clustered routes too — the read-back
+    // aggregate is already per-dir, so the sketch is one more lane
+    val ndvCols = versions(fsOf(data.sparkSession, tableDir), tableDir)
+      .lastOption
+      .map(v => writeNdvCols(
+        metaOf(fsOf(data.sparkSession, tableDir), tableDir, v), statsCols))
+      .getOrElse(Seq.empty)
+    val aggs = statsAggExprs(statsCols) ++ ndvSketchAggExprs(ndvCols)
     val readBackSchema = org.apache.spark.sql.types.StructType(
       toPhysical(data.schema, cmap).fields :+
         org.apache.spark.sql.types.StructField("rb",
@@ -1783,8 +1889,12 @@ object ManifestTable {
     readBack
       .groupBy(col("rb")).agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
-        val payload = statsPayloadFrom(r.getAs[Long]("rows"), statsCols,
+        val base = statsPayloadFrom(r.getAs[Long]("rows"), statsCols,
           lane => r.getAs[Any](lane))
+        val payload =
+          if (ndvCols.isEmpty) base
+          else withNdvSketches(base,
+            ndvSketchCells(ndvCols, lane => r.getAs[Any](lane)))
         s"$cid/rb=${r.getAs[Number]("rb").intValue}" -> payload
       }.toMap
   }
@@ -3125,18 +3235,19 @@ object ManifestTable {
   /** Create branch `name` at the parent's current head. One metadata
     * commit (the clone); the branch records its base version — the
     * three-way anchor [[publishBranch]] merges and conflict-checks
-    * against. Refused on bucketed
-    * parents: a branch merge writes `b=N` dirs whose names would
-    * collide with the parent's own buckets at publish time. */
+    * against. A BUCKETED (layout=bucketed) parent branches too (r19):
+    * the geometry markers pin onto the branch so its DML routes
+    * through the merge kernel under the parent's exact (key, modulus)
+    * — a branch merge rewrites touched `c-<uuid>/b=N` dirs whose
+    * commit-dir prefix the publish re-keys like any other local dir,
+    * so the bucket-leaf names (and S12's zero-shuffle join geometry)
+    * survive the round trip; both lineages merging the SAME bucket is
+    * the dir conflict the publish already refuses. */
   def createBranch(spark: SparkSession, tableDir: String,
                    name: String): Long = {
     val bdir = branchDirOf(tableDir, name)
     require(!tableDir.contains(s"/$BranchesDirName/"),
       s"cannot branch a branch ($tableDir) — publish or drop it first")
-    require(MergeInto.bucketedGeometry(spark, tableDir).isEmpty,
-      s"branches of bucketed (layout=bucketed) tables are not supported " +
-        "— bucket dir names would collide at publish; use CALL " +
-        "system.clone for an independent copy")
     val head = headVersion(spark, tableDir).getOrElse(
       throw new IllegalArgumentException(
         s"no committed graft table at $tableDir"))
@@ -3144,8 +3255,12 @@ object ManifestTable {
       s"branch '$name' already exists at $tableDir")
     // deep histories are the audit workload's point — keep the branch's
     // own history generously (it dies at publish/drop anyway)
-    shallowClone(spark, tableDir, bdir, retainGenerations = 10,
+    val v = shallowClone(spark, tableDir, bdir, retainGenerations = 10,
       extraMeta = Map(BranchBaseKey -> head.toString))
+    MergeInto.bucketedGeometry(spark, tableDir).foreach { case (k, n) =>
+      MergeInto.pinGeometry(spark, bdir, k, n)
+    }
+    v
   }
 
   /** (name, baseVersion, headVersion) of every live branch. */
@@ -3214,8 +3329,13 @@ object ManifestTable {
     * parent commit is the only visibility point — a crash before it
     * leaves the parent byte-identical and the moved dirs as aged-out
     * orphans at worst. Branch-local deletion-vector and bloom-sidecar
-    * dirs move the same way; branch-local staged-CDC references are
-    * dropped (the branch's own feed dies with it), while cdc references
+    * dirs move the same way. On a `cdc.materialize` table the publish
+    * commit STAMPS its own staged feed — the branch's net base→head
+    * diff with update pre/post pairing re-attached where it survives
+    * the net (r19) — so downstream CDC consumers read the audited
+    * UPDATEs paired instead of falling back to an unpaired manifest
+    * diff; per-step branch-local `cdcdata:` references still drop (the
+    * branch's own history dies with it), while cdc references
     * the parent head holds carry. The parent head's `tag:` pointers
     * survive (they name parent history; branch-created tags name branch
     * versions and drop); `txn:` watermarks merge per key by MAX (a
@@ -3359,6 +3479,104 @@ object ManifestTable {
     // unpublishable.
     val branchTouched = branchRemoved ++ bDvChanged
     val branchSchemaChanged = bsnap.schemaDdl != baseSnap.schemaDdl
+    // ---- paired CDC through the publish (r19). A cdc.materialize
+    // table's downstream consumers read the publish step as one feed
+    // version; without a staged feed they get the manifest-diff
+    // fallback, which serves the branch's audited UPDATEs as unpaired
+    // delete+insert. Stage the publish step's feed NOW, while the
+    // branch is intact: the NET endpoint diff base→head computed by the
+    // branch's own feed machinery (O(changed dirs), full images — no
+    // path dependence, so the move needs no rewrite), then re-tag net
+    // rows that match the branch's staged update pre/post images —
+    // multiset-exact via intersectAll/exceptAll — so a pairing that
+    // SURVIVES the net reaches consumers as update_preimage/postimage.
+    // When pairing can't be proven balanced (an updated row later
+    // deleted, an appended row updated), the tags honestly stay
+    // delete/insert — never wrong, the diff shape consumers already
+    // handle. The staged dir lands under the PARENT's _cdc (a refused
+    // publish deletes it; a crashed one ages out as an unreferenced
+    // orphan for gc).
+    val publishCdc: Option[String] =
+      if (!bsnap.meta.get(CdcMaterializeKey).exists(_.equalsIgnoreCase("true")))
+        None
+      else scala.util.Try {
+        import org.apache.spark.sql.functions.{col, lit}
+        // dir-granular NET diff of the two snapshots in the REKEYED
+        // (parent-relative) namespace — branch versions number from the
+        // clone, so the base is NOT a branch version; the snapshots in
+        // hand are the exact endpoints. Each side reads through ITS
+        // masks (the branch side from the still-intact branch tree), so
+        // unchanged rows never leave the scan — same O(changed dirs)
+        // shape as [[changes]].
+        val rekeyedToOrig = rekeyedPaths.zip(bsnap.paths).toMap
+        def dirKeys(paths: Seq[String], dv: Map[String, String]) =
+          paths.map(p => p -> dv.getOrElse(p, "")).toSet
+        val fromK = dirKeys(baseSnap.paths, baseSnap.dv)
+        val toK = dirKeys(rekeyedPaths, rekeyedDv)
+        val onlyFrom = (fromK diff toK).toSeq.map(_._1).sorted
+        val onlyTo = (toK diff fromK).toSeq.map(_._1)
+          .sorted.map(rekeyedToOrig)
+        if (onlyFrom.isEmpty && onlyTo.isEmpty) None
+        else {
+          def olderDf = readMasked(spark, tableDir, base, onlyFrom,
+            baseSnap.dv)
+          def newerDf = readMasked(spark, bdir, bHead, onlyTo, bsnap.dv)
+          val older = if (onlyFrom.isEmpty) newerDf.limit(0) else olderDf
+          val newer = if (onlyTo.isEmpty) olderDf.limit(0) else newerDf
+          val net = diffFeed(older, newer).cache()
+          try {
+            if (net.isEmpty) None
+            else {
+              val dataCols = net.columns.filterNot(_ == "change_type")
+                .toIndexedSeq.map(col)
+              def side(df: DataFrame, tags: String*): DataFrame =
+                df.filter(col("change_type").isin(tags: _*))
+                  .select(dataCols: _*)
+              // the branch's own staged step feeds (post-cut DMLs stage
+              // under the BRANCH's _cdc; cloned parent references name
+              // dirs that don't exist there and drop out)
+              val feedSchema = schemaOf(fs, bdir, bHead).map(ddl =>
+                org.apache.spark.sql.types.StructType.fromDDL(ddl)
+                  .add("change_type", org.apache.spark.sql.types.StringType))
+              val staged = bsnap.meta.toSeq.collect {
+                case (k, n) if k.startsWith(CdcDataPrefix) &&
+                    n != CdcEmptyToken &&
+                    (try fs.exists(new Path(s"$bdir/$CdcDirName/$n"))
+                     catch { case _: java.io.IOException => false }) =>
+                  val p = s"$bdir/$CdcDirName/$n"
+                  feedSchema.map(spark.read.schema(_).parquet(p))
+                    .getOrElse(spark.read.parquet(p))
+              }.reduceOption(_.unionByName(_))
+              val paired = staged.map { sf =>
+                (side(net, "delete")
+                  .intersectAll(side(sf, "update_preimage")).cache(),
+                 side(net, "insert")
+                  .intersectAll(side(sf, "update_postimage")).cache())
+              }
+              try {
+                val feed = paired match {
+                  case Some((preM, postM))
+                      if preM.count() > 0 && preM.count() == postM.count() =>
+                    side(net, "delete").exceptAll(preM)
+                      .withColumn("change_type", lit("delete"))
+                      .unionByName(preM
+                        .withColumn("change_type", lit("update_preimage")))
+                      .unionByName(side(net, "insert").exceptAll(postM)
+                        .withColumn("change_type", lit("insert")))
+                      .unionByName(postM
+                        .withColumn("change_type", lit("update_postimage")))
+                  case _ => net
+                }
+                val cname = "c-" + java.util.UUID.randomUUID().toString.take(8)
+                feed.write.parquet(s"$tableDir/$CdcDirName/$cname")
+                Some(cname)
+              } finally paired.foreach { case (a, b) =>
+                a.unpersist(): Unit; b.unpersist(): Unit
+              }
+            }
+          } finally { net.unpersist(): Unit }
+        }
+      }.toOption.flatten
     // meta keys with publish-specific handling, excluded from the
     // generic three-way merge below. The commit-kind tag (`cdc` =
     // `<kind>@<version>`) drops entirely: it describes ONE commit, and
@@ -3641,6 +3859,9 @@ object ManifestTable {
     }
     def refuse(why: String, movedAlready: Boolean): Nothing = {
       if (movedAlready) moveAllBack()
+      publishCdc.foreach(n => // staged feed never referenced — clean it
+        try fs.delete(new Path(tableDir, s"$CdcDirName/$n"), true): Unit
+        catch { case _: java.io.IOException => () })
       // A retry of a publish that CRASHED AFTER its parent commit can
       // reach here when a racing writer defeated the alreadyPublished
       // probe (e.g. advanced an identity watermark past the branch's,
@@ -3702,6 +3923,10 @@ object ManifestTable {
         refuse("no committed graft table at the parent", moved))
       val psnap = snapshotOf(fs, tableDir, parentHead)
       if (alreadyPublished(psnap)) {
+        // this invocation's staged feed never got referenced (the
+        // crashed run committed its own) — clean it with the branch
+        publishCdc.foreach(n =>
+          fs.delete(new Path(tableDir, s"$CdcDirName/$n"), true): Unit)
         invalidateSnapshots(bdir)
         fs.delete(new Path(bdir), true)
         return parentHead
@@ -3718,7 +3943,10 @@ object ManifestTable {
         .flatMap(_.toIntOption).getOrElse(2)
       committed = commitIf(spark, tableDir, m.paths, parentHead,
         retainGenerations = retain, schemaDdl = m.schemaDdl,
-        stats = m.stats, meta = m.meta, dv = m.dv, blooms = m.blooms)
+        stats = m.stats,
+        meta = m.meta ++
+          publishCdc.map(n => CdcDataPrefix + (parentHead + 1) -> n),
+        dv = m.dv, blooms = m.blooms)
     }
     // consume the branch (a crash HERE is healed by alreadyPublished on
     // the retried publish, which consumes without re-merging;

@@ -178,7 +178,8 @@ object MergeInto {
     * "latest" means something specific. */
   def merge(source: DataFrame, tableDir: String,
             deleteWhen: Column = lit(false),
-            tieCols: Seq[Column] = Nil): Long = {
+            tieCols: Seq[Column] = Nil,
+            extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = source.sparkSession
     val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
       throw new IllegalArgumentException(
@@ -187,7 +188,8 @@ object MergeInto {
       throw new IllegalArgumentException(
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
     val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
-    applyBatch(source, tableDir, key, ties, deleteWhen, n)
+    applyBatch(source, tableDir, key, ties, deleteWhen, n,
+      extraMeta = extraMeta)
   }
 
   /** INSERT OVERWRITE for a bucketed table in ONE atomic commit:
@@ -419,7 +421,8 @@ object MergeInto {
     * excluded from storage. Returns the committed manifest version. */
   def applyBatch(source: DataFrame, tableDir: String, key: String,
                  tieCols: Seq[Column], deleteWhen: Column,
-                 nBuckets: Int, dropCols: Seq[String] = Nil): Long = {
+                 nBuckets: Int, dropCols: Seq[String] = Nil,
+                 extraMeta: Map[String, String] = Map.empty): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
     // "b" (bucket routing, becomes the partitionBy dir) and "rn" (the
@@ -481,7 +484,7 @@ object MergeInto {
         require(attempt <= 50, s"merge contention at $tableDir")
         try {
           result = attemptMerge(spark, fs, tableDir, key, bucketOf,
-            winner, inserts, touched).getOrElse(-1L)
+            winner, inserts, touched, extraMeta).getOrElse(-1L)
         } catch {
           // the observed snapshot's dirs vanished mid-read: a racing
           // writer committed ≥2 generations and GC swept them — rebase
@@ -601,7 +604,8 @@ object MergeInto {
                            tableDir: String, key: String,
                            bucketOf: Column,
                            winner: DataFrame, inserts: DataFrame,
-                           touched: Array[Int]): Option[Long] = {
+                           touched: Array[Int],
+                           extraMeta: Map[String, String]): Option[Long] = {
       // live bucket → data dir, from ONE manifest read — no per-bucket
       // exists() RPCs (256 HEAD round-trips per call on an object store)
       val liveV = ManifestTable.versions(fs, tableDir).lastOption
@@ -681,7 +685,7 @@ object MergeInto {
         expectedBase = liveV.getOrElse(0L),
         retainGenerations = retainOf(headMeta),
         schemaDdl = Some(ManifestTable.cleanDdl(tableSchema)),
-        meta = headMeta)
+        meta = headMeta ++ extraMeta)
       published match {
         case some @ Some(_) => some
         // lost the publish — but if the interleaved commits left OUR
@@ -689,7 +693,8 @@ object MergeInto {
         // valid: re-commit it against the new head instead of paying a
         // full re-read + rewrite (bucket-granular conflict validation)
         case None => retryDisjointCommit(spark, fs, tableDir, liveByBucket,
-          touched, written.toIndexedSeq.map(b => s"$cid/$b"), tableSchema)
+          touched, written.toIndexedSeq.map(b => s"$cid/$b"), tableSchema,
+          extraMeta)
       }
       // on a TRUE conflict the freshly-written commit dir is abandoned —
       // a later successful commit's GC sweeps it, same as a crashed writer
@@ -716,7 +721,8 @@ object MergeInto {
       fs: org.apache.hadoop.fs.FileSystem, tableDir: String,
       observedByBucket: Map[Int, String], touched: Array[Int],
       writtenPaths: Seq[String],
-      ourSchema: org.apache.spark.sql.types.StructType): Option[Long] = {
+      ourSchema: org.apache.spark.sql.types.StructType,
+      extraMeta: Map[String, String] = Map.empty): Option[Long] = {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
@@ -737,7 +743,8 @@ object MergeInto {
       val r = ManifestTable.commitIf(spark, tableDir,
         ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
         expectedBase = headV, retainGenerations = retainOf(headMeta),
-        schemaDdl = Some(ManifestTable.cleanDdl(merged)), meta = headMeta)
+        schemaDdl = Some(ManifestTable.cleanDdl(merged)),
+        meta = headMeta ++ extraMeta)
       if (r.isDefined) return r
     }
     None

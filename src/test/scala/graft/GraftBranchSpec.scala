@@ -434,7 +434,7 @@ class GraftBranchSpec extends SparkTestBase {
     assert(ManifestTable.read(spark, dir).filter(col("k") === 2).count() === 0)
   }
 
-  test("refusals: duplicate name, branch-of-branch, bucketed parent, bad name") {
+  test("refusals: duplicate name, branch-of-branch, bad name") {
     val s = spark; import s.implicits._
     val dir = freshTable("ref", Seq((1, "a")))
     ManifestTable.createBranch(spark, dir, "dup"): Unit
@@ -451,13 +451,123 @@ class GraftBranchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       ManifestTable.createBranch(spark, dir, "_sneaky")
     }
-    val bdir = Files.createTempDirectory("graft-br-bkt").toString + "/t"
-    graft.sources.MergeInto.create(
-      Seq((1L, "a")).toDF("k", "v"), bdir, "k", nBuckets = 2)
-    intercept[IllegalArgumentException] {
-      ManifestTable.createBranch(spark, bdir, "nope")
-    }
     ManifestTable.dropBranch(spark, dir, "dup")
+  }
+
+  test("bucketed tables branch (r19): a WAP merge audits in isolation, publishes, zero-shuffle joins survive") {
+    val s = spark; import s.implicits._
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gbr.lake.bk1")
+    spark.sql("DROP TABLE IF EXISTS gbr.lake.bk2")
+    spark.sql("CREATE TABLE gbr.lake.bk1 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gbr.lake.bk1 SELECT id, concat('v', id) " +
+      "FROM range(1, 17)")
+    val dir = s"$wh/lake/bk1"
+    ManifestTable.createBranch(spark, dir, "audit"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "audit")
+    // the branch MERGES under the parent's exact geometry (the markers
+    // pinned onto the clone): an update of key 3 plus two fresh keys —
+    // the kernel rewrites only the touched buckets
+    graft.sources.MergeInto.merge(
+      Seq((3L, "V3"), (21L, "v21"), (22L, "v22")).toDF("k", "v"),
+      bdir): Unit
+    // audit isolation
+    assert(graft.sources.MergeInto.read(spark, bdir).count() === 18)
+    assert(spark.table("gbr.lake.bk1").count() === 16)
+    assert(graft.sources.MergeInto.read(spark, bdir)
+      .filter(col("k") === 3L).head().getString(1) === "V3")
+    val v = ManifestTable.publishBranch(spark, dir, "audit")
+    val got = spark.table("gbr.lake.bk1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size === 18 && got(3L) === "V3" && got(21L) === "v21",
+      s"publish must land the branch's merge: $got")
+    // bucket-leaf geometry survived the publish re-key
+    val fsx = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val paths = ManifestTable.pathsOf(fsx, dir,
+      ManifestTable.headVersion(spark, dir).get)
+    assert(paths.forall(_.matches(".*b=\\d+$")),
+      s"published entries must stay bucket leaves: $paths")
+    assert(v === ManifestTable.headVersion(spark, dir).get)
+    // zero-shuffle co-bucketed join still plans (S12/S38; the bucket
+    // transform resolves through the CATALOG relation's funCatalog)
+    spark.sql("CREATE TABLE gbr.lake.bk2 (k BIGINT, w STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gbr.lake.bk2 SELECT id, concat('w', id) " +
+      "FROM range(1, 17)")
+    val confPairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confPairs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confPairs.foreach { case (k, vv) => spark.conf.set(k, vv) }
+      val j = spark.table("gbr.lake.bk1").join(spark.table("gbr.lake.bk2"), "k")
+      assert(j.count() === 16L) // keys 1..16 on both sides
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "co-bucketed join after a bucketed publish must stay " +
+          s"zero-shuffle:\n${j.queryExecution.executedPlan}")
+    } finally olds.foreach { case (k, vv) => spark.conf.set(k, vv) }
+    // both lineages merging the SAME bucket still refuses
+    ManifestTable.createBranch(spark, dir, "clash"): Unit
+    val bdir2 = ManifestTable.branchDirOf(dir, "clash")
+    graft.sources.MergeInto.merge(Seq((5L, "B")).toDF("k", "v"), bdir2): Unit
+    graft.sources.MergeInto.merge(Seq((5L, "P")).toDF("k", "v"), dir): Unit
+    val e = intercept[IllegalStateException] {
+      ManifestTable.publishBranch(spark, dir, "clash")
+    }
+    assert(e.getMessage.contains("touched"),
+      s"same-bucket merges must conflict: ${e.getMessage}")
+    ManifestTable.dropBranch(spark, dir, "clash")
+  }
+
+
+  test("orphaned publish moves: vacuum reaps aged br-* dirs, a resumed publish still consumes (r19)") {
+    val s = spark; import s.implicits._
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gbr.lake.orp")
+    spark.sql("CREATE TABLE gbr.lake.orp (k INT, v STRING) " +
+      "TBLPROPERTIES ('retainGenerations'='10','statsCols'='k')")
+    spark.sql("INSERT INTO gbr.lake.orp VALUES (1,'a')")
+    val dir = s"$wh/lake/orp"
+    def crashAfterMove(name: String): (String, Long) = {
+      ManifestTable.createBranch(spark, dir, name): Unit
+      val bdir = ManifestTable.branchDirOf(dir, name)
+      ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+        statsCols = Seq("k")): Unit
+      val bHead = ManifestTable.headVersion(spark, bdir).get
+      // simulate a publish crashing AFTER its move sweep, BEFORE the
+      // parent commit: the branch-local data dir sits in the parent
+      // tree under its deterministic publish name, referenced by no
+      // retained parent manifest
+      val top = ManifestTable.pathsOf(fs, bdir, bHead)
+        .filter(p => !ManifestTable.isForeign(p)).head.split("/").head
+      assert(fs.rename(new Path(bdir, top),
+        new Path(dir, s"br-$name-v$bHead-$top")))
+      (s"br-$name-v$bHead-$top", bHead)
+    }
+    // (a) ABANDONED: the operator drops the branch — the br-* dir is a
+    // plain unreferenced orphan; vacuum spares it fresh, reaps it aged
+    val (orphan, _) = crashAfterMove("crash")
+    ManifestTable.dropBranch(spark, dir, "crash")
+    spark.sql("CALL gbr.system.vacuum('lake.orp')").collect()
+    assert(fs.exists(new Path(dir, orphan)),
+      "a FRESH crashed-publish dir must survive the grace window " +
+        "(it could be an in-flight publish's move)")
+    ageTree(fs, new Path(dir, orphan), 2L * 60 * 60 * 1000)
+    spark.sql("CALL gbr.system.vacuum('lake.orp')").collect()
+    assert(!fs.exists(new Path(dir, orphan)),
+      "an AGED crashed-publish orphan must be reaped")
+    assert(spark.table("gbr.lake.orp").count() === 1L,
+      "vacuum must never touch referenced parent data")
+    // (b) RESUMED: the same crash shape, but the operator retries the
+    // publish — the idempotent move recognizes the pre-moved dir and
+    // the branch consumes normally
+    crashAfterMove("crash2"): Unit
+    ManifestTable.publishBranch(spark, dir, "crash2"): Unit
+    val got = spark.table("gbr.lake.orp").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    assert(got === Seq(1, 9), s"resumed publish must land the audit: $got")
+    assert(ManifestTable.branches(spark, dir).isEmpty)
   }
 
   test("parent maintenance leaves a standing branch alone") {

@@ -191,6 +191,66 @@ class GraftChangesFeedSpec extends SparkTestBase {
       s"paired feed must replicate to the post-DML state: $replica")
   }
 
+  test("paired CDC survives a branch publish: audited UPDATEs reach consumers as pre/post images (r19)") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("m7",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m7 VALUES (1,'a'),(2,'b'),(3,'c')")
+    ManifestTable.createBranch(spark, dir, "audit"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "audit")
+    // the audit stages an UPDATE, a DELETE and an append on the branch
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 2,
+      Seq("v" -> lit("B")), retainGenerations = 10): Unit
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 3, Map.empty): Unit
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    // the parent moves on (rebase publish, not fast-forward)
+    spark.sql("INSERT INTO gcdc.lake.m7 VALUES (4,'d')")
+    val vP = ManifestTable.publishBranch(spark, dir, "audit")
+    // the publish step's feed serves the audited changes with EXACT
+    // tags: the UPDATE stays paired, the delete and the append keep
+    // their plain tags — no unpaired manifest-diff fallback
+    val feed = ManifestTable.changes(spark, dir, vP - 1, vP)
+    val got = feed.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((2, "B", "update_postimage"),
+                      (2, "b", "update_preimage"),
+                      (3, "c", "delete"),
+                      (9, "z", "insert")),
+      s"the publish feed must carry the audited changes paired: $got")
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/_cdc/")),
+      s"the publish step must serve STAGED, not re-diff: " +
+        feed.inputFiles.toSeq)
+    // a replica consumer crossing the publish nets the pair to a
+    // replace (the whole point of carrying the pairing through)
+    val repDir = Files.createTempDirectory("graft-cdcbr").toString + "/r"
+    graft.sources.MergeInto.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), repDir, "k",
+      nBuckets = 2)
+    ((vP - 1) to vP).foreach { v =>
+      graft.sources.MergeInto.replicate(
+        ManifestTable.changes(spark, dir, v - 1, v)
+          .withColumn("k", col("k").cast("bigint")), repDir): Unit
+    }
+    val replica = graft.sources.MergeInto.read(spark, repDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(replica == Seq((1L, "a"), (2L, "B"), (4L, "d"), (9L, "z")),
+      s"replica must reach the post-publish state: $replica")
+    // churn that breaks pairing falls back HONESTLY: update then delete
+    // of the same row nets to a plain delete
+    ManifestTable.createBranch(spark, dir, "churn"): Unit
+    val bdir2 = ManifestTable.branchDirOf(dir, "churn")
+    ManifestTable.updateWhereMoR(spark, bdir2, col("k") === 1,
+      Seq("v" -> lit("A")), retainGenerations = 10): Unit
+    ManifestTable.deleteWhereMoR(spark, bdir2, col("k") === 1, Map.empty): Unit
+    val vC = ManifestTable.publishBranch(spark, dir, "churn")
+    val churn = ManifestTable.changes(spark, dir, vC - 1, vC).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(churn == Seq((1, "a", "delete")),
+      s"update-then-delete must NET to the delete: $churn")
+  }
+
   test("materialized feed equals the read-time diff fallback exactly") {
     val dirOn = freshTable("m2", ",'cdc.materialize'='true'")
     val dirOff = freshTable("m3", "")

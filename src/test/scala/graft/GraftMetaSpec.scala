@@ -393,6 +393,48 @@ class GraftMetaSpec extends SparkTestBase {
     assert(out3.toSeq == Seq(("k", 4L)), out3.toSeq)
   }
 
+  test("S53 write-side NDV (stats.ndv=write): appends sketch inline, ANALYZE opens ZERO data files (r19)") {
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.ndv2")
+    spark.sql("CREATE TABLE gmeta.lake.ndv2 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k,v', 'retainGenerations'='10', " +
+      "'stats.ndv'='write')")
+    spark.sql("INSERT INTO gmeta.lake.ndv2 VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("INSERT INTO gmeta.lake.ndv2 VALUES (3,'c2'),(4,'d')")
+    val dir = s"$wh/lake/ndv2"
+    val v1 = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.statsOf(fs, dir, v1).values.forall(pl =>
+      ManifestTable.ndvSketchFor(pl, "k").isDefined &&
+        ManifestTable.ndvSketchFor(pl, "v").isDefined),
+      "every appended dir must carry a WRITE-TIME sketch")
+    // PROOF of zero-read: corrupt EVERY data file — the very first
+    // approx ANALYZE must still answer exactly, from the lanes alone
+    ManifestTable.pathsOf(fs, dir, v1).foreach { p =>
+      fs.listStatus(new Path(dir, p)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val o = fs.create(f, true)
+          o.write("not parquet anymore".getBytes("UTF-8")); o.close()
+        }
+    }
+    val out = spark.sql("CALL gmeta.system.analyze(" +
+      "table => 'lake.ndv2', columns => 'k,v', approx => true)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("k", 4L, 0L), ("v", 5L, 0L)),
+      s"NDV must derive from write-time sketches with zero data I/O: " +
+        out.toSeq)
+    // the clustered append route sketches too
+    spark.sql("DROP TABLE IF EXISTS gmeta.lake.ndv3")
+    spark.sql("CREATE TABLE gmeta.lake.ndv3 (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k', 'retainGenerations'='10', " +
+      "'stats.ndv'='write', 'clusterBy'='k')")
+    spark.sql("INSERT INTO gmeta.lake.ndv3 VALUES (1,'a'),(2,'b'),(9,'z')")
+    val dir3 = s"$wh/lake/ndv3"
+    val v3 = ManifestTable.headVersion(spark, dir3).get
+    assert(ManifestTable.statsOf(fs, dir3, v3).values.forall(pl =>
+      ManifestTable.ndvSketchFor(pl, "k").isDefined),
+      "clustered appends must sketch per range dir")
+  }
+
   test("S37 analyze histogram: equi-height bounds persist, surface to the CBO, and staleness advises re-analysis") {
     wh: Unit
     spark.sql("DROP TABLE IF EXISTS gmeta.lake.hist1")

@@ -489,22 +489,76 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       .distinct.length === 1, "range dirs must prune independently")
   }
 
-  test("bucketed tables still refuse the native path, naming the foreachBatch route") {
+  test("bucketed tables stream natively (r19): epochs upsert by key, zero-shuffle joins survive, exactly-once across a replayed epoch") {
     wh: Unit
     val s = spark; import s.implicits._
-    val src = Files.createTempDirectory("gsw-ref").toString
-    Seq(1L -> "a").toDF("k", "v").write.parquet(s"$src/f1")
     spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt")
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt2")
     spark.sql("CREATE TABLE gsw.lake.bkt (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('layout'='bucketed:k:4')")
-    val e = intercept[Exception] {
-      val q = spark.readStream.schema("k BIGINT, v STRING")
+    val dir = s"$wh/lake/bkt"
+    // 3 epochs; epoch 2 UPDATES key 1 (upsert semantics, not append)
+    val src = Files.createTempDirectory("gsw-bkt").toString
+    Seq(1L -> "a", 2L -> "b").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/f1")
+    Seq(1L -> "A", 3L -> "c").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/f2")
+    Seq(4L -> "d").toDF("k", "v").coalesce(1).write.parquet(s"$src/f3")
+    val ck = Files.createTempDirectory("gsw-bktck").toString
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("k BIGINT, v STRING").option("maxFilesPerTrigger", "1")
         .parquet(s"$src/*")
-        .writeStream.option("checkpointLocation",
-          Files.createTempDirectory("gsw-refck").toString)
-        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.bkt")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gsw.lake.bkt")
       q.awaitTermination()
     }
-    assert(msgs(e).exists(_.contains("foreachBatch")))
+    run()
+    val rows = spark.table("gsw.lake.bkt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows == Map(1L -> "A", 2L -> "b", 3L -> "c", 4L -> "d"),
+      s"epochs must UPSERT by key (one row per key): $rows")
+    // the b=N geometry survived: every live dir is a bucket leaf and a
+    // co-bucketed equi-join still plans with ZERO shuffle (S12/S38)
+    val paths = ManifestTable.livePaths(fs, dir)
+    assert(paths.forall(_.matches(".*b=\\d+$")),
+      s"streamed epochs must preserve bucket-leaf dirs: $paths")
+    spark.sql("CREATE TABLE gsw.lake.bkt2 (k BIGINT, w STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gsw.lake.bkt2 VALUES (1, 'x'), (3, 'y')")
+    val confPairs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val olds = confPairs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confPairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = spark.table("gsw.lake.bkt")
+        .join(spark.table("gsw.lake.bkt2"), "k")
+      assert(joined.count() === 2L)
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("Exchange"),
+        "co-bucketed join after streaming must stay zero-shuffle:\n" +
+          joined.queryExecution.executedPlan)
+    } finally olds.foreach { case (k, v) => spark.conf.set(k, v) }
+    // CRASH-REPLAY: torch the last checkpoint ack; the re-delivered
+    // epoch must SKIP on the merge-commit's txn watermark (re-merging
+    // would be key-idempotent here, but the skip must not even run the
+    // kernel — the head version must not advance)
+    val headBefore = ManifestTable.headVersion(spark, dir).get
+    val commits = fs.listStatus(new Path(ck, "commits"))
+      .map(_.getPath).filter(!_.getName.startsWith("."))
+      .sortBy(_.getName.toInt)
+    fs.delete(commits.last, false)
+    run()
+    assert(ManifestTable.headVersion(spark, dir).get === headBefore,
+      "replayed epoch must skip without a new commit")
+    val rows2 = spark.table("gsw.lake.bkt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2 == rows, s"replay must not change the table: $rows2")
+    // no staged leftovers outside the live manifest
+    val onDisk = fs.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith("ss-")).toSet
+    assert(onDisk.isEmpty, s"replay left staged dirs: $onDisk")
   }
 }

@@ -47,28 +47,39 @@ class TextVectorSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(4) == mass))
   }
 
-  test("t51 BPE training loop: ranked merges, monotone pair weights within ties, lossless final mass") {
+  test("t51 BPE training: 16 BATCHED merges in few rounds, non-interfering within a round, lossless final mass") {
     val rows = ops.TextVector.t51_bpe_train(spark, sf).collect()
-    assert(rows.length == 16, s"16 training rounds expected: ${rows.length}")
-    // rounds are 1..16 in order; each merge is two space-joined symbols
-    assert(rows.map(_.getInt(0)).toSeq == (1 to 16))
+    assert(rows.length == 16, s"16 learned merges expected: ${rows.length}")
+    // merge_idx is the global training order 1..16; rounds are BATCHED
+    // (r19): several non-interfering merges mine from one counting
+    // pass, so 16 merges take far fewer than 16 driver round-trips
+    assert(rows.map(_.getInt(1)).toSeq == (1 to 16))
+    val nRounds = rows.map(_.getInt(0)).max
+    assert(nRounds <= 6 && nRounds < 16,
+      s"batching must collapse the rounds (got $nRounds)")
+    assert(rows.map(_.getInt(0)).toSeq.sorted == rows.map(_.getInt(0)).toSeq,
+      "merge order groups by round")
     rows.foreach { r =>
-      val (merge, symbol) = (r.getString(1), r.getString(2))
+      val (merge, symbol) = (r.getString(2), r.getString(3))
       assert(merge.count(_ == ' ') == 1, s"merge '$merge' must join 2 symbols")
       assert(symbol == merge.replace(" ", ""))
-      assert(r.getLong(3) >= 1L)
+      assert(r.getLong(4) >= 1L)
     }
-    // each round's fused symbol becomes available to later rounds: at
-    // least one later merge must contain an earlier round's symbol of
-    // length > 1 (the loop is genuinely iterative, not 16× round one)
-    val symbols = rows.map(_.getString(2))
-    val multi = symbols.filter(_.length > 1)
-    assert(rows.map(_.getString(1)).exists(m =>
+    // non-interference WITHIN a round: no two merges of one round
+    // share a symbol (that is what lets them fuse in one pass)
+    rows.groupBy(_.getInt(0)).foreach { case (round, rs) =>
+      val syms = rs.flatMap(_.getString(2).split(" "))
+      assert(syms.distinct.length == syms.length,
+        s"round $round merges share a symbol: ${rs.map(_.getString(2)).mkString("; ")}")
+    }
+    // later rounds build on earlier fused symbols: the loop is
+    // genuinely iterative, not one pass repeated
+    val multi = rows.map(_.getString(3)).filter(_.length > 1)
+    assert(rows.map(_.getString(2)).exists(m =>
       multi.exists(sym => m.split(" ").contains(sym) && sym != m.replace(" ", ""))),
-      s"no merge built on an earlier fused symbol: ${rows.map(_.getString(1)).mkString("; ")}")
-    // the final token mass is consistent across rows and is bounded by
-    // the character mass (merges only ever SHRINK segment counts)
-    val masses = rows.map(_.getLong(4)).distinct
+      s"no merge built on an earlier fused symbol: ${rows.map(_.getString(2)).mkString("; ")}")
+    // the final token mass is consistent across rows and positive
+    val masses = rows.map(_.getLong(5)).distinct
     assert(masses.length == 1)
     assert(masses.head > 0L)
   }
