@@ -159,9 +159,7 @@ object GraftProcedures {
         val parentToRel = need.map(p => fs.makeQualified(
           new org.apache.hadoop.fs.Path(
             ManifestTable.absPath(dir, p))).toString -> p).toMap
-        def emptySketch: Array[Byte] =
-          new org.apache.datasketches.hll.HllSketch(lgK)
-            .toUpdatableByteArray
+        def emptySketch: Array[Byte] = ManifestTable.emptyNdvSketch
         val sketched = perDir.map { r =>
           val rel = parentToRel.getOrElse(new org.apache.hadoop.fs.Path(
             r.getString(0)).toString, return None)

@@ -65,7 +65,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                           identityClaims: Seq[ManifestTable.IdentityClaim] =
                             Seq.empty,
                           boundCheckKeys: Set[String] = Set.empty,
-                          bucketed: Option[(String, Int)] = None)
+                          bucketed: Option[(String, Int)] = None,
+                          upsertTies: Seq[String] = Seq.empty)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -103,17 +104,19 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     // the engine constructs a fresh StreamingWrite (fresh run id) per
     // micro-batch, so dropping a skipped epoch must also remove the
     // now-empty run shell — otherwise every replayed epoch leaves one
-    def dropStaged(): Unit = {
-      fs.delete(new Path(tableDir, rel), true)
+    def dropDir(relDir: String): Unit = {
+      fs.delete(new Path(tableDir, relDir), true)
       val shell = new Path(tableDir, s"ss-$runId")
       if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
         fs.delete(shell, true): Unit
     }
+    def dropStaged(): Unit = dropDir(rel)
     // idempotence: an epoch at-or-below the recorded watermark is a
     // crash re-delivery — drop its freshly staged duplicate and move on
-    val committedUpTo = ManifestTable.headVersion(spark, tableDir)
-      .flatMap(v => ManifestTable.metaOf(fs, tableDir, v).get(txnKey))
-      .flatMap(_.toLongOption)
+    val headMetaNow = ManifestTable.headVersion(spark, tableDir)
+      .map(v => ManifestTable.metaOf(fs, tableDir, v))
+      .getOrElse(Map.empty[String, String])
+    val committedUpTo = headMetaNow.get(txnKey).flatMap(_.toLongOption)
     if (committedUpTo.exists(_ >= epochId)) { dropStaged(); return }
     if (files.isEmpty) { dropStaged(); return } // empty epoch: nothing lands
     // S31 × X15 — BUCKETED table: the epoch's task files stage like any
@@ -127,7 +130,12 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     // batch merge's: O(epoch ∩ touched buckets), one kernel shuffle of
     // the bounded replacement (reading the staged files back is the
     // price of task-side staging; the kernel's own bucket shuffle
-    // follows regardless of arrival layout).
+    // follows regardless of arrival layout). Intra-epoch duplicate
+    // keys resolve by the table's `upsertTies` columns (domain order —
+    // event-time first — latest wins) when declared, else the kernel's
+    // deterministic default; arrival order within one micro-batch is
+    // NOT recoverable from unordered task files, so a stream whose
+    // "latest" means arrival MUST declare a domain order.
     if (bucketed.isDefined) {
       import org.apache.spark.sql.functions.col
       val pubRel = s"ss-$runId/p$epochId"
@@ -143,14 +151,20 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
           if (cmap.isEmpty) staged0
           else staged0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
             col(cmap.getOrElse(l, l)).as(l)): _*)
-        MergeInto.merge(staged, tableDir,
-          extraMeta = Map(txnKey -> epochId.toString)): Unit
-      } finally {
-        fs.delete(new Path(tableDir, pubRel), true): Unit
-        val shell = new Path(tableDir, s"ss-$runId")
-        if (fs.exists(shell) && fs.listStatus(shell).isEmpty)
-          fs.delete(shell, true): Unit
-      }
+        val ties =
+          if (upsertTies.isEmpty) Nil
+          else upsertTies.map(c => col(c).desc) ++
+            MergeInto.defaultTies(staged, bucketed.get._1)
+        MergeInto.merge(staged, tableDir, tieCols = ties,
+          extraMeta = Map(txnKey -> epochId.toString),
+          // the ALTER-vs-write CHECK guard the append path runs in its
+          // commit loop: a constraint declared MID-STREAM was never
+          // bound into this epoch's task writers — fail the epoch
+          // loudly on the exact head the merge commits on (review
+          // find, r19)
+          validateHead = m => ManifestTable.checkConflictGuard(
+            fs, tableDir, m, boundCheckKeys, Seq.empty)): Unit
+      } finally dropDir(pubRel)
       return
     }
     // ---- non-bucketed: append-shaped epoch publication below
@@ -221,8 +235,47 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
               statsCols, lane => r.getAs[Any](lane))
           }.toMap
       }
+    // S53 write-side lane on the STREAMING path too (r19): an opted-in
+    // table (`stats.ndv=write`) sketches each published dir in one
+    // grouped read-back over the epoch's freshly-written (page-cache
+    // warm) files, so streamed dirs never wait for the next ANALYZE to
+    // become zero-read. One extra job per epoch, only when opted in —
+    // the inline task-stats path stays zero-job for everyone else.
+    val ndvCols = ManifestTable.writeNdvCols(headMetaNow, statsCols)
+    val stats2 =
+      if (ndvCols.isEmpty || stats.isEmpty) stats
+      else {
+        import org.apache.spark.sql.functions.{col, expr}
+        val dirKey = expr(
+          "regexp_replace(_metadata.file_path, '/[^/]*$', '')")
+        val aggs = ManifestTable.ndvSketchAggExprs(ndvCols)
+        val rb0 = spark.read
+          .schema(ManifestTable.toPhysical(writeSchema, cmap))
+          .parquet(fileDirs.map(fd => s"$tableDir/${fd._1}"): _*)
+        val rb =
+          if (cmap.isEmpty) rb0
+          else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+            col(cmap.getOrElse(l, l)).as(l)): _*)
+        val byDir = rb.withColumn("__graft_ndv_dir", dirKey)
+          .groupBy("__graft_ndv_dir").agg(aggs.head, aggs.tail: _*)
+          .collect()
+        val qualToRel = fileDirs.map { case (pubRel, _) =>
+          fs.makeQualified(new Path(tableDir, pubRel)).toString -> pubRel
+        }.toMap
+        val sketched = byDir.flatMap { r =>
+          qualToRel.get(new Path(r.getString(0)).toString).map { pubRel =>
+            pubRel -> ManifestTable.ndvSketchCells(ndvCols,
+              lane => r.getAs[Any](lane))
+          }
+        }.toMap
+        stats.map { case (pubRel, payload) =>
+          pubRel -> sketched.get(pubRel)
+            .map(ManifestTable.withNdvSketches(payload, _))
+            .getOrElse(payload)
+        }
+      }
     ManifestTable.appendCommitLoopCore(spark, writeSchema, tableDir,
-      fileDirs.map(_._1), stats, statsCols, retain,
+      fileDirs.map(_._1), stats2, statsCols, retain,
       meta = Map(txnKey -> epochId.toString),
       recordingStats = stats.nonEmpty,
       // the guard set = the checks this epoch's task writers actually

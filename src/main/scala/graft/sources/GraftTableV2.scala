@@ -631,13 +631,29 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         "identity columns are not supported on bucketed (layout=" +
           "bucketed) tables — the merge kernel's commit does not " +
           "advance identity watermarks")
+      // S31 intra-epoch tie order: `upsertTies` (write option or table
+      // property) names the domain columns — event-time first — whose
+      // DESC order decides "latest" among same-key rows of one epoch;
+      // validated against the write schema so a typo fails the stream
+      // at build, not silently at some later epoch
+      val upsertTies = Option(info.options.get("upsertTies"))
+        .orElse(headMeta.get(GraftCatalog.PropPrefix + "upsertTies"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty).getOrElse(Seq.empty)
+      upsertTies.foreach(c => require(
+        info.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"upsertTies column '$c' is not in the streaming write schema " +
+          s"${info.schema.fieldNames.mkString("(", ", ", ")")}"))
+      require(upsertTies.isEmpty || bucketedGeom.isDefined,
+        "upsertTies only applies to bucketed (layout=bucketed) tables " +
+          "— append-shaped streams never resolve key ties")
       // cluster AND identity columns are always stats-tracked — pruning
       // needs the ranges (S27, per epoch) and the identity watermark is
       // read from the landed dirs' own lanes
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
         (statsCols ++ cluster ++ idClaims.map(_.logical)).distinct, retain,
         cluster, cmap, Some(contracts).filterNot(_.isEmpty), idClaims,
-        declaredChecks.map(_._1).toSet, bucketedGeom)
+        declaredChecks.map(_._1).toSet, bucketedGeom, upsertTies)
     }
 
     private def txnMeta: Map[String, String] =

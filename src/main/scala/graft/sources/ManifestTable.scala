@@ -1324,7 +1324,7 @@ object ManifestTable {
           val wm = hMeta.get(IdentityWmPrefix + phys)
             .flatMap(_.toLongOption).getOrElse(spec.base)
           if (spec.allowExplicit && probeUnique)
-            identityUniqueProbe(d, tableDir, fs, head, logical)
+            identityUniqueProbe(d, tableDir, fs, head, logical, spec, wm)
           val gated =
             if (spec.allowExplicit) d
             else d.filter(when(col(logical).isNotNull,
@@ -1344,45 +1344,85 @@ object ManifestTable {
     }
   }
 
-  /** S51 `identity.unique=probe` — refuse an EXPLICIT id that already
-    * exists. One changeset-bounded existence check: collect the
-    * batch's explicit-id range (one tiny agg), prune standing dirs on
-    * the identity column's own stats lanes (identity columns are
-    * always stats-tracked), then semi-join the surviving dirs' ids
-    * against the batch's — `limit(1)`, masked rows excluded (a
-    * merge-on-read-deleted id is reusable). At 100 TB the stats prune
-    * is what makes this viable: monotone minted ids cluster per dir,
-    * so an explicit id probes O(1) dirs, not the table. */
+  /** S51 `identity.unique=probe` — refuse an EXPLICIT id that would
+    * duplicate. Three gates, one grouped pass over the batch's id
+    * column (persisted so the probe's actions don't recompute an
+    * expensive source; the real write still evaluates the source once
+    * more — the probe's documented opt-in cost, and a
+    * NON-DETERMINISTIC source can legitimately differ between the
+    * probed and written ids, so deterministic sources are the
+    * supported shape):
+    *  1. intra-batch duplicates: two explicit rows sharing an id in
+    *     ONE statement refuse outright (no standing dir needed);
+    *  2. explicit-vs-mint collision: when the batch ALSO mints (null
+    *     ids present), an explicit id sitting AHEAD of the watermark
+    *     ON the minting arithmetic refuses conservatively — the
+    *     batch's own mints land exactly on `wm + step·k`;
+    *  3. standing duplicates: dirs pruned on the identity column's own
+    *     stats lanes (identity columns are always stats-tracked), then
+    *     a semi-join `limit(1)` — masked rows excluded (a
+    *     merge-on-read-deleted id is reusable). Monotone minted ids
+    *     cluster per dir, so an explicit id probes O(1) dirs at 100 TB.
+    * Best-effort against the observed head (Delta's shape): two RACING
+    * writers inserting the same explicit id can still both land. */
   private def identityUniqueProbe(df: DataFrame, tableDir: String,
-      fs: FileSystem, head: Long, logical: String): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
+      fs: FileSystem, head: Long, logical: String,
+      spec: IdentitySpec, wm: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val spark = df.sparkSession
-    val ids = df.select(col(logical)).filter(col(logical).isNotNull)
-      .distinct()
-    val rng = ids.agg(min(col(logical)), max(col(logical))).head()
-    if (rng.isNullAt(0)) return // no explicit values in the batch
-    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-    val stats = statsOf(fs, tableDir, head)
-    val candidates = pathsOf(fs, tableDir, head).filter { p =>
-      stats.get(p).flatMap(statsFor(_, logical)) match {
-        case Some((_, Some(mn), Some(mx))) =>
-          mn.toLongOption.forall(_ <= hi) && mx.toLongOption.forall(_ >= lo)
-        case Some((_, None, None)) => false // all-null dir: no ids there
-        case _ => true // unstatted dir — probe it (conservative)
+    val g = df.select(col(logical).as("__graft_idp"))
+      .groupBy(col("__graft_idp"))
+      .agg(count(lit(1)).as("__graft_idp_n"))
+      .persist()
+    try {
+      def refuse(id: Any, why: String): Nothing =
+        throw new IllegalArgumentException(
+          s"identity column '$logical': explicit id $id $why at " +
+            s"$tableDir (identity.unique=probe) — duplicate ids " +
+            "refused; omit the column to mint a fresh one")
+      val dup = g.filter(col("__graft_idp").isNotNull &&
+        col("__graft_idp_n") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        refuse(dup.head.get(0), "appears more than once IN this batch")
+      val minting = g.filter(col("__graft_idp").isNull).limit(1)
+        .collect().nonEmpty
+      if (minting) {
+        val onArith =
+          if (spec.step > 0)
+            col("__graft_idp") > wm &&
+              (col("__graft_idp") - wm) % spec.step === 0
+          else
+            col("__graft_idp") < wm &&
+              (col("__graft_idp") - wm) % spec.step === 0
+        val clash = g.filter(col("__graft_idp").isNotNull && onArith)
+          .limit(1).collect()
+        if (clash.nonEmpty)
+          refuse(clash.head.get(0), "sits on the minting arithmetic " +
+            s"ahead of watermark $wm while this batch also mints — it " +
+            "could collide with an id minted in this very statement")
       }
-    }
-    if (candidates.isEmpty) return
-    val hit = readMasked(spark, tableDir, head, candidates,
-      dvOf(fs, tableDir, head))
-      .select(col(logical).as("__graft_idp"))
-      .join(ids.select(col(logical).as("__graft_idp")),
-        Seq("__graft_idp"), "left_semi")
-      .limit(1).collect()
-    if (hit.nonEmpty)
-      throw new IllegalArgumentException(
-        s"identity column '$logical': explicit id ${hit.head.get(0)} " +
-          s"already exists at $tableDir (identity.unique=probe) — " +
-          "duplicate ids refused; omit the column to mint a fresh one")
+      val rng = g.filter(col("__graft_idp").isNotNull)
+        .agg(min(col("__graft_idp")), max(col("__graft_idp"))).head()
+      if (rng.isNullAt(0)) return // no explicit values in the batch
+      val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+      val stats = statsOf(fs, tableDir, head)
+      val candidates = pathsOf(fs, tableDir, head).filter { p =>
+        stats.get(p).flatMap(statsFor(_, logical)) match {
+          case Some((_, Some(mn), Some(mx))) =>
+            mn.toLongOption.forall(_ <= hi) && mx.toLongOption.forall(_ >= lo)
+          case Some((_, None, None)) => false // all-null dir: no ids there
+          case _ => true // unstatted dir — probe it (conservative)
+        }
+      }
+      if (candidates.isEmpty) return
+      val hit = readMasked(spark, tableDir, head, candidates,
+        dvOf(fs, tableDir, head))
+        .select(col(logical).as("__graft_idp"))
+        .join(g.filter(col("__graft_idp").isNotNull)
+          .select(col("__graft_idp")), Seq("__graft_idp"), "left_semi")
+        .limit(1).collect()
+      if (hit.nonEmpty) refuse(hit.head.get(0), "already exists")
+    } finally { g.unpersist(): Unit }
   }
 
   /** The identity-allocation conflict check every identity-minting
@@ -1644,7 +1684,7 @@ object ManifestTable {
     * refused and the already-written (unpublished) dirs are cleaned
     * up. Constraint REMOVAL mid-write is fine — the batch was
     * validated against a superset. */
-  private def checkConflictGuard(fs: FileSystem, tableDir: String,
+  private[sources] def checkConflictGuard(fs: FileSystem, tableDir: String,
                                  headMeta: Map[String, String],
                                  boundChecks: Set[String],
                                  newPaths: Seq[String]): Unit = {
@@ -3253,14 +3293,18 @@ object ManifestTable {
         s"no committed graft table at $tableDir"))
     require(versions(fsOf(spark, tableDir), bdir).isEmpty,
       s"branch '$name' already exists at $tableDir")
-    // deep histories are the audit workload's point — keep the branch's
-    // own history generously (it dies at publish/drop anyway)
-    val v = shallowClone(spark, tableDir, bdir, retainGenerations = 10,
-      extraMeta = Map(BranchBaseKey -> head.toString))
+    // geometry markers pin BEFORE the clone commit: a crash between
+    // the two must never leave a live, writable branch whose DML
+    // appends plain dirs instead of merging (a marker-only dir is not
+    // a branch — versions() is empty — so a re-cut just re-pins the
+    // same geometry, put-if-absent + read-back)
     MergeInto.bucketedGeometry(spark, tableDir).foreach { case (k, n) =>
       MergeInto.pinGeometry(spark, bdir, k, n)
     }
-    v
+    // deep histories are the audit workload's point — keep the branch's
+    // own history generously (it dies at publish/drop anyway)
+    shallowClone(spark, tableDir, bdir, retainGenerations = 10,
+      extraMeta = Map(BranchBaseKey -> head.toString))
   }
 
   /** (name, baseVersion, headVersion) of every live branch. */
@@ -3640,6 +3684,31 @@ object ManifestTable {
           }
         }
         spark.read.schema(DvSchema).parquet(dirs: _*)
+      }
+      // S31 × S49 — on a BUCKETED parent the conflict unit is the
+      // BUCKET, not the dir: both lineages inserting into a bucket
+      // NEITHER had a standing dir for (an empty bucket) touch no
+      // common dir, yet committing both would land TWO b=N dirs for
+      // one bucket — breaking the one-dir-per-bucket invariant the
+      // merge kernel's liveByBucket map silently relies on (one of the
+      // two dirs' rows would vanish from the next merge), and
+      // potentially landing the same fresh key twice. (Review find,
+      // r19.)
+      if (MergeInto.bucketedGeometry(spark, tableDir).isDefined) {
+        def bucketOf(rel: String): Option[Int] = {
+          val i = rel.lastIndexOf("b=")
+          if (i < 0) None else rel.substring(i + 2).toIntOption
+        }
+        def bucketsOf(dirs: Iterable[String]): Set[Int] =
+          dirs.flatMap(bucketOf(_)).toSet
+        val bBuckets = bucketsOf(branchNew ++ branchRemoved ++ bDvChanged)
+        val pBuckets = bucketsOf((pSet -- baseSet) ++ pRemoved ++ pChanged)
+        val clash = (bBuckets & pBuckets).toSeq.sorted
+        if (clash.nonEmpty)
+          return Left("both the branch and the parent merged into " +
+            s"bucket(s) ${clash.take(8).mkString(", ")} — a bucketed " +
+            "table's conflict unit is the bucket (one dir per bucket " +
+            "by construction)")
       }
       val dirConflicts0 = (branchTouched & parentTouched).toSeq.sorted
       val mergedDvOverrides = scala.collection.mutable.Map.empty[String, String]

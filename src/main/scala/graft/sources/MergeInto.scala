@@ -179,7 +179,8 @@ object MergeInto {
   def merge(source: DataFrame, tableDir: String,
             deleteWhen: Column = lit(false),
             tieCols: Seq[Column] = Nil,
-            extraMeta: Map[String, String] = Map.empty): Long = {
+            extraMeta: Map[String, String] = Map.empty,
+            validateHead: Map[String, String] => Unit = _ => ()): Long = {
     val spark = source.sparkSession
     val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
       throw new IllegalArgumentException(
@@ -189,7 +190,7 @@ object MergeInto {
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
     val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
     applyBatch(source, tableDir, key, ties, deleteWhen, n,
-      extraMeta = extraMeta)
+      extraMeta = extraMeta, validateHead = validateHead)
   }
 
   /** INSERT OVERWRITE for a bucketed table in ONE atomic commit:
@@ -422,7 +423,8 @@ object MergeInto {
   def applyBatch(source: DataFrame, tableDir: String, key: String,
                  tieCols: Seq[Column], deleteWhen: Column,
                  nBuckets: Int, dropCols: Seq[String] = Nil,
-                 extraMeta: Map[String, String] = Map.empty): Long = {
+                 extraMeta: Map[String, String] = Map.empty,
+                 validateHead: Map[String, String] => Unit = _ => ()): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
     // "b" (bucket routing, becomes the partitionBy dir) and "rn" (the
@@ -484,7 +486,8 @@ object MergeInto {
         require(attempt <= 50, s"merge contention at $tableDir")
         try {
           result = attemptMerge(spark, fs, tableDir, key, bucketOf,
-            winner, inserts, touched, extraMeta).getOrElse(-1L)
+            winner, inserts, touched, extraMeta, validateHead)
+            .getOrElse(-1L)
         } catch {
           // the observed snapshot's dirs vanished mid-read: a racing
           // writer committed ≥2 generations and GC swept them — rebase
@@ -605,7 +608,9 @@ object MergeInto {
                            bucketOf: Column,
                            winner: DataFrame, inserts: DataFrame,
                            touched: Array[Int],
-                           extraMeta: Map[String, String]): Option[Long] = {
+                           extraMeta: Map[String, String],
+                           validateHead: Map[String, String] => Unit)
+      : Option[Long] = {
       // live bucket → data dir, from ONE manifest read — no per-bucket
       // exists() RPCs (256 HEAD round-trips per call on an object store)
       val liveV = ManifestTable.versions(fs, tableDir).lastOption
@@ -680,6 +685,10 @@ object MergeInto {
       // the table's declared retention governs this commit's GC
       val headMeta = liveV.map(v => ManifestTable.metaOf(fs, tableDir, v))
         .getOrElse(Map.empty[String, String])
+      // caller-supplied head validation (e.g. the streaming epoch's
+      // ALTER-vs-write CHECK guard) runs against the exact head this
+      // attempt commits on — a lost race re-runs it on the new head
+      validateHead(headMeta)
       val published = ManifestTable.commitIf(spark, tableDir,
         (untouchedPaths ++ written.map(b => s"$cid/$b")).sorted,
         expectedBase = liveV.getOrElse(0L),
@@ -694,7 +703,7 @@ object MergeInto {
         // full re-read + rewrite (bucket-granular conflict validation)
         case None => retryDisjointCommit(spark, fs, tableDir, liveByBucket,
           touched, written.toIndexedSeq.map(b => s"$cid/$b"), tableSchema,
-          extraMeta)
+          extraMeta, validateHead)
       }
       // on a TRUE conflict the freshly-written commit dir is abandoned —
       // a later successful commit's GC sweeps it, same as a crashed writer
@@ -722,7 +731,8 @@ object MergeInto {
       observedByBucket: Map[Int, String], touched: Array[Int],
       writtenPaths: Seq[String],
       ourSchema: org.apache.spark.sql.types.StructType,
-      extraMeta: Map[String, String] = Map.empty): Option[Long] = {
+      extraMeta: Map[String, String] = Map.empty,
+      validateHead: Map[String, String] => Unit = _ => ()): Option[Long] = {
     var attempt = 0
     while (attempt < 50) {
       attempt += 1
@@ -740,6 +750,7 @@ object MergeInto {
       val declared = ManifestTable.schemaOf(fs, tableDir, headV)
       val merged = resolveSchema(tableDir, declared, ourSchema)
       val headMeta = ManifestTable.metaOf(fs, tableDir, headV)
+      validateHead(headMeta)
       val r = ManifestTable.commitIf(spark, tableDir,
         ((headByBucket -- touched).values.toSeq ++ writtenPaths).sorted,
         expectedBase = headV, retainGenerations = retainOf(headMeta),

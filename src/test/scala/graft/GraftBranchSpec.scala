@@ -515,9 +515,57 @@ class GraftBranchSpec extends SparkTestBase {
     val e = intercept[IllegalStateException] {
       ManifestTable.publishBranch(spark, dir, "clash")
     }
-    assert(e.getMessage.contains("touched"),
+    assert(e.getMessage.contains("touched") ||
+      e.getMessage.contains("bucket"),
       s"same-bucket merges must conflict: ${e.getMessage}")
     ManifestTable.dropBranch(spark, dir, "clash")
+  }
+
+  test("bucketed publish conflicts are BUCKET-granular: both lineages inserting into an EMPTY bucket refuse (r19 review find)") {
+    val s = spark; import s.implicits._
+    wh: Unit
+    spark.sql("DROP TABLE IF EXISTS gbr.lake.bk3")
+    spark.sql("CREATE TABLE gbr.lake.bk3 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    val dir = s"$wh/lake/bk3"
+    // seed ONE key, leaving some bucket EMPTY (no standing dir); then
+    // find two DIFFERENT keys hashing to the same empty bucket
+    spark.sql("INSERT INTO gbr.lake.bk3 VALUES (1, 'seed')")
+    val byBucket = spark.sql(
+      "SELECT id, gbr.system.bucket(4, id) AS b FROM range(2, 200)")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val fsx = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def occupied(): Set[Int] = ManifestTable.pathsOf(fsx, dir,
+      ManifestTable.headVersion(spark, dir).get)
+      .map(p => p.substring(p.lastIndexOf("b=") + 2).toInt).toSet
+    val emptyBucket = (0 until 4).find(!occupied().contains(_)).getOrElse(
+      fail("key 1 occupied every bucket?"))
+    val Seq(kBranch, kParent, _*) =
+      byBucket.filter(_._2 == emptyBucket).map(_._1).toSeq
+    ManifestTable.createBranch(spark, dir, "eb"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "eb")
+    // both lineages insert DIFFERENT keys into the same EMPTY bucket:
+    // no common dir is touched (neither had one), so the dir-granular
+    // test alone would commit TWO b=N dirs for one bucket — and the
+    // merge kernel's one-dir-per-bucket map would silently drop one
+    graft.sources.MergeInto.merge(
+      Seq((kBranch, "b")).toDF("k", "v"), bdir): Unit
+    graft.sources.MergeInto.merge(
+      Seq((kParent, "p")).toDF("k", "v"), dir): Unit
+    val e = intercept[IllegalStateException] {
+      ManifestTable.publishBranch(spark, dir, "eb")
+    }
+    assert(e.getMessage.contains("bucket"),
+      s"empty-bucket cross-inserts must refuse naming the bucket: " +
+        e.getMessage)
+    // parent intact, exactly one dir per occupied bucket
+    val paths = ManifestTable.pathsOf(fsx, dir,
+      ManifestTable.headVersion(spark, dir).get)
+    val buckets = paths.map(p => p.substring(p.lastIndexOf("b=") + 2))
+    assert(buckets.distinct.length === buckets.length,
+      s"one dir per bucket must hold: $paths")
+    assert(spark.table("gbr.lake.bk3").count() === 2L)
+    ManifestTable.dropBranch(spark, dir, "eb")
   }
 
 

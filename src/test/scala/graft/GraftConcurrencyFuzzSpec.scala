@@ -301,9 +301,27 @@ class GraftConcurrencyFuzzSpec extends SparkTestBase {
         } catch { case e: Throwable => failures.add(e): Unit }
       }
 
+      // derived-state MAINTENANCE racing the brancher (r19): a
+      // parent-wide approx ANALYZE rewrites every dir's `#ndv` stats
+      // section mid-audit — pre-r19 that made every touched branch
+      // unpublishable; now the publish merges the refreshed payloads.
+      // The maintainer must neither crash nor block a publish. (Masks
+      // standing at analyze time route it to the full mask-aware pass;
+      // masks landing MID-analyze abort the incremental publish via
+      // the head validator — both paths exercised by this schedule.)
+      class Maintainer extends Thread {
+        override def run(): Unit = try {
+          for (_ <- 1 to 4) {
+            Thread.sleep(80)
+            try spark.sql("CALL gccf.system.analyze(table => 'lake.b', " +
+              "columns => 'k', approx => true)").collect(): Unit
+            catch { case e: Throwable if retryable(e) => () }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
       val writers = (0 until 2).map(new Writer(_))
       val brancher = new Brancher
-      val racers = writers ++ Seq(new Compactor, brancher)
+      val racers = writers ++ Seq(new Compactor, brancher, new Maintainer)
       racers.foreach(_.start())
       racers.foreach(_.join(600000))
       val died = Option(failures.peek())

@@ -561,4 +561,83 @@ class GraftStreamingWriteSpec extends SparkTestBase {
       .filter(_.startsWith("ss-")).toSet
     assert(onDisk.isEmpty, s"replay left staged dirs: $onDisk")
   }
+
+  test("stats.ndv=write sketches streamed epochs: the first ANALYZE after a stream reads zero data files (r19)") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.ndvs")
+    spark.sql("CREATE TABLE gsw.lake.ndvs (k INT, v STRING) " +
+      "TBLPROPERTIES ('statsCols'='k,v', 'retainGenerations'='20', " +
+      "'stats.ndv'='write')")
+    val dir = s"$wh/lake/ndvs"
+    val src = Files.createTempDirectory("gsw-ndv").toString
+    Seq(1 -> "a", 2 -> "b").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/f1")
+    Seq(2 -> "b2", 3 -> "c").toDF("k", "v").coalesce(1)
+      .write.parquet(s"$src/f2")
+    val ck = Files.createTempDirectory("gsw-ndvck").toString
+    val q = spark.readStream.schema("k INT, v STRING")
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.ndvs")
+    q.awaitTermination()
+    val head = ManifestTable.headVersion(spark, dir).get
+    val stats = ManifestTable.statsOf(fs, dir, head)
+    assert(stats.nonEmpty && stats.values.forall(pl =>
+      ManifestTable.ndvSketchFor(pl, "k").isDefined &&
+        ManifestTable.ndvSketchFor(pl, "v").isDefined),
+      "every streamed epoch dir must carry write-time sketches")
+    // zero-read proof: corrupt every data file; ANALYZE still answers
+    ManifestTable.pathsOf(fs, dir, head).foreach { p =>
+      fs.listStatus(new Path(dir, p)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val o = fs.create(f, true)
+          o.write("gone".getBytes("UTF-8")); o.close()
+        }
+    }
+    val out = spark.sql("CALL gsw.system.analyze(" +
+      "table => 'lake.ndvs', columns => 'k,v', approx => true)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("k", 3L, 0L), ("v", 4L, 0L)),
+      s"streamed sketches must serve the first ANALYZE zero-read: " +
+        out.toSeq)
+  }
+
+  test("bucketed streaming upsertTies: a domain order decides intra-epoch key ties (r19 review find)") {
+    wh: Unit
+    val s = spark; import s.implicits._
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt3")
+    spark.sql("CREATE TABLE gsw.lake.bkt3 (k BIGINT, v STRING, w INT) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4', 'upsertTies'='w')")
+    // one epoch carrying TWO rows for key 1: the default tie order
+    // (non-key columns sorted, desc) would pick v='z'; the declared
+    // domain order (w desc — event-time semantics) must pick w=20
+    val src = Files.createTempDirectory("gsw-ties").toString
+    Seq((1L, "a", 20), (1L, "z", 10), (2L, "b", 5))
+      .toDF("k", "v", "w").coalesce(1).write.parquet(s"$src/f1")
+    val ck = Files.createTempDirectory("gsw-tiesck").toString
+    val q = spark.readStream.schema("k BIGINT, v STRING, w INT")
+      .parquet(s"$src/*")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gsw.lake.bkt3")
+    q.awaitTermination()
+    val rows = spark.table("gsw.lake.bkt3").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows(1L) === (("a", 20)),
+      s"the upsertTies domain order must decide the tie: $rows")
+    assert(rows.size === 2)
+    // a typo'd tie column fails the stream at build, loudly
+    spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt4")
+    spark.sql("CREATE TABLE gsw.lake.bkt4 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4', 'upsertTies'='nope')")
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.schema("k BIGINT, v STRING")
+        .parquet(s"$src/*")
+        .writeStream.option("checkpointLocation",
+          Files.createTempDirectory("gsw-ties2").toString)
+        .trigger(Trigger.AvailableNow()).toTable("gsw.lake.bkt4")
+      q2.awaitTermination()
+    }
+    assert(msgs(e).exists(_.contains("upsertTies")), msgs(e))
+  }
 }

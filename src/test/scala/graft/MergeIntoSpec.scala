@@ -1318,4 +1318,31 @@ class MergeIntoSpec extends SparkTestBase {
     assert(ManifestTable.read(spark, dir2).count() == 20L,
       "a batch was lost to the compaction race")
   }
+  test("merge validateHead runs per attempt against the exact commit head (r19 streaming-epoch guard seam)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vh").toString + "/t"
+    MergeInto.create(Seq((1L, "a")).toDF("k", "v"), dir, "k", nBuckets = 2): Unit
+    val headBefore = ManifestTable.headVersion(spark, dir).get
+    // a validator that refuses (the streaming epoch's ALTER-vs-write
+    // CHECK guard rides this seam) must abort BEFORE the commit — the
+    // head must not advance and the standing rows must be untouched
+    val e = intercept[IllegalStateException] {
+      MergeInto.merge(Seq((2L, "b")).toDF("k", "v"), dir,
+        validateHead = m => throw new IllegalStateException(
+          s"guard fired over ${m.size} meta keys"))
+    }
+    assert(e.getMessage.contains("guard fired"))
+    assert(ManifestTable.headVersion(spark, dir).get === headBefore,
+      "a refused validation must not commit")
+    assert(MergeInto.read(spark, dir).count() === 1L)
+    // a passing validator commits normally, with extraMeta riding
+    MergeInto.merge(Seq((2L, "b")).toDF("k", "v"), dir,
+      extraMeta = Map("txn:vh" -> "7"),
+      validateHead = _ => ()): Unit
+    val head = ManifestTable.headVersion(spark, dir).get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ManifestTable.metaOf(fs, dir, head).get("txn:vh").contains("7"))
+    assert(MergeInto.read(spark, dir).count() === 2L)
+  }
+
 }
