@@ -41,12 +41,11 @@ import org.apache.spark.util.SerializableConfiguration
   * case) and ships them in its commit message, so the epoch commit
   * records skipping stats with ZERO extra jobs; non-atomic tracked
   * columns fall back to one footer-served aggregate over the
-  * just-written files. Tables whose write-side contracts need a
-  * DRIVER-side plan — declared CHECK constraints (per-row
-  * `raise_error` guards) or a bucketed layout (the merge kernel) —
-  * are refused with the `foreachBatch` route named: a native task
-  * writer cannot run those plans, and silently skipping a declared
-  * contract is worse than an error.
+  * just-written files. Nothing refuses the native path anymore (r19):
+  * declared CHECK constraints, generated columns and identity minting
+  * bind INTO the task writers as schema-bound expressions (r18), and
+  * a BUCKETED layout publishes its epochs through the merge kernel at
+  * commit time (below) instead of naming the foreachBatch route.
   *
   * A `clusterBy` table is NOT refused (r14): the write declares
   * `RequiresDistributionAndOrdering` (ordered distribution on the
@@ -197,12 +196,52 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
         ms.map(m => new Path(m.file).getName))
     }
     fs.delete(new Path(tableDir, rel), true): Unit
+    // S53 write-side lane on the STREAMING path too (r19): an opted-in
+    // table (`stats.ndv=write`) sketches each published dir so
+    // streamed dirs never wait for the next ANALYZE to become
+    // zero-read. On the zero-job inline-stats path that costs ONE
+    // grouped read-back over the epoch's freshly-written (page-cache
+    // warm) files; on the read-back fallback the sketch lanes ride the
+    // SAME single grouped pass as min/max/nulls — never a second scan.
+    val ndvCols = ManifestTable.writeNdvCols(headMetaNow, statsCols)
+    // one grouped read-back over all published dirs, keyed by dir —
+    // the helper both fallback paths share. `_metadata.file_path` can
+    // render URL-ENCODED where makeQualified does not (paths with
+    // spaces), so the rel lookup tolerates both renderings.
+    def groupedReadBack(aggs: Seq[org.apache.spark.sql.Column])
+        : Map[String, org.apache.spark.sql.Row] = {
+      import org.apache.spark.sql.functions.{col, expr}
+      val dirKey = expr(
+        "regexp_replace(_metadata.file_path, '/[^/]*$', '')")
+      val rb0 = spark.read
+        .schema(ManifestTable.toPhysical(writeSchema, cmap))
+        .parquet(fileDirs.map(fd => s"$tableDir/${fd._1}"): _*)
+      val rb =
+        if (cmap.isEmpty) rb0
+        else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+          col(cmap.getOrElse(l, l)).as(l)): _*)
+      val qualToRel = fileDirs.map { case (pubRel, _) =>
+        fs.makeQualified(new Path(tableDir, pubRel)).toString -> pubRel
+      }.toMap
+      def relOf(qual: String): Option[String] =
+        qualToRel.get(new Path(qual).toString).orElse(
+          scala.util.Try(qualToRel.get(new Path(
+            new java.net.URI(qual)).toString)).toOption.flatten)
+      rb.withColumn("__graft_rb_dir", dirKey)
+        .groupBy("__graft_rb_dir").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .flatMap(r => relOf(r.getString(0)).map(_ -> r)).toMap
+    }
     val stats: Map[String, String] =
       if (statsCols.isEmpty) Map.empty
       else inlineSpec match {
         case Some(specs) =>
           // zero-job path: every tracked column's min/max was computed
-          // IN the task writers and rides the commit messages
+          // IN the task writers and rides the commit messages; the
+          // opted-in NDV lane pays the one grouped read-back
+          val sketched =
+            if (ndvCols.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+            else groupedReadBack(ManifestTable.ndvSketchAggExprs(ndvCols))
           fileDirs.map { case (pubRel, ms) =>
             val cells = specs.map { sp =>
               val per = ms.flatMap(_.stats.filter(_.col == sp.name))
@@ -214,68 +253,35 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
             }
             val nulls = specs.map(sp => sp.name ->
               ms.flatMap(_.stats.filter(_.col == sp.name)).map(_.nulls).sum)
-            pubRel -> GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells,
+            val base = GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells,
               nulls)
+            pubRel -> sketched.get(pubRel)
+              .map(r => ManifestTable.withNdvSketches(base,
+                ManifestTable.ndvSketchCells(ndvCols,
+                  lane => r.getAs[Any](lane))))
+              .getOrElse(base)
           }.toMap
         case None =>
-          // a non-atomic tracked column: one footer-served aggregate
-          // per published dir (page-cache-warm, dirs ≤ k)
-          import org.apache.spark.sql.functions.col
-          fileDirs.map { case (pubRel, ms) =>
-            val aggs = ManifestTable.statsAggExprs(statsCols)
-            val rb0 = spark.read
-              .schema(ManifestTable.toPhysical(writeSchema, cmap))
-              .parquet(s"$tableDir/$pubRel")
-            val rb =
-              if (cmap.isEmpty) rb0
-              else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
-                col(cmap.getOrElse(l, l)).as(l)): _*)
-            val r = rb.agg(aggs.head, aggs.tail: _*).head()
-            pubRel -> ManifestTable.statsPayloadFrom(r.getAs[Long]("rows"),
-              statsCols, lane => r.getAs[Any](lane))
+          // a non-atomic tracked column: ONE grouped, footer-friendly
+          // pass serves min/max/nulls AND (when opted in) the NDV
+          // sketches for every published dir — never per-dir jobs,
+          // never a second scan
+          val rows = groupedReadBack(ManifestTable.statsAggExprs(statsCols)
+            ++ ManifestTable.ndvSketchAggExprs(ndvCols))
+          fileDirs.flatMap { case (pubRel, _) =>
+            rows.get(pubRel).map { r =>
+              val base = ManifestTable.statsPayloadFrom(
+                r.getAs[Long]("rows"), statsCols,
+                lane => r.getAs[Any](lane))
+              pubRel -> (if (ndvCols.isEmpty) base
+                         else ManifestTable.withNdvSketches(base,
+                           ManifestTable.ndvSketchCells(ndvCols,
+                             lane => r.getAs[Any](lane))))
+            }
           }.toMap
       }
-    // S53 write-side lane on the STREAMING path too (r19): an opted-in
-    // table (`stats.ndv=write`) sketches each published dir in one
-    // grouped read-back over the epoch's freshly-written (page-cache
-    // warm) files, so streamed dirs never wait for the next ANALYZE to
-    // become zero-read. One extra job per epoch, only when opted in —
-    // the inline task-stats path stays zero-job for everyone else.
-    val ndvCols = ManifestTable.writeNdvCols(headMetaNow, statsCols)
-    val stats2 =
-      if (ndvCols.isEmpty || stats.isEmpty) stats
-      else {
-        import org.apache.spark.sql.functions.{col, expr}
-        val dirKey = expr(
-          "regexp_replace(_metadata.file_path, '/[^/]*$', '')")
-        val aggs = ManifestTable.ndvSketchAggExprs(ndvCols)
-        val rb0 = spark.read
-          .schema(ManifestTable.toPhysical(writeSchema, cmap))
-          .parquet(fileDirs.map(fd => s"$tableDir/${fd._1}"): _*)
-        val rb =
-          if (cmap.isEmpty) rb0
-          else rb0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
-            col(cmap.getOrElse(l, l)).as(l)): _*)
-        val byDir = rb.withColumn("__graft_ndv_dir", dirKey)
-          .groupBy("__graft_ndv_dir").agg(aggs.head, aggs.tail: _*)
-          .collect()
-        val qualToRel = fileDirs.map { case (pubRel, _) =>
-          fs.makeQualified(new Path(tableDir, pubRel)).toString -> pubRel
-        }.toMap
-        val sketched = byDir.flatMap { r =>
-          qualToRel.get(new Path(r.getString(0)).toString).map { pubRel =>
-            pubRel -> ManifestTable.ndvSketchCells(ndvCols,
-              lane => r.getAs[Any](lane))
-          }
-        }.toMap
-        stats.map { case (pubRel, payload) =>
-          pubRel -> sketched.get(pubRel)
-            .map(ManifestTable.withNdvSketches(payload, _))
-            .getOrElse(payload)
-        }
-      }
     ManifestTable.appendCommitLoopCore(spark, writeSchema, tableDir,
-      fileDirs.map(_._1), stats2, statsCols, retain,
+      fileDirs.map(_._1), stats, statsCols, retain,
       meta = Map(txnKey -> epochId.toString),
       recordingStats = stats.nonEmpty,
       // the guard set = the checks this epoch's task writers actually

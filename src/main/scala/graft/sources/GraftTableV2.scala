@@ -676,8 +676,11 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // CHECK constraints (S30) enforced IN the write job: the
         // table's PERSISTED contracts first (prop channel — binds
         // every API), then any ad-hoc per-write checks from OPTIONS.
-        val data = GraftManifestSource.applyChecks(
-          GraftManifestSource.withDeclaredChecks(unprepared, tableDir), checks)
+        // The bound key set feeds the bucketed routes' ALTER-vs-write
+        // guard below (the append routes bind + guard internally).
+        val (declChecked, boundCheckKeys) =
+          GraftManifestSource.bindDeclaredChecks(unprepared, tableDir)
+        val data = GraftManifestSource.applyChecks(declChecked, checks)
         // S31 — a bucketed (layout=bucketed:<key>) table routes every
         // write through the O(changeset) upsert kernel: INSERT is an
         // upsert BY KEY (a re-inserted key replaces its row — the
@@ -695,8 +698,39 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
               "construction — replaying the same source yields the same " +
               "table — so the watermark would only mask interleaved " +
               "foreign writes")
-          if (overwrite) MergeInto.overwriteBucketed(data, tableDir): Unit
-          else MergeInto.merge(data, tableDir): Unit
+          val spark = data.sparkSession
+          val fsx = new org.apache.hadoop.fs.Path(tableDir)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          // the same ALTER-vs-write CHECK guard the append commit
+          // loops run: a constraint declared while this statement ran
+          // was never bound into its plan — refuse at the exact head
+          // the kernel commits on (r19 review find; streaming epochs
+          // ride the identical hook)
+          val guard: Map[String, String] => Unit = m =>
+            ManifestTable.checkConflictGuard(fsx, tableDir, m,
+              boundCheckKeys, Seq.empty)
+          // the declared `upsertTies` (per-write OPTION first, then
+          // the table property — the streaming sink's exact lookup):
+          // domain order, desc, deciding duplicate keys within ONE
+          // batch; unset = the kernel's default
+          import org.apache.spark.sql.functions.col
+          val tieSpec = Option(info.options.get("upsertTies"))
+            .orElse(ManifestTable.headVersion(spark, tableDir)
+              .flatMap(v => ManifestTable.metaOf(fsx, tableDir, v)
+                .get(GraftCatalog.PropPrefix + "upsertTies")))
+            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .filter(_.nonEmpty)
+          val ties = tieSpec.map { cols =>
+            cols.foreach(c => require(data.columns
+              .exists(_.equalsIgnoreCase(c)),
+              s"upsertTies column '$c' is not in the insert batch"))
+            val key = MergeInto.bucketedGeometry(spark, tableDir).get._1
+            cols.map(c => col(c).desc) ++ MergeInto.defaultTies(data, key)
+          }.getOrElse(Nil)
+          if (overwrite) MergeInto.overwriteBucketed(data, tableDir,
+            tieCols = ties, validateHead = guard): Unit
+          else MergeInto.merge(data, tableDir, tieCols = ties,
+            validateHead = guard): Unit
         } else {
           if (overwrite) GraftManifestSource.overwrite(data, tableDir,
             statsCols, retain, extraMeta = txnMeta)

@@ -3293,16 +3293,11 @@ object ManifestTable {
         s"no committed graft table at $tableDir"))
     require(versions(fsOf(spark, tableDir), bdir).isEmpty,
       s"branch '$name' already exists at $tableDir")
-    // geometry markers pin BEFORE the clone commit: a crash between
-    // the two must never leave a live, writable branch whose DML
-    // appends plain dirs instead of merging (a marker-only dir is not
-    // a branch — versions() is empty — so a re-cut just re-pins the
-    // same geometry, put-if-absent + read-back)
-    MergeInto.bucketedGeometry(spark, tableDir).foreach { case (k, n) =>
-      MergeInto.pinGeometry(spark, bdir, k, n)
-    }
     // deep histories are the audit workload's point — keep the branch's
-    // own history generously (it dies at publish/drop anyway)
+    // own history generously (it dies at publish/drop anyway). A
+    // bucketed parent's geometry markers pin onto the branch inside
+    // [[shallowClone]], BEFORE its commit — a crash can never leave a
+    // live branch whose DML would append plain dirs instead of merging.
     shallowClone(spark, tableDir, bdir, retainGenerations = 10,
       extraMeta = Map(BranchBaseKey -> head.toString))
   }

@@ -206,7 +206,10 @@ object MergeInto {
     * superseded head's dirs die by GC under the table's retention.
     * The batch goes through the same one-winner-per-key reduction as
     * [[merge]], so an overwrite can never seed duplicate keys. */
-  def overwriteBucketed(source: DataFrame, tableDir: String): Long = {
+  def overwriteBucketed(source: DataFrame, tableDir: String,
+                        tieCols: Seq[Column] = Nil,
+                        validateHead: Map[String, String] => Unit =
+                          _ => ()): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
     val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
@@ -217,8 +220,9 @@ object MergeInto {
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
     Seq("b", "rn").foreach(r => require(!source.columns.contains(r),
       s"column name '$r' is reserved by the merge kernel"))
+    val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key)).orderBy(defaultTies(source, key): _*)
+      .partitionBy(col(key)).orderBy(ties: _*)
     val inserts = source
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .drop("rn").withColumn("b", pmod(hash(col(key)), lit(n)))
@@ -240,7 +244,7 @@ object MergeInto {
     val written = fs.listStatus(new Path(s"$tableDir/$cid"))
       .map(_.getPath.getName).filter(_.startsWith("b=")).sorted
       .toIndexedSeq.map(b => s"$cid/$b")
-    publishOverwrite(spark, tableDir, written, tableSchema)
+    publishOverwrite(spark, tableDir, written, tableSchema, validateHead)
   }
 
   /** The publish half of [[overwriteBucketed]] — the swap commit under
@@ -254,7 +258,8 @@ object MergeInto {
     * of being overwritten. */
   private[graft] def publishOverwrite(spark: SparkSession,
       tableDir: String, written: Seq[String],
-      dataSchema: org.apache.spark.sql.types.StructType): Long = {
+      dataSchema: org.apache.spark.sql.types.StructType,
+      validateHead: Map[String, String] => Unit = _ => ()): Long = {
     val fs = fsOf(spark, tableDir)
     var attempt = 0
     while (true) {
@@ -267,6 +272,7 @@ object MergeInto {
       val headDeclared =
         if (headV > 0) ManifestTable.schemaOf(fs, tableDir, headV) else None
       val commitSchema = resolveSchema(tableDir, headDeclared, dataSchema)
+      validateHead(headMeta)
       val published = ManifestTable.commitIf(spark, tableDir, written,
         expectedBase = headV, retainGenerations = retainOf(headMeta),
         schemaDdl = Some(ManifestTable.cleanDdl(commitSchema)), meta = headMeta)

@@ -626,6 +626,15 @@ class GraftStreamingWriteSpec extends SparkTestBase {
     assert(rows(1L) === (("a", 20)),
       s"the upsertTies domain order must decide the tie: $rows")
     assert(rows.size === 2)
+    // batch INSERTs honor the SAME declared domain order for
+    // same-batch duplicates (ties order WITHIN a batch; a merge still
+    // replaces the standing row by key — upserts are not conditional)
+    spark.sql(
+      "INSERT INTO gsw.lake.bkt3 VALUES (7, 'x', 40), (7, 'y', 30)")
+    assert(spark.table("gsw.lake.bkt3").filter(col("k") === 7L)
+      .head().getInt(2) === 40,
+      "same-batch duplicates must resolve by the domain order " +
+        "(default ties would pick v='y')")
     // a typo'd tie column fails the stream at build, loudly
     spark.sql("DROP TABLE IF EXISTS gsw.lake.bkt4")
     spark.sql("CREATE TABLE gsw.lake.bkt4 (k BIGINT, v STRING) " +
