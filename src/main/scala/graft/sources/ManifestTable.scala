@@ -3557,7 +3557,12 @@ object ManifestTable {
           .sorted.map(rekeyedToOrig)
         if (onlyFrom.isEmpty && onlyTo.isEmpty) None
         else {
-          def olderDf = readMasked(spark, tableDir, base, onlyFrom,
+          // BOTH sides read through the BRANCH-HEAD schema anchor
+          // (bsnap supplies schema + colmap; physical file names are
+          // shared, so parent-base dirs resolve under it) — a feed
+          // across a branch-side ADD COLUMN compares rows on the union
+          // shape exactly as [[changes]] anchors on the newer version
+          def olderDf = readMaskedWith(spark, tableDir, bsnap, onlyFrom,
             baseSnap.dv)
           def newerDf = readMasked(spark, bdir, bHead, onlyTo, bsnap.dv)
           val older = if (onlyFrom.isEmpty) newerDf.limit(0) else olderDf

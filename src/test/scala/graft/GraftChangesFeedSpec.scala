@@ -251,6 +251,28 @@ class GraftChangesFeedSpec extends SparkTestBase {
       s"update-then-delete must NET to the delete: $churn")
   }
 
+  test("paired CDC through a publish survives a branch-side ADD COLUMN (r19)") {
+    val dir = freshTable("m8",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m8 VALUES (1,'a'),(2,'b')")
+    ManifestTable.createBranch(spark, dir, "ev"): Unit
+    // the branch EVOLVES the schema mid-audit, then updates through it
+    spark.sql("ALTER TABLE gcdc.lake.`m8$branch$ev` ADD COLUMN n INT")
+    spark.sql(
+      "UPDATE gcdc.lake.`m8$branch$ev` SET v = 'B', n = 7 WHERE k = 2")
+    val vP = ManifestTable.publishBranch(spark, dir, "ev")
+    val feed = ManifestTable.changes(spark, dir, vP - 1, vP)
+    val got = feed.collect().map(r => (r.getInt(0), r.getString(1),
+      if (r.isNullAt(2)) -1 else r.getInt(2), r.getString(3))).sorted.toSeq
+    assert(got == Seq((2, "B", 7, "update_postimage"),
+                      (2, "b", -1, "update_preimage")),
+      s"the evolved-schema publish feed must stay PAIRED on the union " +
+        s"shape (pre null-fills the new column): $got")
+    assert(feed.inputFiles.nonEmpty &&
+      feed.inputFiles.forall(_.contains("/_cdc/")),
+      "the evolved publish step must still serve STAGED")
+  }
+
   test("materialized feed equals the read-time diff fallback exactly") {
     val dirOn = freshTable("m2", ",'cdc.materialize'='true'")
     val dirOff = freshTable("m3", "")
