@@ -91,4 +91,104 @@ class GraftBucketedFuzzSpec extends SparkTestBase {
         s"missing=${(model.toSet -- tableRows.toSet).take(3)}")
     }
   }
+  test("fuzz: a brancher races writers on a BUCKETED table — bucket-granular conflicts, one dir per bucket always (r19)") {
+    // The r19 publish rule under randomized contention: branch merges
+    // race parent merges; a publish lands iff its touched BUCKETS are
+    // disjoint from everything the parent merged since the cut, else
+    // it refuses (reversing the moves) and the branch drops. The
+    // invariants are interleaving-independent: (a) the table equals
+    // the parent writers' model plus exactly the PUBLISHED branches'
+    // rows, (b) every live manifest is bucket-leaf-shaped with AT MOST
+    // ONE dir per bucket — the invariant the review-found bug broke.
+    wh: Unit
+    val sp = spark; import sp.implicits._
+    for (seed <- 1 to 2) {
+      spark.sql("DROP TABLE IF EXISTS gbfz.lake.fb")
+      spark.sql("CREATE TABLE gbfz.lake.fb (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('layout'='bucketed:k:4', 'retainGenerations'='200')")
+      spark.sql("INSERT INTO gbfz.lake.fb VALUES (1, 'seed')")
+      val dir = s"$wh/lake/fb"
+      val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val model = new java.util.concurrent.ConcurrentHashMap[Long, String]
+      model.put(1L, "seed")
+
+      class Writer(t: Int) extends Thread {
+        private val rnd = new scala.util.Random(7000L * seed + t)
+        private var next = 100L * (t + 1)
+        override def run(): Unit = try {
+          for (step <- 1 to 6) {
+            val k = next; next += 1
+            var done = false; var attempts = 0
+            while (!done) {
+              attempts += 1
+              try {
+                graft.sources.MergeInto.merge(
+                  Seq((k, s"w$t-$step")).toDF("k", "v"),
+                  dir): Unit
+                done = true
+              } catch {
+                case e: Throwable if attempts < 30 &&
+                    Option(e.getMessage).exists(m =>
+                      m.contains("contention") ||
+                      m.contains("changed incompatibly")) => ()
+              }
+            }
+            model.put(k, s"w$t-$step")
+            if (rnd.nextBoolean()) Thread.sleep(20)
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
+
+      class Brancher extends Thread {
+        private var next = 9000L
+        override def run(): Unit = try {
+          for (i <- 1 to 4) {
+            Thread.sleep(40)
+            val name = s"bz$i"
+            ManifestTable.createBranch(spark, dir, name): Unit
+            val bdir = ManifestTable.branchDirOf(dir, name)
+            val rows = (0 until 2).map { _ =>
+              val k = next; next += 1; (k, s"br$i-$k") }
+            graft.sources.MergeInto.merge(rows.toDF("k", "v"), bdir): Unit
+            try {
+              ManifestTable.publishBranch(spark, dir, name): Unit
+              rows.foreach { case (k, v) => model.put(k, v) }
+            } catch {
+              // a BUCKET conflict with a parent merge since the cut:
+              // the refusal reversed the moves — drop, nothing landed
+              case _: IllegalStateException =>
+                ManifestTable.dropBranch(spark, dir, name)
+            }
+          }
+        } catch { case e: Throwable => failures.add(e): Unit }
+      }
+
+      val racers = (0 until 2).map(new Writer(_)) :+ new Brancher
+      racers.foreach(_.start())
+      racers.foreach(_.join(600000))
+      val died = Option(failures.peek())
+      assert(died.isEmpty, died.map(e =>
+        s"seed $seed worker died: $e\n" +
+          e.getStackTrace.take(12).mkString("\n")).getOrElse(""))
+      import scala.jdk.CollectionConverters._
+      val expected = model.asScala.toMap
+      val got = spark.table("gbfz.lake.fb").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected, s"seed $seed diverged: " +
+        s"missing=${(expected.keySet -- got.keySet).toSeq.sorted.take(8)} " +
+        s"extra=${(got.keySet -- expected.keySet).toSeq.sorted.take(8)}")
+      // THE invariant: bucket-leaf dirs only, at most one per bucket
+      val paths = ManifestTable.pathsOf(fs, dir,
+        ManifestTable.headVersion(spark, dir).get)
+      assert(paths.forall(_.matches(".*b=\\d+$")),
+        s"seed $seed: non-bucket-leaf dir leaked: $paths")
+      val buckets = paths.map(p => p.substring(p.lastIndexOf("b=") + 2))
+      assert(buckets.distinct.length == buckets.length,
+        s"seed $seed: TWO dirs for one bucket: $paths")
+      assert(ManifestTable.branches(spark, dir).isEmpty,
+        s"seed $seed left branches standing")
+    }
+  }
+
 }
