@@ -145,15 +145,16 @@ class GraftManifestSource extends RelationProvider
     val txnMeta = GraftManifestSource.txnMetaOf(txn)
     if (GraftManifestSource.txnApplied(ctx.sparkSession, dir, txn))
       return createRelation(ctx, parameters)
-    // declared data contracts bind every API (S30)
-    val data = GraftManifestSource.withDeclaredChecks(data0, dir)
+    // declared data contracts bind every API (S30); the bound keys
+    // feed the bucketed routes' ALTER-vs-write guard
+    val (data, boundKeys) = GraftManifestSource.bindDeclaredChecks(data0, dir)
     mode match {
       case SaveMode.Append =>
         GraftManifestSource.appendRespectingSpec(data, dir, statsCols, retain,
-          extraMeta = txnMeta)
+          extraMeta = txnMeta, boundChecks = boundKeys)
       case SaveMode.Overwrite =>
         GraftManifestSource.overwrite(data, dir, statsCols, retain,
-          extraMeta = txnMeta)
+          extraMeta = txnMeta, boundChecks = boundKeys)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft-manifest table already committed at $dir (mode=ErrorIfExists)")
@@ -242,15 +243,24 @@ object GraftManifestSource {
                                             statsCols: Seq[String],
                                             retain: Int,
                                             extraMeta: Map[String, String] =
-                                              Map.empty): Unit = {
+                                              Map.empty,
+                                            boundChecks: Set[String] =
+                                              Set.empty): Unit = {
     val spark = data.sparkSession
     // a bucketed (S31) table's append IS an upsert by key — the V1
     // alias must not degrade the layout any more than it may degrade a
-    // declared cluster spec
+    // declared cluster spec. The ALTER-vs-write CHECK guard rides the
+    // kernel's per-attempt head validation like every other surface
+    // (the non-bucketed routes below guard inside their own commit
+    // loops).
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
       require(extraMeta.isEmpty,
         s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
-      MergeInto.merge(data, dir): Unit
+      val fsg = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      MergeInto.merge(data, dir, validateHead = m =>
+        ManifestTable.checkConflictGuard(fsg, dir, m, boundChecks,
+          Seq.empty)): Unit
       return
     }
     val spec = ManifestTable.headVersion(spark, dir).flatMap { v =>
@@ -410,7 +420,8 @@ object GraftManifestSource {
   private[graft] def overwrite(data: DataFrame, dir: String,
                                statsCols: Seq[String],
                                retainGenerations: Int = 2,
-                               extraMeta: Map[String, String] = Map.empty)
+                               extraMeta: Map[String, String] = Map.empty,
+                               boundChecks: Set[String] = Set.empty)
       : Unit = {
     val spark = data.sparkSession
     // bucketed (S31) table: overwrite = ONE atomic swap commit keeping
@@ -419,7 +430,11 @@ object GraftManifestSource {
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
       require(extraMeta.isEmpty,
         s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
-      MergeInto.overwriteBucketed(data, dir): Unit
+      val fsg = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      MergeInto.overwriteBucketed(data, dir, validateHead = m =>
+        ManifestTable.checkConflictGuard(fsg, dir, m, boundChecks,
+          Seq.empty)): Unit
       return
     }
     // append tells us exactly which commit dir it created — the second
@@ -601,13 +616,16 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
     * properties. The pinned `version` is a READ snapshot only; writes
     * always land on the current head (append rebases via commitIf). */
   override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
-    // declared data contracts bind every API (S30)
-    val data = GraftManifestSource.withDeclaredChecks(data0, tableDir)
+    // declared data contracts bind every API (S30); the bound keys
+    // feed the bucketed routes' ALTER-vs-write guard
+    val (data, boundKeys) =
+      GraftManifestSource.bindDeclaredChecks(data0, tableDir)
     if (overwrite)
-      GraftManifestSource.overwrite(data, tableDir, statsCols, retainGenerations)
+      GraftManifestSource.overwrite(data, tableDir, statsCols,
+        retainGenerations, boundChecks = boundKeys)
     else
       GraftManifestSource.appendRespectingSpec(data, tableDir, statsCols,
-        retainGenerations)
+        retainGenerations, boundChecks = boundKeys)
     // Spark's FindDataSourceTable caches the resolved relation per
     // catalog table; THIS relation pins a version, so without
     // invalidation the next SELECT would keep serving the pre-insert

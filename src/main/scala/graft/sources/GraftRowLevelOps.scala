@@ -428,14 +428,19 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
       // job pre-commit; DELETE records are exempt — their null-filled
       // data columns must not be judged ('v IS NOT NULL' would
       // otherwise fail every DELETE)
-      val (cs, _) = GraftManifestSource.bindDeclaredChecks(cs0, dir,
+      val (cs, boundKeys) = GraftManifestSource.bindDeclaredChecks(cs0, dir,
         exemptWhen = Some(s"${GraftDeltaWrite.ChangeCol} = 1"),
         recomputeGenerated = true)
       MergeInto.applyBatch(cs, dir, key,
         tieCols = marker +: MergeInto.defaultTies(
           cs.drop(GraftDeltaWrite.ChangeCol), key),
         deleteWhen = coalesce(marker === 1, lit(false)),
-        nBuckets = n, dropCols = Seq(GraftDeltaWrite.ChangeCol)): Unit
+        nBuckets = n, dropCols = Seq(GraftDeltaWrite.ChangeCol),
+        // the ALTER-vs-write CHECK guard on the exact head each commit
+        // attempt lands on — a constraint declared while this DML ran
+        // never judged its changeset (review find, r19)
+        validateHead = m => ManifestTable.checkConflictGuard(
+          fs, dir, m, boundKeys, Seq.empty)): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }

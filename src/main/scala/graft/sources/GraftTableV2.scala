@@ -688,7 +688,19 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // OVERWRITE replaces the table (truncate + merge). The marker
         // probe, not the prop, is the routing truth, so path-API
         // writers to a bucketed dir route identically.
-        if (MergeInto.bucketedGeometry(data.sparkSession, tableDir).isDefined) {
+        val bucketedGeom =
+          MergeInto.bucketedGeometry(data.sparkSession, tableDir)
+        // a per-write upsertTies OPTION overrides the declared table
+        // property (which the kernel itself resolves when no explicit
+        // order arrives); on a non-bucketed table it refuses loudly —
+        // silently dropping a tie spec would let duplicates land
+        val tieOpt = Option(info.options.get("upsertTies"))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
+        require(tieOpt.isEmpty || bucketedGeom.isDefined,
+          "upsertTies only applies to bucketed (layout=bucketed) " +
+            "tables — append-shaped writes never resolve key ties")
+        if (bucketedGeom.isDefined) {
           // overwrite = ONE atomic swap commit (write new bucket dirs,
           // then publish drop-old+add-new together) — never a truncate
           // a reader could observe or a crash could strand
@@ -709,23 +721,13 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
           val guard: Map[String, String] => Unit = m =>
             ManifestTable.checkConflictGuard(fsx, tableDir, m,
               boundCheckKeys, Seq.empty)
-          // the declared `upsertTies` (per-write OPTION first, then
-          // the table property — the streaming sink's exact lookup):
-          // domain order, desc, deciding duplicate keys within ONE
-          // batch; unset = the kernel's default
           import org.apache.spark.sql.functions.col
-          val tieSpec = Option(info.options.get("upsertTies"))
-            .orElse(ManifestTable.headVersion(spark, tableDir)
-              .flatMap(v => ManifestTable.metaOf(fsx, tableDir, v)
-                .get(GraftCatalog.PropPrefix + "upsertTies")))
-            .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .filter(_.nonEmpty)
-          val ties = tieSpec.map { cols =>
+          val ties = tieOpt.map { cols =>
             cols.foreach(c => require(data.columns
               .exists(_.equalsIgnoreCase(c)),
               s"upsertTies column '$c' is not in the insert batch"))
-            val key = MergeInto.bucketedGeometry(spark, tableDir).get._1
-            cols.map(c => col(c).desc) ++ MergeInto.defaultTies(data, key)
+            cols.map(c => col(c).desc) ++
+              MergeInto.defaultTies(data, bucketedGeom.get._1)
           }.getOrElse(Nil)
           if (overwrite) MergeInto.overwriteBucketed(data, tableDir,
             tieCols = ties, validateHead = guard): Unit

@@ -163,6 +163,31 @@ object MergeInto {
   def defaultTies(source: DataFrame, key: String): Seq[Column] =
     source.columns.filterNot(_ == key).sorted.map(col(_).desc).toSeq
 
+  /** The table's DECLARED tie order (`upsertTies` property): domain
+    * columns — event-time first — whose DESC order decides "latest"
+    * among same-key rows of one batch, followed by [[defaultTies]] as
+    * the deterministic tail. Resolved INSIDE the kernel so every write
+    * surface (SQL INSERT, the V1 alias, streamed epochs, direct API
+    * calls that pass no explicit order) honors one contract; an
+    * explicit `tieCols` argument still overrides. Empty when the table
+    * declares nothing. */
+  private def declaredTies(source: DataFrame, dir: String,
+                           key: String): Seq[Column] = {
+    val spark = source.sparkSession
+    ManifestTable.headVersion(spark, dir).flatMap { v =>
+      ManifestTable.metaOf(fsOf(spark, dir), dir, v)
+        .get(GraftCatalog.PropPrefix + "upsertTies")
+    }.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .map { cols =>
+        cols.foreach(c => require(
+          source.columns.exists(_.equalsIgnoreCase(c)),
+          s"upsertTies column '$c' (declared on $dir) is not in the " +
+            s"write batch ${source.columns.mkString("(", ", ", ")")}"))
+        cols.map(c => col(c).desc) ++ defaultTies(source, key)
+      }.getOrElse(Nil)
+  }
+
   /** Create a merge table from an initial load: markers + first commit.
     * Returns the committed version (1 on a fresh dir). The initial load
     * goes through the same one-winner-per-key reduction as a merge, so
@@ -188,7 +213,12 @@ object MergeInto {
     val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
       throw new IllegalArgumentException(
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
-    val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
+    val ties =
+      if (tieCols.nonEmpty) tieCols
+      else {
+        val declared = declaredTies(source, tableDir, key)
+        if (declared.nonEmpty) declared else defaultTies(source, key)
+      }
     applyBatch(source, tableDir, key, ties, deleteWhen, n,
       extraMeta = extraMeta, validateHead = validateHead)
   }
@@ -220,7 +250,12 @@ object MergeInto {
         s"not a merge table (no $BucketsMarker): $tableDir")).toInt
     Seq("b", "rn").foreach(r => require(!source.columns.contains(r),
       s"column name '$r' is reserved by the merge kernel"))
-    val ties = if (tieCols.nonEmpty) tieCols else defaultTies(source, key)
+    val ties =
+      if (tieCols.nonEmpty) tieCols
+      else {
+        val declared = declaredTies(source, tableDir, key)
+        if (declared.nonEmpty) declared else defaultTies(source, key)
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(ties: _*)
     val inserts = source

@@ -167,6 +167,9 @@ class GraftBucketedFuzzSpec extends SparkTestBase {
       val racers = (0 until 2).map(new Writer(_)) :+ new Brancher
       racers.foreach(_.start())
       racers.foreach(_.join(600000))
+      assert(racers.forall(!_.isAlive),
+        s"seed $seed: a racer is still running after the join timeout " +
+          "— invariants below would read a moving table")
       val died = Option(failures.peek())
       assert(died.isEmpty, died.map(e =>
         s"seed $seed worker died: $e\n" +
