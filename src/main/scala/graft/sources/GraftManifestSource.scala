@@ -145,16 +145,16 @@ class GraftManifestSource extends RelationProvider
     val txnMeta = GraftManifestSource.txnMetaOf(txn)
     if (GraftManifestSource.txnApplied(ctx.sparkSession, dir, txn))
       return createRelation(ctx, parameters)
-    // declared data contracts bind every API (S30); the bound keys
-    // feed the bucketed routes' ALTER-vs-write guard
-    val (data, boundKeys) = GraftManifestSource.bindDeclaredChecks(data0, dir)
+    // declared data contracts bind inside the routed write (S30) —
+    // each route binds exactly once and guards its own commit
+    val data = data0
     mode match {
       case SaveMode.Append =>
         GraftManifestSource.appendRespectingSpec(data, dir, statsCols, retain,
-          extraMeta = txnMeta, boundChecks = boundKeys)
+          extraMeta = txnMeta)
       case SaveMode.Overwrite =>
         GraftManifestSource.overwrite(data, dir, statsCols, retain,
-          extraMeta = txnMeta, boundChecks = boundKeys)
+          extraMeta = txnMeta)
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalStateException(
           s"graft-manifest table already committed at $dir (mode=ErrorIfExists)")
@@ -239,23 +239,22 @@ object GraftManifestSource {
       : Map[String, String] =
     txn.map { case (a, v) => s"txn:$a" -> v.toString }.toMap
 
-  private[graft] def appendRespectingSpec(data: DataFrame, dir: String,
+  private[graft] def appendRespectingSpec(data0: DataFrame, dir: String,
                                             statsCols: Seq[String],
                                             retain: Int,
                                             extraMeta: Map[String, String] =
-                                              Map.empty,
-                                            boundChecks: Set[String] =
-                                              Set.empty): Unit = {
-    val spark = data.sparkSession
+                                              Map.empty): Unit = {
+    val spark = data0.sparkSession
     // a bucketed (S31) table's append IS an upsert by key — the V1
     // alias must not degrade the layout any more than it may degrade a
-    // declared cluster spec. The ALTER-vs-write CHECK guard rides the
-    // kernel's per-attempt head validation like every other surface
-    // (the non-bucketed routes below guard inside their own commit
-    // loops).
+    // declared cluster spec. Declared CHECKs bind HERE only on the
+    // kernel route (append/appendClustered bind internally — binding
+    // twice would judge every row twice); the bound keys feed the
+    // kernel's per-attempt ALTER-vs-write guard.
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
       require(extraMeta.isEmpty,
         s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
+      val (data, boundChecks) = bindDeclaredChecks(data0, dir)
       val fsg = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       MergeInto.merge(data, dir, validateHead = m =>
@@ -263,6 +262,7 @@ object GraftManifestSource {
           Seq.empty)): Unit
       return
     }
+    val data = data0
     val spec = ManifestTable.headVersion(spark, dir).flatMap { v =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -417,19 +417,21 @@ object GraftManifestSource {
     * second commit is superseded (its rows are not in the overwritten
     * table) — the semantics of replacing the whole table; Delta makes
     * the same call by failing the concurrent writer instead. */
-  private[graft] def overwrite(data: DataFrame, dir: String,
+  private[graft] def overwrite(data0: DataFrame, dir: String,
                                statsCols: Seq[String],
                                retainGenerations: Int = 2,
-                               extraMeta: Map[String, String] = Map.empty,
-                               boundChecks: Set[String] = Set.empty)
+                               extraMeta: Map[String, String] = Map.empty)
       : Unit = {
-    val spark = data.sparkSession
+    val spark = data0.sparkSession
     // bucketed (S31) table: overwrite = ONE atomic swap commit keeping
     // the b=N layout invariant every later merge's bucket parse relies
-    // on — never a truncate a reader could observe mid-overwrite
+    // on — never a truncate a reader could observe mid-overwrite.
+    // Declared CHECKs bind here only on this kernel route (the
+    // append-shaped path below binds internally).
     if (MergeInto.bucketedGeometry(spark, dir).isDefined) {
       require(extraMeta.isEmpty,
         s"txnAppId/txnVersion are not supported on bucketed merge tables ($dir)")
+      val (data, boundChecks) = bindDeclaredChecks(data0, dir)
       val fsg = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       MergeInto.overwriteBucketed(data, dir, validateHead = m =>
@@ -437,19 +439,35 @@ object GraftManifestSource {
           Seq.empty)): Unit
       return
     }
-    // append tells us exactly which commit dir it created — the second
-    // commit lists precisely [cid]. (Deriving "fresh" by diffing head
+    val data = data0
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // append tells us exactly which commit dirs it created — the second
+    // commit lists precisely those. (Deriving "fresh" by diffing head
     // against the largest retained version below v is wrong under
     // retainGenerations=1: the append's GC deletes that version first,
     // the diff returns ALL head paths, and overwrite silently degrades
-    // to append — keeping rows it must replace.)
-    val (v, cid) = ManifestTable.appendWithCid(data, dir, statsCols, retainGenerations)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+    // to append — keeping rows it must replace.) A table with a
+    // DECLARED cluster spec overwrites CLUSTERED (≤k range/Morton dirs
+    // with per-dir stats, the append paths' contract) — a single-dir
+    // overwrite would silently discard the clustered-on-arrival layout
+    // until the next compaction (r19 review find).
+    val spec = ManifestTable.headVersion(spark, dir)
+      .flatMap(v => ManifestTable.clusterSpecOf(fs, dir, v))
+    val (v, cids) = spec match {
+      case Some(cols) => // clusterSpecOf never yields an empty spec
+        ManifestTable.appendClusteredWithCids(data, dir,
+          (statsCols ++ cols).distinct, retainGenerations = retainGenerations)
+      case _ =>
+        val (v0, cid) = ManifestTable.appendWithCid(data, dir, statsCols,
+          retainGenerations)
+        (v0, Seq(cid))
+    }
     val stats = ManifestTable.statsOf(fs, dir, v)
-    ManifestTable.commit(spark, dir, Seq(cid), retainGenerations,
+    val cidSet = cids.toSet
+    ManifestTable.commit(spark, dir, cids, retainGenerations,
       schemaDdl = Some(ManifestTable.cleanDdl(data.schema)),
-      stats = stats.view.filterKeys(_ == cid).toMap,
+      stats = stats.view.filterKeys(cidSet).toMap,
       // replacing the data does not reset writer txn watermarks; an
       // S47 idempotent overwrite records ITS watermark here — on the
       // FINAL commit only, so a crash between the two commits replays
@@ -616,16 +634,14 @@ case class GraftManifestRelation(ctx: SQLContext, tableDir: String,
     * properties. The pinned `version` is a READ snapshot only; writes
     * always land on the current head (append rebases via commitIf). */
   override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
-    // declared data contracts bind every API (S30); the bound keys
-    // feed the bucketed routes' ALTER-vs-write guard
-    val (data, boundKeys) =
-      GraftManifestSource.bindDeclaredChecks(data0, tableDir)
+    // declared data contracts bind inside the routed write (S30) —
+    // each route binds exactly once and guards its own commit
     if (overwrite)
-      GraftManifestSource.overwrite(data, tableDir, statsCols,
-        retainGenerations, boundChecks = boundKeys)
+      GraftManifestSource.overwrite(data0, tableDir, statsCols,
+        retainGenerations)
     else
-      GraftManifestSource.appendRespectingSpec(data, tableDir, statsCols,
-        retainGenerations, boundChecks = boundKeys)
+      GraftManifestSource.appendRespectingSpec(data0, tableDir, statsCols,
+        retainGenerations)
     // Spark's FindDataSourceTable caches the resolved relation per
     // catalog table; THIS relation pins a version, so without
     // invalidation the next SELECT would keep serving the pre-insert

@@ -172,10 +172,18 @@ case class GraftTable(tableDir: String, pinnedV: Option[Long],
     * row-level rewrites require NON-NULLABLE, so [[schema]] marks it.
     * Honest at the data level too: the merge kernel rejects null keys
     * loudly at write (a null key could never be replaced through the
-    * key anti-join — NULL never equals NULL). */
+    * key anti-join — NULL never equals NULL). Only the NO-ACTIVE-
+    * SESSION case degrades to None (a serialized copy probing off the
+    * driver — schema nullability there is cosmetic); a transient
+    * marker-read IOException must PROPAGATE, not silently route DML
+    * onto the copy-on-write path and break the b=N layout invariant
+    * (r19 review find). */
   @transient private[sources] lazy val bucketedKey: Option[String] =
     try MergeInto.bucketedGeometry(SparkSession.active, tableDir).map(_._1)
-    catch { case _: Exception => None }
+    catch {
+      case _: IllegalStateException | _: org.apache.spark.SparkException =>
+        None // no active session on this (deserialized) copy
+    }
 
   override def schema(): StructType = bucketedKey match {
     case Some(k) => StructType(tableSchema.fields.map(f =>
@@ -631,13 +639,16 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         "identity columns are not supported on bucketed (layout=" +
           "bucketed) tables — the merge kernel's commit does not " +
           "advance identity watermarks")
-      // S31 intra-epoch tie order: `upsertTies` (write option or table
-      // property) names the domain columns — event-time first — whose
-      // DESC order decides "latest" among same-key rows of one epoch;
-      // validated against the write schema so a typo fails the stream
-      // at build, not silently at some later epoch
+      // S31 intra-epoch tie order: a per-write `upsertTies` OPTION
+      // names the domain columns — event-time first — whose DESC order
+      // decides "latest" among same-key rows of one epoch; validated
+      // against the write schema so a typo fails the stream at build.
+      // The table PROPERTY of the same name resolves INSIDE the merge
+      // kernel (one contract for every write surface), so a stray
+      // property on a non-bucketed table stays inert here exactly as
+      // it does on the batch routes — only the explicit OPTION refuses
+      // on a table that cannot honor it.
       val upsertTies = Option(info.options.get("upsertTies"))
-        .orElse(headMeta.get(GraftCatalog.PropPrefix + "upsertTies"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty).getOrElse(Seq.empty)
       upsertTies.foreach(c => require(
@@ -673,14 +684,6 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // shuffle to save, and keeping Spark's sort there is free)
         val unprepared =
           if (overwrite || cluster.isEmpty) data0 else peelPrepared(data0)
-        // CHECK constraints (S30) enforced IN the write job: the
-        // table's PERSISTED contracts first (prop channel — binds
-        // every API), then any ad-hoc per-write checks from OPTIONS.
-        // The bound key set feeds the bucketed routes' ALTER-vs-write
-        // guard below (the append routes bind + guard internally).
-        val (declChecked, boundCheckKeys) =
-          GraftManifestSource.bindDeclaredChecks(unprepared, tableDir)
-        val data = GraftManifestSource.applyChecks(declChecked, checks)
         // S31 — a bucketed (layout=bucketed:<key>) table routes every
         // write through the O(changeset) upsert kernel: INSERT is an
         // upsert BY KEY (a re-inserted key replaces its row — the
@@ -689,7 +692,20 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
         // probe, not the prop, is the routing truth, so path-API
         // writers to a bucketed dir route identically.
         val bucketedGeom =
-          MergeInto.bucketedGeometry(data.sparkSession, tableDir)
+          MergeInto.bucketedGeometry(unprepared.sparkSession, tableDir)
+        // CHECK constraints (S30) enforced IN the write job: the
+        // table's PERSISTED contracts bind HERE only on the bucketed
+        // kernel routes (which also need the bound key set for their
+        // ALTER-vs-write guard) — the append routes bind + guard
+        // internally, and binding twice would evaluate every declared
+        // predicate and generated expression twice per row (r19 review
+        // find). Ad-hoc per-write checks from OPTIONS apply on every
+        // route.
+        val (declChecked, boundCheckKeys) =
+          if (bucketedGeom.isDefined)
+            GraftManifestSource.bindDeclaredChecks(unprepared, tableDir)
+          else (unprepared, Set.empty[String])
+        val data = GraftManifestSource.applyChecks(declChecked, checks)
         // a per-write upsertTies OPTION overrides the declared table
         // property (which the kernel itself resolves when no explicit
         // order arrives); on a non-bucketed table it refuses loudly —
@@ -1200,7 +1216,13 @@ class GraftScan(tableDir: String, version: Long, tableSchema: StructType,
           (if (emitPos) Seq(nData) else Seq.empty)).toArray
         GraftDvReaderFactory(base, ext, masks,
           driverLoaded = masksOpt.isDefined,
-          new SerializableConfiguration(conf), nData, bound,
+          // BROADCAST, not a per-task closure field: the Configuration
+          // serializes to tens of KB and is only read by the executor-
+          // side mask fallback — shipping it with every task of a
+          // 100k-task scan is pure overhead (r19 review find; the
+          // parquet factories broadcast theirs the same way)
+          spark.sparkContext.broadcast(new SerializableConfiguration(conf)),
+          nData, bound,
           outFields.map(_.dataType), outFields.map(_.nullable), emitPos)
       }
   }
@@ -1383,7 +1405,8 @@ class GraftDvFilePartition(idx: Int, partFiles: Array[PartitionedFile],
   * until the next compaction. */
 case class GraftDvReaderFactory(clean: PartitionReaderFactory,
     ext: PartitionReaderFactory, masks: Map[String, Array[Long]],
-    driverLoaded: Boolean, conf: SerializableConfiguration,
+    driverLoaded: Boolean,
+    conf: org.apache.spark.broadcast.Broadcast[SerializableConfiguration],
     rowIdxOrd: Int, boundOrds: Array[Int],
     outTypes: Array[DataType], outNullable: Array[Boolean],
     emitPos: Boolean = false)
@@ -1391,7 +1414,7 @@ case class GraftDvReaderFactory(clean: PartitionReaderFactory,
 
   private def maskOf(d: GraftDvFilePartition): Array[Long] =
     if (driverLoaded) masks.getOrElse(d.fileKey, Array.emptyLongArray)
-    else DvStore.positionsForFile(conf.value,
+    else DvStore.positionsForFile(conf.value.value,
       d.dvDirs.map(new Path(_)), d.fileKey)
 
   private def filteredRows(inner: PartitionReader[InternalRow],
@@ -1809,8 +1832,27 @@ class GraftMicroBatchStream(tableDir: String, tableSchema: StructType,
   private val ignoreDeletes =
     ignoreChanges || opt("ignoreDeletes").exists(_.toBoolean)
 
-  override def initialOffset(): Offset =
-    GraftStreamOffset(opt("startingVersion").map(_.toLong - 1).getOrElse(0L))
+  /** `startingVersion = V` serves changes from version V onward, which
+    * the snapshot-diff model computes against V's PREDECESSOR manifest
+    * — validated HERE, at query start, with the actual remedy named:
+    * the late `pathsAt` failure used to blame retention sizing when
+    * the user pointed at the retention edge itself (startingVersion =
+    * oldest retained needs v(oldest-1), which is gone by definition —
+    * r19 review find). */
+  override def initialOffset(): Offset = {
+    val v0 = opt("startingVersion").map(_.toLong - 1).getOrElse(0L)
+    if (v0 > 0L) {
+      val vs = ManifestTable.versions(fs, tableDir)
+      require(vs.contains(v0),
+        s"startingVersion ${v0 + 1} needs its predecessor manifest " +
+          s"v$v0 to diff against, and v$v0 is not retained at $tableDir" +
+          s" (oldest retained: ${vs.headOption.getOrElse(-1L)}). Use " +
+          s"startingVersion >= ${vs.headOption.map(_ + 1).getOrElse(1L)}" +
+          ", or omit the option to stream the full current snapshot " +
+          "plus the tail")
+    }
+    GraftStreamOffset(v0)
+  }
 
   override def latestOffset(): Offset =
     GraftStreamOffset(ManifestTable.headVersion(spark, tableDir).getOrElse(0L))

@@ -1609,7 +1609,19 @@ object ManifestTable {
                       statsCols: Seq[String], k: Int = graft.ScaleKnobs.DefaultClusterDirs,
                       retainGenerations: Int = 2,
                       meta: Map[String, String] = Map.empty,
-                      specOverride: Option[Seq[String]] = None): Long = {
+                      specOverride: Option[Seq[String]] = None): Long =
+    appendClusteredWithCids(df, tableDir, statsCols, k, retainGenerations,
+      meta, specOverride)._1
+
+  /** [[appendClustered]], also exposing the committed dirs — the
+    * clustered OVERWRITE path re-commits exactly those dirs as the new
+    * table (same rationale as [[appendWithCid]]). */
+  private[graft] def appendClusteredWithCids(df: DataFrame, tableDir: String,
+                      statsCols: Seq[String], k: Int = graft.ScaleKnobs.DefaultClusterDirs,
+                      retainGenerations: Int = 2,
+                      meta: Map[String, String] = Map.empty,
+                      specOverride: Option[Seq[String]] = None)
+      : (Long, Seq[String]) = {
     require(statsCols.nonEmpty,
       "appendClustered needs statsCols (they seed the default spec and " +
         "the per-dir skipping stats)")
@@ -1622,7 +1634,11 @@ object ManifestTable {
     // parquet files, and the stats re-read then cannot infer a schema —
     // `INSERT INTO clustered_t SELECT ... WHERE false` must no-op like
     // any other insert, not crash (r11 ADVICE)
-    if (df.isEmpty) return append(df, tableDir, statsCols, retainGenerations, meta)
+    if (df.isEmpty) {
+      val (v, cid) = appendWithCid(df, tableDir, statsCols,
+        retainGenerations, meta)
+      return (v, Seq(cid))
+    }
     require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
       s"$tableDir is a bucketed merge table — writes go through " +
         "MergeInto.merge (or the catalog's INSERT/MERGE, which route there)")
@@ -1643,9 +1659,10 @@ object ManifestTable {
     val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols2,
       versions(fs, tableDir).lastOption
         .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty))
-    appendCommitLoop(df, tableDir, outStats.keys.toSeq.sorted, outStats,
+    val dirs = outStats.keys.toSeq.sorted
+    (appendCommitLoop(df, tableDir, dirs, outStats,
       statsCols2, retainGenerations, meta, recordingStats = true,
-      boundChecks = boundChecks, identity = idClaims)
+      boundChecks = boundChecks, identity = idClaims), dirs)
   }
 
   /** The `statsZone` meta contribution for a stats-recording write over
@@ -2733,6 +2750,15 @@ object ManifestTable {
       boundChecks: Set[String],
       dvExpected: Map[String, String] = Map.empty): Long = {
     val fs = fsOf(spark, tableDir)
+    // defense in depth (r19 review find): a bucketed table's DML must
+    // never reach the copy-on-write publish — its non-b= replacement
+    // dir would corrupt the layout invariant every merge's bucket
+    // parse relies on. The routing already sends bucketed DML to the
+    // key-delta kernel; this guard makes a mis-route (e.g. a probe
+    // that failed soft) loud instead of corrupting.
+    require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
+      s"$tableDir is a bucketed merge table — its DML routes through " +
+        "the key-delta kernel, never the copy-on-write rewrite")
     // write-side CDC materialization (opt-in): the staged feed diffs
     // exactly the dirs this rewrite removes against the dir it adds.
     // Racing appends rebase through commitIf with BOTH sides of that

@@ -156,6 +156,38 @@ class ClusteredIngestSpec extends SparkTestBase {
     assert(spark.table("gclu.lake.t").count() == 200L)
   }
 
+  test("INSERT OVERWRITE on a clustered table keeps the clustered layout (r19 review find)") {
+    val wh = Files.createTempDirectory("graft-clu-ow").toString
+    spark.conf.set("spark.sql.catalog.gclo", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gclo.lake")
+    spark.sql("CREATE TABLE gclo.lake.t (k INT, v STRING) " +
+      "TBLPROPERTIES ('clusterBy'='k', 'statsCols'='k', " +
+      "'retainGenerations'='10')")
+    spark.sql("INSERT INTO gclo.lake.t SELECT id AS k, 'old' " +
+      "FROM range(1, 101)")
+    spark.sql("INSERT OVERWRITE gclo.lake.t SELECT id AS k, 'new' " +
+      "FROM range(1, 401)")
+    val dir = s"$wh/lake/t"
+    val f = fs(dir)
+    val head = ManifestTable.headVersion(spark, dir).get
+    val paths = ManifestTable.pathsOf(f, dir, head)
+    assert(paths.forall(_.startsWith("ci-")) && paths.size > 1,
+      s"an overwrite of a clustered table must land ≤k RANGE dirs, " +
+        s"not one unclustered blob: $paths")
+    // the replacement fully replaced: only 'new' rows, exact count
+    val vs = spark.table("gclo.lake.t").select("v").distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(vs == Seq("new"), s"overwrite must replace everything: $vs")
+    assert(spark.table("gclo.lake.t").count() == 400L)
+    // per-dir ranges prune: a point scan opens one dir
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, head).get
+    val kept = ManifestTable.prunePaths(f, dir, head,
+      Map("k" -> ("7", "7")), schema)
+    assert(kept.size == 1,
+      s"overwritten clustered dirs must prune to one for a point: $kept")
+  }
+
   test("a V1-alias append honors the declared cluster spec too") {
     val dir = Files.createTempDirectory("graft-clu-v1").toString + "/t"
     val s = spark; import s.implicits._

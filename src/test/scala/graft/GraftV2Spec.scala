@@ -617,6 +617,33 @@ class GraftV2Spec extends SparkTestBase {
     assert(streamOnce(dir, ckpt).isEmpty)
   }
 
+  test("startingVersion at the retention edge fails AT QUERY START naming the remedy (r19 review find)") {
+    val dir = freshDir()
+    // age the table so the oldest retained version is well past 1
+    (1 to 6).foreach(i =>
+      ManifestTable.append(batch(1990 + i), dir, retainGenerations = 2))
+    val fsx = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val oldest = ManifestTable.versions(fsx, dir).head
+    assert(oldest > 1)
+    // pointing at the OLDEST retained version needs its predecessor to
+    // diff against, which is gone by definition — the refusal must be
+    // immediate and name the usable floor, not blame retention sizing
+    val e = intercept[Exception] {
+      streamOnce(dir, freshDir() + "/ck",
+        Map("startingVersion" -> oldest.toString))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("predecessor") &&
+      m.contains(s"startingVersion >= ${oldest + 1}")), msgs(e))
+    // the named floor WORKS
+    val tail = streamOnce(dir, freshDir() + "/ck2",
+      Map("startingVersion" -> (oldest + 1).toString))
+    assert(tail.nonEmpty)
+  }
+
   test("X13 streaming source: startingVersion, and removed dirs fail without ignoreChanges") {
     val dir = freshDir()
     ManifestTable.append(batch(1995), dir, retainGenerations = 10)
