@@ -399,30 +399,40 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
         .join(cs0.filter(marker === 1).select(col(key)).distinct(),
           Seq(key), "left_anti")
       // the same key appearing in TWO insert records of one changeset
-      // (duplicate unmatched source keys under a compound ON) would
-      // pass the standing-key check below and then silently collapse
-      // to one arbitrary winner in applyBatch's one-winner-per-key
-      // reduction — that is data loss of a source row, so it fails as
-      // loudly as the standing-key clash (the replaced extension
-      // kernel refused duplicate source keys whether matched or not;
-      // Spark's own cardinality check covers only MATCHED rows)
-      val dupIns = pureInserts.groupBy(col(key))
+      // would pass the standing-key check below and then silently
+      // collapse to one arbitrary winner in applyBatch's
+      // one-winner-per-key reduction — that is data loss of a source
+      // row, so it fails as loudly as the standing-key clash. Counted
+      // over ALL insert records, not just delete-free ones: an UPDATE
+      // (delete+insert) plus an unmatched INSERT of the same key in
+      // one statement is the same ambiguity and used to slip through
+      // the pure-insert anti-join (r19 review find).
+      val dupIns = cs0.filter(marker === 0).groupBy(col(key))
         .count().filter(col("count") > 1).limit(5).collect()
       if (dupIns.nonEmpty)
         throw new IllegalStateException(
-          s"MERGE INSERT carries duplicate source key(s) " +
-            s"${dupIns.map(_.get(0)).mkString(", ")} for keyed table $dir " +
+          s"MERGE carries duplicate insert records for source key(s) " +
+            s"${dupIns.map(_.get(0)).mkString(", ")} in keyed table $dir " +
             "(one row per key by construction); deduplicate the source")
-      val clash = pureInserts
-        .join(MergeInto.standingForKeys(spark, dir, pureInserts)
-          .select(col(key)), Seq(key), "left_semi")
-        .limit(5).collect()
-      if (clash.nonEmpty)
-        throw new IllegalStateException(
-          s"MERGE INSERT would duplicate standing key(s) " +
-            s"${clash.map(_.get(0)).mkString(", ")} in keyed table $dir " +
-            "(one row per key by construction); route replacements " +
-            "through WHEN MATCHED or widen the ON condition")
+      // CHECK-then-act closed (r19 review find): the clash probe runs
+      // HERE against the observed head AND re-runs inside the kernel's
+      // per-attempt head validation — a racing insert of the same key
+      // that lands between probe and commit forces a rebase, whose
+      // retry re-probes and refuses instead of silently replacing the
+      // winner's row.
+      def standingClashGuard(): Unit = {
+        val clash = pureInserts
+          .join(MergeInto.standingForKeys(spark, dir, pureInserts)
+            .select(col(key)), Seq(key), "left_semi")
+          .limit(5).collect()
+        if (clash.nonEmpty)
+          throw new IllegalStateException(
+            s"MERGE INSERT would duplicate standing key(s) " +
+              s"${clash.map(_.get(0)).mkString(", ")} in keyed table $dir " +
+              "(one row per key by construction); route replacements " +
+              "through WHEN MATCHED or widen the ON condition")
+      }
+      standingClashGuard()
       // declared CHECK constraints bind the changeset before it merges:
       // an UPDATE'd/INSERT'd row violating a constraint fails the merge
       // job pre-commit; DELETE records are exempt — their null-filled
@@ -436,11 +446,14 @@ class GraftDeltaWrite(table: GraftTable, key: String, info: LogicalWriteInfo)
           cs.drop(GraftDeltaWrite.ChangeCol), key),
         deleteWhen = coalesce(marker === 1, lit(false)),
         nBuckets = n, dropCols = Seq(GraftDeltaWrite.ChangeCol),
-        // the ALTER-vs-write CHECK guard on the exact head each commit
-        // attempt lands on — a constraint declared while this DML ran
-        // never judged its changeset (review find, r19)
-        validateHead = m => ManifestTable.checkConflictGuard(
-          fs, dir, m, boundKeys, Seq.empty)): Unit
+        // per-attempt head validation: the ALTER-vs-write CHECK guard
+        // (a constraint declared while this DML ran never judged its
+        // changeset) AND the standing-key clash re-probe (both r19
+        // review finds) — each re-runs after every lost commit race
+        validateHead = m => {
+          ManifestTable.checkConflictGuard(fs, dir, m, boundKeys, Seq.empty)
+          standingClashGuard()
+        }): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }

@@ -83,8 +83,11 @@ object MergeInto {
   /** Standing rows of the buckets `keys`' values hash into, read
     * through the live declared schema — the bounded target slice a
     * key-equality MERGE needs to evaluate matched clauses against:
-    * O(touched buckets), never O(table). Empty frame (right schema)
-    * when the table has no committed data. */
+    * O(touched buckets), never O(table). Empty frame (declared
+    * schema) when the committed table holds none of the probed keys;
+    * a table with pinned geometry but ZERO commits throws (there is no
+    * declared schema to shape the empty frame with) — callers run
+    * after the first commit by construction. */
   private[graft] def standingForKeys(spark: SparkSession, tableDir: String,
                                      keys: DataFrame): DataFrame = {
     val (key, n) = bucketedGeometry(spark, tableDir).getOrElse(
@@ -93,7 +96,7 @@ object MergeInto {
     val liveV = ManifestTable.versions(fs, tableDir).lastOption
     val liveByBucket: Map[Int, String] =
       liveV.map(v => ManifestTable.pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
-        .map(rel => rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel).toMap
+        .map(rel => bucketOrdinalOf(rel, tableDir) -> rel).toMap
     val declared = liveV.flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
     val schema = declared.map(org.apache.spark.sql.types.StructType.fromDDL)
       .getOrElse(throw new IllegalArgumentException(
@@ -188,6 +191,45 @@ object MergeInto {
       }.getOrElse(Nil)
   }
 
+  /** The declared KEY TYPE at the live head, when one is tracked — the
+    * type every bucket hash must compute over: murmur3 of INT 2 and
+    * BIGINT 2 differ, so hashing an UNCAST source key routes rows to
+    * buckets no declared-type probe will ever hash to (standing rows
+    * never anti-joined = duplicate keys; lookups silently empty).
+    * [[standingForKeys]] has always guarded this on the read side; the
+    * write kernel and lookup guard it through here (r19 review find). */
+  private def declaredKeyType(spark: SparkSession, tableDir: String,
+      key: String): Option[org.apache.spark.sql.types.DataType] = {
+    val fs = fsOf(spark, tableDir)
+    ManifestTable.versions(fs, tableDir).lastOption
+      .flatMap(v => ManifestTable.schemaOf(fs, tableDir, v))
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .flatMap(_.fields.find(_.name == key)).map(_.dataType)
+  }
+
+  /** The key column cast to the declared type (no-op when the table has
+    * no declared schema yet — the first write's own type then DEFINES
+    * the placement AND becomes the declared type, consistent). */
+  private def keyHashExpr(spark: SparkSession, tableDir: String,
+      key: String): Column =
+    declaredKeyType(spark, tableDir, key)
+      .map(col(key).cast(_)).getOrElse(col(key))
+
+  /** Parse a manifest entry's bucket ordinal, refusing LOUDLY on a
+    * non-bucket-leaf entry: silently skipping (or parsing a bogus
+    * ordinal out of a uuid) would exclude that dir's rows from
+    * standing reads and anti-joins — missed matches and duplicate
+    * keys, not an error. The copy-on-write publish refuses bucketed
+    * tables outright, so a non-leaf entry here means foreign damage. */
+  private def bucketOrdinalOf(rel: String, tableDir: String): Int = {
+    val i = rel.lastIndexOf("b=")
+    (if (i < 0) None else rel.substring(i + 2).toIntOption).getOrElse(
+      throw new IllegalStateException(
+        s"manifest entry '$rel' of bucketed table $tableDir is not a " +
+          "b=<bucket> leaf — foreign or corrupt layout; restore the " +
+          "bucketed layout before merging"))
+  }
+
   /** Create a merge table from an initial load: markers + first commit.
     * Returns the committed version (1 on a fresh dir). The initial load
     * goes through the same one-winner-per-key reduction as a merge, so
@@ -260,7 +302,8 @@ object MergeInto {
       .partitionBy(col(key)).orderBy(ties: _*)
     val inserts = source
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .drop("rn").withColumn("b", pmod(hash(col(key)), lit(n)))
+      .drop("rn").withColumn("b",
+        pmod(hash(keyHashExpr(spark, tableDir, key)), lit(n)))
     // schema resolution against the head's declared schema — the same
     // union-and-validate contract every merge commit honors, so an
     // overwrite can evolve but never narrow the declared shape
@@ -492,7 +535,9 @@ object MergeInto {
         s"table at $tableDir is keyed on $stored, asked to merge on $key")
       case None => pinMarker(spark, tableDir, KeyMarker, key)
     }
-    val bucketOf = pmod(hash(col(key)), lit(nBuckets))
+    // hash over the DECLARED key type — see declaredKeyType
+    val bucketOf = pmod(hash(keyHashExpr(spark, tableDir, key)),
+      lit(nBuckets))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(tieCols: _*)
     val winner = source
@@ -599,11 +644,25 @@ object MergeInto {
       case Some(ddl) =>
         val prev = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         val extra = newFields.filterNot(f => prev.fieldNames.contains(f.name))
+        // the bucket KEY's type is FROZEN: murmur3 routing is
+        // type-sensitive, so widening it would strand every standing
+        // row in buckets the new declared-type hash never probes — the
+        // same refusal ALTER TABLE makes (r19 review find). A NARROWER
+        // source key is fine: the declared type wins and rows cast up.
+        val frozenKey = readMarker(
+          org.apache.spark.sql.SparkSession.active, tableDir, KeyMarker)
         org.apache.spark.sql.types.StructType(prev.map { f =>
           newFields.find(_.name == f.name) match {
             case None => f
             case Some(inc) if inc.dataType == f.dataType => inc
-            case Some(inc) if sanctionedWidening(f.dataType, inc.dataType) => inc
+            case Some(inc) if sanctionedWidening(f.dataType, inc.dataType) =>
+              if (frozenKey.contains(f.name))
+                throw new IllegalArgumentException(
+                  s"cannot widen bucket key '${f.name}' at $tableDir " +
+                    s"from ${f.dataType.sql} to ${inc.dataType.sql}: " +
+                    "murmur3 bucket routing is type-sensitive — cast " +
+                    "the source key down instead")
+              else inc
             case Some(inc) if Cast.canUpCast(inc.dataType, f.dataType) => f
             case Some(inc) => throw new IllegalArgumentException(
               s"incompatible type change for column '${f.name}' at $tableDir: " +
@@ -657,9 +716,7 @@ object MergeInto {
       val liveV = ManifestTable.versions(fs, tableDir).lastOption
       val liveByBucket: Map[Int, String] =
         liveV.map(v => ManifestTable.pathsOf(fs, tableDir, v)).getOrElse(Seq.empty)
-          .map { rel =>
-            rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
-          }.toMap
+          .map(rel => bucketOrdinalOf(rel, tableDir) -> rel).toMap
       val existing = touched.filter(liveByBucket.contains)
       // one manifest open serves both the standing read and the schema
       // resolution below — on an object store each schemaOf is a GET,
@@ -831,15 +888,17 @@ object MergeInto {
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
     val liveByBucket: Map[Int, String] =
       ManifestTable.pathsOf(fs, tableDir, liveV).map { rel =>
-        rel.substring(rel.lastIndexOf("b=") + 2).toInt -> rel
+        bucketOrdinalOf(rel, tableDir) -> rel
       }.toMap
     // one tiny job yields both the bucket set AND the key values: the
     // values become an `isin` predicate the parquet scan can PUSH —
     // merge writes sort each bucket file by key, so footer min/max then
     // skips every row group outside the probed keys. A semi join alone
-    // would hash-probe AFTER scanning the whole bucket.
+    // would hash-probe AFTER scanning the whole bucket. The probe key
+    // hashes over the DECLARED type (a caller-typed INT probe on a
+    // BIGINT-keyed table would silently open the wrong buckets).
     val probed = keys.select(col(key),
-        pmod(hash(col(key)), lit(n)).as("b"))
+        pmod(hash(keyHashExpr(spark, tableDir, key)), lit(n)).as("b"))
       .distinct().limit(maxKeys + 1).collect()
     require(probed.length <= maxKeys,
       s"lookup probed more than $maxKeys distinct keys at $tableDir — " +

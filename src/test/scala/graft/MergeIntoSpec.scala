@@ -1345,4 +1345,109 @@ class MergeIntoSpec extends SparkTestBase {
     assert(MergeInto.read(spark, dir).count() === 2L)
   }
 
+  test("bucket routing hashes the DECLARED key type: narrower sources upsert, wider key types refuse (r19 review find)") {
+    // BIGINT-keyed table, INT-keyed source: murmur3 of INT 2 and
+    // BIGINT 2 differ, so an uncast hash would route the upsert to a
+    // bucket the standing row does not live in — duplicate keys
+    val dir = java.nio.file.Files.createTempDirectory("graft-kt").toString + "/t"
+    MergeInto.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, "k",
+      nBuckets = 4)
+    MergeInto.merge(Seq((2, "B2"), (3, "c")).toDF("k", "v"), dir): Unit
+    val got = MergeInto.read(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c"),
+      s"an INT-keyed source must UPSERT the standing BIGINT key: $got")
+    // lookup with a caller-typed INT probe opens the right bucket
+    val hit = MergeInto.lookup(spark, dir, Seq(2).toDF("k")).collect()
+    assert(hit.length == 1 && hit.head.getString(1) == "B2",
+      s"an INT probe on a BIGINT key must find the row: ${hit.toSeq}")
+    // INSERT OVERWRITE with a narrower source routes correctly too
+    MergeInto.overwriteBucketed(Seq((7, "x"), (8, "y")).toDF("k", "v"),
+      dir): Unit
+    val hit2 = MergeInto.lookup(spark, dir, Seq(8L).toDF("k")).collect()
+    assert(hit2.length == 1 && hit2.head.getString(1) == "y",
+      s"overwritten rows must sit where declared-type probes hash: ${hit2.toSeq}")
+    // the KEY type is frozen: a WIDER source key refuses like ALTER does
+    val d2 = java.nio.file.Files.createTempDirectory("graft-kt2").toString + "/t"
+    MergeInto.create(Seq((1, "a")).toDF("k", "v"), d2, "k", nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      MergeInto.merge(Seq((2L, "b")).toDF("k", "v"), d2)
+    }
+    assert(e.getMessage.contains("cannot widen bucket key"), e.getMessage)
+  }
+
+  test("concurrent MERGE INSERTs of the same fresh key: exactly one lands, the loser refuses loudly (r19 review find)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-race").toString
+    spark.conf.set("spark.sql.catalog.gmir", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmir.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmir.lake")
+    spark.sql("DROP TABLE IF EXISTS gmir.lake.r")
+    spark.sql("CREATE TABLE gmir.lake.r (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gmir.lake.r VALUES (1, 'seed')")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { t =>
+      new Thread(() =>
+        try {
+          spark.sql(s"""MERGE INTO gmir.lake.r x USING
+            (SELECT CAST(99 AS BIGINT) AS k, 'w$t' AS v) s ON x.k = s.k
+            WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+          wins.incrementAndGet(): Unit
+        } catch { case e: Throwable => errors.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(300000))
+    assert(threads.forall(!_.isAlive))
+    val rows = spark.table("gmir.lake.r").filter(col("k") === 99L).collect()
+    assert(rows.length == 1,
+      s"exactly ONE insert of key 99 may land: ${rows.toSeq}")
+    // both succeeding would be a silent lost update: the loser must
+    // have refused with the standing-key clash (check-then-act closed
+    // by the per-attempt re-probe), unless it serialized late enough
+    // to see the winner at its FIRST probe — same refusal either way
+    assert(wins.get() == 1 && errors.size() == 1,
+      s"one winner + one loud refusal expected: wins=${wins.get()} " +
+        s"errors=${errors.size()}")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the loser's refusal shape depends on the interleaving: the
+    // kernel's standing-key clash (first probe or the per-attempt
+    // re-probe after losing the commit race) or Spark's own
+    // analyzed-plan-out-of-sync guard when the winner's commit lands
+    // mid-analysis — both are LOUD; silence (both succeeding) was the
+    // bug
+    assert(msgs(errors.peek()).exists(m =>
+      m.contains("duplicate standing key") ||
+        m.contains("INCOMPATIBLE_TABLE_CHANGE")),
+      msgs(errors.peek()))
+  }
+
+  test("a MERGE mixing an UPDATE and an unmatched INSERT of ONE key refuses as duplicate inserts (r19 review find)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-dupm").toString
+    spark.conf.set("spark.sql.catalog.gmid", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmid.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmid.lake")
+    spark.sql("CREATE TABLE gmid.lake.d (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('layout'='bucketed:k:4')")
+    spark.sql("INSERT INTO gmid.lake.d VALUES (1, 'a')")
+    // compound ON: source row (1,'m') matches -> UPDATE (delete+insert
+    // records); source row (1,'i') misses the ON -> unmatched INSERT of
+    // the SAME key — two insert records for key 1, an ambiguity the
+    // one-winner reduction would silently collapse
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO gmid.lake.d t USING
+        (SELECT * FROM VALUES (CAST(1 AS BIGINT), 'm'), (CAST(1 AS BIGINT), 'i') AS s(k, tag)) s
+        ON t.k = s.k AND s.tag = 'm'
+        WHEN MATCHED THEN UPDATE SET v = s.tag
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.tag)""")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate insert records")), msgs(e))
+    assert(spark.table("gmid.lake.d").count() == 1L,
+      "the refused MERGE must not have changed the table")
+  }
+
 }
