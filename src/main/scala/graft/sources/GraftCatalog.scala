@@ -415,15 +415,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(idMeta.isEmpty || layoutSpec.isEmpty,
       "identity columns on bucketed (layout=bucketed) tables are not " +
         "supported — the merge kernel's upsert path does not mint ids")
+    // a clusterBy TBLPROPERTY validates like the ALTER route — a bogus
+    // spec would otherwise commit and fail only at the first clustered
+    // write (r19 review find)
+    props.get("clusterBy").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach(c =>
+        require(schema.fieldNames.contains(c),
+          s"cluster column '$c' (TBLPROPERTIES clusterBy) is not in " +
+            "the table schema")))
     val meta = props.map { case (k, v) => (PropPrefix + k) -> v } ++
       props.get("clusterBy").map(ClusterByKey -> _) ++
       defaultMeta ++ genMeta ++ idMeta
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
     layoutSpec.foreach { case (key, n) =>
       MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
-    ManifestTable.commit(spark, dirPath.toString, Seq.empty,
-      retainGenerations = retain,
-      schemaDdl = Some(ManifestTable.cleanDdl(schema)), meta = meta)
+    // ATOMIC create (r19 review find): put-if-absent of version 1 —
+    // two racing CREATEs of one table resolve to one winner and one
+    // TableAlreadyExists, never a silent clobber (the view route has
+    // always used putFileIfAbsent for the same race)
+    if (ManifestTable.commitIf(spark, dirPath.toString, Seq.empty,
+        expectedBase = 0L, retainGenerations = retain,
+        schemaDdl = Some(ManifestTable.cleanDdl(schema)),
+        meta = meta).isEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toIndexedSeq)
     loadTable(ident)
   }
 
@@ -508,13 +524,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "clusterBy does not apply")
         val cols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         require(cols.nonEmpty, "clusterBy needs at least one column")
-        val head0 = ManifestTable.headVersion(spark, dir).get
-        ManifestTable.declaredSchemaOf(spark, dir, head0).foreach(sch =>
-          cols.foreach(c => require(sch.fieldNames.contains(c),
-            s"cluster column '$c' is not in the declared schema at $dir")))
+        // validated PER ATTEMPT against the head being committed on: a
+        // racing DROP COLUMN would otherwise let a spec referencing a
+        // vanished column land on the retry (r19 review find — the
+        // same per-attempt contract ADD CONSTRAINT rides)
         alterMeta(dir, _ +
           (ClusterByKey -> cols.mkString(",")) +
-          ((PropPrefix + "clusterBy") -> cols.mkString(",")))
+          ((PropPrefix + "clusterBy") -> cols.mkString(",")),
+          validate = h =>
+            ManifestTable.declaredSchemaOf(spark, dir, h).foreach(sch =>
+              cols.foreach(c => require(sch.fieldNames.contains(c),
+                s"cluster column '$c' is not in the declared schema " +
+                  s"at $dir"))))
       case s: TableChange.SetProperty if s.property.startsWith("check.") =>
         addCheck(ident, dir, s.property.stripPrefix("check."), s.value)
       // S52 — standard SQL constraint syntax (`ALTER TABLE t ADD
@@ -884,6 +905,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .map(l => (PropPrefix + "clusterBy") -> rekeyList(l, from, to)) ++
         meta.get(PropPrefix + "statsCols")
           .map(l => (PropPrefix + "statsCols") -> rekeyList(l, from, to)) ++
+        // bloomCols re-keys with the rest — a stale name would make
+        // every later write silently skip the sidecar (r19 review find)
+        meta.get(PropPrefix + "bloomCols")
+          .map(l => (PropPrefix + "bloomCols") -> rekeyList(l, from, to)) ++
         meta.get(ManifestTable.ColStatPrefix + from)
           .map(v => (ManifestTable.ColStatPrefix + to) -> v) ++
         meta.get(ManifestTable.ColHistPrefix + from)
@@ -949,9 +974,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           (PropPrefix + "statsCols") ->
             l.split(",").map(_.trim).filter(c => c.nonEmpty && c != col)
               .mkString(",")
+        } ++
+        // bloomCols scrubs with statsCols — a dropped name left behind
+        // would silently disable sidecar builds (r19 review find)
+        meta.get(PropPrefix + "bloomCols").map { l =>
+          (PropPrefix + "bloomCols") ->
+            l.split(",").map(_.trim).filter(c => c.nonEmpty && c != col)
+              .mkString(",")
         }
       (Some(ddl), newMeta.filterNot { case (k, v) =>
-        k == PropPrefix + "statsCols" && v.isEmpty },
+        (k == PropPrefix + "statsCols" || k == PropPrefix + "bloomCols") &&
+          v.isEmpty },
         ManifestTable.dropStatsCol(_, col))
     }
   }
@@ -1185,7 +1218,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                              cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) return false
     val dir = pathOf(namespace.toSeq)
-    if (!cascade && childDirs(dir).nonEmpty)
+    // VIEWS live under the underscore-protected _views dir, which
+    // childDirs deliberately hides — without this check a view-only
+    // namespace read as 'empty' and a CASCADE-less drop destroyed the
+    // views silently (r19 review find)
+    if (!cascade && (childDirs(dir).nonEmpty ||
+        listViews(namespace.toIndexedSeq: _*).nonEmpty))
       throw new NonEmptyNamespaceException(namespace)
     fs.delete(dir, true)
   }

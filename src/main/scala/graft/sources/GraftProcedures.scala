@@ -159,10 +159,18 @@ object GraftProcedures {
         val parentToRel = need.map(p => fs.makeQualified(
           new org.apache.hadoop.fs.Path(
             ManifestTable.absPath(dir, p))).toString -> p).toMap
+        // `_metadata.file_path` can render URL-ENCODED where
+        // makeQualified does not (paths with spaces) — tolerate both
+        // renderings instead of silently abandoning the sketch job to
+        // the full pass forever (r19 review find)
+        def relOf(qual: String): Option[String] =
+          parentToRel.get(new org.apache.hadoop.fs.Path(qual).toString)
+            .orElse(scala.util.Try(parentToRel.get(
+              new org.apache.hadoop.fs.Path(
+                new java.net.URI(qual)).toString)).toOption.flatten)
         def emptySketch: Array[Byte] = ManifestTable.emptyNdvSketch
         val sketched = perDir.map { r =>
-          val rel = parentToRel.getOrElse(new org.apache.hadoop.fs.Path(
-            r.getString(0)).toString, return None)
+          val rel = relOf(r.getString(0)).getOrElse(return None)
           // an all-null column yields no sketch — persist an EMPTY one
           // so the dir never re-reads on later ANALYZEs
           rel -> cols.map(c => c ->
@@ -253,9 +261,24 @@ object GraftProcedures {
         s"compaction needs stats columns: set the statsCols table " +
           s"property on $dir or ingest with stats"))
 
+  /** Stat-supportable column types for the DEFAULT analyze set —
+    * countDistinct over MAP (and other non-orderable) types throws, so
+    * the all-columns default filters like Spark's own FOR ALL COLUMNS;
+    * explicitly-requested columns still fail loudly. */
+  private def statable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case _: org.apache.spark.sql.types.StringType => true
+      case _: org.apache.spark.sql.types.BooleanType => true
+      case _: org.apache.spark.sql.types.DateType => true
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case _: org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+
   private[sources] def retainOf(meta: Map[String, String]): Int =
-    meta.get(GraftCatalog.PropPrefix + "retainGenerations")
-      .flatMap(_.toIntOption).getOrElse(2)
+    retainOf(meta)
 
   /** `CALL cat.system.compact(table => 'ns.t', k => 4)` — rewrite the
     * live table as ≤k clustered dirs ([[ManifestTable.compactAppend]],
@@ -456,9 +479,7 @@ object GraftProcedures {
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val fs = catalog.activeFs
           val head = ManifestTable.headVersion(spark, dir).get
-          val retain = ManifestTable.metaOf(fs, dir, head)
-            .get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val retain = retainOf(ManifestTable.metaOf(fs, dir, head))
           val dryRun = !input.isNullAt(1) && input.getBoolean(1)
           if (dryRun) {
             val report = ManifestTable.orphanReport(spark, dir, retain)
@@ -568,22 +589,44 @@ object GraftProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
-          val df = ManifestTable.read(spark, dir)
+          val head = ManifestTable.headVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no committed graft table at $dir"))
+          val tblSchema = ManifestTable.declaredSchemaOf(spark, dir, head)
+            .getOrElse(ManifestTable.read(spark, dir).schema)
+          // the DEFAULT column set filters to stat-supportable atomic
+          // types — countDistinct over a MAP column throws, so an
+          // unfiltered default crashed every analyze of such tables
+          // (Spark's own FOR ALL COLUMNS filters the same way);
+          // explicitly-requested columns keep failing loudly
           val cols =
-            if (input.isNullAt(1)) df.columns.toSeq
+            if (input.isNullAt(1)) tblSchema.fields.collect {
+              case f if statable(f.dataType) => f.name
+            }.toSeq
             else input.getUTF8String(1).toString.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq
-          cols.foreach(c => require(df.columns.contains(c),
+          cols.foreach(c => require(tblSchema.fieldNames.contains(c),
             s"analyze: unknown column '$c'"))
           val approx = !input.isNullAt(2) && input.getBoolean(2)
           val histOn = !input.isNullAt(3) && input.getBoolean(3)
           val bins = if (input.isNullAt(4)) 16 else math.max(2, input.getInt(4))
           val histCols =
             if (!histOn) Seq.empty
-            else cols.filter(c => df.schema(c).dataType
+            else cols.filter(c => tblSchema(c).dataType
               .isInstanceOf[org.apache.spark.sql.types.NumericType])
+          // an EMPTY table (committed, zero dirs) analyzes to zeros as
+          // pure metadata — the read-based pass would throw a
+          // misleading 'no committed manifest' (r19 review find)
+          val fsx = catalog.activeFs
           val entries =
-            analyzePersist(catalog, dir, cols, approx, histCols, bins)
+            if (ManifestTable.pathsOf(fsx, dir, head).isEmpty) {
+              GraftCatalog.alterMetaAt(catalog, dir, m =>
+                (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
+                  cols.map(c =>
+                    (ManifestTable.ColStatPrefix + c) -> "0,0") +
+                  (ManifestTable.TableStatKey -> "0"))
+              cols.map(c => (c, 0L, 0L))
+            } else analyzePersist(catalog, dir, cols, approx, histCols, bins)
           val schema = StructType(Seq(
             StructField("column", StringType, nullable = false),
             StructField("ndv", LongType, nullable = false),
@@ -621,9 +664,7 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val head = ManifestTable.headVersion(spark, dir).get
-          val retain = ManifestTable.metaOf(catalog.activeFs, dir, head)
-            .get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val retain = retainOf(ManifestTable.metaOf(catalog.activeFs, dir, head))
           val v = ManifestTable.tag(spark, dir,
             input.getUTF8String(1).toString,
             if (input.isNullAt(2)) None else Some(input.getLong(2)), retain)
@@ -736,9 +777,7 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val head = ManifestTable.headVersion(spark, dir).get
-          val retain = ManifestTable.metaOf(catalog.activeFs, dir, head)
-            .get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val retain = retainOf(ManifestTable.metaOf(catalog.activeFs, dir, head))
           ManifestTable.untag(spark, dir,
             input.getUTF8String(1).toString, retain)
           oneRow(StructType(Seq(
@@ -773,9 +812,8 @@ object GraftProcedures {
           val src = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val dst = catalog.dirOfNewTableArg(input.getUTF8String(1).toString)
           val head = ManifestTable.headVersion(spark, src).get
-          val retain = ManifestTable.metaOf(catalog.activeFs, src, head)
-            .get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val retain = retainOf(
+            ManifestTable.metaOf(catalog.activeFs, src, head))
           val v = ManifestTable.shallowClone(spark, src, dst, retain)
           val nPaths = ManifestTable.pathsOf(catalog.activeFs, dst, v).size
           oneRow(StructType(Seq(
@@ -807,9 +845,7 @@ object GraftProcedures {
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val fs = catalog.activeFs
           val head = ManifestTable.headVersion(spark, dir).get
-          val retain = ManifestTable.metaOf(fs, dir, head)
-            .get(GraftCatalog.PropPrefix + "retainGenerations")
-            .flatMap(_.toIntOption).getOrElse(2)
+          val retain = retainOf(ManifestTable.metaOf(fs, dir, head))
           val v = ManifestTable.restore(spark, dir, input.getLong(1), retain)
           oneRow(StructType(Seq(
             StructField("version", LongType, nullable = false))),

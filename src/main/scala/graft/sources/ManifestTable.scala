@@ -1542,8 +1542,27 @@ object ManifestTable {
         case None => ddl
         case Some(pd) =>
           val priorSchema = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          // compare modulo NESTED nullability: a literal map/array/
+          // struct arrives with tighter containment flags
+          // (valueContainsNull=false etc.) than any SQL-declarable
+          // container carries — the same subtype relation the
+          // field-level nullable || below already admits (r19 review
+          // find: INSERT VALUES (map(...)) failed on every declared
+          // MAP column)
+          def normNull(dt: org.apache.spark.sql.types.DataType)
+              : org.apache.spark.sql.types.DataType = {
+            import org.apache.spark.sql.types._
+            dt match {
+              case st: StructType => StructType(st.fields.map(f =>
+                f.copy(dataType = normNull(f.dataType), nullable = true)))
+              case a: ArrayType => ArrayType(normNull(a.elementType), true)
+              case m: MapType =>
+                MapType(normNull(m.keyType), normNull(m.valueType), true)
+              case other => other
+            }
+          }
           def shape(s: org.apache.spark.sql.types.StructType) =
-            s.fields.map(f => (f.name, f.dataType)).toSeq
+            s.fields.map(f => (f.name, normNull(f.dataType))).toSeq
           require(shape(priorSchema) == shape(batchSchema),
             s"append-table schema mismatch at $tableDir: table declares " +
               s"'$pd', append brings '$ddl' — append tables are " +

@@ -356,4 +356,85 @@ class GraftCatalogSpec extends SparkTestBase {
       spark.sql("CREATE TABLE gcat.lake.`_m` (k INT)")
     }
   }
+  test("DDL hardening (r19 review finds): atomic CREATE, view-aware DROP NAMESPACE, validated clusterBy prop, bloomCols re-keys") {
+    wh: Unit
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ddl")
+    // racing CREATEs of one table: exactly one wins, one refuses —
+    // never a silent clobber of the winner's schema
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 2).map { t =>
+      new Thread(() =>
+        try {
+          spark.sql(s"CREATE TABLE gcat.ddl.race (k INT, v$t STRING)")
+          wins.incrementAndGet(): Unit
+        } catch { case e: Throwable => errors.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(wins.get() == 1 && errors.size() == 1,
+      s"one CREATE wins, one refuses: wins=${wins.get()} errors=" +
+        errors.size())
+    assert(spark.table("gcat.ddl.race").schema.fieldNames.length == 2)
+    // a bogus clusterBy TBLPROPERTY refuses at CREATE, not first write
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ddl.bad (a INT) " +
+        "TBLPROPERTIES ('clusterBy'='nope')")
+    }
+    assert(e1.getMessage.contains("cluster column 'nope'"), e1.getMessage)
+    // DROP NAMESPACE without CASCADE refuses when only VIEWS remain
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vns")
+    spark.sql("CREATE VIEW gcat.vns.v AS SELECT 1 AS one")
+    val e2 = intercept[Exception] {
+      spark.sql("DROP NAMESPACE gcat.vns")
+    }
+    assert(e2.getMessage.toUpperCase.contains("SCHEMA_NOT_EMPTY") ||
+      e2.getMessage.toUpperCase.contains("CASCADE"), e2.getMessage)
+    assert(spark.sql("SELECT * FROM gcat.vns.v").head().getInt(0) == 1,
+      "the view must have survived the refused drop")
+    spark.sql("DROP NAMESPACE gcat.vns CASCADE")
+    // RENAME COLUMN re-keys bloomCols; DROP COLUMN scrubs it
+    spark.sql("CREATE TABLE gcat.ddl.bl (id STRING, x STRING, k INT) " +
+      "TBLPROPERTIES ('bloomCols'='id,x', 'statsCols'='k')")
+    spark.sql("ALTER TABLE gcat.ddl.bl RENAME COLUMN id TO order_id")
+    def prop(t: String, k: String): Option[String] =
+      spark.sql(s"SHOW TBLPROPERTIES gcat.ddl.$t").collect()
+        .collectFirst { case r if r.getString(0) == k => r.getString(1) }
+    assert(prop("bl", "bloomCols").contains("order_id,x"),
+      s"bloomCols must follow the rename: ${prop("bl", "bloomCols")}")
+    spark.sql("ALTER TABLE gcat.ddl.bl DROP COLUMN x")
+    assert(prop("bl", "bloomCols").contains("order_id"),
+      s"bloomCols must scrub the dropped column: ${prop("bl", "bloomCols")}")
+    // and the sidecar actually builds under the NEW name
+    spark.sql("INSERT INTO gcat.ddl.bl VALUES ('a1', 7)")
+    val dir = s"$wh/ddl/bl"
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.bloomsOf(fs, dir, head).nonEmpty,
+      "a write after the rename must still build the sidecar")
+  }
+
+  test("CALL system.analyze handles empty tables and skips non-statable default columns (r19 review finds)") {
+    wh: Unit
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.an")
+    spark.sql("CREATE TABLE gcat.an.empty (a INT, b STRING)")
+    val out = spark.sql("CALL gcat.system.analyze(table => 'an.empty')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 0L, 0L), ("b", 0L, 0L)),
+      s"an EMPTY committed table analyzes to zeros: ${out.toSeq}")
+    // a MAP column no longer crashes the all-columns default — it is
+    // skipped like Spark's own FOR ALL COLUMNS
+    spark.sql("CREATE TABLE gcat.an.m (a INT, mm MAP<STRING,STRING>)")
+    spark.sql("INSERT INTO gcat.an.m SELECT * FROM VALUES " +
+      "(1, map('x','y')), (2, NULL), (NULL, NULL) AS t(a, mm)")
+    val out2 = spark.sql("CALL gcat.system.analyze(table => 'an.m')")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out2.toSeq == Seq(("a", 2L)),
+      s"the default set skips the MAP column: ${out2.toSeq}")
+    // explicitly requesting it is the user's call — it runs (Spark 4
+    // can distinct-aggregate maps) and reports honestly
+    val out3 = spark.sql("CALL gcat.system.analyze(table => 'an.m', " +
+      "columns => 'mm')").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out3.length == 1 && out3.head._1 == "mm", out3.toSeq)
+  }
+
 }
