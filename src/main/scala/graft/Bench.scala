@@ -85,11 +85,11 @@ object Bench {
     val procsBefore = procCount()
     val bench0 = System.nanoTime()
     val warm0 = System.nanoTime()
-    try {
+    Watchdog.run(spark, "warmup", Watchdog.defaultTimeoutSec * 2) {
       graft.Tables.all.foreach(t => graft.Tables.load(spark, sfDir, t).count())
       spark.range(100000).selectExpr("id % 7 AS k", "id AS v")
         .groupBy("k").count().count()
-    } catch { case _: Throwable => () }
+    }: Unit
     val warmupSec = (System.nanoTime() - warm0) / 1e9
     // each query timed `reps` times; min is reported (the run least
     // polluted by disk/page-cache noise — r3 showed unchanged queries
@@ -114,28 +114,49 @@ object Bench {
     // real regression.
     val errs = scala.collection.mutable.Map.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // each rep runs under the per-query watchdog (r19: one wedged
+      // query timed out the WHOLE bench at rc=124 with no JSON line;
+      // now it costs one -1 row with err:"timeout ..." and moves on)
       def rep(): (Double, Double, Double) = {
         val t0 = System.nanoTime()
         val at = (t0 - bench0) / 1e9
         val ld = load1
-        val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-                  catch { case e: Throwable =>
-                    errs.getOrElseUpdate(name,
-                      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-                        .replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
-                    -1.0
-                  }
+        val sec = Watchdog.run(spark, name, Watchdog.defaultTimeoutSec) {
+          fn(spark, sfDir).count()
+        } match {
+          case Right(_) => (System.nanoTime() - t0) / 1e9
+          case Left(msg) =>
+            errs.getOrElseUpdate(name,
+              msg.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
+            -1.0
+        }
         (sec, at, ld)
       }
-      val base = (1 to reps).map(_ => rep())
+      // a TIMED-OUT query never re-reps: each retry would cost the
+      // full watchdog bound again (and leave another abandoned daemon
+      // thread if the spin is driver-side) for a number that can only
+      // be -1 anyway. Ordinary exceptions still rep normally — they
+      // fail fast and a flaky one deserves its second chance.
+      val base = scala.collection.mutable.ArrayBuffer
+        .empty[(Double, Double, Double)]
+      var timedOut = false
+      (1 to reps).foreach { _ =>
+        if (!timedOut) {
+          val r = rep()
+          base += r
+          if (r._1 < 0 && errs.get(name).exists(_.startsWith("timeout")))
+            timedOut = true
+        }
+      }
       // adaptive extra rep: when even the BEST rep started under load
       // above the gate, its number is contention-suspect — one re-run
       // keeps the artifact's reported minimum clean instead of merely
       // explained by the ld field (all reps, ld included, still land
       // in the detail sidecar)
       val ok = base.filter(_._1 >= 0)
-      val times =
-        if (ok.nonEmpty && ok.minBy(_._1)._3 > gate) base :+ rep() else base
+      val times: Seq[(Double, Double, Double)] =
+        if (ok.nonEmpty && ok.minBy(_._1)._3 > gate) (base :+ rep()).toSeq
+        else base.toSeq
       (name, times)
     }
     val loadAfter = loadavg()

@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -27,24 +27,50 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** The board loop, separated from session lifecycle so a spec can
+    * drive it with an injected query map (the watchdog leg). Every
+    * query runs under [[Watchdog]]: one wedged query costs one err
+    * row and at most `timeoutSec`, never the whole artifact (the r19
+    * failure mode — a driver-side infinite loop at the first CALL
+    * fixture blanked all 220 correctness rows). */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      only: Option[Set[String]] = None,
+      queries: Map[String, (SparkSession, String) => DataFrame] =
+        SparkEntry.queries,
+      oracleSql: Map[String, String] = SparkEntry.oracleSql,
+      timeoutSec: Long = Watchdog.defaultTimeoutSec): Unit = {
     new java.io.File(outDir).mkdirs()
     // per-query Spark-declared schema (col -> Spark SQL type), dumped for
     // the strict dtype gate in tools/compare.py: comparing the DECLARED
     // schema closes the blind spot where DuckDB's parquet reader erases a
     // type distinction the driver's typed hash would still see
     val schemas = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
-    SparkEntry.queries
+    queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        schemas(name) = df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+        Watchdog.run(spark, name, timeoutSec) {
+          val df = fn(spark, sfDir)
+          val sch = df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          sch
+        } match {
+          case Right(sch) => schemas(name) = sch
+          case Left(err) =>
+            System.err.println(s"[verify] $name failed: $err")
+            // a timed-out write may have left a partial parquet dir —
+            // the driver's compare must see a MISSING result (one err
+            // row), never a torn one that hashes as wrong values
+            try {
+              val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+              val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+              if (fs.exists(p)) fs.delete(p, true): Unit
+            } catch { case _: Throwable => () }
+        }
       }
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -57,13 +83,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val schemaJson = schemas.map { case (k, cols) =>
       s"${q(k)}: ${cols.map { case (c, t) => s"${q(c)}: ${q(t)}" }.mkString("{", ",", "}")}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/spark_schemas.json"), schemaJson)
-    spark.stop()
   }
 }

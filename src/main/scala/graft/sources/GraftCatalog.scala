@@ -238,6 +238,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (k, value) if k.startsWith(PropPrefix) =>
         k.stripPrefix(PropPrefix) -> value
     }
+    // Crash-window self-heal: CREATE pins geometry only AFTER winning
+    // the version-1 commit (a racing loser must never mark the
+    // winner's dir), so a creator dying between the two leaves a
+    // bucketed-DECLARED table without its routing markers — which
+    // every write would then silently treat as plain. Re-pin from the
+    // immutable layout prop; pinMarker's put-if-absent + read-back
+    // makes concurrent heals converge or fail loudly on mismatch.
+    props.get("layout").filter(_.startsWith("bucketed"))
+      .foreach { l =>
+        if (MergeInto.bucketedGeometry(spark, dir).isEmpty) {
+          val parts = l.split(":").map(_.trim)
+          val n = if (parts.length == 3) parts(2).toInt
+                  else graft.ScaleKnobs.DefaultMergeBuckets
+          MergeInto.pinGeometry(spark, dir, parts(1), n)
+        }
+      }
     // reserved Spark props instead of a bare "path": SHOW CREATE TABLE
     // then renders `USING graft` + `LOCATION`, and neither leaks into
     // TBLPROPERTIES (the engine reads the dir from GraftTable.tableDir,
@@ -349,8 +365,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // through the O(changeset) upsert kernel (MergeInto.applyBatch),
     // the table holds ONE row per key, and point lookups open one
     // bucket. The geometry pins in the table's write-once markers
-    // BEFORE the first manifest commits (marker-first crash ordering,
-    // same as a data-bearing create); the prop is the catalog echo.
+    // AFTER the version-1 commit wins (a racing loser must not mark
+    // the winner's dir); the prop is the catalog echo, and loadTable
+    // re-pins from it if a creator crashed inside the tiny window.
     val layoutSpec = props.get("layout").map { l =>
       val parts = l.split(":").map(_.trim)
       require(parts.length >= 2 && parts.length <= 3 &&
@@ -427,8 +444,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props.get("clusterBy").map(ClusterByKey -> _) ++
       defaultMeta ++ genMeta ++ idMeta
     val retain = props.get("retainGenerations").map(_.toInt).getOrElse(2)
-    layoutSpec.foreach { case (key, n) =>
-      MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
     // ATOMIC create (r19 review find): put-if-absent of version 1 —
     // two racing CREATEs of one table resolve to one winner and one
     // TableAlreadyExists, never a silent clobber (the view route has
@@ -440,6 +455,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(
           (ident.namespace() :+ ident.name()).toIndexedSeq)
+    // Geometry pins only AFTER winning the commit race: a loser that
+    // pinned first would leave KeyMarker/BucketsMarker on the winner's
+    // directory, silently flipping a plain table to merge-kernel
+    // routing — and rolling back "markers I created" is unsafe when
+    // two same-geometry creators each created one of the two markers.
+    // The winner owns version 1, so its pin cannot be contested by
+    // another CREATE; writers route through the catalog's loadTable,
+    // which runs below, after the pin.
+    layoutSpec.foreach { case (key, n) =>
+      MergeInto.pinGeometry(spark, dirPath.toString, key, n) }
     loadTable(ident)
   }
 

@@ -164,13 +164,29 @@ object GraftMetaTables {
     val schema = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false),
-      StructField("n_paths", IntegerType, nullable = false)))
+      StructField("n_paths", IntegerType, nullable = false),
+      // r20 — CDC observability: how this version's feed step serves.
+      // "staged" = write-time change files; "empty" = provably empty;
+      // "degraded" = staging FAILED and the step reads as the manifest
+      // diff (paired update images degrade to delete+insert — the
+      // consumer-visible flag the r19 silent Try fallback lacked);
+      // null = no materialized-feed record (table not opted in, or a
+      // pre-materialize version)
+      StructField("feed_mode", StringType, nullable = true)))
     val rows = ManifestTable.versionTimes(fs, dir).flatMap { case (v, millis) =>
       // the GC race window extends to the body read (same rule as
       // ManifestTable.history) — a vanished version is not history
-      try Some(new GenericInternalRow(Array[Any](v, millis * 1000L,
-        ManifestTable.pathsOf(fs, dir, v).length)): InternalRow)
-      catch { case _: java.io.IOException => None }
+      try {
+        val mode = ManifestTable.metaOf(fs, dir, v)
+          .get(ManifestTable.CdcDataPrefix + v) match {
+          case Some(ManifestTable.CdcEmptyToken) => utf8("empty")
+          case Some(ManifestTable.CdcDegradedToken) => utf8("degraded")
+          case Some(_) => utf8("staged")
+          case None => null
+        }
+        Some(new GenericInternalRow(Array[Any](v, millis * 1000L,
+          ManifestTable.pathsOf(fs, dir, v).length, mode)): InternalRow)
+      } catch { case _: java.io.IOException => None }
     }
     GraftLocalTable(name, schema, rows.toArray)
   }

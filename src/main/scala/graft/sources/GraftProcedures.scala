@@ -278,7 +278,8 @@ object GraftProcedures {
     }
 
   private[sources] def retainOf(meta: Map[String, String]): Int =
-    retainOf(meta)
+    meta.get(GraftCatalog.PropPrefix + "retainGenerations")
+      .flatMap(_.toIntOption).getOrElse(2)
 
   /** `CALL cat.system.compact(table => 'ns.t', k => 4)` — rewrite the
     * live table as ≤k clustered dirs ([[ManifestTable.compactAppend]],

@@ -699,7 +699,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         // claims ALWAYS thread (the watermark must advance past
         // explicit BY DEFAULT ids in update post-images too); the
         // conflict check itself runs only when fresh images minted
-        idClaims, mintedFresh = cidFresh.isDefined): Unit
+        idClaims, mintedFresh = cidFresh.isDefined,
+        freshCids = cidFresh.map(_._1).toSeq): Unit
     } finally {
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }

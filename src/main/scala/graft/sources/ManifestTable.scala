@@ -1271,10 +1271,25 @@ object ManifestTable {
     * batch's ids were computed FROM (the commit loop refuses to publish
     * if the head's watermark moved — a concurrent allocation could
     * collide) and where to read the batch's furthest value (the
-    * column's own per-dir stats lane). */
+    * column's own per-dir stats lane).
+    *
+    * `probedHead`/`explicitRange`/`mintedInBatch` carry the
+    * `identity.unique=probe` context to the COMMIT loop (r20): the
+    * probe validated explicit ids against `probedHead`, so each commit
+    * attempt re-probes them against only the dirs that landed SINCE —
+    * closing the race two writers inserting the same
+    * below-watermark explicit id used to win together (above-watermark
+    * duplicates already refuse via the watermark-move guard).
+    * explicitRange = None means no explicit ids or probe not opted in
+    * — no re-probe. */
   private[graft] final case class IdentityClaim(phys: String, logical: String,
                                                 spec: IdentitySpec,
-                                                baseWm: Long)
+                                                baseWm: Long,
+                                                probedHead: Long = 0L,
+                                                explicitRange:
+                                                  Option[(Long, Long)] = None,
+                                                mintedInBatch:
+                                                  Boolean = false)
 
   /** Assign identity values over `df` from the head's declared specs:
     * explicit non-null values REFUSE unless the spec allows them
@@ -1323,8 +1338,10 @@ object ManifestTable {
         else {
           val wm = hMeta.get(IdentityWmPrefix + phys)
             .flatMap(_.toLongOption).getOrElse(spec.base)
-          if (spec.allowExplicit && probeUnique)
-            identityUniqueProbe(d, tableDir, fs, head, logical, spec, wm)
+          val (explicitRange, mintedInBatch) =
+            if (spec.allowExplicit && probeUnique)
+              identityUniqueProbe(d, tableDir, fs, head, logical, spec, wm)
+            else (None, false)
           val gated =
             if (spec.allowExplicit) d
             else d.filter(when(col(logical).isNotNull,
@@ -1339,7 +1356,9 @@ object ManifestTable {
               org.apache.spark.sql.types.LongType))
           (gated.withColumn(logical,
             when(col(logical).isNull, minted).otherwise(col(logical))),
-            claims :+ IdentityClaim(phys, logical, spec, wm))
+            claims :+ IdentityClaim(phys, logical, spec, wm,
+              probedHead = head, explicitRange = explicitRange,
+              mintedInBatch = mintedInBatch))
         }
     }
   }
@@ -1367,7 +1386,7 @@ object ManifestTable {
     * writers inserting the same explicit id can still both land. */
   private def identityUniqueProbe(df: DataFrame, tableDir: String,
       fs: FileSystem, head: Long, logical: String,
-      spec: IdentitySpec, wm: Long): Unit = {
+      spec: IdentitySpec, wm: Long): (Option[(Long, Long)], Boolean) = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     val spark = df.sparkSession
     val g = df.select(col(logical).as("__graft_idp"))
@@ -1403,7 +1422,7 @@ object ManifestTable {
       }
       val rng = g.filter(col("__graft_idp").isNotNull)
         .agg(min(col("__graft_idp")), max(col("__graft_idp"))).head()
-      if (rng.isNullAt(0)) return // no explicit values in the batch
+      if (rng.isNullAt(0)) return (None, minting) // no explicit values
       val (lo, hi) = (rng.getLong(0), rng.getLong(1))
       val stats = statsOf(fs, tableDir, head)
       val candidates = pathsOf(fs, tableDir, head).filter { p =>
@@ -1414,7 +1433,7 @@ object ManifestTable {
           case _ => true // unstatted dir — probe it (conservative)
         }
       }
-      if (candidates.isEmpty) return
+      if (candidates.isEmpty) return (Some((lo, hi)), minting)
       val hit = readMasked(spark, tableDir, head, candidates,
         dvOf(fs, tableDir, head))
         .select(col(logical).as("__graft_idp"))
@@ -1422,6 +1441,7 @@ object ManifestTable {
           .select(col("__graft_idp")), Seq("__graft_idp"), "left_semi")
         .limit(1).collect()
       if (hit.nonEmpty) refuse(hit.head.get(0), "already exists")
+      (Some((lo, hi)), minting)
     } finally { g.unpersist(): Unit }
   }
 
@@ -1448,6 +1468,79 @@ object ManifestTable {
             "(the re-run re-mints from the new watermark)")
       }
     }
+
+  /** The commit-time HALF of `identity.unique=probe` (r20): the write
+    * probe validated explicit ids against `claim.probedHead`; if the
+    * head moved before this commit attempt, a concurrent writer may
+    * have landed the SAME explicit id in between — re-check the
+    * batch's explicit ids against only the dirs that appeared since.
+    * Zero cost on the single-writer path (base == probedHead) and for
+    * batches with no explicit ids (explicitRange = None); compaction-
+    * rewritten dirs re-check harmlessly (the probe proved the standing
+    * set clean, and rewrites preserve content). Closes the race the
+    * watermark-move guard cannot see: an explicit id BELOW the
+    * watermark never advances it, so two racing writers inserting the
+    * same one both passed their head-observed probes. */
+  private[graft] def identityExplicitReprobe(spark: SparkSession,
+      fs: FileSystem, tableDir: String, base: Long, newPaths: Seq[String],
+      identity: Seq[IdentityClaim], cleanupDirs: => Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    identity.foreach { cl =>
+      cl.explicitRange.foreach { case (lo, hi) =>
+        if (base > cl.probedHead && base > 0) {
+          val probedPaths: Set[String] =
+            if (cl.probedHead == 0L) Set.empty
+            else scala.util.Try(pathsOf(fs, tableDir, cl.probedHead).toSet)
+              .getOrElse(Set.empty) // GC'd manifest → re-check everything
+          val stats = statsOf(fs, tableDir, base)
+          val candidates = pathsOf(fs, tableDir, base)
+            .filterNot(probedPaths)
+            .filter { p =>
+              stats.get(p).flatMap(statsFor(_, cl.logical)) match {
+                case Some((_, Some(mn), Some(mx))) =>
+                  mn.toLongOption.forall(_ <= hi) &&
+                    mx.toLongOption.forall(_ >= lo)
+                case Some((_, None, None)) => false // all-null dir
+                case _ => true // unstatted dir — conservative
+              }
+            }
+          if (candidates.nonEmpty) {
+            // the batch's EXPLICIT ids, read back from its own landed
+            // dirs (physical names); when the batch also minted, its
+            // minted ids sit on the arithmetic ahead of baseWm and are
+            // excluded — the probe's clash gate guaranteed no explicit
+            // id shares that shape
+            val batchIds0 = spark.read
+              .parquet(newPaths.map(p => absPath(tableDir, p)): _*)
+              .select(col(cl.phys).as("__graft_idp"))
+              .filter(col("__graft_idp").isNotNull)
+            val batchIds =
+              if (!cl.mintedInBatch) batchIds0
+              else if (cl.spec.step > 0)
+                batchIds0.filter(!(col("__graft_idp") > cl.baseWm &&
+                  (col("__graft_idp") - cl.baseWm) % cl.spec.step === 0))
+              else
+                batchIds0.filter(!(col("__graft_idp") < cl.baseWm &&
+                  (col("__graft_idp") - cl.baseWm) % cl.spec.step === 0))
+            val hit = readMasked(spark, tableDir, base, candidates,
+              dvOf(fs, tableDir, base))
+              .select(col(cl.logical).as("__graft_idp"))
+              .join(batchIds, Seq("__graft_idp"), "left_semi")
+              .limit(1).collect()
+            if (hit.nonEmpty) {
+              cleanupDirs.foreach(d => fs.delete(new Path(tableDir, d), true))
+              throw new IllegalArgumentException(
+                s"identity column '${cl.logical}': explicit id " +
+                  s"${hit.head.get(0)} was inserted by a concurrent " +
+                  s"writer after this batch's probe at $tableDir " +
+                  "(identity.unique=probe) — duplicate ids refused; " +
+                  "omit the column to mint a fresh one")
+            }
+          }
+        }
+      }
+    }
+  }
 
   /** The `idwm:` advance a commit publishes for its identity claims:
     * the furthest minted (or explicitly inserted) value per column,
@@ -1580,6 +1673,8 @@ object ManifestTable {
       checkWriterFeatures(tableDir, priorMeta)
       identityConflictGuard(fs, tableDir, priorMeta, identity,
         newPaths.map(_.split("/", 2).head).distinct, "batch")
+      identityExplicitReprobe(spark, fs, tableDir, base, newPaths,
+        identity, newPaths.map(_.split("/", 2).head).distinct)
       // metadata-conflict guard (ALTER-vs-write race): the batch was
       // validated against the constraints declared when its job was
       // built; if a concurrent ALTER declared NEW ones since, this
@@ -1769,6 +1864,15 @@ object ManifestTable {
     * (a rewrite that changed nothing) — served as an empty frame with
     * zero file reads. */
   private[sources] val CdcEmptyToken = "-"
+  /** Meta value meaning "this step WANTED a materialized feed but
+    * staging failed" (r20 — an anchor-unabsorbable evolution, a
+    * staging-area IO error): the step serves through the read-time
+    * manifest diff like an unmaterialized one, but the degradation is
+    * OBSERVABLE — `t$history.feed_mode` reads "degraded", so a
+    * consumer expecting paired update images can tell a degraded span
+    * from a genuinely-paired one instead of silently receiving
+    * unpaired delete+insert rows. */
+  private[sources] val CdcDegradedToken = "!degraded"
   /** The persisted TBLPROPERTIES key ([[GraftCatalog.PropPrefix]] +
     * user key `cdc.materialize`). */
   private val CdcMaterializeKey = "prop:cdc.materialize"
@@ -2617,7 +2721,8 @@ object ManifestTable {
       statsCols: Seq[String], boundChecks: Set[String],
       stagedCdc: Option[String], retainGenerations: Int,
       identity: Seq[IdentityClaim] = Seq.empty,
-      mintedFresh: Boolean = false): Long = {
+      mintedFresh: Boolean = false,
+      freshCids: Seq[String] = Seq.empty): Long = {
     val fs = fsOf(spark, tableDir)
     val baseDv = dvOf(fs, tableDir, baseV)
     // S44 — index the fresh images dirs (standing dirs keep theirs via
@@ -2652,12 +2757,19 @@ object ManifestTable {
       // DEFAULT update can push explicit ids past the watermark, and
       // the head floor keeps a non-minting publish from regressing a
       // concurrently-advanced one
-      if (mintedFresh)
-        identityConflictGuard(fs, tableDir, headMeta, identity,
+      if (mintedFresh) {
+        def statementCleanup: Seq[String] =
           cids.map(_._1) ++ Seq(dvRel) ++
             stagedCdc.filterNot(_ == CdcEmptyToken)
-              .map(n => s"$CdcDirName/$n"),
-          "statement")
+              .map(n => s"$CdcDirName/$n")
+        identityConflictGuard(fs, tableDir, headMeta, identity,
+          statementCleanup, "statement")
+        // r20 — commit-time re-probe of the FRESH images' explicit
+        // ids against dirs landed since the write probe (post-image
+        // dirs carry standing ids and are exempt by construction)
+        identityExplicitReprobe(spark, fs, tableDir, head, freshCids,
+          identity, statementCleanup)
+      }
       val idMeta = identityWmMeta(identity, cids.map(_._1),
         cids.collect { case (c, Some(p)) => c -> p }.toMap, headMeta)
       val zoneMeta = statsZonePin(payloadSchema, statsCols,
@@ -2897,6 +3009,7 @@ object ManifestTable {
         // back to the diff, which is empty but footer-shaped)
         feedSchema.map(sch => spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+      case CdcDegradedToken => None // staging failed → honest diff
       case name =>
         val p = new Path(s"$tableDir/$CdcDirName/$name")
         val ok = try fs.exists(p) catch { case _: java.io.IOException => false }
@@ -3627,7 +3740,7 @@ object ManifestTable {
               val feedSchema = schemaOf(fs, bdir, bHead).map(ddl =>
                 org.apache.spark.sql.types.StructType.fromDDL(ddl)
                   .add("change_type", org.apache.spark.sql.types.StringType))
-              val staged = bsnap.meta.toSeq.collect {
+              val stagedSteps = bsnap.meta.toSeq.collect {
                 case (k, n) if k.startsWith(CdcDataPrefix) &&
                     n != CdcEmptyToken &&
                     (try fs.exists(new Path(s"$bdir/$CdcDirName/$n"))
@@ -3635,22 +3748,45 @@ object ManifestTable {
                   val p = s"$bdir/$CdcDirName/$n"
                   feedSchema.map(spark.read.schema(_).parquet(p))
                     .getOrElse(spark.read.parquet(p))
-              }.reduceOption(_.unionByName(_))
-              val paired = staged.map { sf =>
-                (side(net, "delete")
-                  .intersectAll(side(sf, "update_preimage")).cache(),
-                 side(net, "insert")
-                  .intersectAll(side(sf, "update_postimage")).cache())
+              }
+              // A staged step's pairing re-tags ONLY when the step
+              // survives the net WHOLESALE: every one of its update
+              // pre-images is still a net delete AND every post-image
+              // still a net insert (multiset ⊆ via exceptAll). Count
+              // equality alone is NOT pairing evidence — one row
+              // updated-then-deleted plus another inserted-then-
+              // updated leaves EQUAL counts of unrelated surviving
+              // images, and a count check would publish them as a
+              // false pre/post pair. Wholesale survival means the
+              // step's rows were never disturbed after the update, so
+              // re-tagging its exact image multisets restates what the
+              // step did. Per-STEP granularity keeps a clean update's
+              // pairing even when a sibling step churned; the combined
+              // guard below rejects two steps claiming one net delete
+              // (a row recreated and re-updated between them).
+              val netDel = side(net, "delete").cache()
+              val netIns = side(net, "insert").cache()
+              val images = stagedSteps.map { sf =>
+                (side(sf, "update_preimage").cache(),
+                 side(sf, "update_postimage").cache())
               }
               try {
-                val feed = paired match {
-                  case Some((preM, postM))
-                      if preM.count() > 0 && preM.count() == postM.count() =>
-                    side(net, "delete").exceptAll(preM)
+                val surviving = images.filter { case (pre, post) =>
+                  pre.count() > 0 && pre.count() == post.count() &&
+                    pre.exceptAll(netDel).isEmpty &&
+                    post.exceptAll(netIns).isEmpty
+                }
+                val preAll = surviving.map(_._1).reduceOption(_.union(_))
+                val postAll = surviving.map(_._2).reduceOption(_.union(_))
+                val feed = (preAll, postAll) match {
+                  case (Some(preM), Some(postM))
+                      if preM.exceptAll(netDel).isEmpty &&
+                        postM.exceptAll(netIns).isEmpty =>
+                    netDel.exceptAll(preM)
                       .withColumn("change_type", lit("delete"))
                       .unionByName(preM
                         .withColumn("change_type", lit("update_preimage")))
-                      .unionByName(side(net, "insert").exceptAll(postM)
+                      .unionByName(netIns.exceptAll(postM)
                         .withColumn("change_type", lit("insert")))
                       .unionByName(postM
                         .withColumn("change_type", lit("update_postimage")))
@@ -3659,13 +3795,26 @@ object ManifestTable {
                 val cname = "c-" + java.util.UUID.randomUUID().toString.take(8)
                 feed.write.parquet(s"$tableDir/$CdcDirName/$cname")
                 Some(cname)
-              } finally paired.foreach { case (a, b) =>
-                a.unpersist(): Unit; b.unpersist(): Unit
+              } finally {
+                netDel.unpersist(): Unit; netIns.unpersist(): Unit
+                images.foreach { case (a, b) =>
+                  a.unpersist(): Unit; b.unpersist(): Unit
+                }
               }
             }
           } finally { net.unpersist(): Unit }
         }
-      }.toOption.flatten
+      } match {
+        case scala.util.Success(staged) => staged
+        case scala.util.Failure(_) =>
+          // staging failed (anchor-unabsorbable evolution, staging-
+          // area IO): the publish itself proceeds — the feed falls
+          // back to the read-time manifest diff — but the step is
+          // STAMPED degraded so consumers can branch on
+          // t$history.feed_mode instead of silently reading the
+          // branch's paired updates as unpaired delete+insert
+          Some(CdcDegradedToken)
+      }
     // meta keys with publish-specific handling, excluded from the
     // generic three-way merge below. The commit-kind tag (`cdc` =
     // `<kind>@<version>`) drops entirely: it describes ONE commit, and
@@ -4690,7 +4839,8 @@ object ManifestTable {
                         kept: Seq[Long]): Seq[Option[Set[String]]] =
     kept.map { v =>
       try Some(metaOf(fs, tableDir, v).collect {
-        case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken => n
+        case (k, n) if k.startsWith(CdcDataPrefix) && n != CdcEmptyToken &&
+          n != CdcDegradedToken => n
       }.toSet) catch { case t if unreadable(t) => None }
     }
   private def dvRefsOf(fs: FileSystem, tableDir: String,

@@ -69,6 +69,22 @@ object MergeInto {
       n <- readMarker(spark, dir, BucketsMarker)
     } yield (key, n.toInt)
 
+  /** [[bucketedGeometry]] with the shared refusal semantics every
+    * kernel entry point needs: name the first missing marker and the
+    * dir. ONE definition — the former five per-call-site stanzas had
+    * already drifted ("merge" vs "upsert" table) and were flagged for
+    * consolidation in the r19 review. */
+  private[graft] def requireGeometry(spark: SparkSession,
+                                     tableDir: String): (String, Int) = {
+    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $KeyMarker): $tableDir"))
+    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
+      throw new IllegalArgumentException(
+        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    (key, n)
+  }
+
   /** Pin a fresh table's geometry WITHOUT data — the catalog's CREATE
     * TABLE with `layout=bucketed:<key>:<n>` declares the layout before
     * any row exists, so the first INSERT already routes through
@@ -249,12 +265,7 @@ object MergeInto {
             extraMeta: Map[String, String] = Map.empty,
             validateHead: Map[String, String] => Unit = _ => ()): Long = {
     val spark = source.sparkSession
-    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $KeyMarker): $tableDir"))
-    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    val (key, n) = requireGeometry(spark, tableDir)
     val ties =
       if (tieCols.nonEmpty) tieCols
       else {
@@ -284,12 +295,7 @@ object MergeInto {
                           _ => ()): Long = {
     val spark = source.sparkSession
     val fs = fsOf(spark, tableDir)
-    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $KeyMarker): $tableDir"))
-    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    val (key, n) = requireGeometry(spark, tableDir)
     Seq("b", "rn").foreach(r => require(!source.columns.contains(r),
       s"column name '$r' is reserved by the merge kernel"))
     val ties =
@@ -381,12 +387,7 @@ object MergeInto {
     require(feed.columns.contains("change_type"),
       "not a change feed: missing change_type column")
     val spark = feed.sparkSession
-    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $KeyMarker): $tableDir"))
-    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    val (key, n) = requireGeometry(spark, tableDir)
     // rank, not the raw tag, orders the tie: lexical order would put
     // update_pREimage above update_pOstimage and delete the row
     val oldImage = col("change_type").isin("delete", "update_preimage")
@@ -877,12 +878,7 @@ object MergeInto {
     * `maxKeys + 1` rows no matter how large the keys frame is. */
   def lookup(spark: SparkSession, tableDir: String, keys: DataFrame,
              maxKeys: Int = graft.ScaleKnobs.LookupMaxKeys): DataFrame = {
-    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $KeyMarker): $tableDir"))
-    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $BucketsMarker): $tableDir")).toInt
+    val (key, n) = requireGeometry(spark, tableDir)
     val fs = fsOf(spark, tableDir)
     val liveV = ManifestTable.versions(fs, tableDir).lastOption.getOrElse(
       throw new IllegalArgumentException(s"no committed manifest at $tableDir"))
@@ -933,12 +929,7 @@ object MergeInto {
     * rows, so conflict handling is pure retry; an abandoned rewrite
     * dir is swept by a later commit's GC like any crashed writer's. */
   def compact(spark: SparkSession, tableDir: String): Unit = {
-    val n = readMarker(spark, tableDir, BucketsMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not an upsert table (no $BucketsMarker): $tableDir")).toInt
-    val key = readMarker(spark, tableDir, KeyMarker).getOrElse(
-      throw new IllegalArgumentException(
-        s"not a merge table (no $KeyMarker): $tableDir"))
+    val (key, n) = requireGeometry(spark, tableDir)
     val fs = fsOf(spark, tableDir)
     require(ManifestTable.versions(fs, tableDir).nonEmpty,
       s"no committed manifest at $tableDir")

@@ -396,6 +396,65 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     assert(e3.getMessage.contains("MergeInto.compact"), e3.getMessage)
   }
 
+  test("a losing bucketed CREATE never marks the winner's dir (r20 advice)") {
+    wh: Unit
+    // a bucketed CREATE racing a PLAIN create of the same table: the
+    // loser used to pin KeyMarker/BucketsMarker BEFORE losing the
+    // version-1 commit, silently flipping the plain winner to
+    // merge-kernel routing. Geometry now pins only after the commit
+    // wins, so whichever side wins, the dir's routing matches ITS spec.
+    spark.sql("DROP TABLE IF EXISTS gbkt.lake.crace")
+    val dir = s"$wh/lake/crace"
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val won = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val mk: Map[String, String] = Map(
+      "plain" -> "CREATE TABLE gbkt.lake.crace (k BIGINT, v STRING)",
+      "bucketed" -> ("CREATE TABLE gbkt.lake.crace (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('layout'='bucketed:k:4')"))
+    val threads = mk.toSeq.map { case (kind, sql) =>
+      new Thread(() =>
+        try { spark.sql(sql); won.add(kind): Unit }
+        catch { case e: Throwable => errors.add(e): Unit })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(won.size() == 1 && errors.size() == 1,
+      s"one CREATE wins, one refuses: won=$won errors=${errors.size()}")
+    val geom = MergeInto.bucketedGeometry(spark, dir)
+    won.peek() match {
+      case "plain" =>
+        assert(geom.isEmpty,
+          s"the plain winner's dir must carry NO geometry markers: $geom")
+        spark.sql("INSERT INTO gbkt.lake.crace VALUES (1,'a'),(1,'b')")
+        // plain semantics: an append, never an upsert-by-key
+        assert(spark.table("gbkt.lake.crace").count() == 2L,
+          "the plain winner must keep append semantics")
+        assert(!ManifestTable.livePaths(fs, dir).exists(_.contains("b=")))
+      case _ =>
+        assert(geom.contains(("k", 4)),
+          s"the bucketed winner keeps its declared geometry: $geom")
+        spark.sql("INSERT INTO gbkt.lake.crace VALUES (1,'a'),(1,'b')")
+        assert(spark.table("gbkt.lake.crace").count() == 1L,
+          "the bucketed winner must keep upsert semantics")
+    }
+  }
+
+  test("loadTable re-pins geometry lost to a crash between commit and pin (r20)") {
+    val dir = freshBucketed("bheal", n = 4)
+    spark.sql("INSERT INTO gbkt.lake.bheal VALUES (1,'a',1.0),(2,'b',2.0)")
+    // simulate a creator that died inside the commit→pin window: the
+    // layout prop is committed, the routing markers are gone
+    fs.delete(new Path(dir, "_merge_key"), false)
+    fs.delete(new Path(dir, "_n_buckets"), false)
+    assert(MergeInto.bucketedGeometry(spark, dir).isEmpty)
+    // any catalog load self-heals from the immutable layout prop...
+    assert(spark.table("gbkt.lake.bheal").count() == 2L)
+    assert(MergeInto.bucketedGeometry(spark, dir).contains(("k", 4)),
+      "loadTable must re-pin the declared geometry")
+    // ...and writes keep upsert-by-key semantics, never a silent append
+    spark.sql("INSERT INTO gbkt.lake.bheal VALUES (2,'B!',22.0)")
+    assert(rows("bheal") == Map(1L -> ("a", 1.0), 2L -> ("B!", 22.0)))
+  }
+
   test("s31 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s31_bucketed_catalog(spark, sf).head()
     assert(r.getLong(0) > 0)

@@ -251,6 +251,94 @@ class GraftChangesFeedSpec extends SparkTestBase {
       s"update-then-delete must NET to the delete: $churn")
   }
 
+  test("publish pairing refuses UNRELATED surviving images: update-then-delete plus insert-then-update never publish as a pair (r20 advice)") {
+    val s = spark; import s.implicits._
+    val dir = freshTable("m9",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m9 VALUES (1,'a'),(2,'b')")
+    ManifestTable.createBranch(spark, dir, "adv"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "adv")
+    // row 1: updated then DELETED — its pre-image survives the net
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 1,
+      Seq("v" -> lit("A")), retainGenerations = 10): Unit
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 1, Map.empty): Unit
+    // row 9: appended then UPDATED — its post-image survives the net
+    ManifestTable.append(Seq((9, "z")).toDF("k", "v"), bdir,
+      statsCols = Seq("k")): Unit
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 9,
+      Seq("v" -> lit("Z")), retainGenerations = 10): Unit
+    val vP = ManifestTable.publishBranch(spark, dir, "adv")
+    val got = ManifestTable.changes(spark, dir, vP - 1, vP).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    // EQUAL COUNTS of surviving pre/post images (1 == 1 here) are NOT
+    // pairing evidence — the images belong to different rows. The feed
+    // must say delete + insert, never a fabricated update pair.
+    assert(got == Seq((1, "a", "delete"), (9, "Z", "insert")),
+      s"unrelated surviving images must publish as plain delete/insert: $got")
+  }
+
+  test("publish pairing is per-step: a clean update stays PAIRED even when a sibling step churned (r20)") {
+    val dir = freshTable("m10",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m10 VALUES (1,'a'),(2,'b'),(3,'c')")
+    ManifestTable.createBranch(spark, dir, "mix"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "mix")
+    // step 1: clean update of row 2 — survives the net wholesale
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 2,
+      Seq("v" -> lit("B")), retainGenerations = 10): Unit
+    // steps 2+3: row 1 updated then deleted — its step must fall back
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 1,
+      Seq("v" -> lit("A")), retainGenerations = 10): Unit
+    ManifestTable.deleteWhereMoR(spark, bdir, col("k") === 1, Map.empty): Unit
+    val vP = ManifestTable.publishBranch(spark, dir, "mix")
+    val got = ManifestTable.changes(spark, dir, vP - 1, vP).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got == Seq((1, "a", "delete"),
+                      (2, "B", "update_postimage"),
+                      (2, "b", "update_preimage")),
+      s"the untouched step's pairing must survive a sibling churn: $got")
+  }
+
+  test("a failed feed staging degrades OBSERVABLY: the publish lands, the span serves the diff, t$history flags it (r20)") {
+    val dir = freshTable("m11",
+      ",'cdc.materialize'='true','dml.mode'='merge-on-read'")
+    spark.sql("INSERT INTO gcdc.lake.m11 VALUES (1,'a'),(2,'b')")
+    // a healthy DML step for the feed_mode contrast below (appends
+    // never stage — additive spans serve as a plain scan)
+    spark.sql("UPDATE gcdc.lake.m11 SET v = 'A' WHERE k = 1")
+    val stagedV = ManifestTable.headVersion(spark, dir).get
+    ManifestTable.createBranch(spark, dir, "deg"): Unit
+    val bdir = ManifestTable.branchDirOf(dir, "deg")
+    ManifestTable.updateWhereMoR(spark, bdir, col("k") === 2,
+      Seq("v" -> lit("B")), retainGenerations = 10): Unit
+    // brick the PARENT's staging area: a plain FILE where the _cdc dir
+    // goes makes the feed's parquet write throw — the staging-failure
+    // shape (anchor-unabsorbable evolution / staging-area IO error)
+    val f = fs(dir)
+    val cdcRoot = new org.apache.hadoop.fs.Path(dir, "_cdc")
+    f.delete(cdcRoot, true)
+    f.create(cdcRoot, true).close()
+    try {
+      // the publish itself must SUCCEED — feed staging is best-effort
+      val vP = ManifestTable.publishBranch(spark, dir, "deg")
+      // the span serves the honest manifest diff (unpaired)...
+      val got = ManifestTable.changes(spark, dir, vP - 1, vP).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sorted.toSeq
+      assert(got == Seq((2, "B", "insert"), (2, "b", "delete")),
+        s"a degraded span serves the diff shape: $got")
+      // ...and the degradation is OBSERVABLE, not silent: consumers
+      // expecting paired images branch on t$history.feed_mode
+      val modes = spark.sql(
+        "SELECT version, feed_mode FROM gcdc.lake.`m11$history`")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getString(1))).toMap
+      assert(modes.get(vP).contains("degraded"),
+        s"the publish step must be flagged degraded: $modes")
+      assert(modes.get(stagedV).contains("staged"),
+        s"the healthy UPDATE step stays 'staged': $modes")
+    } finally { f.delete(cdcRoot, false): Unit }
+  }
+
   test("paired CDC through a publish survives a branch-side ADD COLUMN (r19)") {
     val dir = freshTable("m8",
       ",'cdc.materialize'='true','dml.mode'='merge-on-read'")

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The driver-contract hang-proofing (r20): one wedged query must
+  * cost one err row and one timeout window, never the whole artifact
+  * — round 19's single driver-side infinite loop blanked all 220
+  * correctness rows and timed out the bench with zero diagnostics. */
+class WatchdogSpec extends SparkTestBase {
+
+  test("a driver-spinning body times out; the caller moves on") {
+    val t0 = System.nanoTime()
+    val r = Watchdog.run(spark, "spin", timeoutSec = 2) {
+      while (true) {} // the r19 shape: no Spark job, no wait, no throw
+      42
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r == Left("timeout after 2s"), r)
+    assert(sec < 30, s"the watchdog must return promptly, took ${sec}s")
+    // the harness thread pool is NOT wedged: the next body still runs
+    assert(Watchdog.run(spark, "next", 30)(1 + 1) == Right(2))
+  }
+
+  test("a Spark-job body is cancelled through the job group on timeout") {
+    val r = Watchdog.run(spark, "bigjob", timeoutSec = 2) {
+      // ~forever at local[4] without cancellation; cancelJobGroup +
+      // interruptOnCancel must kill it inside the grace window
+      spark.range(Long.MaxValue / 4).selectExpr("sum(id * id)").collect()
+    }
+    assert(r.isLeft, r)
+    // whichever side won the race (cancel exception vs bare timeout),
+    // the message is diagnostic, and the session stays healthy
+    assert(spark.range(10).count() == 10L)
+  }
+
+  test("failures surface as Left with the exception, not a timeout") {
+    val r = Watchdog.run(spark, "boom", 30) {
+      throw new IllegalStateException("expected-boom")
+    }
+    assert(r == Left("IllegalStateException: expected-boom"), r)
+  }
+
+  test("Verify.run: a spinning query costs ONE missing row — the rest of the board lands (r19 regression)") {
+    val out = Files.createTempDirectory("graft-wdog").toString
+    val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "wd_good1" -> ((s, _) => s.range(3).toDF("id")),
+      "wd_spin" -> ((_, _) => { while (true) {}; null }),
+      "wd_good2" -> ((s, _) => s.range(5).toDF("id")))
+    val t0 = System.nanoTime()
+    Verify.run(spark, sf, out, queries = queries,
+      oracleSql = Map("wd_good1" -> "SELECT 1"), timeoutSec = 2)
+    val sec = (System.nanoTime() - t0) / 1e9
+    def landed(n: String) = new java.io.File(s"$out/$n").exists()
+    assert(landed("wd_good1") && landed("wd_good2"),
+      "healthy queries must land despite the wedged sibling")
+    assert(!landed("wd_spin"),
+      "the wedged query must yield a MISSING row, not a torn parquet")
+    assert(new java.io.File(s"$out/oracle_sql.json").exists() &&
+      new java.io.File(s"$out/spark_schemas.json").exists(),
+      "the artifact must complete: oracle + schema dumps written")
+    assert(sec < 60, s"one spinning query must cost ~timeoutSec, not " +
+      s"the artifact window: ${sec}s")
+  }
+}
