@@ -785,6 +785,42 @@ object TextVector {
     * = 16 merges; output = the learned merge table in training order
     * (global `merge_idx`, with the batch `round` it was mined in) +
     * the corpus token mass after the final round. */
+  /** One training round's batched acceptance under T51's
+    * RANK-FUNCTIONAL rule: scan candidates in rank order (count desc,
+    * pair asc) and accept a pair iff NO higher-ranked pair — accepted
+    * OR rejected — touches either of its symbols. The rule is a pure
+    * function of the ranked list, which is what lets the DuckDB
+    * oracle replay it as a plain NOT EXISTS with zero greedy state.
+    *
+    * CONSERVATISM BOUND vs true-greedy batching (which blocks only on
+    * ACCEPTED pairs), pinned here per the r19 verdict: (1) per round,
+    * the rank-functional acceptance set is a SUBSET of the true-greedy
+    * set — if no earlier-scanned pair touches p's symbols then no
+    * earlier ACCEPTED pair does either; (2) the round's top-ranked
+    * pair is ALWAYS accepted (nothing scanned before it), so a
+    * b-merge budget completes in ≤ b rounds either way; (3) a pair
+    * blocked only by a REJECTED sibling is DEFERRED, never lost — its
+    * symbols were not fused this round, so the next round re-mines it
+    * at the same count (modulo merges that genuinely consumed its
+    * neighborhood) and the spec proves it lands. The cost of the
+    * conservatism is therefore at most extra ROUNDS (counting passes),
+    * never a different applied-merge semantics. */
+  private[graft] def rfAcceptRound(cands: Seq[(String, Long)],
+                                   remaining: Int): Seq[(String, Long)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = cands.iterator
+    while (it.hasNext && accepted.size < remaining) {
+      val (pair, n) = it.next()
+      val Array(a, b) = pair.split(" ", 2)
+      if (!seen(a) && !seen(b)) accepted += ((pair, n))
+      // EVERY scanned (= higher-ranked) pair blocks later ones,
+      // accepted or not — the oracle's NOT EXISTS, exactly
+      seen += a; seen += b
+    }
+    accepted.toSeq
+  }
+
   def t51_bpe_train(s: SparkSession, d: String): DataFrame = {
     val budget = 16
     val words = tokDocs(s, d)
@@ -812,20 +848,9 @@ object TextVector {
           .orderBy(desc("n"), col("pair")).collect()
         if (cands.isEmpty) done = true
         else {
-          val remaining = budget - learned.size
-          val seen = scala.collection.mutable.Set.empty[String]
-          val accepted =
-            scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-          val it = cands.iterator
-          while (it.hasNext && accepted.size < remaining) {
-            val r = it.next()
-            val pair = r.getString(0)
-            val Array(a, b) = pair.split(" ", 2)
-            if (!seen(a) && !seen(b)) accepted += ((pair, r.getLong(1)))
-            // EVERY scanned (= higher-ranked) pair blocks later ones,
-            // accepted or not — the oracle's NOT EXISTS, exactly
-            seen += a; seen += b
-          }
+          val accepted = rfAcceptRound(
+            cands.toSeq.map(r => (r.getString(0), r.getLong(1))),
+            budget - learned.size)
           accepted.foreach { case (pair, n) =>
             learned += ((round, learned.size + 1, pair, n))
             segExpr =

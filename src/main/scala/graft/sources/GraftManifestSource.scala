@@ -299,10 +299,13 @@ object GraftManifestSource {
     * on every DELETE. */
   private[graft] def bindDeclaredChecks(data: DataFrame, dir: String,
                                         exemptWhen: Option[String] = None,
-                                        recomputeGenerated: Boolean = false)
+                                        recomputeGenerated: Boolean = false,
+                                        headHint: Option[Long] = None)
       : (DataFrame, Set[String]) = {
     val spark = data.sparkSession
-    ManifestTable.headVersion(spark, dir) match {
+    // headHint threads the caller's one planning-path head resolution
+    // (r20) — absent, resolve here
+    headHint.orElse(ManifestTable.headVersion(spark, dir)) match {
       case None => (data, Set.empty)
       case Some(v) =>
         val fs = new org.apache.hadoop.fs.Path(dir)

@@ -644,7 +644,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       val post = cs.filter(marker === 3)
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       val (freshMinted, idClaims) =
-        ManifestTable.assignIdentity(fresh, dir, fs)
+        ManifestTable.assignIdentity(fresh, dir, fs, headHint = Some(baseV))
       var boundChecks: Set[String] = Set.empty
       // identity columns join the tracked set: the per-dir max IS the
       // watermark-advance input publishMorDelta reads

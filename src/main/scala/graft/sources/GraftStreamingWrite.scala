@@ -65,7 +65,8 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
                             Seq.empty,
                           boundCheckKeys: Set[String] = Set.empty,
                           bucketed: Option[(String, Int)] = None,
-                          upsertTies: Seq[String] = Seq.empty)
+                          upsertTies: Seq[String] = Seq.empty,
+                          ndvWrite: Boolean = false)
     extends StreamingWrite {
 
   private val runId = java.util.UUID.randomUUID().toString.take(8)
@@ -93,7 +94,11 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       // stats track ordinals, so their logical keys are unaffected
       GraftTaskWriters.writeConf(spark,
         ManifestTable.toPhysical(writeSchema, cmap)),
-      inlineSpec.getOrElse(Seq.empty), zone, contracts)
+      inlineSpec.getOrElse(Seq.empty), zone, contracts,
+      // r20 — opted-in NDV sketches ride the same task-side pass as
+      // min/max/nulls (only on the inline path; the read-back fallback
+      // already serves the lane in its one grouped pass)
+      ndvSpec = if (ndvWrite) inlineSpec.getOrElse(Seq.empty) else Seq.empty)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
@@ -211,6 +216,7 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
     def groupedReadBack(aggs: Seq[org.apache.spark.sql.Column])
         : Map[String, org.apache.spark.sql.Row] = {
       import org.apache.spark.sql.functions.{col, expr}
+      GraftTaskWriters.epochReadBacks.incrementAndGet(): Unit
       val dirKey = expr(
         "regexp_replace(_metadata.file_path, '/[^/]*$', '')")
       val rb0 = spark.read
@@ -237,10 +243,32 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
       else inlineSpec match {
         case Some(specs) =>
           // zero-job path: every tracked column's min/max was computed
-          // IN the task writers and rides the commit messages; the
-          // opted-in NDV lane pays the one grouped read-back
+          // IN the task writers and rides the commit messages. r20 —
+          // the opted-in NDV lane rides the SAME messages: per-task
+          // sketch state unions driver-side (pure metadata), so the
+          // epoch stays ZERO-JOB with NDV on. A message missing the
+          // lane (the prop flipped mid-stream — this write was built
+          // before it) falls back to the one grouped read-back.
+          val ndvFromTasks: Option[Map[String, Seq[(String, Array[Byte])]]] =
+            if (ndvCols.isEmpty) None
+            else if (files.forall(m => ndvCols.forall(c =>
+              m.ndv.exists(_._1.equalsIgnoreCase(c)))))
+              Some(fileDirs.map { case (pubRel, ms) =>
+                pubRel -> ndvCols.map { c =>
+                  val u = new org.apache.datasketches.hll.Union(
+                    graft.ScaleKnobs.NdvSketchLgK)
+                  ms.foreach(_.ndv.find(_._1.equalsIgnoreCase(c))
+                    .foreach { case (_, bytes) =>
+                      u.update(org.apache.datasketches.hll.HllSketch
+                        .heapify(bytes))
+                    })
+                  c -> u.getResult.toUpdatableByteArray
+                }
+              }.toMap)
+            else None
           val sketched =
-            if (ndvCols.isEmpty) Map.empty[String, org.apache.spark.sql.Row]
+            if (ndvCols.isEmpty || ndvFromTasks.isDefined)
+              Map.empty[String, org.apache.spark.sql.Row]
             else groupedReadBack(ManifestTable.ndvSketchAggExprs(ndvCols))
           fileDirs.map { case (pubRel, ms) =>
             val cells = specs.map { sp =>
@@ -255,10 +283,12 @@ class GraftStreamingWrite(tableDir: String, writeSchema: StructType,
               ms.flatMap(_.stats.filter(_.col == sp.name)).map(_.nulls).sum)
             val base = GraftTaskWriters.statsLine(ms.map(_.rows).sum, cells,
               nulls)
-            pubRel -> sketched.get(pubRel)
-              .map(r => ManifestTable.withNdvSketches(base,
-                ManifestTable.ndvSketchCells(ndvCols,
-                  lane => r.getAs[Any](lane))))
+            pubRel -> ndvFromTasks.flatMap(_.get(pubRel))
+              .map(sk => ManifestTable.withNdvSketches(base, sk))
+              .orElse(sketched.get(pubRel)
+                .map(r => ManifestTable.withNdvSketches(base,
+                  ManifestTable.ndvSketchCells(ndvCols,
+                    lane => r.getAs[Any](lane)))))
               .getOrElse(base)
           }.toMap
         case None =>
@@ -371,12 +401,25 @@ case class StatsColSpec(name: String, ordinal: Int, dt: DataType)
 
 case class GraftTaskCommit(file: String, rows: Long,
                            stats: Seq[StatCell] = Seq.empty,
-                           partitionId: Int = -1)
+                           partitionId: Int = -1,
+                           // r20 — per-column HLL sketch state computed
+                           // task-side (stats.ndv=write): the epoch
+                           // commit unions these driver-side, so the
+                           // zero-job inline-stats path stays zero-job
+                           // with the NDV lane opted in
+                           ndv: Seq[(String, Array[Byte])] = Seq.empty)
     extends WriterCommitMessage
 
 /** Shared executor-task parquet-writer plumbing (X15 streaming writes
   * and the native row-level-operation writes, GraftRowLevelOps). */
-private[sources] object GraftTaskWriters {
+private[graft] object GraftTaskWriters {
+
+  /** JVM-wide count of epoch READ-BACK jobs (the grouped aggregate a
+    * streaming commit runs when task-side stats/sketches cannot serve)
+    * — a spec asserts the inline path with NDV opted in runs ZERO of
+    * these per epoch (r20). */
+  private[graft] val epochReadBacks =
+    new java.util.concurrent.atomic.AtomicLong
 
   /** Hadoop conf a [[GraftTaskWriter]] needs executor-side: exactly
     * the SQLConf keys ParquetWriteSupport.init and
@@ -472,7 +515,8 @@ case class GraftStreamingWriterFactory(stageDir: String,
                                        statsSpec: Seq[StatsColSpec] = Seq.empty,
                                        zone: String = "UTC",
                                        contracts: Option[GraftRowContracts] =
-                                         None)
+                                         None,
+                                       ndvSpec: Seq[StatsColSpec] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
@@ -480,7 +524,7 @@ case class GraftStreamingWriterFactory(stageDir: String,
       s"$stageDir/e$epochId/part-$partitionId-$taskId-" +
         java.util.UUID.randomUUID().toString.take(8) + ".snappy.parquet",
       conf.value, statsSpec, zone, partitionId,
-      contracts.filterNot(_.isEmpty))
+      contracts.filterNot(_.isEmpty), ndvSpec)
 }
 
 /** One task's parquet writer — opened lazily so zero-row tasks leave
@@ -493,7 +537,8 @@ case class GraftStreamingWriterFactory(stageDir: String,
 class GraftTaskWriter(path: String, conf: Configuration,
                       statsSpec: Seq[StatsColSpec] = Seq.empty,
                       zone: String = "UTC", partitionId: Int = -1,
-                      contracts: Option[GraftRowContracts] = None)
+                      contracts: Option[GraftRowContracts] = None,
+                      ndvSpec: Seq[StatsColSpec] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
@@ -576,6 +621,19 @@ class GraftTaskWriter(path: String, conf: Configuration,
   private val nn = new Array[Long](statsSpec.length) // per-column nulls
   private val ords = statsSpec.map(s => TypeUtils.getInterpretedOrdering(s.dt))
 
+  // r20 — S53 task-side sketch lane (stats.ndv=write): one HLL update
+  // per non-null value, the same digest family as `hll_sketch_agg`
+  // over CAST(c AS STRING) — datasketches hashes the string's UTF-8
+  // bytes either way, so write-time, epoch-merged, and ANALYZE-side
+  // sketches all union. The cast is Spark's own (BoundReference +
+  // Cast in the pinned session zone), never a hand-rolled rendering.
+  private val ndvSketches = ndvSpec.map(_ =>
+    new org.apache.datasketches.hll.HllSketch(
+      graft.ScaleKnobs.NdvSketchLgK)).toArray
+  private val ndvCasts = ndvSpec.map(sp =>
+    Cast(org.apache.spark.sql.catalyst.expressions.BoundReference(
+      sp.ordinal, sp.dt, nullable = true), StringType, Option(zone))).toArray
+
   private def copied(v: Any): Any = v match {
     case u: UTF8String => u.clone()
     case other => other
@@ -592,6 +650,14 @@ class GraftTaskWriter(path: String, conf: Configuration,
         if (hi(i) == null || ords(i).gt(v, hi(i))) hi(i) = copied(v)
       }
       i += 1
+    }
+    var j = 0
+    while (j < ndvSketches.length) {
+      if (!record.isNullAt(ndvSpec(j).ordinal)) {
+        val s = ndvCasts(j).eval(record)
+        if (s != null) ndvSketches(j).update(s.toString)
+      }
+      j += 1
     }
   }
 
@@ -624,7 +690,9 @@ class GraftTaskWriter(path: String, conf: Configuration,
     if (writer != null) writer.close()
     GraftTaskCommit(path, rows, statsSpec.zipWithIndex.map { case (sp, i) =>
       StatCell(sp.name, render(lo(i), sp.dt), render(hi(i), sp.dt), nn(i)) },
-      partitionId)
+      partitionId,
+      ndv = ndvSpec.zipWithIndex.map { case (sp, j) =>
+        sp.name -> ndvSketches(j).toUpdatableByteArray })
   }
 
   override def abort(): Unit = {

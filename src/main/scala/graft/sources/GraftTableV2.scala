@@ -661,10 +661,16 @@ class GraftWriteBuilder(tableDir: String, statsCols: Seq[String],
       // cluster AND identity columns are always stats-tracked — pruning
       // needs the ranges (S27, per epoch) and the identity watermark is
       // read from the landed dirs' own lanes
+      val epochStatsCols =
+        (statsCols ++ cluster ++ idClaims.map(_.logical)).distinct
       new GraftStreamingWrite(tableDir, info.schema, info.queryId,
-        (statsCols ++ cluster ++ idClaims.map(_.logical)).distinct, retain,
+        epochStatsCols, retain,
         cluster, cmap, Some(contracts).filterNot(_.isEmpty), idClaims,
-        declaredChecks.map(_._1).toSet, bucketedGeom, upsertTies)
+        declaredChecks.map(_._1).toSet, bucketedGeom, upsertTies,
+        // r20 — stats.ndv=write resolved off the same head snapshot:
+        // the task writers sketch inline, the epoch commit unions
+        ndvWrite =
+          ManifestTable.writeNdvCols(headMeta, epochStatsCols).nonEmpty)
     }
 
     private def txnMeta: Map[String, String] =

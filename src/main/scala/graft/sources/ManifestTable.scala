@@ -67,8 +67,16 @@ object ManifestTable {
 
   private def manifestName(v: Long): String = f"m-$v%012d"
 
+  // JVM-wide count of head LISTINGS (the per-operation metadata RPC an
+  // object store bills — the manifest BODY parse is snapshot-cached,
+  // the listing is not): a spec can assert a write's planning path
+  // resolves the head once instead of once per sub-step (r20).
+  private val versionListings = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def versionListingCount: Long = versionListings.get()
+
   /** All committed versions at `tableDir`, ascending (empty if none). */
   def versions(fs: FileSystem, tableDir: String): Seq[Long] = {
+    versionListings.incrementAndGet(): Unit
     val dir = manifestDir(tableDir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
@@ -708,11 +716,13 @@ object ManifestTable {
     * exactly from a pushed literal. Returns relPath → payload. */
   private[sources] def buildBloomSidecars(spark: SparkSession,
       tableDir: String, newPaths: Seq[String],
-      newStats: Map[String, String]): Map[String, String] = {
+      newStats: Map[String, String],
+      headHint: Option[Long] = None): Map[String, String] = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val fs = fsOf(spark, tableDir)
-    val head = versions(fs, tableDir).lastOption.getOrElse(return Map.empty)
+    val head = headHint.orElse(versions(fs, tableDir).lastOption)
+      .getOrElse(return Map.empty)
     val meta = metaOf(fs, tableDir, head)
     val cols = meta.get(GraftCatalog.PropPrefix + "bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1227,16 +1237,24 @@ object ManifestTable {
     // CHECK binding below so a constraint referencing the identity
     // column judges the MINTED value — bound over the pre-mint frame
     // it would see NULL and pass vacuously.
-    val (minted, idClaims) = assignIdentity(df, tableDir, fs)
+    // ONE head resolution for the whole planning path (r20): identity
+    // minting, CHECK binding, NDV opt-in, column mapping, and the
+    // commit loop's first attempt all read the same observed head —
+    // each sub-step used to list the manifest dir again (the one
+    // metadata RPC an object store bills per call). The commit loop
+    // still re-lists on RETRY; commitIf still validates the base.
+    val headV0 = versions(fs, tableDir).lastOption
+    val (minted, idClaims) = assignIdentity(df, tableDir, fs,
+      headHint = headV0)
     val (checked, boundChecks) =
-      GraftManifestSource.bindDeclaredChecks(minted, tableDir)
+      GraftManifestSource.bindDeclaredChecks(minted, tableDir,
+        headHint = headV0)
     // identity columns are always stats-tracked: the per-dir max IS
     // the watermark-advance input (and point lookups on ids prune)
     val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
     val ddl = cleanDdl(df.schema)
     val cid = "a-" + java.util.UUID.randomUUID().toString.take(8)
     val obs = org.apache.spark.sql.Observation()
-    val headV0 = versions(fs, tableDir).lastOption
     // S53 write-side lane: an opted-in table sketches its stats columns
     // IN the same observation pass — later approx ANALYZEs go zero-read
     val ndvCols = headV0.map(v =>
@@ -1264,7 +1282,7 @@ object ManifestTable {
     (appendCommitLoop(df, tableDir, Seq(cid), payload.map(cid -> _).toMap,
       statsCols2, retainGenerations, meta,
       recordingStats = payload.isDefined, boundChecks = boundChecks,
-      identity = idClaims), cid)
+      identity = idClaims, knownHead = headV0), cid)
   }
 
   /** S51 — one identity column's minting claim: which watermark the
@@ -1301,10 +1319,14 @@ object ManifestTable {
     * their ids verbatim, and assignment to a GENERATED ALWAYS column
     * is refused at analysis — [[graft.plans.GraftIdentityUpdateGuard]]). */
   private[sources] def assignIdentity(df: DataFrame, tableDir: String,
-                             fs: FileSystem)
+                             fs: FileSystem,
+                             headHint: Option[Long] = None)
       : (DataFrame, Seq[IdentityClaim]) = {
     import org.apache.spark.sql.functions.{col, concat, lit, monotonically_increasing_id, raise_error, when}
-    val head = versions(fs, tableDir).lastOption.getOrElse(return (df, Seq.empty))
+    // headHint threads the caller's one planning-path head resolution
+    // (r20) — absent, resolve here (one extra listing, fresh tables)
+    val head = headHint.orElse(versions(fs, tableDir).lastOption)
+      .getOrElse(return (df, Seq.empty))
     val hMeta = metaOf(fs, tableDir, head)
     val specs = identitySpecs(hMeta)
     if (specs.isEmpty) return (df, Seq.empty)
@@ -1585,10 +1607,11 @@ object ManifestTable {
                                meta: Map[String, String],
                                recordingStats: Boolean,
                                boundChecks: Set[String] = Set.empty,
-                               identity: Seq[IdentityClaim] = Seq.empty): Long =
+                               identity: Seq[IdentityClaim] = Seq.empty,
+                               knownHead: Option[Long] = None): Long =
     appendCommitLoopCore(df.sparkSession, df.schema, tableDir, newPaths,
       newStats, statsCols, retainGenerations, meta, recordingStats,
-      boundChecks, identity)
+      boundChecks, identity, knownHead)
 
   /** [[appendCommitLoop]] from (spark, schema) — the X15 streaming
     * write's commit path, whose rows were written by executor task
@@ -1604,7 +1627,8 @@ object ManifestTable {
       meta: Map[String, String],
       recordingStats: Boolean,
       boundChecks: Set[String],
-      identity: Seq[IdentityClaim] = Seq.empty): Long = {
+      identity: Seq[IdentityClaim] = Seq.empty,
+      knownHead: Option[Long] = None): Long = {
     val fs = fsOf(spark, tableDir)
     val ddl = cleanDdl(batchSchema)
     // S51 — the watermark this commit publishes: the furthest minted
@@ -1616,12 +1640,17 @@ object ManifestTable {
     // table declares bloomCols (one small agg job per new dir, before
     // the commit loop — the sidecars are content, the loop only rebases
     // the pointer)
-    val newBlooms = buildBloomSidecars(spark, tableDir, newPaths, newStats)
+    val newBlooms = buildBloomSidecars(spark, tableDir, newPaths, newStats,
+      headHint = knownHead)
     var attempts = 0
     while (true) {
       attempts += 1
       require(attempts <= 1000, s"append contention at $tableDir")
-      val base = versions(fs, tableDir).lastOption.getOrElse(0L)
+      // attempt 1 reuses the caller's planning-path head (r20 — no
+      // re-listing on the uncontended path; commitIf still validates
+      // the base and a stale one just falls to the retry, which lists)
+      val base = (if (attempts == 1) knownHead else None)
+        .orElse(versions(fs, tableDir).lastOption).getOrElse(0L)
       val prior = if (base > 0) pathsOf(fs, tableDir, base) else Seq.empty
       val priorStats =
         if (base > 0) statsOf(fs, tableDir, base) else Map.empty[String, String]
@@ -1756,27 +1785,33 @@ object ManifestTable {
     require(!fs.exists(new Path(tableDir, MergeInto.KeyMarker)),
       s"$tableDir is a bucketed merge table — writes go through " +
         "MergeInto.merge (or the catalog's INSERT/MERGE, which route there)")
-    val spec = specOverride.orElse(versions(fs, tableDir).lastOption
+    // ONE head resolution for the whole planning path (r20), same as
+    // the plain append: spec/mint/bind/colmap all read this head
+    val headV0 = versions(fs, tableDir).lastOption
+    val spec = specOverride.orElse(headV0
       .flatMap(v => clusterSpecOf(fs, tableDir, v)))
       .getOrElse(Seq(statsCols.head))
     // S51 — identity minting FIRST (same claims, same commit-time
     // watermark verification; checks must judge minted values, not
     // pre-mint NULLs); identity columns join statsCols so the per-dir
     // lanes carry the watermark input
-    val (minted, idClaims) = assignIdentity(df, tableDir, fs)
+    val (minted, idClaims) = assignIdentity(df, tableDir, fs,
+      headHint = headV0)
     // declared CHECK constraints bind here like on the plain append
     // path, with the same publish-time metadata-conflict guard
     val (checked, boundChecks) =
-      GraftManifestSource.bindDeclaredChecks(minted, tableDir)
+      GraftManifestSource.bindDeclaredChecks(minted, tableDir,
+        headHint = headV0)
     val statsCols2 = (statsCols ++ idClaims.map(_.logical)).distinct
     val cid = "ci-" + java.util.UUID.randomUUID().toString.take(8)
     val outStats = writeClusteredDirs(checked, tableDir, cid, spec, k, statsCols2,
-      versions(fs, tableDir).lastOption
-        .map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty))
+      headV0.map(colMapOf(fs, tableDir, _)).getOrElse(Map.empty),
+      headHint = headV0)
     val dirs = outStats.keys.toSeq.sorted
     (appendCommitLoop(df, tableDir, dirs, outStats,
       statsCols2, retainGenerations, meta, recordingStats = true,
-      boundChecks = boundChecks, identity = idClaims), dirs)
+      boundChecks = boundChecks, identity = idClaims,
+      knownHead = headV0), dirs)
   }
 
   /** The `statsZone` meta contribution for a stats-recording write over
@@ -2013,7 +2048,8 @@ object ManifestTable {
   private def writeClusteredDirs(data: DataFrame, tableDir: String,
                                  cid: String, spec: Seq[String], k: Int,
                                  statsCols: Seq[String],
-                                 cmap: Map[String, String] = Map.empty)
+                                 cmap: Map[String, String] = Map.empty,
+                                 headHint: Option[Long] = None)
       : Map[String, String] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, spark_partition_id}
     // "rb" becomes the partitionBy dir key and "__graft_*" carries the
@@ -2050,8 +2086,9 @@ object ManifestTable {
     // materialization of an all-masked table (concurrency-fuzz find).
     // S53 write-side lane on the clustered routes too — the read-back
     // aggregate is already per-dir, so the sketch is one more lane
-    val ndvCols = versions(fsOf(data.sparkSession, tableDir), tableDir)
-      .lastOption
+    val ndvCols = headHint
+      .orElse(versions(fsOf(data.sparkSession, tableDir), tableDir)
+        .lastOption)
       .map(v => writeNdvCols(
         metaOf(fsOf(data.sparkSession, tableDir), tableDir, v), statsCols))
       .getOrElse(Seq.empty)

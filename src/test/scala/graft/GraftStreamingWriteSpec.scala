@@ -576,11 +576,19 @@ class GraftStreamingWriteSpec extends SparkTestBase {
     Seq(2 -> "b2", 3 -> "c").toDF("k", "v").coalesce(1)
       .write.parquet(s"$src/f2")
     val ck = Files.createTempDirectory("gsw-ndvck").toString
+    val readBacks0 = graft.sources.GraftTaskWriters.epochReadBacks.get()
     val q = spark.readStream.schema("k INT, v STRING")
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
       .writeStream.option("checkpointLocation", ck)
       .trigger(Trigger.AvailableNow()).toTable("gsw.lake.ndvs")
     q.awaitTermination()
+    // r20 — the sketch lane rides the task writers' own pass: with
+    // every tracked column inline-able, NDV opted in costs ZERO extra
+    // jobs per epoch (the sketches union driver-side, pure metadata)
+    assert(graft.sources.GraftTaskWriters.epochReadBacks.get()
+      == readBacks0,
+      "an inline-stats epoch with stats.ndv=write must run zero " +
+        "read-back jobs")
     val head = ManifestTable.headVersion(spark, dir).get
     val stats = ManifestTable.statsOf(fs, dir, head)
     assert(stats.nonEmpty && stats.values.forall(pl =>

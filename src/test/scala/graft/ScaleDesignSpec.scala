@@ -622,4 +622,26 @@ class ScaleDesignSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")).head
     assert(fin.getLong(0) == 500 && fin.getLong(1) == 1000L)
   }
+
+  test("a batch write's planning path resolves the head ONCE (r20)") {
+    import graft.sources.ManifestTable
+    // The manifest BODY parse is snapshot-cached; the head LISTING is
+    // the per-operation metadata RPC an object store bills. A warm
+    // append now lists exactly 4 times: 1 planning resolution shared
+    // by identity minting / CHECK binding / NDV opt-in / bloom opt-in /
+    // colmap / commit attempt 1, plus commitIf's 2 protocol listings
+    // (base validation + post-publish head check) and the GC's
+    // retirement split. Before r20 each planning sub-step listed again
+    // (7+ per write).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-headcount").toString + "/t"
+    ManifestTable.append(Seq((1, "a")).toDF("k", "v"), dir, Seq("k"), 5)
+    ManifestTable.append(Seq((2, "b")).toDF("k", "v"), dir, Seq("k"), 5)
+    val before = ManifestTable.versionListingCount
+    ManifestTable.append(Seq((3, "c")).toDF("k", "v"), dir, Seq("k"), 5)
+    val listings = ManifestTable.versionListingCount - before
+    assert(listings == 4,
+      s"a warm append must list the manifest dir exactly 4× " +
+        s"(1 planning + 2 commitIf protocol + 1 gc), got $listings")
+  }
 }

@@ -84,6 +84,46 @@ class TextVectorSpec extends SparkTestBase {
     assert(masses.head > 0L)
   }
 
+  test("t51 rank-functional acceptance: subset of true greedy per round, top-1 always lands, blocked pairs DEFER not vanish (r20 bound)") {
+    import ops.TextVector.rfAcceptRound
+    def greedy(cands: Seq[(String, Long)], remaining: Int)
+        : Seq[(String, Long)] = {
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val syms = scala.collection.mutable.Set.empty[String]
+      cands.iterator.takeWhile(_ => acc.size < remaining).foreach {
+        case (p, n) =>
+          val Array(a, b) = p.split(" ", 2)
+          if (!syms(a) && !syms(b)) { acc += ((p, n)); syms += a; syms += b }
+      }
+      acc.toSeq
+    }
+    // the canonical divergence: rank-2 rejected (shares 'b' with
+    // rank-1), rank-3 shares a symbol with the REJECTED rank-2 only —
+    // greedy accepts it, rank-functional defers it
+    val r1 = Seq(("a b", 10L), ("b c", 9L), ("c d", 8L), ("e f", 7L))
+    assert(rfAcceptRound(r1, 16) == Seq(("a b", 10L), ("e f", 7L)))
+    assert(greedy(r1, 16) == Seq(("a b", 10L), ("c d", 8L), ("e f", 7L)))
+    // (3) DEFERRED, never lost: "c d"'s symbols were not fused, so the
+    // next round re-mines it at the same count and it lands first
+    val r2 = Seq(("c d", 8L), ("ab cd", 2L))
+    assert(rfAcceptRound(r2, 16).contains(("c d", 8L)))
+    // (1)+(2) hold on random ranked lists: RF ⊆ greedy, top-1 accepted
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 200).foreach { _ =>
+      val syms = ('a' to 'j').map(_.toString)
+      val cands = rnd.shuffle(
+        for { x <- syms; y <- syms if x != y } yield s"$x $y")
+        .take(3 + rnd.nextInt(20)).zipWithIndex
+        .map { case (p, i) => (p, (1000 - i).toLong) }
+      val rf = rfAcceptRound(cands, 16)
+      val gr = greedy(cands, 16)
+      assert(rf.toSet.subsetOf(gr.toSet),
+        s"RF must be a subset of greedy: rf=$rf greedy=$gr cands=$cands")
+      assert(rf.headOption.contains(cands.head),
+        s"the top-ranked pair is always accepted: $cands")
+    }
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
