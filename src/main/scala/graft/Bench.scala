@@ -116,21 +116,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // each rep runs under the per-query watchdog (r19: one wedged
       // query timed out the WHOLE bench at rc=124 with no JSON line;
-      // now it costs one -1 row with err:"timeout ..." and moves on)
-      def rep(): (Double, Double, Double) = {
+      // now it costs one -1 row with err:"timeout ..." and moves on).
+      // The 4th element is the rep's OWN deadline-kill flag — sniffing
+      // the errs map would miss a timeout preceded by an ordinary
+      // error (getOrElseUpdate keeps the first message only).
+      def rep(): (Double, Double, Double, Boolean) = {
         val t0 = System.nanoTime()
         val at = (t0 - bench0) / 1e9
         val ld = load1
-        val sec = Watchdog.run(spark, name, Watchdog.defaultTimeoutSec) {
-          fn(spark, sfDir).count()
-        } match {
-          case Right(_) => (System.nanoTime() - t0) / 1e9
-          case Left(msg) =>
-            errs.getOrElseUpdate(name,
-              msg.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
-            -1.0
-        }
-        (sec, at, ld)
+        val (sec, to) =
+          Watchdog.run(spark, name, Watchdog.defaultTimeoutSec) {
+            fn(spark, sfDir).count()
+          } match {
+            case Right(_) => ((System.nanoTime() - t0) / 1e9, false)
+            case Left(msg) =>
+              errs.getOrElseUpdate(name,
+                msg.replaceAll("[\\\\\"\\p{Cntrl}]", " ").take(240))
+              (-1.0, msg.startsWith("timeout"))
+          }
+        (sec, at, ld, to)
       }
       // a TIMED-OUT query never re-reps: each retry would cost the
       // full watchdog bound again (and leave another abandoned daemon
@@ -138,24 +142,25 @@ object Bench {
       // be -1 anyway. Ordinary exceptions still rep normally — they
       // fail fast and a flaky one deserves its second chance.
       val base = scala.collection.mutable.ArrayBuffer
-        .empty[(Double, Double, Double)]
+        .empty[(Double, Double, Double, Boolean)]
       var timedOut = false
       (1 to reps).foreach { _ =>
         if (!timedOut) {
           val r = rep()
           base += r
-          if (r._1 < 0 && errs.get(name).exists(_.startsWith("timeout")))
-            timedOut = true
+          if (r._4) timedOut = true
         }
       }
       // adaptive extra rep: when even the BEST rep started under load
       // above the gate, its number is contention-suspect — one re-run
       // keeps the artifact's reported minimum clean instead of merely
       // explained by the ld field (all reps, ld included, still land
-      // in the detail sidecar)
+      // in the detail sidecar). Never for a timed-out query — the
+      // no-re-rep invariant above outranks the contention heuristic.
       val ok = base.filter(_._1 >= 0)
-      val times: Seq[(Double, Double, Double)] =
-        if (ok.nonEmpty && ok.minBy(_._1)._3 > gate) (base :+ rep()).toSeq
+      val times: Seq[(Double, Double, Double, Boolean)] =
+        if (!timedOut && ok.nonEmpty && ok.minBy(_._1)._3 > gate)
+          (base :+ rep()).toSeq
         else base.toSeq
       (name, times)
     }

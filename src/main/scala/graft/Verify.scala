@@ -52,22 +52,37 @@ object Verify {
     queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+        // the worker writes a HIDDEN wip dir; only the MAIN thread
+        // publishes it to the final path on success. An abandoned
+        // timeout thread that un-wedges minutes later can therefore
+        // only ever (re)write the wip dir — the compare never sees a
+        // torn or resurrected result for a query reported as failed
+        // (cancelJobGroup cannot cancel a job that hasn't started,
+        // and a driver-side spin ignores the interrupt entirely)
+        // the wip area is a SIBLING of outDir (the driver's compare
+        // lists every dir under outDir — a resurrected wip must never
+        // appear there, even as a NO-ORACLE row)
+        val wip = s"$outDir.wip/$name"
         Watchdog.run(spark, name, timeoutSec) {
           val df = fn(spark, sfDir)
           val sch = df.schema.fields.toSeq.map(f => f.name -> f.dataType.sql)
-          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          df.coalesce(1).write.mode("overwrite").parquet(wip)
           sch
         } match {
-          case Right(sch) => schemas(name) = sch
+          case Right(sch) =>
+            val fs = new org.apache.hadoop.fs.Path(outDir)
+              .getFileSystem(spark.sessionState.newHadoopConf())
+            val dst = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+            if (fs.exists(dst)) fs.delete(dst, true): Unit
+            require(fs.rename(new org.apache.hadoop.fs.Path(wip), dst),
+              s"cannot publish verify result for $name")
+            schemas(name) = sch
           case Left(err) =>
             System.err.println(s"[verify] $name failed: $err")
-            // a timed-out write may have left a partial parquet dir —
-            // the driver's compare must see a MISSING result (one err
-            // row), never a torn one that hashes as wrong values
             try {
-              val p = new org.apache.hadoop.fs.Path(s"$outDir/$name")
-              val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-              if (fs.exists(p)) fs.delete(p, true): Unit
+              val fs = new org.apache.hadoop.fs.Path(outDir)
+                .getFileSystem(spark.sessionState.newHadoopConf())
+              fs.delete(new org.apache.hadoop.fs.Path(wip), true): Unit
             } catch { case _: Throwable => () }
         }
       }

@@ -48,11 +48,19 @@ object Watchdog {
       spark.sparkContext.cancelJobGroup(group)
       t.interrupt()
       // brief grace: a cancel-responsive body surfaces its own error
-      // (SparkException: job cancelled) which is more diagnostic than
-      // a bare timeout; a driver-spinning body won't, and we move on
+      // (SparkException: job cancelled) — fold it INTO the timeout
+      // message rather than replacing it, so callers can always
+      // recognize a deadline kill by the "timeout" prefix (Bench's
+      // never-re-rep guard keys on it) while keeping the diagnostics.
+      // A body that RIGHT-completes inside the grace genuinely
+      // finished — return its result.
       t.join(2000L)
-      Option(result.get())
-        .getOrElse(Left(s"timeout after ${timeoutSec}s"))
+      Option(result.get()) match {
+        case Some(r @ Right(_)) => r
+        case Some(Left(err)) =>
+          Left(s"timeout after ${timeoutSec}s (cancelled: $err)")
+        case None => Left(s"timeout after ${timeoutSec}s")
+      }
     }
   }
 }

@@ -247,11 +247,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // makes concurrent heals converge or fail loudly on mismatch.
     props.get("layout").filter(_.startsWith("bucketed"))
       .foreach { l =>
-        if (MergeInto.bucketedGeometry(spark, dir).isEmpty) {
-          val parts = l.split(":").map(_.trim)
-          val n = if (parts.length == 3) parts(2).toInt
-                  else graft.ScaleKnobs.DefaultMergeBuckets
-          MergeInto.pinGeometry(spark, dir, parts(1), n)
+        // one probe per dir per JVM (the markers are write-once) —
+        // the heal must not bill two metadata RPCs on every load
+        if (!GraftCatalog.geometryVerified.contains(dir)) {
+          if (MergeInto.bucketedGeometry(spark, dir).isEmpty) {
+            val parts = l.split(":").map(_.trim)
+            val n = if (parts.length == 3) parts(2).toInt
+                    else graft.ScaleKnobs.DefaultMergeBuckets
+            MergeInto.pinGeometry(spark, dir, parts(1), n)
+          }
+          GraftCatalog.geometryVerified.add(dir): Unit
         }
       }
     // reserved Spark props instead of a bare "path": SHOW CREATE TABLE
@@ -1255,6 +1260,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object GraftCatalog {
+  /** Dirs whose bucketed geometry markers this JVM has already
+    * verified (or healed) — the markers are write-once, so one probe
+    * per dir suffices and the self-heal in `tableAt` costs the read
+    * hot path nothing after the first load. A same-path DROP+CREATE
+    * is safe either way: the new CREATE pins its own markers before
+    * `loadTable` runs. */
+  private[graft] val geometryVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   /** `#meta` prefix under which table properties persist — disjoint
     * from engine keys (statsZone, clusterBy, txn:*) by construction. */
   private[sources] val PropPrefix = "prop:"

@@ -1385,6 +1385,26 @@ object ManifestTable {
     }
   }
 
+  /** The dirs of version `v` that could possibly hold an id in
+    * [lo, hi], pruned on the identity column's own stats lanes — the
+    * ONE pruning rule the write-time probe and the commit-time
+    * re-probe share (a fix applied to one copy must never diverge the
+    * pair whose agreement the duplicate-id race closure depends on).
+    * All-null dirs prune (no ids there); unstatted dirs survive
+    * (conservative). */
+  private def idRangeCandidates(fs: FileSystem, tableDir: String, v: Long,
+      logical: String, lo: Long, hi: Long): Seq[String] = {
+    val stats = statsOf(fs, tableDir, v)
+    pathsOf(fs, tableDir, v).filter { p =>
+      stats.get(p).flatMap(statsFor(_, logical)) match {
+        case Some((_, Some(mn), Some(mx))) =>
+          mn.toLongOption.forall(_ <= hi) && mx.toLongOption.forall(_ >= lo)
+        case Some((_, None, None)) => false // all-null dir: no ids there
+        case _ => true // unstatted dir — probe it (conservative)
+      }
+    }
+  }
+
   /** S51 `identity.unique=probe` — refuse an EXPLICIT id that would
     * duplicate. Three gates, one grouped pass over the batch's id
     * column (persisted so the probe's actions don't recompute an
@@ -1446,15 +1466,7 @@ object ManifestTable {
         .agg(min(col("__graft_idp")), max(col("__graft_idp"))).head()
       if (rng.isNullAt(0)) return (None, minting) // no explicit values
       val (lo, hi) = (rng.getLong(0), rng.getLong(1))
-      val stats = statsOf(fs, tableDir, head)
-      val candidates = pathsOf(fs, tableDir, head).filter { p =>
-        stats.get(p).flatMap(statsFor(_, logical)) match {
-          case Some((_, Some(mn), Some(mx))) =>
-            mn.toLongOption.forall(_ <= hi) && mx.toLongOption.forall(_ >= lo)
-          case Some((_, None, None)) => false // all-null dir: no ids there
-          case _ => true // unstatted dir — probe it (conservative)
-        }
-      }
+      val candidates = idRangeCandidates(fs, tableDir, head, logical, lo, hi)
       if (candidates.isEmpty) return (Some((lo, hi)), minting)
       val hit = readMasked(spark, tableDir, head, candidates,
         dvOf(fs, tableDir, head))
@@ -1514,18 +1526,9 @@ object ManifestTable {
             if (cl.probedHead == 0L) Set.empty
             else scala.util.Try(pathsOf(fs, tableDir, cl.probedHead).toSet)
               .getOrElse(Set.empty) // GC'd manifest → re-check everything
-          val stats = statsOf(fs, tableDir, base)
-          val candidates = pathsOf(fs, tableDir, base)
-            .filterNot(probedPaths)
-            .filter { p =>
-              stats.get(p).flatMap(statsFor(_, cl.logical)) match {
-                case Some((_, Some(mn), Some(mx))) =>
-                  mn.toLongOption.forall(_ <= hi) &&
-                    mx.toLongOption.forall(_ >= lo)
-                case Some((_, None, None)) => false // all-null dir
-                case _ => true // unstatted dir — conservative
-              }
-            }
+          val candidates =
+            idRangeCandidates(fs, tableDir, base, cl.logical, lo, hi)
+              .filterNot(probedPaths)
           if (candidates.nonEmpty) {
             // the batch's EXPLICIT ids, read back from its own landed
             // dirs (physical names); when the batch also minted, its

@@ -442,9 +442,11 @@ class GraftBucketedCatalogSpec extends SparkTestBase {
     val dir = freshBucketed("bheal", n = 4)
     spark.sql("INSERT INTO gbkt.lake.bheal VALUES (1,'a',1.0),(2,'b',2.0)")
     // simulate a creator that died inside the commit→pin window: the
-    // layout prop is committed, the routing markers are gone
+    // layout prop is committed, the routing markers are gone — and the
+    // healer is a FRESH JVM (the crashed creator's memo died with it)
     fs.delete(new Path(dir, "_merge_key"), false)
     fs.delete(new Path(dir, "_n_buckets"), false)
+    graft.sources.GraftCatalog.geometryVerified.remove(dir): Unit
     assert(MergeInto.bucketedGeometry(spark, dir).isEmpty)
     // any catalog load self-heals from the immutable layout prop...
     assert(spark.table("gbkt.lake.bheal").count() == 2L)
