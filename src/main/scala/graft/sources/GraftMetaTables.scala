@@ -255,20 +255,35 @@ object GraftMetaTables {
     *  - `advice:compact` (S41): standing deletion-vector positions
     *    exceed 10% of the physical rows — reads pay the mask tax until
     *    OPTIMIZE materializes them away. */
+  /** The ONE ≥2× staleness rule `advice:analyze` fires on and the
+    * compaction auto-refresh keys off — shared so the advisory loop
+    * and `GraftProcedures.refreshStaleStats` can never drift apart
+    * (r20 review find: the refresh hand-negated this predicate). */
+  private[sources] def statsDrifted(analyzed: Long, live: Long): Boolean = {
+    val (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
+    l >= 2.0 * a || a >= 2.0 * l
+  }
+
+  /** Physical rowcount summed from the per-dir stats lanes — None when
+    * any dir is unstatted (no free answer). Shared by the advisory
+    * loop and the compaction auto-refresh. */
+  private[sources] def liveRowCount(fs: FileSystem, dir: String,
+                                    head: Long): Option[Long] = {
+    val liveStats = ManifestTable.statsOf(fs, dir, head)
+    val counts = ManifestTable.pathsOf(fs, dir, head)
+      .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   private[sources] def advisories(spark: SparkSession, fs: FileSystem,
                                   dir: String, head: Long)
       : Seq[(String, String)] = {
     val meta = ManifestTable.metaOf(fs, dir, head)
-    val liveStats = ManifestTable.statsOf(fs, dir, head)
-    val counts = ManifestTable.pathsOf(fs, dir, head)
-      .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
-    val physical =
-      if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    val physical = liveRowCount(fs, dir, head)
     val analyzeAdvice: Option[(String, String)] = for {
       analyzed <- meta.get(ManifestTable.TableStatKey).flatMap(_.toLongOption)
       live <- physical
-      (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
-      if l >= 2.0 * a || a >= 2.0 * l
+      if statsDrifted(analyzed, live)
     } yield "advice:analyze" ->
       (s"column stats analyzed at $analyzed rows but table now " +
         s"holds $live — re-run CALL system.analyze")
@@ -290,7 +305,7 @@ object GraftMetaTables {
     val bloomAdvice: Seq[(String, String)] = {
       val indexed = meta.get(GraftCatalog.PropPrefix + "bloomCols")
         .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
-      val nDirs = counts.length
+      val nDirs = ManifestTable.pathsOf(fs, dir, head).length
       val eligible = ManifestTable.declaredSchemaOf(spark, dir, head)
         .map(_.fields.filter(f => f.dataType match {
           case org.apache.spark.sql.types.StringType |

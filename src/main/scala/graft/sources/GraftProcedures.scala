@@ -216,17 +216,26 @@ object GraftProcedures {
     val meta = ManifestTable.metaOf(fs, dir, head)
     val analyzed = meta.get(ManifestTable.TableStatKey)
       .flatMap(_.toLongOption).getOrElse(return)
-    val liveStats = ManifestTable.statsOf(fs, dir, head)
-    val counts = ManifestTable.pathsOf(fs, dir, head)
-      .map(p => liveStats.get(p).flatMap(ManifestTable.rowsIn))
-    if (!counts.forall(_.isDefined)) return
-    val live = counts.flatten.sum
-    val (a, l) = (analyzed.toDouble max 1.0, live.toDouble max 1.0)
-    if (l < 2.0 * a && a < 2.0 * l) return // advisory would not fire
+    // the advisory's OWN predicate and rowcount — one rule, shared, so
+    // the refresh can never desynchronize from `advice:analyze`
+    val live = GraftMetaTables.liveRowCount(fs, dir, head).getOrElse(return)
+    if (!GraftMetaTables.statsDrifted(analyzed, live)) return
     val cols = meta.keySet
       .filter(_.startsWith(ManifestTable.ColStatPrefix))
       .map(_.stripPrefix(ManifestTable.ColStatPrefix)).toSeq.sorted
     if (cols.isEmpty) return
+    // a committed ZERO-DIR head (every row deleted, the compaction
+    // materialized the masks) refreshes to zeros as pure metadata —
+    // the read-based pass would throw a misleading 'no committed
+    // manifest' AFTER the compaction already committed (the same
+    // guard Analyze.call grew in r19; r20 review find)
+    if (ManifestTable.pathsOf(fs, dir, head).isEmpty) {
+      GraftCatalog.alterMetaAt(catalog, dir, m =>
+        (m -- cols.map(ManifestTable.ColHistPrefix + _)) ++
+          cols.map(c => (ManifestTable.ColStatPrefix + c) -> "0,0") +
+          (ManifestTable.TableStatKey -> "0"))
+      return
+    }
     val histCols = meta.keySet
       .filter(_.startsWith(ManifestTable.ColHistPrefix))
       .map(_.stripPrefix(ManifestTable.ColHistPrefix)).toSeq.sorted
@@ -277,6 +286,16 @@ object GraftProcedures {
       case _ => false
     }
 
+  /** The table's committed head, or a loud dir-naming refusal — the
+    * CALL surface must never surface a bare `None.get` for "you
+    * called a procedure on a table with no committed manifest"
+    * (r20 review find; Maintain/Lookup/Analyze already refused this
+    * way, the other six procedures crashed with NoSuchElementException). */
+  private[graft] def headOrRefuse(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): Long =
+    ManifestTable.headVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no committed manifest at $dir"))
+
   private[sources] def retainOf(meta: Map[String, String]): Int =
     meta.get(GraftCatalog.PropPrefix + "retainGenerations")
       .flatMap(_.toIntOption).getOrElse(2)
@@ -313,6 +332,8 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val k = if (input.isNullAt(1)) 4 else input.getInt(1)
+          require(k > 0, s"k must be positive, got $k — it is the " +
+            "target dir count of the compaction rewrite")
           val incremental = !input.isNullAt(2) && input.getBoolean(2)
           def strArg(i: Int): Option[String] =
             if (input.isNullAt(i)) None else Some(input.getUTF8String(i).toString)
@@ -347,13 +368,18 @@ object GraftProcedures {
                 "use CALL system.compact without incremental for a full " +
                 "re-fold")
             MergeInto.compact(spark, dir)
-            val v = ManifestTable.headVersion(spark, dir).get
+            // the same S37 auto-hook the non-bucketed route (and CALL
+            // maintain) runs — the rewrite paid the full pass either
+            // way, and the two compact entry points must not differ
+            // on the stats-refresh contract (r20 review find)
+            refreshStaleStats(catalog, dir)
+            val v = headOrRefuse(spark, dir)
             return oneRow(StructType(Seq(
               StructField("version", LongType, nullable = false),
               StructField("n_dirs", IntegerType, nullable = false))),
               Array[Any](v, ManifestTable.pathsOf(fs, dir, v).size))
           }
-          val head = ManifestTable.headVersion(spark, dir).get
+          val head = headOrRefuse(spark, dir)
           val meta = ManifestTable.metaOf(fs, dir, head)
           val statsCols = compactionStatsCols(fs, dir, head, meta)
           val retain = retainOf(meta)
@@ -410,6 +436,8 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val k = if (input.isNullAt(1)) 4 else input.getInt(1)
+          require(k > 0, s"k must be positive, got $k — it is the " +
+            "target dir count of the compaction rewrite")
           val fs = catalog.activeFs
           val head = ManifestTable.headVersion(spark, dir).getOrElse(
             throw new IllegalArgumentException(
@@ -437,11 +465,11 @@ object GraftProcedures {
           val advisedAnalyze =
             if (!didCompact) advice("advice:analyze")
             else GraftMetaTables.advisories(spark, fs, dir,
-              ManifestTable.headVersion(spark, dir).get)
+              headOrRefuse(spark, dir))
               .exists(_._1 == "advice:analyze")
           if (didCompact || advisedAnalyze) refreshStaleStats(catalog, dir)
           if (advisedAnalyze) actions += "analyze"
-          val v = ManifestTable.headVersion(spark, dir).get
+          val v = headOrRefuse(spark, dir)
           oneRow(StructType(Seq(
             StructField("version", LongType, nullable = false),
             StructField("actions", StringType, nullable = false))),
@@ -479,7 +507,7 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val fs = catalog.activeFs
-          val head = ManifestTable.headVersion(spark, dir).get
+          val head = headOrRefuse(spark, dir)
           val retain = retainOf(ManifestTable.metaOf(fs, dir, head))
           val dryRun = !input.isNullAt(1) && input.getBoolean(1)
           if (dryRun) {
@@ -600,14 +628,21 @@ object GraftProcedures {
           // unfiltered default crashed every analyze of such tables
           // (Spark's own FOR ALL COLUMNS filters the same way);
           // explicitly-requested columns keep failing loudly
+          // explicit names resolve CASE-INSENSITIVELY to the declared
+          // spelling (Spark's own ANALYZE ... FOR COLUMNS accepts `ID`
+          // for a declared `id`; the persisted colstat: key must carry
+          // the declared name either way) — unknown columns still
+          // refuse loudly
           val cols =
             if (input.isNullAt(1)) tblSchema.fields.collect {
               case f if statable(f.dataType) => f.name
             }.toSeq
             else input.getUTF8String(1).toString.split(",").map(_.trim)
               .filter(_.nonEmpty).toSeq
-          cols.foreach(c => require(tblSchema.fieldNames.contains(c),
-            s"analyze: unknown column '$c'"))
+              .map(c => tblSchema.fieldNames
+                .find(_.equalsIgnoreCase(c)).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"analyze: unknown column '$c'")))
           val approx = !input.isNullAt(2) && input.getBoolean(2)
           val histOn = !input.isNullAt(3) && input.getBoolean(3)
           val bins = if (input.isNullAt(4)) 16 else math.max(2, input.getInt(4))
@@ -664,7 +699,7 @@ object GraftProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
-          val head = ManifestTable.headVersion(spark, dir).get
+          val head = headOrRefuse(spark, dir)
           val retain = retainOf(ManifestTable.metaOf(catalog.activeFs, dir, head))
           val v = ManifestTable.tag(spark, dir,
             input.getUTF8String(1).toString,
@@ -777,7 +812,7 @@ object GraftProcedures {
         override def call(input: InternalRow): java.util.Iterator[Scan] = {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
-          val head = ManifestTable.headVersion(spark, dir).get
+          val head = headOrRefuse(spark, dir)
           val retain = retainOf(ManifestTable.metaOf(catalog.activeFs, dir, head))
           ManifestTable.untag(spark, dir,
             input.getUTF8String(1).toString, retain)
@@ -845,7 +880,7 @@ object GraftProcedures {
           val spark = catalog.activeSpark
           val dir = catalog.dirOfTableArg(input.getUTF8String(0).toString)
           val fs = catalog.activeFs
-          val head = ManifestTable.headVersion(spark, dir).get
+          val head = headOrRefuse(spark, dir)
           val retain = retainOf(ManifestTable.metaOf(fs, dir, head))
           val v = ManifestTable.restore(spark, dir, input.getLong(1), retain)
           oneRow(StructType(Seq(

@@ -82,16 +82,19 @@ private[sources] object GraftViews {
     }
   }
 
-  def read(fs: FileSystem, file: Path): Option[Array[Byte]] =
-    if (!fs.exists(file)) None
-    else {
-      val in = fs.open(file)
-      try {
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-        Some(out.toByteArray)
-      } finally in.close()
-    }
+  def read(fs: FileSystem, file: Path): Option[Array[Byte]] = {
+    // open-and-catch, never exists-then-open: a concurrent DROP VIEW
+    // between the probe and the open must surface as None (→ the
+    // caller's NoSuchViewException), not a raw FileNotFoundException
+    val in =
+      try fs.open(file)
+      catch { case _: java.io.FileNotFoundException => return None }
+    try {
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      Some(out.toByteArray)
+    } finally in.close()
+  }
 }

@@ -3298,8 +3298,8 @@ object ManifestTable {
   /** S36 — `colstat:<col>` → "ndv,nulls" + `tablestat` → rows, written
     * by `CALL system.analyze`, surfaced by the V2 scan as CBO column
     * statistics. */
-  private[sources] val ColStatPrefix = "colstat:"
-  private[sources] val TableStatKey = "tablestat"
+  private[graft] val ColStatPrefix = "colstat:"
+  private[graft] val TableStatKey = "tablestat"
   /** S37 — `colhist:<col>` → comma-joined equi-height bin BOUNDS
     * (bins+1 ascending doubles), persisted by `CALL system.analyze(...,
     * histogram => true)`; the V2 scan rehydrates them as connector

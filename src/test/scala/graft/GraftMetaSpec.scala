@@ -656,6 +656,63 @@ class GraftMetaSpec extends SparkTestBase {
     out: Unit
   }
 
+  test("procedure-surface hardening (r20 review finds): zero-dir refresh, k validation, case-insensitive analyze, no-manifest refusals") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // (1) CALL compact after EVERY row was deleted (committed zero-dir
+    // head) with persisted HISTOGRAM stats: the auto-refresh must
+    // zero the stats as metadata, never throw 'no committed manifest'
+    val dir = seeded("hz")
+    spark.sql("ALTER TABLE gmeta.lake.hz SET TBLPROPERTIES " +
+      "('dml.mode'='merge-on-read')")
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.hz', " +
+      "histogram => true)")
+    spark.sql("DELETE FROM gmeta.lake.hz WHERE true")
+    spark.sql("CALL gmeta.system.compact(table => 'lake.hz')")
+    val head = ManifestTable.headVersion(spark, dir).get
+    assert(ManifestTable.pathsOf(fs, dir, head).isEmpty)
+    val meta = ManifestTable.metaOf(fs, dir, head)
+    assert(meta.get(ManifestTable.TableStatKey).contains("0"),
+      s"zero-dir refresh must zero the table stat: " +
+        meta.get(ManifestTable.TableStatKey))
+    // (2) k <= 0 refuses AT the procedure, naming k
+    val e1 = intercept[Exception](spark.sql(
+      "CALL gmeta.system.compact(table => 'lake.hz', k => 0)"))
+    assert(messages(e1).exists(_.contains("k must be positive")),
+      messages(e1))
+    // (3) explicit analyze columns resolve case-insensitively to the
+    // declared spelling (Spark's own FOR COLUMNS contract)
+    val dir2 = seeded("hcase")
+    spark.sql("CALL gmeta.system.analyze(table => 'lake.hcase', " +
+      "columns => 'K')")
+    val head2 = ManifestTable.headVersion(spark, dir2).get
+    assert(ManifestTable.metaOf(fs, dir2, head2)
+      .contains(ManifestTable.ColStatPrefix + "k"),
+      "the persisted colstat key must carry the DECLARED spelling")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL gmeta.system.analyze(table => 'lake.hcase', " +
+        "columns => 'nope')"))
+    assert(messages(e2).exists(_.contains("unknown column 'nope'")),
+      messages(e2))
+    // (4) a CALL against a dir with no committed manifest refuses
+    // descriptively at the catalog's arg check (isTable = committed
+    // versions exist), and the procedures' own head resolution —
+    // defense in depth for direct-API callers — names the dir too,
+    // never a bare None.get
+    wh: Unit
+    val ghost = new Path(s"$wh/lake/ghostt")
+    fs.mkdirs(new Path(ghost, "_manifests"))
+    val e3 = intercept[Exception](spark.sql(
+      "CALL gmeta.system.compact(table => 'lake.ghostt')"))
+    assert(messages(e3).exists(_.contains("is not a graft table")) &&
+      !messages(e3).exists(_.contains("None.get")), messages(e3))
+    val e4 = intercept[IllegalArgumentException](
+      graft.sources.GraftProcedures.headOrRefuse(spark, ghost.toString))
+    assert(e4.getMessage.contains("no committed manifest"), e4.getMessage)
+    fs.delete(ghost, true): Unit
+  }
+
   test("unknown procedure fails with the available list") {
     wh: Unit
     val e = intercept[Exception] {
