@@ -86,7 +86,16 @@ class GraftManifestSource extends RelationProvider
     // default floor = the head at stream START: only NEW commits
     // stream (Delta CDF streaming's default); startingVersion=v makes
     // the first batch INCLUDE v's changes
-    val floor = parameters.get("startingVersion").map(_.toLong - 1)
+    val floor = parameters.get("startingVersion").map { s =>
+      val v = s.toLong
+      // validated HERE, not at the first batch: an invalid option
+      // used to start the stream and then die with a misleading
+      // "version -1 no longer retained ... size retention" error
+      // pointing the user at the wrong knob (r20 review find)
+      require(v >= 1,
+        s"startingVersion must be >= 1 (versions number from 1), got $v")
+      v - 1
+    }
       .orElse(ManifestTable.headVersion(spark, dir))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed manifest at $dir"))

@@ -223,13 +223,19 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
       val statsCols = writeSchema.fieldNames.filter(c => touched.exists(p =>
         baseStats.get(p).exists(ManifestTable.statsFor(_, c).isDefined)))
         .toSeq
-      val staged0 = spark.read
-        .schema(ManifestTable.toPhysical(writeSchema, cmap))
-        .parquet(s"$dir/$cid")
-      val staged =
-        if (cmap.isEmpty) staged0
-        else staged0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
+      // one definition of "read the staged dir back through the
+      // physical names, aliased to logical" — the restage path below
+      // re-reads through the SAME rule (r20 review find: the block
+      // was copy-pasted and could drift)
+      def readBack(): org.apache.spark.sql.DataFrame = {
+        val raw = spark.read
+          .schema(ManifestTable.toPhysical(writeSchema, cmap))
+          .parquet(s"$dir/$cid")
+        if (cmap.isEmpty) raw
+        else raw.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
           col(cmap.getOrElse(l, l)).as(l)): _*)
+      }
+      val staged = readBack()
       val (checked0, boundChecks) =
         GraftManifestSource.bindDeclaredChecks(staged, dir,
           recomputeGenerated = true)
@@ -254,12 +260,7 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
           fs.delete(new Path(dir, cid), true)
           require(fs.rename(new Path(dir, cid2), new Path(dir, cid)),
             s"generated-column restage swap failed at $dir/$cid")
-          val re0 = spark.read
-            .schema(ManifestTable.toPhysical(writeSchema, cmap))
-            .parquet(s"$dir/$cid")
-          if (cmap.isEmpty) re0
-          else re0.select(writeSchema.fieldNames.toIndexedSeq.map(l =>
-            col(cmap.getOrElse(l, l)).as(l)): _*)
+          readBack()
         }
       val aggs = ManifestTable.statsAggExprs(statsCols)
       val m = checked.agg(aggs.head, aggs.tail: _*).head()
@@ -277,6 +278,9 @@ class GraftGroupWrite(table: GraftTable, op: GraftGroupOperation,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     fs.delete(new Path(table.tableDir, s"rl-$runId"), true): Unit
     fs.delete(new Path(table.tableDir, cid), true): Unit
+    // the generated-column restage's intermediate (a CHECK raise_error
+    // mid-restage aborts between its write and the swap) — r20 find
+    fs.delete(new Path(table.tableDir, cid + "-g"), true): Unit
   }
 }
 
@@ -568,6 +572,14 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
     import org.apache.spark.sql.functions.broadcast
     val dir = table.tableDir
     val files = messages.collect { case m: GraftTaskCommit if m.rows > 0 => m }
+    // staged artifacts OUTSIDE the rl-<runId> shell (_dv payloads,
+    // pd-* image dirs, the staged _cdc feed) — deleted when the
+    // publish never lands. publishMorDelta cleans them on its own
+    // guard refusals, but 'dv advanced'/'touched missing'/a CHECK
+    // raise_error mid-landImages used to leak them permanently
+    // (r20 review find); deletes are idempotent either way.
+    val stagedRels = scala.collection.mutable.ArrayBuffer.empty[String]
+    var csCached: Option[org.apache.spark.sql.DataFrame] = None
     try {
       if (files.isEmpty) return // no-op DML: nothing matched, nothing landed
       GraftTaskWriters.publishNamed(fs, new Path(dir, stageRel),
@@ -576,7 +588,12 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         throw new IllegalStateException(s"no committed graft table at $dir"))
       val tableSchema = table.schema()
       val marker = col(GraftDeltaWrite.ChangeCol)
+      // persisted: the changeset feeds the kind counts, the dv join,
+      // both image landings, and the staged feed — uncached that is
+      // ~5 extra full reads of the staged parquet per MERGE (r20)
       val cs = spark.read.schema(changesetSchema).parquet(s"$dir/$pubRel")
+        .persist()
+      csCached = Some(cs)
       // a file's PARENT is its commit dir — the dv channel's key
       // (derived here rather than carried as a metadata column, see
       // requiredMetadataAttributes)
@@ -604,6 +621,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
       val dvRel = s"${ManifestTable.DvDirName}/$dvName"
       var counts = Map.empty[Int, Long]
       if (touched.nonEmpty) {
+        stagedRels += dvRel
         val ords = broadcast(spark.createDataFrame(
           parents.zipWithIndex.map { case (p, i) => (p, i) })
           .toDF("__graft_ord_dir", "d"))
@@ -643,8 +661,19 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
       val post = cs.filter(marker === 3)
         .select(tableSchema.fieldNames.toIndexedSeq.map(col): _*)
+      // no fresh inserts → mint (and its identity.unique probe) runs
+      // over a LOCAL empty frame, not a scan of the staged parquet —
+      // the claims still thread (the watermark must advance past
+      // explicit BY DEFAULT ids in update post-images)
+      val freshSrc =
+        if (kindCounts.getOrElse(0, 0L) == 0L)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(tableSchema.fields))
+        else fresh
       val (freshMinted, idClaims) =
-        ManifestTable.assignIdentity(fresh, dir, fs, headHint = Some(baseV))
+        ManifestTable.assignIdentity(freshSrc, dir, fs,
+          headHint = Some(baseV))
       var boundChecks: Set[String] = Set.empty
       // identity columns join the tracked set: the per-dir max IS the
       // watermark-advance input publishMorDelta reads
@@ -656,6 +685,7 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
             recomputeGenerated = true)
         boundChecks ++= bc
         val c = "pd-" + java.util.UUID.randomUUID().toString.take(8)
+        stagedRels += c
         val obs = org.apache.spark.sql.Observation()
         val aggs = ManifestTable.statsAggExprs(statsCols2)
         ManifestTable.writePhysical(
@@ -693,6 +723,8 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
           ManifestTable.readDirs(spark, dir, baseV, Seq(c)) ->
             "update_postimage"
         }.toSeq)
+      stagedCdc.filterNot(_ == ManifestTable.CdcEmptyToken)
+        .foreach(n => stagedRels += s"${ManifestTable.CdcDirName}/$n")
       ManifestTable.publishMorDelta(spark, dir, baseV, touched, dvRel,
         counts, cids, tableSchema, statsCols2, boundChecks,
         stagedCdc, GraftRowLevel.retainOf(table),
@@ -701,7 +733,13 @@ class GraftPositionDeltaWrite(table: GraftTable, info: LogicalWriteInfo,
         // conflict check itself runs only when fresh images minted
         idClaims, mintedFresh = cidFresh.isDefined,
         freshCids = cidFresh.map(_._1).toSeq): Unit
+    } catch { case t: Throwable =>
+      stagedRels.foreach(r =>
+        try fs.delete(new Path(dir, r), true): Unit
+        catch { case _: java.io.IOException => () })
+      throw t
     } finally {
+      csCached.foreach(_.unpersist(): Unit)
       fs.delete(new Path(dir, s"rl-$runId"), true): Unit
     }
   }

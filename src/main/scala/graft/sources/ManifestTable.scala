@@ -2957,8 +2957,14 @@ object ManifestTable {
       val carried = headPaths.filterNot(touchedSet)
       val headMeta = metaOf(fs, tableDir, head)
       // same ALTER-vs-write race guard as the append loop: constraints
-      // declared since the rewrite job ran never saw its output rows
-      checkConflictGuard(fs, tableDir, headMeta, boundChecks, cid.toSeq)
+      // declared since the rewrite job ran never saw its output rows.
+      // Gated on rows actually LANDING (cid) like publishMorDelta's
+      // cids.nonEmpty: a pure removal (every affected row deleted,
+      // cid = None) writes nothing a constraint could judge — the
+      // unconditional guard spuriously failed full-group DELETEs on
+      // any table with a standing declared CHECK (r20 review find)
+      if (cid.nonEmpty)
+        checkConflictGuard(fs, tableDir, headMeta, boundChecks, cid.toSeq)
       // a merge-on-read DELETE racing this rewrite masks rows in a
       // touched dir WITHOUT changing the path list — publishing would
       // resurrect them (the rewrite read the base's masks); loud abort

@@ -47,6 +47,41 @@ class GraftConstraintSqlSpec extends SparkTestBase {
       .contains(before))
   }
 
+  test("a pure-removal DELETE lands on a CHECK table; a violating MoR insert leaves no orphans (r20 review finds)") {
+    wh: Unit
+    // (1) full-group DELETE (subquery condition → group CoW, every
+    // row of the dir matches → cid = None): the ALTER-vs-write guard
+    // must not fire for a standing CHECK — a removal writes no rows a
+    // constraint could judge
+    spark.sql("CREATE TABLE gcon.lake.c9 (k INT, v STRING)")
+    spark.sql("INSERT INTO gcon.lake.c9 VALUES (1,'a'),(2,'b')")
+    spark.sql("ALTER TABLE gcon.lake.c9 ADD CONSTRAINT kp CHECK (k > 0)")
+    spark.sql(
+      "DELETE FROM gcon.lake.c9 WHERE k IN (SELECT k FROM gcon.lake.c9)")
+    assert(spark.sql("SELECT count(*) FROM gcon.lake.c9")
+      .head.getLong(0) === 0L)
+    // (2) a MERGE insert violating the CHECK on a merge-on-read table
+    // aborts BEFORE the commit and cleans its staged image dirs — the
+    // pd-*/dv leavings used to orphan permanently in the table root
+    spark.sql("CREATE TABLE gcon.lake.c10 (k INT, v STRING) " +
+      "TBLPROPERTIES ('dml.mode'='merge-on-read')")
+    spark.sql("INSERT INTO gcon.lake.c10 VALUES (1,'a')")
+    spark.sql("ALTER TABLE gcon.lake.c10 ADD CONSTRAINT kcap CHECK (k < 100)")
+    intercept[Exception](spark.sql(
+      """MERGE INTO gcon.lake.c10 t
+         USING (SELECT 500 AS k, 'big' AS v) s
+         ON t.k = s.k
+         WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""))
+    val dir = new org.apache.hadoop.fs.Path(s"$wh/lake/c10")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    val leftovers = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.startsWith("pd-") || n.startsWith("rl-")).toSeq
+    assert(leftovers.isEmpty,
+      s"a refused MoR statement must clean its staged dirs: $leftovers")
+    assert(spark.sql("SELECT count(*) FROM gcon.lake.c10")
+      .head.getLong(0) === 1L)
+  }
+
   test("inline CREATE constraints bind from the first insert") {
     wh: Unit
     spark.sql("""CREATE TABLE gcon.lake.c2 (

@@ -481,6 +481,22 @@ class GraftSourceSpec extends SparkTestBase {
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("no longer retained")), msgs(e))
+    // startingVersion <= 0 refuses AT source creation with the option
+    // named — not at the first batch with a misleading retention error
+    // (r20 review find)
+    val q3 = spark.readStream.format("graft-manifest")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", java.nio.file.Files
+        .createTempDirectory("x14bad").toString)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("x14badck").toString).start()
+    val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination(10000): Unit
+    }
+    assert(msgs(e3).exists(_.contains("startingVersion must be >= 1")),
+      msgs(e3))
   }
 
   test("write side: append / errorIfExists / ignore / overwrite SaveModes") {
