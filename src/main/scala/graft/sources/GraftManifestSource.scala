@@ -432,7 +432,8 @@ object GraftManifestSource {
   private[graft] def overwrite(data0: DataFrame, dir: String,
                                statsCols: Seq[String],
                                retainGenerations: Int = 2,
-                               extraMeta: Map[String, String] = Map.empty)
+                               extraMeta: Map[String, String] = Map.empty,
+                               specOverride: Option[Seq[String]] = None)
       : Unit = {
     val spark = data0.sparkSession
     // bucketed (S31) table: overwrite = ONE atomic swap commit keeping
@@ -464,12 +465,18 @@ object GraftManifestSource {
     // with per-dir stats, the append paths' contract) — a single-dir
     // overwrite would silently discard the clustered-on-arrival layout
     // until the next compaction (r19 review find).
-    val spec = ManifestTable.headVersion(spark, dir)
-      .flatMap(v => ManifestTable.clusterSpecOf(fs, dir, v))
+    // an explicit clusterBy write OPTION governs THIS overwrite's
+    // layout too, not just the spec it declares afterwards — data
+    // landing by the old (or no) spec under a freshly-declared one
+    // left the table claiming a layout its own overwrite did not
+    // apply (r20 review find)
+    val spec = specOverride.orElse(ManifestTable.headVersion(spark, dir)
+      .flatMap(v => ManifestTable.clusterSpecOf(fs, dir, v)))
     val (v, cids) = spec match {
       case Some(cols) => // clusterSpecOf never yields an empty spec
         ManifestTable.appendClusteredWithCids(data, dir,
-          (statsCols ++ cols).distinct, retainGenerations = retainGenerations)
+          (statsCols ++ cols).distinct, retainGenerations = retainGenerations,
+          specOverride = Some(cols))
       case _ =>
         val (v0, cid) = ManifestTable.appendWithCid(data, dir, statsCols,
           retainGenerations)

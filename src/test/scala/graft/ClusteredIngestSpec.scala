@@ -188,6 +188,32 @@ class ClusteredIngestSpec extends SparkTestBase {
       s"overwritten clustered dirs must prune to one for a point: $kept")
   }
 
+  test("overwrite with a clusterBy OPTION lands clustered, not just declared (r20 review find)") {
+    val dir = Files.createTempDirectory("graft-clu-opt").toString + "/t"
+    val s = spark; import s.implicits._
+    // seed an UNCLUSTERED table, then overwrite with the option: the
+    // option must govern THIS overwrite's layout — the old route read
+    // only the (absent) declared spec, landed one unclustered dir,
+    // and then declared the spec that very write did not apply
+    Seq((0, "seed")).toDF("k", "v").write.format("graft")
+      .option("statsCols", "k").mode("append").save(dir)
+    (1 to 400).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("graft").option("clusterBy", "k")
+      .option("statsCols", "k").mode("overwrite").save(dir)
+    val f = fs(dir)
+    val head = ManifestTable.headVersion(spark, dir).get
+    val paths = ManifestTable.pathsOf(f, dir, head)
+    assert(paths.size > 1 && paths.forall(_.startsWith("ci-")),
+      s"the overwrite itself must land range dirs: $paths")
+    assert(ManifestTable.clusterSpecOf(f, dir, head).contains(Seq("k")),
+      "…and the spec it applied is the one it declares")
+    val schema = ManifestTable.declaredSchemaOf(spark, dir, head).get
+    assert(ManifestTable.prunePaths(f, dir, head,
+      Map("k" -> ("7", "7")), schema).size == 1,
+      "point scans prune the freshly-overwritten layout")
+    assert(ManifestTable.read(spark, dir).count() == 400L)
+  }
+
   test("a V1-alias append honors the declared cluster spec too") {
     val dir = Files.createTempDirectory("graft-clu-v1").toString + "/t"
     val s = spark; import s.implicits._

@@ -408,6 +408,52 @@ class GraftDvSpec extends SparkTestBase {
     assert(e2.getMessage.contains("removed data dirs"), e2.getMessage)
   }
 
+  test("a FRESH stream on a masked MoR table starts and snapshots the MASKED state (r20 review find)") {
+    val dir = fourDirTable("m11")
+    spark.sql("DELETE FROM gdv.lake.m11 WHERE k IN (3, 12)") // masks land
+    // no flags: the initial snapshot must start cleanly and serve the
+    // masked state — the old whole-map dv guard made this throw, and
+    // ignoreDeletes then RESURRECTED the deleted rows
+    val out = java.nio.file.Files.createTempDirectory("gdv-snap").toString
+    val ck = java.nio.file.Files.createTempDirectory("gdv-snapck").toString
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.read.schema("k INT, v STRING").parquet(out)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val expect = (0 until 4).flatMap(b => b * 10 until b * 10 + 5)
+      .filterNot(Set(3, 12)).sorted
+    assert(got == expect,
+      s"the snapshot must serve the masked state exactly: $got")
+    // an appended-then-masked dir mid-stream also reads THROUGH its
+    // mask; a mask advancing on an ALREADY-streamed dir still refuses
+    spark.sql("INSERT INTO gdv.lake.m11 VALUES (100,'x'),(101,'y')")
+    spark.sql("DELETE FROM gdv.lake.m11 WHERE k = 100")
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q2.awaitTermination() finally q2.stop()
+    val got2 = spark.read.schema("k INT, v STRING").parquet(out)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(got2 == (expect :+ 101).sorted,
+      s"the tail batch must read through the appended dir's mask: $got2")
+    spark.sql("DELETE FROM gdv.lake.m11 WHERE k = 0") // already-streamed dir
+    val q3 = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable(); q3.awaitTermination(10000): Unit
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("already-streamed")), msgs(e))
+  }
+
   test("past the driver cap, readers load their masks executor-side") {
     val dir = fourDirTable("m10")
     spark.sql("DELETE FROM gdv.lake.m10 WHERE k IN (1, 22, 23)")
