@@ -52,14 +52,30 @@ object BloomFilterAgg {
     * ever holds the handful of distinct filters a JVM sees, so the
     * full-content key costs one array scan per row while ruling out
     * any sampled-key collision between same-sized filters. */
-  private val parsed = new java.util.concurrent.ConcurrentHashMap[
-    java.nio.ByteBuffer, BloomFilter]
+  // BOUNDED (r20 review find): a long-lived executor on a cluster
+  // that rebuilds filters (nightly refresh, per-partition filters)
+  // would otherwise accrete every distinct serialized filter forever
+  // — ~1.2 MB each. Access-ordered LRU, plenty for the handful of
+  // live filters any one stage probes.
+  private val MaxParsed = 64
+  private val parsed = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[java.nio.ByteBuffer, BloomFilter](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.nio.ByteBuffer, BloomFilter])
+          : Boolean = size() > MaxParsed
+    })
   private def parse(bytes: Array[Byte]): BloomFilter =
     parsed.computeIfAbsent(java.nio.ByteBuffer.wrap(bytes), k =>
       BloomFilter.readFrom(new java.io.ByteArrayInputStream(k.array())))
   val mightContain: (Column, Column) => Column = {
+    // Spark only auto-null-guards PRIMITIVE-typed UDF inputs — a null
+    // byte array or probe string reaches the lambda (nullable probe
+    // columns, outer-join filter sides) and used to NPE the task; the
+    // SQL-consistent answer is null (r20 review find)
     val f = functions.udf((bytes: Array[Byte], s: String) =>
-      parse(bytes).mightContainString(s))
+      if (bytes == null || s == null) null.asInstanceOf[java.lang.Boolean]
+      else java.lang.Boolean.valueOf(parse(bytes).mightContainString(s)))
     (bf: Column, s: Column) => f(bf, s)
   }
 }

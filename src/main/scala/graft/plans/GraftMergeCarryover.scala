@@ -87,11 +87,26 @@ object GraftMergeCarryoverDedup extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case rd: ReplaceData if graftGroupTarget(rd.table) =>
-      rd.query match {
-        case m: MergeRows
+      // descend through unary wrappers to FIND the MergeRows — an
+      // interposed node (a Spark upgrade's Project, another injected
+      // rule) must not silently skip the patch this shape needs; the
+      // direct-child match used to return the plan unpatched, quietly
+      // reintroducing the duplication `patched` fails loudly to
+      // prevent (r20 review find)
+      def findMergeRows(p: LogicalPlan)
+          : Option[(MergeRows, MergeRows => LogicalPlan)] = p match {
+        case m: MergeRows => Some((m, identity[MergeRows] _))
+        case u if u.children.length == 1 =>
+          findMergeRows(u.children.head).map { case (m, rebuild) =>
+            (m, (nm: MergeRows) => u.withNewChildren(Seq(rebuild(nm))))
+          }
+        case _ => None
+      }
+      findMergeRows(rd.query) match {
+        case Some((m, rebuild))
             if carryoverOnly(m.matchedInstructions) && !m.checkCardinality =>
           patched(m.child) match {
-            case Some(c) => rd.withNewQuery(m.copy(child = c))
+            case Some(c) => rd.withNewQuery(rebuild(m.copy(child = c)))
             case None =>
               // Only reached when the statement HAS the duplication-
               // prone shape (carryover-only, cardinality check off,

@@ -60,7 +60,17 @@ object GraftViewDdl {
           .map(g => (g, Identifier.of(rest.init.toArray, rest.last)))
           .orElse(cm.currentCatalog match {
             case g: GraftCatalog =>
-              Some((g, Identifier.of(parts.init.toArray, parts.last)))
+              // a head naming ANY registered catalog (graft or not)
+              // is catalog-qualified, never relative: claiming it
+              // would bind `other_cat.ns.v` to a graft view stored at
+              // namespace [other_cat, ns] — the read rule refuses the
+              // same binding, so a mis-created view would be
+              // unreadable (r20 review find)
+              val headIsCatalog =
+                try { cm.catalog(head); true }
+                catch { case _: Exception => false }
+              if (headIsCatalog) None
+              else Some((g, Identifier.of(parts.init.toArray, parts.last)))
             case _ => None
           })
       case Seq(only) => cm.currentCatalog match {
@@ -106,11 +116,14 @@ object GraftViewDdl {
           case _ => Seq.empty
         }
         // a single-part name may be a session TEMP view even when the
-        // current catalog is graft — only claim it when the view file
-        // actually exists (temp views win otherwise)
+        // current catalog is graft — temp views SHADOW (standard
+        // resolution order), so a standing temp view always wins the
+        // claim, and otherwise the graft view must actually exist
         graftTarget(spark, parts) match {
           case Some((cat, id))
-              if parts.length > 1 || cat.viewExists(id) =>
+              if (parts.length > 1 || cat.viewExists(id)) &&
+                !(parts.length == 1 &&
+                  spark.sessionState.catalog.isTempView(parts)) =>
             GraftDropViewCommand(cat, id, d.ifExists)
           case _ => plan
         }
@@ -120,17 +133,35 @@ object GraftViewDdl {
             u.multipartIdentifier
           case _ => Seq.empty
         }
+        val cm = spark.sessionState.catalogManager
         parts match {
           case head +: rest =>
-            (try spark.sessionState.catalogManager.catalog(head) match {
+            (try cm.catalog(head) match {
               case g: GraftCatalog => Some(g)
               case _ => None
             } catch { case _: Exception => None }) match {
               case Some(g) =>
                 GraftShowViewsCommand(g, rest, s.pattern, s.output)
-              case None => plan
+              case None => cm.currentCatalog match {
+                // a RELATIVE namespace under a current graft catalog:
+                // `SHOW VIEWS IN ns` must list what `CREATE VIEW ns.v`
+                // just created — the same lifecycle symmetry
+                // CREATE/DROP/read already have (r20 review find).
+                // A head naming any registered catalog stays unclaimed.
+                case g: GraftCatalog
+                    if (try { cm.catalog(head); false }
+                        catch { case _: Exception => true }) =>
+                  GraftShowViewsCommand(g, parts, s.pattern, s.output)
+                case _ => plan
+              }
             }
-          case _ => plan
+          case _ => cm.currentCatalog match {
+            // bare `SHOW VIEWS` lists the current namespace
+            case g: GraftCatalog =>
+              GraftShowViewsCommand(g, cm.currentNamespace.toSeq,
+                s.pattern, s.output)
+            case _ => plan
+          }
         }
       case p => p
     }
@@ -267,7 +298,13 @@ object GraftViewReadRule extends Rule[LogicalPlan] {
     // references become CTERelationRefs that the qualifier below
     // naturally skips.
     val body = org.apache.spark.sql.catalyst.analysis.CTESubstitution(body0)
-    val cteNames = body.collectWithSubqueries {
+    // collected from the PRE-substitution body: after CTESubstitution
+    // the UnresolvedWith nodes are gone, so collecting from `body`
+    // matched nothing and the exemption was dead code (r20 review
+    // find). Substitution already turns in-scope references into
+    // CTERelationRefs; this set is the belt-and-braces for any
+    // reference shape the substitution leaves unresolved.
+    val cteNames = body0.collectWithSubqueries {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
     }.flatten.toSet

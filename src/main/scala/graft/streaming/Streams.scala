@@ -357,12 +357,16 @@ object Streams {
                                  batchId: Long): Option[Long] = {
     val spark = b.sparkSession
     val key = s"txn:$appId"
-    val committed = graft.sources.ManifestTable.headVersion(spark, tableDir)
-      .flatMap { v =>
-        val fs = new org.apache.hadoop.fs.Path(tableDir)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        graft.sources.ManifestTable.metaOf(fs, tableDir, v).get(key)
-      }.map(_.toLong)
+    // ONE head resolution per micro-batch (r20 review find): the txn
+    // replay check and the cluster-spec probe read the same snapshot
+    // — re-listing for each doubled the driver-side metadata round
+    // trips on a hot streaming path
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val headV = graft.sources.ManifestTable.headVersion(spark, tableDir)
+    val committed = headV.flatMap(v =>
+      graft.sources.ManifestTable.metaOf(fs, tableDir, v).get(key))
+      .map(_.toLong)
     if (committed.exists(_ >= batchId)) None // replayed batch: already in
     else if (b.isEmpty) None
     else {
@@ -373,12 +377,8 @@ object Streams {
       // instead of quietly thinning
       val guarded = graft.sources.GraftManifestSource
         .withDeclaredChecks(b, tableDir)
-      val spec = graft.sources.ManifestTable.headVersion(spark, tableDir)
-        .flatMap { v =>
-          val fs = new org.apache.hadoop.fs.Path(tableDir)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          graft.sources.ManifestTable.clusterSpecOf(fs, tableDir, v)
-        }
+      val spec = headV.flatMap(v =>
+        graft.sources.ManifestTable.clusterSpecOf(fs, tableDir, v))
       Some(spec match {
         case Some(cols) => graft.sources.ManifestTable.appendClustered(
           guarded, tableDir, (statsCols ++ cols).distinct,

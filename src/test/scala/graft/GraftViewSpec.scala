@@ -184,6 +184,50 @@ class GraftViewSpec extends SparkTestBase {
     }
   }
 
+  test("view DDL: other-catalog names unclaimed, temp views shadow DROP, relative SHOW VIEWS (r20 review finds)") {
+    seed()
+    val cm = spark.sessionState.catalogManager
+    val (prevCat, prevNs) = (cm.currentCatalog.name, cm.currentNamespace)
+    try {
+      spark.sql("USE gvw.lake")
+      // (1) DDL qualified with ANOTHER registered catalog's name is
+      // never claimed relative to the current graft catalog — the old
+      // fallback bound `spark_catalog.default.v` to a graft view at
+      // namespace [spark_catalog, default], which the read rule
+      // refuses, so the view would have been unreadable
+      spark.sql("CREATE VIEW spark_catalog.default.sesv AS SELECT 1 AS one")
+      assert(spark.sql("SELECT * FROM spark_catalog.default.sesv")
+        .head().getInt(0) == 1, "the session-catalog view must exist THERE")
+      assert(!new java.io.File(s"$wh/spark_catalog").exists(),
+        "no graft view dir may appear for the other catalog's name")
+      spark.sql("DROP VIEW spark_catalog.default.sesv")
+      // (2) a session TEMP view SHADOWS the persisted graft view on a
+      // single-part DROP (standard resolution order)
+      spark.sql("DROP VIEW IF EXISTS gvw.lake.shade")
+      spark.sql("CREATE VIEW gvw.lake.shade AS SELECT k FROM gvw.lake.t")
+      spark.sql("CREATE TEMP VIEW shade AS SELECT 42 AS k")
+      spark.sql("DROP VIEW shade") // must drop the TEMP view
+      assert(spark.sql("SELECT count(*) FROM gvw.lake.shade")
+        .head().getLong(0) == 3L,
+        "the persisted view must survive the temp-view drop")
+      spark.sql("DROP VIEW gvw.lake.shade")
+      // (3) bare and relative SHOW VIEWS under a current graft catalog
+      spark.sql("DROP VIEW IF EXISTS gvw.lake.sv1")
+      spark.sql("CREATE VIEW gvw.lake.sv1 AS SELECT 1 AS one")
+      assert(spark.sql("SHOW VIEWS").collect()
+        .map(_.getString(1)).contains("sv1"),
+        "bare SHOW VIEWS must list the current namespace's views")
+      assert(spark.sql("SHOW VIEWS IN lake").collect()
+        .map(_.getString(1)).contains("sv1"),
+        "a relative namespace must list like CREATE/DROP resolve")
+      spark.sql("DROP VIEW gvw.lake.sv1")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      if (prevCat == cm.currentCatalog.name && prevNs.nonEmpty)
+        cm.setCurrentNamespace(prevNs)
+    }
+  }
+
   test("s35 board query matches the recomputed oracle on sf0.001") {
     val r = graft.sources.Sources.s35_catalog_view(spark, sf).head()
     assert(r.getLong(1) > 0)
