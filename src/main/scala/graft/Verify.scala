@@ -86,6 +86,15 @@ object Verify {
             } catch { case _: Throwable => () }
         }
       }
+    // drop the wip staging tree once the loop is done (best-effort: an
+    // abandoned timeout thread may still be writing into it — IO errors
+    // here must never fail a completed board). Orphaned wip dirs are
+    // pure garbage: the compare lists only outDir (r20 ADVICE low).
+    try {
+      val fs = new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir.wip"), true): Unit
+    } catch { case _: Throwable => () }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -30,6 +30,22 @@ object Watchdog {
     val result =
       new java.util.concurrent.atomic.AtomicReference[Either[String, T]](null)
     val group = s"watchdog-$name-${System.nanoTime()}"
+    // The job group is pinned from the PARENT before start (local
+    // properties are an InheritableThreadLocal, so the worker inherits
+    // them at Thread construction): a worker that had not yet reached
+    // its own setJobGroup when the deadline fired used to be
+    // uncancellable — the abandoned thread kept submitting full Spark
+    // jobs that competed with every later timed query (r20 ADVICE).
+    // The worker's own setJobGroup with the same ids is kept for the
+    // description field; the parent's copy is restored afterwards so a
+    // caller-level group (if any) is not clobbered.
+    val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    sc.setLocalProperty("spark.jobGroup.id", group)
+    sc.setLocalProperty("spark.job.description", name)
+    sc.setLocalProperty("spark.job.interruptOnCancel", "true")
     val t = new Thread(() => {
       try {
         spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
@@ -43,9 +59,18 @@ object Watchdog {
     }, s"graft-$group")
     t.setDaemon(true)
     t.start()
+    sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+    sc.setLocalProperty("spark.job.description", prevDesc)
+    sc.setLocalProperty("spark.job.interruptOnCancel", prevInt)
     t.join(timeoutSec * 1000L)
     Option(result.get()).getOrElse {
-      spark.sparkContext.cancelJobGroup(group)
+      // ...AndFutureJobs: a worker that had not yet SUBMITTED its job
+      // when the deadline fired used to dodge a plain cancelJobGroup
+      // (which only sweeps currently-active jobs) and burn executor
+      // slots under every later timed query. With the future-jobs
+      // cancel, anything the abandoned thread submits in this group —
+      // now or minutes later — is rejected at submission (r20 ADVICE).
+      spark.sparkContext.cancelJobGroupAndFutureJobs(group)
       t.interrupt()
       // brief grace: a cancel-responsive body surfaces its own error
       // (SparkException: job cancelled) — fold it INTO the timeout

@@ -138,13 +138,22 @@ object Aggregates {
       .na.fill(0, Seq("de", "en", "es", "fr", "zh")) // absent combo = 0, like COUNT FILTER
       .orderBy("source")
 
-  /** A10: exact percentiles / median of order totals per status. */
+  /** A10: exact percentiles / median of order totals per status.
+    * ONE array-typed `percentile(x, array(...))` buffer, not three
+    * scalar percentile/median aggregates (r21, guide §2.3): Spark's
+    * Percentile buffers every (value, count) pair per group per
+    * AGGREGATE EXPRESSION, so the 3-expression form built and shuffled
+    * the whole group's value map three times. `median(x)` IS
+    * `percentile(x, 0.5)` (RuntimeReplaceable), so the result is
+    * bit-identical; the per-group buffer and its shuffle bytes drop 3×. */
   def a10_percentiles(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .groupBy(col("o_orderstatus"))
-      .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
-        round(expr("median(o_totalprice)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("ps"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("ps"), 1), 4).as("p25"),
+        round(element_at(col("ps"), 2), 4).as("p50"),
+        round(element_at(col("ps"), 3), 4).as("p90"))
       .orderBy("o_orderstatus")
 
   /** A11: argmax-style selection — max_by/min_by per brand (keyed on the
@@ -186,9 +195,12 @@ object Aggregates {
     val qArr = array(lit(0.25), lit(0.5), lit(0.9))
     // sketch + exact + count in ONE pass over orders (they aggregate the
     // same key); only the rank-verification pass re-reads the table
+    // exact side uses ONE array-typed percentile buffer, same as a10
+    // (three scalar percentile expressions would build and shuffle the
+    // per-group value map three times for identical output)
     val stats = o.groupBy(col("o_orderstatus"))
       .agg(expr("approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.9D), 100)").as("ap"),
-        expr("array(percentile(o_totalprice, 0.25D), percentile(o_totalprice, 0.5D), percentile(o_totalprice, 0.9D))").as("ep"),
+        expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.9D))").as("ep"),
         count(lit(1)).as("n"))
       .select(col("o_orderstatus"), col("n"), col("ep"),
         posexplode(col("ap")).as(Seq("qi", "v")))

@@ -26,15 +26,23 @@ object Composite {
       .limit(20)
 
   /** Q5 shape — local-supplier volume per nation: 6-table join where
-    * region/nation/supplier broadcast and the fact chain shuffles on its
-    * natural keys. */
+    * region/nation broadcast (O(1) cardinality at any scale: 25/5 rows)
+    * and the fact chain shuffles on its natural keys. supplier carries
+    * NO broadcast hint (r20 verdict finding #1): it is sf-proportional
+    * (sf×10k rows — ~10⁹ at the 100 TB north star), so the hint would
+    * force a driver-side build that cannot scale, where the planner
+    * (AQE at runtime, size estimates at plan time) picks broadcast
+    * exactly while the side actually fits — the same stance q18
+    * documents for customer. ScaleDesignSpec pins both halves: no
+    * forced-broadcast hint in the plan, AND the planner still chooses
+    * BroadcastHashJoin for supplier at harness scale. */
   def q5_local_supplier(s: SparkSession, d: String): DataFrame = {
     val n = broadcast(nation(s, d))
     val r = broadcast(region(s, d).filter(col("r_name").isin("ASIA", "EUROPE")))
     customer(s, d)
       .join(orders(s, d), col("c_custkey") === col("o_custkey"))
       .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey")
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey")
         && col("c_nationkey") === col("s_nationkey"))
       .join(n, col("s_nationkey") === col("n_nationkey"))
       .join(r, col("n_regionkey") === col("r_regionkey"))

@@ -166,34 +166,36 @@ object Quality {
     * per numeric column of the fact table, reshaped long with `stack`
     * (the unpivot generator — the inverse of A9's pivot, completing the
     * reshape pair). The long/tidy shape is what monitoring stores
-    * ingest. Scale: one pruned single-column scan + two-phase distinct
-    * aggregate PER column (see the comment below for why this beats
-    * one multi-distinct pass), crossJoined as 1-row frames; stack is a
-    * driver-free generator on the single joined row. */
-  def dq6_column_profile(s: SparkSession, d: String): DataFrame = {
-    // one 1-row agg PER column, crossJoined (1-row × 1-row — free), not
-    // one agg with three countDistincts: multi-distinct on different
-    // columns makes Catalyst Expand the scan ×(n+1), quadrupling the
-    // rows fed to the aggregate; per-column aggs each scan ONE pruned
-    // column and use the plain two-phase distinct path instead
-    // stack only needs per-position type agreement; the three *_nd
-    // inputs are all BIGINT, so they pass through unconverted (a
-    // double round-trip would also lose precision above 2^53)
-    def prof(c: String, p: String) = lineitem(s, d).agg(
-      min(col(c)).as(s"${p}_min"), max(col(c)).as(s"${p}_max"),
-      round(avg(col(c)), 4).as(s"${p}_avg"),
-      countDistinct(col(c)).as(s"${p}_nd"))
-    val one = prof("l_quantity", "q")
-      .crossJoin(prof("l_discount", "d"))
-      .crossJoin(prof("l_extendedprice", "p"))
-    one.selectExpr(
-      """stack(3,
-           'l_discount',      d_min, d_max, d_avg, d_nd,
-           'l_extendedprice', p_min, p_max, p_avg, p_nd,
-           'l_quantity',      q_min, q_max, q_avg, q_nd
-         ) AS (col_name, min_v, max_v, avg_v, n_distinct)""")
+    * ingest.
+    *
+    * Scale/plan shape (r21, guide §2.3/§2.4): unpivot FIRST, then ONE
+    * grouped aggregate over (col_name, value). The three profiled
+    * columns ride a single fact scan and a single two-phase distinct
+    * chain — Catalyst plans a mixed distinct+plain aggregate with ONE
+    * distinct column group as regroup-by-(key, value), no Expand — vs
+    * the previous shape's three separate scans + three distinct chains
+    * + two crossJoins (9 stages → 3; measured 1.0s → ~0.45s at sf0.1;
+    * plan files plans/r21/dq6_column_profile_{before,after}.txt). The
+    * multi-distinct-Expand trap the old comment guarded against stays
+    * avoided: after the unpivot there is exactly one distinct column
+    * (`v`), never one per profiled column. The unpivot triples the
+    * scanned row COUNT but carries (name, value) pairs only — the same
+    * bytes the three pruned scans read in total — and the partial agg
+    * combines map-side, so the exchange carries distinct values, not
+    * rows, exactly as before. */
+  def dq6_column_profile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .selectExpr(
+        """stack(3,
+             'l_discount',      l_discount,
+             'l_extendedprice', l_extendedprice,
+             'l_quantity',      l_quantity
+           ) AS (col_name, v)""")
+      .groupBy("col_name")
+      .agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+        round(avg(col("v")), 4).as("avg_v"),
+        countDistinct(col("v")).as("n_distinct"))
       .orderBy("col_name")
-  }
 
   /** DQ7: distribution drift (PSI) — the monitoring metric that catches
     * a pipeline silently changing its data mix: Population Stability

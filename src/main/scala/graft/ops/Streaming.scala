@@ -150,10 +150,15 @@ object Streaming {
           && col("first_view") > col("first_signup"), lit(1))).as("n_full_funnel"))
 
   /** X7: stream-static join (batch form) — enrich events with the static
-    * customer dim; in streaming the dim side is broadcast per micro-batch. */
+    * customer dim. NO broadcast hint (r20 verdict finding #2): customer
+    * is sf-proportional (sf×150k rows), so a pinned broadcast dies at
+    * the 100 TB design point; the planner picks broadcast itself while
+    * the dim fits (it does at every harness sf — ScaleDesignSpec pins
+    * that), and the true streaming form re-broadcasts per micro-batch
+    * only when the planner so chooses, for the same reason. */
   def x7_stream_static_join(s: SparkSession, d: String): DataFrame =
     ev(s, d)
-      .join(broadcast(customer(s, d)), col("user_id") === col("c_custkey"))
+      .join(customer(s, d), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))

@@ -821,6 +821,31 @@ object TextVector {
     accepted.toSeq
   }
 
+  /** Bounded-prefix round acceptance (r20 verdict finding #4): decide a
+    * t51 round from the top-`lim` ranked pairs only, escalating the
+    * fetch when — and only when — exactness demands it. The prefix
+    * decides identically to the full set iff the acceptance budget
+    * filled inside it (rfAcceptRound never reads past its last
+    * acceptance) or the prefix IS the full set (fetched < limit);
+    * otherwise the limit grows ×8 and the round re-decides from
+    * scratch, terminating at the full set. Driver memory is therefore
+    * O(limit) on every real corpus (one fetch) with the unbounded
+    * collect as the provably-identical worst case, never the default.
+    * `fetch(lim)` must return the top-`lim` ranked candidates. */
+  private[graft] def boundedRoundAccept(fetch: Int => Seq[(String, Long)],
+                                        remaining: Int)
+      : (Seq[(String, Long)], Boolean) = {
+    var lim = math.max(64, 8 * remaining)
+    var cands = fetch(lim)
+    var accepted = rfAcceptRound(cands, remaining)
+    while (cands.size == lim && accepted.size < remaining) {
+      lim *= 8
+      cands = fetch(lim)
+      accepted = rfAcceptRound(cands, remaining)
+    }
+    (accepted, cands.isEmpty)
+  }
+
   def t51_bpe_train(s: SparkSession, d: String): DataFrame = {
     val budget = 16
     val words = tokDocs(s, d)
@@ -837,7 +862,7 @@ object TextVector {
       var done = false
       while (learned.size < budget && !done) {
         round += 1
-        val cands = words
+        val ranked = words
           .withColumn("syms", split(expr(s"trim($segExpr)"), " "))
           .filter(size(col("syms")) >= 2) // fully-fused words drop out
           .select(col("wc"), explode(expr(
@@ -845,12 +870,20 @@ object TextVector {
               "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
             .as("pair"))
           .groupBy("pair").agg(sum(col("wc")).as("n"))
-          .orderBy(desc("n"), col("pair")).collect()
-        if (cands.isEmpty) done = true
+          .orderBy(desc("n"), col("pair"))
+        // BOUNDED driver collect (r20 verdict finding #4): the pair
+        // space is symbol-vocab² — bounded for this corpus's [a-z]+
+        // domain but unbounded in general (a CJK alphabet would
+        // collect millions of rows). boundedRoundAccept fetches a rank
+        // prefix (a cheap TakeOrdered instead of a full sort+collect)
+        // and escalates only when exactness demands it — see its
+        // scaladoc; TextVectorSpec pins the prefix-equivalence lemma.
+        val (accepted, exhausted) = boundedRoundAccept(
+          lim => ranked.limit(lim).collect()
+            .toSeq.map(r => (r.getString(0), r.getLong(1))),
+          budget - learned.size)
+        if (exhausted) done = true
         else {
-          val accepted = rfAcceptRound(
-            cands.toSeq.map(r => (r.getString(0), r.getLong(1))),
-            budget - learned.size)
           accepted.foreach { case (pair, n) =>
             learned += ((round, learned.size + 1, pair, n))
             segExpr =

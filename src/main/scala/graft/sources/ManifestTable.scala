@@ -723,15 +723,26 @@ object ManifestTable {
     val fs = fsOf(spark, tableDir)
     val head = headHint.orElse(versions(fs, tableDir).lastOption)
       .getOrElse(return Map.empty)
-    val meta = metaOf(fs, tableDir, head)
+    // the hinted planning-path head may be GC-retired by now (same
+    // hazard as the commit loop's attempt-1 reads, r20 ADVICE medium):
+    // fall to a fresh listing instead of failing the whole write
+    def headReads(h: Long) = (metaOf(fs, tableDir, h),
+      declaredSchemaOf(spark, tableDir, h), colMapOf(fs, tableDir, h))
+    val (meta, declaredOpt, cmap) =
+      try headReads(head)
+      catch {
+        case _: java.io.FileNotFoundException if headHint.contains(head) =>
+          versions(fs, tableDir).lastOption match {
+            case Some(fresh) => headReads(fresh)
+            case None => return Map.empty
+          }
+      }
     val cols = meta.get(GraftCatalog.PropPrefix + "bloomCols")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty).getOrElse(return Map.empty)
     val fpp = meta.get(GraftCatalog.PropPrefix + "bloomFpp")
       .flatMap(_.toDoubleOption).getOrElse(graft.ScaleKnobs.BloomFpp)
-    val declared = declaredSchemaOf(spark, tableDir, head)
-      .getOrElse(return Map.empty)
-    val cmap = colMapOf(fs, tableDir, head)
+    val declared = declaredOpt.getOrElse(return Map.empty)
     val usable = cols.filter(c => declared.fields.find(_.name == c)
       .exists(_.dataType match {
         case StringType | ByteType | ShortType | IntegerType | LongType => true
@@ -1651,13 +1662,30 @@ object ManifestTable {
       require(attempts <= 1000, s"append contention at $tableDir")
       // attempt 1 reuses the caller's planning-path head (r20 — no
       // re-listing on the uncontended path; commitIf still validates
-      // the base and a stale one just falls to the retry, which lists)
-      val base = (if (attempts == 1) knownHead else None)
+      // the base and a stale one just falls to the retry, which lists).
+      // All four head-derived reads happen TOGETHER so the GC-staleness
+      // guard below covers every one of them.
+      val headFirst = (if (attempts == 1) knownHead else None)
         .orElse(versions(fs, tableDir).lastOption).getOrElse(0L)
-      val prior = if (base > 0) pathsOf(fs, tableDir, base) else Seq.empty
-      val priorStats =
-        if (base > 0) statsOf(fs, tableDir, base) else Map.empty[String, String]
-      val priorDdl = if (base > 0) schemaOf(fs, tableDir, base) else None
+      def headReads(b: Long): (Long, Seq[String], Map[String, String],
+          Option[String], Map[String, String]) =
+        if (b > 0) (b, pathsOf(fs, tableDir, b), statsOf(fs, tableDir, b),
+          schemaOf(fs, tableDir, b), metaOf(fs, tableDir, b))
+        else (b, Seq.empty, Map.empty, None, Map.empty)
+      val (base, prior, priorStats, priorDdl, priorMeta) =
+        try headReads(headFirst)
+        catch {
+          // the caller's planning head can be GC-RETIRED by the time
+          // the batch's parquet job finishes (>= retainGenerations
+          // concurrent commits landed meanwhile): commitIf catches its
+          // own FileNotFoundException and rebases, but these reads used
+          // to propagate it straight out of the commit loop, failing a
+          // perfectly committable write (r20 ADVICE medium). Fall to a
+          // FRESH listing instead — exactly what attempt 2 would do.
+          case _: java.io.FileNotFoundException
+              if attempts == 1 && knownHead.contains(headFirst) =>
+            headReads(versions(fs, tableDir).lastOption.getOrElse(0L))
+        }
       // fixed-schema = same field names and types, in order. Nullability
       // is NOT part of the contract: a batch whose column merely became
       // nullable (a when/otherwise, an outer join) is data-compatible —
@@ -1699,9 +1727,9 @@ object ManifestTable {
               p.copy(nullable = p.nullable || i.nullable)
             }).toDDL
       }
-      // meta carries forward like stats; this append's keys override
-      val priorMeta =
-        if (base > 0) metaOf(fs, tableDir, base) else Map.empty[String, String]
+      // meta carries forward like stats (read above with the other
+      // head-derived reads so the staleness guard covers it);
+      // this append's keys override
       checkWriterFeatures(tableDir, priorMeta)
       identityConflictGuard(fs, tableDir, priorMeta, identity,
         newPaths.map(_.split("/", 2).head).distinct, "batch")

@@ -124,6 +124,41 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("t51 bounded round collect: prefix-decided rounds equal the unbounded decision, driver rows stay O(limit) (r21)") {
+    import ops.TextVector.{boundedRoundAccept, rfAcceptRound}
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 200).foreach { _ =>
+      // random ranked candidate list over a 30-symbol alphabet, sizes
+      // crossing the initial limit in both directions
+      val syms = ('a' to 'z').map(_.toString) ++ Seq("th", "er", "in", "an")
+      val all = rnd.shuffle(
+        for { x <- syms; y <- syms if x != y } yield s"$x $y")
+        .take(1 + rnd.nextInt(400)).zipWithIndex
+        .map { case (p, i) => (p, (10000 - i).toLong) }
+      val remaining = 1 + rnd.nextInt(16)
+      var maxFetch = 0
+      val fetch = (lim: Int) => { maxFetch = math.max(maxFetch, lim)
+        all.take(lim) }
+      val (accepted, exhausted) = boundedRoundAccept(fetch, remaining)
+      // exactness: identical to deciding on the FULL ranked set
+      assert(accepted == rfAcceptRound(all, remaining),
+        s"bounded decision diverged: n=${all.size} remaining=$remaining")
+      assert(exhausted == all.isEmpty)
+      // boundedness: when the budget fills inside the first prefix, the
+      // driver never fetched past the initial limit
+      val first = all.take(math.max(64, 8 * remaining))
+      if (rfAcceptRound(first, remaining).size == remaining ||
+          all.size < math.max(64, 8 * remaining))
+        assert(maxFetch == math.max(64, 8 * remaining),
+          s"escalated although the first prefix decided: n=${all.size}")
+    }
+    // the escalation path: budget cannot fill (every pair shares 'a'),
+    // so the fetch walks to the full set and still decides exactly
+    val hot = (1 to 700).map(i => (s"a s$i", (10000 - i).toLong))
+    val (acc, _) = boundedRoundAccept(lim => hot.take(lim), 16)
+    assert(acc == rfAcceptRound(hot, 16) && acc.size == 1)
+  }
+
   test("minhash LSH finds every planted near-duplicate pair") {
     val pairs = ops.TextVector.t4_minhash_lsh(spark, sf)
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet

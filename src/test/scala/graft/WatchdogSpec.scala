@@ -66,4 +66,32 @@ class WatchdogSpec extends SparkTestBase {
     assert(sec < 120, s"one spinning query must cost ~timeoutSec, not " +
       s"the artifact window: ${sec}s")
   }
+
+  test("a timed-out worker that submits its job LATE is still swept: group inherited pre-start, future jobs cancelled (r21)") {
+    // the r20 ADVICE race: the job group used to be set INSIDE the
+    // worker, so a body that had not yet reached setJobGroup (or that
+    // submits only after the cancel) was never cancelled — the
+    // abandoned daemon thread kept running full Spark jobs that
+    // silently inflated every later Bench measurement. Now the group
+    // rides the inheritable local properties from before start() and
+    // the timeout path uses cancelJobGroupAndFutureJobs, so a job
+    // submitted MINUTES after the deadline is rejected at submission.
+    val computed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val r = Watchdog.run(spark, "late-submit", 1L) {
+      try Thread.sleep(60000) catch { case _: InterruptedException => () }
+      // buffer so the async cancel event is processed before the submit
+      Thread.sleep(500)
+      val n = spark.range(100).count() // the worker's FIRST job, post-deadline
+      computed.set(true)
+      n
+    }
+    r match {
+      case Left(msg) => assert(msg.startsWith("timeout"),
+        s"deadline kill must keep the timeout prefix: $msg")
+      case Right(v) => fail(s"deadline-killed body must not Right-complete: $v")
+    }
+    Thread.sleep(1500) // let the abandoned worker run past its submit
+    assert(!computed.get,
+      "a post-deadline job computed — the future-jobs cancel failed")
+  }
 }
