@@ -375,28 +375,38 @@ object Tpch {
     // (this row's own supplier is returned, so n_r_supp = 1 ⇔ nobody
     // else returned). The stats CASCADE: reduce to one row per
     // (order, supplier) first (map-side partial combine, no distinct
-    // machinery), then count per order — two countDistincts on
-    // different expressions would instead Expand the scan ×2 before
-    // the shuffle (the dq6 trap; measured 2× slower here). At 100 TB
-    // this is 2 fact scans instead of 3, one narrow fact-wide shuffle
-    // instead of two fact-fact shuffle joins, and the stats side
-    // shrinks to a filtered row per order before it ever joins.
-    val stats = lineitem(s, d)
+    // machinery), then per order — two countDistincts on different
+    // expressions would instead Expand the scan ×2 before the shuffle
+    // (the dq6 trap; measured 2× slower here).
+    //
+    // r21 (guide §2.4): the DRIVING side is derivable from the SAME
+    // per-(order, supplier) aggregate — when n_r_supp = 1 the
+    // qualifying order's waiting supplier is its unique returned one,
+    // and that supplier's returned-line count rode along as
+    // n_ret_lines. So the second fact scan and the returned-lines ⋈
+    // stats fact shuffle are gone entirely: ONE fact scan, one narrow
+    // (order, supplier) exchange, one per-order reduction (numwait =
+    // Σ n_ret_lines over qualifying orders — identical arithmetic to
+    // counting the driving rows). At sf0.1 the wall-clock is
+    // floor-dominated and ~unchanged (~1.4s); the win is the plan at
+    // scale — fact passes 2 → 1, fact-sized shuffles 2 → 1
+    // (plans/r21/q21_waiting_supplier_{before,after}.txt).
+    val perOrder = lineitem(s, d)
       .groupBy(col("l_orderkey").as("k_orderkey"), col("l_suppkey").as("k_suppkey"))
-      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("sup_ret"))
+      .agg(count(when(col("l_returnflag") === "R", 1)).as("n_ret_lines"))
       .groupBy(col("k_orderkey"))
-      .agg(count(lit(1)).as("n_supp"), sum(col("sup_ret")).as("n_r_supp"))
+      .agg(count(lit(1)).as("n_supp"),
+        count(when(col("n_ret_lines") > 0, 1)).as("n_r_supp"),
+        max(when(col("n_ret_lines") > 0, col("k_suppkey"))).as("ret_supp"),
+        max(when(col("n_ret_lines") > 0, col("n_ret_lines"))).as("ret_lines"))
       .filter(col("n_supp") > 1 && col("n_r_supp") === 1)
-    lineitem(s, d)
-      .filter(col("l_returnflag") === "R")
-      .select(col("l_orderkey"), col("l_suppkey"))
-      .join(stats, col("l_orderkey") === col("k_orderkey"))
+    perOrder
       .join(orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey"),
-        col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        col("k_orderkey") === col("o_orderkey"), "left_semi")
+      .join(supplier(s, d), col("ret_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("ret_lines")).cast("long").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(100)
   }

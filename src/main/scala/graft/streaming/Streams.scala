@@ -171,10 +171,14 @@ object Streams {
         OutputMode.Update())
   }
 
-  /** X7: stream-static join — enrich a stream with a static dimension
-    * (the static side is (re)broadcast per micro-batch). */
+  /** X7: stream-static join — enrich a stream with a static dimension.
+    * NO broadcast hint (r21, same stance as the batch twin): the dim is
+    * sf-proportional, so a pinned broadcast dies at the 100 TB design
+    * point; the per-micro-batch planner picks broadcast itself while
+    * the dim's size estimate fits and falls back to a shuffle join when
+    * it no longer does. */
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =
-    events.join(broadcast(customers), col("user_id") === col("c_custkey"))
+    events.join(customers, col("user_id") === col("c_custkey"))
 
   /** X8: incremental exactly-once file ingestion — new JSON files landing
     * in `landingDir` are processed once per AvailableNow trigger tick;
