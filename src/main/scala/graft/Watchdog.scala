@@ -71,6 +71,13 @@ object Watchdog {
       // cancel, anything the abandoned thread submits in this group —
       // now or minutes later — is rejected at submission (r20 ADVICE).
       spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+      // POST-MORTEM before the interrupt disturbs it (r20 verdict #4):
+      // capture where the worker is wedged, so the artifact's err row
+      // diagnoses the next r19-style spin instead of just bounding it.
+      // Top frames only — the row must stay one readable line.
+      val stack = t.getStackTrace.take(6)
+        .map(f => s"${f.getClassName}.${f.getMethodName}(${f.getLineNumber})")
+        .mkString(" <- ")
       t.interrupt()
       // brief grace: a cancel-responsive body surfaces its own error
       // (SparkException: job cancelled) — fold it INTO the timeout
@@ -84,7 +91,8 @@ object Watchdog {
         case Some(r @ Right(_)) => r
         case Some(Left(err)) =>
           Left(s"timeout after ${timeoutSec}s (cancelled: $err)")
-        case None => Left(s"timeout after ${timeoutSec}s")
+        case None =>
+          Left(s"timeout after ${timeoutSec}s; wedged at: $stack")
       }
     }
   }

@@ -1856,7 +1856,11 @@ case class GraftStreamOffset(version: Long)
   *    about to read apply AT READ (r20): a fresh stream on a masked
   *    merge-on-read table starts cleanly and its initial snapshot
   *    serves the MASKED state, exactly like a batch read — the guard
-  *    is only about retracting rows already delivered.
+  *    covers dirs standing when the stream's offset window opened
+  *    (with `startingVersion` that includes the pre-start base set,
+  *    whose rows this stream never emitted: a mask-only commit
+  *    touching them still refuses without ignoreDeletes — the
+  *    conservative reading, matching pre-r20 behavior).
   *  - `startingVersion` option: begin from that version's additions
   *    instead of the full current snapshot.
   *  - a restart whose checkpointed offset version is no longer

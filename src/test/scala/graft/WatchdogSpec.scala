@@ -17,7 +17,17 @@ class WatchdogSpec extends SparkTestBase {
       42
     }
     val sec = (System.nanoTime() - t0) / 1e9
-    assert(r == Left("timeout after 2s"), r)
+    // the err row carries a POST-MORTEM of the wedged worker (r21):
+    // the timeout prefix stays (Bench's never-re-rep guard keys on
+    // it) and the stack names the spin site, so the next r19-style
+    // wedge self-diagnoses from the artifact alone
+    r match {
+      case Left(msg) =>
+        assert(msg.startsWith("timeout after 2s"), msg)
+        assert(msg.contains("wedged at:") && msg.contains("WatchdogSpec"),
+          s"timeout row must carry the wedged worker's frames: $msg")
+      case Right(v) => fail(s"spin must not Right-complete: $v")
+    }
     assert(sec < 30, s"the watchdog must return promptly, took ${sec}s")
     // the harness thread pool is NOT wedged: the next body still runs
     assert(Watchdog.run(spark, "next", 30)(1 + 1) == Right(2))
