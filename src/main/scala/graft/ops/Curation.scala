@@ -78,24 +78,74 @@ object Curation {
       .withColumn("f2", col("f1") && col("cl").between(100, 520))
       .withColumn("f3", col("f2") && col("ntok") > 0 && col("ratio") >= 0.35)
 
+  /** Compiled 4-lane near-dup signature (r22, guide §1.2 "per-task
+    * work"): byte-identical to the HOF chain it replaces —
+    * `mds = ntok>=3 ? transform(shingles, md5) : [md5(text)]`, lane l =
+    * array_min of hex slice [8l+1..8l+8], sig = 4 lanes concatenated —
+    * but as one compiled loop instead of five interpreted
+    * transform/array_min passes that materialize the per-shingle digest
+    * array (Spark HOFs don't codegen; the t4/t10 UDF precedent). The
+    * per-shingle digest never materializes: each digest folds into 4
+    * running minima. String.compareTo on lowercase hex == SQL string
+    * min, so lanes match the oracle's list_min exactly. Null contract
+    * mirrors the HOF chain: <3 tokens (or null t — when()'s null
+    * condition also took the otherwise branch) hashes the RAW text;
+    * null text → null sig. */
+  private[graft] val sig4 = udf((ts: Seq[String], text: String) => {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hexChars = "0123456789abcdef".toCharArray
+    def md5Hex(v: String): String = {
+      val dg = md.digest(v.getBytes("UTF-8")); md.reset()
+      val hex = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = hexChars((dg(i) >> 4) & 0xf)
+        hex(2 * i + 1) = hexChars(dg(i) & 0xf)
+        i += 1
+      }
+      new String(hex)
+    }
+    if (ts == null || ts.length < 3) {
+      if (text == null) null else {
+        val m = md5Hex(text)
+        m.substring(0, 8) + m.substring(8, 16) + m.substring(16, 24) +
+          m.substring(24, 32)
+      }
+    } else {
+      val mins = new Array[String](4)
+      var i = 0
+      while (i + 2 < ts.length) {
+        val m = md5Hex(ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
+        var l = 0
+        while (l < 4) {
+          val sl = m.substring(8 * l, 8 * l + 8)
+          if (mins(l) == null || sl.compareTo(mins(l)) < 0) mins(l) = sl
+          l += 1
+        }
+        i += 1
+      }
+      mins(0) + mins(1) + mins(2) + mins(3)
+    }
+  })
+
   /** T40: curation funnel — lang gate → length gate → repetition gate →
     * exact dedup → near dedup → per-lang quota sample, reported as
     * per-stage surviving docs + tokens. Stage thresholds are corpus
     * calibrated (n_chars 48–553, distinct-token-ratio quartiles
     * .28/.36/.46/.60) so every stage does non-vacuous work. */
   def t40_curation_pipeline(s: SparkSession, d: String): DataFrame = {
+    // r22 (guide §1.2): the shingle-md5 signature is GATED on f3 — a row
+    // that failed the stateless gates can never be an exact-dedup
+    // survivor (f4 ⊆ f3), and a non-f4 row's sig only ever places it in
+    // a near-dup partition where it contributes nothing to
+    // min(CASE WHEN f4 ...) and its own f5 is false && NULL = false
+    // either way. Null sigs group under the null partition, which holds
+    // no f4 rows — so every stage count is unchanged while only
+    // repetition-gate survivors pay the signature compute (the
+    // pipeline's dominant per-row cost). Proven against the ungated HOF
+    // form in CurationSpec.
     val enr = statelessGates(triCorpus(s, d))
-      // CASE short-circuits in both engines, so sequence(0, ntok-3)
-      // never sees a negative bound.
-      .withColumn("mds", when(col("ntok") >= 3,
-          expr("transform(sequence(0, size(t)-3), " +
-            "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"))
-        .otherwise(array(md5(col("text")))))
-      .withColumn("sig", concat(
-        expr("array_min(transform(mds, m -> substring(m, 1, 8)))"),
-        expr("array_min(transform(mds, m -> substring(m, 9, 8)))"),
-        expr("array_min(transform(mds, m -> substring(m, 17, 8)))"),
-        expr("array_min(transform(mds, m -> substring(m, 25, 8)))")))
+      .withColumn("sig", when(col("f3"), sig4(col("t"), col("text"))))
     val wH = Window.partitionBy("h")
     val wS = Window.partitionBy("sig")
     val flagged = enr

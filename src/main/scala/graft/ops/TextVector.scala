@@ -1478,33 +1478,90 @@ object TextVector {
         "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(v, j*16+1, 16)))")).as("s"))
       .select(col("vec_id"), col("s.j").cast("int").as("j"), col("s.sv").as("sv")))
 
+  /** Compiled PQ nearest-codeword argmin (r22, guide §2.4 "remove
+    * shuffles outright"): given one subvector and its subspace's full
+    * codeword table (codes ascending with their codewords), return the
+    * code minimizing squared L2, ties to the LOWEST code — exactly the
+    * `min_by(struct(code, sv), struct(d2, code))` the join-fan-out form
+    * computed, with d2 accumulated left-to-right (`s += d*d`) like the
+    * graft_l2sq kernel, so assignments are bit-identical (spec-pinned
+    * in TextVectorSpec). As a UDF over the BROADCAST codeword table the
+    * encode step becomes a pure projection: the old form exploded the
+    * corpus ×k through a join and paid a corpus-wide
+    * Sort+SortAggregate exchange per assignment pass (3 passes in the
+    * t31 plan) — at the 100 TB design point PQ encoding must be
+    * map-only, which this is. A codeword of mismatched width
+    * contributes null d2 in the old form and is likewise never chosen
+    * here. */
+  private[graft] val pqNearest =
+    udf((sv: Seq[Double], codes: Seq[Int], cws: Seq[Seq[Double]]) => {
+      if (sv == null || codes == null || cws == null) null
+      else {
+        var best: java.lang.Integer = null
+        var bestD = Double.PositiveInfinity
+        var c = 0
+        while (c < cws.length) {
+          val cw = cws(c)
+          if (cw != null && cw.length == sv.length) {
+            var s = 0.0
+            var i = 0
+            while (i < sv.length) {
+              val dd = sv(i) - cw(i); s += dd * dd; i += 1
+            }
+            if (s < bestD) { bestD = s; best = codes(c) }
+          }
+          c += 1
+        }
+        best
+      }
+    })
+
   def t31_pq_ann(s: SparkSession, d: String): DataFrame = {
+    val sp = s; import sp.implicits._
     val e = embeddings(s, d).select(col("vec_id"), vecD(col("embedding")).as("v"))
     val subs = t31SubsMemo(s, d)
-    val cb0 = subs.filter(col("vec_id") < 16)
-      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw"))
-    // per (vec, subspace): nearest codeword, subvector carried for the
-    // Lloyd update; min_by keeps the shuffle narrow (map-side partials)
-    def assignSub(cb: DataFrame): DataFrame = subs
-      .join(broadcast(cb), Seq("j"))
-      .withColumn("d2", l2sq(col("sv"), col("cw")))
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min_by(struct(col("code").as("code"), col("sv").as("sv")),
-        struct(col("d2"), col("code"))).as("a"))
-      .select(col("vec_id"), col("j"), col("a.code").as("code"),
-        col("a.sv").as("sv"))
+    // The codebook is O(m×k) BY CONSTRUCTION — 4 subspaces × 16
+    // codewords × 16 lanes at ANY corpus size (the PQ design constant,
+    // like t51's merge budget) — so it lives on the driver, exactly
+    // where a production PQ trainer holds it. Each training step is one
+    // bounded 64-row collect; the encode pass consumes the codebook as
+    // a LOCAL-relation broadcast (no upstream compute job, no plan
+    // duplication — the lazy form re-derived the Lloyd subtree once per
+    // consumer and paid an ObjectHashAggregate exchange per
+    // re-derivation).
+    def collectCb(cb: DataFrame): Seq[(Int, Int, Seq[Double])] =
+      cb.collect().toSeq.map(r =>
+        (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    // per-subspace codeword TABLE (codes ascending, codewords aligned)
+    // as a 4-row local relation
+    def codeTable(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      rows.groupBy(_._1).toSeq.map { case (j, rs) =>
+        val sorted = rs.sortBy(_._2)
+        (j, sorted.map(_._2), sorted.map(_._3))
+      }.toDF("j", "codes", "cws")
+    // per (vec, subspace): nearest codeword as a MAP-ONLY projection
+    // against the broadcast codeword table — no fan-out join, no
+    // (vec, j) exchange; the subvector stays in place for the Lloyd
+    // update (r22; was join ×k + min_by with a Sort+SortAggregate
+    // exchange per assignment pass — plans/r22/t31_pq_ann_before.txt)
+    def encode(cbRows: Seq[(Int, Int, Seq[Double])]): DataFrame = subs
+      .join(broadcast(codeTable(cbRows)), Seq("j"))
+      .select(col("vec_id"), col("j"), col("sv"),
+        pqNearest(col("sv"), col("codes"), col("cws")).as("code"))
+    val cb0 = collectCb(subs.filter(col("vec_id") < 16)
+      .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw")))
     // one Lloyd step: codeword = lane-wise mean of its members, rounded
     // to 6 decimals so downstream argmin decisions are cross-engine
     // exact (every seed is its own member at distance 0 — no empty code)
-    val cb1 = assignSub(cb0)
+    val cb1 = collectCb(encode(cb0)
       .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("lane", "x")))
       .groupBy("j", "code", "lane").agg(round(avg(col("x")), 6).as("m"))
       .groupBy("j", "code")
-      .agg(expr("transform(array_sort(collect_list(struct(lane, m))), p -> p.m)").as("cw"))
-    val enc = assignSub(cb1).select(col("vec_id"), col("j"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(lane, m))), p -> p.m)").as("cw")))
+    val enc = encode(cb1).select(col("vec_id"), col("j"), col("code"))
     val dt = subs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("j"), col("sv").as("qsv"))
-      .join(broadcast(cb1), Seq("j"))
+      .join(broadcast(cb1.toDF("j", "code", "cw")), Seq("j"))
       .select(col("q_id"), col("j"), col("code"),
         l2sq(col("qsv"), col("cw")).as("pd"))
     val wShort = Window.partitionBy(col("q_id"))

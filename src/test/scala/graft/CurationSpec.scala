@@ -66,6 +66,55 @@ class CurationSpec extends SparkTestBase {
       s"flag block should shuffle only on h/sig (+tiny rollup): $nExchanges exchanges\n${plan.take(3000)}")
   }
 
+  test("t40: gated compiled sig4 reproduces the ungated HOF funnel exactly") {
+    // r22 rewrite lemma, both halves: (1) sig4 is byte-identical to the
+    // transform/array_min md5-shingle chain it replaced; (2) gating the
+    // signature on f3 (null sig for gate failures) cannot move any stage
+    // count — non-f3 rows contribute nothing to min(CASE WHEN f4 ...)
+    // and their own f5 is false either way. Proven by replaying the FULL
+    // pre-r22 pipeline (ungated HOF sig) and comparing the 7 rows.
+    val base = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val tri = base
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source")))
+      .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+        regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+        col("lang"), col("source")))
+    val enr = ops.Curation.statelessGates(tri)
+      .withColumn("mds", when(col("ntok") >= 3,
+          expr("transform(sequence(0, size(t)-3), " +
+            "i -> md5(concat_ws(' ', t[i], t[i+1], t[i+2])))"))
+        .otherwise(array(md5(col("text")))))
+      .withColumn("sig_hof", concat(
+        expr("array_min(transform(mds, m -> substring(m, 1, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 9, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 17, 8)))"),
+        expr("array_min(transform(mds, m -> substring(m, 25, 8)))")))
+      .withColumn("sig_udf", ops.Curation.sig4(col("t"), col("text")))
+    // (1) kernel equality on EVERY row (gating aside)
+    assert(enr.filter(!(col("sig_udf") <=> col("sig_hof"))).count() == 0,
+      "compiled sig4 diverged from the HOF chain")
+    // (2) full-funnel equality: ungated HOF windows vs the shipped query
+    import org.apache.spark.sql.expressions.Window
+    val wH = Window.partitionBy("h")
+    val wS = Window.partitionBy("sig_hof")
+    val flagged = enr
+      .withColumn("f4", col("f3") &&
+        col("doc_id") === min(when(col("f3"), col("doc_id"))).over(wH))
+      .withColumn("f5", col("f4") &&
+        col("doc_id") === min(when(col("f4"), col("doc_id"))).over(wS))
+    val oldCounts = flagged.agg(
+        count(when(col("f4"), 1)).as("c4"), sum(when(col("f4"), col("ntok"))).as("k4"),
+        count(when(col("f5"), 1)).as("c5"), sum(when(col("f5"), col("ntok"))).as("k5"))
+      .head()
+    val byIdx = funnel.map(r => r.getInt(0) -> r).toMap
+    assert((byIdx(4).getLong(2), byIdx(4).getLong(3)) ==
+      (oldCounts.getLong(0), oldCounts.getLong(1)), "exact-dedup stage moved")
+    assert((byIdx(5).getLong(2), byIdx(5).getLong(3)) ==
+      (oldCounts.getLong(2), oldCounts.getLong(3)), "near-dedup stage moved")
+  }
+
   test("t41: plan rates are sane and de upsamples at sf0.001 scale too") {
     val rows = ops.Curation.t41_mixture_plan(spark, sf).collect()
     assert(rows.length == 5)

@@ -455,6 +455,38 @@ class TextVectorSpec extends SparkTestBase {
     assert(avgRecall >= 0.85, f"PQ recall collapsed: $avgRecall%.2f")
   }
 
+  test("PQ ANN: map-only pqNearest equals the join + min_by argmin, bit for bit") {
+    // r22 rewrite lemma: encoding against the broadcast codeword table
+    // (compiled argmin, ties to the lowest code) assigns every
+    // (vec, subspace) the code the old join-fan-out + min_by(struct(d2,
+    // code)) form chose — same left-to-right d2 accumulation as
+    // graft_l2sq, so the comparison keys are the identical doubles.
+    import org.apache.spark.sql.functions._
+    val subs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id", explode(expr(
+        "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(v, j*16+1, 16)))")).as("s"))
+      .select($"vec_id", $"s.j".cast("int").as("j"), $"s.sv".as("sv"))
+    val cb = subs.filter($"vec_id" < 16)
+      .select($"j", $"vec_id".cast("int").as("code"), $"sv".as("cw"))
+    val old = subs.join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        graft.functions.VectorFunctions.l2_squared($"sv", $"cw"))
+      .groupBy($"vec_id", $"j")
+      .agg(min_by($"code", struct($"d2", $"code")).as("code"))
+    val tbl = cb.groupBy("j")
+      .agg(expr("array_sort(collect_list(struct(code, cw)))").as("t"))
+      .select($"j", expr("transform(t, p -> p.code)").as("codes"),
+        expr("transform(t, p -> p.cw)").as("cws"))
+    val neu = subs.join(broadcast(tbl), Seq("j"))
+      .select($"vec_id", $"j",
+        ops.TextVector.pqNearest($"sv", $"codes", $"cws").as("code"))
+    val diff = old.withColumnRenamed("code", "old_code")
+      .join(neu, Seq("vec_id", "j"))
+      .filter(!($"old_code" <=> $"code")).count()
+    assert(diff == 0, s"$diff (vec, subspace) assignments diverged")
+  }
+
   test("URL filter: blocklisted domains are gone, parsed parts are consistent") {
     val rows = ops.TextVector.t32_url_filter(spark, sf)
       .select($"host", $"n_docs", $"n_path_ok").as[(String, Long, Long)].collect()
