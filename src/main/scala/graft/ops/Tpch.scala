@@ -391,7 +391,18 @@ object Tpch {
     // floor-dominated and ~unchanged (~1.4s); the win is the plan at
     // scale — fact passes 2 → 1, fact-sized shuffles 2 → 1
     // (plans/r21/q21_waiting_supplier_{before,after}.txt).
+    // r22 (guide §2.4 "two operations keyed the same way share one
+    // exchange"): distribute by l_orderkey ONCE — hashpartitioning on
+    // the order key satisfies the (order, supplier) clustering of the
+    // first aggregate AND the order clustering of the second, so the
+    // cascade costs one fact exchange instead of two (the ENSURE_
+    // REQUIREMENTS pair partitioned by (orderkey, suppkey) then
+    // re-shuffled by orderkey — plans/r22/q21_*_{before,after}.txt).
+    // Order keys are skew-free by construction (≤7 lines per order at
+    // any scale), and the partition count stays conf-derived.
     val perOrder = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey").as("k_orderkey"), col("l_suppkey").as("k_suppkey"))
       .agg(count(when(col("l_returnflag") === "R", 1)).as("n_ret_lines"))
       .groupBy(col("k_orderkey"))

@@ -60,6 +60,21 @@ class TpchSpec extends SparkTestBase {
     assert("lineitem\\.parquet".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("q21: the stats cascade shares ONE l_orderkey exchange") {
+    // r22 (guide §2.4): the per-(order, supplier) -> per-order cascade
+    // is pre-distributed by l_orderkey, whose hashpartitioning satisfies
+    // BOTH group clusterings — exactly one fact exchange, partitioned on
+    // the order key alone, and no (orderkey, suppkey) re-shuffle
+    val p = plan("q21_waiting_supplier")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(parts.exists(k =>
+      k.contains("l_orderkey") && !k.contains("l_suppkey")), parts)
+    assert(!parts.exists(k =>
+      k.contains("l_orderkey") && k.contains("l_suppkey")),
+      s"cascade still re-shuffles by (orderkey, suppkey): $parts")
+  }
+
   test("q22: scalar threshold broadcasts; dormancy is an anti join") {
     val p = plan("q22_dormant_customers")
     assert(p.contains("LeftAnti"), p.take(3000))
