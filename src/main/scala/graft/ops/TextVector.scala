@@ -1385,7 +1385,12 @@ object TextVector {
       .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
         posexplode(grams8(col("t"))).as(Seq("pos0", "gram")))
       .select(col("doc_id"), col("n_tokens"),
-        (col("pos0") + 1).as("pos"), md5(col("gram")).as("h"))
+        // unhex(md5) — a bijection on hex digests, so the duplicate
+        // grouping is IDENTICAL to the oracle's md5-string form while
+        // the corpus-wide shuffle key drops from a 32-char string to
+        // 16 bytes (guide §2.3 "shuffle fewer bytes"): this exchange
+        // carries every gram of the corpus, its key is most of the row
+        (col("pos0") + 1).as("pos"), unhex(md5(col("gram"))).as("h"))
     // duplicated = the gram's hash occurs >1 time corpus-wide (including
     // within one doc — a self-repeating doc is still duplicated text)
     val dup = grams
@@ -1478,31 +1483,37 @@ object TextVector {
         "transform(sequence(0, 3), j -> named_struct('j', j, 'sv', slice(v, j*16+1, 16)))")).as("s"))
       .select(col("vec_id"), col("s.j").cast("int").as("j"), col("s.sv").as("sv")))
 
-  /** Compiled PQ nearest-codeword argmin (r22, guide §2.4 "remove
-    * shuffles outright"): given one subvector and its subspace's full
-    * codeword table (codes ascending with their codewords), return the
-    * code minimizing squared L2, ties to the LOWEST code — exactly the
-    * `min_by(struct(code, sv), struct(d2, code))` the join-fan-out form
-    * computed, with d2 accumulated left-to-right (`s += d*d`) like the
-    * graft_l2sq kernel, so assignments are bit-identical (spec-pinned
-    * in TextVectorSpec). As a UDF over the BROADCAST codeword table the
-    * encode step becomes a pure projection: the old form exploded the
-    * corpus ×k through a join and paid a corpus-wide
-    * Sort+SortAggregate exchange per assignment pass (3 passes in the
-    * t31 plan) — at the 100 TB design point PQ encoding must be
-    * map-only, which this is. A codeword of mismatched width
-    * contributes null d2 in the old form and is likewise never chosen
-    * here. */
-  private[graft] val pqNearest =
-    udf((sv: Seq[Double], codes: Seq[Int], cws: Seq[Seq[Double]]) => {
-      if (sv == null || codes == null || cws == null) null
+  /** MAP-ONLY PQ encode (r22, guide §2.4 "remove shuffles outright"):
+    * per (vec, subspace), the code minimizing squared L2 against the
+    * DRIVER-HELD codebook — the compiled argmin closes over the
+    * per-subspace codeword tables (codes ascending), d2 accumulated
+    * left-to-right (`s += d*d`) like the graft_l2sq kernel, ties to
+    * the LOWEST code — exactly the former
+    * `min_by(struct(code, sv), struct(d2, code))` join-fan-out form,
+    * which exploded the corpus ×k and paid a Sort+SortAggregate
+    * exchange per assignment pass (3 passes in the t31 plan). Encoding
+    * is a pure projection: at the 100 TB design point PQ encode must
+    * run at scan speed, which this does. A codeword of mismatched
+    * width contributed null d2 under min_by and is likewise never
+    * chosen. Equivalence is spec-pinned in TextVectorSpec. */
+  private[graft] def pqEncode(subs: DataFrame,
+                              cbRows: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val byJ: Map[Int, (Array[Int], Array[Array[Double]])] =
+      cbRows.groupBy(_._1).map { case (j, rs) =>
+        val sorted = rs.sortBy(_._2)
+        (j, (sorted.map(_._2).toArray, sorted.map(_._3.toArray).toArray))
+      }
+    val nearest = udf((j: Int, sv: Seq[Double]) => {
+      val tbl = byJ.getOrElse(j, null)
+      if (sv == null || tbl == null) null
       else {
+        val (codes, cws) = tbl
         var best: java.lang.Integer = null
         var bestD = Double.PositiveInfinity
         var c = 0
         while (c < cws.length) {
           val cw = cws(c)
-          if (cw != null && cw.length == sv.length) {
+          if (cw.length == sv.length) {
             var s = 0.0
             var i = 0
             while (i < sv.length) {
@@ -1515,6 +1526,9 @@ object TextVector {
         best
       }
     })
+    subs.select(col("vec_id"), col("j"), col("sv"),
+      nearest(col("j"), col("sv")).as("code"))
+  }
 
   def t31_pq_ann(s: SparkSession, d: String): DataFrame = {
     val sp = s; import sp.implicits._
@@ -1524,30 +1538,16 @@ object TextVector {
     // codewords × 16 lanes at ANY corpus size (the PQ design constant,
     // like t51's merge budget) — so it lives on the driver, exactly
     // where a production PQ trainer holds it. Each training step is one
-    // bounded 64-row collect; the encode pass consumes the codebook as
-    // a LOCAL-relation broadcast (no upstream compute job, no plan
-    // duplication — the lazy form re-derived the Lloyd subtree once per
+    // bounded 64-row collect; encoding closes over the codebook and is
+    // a pure projection (pqEncode — no join, no exchange, no plan
+    // duplication: the lazy form re-derived the Lloyd subtree once per
     // consumer and paid an ObjectHashAggregate exchange per
     // re-derivation).
     def collectCb(cb: DataFrame): Seq[(Int, Int, Seq[Double])] =
       cb.collect().toSeq.map(r =>
         (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    // per-subspace codeword TABLE (codes ascending, codewords aligned)
-    // as a 4-row local relation
-    def codeTable(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
-      rows.groupBy(_._1).toSeq.map { case (j, rs) =>
-        val sorted = rs.sortBy(_._2)
-        (j, sorted.map(_._2), sorted.map(_._3))
-      }.toDF("j", "codes", "cws")
-    // per (vec, subspace): nearest codeword as a MAP-ONLY projection
-    // against the broadcast codeword table — no fan-out join, no
-    // (vec, j) exchange; the subvector stays in place for the Lloyd
-    // update (r22; was join ×k + min_by with a Sort+SortAggregate
-    // exchange per assignment pass — plans/r22/t31_pq_ann_before.txt)
-    def encode(cbRows: Seq[(Int, Int, Seq[Double])]): DataFrame = subs
-      .join(broadcast(codeTable(cbRows)), Seq("j"))
-      .select(col("vec_id"), col("j"), col("sv"),
-        pqNearest(col("sv"), col("codes"), col("cws")).as("code"))
+    def encode(cbRows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+      pqEncode(subs, cbRows)
     val cb0 = collectCb(subs.filter(col("vec_id") < 16)
       .select(col("j"), col("vec_id").cast("int").as("code"), col("sv").as("cw")))
     // one Lloyd step: codeword = lane-wise mean of its members, rounded

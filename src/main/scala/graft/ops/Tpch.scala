@@ -66,17 +66,32 @@ object Tpch {
     // estimates fit (plan-time file-size estimates for part, AQE's
     // runtime size for the joined eurSupp) — ScaleDesignSpec pins that
     // the harness-scale plan still ends up all-broadcast.
+    // r22 (guide §2.4, and the repo's own q17 idiom): the per-part min
+    // becomes a WINDOW over the same aggregate instead of an
+    // aggregate-then-rejoin — the join-back form re-derived the whole
+    // costs subtree on BOTH join sides (two lineitem scans) and then
+    // co-partitioned both on (p_partkey, unit_cost), a float key.
+    // Distributing the pruned fact by p_partkey once lets the
+    // per-(part, supplier) aggregate AND the per-part window share that
+    // single exchange (hashpartitioning(p_partkey) satisfies both
+    // clusterings): one fact scan, one fact exchange, no self-join.
+    // min is order-independent and division IEEE-exact, so the argmin
+    // equality is byte-stable cross-engine, as before. Lines per part
+    // are a constant ratio of the corpus (no skew at any sf).
     val costs = lineitem(s, d)
       .join(part(s, d).filter(col("p_type") === "LARGE" && col("p_size") <= 10),
         col("l_partkey") === col("p_partkey"))
       .join(eurSupp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
+      .repartition(col("p_partkey"))
       .groupBy(col("p_partkey"), col("s_suppkey"), col("s_name"),
         col("s_acctbal"), col("n_name"))
-      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
-    val minCost = costs.groupBy(col("p_partkey").as("mc_partkey"))
-      .agg(min(col("unit_cost")).as("min_cost"))
-    costs.join(minCost, col("p_partkey") === col("mc_partkey")
-        && col("unit_cost") === col("min_cost"))
+      .agg(min(col("unit_price")).as("unit_cost"))
+    val wPart = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    costs.withColumn("min_cost", min(col("unit_cost")).over(wPart))
+      .filter(col("unit_cost") === col("min_cost"))
       .select(round(col("s_acctbal"), 2).as("acctbal"), col("s_name"),
         col("n_name"), col("p_partkey"), round(col("unit_cost"), 2).as("cost"))
       .orderBy(col("acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))

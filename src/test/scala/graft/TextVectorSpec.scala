@@ -474,13 +474,10 @@ class TextVectorSpec extends SparkTestBase {
         graft.functions.VectorFunctions.l2_squared($"sv", $"cw"))
       .groupBy($"vec_id", $"j")
       .agg(min_by($"code", struct($"d2", $"code")).as("code"))
-    val tbl = cb.groupBy("j")
-      .agg(expr("array_sort(collect_list(struct(code, cw)))").as("t"))
-      .select($"j", expr("transform(t, p -> p.code)").as("codes"),
-        expr("transform(t, p -> p.cw)").as("cws"))
-    val neu = subs.join(broadcast(tbl), Seq("j"))
-      .select($"vec_id", $"j",
-        ops.TextVector.pqNearest($"sv", $"codes", $"cws").as("code"))
+    val cbRows = cb.collect().toSeq.map(r =>
+      (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    val neu = ops.TextVector.pqEncode(subs, cbRows)
+      .select($"vec_id", $"j", $"code")
     val diff = old.withColumnRenamed("code", "old_code")
       .join(neu, Seq("vec_id", "j"))
       .filter(!($"old_code" <=> $"code")).count()
